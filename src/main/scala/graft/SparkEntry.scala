@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggs, Filters, Joins, Projections, Windows}
+import graft.ext.{Dedup, Similarity, TextStats}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is registered here as a named query over
+  * the driver's parquet testdata, with a DuckDB-equivalent oracle in
+  * [[oracleSql]]. Determinism rules for hash-equality across engines:
+  *  - every computed column is explicitly aliased identically in both;
+  *  - no bare `first()`; order-sensitive ops take an explicit tiebreak;
+  *  - double aggregates go through exact decimal arithmetic, then cast back
+  *    to double (order-independent ⇒ bit-identical across engines);
+  *  - derived integers are cast to long (DuckDB COUNT/SUM are BIGINT/HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read it as long nanos and convert explicitly
+    // (exact integer division — no double round-trip at 2^60 magnitudes).
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (long nanos under nanosAsLong) → TimestampType, exact. */
+  private def eventTs: Column = timestamp_micros(expr("ts DIV 1000"))
+
+  /** Exact, order-independent sum of a double column: cast each value to
+    * decimal(18,2) (the data is 2-dp money), sum exactly, emit double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full star-join: lineitem⋈orders⋈customer⋈nation⋈region with the
+    * dimension chain broadcast, revenue per region/returnflag. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nat = broadcast(t(spark, dir, "nation"))
+    val reg = broadcast(t(spark, dir, "region"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("l_returnflag"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───────────────────────── §2.6 aggregations ─────────────────────────
+    "q1_agg" -> ((s, dir) => {
+      // TPC-H Q1 shape: l_quantity is integral ⇒ plain double sum is exact;
+      // prices go through decimal.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             moneySum(col("l_extendedprice")).as("sum_price"),
+             count(lit(1)).as("n"))
+    }),
+    "a1_dup_having" -> ((s, dir) =>
+      Aggs.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))),
+    "a2_distinct_count" -> ((s, dir) =>
+      Aggs.distinctCounts(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))),
+    "a4_breakdown" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))),
+    "a5_group_to_doc" -> ((s, dir) =>
+      Aggs.groupToDoc(t(s, dir, "lineitem"), "l_orderkey", "l_returnflag", "l_linenumber")
+        .withColumnRenamed("l_returnflag", "min_flag")),
+    "a6_section_group" -> ((s, dir) =>
+      Aggs.sectionGroup(t(s, dir, "events"), "none",
+        get_json_object(col("props"), "$.sec"), get_json_object(col("props"), "$.k"))),
+    "a7_rollup" -> ((s, dir) =>
+      Aggs.rollupCounts(
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey")),
+        "n_name", "c_mktsegment")),
+    "a8_dedup_consolidate" -> ((s, dir) =>
+      Aggs.dedupConsolidate(t(s, dir, "customer"), "c_nationkey", "c_custkey", "c_mktsegment")),
+    "a9_pivot" -> ((s, dir) =>
+      Aggs.manualPivot(
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey")),
+        "c_mktsegment", "r_name",
+        Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))),
+
+    // ───────────────────────── §2.3 projections ─────────────────────────
+    "p1_split_part" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        Projections.splitPart(col("p_name"), " ", 1).as("name_head"))),
+    "p2_token_default" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        Projections.splitTokenOrDefault(col("p_name"), " ", 1, "none").as("tok2_name"),
+        Projections.splitTokenOrDefault(col("p_type"), " ", 1, "none").as("tok2_type"))),
+    "p3_regex_extract" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        Projections.regexGroup(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"))),
+    "p5_coalesce_pref" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Projections.preferenceCoalesce("(no name)", col("lang"), col("source")).as("label"))),
+    "p7_format_notes" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        Projections.formatNotes("Name: %s, segment: %s.", col("c_name"), col("c_mktsegment"))
+          .as("notes"))),
+    "p9_normalize_name" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        Projections.normalizeName(col("p_name")).as("norm_name"))),
+    "p10_pipe_join" -> ((s, dir) =>
+      t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(Projections.pipeJoinSortedDistinct(collect_list(col("c_mktsegment")))
+          .as("segments"))),
+    "p11_map_roundtrip" -> ((s, dir) => {
+      // pack lang/source into "k=v|k=v", parse back, extract — P11+P12
+      val packed = concat(lit("lang="), col("lang"), lit("|source="), col("source"))
+      t(s, dir, "documents").select(col("doc_id"),
+        element_at(Projections.parsePackedMap(packed), "source").as("src_from_map"))
+    }),
+    "p12_pack_map" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Projections.packMap(map(lit("lang"), col("lang"), lit("src"), col("source")))
+          .as("packed"))),
+    "p13_stringified_list" -> ((s, dir) => {
+      // python-literal list parse (reference eval() — we from_json, §7.4)
+      val pyList = concat(lit("['"), col("lang"), lit("', '"), col("source"), lit("']"))
+      t(s, dir, "documents").select(col("doc_id"),
+        element_at(Projections.parseStringifiedList(pyList), 1).as("first_item"),
+        size(Projections.parseStringifiedList(pyList)).cast("long").as("n_items"))
+    }),
+    "p14_encode_values" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        coalesce(Projections.encodeValues(col("lang"),
+          Map("en" -> 1, "de" -> 2, "es" -> 3, "fr" -> 4, "zh" -> 5)), lit(0))
+          .cast("long").as("lang_code"))),
+    "p15_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        Projections.jsonPath(col("props"), "$.k", "missing").as("k_val"))),
+
+    // ───────────────────────── §2.4 filters ─────────────────────────
+    "f1_notnull_prefix" -> ((s, dir) =>
+      Filters.notNullWithPrefix(t(s, dir, "customer"),
+        Seq("c_name", "c_mktsegment"), "c_name", "Customer#00000001")
+        .select(col("c_custkey"), col("c_name"))),
+    "f2_validation_split" -> ((s, dir) => {
+      val (_, rejects) = Filters.validationSplit(
+        t(s, dir, "documents")
+          .withColumn("short_text", when(col("n_chars") < 60, lit(null)).otherwise(col("text"))),
+        Seq("short_text", "lang"))
+      rejects.select(col("doc_id"), col("reason"))
+    }),
+    "f4_skip_set" -> ((s, dir) =>
+      Filters.skipSet(t(s, dir, "orders"), "o_orderstatus", Seq("F"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))),
+    "f5_suffix_filter" -> ((s, dir) =>
+      Filters.suffixFilter(t(s, dir, "documents"), "source", "0")
+        .select(col("doc_id"), col("source"))),
+    "f9_quarantine" -> ((s, dir) =>
+      Filters.quarantinePayload(t(s, dir, "events"),
+        col("event_type") === "error", "value")
+        .select(col("event_id"), col("value"))),
+
+    // ───────────────────────── §2.5 joins ─────────────────────────
+    "j1_broadcast_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      Joins.broadcastEquiJoin(o, c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+    }),
+    "j2_lookup_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      Joins.broadcastEquiJoin(li, p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+    "j3_nested_collect" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("o_orderkey"))), _.cast("string")))
+          .as("orderkeys"), count(lit(1)).as("n_orders"))),
+    "j4_enrich_region" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+      val r = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+      Joins.enrich(Joins.enrich(c, n, "c_nationkey"), r, "n_regionkey")
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers"))
+    }),
+    "j5_semi_join" -> ((s, dir) =>
+      Joins.semi(t(s, dir, "customer").select(col("c_custkey")),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")),
+    "j6_anti_join" -> ((s, dir) =>
+      Joins.anti(t(s, dir, "customer").select(col("c_custkey")),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")),
+    "j7_outer_dispatch" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Joins.outerDispatch(
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct(),
+        o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct(),
+        "o_custkey")
+    }),
+
+    // ───────────────────────── §2.7 windows ─────────────────────────
+    "w1_uniquify" -> ((s, dir) =>
+      Windows.uniquify(t(s, dir, "part"), Seq("p_brand"), "p_name", "p_partkey", "uniq_name")
+        .select(col("p_partkey"), col("uniq_name"))),
+    "w2_topk_per_group" -> ((s, dir) =>
+      Windows.topKPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))),
+    "w3_top1" -> ((s, dir) =>
+      Windows.top1(t(s, dir, "orders"), col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ───────────────────────── §2.8 sort / limit ─────────────────────────
+    "o1_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // ───────────────────────── §2.9 set ops ─────────────────────────
+    "u1_union_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()),
+    "u2_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+    "u3_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+    "u4_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // ───────────────────────── time / events ─────────────────────────
+    "d1_year_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))),
+    "et1_hourly_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", eventTs).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))),
+
+    // ───────────────────────── ext: dedup ─────────────────────────
+    "x1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
+    "x2_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(t(s, dir, "documents"), "text", 4)
+        .select(col("doc_id"), col("h1"), col("h2"), col("h3"), col("h4"))),
+    "x3_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2)
+        .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))),
+    "x4_jaccard_pairs" -> ((s, dir) => {
+      // token-set Jaccard for candidate pairs blocked by (lang, source)
+      val d = t(s, dir, "documents")
+      val sets = Dedup.tokenSets(d, "text", "doc_id")
+        .join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      val a = sets.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+        col("lang"), col("source"))
+      val b = sets.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+        col("lang").as("lang_b"), col("source").as("source_b"))
+      a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
+          && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_toks"), col("b_toks"))).cast("long").as("n_common"),
+          Dedup.jaccard(col("a_toks"), col("b_toks")).as("jaccard"))
+    }),
+    "x5_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", 16)),
+
+    // ───────────────────────── ext: similarity ─────────────────────────
+    "x6_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
+          "embedding", 5, (a, b) => Similarity.quantizedDot(a, b))
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
+    }),
+
+    // ───────────────────────── ext: text stats ─────────────────────────
+    "x8_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.meanTokenLen(col("text")).as("mean_tok_len"))),
+    "x9_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.punctRatio(col("text")).as("punct_ratio"),
+        TextStats.stopwordHits(col("text"),
+          Seq("the", "a", "of", "and", "or")).cast("long").as("stop_hits"))),
+    "x10_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))),
+    "x11_token_total" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(sum(TextStats.tokenCount(col("text"))).cast("long").as("total_tokens"),
+          count(lit(1)).as("n_docs")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "a1_dup_having" ->
+      "SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1",
+    "a2_distinct_count" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_l_partkey,
+         COUNT(DISTINCT l_suppkey) AS n_l_suppkey FROM lineitem""",
+    "a4_breakdown" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    "a5_group_to_doc" ->
+      """SELECT l_orderkey, MIN(l_returnflag) AS min_flag, COUNT(*) AS n_members,
+         string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) AS members
+         FROM lineitem GROUP BY l_orderkey""",
+    "a6_section_group" ->
+      """SELECT COALESCE(NULLIF(json_extract_string(props,'$.sec'),''),
+                         NULLIF(json_extract_string(props,'$.k'),''), 'none') AS section,
+         COUNT(*) AS n FROM events GROUP BY 1""",
+    "a7_rollup" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name, c_mktsegment)""",
+    "a8_dedup_consolidate" ->
+      """SELECT c_nationkey, MIN(c_custkey) AS c_custkey,
+         string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS all_c_mktsegment
+         FROM customer GROUP BY c_nationkey""",
+    "a9_pivot" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CASE WHEN r_name='AFRICA' THEN 1 ELSE 0 END) AS BIGINT) AS "AFRICA",
+         CAST(SUM(CASE WHEN r_name='AMERICA' THEN 1 ELSE 0 END) AS BIGINT) AS "AMERICA",
+         CAST(SUM(CASE WHEN r_name='ASIA' THEN 1 ELSE 0 END) AS BIGINT) AS "ASIA",
+         CAST(SUM(CASE WHEN r_name='EUROPE' THEN 1 ELSE 0 END) AS BIGINT) AS "EUROPE",
+         CAST(SUM(CASE WHEN r_name='MIDDLE EAST' THEN 1 ELSE 0 END) AS BIGINT) AS "MIDDLE EAST"
+         FROM customer JOIN nation ON c_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey GROUP BY c_mktsegment""",
+    "p1_split_part" ->
+      "SELECT p_partkey, split_part(p_name, ' ', 1) AS name_head FROM part",
+    "p2_token_default" ->
+      """SELECT p_partkey,
+         COALESCE(NULLIF(split_part(p_name, ' ', 2), ''), 'none') AS tok2_name,
+         COALESCE(NULLIF(split_part(p_type, ' ', 2), ''), 'none') AS tok2_type FROM part""",
+    "p3_regex_extract" ->
+      "SELECT p_partkey, regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num FROM part",
+    "p5_coalesce_pref" ->
+      """SELECT doc_id, COALESCE(NULLIF(lang,''), NULLIF(source,''), '(no name)') AS label
+         FROM documents""",
+    "p7_format_notes" ->
+      """SELECT c_custkey, 'Name: ' || c_name || ', segment: ' || c_mktsegment || '.' AS notes
+         FROM customer""",
+    "p9_normalize_name" ->
+      """SELECT p_partkey,
+         COALESCE(NULLIF(lower(regexp_replace(trim(split_part(p_name,'|',1)),'[ /]','_','g')),''),
+                  'unknown_program') AS norm_name FROM part""",
+    "p10_pipe_join" ->
+      """SELECT c_nationkey,
+         string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
+         FROM customer GROUP BY c_nationkey""",
+    "p11_map_roundtrip" -> "SELECT doc_id, source AS src_from_map FROM documents",
+    "p12_pack_map" ->
+      "SELECT doc_id, 'lang=' || lang || '|src=' || source AS packed FROM documents",
+    "p13_stringified_list" ->
+      "SELECT doc_id, lang AS first_item, CAST(2 AS BIGINT) AS n_items FROM documents",
+    "p14_encode_values" ->
+      """SELECT doc_id, CAST(CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'es' THEN 3
+         WHEN 'fr' THEN 4 WHEN 'zh' THEN 5 ELSE 0 END AS BIGINT) AS lang_code FROM documents""",
+    "p15_json_extract" ->
+      """SELECT event_id, COALESCE(json_extract_string(props, '$.k'), 'missing') AS k_val
+         FROM events""",
+    "f1_notnull_prefix" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_name IS NOT NULL
+         AND c_mktsegment IS NOT NULL AND c_name LIKE 'Customer#00000001%'""",
+    "f2_validation_split" ->
+      """SELECT doc_id, 'missing short_text' AS reason FROM documents
+         WHERE n_chars < 60 OR lang IS NULL OR trim(lang) = ''""",
+    "f4_skip_set" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+         WHERE o_orderstatus NOT IN ('F') GROUP BY o_orderstatus""",
+    "f5_suffix_filter" ->
+      "SELECT doc_id, source FROM documents WHERE lower(source) LIKE '%0'",
+    "f9_quarantine" ->
+      """SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+         FROM events""",
+    "j1_broadcast_join" ->
+      """SELECT c_mktsegment, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "j2_lookup_join" ->
+      """SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
+    "j3_nested_collect" ->
+      """SELECT o_custkey,
+         string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys,
+         COUNT(*) AS n_orders FROM orders GROUP BY o_custkey""",
+    "j4_enrich_region" ->
+      """SELECT r_name, COUNT(*) AS n_customers FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",
+    "j5_semi_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "j6_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "j7_outer_dispatch" ->
+      """WITH l AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='F'),
+              r AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='P')
+         SELECT COALESCE(l.k, r.k) AS o_custkey,
+                CASE WHEN r.k IS NULL THEN 'left_only'
+                     WHEN l.k IS NULL THEN 'right_only'
+                     ELSE 'both' END AS method
+         FROM l FULL OUTER JOIN r ON l.k = r.k""",
+    "w1_uniquify" ->
+      """SELECT p_partkey, CASE WHEN rn > 1 THEN p_name || '_' || CAST(rn-1 AS VARCHAR)
+                ELSE p_name END AS uniq_name
+         FROM (SELECT p_partkey, p_name,
+               row_number() OVER (PARTITION BY p_brand, p_name ORDER BY p_partkey) AS rn
+               FROM part)""",
+    "w2_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
+         FROM (SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) WHERE rn <= 3""",
+    "w3_top1" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""",
+    "o1_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "u1_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey FROM supplier""",
+    "u2_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier""",
+    "u3_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier""",
+    "u4_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "d1_year_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1""",
+    "et1_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2""",
+    "x1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "x2_minhash_sig" ->
+      """SELECT doc_id, MIN(md5('1' || sh)) AS h1, MIN(md5('2' || sh)) AS h2,
+                MIN(md5('3' || sh)) AS h3, MIN(md5('4' || sh)) AS h4
+         FROM (SELECT doc_id, substr(text, i, 5) AS sh
+               FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i) g
+               WHERE i <= greatest(length(text) - 4, 1))
+         GROUP BY doc_id""",
+    "x3_lsh_pairs" ->
+      """WITH sig AS (
+           SELECT doc_id, MIN(md5('1' || sh)) AS h1, MIN(md5('2' || sh)) AS h2,
+                  MIN(md5('3' || sh)) AS h3, MIN(md5('4' || sh)) AS h4
+           FROM (SELECT doc_id, substr(text, i, 5) AS sh
+                 FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id)
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))""",
+    "x4_jaccard_pairs" ->
+      """WITH sets AS (SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+         FROM sets a JOIN sets b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+    "x6_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+           prod AS (SELECT q.q_id, e.vec_id AS n_id,
+                    unnest(q.q_vec) AS qx, unnest(e.embedding) AS ex
+                    FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+           dp AS (SELECT q_id, n_id,
+                  SUM(CAST(floor(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE) * 1073741824) AS BIGINT)) AS s
+                  FROM prod GROUP BY q_id, n_id)
+         SELECT q_id, n_id, CAST(s AS DOUBLE) / 1073741824 AS score,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS BIGINT) AS rnk
+         FROM dp QUALIFY rnk <= 5""",
+    "x8_lang_stats" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CASE WHEN trim(text) = '' THEN 0.0
+              ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) END AS mean_tok_len
+         FROM documents""",
+    "x9_quality" ->
+      """SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                   AS DOUBLE) / length(text) END AS punct_ratio,
+         CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+              ['the','a','of','and','or'])) AS BIGINT) AS stop_hits
+         FROM documents""",
+    "x10_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "x11_token_total" ->
+      """SELECT CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_docs FROM documents"""
+  )
 }

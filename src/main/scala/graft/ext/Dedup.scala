@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators.
+  *
+  * Beyond the reference's id-level dedup (SURVEY.md A1/A8), these are the
+  * content-level dedup primitives a 100 TB training-data pipeline needs.
+  * Design rules for scale:
+  *  - signatures are pure projections (array_min over transform) — computed
+  *    in whole-stage codegen with NO shuffle and NO explode blow-up;
+  *  - candidate generation shuffles only (band_key → doc_id) pairs, never
+  *    document text;
+  *  - exact verification joins back to text only for the candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest, deterministic winner =
+    * smallest id. One shuffle on a 32-byte key regardless of doc size. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: for each of `k` seeded hash functions, the minimum
+    * md5 over all character shingles. Pure projection — codegen'd, no
+    * shuffle, no intermediate explode (the shingle array never materializes
+    * past the expression). */
+  def minhashSignature(df: DataFrame, textCol: String, k: Int,
+                       shingleLen: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val starts = sequence(lit(1), greatest(length(t) - (shingleLen - 1), lit(1)))
+    val sigCols = (1 to k).map { seed =>
+      array_min(transform(starts, i =>
+        md5(concat(lit(seed.toString), t.substr(i, lit(shingleLen)))))).as(s"h$seed")
+    }
+    df.select(col("*") +: sigCols: _*)
+  }
+
+  /** LSH banding: group the k signature hashes into bands of `rowsPerBand`,
+    * emit (band_idx, band_key, id); docs sharing any full band become
+    * candidate pairs. Shuffle carries only narrow keys. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int,
+                        rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), sha1(concat(hs: _*)).as("band_key"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** SimHash (nBits ≤ 60): per token take md5 → integer; bit i of the
+    * signature is the sign of Σ_tokens (±1 by token's bit i). Explode-based
+    * (one row per token) with a single groupBy(doc) — at scale this is one
+    * shuffle of (id, tokenHash) longs. */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+              nBits: Int = 32): DataFrame = {
+    require(nBits <= 60, "md5 prefix gives 60 usable bits")
+    val tok = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("th", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until nBits).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until nBits).map { i =>
+      when(col(s"b$i") > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** N-gram (token-set) Jaccard similarity for candidate pairs: both sides
+    * reduced to distinct token arrays; |∩| / |∪|. */
+  def tokenSets(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      array_distinct(split(trim(col(textCol)), "\\s+")).as("toks"))
+
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

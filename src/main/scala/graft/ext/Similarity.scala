@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Scale design: the query set is the small side — it is broadcast and the
+  * corpus is streamed through it (one task per corpus partition, no corpus
+  * shuffle for scoring). The only shuffle is the per-query top-k, which
+  * carries (q_id, n_id, score) triples, never vectors.
+  *
+  * Two arithmetic paths:
+  *  - `dot`/`cosine`: double fold — fastest, used for real ranking;
+  *  - `decimalDot`: per-element products cast to decimal then summed —
+  *    order-independent and exact, used on oracle-checked paths so the
+  *    result is bit-identical across engines regardless of reduction order.
+  */
+object Similarity {
+
+  /** Dot product of two float vectors as a left-to-right double fold.
+    * Elements are widened to double BEFORE multiplying: the product of two
+    * 24-bit mantissas fits a double exactly, so each term is exact. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Order-independent, engine-portable dot product via Q30 fixed point:
+    * each exact double product (see [[dot]]) is scaled by 2^30 (exact —
+    * power of two) and floored to a long; longs sum exactly in any order;
+    * the final divide by 2^30 is again exact. Quantization error ≤
+    * dim·2^-30; every step is deterministic IEEE arithmetic with no
+    * rounding-mode dependence, so results are bit-identical across engines. */
+  def quantizedDot(a: Column, b: Column): Column = {
+    val scale = (1L << 30).toDouble
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * scale).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+      .cast("double") / scale
+  }
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: every corpus row scored against every (broadcast)
+    * query row, then row_number per query. Baseline / ground truth. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int,
+                     score: (Column, Column) => Column): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), score(col("q_vec"), col("n_vec")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid
+    * (centroids: a small DataFrame of (cid, vec), broadcast), then search
+    * only the `nProbe` closest centroids' partitions for each query.
+    * At 100 TB this turns a full scan per query into a scan of
+    * nProbe/nCentroids of the corpus; the bucketed corpus can be written
+    * partitioned by cid for static pruning. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col("cid"), col("cvec")))
+    val scored = corpus.crossJoin(c)
+      .select(col("*"), dot(col(vecCol), col("cvec")).as("cscore"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cid"))
+    scored.withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
+      .drop("cvec", "cscore", "crank")
+  }
+
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val qAssigned = {
+      val c = broadcast(centroids.select(col("cid"), col("cvec")))
+      val scored = queries.crossJoin(c)
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cid"),
+          dot(col(vecCol), col("cvec")).as("cscore"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cscore").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= nProbe)
+        .select(col("q_id"), col("q_vec"), col("cid"))
+    }
+    val candidates = assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cid"))
+      .join(broadcast(qAssigned), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), dot(col("q_vec"), col("n_vec")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

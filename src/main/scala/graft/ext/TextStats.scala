@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  * All pure column expressions (codegen'd, shuffle-free projections).
+  */
+object TextStats {
+
+  /** Whitespace token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "" || text.isNull, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word chunks + digit runs + punctuation each
+    * count as a token (regex approximation of a byte-pair tokenizer's
+    * pre-tokenization). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation-character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length (chars per whitespace token). */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+        / tokenCount(text))
+
+  /** Stopword hit count for a given stopword list (distinct-token hits). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(
+      array_distinct(split(lower(trim(text)), "\\s+")),
+      array(stopwords.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of stopword-list hits across languages;
+    * ties and zero-hit rows fall back to "und" (undetermined). */
+  def langIdHeuristic(text: Column, lists: Map[String, Seq[String]]): Column = {
+    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    // build array<struct<hits,neglang>> and take max (hits, then lang asc)
+    val scored = array(lists.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(filter(scored, s => s("hits") > 0))
+    coalesce(best("lang"), lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: penalize very short docs, extreme
+    * punctuation, and degenerate mean token length. Weights are explicit
+    * constants so the score is reproducible in any engine. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 20.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    val tokLen = meanTokenLen(text)
+    val tokScore = when(tokLen >= 3.0 && tokLen <= 10.0, 1.0).otherwise(0.5)
+    round(lenScore * 0.5 + punctScore * 0.3 + tokScore * 0.2, 6)
+  }
+
+  /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
+    * text — the canonical-form digest used for near-exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
+    * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
+    * Spark 4 would throw on long overflow), then casts back to long —
+    * deterministic and engine-portable. */
+  def rollingTokenHash(text: Column): Column = {
+    val m = lit(2305843009213693951L).cast("decimal(38,0)") // 2^61 - 1
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0).cast("decimal(38,0)"),
+      (acc, tok) => pmod(
+        acc * 31 + conv(substring(md5(tok), 1, 15), 16, 10).cast("decimal(38,0)"),
+        m)).cast("long")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.5, J1–J8) + set ops (§2.9, U1–U4).
+  *
+  * Every join in the reference is an equi-join on study/variable ids with a
+  * small build side (≤ thousands of studies), so the idiomatic physical plan
+  * is a broadcast hash join; helpers take a `smallSide` flag to hint
+  * `broadcast()` explicitly rather than relying on autoBroadcastJoinThreshold
+  * (at 100 TB the fact side is huge while the metadata side stays small, so
+  * the hint holds at scale).
+  */
+object Joins {
+
+  /** J1/J2 — keyed equi-join with small (metadata) right side broadcast.
+    * Ref: scripts/bdc/xml_generator.py:217-236 (per-study loop == inner
+    * hash join), :17-23 (set_index + .loc == keyed lookup). */
+  def broadcastEquiJoin(big: DataFrame, small: DataFrame, cond: Column,
+                        joinType: String = "inner"): DataFrame =
+    big.join(broadcast(small), cond, joinType)
+
+  /** J4 — static-map enrichment from a tiny mapping table.
+    * Ref: get_heal_platform_mds_data_dicts.py:635-644,672-675. */
+  def enrich(df: DataFrame, mapping: DataFrame, key: String,
+             joinType: String = "left"): DataFrame =
+    df.join(broadcast(mapping), Seq(key), joinType)
+
+  /** J5 — semi-join (id-set intersection probe).
+    * Ref: run_dbgap_xml_gen_fallback.py:87-111. */
+  def semi(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "left_semi")
+
+  /** J6 — anti-join (id-set difference).
+    * Ref: get_heal_platform_mds_data_dicts.py:97-106,229-249. */
+  def anti(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "left_anti")
+
+  /** J7 — fallback dispatch as a full outer join: rows present only on the
+    * left are 'left_only', only right 'right_only', both 'both' — the
+    * reference's download-vs-generate method/status bookkeeping.
+    * Ref: run_dbgap_xml_gen_fallback.py:243-398. */
+  def outerDispatch(left: DataFrame, right: DataFrame, key: String,
+                    leftTag: String = "left_only", rightTag: String = "right_only",
+                    bothTag: String = "both"): DataFrame = {
+    val l = left.select(col(key).as("l_key"))
+    val r = right.select(col(key).as("r_key"))
+    l.join(r, col("l_key") === col("r_key"), "full_outer")
+      .select(
+        coalesce(col("l_key"), col("r_key")).as(key),
+        when(col("r_key").isNull, lit(leftTag))
+          .when(col("l_key").isNull, lit(rightTag))
+          .otherwise(lit(bothTag)).as("method"))
+  }
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+Reads outDir/<name>/ parquet (written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle in DuckDB over the sfDir tables,
+and compares: column names (sorted), row counts, and values (rows sorted by
+all columns, NaN-safe). Exact equality required — mirrors a hash compare.
+"""
+import json, sys, glob, math
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+names = sorted(oracle)
+fails, passes, skips = [], [], []
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+for name in names:
+    spark_files = glob.glob(f"{out}/{name}/*.parquet")
+    if not spark_files:
+        fails.append((name, "no spark output"))
+        continue
+    try:
+        sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
+        odf = canon(con.sql(oracle[name]).df())
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+        continue
+    if list(sdf.columns) != list(odf.columns):
+        fails.append((name, f"cols spark={list(sdf.columns)} oracle={list(odf.columns)}"))
+        continue
+    if len(sdf) != len(odf):
+        fails.append((name, f"rows spark={len(sdf)} oracle={len(odf)}"))
+        continue
+    mismatch = None
+    for c in sdf.columns:
+        a, b = sdf[c].values, odf[c].values
+        for i in range(len(a)):
+            x, y = a[i], b[i]
+            if x is None and y is None:
+                continue
+            try:
+                if isinstance(x, float) and isinstance(y, float) and math.isnan(x) and math.isnan(y):
+                    continue
+            except Exception:
+                pass
+            eq = (x == y)
+            if hasattr(eq, "all"):
+                eq = bool(eq.all())
+            if not eq and not (pd.isna(x) and pd.isna(y)):
+                mismatch = f"col {c} row {i}: spark={x!r} oracle={y!r}"
+                break
+        if mismatch:
+            break
+    if mismatch:
+        fails.append((name, mismatch))
+    else:
+        passes.append(name)
+
+print(f"PASS {len(passes)}/{len(names)}: {' '.join(passes)}")
+for n, why in fails:
+    print(f"FAIL {n}: {why}")
+sys.exit(1 if fails else 0)
