@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different words entirely here now today")
+  ).toDF("doc_id", "text")
+
+  // ───────── Dedup ─────────
+
+  test("exactDedup groups identical texts, keeps smallest id") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.count() == 3)
+    val dup = out.filter(col("n_dups") === 2).select("keep_id").as[Long].head()
+    assert(dup == 1L)
+  }
+
+  test("minhash: identical docs get identical signatures, near-dups share most") {
+    val sig = Dedup.minhashSignature(docs, "text", 8)
+    val rows = sig.select((col("doc_id") +: (1 to 8).map(i => col(s"h$i"))): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(rows(1L) == rows(2L))
+    val nearShared = rows(1L).zip(rows(3L)).count { case (a, b) => a == b }
+    val farShared = rows(1L).zip(rows(4L)).count { case (a, b) => a == b }
+    assert(nearShared > farShared)
+    assert(nearShared >= 4) // ~89% shingle overlap => most minhashes agree
+  }
+
+  test("lshCandidatePairs surfaces dup/near-dup pairs, not unrelated docs") {
+    val sig = Dedup.minhashSignature(docs, "text", 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 8, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical => equal, near-dup closer than unrelated (hamming)") {
+    val sh = Dedup.simhash(docs, "text", "doc_id", 32)
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("jaccard on token sets") {
+    val sets = Dedup.tokenSets(docs, "text", "doc_id")
+    val a = sets.filter(col("doc_id") === 1).select("toks").as[Seq[String]].head()
+    val j = docs.filter(col("doc_id") === 1).crossJoin(
+        sets.filter(col("doc_id") === 3).select(col("toks").as("b_toks")))
+      .select(Dedup.jaccard(array_distinct(split(col("text"), "\\s+")), col("b_toks")))
+      .as[Double].head()
+    assert(a.toSet == Set("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"))
+    assert(j == 7.0 / 9.0) // 7 shared of 9 distinct-union tokens
+  }
+
+  // ───────── Similarity ─────────
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot and quantizedDot agree to quantization error; cosine in [-1,1]") {
+    val out = vecs.filter(col("vec_id") === 0).crossJoin(
+        vecs.filter(col("vec_id") === 1).select(col("embedding").as("b")))
+      .select(
+        Similarity.dot(col("embedding"), col("b")).as("d"),
+        Similarity.quantizedDot(col("embedding"), col("b")).as("qd"),
+        Similarity.cosine(col("embedding"), col("b")).as("c"))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(out._1 - 0.9) < 1e-6)
+    assert(math.abs(out._1 - out._2) < 1e-8)
+    assert(out._3 <= 1.0 && out._3 >= -1.0 && math.abs(out._3 - 0.9938837) < 1e-4)
+  }
+
+  test("bruteForceTopK ranks nearest first, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 2, Similarity.dot)
+      .orderBy("rank").select("n_id").as[Long].collect()
+    assert(out.sameElements(Array(1L, 2L))) // 2 and 3 tie at 0.0 -> id asc
+  }
+
+  test("ivfTopK matches brute force on clustered data") {
+    val centroids = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val q = vecs.filter(col("vec_id") === 0)
+    val ivf = Similarity.ivfTopK(vecs, centroids, q, "vec_id", "embedding", 1, 1)
+      .select("n_id").as[Long].collect()
+    assert(ivf.sameElements(Array(1L))) // nearest neighbour found in probed cell
+  }
+
+  // ───────── TextStats ─────────
+
+  test("tokenCount handles empty/blank/normal") {
+    val df = Seq("", "   ", "a b  c").toDF("t")
+    val out = df.select(TextStats.tokenCount(col("t"))).as[Int].collect()
+    assert(out.sameElements(Array(0, 0, 3)))
+  }
+
+  test("langIdHeuristic picks the list with most hits, und when none") {
+    val lists = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "das"))
+    val df = Seq("the cat and the dog", "der hund und das", "xyzzy plugh").toDF("t")
+    val out = df.select(TextStats.langIdHeuristic(col("t"), lists)).as[String].collect()
+    assert(out.sameElements(Array("en", "de", "und")))
+  }
+
+  test("qualityScore bounded in [0,1]; degenerate text scores lower") {
+    val df = Seq(
+      "A perfectly reasonable sentence with adequate length and structure for scoring well.",
+      "!!! ??? !!! ??? !!!").toDF("t")
+    val out = df.select(TextStats.qualityScore(col("t"))).as[Double].collect()
+    assert(out.forall(s => s >= 0.0 && s <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
+    val df = Seq(("A  B\tC", "a b c"), ("b a c", "a b c")).toDF("x", "y")
+    val fp = df.select((TextStats.fingerprint(col("x")) === TextStats.fingerprint(col("y")))
+      .as("eq")).as[Boolean].collect()
+    assert(fp(0) && !fp(1))
+    val rh = df.select((TextStats.rollingTokenHash(col("x")) === TextStats.rollingTokenHash(col("y")))
+      .as("eq")).as[Boolean].collect()
+    assert(!rh(0) && !rh(1)) // case differs / order differs => different hash
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ───────── Filters ─────────
+
+  test("F2 validationSplit quarantines with first-missing-field reason") {
+    val df = Seq(
+      ("phs1", "c1", "Study A"),
+      (null, "c1", "Study B"),
+      ("phs3", "", null)
+    ).toDF("Accession", "Consent", "Name")
+    val (valid, rejects) = Filters.validationSplit(df, Seq("Accession", "Consent", "Name"))
+    assert(valid.count() == 1)
+    val r = rejects.select("reason").as[String].collect().sorted
+    assert(r.sameElements(Array("missing Accession", "missing Consent")))
+  }
+
+  test("F4 skipSet excludes listed keys, no-ops on empty") {
+    val df = Seq("a", "b", "c").toDF("k")
+    assert(Filters.skipSet(df, "k", Seq("b")).count() == 2)
+    assert(Filters.skipSet(df, "k", Nil).count() == 3)
+  }
+
+  test("F9 quarantinePayload nulls payload on error rows only") {
+    val df = Seq(("ok", 1.0), ("error", 2.0)).toDF("status", "v")
+    val out = Filters.quarantinePayload(df, col("status") === "error", "v")
+      .select("v").as[Option[Double]].collect()
+    assert(out.sameElements(Array(Some(1.0), None)))
+  }
+
+  // ───────── Joins ─────────
+
+  test("J7 outerDispatch tags left_only/right_only/both") {
+    val l = Seq("a", "b").toDF("k")
+    val r = Seq("b", "c").toDF("k")
+    val out = Joins.outerDispatch(l, r, "k").as[(String, String)].collect().sortBy(_._1)
+    assert(out.sameElements(Array(("a", "left_only"), ("b", "both"), ("c", "right_only"))))
+  }
+
+  test("J5/J6 semi and anti join partition the left side") {
+    val l = Seq("a", "b", "c").toDF("k")
+    val r = Seq("b").toDF("k")
+    assert(Joins.semi(l, r, "k").as[String].collect().sameElements(Array("b")))
+    assert(Joins.anti(l, r, "k").as[String].collect().sorted.sameElements(Array("a", "c")))
+  }
+
+  // ───────── Aggs ─────────
+
+  test("A1 duplicates finds keys with count>1") {
+    val df = Seq("x", "x", "y").toDF("id")
+    val out = Aggs.duplicates(df, Seq("id")).as[(String, Long)].collect()
+    assert(out.sameElements(Array(("x", 2L))))
+  }
+
+  test("A8 dedupConsolidate keeps min winner and collects values") {
+    val df = Seq((1, 10L, "c1"), (1, 5L, "c2"), (2, 7L, "c1")).toDF("base", "ord", "consent")
+    val out = Aggs.dedupConsolidate(df, "base", "ord", "consent")
+      .orderBy("base").as[(Int, Long, String)].collect()
+    assert(out.sameElements(Array((1, 5L, "c1|c2"), (2, 7L, "c1"))))
+  }
+
+  test("§3.3 manualPivot pivots values into stable columns") {
+    val df = Seq(("s1", "bdc"), ("s1", "heal"), ("s2", "bdc")).toDF("study", "repo")
+    val out = Aggs.manualPivot(df, "study", "repo", Seq("bdc", "heal"))
+      .orderBy("study").as[(String, Long, Long)].collect()
+    assert(out.sameElements(Array(("s1", 1L, 1L), ("s2", 1L, 0L))))
+  }
+
+  // ───────── Windows ─────────
+
+  test("W1 uniquify suffixes duplicates in order, leaves first untouched") {
+    val df = Seq(("f", "n", 1), ("f", "n", 2), ("f", "n", 3), ("f", "m", 4))
+      .toDF("file", "name", "pos")
+    val out = Windows.uniquify(df, Seq("file"), "name", "pos", "uniq")
+      .orderBy("pos").select("uniq").as[String].collect()
+    assert(out.sameElements(Array("n", "n_1", "n_2", "m")))
+  }
+
+  test("W2 topKPerGroup returns k rows per group with deterministic tiebreak") {
+    val df = Seq(("g", 3.0, 1L), ("g", 3.0, 2L), ("g", 1.0, 3L), ("h", 9.9, 4L))
+      .toDF("grp", "score", "id")
+    val out = Windows.topKPerGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 2)
+    assert(out.count() == 3)
+    val g = out.filter(col("grp") === "g").orderBy("rn").select("id").as[Long].collect()
+    assert(g.sameElements(Array(1L, 2L)))
+  }
+}

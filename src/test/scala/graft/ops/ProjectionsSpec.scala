@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProjectionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1 splitPart takes the nth dot-part (accession -> study_id)") {
+    val df = Seq("phs000007.v32.c1", "phs002206", "").toDF("acc")
+    val out = df.select(Projections.splitPart(col("acc"), ".", 1)).as[String].collect()
+    assert(out.sameElements(Array("phs000007", "phs002206", "")))
+  }
+
+  test("P2 splitTokenOrDefault falls back when token absent") {
+    val df = Seq("phs000007.v32", "phs000007", null).toDF("acc")
+    val out = df.select(Projections.splitTokenOrDefault(col("acc"), "\\.", 1, "v1"))
+      .as[String].collect()
+    assert(out.sameElements(Array("v32", "v1", "v1")))
+  }
+
+  test("P3 regexGroup extracts accession/consent; empty on non-match") {
+    val pat = "^(phs.*?)(?:\\.(c\\d+))?$"
+    val df = Seq("phs000007.v32.c1", "bogus").toDF("id")
+    val out = df.select(
+      Projections.regexGroup(col("id"), pat, 1).as("acc"),
+      Projections.regexGroup(col("id"), pat, 2).as("consent"))
+      .as[(String, String)].collect()
+    assert(out(0) == (("phs000007.v32", "c1")))
+    assert(out(1) == (("", "")))
+  }
+
+  test("P5 preferenceCoalesce treats empty string as missing") {
+    val df = Seq(("", "name", "short"), (null, null, null)).toDF("full", "name", "short")
+    val out = df.select(Projections.preferenceCoalesce("(no name)",
+      col("full"), col("name"), col("short"))).as[String].collect()
+    assert(out.sameElements(Array("name", "(no name)")))
+  }
+
+  test("P9 normalizeName: first pipe token, trim, [ /]->_, lower, default") {
+    val df = Seq("TOPMed | parent", "A/B prog", "", null).toDF("p")
+    val out = df.select(Projections.normalizeName(col("p"))).as[String].collect()
+    assert(out.sameElements(Array("topmed", "a_b_prog", "unknown_program", "unknown_program")))
+  }
+
+  test("P10 pipeJoinSortedDistinct") {
+    val df = Seq(Seq("b", "a", "b")).toDF("arr")
+    val out = df.select(Projections.pipeJoinSortedDistinct(col("arr"))).as[String].head()
+    assert(out == "a|b")
+  }
+
+  test("P11/P12 packed map round-trips") {
+    val df = Seq("b=2|a=1").toDF("packed")
+    val roundTrip = df.select(
+      Projections.packMap(Projections.parsePackedMap(col("packed")))).as[String].head()
+    assert(roundTrip == "b=2|a=1") // insertion order preserved by str_to_map
+    val parsed = df.select(element_at(Projections.parsePackedMap(col("packed")), "a"))
+      .as[String].head()
+    assert(parsed == "1")
+  }
+
+  test("P13 parseStringifiedList handles python-literal lists (no eval)") {
+    val df = Seq("['Male', 'Female']").toDF("v")
+    val out = df.select(Projections.parseStringifiedList(col("v"))).as[Seq[String]].head()
+    assert(out == Seq("Male", "Female"))
+  }
+
+  test("P14 encodeValues maps known values, null for unknown (ANSI-safe)") {
+    val df = Seq("Male", "Female", "Other").toDF("v")
+    val out = df.select(Projections.encodeValues(col("v"), Map("Male" -> 1, "Female" -> 2)))
+      .as[Option[Int]].collect()
+    assert(out.sameElements(Array(Some(1), Some(2), None)))
+  }
+
+  test("P15 jsonPath extracts nested with default") {
+    val df = Seq("""{"a":{"b":"x"}}""", """{}""").toDF("j")
+    val out = df.select(Projections.jsonPath(col("j"), "$.a.b", "dflt")).as[String].collect()
+    assert(out.sameElements(Array("x", "dflt")))
+  }
+}
