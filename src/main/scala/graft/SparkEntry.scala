@@ -467,17 +467,17 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY 1""",
     "x2_minhash_sig" ->
-      """SELECT doc_id, MIN(md5('1' || sh)) AS h1, MIN(md5('2' || sh)) AS h2,
-                MIN(md5('3' || sh)) AS h3, MIN(md5('4' || sh)) AS h4
-         FROM (SELECT doc_id, substr(text, i, 5) AS sh
+      """SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+         FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
                FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i) g
                WHERE i <= greatest(length(text) - 4, 1))
          GROUP BY doc_id""",
     "x3_lsh_pairs" ->
       """WITH sig AS (
-           SELECT doc_id, MIN(md5('1' || sh)) AS h1, MIN(md5('2' || sh)) AS h2,
-                  MIN(md5('3' || sh)) AS h3, MIN(md5('4' || sh)) AS h4
-           FROM (SELECT doc_id, substr(text, i, 5) AS sh
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
                  FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i) g
                  WHERE i <= greatest(length(text) - 4, 1))
            GROUP BY doc_id)

@@ -22,19 +22,33 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: for each of `k` seeded hash functions, the minimum
-    * md5 over all character shingles. Pure projection — codegen'd, no
-    * shuffle, no intermediate explode (the shingle array never materializes
-    * past the expression). */
+  /** MinHash signature over character shingles.
+    *
+    * Cost model: md5 is the expensive op, so we compute ONE md5 per shingle
+    * and slice four disjoint 32-bit hex windows out of its 128 bits — four
+    * independent hash functions per digest ((k+3)/4 digests per shingle
+    * total; extra groups prefix the shingle with a group tag). The shingle
+    * stream is explode + project + partial-min in one whole-stage-codegen
+    * pass; the shuffle then carries only (id, k×8-hex) rows — map-side
+    * combine reduces per-partition before any exchange, so at 100 TB the
+    * exchange is O(#docs), not O(#shingles). */
   def minhashSignature(df: DataFrame, textCol: String, k: Int,
-                       shingleLen: Int = 5): DataFrame = {
+                       shingleLen: Int = 5, idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     val starts = sequence(lit(1), greatest(length(t) - (shingleLen - 1), lit(1)))
-    val sigCols = (1 to k).map { seed =>
-      array_min(transform(starts, i =>
-        md5(concat(lit(seed.toString), t.substr(i, lit(shingleLen)))))).as(s"h$seed")
+    val shingled = df.select(col(idCol),
+      explode(transform(starts, i => t.substr(i, lit(shingleLen)))).as("_sh"))
+    val nGroups = (k + 3) / 4
+    val withDigests = (0 until nGroups).foldLeft(shingled) { (acc, g) =>
+      val digest = if (g == 0) md5(col("_sh")) else md5(concat(lit(g.toString), col("_sh")))
+      acc.withColumn(s"_m$g", digest)
     }
-    df.select(col("*") +: sigCols: _*)
+    val sigAggs = (1 to k).map { seed =>
+      val g = (seed - 1) / 4
+      val w = (seed - 1) % 4
+      min(substring(col(s"_m$g"), 1 + 8 * w, 8)).as(s"h$seed")
+    }
+    withDigests.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** LSH banding: group the k signature hashes into bands of `rowsPerBand`,
