@@ -1,0 +1,80 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Filters, Joins, Projections}
+import graft.render.{DbGapXmlRenderer, DocumentSink}
+
+/** BDC ingest lifecycle (SURVEY.md §3.1): Gen3 SLMD CSV + PicSure VLMD CSV
+  * → validation split → equi-join → per-data-table XML documents
+  * partitioned by normalized program dir + summary report.
+  *
+  * One lazy Catalyst plan per output instead of the reference's
+  * CSV-file handoffs between processes (ingest.sh:45-64); the only
+  * materialization points are the sinks.
+  */
+object BdcIngest {
+
+  case class Result(valid: DataFrame, rejects: DataFrame, summary: DataFrame)
+
+  val requiredStudyFields: Seq[String] =
+    Seq("Accession", "Consent", "Study Name", "Program", "Description")
+
+  /** Full pipeline. `gen3` / `picsure` as read by CsvSources (picsure
+    * already cleaned). Writes XML docs under `outDir/<program>/<study>/`
+    * and returns the report DataFrames (lazily evaluated). */
+  def run(spark: SparkSession, gen3: DataFrame, picsure: DataFrame,
+          outDir: String): Result = {
+    // F2 validation split with tracked reasons
+    val (valid, rejects) = Filters.validationSplit(gen3, requiredStudyFields)
+
+    // P1/P9: join key + program directory name
+    val studies = valid
+      .withColumn("study_id", Projections.splitPart(col("Accession"), ".", 1))
+      .withColumn("program_dir", Projections.normalizeName(col("Program")))
+
+    // J1: per-study variable rows; Gen3 is the small metadata side
+    val joined = Joins.broadcastEquiJoin(
+      picsure, studies, picsure("studyId") === studies("study_id"))
+
+    // encounter order within a data table (deterministic: varId) — W1 note
+    val pos = row_number().over(
+      Window.partitionBy(col("dtId")).orderBy(col("varId")))
+
+    // categorical values: position in the list IS the code
+    // (xml_generator.py:151-156)
+    val values = when(col("is_categorical"),
+      transform(col("values_arr"), (v, i) =>
+        struct((i + 1).cast("string").as("code"), v.as("label"))))
+
+    val renderInput = joined.select(
+      col("dtId").as("dt_id"),
+      col("Accession").as("study_id"),
+      col("Study Name").as("study_name"),
+      col("columnmeta_var_group_description").as("group_description"),
+      concat(col("program_dir"), lit("/")).as("path_prefix"),
+      pos.as("pos"),
+      col("varId").as("var_id"),
+      col("derived_var_name").as("var_name"),
+      col("columnmeta_name").as("var_title"),
+      // picsure-side ref: "description" also matches Gen3's "Description"
+      // under case-insensitive resolution
+      picsure("description").as("var_description"),
+      when(col("is_categorical"), "encoded value").otherwise("string").as("var_type"),
+      values.as("values"))
+
+    DocumentSink.writeDocuments(
+      DbGapXmlRenderer.renderDataTables(renderInput), outDir)
+
+    // A4-style summary: processed studies vs rejects by reason
+    val summary = studies.select(lit("generated").as("status"),
+        col("study_id").as("id"))
+      .unionByName(rejects.select(lit("skipped").as("status"),
+        coalesce(col("Accession"), lit("(no accession)")).as("id")))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"),
+        concat_ws("|", array_sort(collect_list(col("id")))).as("ids"))
+
+    Result(studies, rejects, summary)
+  }
+}

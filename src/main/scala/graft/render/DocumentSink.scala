@@ -1,0 +1,42 @@
+package graft.render
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Sinks for document-per-row outputs and single-file reports
+  * (SURVEY.md K1–K4).
+  *
+  * [[writeDocuments]] is the distributed path: each task writes its own
+  * partition's documents (works on any task-accessible shared FS; the
+  * reference's LakeFS commit is a post-write step outside the engine).
+  * [[writeSingleCsv]] is the metadata-scale convenience for the
+  * reference's one-file-with-header reports — coalesce(1) by design,
+  * documented as NOT for 100 TB paths (SURVEY.md §7.4).
+  */
+object DocumentSink {
+
+  /** Write (relativePath, content) rows under `baseDir`, executor-side. */
+  def writeDocuments(docs: Dataset[(String, String)], baseDir: String): Unit =
+    docs.foreachPartition { it: Iterator[(String, String)] =>
+      it.foreach { case (rel, content) =>
+        val p = Paths.get(baseDir, rel)
+        Files.createDirectories(p.getParent)
+        Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+  /** K1: single CSV file with header (metadata-scale reports). */
+  def writeSingleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K4: partitioned directory layout, null group → "__missing__"
+    * (get_dbgap_data_dicts.py:206-221). */
+  def writePartitioned(df: DataFrame, partitionCols: Seq[String], path: String,
+                       format: String = "parquet"): Unit = {
+    import org.apache.spark.sql.functions._
+    val filled = partitionCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, coalesce(col(c).cast("string"), lit("__missing__"))))
+    filled.write.mode("overwrite").partitionBy(partitionCols: _*).format(format).save(path)
+  }
+}

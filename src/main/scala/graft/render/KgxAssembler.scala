@@ -1,0 +1,58 @@
+package graft.render
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KGX property-graph assembly (SURVEY.md K2, A8).
+  *
+  * The reference emits one `{nodes:[], edges:[]}` JSON document
+  * (get_bdc_studies_from_gen3.py:258-352): a study node per base
+  * accession (consent-suffix variants collapsed, first wins), a consent
+  * node per row, and `related_to` edges consent→study. Spark-first: nodes
+  * and edges are two DataFrames (exactly the GraphFrames model);
+  * [[toJsonDocument]] renders the reference's single-doc layout for
+  * metadata-scale parity.
+  */
+object KgxAssembler {
+
+  /** Collapse studies to one node per base accession (A8: deterministic
+    * first = min consent), emit biolink-ish study nodes. */
+  def studyNodes(studies: DataFrame, idCol: String, nameCol: String,
+                 programCol: String): DataFrame =
+    studies
+      .withColumn("base_id", substring_index(col(idCol), ".c", 1))
+      .groupBy(col("base_id").as("id"))
+      .agg(min(col(nameCol)).as("name"),
+        min(col(programCol)).as("program"),
+        concat_ws("|", array_sort(collect_set(col(idCol)))).as("consents"))
+      .withColumn("categories", array(lit("biolink:Study")))
+      .withColumn("iri", concat(lit("https://identifiers.org/dbgap:"), col("id")))
+
+  /** One consent node per original row + an edge consent→study. */
+  def consentNodesAndEdges(studies: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+    val nodes = studies.select(
+      col(idCol).as("id"),
+      col(idCol).as("name"),
+      array(lit("biolink:StudyPopulation")).as("categories"))
+    val edges = studies.select(
+      col(idCol).as("subject"),
+      lit("biolink:related_to").as("predicate"),
+      substring_index(col(idCol), ".c", 1).as("object"))
+    (nodes, edges)
+  }
+
+  /** Render the single `{"nodes":[…],"edges":[…]}` document (metadata
+    * scale; large graphs should use the two-DataFrame JSON writes). Node
+    * and edge order is made deterministic by sorting on id/subject. */
+  def toJsonDocument(nodes: DataFrame, edges: DataFrame): String = {
+    val nodeJson = nodes.orderBy("id").toJSON.collect().mkString(",")
+    val edgeJson = edges.orderBy("subject", "object").toJSON.collect().mkString(",")
+    s"""{"nodes":[$nodeJson],"edges":[$edgeJson]}"""
+  }
+
+  /** Distributed sink: nodes/edges as JSON-lines datasets. */
+  def writeGraph(nodes: DataFrame, edges: DataFrame, baseDir: String): Unit = {
+    nodes.write.mode("overwrite").json(s"$baseDir/nodes")
+    edges.write.mode("overwrite").json(s"$baseDir/edges")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.sources.{CsvSources, MdsJsonSource, XmlDictSource}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtures = getClass.getResource("/fixtures").getPath
+
+  test("BdcIngest: validation split, join, XML per data table in program dirs") {
+    val out = Files.createTempDirectory("bdc").toString
+    val gen3 = CsvSources.readGen3Studies(spark, s"$fixtures/gen3.csv")
+    val pic = CsvSources.cleanPicsureVars(
+      CsvSources.readPicsureVars(spark, s"$fixtures/picsure.csv"))
+    val res = BdcIngest.run(spark, gen3, pic, out)
+
+    // rejects: missing Consent (phs002206), missing Description (phs000285)
+    val rejects = res.rejects.select("Accession", "reason")
+      .as[(String, String)].collect().toMap
+    assert(rejects == Map(
+      "phs002206.v2" -> "missing Consent",
+      "phs000285.v3" -> "missing Description"))
+
+    // program dir normalized from "topmed|parent" -> topmed
+    val xml1 = Paths.get(out, "topmed/phs000007.v32/pht000030.data_dict.xml")
+    val xml2 = Paths.get(out, "topmed/phs000007.v32/pht000031.data_dict.xml")
+    assert(Files.exists(xml1), s"missing $xml1")
+    assert(Files.exists(xml2), s"missing $xml2")
+    val content = Files.readString(xml1)
+    assert(content.contains("""<data_table id="pht000030" study_id="phs000007.v32""""))
+    assert(content.contains("<name>AGE</name>"))
+    // categorical SEX gets positional value codes (xml_generator.py:151-156)
+    assert(content.contains("""<value code="1">Male</value>"""))
+    assert(content.contains("""<value code="2">Female</value>"""))
+    assert(content.contains("<type>encoded value</type>"))
+    // orphan study and varId-less row never appear
+    assert(!Files.exists(Paths.get(out, "g")))
+    assert(!content.contains("BROKEN"))
+
+    val summary = res.summary.as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(summary("generated")._1 == 1L)
+    assert(summary("skipped")._1 == 2L)
+  }
+
+  test("HealIngest: alias normalization, uniquify, enum packing, KGX") {
+    val out = Files.createTempDirectory("heal").toString
+    val mapping = CsvSources.readHdpidMapping(spark, s"$fixtures/mapping.csv")
+    val res = HealIngest.run(spark, s"$fixtures/mds", mapping, out)
+
+    val idx = res.variableIndex.orderBy("study_id", "dd_id", "name")
+      .collect().map(r => (r.getAs[String]("study_id"), r.getAs[String]("name"),
+        r.getAs[String]("section"), r.getAs[String]("encodings")))
+    // HDP00001 uses property/module aliases + packed encodings form
+    assert(idx.contains(("HDP00001", "opioid_use", "screening", "0=No|1=Yes")))
+    // HDP00002: enumLabels map packed; duplicate name uniquified to _1
+    assert(idx.exists(r => r._1 == "HDP00002" && r._2 == "pain_score" && r._4 == "1=Mild|2=Severe"))
+    assert(idx.exists(r => r._1 == "HDP00002" && r._2 == "pain_score_1"))
+    // 404-stub dict contributes no variables
+    assert(!idx.exists(_._2 == null))
+    assert(idx.length == 4)
+
+    // study-type subdir from mapping: "HEAL Research Network" -> heal_research_network
+    assert(Files.exists(Paths.get(out,
+      "xml/heal_research_network/HDP00002/HEALCDE:dd-1.data_dict.xml")))
+    assert(Files.exists(Paths.get(out,
+      "xml/heal_studies/HDP00001/HEALCDE:dd-2.data_dict.xml")))
+
+    // KGX document contains study + dd nodes and related_to edges
+    assert(res.kgxJson.contains(""""id":"HDP00002""""))
+    assert(res.kgxJson.contains(""""id":"HEALCDE:dd-1""""))
+    assert(res.kgxJson.contains(""""predicate":"biolink:related_to""""))
+  }
+
+  test("LakeIndex: per-repo variable counts pivoted into columns") {
+    val piv = LakeIndex.run(spark, Map(
+      "bdc" -> s"$fixtures/lake/bdc",
+      "heal" -> s"$fixtures/lake/heal"))
+    val rows = piv.orderBy("study_id")
+      .as[(String, Long, Long)].collect()
+    assert(rows.sameElements(Array(("phs000007.v32", 2L, 1L))))
+  }
+
+  test("XmlDictSource handles single-variable docs (struct vs array)") {
+    val vars = XmlDictSource.variables(
+      XmlDictSource.readDataTables(spark, s"$fixtures/lake/heal"))
+    assert(vars.count() == 1)
+    assert(vars.select("name").as[String].head() == "pain_score")
+  }
+}
