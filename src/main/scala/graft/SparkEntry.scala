@@ -263,6 +263,14 @@ object SparkEntry {
       Dedup.lshCandidatePairs(
         Dedup.minhashSignature(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2)
         .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))),
+    // native codegen minhash (graft.functions.MinHashSignature): no oracle
+    // (engine-specific hash values) => driver rows-only check
+    "x2b_minhash_fast" -> ((s, dir) =>
+      Dedup.minhashSignatureFast(t(s, dir, "documents"), "text", 4)),
+    "x3b_lsh_pairs_fast" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatureFast(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2)
+        .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))),
     "x4_jaccard_pairs" -> ((s, dir) => {
       // token-set Jaccard for candidate pairs blocked by (lang, source)
       val d = t(s, dir, "documents")

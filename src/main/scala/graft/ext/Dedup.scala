@@ -58,8 +58,9 @@ object Dedup {
                         rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     val bands = (0 until nBands).map { b =>
-      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), sha1(concat(hs: _*)).as("band_key"))
+      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      // "|" separator: no concat ambiguity across hash columns of any type
+      struct(lit(b).as("band_idx"), sha1(concat_ws("|", hs: _*)).as("band_key"))
     }
     val exploded = sig
       .select(col(idCol), explode(array(bands: _*)).as("band"))
@@ -72,6 +73,17 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
       .distinct()
+  }
+
+  /** MinHash signature via the native single-pass codegen expression
+    * (graft.functions.MinHashSignature) — the fast engine-internal path:
+    * pure projection, no explode, no shuffle, no per-shingle allocation.
+    * Hash values are engine-specific (not oracle-portable; use
+    * [[minhashSignature]] where cross-engine equality matters). */
+  def minhashSignatureFast(df: DataFrame, textCol: String, k: Int,
+                           shingleLen: Int = 5, idCol: String = "doc_id"): DataFrame = {
+    val sig = graft.functions.GraftFunctions.minhashSig(col(textCol), k, shingleLen)
+    df.select(col(idCol) +: (0 until k).map(i => sig.getItem(i).as(s"h${i + 1}")): _*)
   }
 
   /** SimHash (nBits ≤ 60): per token take md5 → integer; bit i of the
