@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the 100 TB readiness checks from SURVEY.md
+  * §4/§7 pinned as tests so they can't regress:
+  *  - metadata-side joins must be broadcast (no shuffle of the fact side);
+  *  - parquet scans must push filters and prune columns;
+  *  - hot projection paths must stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** simple mode: one line per node — countable. */
+  private def tree(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("entry: all four dimension joins are broadcast hash joins") {
+    val p = tree(SparkEntry.entry(spark))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 4, p)
+    assert(!p.contains("SortMergeJoin"), "fact table must not be shuffle-joined")
+  }
+
+  test("j1/j2/j4: dimension joins broadcast, no sort-merge") {
+    Seq("j1_broadcast_join", "j2_lookup_join", "j4_enrich_region").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name: $p")
+      assert(!p.contains("SortMergeJoin"), s"$name should broadcast")
+    }
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val p = plan(q("f1_notnull_prefix"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_name)"), p)
+    assert(p.contains("StringStartsWith(c_name"), p)
+  }
+
+  test("projection queries prune the scan to referenced columns") {
+    val p = plan(q("p1_split_part"))
+    // ReadSchema must mention only the two consumed columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("p_partkey") && read.contains("p_name"), read)
+    assert(!read.contains("p_retailprice") && !read.contains("p_type"), read)
+  }
+
+  test("native minhash fast path stays inside whole-stage codegen") {
+    val p = plan(q("x2b_minhash_fast"))
+    // '*' prefix + codegen id == node is inside a WholeStageCodegen stage
+    assert(p.contains("* Project") && p.contains("codegen id"), p)
+    // projection-only: no exchange at all
+    assert(!p.contains("Exchange"), s"signature pass must not shuffle: $p")
+  }
+
+  test("semi/anti joins plan as broadcast variants on small build sides") {
+    Seq("j5_semi_join", "j6_anti_join").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: $p")
+    }
+  }
+
+  test("ann top-k broadcasts the query side (corpus never shuffles for scoring)") {
+    val p = plan(q("x6_ann_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+}
