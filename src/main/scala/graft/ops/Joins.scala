@@ -37,6 +37,20 @@ object Joins {
   def anti(left: DataFrame, right: DataFrame, key: String): DataFrame =
     left.join(right, Seq(key), "left_anti")
 
+  /** J8 — prefix-scan membership: harvest values with `prefix` from ANY of
+    * the given columns, normalize to a key (first dot-part), dedupe, then
+    * semi-join `target` on it. Ref: run_dbgap_xml_gen_fallback.py:97-104
+    * (phs* ids scraped from arbitrary PicSure columns ∩ Gen3 ids). */
+  def prefixScanMembership(source: DataFrame, scanCols: Seq[String], prefix: String,
+                           target: DataFrame, targetKey: String): DataFrame = {
+    val harvested = source
+      .select(explode(array(scanCols.map(c => col(c).cast("string")): _*)).as("v"))
+      .filter(col("v").startsWith(prefix))
+      .select(substring_index(col("v"), ".", 1).as(targetKey))
+      .distinct()
+    target.join(harvested, Seq(targetKey), "left_semi")
+  }
+
   /** J7 — fallback dispatch as a full outer join: rows present only on the
     * left are 'left_only', only right 'right_only', both 'both' — the
     * reference's download-vs-generate method/status bookkeeping.

@@ -49,6 +49,15 @@ class OpsSpec extends SparkSpec {
     assert(Joins.anti(l, r, "k").as[String].collect().sorted.sameElements(Array("a", "c")))
   }
 
+  test("J8 prefixScanMembership harvests prefixed ids from any column") {
+    val source = Seq(("phs000007.v32", "x"), ("junk", "phs000123"), ("a", "b"))
+      .toDF("c1", "c2")
+    val target = Seq("phs000007", "phs000123", "phs999999").toDF("study_id")
+    val out = Joins.prefixScanMembership(source, Seq("c1", "c2"), "phs",
+      target, "study_id").as[String].collect().sorted
+    assert(out.sameElements(Array("phs000007", "phs000123")))
+  }
+
   // ───────── Aggs ─────────
 
   test("A1 duplicates finds keys with count>1") {
