@@ -48,6 +48,9 @@ object Dedup {
       val w = (seed - 1) % 4
       min(substring(col(s"_m$g"), 1 + 8 * w, 8)).as(s"h$seed")
     }
+    // explode + partial-min: the shuffle carries only (id, k×8-hex) after
+    // map-side combine. (An array-fold variant avoiding the explode was
+    // measured SLOWER — per-shingle struct construction dominates.)
     withDigests.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
