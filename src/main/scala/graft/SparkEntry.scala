@@ -79,8 +79,10 @@ object SparkEntry {
       Aggs.groupToDoc(t(s, dir, "lineitem"), "l_orderkey", "l_returnflag", "l_linenumber")
         .withColumnRenamed("l_returnflag", "min_flag")),
     "a6_section_group" -> ((s, dir) =>
-      Aggs.sectionGroup(t(s, dir, "events"), "none",
-        get_json_object(col("props"), "$.sec"), get_json_object(col("props"), "$.k"))),
+      // json_tuple: ONE parse of props for both candidate fields
+      Aggs.sectionGroup(
+        t(s, dir, "events").select(json_tuple(col("props"), "sec", "k").as(Seq("sec", "k"))),
+        "none", col("sec"), col("k"))),
     "a7_rollup" -> ((s, dir) =>
       Aggs.rollupCounts(
         t(s, dir, "customer")

@@ -32,14 +32,11 @@ object Similarity {
     * the final divide by 2^30 is again exact. Quantization error ≤
     * dim·2^-30; every step is deterministic IEEE arithmetic with no
     * rounding-mode dependence, so results are bit-identical across engines. */
-  def quantizedDot(a: Column, b: Column): Column = {
-    val scale = (1L << 30).toDouble
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * scale).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-      .cast("double") / scale
-  }
+  def quantizedDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.DotQ30(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
