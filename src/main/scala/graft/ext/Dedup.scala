@@ -36,8 +36,10 @@ object Dedup {
                        shingleLen: Int = 5, idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     val starts = sequence(lit(1), greatest(length(t) - (shingleLen - 1), lit(1)))
+    // duplicate shingles within a doc can't change a min — dedupe before
+    // the (expensive) md5, shrinking the explode on repetitive text
     val shingled = df.select(col(idCol),
-      explode(transform(starts, i => t.substr(i, lit(shingleLen)))).as("_sh"))
+      explode(array_distinct(transform(starts, i => t.substr(i, lit(shingleLen))))).as("_sh"))
     val nGroups = (k + 3) / 4
     val withDigests = (0 until nGroups).foldLeft(shingled) { (acc, g) =>
       val digest = if (g == 0) md5(col("_sh")) else md5(concat(lit(g.toString), col("_sh")))

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg matches plain aggregation on a skewed key") {
+    val df = (Seq.fill(1000)("hot") ++ Seq("a", "b", "b")).toDF("k")
+      .withColumn("v", lit(2.0))
+    val salted = Scale.saltedAgg(df, Seq("k"), 8)(
+      Seq(count(lit(1)).as("n") -> sum(col("n")).as("n"),
+        sum(col("v")).as("s") -> sum(col("s")).as("s")))
+      .orderBy("k").as[(String, Long, Double)].collect()
+    assert(salted.sameElements(Array(("a", 1L, 2.0), ("b", 2L, 4.0), ("hot", 1000L, 2000.0))))
+  }
+
+  test("saltedJoin matches plain join on a skewed key") {
+    val big = (Seq.fill(500)(("hot", 1)) ++ Seq(("a", 2), ("b", 3))).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("a", "A"), ("b", "B"), ("miss", "M")).toDF("k", "tag")
+    val out = Scale.saltedJoin(big, small, "k", 4)
+    assert(out.count() == 502)
+    assert(out.filter(col("k") === "hot").select(countDistinct("tag")).as[Long].head() == 1)
+    val plain = big.join(small, Seq("k"))
+    assert(out.orderBy("k", "v").collect().toSeq ==
+      plain.select("k", "v", "tag").orderBy("k", "v").collect().toSeq)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "av")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "bv")
+    Scale.writeBucketed(a, "bkt_a", "id", 8)
+    Scale.writeBucketed(b, "bkt_b", "id", 8)
+    // disable broadcast so the large-large path (the case bucketing is FOR)
+    // is what gets planned
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
