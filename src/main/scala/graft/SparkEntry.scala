@@ -254,6 +254,21 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", eventTs).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))),
+    "et2_sessions" -> ((s, dir) =>
+      // event-time sessionization (10-min gap) — session_window in batch
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(eventTs, "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))),
+    "w4_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+    }),
 
     // ───────────────────────── ext: dedup ─────────────────────────
     "x1_exact_dedup" -> ((s, dir) =>
@@ -473,6 +488,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
+    "et2_sessions" ->
+      """WITH d AS (
+           SELECT user_id,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events)
+         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM d GROUP BY user_id""",
+    "w4_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+         FROM orders""",
     "x1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY 1""",
