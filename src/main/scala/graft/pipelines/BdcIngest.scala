@@ -67,6 +67,15 @@ object BdcIngest {
     DocumentSink.writeDocuments(
       DbGapXmlRenderer.renderDataTables(renderInput), outDir)
 
+    // companion GapExchange study frame per study (xml_generator.py:63-109),
+    // in the same normalized program dir as the data tables
+    DocumentSink.writeDocuments(
+      DbGapXmlRenderer.renderGapExchange(studies.select(
+        col("Accession").as("study_id"),
+        col("Study Name").as("study_name"),
+        col("Description").as("study_description"),
+        concat(col("program_dir"), lit("/")).as("path_prefix"))), outDir)
+
     // A4-style summary: processed studies vs rejects by reason
     val summary = studies.select(lit("generated").as("status"),
         col("study_id").as("id"))

@@ -80,11 +80,15 @@ object DbGapXmlRenderer {
     }
   }
 
-  /** Companion GapExchange study-frame document (xml_generator.py:63-109). */
+  /** Companion GapExchange study-frame document (xml_generator.py:63-109).
+    * Honors an optional `path_prefix` column (K4 layout). */
   def renderGapExchange(studies: DataFrame): Dataset[(String, String)] = {
     val spark = studies.sparkSession
     import spark.implicits._
-    studies.select(col("study_id"), col("study_name"), col("study_description"))
+    val prefixCol =
+      if (studies.columns.contains("path_prefix")) col("path_prefix") else lit("")
+    studies.select(col("study_id"), col("study_name"), col("study_description"),
+        prefixCol.as("path_prefix"))
       .map { row =>
         val id = row.getAs[String]("study_id")
         val name = escape(row.getAs[String]("study_name"))
@@ -107,7 +111,8 @@ object DbGapXmlRenderer {
              |  </Studies>
              |</GaPExchange>
              |""".stripMargin
-        (s"${escape(id)}/GapExchange_$id.xml", xml)
+        val prefix = Option(row.getAs[String]("path_prefix")).getOrElse("")
+        (s"$prefix${escape(id)}/GapExchange_$id.xml", xml)
       }
   }
 }

@@ -40,6 +40,11 @@ class PipelinesSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(out, "g")))
     assert(!content.contains("BROKEN"))
 
+    // companion GapExchange frame next to the data tables
+    val gap = Paths.get(out, "topmed/phs000007.v32/GapExchange_phs000007.v32.xml")
+    assert(Files.exists(gap), s"missing $gap")
+    assert(Files.readString(gap).contains("<StudyNameEntrez>Framingham Cohort</StudyNameEntrez>"))
+
     val summary = res.summary.as[(String, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(summary("generated")._1 == 1L)
