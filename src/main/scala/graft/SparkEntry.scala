@@ -35,6 +35,15 @@ object SparkEntry {
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Σ price·(1−discount) with every factor cast to decimal BEFORE the
+    * multiply: a double product near a half-cent boundary rounds
+    * differently across engines (Spark casts via the double's shortest
+    * repr), so the product must happen in exact decimal space. */
+  private def discountedRevenue(price: Column, discount: Column): Column =
+    sum(price.cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)")))
+      .cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full star-join: lineitem⋈orders⋈customer⋈nation⋈region with the
     * dimension chain broadcast, revenue per region/returnflag. */
@@ -50,7 +59,7 @@ object SparkEntry {
       .join(nat, cust("c_nationkey") === nat("n_nationkey"))
       .join(reg, nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("r_name"), col("l_returnflag"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg(discountedRevenue(col("l_extendedprice"), col("l_discount"))
              .as("revenue"),
            count(lit(1)).as("n_items"))
   }
@@ -67,6 +76,33 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"),
              moneySum(col("l_extendedprice")).as("sum_price"),
              count(lit(1)).as("n"))
+    }),
+    "q3_shipping" -> ((s, dir) => {
+      // TPC-H Q3 shape: BUILDING customers' urgent revenue by order
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(discountedRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+    "q5_region_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: revenue by nation within one region
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(discountedRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"), count(lit(1)).as("n"))
     }),
     "a1_dup_having" -> ((s, dir) =>
       Aggs.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))),
@@ -315,6 +351,23 @@ object SparkEntry {
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
 
+    "x7_cosine_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs, blocked by label; all arithmetic
+      // Q30-exact so the cosine (and the threshold compare) is
+      // bit-identical across engines
+      val emb = t(s, dir, "embeddings")
+        .withColumn("norm", sqrt(Similarity.quantizedDot(col("embedding"), col("embedding"))))
+      val a = emb.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("a_vec"), col("norm").as("a_norm"))
+      val b = emb.select(col("vec_id").as("b_id"), col("label").as("label_b"),
+        col("embedding").as("b_vec"), col("norm").as("b_norm"))
+      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (Similarity.quantizedDot(col("a_vec"), col("b_vec"))
+            / (col("a_norm") * col("b_norm"))).as("cos"))
+        .filter(col("cos") > 0.3)
+    }),
+
     // ───────────────────────── ext: text stats ─────────────────────────
     "x8_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -341,6 +394,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region_volume" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' GROUP BY n_name""",
     "a1_dup_having" ->
       "SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1",
     "a2_distinct_count" ->
@@ -547,6 +618,24 @@ object SparkEntry {
          SELECT q_id, n_id, CAST(s AS DOUBLE) / 1073741824 AS score,
                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM dp QUALIFY rnk <= 5""",
+    "x7_cosine_neardup" ->
+      """WITH p AS (SELECT vec_id, label, embedding FROM embeddings),
+           norms AS (SELECT vec_id,
+                     SUM(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS s
+                     FROM (SELECT vec_id, unnest(embedding) AS x FROM p) GROUP BY vec_id),
+           pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS av, b.embedding AS bv
+                     FROM p a JOIN p b ON a.label = b.label AND a.vec_id < b.vec_id),
+           dots AS (SELECT a_id, b_id,
+                    SUM(CAST(floor(CAST(ax AS DOUBLE)*CAST(bx AS DOUBLE)*1073741824) AS BIGINT)) AS d
+                    FROM (SELECT a_id, b_id, unnest(av) AS ax, unnest(bv) AS bx FROM pairs)
+                    GROUP BY a_id, b_id)
+         SELECT * FROM (
+           SELECT d.a_id, d.b_id,
+                  (CAST(d.d AS DOUBLE)/1073741824)
+                  / (sqrt(CAST(na.s AS DOUBLE)/1073741824) * sqrt(CAST(nb.s AS DOUBLE)/1073741824)) AS cos
+           FROM dots d JOIN norms na ON na.vec_id = d.a_id
+           JOIN norms nb ON nb.vec_id = d.b_id)
+         WHERE cos > 0.3""",
     "x8_lang_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN trim(text) = '' THEN 0
