@@ -119,6 +119,13 @@ object SparkEntry {
       Aggs.sectionGroup(
         t(s, dir, "events").select(json_tuple(col("props"), "sec", "k").as(Seq("sec", "k"))),
         "none", col("sec"), col("k"))),
+    "a10_percentiles" -> ((s, dir) =>
+      // exact interpolated percentiles (integral doubles => both engines
+      // interpolate identically)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          max(col("l_quantity")).as("max_qty"))),
     "a7_rollup" -> ((s, dir) =>
       Aggs.rollupCounts(
         t(s, dir, "customer")
@@ -429,6 +436,10 @@ object SparkEntry {
       """SELECT COALESCE(NULLIF(json_extract_string(props,'$.sec'),''),
                          NULLIF(json_extract_string(props,'$.k'),''), 'none') AS section,
          COUNT(*) AS n FROM events GROUP BY 1""",
+    "a10_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
+         quantile_cont(l_quantity, 0.9) AS p90, MAX(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_returnflag""",
     "a7_rollup" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n FROM customer
          JOIN nation ON c_nationkey = n_nationkey
