@@ -67,6 +67,10 @@ object Dedup {
       // "|" separator: no concat ambiguity across hash columns of any type
       struct(lit(b).as("band_idx"), sha1(concat_ws("|", hs: _*)).as("band_key"))
     }
+    // NOTE: the aliased self-join recomputes the signature pass per side;
+    // persisting the (id, band) table here was measured SLOWER at bench
+    // scale (cache write cost > recompute), so recompute is kept. At true
+    // 100 TB scale, materialize the signature table to parquet first.
     val exploded = sig
       .select(col(idCol), explode(array(bands: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))

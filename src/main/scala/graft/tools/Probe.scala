@@ -9,10 +9,12 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val e = graft.SparkEntry.entry(spark)
-      println(s"ENTRY ROWS: ${e.count()}")
-      e.show(5)
-    } catch { case e: Throwable => println(s"ENTRY FAILED: ${e.getMessage}") }
+      val df = graft.SparkEntry.queries("x3_lsh_pairs")(spark, "/root/testdata/sf0.01")
+      df.count() // materialize so AQE finalizes
+      println("PLAN_START")
+      println(df.queryExecution.executedPlan.toString.take(4000))
+      println("PLAN_END")
+    } catch { case e: Throwable => println(s"PROBE FAILED: ${e.getMessage}") }
     spark.stop()
   }
 }
