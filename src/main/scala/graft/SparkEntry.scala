@@ -376,6 +376,19 @@ object SparkEntry {
     }),
 
     // ───────────────────────── ext: text stats ─────────────────────────
+    "x6b_ann_ivf" -> ((s, dir) => {
+      // IVF scale path: centroids = first 16 vectors, probe top-2 cells.
+      // Approximate => engine-specific result set; rows-only check.
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb, centroids, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, 2)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rnk"))
+    }),
+    "x12_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "x8_lang_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -647,6 +660,11 @@ object SparkEntry {
            FROM dots d JOIN norms na ON na.vec_id = d.a_id
            JOIN norms nb ON nb.vec_id = d.b_id)
          WHERE cos > 0.3""",
+    "x12_subword_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           AS n_subwords
+         FROM documents""",
     "x8_lang_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN trim(text) = '' THEN 0

@@ -43,6 +43,41 @@ object XmlDictSource {
         vField(dt, "name"), vField(dt, "description"), vField(dt, "type"))
   }
 
+  /** Typed view: the reference's Study→Section→Variable→Value hierarchy
+    * (generate_lakefs_dbgap_xml_index.py:45-74) as `Dataset[Study]` —
+    * compile-time field checks for pipeline code that walks the graph. */
+  def asStudies(dataTables: DataFrame,
+                repository: String): org.apache.spark.sql.Dataset[graft.model.Study] = {
+    val spark = dataTables.sparkSession
+    import spark.implicits._
+    val vars = variables(dataTables)
+    vars.groupBy(col("study_id"), col("filepath"), col("dt_id"))
+      .agg(sort_array(collect_list(struct(
+        col("pos"),
+        col("dt_id").as("ddId"),
+        coalesce(col("var_id"), col("name"), lit("")).as("id"),
+        coalesce(col("name"), lit("")).as("name"),
+        lit(null).cast("string").as("title"),
+        col("description"),
+        col("type").as("typ"),
+        lit(null).cast("string").as("section"),
+        lit(null).cast("string").as("logicalMin"),
+        lit(null).cast("string").as("logicalMax"),
+        array().cast("array<struct<code:string,label:string>>").as("values")))).as("vs"))
+      .select(
+        lit(repository).as("repository"),
+        coalesce(col("filepath"), lit("")).as("filepath"),
+        coalesce(col("study_id"), lit("")).as("studyId"),
+        lit(null).cast("string").as("studyName"),
+        lit(null).cast("string").as("studyDescription"),
+        lit(null).cast("string").as("applId"),
+        lit(null).cast("string").as("studyVersion"),
+        array(struct(
+          coalesce(col("dt_id"), lit("")).as("section"),
+          transform(col("vs"), v => v.dropFields("pos")).as("variables"))).as("sections"))
+      .as[graft.model.Study]
+  }
+
   private def vField(dt: DataFrame, name: String) = {
     val exists = dt.schema.find(_.name == "variable").exists { f =>
       val elem = f.dataType match {

@@ -89,6 +89,16 @@ class PipelinesSpec extends SparkSpec {
     assert(rows.sameElements(Array(("phs000007.v32", 2L, 1L))))
   }
 
+  test("typed Dataset[Study] view of an XML repository") {
+    val studies = XmlDictSource.asStudies(
+      XmlDictSource.readDataTables(spark, s"$fixtures/lake/bdc"), "bdc").collect()
+    assert(studies.length == 1)
+    val s0 = studies.head
+    assert(s0.repository == "bdc" && s0.studyId == "phs000007.v32")
+    assert(s0.sections.head.variables.map(_.name) == Seq("AGE", "SEX"))
+    assert(s0.sections.head.variables.head.typ.contains("integer"))
+  }
+
   test("XmlDictSource handles single-variable docs (struct vs array)") {
     val vars = XmlDictSource.variables(
       XmlDictSource.readDataTables(spark, s"$fixtures/lake/heal"))
