@@ -346,6 +346,21 @@ object SparkEntry {
           size(array_intersect(col("a_toks"), col("b_toks"))).cast("long").as("n_common"),
           Dedup.jaccard(col("a_toks"), col("b_toks")).as("jaccard"))
     }),
+    "x13_ngram_jaccard" -> ((s, dir) => {
+      // word-bigram Jaccard for (lang, source)-blocked candidate pairs
+      val d = t(s, dir, "documents")
+      val sets = d.select(col("doc_id"), col("lang"), col("source"),
+        Dedup.wordNgrams(col("text"), 2).as("gs"))
+      val a = sets.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+        col("gs").as("a_gs"))
+      val b = sets.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("gs").as("b_gs"))
+      a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
+          && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_gs"), col("b_gs"))).cast("long").as("n_common"),
+          Dedup.jaccard(col("a_gs"), col("b_gs")).as("jaccard"))
+    }),
     "x5_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", 16)),
 
@@ -660,6 +675,20 @@ object SparkEntry {
            FROM dots d JOIN norms na ON na.vec_id = d.a_id
            JOIN norms nb ON nb.vec_id = d.b_id)
          WHERE cos > 0.3""",
+    "x13_ngram_jaccard" ->
+      """WITH sets AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 1, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1]))) AS gs
+           FROM (SELECT doc_id, lang, source,
+                 string_split_regex(trim(text), '\s+') AS t FROM documents))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+         FROM sets a JOIN sets b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
     "x12_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)

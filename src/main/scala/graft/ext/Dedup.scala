@@ -126,4 +126,13 @@ object Dedup {
 
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
+    * single space per n-window. Pure projection. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(o => get(toks, i + o - 1)): _*)))
+  }
 }

@@ -8,13 +8,20 @@ object Probe {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try {
-      val df = graft.SparkEntry.queries("x3_lsh_pairs")(spark, "/root/testdata/sf0.01")
-      df.count() // materialize so AQE finalizes
-      println("PLAN_START")
-      println(df.queryExecution.executedPlan.toString.take(4000))
-      println("PLAN_END")
-    } catch { case e: Throwable => println(s"PROBE FAILED: ${e.getMessage}") }
+    // default: smoke the flagship entry; pass a query name + sfDir to
+    // inspect a catalog query's executed plan instead
+    args.toList match {
+      case name :: dir :: _ =>
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        df.count() // materialize so AQE finalizes
+        println("PLAN_START")
+        println(df.queryExecution.executedPlan.toString.take(6000))
+        println("PLAN_END")
+      case _ =>
+        val e = graft.SparkEntry.entry(spark)
+        println(s"ENTRY ROWS: ${e.count()}")
+        e.show(5)
+    }
     spark.stop()
   }
 }

@@ -23,6 +23,18 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(oracle)
 fails, passes, skips = [], [], []
 
+# rows-only queries (no oracle): confirm the dump exists and is readable
+import os
+for d in sorted(os.listdir(out)):
+    if d == "oracle_sql.json" or d in oracle:
+        continue
+    files = glob.glob(f"{out}/{d}/*.parquet")
+    if not files:
+        fails.append((d, "rows-only query produced no parquet"))
+    else:
+        n = sum(len(pd.read_parquet(f)) for f in files)
+        skips.append(f"{d}(rows={n})")
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -74,6 +86,8 @@ for name in names:
         passes.append(name)
 
 print(f"PASS {len(passes)}/{len(names)}: {' '.join(passes)}")
+if skips:
+    print(f"ROWS-ONLY {len(skips)}: {' '.join(skips)}")
 for n, why in fails:
     print(f"FAIL {n}: {why}")
 sys.exit(1 if fails else 0)
