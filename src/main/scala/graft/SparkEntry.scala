@@ -401,6 +401,17 @@ object SparkEntry {
         "vec_id", "embedding", 5, 2)
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rnk"))
     }),
+    "x14_media_features" -> ((s, dir) => {
+      // multimodal plumbing through the driver gate: docs as opaque binary
+      // media -> batch feature extraction (stub codec) -> vector stats.
+      // rows-only (stub features are engine-internal).
+      val media = graft.ext.Multimodal.asMedia(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("b")),
+        "doc_id", "b", "text/plain")
+      graft.ext.Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("mediaId").as("media_id"),
+          round(Similarity.dot(col("feature"), col("feature")), 6).as("self_sim"))
+    }),
     "x12_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.subwordCount(col("text")).cast("long").as("n_subwords"))),

@@ -67,12 +67,21 @@ object Projections {
   def packMap(m: Column): Column =
     concat_ws("|", transform(map_entries(m), e => concat_ws("=", e("key"), e("value"))))
 
-  /** P13 — stringified-list parse. The reference `eval()`s Python-literal
-    * lists (xml_generator.py:147); we normalize single→double quotes and
-    * `from_json` — never eval. */
+  /** P13 — stringified-list parse, portable form. The reference `eval()`s
+    * Python-literal lists (xml_generator.py:147); this variant normalizes
+    * single→double quotes and `from_json`s — fine for simple values and
+    * expressible in any ANSI engine (oracle-checked). For values with
+    * embedded apostrophes/escapes use [[parsePyLiteralList]]. */
   def parseStringifiedList(c: Column): Column =
     from_json(regexp_replace(c, "'", "\""), org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
+
+  /** P13 — robust native parser for Python-literal lists (both quote
+    * styles, escapes; malformed → null, never eval). */
+  def parsePyLiteralList(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PyLiteralListParse(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
   /** P14 — small value→code encoding via literal map.
     * Ref: scripts/bdc/xml_generator.py:151-156. */

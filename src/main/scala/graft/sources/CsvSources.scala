@@ -41,7 +41,7 @@ object CsvSources {
     * boolean. */
   def readPicsureVars(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(picsureVarSchema).csv(path)
-      .withColumn("values_arr", Projections.parseStringifiedList(col("values")))
+      .withColumn("values_arr", Projections.parsePyLiteralList(col("values")))
       .withColumn("is_categorical",
         lower(coalesce(col("is_categorical"), lit("false"))) === "true")
 

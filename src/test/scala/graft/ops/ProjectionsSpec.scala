@@ -65,6 +65,21 @@ class ProjectionsSpec extends SparkSpec {
     assert(out == Seq("Male", "Female"))
   }
 
+  test("P13 native parsePyLiteralList: quotes, escapes, bare tokens, malformed") {
+    val df = Seq(
+      """['Male', "Don't know", 'a\'b']""",
+      """[1, 2.5, None]""",
+      """[]""",
+      """not a list""",
+      """['unterminated""").toDF("v")
+    val out = df.select(Projections.parsePyLiteralList(col("v")).as("a"))
+      .as[Option[Seq[String]]].collect()
+    assert(out(0).get == Seq("Male", "Don't know", "a'b"))
+    assert(out(1).get == Seq("1", "2.5", "None"))
+    assert(out(2).get == Nil)
+    assert(out(3).isEmpty && out(4).isEmpty) // malformed -> null, no throw
+  }
+
   test("P14 encodeValues maps known values, null for unknown (ANSI-safe)") {
     val df = Seq("Male", "Female", "Other").toDF("v")
     val out = df.select(Projections.encodeValues(col("v"), Map("Male" -> 1, "Female" -> 2)))
