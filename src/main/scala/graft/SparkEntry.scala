@@ -401,6 +401,11 @@ object SparkEntry {
         "vec_id", "embedding", 5, 2)
         .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rnk"))
     }),
+    "x15_rhp_neardup" -> ((s, dir) =>
+      // embedding near-dup via random-hyperplane LSH buckets (scale path;
+      // rows-only: plane draws are engine-internal)
+      Similarity.rhpNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        64, 12, 0.2)),
     "x14_media_features" -> ((s, dir) => {
       // multimodal plumbing through the driver gate: docs as opaque binary
       // media -> batch feature extraction (stub codec) -> vector stats.

@@ -56,6 +56,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Random-hyperplane LSH signature for cosine similarity: bit p of the
+    * signature is the sign of ⟨v, plane_p⟩ with planes drawn once from a
+    * seeded RNG (deterministic across runs/executors — the plane matrix is
+    * generated on the driver and folded into the plan as literals, i.e.
+    * broadcast). Vectors with close cosine agree on most bits, so equal
+    * signatures (or signature bands) are near-dup candidates: a pure
+    * projection + an equi-join on a long key — the shuffle carries only
+    * (signature, id) pairs, never vectors. */
+  def rhpSignature(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    require(nPlanes <= 63, "signature packs into one long")
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    (0 until nPlanes).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Candidate near-dup pairs via exact RHP-signature collision, verified
+    * with the exact cosine. `minCos` filters the verified pairs. */
+  def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      nPlanes: Int, minCos: Double): DataFrame = {
+    val sig = df.select(col(idCol), col(vecCol),
+      rhpSignature(col(vecCol), dim, nPlanes).as("sig"))
+    val a = sig.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("sig"))
+    val b = sig.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      col("sig").as("sig_b"))
+    a.join(b, col("sig") === col("sig_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest centroid
     * (centroids: a small DataFrame of (cid, vec), broadcast), then search
     * only the `nProbe` closest centroids' partitions for each query.

@@ -98,6 +98,23 @@ class ExtSpec extends SparkSpec {
     assert(ivf.sameElements(Array(1L))) // nearest neighbour found in probed cell
   }
 
+  test("rhp LSH: identical vectors collide; orthogonal vectors don't") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.2f, 0.1f)),
+      (2L, Array(1.0f, 0.2f, 0.1f)),   // identical -> same signature
+      (3L, Array(0.99f, 0.21f, 0.1f)), // near-identical -> likely collide
+      (4L, Array(-1.0f, 0.5f, -0.9f))  // far away
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.rhpNearDupPairs(vs, "vec_id", "embedding", 3, 16, 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // signature is deterministic across invocations
+    val s1 = vs.select(Similarity.rhpSignature(col("embedding"), 3, 16)).as[Long].collect()
+    val s2 = vs.select(Similarity.rhpSignature(col("embedding"), 3, 16)).as[Long].collect()
+    assert(s1.sameElements(s2))
+  }
+
   // ───────── TextStats ─────────
 
   test("tokenCount handles empty/blank/normal") {
