@@ -43,17 +43,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k: every corpus row scored against every (broadcast)
-    * query row, then row_number per query. Baseline / ground truth. */
+    * query row, then per-query top-k via the bounded [[graft.functions.TopKAgg]]
+    * aggregator — the map side already truncates to k, so the shuffle
+    * carries O(k·partitions·|queries|) rows, not the full scored set (a
+    * window/row_number formulation shuffles everything). Ids must be
+    * long-castable; ordering is score desc, id asc — identical to a
+    * row_number ranking. Exact baseline / ground truth for the ANN paths. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      score: (Column, Column) => Column): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
     val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), score(col("q_vec"), col("n_vec")).as("score"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id").cast("long").as("_1"),
+        struct(score(col("q_vec"), col("n_vec")).as("score"),
+          col("n_id").cast("long").as("id")).as("_2"))
+      .as[(Long, graft.functions.Scored)]
+    scored.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.TopKAgg(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("r", "c")))
+      .select(col("q_id"), col("c.id").as("n_id"), col("c.score").as("score"),
+        (col("r") + 1).as("rank"))
   }
 
   /** Random-hyperplane LSH signature for cosine similarity: bit p of the
