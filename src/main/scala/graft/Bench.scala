@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark) // native SQL surface
     // JIT/codegen/file-index warmup so the first measured query isn't
     // charged for JVM startup (standard bench hygiene; reported separately)
     val w0 = System.nanoTime()

@@ -55,4 +55,28 @@ object KgxAssembler {
     nodes.write.mode("overwrite").json(s"$baseDir/nodes")
     edges.write.mode("overwrite").json(s"$baseDir/edges")
   }
+
+  /** Typed view of the graph (compile-time field checks for pipeline code
+    * traversing it; the KGX node/edge shapes of graft.model). Missing
+    * optional columns are filled with nulls. */
+  def typedGraph(nodes: DataFrame, edges: DataFrame)
+      : (org.apache.spark.sql.Dataset[graft.model.KgxNode],
+         org.apache.spark.sql.Dataset[graft.model.KgxEdge]) = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    def opt(df: DataFrame, c: String): Column =
+      if (df.columns.contains(c)) col(c).cast("string") else lit(null).cast("string")
+    val n = nodes.select(col("id").cast("string").as("id"),
+        col("name").cast("string").as("name"),
+        col("categories").cast("array<string>").as("categories"),
+        opt(nodes, "description").as("description"),
+        opt(nodes, "iri").as("iri"),
+        opt(nodes, "program").as("program"))
+      .as[graft.model.KgxNode]
+    val e = edges.select(col("subject").cast("string").as("subject"),
+        col("predicate").cast("string").as("predicate"),
+        col("object").cast("string").as("object"))
+      .as[graft.model.KgxEdge]
+    (n, e)
+  }
 }

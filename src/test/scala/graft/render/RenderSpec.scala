@@ -24,6 +24,24 @@ class RenderSpec extends SparkSpec {
     assert(DbGapXmlRenderer.escape(null) == "")
   }
 
+  test("KGX assembly: consent collapse (A8), typed graph, single-doc render") {
+    val studies = Seq("phs1.c1", "phs1.c2", "phs2.c1").toDF("study_id")
+      .withColumn("name", col("study_id"))
+      .withColumn("program", lit("topmed"))
+    val nodes = KgxAssembler.studyNodes(studies, "study_id", "name", "program")
+    assert(nodes.count() == 2) // consent variants collapsed per base id
+    val phs1 = nodes.filter(col("id") === "phs1").select("consents").as[String].head()
+    assert(phs1 == "phs1.c1|phs1.c2")
+    val (cNodes, edges) = KgxAssembler.consentNodesAndEdges(studies, "study_id")
+    val (tn, te) = KgxAssembler.typedGraph(cNodes, edges)
+    assert(tn.collect().forall(_.categories == Seq("biolink:StudyPopulation")))
+    assert(te.collect().forall(_.predicate == "biolink:related_to"))
+    val doc = KgxAssembler.toJsonDocument(
+      nodes.select("id", "name", "categories", "iri"), edges)
+    assert(doc.startsWith("""{"nodes":[""") && doc.contains(""""edges":["""))
+    assert(doc.contains(""""subject":"phs1.c1","predicate":"biolink:related_to","object":"phs1""""))
+  }
+
   test("K4 partitioned layout: null partition values become __missing__") {
     val out = Files.createTempDirectory("part").toString
     val df = Seq(("a", "p1"), ("b", null)).toDF("v", "prog")
