@@ -39,12 +39,16 @@ object TextStats {
       array(stopwords.map(lit): _*)))
 
   /** Heuristic language ID: argmax of stopword-list hits across languages;
-    * ties and zero-hit rows fall back to "und" (undetermined). */
+    * ties break toward the alphabetically-first language; zero-hit rows
+    * fall back to "und" (undetermined). */
   def langIdHeuristic(text: Column, lists: Map[String, Seq[String]]): Column = {
     val toks = array_distinct(split(lower(trim(text)), "\\s+"))
-    // build array<struct<hits,neglang>> and take max (hits, then lang asc)
-    val scored = array(lists.toSeq.sortBy(_._1).map { case (lang, words) =>
+    val ordered = lists.toSeq.sortBy(_._1)
+    // max over struct<hits, pref, lang>: hits first, then pref (higher =
+    // alphabetically earlier) so ties resolve deterministically
+    val scored = array(ordered.zipWithIndex.map { case ((lang, words), idx) =>
       struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(ordered.size - idx).as("pref"),
         lit(lang).as("lang"))
     }: _*)
     val best = array_max(filter(scored, s => s("hits") > 0))
