@@ -538,8 +538,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer WHERE c_name IS NOT NULL
          AND c_mktsegment IS NOT NULL AND c_name LIKE 'Customer#00000001%'""",
     "f2_validation_split" ->
-      """SELECT doc_id, 'missing short_text' AS reason FROM documents
-         WHERE n_chars < 60 OR lang IS NULL OR trim(lang) = ''""",
+      """SELECT doc_id,
+         CASE WHEN n_chars < 60 OR text IS NULL OR trim(text) = ''
+                THEN 'missing short_text'
+              WHEN lang IS NULL OR trim(lang) = '' THEN 'missing lang'
+         END AS reason
+         FROM documents
+         WHERE n_chars < 60 OR text IS NULL OR trim(text) = ''
+            OR lang IS NULL OR trim(lang) = ''""",
     "f4_skip_set" ->
       """SELECT o_orderstatus, COUNT(*) AS n FROM orders
          WHERE o_orderstatus NOT IN ('F') GROUP BY o_orderstatus""",
@@ -639,7 +645,8 @@ object SparkEntry {
       """SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
                 MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
          FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
-               FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i) g
+               FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
                WHERE i <= greatest(length(text) - 4, 1))
          GROUP BY doc_id""",
     "x3_lsh_pairs" ->
@@ -647,7 +654,8 @@ object SparkEntry {
            SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
                   MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
            FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
-                 FROM documents, (SELECT unnest(generate_series(1, 4000)) AS i) g
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
                  WHERE i <= greatest(length(text) - 4, 1))
            GROUP BY doc_id)
          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

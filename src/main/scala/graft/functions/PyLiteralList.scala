@@ -20,6 +20,9 @@ import scala.collection.mutable.ArrayBuffer
 case class PyLiteralListParse(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // malformed NON-NULL input also yields null — must not inherit the
+  // child's nullability or codegen assigns into a constant-false isNull
+  override def nullable: Boolean = true
   override def prettyName: String = "py_literal_list"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -51,7 +54,12 @@ object PyLiteralListParse {
     i += 1
     val out = ArrayBuffer.empty[UTF8String]
     skipWs()
-    if (i < n && s.charAt(i) == ']') return new GenericArrayData(out.toArray)
+    if (i < n && s.charAt(i) == ']') {
+      i += 1
+      skipWs()
+      // '[] garbage' is malformed, same as the non-empty case
+      return if (i == n) new GenericArrayData(out.toArray) else null
+    }
     while (true) {
       skipWs()
       if (i >= n) return null

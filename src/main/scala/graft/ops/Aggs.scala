@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism note: the reference uses encounter-order "first of group"
   * (pandas `.iloc[0]`). Spark's `first()` is nondeterministic post-shuffle,
-  * so the library exposes order-free `min`/`max` variants for oracle-checked
-  * paths and an explicit-order variant (`firstByOrder`) where encounter order
-  * must be reproduced (SURVEY.md §7.4).
+  * so this library uses order-free `min`/`max` for oracle-checked paths;
+  * where encounter order must be reproduced use `Windows.topKPerGroup`
+  * with an explicit ordering column (SURVEY.md §7.4).
   */
 object Aggs {
 

@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
 object Projections {
 
   /** P1 — split-part key derivation: `study_id = accession.split('.')[0]`.
-    * Ref: scripts/bdc/xml_generator.py:21, get_dbgap_data_dicts.py:60. */
+    * True nth-token semantics (1-based, missing part → "", matching ANSI
+    * split_part — substring_index would return the whole PREFIX for
+    * part ≥ 2). Ref: scripts/bdc/xml_generator.py:21. */
   def splitPart(c: Column, sep: String, part: Int): Column =
-    substring_index(c, sep, part)
+    coalesce(get(split(c, java.util.regex.Pattern.quote(sep)), lit(part - 1)), lit(""))
 
-  /** P2 — nth split token with default when absent (version else "v1").
-    * Uses 0-based `get` (null on out-of-bounds — safe under ANSI mode,
-    * unlike `element_at`). Ref: scripts/bdc/xml_generator.py:25-32. */
+  /** P2 — nth split token with default when absent OR empty (consecutive
+    * separators yield "" which also falls back, matching the oracle's
+    * NULLIF). Uses 0-based `get` (null on out-of-bounds — safe under ANSI
+    * mode, unlike `element_at`). Ref: scripts/bdc/xml_generator.py:25-32. */
   def splitTokenOrDefault(c: Column, sepRegex: String, idx: Int, dflt: String): Column =
-    coalesce(get(split(c, sepRegex), lit(idx)), lit(dflt))
+    coalesce(nullif(get(split(c, sepRegex), lit(idx)), lit("")), lit(dflt))
 
   /** P3 — regex group extract; empty string on non-match (caller filters).
     * Ref: scripts/bdc/get_bdc_studies_from_gen3.py:213-226. */

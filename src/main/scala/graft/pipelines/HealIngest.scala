@@ -44,9 +44,10 @@ object HealIngest {
       col("title").as("var_title"),
       col("description").as("var_description"),
       col("type").as("var_type"),
-      // P11: packed encodings -> ordered (code,label) values
-      when(col("encodings").isNotNull,
-        transform(map_entries(Projections.parsePackedMap(col("encodings"))),
+      // enum_map carried from the source — never re-parse the packed
+      // `encodings` string (labels containing '|' would corrupt it)
+      when(col("enum_map").isNotNull,
+        transform(map_entries(col("enum_map")),
           e => struct(e("key").as("code"), e("value").as("label")))).as("values"))
     DocumentSink.writeDocuments(
       DbGapXmlRenderer.renderDataTables(renderInput), s"$outDir/xml")

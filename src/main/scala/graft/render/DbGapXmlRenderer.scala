@@ -111,8 +111,10 @@ object DbGapXmlRenderer {
              |  </Studies>
              |</GaPExchange>
              |""".stripMargin
+        // raw id in the PATH (consistent with renderDataTables) — XML
+        // escaping is for document content only
         val prefix = Option(row.getAs[String]("path_prefix")).getOrElse("")
-        (s"$prefix${escape(id)}/GapExchange_$id.xml", xml)
+        (s"$prefix$id/GapExchange_$id.xml", xml)
       }
   }
 }

@@ -42,8 +42,22 @@ object MdsJsonSource {
     else lit(null)
   }
 
-  /** One row per (study, data-dictionary): id, label, error, fields. */
+  /** One row per (study, data-dictionary): id, label, error, fields.
+    * Batches with no data_dictionaries column at all (schema drift) yield
+    * an empty frame instead of an AnalysisException. */
   def dataDictionaries(studies: DataFrame): DataFrame = {
+    if (!studies.columns.contains("data_dictionaries"))
+      return studies.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("study_id", StringType),
+          org.apache.spark.sql.types.StructField("dd_id", StringType),
+          org.apache.spark.sql.types.StructField("dd_label", StringType),
+          org.apache.spark.sql.types.StructField("dd_error", StringType),
+          org.apache.spark.sql.types.StructField("fields",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("name", StringType))))))))
     val exploded = studies.select(
       fieldOrNull(studies, "gen3_discovery._hdp_uid").cast("string").as("study_id"),
       explode(col("data_dictionaries")).as("dd"))
@@ -71,15 +85,26 @@ object MdsJsonSource {
       f("description").cast("string").as("description"),
       f("type").cast("string").as("type"),
       {
-        // spark.read.json infers JSON objects as structs; re-parse
-        // enumLabels through to_json/from_json to get a map with the
-        // document's key order, then pack (P12).
+        // spark.read.json infers JSON objects as structs with fields
+        // SORTED BY NAME, so entry order here is sorted-key order — a
+        // documented deviation from the reference's dict insertion order
+        // (unrecoverable after schema inference, and arguably more
+        // canonical for value codes).
         val enumMap = from_json(to_json(f("enumLabels")), MapType(StringType, StringType))
         coalesce(
           when(enumMap.isNotNull,
             concat_ws("|", transform(map_entries(enumMap),
               e => concat_ws("=", e("key"), e("value"))))),
           f("constraints.encodings").cast("string")).as("encodings")
+      },
+      {
+        // map form carried alongside the packed string: downstream render
+        // must NOT re-parse `encodings` (labels containing '|' would
+        // corrupt the split)
+        val enumMap = from_json(to_json(f("enumLabels")), MapType(StringType, StringType))
+        coalesce(enumMap,
+          str_to_map(f("constraints.encodings").cast("string"), lit("\\|"), lit("=")))
+          .as("enum_map")
       },
       f("constraints.minimum").cast("string").as("logical_min"),
       f("constraints.maximum").cast("string").as("logical_max"))

@@ -10,6 +10,9 @@ class ProjectionsSpec extends SparkSpec {
     val df = Seq("phs000007.v32.c1", "phs002206", "").toDF("acc")
     val out = df.select(Projections.splitPart(col("acc"), ".", 1)).as[String].collect()
     assert(out.sameElements(Array("phs000007", "phs002206", "")))
+    // true nth-token semantics for part >= 2 (split_part, NOT substring_index)
+    val p2 = df.select(Projections.splitPart(col("acc"), ".", 2)).as[String].collect()
+    assert(p2.sameElements(Array("v32", "", "")))
   }
 
   test("P2 splitTokenOrDefault falls back when token absent") {
@@ -71,13 +74,21 @@ class ProjectionsSpec extends SparkSpec {
       """[1, 2.5, None]""",
       """[]""",
       """not a list""",
-      """['unterminated""").toDF("v")
+      """['unterminated""",
+      """[] garbage""").toDF("v")
     val out = df.select(Projections.parsePyLiteralList(col("v")).as("a"))
       .as[Option[Seq[String]]].collect()
     assert(out(0).get == Seq("Male", "Don't know", "a'b"))
     assert(out(1).get == Seq("1", "2.5", "None"))
     assert(out(2).get == Nil)
     assert(out(3).isEmpty && out(4).isEmpty) // malformed -> null, no throw
+    assert(out(5).isEmpty) // trailing garbage after [] is malformed too
+    // non-nullable child (concat of literals): malformed input must still
+    // surface as null, not crash codegen with a constant-false isNull
+    val nn = spark.range(1).select(
+      Projections.parsePyLiteralList(concat(lit("not"), lit(" a list"))).as("a"))
+      .as[Option[Seq[String]]].head()
+    assert(nn.isEmpty)
   }
 
   test("P14 encodeValues maps known values, null for unknown (ANSI-safe)") {
