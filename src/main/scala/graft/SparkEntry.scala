@@ -293,6 +293,19 @@ object SparkEntry {
     "d1_year_agg" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))),
+    "d2_month_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))),
+    "s1_string_surface" -> ((s, dir) =>
+      // §2.10 battery: upper/reverse/lpad/translate/substr/len in one pass
+      t(s, dir, "part").select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        reverse(col("p_name")).as("rname"),
+        lpad(col("p_size").cast("string"), 4, "0").as("psize4"),
+        translate(col("p_name"), " aeiou", "_AEIOU").as("tname"),
+        substring(col("p_name"), 2, 3).as("mid3"),
+        length(col("p_name")).cast("long").as("nlen"))),
     "et1_hourly_agg" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(date_trunc("hour", eventTs).as("hour_ts"), col("event_type"))
@@ -616,6 +629,16 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1""",
+    "d2_month_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1""",
+    "s1_string_surface" ->
+      """SELECT p_partkey, upper(p_name) AS uname, reverse(p_name) AS rname,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS psize4,
+         translate(p_name, ' aeiou', '_AEIOU') AS tname,
+         substr(p_name, 2, 3) AS mid3,
+         CAST(length(p_name) AS BIGINT) AS nlen FROM part""",
     "et1_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
