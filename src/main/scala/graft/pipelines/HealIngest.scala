@@ -12,7 +12,8 @@ import graft.sources.MdsJsonSource
   */
 object HealIngest {
 
-  case class Result(variableIndex: DataFrame, kgxJson: String)
+  case class Result(variableIndex: DataFrame, kgxJson: String,
+                    skippedDds: DataFrame)
 
   def run(spark: SparkSession, mdsDir: String, mapping: DataFrame,
           outDir: String): Result = {
@@ -52,8 +53,11 @@ object HealIngest {
     DocumentSink.writeDocuments(
       DbGapXmlRenderer.renderDataTables(renderInput), s"$outDir/xml")
 
-    // KGX: study + data-dictionary nodes, study→dd edges
+    // F9 skip report: 404-stub dictionaries quarantined from the index,
+    // surfaced with their error (the reference logs-and-continues per dd)
     val dds = MdsJsonSource.dataDictionaries(studies)
+    val skippedDds = dds.filter(col("dd_error").isNotNull)
+      .select(col("study_id"), col("dd_id"), col("dd_error").as("reason"))
     val studyNodes = dds.select(col("study_id").as("id")).distinct()
       .withColumn("name", col("id"))
       .withColumn("categories", array(lit("biolink:Study")))
@@ -66,6 +70,6 @@ object HealIngest {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/kgx.json"), kgx)
 
-    Result(variableIndex, kgx)
+    Result(variableIndex, kgx, skippedDds)
   }
 }

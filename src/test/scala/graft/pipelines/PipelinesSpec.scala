@@ -74,6 +74,10 @@ class PipelinesSpec extends SparkSpec {
     assert(Files.exists(Paths.get(out,
       "xml/heal_studies/HDP00001/HEALCDE:dd-2.data_dict.xml")))
 
+    // 404-stub dict surfaced in the skip report with its error
+    val skipped = res.skippedDds.as[(String, String, String)].collect()
+    assert(skipped.sameElements(Array(("HDP00002", "HEALCDE:dd-404", "404 not found"))))
+
     // KGX document contains study + dd nodes and related_to edges
     assert(res.kgxJson.contains(""""id":"HDP00002""""))
     assert(res.kgxJson.contains(""""id":"HEALCDE:dd-1""""))

@@ -42,6 +42,31 @@ class RenderSpec extends SparkSpec {
     assert(doc.contains(""""subject":"phs1.c1","predicate":"biolink:related_to","object":"phs1""""))
   }
 
+  test("P18 composition: XML read -> field rewrite -> re-render") {
+    // the reference mutates StudyNameEntrez in a parsed tree
+    // (get_dbgap_data_dicts.py:24-42); our equivalent is scan -> join new
+    // names -> re-render, all declarative
+    val fixtures = getClass.getResource("/fixtures").getPath
+    val dts = graft.sources.XmlDictSource.readDataTables(spark, s"$fixtures/lake/bdc")
+    val newNames = Seq(("phs000007.v32", "Renamed Study")).toDF("sid", "new_name")
+    val renderInput = graft.sources.XmlDictSource.variables(dts)
+      .join(newNames, col("study_id") === col("sid"))
+      .select(col("dt_id"), col("study_id"),
+        col("new_name").as("study_name"),
+        lit(null).cast("string").as("group_description"),
+        lit("").as("path_prefix"),
+        col("pos"),
+        col("var_id"), col("name").as("var_name"),
+        lit(null).cast("string").as("var_title"),
+        col("description").as("var_description"),
+        col("type").as("var_type"),
+        lit(null).cast("array<struct<code:string,label:string>>").as("values"))
+    val docs = DbGapXmlRenderer.renderDataTables(renderInput).collect()
+    assert(docs.length == 1)
+    assert(docs.head._2.contains("""study_name="Renamed Study""""))
+    assert(docs.head._2.contains("<name>AGE</name>")) // variables preserved
+  }
+
   test("K4 partitioned layout: null partition values become __missing__") {
     val out = Files.createTempDirectory("part").toString
     val df = Seq(("a", "p1"), ("b", null)).toDF("v", "prog")
