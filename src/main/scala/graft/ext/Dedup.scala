@@ -22,38 +22,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature over character shingles.
+  /** MinHash signature over character shingles, ORACLE-PORTABLE form.
     *
-    * Cost model: md5 is the expensive op, so we compute ONE md5 per shingle
-    * and slice four disjoint 32-bit hex windows out of its 128 bits — four
-    * independent hash functions per digest ((k+3)/4 digests per shingle
-    * total; extra groups prefix the shingle with a group tag). The shingle
-    * stream is explode + project + partial-min in one whole-stage-codegen
-    * pass; the shuffle then carries only (id, k×8-hex) rows — map-side
-    * combine reduces per-partition before any exchange, so at 100 TB the
-    * exchange is O(#docs), not O(#shingles). */
+    * Semantics: one md5 per shingle, four disjoint 32-bit hex windows per
+    * digest as four hash functions ((k+3)/4 digests per shingle; extra
+    * groups prefix the shingle with a group tag) — exactly expressible in
+    * ANSI SQL as min(substr(md5(substr(text,i,L)), 8w+1, 8)). Evaluated
+    * natively in one pass per row (graft.functions.Md5MinHashSignature). */
   def minhashSignature(df: DataFrame, textCol: String, k: Int,
                        shingleLen: Int = 5, idCol: String = "doc_id"): DataFrame = {
-    val t = col(textCol)
-    val starts = sequence(lit(1), greatest(length(t) - (shingleLen - 1), lit(1)))
-    // duplicate shingles within a doc can't change a min — dedupe before
-    // the (expensive) md5, shrinking the explode on repetitive text
-    val shingled = df.select(col(idCol),
-      explode(array_distinct(transform(starts, i => t.substr(i, lit(shingleLen))))).as("_sh"))
-    val nGroups = (k + 3) / 4
-    val withDigests = (0 until nGroups).foldLeft(shingled) { (acc, g) =>
-      val digest = if (g == 0) md5(col("_sh")) else md5(concat(lit(g.toString), col("_sh")))
-      acc.withColumn(s"_m$g", digest)
-    }
-    val sigAggs = (1 to k).map { seed =>
-      val g = (seed - 1) / 4
-      val w = (seed - 1) % 4
-      min(substring(col(s"_m$g"), 1 + 8 * w, 8)).as(s"h$seed")
-    }
-    // explode + partial-min: the shuffle carries only (id, k×8-hex) after
-    // map-side combine. (An array-fold variant avoiding the explode was
-    // measured SLOWER — per-shingle struct construction dominates.)
-    withDigests.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    // native single-pass evaluation of the portable md5 formulation —
+    // byte-identical to min(substr(md5(substr(text,i,L)), 8w+1, 8)) (see
+    // Md5MinHash scaladoc + the equivalence spec), with no per-shingle
+    // string/hex allocation and no explode/shuffle at all.
+    val sigExpr = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.Md5MinHashSignature(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(textCol)), k, shingleLen))
+    // explode(array(x)) pins ONE evaluation per row; the field projections
+    // below read the materialized array
+    df.select(col(idCol), explode(array(sigExpr)).as("_sig"))
+      .select(col(idCol) +: (1 to k).map(i => col("_sig").getItem(i - 1).as(s"h$i")): _*)
   }
 
   /** LSH banding: group the k signature hashes into bands of `rowsPerBand`,

@@ -98,6 +98,44 @@ class ExtSpec extends SparkSpec {
     assert(ivf.sameElements(Array(1L))) // nearest neighbour found in probed cell
   }
 
+  test("native md5 minhash equals the SQL formulation byte-for-byte") {
+    // reference implementation of min(substr(md5(substr(text,i,L)),8w+1,8))
+    def sqlSig(text: String, k: Int, l: Int): Seq[String] = {
+      val n = text.length
+      val starts = if (n < l) Seq(0) else 0 to (n - l)
+      val nG = (k + 3) / 4
+      val mins = Array.fill(k)("~" * 8) // '~' > 'f'
+      for (st <- starts) {
+        val sh = text.substring(st, math.min(st + l, n))
+        for (g <- 0 until nG) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(((if (g == 0) "" else g.toString) + sh).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          for (w <- 0 until 4) {
+            val i = g * 4 + w
+            if (i < k) {
+              val sub = hex.substring(8 * w, 8 * w + 8)
+              if (sub < mins(i)) mins(i) = sub
+            }
+          }
+        }
+      }
+      mins.toSeq
+    }
+    val texts = Seq("a", "abcd", "abcde", "hello world hello world",
+      "the quick brown fox jumps over the lazy dog")
+    for (k <- Seq(4, 8)) {
+      val got = Dedup.minhashSignature(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+          "text", k)
+        .orderBy("doc_id").collect()
+        .map(r => (1 to k).map(i => r.getAs[String](s"h$i")))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i) == sqlSig(t, k, 5), s"k=$k text='$t'")
+      }
+    }
+  }
+
   test("rhp LSH: identical vectors collide; orthogonal vectors don't") {
     val vs = Seq(
       (1L, Array(1.0f, 0.2f, 0.1f)),
