@@ -419,6 +419,16 @@ object SparkEntry {
       // rows-only: plane draws are engine-internal)
       Similarity.rhpNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         64, 12, 0.2)),
+    "x16_curation" -> ((s, dir) =>
+      graft.ext.Curation.curate(t(s, dir, "documents"), "text", "doc_id", "lang",
+          graft.ext.Curation.Rules(minTokens = 20,
+            allowedLangs = Seq("de", "en", "es", "zh")))
+        .select(col("doc_id"), col("status"))),
+    "x16b_curation_report" -> ((s, dir) =>
+      graft.ext.Curation.report(
+        graft.ext.Curation.curate(t(s, dir, "documents"), "text", "doc_id", "lang",
+          graft.ext.Curation.Rules(minTokens = 20,
+            allowedLangs = Seq("de", "en", "es", "zh"))))),
     "x14_media_features" -> ((s, dir) => {
       // multimodal plumbing through the driver gate: docs as opaque binary
       // media -> batch feature extraction (stub codec) -> vector stats.
@@ -736,6 +746,51 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
          FROM sets a JOIN sets b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+    "x16_curation" ->
+      """WITH stats AS (
+           SELECT doc_id, lang, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                       AS DOUBLE) / length(text) END AS punct_ratio,
+             CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                       / (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) END AS mean_tl
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN dup_rank > 1 THEN 'dup'
+                WHEN n_tok < 20 THEN 'too_short'
+                WHEN lang NOT IN ('de','en','es','zh') THEN 'bad_lang'
+                WHEN punct_ratio > 0.2 OR mean_tl < 2.0 OR mean_tl > 12.0 THEN 'low_quality'
+                ELSE 'ok' END AS status
+         FROM stats""",
+    "x16b_curation_report" ->
+      """WITH stats AS (
+           SELECT doc_id, lang, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                       AS DOUBLE) / length(text) END AS punct_ratio,
+             CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                       / (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) END AS mean_tl
+           FROM documents),
+           curated AS (
+             SELECT CASE WHEN dup_rank > 1 THEN 'dup'
+                  WHEN n_tok < 20 THEN 'too_short'
+                  WHEN lang NOT IN ('de','en','es','zh') THEN 'bad_lang'
+                  WHEN punct_ratio > 0.2 OR mean_tl < 2.0 OR mean_tl > 12.0 THEN 'low_quality'
+                  ELSE 'ok' END AS status
+             FROM stats)
+         SELECT status, COUNT(*) AS n FROM curated GROUP BY status""",
     "x12_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
