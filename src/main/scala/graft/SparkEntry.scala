@@ -78,28 +78,36 @@ object SparkEntry {
              count(lit(1)).as("n"))
     }),
     "q3_shipping" -> ((s, dir) => {
-      // TPC-H Q3 shape: BUILDING customers' urgent revenue by order
+      // TPC-H Q3 shape: BUILDING customers' revenue by order. Join order
+      // applies the selective customer filter FIRST (orders shrink ~5×
+      // before the expensive lineitem join) — Catalyst doesn't reorder
+      // inner joins without CBO stats, so the plan author does.
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val filteredOrders = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      l.join(filteredOrders, l("l_orderkey") === filteredOrders("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(discountedRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     }),
     "q5_region_volume" -> ((s, dir) => {
-      // TPC-H Q5 shape: revenue by nation within one region
+      // TPC-H Q5 shape: revenue by nation within one region. Dimension
+      // chain collapses customers to the ASIA subset BEFORE touching the
+      // fact tables; the shrunken (customer × nation) side broadcasts.
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = broadcast(t(s, dir, "nation"))
       val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(n, c("c_nationkey") === n("n_nationkey"))
+      val asiaCust = c.join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(c("c_custkey"), n("n_name"))
+      val filteredOrders = o.join(broadcast(asiaCust), o("o_custkey") === asiaCust("c_custkey"))
+        .select(o("o_orderkey"), col("n_name"))
+      l.join(filteredOrders, l("l_orderkey") === filteredOrders("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(discountedRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"), count(lit(1)).as("n"))
