@@ -24,6 +24,20 @@ object CsvSources {
     spark.read.option("header", "true").option("sep", sep)
       .schema(gen3StudySchema).csv(path)
 
+  /** Permissive read with corrupt-row quarantine (SURVEY.md §1.3:
+    * validation-as-schema-enforcement): rows that don't parse land with
+    * their raw text in `_corrupt_record` instead of killing the scan or
+    * silently disappearing — the F9 quarantine pattern at the source. */
+  def readGen3StudiesQuarantined(spark: SparkSession, path: String,
+                                 sep: String = ","): DataFrame = {
+    val withCorrupt = StructType(
+      gen3StudySchema.fields :+ StructField("_corrupt_record", StringType, nullable = true))
+    spark.read.option("header", "true").option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(path)
+  }
+
   /** PicSure variable CSV (VLMD) — columns actually consumed by the
     * reference (get_bdc_studies_md_from_picsure.py:40-46,
     * xml_generator.py:50,122,130-155). */

@@ -43,6 +43,24 @@ object XmlDictSource {
         vField(dt, "name"), vField(dt, "description"), vField(dt, "type"))
   }
 
+  /** GapExchange study-frame scan (S7 companion document). */
+  def readGapExchange(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "GaPExchange")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "GapExchange*.xml")
+      .load(root)
+
+  /** Single-child-or-error text extraction over an array column — the
+    * reference's `get_child_as_text` which RAISES on multiple children
+    * (generate_lakefs_dbgap_xml_index.py:81-107). Built-ins suffice
+    * (SURVEY.md §2.10): size guard + raise_error, no UDF. */
+  def childAsText(children: org.apache.spark.sql.Column,
+                  what: String): org.apache.spark.sql.Column =
+    when(size(children) > 1,
+      raise_error(concat(lit(s"multiple $what children: "), size(children).cast("string"))))
+      .otherwise(get(children, lit(0)).cast("string"))
+
   /** Typed view: the reference's Study→Section→Variable→Value hierarchy
     * (generate_lakefs_dbgap_xml_index.py:45-74) as `Dataset[Study]` —
     * compile-time field checks for pipeline code that walks the graph. */
