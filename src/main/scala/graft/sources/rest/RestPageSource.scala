@@ -75,23 +75,32 @@ final class RestTable(props: Map[String, String]) extends Table with SupportsRea
 }
 
 final class RestScanBuilder(fetcherName: String, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
   private var limit: Option[Int] = None
+  private var required: StructType = RestPageSource.schema
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  // column pruning: a count() or offset-only query never materializes the
+  // payload JSON strings
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = RestPageSource.schema
+    override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"rest-pages fetcher=$fetcherName pageSize=$pageSize limit=${limit.getOrElse(-1)}"
+      s"rest-pages fetcher=$fetcherName pageSize=$pageSize " +
+        s"limit=${limit.getOrElse(-1)} columns=${required.fieldNames.mkString(",")}"
 
     override def planInputPartitions(): Array[InputPartition] = {
       val total = PageFetchers(fetcherName).totalRows
       val effective = limit.fold(total)(math.min(_, total))
       (0 until effective by pageSize).map { start =>
         RestInputPartition(fetcherName, start,
-          math.min(pageSize, effective - start)): InputPartition
+          math.min(pageSize, effective - start),
+          required.fieldNames): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -104,11 +113,13 @@ final class RestScanBuilder(fetcherName: String, pageSize: Int)
   }
 }
 
-final case class RestInputPartition(fetcherName: String, start: Int, n: Int)
-    extends InputPartition
+final case class RestInputPartition(fetcherName: String, start: Int, n: Int,
+                                    columns: Array[String]) extends InputPartition
 
 final class RestPartitionReader(p: RestInputPartition)
     extends PartitionReader[InternalRow] {
+  private val wantOffset = p.columns.contains("offset")
+  private val wantPayload = p.columns.contains("payload")
   // page fetched lazily on first next(): planning never triggers IO
   private lazy val rows = PageFetchers(p.fetcherName).fetch(p.start, p.n).iterator
   private var i = p.start - 1
@@ -116,7 +127,14 @@ final class RestPartitionReader(p: RestInputPartition)
   override def next(): Boolean = {
     if (rows.hasNext) { current = rows.next(); i += 1; true } else false
   }
-  override def get(): InternalRow =
-    InternalRow(i.toLong, if (current == null) null else UTF8String.fromString(current))
+  override def get(): InternalRow = {
+    val values = p.columns.map {
+      case "offset" if wantOffset => java.lang.Long.valueOf(i.toLong)
+      case "payload" if wantPayload =>
+        if (current == null) null else UTF8String.fromString(current)
+      case _ => null
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
   override def close(): Unit = ()
 }

@@ -111,8 +111,8 @@ object EventStreams {
       }
   }
 
-  /** Drain-everything-now run to a parquet sink with exactly-once commit
-    * (foreachBatch + idempotent overwrite-by-batch). */
+  /** Drain-everything-now run to a parquet sink (file sink's own
+    * exactly-once commit log). */
   def runAvailableNow(out: DataFrame, sinkDir: String, checkpointDir: String): StreamingQuery =
     out.writeStream
       .trigger(Trigger.AvailableNow())
@@ -120,5 +120,24 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .format("parquet")
       .option("path", sinkDir)
+      .start()
+
+  /** Idempotent foreachBatch sink: each micro-batch overwrites its own
+    * `_batch_id` partition, so a replayed batch (failure before the
+    * checkpoint commit) rewrites the identical partition instead of
+    * duplicating rows — the reference's delete-partial-then-retry
+    * semantics (get_dbgap_data_dicts.py:236-240) done atomically. */
+  def runAvailableNowUpsert(out: DataFrame, sinkDir: String,
+                            checkpointDir: String): StreamingQuery =
+    out.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(sinkDir)
+      }
       .start()
 }

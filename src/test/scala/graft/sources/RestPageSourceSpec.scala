@@ -42,6 +42,16 @@ class RestPageSourceSpec extends SparkSpec {
     assert(plan.contains("limit=7"), plan)
   }
 
+  test("column pruning reaches the scan (offset-only plan drops payload)") {
+    PageFetchers.register("mds_prune", new FakeMds)
+    val df = spark.read.format("rest-pages")
+      .option("fetcher", "mds_prune").option("pagesize", "10").load()
+    val offsetOnly = df.select("offset")
+    val plan = offsetOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=offset"), plan)
+    assert(offsetOnly.count() == 95)
+  }
+
   test("payload JSON composes with from_json downstream (S4 enrich shape)") {
     PageFetchers.register("mds2", new FakeMds)
     val schema = StructType(Seq(StructField("study_id", StringType),

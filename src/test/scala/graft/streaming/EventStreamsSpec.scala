@@ -42,6 +42,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 1)
   }
 
+  test("foreachBatch upsert sink: re-delivered batch overwrites, not duplicates") {
+    val src = Files.createTempDirectory("usrc").toString
+    val sink = Files.createTempDirectory("usink").toString
+    val ckpt = Files.createTempDirectory("uckpt").toString
+    mkEvents.write.mode("overwrite").parquet(src)
+    def run() = {
+      val q = EventStreams.runAvailableNowUpsert(
+        EventStreams.fileSource(spark, src, mkEvents.schema), sink, ckpt)
+      q.awaitTermination(120000)
+    }
+    run()
+    val n1 = spark.read.parquet(sink).count()
+    assert(n1 == 4)
+    // simulate a replay of batch 0: wipe the checkpoint so the same files
+    // re-deliver with the same batch id — the partition overwrites
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(ckpt))
+    run()
+    assert(spark.read.parquet(sink).count() == 4) // no duplication
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     val sessions = EventStreams.sessionize(
       mkEvents.select(col("user_id"), col("value")).as[(Long, Double)])
