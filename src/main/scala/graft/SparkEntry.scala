@@ -116,6 +116,12 @@ object SparkEntry {
       Aggs.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))),
     "a2_distinct_count" -> ((s, dir) =>
       Aggs.distinctCounts(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))),
+    // HLL sketch variant — rows-only (sketch estimates are engine-specific);
+    // the 100 TB path when exact distinct is too expensive
+    "a2b_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))),
     "a4_breakdown" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))),

@@ -52,4 +52,18 @@ object Filters {
   def quarantinePayload(df: DataFrame, errorCond: Column, payloadCol: String): DataFrame =
     df.withColumn(payloadCol,
       when(errorCond, lit(null)).otherwise(col(payloadCol)))
+
+  /** F10/K6 — log-line severity split (`grep ERROR`/`grep WARNING` over
+    * the run log, scripts/heal/ingest.sh:26-27): one pass, one DataFrame
+    * per severity plus the remainder. */
+  def logSeveritySplit(lines: DataFrame, lineCol: String,
+                       severities: Seq[String] = Seq("ERROR", "WARNING"))
+      : Map[String, DataFrame] = {
+    val tagged = severities.map { sev =>
+      sev -> lines.filter(upper(col(lineCol)).contains(sev))
+    }.toMap
+    val rest = severities.foldLeft(lines)((df, sev) =>
+      df.filter(!upper(col(lineCol)).contains(sev)))
+    tagged + ("OTHER" -> rest)
+  }
 }

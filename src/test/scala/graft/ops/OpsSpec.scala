@@ -33,6 +33,14 @@ class OpsSpec extends SparkSpec {
     assert(out.sameElements(Array(Some(1.0), None)))
   }
 
+  test("F10 logSeveritySplit partitions lines by severity in one pass") {
+    val logs = Seq("2026 ERROR boom", "2026 warning: slow", "2026 ok fine").toDF("line")
+    val split = Filters.logSeveritySplit(logs, "line")
+    assert(split("ERROR").as[String].collect().sameElements(Array("2026 ERROR boom")))
+    assert(split("WARNING").as[String].collect().sameElements(Array("2026 warning: slow")))
+    assert(split("OTHER").as[String].collect().sameElements(Array("2026 ok fine")))
+  }
+
   // ───────── Joins ─────────
 
   test("J7 outerDispatch tags left_only/right_only/both") {
