@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column.
@@ -13,9 +12,9 @@ import org.apache.spark.sql.functions._
   *
   * Two arithmetic paths:
   *  - `dot`/`cosine`: double fold — fastest, used for real ranking;
-  *  - `decimalDot`: per-element products cast to decimal then summed —
-  *    order-independent and exact, used on oracle-checked paths so the
-  *    result is bit-identical across engines regardless of reduction order.
+  *  - `quantizedDot`: Q30 fixed point (native DotQ30) — order-independent
+  *    and engine-portable, used on oracle-checked paths so results are
+  *    bit-identical across engines regardless of reduction order.
   */
 object Similarity {
 
@@ -58,11 +57,22 @@ object Similarity {
     val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), score(col("q_vec"), col("n_vec")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** (q_id, n_id, score) → top-k per q_id via the bounded TopKAgg (map-side
+    * k-truncation; see graft.functions.TopKAgg). Shared ranking tail of the
+    * brute-force and IVF paths. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
       .select(col("q_id").cast("long").as("_1"),
-        struct(score(col("q_vec"), col("n_vec")).as("score"),
+        struct(col("score").cast("double").as("score"),
           col("n_id").cast("long").as("id")).as("_2"))
       .as[(Long, graft.functions.Scored)]
-    scored.groupByKey(_._1).mapValues(_._2)
+      .groupByKey(_._1).mapValues(_._2)
       .agg(graft.functions.TopKAgg(k).toColumn.name("topk"))
       .toDF("q_id", "topk")
       .select(col("q_id"), posexplode(col("topk")).as(Seq("r", "c")))
@@ -104,39 +114,55 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
-  /** IVF-style ANN: assign every corpus vector to its nearest centroid
-    * (centroids: a small DataFrame of (cid, vec), broadcast), then search
-    * only the `nProbe` closest centroids' partitions for each query.
+  /** Per-row centroid scores for a centroid set folded into the plan as
+    * literals: centroids are bounded metadata (that's what makes them
+    * centroids), so the assignment is a pure codegen'd projection — no
+    * crossJoin, no window, no shuffle. */
+  private def centroidScores(vec: Column, cents: Seq[Array[Float]]): Column =
+    array(cents.map(c => dot(vec, array(c.map(lit): _*))): _*)
+
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid,
+    * then search only the `nProbe` closest centroids' cells per query.
     * At 100 TB this turns a full scan per query into a scan of
-    * nProbe/nCentroids of the corpus; the bucketed corpus can be written
-    * partitioned by cid for static pruning. */
+    * nProbe/nCentroids of the corpus; the assigned corpus can be written
+    * `partitionBy(cid)` for static pruning. Centroids (a small DataFrame
+    * of (cid, cvec)) are collected — bounded driver data, like any
+    * literal dimension. Ties pick the lowest cid (deterministic). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
-    val c = broadcast(centroids.select(col("cid"), col("cvec")))
-    val scored = corpus.crossJoin(c)
-      .select(col("*"), dot(col(vecCol), col("cvec")).as("cscore"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("cid"))
-    scored.withColumn("crank", row_number().over(w)).filter(col("crank") === 1)
-      .drop("cvec", "cscore", "crank")
+    val cents = collectCentroids(centroids)
+    val scores = centroidScores(col(vecCol), cents.map(_._2))
+    val cid = (array_position(scores, array_max(scores)) - 1).cast("int")
+    corpus.withColumn("cid", cid)
   }
+
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
+    centroids.select(col("cid").cast("int"), col("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
 
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-    val qAssigned = {
-      val c = broadcast(centroids.select(col("cid"), col("cvec")))
-      val scored = queries.crossJoin(c)
-        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cid"),
-          dot(col(vecCol), col("cvec")).as("cscore"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cscore").desc, col("cid"))
-      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= nProbe)
-        .select(col("q_id"), col("q_vec"), col("cid"))
-    }
-    val candidates = assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cid"))
+    // per query: top-nProbe cells via an in-row argsort of the literal
+    // centroid scores (struct sort: score desc, cid asc)
+    val qScores = centroidScores(col(vecCol), cents.map(_._2))
+    val probes = transform(
+      slice(array_sort(zip_with(qScores,
+          sequence(lit(0), lit(cents.size - 1)),
+          (s, i) => struct((-s).as("neg"), i.as("cid")))),
+        1, nProbe),
+      p => p.getField("cid"))
+    val qAssigned = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(probes).as("cid"))
+    val candidates = assigned
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cid"))
       .join(broadcast(qAssigned), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), dot(col("q_vec"), col("n_vec")).as("score"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(candidates, k)
   }
 }
