@@ -115,11 +115,12 @@ object Similarity {
   }
 
   /** Per-row centroid scores for a centroid set folded into the plan as
-    * literals: centroids are bounded metadata (that's what makes them
-    * centroids), so the assignment is a pure codegen'd projection — no
-    * crossJoin, no window, no shuffle. */
+    * ONE nested-array literal (typedlit — per-element lit() nodes were
+    * measured to blow up codegen compile time): centroids are bounded
+    * metadata, so the assignment is a pure projection — no crossJoin, no
+    * window, no shuffle. */
   private def centroidScores(vec: Column, cents: Seq[Array[Float]]): Column =
-    array(cents.map(c => dot(vec, array(c.map(lit): _*))): _*)
+    transform(typedlit(cents.map(_.toSeq)), c => dot(vec, c))
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid,
     * then search only the `nProbe` closest centroids' cells per query.
