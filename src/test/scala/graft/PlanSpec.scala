@@ -70,4 +70,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(q("x6_ann_topk"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q5: dimension chain broadcasts; only the fact-fact join may sort-merge") {
+    val p = tree(q("q5_region_volume"))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+  }
+
+  test("curation is a single-shuffle pass (one window on the content hash)") {
+    val p = tree(q("x16_curation"))
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+  }
 }
