@@ -764,16 +764,14 @@ object SparkEntry {
       """WITH stats AS (
            SELECT doc_id, lang, text,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
-             CASE WHEN trim(text) = '' THEN 0
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
                        AS DOUBLE) / length(text) END AS punct_ratio,
-             CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
                   ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                       / (CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END) END AS mean_tl
+                       / len(string_split_regex(trim(text), '\s+')) END AS mean_tl
            FROM documents)
          SELECT doc_id,
            CASE WHEN dup_rank > 1 THEN 'dup'
@@ -786,16 +784,14 @@ object SparkEntry {
       """WITH stats AS (
            SELECT doc_id, lang, text,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
-             CASE WHEN trim(text) = '' THEN 0
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
                        AS DOUBLE) / length(text) END AS punct_ratio,
-             CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 0.0
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
                   ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                       / (CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END) END AS mean_tl
+                       / len(string_split_regex(trim(text), '\s+')) END AS mean_tl
            FROM documents),
            curated AS (
              SELECT CASE WHEN dup_rank > 1 THEN 'dup'
@@ -812,9 +808,9 @@ object SparkEntry {
          FROM documents""",
     "x8_lang_stats" ->
       """SELECT doc_id,
-         CAST(CASE WHEN trim(text) = '' THEN 0
+         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-         CASE WHEN trim(text) = '' THEN 0.0
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
               ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
                    / len(string_split_regex(trim(text), '\s+')) END AS mean_tok_len
          FROM documents""",
@@ -830,7 +826,7 @@ object SparkEntry {
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",
     "x11_token_total" ->
-      """SELECT CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+      """SELECT CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
          COUNT(*) AS n_docs FROM documents"""
   )

@@ -41,7 +41,17 @@ object Md5MinHash {
     * equal length compare lexicographically as unsigned numerics. */
   def compute(u: UTF8String, k: Int, shingleLen: Int): GenericArrayData = {
     val s = u.toString
-    val n = s.length
+    // SQL substr/length (Spark UTF8String and DuckDB alike) count Unicode
+    // code points, not UTF-16 units — window by code point or surrogate
+    // pairs split into U+FFFD and signatures diverge cross-engine.
+    val n = s.codePointCount(0, s.length)
+    // char offset of each code-point boundary (cpOff(i) = char index of
+    // the i-th code point; cpOff(n) = s.length)
+    val cpOff = new Array[Int](n + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < n) { cpOff(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+    cpOff(n) = s.length
     val nGroups = (k + 3) / 4
     val mins = Array.fill(nGroups * 4)(0xFFFFFFFFL)
     val md = MessageDigest.getInstance("MD5")
@@ -53,8 +63,7 @@ object Md5MinHash {
     var start = 0
     while (start <= last) {
       val end = math.min(start + effLen, n)
-      // character-based windows (SQL substr semantics), encoded per window
-      val windowBytes = s.substring(start, end).getBytes("UTF-8")
+      val windowBytes = s.substring(cpOff(start), cpOff(end)).getBytes("UTF-8")
       var g = 0
       while (g < nGroups) {
         md.reset()

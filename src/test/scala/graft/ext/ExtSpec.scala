@@ -99,14 +99,16 @@ class ExtSpec extends SparkSpec {
   }
 
   test("native md5 minhash equals the SQL formulation byte-for-byte") {
-    // reference implementation of min(substr(md5(substr(text,i,L)),8w+1,8))
+    // reference implementation of min(substr(md5(substr(text,i,L)),8w+1,8));
+    // SQL substr counts code points, so window over code points (not chars)
     def sqlSig(text: String, k: Int, l: Int): Seq[String] = {
-      val n = text.length
+      val cps = text.codePoints().toArray
+      val n = cps.length
       val starts = if (n < l) Seq(0) else 0 to (n - l)
       val nG = (k + 3) / 4
       val mins = Array.fill(k)("~" * 8) // '~' > 'f'
       for (st <- starts) {
-        val sh = text.substring(st, math.min(st + l, n))
+        val sh = new String(cps, st, math.min(st + l, n) - st)
         for (g <- 0 until nG) {
           val md = java.security.MessageDigest.getInstance("MD5")
           val hex = md.digest(((if (g == 0) "" else g.toString) + sh).getBytes("UTF-8"))
@@ -123,7 +125,10 @@ class ExtSpec extends SparkSpec {
       mins.toSeq
     }
     val texts = Seq("a", "abcd", "abcde", "hello world hello world",
-      "the quick brown fox jumps over the lazy dog")
+      "the quick brown fox jumps over the lazy dog",
+      // non-BMP: emoji + CJK-ext chars are 2 UTF-16 units but 1 code point —
+      // UTF-16 windowing would misalign shingles and split surrogate pairs
+      "😀abcdef", "x😀y🤖z ab", "😀😁😂")
     for (k <- Seq(4, 8)) {
       val got = Dedup.minhashSignature(
           texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
