@@ -125,6 +125,18 @@ object SparkEntry {
     "a4_breakdown" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))),
+    "a4b_breakdown_detail" -> ((s, dir) =>
+      // A4 per-bucket detail lists (ref run_dbgap_xml_gen_fallback.py:
+      // 80-147): each status bucket carries its sorted member rows, not
+      // just a count — collect_list(struct), sorted, rendered to string
+      // so the cross-engine hash compare sees a stable scalar
+      t(s, dir, "orders").groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(";",
+            transform(
+              array_sort(collect_list(struct(col("o_orderkey"), col("o_custkey")))),
+              x => concat_ws(":", x("o_orderkey").cast("string"),
+                x("o_custkey").cast("string")))).as("details"))),
     "a5_group_to_doc" -> ((s, dir) =>
       Aggs.groupToDoc(t(s, dir, "lineitem"), "l_orderkey", "l_returnflag", "l_linenumber")
         .withColumnRenamed("l_returnflag", "min_flag")),
@@ -205,6 +217,38 @@ object SparkEntry {
     "p15_json_extract" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
         Projections.jsonPath(col("props"), "$.k", "missing").as("k_val"))),
+    "p4_authz_extract" -> ((s, dir) =>
+      // P4 — regex program-from-authz path (ref get_bdc_studies_from_gen3
+      // .py:200-208): program segment out of an authz-style resource path
+      t(s, dir, "documents").select(col("doc_id"),
+        Projections.regexGroup(
+          concat(lit("/programs/"), col("lang"), lit("/projects/"), col("source")),
+          "^/programs/([^/]+)/projects/", 1).as("program"))),
+    "p6_alias_guard" -> ((s, dir) =>
+      // P6 — alias-chain coalesce with raise_error when every candidate is
+      // absent (never fires on this data; the firing path is spec-tested)
+      t(s, dir, "documents").select(col("doc_id"),
+        Projections.aliasChainOrError(
+          concat(lit("no usable name for doc "), col("doc_id").cast("string")),
+          col("lang"), col("source")).as("name"),
+        when(nullif(col("lang"), lit("")).isNotNull, "lang")
+          .when(nullif(col("source"), lit("")).isNotNull, "source")
+          .otherwise("none").as("name_src"))),
+    "p8_null_safe" -> ((s, dir) =>
+      // P8 — null-safe stringify (ref xml_generator.py:57-61 safe_text)
+      t(s, dir, "documents").select(col("doc_id"),
+        Projections.nullSafeString(
+          when(col("n_chars") < 60, lit(null)).otherwise(col("n_chars")), "NA")
+          .as("chars_str"),
+        Projections.nullSafeString(
+          when(col("n_chars") < 60, lit(null)).otherwise(col("lang")), "(missing)")
+          .as("lang_str"))),
+    "p16_p17_const_url" -> ((s, dir) =>
+      // P16 constant provenance columns + P17 URL construction
+      t(s, dir, "documents").select(col("doc_id"),
+        lit("graft").as("catalog"),
+        lit(1L).as("schema_version"),
+        Projections.buildUrl("https://data.example.org/doc/", col("doc_id")).as("url"))),
 
     // ───────────────────────── §2.4 filters ─────────────────────────
     "f1_notnull_prefix" -> ((s, dir) =>
@@ -228,6 +272,18 @@ object SparkEntry {
       Filters.quarantinePayload(t(s, dir, "events"),
         col("event_type") === "error", "value")
         .select(col("event_id"), col("value"))),
+    "f10_log_split" -> ((s, dir) => {
+      // F10 — grep-style severity split over synthesized log lines (ref
+      // scripts/heal/ingest.sh:26-27); union of the tagged splits proves
+      // the partition is exhaustive and exclusive on this data
+      val lines = t(s, dir, "events").select(col("event_id"),
+        format_string("evt %d type=%s user=%d",
+          col("event_id"), upper(col("event_type")), col("user_id")).as("line"))
+      val split = Filters.logSeveritySplit(lines, "line")
+      Seq("ERROR", "WARNING", "OTHER")
+        .map(sev => split(sev).select(col("event_id"), lit(sev).as("sev")))
+        .reduce(_ union _)
+    }),
 
     // ───────────────────────── §2.5 joins ─────────────────────────
     "j1_broadcast_join" -> ((s, dir) => {
@@ -269,6 +325,19 @@ object SparkEntry {
         o.filter(col("o_orderstatus") === "P").select(col("o_custkey")).distinct(),
         "o_custkey")
     }),
+    "j8_prefix_membership" -> ((s, dir) => {
+      // J8 — prefix-scan membership (ref run_dbgap_xml_gen_fallback.py:
+      // 97-104): accession-style values harvested from arbitrary columns,
+      // normalized to first dot-part, semi-join against the target catalog
+      val src = t(s, dir, "orders").select(
+        concat(lit("acc"), col("o_custkey").cast("string"), lit(".v1")).as("scan1"),
+        col("o_orderpriority").as("scan2"))
+      val target = t(s, dir, "customer")
+        .select(concat(lit("acc"), col("c_custkey").cast("string")).as("acc_id"),
+          col("c_custkey"))
+      Joins.prefixScanMembership(src, Seq("scan1", "scan2"), "acc", target, "acc_id")
+        .select(col("c_custkey"))
+    }),
 
     // ───────────────────────── §2.7 windows ─────────────────────────
     "w1_uniquify" -> ((s, dir) =>
@@ -288,6 +357,13 @@ object SparkEntry {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    "o2_sorted_report" -> ((s, dir) =>
+      // O2/O3 — sorted report list per group (ref get_bdc_studies_md_from
+      // _gen3.py:231-238, jq sort_by): non-distinct, duplicates kept
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(concat_ws("|", array_sort(collect_list(col("event_type"))))
+          .as("event_seq"), count(lit(1)).as("n"))),
 
     // ───────────────────────── §2.9 set ops ─────────────────────────
     "u1_union_distinct" -> ((s, dir) =>
@@ -331,6 +407,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))),
+    "et3_event_gaps" -> ((s, dir) => {
+      // lead/lag surface: per-user inter-event gap stats. Exact integer
+      // time arithmetic at MICROsecond precision: DuckDB reads the
+      // nanos-parquet timestamp truncated to micros, so each ts is floored
+      // to micros (ts DIV 1000) BEFORE differencing — and the window also
+      // orders by the floored value, so a micro-level tie breaks on
+      // event_id identically in both engines
+      import org.apache.spark.sql.expressions.Window
+      val usec = expr("ts DIV 1000")
+      val w = Window.partitionBy(col("user_id")).orderBy(usec, col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), (usec - lag(usec, 1).over(w)).as("gap_us"))
+        .groupBy(col("user_id"))
+        .agg(count(col("gap_us")).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("sum_gap_us"))
+    }),
     "w4_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -571,6 +665,29 @@ object SparkEntry {
     "p15_json_extract" ->
       """SELECT event_id, COALESCE(json_extract_string(props, '$.k'), 'missing') AS k_val
          FROM events""",
+    "p4_authz_extract" ->
+      """SELECT doc_id,
+         regexp_extract('/programs/' || lang || '/projects/' || source,
+                        '^/programs/([^/]+)/projects/', 1) AS program
+         FROM documents""",
+    "p6_alias_guard" ->
+      """SELECT doc_id,
+         COALESCE(NULLIF(lang, ''), NULLIF(source, '')) AS name,
+         CASE WHEN NULLIF(lang, '') IS NOT NULL THEN 'lang'
+              WHEN NULLIF(source, '') IS NOT NULL THEN 'source'
+              ELSE 'none' END AS name_src
+         FROM documents""",
+    "p8_null_safe" ->
+      """SELECT doc_id,
+         COALESCE(CAST(CASE WHEN n_chars < 60 THEN NULL ELSE n_chars END AS VARCHAR),
+                  'NA') AS chars_str,
+         COALESCE(CASE WHEN n_chars < 60 THEN NULL ELSE lang END,
+                  '(missing)') AS lang_str
+         FROM documents""",
+    "p16_p17_const_url" ->
+      """SELECT doc_id, 'graft' AS catalog, CAST(1 AS BIGINT) AS schema_version,
+         'https://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+         FROM documents""",
     "f1_notnull_prefix" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_name IS NOT NULL
          AND c_mktsegment IS NOT NULL AND c_name LIKE 'Customer#00000001%'""",
@@ -591,6 +708,17 @@ object SparkEntry {
     "f9_quarantine" ->
       """SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
          FROM events""",
+    "f10_log_split" ->
+      """WITH lines AS (
+           SELECT event_id,
+             'evt ' || CAST(event_id AS VARCHAR) || ' type=' || upper(event_type)
+               || ' user=' || CAST(user_id AS VARCHAR) AS line
+           FROM events)
+         SELECT event_id,
+           CASE WHEN upper(line) LIKE '%ERROR%' THEN 'ERROR'
+                WHEN upper(line) LIKE '%WARNING%' THEN 'WARNING'
+                ELSE 'OTHER' END AS sev
+         FROM lines""",
     "j1_broadcast_join" ->
       """SELECT c_mktsegment, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey
@@ -620,6 +748,38 @@ object SparkEntry {
                      WHEN l.k IS NULL THEN 'right_only'
                      ELSE 'both' END AS method
          FROM l FULL OUTER JOIN r ON l.k = r.k""",
+    "j8_prefix_membership" ->
+      """WITH harvested AS (
+           SELECT DISTINCT split_part(v, '.', 1) AS acc_id
+           FROM (SELECT unnest(['acc' || CAST(o_custkey AS VARCHAR) || '.v1',
+                                o_orderpriority]) AS v
+                 FROM orders)
+           WHERE v LIKE 'acc%')
+         SELECT c_custkey
+         FROM (SELECT 'acc' || CAST(c_custkey AS VARCHAR) AS acc_id, c_custkey
+               FROM customer) c
+         WHERE acc_id IN (SELECT acc_id FROM harvested)""",
+    "o2_sorted_report" ->
+      """SELECT user_id,
+         array_to_string(list_sort(list(event_type)), '|') AS event_seq,
+         COUNT(*) AS n
+         FROM events GROUP BY user_id""",
+    "a4b_breakdown_detail" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         array_to_string(list_transform(
+           list_sort(list(struct_pack(k := o_orderkey, c := o_custkey))),
+           x -> CAST(x.k AS VARCHAR) || ':' || CAST(x.c AS VARCHAR)), ';') AS details
+         FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    "et3_event_gaps" ->
+      """WITH g AS (
+           SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT user_id, COUNT(gap_us) AS n_gaps,
+           MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+         FROM g GROUP BY user_id""",
     "w1_uniquify" ->
       """SELECT p_partkey, CASE WHEN rn > 1 THEN p_name || '_' || CAST(rn-1 AS VARCHAR)
                 ELSE p_name END AS uniq_name

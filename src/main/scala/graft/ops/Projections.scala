@@ -39,6 +39,17 @@ object Projections {
   def preferenceCoalesce(fallback: String, cols: Column*): Column =
     coalesce(cols.map(c => nullif(c, lit(""))) :+ lit(fallback): _*)
 
+  /** P6 — preference coalesce over an alias chain that RAISES when every
+    * candidate is absent/empty (the reference treats a nameless record as a
+    * hard error, not a silent default).
+    * Ref: get_heal_platform_mds_data_dicts.py:36-63. */
+  def aliasChainOrError(errMsg: Column, cols: Column*): Column = {
+    val cands = cols.map(c => nullif(c, lit("")))
+    // when/otherwise evaluates raise_error lazily, per-row (ANSI-safe)
+    when(cands.map(_.isNull).reduce(_ && _), raise_error(errMsg))
+      .otherwise(coalesce(cands: _*))
+  }
+
   /** P7 — formatted notes column. Ref: get_bdc_studies_from_gen3.py:134-140. */
   def formatNotes(fmt: String, cols: Column*): Column =
     format_string(fmt, cols: _*)

@@ -40,6 +40,20 @@ class ProjectionsSpec extends SparkSpec {
     assert(out.sameElements(Array("name", "(no name)")))
   }
 
+  test("P6 aliasChainOrError picks first non-empty; raises when all absent") {
+    val ok = Seq(("", "fallback"), ("primary", "x")).toDF("a", "b")
+      .select(Projections.aliasChainOrError(lit("no name"), col("a"), col("b")))
+      .as[String].collect()
+    assert(ok.sameElements(Array("fallback", "primary")))
+    val boom = intercept[Exception] {
+      Seq(("", null: String)).toDF("a", "b")
+        .select(Projections.aliasChainOrError(
+          concat(lit("no usable name for "), lit("row1")), col("a"), col("b")))
+        .collect()
+    }
+    assert(boom.getMessage.contains("no usable name for row1"))
+  }
+
   test("P9 normalizeName: first pipe token, trim, [ /]->_, lower, default") {
     val df = Seq("TOPMed | parent", "A/B prog", "", null).toDF("p")
     val out = df.select(Projections.normalizeName(col("p"))).as[String].collect()
