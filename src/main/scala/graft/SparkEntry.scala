@@ -452,8 +452,28 @@ object SparkEntry {
       Dedup.lshCandidatePairs(
         Dedup.minhashSignatureFast(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2)
         .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))),
+    "x4b_jaccard_lsh" -> ((s, dir) => {
+      // SCALE PATH: exact Jaccard verification of x3's LSH candidates —
+      // candidates are (a_id, b_id) only; token sets join back by id, so
+      // no join key fans out quadratically (PlanSpec-pinned)
+      val d = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2)
+      Dedup.jaccardVerify(cands, Dedup.tokenSets(d, "text", "doc_id"), "doc_id")
+    }),
+    "x13b_ngram_lsh" -> ((s, dir) => {
+      // SCALE PATH: word-bigram Jaccard over the same LSH candidates
+      val d = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2)
+      Dedup.jaccardVerify(cands,
+        d.select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("gs")),
+        "doc_id", "gs")
+    }),
     "x4_jaccard_pairs" -> ((s, dir) => {
-      // token-set Jaccard for candidate pairs blocked by (lang, source)
+      // SMALL-BLOCK FIXTURE (oracle-comparison only): all-pairs within a
+      // (lang, source) block is quadratic in the block — fine at sf0.1,
+      // wrong at 100 TB. The scale path is x4b (LSH candidates → verify).
       val d = t(s, dir, "documents")
       val sets = Dedup.tokenSets(d, "text", "doc_id")
         .join(d.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
@@ -468,7 +488,7 @@ object SparkEntry {
           Dedup.jaccard(col("a_toks"), col("b_toks")).as("jaccard"))
     }),
     "x13_ngram_jaccard" -> ((s, dir) => {
-      // word-bigram Jaccard for (lang, source)-blocked candidate pairs
+      // SMALL-BLOCK FIXTURE (oracle-comparison only) — scale path: x13b
       val d = t(s, dir, "documents")
       val sets = d.select(col("doc_id"), col("lang"), col("source"),
         Dedup.wordNgrams(col("text"), 2).as("gs"))
@@ -494,8 +514,16 @@ object SparkEntry {
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
 
+    "x7b_cosine_lsh" -> ((s, dir) =>
+      // SCALE PATH: sign-bucket (axis-aligned RHP) LSH candidates verified
+      // with the Q30-exact cosine — fully oracle-checkable because the
+      // plane set is the standard basis, not engine-internal random draws
+      Similarity.signBucketNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", 10, 0.2)),
     "x7_cosine_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup pairs, blocked by label; all arithmetic
+      // SMALL-BLOCK FIXTURE (oracle-comparison only): label-blocked
+      // all-pairs — quadratic within a block; the scale paths are x7b
+      // (oracle-exact) and x15 (true random hyperplanes). All arithmetic
       // Q30-exact so the cosine (and the threshold compare) is
       // bit-identical across engines
       val emb = t(s, dir, "embeddings")
@@ -568,6 +596,12 @@ object SparkEntry {
         .agg(sum(TextStats.tokenCount(col("text"))).cast("long").as("total_tokens"),
           count(lit(1)).as("n_docs")))
   )
+
+  /** SQL form of Similarity.signBucketSignature(·, 10): bit i = [dim i > 0]
+    * packed into a BIGINT (1-based list indexing on the oracle side). */
+  private def signBucketSql10: String = (0 until 10).map(i =>
+    s"(CASE WHEN embedding[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -868,6 +902,71 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))""",
+    "x4b_jaccard_lsh" ->
+      """WITH sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         sets AS (SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+         SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.toks, sb.toks))) AS jaccard
+         FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
+                     JOIN sets sb ON c.b_id = sb.doc_id""",
+    "x13b_ngram_lsh" ->
+      """WITH sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         sets AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 1, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1]))) AS gs
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents))
+         SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(sa.gs, sb.gs)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.gs, sb.gs))) AS jaccard
+         FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
+                     JOIN sets sb ON c.b_id = sb.doc_id""",
+    "x7b_cosine_lsh" ->
+      s"""WITH s AS (SELECT vec_id, embedding, $signBucketSql10 AS sig FROM embeddings),
+           norms AS (SELECT vec_id,
+                     SUM(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS ns
+                     FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+           pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS av, b.embedding AS bv
+                     FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+           dots AS (SELECT a_id, b_id,
+                    SUM(CAST(floor(CAST(ax AS DOUBLE)*CAST(bx AS DOUBLE)*1073741824) AS BIGINT)) AS d
+                    FROM (SELECT a_id, b_id, unnest(av) AS ax, unnest(bv) AS bx FROM pairs)
+                    GROUP BY a_id, b_id)
+         SELECT * FROM (
+           SELECT d.a_id, d.b_id,
+                  (CAST(d.d AS DOUBLE)/1073741824)
+                    / (sqrt(CAST(na.ns AS DOUBLE)/1073741824)
+                       * sqrt(CAST(nb.ns AS DOUBLE)/1073741824)) AS cos
+           FROM dots d JOIN norms na ON na.vec_id = d.a_id
+                       JOIN norms nb ON nb.vec_id = d.b_id)
+         WHERE cos >= 0.2""",
     "x4_jaccard_pairs" ->
       """WITH sets AS (SELECT doc_id, lang, source,
              list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)

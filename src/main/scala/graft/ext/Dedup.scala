@@ -115,6 +115,23 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Exact-Jaccard verification of CANDIDATE pairs — the scale-safe tail
+    * of LSH dedup. Candidates carry only (a_id, b_id); the token/ngram
+    * arrays join back BY ID, so the work is O(|candidates|): no join key
+    * ever has block-quadratic fan-out (contrast the all-pairs-within-block
+    * form, which explodes quadratically once a block holds millions of
+    * docs). Compose as lshCandidatePairs → jaccardVerify. */
+  def jaccardVerify(candidates: DataFrame, sets: DataFrame, idCol: String,
+                    setCol: String = "toks"): DataFrame = {
+    val a = sets.select(col(idCol).as("a_id"), col(setCol).as("a_set"))
+    val b = sets.select(col(idCol).as("b_id"), col(setCol).as("b_set"))
+    candidates.select(col("a_id"), col("b_id"))
+      .join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long").as("n_common"),
+        jaccard(col("a_set"), col("b_set")).as("jaccard"))
+  }
+
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {

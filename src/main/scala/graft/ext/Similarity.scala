@@ -114,6 +114,38 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Axis-aligned sign-bucket signature: bit i = [vec[i] > 0] — RHP with
+    * the standard basis as the plane set. Same plan shape and scale
+    * behavior as [[rhpSignature]] (pure projection → packed long), but
+    * expressible in ANSI SQL, so candidate generation AND verification are
+    * oracle-checkable end to end. */
+  def signBucketSignature(vec: Column, nBits: Int): Column = {
+    require(nBits <= 63, "signature packs into one long")
+    (0 until nBits).map(i =>
+      when(get(vec, lit(i)) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** Embedding near-dup pairs from sign-bucket LSH candidates, verified
+    * with the Q30-exact cosine (engine-portable arithmetic, like the x7
+    * fixture). Candidates come from an equi-join on the packed long
+    * signature: the shuffle carries (sig, id, vec) rows once each —
+    * O(n + |candidates|), never all-pairs within a block. */
+  def signBucketNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                             nBits: Int, minCos: Double): DataFrame = {
+    val sig = df.select(col(idCol), col(vecCol),
+      signBucketSignature(col(vecCol), nBits).as("sig"),
+      sqrt(quantizedDot(col(vecCol), col(vecCol))).as("nrm"))
+    val a = sig.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      col("sig"), col("nrm").as("a_nrm"))
+    val b = sig.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      col("sig").as("sig_b"), col("nrm").as("b_nrm"))
+    a.join(b, col("sig") === col("sig_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (quantizedDot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Per-row centroid scores for a centroid set folded into the plan as
     * ONE nested-array literal (typedlit — per-element lit() nodes were
     * measured to blow up codegen compile time): centroids are bounded

@@ -81,4 +81,19 @@ class PlanSpec extends SparkSpec {
     val p = tree(q("x16_curation"))
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
   }
+
+  test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
+    // The scale-safe pair pipelines must join on high-cardinality keys
+    // (band_key / packed signature / ids) — never on low-cardinality block
+    // columns like lang/source/label, whose within-block all-pairs fan-out
+    // is quadratic at 100 TB.
+    Seq("x4b_jaccard_lsh", "x13b_ngram_lsh", "x7b_cosine_lsh").foreach { name =>
+      val joinLines = tree(q(name)).linesIterator.filter(_.contains("Join")).toSeq
+      assert(joinLines.nonEmpty, name)
+      joinLines.foreach { l =>
+        assert(!l.contains("lang") && !l.contains("source") && !l.contains("label"),
+          s"$name joins on a block column: $l")
+      }
+    }
+  }
 }
