@@ -444,6 +444,17 @@ object SparkEntry {
       Dedup.lshCandidatePairs(
         Dedup.minhashSignature(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2)
         .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))),
+    "x3c_lsh_staged" -> ((s, dir) => {
+      // 100 TB form of x3: signature table staged to parquet once, bands
+      // and self-join read the staged table — the text corpus is scanned
+      // exactly once (spec asserts no signature recompute in the plan)
+      val stage = "/tmp/graft_sig_stage_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.lshCandidatePairsStaged(
+        Dedup.minhashSignature(t(s, dir, "documents"), "text", 4),
+        "doc_id", 4, 2, stage)
+        .select(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id"))
+    }),
     // native codegen minhash (graft.functions.MinHashSignature): no oracle
     // (engine-specific hash values) => driver rows-only check
     "x2b_minhash_fast" -> ((s, dir) =>
@@ -891,6 +902,18 @@ object SparkEntry {
                WHERE i <= greatest(length(text) - 4, 1))
          GROUP BY doc_id""",
     "x3_lsh_pairs" ->
+      """WITH sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id)
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))""",
+    "x3c_lsh_staged" ->
       """WITH sig AS (
            SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
                   MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4

@@ -72,6 +72,22 @@ object Dedup {
       .distinct()
   }
 
+  /** At-scale LSH candidate generation: materialize the signature table to
+    * parquet FIRST, then band/self-join from the staged table — exactly ONE
+    * signature computation over the corpus. [[lshCandidatePairs]]'s aliased
+    * self-join recomputes the signature on each side, which measured FASTER
+    * at bench scale (cache write > recompute) but is the wrong trade at
+    * 100 TB where the signature pass reads the full text corpus: staging
+    * costs one narrow parquet write of (id, k×8-byte hashes) and every
+    * later pass — banding, joins, incremental dedup — reads that instead of
+    * the text. Returns the same pairs as the unstaged form. */
+  def lshCandidatePairsStaged(sig: DataFrame, idCol: String, k: Int,
+                              rowsPerBand: Int, sigPath: String): DataFrame = {
+    sig.write.mode("overwrite").parquet(sigPath)
+    val staged = sig.sparkSession.read.parquet(sigPath)
+    lshCandidatePairs(staged, idCol, k, rowsPerBand)
+  }
+
   /** MinHash signature via the native single-pass codegen expression
     * (graft.functions.MinHashSignature) — the fast engine-internal path:
     * pure projection, no explode, no shuffle, no per-shingle allocation.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{Filters, Joins, Projections}
-import graft.render.{DbGapXmlRenderer, DocumentSink}
+import graft.render.{DbGapXmlRenderer, DocumentSink, SummaryReport}
 
 /** BDC ingest lifecycle (SURVEY.md §3.1): Gen3 SLMD CSV + PicSure VLMD CSV
   * → validation split → equi-join → per-data-table XML documents
@@ -16,7 +16,8 @@ import graft.render.{DbGapXmlRenderer, DocumentSink}
   */
 object BdcIngest {
 
-  case class Result(valid: DataFrame, rejects: DataFrame, summary: DataFrame)
+  case class Result(valid: DataFrame, rejects: DataFrame, summary: DataFrame,
+                    processingSummary: String)
 
   val requiredStudyFields: Seq[String] =
     Seq("Accession", "Consent", "Study Name", "Program", "Description")
@@ -84,6 +85,25 @@ object BdcIngest {
       .groupBy(col("status")).agg(count(lit(1)).as("n"),
         concat_ws("|", array_sort(collect_list(col("id")))).as("ids"))
 
-    Result(studies, rejects, summary)
+    // A9/K6: processing_summary.txt (write_summary, run_dbgap_xml_gen_
+    // fallback.py:80-161) — per-study status frame + the Gen3∩PicSure
+    // overlap, which is exactly the J8 prefix-scan membership (phs values
+    // harvested from ANY picsure column, first dot-part, ∩ gen3 ids)
+    val perStudy = studies.select(col("study_id"),
+        col("Accession").as("accession_id"),
+        lit("SUCCESS").as("status"), lit("XML_generator").as("method"),
+        lit("Generated from PicSure metadata").as("details"))
+      .unionByName(rejects.select(
+        Projections.splitPart(col("Accession"), ".", 1).as("study_id"),
+        coalesce(col("Accession"), lit("(no accession)")).as("accession_id"),
+        lit("FAILED").as("status"), lit("none").as("method"),
+        col("reason").as("details")))
+    val overlapIds = Joins.prefixScanMembership(picsure, picsure.columns.toSeq,
+        "phs", studies.select(col("study_id")).distinct(), "study_id")
+      .collect().map(_.getString(0)).toSeq
+    val summaryText =
+      SummaryReport.writeProcessingSummary(perStudy, overlapIds, outDir)
+
+    Result(studies, rejects, summary, summaryText)
   }
 }

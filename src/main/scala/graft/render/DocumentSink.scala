@@ -16,19 +16,38 @@ import java.nio.file.{Files, Paths}
   */
 object DocumentSink {
 
-  /** Write (relativePath, content) rows under `baseDir`, executor-side. */
+  /** Ceiling for driver-funneled sinks: past this the caller is abusing a
+    * metadata-scale path for data-scale output. */
+  val MaxSingleFileRows: Long = 1000000L
+
+  /** Write (relativePath, content) rows under `baseDir`, executor-side.
+    * Relative paths are data-derived (study ids, table ids): each resolved
+    * path is normalized and must stay inside `baseDir` — a value carrying
+    * `../` or an absolute path fails the task instead of writing outside
+    * the sink. */
   def writeDocuments(docs: Dataset[(String, String)], baseDir: String): Unit =
     docs.foreachPartition { it: Iterator[(String, String)] =>
+      val base = Paths.get(baseDir).toAbsolutePath.normalize()
       it.foreach { case (rel, content) =>
-        val p = Paths.get(baseDir, rel)
+        val p = base.resolve(rel).normalize()
+        require(p.startsWith(base) && p != base,
+          s"document path escapes the sink directory: '$rel'")
         Files.createDirectories(p.getParent)
         Files.write(p, content.getBytes(StandardCharsets.UTF_8))
       }
     }
 
-  /** K1: single CSV file with header (metadata-scale reports). */
-  def writeSingleCsv(df: DataFrame, path: String): Unit =
+  /** K1: single CSV file with header — the reference's one-file-with-header
+    * report shape. coalesce(1) funnels everything through one task, so a
+    * row-count ceiling rejects data-scale misuse up front. */
+  def writeSingleCsv(df: DataFrame, path: String,
+                     maxRows: Long = MaxSingleFileRows): Unit = {
+    val n = df.limit((maxRows + 1).toInt).count()
+    require(n <= maxRows,
+      s"writeSingleCsv is a metadata-scale sink (> $maxRows rows); " +
+        "use a partitioned write for data-scale output")
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  }
 
   /** K4: partitioned directory layout, null group → "__missing__"
     * (get_dbgap_data_dicts.py:206-221). */

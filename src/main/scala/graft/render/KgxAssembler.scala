@@ -42,9 +42,17 @@ object KgxAssembler {
   }
 
   /** Render the single `{"nodes":[…],"edges":[…]}` document (metadata
-    * scale; large graphs should use the two-DataFrame JSON writes). Node
-    * and edge order is made deterministic by sorting on id/subject. */
-  def toJsonDocument(nodes: DataFrame, edges: DataFrame): String = {
+    * scale; large graphs should use [[writeGraph]]). Node and edge order is
+    * made deterministic by sorting on id/subject. Collects to the driver,
+    * so a row-count ceiling raises on data-scale misuse instead of OOMing. */
+  def toJsonDocument(nodes: DataFrame, edges: DataFrame,
+                     maxRows: Long = 1000000L): String = {
+    Seq("nodes" -> nodes, "edges" -> edges).foreach { case (what, df) =>
+      val n = df.limit((maxRows + 1).toInt).count()
+      require(n <= maxRows,
+        s"toJsonDocument collects $what to the driver (> $maxRows rows); " +
+          "use writeGraph for large graphs")
+    }
     val nodeJson = nodes.orderBy("id").toJSON.collect().mkString(",")
     val edgeJson = edges.orderBy("subject", "object").toJSON.collect().mkString(",")
     s"""{"nodes":[$nodeJson],"edges":[$edgeJson]}"""

@@ -41,6 +41,20 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("lshCandidatePairsStaged: same pairs, ONE signature pass (plan-checked)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toString
+    val sig = Dedup.minhashSignature(docs, "text", 8)
+    val staged = Dedup.lshCandidatePairsStaged(sig, "doc_id", 8, 2, s"$dir/sig")
+    val unstaged = Dedup.lshCandidatePairs(sig, "doc_id", 8, 2)
+    assert(staged.as[(Long, Long)].collect().toSet ==
+      unstaged.as[(Long, Long)].collect().toSet)
+    // the staged plan reads the materialized parquet; the signature
+    // expression must NOT appear (it would mean a recompute of the text pass)
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"), plan)
+    assert(!plan.toLowerCase.contains("minhash"), s"signature recomputed: $plan")
+  }
+
   test("simhash: identical => equal, near-dup closer than unrelated (hamming)") {
     val sh = Dedup.simhash(docs, "text", "doc_id", 32)
       .as[(Long, Long)].collect().toMap

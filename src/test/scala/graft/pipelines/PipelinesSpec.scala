@@ -49,6 +49,22 @@ class PipelinesSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(summary("generated")._1 == 1L)
     assert(summary("skipped")._1 == 2L)
+
+    // processing_summary.txt (write_summary layout, A9/K6)
+    val txt = Files.readString(Paths.get(out, "processing_summary.txt"))
+    assert(txt == res.processingSummary)
+    assert(txt.contains("PROCESSING SUMMARY"))
+    assert(txt.contains("Total studies processed: 3"))
+    assert(txt.contains("Successfully processed: 1"))
+    assert(txt.contains("  - Generated with XML fallback: 1"))
+    assert(txt.contains("Failed: 2"))
+    assert(txt.contains("\nStudies generated using XML generator:\n" +
+      "  1. phs000007 (phs000007.v32) - Reason: Generated from PicSure metadata"))
+    assert(txt.contains("\nFailed studies:\n"))
+    assert(txt.contains("(phs000285.v3) - Reason: missing Description"))
+    // Gen3∩PicSure overlap via J8 prefix-scan over ALL picsure columns
+    assert(txt.contains("Studies in both Gen3 and PicSure: 1"))
+    assert(txt.contains("\nStudies found in both Gen3 and PicSure:\n  phs000007"))
   }
 
   test("HealIngest: alias normalization, uniquify, enum packing, KGX") {
@@ -82,6 +98,21 @@ class PipelinesSpec extends SparkSpec {
     assert(res.kgxJson.contains(""""id":"HDP00002""""))
     assert(res.kgxJson.contains(""""id":"HEALCDE:dd-1""""))
     assert(res.kgxJson.contains(""""predicate":"biolink:related_to""""))
+  }
+
+  test("DugIngest: sorted TSV with header, jq escaping, CDE exclusion (golden)") {
+    val out = Files.createTempDirectory("dug").toString
+    DugIngest.run(spark, s"$fixtures/dug/list.json", out)
+    val dir = Paths.get(out, "list_tsv")
+    val part = Files.list(dir).filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    val golden =
+      "collection_id\tcollection_name\tcollection_action\n" +
+        "dd-1\tOpioid\\tUse\t\n" + // embedded tab escaped like jq @tsv; null action -> empty
+        "dd-2\tPain Study\tindex\n" +
+        "dd-3\tCDE\tkeep\n" // name CDE but non-empty id: grep keeps it
+    // the placeholder row ("\tCDE\t") is gone
+    assert(Files.readString(part) == golden)
   }
 
   test("LakeIndex: per-repo variable counts pivoted into columns") {

@@ -67,6 +67,46 @@ class RenderSpec extends SparkSpec {
     assert(docs.head._2.contains("<name>AGE</name>")) // variables preserved
   }
 
+  test("writeDocuments rejects data-derived paths escaping the sink dir") {
+    val out = Files.createTempDirectory("esc").toString
+    val evil = Seq(("../outside.txt", "nope")).toDS()
+    val boom = intercept[Exception] {
+      DocumentSink.writeDocuments(evil, out)
+    }
+    assert(boom.getMessage.contains("escapes the sink directory")
+      || boom.getCause != null)
+    assert(!Files.exists(Paths.get(out).getParent.resolve("outside.txt")))
+    // absolute paths are rejected too
+    val abs = Seq(("/tmp/graft_abs_escape.txt", "nope")).toDS()
+    intercept[Exception] { DocumentSink.writeDocuments(abs, out) }
+    assert(!Files.exists(Paths.get("/tmp/graft_abs_escape.txt")))
+    // a legitimate nested relative path still writes
+    DocumentSink.writeDocuments(Seq(("sub/ok.txt", "yes")).toDS(), out)
+    assert(Files.readString(Paths.get(out, "sub/ok.txt")) == "yes")
+  }
+
+  test("driver-funneled sinks raise past their row ceilings") {
+    val big = spark.range(5).selectExpr("CAST(id AS STRING) AS id",
+      "CAST(id AS STRING) AS name", "array('biolink:Study') AS categories")
+    val edges = Seq.empty[(String, String, String)]
+      .toDF("subject", "predicate", "object")
+    val e1 = intercept[IllegalArgumentException] {
+      KgxAssembler.toJsonDocument(big, edges, maxRows = 2)
+    }
+    assert(e1.getMessage.contains("collects nodes to the driver"))
+    val out = Files.createTempDirectory("cap").toString
+    val flat = big.select("id", "name")
+    val e2 = intercept[IllegalArgumentException] {
+      DocumentSink.writeSingleCsv(flat, s"$out/csv", maxRows = 2)
+    }
+    assert(e2.getMessage.contains("metadata-scale sink"))
+    // under the ceiling both still work
+    assert(KgxAssembler.toJsonDocument(big, edges, maxRows = 100).contains("\"id\":\"0\""))
+    DocumentSink.writeSingleCsv(flat, s"$out/csv2", maxRows = 100)
+    assert(Files.list(Paths.get(out, "csv2"))
+      .anyMatch(_.getFileName.toString.startsWith("part-")))
+  }
+
   test("K4 partitioned layout: null partition values become __missing__") {
     val out = Files.createTempDirectory("part").toString
     val df = Seq(("a", "p1"), ("b", null)).toDF("v", "prog")
