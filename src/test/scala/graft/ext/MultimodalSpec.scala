@@ -32,6 +32,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(i => (i.width, i.height)).sameElements(again.map(i => (i.width, i.height))))
   }
 
+  test("decodeImages parses real PNM headers; malformed bytes quarantine") {
+    def ppm(header: String, rasterBytes: Int): Array[Byte] =
+      header.getBytes("US-ASCII") ++ Array.fill(rasterBytes)(7.toByte)
+    val imgs = Multimodal.asMedia(Seq(
+      (1L, ppm("P6\n2 3\n255\n", 2 * 3 * 3)),          // valid RGB 2x3
+      (2L, ppm("P5\n# a comment\n4 1\n255\n", 4)),     // valid gray w/ comment
+      (3L, ppm("P6\n2 3\n255\n", 5)),                  // truncated raster
+      (4L, ppm("P6\n0 3\n255\n", 9)),                  // zero width
+      (5L, ppm("P6\n2 3\n99999\n", 18)),               // maxval out of range
+      (6L, ppm("P6\nxy\n255\n", 18))                   // dims not numeric
+    ).toDF("id", "bytes"), "id", "bytes", "image/x-portable-anymap")
+    val out = Multimodal.decodeImages(imgs, batchSize = 2)
+      .collect().sortBy(_.mediaId)
+    assert(out.map(_.ok).sameElements(Array(true, true, false, false, false, false)))
+    assert((out(0).width, out(0).height, out(0).channels) == ((2, 3, 3)))
+    assert((out(1).width, out(1).height, out(1).channels) == ((4, 1, 1)))
+    // 16-bit samples need a double-size raster: truncated at 1 byte/sample
+    assert(Multimodal.decodeImages(Multimodal.asMedia(
+      Seq((7L, ppm("P5\n2 2\n65535\n", 4))).toDF("id", "bytes"),
+      "id", "bytes", "pgm")).head().ok == false)
+  }
+
+  test("decodeAudio parses real WAV RIFF headers; malformed bytes quarantine") {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def wav(channels: Int, rate: Int, bits: Int): Array[Byte] =
+      "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+        le32(rate * channels * bits / 8) ++ le16(channels * bits / 8) ++ le16(bits) ++
+        "data".getBytes ++ le32(0)
+    val good = wav(2, 44100, 16)
+    val audio = Multimodal.asMedia(Seq(
+      (1L, good),
+      (2L, wav(1, 8000, 8)),
+      (3L, "RIFX".getBytes ++ good.drop(4)),  // bad RIFF magic
+      (4L, good.take(20)),                    // truncated fmt chunk
+      (5L, wav(0, 44100, 16)),                // zero channels
+      (6L, "not audio at all".getBytes)
+    ).toDF("id", "bytes"), "id", "bytes", "audio/wav")
+    val out = Multimodal.decodeAudio(audio, batchSize = 3)
+      .collect().sortBy(_.mediaId)
+    assert(out.map(_.ok).sameElements(Array(true, true, false, false, false, false)))
+    assert((out(0).sampleRate, out(0).channels, out(0).bitsPerSample) == ((44100, 2, 16)))
+    assert((out(1).sampleRate, out(1).channels, out(1).bitsPerSample) == ((8000, 1, 8)))
+  }
+
   test("extractFeatures: fixed-dim unit vectors feed the similarity ops") {
     val feats = Multimodal.extractFeatures(media, dim = 8).toDF()
       .withColumnRenamed("mediaId", "vec_id")
