@@ -72,13 +72,63 @@ object PyLiteralListParse {
         while (i < n && !closed) {
           val ch = s.charAt(i)
           if (ch == '\\' && i + 1 < n) {
-            s.charAt(i + 1) match {
-              case 'n' => sb += '\n'
-              case 't' => sb += '\t'
-              case 'r' => sb += '\r'
-              case other => sb += other // \' \" \\ and unknown: literal
-            }
+            // Python string-literal escape semantics: recognized escapes
+            // decode; \x/\u/\U decode from hex (short digits = malformed,
+            // like eval); UNRECOGNIZED escapes keep the backslash ('\d'
+            // stays two chars — Python never drops it)
+            val e = s.charAt(i + 1)
             i += 2
+            def hex(len: Int): Int = {
+              if (i + len > n) return -1
+              var v = 0
+              var k = 0
+              while (k < len) {
+                val d = Character.digit(s.charAt(i + k), 16)
+                if (d < 0) return -1
+                v = (v << 4) | d
+                k += 1
+              }
+              i += len
+              v
+            }
+            e match {
+              case 'n'  => sb += '\n'
+              case 't'  => sb += '\t'
+              case 'r'  => sb += '\r'
+              case 'a'  => sb += 7.toChar  // BEL
+              case 'b'  => sb += '\b'
+              case 'f'  => sb += '\f'
+              case 'v'  => sb += 11.toChar // VT
+              case '\\' => sb += '\\'
+              case '\'' => sb += '\''
+              case '"'  => sb += '"'
+              case '\n' => () // line continuation: swallowed
+              case 'x' =>
+                val v = hex(2)
+                if (v < 0) return null
+                sb += v.toChar
+              case 'u' =>
+                val v = hex(4)
+                if (v < 0) return null
+                sb += v.toChar
+              case 'U' =>
+                val v = hex(8)
+                if (v < 0 || !Character.isValidCodePoint(v)) return null
+                sb.appendAll(Character.toChars(v))
+              case o if o >= '0' && o <= '7' =>
+                // \ooo: up to three octal digits (first already consumed)
+                var v = o - '0'
+                var k = 0
+                while (k < 2 && i < n && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                  v = v * 8 + (s.charAt(i) - '0')
+                  i += 1
+                  k += 1
+                }
+                sb += v.toChar
+              case other =>
+                sb += '\\'
+                sb += other
+            }
           } else if (ch == quote) {
             closed = true
             i += 1

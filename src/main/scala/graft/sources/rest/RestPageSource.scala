@@ -36,16 +36,46 @@ trait PageFetcher extends Serializable {
   def fetch(offset: Int, limit: Int): Seq[String]
 }
 
-/** JVM-local fetcher registry: partitions reference fetchers by name so
-  * nothing non-serializable crosses the task boundary. */
+/** Deployment-safe fetcher construction: a zero-arg-constructible factory
+  * named by CLASS in the scan options (`fetcher_provider`), shipped to
+  * executors as a string and instantiated lazily in each task JVM with the
+  * serialized option map — the production path (an HTTP provider builds
+  * its pooled client here, once per executor, from config). */
+trait PageFetcherProvider {
+  def create(config: Map[String, String]): PageFetcher
+}
+
+/** Fetcher resolution. Two paths:
+  *  - `fetcher_provider` (class name): reflective instantiation executor-
+  *    side from the InputPartition's config — works in any JVM topology;
+  *  - `fetcher` (registry name): JVM-local registry, for tests/local mode
+  *    where driver and executors share the JVM. Using a bare name in a
+  *    multi-JVM deployment fails fast with a message naming the fix.
+  * Provider instances cache per (class, config) so e.g. connection pools
+  * are built once per executor, not once per task. */
 object PageFetchers {
   private val fetchers = new java.util.concurrent.ConcurrentHashMap[String, PageFetcher]()
   def register(name: String, f: PageFetcher): Unit = fetchers.put(name, f)
   def apply(name: String): PageFetcher = {
     val f = fetchers.get(name)
-    require(f != null, s"no PageFetcher registered under '$name'")
+    require(f != null,
+      s"no PageFetcher registered under '$name' in this JVM — in a " +
+        "multi-JVM deployment pass fetcher_provider=<class> instead of a " +
+        "registry name (or register fetchers in an executor startup hook)")
     f
   }
+
+  private val instances = new java.util.concurrent.ConcurrentHashMap[String, PageFetcher]()
+
+  def resolve(name: String, providerClass: String,
+              config: Map[String, String]): PageFetcher =
+    if (providerClass.nonEmpty) {
+      val key = providerClass + "|" +
+        config.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+      instances.computeIfAbsent(key, _ =>
+        Class.forName(providerClass).getDeclaredConstructor()
+          .newInstance().asInstanceOf[PageFetcherProvider].create(config))
+    } else apply(name)
 }
 
 class RestPageSource extends TableProvider with DataSourceRegister {
@@ -68,13 +98,18 @@ final class RestTable(props: Map[String, String]) extends Table with SupportsRea
   override def schema(): StructType = RestPageSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val config = props ++ options.asCaseSensitiveMap().asScala
     new RestScanBuilder(
       options.getOrDefault("fetcher", props.getOrElse("fetcher", "")),
-      options.getInt("pagesize", props.get("pagesize").map(_.toInt).getOrElse(50)))
+      options.getOrDefault("fetcher_provider", props.getOrElse("fetcher_provider", "")),
+      options.getInt("pagesize", props.get("pagesize").map(_.toInt).getOrElse(50)),
+      config)
+  }
 }
 
-final class RestScanBuilder(fetcherName: String, pageSize: Int)
+final class RestScanBuilder(fetcherName: String, providerClass: String,
+                            pageSize: Int, config: Map[String, String])
     extends ScanBuilder with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns {
   private var limit: Option[Int] = None
@@ -95,10 +130,10 @@ final class RestScanBuilder(fetcherName: String, pageSize: Int)
         s"limit=${limit.getOrElse(-1)} columns=${required.fieldNames.mkString(",")}"
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val total = PageFetchers(fetcherName).totalRows
+      val total = PageFetchers.resolve(fetcherName, providerClass, config).totalRows
       val effective = limit.fold(total)(math.min(_, total))
       (0 until effective by pageSize).map { start =>
-        RestInputPartition(fetcherName, start,
+        RestInputPartition(fetcherName, providerClass, config, start,
           math.min(pageSize, effective - start),
           required.fieldNames): InputPartition
       }.toArray
@@ -113,15 +148,23 @@ final class RestScanBuilder(fetcherName: String, pageSize: Int)
   }
 }
 
-final case class RestInputPartition(fetcherName: String, start: Int, n: Int,
-                                    columns: Array[String]) extends InputPartition
+/** Carries everything an executor JVM needs to build the fetcher locally:
+  * provider class name + serialized config (the registry name only works
+  * when driver and executor share a JVM). */
+final case class RestInputPartition(fetcherName: String, providerClass: String,
+                                    config: Map[String, String], start: Int,
+                                    n: Int, columns: Array[String])
+    extends InputPartition
 
 final class RestPartitionReader(p: RestInputPartition)
     extends PartitionReader[InternalRow] {
   private val wantOffset = p.columns.contains("offset")
   private val wantPayload = p.columns.contains("payload")
-  // page fetched lazily on first next(): planning never triggers IO
-  private lazy val rows = PageFetchers(p.fetcherName).fetch(p.start, p.n).iterator
+  // page fetched lazily on first next(): planning never triggers IO;
+  // fetcher resolved IN THE TASK JVM (reflective provider path)
+  private lazy val rows =
+    PageFetchers.resolve(p.fetcherName, p.providerClass, p.config)
+      .fetch(p.start, p.n).iterator
   private var i = p.start - 1
   private var current: String = _
   override def next(): Boolean = {

@@ -97,6 +97,24 @@ class ProjectionsSpec extends SparkSpec {
     assert(out(2).get == Nil)
     assert(out(3).isEmpty && out(4).isEmpty) // malformed -> null, no throw
     assert(out(5).isEmpty) // trailing garbage after [] is malformed too
+
+    // Python string-literal escape semantics (eval-compatible, minus eval)
+    val esc = Seq(
+      """['a\db']""",      // unknown escape: backslash KEPT (Python keeps \d)
+      """['\x41\x62']""",  // hex escapes decode: A, b
+      "['" + '\\' + "u00e9']", // \uNNNN decodes (built to dodge source-level \u)
+      """['\101\10\8']""", // octal \101='A', \10='\b'; \8 is NOT octal -> kept
+      """['\n\t\\\'']""",  // recognized escapes
+      """['\xZZ']""",      // malformed hex -> null (eval raises; we quarantine)
+      "['" + '\\' + "u12']" // short \u -> null
+    ).toDF("v").select(Projections.parsePyLiteralList(col("v")).as("a"))
+      .as[Option[Seq[String]]].collect()
+    assert(esc(0).get == Seq("a\\db"))
+    assert(esc(1).get == Seq("Ab"))
+    assert(esc(2).get == Seq("é"))
+    assert(esc(3).get == Seq("A\b\\8"))
+    assert(esc(4).get == Seq("\n\t\\'"))
+    assert(esc(5).isEmpty && esc(6).isEmpty)
     // non-nullable child (concat of literals): malformed input must still
     // surface as null, not crash codegen with a constant-false isNull
     val nn = spark.range(1).select(

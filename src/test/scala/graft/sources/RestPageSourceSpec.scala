@@ -1,10 +1,27 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.sources.rest.{PageFetcher, PageFetchers}
+import graft.sources.rest.{PageFetcher, PageFetcherProvider, PageFetchers}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.util.concurrent.atomic.AtomicInteger
+
+/** Provider resolved by CLASS NAME in the task JVM (the multi-JVM path):
+  * zero-arg constructed, configured from the shipped option map. */
+class CountingMdsProvider extends PageFetcherProvider {
+  override def create(config: Map[String, String]): PageFetcher = {
+    CountingMdsProvider.instantiations.incrementAndGet()
+    val n = config.getOrElse("rows", "10").toInt
+    new PageFetcher {
+      override def totalRows: Int = n
+      override def fetch(offset: Int, limit: Int): Seq[String] =
+        (offset until math.min(offset + limit, n)).map(i => s"""{"i":$i}""")
+    }
+  }
+}
+object CountingMdsProvider {
+  val instantiations = new AtomicInteger(0)
+}
 
 class RestPageSourceSpec extends SparkSpec {
   import spark.implicits._
@@ -50,6 +67,24 @@ class RestPageSourceSpec extends SparkSpec {
     val plan = offsetOnly.queryExecution.executedPlan.toString
     assert(plan.contains("columns=offset"), plan)
     assert(offsetOnly.count() == 95)
+  }
+
+  test("fetcher_provider: class-named factory instantiates in the task JVM") {
+    CountingMdsProvider.instantiations.set(0)
+    // no PageFetchers.register at all — resolution is purely reflective
+    val df = spark.read.format("rest-pages")
+      .option("fetcher_provider", classOf[CountingMdsProvider].getName)
+      .option("rows", "23").option("pagesize", "10").load()
+    assert(df.count() == 23)
+    assert(df.select("offset").distinct().count() == 23)
+    // cached per (class, config): planning + 3 page tasks share one instance
+    assert(CountingMdsProvider.instantiations.get() == 1,
+      s"expected 1 cached instantiation, got ${CountingMdsProvider.instantiations.get()}")
+    // a different config constructs a fresh fetcher
+    assert(spark.read.format("rest-pages")
+      .option("fetcher_provider", classOf[CountingMdsProvider].getName)
+      .option("rows", "5").option("pagesize", "10").load().count() == 5)
+    assert(CountingMdsProvider.instantiations.get() == 2)
   }
 
   test("payload JSON composes with from_json downstream (S4 enrich shape)") {
