@@ -515,6 +515,13 @@ object SparkEntry {
     }),
     "x5_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", 16)),
+    "x17_dup_clusters" -> ((s, dir) =>
+      // dedup tail: LSH candidate pairs → connected components → cluster
+      // label = min id (the A8 keeper); oracle = recursive-CTE closure
+      Dedup.dupClusters(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2))
+        .select(col("id").cast("long").as("id"),
+          col("cluster_id").cast("long").as("cluster_id"))),
 
     // ───────────────────────── ext: similarity ─────────────────────────
     "x6_ann_topk" -> ((s, dir) => {
@@ -990,6 +997,27 @@ object SparkEntry {
            FROM dots d JOIN norms na ON na.vec_id = d.a_id
                        JOIN norms nb ON nb.vec_id = d.b_id)
          WHERE cos >= 0.2""",
+    "x17_dup_clusters" ->
+      """WITH RECURSIVE sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                   UNION SELECT b_id, a_id FROM cand),
+         reach AS (
+           SELECT src AS id, dst AS peer FROM edges
+           UNION
+           SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+         SELECT id, LEAST(id, MIN(peer)) AS cluster_id
+         FROM reach GROUP BY id""",
     "x4_jaccard_pairs" ->
       """WITH sets AS (SELECT doc_id, lang, source,
              list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)

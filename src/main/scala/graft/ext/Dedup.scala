@@ -148,6 +148,47 @@ object Dedup {
         jaccard(col("a_set"), col("b_set")).as("jaccard"))
   }
 
+  /** Duplicate clusters: connected components over (a_id, b_id) near-dup
+    * pairs, label = MIN id in the component (so the label doubles as the
+    * deterministic keeper, A8 semantics). Docs with no pair are absent —
+    * they are their own cluster.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own and its neighbors' labels; converges in O(component
+    * diameter) rounds. Near-dup components are banded quasi-cliques
+    * (every member collided with a shared band), so diameters are small
+    * by construction; `maxIter` bounds the pathological chain case and a
+    * converged=0 round exits early. Each round shuffles only (id, label)
+    * longs. Labels are EAGERLY localCheckpoint-ed every round: the loop's
+    * logical plan references the previous labels twice, so without lineage
+    * truncation the plan tree doubles per iteration (measured: driver OOM
+    * during analysis by round ~15). On a multi-node cluster substitute a
+    * reliable `checkpoint()` dir if executor loss must be survivable. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dst_label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {

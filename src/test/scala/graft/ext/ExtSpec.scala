@@ -55,6 +55,17 @@ class ExtSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("minhash"), s"signature recomputed: $plan")
   }
 
+  test("dupClusters: connected components with min-id labels (chains + pairs)") {
+    // chain 1-2-3 (transitive closure needed), isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // label is the component min regardless of edge direction/order
+    val rev = Seq((3L, 1L), (2L, 1L), (11L, 10L)).toDF("a_id", "b_id")
+    assert(Dedup.dupClusters(rev).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical => equal, near-dup closer than unrelated (hamming)") {
     val sh = Dedup.simhash(docs, "text", "doc_id", 32)
       .as[(Long, Long)].collect().toMap
