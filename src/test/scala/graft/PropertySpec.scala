@@ -52,6 +52,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native md5 minhash == SQL formulation for arbitrary text incl. non-BMP") {
+    // independent code-point-windowed reference of
+    // min(substr(md5(substr(text,i,L)),8w+1,8))
+    def ref(text: String, k: Int, l: Int): Seq[String] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val starts = if (n < l) Seq(0) else 0 to (n - l)
+      val mins = Array.fill(k)("~" * 8)
+      for (st <- starts; g <- 0 until (k + 3) / 4) {
+        val sh = new String(cps, st, math.min(st + l, n) - st)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(((if (g == 0) "" else g.toString) + sh).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        for (w <- 0 until 4; i = g * 4 + w; if i < k) {
+          val sub = hex.substring(8 * w, 8 * w + 8)
+          if (sub < mins(i)) mins(i) = sub
+        }
+      }
+      mins.toSeq
+    }
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "\t", "ä", "é", "中", "ß"),
+      2 -> Gen.oneOf("😀", "🤖", "𝕊", "👍"), // surrogate pairs
+      1 -> Gen.oneOf(".", ",", "'", "\""))
+    val textGen = Gen.chooseNum(0, 24)
+      .flatMap(len => Gen.listOfN(len, charGen).map(_.mkString))
+    val samples = Gen.listOfN(50, textGen).sample.get.distinct.filter(_.nonEmpty)
+    val got = graft.ext.Dedup.minhashSignature(
+        samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "text", 8)
+      .orderBy("doc_id").collect()
+      .map(r => (1 to 8).map(j => r.getAs[String](s"h$j")))
+    samples.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == ref(t, 8, 5), s"text='$t'")
+    }
+  }
+
+  test("py_literal_list parses Python repr of arbitrary string lists") {
+    // canonical Python single-quoted repr (the escapes eval would see)
+    def pyRepr(v: String): String =
+      "'" + v.flatMap {
+        case '\\' => "\\\\"
+        case '\'' => "\\'"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c    => c.toString
+      } + "'"
+    val strGen = Gen.chooseNum(0, 12).flatMap(len => Gen.listOfN(len,
+      Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        1 -> Gen.oneOf('\\', '\'', '"', '\n', '\t', '\r'),
+        1 -> Gen.oneOf(' ', ',', '[', ']', '#', 'é', '中'))).map(_.mkString))
+    val listGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, strGen))
+    val samples = Gen.listOfN(60, listGen).sample.get
+    val df = samples.zipWithIndex
+      .map { case (l, i) => (i, l.map(pyRepr).mkString("[", ", ", "]")) }
+      .toDF("i", "v")
+    val out = df.orderBy("i")
+      .select(Projections.parsePyLiteralList(col("v")))
+      .as[Option[Seq[String]]].collect()
+    samples.zipWithIndex.foreach { case (l, i) =>
+      assert(out(i).contains(l), s"repr=${l.map(pyRepr).mkString("[", ", ", "]")}")
+    }
+  }
+
   test("pagination source: exactly-once ids for arbitrary page sizes") {
     import graft.sources.rest.{PageFetcher, PageFetchers}
     val cases = Gen.listOfN(12, Gen.zip(Gen.chooseNum(1, 25), Gen.chooseNum(0, 60)))
