@@ -58,6 +58,23 @@ object EventStreams {
                   tsCol: String = "ts"): DataFrame =
     events.dropDuplicates(keyCols :+ tsCol)
 
+  /** Stream-static dimension enrichment (J4 made incremental): the static
+    * side is bounded metadata, broadcast-hinted so each micro-batch plans a
+    * broadcast hash join — the stream side never shuffles for the join. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String,
+                   joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
+
+  /** Streaming content-dedup: exactly-once per canonical-form fingerprint
+    * (TextStats.fingerprint: whitespace-normalized lowercase md5) within
+    * the watermark horizon — documents dedup AS THEY INGEST instead of in
+    * a later batch pass, and the fingerprint state expires with the
+    * watermark instead of growing forever. Input must be [[watermarked]]. */
+  def dedupStreamByFingerprint(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("_fp", graft.ext.TextStats.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Custom state machine: per-user session roll-up via mapGroupsWithState
     * with processing-time timeout — the KeyValueGroupedDataset path for
     * semantics windows can't express. */

@@ -42,6 +42,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 1)
   }
 
+  test("stream-static enrich broadcasts the dim; fingerprint dedup drops near-exact dups") {
+    val src = Files.createTempDirectory("esrc").toString
+    val sink = Files.createTempDirectory("esink").toString
+    val ckpt = Files.createTempDirectory("eckpt").toString
+    val docs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "en", "Hello  World"),
+      (2L, Timestamp.valueOf("2024-01-01 00:11:00"), "en", "hello world"), // same fingerprint
+      (3L, Timestamp.valueOf("2024-01-01 00:12:00"), "de", "Hallo Welt")
+    ).toDF("doc_id", "ts", "lang", "text")
+    docs.write.mode("overwrite").parquet(src)
+    val dim = Seq(("en", "English"), ("de", "German")).toDF("lang", "lang_name")
+
+    val pipeline = EventStreams.enrichStream(
+      EventStreams.dedupStreamByFingerprint(
+        EventStreams.watermarked(
+          EventStreams.fileSource(spark, src, docs.schema), delay = "1 hour"),
+        "text"),
+      dim, "lang")
+    val q = EventStreams.runAvailableNow(pipeline, sink, ckpt)
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(sink)
+      .select("doc_id", "lang_name").as[(Long, String)].collect().sortBy(_._1)
+    // doc 2 deduplicated by canonical-form fingerprint; dims enriched
+    assert(out.map(_._1).sameElements(Array(1L, 3L)))
+    assert(out.map(_._2).sameElements(Array("English", "German")))
+  }
+
   test("foreachBatch upsert sink: re-delivered batch overwrites, not duplicates") {
     val src = Files.createTempDirectory("usrc").toString
     val sink = Files.createTempDirectory("usink").toString
