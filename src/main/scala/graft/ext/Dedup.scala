@@ -153,40 +153,91 @@ object Dedup {
     * deterministic keeper, A8 semantics). Docs with no pair are absent —
     * they are their own cluster.
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own and its neighbors' labels; converges in O(component
-    * diameter) rounds. Near-dup components are banded quasi-cliques
-    * (every member collided with a shared band), so diameters are small
-    * by construction; `maxIter` bounds the pathological chain case and a
-    * converged=0 round exits early. Each round shuffles only (id, label)
-    * longs. Labels are EAGERLY localCheckpoint-ed every round: the loop's
-    * logical plan references the previous labels twice, so without lineage
-    * truncation the plan tree doubles per iteration (measured: driver OOM
-    * during analysis by round ~15). On a multi-node cluster substitute a
-    * reliable `checkpoint()` dir if executor loss must be survivable. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    * Iterative min-label propagation: each round a node takes the min of
+    * (its label, its neighbors' labels); a changed=0 round exits early and
+    * `maxIter` is a hard stop. Convergence is O(component diameter) —
+    * banded near-dup components are quasi-cliques (measured: 4 rounds on
+    * the 179k-pair sf0.1 graph), so the default keeps rounds single-pass
+    * and cheap. For high-diameter graphs set `pointerJump=true`: each
+    * round additionally follows the candidate label to ITS candidate
+    * label (path compression → O(log n) rounds) at the cost of a second
+    * per-round materialization. Each round shuffles only (id, label)
+    * longs. Per round the label frame is rebuilt from its materialized
+    * RDD (`createDataFrame(plan.rdd)`): this truncates lineage — the loop
+    * plan references the previous labels twice, so without truncation the
+    * plan tree doubles per iteration (measured: driver OOM during
+    * analysis by round ~15) — AND lets the previous round's cache be
+    * explicitly unpersisted once the new round materializes (leaving
+    * every round's localCheckpoint pinned measured as steadily growing
+    * round times from memory pressure). On a multi-node cluster
+    * substitute a reliable `checkpoint()` dir if executor loss must be
+    * survivable. */
+  /** Rounds the last [[dupClusters]] call ran (diagnostic only). */
+  @volatile private[graft] var lastDupClusterRounds: Int = 0
+
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  pointerJump: Boolean = false): DataFrame = {
+    // materialize the pair list ONCE up front: it is typically the output
+    // of LSH candidate generation (a signature pass over the corpus), and
+    // both union branches below would otherwise recompute it
+    val p = pairs.select(col("a_id"), col("b_id")).persist()
+    p.count()
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    val spark = pairs.sparkSession
+    // materialize a plan's RDD, cut lineage, manage the cache explicitly
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dst_label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = updated
+      val m1Plan = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
+      // convergence flag rides INSIDE the materialized frame: the changed
+      // count is then a scan of cached data, not another shuffle join
+      var m1Rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+      val updatedPlan =
+        if (!pointerJump)
+          m1Plan.select(col("id"), col("l1").as("label"),
+            (col("l1") < col("old")).as("_changed"))
+        else {
+          // materialize m1 so the jump self-join reads it instead of
+          // recomputing the neighbor-min pass twice
+          val (m1, r) = materialize(m1Plan)
+          m1Rdd = r
+          val jump = m1.select(col("id").as("l1"), col("l1").as("l2"))
+          m1.join(jump, Seq("l1"), "left")
+            .select(col("id"),
+              least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"),
+              (least(col("l1"), coalesce(col("l2"), col("l1"))) < col("old")).as("_changed"))
+        }
+      val (updated, updatedRdd) = materialize(updatedPlan)
+      changed = updated.filter(col("_changed")).count() // materializes the round
+      if (m1Rdd != null) m1Rdd.unpersist(false)
+      labelsRdd.unpersist(false) // previous round's cache is now dead weight
+      labels = updated.drop("_changed")
+      labelsRdd = updatedRdd
       iter += 1
     }
+    lastDupClusterRounds = iter
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    p.unpersist()
+    val out = labels.select(col("id"), col("label").as("cluster_id"))
+    // detach the result from the managed cache before freeing it
+    val result = spark.createDataFrame(out.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), out.schema)
+    result.count()
+    labelsRdd.unpersist(false)
+    result
   }
 
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a

@@ -12,8 +12,11 @@ object Probe {
     // inspect a catalog query's executed plan instead
     args.toList match {
       case name :: dir :: _ =>
+        val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(name)(spark, dir)
-        df.count() // materialize so AQE finalizes
+        val n = df.count() // materialize so AQE finalizes
+        println(s"ROWS $n TIME ${(System.nanoTime() - t0) / 1e9}s" +
+          (if (name.startsWith("x17")) s" ROUNDS ${graft.ext.Dedup.lastDupClusterRounds}" else ""))
         println("PLAN_START")
         println(df.queryExecution.executedPlan.toString.take(6000))
         println("PLAN_END")

@@ -64,6 +64,16 @@ class ExtSpec extends SparkSpec {
     val rev = Seq((3L, 1L), (2L, 1L), (11L, 10L)).toDF("a_id", "b_id")
     assert(Dedup.dupClusters(rev).as[(Long, Long)].collect().toMap ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // pointer-jump variant: identical result, fewer rounds on a long chain
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val plain = Dedup.dupClusters(chain).as[(Long, Long)].collect().toMap
+    val plainRounds = Dedup.lastDupClusterRounds
+    val jumped = Dedup.dupClusters(chain, pointerJump = true)
+      .as[(Long, Long)].collect().toMap
+    assert(plain == (1L to 9L).map(_ -> 1L).toMap)
+    assert(jumped == plain)
+    assert(Dedup.lastDupClusterRounds < plainRounds,
+      s"jump=${Dedup.lastDupClusterRounds} plain=$plainRounds")
   }
 
   test("simhash: identical => equal, near-dup closer than unrelated (hamming)") {
