@@ -87,6 +87,42 @@ class RestPageSourceSpec extends SparkSpec {
     assert(CountingMdsProvider.instantiations.get() == 2)
   }
 
+  test("cursor chain (S5 FHIR-style): lazy walk, LIMIT stops the chain early") {
+    import graft.sources.rest.{CursorFetcher, CursorFetchers}
+    // 35 rows over pages of 10; tokens are opaque strings only the server
+    // understands — page N is addressable only after page N-1 returns
+    class FakeFhir extends CursorFetcher {
+      val pageFetches = new AtomicInteger(0)
+      override def firstToken: String = "page-0"
+      override def fetchPage(token: String): (Seq[String], String) = {
+        pageFetches.incrementAndGet()
+        val pageNo = token.stripPrefix("page-").toInt
+        val start = pageNo * 10
+        val rows = (start until math.min(start + 10, 35))
+          .map(i => s"""{"entry_id":$i}""")
+        (rows, if (start + 10 >= 35) null else s"page-${pageNo + 1}")
+      }
+    }
+    val full = new FakeFhir
+    CursorFetchers.register("fhir", full)
+    val df = spark.read.format("rest-cursor").option("fetcher", "fhir").load()
+    assert(df.count() == 35)
+    assert(full.pageFetches.get() == 4) // ceil(35/10), exactly one walk
+    assert(df.select("row_idx").distinct().count() == 35)
+
+    // LIMIT pushdown: 12 rows -> 2 pages fetched, not 4
+    val capped = new FakeFhir
+    CursorFetchers.register("fhir_cap", capped)
+    val got = spark.read.format("rest-cursor").option("fetcher", "fhir_cap")
+      .load().limit(12).collect()
+    assert(got.length == 12)
+    assert(capped.pageFetches.get() == 2,
+      s"expected 2 page fetches, got ${capped.pageFetches.get()}")
+    val plan = spark.read.format("rest-cursor").option("fetcher", "fhir_cap")
+      .load().limit(12).queryExecution.executedPlan.toString
+    assert(plan.contains("limit=12"), plan)
+  }
+
   test("payload JSON composes with from_json downstream (S4 enrich shape)") {
     PageFetchers.register("mds2", new FakeMds)
     val schema = StructType(Seq(StructField("study_id", StringType),
