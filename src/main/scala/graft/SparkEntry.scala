@@ -425,6 +425,20 @@ object SparkEntry {
           max(col("gap_us")).as("max_gap_us"),
           sum(col("gap_us")).as("sum_gap_us"))
     }),
+    "et4_asof_join" -> ((s, dir) => {
+      // as-of join: every click joined to the user's latest purchase
+      // at-or-before it (micros precision — see et3 note); right side
+      // pre-aggregated unique per (key, ts) per the ASOF contract.
+      // Oracle: DuckDB's native ASOF LEFT JOIN.
+      val ev = t(s, dir, "events")
+      val usec = expr("ts DIV 1000")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), usec.as("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), usec.as("ts_us"), col("value"))
+        .groupBy(col("user_id"), col("ts_us")).agg(max(col("value")).as("value"))
+      Joins.asofJoin(clicks, purchases, "user_id", "ts_us", Seq("value"))
+    }),
     "w4_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -832,6 +846,17 @@ object SparkEntry {
            MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
            CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
          FROM g GROUP BY user_id""",
+    "et4_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+           WHERE event_type = 'click'),
+         purch AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, epoch_us(ts))
+         SELECT c.user_id, c.ts_us, c.event_id, p.value
+         FROM clicks c ASOF LEFT JOIN purch p
+           ON c.user_id = p.user_id AND c.ts_us >= p.ts_us""",
     "w1_uniquify" ->
       """SELECT p_partkey, CASE WHEN rn > 1 THEN p_name || '_' || CAST(rn-1 AS VARCHAR)
                 ELSE p_name END AS uniq_name

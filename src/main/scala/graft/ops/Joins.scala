@@ -51,6 +51,44 @@ object Joins {
     target.join(harvested, Seq(targetKey), "left_semi")
   }
 
+  /** As-of join (beyond-reference; the canonical "operator Spark lacks"):
+    * each left row is joined to the LATEST right row with the same key and
+    * right.ts <= left.ts (left outer: no match → nulls).
+    *
+    * Composed from existing operators — tag the sides, union, and carry
+    * the right payload forward with a `last(_, ignoreNulls)` window
+    * ordered by (ts, side) with right rows sorting first at equal ts
+    * (ASOF `>=` semantics). ONE shuffle on the join key, rows carried
+    * once each: no range-join pair explosion, no per-row probe. The right
+    * payload travels as a single struct so a partial-null right row can
+    * never mix fields from different matches.
+    *
+    * Right rows must be unique per (key, ts) — pre-aggregate otherwise
+    * (matches the engine-native ASOF contract in e.g. DuckDB, whose ASOF
+    * JOIN is this operator's oracle). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rStruct = struct(rightCols.map(col): _*)
+    val lNorm = left.select(
+      col(key).as("_k") +: col(ts).as("_ts") +: lit(1).as("_side") +:
+        struct(leftCols.map(col): _*).as("_l") +:
+        Seq(lit(null).cast(right.select(rightCols.map(col): _*).schema)
+          .as("_r")): _*)
+    val rNorm = right.select(
+      col(key).as("_k") +: col(ts).as("_ts") +: lit(0).as("_side") +:
+        lit(null).cast(left.schema).as("_l") +:
+        Seq(rStruct.as("_r")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lNorm.unionByName(rNorm)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
+        rightCols.map(c => col(s"_match.$c").as(c)): _*)
+  }
+
   /** J7 — fallback dispatch as a full outer join: rows present only on the
     * left are 'left_only', only right 'right_only', both 'both' — the
     * reference's download-vs-generate method/status bookkeeping.

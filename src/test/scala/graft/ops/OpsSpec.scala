@@ -66,6 +66,30 @@ class OpsSpec extends SparkSpec {
     assert(out.sameElements(Array("phs000007", "phs000123")))
   }
 
+  test("asofJoin: latest right row at-or-before; equal ts included; no match -> null") {
+    val left = Seq(
+      (1L, 10L, "a"), // after right@5 -> v5
+      (1L, 5L, "b"),  // equal ts -> right@5 visible (>= semantics)
+      (1L, 3L, "c"),  // before any right -> null
+      (2L, 9L, "d"),  // user 2: latest of right@{1,7} -> v7
+      (3L, 9L, "e")   // user with no right rows at all -> null
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, 5L, 50.0, "x"),
+      (2L, 1L, 10.0, "y"),
+      (2L, 7L, 70.0, null.asInstanceOf[String]) // partial-null right row
+    ).toDF("user_id", "ts", "v", "note")
+    val out = Joins.asofJoin(left, right, "user_id", "ts", Seq("v", "note"))
+      .orderBy("user_id", "ts")
+      .as[(Long, Long, String, Option[Double], Option[String])].collect()
+    assert(out.sameElements(Array(
+      (1L, 3L, "c", None, None),
+      (1L, 5L, "b", Some(50.0), Some("x")),
+      (1L, 10L, "a", Some(50.0), Some("x")),
+      (2L, 9L, "d", Some(70.0), None), // note stays null: fields never mix matches
+      (3L, 9L, "e", None, None))))
+  }
+
   // ───────── Aggs ─────────
 
   test("A1 duplicates finds keys with count>1") {
