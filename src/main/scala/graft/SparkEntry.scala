@@ -425,6 +425,17 @@ object SparkEntry {
           max(col("gap_us")).as("max_gap_us"),
           sum(col("gap_us")).as("sum_gap_us"))
     }),
+    "j9_range_join" -> ((s, dir) => {
+      // interval join as a bucketed equi-join (PlanSpec pins: no nested
+      // loop) — overlapping price bands × orders containment
+      val bands = s.range(0, 20).select(col("id").as("band_id"),
+        (col("id") * 25000).cast("double").as("lo"),
+        (col("id") * 25000 + 40000).cast("double").as("hi"))
+      Joins.bucketedRangeJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        bands, "o_totalprice", "lo", "hi", 25000L)
+        .select(col("o_orderkey"), col("band_id"))
+    }),
     "et4_asof_join" -> ((s, dir) => {
       // as-of join: every click joined to the user's latest purchase
       // at-or-before it (micros precision — see et3 note); right side
@@ -846,6 +857,14 @@ object SparkEntry {
            MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
            CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
          FROM g GROUP BY user_id""",
+    "j9_range_join" ->
+      """WITH bands AS (
+           SELECT i AS band_id, CAST(i*25000 AS DOUBLE) AS lo,
+                  CAST(i*25000 + 40000 AS DOUBLE) AS hi
+           FROM (SELECT unnest(generate_series(0, 19)) AS i))
+         SELECT o.o_orderkey, b.band_id
+         FROM orders o JOIN bands b
+           ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi""",
     "et4_asof_join" ->
       """WITH clicks AS (
            SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events

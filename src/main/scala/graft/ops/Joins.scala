@@ -89,6 +89,26 @@ object Joins {
         rightCols.map(c => col(s"_match.$c").as(c)): _*)
   }
 
+  /** Scale-safe interval/range join (beyond-reference): point `pt` matches
+    * range [lo, hi). The naive theta-join plans a nested-loop (every point
+    * scans every range — quadratic at scale). Bucketing turns it into an
+    * EQUI-join: each range replicates to the fixed-width buckets it
+    * covers, each point probes exactly its own bucket; shuffle volume is
+    * O(points + Σ span/width) and the bucket-local refinement keeps only
+    * true containment. Pick `bucketWidth` near the typical range span so
+    * replication stays O(1) per range. */
+  def bucketedRangeJoin(points: DataFrame, ranges: DataFrame, ptCol: String,
+                        loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    val pb = points.withColumn("_bucket",
+      floor(col(ptCol) / bucketWidth).cast("long"))
+    val rb = ranges.withColumn("_bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    pb.join(rb, Seq("_bucket"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("_bucket")
+  }
+
   /** J7 — fallback dispatch as a full outer join: rows present only on the
     * left are 'left_only', only right 'right_only', both 'both' — the
     * reference's download-vs-generate method/status bookkeeping.

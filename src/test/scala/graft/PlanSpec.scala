@@ -82,6 +82,12 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
   }
 
+  test("range join plans as an equi-join on buckets, never a nested loop") {
+    val p = tree(q("j9_range_join"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

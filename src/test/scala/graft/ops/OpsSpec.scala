@@ -90,6 +90,18 @@ class OpsSpec extends SparkSpec {
       (3L, 9L, "e", None, None))))
   }
 
+  test("bucketedRangeJoin: containment incl. multi-bucket ranges, [lo,hi) bounds") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 25.0), (4L, 99.0)).toDF("id", "v")
+    val ranges = Seq(
+      ("r1", 0.0, 10.0),   // [0,10): catches 5 only (10 excluded)
+      ("r2", 5.0, 35.0),   // spans 4 buckets at width 10: catches 5,10,25
+      ("r3", 90.0, 100.0)  // catches 99
+    ).toDF("rid", "lo", "hi")
+    val out = Joins.bucketedRangeJoin(points, ranges, "v", "lo", "hi", 10L)
+      .select("id", "rid").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "r1"), (1L, "r2"), (2L, "r2"), (3L, "r2"), (4L, "r3")))
+  }
+
   // ───────── Aggs ─────────
 
   test("A1 duplicates finds keys with count>1") {
