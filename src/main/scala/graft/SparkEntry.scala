@@ -152,6 +152,13 @@ object SparkEntry {
         .agg(expr("percentile(l_quantity, 0.5)").as("med"),
           expr("percentile(l_quantity, 0.9)").as("p90"),
           max(col("l_quantity")).as("max_qty"))),
+    // t-digest-style sketch percentiles — rows-only (sketch internals are
+    // engine-specific); the 100 TB path when exact percentile (a full sort
+    // per group) is too expensive
+    "a10b_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("med_approx"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"))),
     "a7_rollup" -> ((s, dir) =>
       Aggs.rollupCounts(
         t(s, dir, "customer")

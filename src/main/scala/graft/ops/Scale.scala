@@ -60,4 +60,17 @@ object Scale {
     * several joins/aggs on that key in one job (exchange reuse). */
   def coPartition(dfs: Seq[DataFrame], key: String, n: Int): Seq[DataFrame] =
     dfs.map(_.repartition(n, col(key)))
+
+  /** Range-partitioned, sorted-within-file layout: global range split
+    * across files + in-file ordering ⇒ every file (and every parquet row
+    * group inside it) covers a DISJOINT key range, so a read with a key
+    * predicate prunes to the few files/row groups overlapping it via
+    * parquet min/max stats. The standard data-layout move when one filter
+    * key dominates read patterns at 100 TB (the poor man's Z-order for a
+    * single key). */
+  def writeRangeSorted(df: DataFrame, path: String, key: String,
+                       nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(path)
 }

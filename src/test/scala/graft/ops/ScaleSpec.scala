@@ -27,6 +27,29 @@ class ScaleSpec extends SparkSpec {
       plain.select("k", "v", "tag").orderBy("k", "v").collect().toSeq)
   }
 
+  test("writeRangeSorted: files cover disjoint key ranges (min/max prunable)") {
+    val out = java.nio.file.Files.createTempDirectory("rs").toString
+    val df = (1 to 4000).map(i => ((i * 7919) % 4001, s"row$i")).toDF("k", "v")
+    Scale.writeRangeSorted(df, out, "k", 4)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length == 4, parts.map(_.getName).mkString(","))
+    // per-file key ranges must be pairwise disjoint — that is exactly what
+    // parquet min/max footer stats need for file/row-group pruning
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).as[(Int, Int)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, ranges.mkString(","))
+      case _ => ()
+    }
+    // a key-range read over the layout stays correct
+    assert(spark.read.parquet(out).filter(col("k") < 1000).count() ==
+      df.filter(col("k") < 1000).count())
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     Seq("bkt_a", "bkt_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
