@@ -15,13 +15,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.minhashSigDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
 
-  private[functions] val minhashSigDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private[functions] val minhashSigDescriptor: Descriptor = (
     FunctionIdentifier("minhash_sig"),
     new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
     { args: Seq[Expression] =>
@@ -34,13 +36,51 @@ object GraftFunctions {
       }
     })
 
+  private[functions] val md5MinhashSigDescriptor: Descriptor = (
+    FunctionIdentifier("md5_minhash_sig"),
+    new ExpressionInfo(classOf[Md5MinHashSignature].getName, "md5_minhash_sig"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(c, Literal(k: Int, _), Literal(len: Int, _)) =>
+          Md5MinHashSignature(c, k, len)
+        case Seq(c) => Md5MinHashSignature(c, 4, 5)
+        case _ => throw new IllegalArgumentException(
+          "md5_minhash_sig(text[, k, shingle_len]) — k and shingle_len must be int literals")
+      }
+    })
+
+  private[functions] val dotQ30Descriptor: Descriptor = (
+    FunctionIdentifier("dot_q30"),
+    new ExpressionInfo(classOf[DotQ30].getName, "dot_q30"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(a, b) => DotQ30(a, b)
+        case _ => throw new IllegalArgumentException("dot_q30(vec_a, vec_b)")
+      }
+    })
+
+  private[functions] val pyLiteralListDescriptor: Descriptor = (
+    FunctionIdentifier("py_literal_list"),
+    new ExpressionInfo(classOf[PyLiteralListParse].getName, "py_literal_list"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(c) => PyLiteralListParse(c)
+        case _ => throw new IllegalArgumentException("py_literal_list(text)")
+      }
+    })
+
+  /** All native functions exposed to SQL (extension + runtime registry). */
+  private[functions] val descriptors: Seq[Descriptor] = Seq(
+    minhashSigDescriptor, md5MinhashSigDescriptor, dotQ30Descriptor,
+    pyLiteralListDescriptor)
+
   /** Column API: k-long MinHash signature of a string column. */
   def minhashSig(c: Column, k: Int = 4, shingleLen: Int = 5): Column =
     Bridge.column(MinHashSignature(Bridge.expression(c), k, shingleLen))
 
   /** Runtime registration for sessions built without the extension. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = minhashSigDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

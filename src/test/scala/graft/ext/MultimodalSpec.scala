@@ -97,6 +97,19 @@ class MultimodalSpec extends SparkSpec {
     assert(idx(1) == Seq(0))
   }
 
+  test("all native expressions are callable from SQL") {
+    GraftFunctions.register(spark)
+    Seq((1L, "abcdefghij", Array(1.0f, 2.0f), Array(3.0f, 4.0f), "['a', 'b']"))
+      .toDF("id", "text", "va", "vb", "pylist")
+      .createOrReplaceTempView("native_fns")
+    val r = spark.sql(
+      """SELECT md5_minhash_sig(text, 4, 5) AS mh, dot_q30(va, vb) AS d,
+                py_literal_list(pylist) AS pl FROM native_fns""").head()
+    assert(r.getSeq[String](r.fieldIndex("mh")).length == 4)
+    assert(math.abs(r.getAs[Double]("d") - 11.0) < 1e-6) // 1*3 + 2*4
+    assert(r.getSeq[String](r.fieldIndex("pl")).toSeq == Seq("a", "b"))
+  }
+
   test("minhash_sig native expression: registered SQL + column API agree") {
     GraftFunctions.register(spark)
     val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzzzzzzz"))
