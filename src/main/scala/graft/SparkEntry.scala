@@ -615,6 +615,19 @@ object SparkEntry {
         graft.ext.Curation.curate(t(s, dir, "documents"), "text", "doc_id", "lang",
           graft.ext.Curation.Rules(minTokens = 20,
             allowedLangs = Seq("de", "en", "es", "zh"))))),
+    "x18_stratified_sample" -> ((s, dir) =>
+      // deterministic eval-set carving: 5 docs per (lang, source) stratum
+      // picked by id-hash — stable across runs and engines
+      graft.ext.Curation.hashStratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), "doc_id", 5)),
+    "x19_token_packing" -> ((s, dir) =>
+      // training-batch packing: per-lang bins of ~500 whitespace tokens,
+      // greedy one-pass assignment by exclusive prefix sum
+      graft.ext.Curation.packByTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tok")),
+        Seq("lang"), "doc_id", "n_tok", 500L)),
     "x14_media_features" -> ((s, dir) => {
       // multimodal plumbing through the driver gate: docs as opaque binary
       // media -> batch feature extraction (stub codec) -> vector stats.
@@ -1121,6 +1134,22 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
          FROM sets a JOIN sets b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+    "x18_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5""",
+    "x19_token_packing" ->
+      """SELECT doc_id, lang, n_tok,
+           CAST(floor(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
+         FROM (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents)""",
     "x16_curation" ->
       """WITH stats AS (
            SELECT doc_id, lang, text,

@@ -53,4 +53,33 @@ object Curation {
   /** Curation report: documents per status (A4 breakdown shape). */
   def report(curated: DataFrame): DataFrame =
     curated.groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Deterministic hash-stratified sample: keep `k` rows per stratum,
+    * chosen by md5 of the id — reproducible across runs AND engines (no
+    * RNG state, unlike sampleBy), which is what makes a carved eval set
+    * stable and auditable. One shuffle on the strata key; rank is the
+    * bounded per-group top-k shape (W2). */
+  def hashStratifiedSample(df: DataFrame, strataCols: Seq[String],
+                           idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Greedy token-budget packing (training-batch assembly): documents in
+    * deterministic order per group are assigned to consecutive bins by
+    * EXCLUSIVE prefix token count — a document opens a new bin when the
+    * tokens before it fill the budget. Streaming-packing semantics (one
+    * pass, no global optimization), exact integer arithmetic, one
+    * shuffle on the group key. */
+  def packByTokenBudget(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget).cast("long"))
+  }
 }

@@ -35,4 +35,24 @@ class CurationSpec extends SparkSpec {
     assert(rep == Map("ok" -> 2L, "dup" -> 1L, "too_short" -> 1L,
       "bad_lang" -> 1L, "low_quality" -> 1L))
   }
+
+  test("hashStratifiedSample: k per stratum, deterministic across calls") {
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = Curation.hashStratifiedSample(df, Seq("lang"), "doc_id", 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(s1.count(_._2 == "en") == 3 && s1.count(_._2 == "de") == 3)
+    val s2 = Curation.hashStratifiedSample(df, Seq("lang"), "doc_id", 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(s1.sameElements(s2)) // no RNG state — identical pick every run
+  }
+
+  test("packByTokenBudget: new bin when the prefix fills the budget") {
+    val df = Seq((1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L),
+      (4L, "g", 50L), (5L, "h", 999L)).toDF("doc_id", "grp", "n_tok")
+    val out = Curation.packByTokenBudget(df, Seq("grp"), "doc_id", "n_tok", 500L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // prefix sums (exclusive): 0, 300, 600, 900 -> bins 0, 0, 1, 1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
 }
