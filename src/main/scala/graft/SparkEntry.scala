@@ -615,6 +615,24 @@ object SparkEntry {
         graft.ext.Curation.curate(t(s, dir, "documents"), "text", "doc_id", "lang",
           graft.ext.Curation.Rules(minTokens = 20,
             allowedLangs = Seq("de", "en", "es", "zh"))))),
+    "x20_nfc_normalize" -> ((s, dir) => {
+      // unicode canonicalization: a decomposed combining acute is appended
+      // so real composition happens on every row (md5 proves both engines
+      // produced identical normalized BYTES, not just lengths)
+      val decomposed = concat(col("text"), lit("é"))
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(TextStats.nfcNormalize(decomposed)).as("norm_md5"),
+        length(TextStats.nfcNormalize(decomposed)).cast("long").as("n_chars_norm"))
+    }),
+    "x21_url_host" -> ((s, dir) => {
+      // web-curation shape: URL host extraction + per-domain doc counts
+      // (domain blocklists/quotas are core pretrain curation)
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.org/doc/"), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(parse_url(url, lit("HOST")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+    }),
     "x18_stratified_sample" -> ((s, dir) =>
       // deterministic eval-set carving: 5 docs per (lang, source) stratum
       // picked by id-hash — stable across runs and engines
@@ -1134,6 +1152,16 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
          FROM sets a JOIN sets b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+    "x20_nfc_normalize" ->
+      """SELECT doc_id,
+         md5(nfc_normalize(text || 'e' || chr(769))) AS norm_md5,
+         CAST(length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS n_chars_norm
+         FROM documents""",
+    "x21_url_host" ->
+      """SELECT regexp_extract('https://' || source || '.example.org/doc/'
+             || CAST(doc_id AS VARCHAR), '^[a-z]+://([^/]+)', 1) AS host,
+           COUNT(*) AS n_docs
+         FROM documents GROUP BY 1""",
     "x18_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,

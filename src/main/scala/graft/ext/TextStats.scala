@@ -66,6 +66,14 @@ object TextStats {
     round(lenScore * 0.5 + punctScore * 0.3 + tokScore * 0.2, 6)
   }
 
+  /** Unicode NFC normalization (native expression; see
+    * graft.functions.NfcNormalize) — the first step of text canonicalization
+    * for mixed-source corpora. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
     * text — the canonical-form digest used for near-exact dedup. */
   def fingerprint(text: Column): Column =

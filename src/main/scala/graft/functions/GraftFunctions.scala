@@ -69,10 +69,20 @@ object GraftFunctions {
       }
     })
 
+  private[functions] val nfcNormalizeDescriptor: Descriptor = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    { args: Seq[Expression] =>
+      args match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException("nfc_normalize(text)")
+      }
+    })
+
   /** All native functions exposed to SQL (extension + runtime registry). */
   private[functions] val descriptors: Seq[Descriptor] = Seq(
     minhashSigDescriptor, md5MinhashSigDescriptor, dotQ30Descriptor,
-    pyLiteralListDescriptor)
+    pyLiteralListDescriptor, nfcNormalizeDescriptor)
 
   /** Column API: k-long MinHash signature of a string column. */
   def minhashSig(c: Column, k: Int = 4, shingleLen: Int = 5): Column =

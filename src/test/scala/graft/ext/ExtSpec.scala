@@ -195,6 +195,19 @@ class ExtSpec extends SparkSpec {
 
   // ───────── TextStats ─────────
 
+  test("nfcNormalize composes decomposed sequences; normalized text passes through") {
+    val decomposed = "Cafe" + "́" // e + combining acute
+    val df = Seq(decomposed, "Café", "plain ascii").toDF("t")
+    val out = df.select(TextStats.nfcNormalize(col("t"))).as[String].collect()
+    assert(out(0) == "Café" && out(0) == out(1))
+    assert(out(2) == "plain ascii")
+    // registered for SQL too
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nfc_t")
+    assert(spark.sql("SELECT nfc_normalize(t) FROM nfc_t").as[String].collect()
+      .toSeq == out.toSeq)
+  }
+
   test("tokenCount handles empty/blank/normal") {
     val df = Seq("", "   ", "a b  c").toDF("t")
     val out = df.select(TextStats.tokenCount(col("t"))).as[Int].collect()
