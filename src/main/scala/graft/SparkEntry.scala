@@ -279,6 +279,15 @@ object SparkEntry {
       Filters.quarantinePayload(t(s, dir, "events"),
         col("event_type") === "error", "value")
         .select(col("event_id"), col("value"))),
+    "f11_json_quarantine" -> ((s, dir) => {
+      // malformed-payload quarantine (F9×P15): every 7th props gets a
+      // leading-garbage corruption; parse failures label, never throw
+      val corrupted = when(col("event_id") % 7 === 0,
+        concat(lit("}{"), col("props"))).otherwise(col("props"))
+      val kVal = get_json_object(corrupted, "$.k")
+      t(s, dir, "events").select(col("event_id"), kVal.as("k_val"),
+        when(kVal.isNull, "quarantined").otherwise("ok").as("status"))
+    }),
     "f10_log_split" -> ((s, dir) => {
       // F10 — grep-style severity split over synthesized log lines (ref
       // scripts/heal/ingest.sh:26-27); union of the tagged splits proves
@@ -823,6 +832,16 @@ object SparkEntry {
     "f9_quarantine" ->
       """SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
          FROM events""",
+    "f11_json_quarantine" ->
+      """WITH c AS (
+           SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN '}{' || props ELSE props END AS props
+           FROM events)
+         SELECT event_id,
+           CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k')
+                ELSE NULL END AS k_val,
+           CASE WHEN json_valid(props) THEN 'ok' ELSE 'quarantined' END AS status
+         FROM c""",
     "f10_log_split" ->
       """WITH lines AS (
            SELECT event_id,

@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
   }
 
+  test("as-of join is a single-shuffle union+window (no range explosion)") {
+    val p = tree(q("et4_asof_join"))
+    // the union of both sides shuffles ONCE on the key for the window;
+    // the right side's unique-per-(key,ts) pre-agg adds its own exchange
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   test("range join plans as an equi-join on buckets, never a nested loop") {
     val p = tree(q("j9_range_join"))
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
