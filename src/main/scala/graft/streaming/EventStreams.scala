@@ -75,6 +75,24 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Stream-stream event-time interval join: right events join left events
+    * of the same key with rightTs ∈ [leftTs, leftTs + within] — the
+    * impression→click attribution shape. BOTH inputs must be
+    * [[watermarked]]: the time bound plus the watermarks is what lets
+    * Spark expire join state on both sides instead of buffering streams
+    * forever. Key columns are renamed internally so the caller can join
+    * two frames sharing column names. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          leftTsCol: String, rightTsCol: String,
+                          within: String): DataFrame = {
+    val l = left.withColumnRenamed(key, "_lk")
+    val r = right.withColumnRenamed(key, "_rk")
+    l.join(r, col("_lk") === col("_rk") &&
+        col(rightTsCol) >= col(leftTsCol) &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $within"))
+      .withColumnRenamed("_lk", key).drop("_rk")
+  }
+
   /** Custom state machine: per-user session roll-up via mapGroupsWithState
     * with processing-time timeout — the KeyValueGroupedDataset path for
     * semantics windows can't express. */

@@ -70,6 +70,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.map(_._2).sameElements(Array("English", "German")))
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within the bound") {
+    val srcI = Files.createTempDirectory("imp").toString
+    val srcC = Files.createTempDirectory("clk").toString
+    val sink = Files.createTempDirectory("jsink").toString
+    val ckpt = Files.createTempDirectory("jckpt").toString
+    val impressions = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:20:00")),
+      (99L, Timestamp.valueOf("2024-01-01 03:00:00")) // watermark advancer
+    ).toDF("ad_id", "imp_ts")
+    val clicks = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:15:00")), // within 10 min -> match
+      (1L, Timestamp.valueOf("2024-01-01 01:30:00")), // outside bound -> dropped
+      (2L, Timestamp.valueOf("2024-01-01 00:25:00")), // match
+      (99L, Timestamp.valueOf("2024-01-01 03:00:00")) // watermark advancer
+    ).toDF("ad_id", "click_ts")
+    impressions.write.mode("overwrite").parquet(srcI)
+    clicks.write.mode("overwrite").parquet(srcC)
+
+    val joined = EventStreams.intervalJoinStreams(
+      EventStreams.watermarked(
+        EventStreams.fileSource(spark, srcI, impressions.schema), "imp_ts", "0 seconds"),
+      EventStreams.watermarked(
+        EventStreams.fileSource(spark, srcC, clicks.schema), "click_ts", "0 seconds"),
+      "ad_id", "imp_ts", "click_ts", "10 minutes")
+    val q = EventStreams.runAvailableNow(joined, sink, ckpt)
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(sink)
+      .filter(col("ad_id") < 99)
+      .select("ad_id", "click_ts").as[(Long, Timestamp)].collect().sortBy(_._1)
+    assert(out.map(_._1).sameElements(Array(1L, 2L)))
+    assert(out(0)._2 == Timestamp.valueOf("2024-01-01 00:15:00"))
+    assert(out(1)._2 == Timestamp.valueOf("2024-01-01 00:25:00"))
+  }
+
   test("foreachBatch upsert sink: re-delivered batch overwrites, not duplicates") {
     val src = Files.createTempDirectory("usrc").toString
     val sink = Files.createTempDirectory("usink").toString
