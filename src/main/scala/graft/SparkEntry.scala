@@ -573,6 +573,24 @@ object SparkEntry {
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
 
+    "x22_int8_ann" -> ((s, dir) => {
+      // int8-quantized ANN: 4× smaller vectors, exact integer dot ranking
+      // (deterministic floor quantization ⇒ fully oracle-checkable)
+      val emb = t(s, dir, "embeddings")
+      val qz = emb.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("qv"))
+      val queries = qz.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+      val scored = qz.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.quantizedInt8Dot(col("q_qv"), col("n_qv")).as("score"))
+      Similarity.topKPerQuery(scored, 5)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"),
+          col("rank").cast("long").as("rnk"))
+    }),
     "x7b_cosine_lsh" -> ((s, dir) =>
       // SCALE PATH: sign-bucket (axis-aligned RHP) LSH candidates verified
       // with the Q30-exact cosine — fully oracle-checkable because the
@@ -1079,6 +1097,31 @@ object SparkEntry {
              / len(list_distinct(list_concat(sa.gs, sb.gs))) AS jaccard
          FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
                      JOIN sets sb ON c.b_id = sb.doc_id""",
+    "x22_int8_ann" ->
+      """WITH qs AS (
+           SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+           FROM embeddings),
+         qz AS (
+           SELECT vec_id, scale,
+             list_transform(embedding, x ->
+               CAST(greatest(least(floor(CAST(x AS DOUBLE) / scale), 127.0),
+                             -127.0) AS BIGINT)) AS q
+           FROM qs),
+         q AS (SELECT vec_id AS q_id, scale AS q_scale, q AS q_q
+               FROM qz WHERE vec_id < 8),
+         prod AS (SELECT q.q_id, e.vec_id AS n_id, q.q_scale, e.scale AS n_scale,
+                  unnest(q.q_q) AS qx, unnest(e.q) AS ex
+                  FROM q, qz e WHERE e.vec_id <> q.q_id),
+         dp AS (SELECT q_id, n_id,
+                CAST(SUM(qx * ex) AS BIGINT) AS s,
+                MIN(q_scale) AS qs2, MIN(n_scale) AS ns
+                FROM prod GROUP BY q_id, n_id)
+         SELECT q_id, n_id, CAST(s AS DOUBLE) * qs2 * ns AS score,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY CAST(s AS DOUBLE) * qs2 * ns DESC, n_id) AS BIGINT) AS rnk
+         FROM dp QUALIFY rnk <= 5""",
     "x7b_cosine_lsh" ->
       s"""WITH s AS (SELECT vec_id, embedding, $signBucketSql10 AS sig FROM embeddings),
            norms AS (SELECT vec_id,

@@ -176,6 +176,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: bounded error, high top-k agreement with exact dot") {
+    val rnd = new scala.util.Random(7)
+    val vs = (0L until 60L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val qz = vs.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qv"))
+    // quantized values stay in [-127, 127]
+    val bounds = qz.select(array_max(col("qv.q")).as("hi"), array_min(col("qv.q")).as("lo"))
+      .agg(max(col("hi")), min(col("lo"))).as[(Long, Long)].head()
+    assert(bounds._1 <= 127 && bounds._2 >= -127)
+    // int8 dot approximates the exact dot within quantization error
+    val pair = qz.filter(col("vec_id") === 0).crossJoin(
+        qz.filter(col("vec_id") === 1).select(col("qv").as("qb")))
+      .select(Similarity.quantizedInt8Dot(col("qv"), col("qb"))).as[Double].head()
+    val exact = vs.filter(col("vec_id") === 0).crossJoin(
+        vs.filter(col("vec_id") === 1).select(col("embedding").as("b")))
+      .select(Similarity.dot(col("embedding"), col("b"))).as[Double].head()
+    assert(math.abs(pair - exact) < 16 * 2.0 / 127.0, s"int8=$pair exact=$exact")
+    // top-1 neighbor agreement for most queries (quantized ranking is usable)
+    val queries = vs.filter(col("vec_id") < 10)
+    val exactTop = Similarity.bruteForceTopK(vs, queries, "vec_id", "embedding", 1,
+        Similarity.dot).select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val qzQ = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val int8Top = Similarity.topKPerQuery(
+        qz.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+          .crossJoin(broadcast(qzQ)).filter(col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"),
+            Similarity.quantizedInt8Dot(col("q_qv"), col("n_qv")).as("score")), 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val agree = exactTop.count { case (q, n) => int8Top.get(q).contains(n) }
+    assert(agree >= 8, s"top-1 agreement $agree/10")
+  }
+
   test("rhp LSH: identical vectors collide; orthogonal vectors don't") {
     val vs = Seq(
       (1L, Array(1.0f, 0.2f, 0.1f)),
