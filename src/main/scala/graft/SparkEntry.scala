@@ -174,6 +174,25 @@ object SparkEntry {
         "c_mktsegment", "r_name",
         Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))),
 
+    "a11_cube" -> ((s, dir) =>
+      // full grouping-sets surface: cube over two dims (rollup is a7)
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))),
+    "s2_salted_agg" -> ((s, dir) =>
+      // skew-proof two-phase aggregation must equal the plain GROUP BY —
+      // proven through the oracle gate, not just a spec
+      graft.ops.Scale.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), 16)(
+        Seq(count(lit(1)).as("n") -> sum(col("n")).cast("long").as("n"),
+          sum(col("l_quantity")).as("sq") -> sum(col("sq")).as("sq")))),
+    "s3_salted_join" -> ((s, dir) => {
+      // salted large-large join ≡ plain join (oracle-checked): lineitem ⋈
+      // part on the skew-spread (key, salt) pair, then per-brand counts
+      val p = t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.Scale.saltedJoin(t(s, dir, "lineitem"), p, "l_partkey", 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ───────────────────────── §2.3 projections ─────────────────────────
     "p1_split_part" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
@@ -423,6 +442,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("cnt")).as("n_events"))),
+    "w5_rank_surface" -> ((s, dir) => {
+      // remaining ranking surface: rank/dense_rank/ntile/percent_rank in
+      // one windowed pass (exact integer/ratio arithmetic cross-engine)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"))
+    }),
     "et3_event_gaps" -> ((s, dir) => {
       // lead/lag surface: per-user inter-event gap stats. Exact integer
       // time arithmetic at MICROsecond precision: DuckDB reads the
@@ -745,6 +776,25 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    "a11_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "s2_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sq
+         FROM lineitem GROUP BY l_returnflag""",
+    "s3_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
+    "w5_rank_surface" ->
+      """SELECT o_orderkey,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         percent_rank() OVER w AS pr
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
     "a5_group_to_doc" ->
       """SELECT l_orderkey, MIN(l_returnflag) AS min_flag, COUNT(*) AS n_members,
          string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) AS members
