@@ -269,6 +269,14 @@ object SparkEntry {
         Projections.nullSafeString(
           when(col("n_chars") < 60, lit(null)).otherwise(col("lang")), "(missing)")
           .as("lang_str"))),
+    "p19_variant_extract" -> ((s, dir) =>
+      // Spark 4 VARIANT path for semi-structured payloads: parse once to
+      // the binary variant encoding, extract typed fields — the
+      // schema-on-read shape that replaces repeated string re-parsing
+      t(s, dir, "events").select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k_long"),
+        variant_get(try_parse_json(col("props")), "$.missing", "string")
+          .as("absent"))),
     "p16_p17_const_url" -> ((s, dir) =>
       // P16 constant provenance columns + P17 URL construction
       t(s, dir, "documents").select(col("doc_id"),
@@ -876,6 +884,11 @@ object SparkEntry {
          COALESCE(CASE WHEN n_chars < 60 THEN NULL ELSE lang END,
                   '(missing)') AS lang_str
          FROM documents""",
+    "p19_variant_extract" ->
+      """SELECT event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+         json_extract_string(props, '$.missing') AS absent
+         FROM events""",
     "p16_p17_const_url" ->
       """SELECT doc_id, 'graft' AS catalog, CAST(1 AS BIGINT) AS schema_version,
          'https://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url

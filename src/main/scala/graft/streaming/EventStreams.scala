@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Per-user session roll-up emitted by [[EventStreams.sessionize]]. */
@@ -11,6 +11,35 @@ final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
 
 /** Internal sessionizer state (top-level: encoder codegen needs access). */
 final case class SessionState(nEvents: Long, totalValue: Double)
+
+/** Output of [[EventStreams.runningTotals]]. */
+final case class UserTotal(userId: Long, nEvents: Long, totalValue: Double)
+
+/** Spark 4 `transformWithState` processor: per-user running totals in a
+  * typed ValueState. The successor API to mapGroupsWithState — named
+  * state variables with per-state TTL, timers, and composable state types
+  * (value/list/map) per processor; requires the RocksDB state store
+  * provider. */
+class RunningTotalProcessor
+    extends StatefulProcessor[Long, (Long, Double), UserTotal] {
+  @transient private var state: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues): Iterator[UserTotal] = {
+    val prev = if (state.exists()) state.get() else (0L, 0.0)
+    val batch = rows.toSeq
+    val next = (prev._1 + batch.size, prev._2 + batch.map(_._2).sum)
+    state.update(next)
+    Iterator.single(UserTotal(key, next._1, next._2))
+  }
+}
 
 /** Structured Streaming surface (SURVEY.md §2.11).
   *
@@ -144,6 +173,17 @@ object EventStreams {
             Iterator.empty
           }
       }
+  }
+
+  /** Per-user running totals via Spark 4's transformWithState (see
+    * [[RunningTotalProcessor]]); state accumulates across micro-batches
+    * and survives restarts through the checkpointed state store. */
+  def runningTotals(events: Dataset[(Long, Double)]): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Drain-everything-now run to a parquet sink (file sink's own

@@ -129,6 +129,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 4) // no duplication
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val q = EventStreams.runningTotals(mem.toDS())
+        .writeStream.format("memory").queryName("totals")
+        .outputMode("update").start()
+      mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 5.0)) // second micro-batch: state must carry over
+      q.processAllAvailable()
+      q.stop()
+      // memory sink in update mode appends each emission; the LAST row
+      // per user is the accumulated total
+      val last = spark.table("totals").as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 10.0))) // 2+3 then +5 across batches
+      assert(last(2L) == ((2L, 1L, 10.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize accumulates per-user state across a micro-batch") {
     val sessions = EventStreams.sessionize(
       mkEvents.select(col("user_id"), col("value")).as[(Long, Double)])
