@@ -231,13 +231,11 @@ object Dedup {
     lastDupClusterRounds = iter
     edges.unpersist()
     p.unpersist()
-    val out = labels.select(col("id"), col("label").as("cluster_id"))
-    // detach the result from the managed cache before freeing it
-    val result = spark.createDataFrame(out.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), out.schema)
-    result.count()
-    labelsRdd.unpersist(false)
-    result
+    // the returned frame reads the final round's cached RDD directly —
+    // the single retained cache of this call, O(nodes-in-pairs) longs
+    // (unpersisting it would force a recompute cascade through the
+    // already-freed intermediate rounds)
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
