@@ -616,8 +616,8 @@ object SparkEntry {
       // int8-quantized ANN: 4× smaller vectors, exact integer dot ranking
       // (deterministic floor quantization ⇒ fully oracle-checkable)
       val emb = t(s, dir, "embeddings")
-      val qz = emb.select(col("vec_id"),
-        Similarity.quantizeInt8(col("embedding")).as("qv"))
+      val qz = Similarity.quantizeInt8Frame(emb, "embedding", "qv")
+        .select(col("vec_id"), col("qv"))
       val queries = qz.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
       val scored = qz.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))

@@ -118,17 +118,34 @@ object Similarity {
     * elements floored to ints in [-127, 127]. Deterministic (floor of an
     * exact double division — no round-half ambiguity across engines) and
     * 4× smaller than float32: the storage/bandwidth move that keeps a
-    * 100 TB ANN corpus scannable. Returns (scale, q) as two columns via
-    * struct fields. */
+    * 100 TB ANN corpus scannable. Returns a (scale, q) struct.
+    *
+    * NOTE: the scale expression is inlined inside the element lambda, so
+    * this single-Column form costs O(dim²) per row — fine for small dims
+    * and tests; at real embedding widths use [[quantizeInt8Frame]], which
+    * stages the scale as its own projection (O(dim) per row). */
   def quantizeInt8(vec: Column): Column = {
-    val scale = greatest(
-      aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0,
-      lit(1e-12))
-    struct(scale.as("scale"),
-      transform(vec, x =>
-        greatest(least(floor(x.cast("double") / scale), lit(127.0)), lit(-127.0))
-          .cast("long")).as("q"))
+    val scale = scaleInt8(vec)
+    struct(scale.as("scale"), int8Elements(vec, scale).as("q"))
   }
+
+  private def scaleInt8(vec: Column): Column = greatest(
+    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0,
+    lit(1e-12))
+
+  private def int8Elements(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      greatest(least(floor(x.cast("double") / scale), lit(127.0)), lit(-127.0))
+        .cast("long"))
+
+  /** Efficient quantization over a frame: the per-row scale lands in its
+    * own projection first, so the element lambda reads a plain column
+    * reference — one max-reduction per row, not per element. */
+  def quantizeInt8Frame(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_q_scale", scaleInt8(col(vecCol)))
+      .withColumn(outCol, struct(col("_q_scale").as("scale"),
+        int8Elements(col(vecCol), col("_q_scale")).as("q")))
+      .drop("_q_scale")
 
   /** Exact integer dot of two quantized vectors, rescaled: Σ qa·qb is an
     * exact long sum (order-independent), the two scale factors multiply
