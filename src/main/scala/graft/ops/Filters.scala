@@ -54,8 +54,11 @@ object Filters {
       when(errorCond, lit(null)).otherwise(col(payloadCol)))
 
   /** F10/K6 — log-line severity split (`grep ERROR`/`grep WARNING` over
-    * the run log, scripts/heal/ingest.sh:26-27): one pass, one DataFrame
-    * per severity plus the remainder. */
+    * the run log, scripts/heal/ingest.sh:26-27): one DataFrame per
+    * severity plus the remainder. Each returned frame re-scans the input
+    * when materialized separately — right when severities fan out to
+    * different sinks; for a single downstream, [[logSeverityTag]] tags in
+    * ONE pass. */
   def logSeveritySplit(lines: DataFrame, lineCol: String,
                        severities: Seq[String] = Seq("ERROR", "WARNING"))
       : Map[String, DataFrame] = {
@@ -66,4 +69,14 @@ object Filters {
       df.filter(!upper(col(lineCol)).contains(sev)))
     tagged + ("OTHER" -> rest)
   }
+
+  /** One-pass variant of [[logSeveritySplit]]: a `sev` column holds the
+    * FIRST matching severity (grep precedence order) or OTHER — a pure
+    * projection, single scan. */
+  def logSeverityTag(lines: DataFrame, lineCol: String,
+                     severities: Seq[String] = Seq("ERROR", "WARNING")): DataFrame =
+    lines.withColumn("sev",
+      severities.foldRight(lit("OTHER")) { (sev, acc) =>
+        when(upper(col(lineCol)).contains(sev), lit(sev)).otherwise(acc)
+      })
 }

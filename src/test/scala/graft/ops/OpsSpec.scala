@@ -39,6 +39,11 @@ class OpsSpec extends SparkSpec {
     assert(split("ERROR").as[String].collect().sameElements(Array("2026 ERROR boom")))
     assert(split("WARNING").as[String].collect().sameElements(Array("2026 warning: slow")))
     assert(split("OTHER").as[String].collect().sameElements(Array("2026 ok fine")))
+    // one-pass tag variant agrees with the split partition
+    val tags = Filters.logSeverityTag(logs, "line")
+      .as[(String, String)].collect().toMap
+    assert(tags == Map("2026 ERROR boom" -> "ERROR",
+      "2026 warning: slow" -> "WARNING", "2026 ok fine" -> "OTHER"))
   }
 
   // ───────── Joins ─────────
