@@ -699,6 +699,13 @@ object SparkEntry {
         .select(parse_url(url, lit("HOST")).as("host"))
         .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
     }),
+    "x23_decontamination" -> ((s, dir) => {
+      // benchmark-decontamination: train docs sharing any word-3-gram
+      // with the (small) benchmark split, plus shared-gram counts
+      val d = t(s, dir, "documents")
+      Dedup.contaminatedDocs(d.filter(col("doc_id") >= 10),
+        d.filter(col("doc_id") < 10), "text", "doc_id", 3)
+    }),
     "x18_stratified_sample" -> ((s, dir) =>
       // deterministic eval-set carving: 5 docs per (lang, source) stratum
       // picked by id-hash — stable across runs and engines
@@ -1287,6 +1294,18 @@ object SparkEntry {
              || CAST(doc_id AS VARCHAR), '^[a-z]+://([^/]+)', 1) AS host,
            COUNT(*) AS n_docs
          FROM documents GROUP BY 1""",
+    "x23_decontamination" ->
+      """WITH grams AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 2, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 10),
+         tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 10)
+         SELECT tg.doc_id, CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_shared
+         FROM tg JOIN bg ON tg.g = bg.g
+         GROUP BY tg.doc_id""",
     "x18_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,

@@ -238,6 +238,21 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * n-gram with a benchmark/eval set, with the shared-distinct-gram
+    * count as evidence. The benchmark side reduces to DISTINCT grams
+    * (eval sets are small — typically broadcastable); the join carries
+    * (gram, id) pairs, never document text; output is one row per
+    * contaminated train doc. The standard pretrain decontamination pass. */
+  def contaminatedDocs(train: DataFrame, bench: DataFrame, textCol: String,
+                       idCol: String, n: Int): DataFrame = {
+    val bg = bench.select(explode(wordNgrams(col(textCol), n)).as("g")).distinct()
+    val tg = train.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+    tg.join(bg, "g")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_shared"))
+  }
+
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -76,6 +76,20 @@ class ExtSpec extends SparkSpec {
       s"jump=${Dedup.lastDupClusterRounds} plain=$plainRounds")
   }
 
+  test("contaminatedDocs flags train docs overlapping benchmark n-grams") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something with the quick brown fox inside"), // shares 3-grams
+      (2L, "entirely unrelated content right here"),
+      (3L, "quick brown fox appears again")              // shares one 3-gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminatedDocs(train, bench, "text", "doc_id", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 3L)) // doc 2 is clean
+    assert(out(1L) == 2L) // "the quick brown", "quick brown fox"
+    assert(out(3L) == 1L) // "quick brown fox"
+  }
+
   test("simhash: identical => equal, near-dup closer than unrelated (hamming)") {
     val sh = Dedup.simhash(docs, "text", "doc_id", 32)
       .as[(Long, Long)].collect().toMap
