@@ -706,6 +706,21 @@ object SparkEntry {
       Dedup.contaminatedDocs(d.filter(col("doc_id") >= 10),
         d.filter(col("doc_id") < 10), "text", "doc_id", 3)
     }),
+    "x24_pii_redaction" -> ((s, dir) => {
+      // PII scrub: synthetic email+phone appended per row so the redaction
+      // regexes genuinely fire on every document
+      val withPii = concat(col("text"), lit(" contact u"),
+        col("doc_id").cast("string"), lit("@mail.example.org or (555) 010-2368"))
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(TextStats.redactPii(withPii)).as("redacted_md5"),
+        (length(withPii) - length(TextStats.redactPii(withPii)))
+          .cast("long").as("n_removed_chars"))
+    }),
+    "x25_gopher_quality" -> ((s, dir) =>
+      // Gopher/C4 repetition + degenerate-token signals
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.duplicateSentenceFraction(col("text")).as("dup_sent_frac"),
+        TextStats.maxTokenLen(col("text")).cast("long").as("max_tok_len"))),
     "x18_stratified_sample" -> ((s, dir) =>
       // deterministic eval-set carving: 5 docs per (lang, source) stratum
       // picked by id-hash — stable across runs and engines
@@ -1294,6 +1309,29 @@ object SparkEntry {
              || CAST(doc_id AS VARCHAR), '^[a-z]+://([^/]+)', 1) AS host,
            COUNT(*) AS n_docs
          FROM documents GROUP BY 1""",
+    "x24_pii_redaction" ->
+      """WITH w AS (
+           SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.org or (555) 010-2368' AS t
+           FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(length(t) - length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}', '<PHONE>', 'g')) AS BIGINT)
+             AS n_removed_chars
+         FROM w""",
+    "x25_gopher_quality" ->
+      """SELECT doc_id,
+         1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\. ')))
+                    AS DOUBLE)
+             / len(string_split_regex(trim(text), '\. ')) AS dup_sent_frac,
+         CAST(list_max(list_transform(string_split_regex(trim(text), '\s+'),
+                                      t -> length(t))) AS BIGINT) AS max_tok_len
+         FROM documents""",
     "x23_decontamination" ->
       """WITH grams AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -66,6 +66,27 @@ object TextStats {
     round(lenScore * 0.5 + punctScore * 0.3 + tokScore * 0.2, 6)
   }
 
+  /** PII redaction pass (pretrain-curation staple): emails and NANP-style
+    * phone numbers replaced with type tags. Pure regexp_replace chain —
+    * codegen'd, RE2-compatible (no backreferences), engine-portable. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\(\\d{3}\\)[ .-]?\\d{3}[ .-]?\\d{4}", "<PHONE>")
+
+  /** Gopher/C4-style repetition signal: fraction of sentence units that
+    * repeat an earlier unit (0 = all distinct). Exact rational arithmetic
+    * (int counts, one double division). */
+  def duplicateSentenceFraction(text: Column, sepRegex: String = "\\. "): Column = {
+    val units = split(trim(text), sepRegex)
+    lit(1.0) - size(array_distinct(units)).cast("double") / size(units)
+  }
+
+  /** Longest whitespace token (C4 drops docs with absurd max word len). */
+  def maxTokenLen(text: Column): Column =
+    array_max(transform(split(trim(text), "\\s+"), t => length(t)))
+
   /** Unicode NFC normalization (native expression; see
     * graft.functions.NfcNormalize) — the first step of text canonicalization
     * for mixed-source corpora. */

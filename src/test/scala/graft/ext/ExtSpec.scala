@@ -270,6 +270,24 @@ class ExtSpec extends SparkSpec {
     assert(out.sameElements(Array("en", "de", "und")))
   }
 
+  test("redactPii scrubs emails/phones; gopher signals spot repetition") {
+    val df = Seq(
+      "write to alice.b+spam@corp.example.com or call (919) 555-0100 today",
+      "no pii here at all").toDF("t")
+    val red = df.select(TextStats.redactPii(col("t"))).as[String].collect()
+    assert(red(0) == "write to <EMAIL> or call <PHONE> today")
+    assert(red(1) == "no pii here at all")
+    val rep = Seq(
+      "same thing. same thing. same thing. different",
+      "one. two. three. four").toDF("t")
+      .select(TextStats.duplicateSentenceFraction(col("t"))).as[Double].collect()
+    assert(rep(0) == 0.5) // 4 units, 2 distinct
+    assert(rep(1) == 0.0)
+    val mx = Seq("a bb supercalifragilistic c").toDF("t")
+      .select(TextStats.maxTokenLen(col("t"))).as[Int].head()
+    assert(mx == "supercalifragilistic".length)
+  }
+
   test("qualityScore bounded in [0,1]; degenerate text scores lower") {
     val df = Seq(
       "A perfectly reasonable sentence with adequate length and structure for scoring well.",
