@@ -32,15 +32,35 @@ object Bench {
     val warmup = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must SURFACE in the artifact, not record a tiny
+      // duration that reads as success
+      val err = try { fn(spark, sfDir).count(); null } catch {
+        case e: Throwable =>
+          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
+      // persistent RDDs outliving their query (operators with managed
+      // caches, e.g. dupClusters' final round) are invisible to
+      // clearCache — count them into the artifact, then drop them so no
+      // query pays for a predecessor's leftovers
+      val nRdds = spark.sparkContext.getPersistentRDDs.size
       spark.catalog.clearCache() // queries are independent; drop leftovers
-      name -> dt
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      (name, dt, err, nRdds)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, e, _) if e != null =>
+      s"\"" + k + "\":" + jstr(e)
+    }.mkString("{", ",", "}")
+    val rdds = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"persistent_rdds":$rdds,"warmup_sec":$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,10 +83,21 @@ object Dedup {
     * the text. Returns the same pairs as the unstaged form. */
   def lshCandidatePairsStaged(sig: DataFrame, idCol: String, k: Int,
                               rowsPerBand: Int, sigPath: String): DataFrame = {
+    // NOTE: the stage write runs HERE, at DataFrame-construction time (not
+    // when the returned frame is acted on) — callers sharing a fixed
+    // sigPath across concurrent sessions would race the overwrite; use the
+    // no-path overload for a collision-free per-invocation directory.
     sig.write.mode("overwrite").parquet(sigPath)
     val staged = sig.sparkSession.read.parquet(sigPath)
     lshCandidatePairs(staged, idCol, k, rowsPerBand)
   }
+
+  /** [[lshCandidatePairsStaged]] with a unique per-invocation staging
+    * directory (no cross-session overwrite races on a shared path). */
+  def lshCandidatePairsStaged(sig: DataFrame, idCol: String, k: Int,
+                              rowsPerBand: Int): DataFrame =
+    lshCandidatePairsStaged(sig, idCol, k, rowsPerBand,
+      java.nio.file.Files.createTempDirectory("graft_sig_stage_").toString)
 
   /** MinHash signature via the native single-pass codegen expression
     * (graft.functions.MinHashSignature) — the fast engine-internal path:
@@ -171,12 +182,25 @@ object Dedup {
     * every round's localCheckpoint pinned measured as steadily growing
     * round times from memory pressure). On a multi-node cluster
     * substitute a reliable `checkpoint()` dir if executor loss must be
-    * survivable. */
+    * survivable. `stepsPerRound` propagation steps are FUSED into each
+    * materialized round (default 2): extra steps re-reference the cached
+    * round-start labels, so the per-round plan stays bounded while round
+    * count — and with it materialization + job-submission overhead, the
+    * dominant cost on low-diameter graphs — drops by the fusion factor.
+    * `maxIter` counts rounds, so the propagation budget is
+    * maxIter × stepsPerRound hops. */
   /** Rounds the last [[dupClusters]] call ran (diagnostic only). */
   @volatile private[graft] var lastDupClusterRounds: Int = 0
 
+  /** False iff the last [[dupClusters]] call exhausted maxIter with labels
+    * still changing — the returned clustering is then WRONG (a component
+    * wider than the propagation budget splits into several clusters), so
+    * callers get a loud signal instead of silently-split clusters. */
+  @volatile private[graft] var lastDupClusterConverged: Boolean = true
+
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-                  pointerJump: Boolean = false): DataFrame = {
+                  pointerJump: Boolean = false,
+                  stepsPerRound: Int = 2): DataFrame = {
     // materialize the pair list ONCE up front: it is typically the output
     // of LSH candidate generation (a signature pass over the corpus), and
     // both union branches below would otherwise recompute it
@@ -191,44 +215,72 @@ object Dedup {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
+    // one min-propagation step: each node's new label = min over (its own
+    // label ∪ its neighbors' labels), as ONE union + ONE groupBy — two
+    // shuffle stages per step (the earlier nbrMin-join + left-join form
+    // cost three; per-round stage overhead dominates on these graphs)
+    def step(lbl: DataFrame): DataFrame =
+      edges
+        .join(lbl.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .select(col("src").as("id"), col("dst_label").as("label"))
+        .union(lbl.select(col("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    // convergence check without carrying an `old` column or re-joining:
+    // min-propagation is MONOTONE — Σ labels strictly decreases while any
+    // label changes — so one agg over the freshly-cached round compares
+    // against the previous round's sum (decimal: overflow-proof under ANSI)
+    def labelSum(lbl: DataFrame): java.math.BigDecimal = {
+      val s = lbl.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
     var (labels, labelsRdd) = materialize(
       edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (iter < maxIter && changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("dst_label")).as("nbr_label"))
-      val m1Plan = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
-      // convergence flag rides INSIDE the materialized frame: the changed
-      // count is then a scan of cached data, not another shuffle join
-      var m1Rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var changed = true
+    while (iter < maxIter && changed) {
       val updatedPlan =
-        if (!pointerJump)
-          m1Plan.select(col("id"), col("l1").as("label"),
-            (col("l1") < col("old")).as("_changed"))
-        else {
-          // materialize m1 so the jump self-join reads it instead of
-          // recomputing the neighbor-min pass twice
-          val (m1, r) = materialize(m1Plan)
-          m1Rdd = r
-          val jump = m1.select(col("id").as("l1"), col("l1").as("l2"))
-          m1.join(jump, Seq("l1"), "left")
-            .select(col("id"),
-              least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"),
-              (least(col("l1"), coalesce(col("l2"), col("l1"))) < col("old")).as("_changed"))
+        if (!pointerJump) {
+          // fuse `stepsPerRound` propagation steps into ONE materialization:
+          // extra steps re-reference the cached round-start labels, so the
+          // plan stays bounded while round count — and with it the
+          // materialization + job-submission overhead — drops by the
+          // fusion factor
+          (1 to math.max(stepsPerRound, 1)).foldLeft(labels)((f, _) => step(f))
+        } else {
+          // one propagation step, then follow the candidate label to ITS
+          // candidate label (path compression — O(log n) rounds on high-
+          // diameter graphs), reading the materialized intermediate
+          val (m1, m1Rdd) = materialize(step(labels))
+          val jump = m1.select(col("label").as("_j_from"), col("id").as("_j_id"))
+            .join(m1.select(col("id").as("_j_from"), col("label").as("_j_to")),
+              Seq("_j_from"), "left")
+            .select(col("_j_id").as("id"),
+              coalesce(col("_j_to"), col("_j_from")).as("label"))
+          // m1's cache stays pinned until the jumped round materializes;
+          // the next loop pass unpersists it via labelsRdd rotation below
+          labelsRdd.unpersist(false)
+          labels = m1
+          labelsRdd = m1Rdd
+          jump
         }
       val (updated, updatedRdd) = materialize(updatedPlan)
-      changed = updated.filter(col("_changed")).count() // materializes the round
-      if (m1Rdd != null) m1Rdd.unpersist(false)
+      val newSum = labelSum(updated) // materializes the round's cache
       labelsRdd.unpersist(false) // previous round's cache is now dead weight
-      labels = updated.drop("_changed")
+      labels = updated
       labelsRdd = updatedRdd
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       iter += 1
     }
     lastDupClusterRounds = iter
+    lastDupClusterConverged = !changed
+    if (changed)
+      // loud, not fatal: the caller may have set maxIter deliberately low;
+      // the flag lets pipelines assert convergence where it matters
+      System.err.println(s"[graft] dupClusters hit maxIter=$maxIter with " +
+        "labels still changing — clusters are NOT converged " +
+        "(raise maxIter or set pointerJump=true for high-diameter graphs)")
     edges.unpersist()
     p.unpersist()
     // the returned frame reads the final round's cached RDD directly —
@@ -248,7 +300,11 @@ object Dedup {
                        idCol: String, n: Int): DataFrame = {
     val bg = bench.select(explode(wordNgrams(col(textCol), n)).as("g")).distinct()
     val tg = train.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
-    tg.join(bg, "g")
+    // broadcast is PINNED, not left to the optimizer: eval sets are small
+    // by definition, while the exploded train-gram stream is a multiple of
+    // corpus size — a sort-merge join here would shuffle+sort that stream
+    // (the 100 TB scale-killer). PlanSpec asserts the BroadcastHashJoin.
+    tg.join(broadcast(bg), "g")
       .groupBy(col(idCol))
       .agg(count_distinct(col("g")).as("n_shared"))
   }

@@ -209,6 +209,16 @@ object Similarity {
     corpus.withColumn("cid", cid)
   }
 
+  /** The 100 TB IVF layout: the assigned corpus written `partitionBy(cid)`
+    * so a probe of nProbe cells prunes STATICALLY to those directories —
+    * the scan reads nProbe/nCentroids of the corpus, enforced by the file
+    * index before any task launches (PlanSpec pins `PartitionFilters` and
+    * the pruned partition count on a read of this layout). Mirrors the
+    * reference's partition-directory routing
+    * (run_dbgap_xml_gen_fallback.py:164-216). */
+  def writeIvfPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
   private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
     centroids.select(col("cid").cast("int"), col("cvec"))
       .collect()

@@ -55,15 +55,23 @@ object Filters {
 
   /** F10/K6 — log-line severity split (`grep ERROR`/`grep WARNING` over
     * the run log, scripts/heal/ingest.sh:26-27): one DataFrame per
-    * severity plus the remainder. Each returned frame re-scans the input
-    * when materialized separately — right when severities fan out to
-    * different sinks; for a single downstream, [[logSeverityTag]] tags in
-    * ONE pass. */
+    * severity plus the remainder. The splits are DISJOINT by precedence —
+    * a line matching several severities lands only in the FIRST one (the
+    * same first-match semantics as [[logSeverityTag]]'s CASE chain), so
+    * the returned frames always partition the input. NOTE this diverges
+    * from two *independent* greps, which would emit such a line twice;
+    * filter severities independently if double-emission is wanted. Each
+    * returned frame re-scans the input when materialized separately —
+    * right when severities fan out to different sinks; for a single
+    * downstream, [[logSeverityTag]] tags in ONE pass. */
   def logSeveritySplit(lines: DataFrame, lineCol: String,
                        severities: Seq[String] = Seq("ERROR", "WARNING"))
       : Map[String, DataFrame] = {
-    val tagged = severities.map { sev =>
-      sev -> lines.filter(upper(col(lineCol)).contains(sev))
+    val tagged = severities.zipWithIndex.map { case (sev, i) =>
+      val notEarlier = severities.take(i)
+        .map(e => !upper(col(lineCol)).contains(e))
+        .foldLeft(lit(true))(_ && _)
+      sev -> lines.filter(upper(col(lineCol)).contains(sev) && notEarlier)
     }.toMap
     val rest = severities.foldLeft(lines)((df, sev) =>
       df.filter(!upper(col(lineCol)).contains(sev)))

@@ -69,6 +69,16 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // fail fast instead of silently emitting ambiguous/duplicate columns
+    val internal = Set("_k", "_ts", "_side", "_l", "_r", "_match")
+    val clashes = (leftCols ++ right.columns).filter(internal)
+    require(clashes.isEmpty,
+      s"asofJoin reserves internal column names ${internal.mkString(", ")}; " +
+        s"rename input columns: ${clashes.distinct.mkString(", ")}")
+    val dupOut = rightCols.filter(leftCols.contains)
+    require(dupOut.isEmpty,
+      "asofJoin output would carry duplicate column names (rightCols ∩ " +
+        s"left columns): ${dupOut.mkString(", ")} — alias one side first")
     val rStruct = struct(rightCols.map(col): _*)
     val lNorm = left.select(
       col(key).as("_k") +: col(ts).as("_ts") +: lit(1).as("_side") +:

@@ -48,6 +48,65 @@ object Scale {
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Two-phase SALTED WINDOW for a running sum over a skewed partition
+    * key — the window analogue of [[saltedAgg]]. A plain
+    * `sum over (partition by key order by ord)` puts every row of a hot
+    * key into ONE task (AQE's skew handling covers joins, not windows), so
+    * one hot user/study is one straggler at 100 TB. Here the key's rows
+    * split into contiguous chunks of the ordering domain
+    * (`floor(ord / chunkWidth)`):
+    *  1. partial running sum within (key, chunk) — hot keys spread over
+    *     many tasks, each window bounded by the chunk;
+    *  2. per-(key, chunk) totals, then an EXCLUSIVE running sum over the
+    *     chunk totals per key — a window over O(#chunks) rows, not rows;
+    *  3. join the offsets back on (key, chunk) and add.
+    * Result is row-identical to the plain running sum as long as `ord` is
+    * unique per key (ties within a chunk are fine — they order the same
+    * way in phase 1 as in the plain window). Oracle-proven equivalent
+    * (s4_salted_window vs the plain-SQL running sum). */
+  def saltedRunningSum(df: DataFrame, key: String, ord: String, value: Column,
+                       outCol: String, chunkWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    val chunked = df.withColumn("_chunk",
+      floor(col(ord) / chunkWidth).cast("long"))
+    val wIn = Window.partitionBy(col(key), col("_chunk")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col(key)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunked
+      .groupBy(col(key), col("_chunk")).agg(sum(value).as("_chunk_total"))
+      .withColumn("_offset", sum(col("_chunk_total")).over(wOff))
+      .select(col(key), col("_chunk"), col("_offset"))
+    chunked
+      .withColumn("_partial", sum(value).over(wIn))
+      .join(offsets, Seq(key, "_chunk"))
+      .withColumn(outCol,
+        col("_partial") + coalesce(col("_offset"), lit(0)))
+      .drop("_chunk", "_partial", "_offset")
+  }
+
+  /** Two-phase SALTED TOP-K per group for a skewed grouping key: phase 1
+    * ranks within (key, salt) and keeps each salt bucket's top k — hot
+    * keys spread across `saltBuckets` tasks and the survivor set is
+    * ≤ k·saltBuckets rows per key; phase 2 re-ranks the survivors within
+    * the key. Equivalent to the plain one-window top-k whenever `order`
+    * is a TOTAL order (include a tiebreak column). Unlike the running
+    * sum, rows need no ordering relation to their salt bucket, so any
+    * deterministic row-spread works. */
+  def saltedTopK(df: DataFrame, key: String, order: Seq[Column], k: Int,
+                 saltBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val w1 = Window.partitionBy(col(key), col("_salt")).orderBy(order: _*)
+    val w2 = Window.partitionBy(col(key)).orderBy(order: _*)
+    salted
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+      .drop("_salt", "_r1")
+  }
+
   /** Write both sides bucketed on the join key so later joins of these
     * tables are exchange-free (co-located scan + merge). Bucketed tables
     * require the table catalog (`saveAsTable`). */

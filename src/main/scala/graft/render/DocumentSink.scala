@@ -40,9 +40,16 @@ object DocumentSink {
   /** K1: single CSV file with header — the reference's one-file-with-header
     * report shape. coalesce(1) funnels everything through one task, so a
     * row-count ceiling rejects data-scale misuse up front. */
+  /** Probe limit for a row ceiling: maxRows+1 clamped into Int range, so
+    * an absurd ceiling degrades to "count everything" instead of
+    * overflowing into a negative limit (which throws AnalysisException). */
+  private[render] def probeLimit(maxRows: Long): Int =
+    if (maxRows >= Int.MaxValue) Int.MaxValue // +1 first would overflow
+    else (math.max(maxRows, 0L) + 1L).toInt
+
   def writeSingleCsv(df: DataFrame, path: String,
                      maxRows: Long = MaxSingleFileRows): Unit = {
-    val n = df.limit((maxRows + 1).toInt).count()
+    val n = df.limit(probeLimit(maxRows)).count()
     require(n <= maxRows,
       s"writeSingleCsv is a metadata-scale sink (> $maxRows rows); " +
         "use a partitioned write for data-scale output")

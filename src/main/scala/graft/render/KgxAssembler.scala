@@ -48,7 +48,7 @@ object KgxAssembler {
   def toJsonDocument(nodes: DataFrame, edges: DataFrame,
                      maxRows: Long = 1000000L): String = {
     Seq("nodes" -> nodes, "edges" -> edges).foreach { case (what, df) =>
-      val n = df.limit((maxRows + 1).toInt).count()
+      val n = df.limit(DocumentSink.probeLimit(maxRows)).count()
       require(n <= maxRows,
         s"toJsonDocument collects $what to the driver (> $maxRows rows); " +
           "use writeGraph for large graphs")

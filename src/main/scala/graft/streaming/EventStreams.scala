@@ -202,17 +202,26 @@ object EventStreams {
     * checkpoint commit) rewrites the identical partition instead of
     * duplicating rows — the reference's delete-partial-then-retry
     * semantics (get_dbgap_data_dicts.py:236-240) done atomically. */
+  /** The idempotent per-batch write behind [[runAvailableNowUpsert]]:
+    * dynamic partition overwrite keyed on the batch id, so re-applying a
+    * batch (after a crash between sink write and checkpoint commit)
+    * rewrites the identical partition. Exposed so tests can wrap it with
+    * fault injection and prove the exactly-once claim through a crash. */
+  def upsertBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  batchId: Long, sinkDir: String): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(sinkDir)
+
   def runAvailableNowUpsert(out: DataFrame, sinkDir: String,
                             checkpointDir: String): StreamingQuery =
     out.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id")
-          .parquet(sinkDir)
+        upsertBatch(batch, batchId, sinkDir)
       }
       .start()
 }

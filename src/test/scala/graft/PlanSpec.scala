@@ -96,6 +96,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("x23 decontamination pins a broadcast of the eval-gram side") {
+    // the exploded train-gram stream is a multiple of corpus size; an SMJ
+    // would shuffle+sort it — the eval side must broadcast, by hint
+    val p = tree(q("x23_decontamination"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("IVF partitionBy(cid) layout prunes the scan to the probed cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val assigned = graft.ext.Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    graft.ext.Similarity.writeIvfPartitioned(assigned, path)
+    val nCells = assigned.select(col("cid")).distinct().count()
+    assert(nCells > 1, "fixture must span several cells for pruning to mean anything")
+    val probe = spark.read.parquet(path).filter(col("cid") === 0)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the probe plan"))
+    // static pruning: the partition filter reaches the file index, and the
+    // scan selects exactly the probed cell's directory — before any task runs
+    assert(scan.metadata("PartitionFilters").contains("cid"), scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $nCells cells, scanned ${scan.selectedPartitions.partitionCount}")
+    // and the probe still returns exactly that cell's rows
+    assert(probe.count() == assigned.filter(col("cid") === 0).count())
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

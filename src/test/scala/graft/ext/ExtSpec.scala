@@ -76,6 +76,22 @@ class ExtSpec extends SparkSpec {
       s"jump=${Dedup.lastDupClusterRounds} plain=$plainRounds")
   }
 
+  test("dupClusters: fused steps halve rounds; maxIter exhaustion raises the flag") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // stepsPerRound=1 vs the default 2: same labels, ~half the rounds
+    val one = Dedup.dupClusters(chain, stepsPerRound = 1).as[(Long, Long)].collect().toMap
+    val oneRounds = Dedup.lastDupClusterRounds
+    assert(Dedup.lastDupClusterConverged)
+    val two = Dedup.dupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(two == one && one == (1L to 9L).map(_ -> 1L).toMap)
+    assert(Dedup.lastDupClusterRounds < oneRounds,
+      s"fused=${Dedup.lastDupClusterRounds} plain=$oneRounds")
+    // a diameter-8 chain cannot converge in 1 round of 1 step → loud flag,
+    // instead of silently-split clusters (ADVICE r2)
+    Dedup.dupClusters(chain, maxIter = 1, stepsPerRound = 1).count()
+    assert(!Dedup.lastDupClusterConverged)
+  }
+
   test("contaminatedDocs flags train docs overlapping benchmark n-grams") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(

@@ -44,6 +44,12 @@ class OpsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(tags == Map("2026 ERROR boom" -> "ERROR",
       "2026 warning: slow" -> "WARNING", "2026 ok fine" -> "OTHER"))
+    // a line carrying BOTH severities lands only in the FIRST (precedence
+    // partition — split and tag agree; no double emission)
+    val both = Seq("ERROR then WARNING later").toDF("line")
+    val s2 = Filters.logSeveritySplit(both, "line")
+    assert(s2("ERROR").count() == 1 && s2("WARNING").count() == 0 && s2("OTHER").count() == 0)
+    assert(Filters.logSeverityTag(both, "line").select("sev").as[String].head() == "ERROR")
   }
 
   // ───────── Joins ─────────

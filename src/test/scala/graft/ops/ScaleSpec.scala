@@ -27,6 +27,36 @@ class ScaleSpec extends SparkSpec {
       plain.select("k", "v", "tag").orderBy("k", "v").collect().toSeq)
   }
 
+  test("saltedRunningSum matches the plain one-window running sum (incl. a hot key)") {
+    import org.apache.spark.sql.expressions.Window
+    // hot key 7 holds 900 of 1000 rows — the straggler shape
+    val df = (1 to 1000).map(i => (if (i <= 900) 7L else i.toLong, i.toLong, i * 1.5))
+      .toDF("k", "ord", "v")
+    val salted = Scale.saltedRunningSum(df, "k", "ord", col("v"), "rt", 100L)
+      .select(col("k"), col("ord"), col("rt"))
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df.select(col("k"), col("ord"), sum(col("v")).over(w).as("rt"))
+    assert(salted.orderBy("k", "ord").collect().toSeq ==
+      plain.orderBy("k", "ord").collect().toSeq)
+    // phase-1 windows really are chunk-bounded: the hot key spans >1 chunk
+    assert(df.filter(col("k") === 7)
+      .select(countDistinct(floor(col("ord") / 100))).as[Long].head() > 1)
+  }
+
+  test("saltedTopK matches the plain one-window top-k on a skewed key") {
+    val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toLong, i * 2.0))
+      .toDF("k", "id", "score")
+    val salted = Scale.saltedTopK(df, "k", Seq(col("score").desc, col("id")), 3, 8)
+      .select(col("k"), col("id"), col("rnk"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
+    val plain = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("k"), col("id"), col("rnk"))
+    assert(salted.orderBy("k", "id").collect().toSeq ==
+      plain.orderBy("k", "id").collect().toSeq)
+  }
+
   test("writeRangeSorted: files cover disjoint key ranges (min/max prunable)") {
     val out = java.nio.file.Files.createTempDirectory("rs").toString
     val df = (1 to 4000).map(i => ((i * 7919) % 4001, s"row$i")).toDF("k", "v")

@@ -105,6 +105,11 @@ class RenderSpec extends SparkSpec {
     DocumentSink.writeSingleCsv(flat, s"$out/csv2", maxRows = 100)
     assert(Files.list(Paths.get(out, "csv2"))
       .anyMatch(_.getFileName.toString.startsWith("part-")))
+    // an absurd ceiling must clamp (NOT overflow into a negative limit and
+    // throw a confusing AnalysisException) — the guard degrades to a pass
+    DocumentSink.writeSingleCsv(flat, s"$out/csv3", maxRows = Long.MaxValue)
+    assert(DocumentSink.probeLimit(Long.MaxValue) == Int.MaxValue)
+    assert(DocumentSink.probeLimit(10L) == 11)
   }
 
   test("K4 partitioned layout: null partition values become __missing__") {

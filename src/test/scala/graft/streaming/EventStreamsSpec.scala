@@ -129,6 +129,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 4) // no duplication
   }
 
+  test("upsert sink exactly-once survives a crash BETWEEN sink write and checkpoint commit") {
+    val src = Files.createTempDirectory("csrc").toString
+    val sink = Files.createTempDirectory("csink").toString
+    val ckpt = Files.createTempDirectory("cckpt").toString
+    mkEvents.write.mode("overwrite").parquet(src)
+    // fault injection: the sink write SUCCEEDS, then the batch throws
+    // before foreachBatch returns — so the data landed but the checkpoint
+    // never committed the batch: the crash window that breaks naive sinks
+    @volatile var armed = true
+    def run(): Unit = {
+      val q = EventStreams.fileSource(spark, src, mkEvents.schema)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          EventStreams.upsertBatch(b, id, sink) // the real sink body
+          if (armed) { armed = false; throw new RuntimeException("injected crash") }
+        }
+        .start()
+      try q.awaitTermination(120000)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+    run() // crashes after writing batch 0, before its commit
+    assert(spark.read.parquet(sink).count() == 4, "data landed before the crash")
+    // restart with the SAME checkpoint: batch 0 re-delivers under the same
+    // batch id and dynamic partition overwrite rewrites — never duplicates
+    run()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 4, "replayed batch must overwrite, not append")
+    assert(out.select("_batch_id").distinct().count() == 1)
+    assert(out.select("event_id").as[Long].collect().sorted
+      .sameElements(mkEvents.select("event_id").as[Long].collect().sorted))
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
