@@ -679,17 +679,22 @@ object SparkEntry {
     // ───────────────────────── ext: text stats ─────────────────────────
     "x6b_ann_ivf" -> ((s, dir) => {
       // IVF scale path: centroids = first 16 vectors, probe top-2 cells.
-      // Approximate => engine-specific result set; rows-only check.
+      // Deterministic end-to-end in Q30 arithmetic (exact argmin
+      // assignment, exact probe ranking, exact candidate scores), so the
+      // APPROXIMATE result set is still engine-portable → full oracle.
       val emb = t(s, dir, "embeddings")
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       Similarity.ivfTopK(emb, centroids, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", 5, 2)
-        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rnk"))
+          "vec_id", "embedding", 5, 2, q30 = true)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
     "x15_rhp_neardup" -> ((s, dir) =>
-      // embedding near-dup via random-hyperplane LSH buckets (scale path;
-      // rows-only: plane draws are engine-internal)
+      // embedding near-dup via random-hyperplane LSH buckets (scale path).
+      // Oracle-checkable: the seeded plane matrix is emitted verbatim into
+      // the oracle SQL (shortest-repr doubles round-trip exactly), and both
+      // the sign test and the cosine verify run in Q30 fixed point.
       Similarity.rhpNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         64, 12, 0.2)),
     "x16_curation" -> ((s, dir) =>
@@ -792,6 +797,16 @@ object SparkEntry {
   private def signBucketSql10: String = (0 until 10).map(i =>
     s"(CASE WHEN embedding[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     .mkString(" + ")
+
+  /** The x15 RHP plane matrix as a DuckDB VALUES table `(p, w)` — the SAME
+    * seeded draws Similarity.rhpSignature folds into the Spark plan
+    * (Similarity.rhpPlanes is the single source). Double.toString is
+    * shortest-repr, so DuckDB's correctly-rounding parser reconstructs the
+    * bit-identical doubles; the sign test is then Q30-exact on both sides. */
+  private def rhpPlanesSql(dim: Int, nPlanes: Int): String =
+    graft.ext.Similarity.rhpPlanes(dim, nPlanes).zipWithIndex.map {
+      case (w, p) => s"($p, [${w.mkString(", ")}])"
+    }.mkString(", ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1265,6 +1280,57 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY CAST(s AS DOUBLE) * qs2 * ns DESC, n_id) AS BIGINT) AS rnk
          FROM dp QUALIFY rnk <= 5""",
+    "x6b_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+           cs AS (SELECT vec_id, cid,
+                  CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                        FROM embeddings e CROSS JOIN c)
+                  GROUP BY vec_id, cid),
+           assign AS (SELECT vec_id, cid FROM cs
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+           probes AS (SELECT vec_id AS q_id, cid FROM cs WHERE vec_id < 8
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) <= 2),
+           cand AS (SELECT p.q_id, a.vec_id AS n_id
+                    FROM probes p JOIN assign a ON a.cid = p.cid
+                    WHERE a.vec_id <> p.q_id),
+           dp AS (SELECT q_id, n_id,
+                  CAST(SUM(CAST(floor(CAST(qx AS DOUBLE)*CAST(nx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT cd.q_id, cd.n_id, unnest(q.embedding) AS qx, unnest(n.embedding) AS nx
+                        FROM cand cd JOIN embeddings q ON q.vec_id = cd.q_id
+                                     JOIN embeddings n ON n.vec_id = cd.n_id)
+                  GROUP BY q_id, n_id)
+         SELECT q_id, n_id, CAST(s AS DOUBLE)/1073741824 AS score,
+                CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS BIGINT) AS rnk
+         FROM dp QUALIFY rnk <= 5""",
+    "x15_rhp_neardup" ->
+      s"""WITH planes AS (SELECT * FROM (VALUES ${rhpPlanesSql(64, 12)}) AS t(p, w)),
+           terms AS (SELECT vec_id, p,
+                     CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * wx * 1073741824) AS BIGINT)) AS BIGINT) AS s
+                     FROM (SELECT e.vec_id, pl.p, unnest(e.embedding) AS x, unnest(pl.w) AS wx
+                           FROM embeddings e CROSS JOIN planes pl)
+                     GROUP BY vec_id, p),
+           sig AS (SELECT vec_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+                   FROM terms GROUP BY vec_id),
+           sv AS (SELECT e.vec_id, e.embedding, g.sig FROM embeddings e JOIN sig g ON g.vec_id = e.vec_id),
+           norms AS (SELECT vec_id,
+                     SUM(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS ns
+                     FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+           pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS av, b.embedding AS bv
+                     FROM sv a JOIN sv b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+           dots AS (SELECT a_id, b_id,
+                    SUM(CAST(floor(CAST(ax AS DOUBLE)*CAST(bx AS DOUBLE)*1073741824) AS BIGINT)) AS d
+                    FROM (SELECT a_id, b_id, unnest(av) AS ax, unnest(bv) AS bx FROM pairs)
+                    GROUP BY a_id, b_id)
+         SELECT * FROM (
+           SELECT d.a_id, d.b_id,
+                  (CAST(d.d AS DOUBLE)/1073741824)
+                    / (sqrt(CAST(na.ns AS DOUBLE)/1073741824)
+                       * sqrt(CAST(nb.ns AS DOUBLE)/1073741824)) AS cos
+           FROM dots d JOIN norms na ON na.vec_id = d.a_id
+                       JOIN norms nb ON nb.vec_id = d.b_id)
+         WHERE cos >= 0.2""",
     "x7b_cosine_lsh" ->
       s"""WITH s AS (SELECT vec_id, embedding, $signBucketSql10 AS sig FROM embeddings),
            norms AS (SELECT vec_id,

@@ -80,6 +80,16 @@ object Similarity {
         (col("r") + 1).as("rank"))
   }
 
+  /** The RHP plane matrix: `nPlanes` rows of `dim` Gaussian draws from a
+    * seeded RNG. Public so the oracle side can emit the IDENTICAL double
+    * literals into SQL (java.lang.Double.toString is shortest-repr and
+    * round-trips exactly through any correctly-rounding parser, DuckDB
+    * included) — which is what makes [[rhpSignature]] oracle-checkable. */
+  def rhpPlanes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
   /** Random-hyperplane LSH signature for cosine similarity: bit p of the
     * signature is the sign of ⟨v, plane_p⟩ with planes drawn once from a
     * seeded RNG (deterministic across runs/executors — the plane matrix is
@@ -87,30 +97,43 @@ object Similarity {
     * broadcast). Vectors with close cosine agree on most bits, so equal
     * signatures (or signature bands) are near-dup candidates: a pure
     * projection + an equi-join on a long key — the shuffle carries only
-    * (signature, id) pairs, never vectors. */
+    * (signature, id) pairs, never vectors.
+    *
+    * The plane dot is Q30 fixed point (floor each double product to a long
+    * step, sum exactly): a plain double fold is reduction-order-sensitive,
+    * so a sum landing within an ulp of 0 could flip the bit between
+    * engines; the Q30 sign test is bit-identical everywhere. */
   def rhpSignature(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
     require(nPlanes <= 63, "signature packs into one long")
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val planes = rhpPlanes(dim, nPlanes, seed)
     (0 until nPlanes).map { p =>
       val plane = array(planes(p).map(lit): _*)
-      when(aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << p)).otherwise(lit(0L))
+      val q30 = aggregate(
+        zip_with(vec, plane,
+          (x, w) => floor(x.cast("double") * w * lit(Q30Scale)).cast("long")),
+        lit(0L), (acc, t) => acc + t)
+      when(q30 > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
+  private final val Q30Scale = (1L << 30).toDouble
+
   /** Candidate near-dup pairs via exact RHP-signature collision, verified
-    * with the exact cosine. `minCos` filters the verified pairs. */
+    * with the Q30-exact cosine (engine-portable arithmetic — see
+    * [[quantizedDot]]). `minCos` filters the verified pairs. */
   def rhpNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       nPlanes: Int, minCos: Double): DataFrame = {
     val sig = df.select(col(idCol), col(vecCol),
-      rhpSignature(col(vecCol), dim, nPlanes).as("sig"))
-    val a = sig.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("sig"))
+      rhpSignature(col(vecCol), dim, nPlanes).as("sig"),
+      sqrt(quantizedDot(col(vecCol), col(vecCol))).as("nrm"))
+    val a = sig.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      col("sig"), col("nrm").as("a_nrm"))
     val b = sig.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
-      col("sig").as("sig_b"))
+      col("sig").as("sig_b"), col("nrm").as("b_nrm"))
     a.join(b, col("sig") === col("sig_b") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        cosine(col("a_vec"), col("b_vec")).as("cos"))
+        (quantizedDot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
+          .as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -191,8 +214,10 @@ object Similarity {
     * measured to blow up codegen compile time): centroids are bounded
     * metadata, so the assignment is a pure projection — no crossJoin, no
     * window, no shuffle. */
-  private def centroidScores(vec: Column, cents: Seq[Array[Float]]): Column =
-    transform(typedlit(cents.map(_.toSeq)), c => dot(vec, c))
+  private def centroidScores(vec: Column, cents: Seq[Array[Float]],
+                             q30: Boolean = false): Column =
+    transform(typedlit(cents.map(_.toSeq)),
+      c => if (q30) quantizedDot(vec, c) else dot(vec, c))
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid,
     * then search only the `nProbe` closest centroids' cells per query.
@@ -201,10 +226,14 @@ object Similarity {
     * `partitionBy(cid)` for static pruning. Centroids (a small DataFrame
     * of (cid, cvec)) are collected — bounded driver data, like any
     * literal dimension. Ties pick the lowest cid (deterministic). */
+  /** `q30 = true` makes the assignment argmax engine-portable (Q30
+    * centroid scores; `array_position` of the max picks the LOWEST cid on
+    * ties — the same (score desc, cid asc) ranking an oracle's row_number
+    * uses), so the whole IVF pipeline becomes oracle-checkable. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
-                vecCol: String): DataFrame = {
+                vecCol: String, q30: Boolean = false): DataFrame = {
     val cents = collectCentroids(centroids)
-    val scores = centroidScores(col(vecCol), cents.map(_._2))
+    val scores = centroidScores(col(vecCol), cents.map(_._2), q30)
     val cid = (array_position(scores, array_max(scores)) - 1).cast("int")
     corpus.withColumn("cid", cid)
   }
@@ -226,12 +255,13 @@ object Similarity {
       .sortBy(_._1)
 
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nProbe: Int,
+              q30: Boolean = false): DataFrame = {
     val cents = collectCentroids(centroids)
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, q30)
     // per query: top-nProbe cells via an in-row argsort of the literal
     // centroid scores (struct sort: score desc, cid asc)
-    val qScores = centroidScores(col(vecCol), cents.map(_._2))
+    val qScores = centroidScores(col(vecCol), cents.map(_._2), q30)
     val probes = transform(
       slice(array_sort(zip_with(qScores,
           sequence(lit(0), lit(cents.size - 1)),
@@ -245,7 +275,9 @@ object Similarity {
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cid"))
       .join(broadcast(qAssigned), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), dot(col("q_vec"), col("n_vec")).as("score"))
+      .select(col("q_id"), col("n_id"),
+        (if (q30) quantizedDot(col("q_vec"), col("n_vec"))
+         else dot(col("q_vec"), col("n_vec"))).as("score"))
     topKPerQuery(candidates, k)
   }
 }
