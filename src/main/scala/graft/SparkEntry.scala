@@ -208,6 +208,25 @@ object SparkEntry {
           Seq(col("o_totalprice").desc, col("o_orderkey")), 3, 8)
         .select(col("o_custkey"), col("o_orderkey"),
           col("rnk").cast("long").as("rn"))),
+    "s6_bucketed_join" -> ((s, dir) => {
+      // the write-once-join-many layout: both sides bucketed+sorted on the
+      // join key (Scale.writeBucketed, CONSTRUCTION-TIME side effect into
+      // the session warehouse), then merge-join + same-key aggregate read
+      // the co-located buckets — the WHOLE plan runs without a single
+      // shuffle exchange (PlanSpec pins it). The 100 TB pattern for a fact
+      // table joined on the same key by many downstream queries.
+      graft.ops.Scale.writeBucketed(
+        t(s, dir, "customer"), "graft_bkt_customer", "c_custkey", 8)
+      graft.ops.Scale.writeBucketed(
+        t(s, dir, "orders").withColumn("o_custkey_b", col("o_custkey")),
+        "graft_bkt_orders", "o_custkey_b", 8)
+      s.table("graft_bkt_customer")
+        .join(s.table("graft_bkt_orders").hint("merge"),
+          col("c_custkey") === col("o_custkey_b"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
 
     // ───────────────────────── §2.3 projections ─────────────────────────
     "p1_split_part" -> ((s, dir) =>
@@ -865,6 +884,11 @@ object SparkEntry {
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
                FROM orders) WHERE rn <= 3""",
+    "s6_bucketed_join" ->
+      """SELECT c_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey""",
     "w5_rank_surface" ->
       """SELECT o_orderkey,
          CAST(rank() OVER w AS BIGINT) AS rnk,

@@ -93,11 +93,42 @@ object Dedup {
   }
 
   /** [[lshCandidatePairsStaged]] with a unique per-invocation staging
-    * directory (no cross-session overwrite races on a shared path). */
+    * directory (no cross-session overwrite races on a shared path). The
+    * dir is registered for recursive deletion at JVM exit, so repeated
+    * bench/verify runs don't accumulate parquet stages in /tmp. */
   def lshCandidatePairsStaged(sig: DataFrame, idCol: String, k: Int,
-                              rowsPerBand: Int): DataFrame =
-    lshCandidatePairsStaged(sig, idCol, k, rowsPerBand,
-      java.nio.file.Files.createTempDirectory("graft_sig_stage_").toString)
+                              rowsPerBand: Int): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_stage_")
+    registerStageDirForCleanup(dir.toString)
+    lshCandidatePairsStaged(sig, idCol, k, rowsPerBand, dir.toString)
+  }
+
+  /** Staging dirs pending JVM-exit deletion (exposed for specs). */
+  def registeredStageDirs: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    stageDirs.asScala.toSet
+  }
+
+  private val stageDirs = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  // one hook for all registered dirs, installed on first use
+  private lazy val installStageCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stageDirs.forEach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    }))
+
+  private def registerStageDirForCleanup(dir: String): Unit = {
+    installStageCleanupHook
+    stageDirs.add(dir)
+  }
 
   /** MinHash signature via the native single-pass codegen expression
     * (graft.functions.MinHashSignature) — the fast engine-internal path:
@@ -296,10 +327,39 @@ object Dedup {
     * (eval sets are small — typically broadcastable); the join carries
     * (gram, id) pairs, never document text; output is one row per
     * contaminated train doc. The standard pretrain decontamination pass. */
+  /** `bloomPreFilter` — opt-in bloom probe ahead of the broadcast join.
+    * MEASURED at bench scale (tools/X23Bench, sf0.1, interleaved warm
+    * runs): a wash to slightly negative (~7.1 s vs ~6.7-7.2 s) — the
+    * eval-gram hash map is tiny and cache-resident, so the BHJ probe a
+    * negative gram pays is already as cheap as the bloom probe. The knob
+    * exists for the regime where it wins: eval-gram maps big enough to
+    * miss cache (full benchmark suites at 100 TB), where dropping the
+    * true-negative mass before the join probe is the difference. Blooms
+    * have no false negatives, so results are identical either way
+    * (spec-asserted). */
   def contaminatedDocs(train: DataFrame, bench: DataFrame, textCol: String,
-                       idCol: String, n: Int): DataFrame = {
+                       idCol: String, n: Int,
+                       bloomPreFilter: Boolean = false): DataFrame = {
     val bg = bench.select(explode(wordNgrams(col(textCol), n)).as("g")).distinct()
-    val tg = train.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+    val tg0 = train.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+    // Bloom pre-filter: a codegen'd bloom_filter_might_contain probe on
+    // xxhash64(gram) drops the true-negative mass of the train-gram stream
+    // BEFORE the join build-side probe and the struct row it feeds — the
+    // exact join then verifies survivors, so results are unchanged (blooms
+    // have no false negatives). Built from the eval side (small by
+    // definition) in one extra metadata-scale job at CONSTRUCTION time.
+    val tg = if (bloomPreFilter) {
+      val h = bg.select(xxhash64(col("g")).as("h"))
+      val bf = h.stat.bloomFilter("h", math.max(h.count(), 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graftbridge.Bridge
+      val probe = Bridge.column(BloomFilterMightContain(
+        Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(col("g")))))
+      tg0.filter(probe)
+    } else tg0
     // broadcast is PINNED, not left to the optimizer: eval sets are small
     // by definition, while the exploded train-gram stream is a multiple of
     // corpus size — a sort-merge join here would shuffle+sort that stream

@@ -110,10 +110,28 @@ object Scale {
   /** Write both sides bucketed on the join key so later joins of these
     * tables are exchange-free (co-located scan + merge). Bucketed tables
     * require the table catalog (`saveAsTable`). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // an in-memory catalog dies with its JVM but the managed-table
+    // DIRECTORY survives; a later session's CTAS then refuses with
+    // LOCATION_ALREADY_EXISTS even in overwrite mode — drop the entry and
+    // clear any orphaned location first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val root = if (warehouse.startsWith("file:")) new java.io.File(new java.net.URI(warehouse))
+               else new java.io.File(warehouse)
+    val loc = new java.io.File(root, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Pre-shuffle both sides to the same partitioning once, reuse across
     * several joins/aggs on that key in one job (exchange reuse). */

@@ -24,9 +24,12 @@ object BdcIngest {
 
   /** Full pipeline. `gen3` / `picsure` as read by CsvSources (picsure
     * already cleaned). Writes XML docs under `outDir/<program>/<study>/`
-    * and returns the report DataFrames (lazily evaluated). */
+    * and returns the report DataFrames (lazily evaluated).
+    * `maxOverlapIds` ceilings the driver-side overlap-id collect (the
+    * study-id universe is metadata-scale by contract). */
   def run(spark: SparkSession, gen3: DataFrame, picsure: DataFrame,
-          outDir: String): Result = {
+          outDir: String,
+          maxOverlapIds: Long = DocumentSink.MaxSingleFileRows): Result = {
     // F2 validation split with tracked reasons
     val (valid, rejects) = Filters.validationSplit(gen3, requiredStudyFields)
 
@@ -98,9 +101,16 @@ object BdcIngest {
         coalesce(col("Accession"), lit("(no accession)")).as("accession_id"),
         lit("FAILED").as("status"), lit("none").as("method"),
         col("reason").as("details")))
-    val overlapIds = Joins.prefixScanMembership(picsure, picsure.columns.toSeq,
-        "phs", studies.select(col("study_id")).distinct(), "study_id")
-      .collect().map(_.getString(0)).toSeq
+    // Driver-side collect for the one-file report: ceiling-guarded like
+    // every other metadata-scale sink (DocumentSink.writeSingleCsv,
+    // KgxAssembler.toJsonDocument) so data-scale misuse raises, not OOMs.
+    val overlap = Joins.prefixScanMembership(picsure, picsure.columns.toSeq,
+      "phs", studies.select(col("study_id")).distinct(), "study_id")
+    val nOverlap = overlap.limit(DocumentSink.probeLimit(maxOverlapIds)).count()
+    require(nOverlap <= maxOverlapIds,
+      s"overlap id list collects to the driver (> $maxOverlapIds rows); " +
+        "the study-id universe should be metadata-scale")
+    val overlapIds = overlap.collect().map(_.getString(0)).toSeq
     val summaryText =
       SummaryReport.writeProcessingSummary(perStudy, overlapIds, outDir)
 

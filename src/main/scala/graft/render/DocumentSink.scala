@@ -43,7 +43,7 @@ object DocumentSink {
   /** Probe limit for a row ceiling: maxRows+1 clamped into Int range, so
     * an absurd ceiling degrades to "count everything" instead of
     * overflowing into a negative limit (which throws AnalysisException). */
-  private[render] def probeLimit(maxRows: Long): Int =
+  private[graft] def probeLimit(maxRows: Long): Int =
     if (maxRows >= Int.MaxValue) Int.MaxValue // +1 first would overflow
     else (math.max(maxRows, 0L) + 1L).toInt
 

@@ -104,6 +104,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("decontamination bloom variant probes the gram stream before the join") {
+    // opt-in pre-filter for large eval-gram maps: the codegen'd
+    // might_contain probe on xxhash64(gram) must sit on the train-gram
+    // stream, and the broadcast join must survive unchanged
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val withBloom = graft.ext.Dedup.contaminatedDocs(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      "text", "doc_id", 3, bloomPreFilter = true)
+    val p = tree(withBloom)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("s6 bucketed join + same-key agg runs with zero shuffle exchanges") {
+    // both sides bucketed on the join key; merge join AND the groupBy on
+    // that key read the co-located buckets — no Exchange anywhere
+    val p = tree(q("s6_bucketed_join"))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg must not shuffle:\n$p")
+  }
+
   test("IVF partitionBy(cid) layout prunes the scan to the probed cells") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

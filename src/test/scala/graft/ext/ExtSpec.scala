@@ -55,6 +55,18 @@ class ExtSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("minhash"), s"signature recomputed: $plan")
   }
 
+  test("lshCandidatePairsStaged no-path overload registers its temp dir for JVM-exit cleanup") {
+    val sig = Dedup.minhashSignature(docs, "text", 8)
+    val before = Dedup.registeredStageDirs
+    val staged = Dedup.lshCandidatePairsStaged(sig, "doc_id", 8, 2)
+    assert(staged.count() > 0)
+    val added = Dedup.registeredStageDirs -- before
+    assert(added.size == 1, s"expected exactly one new staging dir, got $added")
+    val dir = java.nio.file.Paths.get(added.head)
+    assert(java.nio.file.Files.exists(dir), s"staging dir missing: $dir")
+    assert(dir.getFileName.toString.startsWith("graft_sig_stage_"))
+  }
+
   test("dupClusters: connected components with min-id labels (chains + pairs)") {
     // chain 1-2-3 (transitive closure needed), isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
@@ -104,6 +116,12 @@ class ExtSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 3L)) // doc 2 is clean
     assert(out(1L) == 2L) // "the quick brown", "quick brown fox"
     assert(out(3L) == 1L) // "quick brown fox"
+    // blooms have no false negatives, so the opt-in pre-filtered form must
+    // be IDENTICAL to the exact-join-only default (the bloom only sheds
+    // true-negative grams before the join)
+    val withBloom = Dedup.contaminatedDocs(train, bench, "text", "doc_id", 3,
+      bloomPreFilter = true).as[(Long, Long)].collect().toMap
+    assert(out == withBloom)
   }
 
   test("simhash: identical => equal, near-dup closer than unrelated (hamming)") {

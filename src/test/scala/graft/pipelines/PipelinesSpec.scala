@@ -67,6 +67,18 @@ class PipelinesSpec extends SparkSpec {
     assert(txt.contains("\nStudies found in both Gen3 and PicSure:\n  phs000007"))
   }
 
+  test("BdcIngest: overlap-id driver collect raises past the row ceiling") {
+    val out = Files.createTempDirectory("bdc_guard").toString
+    val gen3 = CsvSources.readGen3Studies(spark, s"$fixtures/gen3.csv")
+    val pic = CsvSources.cleanPicsureVars(
+      CsvSources.readPicsureVars(spark, s"$fixtures/picsure.csv"))
+    // fixture yields exactly 1 overlap id; a ceiling of 0 must raise
+    val e = intercept[IllegalArgumentException] {
+      BdcIngest.run(spark, gen3, pic, out, maxOverlapIds = 0L)
+    }
+    assert(e.getMessage.contains("overlap id list"))
+  }
+
   test("HealIngest: alias normalization, uniquify, enum packing, KGX") {
     val out = Files.createTempDirectory("heal").toString
     val mapping = CsvSources.readHdpidMapping(spark, s"$fixtures/mapping.csv")
