@@ -575,6 +575,21 @@ object SparkEntry {
         .select(col("a_id").cast("long").as("a_id"),
           col("b_id").cast("long").as("b_id"))
     }),
+    "x26_incremental_dedup" -> ((s, dir) => {
+      // incremental batch dedup: the existing corpus's signatures staged
+      // to parquet (construction-time side effect, unique temp dir,
+      // JVM-exit cleaned), then the NEW batch (20% of docs) computes only
+      // its own signatures and band-joins against the stage — corpus text
+      // never rescanned, new-side bands broadcast (PlanSpec pins it).
+      val d = t(s, dir, "documents")
+      val stage = Dedup.stageSignatures(
+        Dedup.minhashSignature(d.filter(col("doc_id") % 5 =!= 0), "text", 4))
+      Dedup.lshCandidatePairsIncremental(
+        Dedup.minhashSignature(d.filter(col("doc_id") % 5 === 0), "text", 4),
+        stage, "doc_id", 4, 2)
+        .select(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id"))
+    }),
     // native codegen minhash (graft.functions.MinHashSignature): no oracle
     // (engine-specific hash values) => driver rows-only check
     "x2b_minhash_fast" -> ((s, dir) =>
@@ -1197,6 +1212,19 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))""",
+    "x26_incremental_dedup" ->
+      """WITH sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id)
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))
+           AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""",
     "x3c_lsh_staged" ->
       """WITH sig AS (
            SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,

@@ -44,24 +44,30 @@ object Dedup {
       .select(col(idCol) +: (1 to k).map(i => col("_sig").getItem(i - 1).as(s"h$i")): _*)
   }
 
-  /** LSH banding: group the k signature hashes into bands of `rowsPerBand`,
-    * emit (band_idx, band_key, id); docs sharing any full band become
-    * candidate pairs. Shuffle carries only narrow keys. */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int,
-                        rowsPerBand: Int): DataFrame = {
+  /** (id, band_idx, band_key) band rows for a signature table: the k
+    * hashes grouped into bands of `rowsPerBand`, each band keyed by a
+    * sha1 over its hashes ("|"-separated — no concat ambiguity across
+    * hash columns of any type). */
+  def lshBands(sig: DataFrame, idCol: String, k: Int,
+               rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
-      // "|" separator: no concat ambiguity across hash columns of any type
       struct(lit(b).as("band_idx"), sha1(concat_ws("|", hs: _*)).as("band_key"))
     }
+    sig.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** LSH banding: docs sharing any full band become candidate pairs.
+    * Shuffle carries only narrow keys. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int,
+                        rowsPerBand: Int): DataFrame = {
     // NOTE: the aliased self-join recomputes the signature pass per side;
     // persisting the (id, band) table here was measured SLOWER at bench
     // scale (cache write cost > recompute), so recompute is kept. At true
     // 100 TB scale, materialize the signature table to parquet first.
-    val exploded = sig
-      .select(col(idCol), explode(array(bands: _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+    val exploded = lshBands(sig, idCol, k, rowsPerBand)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
@@ -101,6 +107,50 @@ object Dedup {
     val dir = java.nio.file.Files.createTempDirectory("graft_sig_stage_")
     registerStageDirForCleanup(dir.toString)
     lshCandidatePairsStaged(sig, idCol, k, rowsPerBand, dir.toString)
+  }
+
+  /** Write a signature table to a unique temp parquet stage (registered
+    * for JVM-exit deletion) and return its path — the setup step for
+    * [[lshCandidatePairsIncremental]] and tests of the staged flow. In
+    * production the stage is a durable table the pipeline owns, appended
+    * batch by batch. */
+  def stageSignatures(sig: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_stage_")
+    registerStageDirForCleanup(dir.toString)
+    sig.write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  /** Incremental batch dedup — the production flow for a GROWING corpus:
+    * signatures of everything already ingested live in a parquet stage
+    * (one narrow (id, k hashes) table, written once per batch, e.g. via
+    * [[stageSignatures]]/append); a new batch computes only ITS OWN
+    * signatures and band-joins against the stage. Returns candidate pairs
+    * with at least one side in the new batch, `a_id < b_id`.
+    *
+    * 100 TB posture: corpus TEXT is never rescanned — only the new batch
+    * pays a text pass. The stage's band rows stream map-side into a
+    * broadcast hash join against the (small) new-batch bands, so the
+    * corpus is neither shuffled nor collected; the only shuffle is the
+    * final distinct over matched pairs. Set `broadcastNew = false` when a
+    * backfill batch is too big to broadcast (falls back to a shuffle
+    * join on the band key). Reads the stage as-is: append the new batch's
+    * signatures to the stage AFTER calling (or the batch would pair with
+    * itself twice). */
+  def lshCandidatePairsIncremental(newSig: DataFrame, sigPath: String,
+                                   idCol: String, k: Int, rowsPerBand: Int,
+                                   broadcastNew: Boolean = true): DataFrame = {
+    val corpus = newSig.sparkSession.read.parquet(sigPath)
+    val aBands = lshBands(corpus.unionByName(newSig), idCol, k, rowsPerBand).as("a")
+    val bBands0 = lshBands(newSig, idCol, k, rowsPerBand)
+    val bBands = (if (broadcastNew) broadcast(bBands0) else bBands0).as("b")
+    aBands.join(bBands,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("a_id"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("b_id"))
+      .distinct()
   }
 
   /** Staging dirs pending JVM-exit deletion (exposed for specs). */
@@ -211,9 +261,13 @@ object Dedup {
     * analysis by round ~15) — AND lets the previous round's cache be
     * explicitly unpersisted once the new round materializes (leaving
     * every round's localCheckpoint pinned measured as steadily growing
-    * round times from memory pressure). On a multi-node cluster
-    * substitute a reliable `checkpoint()` dir if executor loss must be
-    * survivable. `stepsPerRound` propagation steps are FUSED into each
+    * round times from memory pressure). On a multi-node cluster where
+    * executor loss must be survivable, set a reliable checkpoint dir
+    * (`sc.setCheckpointDir`) and `checkpointEvery = N`: every Nth round's
+    * label RDD checkpoints to the reliable store, so a lost executor
+    * recomputes at most N-1 rounds instead of the whole chain (cache
+    * blocks are not fault-tolerant; the materialize-cut lineage cannot
+    * rebuild them from source). `stepsPerRound` propagation steps are FUSED into each
     * materialized round (default 2): extra steps re-reference the cached
     * round-start labels, so the per-round plan stays bounded while round
     * count — and with it materialization + job-submission overhead, the
@@ -231,7 +285,8 @@ object Dedup {
 
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   pointerJump: Boolean = false,
-                  stepsPerRound: Int = 2): DataFrame = {
+                  stepsPerRound: Int = 2,
+                  checkpointEvery: Int = 0): DataFrame = {
     // materialize the pair list ONCE up front: it is typically the output
     // of LSH candidate generation (a signature pass over the corpus), and
     // both union branches below would otherwise recompute it
@@ -241,9 +296,15 @@ object Dedup {
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
     val spark = pairs.sparkSession
-    // materialize a plan's RDD, cut lineage, manage the cache explicitly
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    // materialize a plan's RDD, cut lineage, manage the cache explicitly;
+    // optionally mark it for a reliable checkpoint (written by the first
+    // job that runs on it — the labelSum right after)
+    val ckptEnabled = checkpointEvery > 0 &&
+      spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame, checkpoint: Boolean = false)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (checkpoint) rdd.checkpoint()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
     // one min-propagation step: each node's new label = min over (its own
@@ -295,7 +356,8 @@ object Dedup {
           labelsRdd = m1Rdd
           jump
         }
-      val (updated, updatedRdd) = materialize(updatedPlan)
+      val (updated, updatedRdd) = materialize(updatedPlan,
+        checkpoint = ckptEnabled && (iter + 1) % checkpointEvery == 0)
       val newSum = labelSum(updated) // materializes the round's cache
       labelsRdd.unpersist(false) // previous round's cache is now dead weight
       labels = updated

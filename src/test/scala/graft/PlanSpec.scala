@@ -119,6 +119,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x26 incremental dedup broadcasts the new batch; corpus bands never shuffle") {
+    // the staged corpus streams map-side through a broadcast join against
+    // the (small) new-batch bands — no shuffle of the corpus side before
+    // the join; the only exchange is the final pair distinct
+    val p = tree(q("x26_incremental_dedup"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("s6 bucketed join + same-key agg runs with zero shuffle exchanges") {
     // both sides bucketed on the join key; merge join AND the groupBy on
     // that key read the co-located buckets — no Exchange anywhere

@@ -55,6 +55,44 @@ class ExtSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("minhash"), s"signature recomputed: $plan")
   }
 
+  test("dupClusters checkpointEvery writes reliable checkpoints; labels unchanged") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+      val out = Dedup.dupClusters(pairs, checkpointEvery = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // a reliable checkpoint landed in the dir (executor loss would
+      // recompute at most checkpointEvery-1 rounds, not the whole chain)
+      def files(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(files(ckptDir) > 0, "no checkpoint files written")
+    } finally {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
+  test("incremental LSH: staged corpus + new batch ≡ full pairs touching the batch") {
+    val sigAll = Dedup.minhashSignature(docs, "text", 8)
+    val newIds = Set(2L, 4L)
+    val sigOld = sigAll.filter(!col("doc_id").isin(newIds.toSeq: _*))
+    val sigNew = sigAll.filter(col("doc_id").isin(newIds.toSeq: _*))
+    val stage = Dedup.stageSignatures(sigOld)
+    assert(Dedup.registeredStageDirs.contains(stage)) // JVM-exit cleaned
+    val inc = Dedup.lshCandidatePairsIncremental(sigNew, stage, "doc_id", 8, 2)
+      .as[(Long, Long)].collect().toSet
+    // oracle: the full self-join restricted to pairs with >= 1 new side
+    val full = Dedup.lshCandidatePairs(sigAll, "doc_id", 8, 2)
+      .as[(Long, Long)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(inc == full)
+    assert(inc.forall { case (a, b) => a < b })
+  }
+
   test("lshCandidatePairsStaged no-path overload registers its temp dir for JVM-exit cleanup") {
     val sig = Dedup.minhashSignature(docs, "text", 8)
     val before = Dedup.registeredStageDirs
