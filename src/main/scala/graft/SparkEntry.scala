@@ -575,6 +575,32 @@ object SparkEntry {
         .select(col("a_id").cast("long").as("a_id"),
           col("b_id").cast("long").as("b_id"))
     }),
+    "x28_dedup_apply" -> ((s, dir) => {
+      // the dedup lifecycle end-to-end: signatures → LSH candidates → CC
+      // clusters → DROP non-keepers — the surviving corpus is the
+      // pipeline's actual artifact (md5 proves surviving text bytes)
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2))
+      Dedup.applyDedup(d, clusters, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    }),
+    "x27_line_dedup" -> ((s, dir) => {
+      // C4-style corpus-wide line dedup over synthesized 3-token lines
+      // (fixture text has no newlines — the same synthesis move as f10's
+      // log lines): any line appearing more than twice across the corpus
+      // is dropped, docs reassembled in original line order (md5 proves
+      // byte-identical reassembly across engines)
+      val d = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val lined = d.withColumn("text",
+        concat_ws("\n", transform(
+          sequence(lit(0), ((size(toks) - 1) / 3).cast("int")),
+          i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))))
+      Dedup.dedupLinesAcrossCorpus(lined, "text", "doc_id", 2)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines_kept").cast("long").as("n_kept"))
+    }),
     "x26_incremental_dedup" -> ((s, dir) => {
       // incremental batch dedup: the existing corpus's signatures staged
       // to parquet (construction-time side effect, unique temp dir,
@@ -1212,6 +1238,45 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))""",
+    "x28_dedup_apply" ->
+      """WITH RECURSIVE sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                   UNION SELECT b_id, a_id FROM cand),
+         reach AS (
+           SELECT src AS id, dst AS peer FROM edges
+           UNION
+           SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+         clusters AS (SELECT id, LEAST(id, MIN(peer)) AS cluster_id
+                      FROM reach GROUP BY id)
+         SELECT d.doc_id, md5(d.text) AS text_md5
+         FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""",
+    "x27_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+           lines AS (
+             SELECT doc_id, i AS pos,
+                    array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS line
+             FROM t, (SELECT unnest(generate_series(0,
+                  (SELECT CAST(MAX(len(toks)) AS BIGINT) FROM t))) AS i) g
+             WHERE i <= (len(toks) - 1) // 3),
+           counts AS (SELECT line, COUNT(*) AS n FROM lines GROUP BY line),
+           kept AS (SELECT l.doc_id, l.pos, l.line
+                    FROM lines l JOIN counts c USING (line) WHERE c.n <= 2)
+         SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5,
+                COUNT(*) AS n_kept
+         FROM kept GROUP BY doc_id""",
     "x26_incremental_dedup" ->
       """WITH sig AS (
            SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,

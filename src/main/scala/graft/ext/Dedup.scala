@@ -431,6 +431,50 @@ object Dedup {
       .agg(count_distinct(col("g")).as("n_shared"))
   }
 
+  /** The dedup lifecycle's final artifact: the corpus with every
+    * non-keeper duplicate removed. `clusters` is [[dupClusters]] output
+    * (label = MIN id = the keeper); a doc is dropped iff it appears there
+    * with a label other than its own id. Docs with no near-dup pair never
+    * appear in `clusters` and survive untouched — one broadcast-friendly
+    * anti-join (the non-keeper id list is |duplicates|, far smaller than
+    * the corpus). */
+  def applyDedup(docs: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
+    val dropIds = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** C4-style corpus-wide line dedup (C4 kept only lines that appear
+    * under a repetition ceiling ACROSS the corpus — boilerplate
+    * navigation/footer lines repeat thousands of times): count identical
+    * lines over all documents, drop lines above `maxOccurrences`,
+    * reassemble each document with its surviving lines in original order.
+    * A document whose every line is dropped is absent from the output
+    * (pure-boilerplate doc — the C4 outcome).
+    *
+    * Scale shape: one shuffle keyed by line for the counts (map-side
+    * partial agg folds the per-partition repeats first), one equi-join
+    * back, one per-doc reassembly groupBy — all narrow keys except the
+    * line text itself; at 100 TB key the count/join stages by a line
+    * hash (e.g. xxhash64) and carry the text only in the reassembly
+    * payload. */
+  def dedupLinesAcrossCorpus(df: DataFrame, textCol: String, idCol: String,
+                             maxOccurrences: Long = 2,
+                             delim: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("pos", "line")))
+    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("_n"))
+    lines.join(counts, "line")
+      .filter(col("_n") <= maxOccurrences)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(delim,
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as(textCol),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {

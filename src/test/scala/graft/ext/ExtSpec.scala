@@ -55,6 +55,35 @@ class ExtSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("minhash"), s"signature recomputed: $plan")
   }
 
+  test("applyDedup keeps cluster keepers and unpaired docs, drops other members") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "lonely"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val kept = Dedup.applyDedup(corpus, clusters, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L)) // keeper 1 + unpaired 7; 2 and 3 dropped
+  }
+
+  test("dedupLinesAcrossCorpus: drops corpus-frequent lines, keeps order, drops empty docs") {
+    val in = Seq(
+      (1L, "unique one\nBOILER\nunique two"),
+      (2L, "BOILER\nkeep me\nBOILER"), // BOILER total count = 4 > 2
+      (3L, "BOILER\npair line"),
+      (4L, "pair line\nlast unique")   // "pair line" count = 2 <= 2: kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(in, "text", "doc_id", 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("unique one\nunique two", 2L))) // order preserved
+    assert(out(2L) == (("keep me", 1L)))
+    assert(out(3L) == (("pair line", 1L)))
+    assert(out(4L) == (("pair line\nlast unique", 2L)))
+    // a doc of pure boilerplate vanishes (C4 outcome)
+    val allBoiler = in.union(Seq((5L, "BOILER\nBOILER")).toDF("doc_id", "text"))
+    val out5 = Dedup.dedupLinesAcrossCorpus(allBoiler, "text", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out5.contains(5L))
+  }
+
   test("dupClusters checkpointEvery writes reliable checkpoints; labels unchanged") {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
