@@ -52,6 +52,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("line dedup: survivors' corpus counts <= ceiling; reassembly is an ordered subsequence") {
+    val lineGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "BOILER",
+      "BOILER", "BOILER", "epsilon") // skewed so the ceiling genuinely fires
+    val docGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val docs = Gen.listOfN(30, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.ext.Dedup.dedupLinesAcrossCorpus(df, "text", "doc_id", 2)
+      .as[(Long, String, Long)].collect()
+    val corpusCounts = docs.flatMap(_._2.split("\n")).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val byId = docs.toMap
+    out.foreach { case (id, text, nKept) =>
+      val kept = text.split("\n").toSeq
+      assert(kept.size == nKept)
+      kept.foreach(l => assert(corpusCounts(l) <= 2, s"doc $id kept over-ceiling line '$l'"))
+      // order preserved: kept lines are a subsequence of the original
+      val orig = byId(id).split("\n").toSeq
+      val it = orig.iterator
+      assert(kept.forall(l => it.contains(l)), s"doc $id reordered lines")
+      // and exactly the original's under-ceiling lines survive
+      assert(kept == orig.filter(corpusCounts(_) <= 2))
+    }
+    // every doc with at least one under-ceiling line is present
+    val expectedIds = docs.filter(_._2.split("\n").exists(corpusCounts(_) <= 2))
+      .map(_._1).toSet
+    assert(out.map(_._1).toSet == expectedIds)
+  }
+
+  test("incremental LSH == full-corpus pairs touching the batch, for random corpora") {
+    val word = Gen.oneOf("spark", "scan", "merge", "hash", "sort", "row")
+    val textGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    val docs = Gen.listOfN(24, textGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val sigAll = graft.ext.Dedup.minhashSignature(df, "text", 8)
+    val newIds = docs.map(_._1).filter(_ % 3 == 0).toSet
+    val stage = graft.ext.Dedup.stageSignatures(
+      sigAll.filter(!col("doc_id").isin(newIds.toSeq: _*)))
+    val inc = graft.ext.Dedup.lshCandidatePairsIncremental(
+      sigAll.filter(col("doc_id").isin(newIds.toSeq: _*)), stage, "doc_id", 8, 2)
+      .as[(Long, Long)].collect().toSet
+    val full = graft.ext.Dedup.lshCandidatePairs(sigAll, "doc_id", 8, 2)
+      .as[(Long, Long)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(inc == full)
+  }
+
   test("native md5 minhash == SQL formulation for arbitrary text incl. non-BMP") {
     // independent code-point-windowed reference of
     // min(substr(md5(substr(text,i,L)),8w+1,8))
