@@ -711,6 +711,19 @@ object SparkEntry {
           col("score").cast("double").as("score"),
           col("rank").cast("long").as("rnk"))
     }),
+    "x29_pq_ann" -> ((s, dir) => {
+      // product-quantization ANN (the billion-scale standard): corpus
+      // compressed to 4 subspace codes/row against a deterministic
+      // codebook (first-16 subvectors, the IVF-centroid convention);
+      // asymmetric scoring q_m · c[m][code] in Q30 longs summed exactly —
+      // an APPROXIMATE method with a bit-exact cross-engine oracle.
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", 4, 16, 64)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", cb, 5)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
+    }),
     "x7b_cosine_lsh" -> ((s, dir) =>
       // SCALE PATH: sign-bucket (axis-aligned RHP) LSH candidates verified
       // with the Q30-exact cosine — fully oracle-checkable because the
@@ -1420,6 +1433,35 @@ object SparkEntry {
          SELECT q_id, n_id, CAST(s AS DOUBLE)/1073741824 AS score,
                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM dp QUALIFY rnk <= 5""",
+    "x29_pq_ann" ->
+      """WITH ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+           cb AS (SELECT m, vec_id AS cid, embedding[(m*16+1):(m*16+16)] AS cvec
+                  FROM embeddings, ms WHERE vec_id < 16),
+           cc AS (SELECT m, cid,
+                  CAST(SUM(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT m, cid, unnest(cvec) AS x FROM cb) GROUP BY m, cid),
+           sub AS (SELECT vec_id, m, embedding[(m*16+1):(m*16+16)] AS sv
+                   FROM embeddings, ms),
+           xc AS (SELECT vec_id, m, cid,
+                  CAST(SUM(CAST(floor(CAST(sx AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT s.vec_id, s.m, c.cid, unnest(s.sv) AS sx, unnest(c.cvec) AS cx
+                        FROM sub s JOIN cb c ON c.m = s.m)
+                  GROUP BY vec_id, m, cid),
+           codes AS (SELECT vec_id, m, cid FROM (
+                     SELECT x.vec_id, x.m, x.cid,
+                            row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY (c.s - 2*x.s), x.cid) AS rn
+                     FROM xc x JOIN cc c ON c.m = x.m AND c.cid = x.cid)
+                     WHERE rn = 1),
+           adc AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                   CAST(SUM(q.s) AS BIGINT) AS s
+                   FROM codes n JOIN xc q ON q.m = n.m AND q.cid = n.cid
+                   WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id
+                   GROUP BY q.vec_id, n.vec_id)
+         SELECT q_id, n_id, CAST(s AS DOUBLE)/1073741824 AS score,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY s DESC, n_id) AS BIGINT) AS rnk
+         FROM adc QUALIFY rnk <= 5""",
     "x15_rhp_neardup" ->
       s"""WITH planes AS (SELECT * FROM (VALUES ${rhpPlanesSql(64, 12)}) AS t(p, w)),
            terms AS (SELECT vec_id, p,

@@ -209,6 +209,77 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Q30 dot as the exact LONG (score × 2³⁰): long partial sums compose
+    * exactly in any order — the form to use when per-subspace dots are
+    * summed (a double fold would round per addition). */
+  def quantizedDotQ30Long(a: Column, b: Column): Column =
+    (quantizedDot(a, b) * lit((1L << 30).toDouble)).cast("long")
+
+  // ───────────────────── product quantization (PQ) ─────────────────────
+
+  /** PQ codebook: for each of `m` subspaces, the sub-vectors of the first
+    * `k` corpus rows (by id) — deterministic "seed" centroids, the same
+    * convention as [[ivfTopK]]'s, so the whole PQ pipeline is
+    * oracle-checkable. Bounded driver data (m × k × dim/m floats), like
+    * any literal dimension table. Real deployments would k-means these;
+    * the operator is agnostic to where the codebook came from. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 m: Int, k: Int, dim: Int): Seq[Seq[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val rows = corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("int"), col(vecCol)).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    (0 until m).map(mi => rows.toSeq.map { case (_, v) =>
+      java.util.Arrays.copyOfRange(v, mi * subDim, (mi + 1) * subDim) })
+  }
+
+  /** PQ encode: per subspace, the L2-nearest codebook centroid's index —
+    * argmin over ‖x−c‖² ≡ argmin over (c·c − 2·x·c) (x·x is constant per
+    * x), computed ENTIRELY in Q30 longs so the argmin (tie → lowest cid)
+    * is bit-identical across engines. A pure projection: the corpus
+    * compresses m·log₂(k) bits per row with no shuffle — the PQ memory
+    * move that makes billion-vector corpora RAM-resident. */
+  def pqEncode(df: DataFrame, vecCol: String, codebook: Seq[Seq[Array[Float]]],
+               outCol: String = "codes"): DataFrame = {
+    val m = codebook.size
+    val subDim = codebook.head.head.length
+    val codes = array((0 until m).map { mi =>
+      val sub = slice(col(vecCol), mi * subDim + 1, subDim)
+      val vals = transform(typedlit(codebook(mi).map(_.toSeq)), c =>
+        quantizedDotQ30Long(c, c) - lit(2L) * quantizedDotQ30Long(sub, c))
+      (array_position(vals, array_min(vals)) - 1).cast("int")
+    }: _*)
+    df.withColumn(outCol, codes)
+  }
+
+  /** PQ top-k via asymmetric distance: the query stays exact, each corpus
+    * row is represented by its per-subspace centroids — approx dot(q, x) =
+    * Σ_m q_m · c[m][code_m(x)], per-subspace Q30 longs summed exactly.
+    * Queries broadcast; the encoded corpus streams; the only shuffle is
+    * the bounded per-query top-k (TopKAgg map-side truncation). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebook: Seq[Seq[Array[Float]]],
+             k: Int): DataFrame = {
+    val m = codebook.size
+    val subDim = codebook.head.head.length
+    val cbLit = typedlit(codebook.map(_.map(_.toSeq)))
+    val encoded = pqEncode(corpus, vecCol, codebook)
+      .select(col(idCol).as("n_id"), col("codes"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scoreQ30 = (0 until m).map { mi =>
+      val qSub = slice(col("q_vec"), mi * subDim + 1, subDim)
+      val cent = element_at(element_at(cbLit, mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+      quantizedDotQ30Long(qSub, cent)
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (scoreQ30.cast("double") / lit((1L << 30).toDouble)).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** Per-row centroid scores for a centroid set folded into the plan as
     * ONE nested-array literal (typedlit — per-element lit() nodes were
     * measured to blow up codegen compile time): centroids are bounded

@@ -248,6 +248,29 @@ class ExtSpec extends SparkSpec {
     assert(ivf.sameElements(Array(1L))) // nearest neighbour found in probed cell
   }
 
+  test("PQ: encode picks the L2-nearest codebook entry; ADC recovers the true neighbor") {
+    // dim 4, 2 subspaces of 2; codebook = subvectors of rows 0 and 1
+    val pv = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // near row 0 in both subspaces
+      (3L, Array(0.1f, 0.9f, 0.9f, 0.1f))  // near row 1 in both subspaces
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(pv, "vec_id", "embedding", 2, 2, 4)
+    assert(cb.size == 2 && cb.head.size == 2 && cb.head.head.length == 2)
+    val codes = Similarity.pqEncode(pv, "embedding", cb)
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(0, 0) && codes(2L) == Seq(0, 0))
+    assert(codes(1L) == Seq(1, 1) && codes(3L) == Seq(1, 1))
+    // asymmetric scoring: query 0's top neighbor under PQ is 2 (same cell),
+    // and ranking is deterministic (score desc, id asc)
+    val top = Similarity.pqTopK(pv, pv.filter(col("vec_id") === 0),
+        "vec_id", "embedding", cb, 3)
+      .orderBy("rank").select("n_id").as[Long].collect()
+    assert(top.head == 2L, top.mkString(","))
+  }
+
   test("native md5 minhash equals the SQL formulation byte-for-byte") {
     // reference implementation of min(substr(md5(substr(text,i,L)),8w+1,8));
     // SQL substr counts code points, so window over code points (not chars)
