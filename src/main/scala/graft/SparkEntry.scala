@@ -576,11 +576,12 @@ object SparkEntry {
           col("b_id").cast("long").as("b_id"))
     }),
     "x28_dedup_apply" -> ((s, dir) => {
-      // the dedup lifecycle end-to-end: signatures → LSH candidates → CC
-      // clusters → DROP non-keepers — the surviving corpus is the
-      // pipeline's actual artifact (md5 proves surviving text bytes)
+      // the dedup lifecycle end-to-end: signatures (staged once — the
+      // 100 TB form, one text pass) → LSH candidates → CC clusters → DROP
+      // non-keepers — the surviving corpus is the pipeline's actual
+      // artifact (md5 proves surviving text bytes)
       val d = t(s, dir, "documents")
-      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(
+      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairsStaged(
         Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2))
       Dedup.applyDedup(d, clusters, "doc_id")
         .select(col("doc_id"), md5(col("text")).as("text_md5"))

@@ -79,6 +79,51 @@ class PipelinesSpec extends SparkSpec {
     assert(e.getMessage.contains("overlap id list"))
   }
 
+  test("PretrainCuration: gate → line dedup → fuzzy dedup → decontaminate → carve") {
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dog\nBOILER PLATE LINE", "en"),
+      (2L, "the quick brown fox jumps over dog\nBOILER PLATE LINE", "en"), // exact dup
+      (3L, "tiny doc", "en"),                                              // too short
+      (4L, "ceci nest pas anglais du tout vraiment", "fr"),                // bad lang
+      (5L, "alpha beta gamma delta epsilon zeta eta theta\nBOILER PLATE LINE", "en"),
+      (6L, "alpha beta gamma delta epsilon zeta eta iota\nBOILER PLATE LINE", "en"), // near-dup of 5
+      (7L, "document that shares exactly these grams today", "en"),        // contaminated
+      (8L, "unique filler document number eight with words", "en"),
+      (9L, "another entirely different filler document nine", "en"),
+      (10L, "more independent filler content document ten", "en"),
+      (11L, "final standalone filler document number eleven", "en")
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, "benchmark shares exactly these grams okay")).toDF("doc_id", "text")
+
+    val res = PretrainCuration.run(docs, bench,
+      Curation.Rules(minTokens = 3, allowedLangs = Seq("en")), holdoutPerLang = 2)
+
+    val rejected = res.rejected.select("doc_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(rejected == Map(2L -> "dup", 3L -> "too_short", 4L -> "bad_lang"))
+
+    val attrition = res.attrition.as[(String, Long)].collect().toMap
+    assert(attrition == Map(
+      "0_input" -> 11L,          // all docs
+      "1_rule_gate" -> 8L,       // minus dup/short/lang
+      "2_line_dedup" -> 8L,      // BOILER line (3 corpus occurrences) stripped, docs survive
+      "3_fuzzy_dedup" -> 7L,     // near-dup 6 dropped (keeper = min id 5)
+      "4_decontaminated" -> 6L,  // 7 shares a 3-gram with the benchmark
+      "5_train" -> 4L            // 2 per-lang holdout carved out
+    ), attrition.toString)
+
+    val train = res.train.select("doc_id").as[Long].collect().toSet
+    val holdout = res.holdout.select("doc_id").as[Long].collect().toSet
+    assert(holdout.size == 2 && (train & holdout).isEmpty)
+    assert((train | holdout) == Set(1L, 5L, 8L, 9L, 10L, 11L))
+
+    // the boilerplate line is gone from the surviving text, order kept
+    val t1 = res.train.unionByName(res.holdout).filter(col("doc_id") === 1L)
+      .select("text").as[String].head()
+    assert(t1 == "the quick brown fox jumps over dog")
+  }
+
   test("HealIngest: alias normalization, uniquify, enum packing, KGX") {
     val out = Files.createTempDirectory("heal").toString
     val mapping = CsvSources.readHdpidMapping(spark, s"$fixtures/mapping.csv")
