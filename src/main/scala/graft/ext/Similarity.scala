@@ -351,4 +351,51 @@ object Similarity {
          else dot(col("q_vec"), col("n_vec"))).as("score"))
     topKPerQuery(candidates, k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings, compare pairs ONLY within a
+    * cluster, connect pairs above a cosine threshold into components, and
+    * keep one representative (the MIN id — the same A8 keeper rule as
+    * [[Dedup.dupClusters]]) per component. The reference's row-level
+    * dedup-consolidate (dbgap_xml_downloader.py:151-162) is the same
+    * keep-one-of-equivalents shape, keyed here by semantic neighborhood
+    * instead of exact id.
+    *
+    * Returns one row per input id: (id, cluster_id, keep) — `cluster_id`
+    * is the component's min id (ids with no above-threshold neighbor are
+    * their own cluster) and `keep` marks the representative.
+    *
+    * Deterministic end-to-end when `centroids` are data-derived (e.g. the
+    * first-k vectors) and cosine uses Q30 fixed point: assignment argmax,
+    * pair scores, and the CC labels are all engine-portable, so the whole
+    * pipeline is oracle-checkable (x30's DuckDB oracle replays assignment
+    * + within-cell cosine + a recursive-CTE closure).
+    *
+    * Scale: the pair join shuffles on `cid` only and compares within-cell
+    * pairs — quadratic in CELL size, not corpus size. At 100 TB grow the
+    * centroid count so cells stay bounded (SemDeDup uses ~110k clusters
+    * for LAION); the CC stage shuffles (id, label) longs only. */
+  def semDedupClusters(emb: DataFrame, centroids: DataFrame, idCol: String,
+                       vecCol: String, minCos: Double): DataFrame = {
+    val sig = ivfAssign(emb, centroids, idCol, vecCol, q30 = true)
+      .select(col(idCol), col(vecCol), col("cid"),
+        sqrt(quantizedDot(col(vecCol), col(vecCol))).as("nrm"))
+    val a = sig.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      col("cid"), col("nrm").as("a_nrm"))
+    val b = sig.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      col("cid").as("cid_b"), col("nrm").as("b_nrm"))
+    val edges = a
+      .join(b, col("cid") === col("cid_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (quantizedDot(col("a_vec"), col("b_vec"))
+          / (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+    val clusters = Dedup.dupClusters(edges)
+      .select(col("id").as(idCol), col("cluster_id"))
+    emb.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
+  }
 }
