@@ -725,6 +725,22 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"),
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
+    "x30_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): cluster embeddings to the first-16
+      // centroids (the deterministic IVF convention), compare pairs only
+      // WITHIN a cell, connect cos ≥ 0.3 pairs into components, keep the
+      // min-id representative. Assignment argmax, pair cosine, and the CC
+      // labels are all Q30-exact, so the oracle replays the whole
+      // pipeline (assignment + within-cell cosine + recursive-CTE
+      // closure) bit-identically.
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedupClusters(emb,
+          emb.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          "vec_id", "embedding", 0.3)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("keep").cast("long").as("keep"))
+    }),
     "x7b_cosine_lsh" -> ((s, dir) =>
       // SCALE PATH: sign-bucket (axis-aligned RHP) LSH candidates verified
       // with the Q30-exact cosine — fully oracle-checkable because the
@@ -1463,6 +1479,47 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM adc QUALIFY rnk <= 5""",
+    "x30_semdedup" ->
+      """WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+           cs AS (SELECT vec_id, cid,
+                  CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                        FROM embeddings e CROSS JOIN c)
+                  GROUP BY vec_id, cid),
+           assign AS (SELECT vec_id, cid FROM cs
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+           sv AS (SELECT e.vec_id, e.embedding, a.cid
+                  FROM embeddings e JOIN assign a USING (vec_id)),
+           norms AS (SELECT vec_id,
+                     SUM(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS ns
+                     FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+           prs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS av, b.embedding AS bv
+                   FROM sv a JOIN sv b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+           dots AS (SELECT a_id, b_id,
+                    SUM(CAST(floor(CAST(ax AS DOUBLE)*CAST(bx AS DOUBLE)*1073741824) AS BIGINT)) AS d
+                    FROM (SELECT a_id, b_id, unnest(av) AS ax, unnest(bv) AS bx FROM prs)
+                    GROUP BY a_id, b_id),
+           cand AS (SELECT a_id, b_id FROM (
+                    SELECT d.a_id, d.b_id,
+                           (CAST(d.d AS DOUBLE)/1073741824)
+                             / (sqrt(CAST(na.ns AS DOUBLE)/1073741824)
+                                * sqrt(CAST(nb.ns AS DOUBLE)/1073741824)) AS cos
+                    FROM dots d JOIN norms na ON na.vec_id = d.a_id
+                                JOIN norms nb ON nb.vec_id = d.b_id)
+                    WHERE cos >= 0.3),
+           edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                     UNION SELECT b_id, a_id FROM cand),
+           reach AS (
+             SELECT src AS id, dst AS peer FROM edges
+             UNION
+             SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+           cc AS (SELECT id, LEAST(id, MIN(peer)) AS cluster_id
+                  FROM reach GROUP BY id)
+         SELECT e.vec_id,
+                CAST(COALESCE(cc.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+                CAST(CASE WHEN COALESCE(cc.cluster_id, e.vec_id) = e.vec_id
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id""",
     "x15_rhp_neardup" ->
       s"""WITH planes AS (SELECT * FROM (VALUES ${rhpPlanesSql(64, 12)}) AS t(p, w)),
            terms AS (SELECT vec_id, p,

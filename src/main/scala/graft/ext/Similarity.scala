@@ -280,15 +280,22 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Per-row centroid scores for a centroid set folded into the plan as
-    * ONE nested-array literal (typedlit — per-element lit() nodes were
-    * measured to blow up codegen compile time): centroids are bounded
-    * metadata, so the assignment is a pure projection — no crossJoin, no
-    * window, no shuffle. */
+  /** Per-row centroid scores, one typedlit array literal per centroid
+    * (bounded metadata — never per-element lit() nodes, which were
+    * measured to blow up codegen compile time): the assignment is a pure
+    * projection — no crossJoin, no window, no shuffle. Deliberately NOT a
+    * transform() over one nested literal: a custom expression (DotQ30)
+    * inside a higher-order-function lambda is missed by the analyzer's
+    * self-join attribute dedup (Spark 4.1 — hit by x30's within-cell
+    * pair join: ATTRIBUTE_NOT_FOUND at bind time), while the same
+    * expression as a direct array element rewrites fine — and the
+    * unrolled form is also friendlier to whole-stage codegen. */
   private def centroidScores(vec: Column, cents: Seq[Array[Float]],
                              q30: Boolean = false): Column =
-    transform(typedlit(cents.map(_.toSeq)),
-      c => if (q30) quantizedDot(vec, c) else dot(vec, c))
+    array(cents.map { c =>
+      if (q30) quantizedDot(vec, typedlit(c.toSeq))
+      else dot(vec, typedlit(c.toSeq))
+    }: _*)
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid,
     * then search only the `nProbe` closest centroids' cells per query.
