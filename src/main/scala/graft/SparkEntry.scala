@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Aggs, Filters, Joins, Projections, Windows}
+import graft.ops.{Aggs, Filters, Joins, Merge, Projections, Windows}
 import graft.ext.{Dedup, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -843,6 +843,59 @@ object SparkEntry {
       graft.ext.Curation.hashStratifiedSample(
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
         Seq("lang", "source"), "doc_id", 5)),
+    "x32_mixture_sample" -> ((s, dir) =>
+      // corpus mixing to target per-domain rates: salted id-hash Bernoulli
+      // draw per row — deterministic across runs/engines/partitionings; a
+      // pure filter, no shuffle. Rates cover full/partial/zero/default.
+      graft.ext.Curation.mixtureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 1000, "src1" -> 900, "src2" -> 750, "src3" -> 500,
+          "src4" -> 250, "src5" -> 100, "src6" -> 0),
+        600)),
+    "m1_scd2_merge" -> ((s, dir) => {
+      // SCD2 merge of a change batch into a versioned dimension: changed
+      // keys close + re-open, no-op updates stay idempotent, new keys
+      // insert, closed history passes through — one full-outer join, row
+      // fan-out via inline array+explode (no second pass over the open set)
+      val c = t(s, dir, "customer")
+      val history = c.select(col("c_custkey"), col("c_mktsegment"),
+          to_date(lit("2026-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        .unionByName(c.filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey"), lit("OLD").as("c_mktsegment"),
+            to_date(lit("2025-01-01")).as("valid_from"),
+            to_date(lit("2026-01-01")).as("valid_to")))
+      val updates = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 20 === 0, "MOVED")
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          to_date(lit("2026-06-01")).as("eff"))
+        .unionByName(c.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"), to_date(lit("2026-06-01")).as("eff")))
+      Merge.scd2Merge(history, updates, "c_custkey", Seq("c_mktsegment"))
+        // dates → timestamps for the cross-engine compare (a Spark DATE
+        // arrives as a python date object, a DuckDB DATE as datetime64)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("valid_from").cast("timestamp").as("valid_from"),
+          col("valid_to").cast("timestamp").as("valid_to"))
+    }),
+    "m2_snapshot_diff" -> ((s, dir) => {
+      // snapshot CDC: diff two full dumps into insert/update/delete rows
+      // (the incremental batch that feeds m1's merge when the source only
+      // exposes full re-downloads, the reference's weekly situation)
+      val c = t(s, dir, "customer")
+      val oldSnap = c.select(col("c_custkey"), col("c_mktsegment"))
+      val curSnap = c.filter(!(col("c_custkey") % 41 === 0))
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 20 === 0, "MOVED")
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("NEW").as("c_mktsegment")))
+      Merge.snapshotDiff(oldSnap, curSnap, "c_custkey", Seq("c_mktsegment"))
+    }),
     "x19_token_packing" -> ((s, dir) =>
       // training-batch packing: per-lang bins of ~500 whitespace tokens,
       // greedy one-pass assignment by exclusive prefix sum
@@ -873,6 +926,18 @@ object SparkEntry {
         TextStats.punctRatio(col("text")).as("punct_ratio"),
         TextStats.stopwordHits(col("text"),
           Seq("the", "a", "of", "and", "or")).cast("long").as("stop_hits"))),
+    "x31_quality_model" -> ((s, dir) => {
+      // hashed-feature linear quality scorer (fastText-shaped): tokens
+      // feature-hash (md5 prefix) into 64 Q30 weight buckets, the doc
+      // score is the exact long sum — a zero-shuffle projection whose
+      // oracle replays the same hash against the same literal weight
+      // table (single source: TextStats.seededWeightsQ30)
+      val s30 = TextStats.hashedLinearScoreQ30(col("text"),
+        TextStats.seededWeightsQ30(64))
+      t(s, dir, "documents").select(col("doc_id"),
+        (s30.cast("double") / lit(1073741824.0)).as("score"),
+        (s30 > 0).cast("long").as("quality_pass"))
+    }),
     "x10_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))),
@@ -896,6 +961,14 @@ object SparkEntry {
   private def rhpPlanesSql(dim: Int, nPlanes: Int): String =
     graft.ext.Similarity.rhpPlanes(dim, nPlanes).zipWithIndex.map {
       case (w, p) => s"($p, [${w.mkString(", ")}])"
+    }.mkString(", ")
+
+  /** The x31 weight table as DuckDB VALUES `(b, wq)` — the SAME seeded
+    * Q30 longs TextStats.hashedLinearScoreQ30 folds into the Spark plan
+    * (TextStats.seededWeightsQ30 is the single source). */
+  private def qualityWeightsSql(n: Int): String =
+    graft.ext.TextStats.seededWeightsQ30(n).zipWithIndex.map {
+      case (w, b) => s"($b, $w)"
     }.mkString(", ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1692,6 +1765,68 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          WHERE rn <= 5""",
+    "x32_mixture_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 268435456
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) % 1000 AS draw
+           FROM (SELECT doc_id, source,
+                 md5(CAST(doc_id AS VARCHAR) || ':mix') AS h FROM documents))
+         WHERE draw < CASE source
+           WHEN 'src0' THEN 1000 WHEN 'src1' THEN 900 WHEN 'src2' THEN 750
+           WHEN 'src3' THEN 500 WHEN 'src4' THEN 250 WHEN 'src5' THEN 100
+           WHEN 'src6' THEN 0 ELSE 600 END""",
+    "m1_scd2_merge" ->
+      """WITH hist_open AS (
+           SELECT c_custkey, c_mktsegment, TIMESTAMP '2026-01-01' AS valid_from,
+                  CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+         hist_closed AS (
+           SELECT c_custkey, 'OLD' AS c_mktsegment, TIMESTAMP '2025-01-01' AS valid_from,
+                  TIMESTAMP '2026-01-01' AS valid_to FROM customer WHERE c_custkey % 50 = 0),
+         upd AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 20 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+                  TIMESTAMP '2026-06-01' AS eff FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW', TIMESTAMP '2026-06-01'
+           FROM customer WHERE c_custkey % 97 = 0),
+         j AS (SELECT o.c_custkey AS ok, o.c_mktsegment AS oseg, o.valid_from AS vf,
+                      u.c_custkey AS uk, u.c_mktsegment AS useg, u.eff
+               FROM hist_open o FULL OUTER JOIN upd u ON o.c_custkey = u.c_custkey)
+         SELECT ok AS c_custkey, oseg AS c_mktsegment, vf AS valid_from,
+                CAST(NULL AS TIMESTAMP) AS valid_to
+         FROM j WHERE ok IS NOT NULL AND (uk IS NULL OR useg = oseg)
+         UNION ALL
+         SELECT ok, oseg, vf, eff
+         FROM j WHERE ok IS NOT NULL AND uk IS NOT NULL AND useg <> oseg
+         UNION ALL
+         SELECT uk, useg, eff, CAST(NULL AS TIMESTAMP)
+         FROM j WHERE uk IS NOT NULL AND (ok IS NULL OR useg <> oseg)
+         UNION ALL
+         SELECT * FROM hist_closed""",
+    "m2_snapshot_diff" ->
+      """WITH oldsnap AS (SELECT c_custkey, c_mktsegment FROM customer),
+         cursnap AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 20 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+           FROM customer WHERE c_custkey % 41 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 97 = 0)
+         SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey,
+                CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment
+                     ELSE o.c_mktsegment END AS c_mktsegment,
+                CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                     WHEN c.c_custkey IS NULL THEN 'delete'
+                     ELSE 'update' END AS op
+         FROM oldsnap o FULL OUTER JOIN cursnap c ON o.c_custkey = c.c_custkey
+         WHERE o.c_custkey IS NULL OR c.c_custkey IS NULL
+            OR o.c_mktsegment IS DISTINCT FROM c.c_mktsegment""",
     "x19_token_packing" ->
       """SELECT doc_id, lang, n_tok,
            CAST(floor(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
@@ -1763,6 +1898,20 @@ object SparkEntry {
          CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
               ['the','a','of','and','or'])) AS BIGINT) AS stop_hits
          FROM documents""",
+    "x31_quality_model" ->
+      s"""WITH w AS (SELECT * FROM (VALUES ${qualityWeightsSql(64)}) AS t(b, wq)),
+           toks AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                    FROM documents),
+           bt AS (SELECT doc_id,
+                  (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
+                   + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS b
+                  FROM toks),
+           sc AS (SELECT doc_id, CAST(SUM(w.wq) AS BIGINT) AS s
+                  FROM bt JOIN w ON w.b = bt.b GROUP BY doc_id)
+         SELECT doc_id, CAST(s AS DOUBLE)/1073741824 AS score,
+                CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+         FROM sc""",
     "x10_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",

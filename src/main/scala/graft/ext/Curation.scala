@@ -68,6 +68,29 @@ object Curation {
       .filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** Domain-mixture Bernoulli sampler — the corpus-mixing primitive that
+    * hits per-domain TARGET RATES (a training mix like "web 80%, code
+    * 50%, low-quality 10%") rather than [[hashStratifiedSample]]'s fixed
+    * k-per-stratum. A row survives iff an md5 hash of its id (salted, so
+    * the draw is independent of every other hash use in the catalog)
+    * lands under its domain's per-mille rate: deterministic across runs,
+    * engines, and partitionings — re-running the pipeline reproduces the
+    * sample row-for-row, and rates compose (0.8 then 0.5 ≡ two salted
+    * draws). A pure filter projection: no shuffle, no RNG state, prunes
+    * at the scan when the rate map sends a domain to 0. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+                    ratesPermille: Map[String, Int],
+                    defaultPermille: Int): DataFrame = {
+    require((ratesPermille.values ++ Seq(defaultPermille)).forall(r => r >= 0 && r <= 1000),
+      "rates are per-mille: 0..1000")
+    val rate = ratesPermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (d, r)) => when(col(domainCol) === d, lit(r)).otherwise(acc)
+    }
+    val draw = conv(substring(md5(concat(col(idCol).cast("string"), lit(":mix"))),
+      1, 8), 16, 10).cast("long") % 1000
+    df.filter(draw < rate)
+  }
+
   /** Greedy token-budget packing (training-batch assembly): documents in
     * deterministic order per group are assigned to consecutive bins by
     * EXCLUSIVE prefix token count — a document opens a new bin when the

@@ -100,6 +100,40 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Hashed-feature linear quality model (the fastText-shaped scorer a
+    * corpus-quality pass runs at scale): each token feature-hashes to one
+    * of `weightsQ30.size` weight buckets via an md5 prefix (the engine-
+    * portable hash this catalog standardizes on), and the document score
+    * is the token-weight sum. Weights are Q30 fixed-point LONGS, so the
+    * per-token lookups sum exactly in any order — the returned raw Q30
+    * sum is bit-identical across engines (divide by 2³⁰ once for the
+    * real-valued score). A pure per-row projection: tokenize → hash →
+    * lookup → fold, zero shuffle, one codegen stage over the corpus.
+    * Real deployments learn the weights offline (logistic regression over
+    * hashed n-grams); the operator is agnostic to their origin — see
+    * [[seededWeightsQ30]] for the deterministic test/oracle weights. */
+  def hashedLinearScoreQ30(text: Column, weightsQ30: Seq[Long]): Column = {
+    val n = weightsQ30.size
+    require(n > 0 && n <= 256, "bucket count must fit the 2-hex-digit hash")
+    val w = typedlit(weightsQ30)
+    val terms = transform(split(trim(text), "\\s+"), t =>
+      element_at(w,
+        (conv(substring(md5(t), 1, 2), 16, 10).cast("long") % n).cast("int") + 1))
+    aggregate(terms, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Deterministic seeded Q30 weight vector (splitmix64 mix of seed+i,
+    * top 30 bits recentred to [−2²⁹, 2²⁹)): the SINGLE source for both
+    * the Spark plan literal and the oracle's VALUES table, like
+    * Similarity.rhpPlanes. */
+  def seededWeightsQ30(n: Int, seed: Long = 2026L): Seq[Long] =
+    (0 until n).map { i =>
+      var z = seed + i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 34) - (1L << 29)
+    }
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

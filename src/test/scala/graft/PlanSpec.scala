@@ -160,6 +160,22 @@ class PlanSpec extends SparkSpec {
     assert(probe.count() == assigned.filter(col("cid") === 0).count())
   }
 
+  test("x32 mixture sampling is a pure scan-level filter: zero exchanges") {
+    val p = tree(q("x32_mixture_sample"))
+    assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")
+  }
+
+  test("m1/m2 merge ops cost one key shuffle each (single join, no re-scan fan-in)") {
+    Seq("m1_scd2_merge", "m2_snapshot_diff").foreach { name =>
+      val p = tree(q(name))
+      // one full-outer join; the fixture's update/current side derives from
+      // the same table so both sides exchange once — what must NOT appear
+      // is a second join or a join-after-union re-shuffle of the output
+      assert(p.linesIterator.count(_.contains("SortMergeJoin")) +
+        p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1, s"$name:\n$p")
+    }
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

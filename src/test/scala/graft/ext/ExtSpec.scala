@@ -430,4 +430,53 @@ class ExtSpec extends SparkSpec {
       .as("eq")).as[Boolean].collect()
     assert(!rh(0) && !rh(1)) // case differs / order differs => different hash
   }
+
+  test("hashedLinearScoreQ30: order-invariant, additive, deterministic") {
+    val ws = TextStats.seededWeightsQ30(64)
+    val df = Seq(("w1 w2 w3", "w3 w1 w2"), ("w1", "w1")).toDF("x", "y")
+    val eq = df.select((TextStats.hashedLinearScoreQ30(col("x"), ws) ===
+      TextStats.hashedLinearScoreQ30(col("y"), ws)).as("eq")).as[Boolean].collect()
+    assert(eq(0) && eq(1)) // permutation-invariant (exact long sums)
+    // additivity: score(a ++ b) = score(a) + score(b)
+    val add = Seq(("alpha beta", "alpha", "beta")).toDF("ab", "a", "b")
+      .select((TextStats.hashedLinearScoreQ30(col("ab"), ws) ===
+        TextStats.hashedLinearScoreQ30(col("a"), ws) +
+        TextStats.hashedLinearScoreQ30(col("b"), ws)).as("eq")).as[Boolean].collect()
+    assert(add(0))
+    // seeded weights are stable (single source for plan + oracle)
+    assert(TextStats.seededWeightsQ30(64) == ws)
+    assert(ws.forall(w => w >= -(1L << 29) && w < (1L << 29)))
+  }
+
+  test("semDedupClusters keeps one min-id representative per component") {
+    // two identical vectors (near-dup) + one orthogonal, centroids = all 3
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = Similarity.semDedupClusters(emb, cents, "vec_id", "embedding", 0.9)
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.sameElements(Array((0L, 0L, true), (1L, 0L, false), (2L, 2L, true))))
+  }
+
+  test("mixtureSample: deterministic, rate-monotone, zero-rate empties a domain") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "dom")
+    val full = Curation.mixtureSample(df, "id", "dom", Map("a" -> 1000, "b" -> 0), 600)
+    val ids = full.select("id").as[Long].collect().sorted
+    assert(ids.forall(_ % 2 == 0)) // domain b emptied
+    assert(ids.length == 200) // rate 1000 keeps everything
+    // determinism across invocations and independence from row order
+    val again = Curation.mixtureSample(df.orderBy(col("id").desc), "id", "dom",
+      Map("a" -> 1000, "b" -> 0), 600).select("id").as[Long].collect().sorted
+    assert(again.sameElements(ids))
+    // a lower rate keeps a subset of a higher rate's sample
+    val hi = Curation.mixtureSample(df, "id", "dom", Map("a" -> 800), 0)
+      .select("id").as[Long].collect().toSet
+    val lo = Curation.mixtureSample(df, "id", "dom", Map("a" -> 300), 0)
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
 }

@@ -7,6 +7,24 @@ import java.nio.file.Files
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ORC round-trip: schema and values survive, predicate pushdown reaches the scan") {
+    // the lake's second columnar format (Spark-native ORC reader): an
+    // engine claiming source coverage must read/write it losslessly and
+    // keep filters at the scan like parquet
+    val dir = Files.createTempDirectory("orc").resolve("t")
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, null: String, 0.0))
+      .toDF("id", "name", "v")
+    df.write.mode("overwrite").orc(dir.toString)
+    val back = spark.read.orc(dir.toString)
+    // names+types survive (files always read back nullable)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().sameElements(df.orderBy("id").collect()))
+    val plan = back.filter(col("id") > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"ORC scan did not push the filter:\n$plan")
+  }
+
   test("corrupt CSV rows are quarantined into _corrupt_record, not dropped") {
     val dir = Files.createTempDirectory("csv")
     val f = dir.resolve("gen3.csv")

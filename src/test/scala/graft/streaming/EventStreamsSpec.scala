@@ -129,6 +129,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 4) // no duplication
   }
 
+  test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
+    // streaming dimension maintenance: each micro-batch of change events
+    // MERGEs into the versioned table via ops.Merge.scd2Merge — the
+    // stream-side contract is that N sequential micro-batches leave the
+    // same SCD2 state as N sequential batch merges
+    import org.apache.spark.sql.DataFrame
+    val b1 = Seq((1L, "B", "2026-02-01"), (9L, "NEW", "2026-02-01"))
+    val b2 = Seq((1L, "C", "2026-03-01")) // second change to the same key
+    def toUpd(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("k", "seg", "e")
+        .select(col("k"), col("seg"), to_date(col("e")).as("eff"))
+    val h0 = Seq((1L, "A", "2026-01-01"), (2L, "X", "2026-01-01"))
+      .toDF("k", "seg", "f")
+      .select(col("k"), col("seg"), to_date(col("f")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+
+    // expected: sequential batch merges
+    val expected = graft.ops.Merge.scd2Merge(
+      graft.ops.Merge.scd2Merge(h0, toUpd(b1), "k", Seq("seg")),
+      toUpd(b2), "k", Seq("seg"))
+
+    // streamed: file source delivers b1 and b2 as separate micro-batches
+    // (two AvailableNow passes — deterministic batch boundaries), state
+    // carried in a parquet round-trip like a real lake table
+    val src = Files.createTempDirectory("scdsrc").toString
+    val state = Files.createTempDirectory("scdstate").resolve("t").toString
+    val ckpt = Files.createTempDirectory("scdckpt").toString
+    h0.write.parquet(state)
+    val updSchema = toUpd(b1).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(updSchema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val cur = batch.sparkSession.read.parquet(state)
+          val merged = graft.ops.Merge.scd2Merge(cur, batch.toDF(), "k", Seq("seg"))
+          // write-then-swap, as a real maintenance job would
+          merged.write.mode("overwrite").parquet(state + "_next")
+          batch.sparkSession.read.parquet(state + "_next")
+            .write.mode("overwrite").parquet(state)
+        }.start()
+      q.awaitTermination(120000)
+    }
+    toUpd(b1).write.mode("append").parquet(src); drain()
+    toUpd(b2).write.mode("append").parquet(src); drain()
+
+    val got = spark.read.parquet(state)
+      .select(col("k"), col("seg"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .as[(Long, String, String, String)].collect().sortBy(r => (r._1, r._3))
+    val exp = expected
+      .select(col("k"), col("seg"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .as[(Long, String, String, String)].collect().sortBy(r => (r._1, r._3))
+    assert(got.sameElements(exp))
+    // and the composed history is the full lineage for key 1: A→B→C
+    assert(got.filter(_._1 == 1L).map(_._2).sameElements(Array("A", "B", "C")))
+  }
+
   test("upsert sink exactly-once survives a crash BETWEEN sink write and checkpoint commit") {
     val src = Files.createTempDirectory("csrc").toString
     val sink = Files.createTempDirectory("csink").toString
