@@ -150,4 +150,30 @@ object Scale {
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory of many small
+    * files into ⌈rows/targetRowsPerFile⌉ files at `dest`. The small-files
+    * problem is the standing operational decay of a streaming/incremental
+    * lake (every scan pays per-file open + footer + task overhead, and
+    * listings balloon); compaction is the maintenance pass that undoes
+    * it. Round-robin `repartition(n)` — an exchange but NOT a sort — so
+    * the rewrite never pays ordering it didn't ask for; use
+    * [[writeRangeSorted]] when a dominant filter key should get
+    * clustering out of the same rewrite. Writes to a SEPARATE dest and
+    * returns the file count: swapping dest for src is the caller's
+    * commit step (on a real lake, an atomic metadata/manifest swap —
+    * overwriting the directory being read would lose data on failure,
+    * same contract as the reference's staged store sync). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, src: String,
+                     dest: String, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    require(new org.apache.hadoop.fs.Path(src).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(dest).toUri.getPath,
+      "compact stages into a separate dest; swapping is the caller's commit step")
+    val df = spark.read.parquet(src)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(dest)
+    files
+  }
 }

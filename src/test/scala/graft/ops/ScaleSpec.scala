@@ -80,6 +80,29 @@ class ScaleSpec extends SparkSpec {
       df.filter(col("k") < 1000).count())
   }
 
+  test("compactParquet: many small files rewrite to the target count, losslessly") {
+    val src = java.nio.file.Files.createTempDirectory("cmp").resolve("src").toString
+    val dest = src.stripSuffix("src") + "dest"
+    val df = (1 to 3000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(src) // the decayed small-file state
+    val nSrc = new java.io.File(src).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(nSrc == 40)
+    val files = Scale.compactParquet(spark, src, dest, 1000L)
+    assert(files == 3) // ceil(3000/1000)
+    val nDest = new java.io.File(dest).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(nDest == 3)
+    // lossless: same multiset of rows
+    assert(spark.read.parquet(dest).exceptAll(df).isEmpty &&
+      df.exceptAll(spark.read.parquet(dest)).isEmpty)
+    // refuses in-place rewrite (reading and overwriting the same dir)
+    val e = intercept[IllegalArgumentException] {
+      Scale.compactParquet(spark, src, src, 1000L)
+    }
+    assert(e.getMessage.contains("separate dest"))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     Seq("bkt_a", "bkt_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
