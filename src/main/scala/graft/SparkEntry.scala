@@ -725,6 +725,26 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"),
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
+    "x33_topk_similar" -> ((s, dir) => {
+      // per-document top-k most-similar docs over TEXT: LSH candidates
+      // (the scale path — never all-pairs), exact Jaccard verify joined
+      // back BY ID, symmetrized, then bounded per-doc top-3 by
+      // (jaccard desc, peer asc) — the text-side "similar items" query
+      // that complements the embedding-side ANN (x6 family)
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(docs, "text", 4), "doc_id", 4, 2)
+      val ver = Dedup.jaccardVerify(cands,
+        Dedup.tokenSets(docs, "text", "doc_id"), "doc_id")
+      val sym = ver.select(col("a_id").as("doc_id"), col("b_id").as("peer_id"),
+          col("jaccard"))
+        .unionByName(ver.select(col("b_id").as("doc_id"),
+          col("a_id").as("peer_id"), col("jaccard")))
+      Windows.topKPerGroup(sym, Seq("doc_id"),
+          Seq(col("jaccard").desc, col("peer_id")), 3)
+        .select(col("doc_id"), col("peer_id"), col("jaccard"),
+          col("rn").cast("long").as("rnk"))
+    }),
     "x30_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): cluster embeddings to the first-16
       // centroids (the deterministic IVF convention), compare pairs only
@@ -931,8 +951,10 @@ object SparkEntry {
       // feature-hash (md5 prefix) into 64 Q30 weight buckets, the doc
       // score is the exact long sum — a zero-shuffle projection whose
       // oracle replays the same hash against the same literal weight
-      // table (single source: TextStats.seededWeightsQ30)
-      val s30 = TextStats.hashedLinearScoreQ30(col("text"),
+      // table (single source: TextStats.seededWeightsQ30). Runs the
+      // fused native expression; the column composition is
+      // property-tested identical (ExtSpec), so one oracle checks both.
+      val s30 = TextStats.hashedLinearScoreQ30Fast(col("text"),
         TextStats.seededWeightsQ30(64))
       t(s, dir, "documents").select(col("doc_id"),
         (s30.cast("double") / lit(1073741824.0)).as("score"),
@@ -1429,6 +1451,33 @@ object SparkEntry {
          bits AS (SELECT doc_id, $bitVotes FROM th GROUP BY doc_id)
          SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM bits"""
     },
+    "x33_topk_similar" ->
+      """WITH sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         sets AS (SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+         ver AS (SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.toks, sb.toks))) AS jaccard
+           FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
+                       JOIN sets sb ON c.b_id = sb.doc_id),
+         sym AS (SELECT a_id AS doc_id, b_id AS peer_id, jaccard FROM ver
+                 UNION ALL
+                 SELECT b_id, a_id, jaccard FROM ver)
+         SELECT doc_id, peer_id, jaccard,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY jaccard DESC, peer_id) AS BIGINT) AS rnk
+         FROM sym QUALIFY rnk <= 3""",
     "x4b_jaccard_lsh" ->
       """WITH sig AS (
            SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,

@@ -122,6 +122,15 @@ object TextStats {
     aggregate(terms, lit(0L), (acc, x) => acc + x)
   }
 
+  /** Fused native form of [[hashedLinearScoreQ30]]: IDENTICAL results
+    * (same md5-bucket hash, same exact long sums — the one DuckDB oracle
+    * checks both), but one codegen'd call per row with a reused digest
+    * and no per-token hex/array allocation
+    * ([[graft.functions.HashedLinearScore]]). The form for the hot path;
+    * the column composition above documents the portable semantics. */
+  def hashedLinearScoreQ30Fast(text: Column, weightsQ30: Seq[Long]): Column =
+    graft.functions.GraftFunctions.hashedScore(text, weightsQ30)
+
   /** Deterministic seeded Q30 weight vector (splitmix64 mix of seed+i,
     * top 30 bits recentred to [−2²⁹, 2²⁹)): the SINGLE source for both
     * the Spark plan literal and the oracle's VALUES table, like

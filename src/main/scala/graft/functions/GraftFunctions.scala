@@ -79,14 +79,36 @@ object GraftFunctions {
       }
     })
 
+  private[functions] val hashedScoreDescriptor: Descriptor = (
+    FunctionIdentifier("hashed_quality_score"),
+    new ExpressionInfo(classOf[HashedLinearScoreQ30].getName, "hashed_quality_score"),
+    { args: Seq[Expression] =>
+      // SQL surface binds the deterministic seeded weight table (the
+      // column API takes arbitrary learned weights)
+      args match {
+        case Seq(c, Literal(n: Int, _), Literal(seed: Long, _)) =>
+          HashedLinearScoreQ30(c, graft.ext.TextStats.seededWeightsQ30(n, seed))
+        case Seq(c, Literal(n: Int, _)) =>
+          HashedLinearScoreQ30(c, graft.ext.TextStats.seededWeightsQ30(n))
+        case Seq(c) =>
+          HashedLinearScoreQ30(c, graft.ext.TextStats.seededWeightsQ30(64))
+        case _ => throw new IllegalArgumentException(
+          "hashed_quality_score(text[, n_buckets, seed]) — literals only")
+      }
+    })
+
   /** All native functions exposed to SQL (extension + runtime registry). */
   private[functions] val descriptors: Seq[Descriptor] = Seq(
     minhashSigDescriptor, md5MinhashSigDescriptor, dotQ30Descriptor,
-    pyLiteralListDescriptor, nfcNormalizeDescriptor)
+    pyLiteralListDescriptor, nfcNormalizeDescriptor, hashedScoreDescriptor)
 
   /** Column API: k-long MinHash signature of a string column. */
   def minhashSig(c: Column, k: Int = 4, shingleLen: Int = 5): Column =
     Bridge.column(MinHashSignature(Bridge.expression(c), k, shingleLen))
+
+  /** Column API: fused hashed-feature linear score (raw Q30 long sum). */
+  def hashedScore(c: Column, weightsQ30: Seq[Long]): Column =
+    Bridge.column(HashedLinearScoreQ30(Bridge.expression(c), weightsQ30))
 
   /** Runtime registration for sessions built without the extension. */
   def register(spark: SparkSession): Unit =

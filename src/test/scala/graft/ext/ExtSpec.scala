@@ -448,6 +448,36 @@ class ExtSpec extends SparkSpec {
     assert(ws.forall(w => w >= -(1L << 29) && w < (1L << 29)))
   }
 
+  test("native hashedScore ≡ column composition on edge-case text") {
+    val ws = TextStats.seededWeightsQ30(64)
+    val tricky = Seq(
+      "plain ascii words", "", " ", "  leading and   runs  ",
+      "\ttab-led line", "line\nbreaks\nhere", "héllo wörld",
+      "𝄞 surrogate pair token", "one", "a b c d e f g h i j",
+      "punct! mixed, tokens? yes.", " controlbytes")
+      .toDF("text")
+    val out = tricky.select(
+      TextStats.hashedLinearScoreQ30(col("text"), ws).as("cols"),
+      TextStats.hashedLinearScoreQ30Fast(col("text"), ws).as("native"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (c, nv) => assert(c == nv, s"col=$c native=$nv") }
+    // and over the real corpus fixture
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.filter(
+      TextStats.hashedLinearScoreQ30(col("text"), ws) =!=
+        TextStats.hashedLinearScoreQ30Fast(col("text"), ws)).count()
+    assert(n == 0)
+    // SQL registration path agrees too
+    graft.functions.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("hs_docs")
+    val viaSql = spark.sql(
+      "SELECT sum(hashed_quality_score(text, 64, 2026L)) FROM hs_docs")
+      .as[Long].head()
+    val viaCol = docs.agg(sum(TextStats.hashedLinearScoreQ30Fast(col("text"), ws)))
+      .as[Long].head()
+    assert(viaSql == viaCol)
+  }
+
   test("semDedupClusters keeps one min-id representative per component") {
     // two identical vectors (near-dup) + one orthogonal, centroids = all 3
     val emb = Seq(

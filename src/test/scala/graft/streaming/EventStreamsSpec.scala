@@ -129,6 +129,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 4) // no duplication
   }
 
+  test("curation projections lift to streams unchanged (stateless stage parity)") {
+    // the curation ops that are pure projections/filters — quality score,
+    // token stats, mixture sampling — run on a readStream EXACTLY as on a
+    // batch frame (same Column expressions, no stateful operator): the
+    // streaming ingest path reuses the oracle-proven batch definitions
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "lorem ipsum dolor sit amet consectetur", "web"),
+      (3L, "short", "books"),
+      (4L, "a much longer document with plenty of perfectly ordinary tokens", "books"),
+      (5L, "yet another document for the mixture to sample from", "web")
+    ).toDF("doc_id", "text", "source")
+    val src = Files.createTempDirectory("cursrc").toString
+    docs.write.mode("overwrite").parquet(src)
+    val ws = graft.ext.TextStats.seededWeightsQ30(64)
+    def stage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.ext.Curation.mixtureSample(df, "doc_id", "source",
+          Map("web" -> 800), 500)
+        .withColumn("n_tok", graft.ext.TextStats.tokenCount(col("text")))
+        .withColumn("score_q30",
+          graft.ext.TextStats.hashedLinearScoreQ30(col("text"), ws))
+        .filter(col("n_tok") >= 3)
+        .select("doc_id", "source", "n_tok", "score_q30")
+    val expected = stage(docs).as[(Long, String, Int, Long)].collect().sortBy(_._1)
+
+    val q = stage(spark.readStream.schema(docs.schema).parquet(src))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .format("memory").queryName("cur_stream").start()
+    q.awaitTermination(120000)
+    val got = spark.table("cur_stream")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(expected))
+  }
+
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
     // streaming dimension maintenance: each micro-batch of change events
     // MERGEs into the versioned table via ops.Merge.scd2Merge — the
