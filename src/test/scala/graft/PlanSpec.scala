@@ -176,6 +176,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x30 semdedup: within-cell equi-join only — no cartesian/nested-loop pairing") {
+    val p = tree(q("x30_semdedup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join on the cell id:\n$p")
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

@@ -168,6 +168,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SCD2 merge invariants hold for random update batches") {
+    import graft.ops.Merge
+    // random initial open set + two random update batches with increasing
+    // effective dates; invariants that define SCD2 correctness:
+    //  (1) exactly one OPEN row per live key;
+    //  (2) per key, validity intervals chain without overlap (each close
+    //      date equals the next version's open date);
+    //  (3) re-applying the same batch is a no-op (idempotence).
+    val keys = (1L to 40L)
+    val segGen = Gen.oneOf("A", "B", "C", "D")
+    def batch(eff: String, p: Double): Seq[(Long, String, String)] =
+      keys.flatMap { k =>
+        val pick = Gen.prob(p).sample.getOrElse(false)
+        if (pick) Some((k + (if (k % 7 == 0) 1000L else 0L), // some new keys
+          segGen.sample.getOrElse("A"), eff))
+        else None
+      }
+    val h0 = keys.map(k => (k, "A", "2026-01-01")).toDF("k", "seg", "f")
+      .select(col("k"), col("seg"), to_date(col("f")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+    def toUpd(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", "seg", "e")
+        .select(col("k"), col("seg"), to_date(col("e")).as("eff"))
+    val b1 = batch("2026-02-01", 0.5)
+    val b2 = batch("2026-03-01", 0.5)
+    val m1 = graft.ops.Merge.scd2Merge(h0, toUpd(b1), "k", Seq("seg"))
+    val m2 = Merge.scd2Merge(m1, toUpd(b2), "k", Seq("seg"))
+
+    // (1) exactly one open row per key present
+    val openDup = m2.filter(col("valid_to").isNull)
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(openDup == 0)
+    // (2) intervals chain: close date == next open date, no overlaps
+    val rows = m2.select(col("k"), col("valid_from").cast("string"),
+      col("valid_to").cast("string")).as[(Long, String, String)]
+      .collect().groupBy(_._1)
+    rows.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1), (_, f2, _)) =>
+          assert(t1 != null && t1 == f2, s"key $k: gap/overlap $sorted")
+        case _ => ()
+      }
+      assert(sorted.last._3 == null, s"key $k has no open row")
+    }
+    // (3) idempotence: re-applying b2 changes nothing
+    val m2again = Merge.scd2Merge(m2, toUpd(b2), "k", Seq("seg"))
+    assert(m2again.exceptAll(m2).isEmpty && m2.exceptAll(m2again).isEmpty)
+    // and snapshotDiff of (m1-open vs m2-open) reconstructs b2's effect
+    val openOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("valid_to").isNull).select("k", "seg")
+    val diff = Merge.snapshotDiff(openOf(m1), openOf(m2), "k", Seq("seg"))
+    // every diff row's key must be in b2 (the only change driver)
+    val b2keys = b2.map(_._1).toSet
+    val diffKeys = diff.select("k").as[Long].collect().toSet
+    assert(diffKeys.subsetOf(b2keys), s"${diffKeys -- b2keys}")
+  }
+
   test("pagination source: exactly-once ids for arbitrary page sizes") {
     import graft.sources.rest.{PageFetcher, PageFetchers}
     val cases = Gen.listOfN(12, Gen.zip(Gen.chooseNum(1, 25), Gen.chooseNum(0, 60)))
