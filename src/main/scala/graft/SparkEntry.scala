@@ -746,16 +746,18 @@ object SparkEntry {
           col("rn").cast("long").as("rnk"))
     }),
     "x30_semdedup" -> ((s, dir) => {
-      // SemDeDup (Abbas et al. 2023): cluster embeddings to the first-16
+      // SemDeDup (Abbas et al. 2023): cluster embeddings to the first-64
       // centroids (the deterministic IVF convention), compare pairs only
       // WITHIN a cell, connect cos ≥ 0.3 pairs into components, keep the
-      // min-id representative. Assignment argmax, pair cosine, and the CC
-      // labels are all Q30-exact, so the oracle replays the whole
-      // pipeline (assignment + within-cell cosine + recursive-CTE
-      // closure) bit-identically.
+      // min-id representative. Assignment is the DATA-DRIVEN broadcast
+      // join (ivfAssignJoin — plan size independent of the centroid
+      // count, the knob SemDeDup's 100 TB story turns); argmax, pair
+      // cosine, and the CC labels are all Q30-exact, so the oracle
+      // replays the whole pipeline (assignment + within-cell cosine +
+      // recursive-CTE closure) bit-identically.
       val emb = t(s, dir, "embeddings")
       Similarity.semDedupClusters(emb,
-          emb.filter(col("vec_id") < 16)
+          emb.filter(col("vec_id") < 64)
             .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
           "vec_id", "embedding", 0.3)
         .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
@@ -788,15 +790,17 @@ object SparkEntry {
 
     // ───────────────────────── ext: text stats ─────────────────────────
     "x6b_ann_ivf" -> ((s, dir) => {
-      // IVF scale path: centroids = first 16 vectors, probe top-2 cells.
-      // Deterministic end-to-end in Q30 arithmetic (exact argmin
-      // assignment, exact probe ranking, exact candidate scores), so the
-      // APPROXIMATE result set is still engine-portable → full oracle.
+      // IVF scale path: centroids = first 64 vectors, probe top-2 cells,
+      // on the DATA-DRIVEN assignment (ivfTopKJoin — the centroid count
+      // is data, not plan). Deterministic end-to-end in Q30 arithmetic
+      // (exact argmin assignment, exact probe ranking, exact candidate
+      // scores), so the APPROXIMATE result set is still engine-portable
+      // → full oracle.
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 16)
+      val centroids = emb.filter(col("vec_id") < 64)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      Similarity.ivfTopK(emb, centroids, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", 5, 2, q30 = true)
+      Similarity.ivfTopKJoin(emb, centroids, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5, 2)
         .select(col("q_id"), col("n_id"),
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
@@ -1550,7 +1554,7 @@ object SparkEntry {
                   ORDER BY CAST(s AS DOUBLE) * qs2 * ns DESC, n_id) AS BIGINT) AS rnk
          FROM dp QUALIFY rnk <= 5""",
     "x6b_ann_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
            cs AS (SELECT vec_id, cid,
                   CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
                   FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
@@ -1602,7 +1606,7 @@ object SparkEntry {
                   ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM adc QUALIFY rnk <= 5""",
     "x30_semdedup" ->
-      """WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      """WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
            cs AS (SELECT vec_id, cid,
                   CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
                   FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx

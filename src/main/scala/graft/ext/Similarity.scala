@@ -289,7 +289,13 @@ object Similarity {
     * self-join attribute dedup (Spark 4.1 — hit by x30's within-cell
     * pair join: ATTRIBUTE_NOT_FOUND at bind time), while the same
     * expression as a direct array element rewrites fine — and the
-    * unrolled form is also friendlier to whole-stage codegen. */
+    * unrolled form is also friendlier to whole-stage codegen.
+    *
+    * CEILING: plan/codegen cost is LINEAR in the centroid count (one
+    * expression node per centroid), so this unrolled form is for small
+    * centroid sets only — roughly ≤ a few hundred. Past that (SemDeDup
+    * wants 10⁴–10⁵ clusters) use [[ivfAssignJoin]], whose plan size is
+    * independent of the centroid count. */
   private def centroidScores(vec: Column, cents: Seq[Array[Float]],
                              q30: Boolean = false): Column =
     array(cents.map { c =>
@@ -316,6 +322,82 @@ object Similarity {
     corpus.withColumn("cid", cid)
   }
 
+  /** DATA-DRIVEN centroid assignment — the large-centroid-set path.
+    * [[ivfAssign]] folds every centroid into the plan as a literal, so
+    * plan/codegen cost grows linearly with the centroid count and the
+    * 10⁴–10⁵-cluster regime SemDeDup runs at (Abbas et al. 2023 uses
+    * ~110k for LAION) blows up plan compilation. Here the centroid table
+    * stays DATA: the corpus BroadcastHashJoins (constant key — every
+    * corpus row meets every broadcast centroid inside its own task, no
+    * corpus movement) against the broadcast (cid, cvec) table, each
+    * candidate scores via the native Q30 dot, and a groupBy argmax keeps
+    * the best cell. Plan size is INDEPENDENT of the centroid count
+    * (PlanSpec pins this); the single shuffle is the argmax aggregation,
+    * whose map-side partial collapses the ×nCentroids fan-out back to one
+    * row per corpus row before the exchange.
+    *
+    * Determinism: the score is the exact Q30 long (engine-portable) and
+    * ties take the LOWEST cid via max over struct(score, −cid) — the same
+    * (score desc, cid asc) ranking [[ivfAssign]]'s `array_position` of
+    * the max and an oracle's row_number use, so the two paths agree
+    * bit-for-bit and the assignment is oracle-replayable.
+    *
+    * Preconditions: `idCol` unique per row (the argmax groups by every
+    * corpus column, so full-duplicate rows would collapse); corpus
+    * columns must all be groupable (no maps). Output = corpus columns
+    * + `cid`, same contract as [[ivfAssign]]. */
+  /** Max representable centroid id on the join-assignment path: (score,
+    * cid) pack into ONE long — score in the high bits, (MaxJoinCid − cid)
+    * in the low [[CidBits]] — so the argmax is a plain `max(long)`: a
+    * primitive agg buffer keeps the aggregation in HashAggregate (a
+    * struct-max buffer demotes to SortAggregate, which would sort the
+    * corpus by (id, vector)). 2^20 ids ≫ the ~110k clusters SemDeDup
+    * runs; the pack is overflow-safe under ANSI for |Q30 score| < 2^42,
+    * i.e. unit-scale vectors with dims into the thousands. */
+  private final val CidBits = 20
+  final val MaxJoinCid: Int = (1 << CidBits) - 1
+
+  /** Fan every row of `df` out against the broadcast centroid table via a
+    * BroadcastHashJoin on an always-zero NON-FOLDABLE key (`size(vec)*0`):
+    * a foldable constant key would constant-fold away and degrade the
+    * plan to a BroadcastNestedLoopJoin. Adds `_c_cid` / `_c_vec`. */
+  private def centroidFanout(df: DataFrame, centroids: DataFrame,
+                             vecCol: String): DataFrame = {
+    val cidChecked = when(col("cid").cast("long").between(0, MaxJoinCid),
+        col("cid").cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"centroid cid must be in [0, $MaxJoinCid], got "),
+        col("cid").cast("string"))).cast("int"))
+    val c = broadcast(centroids.select(
+      (size(col("cvec")) * lit(0)).as("_c_one"),
+      cidChecked.as("_c_cid"), col("cvec").as("_c_vec")))
+    df.withColumn("_c_one", size(col(vecCol)) * lit(0))
+      .join(c, "_c_one")
+      .drop("_c_one")
+  }
+
+  def ivfAssignJoin(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String): DataFrame = {
+    val internal = Set("_c_one", "_c_cid", "_c_vec", "_c_s", "_c_m")
+    val clashes = corpus.columns.filter(internal)
+    require(clashes.isEmpty,
+      s"ivfAssignJoin reserves internal column names ${internal.mkString(", ")}; " +
+        s"rename input columns: ${clashes.mkString(", ")}")
+    val keyCols = corpus.columns.toSeq
+    // pack (score, cid) into one long: score·2^20 + (MaxJoinCid − cid) is
+    // monotone in score, breaks score ties toward the LOWEST cid, and its
+    // low 20 bits recover the cid regardless of the score's sign
+    val packed = quantizedDotQ30Long(col(vecCol), col("_c_vec")) *
+      lit(1L << CidBits) + (lit(MaxJoinCid) - col("_c_cid")).cast("long")
+    centroidFanout(corpus, centroids, vecCol)
+      .select(keyCols.map(col) :+ packed.as("_c_s"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_c_s")).as("_c_m"))
+      .select(keyCols.map(col) :+
+        (lit(MaxJoinCid.toLong) - col("_c_m").bitwiseAND(lit(MaxJoinCid.toLong)))
+          .cast("int").as("cid"): _*)
+  }
+
   /** The 100 TB IVF layout: the assigned corpus written `partitionBy(cid)`
     * so a probe of nProbe cells prunes STATICALLY to those directories —
     * the scan reads nProbe/nCentroids of the corpus, enforced by the file
@@ -331,6 +413,35 @@ object Similarity {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
+
+  /** [[ivfTopK]] on the DATA-DRIVEN assignment path: corpus cells via
+    * [[ivfAssignJoin]], query probe cells via the same broadcast fan-out
+    * ranked by the bounded TopKAgg (top-nProbe cells per query, ties →
+    * lowest cid — identical to the oracle's row_number ranking). All
+    * scores are exact Q30, so the approximate result set is still
+    * engine-portable. Use this form whenever the centroid count is more
+    * than a few hundred — plan size stays constant as centroids grow. */
+  def ivfTopKJoin(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssignJoin(corpus.select(col(idCol), col(vecCol)),
+      centroids, idCol, vecCol)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // probe ranking reuses the exact Q30 long as the score (longs ≤ 2^53
+    // are exact doubles, so the cast loses nothing)
+    val probeScored = centroidFanout(q, centroids, "q_vec")
+      .select(col("q_id"), col("_c_cid").as("n_id"),
+        quantizedDotQ30Long(col("q_vec"), col("_c_vec")).cast("double").as("score"))
+    val probes = topKPerQuery(probeScored, nProbe)
+      .select(col("q_id"), col("n_id").cast("int").as("cid"))
+    val qAssigned = q.join(probes, "q_id")
+    val candidates = assigned
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cid"))
+      .join(broadcast(qAssigned), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        quantizedDot(col("q_vec"), col("n_vec")).as("score"))
+    topKPerQuery(candidates, k)
+  }
 
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int,
@@ -381,12 +492,32 @@ object Similarity {
     * Scale: the pair join shuffles on `cid` only and compares within-cell
     * pairs — quadratic in CELL size, not corpus size. At 100 TB grow the
     * centroid count so cells stay bounded (SemDeDup uses ~110k clusters
-    * for LAION); the CC stage shuffles (id, label) longs only. */
+    * for LAION) — assignment goes through [[ivfAssignJoin]], so the
+    * centroid count is data, not plan, and that knob actually turns.
+    *
+    * `maxCellSize` (> 0 to enable) is the straggler guard for that
+    * by-design quadratic stage: an unexpectedly hot cell at scale should
+    * be an ERROR (raise the centroid count / fix the centroids), not a
+    * silent task that runs for hours — the guard counts rows per cell
+    * (one cheap agg over (cid) longs) and fails loudly, naming the hot
+    * cells, before any pair is generated. */
   def semDedupClusters(emb: DataFrame, centroids: DataFrame, idCol: String,
-                       vecCol: String, minCos: Double): DataFrame = {
-    val sig = ivfAssign(emb, centroids, idCol, vecCol, q30 = true)
+                       vecCol: String, minCos: Double,
+                       maxCellSize: Long = 0L): DataFrame = {
+    val sig = ivfAssignJoin(emb.select(col(idCol), col(vecCol)),
+        centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cid"),
         sqrt(quantizedDot(col(vecCol), col(vecCol))).as("nrm"))
+    if (maxCellSize > 0L) {
+      val hot = sig.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCellSize)
+        .orderBy(col("n").desc, col("cid")).limit(5).collect()
+      require(hot.isEmpty,
+        s"semDedup assignment cell(s) exceed maxCellSize=$maxCellSize: " +
+          hot.map(r => s"cid=${r.get(0)} rows=${r.getLong(1)}").mkString(", ") +
+          " — the within-cell pair join is quadratic in cell size; raise the" +
+          " centroid count (or the ceiling) before running it")
+    }
     val a = sig.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
       col("cid"), col("nrm").as("a_nrm"))
     val b = sig.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),

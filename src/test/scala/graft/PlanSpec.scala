@@ -176,6 +176,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivfAssignJoin: broadcast-hash-join assignment, plan size independent of nCentroids") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def assigned(n: Int) = graft.ext.Similarity.ivfAssignJoin(emb,
+      emb.filter(col("vec_id") < n)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "vec_id", "embedding")
+    val p16 = tree(assigned(16))
+    val p64 = tree(assigned(64))
+    // the centroid side broadcasts; the corpus is never shuffled for scoring
+    assert(p16.contains("BroadcastHashJoin"), p16)
+    assert(!p16.contains("SortMergeJoin") && !p16.contains("CartesianProduct"), p16)
+    // centroid count is DATA, not plan: 4× the centroids, identical plan tree
+    assert(p16.linesIterator.size == p64.linesIterator.size,
+      s"plan must not grow with the centroid count:\n--16--\n$p16\n--64--\n$p64")
+    // and the within-cell join key cardinality actually scales with it
+    val cells16 = assigned(16).select("cid").distinct().count()
+    val cells64 = assigned(64).select("cid").distinct().count()
+    assert(cells64 > cells16,
+      s"64-centroid assignment must spread further ($cells16 vs $cells64 cells)")
+  }
+
   test("x30 semdedup: within-cell equi-join only — no cartesian/nested-loop pairing") {
     val p = tree(q("x30_semdedup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -248,6 +248,54 @@ class ExtSpec extends SparkSpec {
     assert(ivf.sameElements(Array(1L))) // nearest neighbour found in probed cell
   }
 
+  test("ivfAssignJoin agrees with the literal-projection assignment (Q30)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val viaLit = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", q30 = true)
+      .select(col("vec_id").as[Long], col("cid").as[Int]).collect().toMap
+    val viaJoin = Similarity.ivfAssignJoin(emb, cents, "vec_id", "embedding")
+      .select(col("vec_id").as[Long], col("cid").as[Int]).collect().toMap
+    assert(viaJoin == viaLit)
+    assert(viaJoin.values.toSet.size > 1, "fixture must span several cells")
+  }
+
+  test("ivfTopKJoin matches ivfTopK(q30) on the same centroids and probes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id").as[Long], col("n_id").as[Long], col("rank").as[Int])
+        .collect().toSet
+    val viaLit = key(Similarity.ivfTopK(emb, cents, q, "vec_id", "embedding",
+      3, 2, q30 = true))
+    val viaJoin = key(Similarity.ivfTopKJoin(emb, cents, q, "vec_id", "embedding", 3, 2))
+    assert(viaJoin == viaLit)
+    assert(viaJoin.nonEmpty)
+  }
+
+  test("semDedupClusters maxCellSize guard fails loudly on a hot cell") {
+    // ONE centroid => every row lands in the same cell: the within-cell
+    // pair join would be corpus-quadratic — exactly what the guard stops
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val oneCent = emb.filter(col("vec_id") === 0)
+      .select(lit(0).as("cid"), col("embedding").as("cvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupClusters(emb, oneCent, "vec_id", "embedding", 0.3,
+        maxCellSize = 10L)
+    }
+    assert(e.getMessage.contains("maxCellSize"), e.getMessage)
+    assert(e.getMessage.contains("cid=0"), e.getMessage)
+    // and a ceiling above the corpus size passes through
+    val ok = Similarity.semDedupClusters(emb, oneCent, "vec_id", "embedding", 0.999,
+      maxCellSize = 1000000L)
+    assert(ok.count() == emb.count())
+  }
+
   test("PQ: encode picks the L2-nearest codebook entry; ADC recovers the true neighbor") {
     // dim 4, 2 subspaces of 2; codebook = subvectors of rows 0 and 1
     val pv = Seq(
