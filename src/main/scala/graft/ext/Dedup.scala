@@ -452,20 +452,25 @@ object Dedup {
     * A document whose every line is dropped is absent from the output
     * (pure-boilerplate doc — the C4 outcome).
     *
-    * Scale shape: one shuffle keyed by line for the counts (map-side
-    * partial agg folds the per-partition repeats first), one equi-join
-    * back, one per-doc reassembly groupBy — all narrow keys except the
-    * line text itself; at 100 TB key the count/join stages by a line
-    * hash (e.g. xxhash64) and carry the text only in the reassembly
-    * payload. */
+    * Scale shape: the count aggregation AND the count-back join are keyed
+    * by `md5(line)` — a fixed 16-byte digest — never by the line text, so
+    * the 100 TB regime (the count side outgrows a broadcast and the join
+    * becomes a sort-merge) shuffles and sorts digests while the text
+    * rides only as the reassembly payload. Map-side partial agg folds
+    * per-partition repeats before the count shuffle; the final per-doc
+    * reassembly groupBy is the one stage that must carry text. md5
+    * collisions are the only semantic delta vs raw-line keying (2^-64-
+    * scale — the same digest this operator's own spec uses to prove
+    * byte-identical reassembly). */
   def dedupLinesAcrossCorpus(df: DataFrame, textCol: String, idCol: String,
                              maxOccurrences: Long = 2,
                              delim: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("pos", "line")))
-    val counts = lines.groupBy(col("line")).agg(count(lit(1)).as("_n"))
-    lines.join(counts, "line")
+      .withColumn("_lk", md5(col("line")))
+    val counts = lines.groupBy(col("_lk")).agg(count(lit(1)).as("_n"))
+    lines.join(counts, "_lk")
       .filter(col("_n") <= maxOccurrences)
       .groupBy(col(idCol))
       .agg(

@@ -167,8 +167,16 @@ object Scale {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, src: String,
                      dest: String, targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    require(new org.apache.hadoop.fs.Path(src).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(dest).toUri.getPath,
+    // qualify both paths against the FileSystem (scheme, authority, working
+    // dir) before comparing: a raw-URI compare misses logical aliases of
+    // the same directory — relative vs absolute spellings, `.`/`..`
+    // segments — and would let the overwrite-while-reading through
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).makeQualified(path)
+    }
+    require(qualified(src) != qualified(dest),
       "compact stages into a separate dest; swapping is the caller's commit step")
     val df = spark.read.parquet(src)
     val n = df.count()

@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object SummaryReport {
 
-  def processingSummary(summary: DataFrame, overlapIds: Seq[String]): String = {
+  def processingSummary(summary: DataFrame, overlapIds: Seq[String],
+                        maxDetailRows: Long = DocumentSink.MaxSingleFileRows): String = {
+    // the per-study detail sections collect to the driver — ceiling-guard
+    // like every other metadata-scale sink (DocumentSink.writeSingleCsv,
+    // KgxAssembler, BdcIngest's overlap list) so data-scale misuse raises
+    // instead of OOMing the driver
+    val n = summary.limit(DocumentSink.probeLimit(maxDetailRows)).count()
+    require(n <= maxDetailRows,
+      s"processingSummary collects per-study detail rows to the driver " +
+        s"(> $maxDetailRows rows); the summary frame should be metadata-scale")
     val c = summary.agg(
       count(lit(1)).as("total"),
       coalesce(sum(when(col("status") === "SUCCESS", 1).otherwise(0)), lit(0)).as("ok"),
@@ -75,8 +84,9 @@ object SummaryReport {
   /** Write processing_summary.txt (driver-side — the report is one small
     * text document). */
   def writeProcessingSummary(summary: DataFrame, overlapIds: Seq[String],
-                             outDir: String): String = {
-    val text = processingSummary(summary, overlapIds)
+                             outDir: String,
+                             maxDetailRows: Long = DocumentSink.MaxSingleFileRows): String = {
+    val text = processingSummary(summary, overlapIds, maxDetailRows)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "processing_summary.txt"), text)

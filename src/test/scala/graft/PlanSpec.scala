@@ -205,6 +205,16 @@ class PlanSpec extends SparkSpec {
       s"pair generation must stay an equi-join on the cell id:\n$p")
   }
 
+  test("x27 line dedup: count-back join keyed by the md5 digest, never raw line text") {
+    val joinLines = tree(q("x27_line_dedup")).linesIterator
+      .filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty)
+    joinLines.foreach { l =>
+      assert(l.contains("_lk"), s"join must key on the digest: $l")
+      assert(!l.contains("line#"), s"join must not key on raw line text: $l")
+    }
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

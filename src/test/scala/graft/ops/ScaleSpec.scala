@@ -101,6 +101,22 @@ class ScaleSpec extends SparkSpec {
       Scale.compactParquet(spark, src, src, 1000L)
     }
     assert(e.getMessage.contains("separate dest"))
+    // logical aliases of the same dir are caught too: dest spelled with
+    // `..` segments, and a RELATIVE dest naming the absolute src — both
+    // qualify to the same location (a raw-URI compare misses them)
+    val aliased = src.stripSuffix("src") + "dest/../src"
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.compactParquet(spark, src, aliased, 1000L)
+    }
+    assert(e2.getMessage.contains("separate dest"))
+    val cwd = new java.io.File(".").getCanonicalPath
+    if (src.startsWith(cwd + "/")) { // relative spelling only exists under cwd
+      val rel = src.stripPrefix(cwd + "/")
+      val e3 = intercept[IllegalArgumentException] {
+        Scale.compactParquet(spark, src, rel, 1000L)
+      }
+      assert(e3.getMessage.contains("separate dest"))
+    }
   }
 
   test("bucketed tables join without an exchange on the bucket key") {

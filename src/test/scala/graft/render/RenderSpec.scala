@@ -19,6 +19,19 @@ class RenderSpec extends SparkSpec {
     assert(xml.contains("""<Study accession="phs000007.v32">"""))
   }
 
+  test("processingSummary ceiling-guards the detail collect (last unguarded driver collect)") {
+    val summary = (1 to 50).map(i =>
+        (s"phs$i", s"phs$i.v1", "SUCCESS", "dbGaP_download", "ok"))
+      .toDF("study_id", "accession_id", "status", "method", "details")
+    val e = intercept[IllegalArgumentException] {
+      SummaryReport.processingSummary(summary, Nil, maxDetailRows = 10L)
+    }
+    assert(e.getMessage.contains("metadata-scale"), e.getMessage)
+    // a ceiling at/above the frame size renders normally
+    val txt = SummaryReport.processingSummary(summary, Nil, maxDetailRows = 50L)
+    assert(txt.contains("Total studies processed: 50"))
+  }
+
   test("escape handles all five XML special forms") {
     assert(DbGapXmlRenderer.escape("""a&b<c>d"e""") == "a&amp;b&lt;c&gt;d&quot;e")
     assert(DbGapXmlRenderer.escape(null) == "")
