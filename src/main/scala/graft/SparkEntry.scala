@@ -895,10 +895,14 @@ object SparkEntry {
           when(col("c_custkey") % 20 === 0, "MOVED")
             .otherwise(col("c_mktsegment")).as("c_mktsegment"),
           to_date(lit("2026-06-01")).as("eff"))
+        // synthetic inserted keys: strictly NEGATIVE -(k+1) — disjoint from
+        // every real c_custkey >= 0 at ANY scale factor (a fixed +offset
+        // collides once keys exceed it, ~SF 7; plain -k collides at k=0)
         .unionByName(c.filter(col("c_custkey") % 97 === 0)
-          .select((col("c_custkey") + 1000000).as("c_custkey"),
+          .select((-(col("c_custkey") + 1)).as("c_custkey"),
             lit("NEW").as("c_mktsegment"), to_date(lit("2026-06-01")).as("eff")))
-      Merge.scd2Merge(history, updates, "c_custkey", Seq("c_mktsegment"))
+      Merge.scd2Merge(history, updates, "c_custkey", Seq("c_mktsegment"),
+        validate = true)
         // dates → timestamps for the cross-engine compare (a Spark DATE
         // arrives as a python date object, a DuckDB DATE as datetime64)
         .select(col("c_custkey"), col("c_mktsegment"),
@@ -916,7 +920,7 @@ object SparkEntry {
           when(col("c_custkey") % 20 === 0, "MOVED")
             .otherwise(col("c_mktsegment")).as("c_mktsegment"))
         .unionByName(c.filter(col("c_custkey") % 97 === 0)
-          .select((col("c_custkey") + 1000000).as("c_custkey"),
+          .select((-(col("c_custkey") + 1)).as("c_custkey"), // disjoint at any SF
             lit("NEW").as("c_mktsegment")))
       Merge.snapshotDiff(oldSnap, curSnap, "c_custkey", Seq("c_mktsegment"))
     }),
@@ -1847,7 +1851,7 @@ object SparkEntry {
                   CASE WHEN c_custkey % 20 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
                   TIMESTAMP '2026-06-01' AS eff FROM customer WHERE c_custkey % 10 = 0
            UNION ALL
-           SELECT c_custkey + 1000000, 'NEW', TIMESTAMP '2026-06-01'
+           SELECT -(c_custkey + 1), 'NEW', TIMESTAMP '2026-06-01'
            FROM customer WHERE c_custkey % 97 = 0),
          j AS (SELECT o.c_custkey AS ok, o.c_mktsegment AS oseg, o.valid_from AS vf,
                       u.c_custkey AS uk, u.c_mktsegment AS useg, u.eff
@@ -1870,7 +1874,7 @@ object SparkEntry {
                   CASE WHEN c_custkey % 20 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
            FROM customer WHERE c_custkey % 41 <> 0
            UNION ALL
-           SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 97 = 0)
+           SELECT -(c_custkey + 1), 'NEW' FROM customer WHERE c_custkey % 97 = 0)
          SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey,
                 CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment
                      ELSE o.c_mktsegment END AS c_mktsegment,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot-merge operators — the "MERGE INTO"-shaped maintenance an
@@ -23,8 +24,20 @@ object Merge {
     *  - open row with no update → passes through;
     *  - closed rows always pass through untouched.
     *
-    * Updates must be unique per key (pre-aggregate a multi-day batch to
-    * the latest change per key first — [[graft.ops.Windows]] top-1).
+    * PRECONDITIONS (the contract that makes 0–2-rows-per-key emission
+    * well-defined):
+    *  - updates are UNIQUE per key — pre-aggregate a multi-day batch to
+    *    the latest change per key first ([[graft.ops.Windows]] top-1);
+    *  - history has AT MOST ONE open row per key;
+    *  - eff dates are MONOTONE: an update's eff must be >= the open row's
+    *    `validFrom` (a late-arriving eff would close the open row with an
+    *    inverted interval and chain a new open row into the past).
+    * With `validate = true` all three are enforced inside the plan
+    * (`assert_true`, fails the job naming the offending key) at ~zero
+    * cost: the two count-windows hash-partition each side on the same
+    * key the full-outer join needs, so no extra exchange is introduced.
+    * With `validate = false` (default) violations are UNDETECTED and
+    * corrupt SCD2 state — turn validation on for untrusted batches.
     *
     * Scale shape: ONE shuffle — the open rows full-outer-join the batch
     * on key (Spark broadcasts the update side when it is small, the
@@ -33,13 +46,16 @@ object Merge {
     * and no union re-scan. Closed rows ride a disjoint filter of the same
     * history scan. On real storage, partition history by a key bucket and
     * rewrite only buckets containing updated keys (partition pruning does
-    * this statically when the batch's buckets are a literal filter). */
+    * this statically when the batch's buckets are a literal filter;
+    * bucketed tables written via [[graft.ops.Scale.writeBucketed]] join
+    * exchange-free — pinned in PlanSpec). */
   def scd2Merge(history: DataFrame, updates: DataFrame, key: String,
                 attrs: Seq[String], validFrom: String = "valid_from",
                 validTo: String = "valid_to",
-                effCol: String = "eff"): DataFrame = {
+                effCol: String = "eff",
+                validate: Boolean = false): DataFrame = {
     val internal = Set("_m_key", "_m_attrs", "_m_from", "_m_ukey", "_m_uattrs",
-      "_m_eff", "_m_rows", "_m_row")
+      "_m_eff", "_m_rows", "_m_row", "_m_ocnt", "_m_ucnt")
     val clashes = (history.columns ++ updates.columns).filter(internal)
     require(clashes.isEmpty,
       s"scd2Merge reserves internal column names ${internal.mkString(", ")}; " +
@@ -49,14 +65,31 @@ object Merge {
     val closed = history.filter(col(validTo).isNotNull)
       .select(col(key) +: attrs.map(col) :+ col(validFrom) :+ col(validTo): _*)
 
-    val o = open.select(col(key).as("_m_key"),
-      struct(attrs.map(col): _*).as("_m_attrs"), col(validFrom).as("_m_from"))
-    val u = updates.select(col(key).as("_m_ukey"),
-      struct(attrs.map(col): _*).as("_m_uattrs"), col(effCol).as("_m_eff"))
+    // one-per-key assertion that rides the join's own partitioning: the
+    // count-window clusters the side on exactly the key the full-outer
+    // join clusters on, so validation adds no exchange of its own
+    def assertUnique(df: DataFrame, k: String, cnt: String, what: String) =
+      df.withColumn(cnt, count(lit(1)).over(Window.partitionBy(col(k))))
+        .filter(assert_true(col(cnt) === 1,
+          concat(lit(s"scd2Merge: $what for key "), col(k).cast("string"))).isNull)
+        .drop(cnt)
 
-    val j = o.join(u, col("_m_key") === col("_m_ukey"), "full_outer")
+    val o0 = open.select(col(key).as("_m_key"),
+      struct(attrs.map(col): _*).as("_m_attrs"), col(validFrom).as("_m_from"))
+    val u0 = updates.select(col(key).as("_m_ukey"),
+      struct(attrs.map(col): _*).as("_m_uattrs"), col(effCol).as("_m_eff"))
+    val o = if (validate) assertUnique(o0, "_m_key", "_m_ocnt",
+      "multiple open history rows") else o0
+    val u = if (validate) assertUnique(u0, "_m_ukey", "_m_ucnt",
+      "duplicate update rows") else u0
+
+    val j0 = o.join(u, col("_m_key") === col("_m_ukey"), "full_outer")
     val hasOpen = col("_m_key").isNotNull
     val hasUpd = col("_m_ukey").isNotNull
+    val j = if (!validate) j0 else j0.filter(assert_true(
+      !(hasOpen && hasUpd) || col("_m_eff") >= col("_m_from"),
+      concat(lit("scd2Merge: out-of-order eff (before valid_from) for key "),
+        col("_m_key").cast("string"))).isNull)
     val changed = hasOpen && hasUpd && !(col("_m_attrs") <=> col("_m_uattrs"))
     val openRow = (a: Column, from: Column) =>
       struct(coalesce(col("_m_key"), col("_m_ukey")).as("k"), a.as("a"),

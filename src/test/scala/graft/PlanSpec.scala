@@ -205,6 +205,31 @@ class PlanSpec extends SparkSpec {
       s"pair generation must stay an equi-join on the cell id:\n$p")
   }
 
+  test("scd2Merge over bucketed history joins exchange-free (bucket-pruned rewrite claim)") {
+    // the scaladoc's 100 TB story: keep history (and the pre-aggregated
+    // batch) bucketed on the merge key, and the full-outer join reads
+    // co-located buckets — no Exchange anywhere in the merge plan. This
+    // pins it the same way s6 pins the bucketed equi-join.
+    import org.apache.spark.sql.functions._
+    val hist = spark.range(1, 401).select(col("id").as("k"),
+      concat(lit("S"), col("id") % 5).as("seg"),
+      to_date(lit("2026-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val upds = spark.range(1, 401).filter(col("id") % 10 === 0)
+      .select(col("id").as("k"), lit("MOVED").as("seg"),
+        to_date(lit("2026-06-01")).as("eff"))
+    graft.ops.Scale.writeBucketed(hist, "m_hist_bkt", "k", 8)
+    graft.ops.Scale.writeBucketed(upds, "m_upd_bkt", "k", 8)
+    val merged = graft.ops.Merge.scd2Merge(
+      spark.table("m_hist_bkt"), spark.table("m_upd_bkt"), "k", Seq("seg"))
+    val p = tree(merged)
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"bucketed merge must not shuffle either side:\n$p")
+    // and the merge still computes: changed keys close + re-open
+    assert(merged.count() == 400 + 40)
+  }
+
   test("x27 line dedup: count-back join keyed by the md5 digest, never raw line text") {
     val joinLines = tree(q("x27_line_dedup")).linesIterator
       .filter(_.contains("Join")).toSeq

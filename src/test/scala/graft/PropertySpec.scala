@@ -224,6 +224,23 @@ class PropertySpec extends SparkSpec {
     val b2keys = b2.map(_._1).toSet
     val diffKeys = diff.select("k").as[Long].collect().toSet
     assert(diffKeys.subsetOf(b2keys), s"${diffKeys -- b2keys}")
+
+    // (4) validate mode accepts every monotone-eff batch the generator
+    // produces (chained merges stay clean under enforcement)...
+    val v1 = Merge.scd2Merge(h0, toUpd(b1), "k", Seq("seg"), validate = true)
+    Merge.scd2Merge(v1, toUpd(b2), "k", Seq("seg"), validate = true).count()
+    // ...and pins the out-of-order semantics: ANY batch carrying one eff
+    // before an open row's valid_from is rejected, not silently merged
+    val idx = b1.indexWhere(_._1 <= 40L) // a key with an open row in h0
+    if (idx >= 0) {
+      val poisoned = b1.updated(idx, (b1(idx)._1, b1(idx)._2, "2025-06-01"))
+      val e = intercept[Exception] {
+        Merge.scd2Merge(h0, toUpd(poisoned), "k", Seq("seg"), validate = true).count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("out-of-order eff"), msgs)
+    }
   }
 
   test("pagination source: exactly-once ids for arbitrary page sizes") {

@@ -83,6 +83,52 @@ class MergeSpec extends SparkSpec {
     assert(merged.filter(col("valid_to").isNull).count() == 2)
   }
 
+  /** Walk the cause chain — assert_true failures surface as a
+    * SparkRuntimeException nested under the job-failure wrapper. */
+  private def allMsgs(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("scd2Merge validate mode fails loudly on duplicate update keys") {
+    val h = hist((1L, "A", "2026-01-01", None))
+    val u = upd((1L, "B", "2026-06-01"), (1L, "C", "2026-06-01"))
+    val e = intercept[Exception] {
+      Merge.scd2Merge(h, u, "k", Seq("seg"), validate = true).collect()
+    }
+    assert(allMsgs(e).contains("duplicate update rows"), allMsgs(e))
+  }
+
+  test("scd2Merge validate mode fails loudly on multiple open rows per key") {
+    val h = hist((1L, "A", "2026-01-01", None), (1L, "B", "2026-02-01", None))
+    val u = upd((2L, "N", "2026-06-01"))
+    val e = intercept[Exception] {
+      Merge.scd2Merge(h, u, "k", Seq("seg"), validate = true).collect()
+    }
+    assert(allMsgs(e).contains("multiple open history rows"), allMsgs(e))
+  }
+
+  test("scd2Merge validate mode fails loudly on out-of-order eff dates") {
+    // late-arriving batch: eff precedes the open row's valid_from — would
+    // silently emit an inverted interval without validation
+    val h = hist((1L, "A", "2026-06-01", None))
+    val u = upd((1L, "B", "2026-01-01"))
+    val e = intercept[Exception] {
+      Merge.scd2Merge(h, u, "k", Seq("seg"), validate = true).collect()
+    }
+    assert(allMsgs(e).contains("out-of-order eff"), allMsgs(e))
+  }
+
+  test("scd2Merge validate mode is a pure pass-through on clean batches") {
+    val h = hist(
+      (1L, "A", "2026-01-01", None),
+      (1L, "OLD", "2025-01-01", Some("2026-01-01")),
+      (2L, "C", "2026-01-01", None))
+    val u = upd((1L, "B", "2026-06-01"), (9L, "NEW", "2026-06-01"))
+    val plain = Merge.scd2Merge(h, u, "k", Seq("seg"))
+    val checked = Merge.scd2Merge(h, u, "k", Seq("seg"), validate = true)
+    assert(checked.exceptAll(plain).isEmpty && plain.exceptAll(checked).isEmpty)
+  }
+
   test("scd2Merge rejects reserved internal column names") {
     val h = hist((1L, "A", "2026-01-01", None)).withColumn("_m_key", lit(1))
     val u = upd((1L, "B", "2026-06-01"))
