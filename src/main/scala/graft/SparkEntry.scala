@@ -942,6 +942,42 @@ object SparkEntry {
         .select(col("mediaId").as("media_id"),
           round(Similarity.dot(col("feature"), col("feature")), 6).as("self_sim"))
     }),
+    "x14b_media_headers" -> ((s, dir) => {
+      // the DETERMINISTIC half of the multimodal surface, oracle-checked:
+      // PNM/WAV test patterns are BUILT as binary columns from doc_id
+      // formulas (Multimodal.pnmBlob/wavBlob), parsed back by the REAL
+      // header decoders (batch-wise mapPartitions, the x14 plumbing), and
+      // the extracted width/height/rate/channels/bits compare against the
+      // same formulas in SQL — a construct→parse round trip that also
+      // exercises quarantine: every 10th image is raster-truncated and
+      // every doc_id%10==5 audio container has a corrupt magic, so those
+      // rows must come back ok=false with zeroed fields. Only the stub
+      // feature vectors (x14) stay engine-internal.
+      import graft.ext.Multimodal
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val img = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("_w", (col("doc_id") % 31 + 1).cast("int"))
+        .withColumn("_h", (col("doc_id") % 17 + 1).cast("int"))
+        .withColumn("b", Multimodal.pnmBlob(col("_w"), col("_h"),
+          col("_w") * col("_h") - when(col("doc_id") % 10 === 0, 1).otherwise(0)))
+      val aud = d.filter(col("doc_id") % 2 === 1)
+        .withColumn("_rate", (col("doc_id") % 8 * 1000 + 8000).cast("bigint"))
+        .withColumn("_ch", when(col("doc_id") % 4 === 1, 1L).otherwise(2L))
+        .withColumn("_bits", when(col("doc_id") % 8 < 4, 8L).otherwise(16L))
+        .withColumn("b", Multimodal.wavBlob(col("_rate"), col("_ch"), col("_bits"),
+          when(col("doc_id") % 10 === 5, "RIFX").otherwise("RIFF")))
+      val imgInfo = Multimodal.decodeImages(
+          Multimodal.asMedia(img, "doc_id", "b", "image/x-pnm")).toDF()
+        .select(col("mediaId").as("media_id"), lit("image").as("kind"),
+          col("width").cast("long").as("f1"), col("height").cast("long").as("f2"),
+          col("channels").cast("long").as("f3"), col("ok"))
+      val audInfo = Multimodal.decodeAudio(
+          Multimodal.asMedia(aud, "doc_id", "b", "audio/wav")).toDF()
+        .select(col("mediaId").as("media_id"), lit("audio").as("kind"),
+          col("sampleRate").cast("long").as("f1"), col("channels").cast("long").as("f2"),
+          col("bitsPerSample").cast("long").as("f3"), col("ok"))
+      imgInfo.unionByName(audInfo)
+    }),
     "x12_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.subwordCount(col("text")).cast("long").as("n_subwords"))),
@@ -1934,6 +1970,24 @@ object SparkEntry {
                   ELSE 'ok' END AS status
              FROM stats)
          SELECT status, COUNT(*) AS n FROM curated GROUP BY status""",
+    // x14b: the blobs are built from these same doc_id formulas, so the
+    // oracle states the EXPECTED decode directly; the Spark side earns the
+    // match only if blob construction AND the real header parsers agree
+    // byte-for-byte with the PNM/RIFF specs (corrupt rows → ok=false, 0s)
+    "x14b_media_headers" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+           CASE WHEN doc_id % 10 = 0 THEN 0 ELSE doc_id % 31 + 1 END AS f1,
+           CASE WHEN doc_id % 10 = 0 THEN 0 ELSE doc_id % 17 + 1 END AS f2,
+           CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS f3,
+           doc_id % 10 <> 0 AS ok
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, 'audio',
+           CASE WHEN doc_id % 10 = 5 THEN 0 ELSE doc_id % 8 * 1000 + 8000 END,
+           CASE WHEN doc_id % 10 = 5 THEN 0 WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END,
+           CASE WHEN doc_id % 10 = 5 THEN 0 WHEN doc_id % 8 < 4 THEN 8 ELSE 16 END,
+           doc_id % 10 <> 5 AS ok
+         FROM documents WHERE doc_id % 2 = 1""",
     "x12_subword_count" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -115,6 +115,37 @@ object Multimodal {
   def sampleFrameIndexes(media: DataFrame, nFramesCol: String, stride: Int): DataFrame =
     media.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride))))
+
+  /** Little-endian fixed-width integer bytes as a binary column (the
+    * RIFF/WAV byte order). Pure codegen projection: per byte, shift +
+    * mask + hex, then one unhex over the concatenated pair digits. */
+  private def leBytes(c: Column, nBytes: Int): Column =
+    unhex(concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(c.cast("bigint"), 8 * i) % 256), 2, "0")): _*))
+
+  /** Binary-PNM (P5, maxval 255) test-pattern blob: a spec-correct header
+    * plus `rasterLen` filler raster bytes — pass `width*height` for a
+    * well-formed image, anything less to synthesize a truncated file the
+    * decoder must quarantine. Lets codec plumbing be exercised (and
+    * oracle-checked end-to-end) without any media library: the blob is a
+    * pure column expression, the parse-back is [[HeaderCodecs]]. */
+  def pnmBlob(width: Column, height: Column, rasterLen: Column): Column =
+    concat(format_string("P5\n%d %d\n255\n", width, height).cast("binary"),
+      call_function("repeat", lit("x"),
+        greatest(lit(0), rasterLen).cast("int")).cast("binary"))
+
+  /** WAV RIFF test-pattern blob: RIFF header + fmt chunk carrying the
+    * given rate/channels/bits (PCM). `magic` other than "RIFF" synthesizes
+    * a corrupt container the decoder must quarantine. */
+  def wavBlob(rate: Column, channels: Column, bits: Column,
+              magic: Column = lit("RIFF")): Column = {
+    val bps = shiftright(bits.cast("bigint"), 3) // bytes per sample
+    concat(magic.cast("binary"), leBytes(lit(36), 4),
+      lit("WAVEfmt ").cast("binary"), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), leBytes(channels, 2), leBytes(rate, 4),
+      leBytes(rate * channels * bps, 4), leBytes(channels * bps, 2),
+      leBytes(bits, 2))
+  }
 }
 
 /** REAL header parsers for trivially-parseable container formats —

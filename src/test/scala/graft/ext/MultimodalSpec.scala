@@ -130,4 +130,33 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(pairs.sameElements(Array((1L, 2L))))
   }
+
+  test("pnmBlob/wavBlob columns round-trip through the real header parsers") {
+    // the blob builders are pure column expressions; the decoders are the
+    // imperative spec parsers — agreement means both match the format spec
+    val df = Seq((1L, 7, 3, 16000L, 2L, 16L), (2L, 31, 17, 11000L, 1L, 8L))
+      .toDF("id", "w", "h", "rate", "ch", "bits")
+      .withColumn("png", Multimodal.pnmBlob(col("w"), col("h"), col("w") * col("h")))
+      .withColumn("wav", Multimodal.wavBlob(col("rate"), col("ch"), col("bits")))
+    val img = Multimodal.decodeImages(Multimodal.asMedia(df, "id", "png", "image/x-pnm"))
+      .collect().sortBy(_.mediaId)
+    assert(img.map(i => (i.width, i.height, i.channels, i.ok)).sameElements(
+      Array((7, 3, 1, true), (31, 17, 1, true))))
+    val aud = Multimodal.decodeAudio(Multimodal.asMedia(df, "id", "wav", "audio/wav"))
+      .collect().sortBy(_.mediaId)
+    assert(aud.map(a => (a.sampleRate, a.channels, a.bitsPerSample, a.ok)).sameElements(
+      Array((16000, 2, 16, true), (11000, 1, 8, true))))
+  }
+
+  test("pnmBlob/wavBlob corruption knobs quarantine (truncated raster, bad magic)") {
+    val df = Seq((1L, 5, 4)).toDF("id", "w", "h")
+      .withColumn("png", Multimodal.pnmBlob(col("w"), col("h"),
+        col("w") * col("h") - 1)) // one raster byte short
+      .withColumn("wav", Multimodal.wavBlob(lit(8000L), lit(1L), lit(16L),
+        magic = lit("RIFX")))
+    assert(!Multimodal.decodeImages(
+      Multimodal.asMedia(df, "id", "png", "image/x-pnm")).head().ok)
+    assert(!Multimodal.decodeAudio(
+      Multimodal.asMedia(df, "id", "wav", "audio/wav")).head().ok)
+  }
 }
