@@ -228,6 +228,18 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    "s7_zorder_value" -> ((s, dir) =>
+      // the Morton code the two-key Z-order layout (Scale.writeZOrdered)
+      // range-splits and sorts by — pure shifts/masks over (custkey,
+      // epoch-day), bit-identical across engines, so the clustering key
+      // itself is oracle-checked; the layout's locality contract (each
+      // file covers ~1/√n of BOTH key ranges) is pinned in ScaleSpec
+      t(s, dir, "orders").select(col("o_orderkey"),
+        graft.ops.Scale.zOrderValue(
+          col("o_custkey") % (1 << 21),
+          datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1992-01-01"))) % (1 << 21)).as("z"))),
+
     // ───────────────────────── §2.3 projections ─────────────────────────
     "p1_split_part" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
@@ -1099,6 +1111,28 @@ object SparkEntry {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM customer JOIN orders ON o_custkey = c_custkey
          GROUP BY c_custkey""",
+    // s7: the same five magic-mask spread steps as Scale.zSpread, unrolled
+    // per dimension through chained CTEs (DuckDB's << & | on BIGINT match
+    // Spark's shiftleft/bitwiseAND/bitwiseOR two's-complement semantics;
+    // masks in decimal — DuckDB has no 0x literals)
+    "s7_zorder_value" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+             (o_custkey % 2097152) & 2097151 AS a,
+             (datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               % 2097152) & 2097151 AS b
+           FROM orders),
+         s1 AS (SELECT o_orderkey, (a | (a << 32)) & 8725724278095871 AS a,
+                       (b | (b << 32)) & 8725724278095871 AS b FROM base),
+         s2 AS (SELECT o_orderkey, (a | (a << 16)) & 8725728556220671 AS a,
+                       (b | (b << 16)) & 8725728556220671 AS b FROM s1),
+         s3 AS (SELECT o_orderkey, (a | (a << 8)) & 1157144660301377551 AS a,
+                       (b | (b << 8)) & 1157144660301377551 AS b FROM s2),
+         s4 AS (SELECT o_orderkey, (a | (a << 4)) & 1207822528635744451 AS a,
+                       (b | (b << 4)) & 1207822528635744451 AS b FROM s3),
+         s5 AS (SELECT o_orderkey, (a | (a << 2)) & 1317624576693539401 AS a,
+                       (b | (b << 2)) & 1317624576693539401 AS b FROM s4)
+         SELECT o_orderkey, a | (b << 1) AS z FROM s5""",
     "w5_rank_surface" ->
       """SELECT o_orderkey,
          CAST(rank() OVER w AS BIGINT) AS rnk,

@@ -151,6 +151,49 @@ object Scale {
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(path)
 
+  /** Spread the low 21 bits of a non-negative long into every other bit
+    * position (the standard 64-bit Morton magic-mask sequence) — the
+    * building block of [[zOrderValue]]. Pure bitwise projection, and the
+    * same five shift/mask steps are expressible verbatim in ANSI SQL, so
+    * z-values are oracle-checkable across engines. */
+  def zSpread(c: Column): Column = {
+    val masks = Seq(
+      (32, 0x1f00000000ffffL), (16, 0x1f0000ff0000ffL),
+      (8, 0x100f00f00f00f00fL), (4, 0x10c30c30c30c30c3L),
+      (2, 0x1249249249249249L))
+    masks.foldLeft(c.cast("long").bitwiseAND(lit(0x1fffffL))) {
+      case (x, (s, m)) => (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
+    }
+  }
+
+  /** Morton (Z-order) interleave of two non-negative keys, 21 bits each:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Sorting by
+    * this single value clusters rows that are close in BOTH dimensions
+    * into the same neighborhoods. */
+  def zOrderValue(a: Column, b: Column): Column =
+    zSpread(a).bitwiseOR(shiftleft(zSpread(b), 1))
+
+  /** Two-key clustered layout: range-split + sort the rewrite by the
+    * Morton code of (keyA, keyB). [[writeRangeSorted]] gives disjoint
+    * per-file ranges for ONE key — a predicate on any other key still
+    * reads every file. Z-order trades a little per-key locality for
+    * locality in BOTH: each output file covers ~1/√nFiles of EACH key's
+    * range (vs 1/nFiles of one and ALL of the other), so parquet min/max
+    * stats prune file/row-group reads for predicates on either key or
+    * both. The standard lake layout when two filter keys share the read
+    * pattern at 100 TB (Z-order compaction); keys wider than 21 bits
+    * should be bucketed/quantized into the z-window first (the spec's
+    * locality assertion is exactly this contract). */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
+                    nFiles: Int): Unit = {
+    require(!df.columns.contains("_z"), "writeZOrdered reserves column _z")
+    df.withColumn("_z", zOrderValue(col(keyA), col(keyB)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory of many small
     * files into ⌈rows/targetRowsPerFile⌉ files at `dest`. The small-files
     * problem is the standing operational decay of a streaming/incremental

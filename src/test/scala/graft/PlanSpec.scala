@@ -165,6 +165,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")
   }
 
+  test("s7 z-order value is a pure codegen projection: zero exchanges") {
+    val p = tree(q("s7_zorder_value"))
+    assert(!p.contains("Exchange"), s"Morton code must not shuffle: $p")
+  }
+
   test("m1/m2 merge ops cost one key shuffle each (single join, no re-scan fan-in)") {
     Seq("m1_scd2_merge", "m2_snapshot_diff").foreach { name =>
       val p = tree(q(name))

@@ -153,4 +153,37 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("writeZOrdered clusters BOTH keys per file; single-key layout only one") {
+    // 64×64 grid, one row per (kx, ky) cell: after a 16-file Z-order
+    // rewrite every file should cover a bounded window of EACH key range
+    // (ideal Morton quadrants: 1/4 per dim), so parquet min/max stats
+    // prune reads for predicates on EITHER key — the layout's contract.
+    // A single-key range layout clusters kx but leaves ky at full range.
+    val n = 64
+    val df = spark.range(0, n.toLong * n).select(
+      (col("id") % n).as("kx"), (col("id") / n).cast("long").as("ky"))
+    def coverage(dir: String): Array[(Double, Double)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(((max("kx") - min("kx") + 1) / n.toDouble).as("cx"),
+              ((max("ky") - min("ky") + 1) / n.toDouble).as("cy")).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Scale.writeZOrdered(df, zdir, "kx", "ky", 16)
+    val zcov = coverage(zdir)
+    assert(zcov.length == 16, s"expected 16 files, got ${zcov.length}")
+    assert(zcov.forall { case (cx, cy) => cx <= 0.5 && cy <= 0.5 },
+      s"every file must cover a bounded window of both keys: ${zcov.toSeq}")
+    // lossless rewrite: same cells come back, _z never leaks
+    val back = spark.read.parquet(zdir)
+    assert(back.columns.sorted.sameElements(Array("kx", "ky")))
+    assert(back.distinct().count() == n.toLong * n)
+    val rdir = java.nio.file.Files.createTempDirectory("rorder").toString
+    Scale.writeRangeSorted(df, rdir, "kx", 16)
+    assert(coverage(rdir).exists { case (_, cy) => cy > 0.9 },
+      "single-key layout should leave the second key unclustered")
+  }
 }
