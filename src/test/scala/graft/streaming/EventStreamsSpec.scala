@@ -222,6 +222,61 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._2).sameElements(Array("A", "B", "C")))
   }
 
+  test("streaming ingest dedup: micro-batches LSH-join the signature stage, then append to it") {
+    // continuous-ingest near-dup detection — the streaming face of x26:
+    // the signature STAGE is the only state; an arriving batch computes
+    // its own signatures, band-joins the stage for candidates (corpus
+    // text is never rescanned), emits the pairs, and appends its
+    // signatures. Contract: streamed micro-batches find exactly the
+    // pairs the batch-incremental flow finds applied sequentially.
+    import graft.ext.Dedup
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val base = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "how vexingly quick daft zebras jump")
+    val b1 = docs(
+      10L -> "the quick brown fox jumps over the lazy dog", // dup of 1
+      11L -> "sphinx of black quartz judge my vow")
+    val b2 = docs(
+      20L -> "sphinx of black quartz judge my vow", // dup of 11
+      21L -> "the quick brown fox jumps over the lazy dog!") // near-dup of 1/10
+    val k = 8; val rpb = 2
+    def sig(df: org.apache.spark.sql.DataFrame) = Dedup.minhashSignature(df, "text", k)
+    def inc(s: org.apache.spark.sql.DataFrame, stage: String) =
+      Dedup.lshCandidatePairsIncremental(s, stage, "doc_id", k, rpb)
+
+    // expected: the batch-incremental flow, batch by batch
+    val stageExp = Dedup.stageSignatures(sig(base))
+    val p1 = inc(sig(b1), stageExp).as[(Long, Long)].collect().toSet
+    sig(b1).write.mode("append").parquet(stageExp)
+    val p2 = inc(sig(b2), stageExp).as[(Long, Long)].collect().toSet
+    val expected = p1 ++ p2
+    assert(expected.contains((1L, 10L)) && expected.contains((11L, 20L)))
+
+    // streamed: the same batches as AvailableNow micro-batches
+    val stage = Dedup.stageSignatures(sig(base))
+    val src = Files.createTempDirectory("dedupsrc").toString
+    val ckpt = Files.createTempDirectory("dedupckpt").toString
+    val out = Files.createTempDirectory("dedupout").resolve("pairs").toString
+    def drain(): Unit = {
+      val q = spark.readStream.schema(base.schema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val s = sig(batch.toDF())
+          inc(s, stage).write.mode("append").parquet(out)
+          s.write.mode("append").parquet(stage) // AFTER pairing (self-pair guard)
+        }.start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); drain()
+    b2.write.mode("append").parquet(src); drain()
+
+    val streamed = spark.read.parquet(out).as[(Long, Long)].collect().toSet
+    assert(streamed == expected, s"streamed $streamed vs batch $expected")
+  }
+
   test("upsert sink exactly-once survives a crash BETWEEN sink write and checkpoint commit") {
     val src = Files.createTempDirectory("csrc").toString
     val sink = Files.createTempDirectory("csink").toString
