@@ -775,6 +775,21 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
           col("keep").cast("long").as("keep"))
     }),
+    "x35_kmeans_train" -> ((s, dir) => {
+      // TRAIN the centroids the IVF/SemDeDup family consumes (their seeds
+      // were the first-k convention; this is the Lloyd trainer): 2
+      // spherical-k-means iterations in exact Q30 arithmetic from the
+      // first-8 seed, then assign the corpus to the TRAINED centroids.
+      // Every step — assignment argmax, per-cell Q30 element sums, exact
+      // floor-div means, one float rounding — replays bit-for-bit in the
+      // oracle, so even the training loop is hash-checked.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val seed = t(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+      val trained = Similarity.kMeansTrain(emb, seed, "vec_id", "embedding", 2)
+      Similarity.ivfAssignJoin(emb, trained, "vec_id", "embedding")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    }),
     "x7b_cosine_lsh" -> ((s, dir) =>
       // SCALE PATH: sign-bucket (axis-aligned RHP) LSH candidates verified
       // with the Q30-exact cosine — fully oracle-checkable because the
@@ -1022,7 +1037,22 @@ object SparkEntry {
     "x11_token_total" -> ((s, dir) =>
       t(s, dir, "documents")
         .agg(sum(TextStats.tokenCount(col("text"))).cast("long").as("total_tokens"),
-          count(lit(1)).as("n_docs")))
+          count(lit(1)).as("n_docs"))),
+    "x34_vocab_freq" -> ((s, dir) =>
+      // vocabulary building: corpus-wide token frequency + document
+      // frequency, deterministic top-100 by (count desc, token asc).
+      // Scale shape: explode → ONE shuffle on the token key with map-side
+      // partial counts absorbing hot tokens (the Zipf head never reaches
+      // the exchange as raw rows); the top-100 runs as TakeOrdered (per-
+      // partition heap + driver merge, PlanSpec-pinned), never a global
+      // sort. The df (doc-frequency) column is the IDF input quality
+      // filters and dedup weighting draw on.
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("tok")).limit(100))
   )
 
   /** SQL form of Similarity.signBucketSignature(·, 10): bit i = [dim i > 0]
@@ -1679,6 +1709,57 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM adc QUALIFY rnk <= 5""",
+    // x35: two Lloyd iterations replayed verbatim — per iteration an
+    // assignment (Q30 dot argmax, ties to lowest cid) and an exact-mean
+    // update (per-element floor(x·2^30) longs summed per (cid, dim);
+    // positive-mod floor-division; scaled back by 2^-30; ONE rounding to
+    // REAL — the same single float rounding the Spark side performs), then
+    // a final assignment against the trained centroids
+    "x35_kmeans_train" ->
+      """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+           s1 AS (SELECT vec_id, cid,
+                  CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                        FROM embeddings e CROSS JOIN c0 c)
+                  GROUP BY vec_id, cid),
+           a1 AS (SELECT vec_id, cid FROM s1
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+           e1 AS (SELECT a.cid, generate_subscripts(e.embedding, 1) AS ord,
+                         unnest(e.embedding) AS x
+                  FROM embeddings e JOIN a1 a USING (vec_id)),
+           u1 AS (SELECT cid, ord,
+                  SUM(CAST(floor(CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS sq,
+                  COUNT(*) AS n
+                  FROM e1 GROUP BY cid, ord),
+           c1 AS (SELECT cid,
+                  array_agg(CAST((sq - ((sq % n + n) % n)) / n / 1073741824.0 AS REAL)
+                            ORDER BY ord) AS cvec
+                  FROM u1 GROUP BY cid),
+           s2 AS (SELECT vec_id, cid,
+                  CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                        FROM embeddings e CROSS JOIN c1 c)
+                  GROUP BY vec_id, cid),
+           a2 AS (SELECT vec_id, cid FROM s2
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+           e2 AS (SELECT a.cid, generate_subscripts(e.embedding, 1) AS ord,
+                         unnest(e.embedding) AS x
+                  FROM embeddings e JOIN a2 a USING (vec_id)),
+           u2 AS (SELECT cid, ord,
+                  SUM(CAST(floor(CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS sq,
+                  COUNT(*) AS n
+                  FROM e2 GROUP BY cid, ord),
+           c2 AS (SELECT cid,
+                  array_agg(CAST((sq - ((sq % n + n) % n)) / n / 1073741824.0 AS REAL)
+                            ORDER BY ord) AS cvec
+                  FROM u2 GROUP BY cid),
+           s3 AS (SELECT vec_id, cid,
+                  CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                        FROM embeddings e CROSS JOIN c2 c)
+                  GROUP BY vec_id, cid)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM s3
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1""",
     "x30_semdedup" ->
       """WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
            cs AS (SELECT vec_id, cid,
@@ -2063,6 +2144,16 @@ object SparkEntry {
     "x11_token_total" ->
       """SELECT CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
-         COUNT(*) AS n_docs FROM documents"""
+         COUNT(*) AS n_docs FROM documents""",
+    // x34: same \s+ split (Java and RE2 agree on ASCII \s), empty tokens
+    // dropped, total order (n desc, tok asc) makes the LIMIT boundary
+    // engine-portable
+    "x34_vocab_freq" ->
+      """SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+               FROM documents)
+         WHERE tok <> ''
+         GROUP BY tok
+         ORDER BY n DESC, tok LIMIT 100"""
   )
 }

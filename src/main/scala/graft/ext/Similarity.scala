@@ -398,6 +398,58 @@ object Similarity {
           .cast("int").as("cid"): _*)
   }
 
+  /** Spherical k-means trainer in EXACT arithmetic — produces the
+    * centroid tables [[ivfAssign]]/[[ivfAssignJoin]]/[[semDedupClusters]]
+    * consume (their docs note "real deployments would k-means these";
+    * this is that trainer, Spark-first). Per iteration: (1) assignment =
+    * [[ivfAssignJoin]] — broadcast centroid fan-out, Q30 argmax, plan
+    * size independent of k; (2) update = the per-cell mean, computed so
+    * every step is engine-portable: elements quantize to Q30 longs
+    * (floor(x·2³⁰) — exact), longs sum exactly in any order, the mean is
+    * an exact floor-division (positive-mod trick, so truncating and
+    * flooring engines agree), and the resulting m/2³⁰ double rounds once
+    * to float (IEEE round-to-nearest, identical everywhere). The whole
+    * training run is therefore bit-replayable in ANSI SQL — an ORACLE-
+    * CHECKABLE k-means (x35).
+    *
+    * Cosine-argmax assignment + mean update without renormalization is
+    * the spherical-k-means variant embedding pipelines run (SemDeDup
+    * clusters with it); empty cells drop (standard Lloyd behavior).
+    * Scale shape per iteration: one broadcast join (no corpus shuffle
+    * for scoring), the argmax aggregation, and two narrow shuffles of
+    * (cid, dim) longs for the update — corpus vectors are never
+    * shuffled. The returned centroid plan is lazy and grows per
+    * iteration; for many iterations persist/stage each round (the
+    * operator stays declarative by design, `iters` is small in the
+    * SemDeDup/IVF regime). */
+  def kMeansTrain(corpus: DataFrame, seed: DataFrame, idCol: String,
+                  vecCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    var cents = seed
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssignJoin(
+        corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
+      val q30 = floor(col("_x").cast("double") * lit((1L << 30).toDouble))
+        .cast("long")
+      val posMod = (col("_sq") % col("_n") + col("_n")) % col("_n")
+      cents = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
+        .groupBy(col("cid"), col("_p"))
+        .agg(sum(q30).as("_sq"), count(lit(1)).as("_n"))
+        // exact floor-div: subtract the positive mod, then the division is
+        // of an exact multiple (trunc == floor in every engine); the
+        // integer-valued double then scales by 2^-30 exactly and rounds
+        // ONCE to float
+        .withColumn("_c",
+          ((col("_sq") - posMod) / col("_n") / lit((1L << 30).toDouble))
+            .cast("float"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_c")))),
+          x => x.getField("_c")).as("cvec"))
+    }
+    cents
+  }
+
   /** The 100 TB IVF layout: the assigned corpus written `partitionBy(cid)`
     * so a probe of nProbe cells prunes STATICALLY to those directories —
     * the scan reads nProbe/nCentroids of the corpus, enforced by the file

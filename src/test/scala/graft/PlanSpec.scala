@@ -165,6 +165,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")
   }
 
+  test("x34 vocab top-100 plans as TakeOrdered (heap+merge), never a global sort") {
+    val p = tree(q("x34_vocab_freq"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"top-k must not range-shuffle the whole vocabulary: $p")
+  }
+
   test("s7 z-order value is a pure codegen projection: zero exchanges") {
     val p = tree(q("s7_zorder_value"))
     assert(!p.contains("Exchange"), s"Morton code must not shuffle: $p")

@@ -277,6 +277,32 @@ class ExtSpec extends SparkSpec {
     assert(viaJoin.nonEmpty)
   }
 
+  test("kMeansTrain converges to well-separated groups; empty cells drop") {
+    // two tight groups around orthogonal axes with per-row jitter in a
+    // third dimension; seeds start at one member of each group plus one
+    // centroid nothing ever picks (it must drop, standard Lloyd)
+    val rows = (0L until 20L).map { i =>
+      val jit = 0.01f * (i / 2).toInt
+      if (i % 2 == 0) (i, Array(1f, 0f, jit, 0f)) else (i, Array(0f, 1f, jit, 0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val seed = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)),
+      (2, Array(0f, 0f, 0f, -1f))).toDF("cid", "cvec")
+    val trained = Similarity.kMeansTrain(df, seed, "vec_id", "embedding", 3)
+    val cents = trained.select(col("cid").as[Int], col("cvec").as[Array[Float]])
+      .collect().toMap
+    assert(cents.keySet == Set(0, 1), s"dead centroid must drop: ${cents.keySet}")
+    // the trained centroid IS the exact-arithmetic group mean: component 0
+    // of cell 0 is mean(1.0)=1.0, component 2 the mean jitter of evens
+    val meanJit = (0 until 10).map(j => 0.01f * j).map(_.toDouble).sum / 10
+    assert(math.abs(cents(0)(0) - 1.0) < 1e-6, cents(0).toSeq)
+    assert(math.abs(cents(0)(2) - meanJit) < 1e-3, cents(0).toSeq)
+    // and the trained assignment separates the groups perfectly
+    val cells = Similarity.ivfAssignJoin(df, trained, "vec_id", "embedding")
+      .select(col("vec_id").as[Long], col("cid").as[Int]).collect().toMap
+    assert((0L until 20L).forall(i => cells(i) == (i % 2).toInt), cells)
+  }
+
   test("semDedupClusters maxCellSize guard fails loudly on a hot cell") {
     // ONE centroid => every row lands in the same cell: the within-cell
     // pair join would be corpus-quadratic — exactly what the guard stops
