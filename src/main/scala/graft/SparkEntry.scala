@@ -1012,6 +1012,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextStats.meanTokenLen(col("text")).as("mean_tok_len"))),
+    "x36_lang_id" -> ((s, dir) =>
+      // heuristic language ID: per-language stopword-list hits over the
+      // distinct lowercased tokens, argmax with alphabetical tie-break,
+      // "und" when nothing hits. Zero-shuffle codegen projection; the
+      // stopword table single-sources into the oracle's list_intersect
+      // CASE chain (langIdListsSql), so the classifier is hash-checked.
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.langIdHeuristic(col("text"), langIdLists).as("lang_pred"))),
     "x9_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.punctRatio(col("text")).as("punct_ratio"),
@@ -1054,6 +1062,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("n").desc, col("tok")).limit(100))
   )
+
+  /** Stopword lists for the x36 lang-ID heuristic — the SINGLE SOURCE for
+    * both the Spark classifier and the oracle SQL (same pattern as
+    * TextStats.seededWeightsQ30 / the x15 plane matrix). */
+  private val langIdLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein"),
+    "es" -> Seq("el", "la", "que", "los", "se", "por", "con", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "pas", "pour", "qui", "dans"))
+
+  /** x36 oracle body: per-language hit counts via list_intersect over the
+    * same distinct-token set, then a CASE chain in alphabetical order —
+    * lang L fires when its hits beat every LATER language and exceed 0,
+    * which is exactly argmax-with-alphabetical-tie-break (the first
+    * language in alphabetical order attaining the global max fires; any
+    * earlier language would need >= L's hits to fire first, i.e. would
+    * itself be the max). */
+  private def langIdSql: String = {
+    val ordered = langIdLists.toSeq.sortBy(_._1)
+    val hitCols = ordered.map { case (l, ws) =>
+      s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(", ")}])) AS h_$l"
+    }.mkString(",\n               ")
+    val langs = ordered.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"h_$l >= h_$o") :+ s"h_$l > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n                ")
+    "WITH toksed AS (SELECT doc_id,\n" +
+      "        list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks\n" +
+      "        FROM documents),\n" +
+      s"      hits AS (SELECT doc_id,\n               $hitCols FROM toksed)\n" +
+      s"      SELECT doc_id, CASE $cases\n                ELSE 'und' END AS lang_pred FROM hits"
+  }
 
   /** SQL form of Similarity.signBucketSignature(·, 10): bit i = [dim i > 0]
     * packed into a BIGINT (1-based list indexing on the oracle side). */
@@ -2108,6 +2149,7 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
            AS n_subwords
          FROM documents""",
+    "x36_lang_id" -> langIdSql,
     "x8_lang_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0

@@ -118,10 +118,14 @@ object Multimodal {
 
   /** Little-endian fixed-width integer bytes as a binary column (the
     * RIFF/WAV byte order). Pure codegen projection: per byte, shift +
-    * mask + hex, then one unhex over the concatenated pair digits. */
+    * mask + hex, then one unhex over the concatenated pair digits. The
+    * &255 mask (not %) keeps each byte in [0,255] even for negative
+    * inputs (two's complement), where a modulo would emit a 16-digit
+    * negative hex that lpad silently truncates to the wrong byte. */
   private def leBytes(c: Column, nBytes: Int): Column =
     unhex(concat((0 until nBytes).map(i =>
-      lpad(hex(shiftright(c.cast("bigint"), 8 * i) % 256), 2, "0")): _*))
+      lpad(hex(shiftright(c.cast("bigint"), 8 * i).bitwiseAND(lit(255L))),
+        2, "0")): _*))
 
   /** Binary-PNM (P5, maxval 255) test-pattern blob: a spec-correct header
     * plus `rasterLen` filler raster bytes — pass `width*height` for a
@@ -135,8 +139,10 @@ object Multimodal {
         greatest(lit(0), rasterLen).cast("int")).cast("binary"))
 
   /** WAV RIFF test-pattern blob: RIFF header + fmt chunk carrying the
-    * given rate/channels/bits (PCM). `magic` other than "RIFF" synthesizes
-    * a corrupt container the decoder must quarantine. */
+    * given rate/channels/bits (PCM; `bits` should be a multiple of 8 —
+    * the derived byte-rate/block-align fields floor-divide by 8). `magic`
+    * other than "RIFF" synthesizes a corrupt container the decoder must
+    * quarantine. */
   def wavBlob(rate: Column, channels: Column, bits: Column,
               magic: Column = lit("RIFF")): Column = {
     val bps = shiftright(bits.cast("bigint"), 3) // bytes per sample

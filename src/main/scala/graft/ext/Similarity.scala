@@ -419,11 +419,15 @@ object Similarity {
     * for scoring), the argmax aggregation, and two narrow shuffles of
     * (cid, dim) longs for the update — corpus vectors are never
     * shuffled. The returned centroid plan is lazy and grows per
-    * iteration; for many iterations persist/stage each round (the
-    * operator stays declarative by design, `iters` is small in the
-    * SemDeDup/IVF regime). */
+    * iteration (`iters` is small in the SemDeDup/IVF regime); pass
+    * `stagePerIteration = true` to write each round's centroids to a
+    * unique temp parquet stage (JVM-exit cleanup, same contract as
+    * [[graft.ext.Dedup.stageSignatures]]) so every iteration starts
+    * from a flat scan — constant plan size for deep runs, and each
+    * iteration's corpus pass executes exactly once. */
   def kMeansTrain(corpus: DataFrame, seed: DataFrame, idCol: String,
-                  vecCol: String, iters: Int): DataFrame = {
+                  vecCol: String, iters: Int,
+                  stagePerIteration: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     var cents = seed
     for (_ <- 1 to iters) {
@@ -446,6 +450,8 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("_p"), col("_c")))),
           x => x.getField("_c")).as("cvec"))
+      if (stagePerIteration)
+        cents = cents.sparkSession.read.parquet(Dedup.stageSignatures(cents))
     }
     cents
   }

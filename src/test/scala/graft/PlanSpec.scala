@@ -177,6 +177,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"Morton code must not shuffle: $p")
   }
 
+  test("x36 lang-id is a pure codegen projection: zero exchanges") {
+    val p = tree(q("x36_lang_id"))
+    assert(!p.contains("Exchange"), s"lang-id must not shuffle: $p")
+  }
+
   test("m1/m2 merge ops cost one key shuffle each (single join, no re-scan fan-in)") {
     Seq("m1_scd2_merge", "m2_snapshot_diff").foreach { name =>
       val p = tree(q(name))

@@ -303,6 +303,21 @@ class ExtSpec extends SparkSpec {
     assert((0L until 20L).forall(i => cells(i) == (i % 2).toInt), cells)
   }
 
+  test("kMeansTrain stagePerIteration yields identical centroids from flat scans") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cid").as[Int], col("cvec").as[Array[Float]])
+        .collect().map { case (c, v) => (c, v.toSeq) }.toMap
+    val lazyRun = key(Similarity.kMeansTrain(emb, seed, "vec_id", "embedding", 2))
+    val staged = key(Similarity.kMeansTrain(emb, seed, "vec_id", "embedding", 2,
+      stagePerIteration = true))
+    assert(staged == lazyRun)
+    assert(staged.nonEmpty)
+  }
+
   test("semDedupClusters maxCellSize guard fails loudly on a hot cell") {
     // ONE centroid => every row lands in the same cell: the within-cell
     // pair join would be corpus-quadratic — exactly what the guard stops
