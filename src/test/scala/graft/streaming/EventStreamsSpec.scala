@@ -222,6 +222,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._2).sameElements(Array("A", "B", "C")))
   }
 
+  test("dropDuplicatesWithinWatermark: re-delivered ids dedup across micro-batches") {
+    // at-least-once upstreams re-deliver events; the state-store-native
+    // dedup keeps one arrival per id while the watermark BOUNDS the seen-
+    // set (unbounded exact dedup state is the thing that cannot exist at
+    // 100 TB — the watermark is the contract that lets it stream forever)
+    val src = Files.createTempDirectory("ddwsrc").toString
+    val ckpt = Files.createTempDirectory("ddwckpt").toString
+    val out = Files.createTempDirectory("ddwout").resolve("rows").toString
+    def events(rows: (Long, String)*) = rows.toSeq
+      .map { case (id, ts) => (id, Timestamp.valueOf(ts)) }.toDF("id", "ts")
+    val b1 = events(1L -> "2026-01-01 10:00:00", 2L -> "2026-01-01 10:01:00",
+      3L -> "2026-01-01 10:02:00")
+    val b2 = events(2L -> "2026-01-01 10:01:00", // exact re-delivery
+      3L -> "2026-01-01 10:30:00", // same id, later ts — still within watermark
+      4L -> "2026-01-01 10:05:00")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(b1.schema).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); drain()
+    b2.write.mode("append").parquet(src); drain()
+    val got = spark.read.parquet(out).select(col("id").as[Long]).collect().sorted
+    assert(got.sameElements(Array(1L, 2L, 3L, 4L)),
+      s"one row per id expected: ${got.toSeq}")
+  }
+
   test("streaming ingest dedup: micro-batches LSH-join the signature stage, then append to it") {
     // continuous-ingest near-dup detection — the streaming face of x26:
     // the signature STAGE is the only state; an arriving batch computes
