@@ -416,9 +416,11 @@ object Similarity {
     * the spherical-k-means variant embedding pipelines run (SemDeDup
     * clusters with it); empty cells drop (standard Lloyd behavior).
     * Scale shape per iteration: one broadcast join (no corpus shuffle
-    * for scoring), the argmax aggregation, and two narrow shuffles of
-    * (cid, dim) longs for the update — corpus vectors are never
-    * shuffled. The returned centroid plan is lazy and grows per
+    * for SCORING — the ×k candidate fan-out collapses map-side to one
+    * row per corpus row before the argmax exchange, which therefore
+    * moves the corpus exactly once), then two narrow shuffles of
+    * (cid, dim) longs for the update. The returned centroid plan is
+    * lazy and grows per
     * iteration (`iters` is small in the SemDeDup/IVF regime); pass
     * `stagePerIteration = true` to write each round's centroids to a
     * unique temp parquet stage (JVM-exit cleanup, same contract as
