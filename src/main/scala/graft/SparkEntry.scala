@@ -1193,16 +1193,16 @@ object SparkEntry {
              (datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
                % 2097152) & 2097151 AS b
            FROM orders),
-         s1 AS (SELECT o_orderkey, (a | (a << 32)) & 8725724278095871 AS a,
-                       (b | (b << 32)) & 8725724278095871 AS b FROM base),
-         s2 AS (SELECT o_orderkey, (a | (a << 16)) & 8725728556220671 AS a,
-                       (b | (b << 16)) & 8725728556220671 AS b FROM s1),
-         s3 AS (SELECT o_orderkey, (a | (a << 8)) & 1157144660301377551 AS a,
-                       (b | (b << 8)) & 1157144660301377551 AS b FROM s2),
-         s4 AS (SELECT o_orderkey, (a | (a << 4)) & 1207822528635744451 AS a,
-                       (b | (b << 4)) & 1207822528635744451 AS b FROM s3),
-         s5 AS (SELECT o_orderkey, (a | (a << 2)) & 1317624576693539401 AS a,
-                       (b | (b << 2)) & 1317624576693539401 AS b FROM s4)
+         s1 AS (SELECT o_orderkey, (a | (a << 16)) & 281470681808895 AS a,
+                       (b | (b << 16)) & 281470681808895 AS b FROM base),
+         s2 AS (SELECT o_orderkey, (a | (a << 8)) & 71777214294589695 AS a,
+                       (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+         s3 AS (SELECT o_orderkey, (a | (a << 4)) & 1085102592571150095 AS a,
+                       (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+         s4 AS (SELECT o_orderkey, (a | (a << 2)) & 3689348814741910323 AS a,
+                       (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+         s5 AS (SELECT o_orderkey, (a | (a << 1)) & 6148914691236517205 AS a,
+                       (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
          SELECT o_orderkey, a | (b << 1) AS z FROM s5""",
     "w5_rank_surface" ->
       """SELECT o_orderkey,

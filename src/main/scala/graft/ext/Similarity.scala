@@ -360,7 +360,14 @@ object Similarity {
   /** Fan every row of `df` out against the broadcast centroid table via a
     * BroadcastHashJoin on an always-zero NON-FOLDABLE key (`size(vec)*0`):
     * a foldable constant key would constant-fold away and degrade the
-    * plan to a BroadcastNestedLoopJoin. Adds `_c_cid` / `_c_vec`. */
+    * plan to a BroadcastNestedLoopJoin. Adds `_c_cid` / `_c_vec`.
+    *
+    * When the centroid side is itself an aggregation (e.g. kMeansTrain's
+    * trained rounds), the optimizer can still prove the key constant and
+    * plan a condition-free BroadcastNestedLoopJoin — the SAME execution
+    * shape (broadcast build side, streamed corpus, per-row loop over the
+    * k centroids), so either plan satisfies the contract: the corpus is
+    * never shuffled for scoring (x35 PlanSpec pins broadcast-only). */
   private def centroidFanout(df: DataFrame, centroids: DataFrame,
                              vecCol: String): DataFrame = {
     val cidChecked = when(col("cid").cast("long").between(0, MaxJoinCid),

@@ -158,9 +158,9 @@ object Scale {
     * z-values are oracle-checkable across engines. */
   def zSpread(c: Column): Column = {
     val masks = Seq(
-      (32, 0x1f00000000ffffL), (16, 0x1f0000ff0000ffL),
-      (8, 0x100f00f00f00f00fL), (4, 0x10c30c30c30c30c3L),
-      (2, 0x1249249249249249L))
+      (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
     masks.foldLeft(c.cast("long").bitwiseAND(lit(0x1fffffL))) {
       case (x, (s, m)) => (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
     }

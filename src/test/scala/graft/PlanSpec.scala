@@ -216,6 +216,18 @@ class PlanSpec extends SparkSpec {
       s"64-centroid assignment must spread further ($cells16 vs $cells64 cells)")
   }
 
+  test("x35 k-means: all three assignment passes are broadcast fan-outs, corpus never shuffle-joined") {
+    // seed pass plans as the BHJ on the non-foldable zero key; trained
+    // passes may simplify to a condition-free BNLJ over the broadcast
+    // centroid aggregate — same execution shape; what must NEVER appear
+    // is a shuffled join or a cartesian of two unshuffled sides
+    val p = tree(q("x35_kmeans_train"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val joins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("BroadcastNestedLoopJoin"))
+    assert(joins == 3, s"expected 3 broadcast assignment passes:\n$p")
+  }
+
   test("x30 semdedup: within-cell equi-join only — no cartesian/nested-loop pairing") {
     val p = tree(q("x30_semdedup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -168,6 +168,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zOrderValue interleaves losslessly: deinterleaving recovers both keys") {
+    // the locality claims only mean anything if the Morton code preserves
+    // ALL information of both 21-bit keys — prove invertibility on random
+    // pairs across the full domain, including the boundaries
+    val keyGen = Gen.chooseNum(0L, (1L << 21) - 1)
+    val pairs = (Gen.listOfN(200, Gen.zip(keyGen, keyGen)).sample.get ++
+      Seq((0L, 0L), (0L, (1L << 21) - 1), ((1L << 21) - 1, 0L),
+        ((1L << 21) - 1, (1L << 21) - 1))).distinct
+    val z = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.ops.Scale.zOrderValue(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def deinterleave(z: Long, offset: Int): Long =
+      (0 until 21).foldLeft(0L)((acc, i) => acc | (((z >> (2 * i + offset)) & 1L) << i))
+    z.foreach { case (a, b, zv) =>
+      assert(deinterleave(zv, 0) == a && deinterleave(zv, 1) == b,
+        s"($a, $b) -> $zv failed to round-trip")
+    }
+  }
+
   test("SCD2 merge invariants hold for random update batches") {
     import graft.ops.Merge
     // random initial open set + two random update batches with increasing
