@@ -194,6 +194,44 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Per-file skipping manifest for a parquet directory: one row per data
+    * file with its row count and per-key min/max — the file-skipping
+    * index a lake maintains (Delta/Iceberg manifests, Hive stats). Built
+    * Spark-first: a single column-pruned scan of ONLY the key columns,
+    * aggregated by `input_file_name()` — fully distributed, type-generic,
+    * no driver-side footer walking. (At extreme file counts a
+    * footer-only pass is cheaper still; this data-scan form reads just
+    * the key columns and is layout-agnostic.) Pairs with
+    * [[writeRangeSorted]]/[[writeZOrdered]]: on those layouts each
+    * file's [min,max] windows are tight/disjoint, which is what makes
+    * [[prunedRead]] skip. */
+  def parquetManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      keys: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        keys.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))): _*)
+
+  /** Manifest-driven pruned read: keep only files whose [min,max] window
+    * can overlap [lo, hi], read just those, and re-apply the exact
+    * predicate (the manifest prunes, the filter decides). The file LIST
+    * rides through the driver — bounded metadata, the same thing every
+    * file index holds — never the data. Row-for-row equal to the full
+    * scan with the same predicate (spec-pinned); the win is proportional
+    * to layout quality: on a [[writeRangeSorted]]/[[writeZOrdered]]
+    * layout the windows are tight, on a random layout every window spans
+    * the domain and nothing prunes (the manifest makes that visible
+    * instead of silent). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 key: String, lo: Long, hi: Long): DataFrame = {
+    val files = parquetManifest(spark, dir, Seq(key))
+      .filter(!(col(s"max_$key") < lo || col(s"min_$key") > hi))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(key) >= lo && col(key) <= hi)
+  }
+
   /** Small-file compaction: rewrite a parquet directory of many small
     * files into ⌈rows/targetRowsPerFile⌉ files at `dest`. The small-files
     * problem is the standing operational decay of a streaming/incremental

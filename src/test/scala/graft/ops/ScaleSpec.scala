@@ -186,4 +186,32 @@ class ScaleSpec extends SparkSpec {
     assert(coverage(rdir).exists { case (_, cy) => cy > 0.9 },
       "single-key layout should leave the second key unclustered")
   }
+
+  test("manifest-driven pruned read skips files on clustered layouts, equals the full scan") {
+    val n = 4096L
+    val df = spark.range(0, n).select(col("id").as("k"), (col("id") % 64).as("v"))
+    val rdir = java.nio.file.Files.createTempDirectory("manifest_r").toString
+    Scale.writeRangeSorted(df, rdir, "k", 16)
+    val manifest = Scale.parquetManifest(spark, rdir, Seq("k"))
+    assert(manifest.count() == 16)
+    assert(manifest.agg(sum("n_rows")).head().getLong(0) == n)
+    // a 51-key window on a 16-file range layout lives in at most 2 files
+    val pruned = Scale.prunedRead(spark, rdir, "k", 100, 150)
+    assert(pruned.inputFiles.length <= 2, s"read ${pruned.inputFiles.length} of 16 files")
+    val full = spark.read.parquet(rdir).filter(col("k").between(100, 150))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // a window outside the domain reads nothing and returns empty
+    assert(Scale.prunedRead(spark, rdir, "k", 10 * n, 20 * n).count() == 0)
+    // Z-order layout: a predicate on EITHER key prunes (here the SECOND —
+    // the one a single-key layout cannot skip on at all)
+    val grid = spark.range(0, n).select(
+      (col("id") % 64).as("kx"), (col("id") / 64).cast("long").as("ky"))
+    val zdir = java.nio.file.Files.createTempDirectory("manifest_z").toString
+    Scale.writeZOrdered(grid, zdir, "kx", "ky", 16)
+    val zpruned = Scale.prunedRead(spark, zdir, "ky", 0, 15)
+    assert(zpruned.inputFiles.length < 16,
+      s"second-key predicate must skip files: read ${zpruned.inputFiles.length}")
+    val zfull = spark.read.parquet(zdir).filter(col("ky").between(0, 15))
+    assert(zpruned.exceptAll(zfull).isEmpty && zfull.exceptAll(zpruned).isEmpty)
+  }
 }
