@@ -148,6 +148,28 @@ class MultimodalSpec extends SparkSpec {
       Array((16000, 2, 16, true), (11000, 1, 8, true))))
   }
 
+  test("parseWavHeader walks past non-fmt chunks (LIST before fmt) and pads odd sizes") {
+    // real WAVs often carry LIST/INFO chunks ahead of fmt; the walker must
+    // skip them — including the 16-bit alignment pad after an odd size
+    def le32(n: Long): Array[Byte] =
+      Array(n & 0xFF, (n >> 8) & 0xFF, (n >> 16) & 0xFF, (n >> 24) & 0xFF).map(_.toByte)
+    def le16(n: Int): Array[Byte] = Array((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte)
+    val listBody = Array[Byte](73, 78, 70, 79, 0) // "INFO" + 1 byte => odd size 5
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(22050) ++ le32(22050 * 2 * 2) ++ le16(4) ++ le16(16)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + 6 + fmt.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(listBody.length) ++ listBody ++
+      Array[Byte](0) ++ // alignment pad for the odd LIST size
+      fmt
+    assert(HeaderCodecs.parseWavHeader(wav).contains((22050, 2, 16)))
+    // and a file whose chunks never include fmt quarantines
+    val noFmt = "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + 6) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(listBody.length) ++ listBody ++ Array[Byte](0)
+    assert(HeaderCodecs.parseWavHeader(noFmt).isEmpty)
+  }
+
   test("pnmBlob/wavBlob corruption knobs quarantine (truncated raster, bad magic)") {
     val df = Seq((1L, 5, 4)).toDF("id", "w", "h")
       .withColumn("png", Multimodal.pnmBlob(col("w"), col("h"),
