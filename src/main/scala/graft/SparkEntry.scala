@@ -843,6 +843,36 @@ object SparkEntry {
           graft.ext.Curation.Rules(minTokens = 20,
             allowedLangs = Seq("de", "en", "es", "zh")))
         .select(col("doc_id"), col("status"))),
+    "x37_pretrain_build" -> ((s, dir) => {
+      // CAPSTONE: the full pretrain data build as ONE lazy plan — curate
+      // (quality/lang/exact-dup) → near-dup dedup (staged LSH + CC) on
+      // the survivors → benchmark decontamination → domain-mixture
+      // sampling → token-budget packing. Every stage is the operator its
+      // own query already oracle-proves (x16/x28/x23/x32/x19); THIS row
+      // proves the COMPOSITION: the oracle replays all five stages as one
+      // CTE chain, so stage wiring (who feeds whom, which ids survive)
+      // is hash-checked end-to-end, not just each stage in isolation.
+      val d = t(s, dir, "documents")
+      val ok = graft.ext.Curation.curate(d, "text", "doc_id", "lang",
+          graft.ext.Curation.Rules(minTokens = 20,
+            allowedLangs = Seq("de", "en", "es", "zh")))
+        .filter(col("status") === "ok").select("doc_id")
+      val curated = d.join(ok, "doc_id")
+      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairsStaged(
+        Dedup.minhashSignature(curated, "text", 4), "doc_id", 4, 2))
+      val train = Dedup.applyDedup(curated, clusters, "doc_id")
+        .filter(col("doc_id") >= 10) // ids < 10 are the benchmark split
+      val contaminated = Dedup.contaminatedDocs(train,
+        d.filter(col("doc_id") < 10), "text", "doc_id", 5).select("doc_id")
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = graft.ext.Curation.mixtureSample(clean, "doc_id", "source",
+        Map("src0" -> 1000, "src1" -> 900, "src2" -> 750, "src3" -> 500,
+          "src4" -> 250, "src5" -> 100, "src6" -> 0), 600)
+      graft.ext.Curation.packByTokenBudget(
+        mixed.select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tok")),
+        Seq("lang"), "doc_id", "n_tok", 500L)
+    }),
     "x16b_curation_report" -> ((s, dir) =>
       graft.ext.Curation.report(
         graft.ext.Curation.curate(t(s, dir, "documents"), "text", "doc_id", "lang",
@@ -2085,6 +2115,90 @@ object SparkEntry {
              CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
            FROM documents)""",
+    // x37: the five oracle-proven stage bodies (x16 curation CASE, x28
+    // sig/cand/CC, x23 gram split, x32 draw, x19 packing window) chained
+    // into one CTE pipeline — checks the stage WIRING end-to-end
+    "x37_pretrain_build" ->
+      """WITH RECURSIVE
+         stats AS (
+           SELECT doc_id, lang, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                       AS DOUBLE) / length(text) END AS punct_ratio,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+                  ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\s+')) END AS mean_tl
+           FROM documents),
+         cur AS (SELECT doc_id FROM stats
+                 WHERE dup_rank = 1 AND n_tok >= 20 AND lang IN ('de','en','es','zh')
+                   AND NOT (punct_ratio > 0.2 OR mean_tl < 2.0 OR mean_tl > 12.0)),
+         curdocs AS (SELECT d.* FROM documents d JOIN cur USING (doc_id)),
+         sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM curdocs, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                   UNION SELECT b_id, a_id FROM cand),
+         reach AS (
+           SELECT src AS id, dst AS peer FROM edges
+           UNION
+           SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+         clusters AS (SELECT id, LEAST(id, MIN(peer)) AS cluster_id
+                      FROM reach GROUP BY id),
+         train AS (SELECT * FROM curdocs
+                   WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+                     AND doc_id >= 10),
+         tgrams AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, greatest(len(t) - 4, 1)),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gs
+                    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                          FROM train)),
+         bgrams AS (SELECT DISTINCT unnest(gs) AS g FROM (
+                      SELECT list_distinct(list_transform(
+                        generate_series(1, greatest(len(t) - 4, 1)),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gs
+                      FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+                            FROM documents WHERE doc_id < 10))),
+         contam AS (SELECT DISTINCT tg.doc_id
+                    FROM (SELECT doc_id, unnest(gs) AS g FROM tgrams) tg
+                    JOIN bgrams ON tg.g = bgrams.g),
+         clean AS (SELECT * FROM train
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         mixed AS (SELECT doc_id, lang, text FROM (
+             SELECT doc_id, lang, text, source,
+               (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 268435456
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+                + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) % 1000 AS draw
+             FROM (SELECT doc_id, lang, text, source,
+                   md5(CAST(doc_id AS VARCHAR) || ':mix') AS h FROM clean))
+           WHERE draw < CASE source
+             WHEN 'src0' THEN 1000 WHEN 'src1' THEN 900 WHEN 'src2' THEN 750
+             WHEN 'src3' THEN 500 WHEN 'src4' THEN 250 WHEN 'src5' THEN 100
+             WHEN 'src6' THEN 0 ELSE 600 END)
+         SELECT doc_id, lang, n_tok,
+           CAST(floor(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
+         FROM (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM mixed)""",
     "x16_curation" ->
       """WITH stats AS (
            SELECT doc_id, lang, text,
