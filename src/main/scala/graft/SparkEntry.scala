@@ -1076,6 +1076,24 @@ object SparkEntry {
       t(s, dir, "documents")
         .agg(sum(TextStats.tokenCount(col("text"))).cast("long").as("total_tokens"),
           count(lit(1)).as("n_docs"))),
+    "x38_bpe_pairs" -> ((s, dir) => {
+      // first BPE-training step: adjacent-token pair frequencies,
+      // deterministic top-100 (count desc, pair asc) — with x34's unigram
+      // vocab this is the tokenizer-training data path. Same scale shape
+      // as x34: one pair-key shuffle, map-side partials, TakeOrdered.
+      // sequence(1, n-1) guarded: a 1-token doc would otherwise generate
+      // a DESCENDING range and index 0 (ANSI error)
+      val toks = split(trim(col("text")), "\\s+")
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(pairs).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(100)
+    }),
     "x34_vocab_freq" -> ((s, dir) =>
       // vocabulary building: corpus-wide token frequency + document
       // frequency, deterministic top-100 by (count desc, token asc).
@@ -2301,6 +2319,15 @@ object SparkEntry {
       """SELECT CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
          COUNT(*) AS n_docs FROM documents""",
+    "x38_bpe_pairs" ->
+      """SELECT pair, COUNT(*) AS n
+         FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+               FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+                     FROM documents
+                     WHERE text IS NOT NULL AND trim(text) <> ''))
+         GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 100""",
     // x34: same \s+ split (Java and RE2 agree on ASCII \s), empty tokens
     // dropped, total order (n desc, tok asc) makes the LIMIT boundary
     // engine-portable

@@ -165,11 +165,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")
   }
 
-  test("x34 vocab top-100 plans as TakeOrdered (heap+merge), never a global sort") {
-    val p = tree(q("x34_vocab_freq"))
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("rangepartitioning"),
-      s"top-k must not range-shuffle the whole vocabulary: $p")
+  test("x34/x38 token-stat top-100s plan as TakeOrdered, never a global sort") {
+    Seq("x34_vocab_freq", "x38_bpe_pairs").foreach { name =>
+      val p = tree(q(name))
+      assert(p.contains("TakeOrderedAndProject"), s"$name: $p")
+      assert(!p.contains("rangepartitioning"),
+        s"$name top-k must not range-shuffle the vocabulary: $p")
+    }
+  }
+
+  test("x37 capstone pipeline: id-keyed joins only — no cartesian/nested-loop stage wiring") {
+    val p = tree(q("x37_pretrain_build"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stage wiring must stay key-joined: $p")
   }
 
   test("s7 z-order value is a pure codegen projection: zero exchanges") {
