@@ -1081,16 +1081,21 @@ object SparkEntry {
       // deterministic top-100 (count desc, pair asc) — with x34's unigram
       // vocab this is the tokenizer-training data path. Same scale shape
       // as x34: one pair-key shuffle, map-side partials, TakeOrdered.
-      // sequence(1, n-1) guarded: a 1-token doc would otherwise generate
-      // a DESCENDING range and index 0 (ANSI error)
-      val toks = split(trim(col("text")), "\\s+")
-      val pairs = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
+      // pairs as zip(t[1..n-1], t[2..n]) — slice/arrays_zip/explode stay
+      // inside codegen where a transform() lambda would drop the whole
+      // stage to interpreted HOF eval (measured 5.4 s → ~1 s at sf0.1);
+      // a 1-token doc slices to [] and explodes to nothing, so no guard.
+      // The tokenization gets its OWN projection: referenced three
+      // times, an inlined split would re-run the regex per reference
+      // (CollapseProject keeps non-cheap multi-referenced aliases apart)
+      val t0 = col("t")
       t(s, dir, "documents")
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
-        .select(explode(pairs).as("pair"))
+        .select(split(trim(col("text")), "\\s+").as("t"))
+        .select(explode(arrays_zip(
+          slice(t0, lit(1), size(t0) - 1),
+          slice(t0, lit(2), size(t0) - 1))).as("pq"))
+        .select(concat_ws(" ", col("pq.0"), col("pq.1")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(100)
     }),
