@@ -318,6 +318,29 @@ class ExtSpec extends SparkSpec {
     assert(staged.nonEmpty)
   }
 
+  test("trained centroids drive semDedupClusters (train → assign → dedup lifecycle)") {
+    // the full semantic-dedup lifecycle: kMeansTrain produces the
+    // centroids, semDedupClusters consumes them — no first-k convention
+    // anywhere. Structural invariants: every row classified, keep is the
+    // min-id representative of its cluster, non-keepers share a cluster
+    // with their keeper.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seed = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val trained = Similarity.kMeansTrain(emb, seed, "vec_id", "embedding", 2)
+    val out = Similarity.semDedupClusters(emb, trained, "vec_id", "embedding", 0.3)
+    assert(out.count() == emb.count(), "every row classified exactly once")
+    val byCluster = out.select(col("vec_id").as[Long], col("cluster_id").as[Long],
+      col("keep").as[Boolean]).collect().groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      val keepers = rows.filter(_._3).map(_._1)
+      assert(keepers.length == 1 && keepers.head == rows.map(_._1).min,
+        s"cluster $cid keeper must be the min id: ${rows.toSeq}")
+      assert(cid == rows.map(_._1).min, s"cluster id is the min member id")
+    }
+  }
+
   test("semDedupClusters maxCellSize guard fails loudly on a hot cell") {
     // ONE centroid => every row lands in the same cell: the within-cell
     // pair join would be corpus-quadratic — exactly what the guard stops
