@@ -784,7 +784,7 @@ object SparkEntry {
       // floor-div means, one float rounding — replays bit-for-bit in the
       // oracle, so even the training loop is hash-checked.
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val seed = t(s, dir, "embeddings").filter(col("vec_id") < 8)
+      val seed = t(s, dir, "embeddings").filter(col("vec_id") < 64)
         .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
       val trained = Similarity.kMeansTrain(emb, seed, "vec_id", "embedding", 2)
       Similarity.ivfAssignJoin(emb, trained, "vec_id", "embedding")
@@ -1810,7 +1810,7 @@ object SparkEntry {
     // REAL — the same single float rounding the Spark side performs), then
     // a final assignment against the trained centroids
     "x35_kmeans_train" ->
-      """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
            s1 AS (SELECT vec_id, cid,
                   CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
                   FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx

@@ -510,6 +510,34 @@ object Similarity {
     topKPerQuery(candidates, k)
   }
 
+  /** PQ codebook TRAINED per subspace with [[kMeansTrain]] — closing
+    * [[pqCodebook]]'s "real deployments would k-means these" note on the
+    * PQ side too. For each of the m subspaces, Lloyd-iterate from the
+    * first-k-rows seed over the SLICED sub-vectors and collect the
+    * trained entries (cid order; empty cells drop — standard Lloyd, so a
+    * subspace may return < k entries). Same bounded-driver contract and
+    * return shape as [[pqCodebook]]: pqEncode/pqTopK are agnostic to
+    * which codebook they receive. */
+  def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                        m: Int, k: Int, dim: Int,
+                        iters: Int): Seq[Seq[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { mi =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), mi * subDim + 1, subDim).as("_sv"))
+      // seed = first k rows by id, cids 0..k-1 (the window ranks only the
+      // k-row limited frame, not the corpus)
+      val seed = sub.orderBy(col(idCol)).limit(k)
+        .withColumn("cid", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1)
+          .cast("int"))
+        .select(col("cid"), col("_sv").as("cvec"))
+      collectCentroids(kMeansTrain(sub, seed, idCol, "_sv", iters)
+        .select(col("cid"), col("cvec"))).map(_._2)
+    }
+  }
+
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int,
               q30: Boolean = false): DataFrame = {

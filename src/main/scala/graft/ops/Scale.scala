@@ -232,6 +232,23 @@ object Scale {
       .filter(col(key) >= lo && col(key) <= hi)
   }
 
+  /** Two-key [[prunedRead]]: keep files whose windows can overlap BOTH
+    * ranges. On a [[writeZOrdered]] layout each file is tight in both
+    * keys, so the intersection skips almost everything — the read
+    * pattern that layout exists for (a single-key layout can only ever
+    * prune on its one key). */
+  def prunedRead2(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  keyA: String, loA: Long, hiA: Long,
+                  keyB: String, loB: Long, hiB: Long): DataFrame = {
+    val files = parquetManifest(spark, dir, Seq(keyA, keyB))
+      .filter(!(col(s"max_$keyA") < loA || col(s"min_$keyA") > hiA) &&
+        !(col(s"max_$keyB") < loB || col(s"min_$keyB") > hiB))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(keyA).between(loA, hiA) && col(keyB).between(loB, hiB))
+  }
+
   /** Small-file compaction: rewrite a parquet directory of many small
     * files into ⌈rows/targetRowsPerFile⌉ files at `dest`. The small-files
     * problem is the standing operational decay of a streaming/incremental

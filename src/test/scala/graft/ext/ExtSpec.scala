@@ -318,6 +318,21 @@ class ExtSpec extends SparkSpec {
     assert(staged.nonEmpty)
   }
 
+  test("pqCodebookTrained composes with pqTopK (trained codebook, same contract)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb = Similarity.pqCodebookTrained(emb, "vec_id", "embedding", 4, 8, 64, 2)
+    assert(cb.length == 4, "one codebook per subspace")
+    assert(cb.forall(entries => entries.nonEmpty && entries.forall(_.length == 16)),
+      "entries carry full sub-vectors")
+    val q = emb.filter(col("vec_id") < 4)
+    val out = Similarity.pqTopK(emb, q, "vec_id", "embedding", cb, 5)
+    assert(out.count() == 4 * 5)
+    // deterministic end-to-end: a second run returns the identical set
+    val out2 = Similarity.pqTopK(emb, q, "vec_id", "embedding", cb, 5)
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+  }
+
   test("trained centroids drive semDedupClusters (train → assign → dedup lifecycle)") {
     // the full semantic-dedup lifecycle: kMeansTrain produces the
     // centroids, semDedupClusters consumes them — no first-k convention

@@ -213,5 +213,13 @@ class ScaleSpec extends SparkSpec {
       s"second-key predicate must skip files: read ${zpruned.inputFiles.length}")
     val zfull = spark.read.parquet(zdir).filter(col("ky").between(0, 15))
     assert(zpruned.exceptAll(zfull).isEmpty && zfull.exceptAll(zpruned).isEmpty)
+    // both-key window: the intersection skips still more — the read
+    // pattern the Z-order layout exists for
+    val z2 = Scale.prunedRead2(spark, zdir, "kx", 0, 15, "ky", 0, 15)
+    assert(z2.inputFiles.length <= 4,
+      s"both-key window should touch ~1 quadrant: read ${z2.inputFiles.length}")
+    val z2full = spark.read.parquet(zdir)
+      .filter(col("kx").between(0, 15) && col("ky").between(0, 15))
+    assert(z2.exceptAll(z2full).isEmpty && z2full.exceptAll(z2).isEmpty)
   }
 }
