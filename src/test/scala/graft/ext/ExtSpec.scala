@@ -318,6 +318,38 @@ class ExtSpec extends SparkSpec {
     assert(staged.nonEmpty)
   }
 
+  test("ANN recall@5 vs brute force: IVF stays high, nProbe is monotone, training never hurts") {
+    // QUALITY pin, not just determinism: the approximate paths must stay
+    // close to exact top-k on the fixture (bounds measured via
+    // tools/RecallProbe; the fixture's near-uniform synthetic vectors are
+    // PQ's worst case — 4×16-dim subspaces to 16 entries is very coarse
+    // there, so its honest bound is low while IVF's is high)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id").cast("long"), col("n_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5,
+      (a, b) => Similarity.quantizedDot(a, b)))
+    def recall(approx: Set[(Long, Long)]) = (approx & exact).size.toDouble / exact.size
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val r2 = recall(pairs(Similarity.ivfTopKJoin(emb, cents, q, "vec_id", "embedding", 5, 2)))
+    val r8 = recall(pairs(Similarity.ivfTopKJoin(emb, cents, q, "vec_id", "embedding", 5, 8)))
+    assert(r2 >= 0.8, s"IVF nProbe=2 recall $r2")
+    assert(r8 >= r2, s"more probes must not lose recall: $r2 -> $r8")
+    val km = Similarity.kMeansTrain(emb, cents, "vec_id", "embedding", 2)
+    val rt = recall(pairs(Similarity.ivfTopKJoin(emb, km, q, "vec_id", "embedding", 5, 2)))
+    assert(rt >= 0.7, s"trained-centroid IVF recall $rt")
+    val rSeed = recall(pairs(Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      Similarity.pqCodebook(emb, "vec_id", "embedding", 4, 16, 64), 5)))
+    val rTrained = recall(pairs(Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      Similarity.pqCodebookTrained(emb, "vec_id", "embedding", 4, 16, 64, 2), 5)))
+    assert(rSeed >= 0.15, s"PQ seed recall $rSeed")
+    assert(rTrained >= rSeed, s"training must not hurt: $rSeed -> $rTrained")
+  }
+
   test("pqCodebookTrained composes with pqTopK (trained codebook, same contract)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
