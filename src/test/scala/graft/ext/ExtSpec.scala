@@ -318,6 +318,34 @@ class ExtSpec extends SparkSpec {
     assert(staged.nonEmpty)
   }
 
+  test("LSH candidates catch the true shingle-near-dup pairs (recall in LSH's own measure)") {
+    // MinHash-LSH operates on 5-char shingles — the near-IDENTITY measure
+    // a C4-style dedup targets. (Word-token Jaccard is NOT that measure:
+    // it saturates on same-domain template text — 73% of all fixture
+    // pairs clear token-j 0.5 — so judging shingle-LSH by it is a
+    // category error; tools/LshRecall measures both.) At (k=4, r=2, b=2)
+    // theory gives P(candidate) = 1-(1-j²)² ≥ 0.44 at shingle-j 0.5
+    // rising to ~1 near j=1; the fixture's true pairs are all high-j and
+    // measured recall is 1.0 (28/28) — pinned at ≥ 0.95 with the verify
+    // stage downstream to restore precision.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sets = d.select(col("doc_id"), expr(
+      "array_distinct(transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))").as("sh"))
+    val a = sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))) >= 0.5)
+      .select(col("a_id").as[Long], col("b_id").as[Long]).collect().toSet
+    assert(truth.nonEmpty, "fixture must contain true near-dup pairs")
+    val cand = Dedup.lshCandidatePairs(Dedup.minhashSignature(d, "text", 4),
+      "doc_id", 4, 2)
+      .select(col("a_id").as[Long], col("b_id").as[Long]).collect().toSet
+    val recall = (cand & truth).size.toDouble / truth.size
+    assert(recall >= 0.95, s"LSH recall vs shingle-Jaccard>=0.5: $recall " +
+      s"(${(cand & truth).size}/${truth.size})")
+  }
+
   test("ANN recall@5 vs brute force: IVF stays high, nProbe is monotone, training never hurts") {
     // QUALITY pin, not just determinism: the approximate paths must stay
     // close to exact top-k on the fixture (bounds measured via
