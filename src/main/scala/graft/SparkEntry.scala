@@ -759,7 +759,10 @@ object SparkEntry {
     }),
     "x30_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): cluster embeddings to the first-64
-      // centroids (the deterministic IVF convention), compare pairs only
+      // centroids (the deterministic IVF convention — kMeansTrain-trained
+      // centroids compose identically, ExtSpec lifecycle test; the seed
+      // convention keeps THIS oracle's replay to one assignment pass),
+      // compare pairs only
       // WITHIN a cell, connect cos ≥ 0.3 pairs into components, keep the
       // min-id representative. Assignment is the DATA-DRIVEN broadcast
       // join (ivfAssignJoin — plan size independent of the centroid
