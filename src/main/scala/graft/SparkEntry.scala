@@ -228,6 +228,27 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    "s8_zorder_pruned_scan" -> ((s, dir) => {
+      // the LAYOUT LIFECYCLE through the driver gate: orders written
+      // Z-ordered by (custkey-bucket, day-bucket) to a unique session
+      // temp dir (CONSTRUCTION-TIME side effect — the s6/staged-LSH
+      // precedent; JVM-exit cleanup), then a BOTH-KEY window read via the
+      // file-skipping manifest (prunedRead2) and aggregated. Pruning must
+      // be invisible to the RESULT — the oracle is the same filter+agg
+      // straight off the table — and visible only to I/O (ScaleSpec pins
+      // the ≤4-of-16-files read on the grid fixture).
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 64).as("ck"),
+        (datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))) % 64).as("dk"),
+        col("o_totalprice"))
+      val zdir = graft.ops.Scale.tempLayoutDir("graft_zq_")
+      graft.ops.Scale.writeZOrdered(o, zdir, "ck", "dk", 16)
+      graft.ops.Scale.prunedRead2(s, zdir, "ck", 8, 23, "dk", 8, 23)
+        .groupBy(col("ck"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
     "s7_zorder_value" -> ((s, dir) =>
       // the Morton code the two-key Z-order layout (Scale.writeZOrdered)
       // range-splits and sorts by — pure shifts/masks over (custkey,
@@ -1238,6 +1259,15 @@ object SparkEntry {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM customer JOIN orders ON o_custkey = c_custkey
          GROUP BY c_custkey""",
+    "s8_zorder_pruned_scan" ->
+      """SELECT ck, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM (SELECT o_custkey % 64 AS ck,
+                 datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 64 AS dk,
+                 o_totalprice
+               FROM orders)
+         WHERE ck BETWEEN 8 AND 23 AND dk BETWEEN 8 AND 23
+         GROUP BY ck""",
     // s7: the same five magic-mask spread steps as Scale.zSpread, unrolled
     // per dimension through chained CTEs (DuckDB's << & | on BIGINT match
     // Spark's shiftleft/bitwiseAND/bitwiseOR two's-complement semantics;

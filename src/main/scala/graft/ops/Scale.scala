@@ -194,6 +194,31 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Unique temp directory for a written layout, registered for recursive
+    * deletion at JVM exit — the same no-accumulation/no-race contract as
+    * Dedup.stageSignatures' staging dirs. */
+  def tempLayoutDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    installLayoutCleanupHook
+    layoutDirs.add(dir.toString)
+    dir.toString
+  }
+
+  private val layoutDirs = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  private lazy val installLayoutCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      layoutDirs.forEach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    }))
+
   /** Per-file skipping manifest for a parquet directory: one row per data
     * file with its row count and per-key min/max — the file-skipping
     * index a lake maintains (Delta/Iceberg manifests, Hive stats). Built
