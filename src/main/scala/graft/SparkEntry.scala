@@ -927,6 +927,17 @@ object SparkEntry {
       Dedup.contaminatedDocs(d.filter(col("doc_id") >= 10),
         d.filter(col("doc_id") < 10), "text", "doc_id", 3)
     }),
+    "x23b_contamination_frac" -> ((s, dir) => {
+      // thresholded decontamination: share of each doc's distinct 3-grams
+      // that appear in the benchmark split, kept when >= 0.05 — the form
+      // real pipelines drop on (any-overlap x23 is the conservative
+      // variant). Both counts ride one left-join aggregation; the frac
+      // is a single IEEE division, identical across engines.
+      val d = t(s, dir, "documents")
+      Dedup.contaminationFraction(d.filter(col("doc_id") >= 10),
+          d.filter(col("doc_id") < 10), "text", "doc_id", 3)
+        .filter(col("frac") >= 0.05)
+    }),
     "x24_pii_redaction" -> ((s, dir) => {
       // PII scrub: synthetic email+phone appended per row so the redaction
       // regexes genuinely fire on every document
@@ -2093,6 +2104,28 @@ object SparkEntry {
          SELECT tg.doc_id, CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_shared
          FROM tg JOIN bg ON tg.g = bg.g
          GROUP BY tg.doc_id""",
+    // x23b: tg is distinct per (doc, gram), bg distinct — COUNT(*) is the
+    // doc's gram total, COUNT(_hit-side col) the shared count (COUNT
+    // skips the left-join NULLs); one division for the fraction
+    "x23b_contamination_frac" ->
+      """WITH tg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 2, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents WHERE doc_id >= 10)),
+         bg AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 2, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+           FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+                 FROM documents WHERE doc_id < 10))
+         SELECT doc_id, COUNT(*) AS n_grams,
+                CAST(COUNT(b.g) AS BIGINT) AS n_shared,
+                CAST(COUNT(b.g) AS DOUBLE) / COUNT(*) AS frac
+         FROM tg LEFT JOIN bg b ON tg.g = b.g
+         GROUP BY doc_id
+         HAVING CAST(COUNT(b.g) AS DOUBLE) / COUNT(*) >= 0.05""",
     "x18_stratified_sample" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,

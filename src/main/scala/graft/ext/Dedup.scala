@@ -431,6 +431,27 @@ object Dedup {
       .agg(count_distinct(col("g")).as("n_shared"))
   }
 
+  /** Fractional contamination — the THRESHOLDED form production
+    * decontamination uses (drop a doc when ≥ frac of its distinct
+    * n-grams appear in the benchmark split), vs [[contaminatedDocs]]'
+    * any-overlap form. Per train doc: distinct-gram total, shared count,
+    * and their ratio. Same scale posture: the eval grams broadcast
+    * (pinned), the exploded per-(id, gram) stream is left-joined so BOTH
+    * counts ride one aggregation — no second text pass, no extra
+    * shuffle beyond the per-doc groupBy. */
+  def contaminationFraction(train: DataFrame, bench: DataFrame,
+                            textCol: String, idCol: String,
+                            n: Int): DataFrame = {
+    val bg = bench.select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .distinct().withColumn("_hit", lit(1))
+    val tg = train.select(col(idCol),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+    tg.join(broadcast(bg), Seq("g"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared"))
+      .withColumn("frac", col("n_shared").cast("double") / col("n_grams"))
+  }
+
   /** The dedup lifecycle's final artifact: the corpus with every
     * non-keeper duplicate removed. `clusters` is [[dupClusters]] output
     * (label = MIN id = the keeper); a doc is dropped iff it appears there
