@@ -444,12 +444,21 @@ object Dedup {
                             n: Int): DataFrame = {
     val bg = bench.select(explode(wordNgrams(col(textCol), n)).as("g"))
       .distinct().withColumn("_hit", lit(1))
-    val tg = train.select(col(idCol),
-      explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
-    tg.join(broadcast(bg), Seq("g"), "left_outer")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared"))
+    // ONE gram pass: the array materializes in its own projection (size
+    // and the Generate both read it — CollapseProject keeps a non-cheap
+    // twice-referenced alias separate, so it evaluates once per row),
+    // then every (id, n_grams, gram) row probes the broadcast and the
+    // per-doc agg counts the hits; map-side partials collapse the gram
+    // stream before its shuffle. explode_outer keeps gram-less docs
+    // (n_shared 0) in the result.
+    train.select(col(idCol), wordNgrams(col(textCol), n).as("_gs"))
+      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+        explode_outer(col("_gs")).as("g"))
+      .join(broadcast(bg), Seq("g"), "left_outer")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("_hit")).as("n_shared"))
       .withColumn("frac", col("n_shared").cast("double") / col("n_grams"))
+      .select(col(idCol), col("n_grams"), col("n_shared"), col("frac"))
   }
 
   /** The dedup lifecycle's final artifact: the corpus with every
@@ -505,8 +514,17 @@ object Dedup {
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(o => get(toks, i + o - 1)): _*)))
+    // n-grams as a zip of n shifted slices, NOT an index lambda: inside a
+    // transform() lambda every toks reference re-evaluates the split per
+    // output element (HOFs are interpreted — no codegen, no subexpression
+    // reuse), which re-ran the regex thousands of times per row. Here
+    // toks is referenced only OUTSIDE the lambda (slices + size); the
+    // lambda touches just its struct argument. Short docs (< n tokens)
+    // keep the old semantics: slices beyond the end zip as nulls and
+    // concat_ws skips them, yielding the same truncated gram.
+    val zipped = arrays_zip((0 until n).map(o =>
+      slice(toks, lit(o + 1), greatest(size(toks) - (n - 1), lit(1)))): _*)
+    array_distinct(transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(o => s.getField(o.toString)): _*)))
   }
 }
