@@ -626,11 +626,17 @@ object SparkEntry {
       // is dropped, docs reassembled in original line order (md5 proves
       // byte-identical reassembly across engines)
       val d = t(s, dir, "documents")
-      val toks = split(trim(col("text")), "\\s+")
-      val lined = d.withColumn("text",
-        concat_ws("\n", transform(
-          sequence(lit(0), ((size(toks) - 1) / 3).cast("int")),
-          i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))))
+      // tokens land in their OWN column first: the chunking lambda then
+      // captures a bare attribute (O(1) read per element) instead of the
+      // split tree, which an interpreted HOF would re-run per line (the
+      // wordNgrams lesson — see Dedup.wordNgrams)
+      val toks = col("_toks")
+      val lined = d.withColumn("_toks", split(trim(col("text")), "\\s+"))
+        .withColumn("text",
+          concat_ws("\n", transform(
+            sequence(lit(0), ((size(toks) - 1) / 3).cast("int")),
+            i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))))
+        .drop("_toks")
       Dedup.dedupLinesAcrossCorpus(lined, "text", "doc_id", 2)
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("n_lines_kept").cast("long").as("n_kept"))
