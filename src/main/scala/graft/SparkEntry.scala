@@ -1856,9 +1856,10 @@ object SparkEntry {
     // x35: two Lloyd iterations replayed verbatim — per iteration an
     // assignment (Q30 dot argmax, ties to lowest cid) and an exact-mean
     // update (per-element floor(x·2^30) longs summed per (cid, dim);
-    // positive-mod floor-division; scaled back by 2^-30; ONE rounding to
-    // REAL — the same single float rounding the Spark side performs), then
-    // a final assignment against the trained centroids
+    // positive-mod floor-division IN INTEGERS (`//`, matching Spark's
+    // `div` — exact at any cell size); scaled back by 2^-30; ONE rounding
+    // to REAL — the same single float rounding the Spark side performs),
+    // then a final assignment against the trained centroids
     "x35_kmeans_train" ->
       """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
            s1 AS (SELECT vec_id, cid,
@@ -1876,7 +1877,7 @@ object SparkEntry {
                   COUNT(*) AS n
                   FROM e1 GROUP BY cid, ord),
            c1 AS (SELECT cid,
-                  array_agg(CAST((sq - ((sq % n + n) % n)) / n / 1073741824.0 AS REAL)
+                  array_agg(CAST((sq - ((sq % n + n) % n)) // n / 1073741824.0 AS REAL)
                             ORDER BY ord) AS cvec
                   FROM u1 GROUP BY cid),
            s2 AS (SELECT vec_id, cid,
@@ -1894,7 +1895,7 @@ object SparkEntry {
                   COUNT(*) AS n
                   FROM e2 GROUP BY cid, ord),
            c2 AS (SELECT cid,
-                  array_agg(CAST((sq - ((sq % n + n) % n)) / n / 1073741824.0 AS REAL)
+                  array_agg(CAST((sq - ((sq % n + n) % n)) // n / 1073741824.0 AS REAL)
                             ORDER BY ord) AS cvec
                   FROM u2 GROUP BY cid),
            s3 AS (SELECT vec_id, cid,

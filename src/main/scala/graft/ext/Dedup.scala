@@ -442,6 +442,13 @@ object Dedup {
   def contaminationFraction(train: DataFrame, bench: DataFrame,
                             textCol: String, idCol: String,
                             n: Int): DataFrame = {
+    // the same reserved-name contract as scd2Merge/ivfAssignJoin: the id
+    // column survives into the internal projection, so it must not collide
+    // with the working/output names
+    val internal = Set("_gs", "g", "_hit", "n_grams", "n_shared", "frac")
+    require(!internal.contains(idCol),
+      s"contaminationFraction reserves column names ${internal.mkString(", ")}; " +
+        s"rename id column '$idCol'")
     val bg = bench.select(explode(wordNgrams(col(textCol), n)).as("g"))
       .distinct().withColumn("_hit", lit(1))
     // ONE gram pass: the array materializes in its own projection (size
@@ -450,14 +457,20 @@ object Dedup {
     // then every (id, n_grams, gram) row probes the broadcast and the
     // per-doc agg counts the hits; map-side partials collapse the gram
     // stream before its shuffle. explode_outer keeps gram-less docs
-    // (n_shared 0) in the result.
+    // (n_shared 0) in the result. A null-text doc has NULL grams: its
+    // n_grams pins to 0 (size(NULL) is -1 under legacy sizeOfNull) and
+    // its frac to NULL — a 0-gram doc has no defined contamination ratio.
     train.select(col(idCol), wordNgrams(col(textCol), n).as("_gs"))
-      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+      .select(col(idCol),
+        when(col("_gs").isNull, lit(0L))
+          .otherwise(size(col("_gs")).cast("long")).as("n_grams"),
         explode_outer(col("_gs")).as("g"))
       .join(broadcast(bg), Seq("g"), "left_outer")
       .groupBy(col(idCol), col("n_grams"))
       .agg(count(col("_hit")).as("n_shared"))
-      .withColumn("frac", col("n_shared").cast("double") / col("n_grams"))
+      .withColumn("frac",
+        when(col("n_grams") === 0, lit(null).cast("double"))
+          .otherwise(col("n_shared").cast("double") / col("n_grams")))
       .select(col(idCol), col("n_grams"), col("n_shared"), col("frac"))
   }
 

@@ -146,7 +146,11 @@ object Multimodal {
   def wavBlob(rate: Column, channels: Column, bits: Column,
               magic: Column = lit("RIFF")): Column = {
     val bps = shiftright(bits.cast("bigint"), 3) // bytes per sample
-    concat(magic.cast("binary"), leBytes(lit(36), 4),
+    // RIFF size = total length minus the 8-byte (magic, size) prelude: the
+    // blob is 36 bytes (4 magic + 4 size + 8 "WAVEfmt " + 4 fmt-len + 16
+    // fmt fields), so 28 — a strict consumer walking by RIFF size must not
+    // over-read (the in-repo parser ignores the field either way)
+    concat(magic.cast("binary"), leBytes(lit(28), 4),
       lit("WAVEfmt ").cast("binary"), leBytes(lit(16), 4),
       leBytes(lit(1), 2), leBytes(channels, 2), leBytes(rate, 4),
       leBytes(rate * channels * bps, 4), leBytes(channels * bps, 2),

@@ -444,18 +444,19 @@ object Similarity {
         corpus.select(col(idCol), col(vecCol)), cents, idCol, vecCol)
       val q30 = floor(col("_x").cast("double") * lit((1L << 30).toDouble))
         .cast("long")
-      val posMod = (col("_sq") % col("_n") + col("_n")) % col("_n")
       cents = assigned
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
         .groupBy(col("cid"), col("_p"))
         .agg(sum(q30).as("_sq"), count(lit(1)).as("_n"))
-        // exact floor-div: subtract the positive mod, then the division is
-        // of an exact multiple (trunc == floor in every engine); the
-        // integer-valued double then scales by 2^-30 exactly and rounds
-        // ONCE to float
+        // exact floor-div IN INTEGER ARITHMETIC: subtract the positive mod,
+        // then `div` divides an exact multiple (trunc == floor in every
+        // engine) entirely in longs — a double division here would lose
+        // exactness once |_sq| exceeds 2^53 (~8M unit-range rows per cell).
+        // The long quotient is <= 2^30 for unit-range components, so the
+        // 2^-30 scale is exact in double and rounds ONCE to float.
         .withColumn("_c",
-          ((col("_sq") - posMod) / col("_n") / lit((1L << 30).toDouble))
-            .cast("float"))
+          (expr("(_sq - ((_sq % _n + _n) % _n)) div _n").cast("double")
+            / lit((1L << 30).toDouble)).cast("float"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("_p"), col("_c")))),
           x => x.getField("_c")).as("cvec"))

@@ -185,8 +185,29 @@ object Scale {
     * should be bucketed/quantized into the z-window first (the spec's
     * locality assertion is exactly this contract). */
   def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
-                    nFiles: Int): Unit = {
+                    nFiles: Int, validate: Boolean = true): Unit = {
     require(!df.columns.contains("_z"), "writeZOrdered reserves column _z")
+    // zSpread masks each key to its low 21 bits, so a negative or wider key
+    // would ALIAS into another z-window and silently destroy the clustering
+    // contract (reads stay correct — prunedRead re-applies the predicate —
+    // but locality is gone). Enforce the documented [0, 2^21) domain with
+    // one cheap min/max agg before paying the layout rewrite; keys wider
+    // than 21 bits should be bucketed/quantized first. `validate = false`
+    // opts out when the caller has already proven the domain.
+    if (validate) {
+      val r = df.agg(min(col(keyA)).cast("long"), max(col(keyA)).cast("long"),
+        min(col(keyB)).cast("long"), max(col(keyB)).cast("long")).head()
+      if (!r.isNullAt(0)) {
+        val lim = 1L << 21
+        Seq((keyA, r.getLong(0), r.getLong(1)), (keyB, r.getLong(2), r.getLong(3)))
+          .foreach { case (k, lo, hi) =>
+            require(lo >= 0 && hi < lim,
+              s"writeZOrdered key $k spans [$lo, $hi] outside [0, 2^21): values " +
+                "would alias in the Morton window — bucket/quantize the key first " +
+                "(or pass validate = false if aliasing is intended)")
+          }
+      }
+    }
     df.withColumn("_z", zOrderValue(col(keyA), col(keyB)))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

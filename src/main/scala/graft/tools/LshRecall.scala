@@ -8,7 +8,9 @@ object LshRecall {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ext.Dedup
-    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // fixture dir as args(0) so the shipped jar isn't pinned to one box
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
     // ground truth in LSH's OWN measure: 5-char-shingle-set Jaccard
     val sets = d.select(col("doc_id"), expr(
       "array_distinct(transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))").as("toks"))

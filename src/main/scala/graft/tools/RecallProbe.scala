@@ -14,7 +14,9 @@ object RecallProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.ext.Similarity
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // fixture dir as args(0) so the shipped jar isn't pinned to one box
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val q = emb.filter(col("vec_id") < 8)
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -55,6 +55,26 @@ class ExtSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("minhash"), s"signature recomputed: $plan")
   }
 
+  test("contaminationFraction: null-text docs report 0 grams and NULL frac") {
+    val train = Seq((1L, Option("shared grams right here now")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val bench = Seq((10L, "shared grams right here today")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFraction(train, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    // doc 1: grams {shared grams right, grams right here, right here now},
+    // two shared with the bench split
+    assert(out(1L) == ((3L, 2L, Some(2.0 / 3))), out.toString)
+    // doc 2 (null text): 0 grams, 0 shared, UNDEFINED (null) fraction —
+    // not the -1/-0.0 a bare size(NULL) would leak
+    assert(out(2L) == ((0L, 0L, None)), out.toString)
+    // and the reserved-name contract fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationFraction(train.withColumnRenamed("doc_id", "g"),
+        bench, "text", "g", 3)
+    }
+  }
+
   test("applyDedup keeps cluster keepers and unpaired docs, drops other members") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "lonely"))
       .toDF("doc_id", "text")

@@ -187,6 +187,26 @@ class ScaleSpec extends SparkSpec {
       "single-key layout should leave the second key unclustered")
   }
 
+  test("writeZOrdered validates the 21-bit key domain before rewriting") {
+    // negative (and >= 2^21) keys alias under zSpread's 21-bit mask — the
+    // write must fail loudly instead of silently destroying clustering
+    val bad = spark.range(0, 10).select((col("id") - 5).as("kx"), col("id").as("ky"))
+    val dir = java.nio.file.Files.createTempDirectory("zbad").toString
+    val e = intercept[IllegalArgumentException] {
+      Scale.writeZOrdered(bad, dir, "kx", "ky", 2)
+    }
+    assert(e.getMessage.contains("2^21"), e.getMessage)
+    val wide = spark.range(0, 10).select(
+      (col("id") + (1L << 21)).as("kx"), col("id").as("ky"))
+    intercept[IllegalArgumentException] {
+      Scale.writeZOrdered(wide, dir, "kx", "ky", 2)
+    }
+    // explicit opt-out still writes (reads stay correct — prunedRead
+    // re-applies the exact predicate — only locality degrades)
+    Scale.writeZOrdered(bad, dir, "kx", "ky", 2, validate = false)
+    assert(spark.read.parquet(dir).count() == 10)
+  }
+
   test("manifest-driven pruned read skips files on clustered layouts, equals the full scan") {
     val n = 4096L
     val df = spark.range(0, n).select(col("id").as("k"), (col("id") % 64).as("v"))
