@@ -332,9 +332,11 @@ object Similarity {
     * corpus movement) against the broadcast (cid, cvec) table, each
     * candidate scores via the native Q30 dot, and a groupBy argmax keeps
     * the best cell. Plan size is INDEPENDENT of the centroid count
-    * (PlanSpec pins this); the single shuffle is the argmax aggregation,
-    * whose map-side partial collapses the ×nCentroids fan-out back to one
-    * row per corpus row before the exchange.
+    * (PlanSpec pins this); the shuffles are the argmax aggregation —
+    * (id, long) pairs only, its map-side partial collapsing the
+    * ×nCentroids fan-out back to one row per corpus row before the
+    * exchange — and the id-keyed join that puts the winning cid back on
+    * the corpus row.
     *
     * Determinism: the score is the exact Q30 long (engine-portable) and
     * ties take the LOWEST cid via max over struct(score, −cid) — the same
@@ -342,10 +344,19 @@ object Similarity {
     * the max and an oracle's row_number use, so the two paths agree
     * bit-for-bit and the assignment is oracle-replayable.
     *
-    * Preconditions: `idCol` unique per row (the argmax groups by every
-    * corpus column, so full-duplicate rows would collapse); corpus
-    * columns must all be groupable (no maps). Output = corpus columns
-    * + `cid`, same contract as [[ivfAssign]]. */
+    * The argmax groups by `idCol` ALONE and aggregates the packed long —
+    * the exchange before it carries (id, long) pairs with an O(1) hash per
+    * candidate row, never the vector or any payload column (grouping by
+    * the full row would re-hash the `array<float>` once per centroid:
+    * O(k·dim) hashing per corpus row, and would drag every payload column
+    * into the grouping key). The winning `cid` then joins back to the
+    * corpus BY ID — one id-keyed shuffle of the corpus, the same payload
+    * bytes the all-column grouping used to push through its exchange, now
+    * keyed by an 8-byte id instead of the whole row.
+    *
+    * Preconditions: `idCol` unique AND non-null per row (the argmax keys
+    * on it, and the cid join-back would drop null ids). Output = corpus
+    * columns + `cid`, same contract as [[ivfAssign]]. */
   /** Max representable centroid id on the join-assignment path: (score,
     * cid) pack into ONE long — score in the high bits, (MaxJoinCid − cid)
     * in the low [[CidBits]] — so the argmax is a plain `max(long)`: a
@@ -390,19 +401,24 @@ object Similarity {
     require(clashes.isEmpty,
       s"ivfAssignJoin reserves internal column names ${internal.mkString(", ")}; " +
         s"rename input columns: ${clashes.mkString(", ")}")
-    val keyCols = corpus.columns.toSeq
     // pack (score, cid) into one long: score·2^20 + (MaxJoinCid − cid) is
     // monotone in score, breaks score ties toward the LOWEST cid, and its
     // low 20 bits recover the cid regardless of the score's sign
     val packed = quantizedDotQ30Long(col(vecCol), col("_c_vec")) *
       lit(1L << CidBits) + (lit(MaxJoinCid) - col("_c_cid")).cast("long")
-    centroidFanout(corpus, centroids, vecCol)
-      .select(keyCols.map(col) :+ packed.as("_c_s"): _*)
-      .groupBy(keyCols.map(col): _*)
+    // argmax on the (id, vec) projection only: the agg buffer is ONE long,
+    // so the aggregation stays a HashAggregate (primitive buffer) and its
+    // exchange carries (id, long) pairs keyed by the id alone
+    val cids = centroidFanout(corpus.select(col(idCol), col(vecCol)),
+        centroids, vecCol)
+      .select(col(idCol), packed.as("_c_s"))
+      .groupBy(col(idCol))
       .agg(max(col("_c_s")).as("_c_m"))
-      .select(keyCols.map(col) :+
+      .select(col(idCol),
         (lit(MaxJoinCid.toLong) - col("_c_m").bitwiseAND(lit(MaxJoinCid.toLong)))
-          .cast("int").as("cid"): _*)
+          .cast("int").as("cid"))
+    corpus.join(cids, Seq(idCol))
+      .select(corpus.columns.map(col) :+ col("cid"): _*)
   }
 
   /** Spherical k-means trainer in EXACT arithmetic — produces the
@@ -422,11 +438,11 @@ object Similarity {
     * Cosine-argmax assignment + mean update without renormalization is
     * the spherical-k-means variant embedding pipelines run (SemDeDup
     * clusters with it); empty cells drop (standard Lloyd behavior).
-    * Scale shape per iteration: one broadcast join (no corpus shuffle
-    * for SCORING — the ×k candidate fan-out collapses map-side to one
-    * row per corpus row before the argmax exchange, which therefore
-    * moves the corpus exactly once), then two narrow shuffles of
-    * (cid, dim) longs for the update. The returned centroid plan is
+    * Scale shape per iteration: one broadcast join for scoring (the ×k
+    * candidate fan-out collapses map-side to one row per corpus row, and
+    * the argmax exchange carries (id, long) pairs only), one id-keyed
+    * join that moves the corpus vectors exactly once to meet their cids,
+    * then two narrow shuffles of (cid, dim) longs for the update. The returned centroid plan is
     * lazy and grows per
     * iteration (`iters` is small in the SemDeDup/IVF regime); pass
     * `stagePerIteration = true` to write each round's centroids to a

@@ -213,7 +213,22 @@ class PlanSpec extends SparkSpec {
     val p64 = tree(assigned(64))
     // the centroid side broadcasts; the corpus is never shuffled for scoring
     assert(p16.contains("BroadcastHashJoin"), p16)
-    assert(!p16.contains("SortMergeJoin") && !p16.contains("CartesianProduct"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+    // the argmax groups by the ID ALONE with a single-long buffer: the
+    // grouping key must never drag the vector (O(k·dim) hashing per corpus
+    // row) or any payload column through the exchange, and the primitive
+    // buffer must keep it a HashAggregate (a struct/array buffer demotes
+    // to SortAggregate, which would sort the ×k fan-out)
+    assert(!p16.contains("SortAggregate"), p16)
+    p16.linesIterator.filter(_.contains("HashAggregate")).foreach { l =>
+      assert(l.contains("vec_id") && !l.contains("embedding") && !l.contains("_c_vec"),
+        s"argmax must key on the id only: $l")
+    }
+    // the cid join-back keys on the 8-byte id, never a vector column
+    p16.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("vec_id") && !l.contains("embedding"),
+        s"join-back must key on the id: $l")
+    }
     // centroid count is DATA, not plan: 4× the centroids, identical plan tree
     assert(p16.linesIterator.size == p64.linesIterator.size,
       s"plan must not grow with the centroid count:\n--16--\n$p16\n--64--\n$p64")
@@ -224,16 +239,32 @@ class PlanSpec extends SparkSpec {
       s"64-centroid assignment must spread further ($cells16 vs $cells64 cells)")
   }
 
-  test("x35 k-means: all three assignment passes are broadcast fan-outs, corpus never shuffle-joined") {
+  test("x35 k-means: all three scoring fan-outs are broadcast; shuffle joins key on the id only") {
     // seed pass plans as the BHJ on the non-foldable zero key; trained
     // passes may simplify to a condition-free BNLJ over the broadcast
     // centroid aggregate — same execution shape; what must NEVER appear
-    // is a shuffled join or a cartesian of two unshuffled sides
+    // is a cartesian, or a shuffle join keyed on anything but the 8-byte
+    // id (the cid join-back is the one permitted corpus shuffle — it moves
+    // the vectors exactly once per pass, keyed by id)
     val p = tree(q("x35_kmeans_train"))
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    val joins = p.linesIterator.count(l =>
-      l.contains("BroadcastHashJoin") || l.contains("BroadcastNestedLoopJoin"))
-    assert(joins == 3, s"expected 3 broadcast assignment passes:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // three scoring passes, each the packed-Q30 projection over a centroid
+    // fan-out; every join in the plan is either one of those broadcast
+    // fan-outs or an id-keyed cid join-back — 6 total, none shuffled on a
+    // vector (the join-back may itself broadcast at small stats)
+    val scorings = p.linesIterator.count(l =>
+      l.contains("dot_q30") && l.contains("_c_vec"))
+    assert(scorings == 3, s"expected 3 scoring projections:\n$p")
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.size == 6, s"3 fan-outs + 3 cid join-backs:\n$p")
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("vec_id") && !l.contains("embedding") && !l.contains("cvec"),
+        s"shuffle join must key on the id: $l")
+    }
+    // every argmax keys on the id alone — never the vector
+    p.linesIterator.filter(l => l.contains("HashAggregate") && l.contains("_c_s"))
+      .foreach { l => assert(!l.contains("embedding") && !l.contains("cvec"),
+        s"argmax must key on the id only: $l") }
   }
 
   test("x30 semdedup: within-cell equi-join only — no cartesian/nested-loop pairing") {
