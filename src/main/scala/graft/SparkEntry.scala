@@ -1140,6 +1140,22 @@ object SparkEntry {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(100)
     }),
+    "x38b_bpe_train" -> ((s, dir) => {
+      // the BPE merge LOOP (x38 is one pair-count step; this is the
+      // trainer): three rounds of count-top-pair → apply-merge → re-count
+      // with the deterministic (n desc, a, b) tie-break. Round r's counts
+      // run over the corpus AFTER round r-1's merge — merged tokens appear
+      // as pair members — so the three-row merge table hash-checks the
+      // whole loop, application step included (the oracle unrolls the
+      // rounds with the same double-space literal-replace). Construction
+      // runs one TakeOrdered top-1 job per round (bounded: one row each);
+      // the returned frame is the trained artifact a tokenizer ships.
+      val merges = graft.ext.TextStats.bpeTrain(
+        t(s, dir, "documents").select(col("text")), "text", 3)
+      s.createDataFrame(merges)
+        .select(col("merge_rank").cast("long").as("merge_rank"),
+          col("a"), col("b"), col("n"))
+    }),
     "x34_vocab_freq" -> ((s, dir) =>
       // vocabulary building: corpus-wide token frequency + document
       // frequency, deterministic top-100 by (count desc, token asc).
@@ -2406,6 +2422,42 @@ object SparkEntry {
                      WHERE text IS NOT NULL AND trim(text) <> ''))
          GROUP BY pair
          ORDER BY n DESC, pair LIMIT 100""",
+    // x38b: the three BPE rounds unrolled — each round re-counts pairs over
+    // the PREVIOUS round's merged corpus, picks the (n DESC, a, b) top pair,
+    // and applies it with the same double-space literal-replace trick the
+    // Spark side uses (replace() is leftmost-non-overlapping in both
+    // engines, so greedy BPE application agrees byte-for-byte; chr(1) is
+    // TextStats.bpeTrain's default sep)
+    "x38b_bpe_train" -> {
+      def pairs(src: String) =
+        s"""SELECT u.a AS a, u.b AS b, COUNT(*) AS n FROM (
+              SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                i -> {'a': s[i], 'b': s[i+1]})) AS u
+              FROM (SELECT string_split(t, ' ') AS s FROM $src))
+            GROUP BY 1, 2"""
+      def merged(src: String, m: String) =
+        s"""SELECT trim(replace(replace(
+              ' ' || replace(t, ' ', '  ') || ' ',
+              (SELECT ' ' || a || '  ' || b || ' ' FROM $m),
+              (SELECT ' ' || a || chr(1) || b || ' ' FROM $m)),
+            '  ', ' ')) AS t FROM $src"""
+      s"""WITH t0 AS (
+            SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+            FROM documents
+            WHERE text IS NOT NULL
+              AND trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''),
+          p1 AS (${pairs("t0")}),
+          m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+          t1 AS (${merged("t0", "m1")}),
+          p2 AS (${pairs("t1")}),
+          m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+          t2 AS (${merged("t1", "m2")}),
+          p3 AS (${pairs("t2")}),
+          m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+          SELECT CAST(1 AS BIGINT) AS merge_rank, a, b, CAST(n AS BIGINT) AS n FROM m1
+          UNION ALL SELECT 2, a, b, n FROM m2
+          UNION ALL SELECT 3, a, b, n FROM m3"""
+    },
     // x34: same \s+ split (Java and RE2 agree on ASCII \s), empty tokens
     // dropped, total order (n desc, tok asc) makes the LIMIT boundary
     // engine-portable

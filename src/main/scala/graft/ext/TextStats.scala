@@ -1,7 +1,12 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+/** One row of a BPE merge table: at `merge_rank` the pair (a, b) — the
+  * corpus's most frequent adjacent token pair at that round, `n`
+  * occurrences — merged into a single token. */
+case class BpeMerge(merge_rank: Int, a: String, b: String, n: Long)
 
 /** Text-analysis operators for training-data curation: token counting,
   * quality scoring, language-ID heuristics, document fingerprinting.
@@ -142,6 +147,105 @@ object TextStats {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       ((z ^ (z >>> 31)) >>> 34) - (1L << 29)
     }
+
+  // ───────────────────────── BPE merge training ─────────────────────────
+
+  /** Canonical whitespace form for the BPE rounds: runs of whitespace
+    * collapse to ONE space, ends trimmed — so tokens are exactly the
+    * space-separated fields and the literal-replace merge step (see
+    * [[bpeApplyMerge]]) can reason about boundaries. */
+  def bpeNormalize(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** One BPE-training round's statistic: adjacent-token pair counts over a
+    * [[bpeNormalize]]d text column, as (a, b, n) rows. Same scale shape as
+    * the x34/x38 vocabulary passes: the pair stream is built with
+    * slice/arrays_zip/explode (stays inside whole-stage codegen — a
+    * transform() lambda would drop the stage to interpreted HOF eval), and
+    * the count is ONE shuffle on the pair key whose map-side partials
+    * absorb the Zipf head; a top-1 with orderBy(n desc, a, b).limit(1)
+    * runs as TakeOrdered (per-partition heap + driver merge), never a
+    * global sort — PlanSpec pins both. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col("_bpe_toks")
+    df.filter(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(split(col(textCol), " ").as("_bpe_toks"))
+      .select(explode(arrays_zip(
+        slice(t0, lit(1), size(t0) - 1),
+        slice(t0, lit(2), size(t0) - 1))).as("_bpe_pq"))
+      .select(col("_bpe_pq.0").as("a"), col("_bpe_pq.1").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+  }
+
+  /** Apply ONE merge (a, b) → a+sep+b to a [[bpeNormalize]]d text column:
+    * greedy LEFTMOST NON-OVERLAPPING occurrences, the standard BPE
+    * application rule ("b b b" under merge (b,b) → "b·b b"). A pure
+    * projection — zero shuffle — built from literal replace() only, so the
+    * identical steps replay in ANSI SQL (no regex, no lookarounds, which
+    * RE2-based engines lack):
+    *  1. double every inter-token space and pad the ends — each token is
+    *     now flanked by its OWN space on both sides;
+    *  2. replace " a  b " with " a·b " — the literal scan is
+    *     left-to-right non-overlapping, and the doubled boundaries make
+    *     token identity exact (no partial-token matches) while adjacent
+    *     occurrences keep a space to match on;
+    *  3. collapse the double spaces back and trim.
+    * `sep` must not occur inside corpus tokens (tie-breaks and later
+    * rounds would conflate pre-existing text with merged tokens). */
+  def bpeApplyMerge(text: Column, a: String, b: String, sep: String): Column = {
+    val doubled = concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+    val merged = replace(doubled,
+      lit(" " + a + "  " + b + " "), lit(" " + a + sep + b + " "))
+    trim(replace(merged, lit("  "), lit(" ")))
+  }
+
+  /** Iterative BPE merge trainer — the loop that turns the x38 pair-count
+    * step into an actual tokenizer-training capability (the same way
+    * Similarity.kMeansTrain closes the Lloyd loop over the assignment
+    * step). Per round: count adjacent pairs ([[bpePairCounts]] — one
+    * pair-key shuffle), take the most frequent pair with the DETERMINISTIC
+    * tie-break (count desc, a asc, b asc — a TakeOrdered top-1, one bounded
+    * row to the driver), apply it everywhere ([[bpeApplyMerge]] — a pure
+    * projection), and re-count. Exact counts, no sampling; every round
+    * replays bit-for-bit in ANSI SQL (the x38b oracle unrolls the rounds),
+    * so even the training loop is hash-checked cross-engine.
+    *
+    * Returns the merge table — rank, pair, count at merge time — which IS
+    * the trained artifact a BPE tokenizer ships. Rounds after the corpus
+    * runs out of adjacent pairs stop early (short table).
+    *
+    * Scale: each round is one job over a lazy plan that re-derives the
+    * current corpus from `nMerges`-deep replace chains; plans grow
+    * linearly with the round count, so for deep runs (real tokenizers do
+    * tens of thousands of merges) pass `stagePerIteration = true` to stage
+    * each round's corpus to a unique temp parquet (JVM-exit cleanup, the
+    * kMeansTrain/stageSignatures contract) — constant plan size, one text
+    * pass per round. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               sep: String = "\u0001",
+               stagePerIteration: Boolean = false): Seq[BpeMerge] = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    var cur = df.select(bpeNormalize(col(textCol)).as("_bpe_t"))
+      .filter(col("_bpe_t") =!= "")
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = bpePairCounts(cur, "_bpe_t")
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(rank, a, b, n)
+        cur = cur.select(bpeApplyMerge(col("_bpe_t"), a, b, sep).as("_bpe_t"))
+        if (stagePerIteration)
+          cur = spark.read.parquet(Dedup.stageSignatures(cur))
+        rank += 1
+      }
+    }
+    merges.result()
+  }
 
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:

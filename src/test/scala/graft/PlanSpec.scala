@@ -174,6 +174,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bpe round: one pair-key shuffle + TakeOrdered top-1; the merge apply is a pure projection") {
+    import org.apache.spark.sql.functions.col
+    val norm = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.ext.TextStats.bpeNormalize(col("text")).as("t"))
+      .filter(col("t") =!= "")
+    // the per-round statistic: exactly one exchange (the pair-key count),
+    // and the top-1 runs as TakeOrdered — never a global/range sort of the
+    // pair vocabulary
+    val top = graft.ext.TextStats.bpePairCounts(norm, "t")
+      .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+    val p = tree(top)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    // the application step costs no shuffle at all
+    val applied = norm.select(graft.ext.TextStats.bpeApplyMerge(
+      col("t"), "the", "of", "\u0001").as("t"))
+    assert(!tree(applied).contains("Exchange"),
+      s"merge apply must stay a projection: ${tree(applied)}")
+  }
+
   test("x37 capstone pipeline: id-keyed joins only — no cartesian/nested-loop stage wiring") {
     val p = tree(q("x37_pretrain_build"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

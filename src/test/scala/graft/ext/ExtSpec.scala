@@ -55,6 +55,46 @@ class ExtSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("minhash"), s"signature recomputed: $plan")
   }
 
+  test("bpeTrain: three hand-checked rounds — merged tokens feed later pairs") {
+    val S = "\u0001"
+    val corpus = Seq("a b a b c", "a b c d").toDF("text")
+    val merges = TextStats.bpeTrain(corpus, "text", 3)
+      .map(m => (m.merge_rank, m.a, m.b, m.n))
+    // r1: (a,b) x3; r2: corpus is "a·b a·b c" / "a·b c d" -> (a·b,c) x2;
+    // r3: all pairs count 1, tie-break (a asc, b asc) picks (a·b, a·b·c)
+    assert(merges == Seq(
+      (1, "a", "b", 3L),
+      (2, s"a${S}b", "c", 2L),
+      (3, s"a${S}b", s"a${S}b${S}c", 1L)), merges.toString)
+  }
+
+  test("bpeApplyMerge is greedy leftmost non-overlapping (the BPE rule)") {
+    val S = "\u0001"
+    val df = Seq("b b b", "b b", "x b b y", "ba b b", "b").toDF("text")
+    val out = df.select(TextStats.bpeApplyMerge(
+      TextStats.bpeNormalize(col("text")), "b", "b", S).as("t"))
+      .as[String].collect().toSeq
+    // "b b b" -> first two merge, third survives; partial-token "ba" never
+    // matches; a 1-token doc is untouched
+    assert(out == Seq(s"b${S}b b", s"b${S}b", s"x b${S}b y", s"ba b${S}b", "b"), out)
+    // and the trainer sees the merged token as a unit next round
+    val m = TextStats.bpeTrain(Seq("b b b", "b b").toDF("text"), "text", 2)
+      .map(x => (x.merge_rank, x.a, x.b, x.n))
+    assert(m == Seq((1, "b", "b", 3L), (2, s"b${S}b", "b", 1L)), m.toString)
+  }
+
+  test("bpeTrain stops early when the corpus runs out of pairs; staging path agrees") {
+    assert(TextStats.bpeTrain(Seq("x").toDF("text"), "text", 3).isEmpty)
+    // a corpus with exactly one mergeable round
+    assert(TextStats.bpeTrain(Seq("p q", "r").toDF("text"), "text", 5)
+      .map(m => (m.a, m.b, m.n)) == Seq(("p", "q", 1L)))
+    // stagePerIteration writes each round's corpus to parquet but must not
+    // change the result
+    val corpus = Seq("a b a b c", "a b c d").toDF("text")
+    assert(TextStats.bpeTrain(corpus, "text", 3, stagePerIteration = true) ==
+      TextStats.bpeTrain(corpus, "text", 3))
+  }
+
   test("contaminationFraction: null-text docs report 0 grams and NULL frac") {
     val train = Seq((1L, Option("shared grams right here now")),
       (2L, None: Option[String])).toDF("doc_id", "text")
