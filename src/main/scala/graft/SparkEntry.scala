@@ -861,6 +861,29 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"),
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
+    "s9_ivf_pruned_topk" -> ((s, dir) => {
+      // the IVF LAYOUT lifecycle through the driver gate (the s8 z-order
+      // precedent): assign the corpus to the first-64 centroids, write it
+      // partitionBy(cid) to a unique session temp dir (CONSTRUCTION-TIME
+      // side effect, JVM-exit cleanup), then answer x6b's exact top-k FROM
+      // the layout — the probe read folds the probed cells into an IN
+      // filter on the partition column, so the file index statically
+      // prunes to nProbe cells per query before any task launches
+      // (PlanSpec pins the pruned partition count). Pruning must be
+      // invisible to the RESULT: the oracle is x6b's, verbatim.
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.ivfAssignJoin(
+        emb.select(col("vec_id"), col("embedding")), centroids,
+        "vec_id", "embedding")
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_ivf_layout_")
+      Similarity.writeIvfPartitioned(assigned, ldir)
+      Similarity.ivfTopKPartitioned(ldir, centroids,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5, 2)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
+    }),
     "x15_rhp_neardup" -> ((s, dir) =>
       // embedding near-dup via random-hyperplane LSH buckets (scale path).
       // Oracle-checkable: the seeded plane matrix is emitted verbatim into
@@ -1231,8 +1254,13 @@ object SparkEntry {
     }.mkString(", ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops. s9 answers
+    * x6b's exact query from the cid-partitioned layout — partition pruning
+    * must be invisible to RESULTS, so its oracle is x6b's, verbatim. */
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

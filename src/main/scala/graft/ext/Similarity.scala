@@ -510,21 +510,60 @@ object Similarity {
     val assigned = ivfAssignJoin(corpus.select(col(idCol), col(vecCol)),
       centroids, idCol, vecCol)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    // probe ranking reuses the exact Q30 long as the score (longs ≤ 2^53
-    // are exact doubles, so the cast loses nothing)
+    ivfCandidateTopK(
+      assigned.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cid")),
+      q, probeCells(q, centroids, nProbe), k)
+  }
+
+  /** Per-query probe cells: the nProbe best centroids per q_id, ranked by
+    * the exact Q30 score (longs ≤ 2^53 are exact doubles, so the cast
+    * loses nothing), ties → lowest cid — identical to the oracle's
+    * row_number ranking. Shared by [[ivfTopKJoin]] and
+    * [[ivfTopKPartitioned]]. */
+  private def probeCells(q: DataFrame, centroids: DataFrame,
+                         nProbe: Int): DataFrame = {
     val probeScored = centroidFanout(q, centroids, "q_vec")
       .select(col("q_id"), col("_c_cid").as("n_id"),
         quantizedDotQ30Long(col("q_vec"), col("_c_vec")).cast("double").as("score"))
-    val probes = topKPerQuery(probeScored, nProbe)
+    topKPerQuery(probeScored, nProbe)
       .select(col("q_id"), col("n_id").cast("int").as("cid"))
+  }
+
+  /** Shared candidate-scoring tail: cells join their probing queries
+    * (broadcast — the probe table is |queries|·nProbe rows), exact-Q30
+    * score, bounded per-query top-k. */
+  private def ivfCandidateTopK(cells: DataFrame, q: DataFrame,
+                               probes: DataFrame, k: Int): DataFrame = {
     val qAssigned = q.join(probes, "q_id")
-    val candidates = assigned
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cid"))
+    val candidates = cells
       .join(broadcast(qAssigned), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         quantizedDot(col("q_vec"), col("n_vec")).as("score"))
     topKPerQuery(candidates, k)
+  }
+
+  /** IVF top-k answered FROM the [[writeIvfPartitioned]] layout — the read
+    * path that 100 TB layout exists for. The probed cell set (bounded
+    * driver data: ≤ nProbe·|queries| ints, computed by the same exact-Q30
+    * probe ranking as [[ivfTopKJoin]]) folds into the plan as an IN filter
+    * on the partition column, so the file index drops every other `cid=`
+    * directory BEFORE any task launches: the scan reads nProbe/nCentroids
+    * of the corpus, statically (PlanSpec pins the pruned partition count).
+    * Results are identical to [[ivfTopKJoin]] over the same corpus —
+    * pruning is invisible to answers (s9's oracle is x6b's, verbatim). */
+  def ivfTopKPartitioned(layoutDir: String, centroids: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, nProbe: Int): DataFrame = {
+    val spark = centroids.sparkSession
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probes = probeCells(q, centroids, nProbe)
+    val cids = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val cells = spark.read.parquet(layoutDir)
+      .filter(col("cid").isin(cids.map(Int.box): _*))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        col("cid").cast("int").as("cid"))
+    ivfCandidateTopK(cells, q, probes, k)
   }
 
   /** PQ codebook TRAINED per subspace with [[kMeansTrain]] — closing

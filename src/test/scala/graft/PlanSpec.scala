@@ -160,6 +160,42 @@ class PlanSpec extends SparkSpec {
     assert(probe.count() == assigned.filter(col("cid") === 0).count())
   }
 
+  test("ivfTopKPartitioned statically prunes the layout scan to the probed cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val assigned = graft.ext.Similarity.ivfAssignJoin(emb, cents, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_lifecycle").toString
+    graft.ext.Similarity.writeIvfPartitioned(assigned, path)
+    val nCells = assigned.select(col("cid")).distinct().count()
+    val out = graft.ext.Similarity.ivfTopKPartitioned(path, cents,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3, 2)
+    // the layout scan keeps only the probed cid= directories — static
+    // pruning via the file index, before any task launches (the scan sits
+    // under the AQE root, whose children are hidden from collect)
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scan = root.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("ivf_lifecycle") => f
+    }.getOrElse(fail("no layout scan in the plan"))
+    assert(scan.metadata("PartitionFilters").contains("cid"), scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount <= 4,
+      s"2 queries x nProbe=2 must scan <= 4 of $nCells cells, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    assert(nCells > 4, "fixture must spread wider than the probe set")
+    // and pruning is invisible to results: identical to the in-memory path
+    def rows(df: DataFrame) = df.selectExpr("q_id", "n_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ref = graft.ext.Similarity.ivfTopKJoin(emb, cents,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3, 2)
+    assert(rows(out) == rows(ref))
+  }
+
   test("x32 mixture sampling is a pure scan-level filter: zero exchanges") {
     val p = tree(q("x32_mixture_sample"))
     assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")
