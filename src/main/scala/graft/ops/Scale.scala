@@ -245,9 +245,10 @@ object Scale {
     * index a lake maintains (Delta/Iceberg manifests, Hive stats). Built
     * Spark-first: a single column-pruned scan of ONLY the key columns,
     * aggregated by `input_file_name()` — fully distributed, type-generic,
-    * no driver-side footer walking. (At extreme file counts a
-    * footer-only pass is cheaper still; this data-scan form reads just
-    * the key columns and is layout-agnostic.) Pairs with
+    * no driver-side footer walking. At extreme file counts the
+    * footer-only sibling [[parquetManifestFooters]] is O(files) instead
+    * of O(rows); this data-scan form reads just the key columns and is
+    * layout/type-agnostic. Pairs with
     * [[writeRangeSorted]]/[[writeZOrdered]]: on those layouts each
     * file's [min,max] windows are tight/disjoint, which is what makes
     * [[prunedRead]] skip. */
@@ -257,6 +258,75 @@ object Scale {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         keys.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))): _*)
+
+  /** FOOTER-STATS manifest — the O(files) form of [[parquetManifest]]:
+    * the same (file, n_rows, min/max per key) rows, but read from each
+    * file's parquet FOOTER row-group statistics instead of scanning data.
+    * The data-scan form reads every row of the key columns — fine while
+    * layouts are small, O(corpus) at 100 TB, where a manifest build that
+    * reads a few KB of footer per file is the only sane regime. The file
+    * list is bounded driver metadata (every file index holds it); the
+    * footer reads distribute over it via mapPartitions, so no single node
+    * walks a million footers serially.
+    *
+    * Contract: keys must be top-level INT32/INT64-backed columns (int,
+    * long, date) — min/max surface as longs, the comparisons
+    * [[prunedRead]] makes. Row groups with no non-null key value
+    * contribute nothing (an all-null file gets NULL min/max, matching the
+    * data-scan form). Directory-partitioned layouts keep their partition
+    * values in PATHS, not footers — use the partition pruning those
+    * layouts already get ([[writeIvfPartitioned]]) instead. */
+  def parquetManifestFooters(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, keys: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => fs.makeQualified(s.getPath).toUri.toString).toSeq.sorted
+    // ship the Hadoop conf to the executors (Configuration is a Writable)
+    val sconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val ks = keys // avoid closing over `this`
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .mapPartitions { it =>
+        val conf = sconf.value
+        it.map { p =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(p), conf))
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            val nRows = blocks.map(_.getRowCount).sum
+            def asLong(v: Any): Long = v match {
+              case l: java.lang.Long => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case other => throw new IllegalArgumentException(
+                s"footer manifest keys must be int/long-backed, got " +
+                  s"${other.getClass.getSimpleName}")
+            }
+            val bounds = ks.flatMap { k =>
+              val stats = blocks.flatMap(_.getColumns.asScala
+                .find(_.getPath.toDotString == k))
+                .map(_.getStatistics)
+                .filter(s => s != null && s.hasNonNullValue)
+              if (stats.isEmpty) Seq(null, null)
+              else Seq(stats.map(s => asLong(s.genericGetMin)).min: java.lang.Long,
+                stats.map(s => asLong(s.genericGetMax)).max: java.lang.Long)
+            }
+            org.apache.spark.sql.Row.fromSeq(p +: nRows +: bounds)
+          } finally reader.close()
+        }
+      }
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("file", StringType) +: StructField("n_rows", LongType) +:
+        keys.flatMap(k => Seq(StructField(s"min_$k", LongType),
+          StructField(s"max_$k", LongType))))
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Manifest-driven pruned read: keep only files whose [min,max] window
     * can overlap [lo, hi], read just those, and re-apply the exact

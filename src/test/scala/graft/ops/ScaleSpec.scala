@@ -187,6 +187,35 @@ class ScaleSpec extends SparkSpec {
       "single-key layout should leave the second key unclustered")
   }
 
+  test("footer-stats manifest agrees with the data-scan manifest; pruning unchanged") {
+    import org.apache.spark.sql.DataFrame
+    val n = 4096L
+    // single-key range layout
+    val df = spark.range(0, n).select(col("id").as("k"), (col("id") % 64).as("v"))
+    val rdir = java.nio.file.Files.createTempDirectory("manifest_f").toString
+    Scale.writeRangeSorted(df, rdir, "k", 16)
+    def canon(m: DataFrame, keys: Seq[String]) = m.select(
+        (regexp_extract(col("file"), "([^/]+)$", 1).as("f") +:
+          col("n_rows").cast("long").as("n_rows") +:
+          keys.flatMap(k => Seq(col(s"min_$k").cast("long"), col(s"max_$k").cast("long")))): _*)
+      .orderBy("f").collect().toSeq
+    val footer = Scale.parquetManifestFooters(spark, rdir, Seq("k"))
+    assert(canon(footer, Seq("k")) == canon(Scale.parquetManifest(spark, rdir, Seq("k")), Seq("k")))
+    // the footer manifest drives the same file-skip decision prunedRead makes
+    val picked = footer.filter(!(col("max_k") < 100 || col("min_k") > 150))
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(picked.size <= 2, s"footer manifest must skip: ${picked.size} of 16")
+    assert(Scale.prunedRead(spark, rdir, "k", 100, 150).inputFiles
+      .map(_.split('/').last).toSet == picked.map(_.split('/').last))
+    // two-key agreement on a Z-order layout (int-backed second key too)
+    val grid = spark.range(0, n).select(
+      (col("id") % 64).as("kx"), (col("id") / 64).cast("int").as("ky"))
+    val zdir = java.nio.file.Files.createTempDirectory("manifest_fz").toString
+    Scale.writeZOrdered(grid, zdir, "kx", "ky", 16)
+    assert(canon(Scale.parquetManifestFooters(spark, zdir, Seq("kx", "ky")), Seq("kx", "ky")) ==
+      canon(Scale.parquetManifest(spark, zdir, Seq("kx", "ky")), Seq("kx", "ky")))
+  }
+
   test("writeZOrdered validates the 21-bit key domain before rewriting") {
     // negative (and >= 2^21) keys alias under zSpread's 21-bit mask — the
     // write must fail loudly instead of silently destroying clustering
