@@ -652,13 +652,62 @@ object Similarity {
     * silent task that runs for hours — the guard counts rows per cell
     * (one cheap agg over (cid) longs) and fails loudly, naming the hot
     * cells, before any pair is generated. */
+  /** Assignment + norm in the SemDeDup stage-row format (id, vec, cid,
+    * nrm): what [[semDedupClusters]] pairs on, and the row an incremental
+    * ingest stages to parquet (see [[semDedupPairsIncremental]]). */
+  def semDedupAssign(emb: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String): DataFrame =
+    ivfAssignJoin(emb.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cid"),
+        sqrt(quantizedDot(col(vecCol), col(vecCol))).as("nrm"))
+
+  /** Incremental SemDeDup pairing — the embedding face of
+    * [[graft.ext.Dedup.lshCandidatePairsIncremental]], for a GROWING
+    * corpus: everything already ingested lives in a parquet stage of
+    * [[semDedupAssign]] rows; a NEW batch assigns against the SAME staged
+    * centroids (broadcast fan-out — one ivfAssignJoin over the batch
+    * only) and pairs within cells against the stage plus within itself.
+    * Returns (a_id, b_id, cos) with at least one side in the new batch,
+    * `a_id < b_id`, `cos >= minCos` — exact Q30 cosine, so the streamed
+    * and batch flows agree bit-for-bit (EventStreamsSpec pins streamed ≡
+    * sequential-incremental ≡ one-shot batch).
+    *
+    * 100 TB posture: corpus VECTORS are never rescanned or shuffled — the
+    * stage's cell rows stream map-side into a broadcast hash join against
+    * the (small) new-batch side; `broadcastNew = false` falls back to a
+    * cid-keyed shuffle join for backfill batches too big to broadcast.
+    * Append the new batch's [[semDedupAssign]] rows to the stage AFTER
+    * calling (or the batch would pair with itself twice). */
+  def semDedupPairsIncremental(newEmb: DataFrame, stagePath: String,
+                               centroids: DataFrame, idCol: String,
+                               vecCol: String, minCos: Double,
+                               broadcastNew: Boolean = true): DataFrame = {
+    val spark = newEmb.sparkSession
+    val fresh = semDedupAssign(newEmb, centroids, idCol, vecCol)
+    val stage = spark.read.parquet(stagePath)
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"), col(vecCol).as(s"${p}_vec"),
+        col("cid").as(s"${p}_cid"), col("nrm").as(s"${p}_nrm"))
+    val newSide = if (broadcastNew) broadcast(side(fresh, "b")) else side(fresh, "b")
+    // stage × new: the stage streams map-side; ids are disjoint by the
+    // append-after contract, so each cross pair appears exactly once
+    val crossPairs = side(stage, "a")
+      .join(newSide, col("a_cid") === col("b_cid") && col("a_id") =!= col("b_id"))
+    // new × new: within-batch pairs, ordered once
+    val selfPairs = side(fresh, "a")
+      .join(newSide, col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+    crossPairs.unionByName(selfPairs)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        (quantizedDot(col("a_vec"), col("b_vec"))
+          / (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   def semDedupClusters(emb: DataFrame, centroids: DataFrame, idCol: String,
                        vecCol: String, minCos: Double,
                        maxCellSize: Long = 0L): DataFrame = {
-    val sig = ivfAssignJoin(emb.select(col(idCol), col(vecCol)),
-        centroids, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("cid"),
-        sqrt(quantizedDot(col(vecCol), col(vecCol))).as("nrm"))
+    val sig = semDedupAssign(emb, centroids, idCol, vecCol)
     if (maxCellSize > 0L) {
       val hot = sig.groupBy(col("cid")).agg(count(lit(1)).as("n"))
         .filter(col("n") > maxCellSize)

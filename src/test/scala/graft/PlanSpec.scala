@@ -128,6 +128,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("incremental semdedup pairing broadcasts the new batch; staged corpus never shuffles on cells") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val stage = graft.ext.Dedup.stageSignatures(
+      graft.ext.Similarity.semDedupAssign(emb.filter(col("vec_id") % 5 =!= 0),
+        cents, "vec_id", "embedding"))
+    val pairs = graft.ext.Similarity.semDedupPairsIncremental(
+      emb.filter(col("vec_id") % 5 === 0), stage, cents,
+      "vec_id", "embedding", 0.3)
+    val p = tree(pairs)
+    assert(!p.contains("CartesianProduct"), p)
+    // the cell-pair joins broadcast the (small) new batch — the staged
+    // corpus streams map-side; any shuffle join in the plan may key only
+    // on the 8-byte id (the assignment's cid join-back), never on cells
+    // or vectors
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cid")), p)
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("vec_id") && !l.contains("cid") && !l.contains("embedding"),
+        s"staged corpus must not shuffle for pairing: $l")
+    }
+  }
+
   test("s6 bucketed join + same-key agg runs with zero shuffle exchanges") {
     // both sides bucketed on the join key; merge join AND the groupBy on
     // that key read the co-located buckets — no Exchange anywhere

@@ -308,6 +308,71 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == expected, s"streamed $streamed vs batch $expected")
   }
 
+  test("streaming embedding ingest: micro-batches assign against staged centroids, pair, append") {
+    // continuous-ingest SEMANTIC dedup — the embedding face of the LSH
+    // ingest test above (x26 mold): the assigned-corpus stage is the only
+    // state; an arriving batch runs ivfAssignJoin against the STAGED
+    // centroids, pairs within cells against the stage (new side
+    // broadcast), emits (a_id, b_id, cos), and appends its assigned rows.
+    // Contracts pinned here: streamed micro-batches ≡ the sequential
+    // batch-incremental flow ≡ the ONE-SHOT batch pairing of the final
+    // corpus (cross-batch union of base-base + incremental pairs), all
+    // bit-for-bit (exact Q30 cosines).
+    import graft.ext.{Dedup, Similarity}
+    def emb(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    val centroids = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cid", "cvec")
+    val base = emb(1L -> Seq(1f, 0.01f), 2L -> Seq(0.99f, 0.05f),
+      3L -> Seq(0.01f, 1f))
+    val b1 = emb(10L -> Seq(0.98f, 0.02f), 11L -> Seq(0.02f, 0.97f))
+    val b2 = emb(20L -> Seq(0.97f, 0.03f))
+    val minCos = 0.9
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedupAssign(df, centroids, "vec_id", "embedding")
+    def inc(df: org.apache.spark.sql.DataFrame, stage: String) =
+      Similarity.semDedupPairsIncremental(df, stage, centroids,
+        "vec_id", "embedding", minCos)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+
+    // expected: the batch-incremental flow, batch by batch
+    val stageExp = Dedup.stageSignatures(assign(base))
+    val p1 = pairSet(inc(b1, stageExp))
+    assign(b1).write.mode("append").parquet(stageExp)
+    val p2 = pairSet(inc(b2, stageExp))
+    val expected = p1 ++ p2
+    assert(p1.map(p => (p._1, p._2)) == Set((1L, 10L), (2L, 10L), (3L, 11L)), p1)
+    assert(p2.map(p => (p._1, p._2)) == Set((1L, 20L), (2L, 20L), (10L, 20L)), p2)
+
+    // one-shot batch pairing of the FINAL corpus over an empty stage must
+    // equal base-base pairs ∪ the incremental pairs — incremental ≡ batch
+    val emptyStage = Dedup.stageSignatures(assign(base.limit(0)))
+    val fullPairs = pairSet(inc(base.unionByName(b1).unionByName(b2), emptyStage))
+    val basePairs = pairSet(inc(base, emptyStage))
+    assert(fullPairs == basePairs ++ expected,
+      s"one-shot $fullPairs vs composed ${basePairs ++ expected}")
+
+    // streamed: the same batches as AvailableNow micro-batches
+    val stage = Dedup.stageSignatures(assign(base))
+    val src = Files.createTempDirectory("embsrc").toString
+    val ckpt = Files.createTempDirectory("embckpt").toString
+    val out = Files.createTempDirectory("embout").resolve("pairs").toString
+    def drain(): Unit = {
+      val q = spark.readStream.schema(b1.schema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          inc(batch.toDF(), stage).write.mode("append").parquet(out)
+          assign(batch.toDF()).write.mode("append").parquet(stage) // AFTER pairing
+        }.start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); drain()
+    b2.write.mode("append").parquet(src); drain()
+
+    val streamed = pairSet(spark.read.parquet(out))
+    assert(streamed == expected, s"streamed $streamed vs batch $expected")
+  }
+
   test("upsert sink exactly-once survives a crash BETWEEN sink write and checkpoint commit") {
     val src = Files.createTempDirectory("csrc").toString
     val sink = Files.createTempDirectory("csink").toString
