@@ -8,69 +8,81 @@ import org.apache.spark.sql.functions._
   * Renders the reference's `processing_summary.txt` layout
   * (run_dbgap_xml_gen_fallback.py:80-161 `write_summary`) from a per-study
   * status frame with columns (study_id, accession_id, status, method,
-  * details). Counters aggregate in ONE distributed pass; only the
-  * per-study detail lines collect to the driver — the frame is metadata
-  * scale (one row per study), like every report the reference writes.
-  * Detail order is (study_id, accession_id) — the reference iterates
-  * pandas insertion order, which is not reproducible; sorting is.
+  * details). The frame is metadata scale (one row per study), like every
+  * report the reference writes, so ONE ceiling-guarded sorted collect
+  * feeds counters and detail sections alike (RenderSpec pins the single
+  * job). Detail order is (study_id, accession_id) — the reference
+  * iterates pandas insertion order, which is not reproducible; sorting
+  * is.
   */
 object SummaryReport {
 
   def processingSummary(summary: DataFrame, overlapIds: Seq[String],
                         maxDetailRows: Long = DocumentSink.MaxSingleFileRows): String = {
-    // the per-study detail sections collect to the driver — ceiling-guard
-    // like every other metadata-scale sink (DocumentSink.writeSingleCsv,
-    // KgxAssembler, BdcIngest's overlap list) so data-scale misuse raises
-    // instead of OOMing the driver
-    val n = summary.limit(DocumentSink.probeLimit(maxDetailRows)).count()
-    require(n <= maxDetailRows,
+    // ONE guarded collect: the frame is metadata-scale (one row per
+    // study), so the counters AND every per-study detail section bucket
+    // driver-side out of a single pass — the old shape ran five actions
+    // (probe count, counter agg, three filtered collects) over the same
+    // rows. takeOrdered is a single map+reduce job (a Sort+Limit above
+    // the TakeOrdered fallback threshold would split into shuffle stages)
+    // whose per-partition heaps bound both executor and driver memory at
+    // ceiling+1 rows; a longer result than the ceiling ⇔ the frame
+    // exceeds it. The ordering compares UTF-8 bytes, nulls first — the
+    // engine's own string collation, so detail order is unchanged.
+    def cmp(x: String, y: String): Int =
+      if (x eq null) { if (y eq null) 0 else -1 }
+      else if (y eq null) 1
+      else java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val byStudyAcc = new Ordering[(String, String, String, String, String)] {
+      def compare(a: (String, String, String, String, String),
+                  b: (String, String, String, String, String)): Int = {
+        val c = cmp(a._1, b._1)
+        if (c != 0) c else cmp(a._2, b._2)
+      }
+    }
+    val rows = summary
+      .select(col("study_id").cast("string"), col("accession_id").cast("string"),
+        col("status").cast("string"), col("method").cast("string"),
+        col("details").cast("string"))
+      .rdd
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+      .takeOrdered(DocumentSink.probeLimit(maxDetailRows))(byStudyAcc)
+    require(rows.length <= maxDetailRows,
       s"processingSummary collects per-study detail rows to the driver " +
         s"(> $maxDetailRows rows); the summary frame should be metadata-scale")
-    val c = summary.agg(
-      count(lit(1)).as("total"),
-      coalesce(sum(when(col("status") === "SUCCESS", 1).otherwise(0)), lit(0)).as("ok"),
-      coalesce(sum(when(col("method") === "dbGaP_download", 1).otherwise(0)), lit(0)).as("dl"),
-      coalesce(sum(when(col("method") === "XML_generator", 1).otherwise(0)), lit(0)).as("gen"),
-      coalesce(sum(when(col("status") === "FAILED", 1).otherwise(0)), lit(0)).as("fail"))
-      .head()
-
-    def details(cond: org.apache.spark.sql.Column): Seq[(String, String, String)] =
-      summary.filter(cond)
-        .select(col("study_id").cast("string"), col("accession_id").cast("string"),
-          col("details").cast("string"))
-        .orderBy("study_id", "accession_id")
-        .collect().toSeq
-        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
 
     val lines = scala.collection.mutable.ArrayBuffer(
       "\n" + "=" * 50,
       "PROCESSING SUMMARY",
       "=" * 50,
-      s"Total studies processed: ${c.getAs[Long]("total")}",
-      s"Successfully processed: ${c.getAs[Long]("ok")}",
-      s"  - Downloaded from dbGaP: ${c.getAs[Long]("dl")}",
-      s"  - Generated with XML fallback: ${c.getAs[Long]("gen")}",
-      s"Failed: ${c.getAs[Long]("fail")}",
+      s"Total studies processed: ${rows.length}",
+      s"Successfully processed: ${rows.count(_._3 == "SUCCESS")}",
+      s"  - Downloaded from dbGaP: ${rows.count(_._4 == "dbGaP_download")}",
+      s"  - Generated with XML fallback: ${rows.count(_._4 == "XML_generator")}",
+      s"Failed: ${rows.count(_._3 == "FAILED")}",
       s"Studies in both Gen3 and PicSure: ${overlapIds.size}")
 
-    val dl = details(col("method") === "dbGaP_download")
+    val dl = rows.filter(_._4 == "dbGaP_download")
     if (dl.nonEmpty) {
       lines += "\nStudies downloaded from dbGaP:"
-      dl.zipWithIndex.foreach { case ((s, a, d), i) =>
+      dl.zipWithIndex.foreach { case ((s, a, _, _, d), i) =>
         lines += s"  ${i + 1}. $s ($a) - $d"
       }
     }
-    val gen = details(col("method") === "XML_generator")
+    val gen = rows.filter(_._4 == "XML_generator")
     if (gen.nonEmpty) {
       lines += "\nStudies generated using XML generator:"
-      gen.zipWithIndex.foreach { case ((s, a, d), i) =>
+      gen.zipWithIndex.foreach { case ((s, a, _, _, d), i) =>
         lines += s"  ${i + 1}. $s ($a) - Reason: $d"
       }
     }
-    val failed = details(col("status") === "FAILED")
+    val failed = rows.filter(_._3 == "FAILED")
     if (failed.nonEmpty) {
       lines += "\nFailed studies:"
-      failed.zipWithIndex.foreach { case ((s, a, d), i) =>
+      failed.zipWithIndex.foreach { case ((s, a, _, _, d), i) =>
         lines += s"  ${i + 1}. $s ($a) - Reason: $d"
       }
     }

@@ -19,6 +19,35 @@ class RenderSpec extends SparkSpec {
     assert(xml.contains("""<Study accession="phs000007.v32">"""))
   }
 
+  test("processingSummary renders all sections from ONE job (single guarded collect)") {
+    val summary = Seq(
+      ("phs2", "phs2.v1", "SUCCESS", "dbGaP_download", "ok"),
+      ("phs1", "phs1.v3", "SUCCESS", "XML_generator", "fallback meta"),
+      ("phs3", "phs3.v2", "FAILED", "none", "missing Consent"))
+      .toDF("study_id", "accession_id", "status", "method", "details")
+    val group = s"summary_once_${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "processingSummary job count")
+    val txt = try SummaryReport.processingSummary(summary, Seq("phs2"))
+    finally spark.sparkContext.clearJobGroup()
+    // status-store updates are async — poll briefly for the job count
+    def jobs(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.currentTimeMillis() + 10000
+    while (jobs() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    Thread.sleep(200) // let any EXTRA job surface before asserting the ceiling
+    assert(jobs() == 1, s"expected one collect job, saw ${jobs()}")
+    // the one pass still feeds counters AND every bucketed section
+    assert(txt.contains("Total studies processed: 3"))
+    assert(txt.contains("Successfully processed: 2"))
+    assert(txt.contains("  - Downloaded from dbGaP: 1"))
+    assert(txt.contains("  - Generated with XML fallback: 1"))
+    assert(txt.contains("Failed: 1"))
+    assert(txt.contains("\nStudies downloaded from dbGaP:\n  1. phs2 (phs2.v1) - ok"))
+    assert(txt.contains(
+      "\nStudies generated using XML generator:\n  1. phs1 (phs1.v3) - Reason: fallback meta"))
+    assert(txt.contains("\nFailed studies:\n  1. phs3 (phs3.v2) - Reason: missing Consent"))
+    assert(txt.contains("Studies in both Gen3 and PicSure: 1"))
+  }
+
   test("processingSummary ceiling-guards the detail collect (last unguarded driver collect)") {
     val summary = (1 to 50).map(i =>
         (s"phs$i", s"phs$i.v1", "SUCCESS", "dbGaP_download", "ok"))
