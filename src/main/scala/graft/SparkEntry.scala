@@ -1179,6 +1179,22 @@ object SparkEntry {
         .select(col("merge_rank").cast("long").as("merge_rank"),
           col("a"), col("b"), col("n"))
     }),
+    "x38c_bpe_encode" -> ((s, dir) => {
+      // the tokenizer's INFERENCE path: apply the x38b-trained merge
+      // table back over the corpus (bpeEncode — a pure 3-replace codegen
+      // projection) and hash the segmented text. Encoding the training
+      // corpus reproduces training's final state, so the oracle reads the
+      // unrolled rounds' t3 directly — train and encode must agree
+      // byte-for-byte on every document.
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.TextStats.bpeTrain(d.select(col("text")), "text", 3)
+      d.filter(col("text").isNotNull &&
+          trim(regexp_replace(col("text"), "\\s+", " ")) =!= "")
+        .select(col("doc_id"),
+          graft.ext.TextStats.bpeEncode(col("text"), merges).as("_enc"))
+        .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
+          size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
+    }),
     "x34_vocab_freq" -> ((s, dir) =>
       // vocabulary building: corpus-wide token frequency + document
       // frequency, deterministic top-100 by (count desc, token asc).
@@ -1227,6 +1243,42 @@ object SparkEntry {
       "        FROM documents),\n" +
       s"      hits AS (SELECT doc_id,\n               $hitCols FROM toksed)\n" +
       s"      SELECT doc_id, CASE $cases\n                ELSE 'und' END AS lang_pred FROM hits"
+  }
+
+  /** The three BPE training rounds as a shared DuckDB CTE chain: t0 is
+    * the normalized corpus (doc_id carried), p_r/m_r each round's pair
+    * counts and (n DESC, a, b) top pair, t_r the corpus after applying
+    * merge r with the same double-space literal-replace trick the Spark
+    * side uses (replace() is leftmost-non-overlapping in both engines, so
+    * greedy BPE application agrees byte-for-byte; chr(1) is
+    * TextStats.bpeTrain's default sep). */
+  private def bpeRoundsCtes: String = {
+    def pairs(src: String) =
+      s"""SELECT u.a AS a, u.b AS b, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+              i -> {'a': s[i], 'b': s[i+1]})) AS u
+            FROM (SELECT string_split(t, ' ') AS s FROM $src))
+          GROUP BY 1, 2"""
+    def merged(src: String, m: String) =
+      s"""SELECT doc_id, trim(replace(replace(
+            ' ' || replace(t, ' ', '  ') || ' ',
+            (SELECT ' ' || a || '  ' || b || ' ' FROM $m),
+            (SELECT ' ' || a || chr(1) || b || ' ' FROM $m)),
+          '  ', ' ')) AS t FROM $src"""
+    s"""t0 AS (
+          SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+          FROM documents
+          WHERE text IS NOT NULL
+            AND trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''),
+        p1 AS (${pairs("t0")}),
+        m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        t1 AS (${merged("t0", "m1")}),
+        p2 AS (${pairs("t1")}),
+        m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        t2 AS (${merged("t1", "m2")}),
+        p3 AS (${pairs("t2")}),
+        m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+        t3 AS (${merged("t2", "m3")})"""
   }
 
   /** SQL form of Similarity.signBucketSignature(·, 10): bit i = [dim i > 0]
@@ -2450,42 +2502,19 @@ object SparkEntry {
                      WHERE text IS NOT NULL AND trim(text) <> ''))
          GROUP BY pair
          ORDER BY n DESC, pair LIMIT 100""",
-    // x38b: the three BPE rounds unrolled — each round re-counts pairs over
-    // the PREVIOUS round's merged corpus, picks the (n DESC, a, b) top pair,
-    // and applies it with the same double-space literal-replace trick the
-    // Spark side uses (replace() is leftmost-non-overlapping in both
-    // engines, so greedy BPE application agrees byte-for-byte; chr(1) is
-    // TextStats.bpeTrain's default sep)
-    "x38b_bpe_train" -> {
-      def pairs(src: String) =
-        s"""SELECT u.a AS a, u.b AS b, COUNT(*) AS n FROM (
-              SELECT unnest(list_transform(generate_series(1, len(s) - 1),
-                i -> {'a': s[i], 'b': s[i+1]})) AS u
-              FROM (SELECT string_split(t, ' ') AS s FROM $src))
-            GROUP BY 1, 2"""
-      def merged(src: String, m: String) =
-        s"""SELECT trim(replace(replace(
-              ' ' || replace(t, ' ', '  ') || ' ',
-              (SELECT ' ' || a || '  ' || b || ' ' FROM $m),
-              (SELECT ' ' || a || chr(1) || b || ' ' FROM $m)),
-            '  ', ' ')) AS t FROM $src"""
-      s"""WITH t0 AS (
-            SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-            FROM documents
-            WHERE text IS NOT NULL
-              AND trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''),
-          p1 AS (${pairs("t0")}),
-          m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
-          t1 AS (${merged("t0", "m1")}),
-          p2 AS (${pairs("t1")}),
-          m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
-          t2 AS (${merged("t1", "m2")}),
-          p3 AS (${pairs("t2")}),
-          m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+    // x38b/x38c: the three BPE rounds unrolled through the shared CTE
+    // chain (bpeRoundsCtes) — x38b reads the merge table off m1..m3,
+    // x38c the final encoded corpus off t3
+    "x38b_bpe_train" ->
+      s"""WITH $bpeRoundsCtes
           SELECT CAST(1 AS BIGINT) AS merge_rank, a, b, CAST(n AS BIGINT) AS n FROM m1
           UNION ALL SELECT 2, a, b, n FROM m2
-          UNION ALL SELECT 3, a, b, n FROM m3"""
-    },
+          UNION ALL SELECT 3, a, b, n FROM m3""",
+    "x38c_bpe_encode" ->
+      s"""WITH $bpeRoundsCtes
+          SELECT doc_id, md5(t) AS seg_md5,
+                 CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+          FROM t3""",
     // x34: same \s+ split (Java and RE2 agree on ASCII \s), empty tokens
     // dropped, total order (n desc, tok asc) makes the LIMIT boundary
     // engine-portable

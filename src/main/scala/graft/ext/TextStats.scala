@@ -247,6 +247,24 @@ object TextStats {
     merges.result()
   }
 
+  /** Apply a TRAINED merge table in rank order — the inference half of
+    * the tokenizer ([[bpeTrain]] is the training half): normalized text
+    * goes through each merge's greedy [[bpeApplyMerge]], rank by rank,
+    * exactly the transformation training applied — so encoding the
+    * training corpus reproduces training's final state (x38c pins this
+    * through the oracle gate). Pure projection: a chain of |merges|
+    * literal replaces, zero shuffle, one codegen stage. */
+  def bpeEncode(text: Column, merges: Seq[BpeMerge],
+                sep: String = "\u0001"): Column =
+    merges.sortBy(_.merge_rank).foldLeft(bpeNormalize(text))(
+      (t, m) => bpeApplyMerge(t, m.a, m.b, sep))
+
+  /** The BPE-segmented token array: [[bpeEncode]] split on the single
+    * (normalized) space. */
+  def bpeSegment(text: Column, merges: Seq[BpeMerge],
+                 sep: String = "\u0001"): Column =
+    split(bpeEncode(text, merges, sep), " ")
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

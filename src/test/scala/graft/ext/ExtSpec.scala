@@ -83,6 +83,23 @@ class ExtSpec extends SparkSpec {
     assert(m == Seq((1, "b", "b", 3L), (2, s"b${S}b", "b", 1L)), m.toString)
   }
 
+  test("bpeSegment applies a trained table in rank order; token counts shrink by merge mass") {
+    val S = "\u0001"
+    val corpus = Seq("a b a b c", "a b c d").toDF("text")
+    val merges = TextStats.bpeTrain(corpus, "text", 3)
+    val seg = corpus.select(TextStats.bpeSegment(col("text"), merges).as("s"))
+      .as[Seq[String]].collect().toSeq
+    // doc 1 collapses to ONE token via m3=(a·b, a·b·c); doc 2 to two
+    assert(seg == Seq(Seq(s"a${S}b${S}a${S}b${S}c"), Seq(s"a${S}b${S}c", "d")), seg)
+    // invariant: every merge occurrence removes exactly one token, so
+    // encoded token total = original total − Σ merge counts
+    val before = corpus.select(
+      sum(TextStats.tokenCount(col("text"))).cast("long")).as[Long].head()
+    val after = corpus.select(
+      sum(size(TextStats.bpeSegment(col("text"), merges))).cast("long")).as[Long].head()
+    assert(after == before - merges.map(_.n).sum, s"$before -> $after, $merges")
+  }
+
   test("bpeTrain stops early when the corpus runs out of pairs; staging path agrees") {
     assert(TextStats.bpeTrain(Seq("x").toDF("text"), "text", 3).isEmpty)
     // a corpus with exactly one mergeable round
