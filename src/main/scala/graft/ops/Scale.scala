@@ -339,8 +339,17 @@ object Scale {
     * the domain and nothing prunes (the manifest makes that visible
     * instead of silent). */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 key: String, lo: Long, hi: Long): DataFrame = {
-    val files = parquetManifest(spark, dir, Seq(key))
+                 key: String, lo: Long, hi: Long): DataFrame =
+    prunedReadWith(spark, parquetManifest(spark, dir, Seq(key)), dir, key, lo, hi)
+
+  /** [[prunedRead]] against a PREBUILT manifest — the form a real lake
+    * runs: the manifest (data-scan or [[parquetManifestFooters]]) is
+    * built once per layout write and reused across every read, instead
+    * of rebuilt per query. Same overlap test, same exact re-filter. */
+  def prunedReadWith(spark: org.apache.spark.sql.SparkSession,
+                     manifest: DataFrame, dir: String, key: String,
+                     lo: Long, hi: Long): DataFrame = {
+    val files = manifest
       .filter(!(col(s"max_$key") < lo || col(s"min_$key") > hi))
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))

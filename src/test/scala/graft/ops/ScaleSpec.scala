@@ -207,6 +207,11 @@ class ScaleSpec extends SparkSpec {
     assert(picked.size <= 2, s"footer manifest must skip: ${picked.size} of 16")
     assert(Scale.prunedRead(spark, rdir, "k", 100, 150).inputFiles
       .map(_.split('/').last).toSet == picked.map(_.split('/').last))
+    // and a read THROUGH the prebuilt footer manifest equals the full scan
+    val viaFooter = Scale.prunedReadWith(spark, footer, rdir, "k", 100, 150)
+    assert(viaFooter.inputFiles.length <= 2)
+    val full = spark.read.parquet(rdir).filter(col("k").between(100, 150))
+    assert(viaFooter.exceptAll(full).isEmpty && full.exceptAll(viaFooter).isEmpty)
     // two-key agreement on a Z-order layout (int-backed second key too)
     val grid = spark.range(0, n).select(
       (col("id") % 64).as("kx"), (col("id") / 64).cast("int").as("ky"))
