@@ -488,9 +488,16 @@ object Similarity {
     * index before any task launches (PlanSpec pins `PartitionFilters` and
     * the pruned partition count on a read of this layout). Mirrors the
     * reference's partition-directory routing
-    * (run_dbgap_xml_gen_fallback.py:164-216). */
+    * (run_dbgap_xml_gen_fallback.py:164-216).
+    *
+    * The write hash-repartitions on `cid` first — the standard move for
+    * partitioned writes: without it every input task writes a file into
+    * every cell it touches (tasks × cells tiny files, the small-file
+    * decay [[graft.ops.Scale.compactParquet]] exists to undo); with it
+    * each cell's rows land in one task, so files-per-cell stays ~1. */
   def writeIvfPartitioned(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    assigned.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
 
   private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
     centroids.select(col("cid").cast("int"), col("cvec"))
