@@ -128,6 +128,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("runtime bloom filter injects on the probe side of a selective fact-fact join") {
+    // the 100 TB shape: a big-big shuffle join where one side carries a
+    // selective filter — Catalyst's InjectRuntimeFilter builds a bloom
+    // from the filtered (creation) side and probes it on the other side's
+    // SCAN, dropping non-matching rows before the shuffle. Pin that the
+    // engine keeps this live (thresholds lowered to fire at fixture
+    // scale; the default application-side floor is 10GB) and that the
+    // filter is semantically invisible.
+    import org.apache.spark.sql.functions._
+    def confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(confs(0), "0")
+    spark.conf.set(confs(1), "-1") // broadcast joins don't need runtime filters
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      val p = tree(joined)
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter must inject on the probe side:\n$p")
+      val n = joined.count()
+      spark.conf.set(confs(0), "10GB") // filter off: same result
+      assert(n == li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity"))).count())
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("incremental semdedup pairing broadcasts the new batch; staged corpus never shuffles on cells") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
