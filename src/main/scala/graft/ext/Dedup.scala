@@ -322,7 +322,7 @@ object Dedup {
     // label changes — so one agg over the freshly-cached round compares
     // against the previous round's sum (decimal: overflow-proof under ANSI)
     def labelSum(lbl: DataFrame): java.math.BigDecimal = {
-      val s = lbl.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      val s = lbl.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
     }
     var (labels, labelsRdd) = materialize(

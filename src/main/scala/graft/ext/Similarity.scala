@@ -107,7 +107,7 @@ object Similarity {
     require(nPlanes <= 63, "signature packs into one long")
     val planes = rhpPlanes(dim, nPlanes, seed)
     (0 until nPlanes).map { p =>
-      val plane = array(planes(p).map(lit): _*)
+      val plane = array(planes(p).toSeq.map(lit): _*)
       val q30 = aggregate(
         zip_with(vec, plane,
           (x, w) => floor(x.cast("double") * w * lit(Q30Scale)).cast("long")),
@@ -418,7 +418,7 @@ object Similarity {
         (lit(MaxJoinCid.toLong) - col("_c_m").bitwiseAND(lit(MaxJoinCid.toLong)))
           .cast("int").as("cid"))
     corpus.join(cids, Seq(idCol))
-      .select(corpus.columns.map(col) :+ col("cid"): _*)
+      .select(corpus.columns.toSeq.map(col) :+ col("cid"): _*)
   }
 
   /** Spherical k-means trainer in EXACT arithmetic — produces the
@@ -503,7 +503,7 @@ object Similarity {
     centroids.select(col("cid").cast("int"), col("cvec"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-      .sortBy(_._1)
+      .sortBy(_._1).toSeq
 
   /** [[ivfTopK]] on the DATA-DRIVEN assignment path: corpus cells via
     * [[ivfAssignJoin]], query probe cells via the same broadcast fan-out
@@ -567,7 +567,7 @@ object Similarity {
     val probes = probeCells(q, centroids, nProbe)
     val cids = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
     val cells = spark.read.parquet(layoutDir)
-      .filter(col("cid").isin(cids.map(Int.box): _*))
+      .filter(col("cid").isin(cids.toSeq.map(Int.box): _*))
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         col("cid").cast("int").as("cid"))
     ivfCandidateTopK(cells, q, probes, k)

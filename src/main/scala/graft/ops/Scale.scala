@@ -353,7 +353,7 @@ object Scale {
       .filter(!(col(s"max_$key") < lo || col(s"min_$key") > hi))
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
-    else spark.read.parquet(files: _*)
+    else spark.read.parquet(files.toSeq: _*)
       .filter(col(key) >= lo && col(key) <= hi)
   }
 
@@ -370,7 +370,7 @@ object Scale {
         !(col(s"max_$keyB") < loB || col(s"min_$keyB") > hiB))
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
-    else spark.read.parquet(files: _*)
+    else spark.read.parquet(files.toSeq: _*)
       .filter(col(keyA).between(loA, hiA) && col(keyB).between(loB, hiB))
   }
 

@@ -27,7 +27,7 @@ object X31Bench {
         if (native) TextStats.hashedLinearScoreQ30Fast(col("text"), ws)
         else TextStats.hashedLinearScoreQ30(col("text"), ws)
       val t0 = System.nanoTime()
-      val s = docs.agg(sum(score)).head.getLong(0)
+      val s = docs.agg(sum(score)).head().getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       println(f"RESULT rep=$i native=$native time=$dt%.3f sum=$s")
