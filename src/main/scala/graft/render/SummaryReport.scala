@@ -42,14 +42,21 @@ object SummaryReport {
         if (c != 0) c else cmp(a._2, b._2)
       }
     }
-    val rows = summary
+    val rdd = summary
       .select(col("study_id").cast("string"), col("accession_id").cast("string"),
         col("status").cast("string"), col("method").cast("string"),
         col("details").cast("string"))
       .rdd
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), r.getString(4)))
-      .takeOrdered(DocumentSink.probeLimit(maxDetailRows))(byStudyAcc)
+    // takeOrdered pre-allocates its per-partition heap at the limit, so an
+    // absurd ceiling (probeLimit degrades to Int.MaxValue) must not reach
+    // it — that regime means "no effective ceiling": plain-collect and
+    // sort driver-side instead
+    val limit = DocumentSink.probeLimit(maxDetailRows)
+    val rows =
+      if (limit == Int.MaxValue) rdd.collect().sorted(byStudyAcc)
+      else rdd.takeOrdered(limit)(byStudyAcc)
     require(rows.length <= maxDetailRows,
       s"processingSummary collects per-study detail rows to the driver " +
         s"(> $maxDetailRows rows); the summary frame should be metadata-scale")

@@ -59,6 +59,11 @@ class RenderSpec extends SparkSpec {
     // a ceiling at/above the frame size renders normally
     val txt = SummaryReport.processingSummary(summary, Nil, maxDetailRows = 50L)
     assert(txt.contains("Total studies processed: 50"))
+    // an absurd ceiling (no effective limit) must not pre-allocate a
+    // Int.MaxValue heap — the plain-collect branch renders identically
+    val unbounded = SummaryReport.processingSummary(summary, Nil,
+      maxDetailRows = Long.MaxValue)
+    assert(unbounded == txt)
   }
 
   test("escape handles all five XML special forms") {
