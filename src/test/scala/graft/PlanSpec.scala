@@ -22,6 +22,20 @@ class PlanSpec extends SparkSpec {
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
 
+  test("catalog sweep: no query in the driver contract plans a CartesianProduct") {
+    // the one plan shape with no excuse at 100 TB: a cartesian is always a
+    // bug in this catalog (ANN crossJoins pin a broadcast side and plan as
+    // BroadcastNestedLoopJoin; every block/pair join is an equi-join).
+    // Construction side effects (bucketed tables, layout writes, BPE
+    // training) run as part of building each frame — this is also the one
+    // test that constructs EVERY catalog query, so plan analysis errors
+    // anywhere in the contract surface here instead of at verify time.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = tree(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
   test("entry: all four dimension joins are broadcast hash joins") {
     val p = tree(SparkEntry.entry(spark))
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 4, p)
