@@ -406,10 +406,17 @@ object Similarity {
     // low 20 bits recover the cid regardless of the score's sign
     val packed = quantizedDotQ30Long(col(vecCol), col("_c_vec")) *
       lit(1L << CidBits) + (lit(MaxJoinCid) - col("_c_cid")).cast("long")
+    // a null id would vanish silently in the cid join-back (inner join) —
+    // fail loudly instead, one branch per corpus row (the same in-plan
+    // guard style as centroidFanout's cid range check)
+    val idChecked = when(col(idCol).isNotNull, col(idCol))
+      .otherwise(raise_error(lit(s"ivfAssignJoin requires non-null '$idCol' " +
+        "(the cid join-back would silently drop the row)"))
+        .cast(corpus.schema(idCol).dataType))
     // argmax on the (id, vec) projection only: the agg buffer is ONE long,
     // so the aggregation stays a HashAggregate (primitive buffer) and its
     // exchange carries (id, long) pairs keyed by the id alone
-    val cids = centroidFanout(corpus.select(col(idCol), col(vecCol)),
+    val cids = centroidFanout(corpus.select(idChecked.as(idCol), col(vecCol)),
         centroids, vecCol)
       .select(col(idCol), packed.as("_c_s"))
       .groupBy(col(idCol))

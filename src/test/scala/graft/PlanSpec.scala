@@ -387,7 +387,11 @@ class PlanSpec extends SparkSpec {
     val scorings = p.linesIterator.count(l =>
       l.contains("dot_q30") && l.contains("_c_vec"))
     assert(scorings == 3, s"expected 3 scoring projections:\n$p")
-    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    // count actual join NODES (a bare "Join" substring also matches the
+    // ivfAssignJoin name inside the null-id raise_error message text)
+    val joinNodes = Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin",
+      "SortMergeJoin", "ShuffledHashJoin")
+    val joins = p.linesIterator.filter(l => joinNodes.exists(l.contains)).toSeq
     assert(joins.size == 6, s"3 fan-outs + 3 cid join-backs:\n$p")
     p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
       assert(l.contains("vec_id") && !l.contains("embedding") && !l.contains("cvec"),

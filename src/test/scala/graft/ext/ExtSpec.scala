@@ -112,6 +112,18 @@ class ExtSpec extends SparkSpec {
       TextStats.bpeTrain(corpus, "text", 3))
   }
 
+  test("ivfAssignJoin fails loudly on null ids instead of dropping rows") {
+    val emb = Seq((Option(1L), Seq(1f, 0f)), (None: Option[Long], Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cid", "cvec")
+    val e = intercept[Exception] {
+      Similarity.ivfAssignJoin(emb, cents, "vec_id", "embedding").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("non-null"), msgs(e))
+  }
+
   test("contaminationFraction: null-text docs report 0 grams and NULL frac") {
     val train = Seq((1L, Option("shared grams right here now")),
       (2L, None: Option[String])).toDF("doc_id", "text")

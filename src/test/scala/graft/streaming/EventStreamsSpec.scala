@@ -337,6 +337,10 @@ class EventStreamsSpec extends SparkSpec {
     // expected: the batch-incremental flow, batch by batch
     val stageExp = Dedup.stageSignatures(assign(base))
     val p1 = pairSet(inc(b1, stageExp))
+    // the no-broadcast fallback (backfill batches too big to broadcast)
+    // must find the identical pair set
+    assert(pairSet(Similarity.semDedupPairsIncremental(b1, stageExp, centroids,
+      "vec_id", "embedding", minCos, broadcastNew = false)) == p1)
     assign(b1).write.mode("append").parquet(stageExp)
     val p2 = pairSet(inc(b2, stageExp))
     val expected = p1 ++ p2
