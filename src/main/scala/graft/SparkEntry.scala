@@ -1045,6 +1045,18 @@ object SparkEntry {
             lit("NEW").as("c_mktsegment")))
       Merge.snapshotDiff(oldSnap, curSnap, "c_custkey", Seq("c_mktsegment"))
     }),
+    "x39_token_budget_mix" -> ((s, dir) =>
+      // token-budget mixture — the complement of x32's rate mixture: each
+      // source contributes its BUDGETED TOKEN MASS (how pretrain mixes
+      // are actually specified), taken in salted-hash order with an
+      // exclusive running-total cut; src2's zero budget drops the domain,
+      // unlisted sources take the default. One window shuffle; fully
+      // deterministic, so the oracle replays the same window + CASE cut.
+      graft.ext.Curation.sampleByTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "source", "n_tok",
+        Map("src0" -> 20000L, "src1" -> 5000L, "src2" -> 0L), 1000L)),
     "x19_token_packing" -> ((s, dir) =>
       // training-batch packing: per-lang bins of ~500 whitespace tokens,
       // greedy one-pass assignment by exclusive prefix sum
@@ -2298,6 +2310,18 @@ object SparkEntry {
          FROM oldsnap o FULL OUTER JOIN cursnap c ON o.c_custkey = c.c_custkey
          WHERE o.c_custkey IS NULL OR c.c_custkey IS NULL
             OR o.c_mktsegment IS DISTINCT FROM c.c_mktsegment""",
+    "x39_token_budget_mix" ->
+      """SELECT doc_id, source, n_tok FROM (
+           SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':budget'), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM (SELECT doc_id, source,
+                 CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+                 FROM documents))
+         WHERE cum < CASE source WHEN 'src0' THEN 20000 WHEN 'src1' THEN 5000
+                     WHEN 'src2' THEN 0 ELSE 1000 END""",
     "x19_token_packing" ->
       """SELECT doc_id, lang, n_tok,
            CAST(floor(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id

@@ -91,6 +91,37 @@ object Curation {
     df.filter(draw < rate)
   }
 
+  /** Per-domain TOKEN-BUDGET sampling — the form pretrain mixtures are
+    * actually specified in ("30B tokens of code, 5B of forums"), vs
+    * [[mixtureSample]]'s row rates and [[hashStratifiedSample]]'s k rows.
+    * Rows take a stable salted-hash order within their domain and survive
+    * while the EXCLUSIVE running token total stays under the domain's
+    * budget — each domain contributes its budgeted token mass (the last
+    * survivor may overshoot by less than its own length: the standard
+    * greedy cut), deterministically across runs, engines, and
+    * partitionings. Domains absent from the map take `defaultBudget`;
+    * budget 0 drops the domain entirely. One window shuffle on the domain
+    * key; a hot domain is ONE task here (window, not agg) — at extreme
+    * skew pre-thin with [[mixtureSample]] or chunk with the
+    * [[graft.ops.Scale.saltedRunningSum]] pattern. */
+  def sampleByTokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                          tokenCol: String, budgets: Map[String, Long],
+                          defaultBudget: Long): DataFrame = {
+    require(!df.columns.contains("_cum_tok"),
+      "sampleByTokenBudget reserves column _cum_tok")
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets are token counts: >= 0")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (d, b)) => when(col(domainCol) === d, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":budget"))), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_cum_tok", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("_cum_tok") < budget)
+      .drop("_cum_tok")
+  }
+
   /** Greedy token-budget packing (training-batch assembly): documents in
     * deterministic order per group are assigned to consecutive bins by
     * EXCLUSIVE prefix token count — a document opens a new bin when the

@@ -55,4 +55,31 @@ class CurationSpec extends SparkSpec {
     // prefix sums (exclusive): 0, 300, 600, 900 -> bins 0, 0, 1, 1
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
+
+  test("sampleByTokenBudget: each domain contributes its budgeted token mass") {
+    val df = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), // 120 tokens, budget 80
+      (10L, "b", 100L),                               // budget 0: dropped
+      (20L, "c", 10L),                                // default 50: kept
+      (30L, "d", 70L), (31L, "d", 70L)                // default 50: ONE survives
+    ).toDF("doc_id", "dom", "n_tok")
+    def run() = Curation.sampleByTokenBudget(df, "doc_id", "dom", "n_tok",
+      Map("a" -> 80L, "b" -> 0L), 50L)
+    val got = run().select("doc_id", "dom", "n_tok")
+      .as[(Long, String, Long)].collect().toSet
+    val byDom = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    // exclusive-cum cut: domain a keeps exactly two 40-token docs (= 80,
+    // the budget); zero-budget b vanishes; c fits whole; d's first doc in
+    // hash order overshoots by < its own length, the second is cut
+    assert(byDom == Map("a" -> 80L, "c" -> 10L, "d" -> 70L), byDom.toString)
+    assert(!got.exists(_._2 == "b"))
+    // deterministic: re-running reproduces the sample row-for-row
+    assert(run().select("doc_id").as[Long].collect().toSet ==
+      got.map(_._1))
+    // reserved-column contract
+    intercept[IllegalArgumentException] {
+      Curation.sampleByTokenBudget(df.withColumnRenamed("n_tok", "_cum_tok"),
+        "doc_id", "dom", "_cum_tok", Map(), 1L)
+    }
+  }
 }
