@@ -1045,6 +1045,14 @@ object SparkEntry {
             lit("NEW").as("c_mktsegment")))
       Merge.snapshotDiff(oldSnap, curSnap, "c_custkey", Seq("c_mktsegment"))
     }),
+    "x40_zipf_quality" -> ((s, dir) =>
+      // frequency-based quality scoring against the trained top-1000
+      // vocabulary (x34's consumer): per doc, mean floor(log2 corpus
+      // count) of its tokens — integer-exact via bit length (no
+      // transcendental log), OOV floors to count 1, vocab broadcast so
+      // the token stream never re-shuffles. One vocab shuffle +
+      // TakeOrdered + per-doc agg.
+      graft.ext.TextStats.zipfQuality(t(s, dir, "documents"), "text", "doc_id")),
     "x39_token_budget_mix" -> ((s, dir) =>
       // token-budget mixture — the complement of x32's rate mixture: each
       // source contributes its BUDGETED TOKEN MASS (how pretrain mixes
@@ -2310,6 +2318,19 @@ object SparkEntry {
          FROM oldsnap o FULL OUTER JOIN cursnap c ON o.c_custkey = c.c_custkey
          WHERE o.c_custkey IS NULL OR c.c_custkey IS NULL
             OR o.c_mktsegment IS DISTINCT FROM c.c_mktsegment""",
+    "x40_zipf_quality" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+         vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok2
+                   GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1000)
+         SELECT doc_id, COUNT(*) AS n_tok,
+                CAST(SUM(length(bin(COALESCE(v.cnt, 1))) - 1) AS BIGINT) AS bits,
+                CAST(SUM(length(bin(COALESCE(v.cnt, 1))) - 1) AS DOUBLE) / COUNT(*)
+                  AS zipf_score
+         FROM tok2 LEFT JOIN vocab v USING (tok)
+         GROUP BY doc_id""",
     "x39_token_budget_mix" ->
       """SELECT doc_id, source, n_tok FROM (
            SELECT doc_id, source, n_tok,

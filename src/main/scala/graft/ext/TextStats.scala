@@ -148,6 +148,34 @@ object TextStats {
       ((z ^ (z >>> 31)) >>> 34) - (1L << 29)
     }
 
+  /** Zipf log-frequency quality score — the frequency-based document
+    * scorer (the CCNet-style "LM" signal: common-token prose scores high,
+    * gibberish and rare-token soup score low) in an INTEGER-EXACT
+    * cross-engine form: each token contributes floor(log₂ corpus-count) =
+    * length(bin(count))−1 bits (bit length is exact in any engine — no
+    * transcendental log whose last ulp differs across libms), and the doc
+    * score is bits/n_tok, a single IEEE division of two exact integers.
+    *
+    * Scale shape: the vocabulary is ONE token-key shuffle with a
+    * TakeOrdered top-`vocabSize` cut (deterministic boundary: count desc,
+    * token asc), then BROADCASTS against the exploded token stream —
+    * out-of-vocabulary tokens floor to count 1 (0 bits), so the stream
+    * never shuffles on the token key. Returns (id, n_tok, bits,
+    * zipf_score); docs with no tokens are absent. */
+  def zipfQuality(df: DataFrame, textCol: String, idCol: String,
+                  vocabSize: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("_zq_tok"))
+      .filter(col("_zq_tok") =!= "")
+    val vocab = toks.groupBy(col("_zq_tok")).agg(count(lit(1)).as("_zq_cnt"))
+      .orderBy(col("_zq_cnt").desc, col("_zq_tok")).limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("_zq_tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(length(bin(coalesce(col("_zq_cnt"), lit(1L)))) - 1)
+          .cast("long").as("bits"))
+      .withColumn("zipf_score", col("bits").cast("double") / col("n_tok"))
+  }
+
   // ───────────────────────── BPE merge training ─────────────────────────
 
   /** Canonical whitespace form for the BPE rounds: runs of whitespace

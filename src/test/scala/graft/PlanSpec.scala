@@ -276,6 +276,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")
   }
 
+  test("x40 zipf quality: vocab TakeOrdered + broadcast; token stream never shuffle-joins") {
+    val p = tree(q("x40_zipf_quality"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the exploded token stream must meet the vocab via broadcast: $p")
+  }
+
   test("x34/x38 token-stat top-100s plan as TakeOrdered, never a global sort") {
     Seq("x34_vocab_freq", "x38_bpe_pairs").foreach { name =>
       val p = tree(q(name))

@@ -112,6 +112,21 @@ class ExtSpec extends SparkSpec {
       TextStats.bpeTrain(corpus, "text", 3))
   }
 
+  test("zipfQuality: integer-exact bit scores, OOV floors to zero bits") {
+    val d = Seq((1L, "the the the"), (2L, "the rare"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextStats.zipfQuality(d, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // counts: the=4, rare=1 → bits: bin(4)='100' → 2; bin(1)='1' → 0
+    assert(out(1L) == ((1L, 3L, 6L, 2.0)), out.toString)
+    assert(out(2L) == ((2L, 2L, 2L, 1.0)), out.toString)
+    assert(!out.contains(3L)) // token-less docs are absent
+    // vocabSize cuts deterministically; out-of-vocab floors to count 1
+    val cut = TextStats.zipfQuality(d, "text", "doc_id", vocabSize = 1)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(cut(2L) == ((2L, 2L, 2L, 1.0))) // 'rare' OOV: same 0 bits
+  }
+
   test("ivfAssignJoin fails loudly on null ids instead of dropping rows") {
     val emb = Seq((Option(1L), Seq(1f, 0f)), (None: Option[Long], Seq(0f, 1f)))
       .toDF("vec_id", "embedding")
