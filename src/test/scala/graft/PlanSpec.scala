@@ -276,6 +276,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")
   }
 
+  test("x39 token-budget mix costs exactly one exchange (the domain window)") {
+    val p = tree(q("x39_token_budget_mix"))
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"budget cut is a window filter, not a join: $p")
+  }
+
   test("x40 zipf quality: vocab TakeOrdered + broadcast; token stream never shuffle-joins") {
     val p = tree(q("x40_zipf_quality"))
     assert(p.contains("TakeOrderedAndProject"), p)
