@@ -631,7 +631,7 @@ object SparkEntry {
       // split tree, which an interpreted HOF would re-run per line (the
       // wordNgrams lesson — see Dedup.wordNgrams)
       val toks = col("_toks")
-      val lined = d.withColumn("_toks", split(trim(col("text")), "\\s+"))
+      val lined = d.withColumn("_toks", split(TextStats.wsTrim(col("text")), "\\s+"))
         .withColumn("text",
           concat_ws("\n", transform(
             sequence(lit(0), ((size(toks) - 1) / 3).cast("int")),
@@ -1174,8 +1174,8 @@ object SparkEntry {
       // (CollapseProject keeps non-cheap multi-referenced aliases apart)
       val t0 = col("t")
       t(s, dir, "documents")
-        .filter(col("text").isNotNull && trim(col("text")) =!= "")
-        .select(split(trim(col("text")), "\\s+").as("t"))
+        .filter(col("text").isNotNull && TextStats.wsTrim(col("text")) =!= "")
+        .select(split(TextStats.wsTrim(col("text")), "\\s+").as("t"))
         .select(explode(arrays_zip(
           slice(t0, lit(1), size(t0) - 1),
           slice(t0, lit(2), size(t0) - 1))).as("pq"))
@@ -1259,7 +1259,7 @@ object SparkEntry {
       s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
     }.mkString("\n                ")
     "WITH toksed AS (SELECT doc_id,\n" +
-      "        list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks\n" +
+      "        list_distinct(string_split_regex(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS toks\n" +
       "        FROM documents),\n" +
       s"      hits AS (SELECT doc_id,\n               $hitCols FROM toksed)\n" +
       s"      SELECT doc_id, CASE $cases\n                ELSE 'und' END AS lang_pred FROM hits"
@@ -1756,7 +1756,7 @@ object SparkEntry {
          FROM documents d
          WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""",
     "x27_line_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
                     FROM documents),
            lines AS (
              SELECT doc_id, i AS pos,
@@ -1807,7 +1807,7 @@ object SparkEntry {
         s"(CASE WHEN b$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE 0 END)")
         .mkString(" + ")
       s"""WITH tok AS (
-           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
            FROM documents),
          th AS (
            SELECT doc_id,
@@ -1833,7 +1833,7 @@ object SparkEntry {
            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
          sets AS (SELECT doc_id,
-             list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents),
+             list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS toks FROM documents),
          ver AS (SELECT c.a_id, c.b_id,
              CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
                / len(list_distinct(list_concat(sa.toks, sb.toks))) AS jaccard
@@ -1860,7 +1860,7 @@ object SparkEntry {
            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
          sets AS (SELECT doc_id,
-             list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+             list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS toks FROM documents)
          SELECT c.a_id, c.b_id,
            CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_common,
            CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
@@ -1884,7 +1884,7 @@ object SparkEntry {
            SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, greatest(len(t) - 1, 1)),
                     i -> concat_ws(' ', t[i], t[i+1]))) AS gs
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
                  FROM documents))
          SELECT c.a_id, c.b_id,
            CAST(len(list_intersect(sa.gs, sb.gs)) AS BIGINT) AS n_common,
@@ -2132,7 +2132,7 @@ object SparkEntry {
          FROM reach GROUP BY id""",
     "x4_jaccard_pairs" ->
       """WITH sets AS (SELECT doc_id, lang, source,
-             list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents)
+             list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS toks FROM documents)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -2175,7 +2175,7 @@ object SparkEntry {
                     generate_series(1, greatest(len(t) - 1, 1)),
                     i -> concat_ws(' ', t[i], t[i+1]))) AS gs
            FROM (SELECT doc_id, lang, source,
-                 string_split_regex(trim(text), '\s+') AS t FROM documents))
+                 string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t FROM documents))
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
            CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
@@ -2209,10 +2209,10 @@ object SparkEntry {
          FROM w""",
     "x25_gopher_quality" ->
       """SELECT doc_id,
-         1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\. ')))
+         1.0 - CAST(len(list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\. ')))
                     AS DOUBLE)
-             / len(string_split_regex(trim(text), '\. ')) AS dup_sent_frac,
-         CAST(list_max(list_transform(string_split_regex(trim(text), '\s+'),
+             / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\. ')) AS dup_sent_frac,
+         CAST(list_max(list_transform(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
                                       t -> length(t))) AS BIGINT) AS max_tok_len
          FROM documents""",
     "x23_decontamination" ->
@@ -2220,7 +2220,7 @@ object SparkEntry {
            SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, greatest(len(t) - 2, 1)),
                     i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
                  FROM documents)),
          bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 10),
          tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 10)
@@ -2235,13 +2235,13 @@ object SparkEntry {
            SELECT doc_id, unnest(list_distinct(list_transform(
                     generate_series(1, greatest(len(t) - 2, 1)),
                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
                  FROM documents WHERE doc_id >= 10)),
          bg AS (
            SELECT DISTINCT unnest(list_distinct(list_transform(
                     generate_series(1, greatest(len(t) - 2, 1)),
                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
-           FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+           FROM (SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
                  FROM documents WHERE doc_id < 10))
          SELECT doc_id, COUNT(*) AS n_grams,
                 CAST(COUNT(b.g) AS BIGINT) AS n_shared,
@@ -2338,8 +2338,8 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':budget'), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
            FROM (SELECT doc_id, source,
-                 CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+                 CAST(CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                      ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tok
                  FROM documents))
          WHERE cum < CASE source WHEN 'src0' THEN 20000 WHEN 'src1' THEN 5000
                      WHEN 'src2' THEN 0 ELSE 1000 END""",
@@ -2349,8 +2349,8 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
          FROM (
            SELECT doc_id, lang,
-             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+             CAST(CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tok
            FROM documents)""",
     // x37: the five oracle-proven stage bodies (x16 curation CASE, x28
     // sig/cand/CC, x23 gram split, x32 draw, x19 packing window) chained
@@ -2360,14 +2360,14 @@ object SparkEntry {
          stats AS (
            SELECT doc_id, lang, text,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tok,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
                        AS DOUBLE) / length(text) END AS punct_ratio,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
-                  ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                       / len(string_split_regex(trim(text), '\s+')) END AS mean_tl
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS mean_tl
            FROM documents),
          cur AS (SELECT doc_id FROM stats
                  WHERE dup_rank = 1 AND n_tok >= 20 AND lang IN ('de','en','es','zh')
@@ -2399,13 +2399,13 @@ object SparkEntry {
          tgrams AS (SELECT doc_id, list_distinct(list_transform(
                       generate_series(1, greatest(len(t) - 4, 1)),
                       i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gs
-                    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
                           FROM train)),
          bgrams AS (SELECT DISTINCT unnest(gs) AS g FROM (
                       SELECT list_distinct(list_transform(
                         generate_series(1, greatest(len(t) - 4, 1)),
                         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gs
-                      FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+                      FROM (SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
                             FROM documents WHERE doc_id < 10))),
          contam AS (SELECT DISTINCT tg.doc_id
                     FROM (SELECT doc_id, unnest(gs) AS g FROM tgrams) tg
@@ -2433,21 +2433,21 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
          FROM (
            SELECT doc_id, lang,
-             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+             CAST(CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tok
            FROM mixed)""",
     "x16_curation" ->
       """WITH stats AS (
            SELECT doc_id, lang, text,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tok,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
                        AS DOUBLE) / length(text) END AS punct_ratio,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
-                  ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                       / len(string_split_regex(trim(text), '\s+')) END AS mean_tl
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS mean_tl
            FROM documents)
          SELECT doc_id,
            CASE WHEN dup_rank > 1 THEN 'dup'
@@ -2460,14 +2460,14 @@ object SparkEntry {
       """WITH stats AS (
            SELECT doc_id, lang, text,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tok,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
                        AS DOUBLE) / length(text) END AS punct_ratio,
-             CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
-                  ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                       / len(string_split_regex(trim(text), '\s+')) END AS mean_tl
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS mean_tl
            FROM documents),
            curated AS (
              SELECT CASE WHEN dup_rank > 1 THEN 'dup'
@@ -2503,24 +2503,24 @@ object SparkEntry {
     "x36_lang_id" -> langIdSql,
     "x8_lang_stats" ->
       """SELECT doc_id,
-         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-         CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
-              ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                   / len(string_split_regex(trim(text), '\s+')) END AS mean_tok_len
+         CAST(CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens,
+         CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS mean_tok_len
          FROM documents""",
     "x9_quality" ->
       """SELECT doc_id,
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
                    AS DOUBLE) / length(text) END AS punct_ratio,
-         CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+         CAST(len(list_intersect(list_distinct(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')),
               ['the','a','of','and','or'])) AS BIGINT) AS stop_hits
          FROM documents""",
     "x31_quality_model" ->
       s"""WITH w AS (SELECT * FROM (VALUES ${qualityWeightsSql(64)}) AS t(b, wq)),
            toks AS (SELECT doc_id,
-                    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                    unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
                     FROM documents),
            bt AS (SELECT doc_id,
                   (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
@@ -2532,19 +2532,19 @@ object SparkEntry {
                 CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
          FROM sc""",
     "x10_fingerprint" ->
-      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          FROM documents""",
     "x11_token_total" ->
-      """SELECT CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+      """SELECT CAST(SUM(CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END) AS BIGINT) AS total_tokens,
          COUNT(*) AS n_docs FROM documents""",
     "x38_bpe_pairs" ->
       """SELECT pair, COUNT(*) AS n
          FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
                  i -> concat_ws(' ', t[i], t[i+1]))) AS pair
-               FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+               FROM (SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
                      FROM documents
-                     WHERE text IS NOT NULL AND trim(text) <> ''))
+                     WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''))
          GROUP BY pair
          ORDER BY n DESC, pair LIMIT 100""",
     // x38b/x38c: the three BPE rounds unrolled through the shared CTE

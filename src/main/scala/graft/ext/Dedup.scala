@@ -199,7 +199,7 @@ object Dedup {
               nBits: Int = 32): DataFrame = {
     require(nBits <= 60, "md5 prefix gives 60 usable bits")
     val tok = df.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      explode(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("th", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val bitSums = (0 until nBits).map { i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
@@ -218,7 +218,7 @@ object Dedup {
     * reduced to distinct token arrays; |∩| / |∪|. */
   def tokenSets(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-      array_distinct(split(trim(col(textCol)), "\\s+")).as("toks"))
+      array_distinct(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("toks"))
 
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -526,7 +526,7 @@ object Dedup {
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
+    val toks = split(TextStats.wsTrim(text), "\\s+")
     // n-grams as a zip of n shifted slices, NOT an index lambda: inside a
     // transform() lambda every toks reference re-evaluates the split per
     // output element (HOFs are interpreted — no codegen, no subexpression

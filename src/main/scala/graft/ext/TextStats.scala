@@ -14,10 +14,25 @@ case class BpeMerge(merge_rank: Int, a: String, b: String, n: Long)
   */
 object TextStats {
 
+  /** Strip ALL edge whitespace. Spark's `trim()` removes the space
+    * character (0x20) only, so tab/newline-edged text would leave
+    * `split("\\s+")` with phantom empty edge tokens (`"a b\t"` splits to
+    * a third, empty token — split keeps edge empties) — the PropertySpec
+    * BPE mass invariant caught exactly this on `\t`-padded generator
+    * docs. Every tokenizing operator in this catalog trims with this;
+    * the DuckDB oracles replicate it as
+    * `regexp_replace(text, '^\s+|\s+$', '', 'g')`. (Pre-existing caveat,
+    * unchanged by this helper: Java's `\s` includes `\x0B`, RE2's does
+    * not — parity holds for the [ \t\n\f\r] whitespace class.) */
+  def wsTrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   /** Whitespace token count (0 for empty/blank text). */
-  def tokenCount(text: Column): Column =
-    when(trim(text) === "" || text.isNull, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCount(text: Column): Column = {
+    val t = wsTrim(text)
+    when(t.isNull || t === "", lit(0))
+      .otherwise(size(split(t, "\\s+")))
+  }
 
   /** BPE-ish subword count: word chunks + digit runs + punctuation each
     * count as a token (regex approximation of a byte-pair tokenizer's
@@ -34,20 +49,20 @@ object TextStats {
   /** Mean token length (chars per whitespace token). */
   def meanTokenLen(text: Column): Column =
     when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double")
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double")
         / tokenCount(text))
 
   /** Stopword hit count for a given stopword list (distinct-token hits). */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
     size(array_intersect(
-      array_distinct(split(lower(trim(text)), "\\s+")),
+      array_distinct(split(lower(wsTrim(text)), "\\s+")),
       array(stopwords.map(lit): _*)))
 
   /** Heuristic language ID: argmax of stopword-list hits across languages;
     * ties break toward the alphabetically-first language; zero-hit rows
     * fall back to "und" (undetermined). */
   def langIdHeuristic(text: Column, lists: Map[String, Seq[String]]): Column = {
-    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    val toks = array_distinct(split(lower(wsTrim(text)), "\\s+"))
     val ordered = lists.toSeq.sortBy(_._1)
     // max over struct<hits, pref, lang>: hits first, then pref (higher =
     // alphabetically earlier) so ties resolve deterministically
@@ -84,13 +99,13 @@ object TextStats {
     * repeat an earlier unit (0 = all distinct). Exact rational arithmetic
     * (int counts, one double division). */
   def duplicateSentenceFraction(text: Column, sepRegex: String = "\\. "): Column = {
-    val units = split(trim(text), sepRegex)
+    val units = split(wsTrim(text), sepRegex)
     lit(1.0) - size(array_distinct(units)).cast("double") / size(units)
   }
 
   /** Longest whitespace token (C4 drops docs with absurd max word len). */
   def maxTokenLen(text: Column): Column =
-    array_max(transform(split(trim(text), "\\s+"), t => length(t)))
+    array_max(transform(split(wsTrim(text), "\\s+"), t => length(t)))
 
   /** Unicode NFC normalization (native expression; see
     * graft.functions.NfcNormalize) — the first step of text canonicalization
@@ -101,9 +116,12 @@ object TextStats {
         org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
   /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
-    * text — the canonical-form digest used for near-exact dedup. */
+    * text — the canonical-form digest used for near-exact dedup. The
+    * normalization collapses whitespace runs FIRST and trims second
+    * (the [[bpeNormalize]] composition), so tab/newline-edged text
+    * fingerprints identically to its clean form. */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
   /** Hashed-feature linear quality model (the fastText-shaped scorer a
     * corpus-quality pass runs at scale): each token feature-hashes to one
@@ -121,7 +139,7 @@ object TextStats {
     val n = weightsQ30.size
     require(n > 0 && n <= 256, "bucket count must fit the 2-hex-digit hash")
     val w = typedlit(weightsQ30)
-    val terms = transform(split(trim(text), "\\s+"), t =>
+    val terms = transform(split(wsTrim(text), "\\s+"), t =>
       element_at(w,
         (conv(substring(md5(t), 1, 2), 16, 10).cast("long") % n).cast("int") + 1))
     aggregate(terms, lit(0L), (acc, x) => acc + x)
@@ -239,7 +257,10 @@ object TextStats {
     * so even the training loop is hash-checked cross-engine.
     *
     * Returns the merge table — rank, pair, count at merge time — which IS
-    * the trained artifact a BPE tokenizer ships. Rounds after the corpus
+    * the trained artifact a BPE tokenizer ships. `n` is the ADJACENT-PAIR
+    * count (overlapping occurrences included — the statistic BPE ranks
+    * by); the greedy application replaces the non-overlapping subset, so
+    * per-round token reduction is ≤ n. Rounds after the corpus
     * runs out of adjacent pairs stop early (short table).
     *
     * Scale: each round is one job over a lazy plan that re-derives the
@@ -300,7 +321,7 @@ object TextStats {
   def rollingTokenHash(text: Column): Column = {
     val m = lit(2305843009213693951L).cast("decimal(38,0)") // 2^61 - 1
     aggregate(
-      split(trim(text), "\\s+"),
+      split(wsTrim(text), "\\s+"),
       lit(0).cast("decimal(38,0)"),
       (acc, tok) => pmod(
         acc * 31 + conv(substring(md5(tok), 1, 15), 16, 10).cast("decimal(38,0)"),

@@ -280,4 +280,73 @@ class PropertySpec extends SparkSpec {
       assert(got.sameElements(0 until total), s"page=$pageSize total=$total")
     }
   }
+
+  test("BPE: encoding is lossless — replacing sep with space recovers the normalized corpus") {
+    // the tokenizer's invertibility guarantee: merges only ever JOIN
+    // adjacent tokens with the sep byte, so un-joining every sep must
+    // reproduce bpeNormalize(text) exactly, for ANY corpus and ANY number
+    // of training rounds — and segment sizes shrink by exactly the merge
+    // mass. Random corpora over a tiny alphabet force heavy merging
+    // (overlaps, repeated pairs, self-pairs a a).
+    import graft.ext.TextStats
+    val word = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(2).mkString)
+    val doc = for {
+      n <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(n, word)
+      pad <- Gen.oneOf("", "  ", "\t")
+    } yield ws.mkString(" ") + pad
+    val docs = Gen.listOfN(40, doc).sample.get
+    val df = docs.toDF("text")
+    val merges = TextStats.bpeTrain(df, "text", 5)
+    assert(merges.nonEmpty, "tiny alphabet must produce mergeable pairs")
+    val out = df.select(
+        TextStats.bpeNormalize(col("text")).as("norm"),
+        TextStats.bpeEncode(col("text"), merges).as("enc"))
+      .as[(String, String)].collect()
+    out.foreach { case (norm, enc) =>
+      assert(enc.replace("\u0001", " ") == norm, s"'$norm' -> '$enc'")
+    }
+    // token-mass bookkeeping: each round REPLACES its greedy
+    // non-overlapping occurrences, while the recorded n counts ALL
+    // adjacent pairs (overlaps included — the BPE statistic), so the
+    // reduction is bounded by the merge mass and strictly positive
+    val before = df.select(sum(TextStats.tokenCount(col("text"))).cast("long")).as[Long].head()
+    val after = df.select(sum(size(TextStats.bpeSegment(col("text"), merges)))
+      .cast("long")).as[Long].head()
+    assert(after >= before - merges.map(_.n).sum && after < before,
+      s"$before -> $after / $merges")
+  }
+
+  test("sampleByTokenBudget: kept mass bounded by budget + one doc; subset; deterministic") {
+    import graft.ext.Curation
+    val row = for {
+      id <- Gen.chooseNum(1L, 100000L)
+      dom <- Gen.oneOf("a", "b", "c", "d")
+      tok <- Gen.chooseNum(1L, 120L)
+    } yield (id, dom, tok)
+    val rows = Gen.listOfN(120, row).sample.get
+      .groupBy(_._1).map(_._2.head).toSeq // unique ids
+    val df = rows.toDF("doc_id", "dom", "n_tok")
+    val budgets = Map("a" -> 300L, "b" -> 0L)
+    val kept = Curation.sampleByTokenBudget(df, "doc_id", "dom", "n_tok", budgets, 150L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(kept.toSet.subsetOf(rows.toSet)) // pure filter: a subset, rows untouched
+    kept.groupBy(_._2).foreach { case (dom, ds) =>
+      val budget = budgets.getOrElse(dom, 150L)
+      val mass = ds.map(_._3).sum
+      val maxDoc = ds.map(_._3).max
+      assert(mass < budget + maxDoc, s"$dom kept $mass of budget $budget")
+    }
+    assert(!kept.exists(_._2 == "b")) // zero budget drops the domain
+    // a domain with total mass under budget survives whole
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    totals.filter { case (d, m) => d != "b" && m <= budgets.getOrElse(d, 150L) }
+      .foreach { case (d, m) =>
+        assert(kept.filter(_._2 == d).map(_._3).sum == m, s"$d should survive whole")
+      }
+    // determinism
+    val again = Curation.sampleByTokenBudget(df, "doc_id", "dom", "n_tok", budgets, 150L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again.toSet == kept.toSet)
+  }
 }

@@ -91,8 +91,10 @@ class ExtSpec extends SparkSpec {
       .as[Seq[String]].collect().toSeq
     // doc 1 collapses to ONE token via m3=(a·b, a·b·c); doc 2 to two
     assert(seg == Seq(Seq(s"a${S}b${S}a${S}b${S}c"), Seq(s"a${S}b${S}c", "d")), seg)
-    // invariant: every merge occurrence removes exactly one token, so
-    // encoded token total = original total − Σ merge counts
+    // on this OVERLAP-FREE fixture every counted pair is replaced, so
+    // encoded token total = original total − Σ merge counts exactly
+    // (with overlaps the reduction is merely bounded by the merge mass —
+    // the PropertySpec invariant)
     val before = corpus.select(
       sum(TextStats.tokenCount(col("text"))).cast("long")).as[Long].head()
     val after = corpus.select(
@@ -670,10 +672,18 @@ class ExtSpec extends SparkSpec {
       .toSeq == out.toSeq)
   }
 
-  test("tokenCount handles empty/blank/normal") {
-    val df = Seq("", "   ", "a b  c").toDF("t")
+  test("tokenCount handles empty/blank/normal — including non-space edge whitespace") {
+    // "a b\t" and "\t" are the regression cases for the wsTrim fix: Spark's
+    // trim() strips spaces only, so the old form counted a phantom empty
+    // edge token (3 and 2 respectively). PropertySpec's BPE mass invariant
+    // caught it on \t-padded generator docs.
+    val df = Seq("", "   ", "a b  c", "a b\t", "\ta b", "\t", "x\ty z\n").toDF("t")
     val out = df.select(TextStats.tokenCount(col("t"))).as[Int].collect()
-    assert(out.sameElements(Array(0, 0, 3)))
+    assert(out.sameElements(Array(0, 0, 3, 2, 2, 0, 3)))
+    // fingerprint: edge-whitespace variants collapse to the clean form
+    val fps = Seq("a  b", "a b\t", "\ta\nb ").toDF("t")
+      .select(TextStats.fingerprint(col("t"))).as[String].collect()
+    assert(fps.distinct.length == 1, fps.toSeq)
   }
 
   test("langIdHeuristic picks the list with most hits, und when none") {
@@ -743,7 +753,7 @@ class ExtSpec extends SparkSpec {
     val ws = TextStats.seededWeightsQ30(64)
     val tricky = Seq(
       "plain ascii words", "", " ", "  leading and   runs  ",
-      "\ttab-led line", "line\nbreaks\nhere", "héllo wörld",
+      "\ttab-led line", "trailing tab\t", "line\nbreaks\nhere", "héllo wörld",
       "𝄞 surrogate pair token", "one", "a b c d e f g h i j",
       "punct! mixed, tokens? yes.", " controlbytes")
       .toDF("text")
