@@ -1045,6 +1045,15 @@ object SparkEntry {
             lit("NEW").as("c_mktsegment")))
       Merge.snapshotDiff(oldSnap, curSnap, "c_custkey", Seq("c_mktsegment"))
     }),
+    "x41_repeated_spans" -> ((s, dir) =>
+      // ExactSubstr-style span-level dedup signal (Lee et al. 2022): per
+      // doc, how many of its 5-token windows repeat ANYWHERE in the
+      // corpus (within- or cross-doc). Window hashes are a strict
+      // zip-of-slices codegen projection; the occurrence count rides ONE
+      // digest-keyed window exchange (no self-join, no second text pass)
+      // then one id-keyed agg. Digests + longs only on the wire.
+      graft.ext.Dedup.repeatedSpanStats(
+        t(s, dir, "documents"), "text", "doc_id", 5)),
     "x40_zipf_quality" -> ((s, dir) =>
       // frequency-based quality scoring against the trained top-1000
       // vocabulary (x34's consumer): per doc, mean floor(log2 corpus
@@ -2318,6 +2327,20 @@ object SparkEntry {
          FROM oldsnap o FULL OUTER JOIN cursnap c ON o.c_custkey = c.c_custkey
          WHERE o.c_custkey IS NULL OR c.c_custkey IS NULL
             OR o.c_mktsegment IS DISTINCT FROM c.c_mktsegment""",
+    "x41_repeated_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
+                FROM toks WHERE len(t) >= 5),
+         w AS (SELECT doc_id, md5(array_to_string(t[i+1:i+5], ' ')) AS h FROM w0),
+         occ AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM w)
+         SELECT doc_id, COUNT(*) AS n_spans,
+                CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+                CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                  AS repeated_frac
+         FROM occ GROUP BY doc_id""",
     "x40_zipf_quality" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok

@@ -523,6 +523,71 @@ object Dedup {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  /** Per-position k-token window hashes — the ExactSubstr building block
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": harmful duplication is repeated SPANS, not just repeated
+    * documents). One output row per window: (id, pos, h) with h = md5 of
+    * the space-joined k-gram starting at 0-based token position pos.
+    * Construction is the wordNgrams zip-of-shifted-slices (codegen'd, no
+    * interpreted HOF lambda) but STRICT: only full k-token windows, so a
+    * doc shorter than k tokens contributes nothing. Downstream shuffles
+    * see only the 32-hex digest, the id, and the position — span text
+    * never rides an exchange (the x27 line-dedup contract). */
+  def spanHashes(df: DataFrame, textCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, "a span is at least 2 tokens (k >= 2)")
+    Seq("_sp_toks", "_sp_win", "pos", "h").foreach(c =>
+      require(c == idCol || !df.columns.contains(c),
+        s"spanHashes reserves column $c"))
+    val toks = col("_sp_toks")
+    val nWin = size(toks) - (k - 1)
+    df.filter(col(textCol).isNotNull &&
+        TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol),
+        split(TextStats.wsTrim(col(textCol)), "\\s+").as("_sp_toks"))
+      .filter(size(toks) >= k)
+      .select(col(idCol), posexplode(arrays_zip((0 until k).map(o =>
+        slice(toks, lit(o + 1), nWin)): _*)))
+      .withColumnRenamed("col", "_sp_win")
+      .select(col(idCol), col("pos"),
+        md5(concat_ws(" ",
+          (0 until k).map(o => col(s"_sp_win.$o")): _*)).as("h"))
+  }
+
+  /** Spans repeated >= minOcc times corpus-wide (within- OR cross-document
+    * — ExactSubstr excises both): (h, n_occ, n_docs). One shuffle keyed on
+    * the 16-byte digest; map-side partial counts absorb hot spans. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String, k: Int,
+                    minOcc: Int = 2): DataFrame = {
+    require(minOcc >= 2, "a repeat needs at least 2 occurrences")
+    spanHashes(df, textCol, idCol, k)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_occ") >= minOcc)
+  }
+
+  /** Per-document repeated-span statistics: how much of each doc is
+    * ExactSubstr-removable. n_spans = full k-windows, n_repeated = windows
+    * whose span occurs >= minOcc times corpus-wide, repeated_frac their
+    * exact ratio (two longs, ONE double division — engine-portable). The
+    * occurrence count rides a window over the digest (the x39 one-exchange
+    * pattern: no self-join, no second text pass), then one id-keyed
+    * aggregation — two exchanges total, digests and longs only. */
+  def repeatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, minOcc: Int = 2): DataFrame = {
+    require(minOcc >= 2, "a repeat needs at least 2 occurrences")
+    import org.apache.spark.sql.expressions.Window
+    val occ = count(lit(1)).over(Window.partitionBy(col("h")))
+    spanHashes(df, textCol, idCol, k)
+      .withColumn("_sp_occ", occ)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_sp_occ") >= minOcc, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        col("n_repeated").cast("double") / col("n_spans"))
+  }
+
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -283,6 +283,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"budget cut is a window filter, not a join: $p")
   }
 
+  test("x41 repeated spans: digest window + id agg — two exchanges, no self-join, no text on the wire") {
+    val p = tree(q("x41_repeated_spans"))
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2,
+      s"one window exchange on the digest + one id-keyed agg: $p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"),
+      s"the occurrence count is a window over the digest, not a self-join: $p")
+    // the window exchange is keyed on the md5 digest, not span text
+    assert(p.contains("hashpartitioning(h#") || p.contains("hashpartitioning(h "),
+      s"window exchange must partition by the digest column h: $p")
+  }
+
   test("x40 zipf quality: vocab TakeOrdered + broadcast; token stream never shuffle-joins") {
     val p = tree(q("x40_zipf_quality"))
     assert(p.contains("TakeOrderedAndProject"), p)

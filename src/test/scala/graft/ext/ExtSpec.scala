@@ -810,4 +810,31 @@ class ExtSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(lo.subsetOf(hi))
   }
+
+  test("repeatedSpans: within-doc and cross-doc k-token repeats, strict windows") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // windows: [a b c d e], [b c d e f]
+      (2L, "a b c d e x"),            // shares [a b c d e] with doc 1
+      (3L, "p q r s t p q r s t"),    // window 0 == window 5 (within-doc)
+      (4L, "too short"),              // < 5 tokens: no windows
+      (5L, "\ta b c d e\t")           // dirty edges ≡ clean "a b c d e"
+    ).toDF("doc_id", "text")
+    // span table: [a b c d e] occurs 3× across docs 1, 2, 5; [p q r s t] 2× in doc 3
+    val spans = Dedup.repeatedSpans(docs, "text", "doc_id", 5)
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(spans.length == 2, spans.toSeq)
+    assert(spans.map(s => (s._2, s._3)).sameElements(Array((2L, 1L), (3L, 3L))))
+    // per-doc stats: repeated_frac is the ExactSubstr-removable share
+    val stats = Dedup.repeatedSpanStats(docs, "text", "doc_id", 5)
+      .select(col("doc_id"), col("n_spans"), col("n_repeated"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.sameElements(Array(
+      (1L, 2L, 1L), (2L, 2L, 1L), (3L, 6L, 2L), (5L, 1L, 1L))), stats.toSeq)
+    // doc 4 contributes no rows (no full window), doc 3's repeats are the
+    // two [p q r s t] windows at positions 0 and 5
+    val pos3 = Dedup.spanHashes(docs.filter(col("doc_id") === 3), "text", "doc_id", 5)
+      .as[(Long, Int, String)].collect()
+    assert(pos3.length == 6 && pos3.map(_._2).sorted.sameElements(0 until 6))
+    assert(pos3.groupBy(_._3).values.count(_.length == 2) == 1)
+  }
 }
