@@ -1045,6 +1045,14 @@ object SparkEntry {
             lit("NEW").as("c_mktsegment")))
       Merge.snapshotDiff(oldSnap, curSnap, "c_custkey", Seq("c_mktsegment"))
     }),
+    "x41b_span_excise" -> ((s, dir) =>
+      // the APPLY half of x41: remove every repeated 5-token span
+      // occurrence except the corpus-wide first (min (id,pos) keeper via
+      // row_number on the same digest window as the count — one exchange)
+      // and reassemble surviving tokens from each doc's own array (no
+      // collect_list). The oracle replays keeper + mask + rebuild.
+      graft.ext.Dedup.exciseRepeatedSpans(
+        t(s, dir, "documents"), "text", "doc_id", 5)),
     "x41_repeated_spans" -> ((s, dir) =>
       // ExactSubstr-style span-level dedup signal (Lee et al. 2022): per
       // doc, how many of its 5-token windows repeat ANYWHERE in the
@@ -2327,6 +2335,26 @@ object SparkEntry {
          FROM oldsnap o FULL OUTER JOIN cursnap c ON o.c_custkey = c.c_custkey
          WHERE o.c_custkey IS NULL OR c.c_custkey IS NULL
             OR o.c_mktsegment IS DISTINCT FROM c.c_mktsegment""",
+    "x41b_span_excise" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
+                FROM toks WHERE len(t) >= 5),
+         w AS (SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h FROM w0),
+         occ AS (SELECT doc_id, i, h,
+                        COUNT(*) OVER (PARTITION BY h) AS n_occ,
+                        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+                 FROM w),
+         exc AS (SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
+                 FROM occ WHERE n_occ >= 2 AND rn > 1),
+         mask AS (SELECT doc_id AS m_id, list_distinct(list(p)) AS ps FROM exc GROUP BY doc_id)
+         SELECT k.doc_id,
+                COALESCE(array_to_string(list_filter(k.t,
+                  (x, j) -> NOT list_contains(COALESCE(m.ps, []), j - 1)), ' '), '') AS text_clean,
+                CAST(len(COALESCE(m.ps, [])) AS BIGINT) AS n_removed
+         FROM toks k LEFT JOIN mask m ON k.doc_id = m.m_id""",
     "x41_repeated_spans" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t

@@ -588,6 +588,53 @@ object Dedup {
         col("n_repeated").cast("double") / col("n_spans"))
   }
 
+  /** ExactSubstr APPLY: excise every repeated k-token span occurrence
+    * except the corpus-wide first, and reassemble the surviving tokens in
+    * document order. The keeper is deterministic — min (id, pos) per span
+    * digest via row_number riding the SAME digest partitioning as the
+    * occurrence count (one window exchange, two window functions).
+    * Excised windows fan out to their k covered token positions as
+    * (id, p) LONG pairs; collect_set unions overlapping masks per doc
+    * (one id-keyed shuffle); the rebuild zips each doc's own token array
+    * with its index OUTSIDE the lambda (the wordNgrams HOF lesson) and
+    * drops masked positions — order is the array's own, no per-token
+    * collect_list reassembly. Null/blank docs are dropped (they carry no
+    * spans); docs shorter than k pass through whitespace-normalized.
+    * Returns (id, text_clean, n_removed). */
+  def exciseRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                          k: Int, minOcc: Int = 2): DataFrame = {
+    require(minOcc >= 2, "a repeat needs at least 2 occurrences")
+    Seq("_sp_occ", "_sp_rn", "_sp_p", "_sp_mask", "_sp_zip", "_sp_toks2",
+        "text_clean", "n_removed").foreach(c =>
+      require(c == idCol || !df.columns.contains(c),
+        s"exciseRepeatedSpans reserves column $c"))
+    import org.apache.spark.sql.expressions.Window
+    val byH = Window.partitionBy(col("h"))
+    val keeper = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    val masks = spanHashes(df, textCol, idCol, k)
+      .withColumn("_sp_occ", count(lit(1)).over(byH))
+      .withColumn("_sp_rn", row_number().over(keeper))
+      .filter(col("_sp_occ") >= minOcc && col("_sp_rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("_sp_p"))
+      .groupBy(col(idCol)) // collect_set dedups overlapping window positions
+      .agg(sort_array(collect_set(col("_sp_p"))).as("_sp_mask"))
+    val toks = col("_sp_toks2")
+    df.filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol), split(TextStats.wsTrim(col(textCol)), "\\s+").as("_sp_toks2"))
+      .join(masks, Seq(idCol), "left")
+      .withColumn("_sp_mask",
+        coalesce(col("_sp_mask"), array().cast("array<int>")))
+      .withColumn("_sp_zip",
+        arrays_zip(toks.as("tk"), sequence(lit(0), size(toks) - 1).as("ix")))
+      .select(col(idCol),
+        concat_ws(" ", transform(
+          filter(col("_sp_zip"), s =>
+            !array_contains(col("_sp_mask"), s.getField("ix"))),
+          s => s.getField("tk"))).as("text_clean"),
+        size(col("_sp_mask")).cast("long").as("n_removed"))
+  }
+
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -295,6 +295,22 @@ class PlanSpec extends SparkSpec {
       s"window exchange must partition by the digest column h: $p")
   }
 
+  test("x41b span excise: keeper rides the digest window; mask and rebuild join key on the id") {
+    val p = tree(q("x41b_span_excise"))
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(h#") || p.contains("hashpartitioning(h "),
+      s"keeper + count share ONE digest-keyed window exchange: $p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"mask meets docs via an id equi-join: $p")
+    // window text never rides an exchange: every shuffle key is the digest,
+    // the id, or (id, position) longs
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l =>
+      l.contains("(h#") || l.contains("(doc_id#") || l.contains("(_sp_p#")
+        || l.contains("doc_id#")),
+      s"unexpected exchange key: ${exchanges.mkString("\n")}")
+  }
+
   test("x40 zipf quality: vocab TakeOrdered + broadcast; token stream never shuffle-joins") {
     val p = tree(q("x40_zipf_quality"))
     assert(p.contains("TakeOrderedAndProject"), p)

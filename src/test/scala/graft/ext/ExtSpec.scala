@@ -837,4 +837,32 @@ class ExtSpec extends SparkSpec {
     assert(pos3.length == 6 && pos3.map(_._2).sorted.sameElements(0 until 6))
     assert(pos3.groupBy(_._3).values.count(_.length == 2) == 1)
   }
+
+  test("exciseRepeatedSpans keeps the corpus-first occurrence and reassembles the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // keeper of [a b c d e] (min id)
+      (2L, "a b c d e x"),          // loses its [a b c d e]
+      (3L, "p q r s t p q r s t"),  // within-doc: second occurrence excised
+      (4L, "too short"),            // < k: passes through normalized
+      (5L, "z a b c d e")           // loses its [a b c d e]
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(docs, "text", "doc_id", 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.sameElements(Array(
+      (1L, "a b c d e f", 0L),
+      (2L, "x", 5L),
+      (3L, "p q r s t", 5L),
+      (4L, "too short", 0L),
+      (5L, "z", 5L))), out.toSeq)
+    // overlap union: two repeated windows sharing tokens excise the union
+    // of their positions, not double-count (doc 12/13 repeat BOTH spans of
+    // a 6-token text: windows 0 and 1 each repeat; doc 13 loses all 6)
+    val ov = Seq(
+      (12L, "m n o p q r"),
+      (13L, "m n o p q r")).toDF("doc_id", "text")
+    val got = Dedup.exciseRepeatedSpans(ov, "text", "doc_id", 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(Array(
+      (12L, "m n o p q r", 0L), (13L, "", 6L))), got.toSeq)
+  }
 }
