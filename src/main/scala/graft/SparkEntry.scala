@@ -1045,6 +1045,20 @@ object SparkEntry {
             lit("NEW").as("c_mktsegment")))
       Merge.snapshotDiff(oldSnap, curSnap, "c_custkey", Seq("c_mktsegment"))
     }),
+    "x41c_span_incremental" -> ((s, dir) => {
+      // incremental repeated-span stats: the corpus's span digests staged
+      // to parquet (construction-time side effect, unique temp dir,
+      // JVM-exit cleaned), then the NEW batch (20% of docs) counts its
+      // windows across corpus ∪ batch — corpus text never rescanned, the
+      // stage filtered map-side by broadcast batch digests (PlanSpec).
+      // The oracle is the PARITY CONTRACT itself: one-shot stats over all
+      // docs restricted to the batch ids must be bit-identical.
+      val d = t(s, dir, "documents")
+      val stage = Dedup.stageSignatures(
+        Dedup.spanHashes(d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", 5))
+      Dedup.repeatedSpanStatsIncremental(
+        d.filter(col("doc_id") % 5 === 0), stage, "text", "doc_id", 5)
+    }),
     "x41b_span_excise" -> ((s, dir) =>
       // the APPLY half of x41: remove every repeated 5-token span
       // occurrence except the corpus-wide first (min (id,pos) keeper via
@@ -2335,6 +2349,20 @@ object SparkEntry {
          FROM oldsnap o FULL OUTER JOIN cursnap c ON o.c_custkey = c.c_custkey
          WHERE o.c_custkey IS NULL OR c.c_custkey IS NULL
             OR o.c_mktsegment IS DISTINCT FROM c.c_mktsegment""",
+    "x41c_span_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
+                FROM toks WHERE len(t) >= 5),
+         w AS (SELECT doc_id, md5(array_to_string(t[i+1:i+5], ' ')) AS h FROM w0),
+         occ AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM w)
+         SELECT doc_id, COUNT(*) AS n_spans,
+                CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+                CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                  AS repeated_frac
+         FROM occ WHERE doc_id % 5 = 0 GROUP BY doc_id""",
     "x41b_span_excise" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t

@@ -588,6 +588,42 @@ object Dedup {
         col("n_repeated").cast("double") / col("n_spans"))
   }
 
+  /** Incremental [[repeatedSpanStats]] for a GROWING corpus (the x26
+    * contract): span digests of everything already ingested live in a
+    * parquet stage — (id, pos, h) rows written via [[stageSignatures]]/
+    * append — and a NEW batch's per-doc stats count occurrences across
+    * corpus ∪ batch while only the batch pays a text pass.
+    *
+    * 100 TB posture: the corpus stage is filtered map-side by a BROADCAST
+    * semi-join against the batch's distinct digests (the stage is never
+    * shuffled on a text-derived key and never rescanned as text), then
+    * only the MATCHED digests' counts — bounded by the batch size — join
+    * back to the batch windows. Set `broadcastNew = false` for backfill
+    * batches too big to broadcast (falls back to a shuffle join).
+    * Append the batch's [[spanHashes]] to the stage AFTER calling. */
+  def repeatedSpanStatsIncremental(newDf: DataFrame, spanPath: String,
+                                   textCol: String, idCol: String, k: Int,
+                                   minOcc: Int = 2,
+                                   broadcastNew: Boolean = true): DataFrame = {
+    require(minOcc >= 2, "a repeat needs at least 2 occurrences")
+    val newSp = spanHashes(newDf, textCol, idCol, k)
+    val corpus = newDf.sparkSession.read.parquet(spanPath)
+    val newH0 = newSp.groupBy("h").agg(count(lit(1)).as("_sp_new_n"))
+    val newH = if (broadcastNew) broadcast(newH0) else newH0
+    val corpN = corpus.join(newH.select("h"), Seq("h"), "leftsemi")
+      .groupBy("h").agg(count(lit(1)).as("_sp_corp_n"))
+    val occ0 = newH.join(corpN, Seq("h"), "left")
+      .select(col("h"),
+        (col("_sp_new_n") + coalesce(col("_sp_corp_n"), lit(0L))).as("_sp_tot"))
+    val occ = if (broadcastNew) broadcast(occ0) else occ0
+    newSp.join(occ, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_sp_tot") >= minOcc, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        col("n_repeated").cast("double") / col("n_spans"))
+  }
+
   /** ExactSubstr APPLY: excise every repeated k-token span occurrence
     * except the corpus-wide first, and reassemble the surviving tokens in
     * document order. The keeper is deterministic — min (id, pos) per span

@@ -177,6 +177,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental span stats broadcast the batch digests; the staged corpus never shuffle-joins") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stage = graft.ext.Dedup.stageSignatures(
+      graft.ext.Dedup.spanHashes(docs.filter(col("doc_id") % 5 =!= 0),
+        "text", "doc_id", 5))
+    val stats = graft.ext.Dedup.repeatedSpanStatsIncremental(
+      docs.filter(col("doc_id") % 5 === 0), stage, "text", "doc_id", 5)
+    val p = tree(stats)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus stage is filtered by a broadcast semi-join on the batch's
+    // digests and its matched counts come back via broadcast — the stage
+    // side must never appear under a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"staged corpus must stream map-side against broadcast digests: $p")
+  }
+
   test("incremental semdedup pairing broadcasts the new batch; staged corpus never shuffles on cells") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

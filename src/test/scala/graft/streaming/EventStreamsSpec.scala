@@ -377,6 +377,69 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == expected, s"streamed $streamed vs batch $expected")
   }
 
+  test("streaming span ingest: micro-batch repeated-span stats against a staged corpus ≡ batch") {
+    // the ExactSubstr face of the x26 mold: the span-digest stage is the
+    // only state; an arriving batch counts its windows' occurrences across
+    // corpus ∪ batch (corpus filtered map-side by the broadcast batch
+    // digests — no text rescan, no text-keyed shuffle of the stage),
+    // appends its own digests after. Pinned: incremental ≡ one-shot batch
+    // stats over the final corpus restricted to the batch ids, broadcast
+    // and no-broadcast forms identical, streamed micro-batches ≡ both.
+    import graft.ext.Dedup
+    val base = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "a b c d e x"),          // repeats base's [a b c d e]
+      (11L, "fresh tokens only here j k")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "p q r s t u"),          // repeats base doc 2 entirely (2 windows)
+      (21L, "a b c d e y"),          // window 0 repeats the STAGE, window 1 repeats doc 22 (new-new)
+      (22L, "b c d e y z")).toDF("doc_id", "text") // window 0 = doc 21's window 1; window 1 fresh
+    def statSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    def inc(df: org.apache.spark.sql.DataFrame, stage: String, bc: Boolean = true) =
+      Dedup.repeatedSpanStatsIncremental(df, stage, "text", "doc_id", 5,
+        broadcastNew = bc)
+
+    val stage = Dedup.stageSignatures(Dedup.spanHashes(base, "text", "doc_id", 5))
+    val s1 = statSet(inc(b1, stage))
+    assert(statSet(inc(b1, stage, bc = false)) == s1, "no-broadcast parity")
+    assert(s1 == Set((10L, 2L, 1L, 0.5), (11L, 2L, 0L, 0.0)), s1)
+    Dedup.spanHashes(b1, "text", "doc_id", 5).write.mode("append").parquet(stage)
+    val s2 = statSet(inc(b2, stage))
+    assert(s2 == Set((20L, 2L, 2L, 1.0), (21L, 2L, 2L, 1.0),
+      (22L, 2L, 1L, 0.5)), s2)
+    // incremental ≡ one-shot batch over the final corpus, restricted to
+    // the batch ids (doc 21 mixes a stage repeat with a NEW-NEW repeat
+    // against doc 22 — both count)
+    val full = Dedup.repeatedSpanStats(
+      base.unionByName(b1).unionByName(b2), "text", "doc_id", 5)
+      .filter(col("doc_id") >= 20L)
+    assert(statSet(full) == s2, s"one-shot ${statSet(full)} vs incremental $s2")
+
+    // streamed: same batches as AvailableNow micro-batches
+    val src = Files.createTempDirectory("spansrc").toString
+    val ckpt = Files.createTempDirectory("spanckpt").toString
+    val out = Files.createTempDirectory("spanout").resolve("stats").toString
+    val stage2 = Dedup.stageSignatures(Dedup.spanHashes(base, "text", "doc_id", 5))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(b1.schema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          inc(batch.toDF(), stage2).write.mode("append").parquet(out)
+          Dedup.spanHashes(batch.toDF(), "text", "doc_id", 5)
+            .write.mode("append").parquet(stage2) // AFTER the stats pass
+        }.start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); drain()
+    b2.write.mode("append").parquet(src); drain()
+    assert(statSet(spark.read.parquet(out)) == s1 ++ s2,
+      s"streamed ${statSet(spark.read.parquet(out))} vs ${s1 ++ s2}")
+  }
+
   test("upsert sink exactly-once survives a crash BETWEEN sink write and checkpoint commit") {
     val src = Files.createTempDirectory("csrc").toString
     val sink = Files.createTempDirectory("csink").toString
