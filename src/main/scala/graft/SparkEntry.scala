@@ -1246,6 +1246,21 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
           size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
     }),
+    "x38d_token_ids" -> ((s, dir) => {
+      // the tokenizer's FINAL stage: trained merges (x38b) + trained
+      // top-50 vocab over the SEGMENTED corpus → each doc as an array of
+      // 1-based vocab ids, 0 = OOV. Both artifacts are bounded and ride
+      // the plan (merge table as replace chain, vocab as a map literal),
+      // so encoding is a zero-exchange projection; the oracle retrains
+      // both from the shared round CTEs and must agree id-for-id.
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.TextStats.bpeTrain(d.select(col("text")), "text", 3)
+      val vocab = graft.ext.TextStats.trainTokenVocab(d, "text", merges, 50)
+      d.filter(col("text").isNotNull &&
+          trim(regexp_replace(col("text"), "\\s+", " ")) =!= "")
+        .select(col("doc_id"),
+          graft.ext.TextStats.tokenIds(col("text"), merges, vocab).as("ids"))
+    }),
     "x34_vocab_freq" -> ((s, dir) =>
       // vocabulary building: corpus-wide token frequency + document
       // frequency, deterministic top-100 by (count desc, token asc).
@@ -2639,6 +2654,17 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    "x38d_token_ids" ->
+      s"""WITH $bpeRoundsCtes,
+          seg AS (SELECT doc_id, string_split(t, ' ') AS tk FROM t3),
+          vocab AS (SELECT tok,
+                      CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS INTEGER) AS vid
+                    FROM (SELECT unnest(tk) AS tok FROM seg)
+                    GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 50),
+          pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM seg),
+          mapped AS (SELECT p.doc_id, p.i, CAST(COALESCE(v.vid, 0) AS INTEGER) AS vid
+                     FROM pos p LEFT JOIN vocab v ON p.tk[p.i] = v.tok)
+          SELECT doc_id, list(vid ORDER BY i) AS ids FROM mapped GROUP BY doc_id""",
     // x34: same \s+ split (Java and RE2 agree on ASCII \s), empty tokens
     // dropped, total order (n desc, tok asc) makes the LIMIT boundary
     // engine-portable

@@ -314,6 +314,36 @@ object TextStats {
                  sep: String = "\u0001"): Column =
     split(bpeEncode(text, merges, sep), " ")
 
+  /** Trained token-id vocabulary over the BPE-SEGMENTED corpus: the top-n
+    * tokens by (count desc, token asc), returned in rank order so ids are
+    * 1..n (0 is reserved for OOV). One token-key shuffle + TakeOrdered
+    * top-n; the returned Seq is the bounded trained artifact a tokenizer
+    * ships (the PQ-codebook collect contract — n is the vocab-size knob,
+    * never corpus-sized). */
+  def trainTokenVocab(df: DataFrame, textCol: String, merges: Seq[BpeMerge],
+                      n: Int, sep: String = "\u0001"): Seq[String] = {
+    require(n >= 1 && n <= (1 << 20), s"vocab size $n outside [1, 2^20]")
+    df.filter(col(textCol).isNotNull && bpeNormalize(col(textCol)) =!= "")
+      .select(explode(bpeSegment(col(textCol), merges, sep)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(n)
+      .select("tok").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Token-id encoding — the tokenizer's FINAL stage (merges from
+    * [[bpeTrain]], vocab from [[trainTokenVocab]]): BPE-segment and map
+    * each token to its 1-based vocab rank, 0 for OOV. The vocab rides the
+    * plan as a map literal (bounded trained artifact), so encoding is a
+    * pure zero-exchange projection; `try_element_at` keeps the lookup
+    * ANSI-safe. The lambda touches only its argument and the literal map
+    * (no captured expression re-evaluation — the wordNgrams lesson). */
+  def tokenIds(text: Column, merges: Seq[BpeMerge], vocab: Seq[String],
+               sep: String = "\u0001"): Column = {
+    val m = typedlit(vocab.zipWithIndex.map { case (t, i) => (t, i + 1) }.toMap)
+    transform(bpeSegment(text, merges, sep),
+      t => coalesce(try_element_at(m, t), lit(0)))
+  }
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

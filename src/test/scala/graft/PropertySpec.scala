@@ -317,6 +317,50 @@ class PropertySpec extends SparkSpec {
       s"$before -> $after / $merges")
   }
 
+  test("exciseRepeatedSpans: token accounting, subsequence, pass-through, determinism") {
+    import graft.ext.{Dedup, TextStats}
+    // tiny alphabet forces heavy span repetition (incl. overlapping and
+    // within-doc repeats); k=3 keeps windows likely
+    val word = Gen.oneOf("aa", "b", "cc", "d")
+    val doc = for {
+      n <- Gen.chooseNum(1, 10)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val docs = Gen.listOfN(30, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.wsTrim(col("text")).as("norm"))
+      .join(Dedup.exciseRepeatedSpans(df, "text", "doc_id", 3), Seq("doc_id"))
+      .as[(Long, String, String, Long)].collect()
+    assert(out.length == docs.length)
+    out.foreach { case (id, norm, clean, nRemoved) =>
+      val before = norm.split(" ").toSeq
+      val after = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+      // exact token accounting
+      assert(after.length == before.length - nRemoved, s"doc $id: $norm -> $clean")
+      // surviving tokens are a subsequence of the original in order
+      var i = 0
+      after.foreach { tok =>
+        val j = before.indexOf(tok, i)
+        assert(j >= 0, s"doc $id: '$tok' out of order in $norm -> $clean")
+        i = j + 1
+      }
+    }
+    // every doc with NO repeated window passes through unchanged
+    val repeatedByDoc = Dedup.spanHashes(df, "text", "doc_id", 3)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("n") >= 2).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    out.filter(o => !repeatedByDoc.contains(o._1)).foreach { case (id, norm, clean, nr) =>
+      assert(nr == 0L && clean == norm, s"doc $id altered without repeats")
+    }
+    // determinism
+    val again = Dedup.exciseRepeatedSpans(df, "text", "doc_id", 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == out.map(o => (o._1, o._3, o._4)).toSet)
+  }
+
   test("sampleByTokenBudget: kept mass bounded by budget + one doc; subset; deterministic") {
     import graft.ext.Curation
     val row = for {

@@ -102,6 +102,22 @@ class ExtSpec extends SparkSpec {
     assert(after == before - merges.map(_.n).sum, s"$before -> $after, $merges")
   }
 
+  test("tokenIds: 1-based vocab ranks in frequency order, OOV = 0") {
+    val S = "\u0001"
+    val corpus = Seq("a b a b c", "a b c d").toDF("text")
+    val merges = TextStats.bpeTrain(corpus, "text", 1) // just (a,b) -> a·b
+    assert(merges.map(m => (m.a, m.b)) == Seq(("a", "b")))
+    // segmented: [a·b, a·b, c], [a·b, c, d] -> counts a·b=3, c=2, d=1
+    val vocab = TextStats.trainTokenVocab(corpus, "text", merges, 2)
+    assert(vocab == Seq(s"a${S}b", "c"), vocab)
+    val ids = corpus.select(TextStats.tokenIds(col("text"), merges, vocab))
+      .as[Seq[Int]].collect().toSeq
+    assert(ids == Seq(Seq(1, 1, 2), Seq(1, 2, 0)), ids) // d falls to OOV 0
+    // frequency ties rank alphabetically-first lower (count desc, tok asc)
+    val v2 = TextStats.trainTokenVocab(Seq("z y").toDF("text"), "text", Nil, 2)
+    assert(v2 == Seq("y", "z"), v2)
+  }
+
   test("bpeTrain stops early when the corpus runs out of pairs; staging path agrees") {
     assert(TextStats.bpeTrain(Seq("x").toDF("text"), "text", 3).isEmpty)
     // a corpus with exactly one mergeable round
