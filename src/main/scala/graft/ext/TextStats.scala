@@ -344,6 +344,56 @@ object TextStats {
       t => coalesce(try_element_at(m, t), lit(0)))
   }
 
+  /** Trained vocabulary as a DATAFRAME (tok, vid) — the input to
+    * [[tokenIdsJoin]]. Same statistic and tie-break as
+    * [[trainTokenVocab]]; the rank window runs over the already-LIMITed
+    * top-n (bounded by the vocab-size knob), so the single-partition
+    * window is metadata-scale by contract. */
+  def trainTokenVocabDf(df: DataFrame, textCol: String, merges: Seq[BpeMerge],
+                        n: Int, sep: String = "\u0001"): DataFrame = {
+    require(n >= 1 && n <= (1 << 20), s"vocab size $n outside [1, 2^20]")
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col(textCol).isNotNull && bpeNormalize(col(textCol)) =!= "")
+      .select(explode(bpeSegment(col(textCol), merges, sep)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("_tv_n"))
+      .orderBy(col("_tv_n").desc, col("tok")).limit(n)
+      .withColumn("vid", row_number()
+        .over(Window.orderBy(col("_tv_n").desc, col("tok"))).cast("int"))
+      .select("tok", "vid")
+  }
+
+  /** Data-driven form of [[tokenIds]] for production-scale vocabularies:
+    * the vocab is a DataFrame (tok, vid) instead of a plan literal, so
+    * PLAN SIZE IS INDEPENDENT OF VOCAB SIZE (the ivfAssignJoin lesson —
+    * a real 50k-100k-entry tokenizer vocab as a map literal would bloat
+    * the plan and defeat codegen). Tokens posexplode and meet the
+    * BROADCAST vocab; token STRINGS are projected away before the
+    * per-doc reassembly exchange, which carries (id, pos, vid) only and
+    * rebuilds the id array ordered by position. Returns (idCol, ids) —
+    * bit-identical to [[tokenIds]] on the same trained artifacts
+    * (ExtSpec pins the parity). */
+  def tokenIdsJoin(df: DataFrame, textCol: String, idCol: String,
+                   merges: Seq[BpeMerge], vocab: DataFrame,
+                   sep: String = "\u0001"): DataFrame = {
+    Seq("_ti_pos", "_ti_tok", "_ti_vid", "ids").foreach(c =>
+      require(c == idCol || !df.columns.contains(c),
+        s"tokenIdsJoin reserves column $c"))
+    require(vocab.columns.toSet == Set("tok", "vid"),
+      "vocab must have exactly (tok, vid) — trainTokenVocabDf's shape")
+    val seg = df
+      .filter(col(textCol).isNotNull && bpeNormalize(col(textCol)) =!= "")
+      .select(col(idCol),
+        posexplode(bpeSegment(col(textCol), merges, sep)))
+      .withColumnRenamed("pos", "_ti_pos").withColumnRenamed("col", "_ti_tok")
+    seg.join(broadcast(vocab), seg("_ti_tok") === vocab("tok"), "left")
+      .select(col(idCol), col("_ti_pos"),
+        coalesce(col("vid"), lit(0)).cast("int").as("_ti_vid"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_ti_pos"), col("_ti_vid")))),
+        s => s.getField("_ti_vid")).as("ids"))
+  }
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

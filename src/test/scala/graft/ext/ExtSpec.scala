@@ -118,6 +118,32 @@ class ExtSpec extends SparkSpec {
     assert(v2 == Seq("y", "z"), v2)
   }
 
+  test("tokenIdsJoin ≡ tokenIds: the data-driven vocab path is bit-identical") {
+    // the ivfAssignJoin lesson applied to the tokenizer: a real vocab is
+    // 50k-100k entries — too big for a plan literal — so the join form
+    // must reproduce the literal form exactly, OOV included
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(corpus, "text", 2)
+    val vocabSeq = TextStats.trainTokenVocab(corpus, "text", merges, 3)
+    val vocabDf = TextStats.trainTokenVocabDf(corpus, "text", merges, 3)
+    // the two trainers agree on content AND rank
+    assert(vocabDf.orderBy("vid").select("tok").as[String].collect().toSeq
+      == vocabSeq, vocabSeq)
+    val lit_ = corpus
+      .select(col("doc_id"), TextStats.tokenIds(col("text"), merges, vocabSeq).as("ids"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val join_ = TextStats.tokenIdsJoin(corpus, "text", "doc_id", merges, vocabDf)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(lit_ == join_, s"literal $lit_ vs join $join_")
+    // the join plan broadcasts the vocab and never shuffle-joins; the
+    // reassembly exchange carries ids, not token strings
+    val p = TextStats.tokenIdsJoin(corpus, "text", "doc_id", merges, vocabDf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+  }
+
   test("bpeTrain stops early when the corpus runs out of pairs; staging path agrees") {
     assert(TextStats.bpeTrain(Seq("x").toDF("text"), "text", 3).isEmpty)
     // a corpus with exactly one mergeable round
