@@ -1246,6 +1246,23 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
           size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
     }),
+    "x42_sequence_pack" -> ((s, dir) => {
+      // fixed-length sequence packing — the pretraining input shape: each
+      // lang's token-id stream (docs in doc_id order, ids from the raw
+      // top-50 vocab with OOV=0 so the oracle skips the BPE CTEs) chunks
+      // into length-64 sequences crossing doc boundaries; the tail per
+      // lang stays short (collator owns padding). Exploded stream carries
+      // ints only; one lang-window + one (lang, seq_id) agg.
+      val d = t(s, dir, "documents")
+      val vocab = graft.ext.TextStats.trainTokenVocabDf(
+        d.select(col("text")), "text", Nil, 50)
+      val ids = graft.ext.TextStats.tokenIdsJoin(
+        d.select(col("doc_id"), col("text")), "text", "doc_id", Nil, vocab)
+      val withLang = d.select(col("doc_id"), col("lang"))
+        .join(ids, Seq("doc_id")) // id-keyed equi-join, lang back onto ids
+      graft.ext.Curation.packSequences(
+        withLang, Seq("lang"), "doc_id", "ids", 64)
+    }),
     "x38d_token_ids" -> ((s, dir) => {
       // the tokenizer's FINAL stage: trained merges (x38b) + trained
       // top-50 vocab over the SEGMENTED corpus → each doc as an array of
@@ -2654,6 +2671,26 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    "x42_sequence_pack" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk
+           FROM documents
+           WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS INTEGER) AS vid
+                   FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+                   ORDER BY COUNT(*) DESC, tok LIMIT 50),
+         off AS (SELECT doc_id, lang, tk,
+                        COALESCE(SUM(len(tk)) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+                 FROM toks),
+         flat AS (SELECT lang, o + i - 1 AS idx, tk[i] AS tok
+                  FROM (SELECT lang, tk, o, unnest(generate_series(1, len(tk))) AS i FROM off)),
+         mapped AS (SELECT f.lang, f.idx, CAST(COALESCE(v.vid, 0) AS INTEGER) AS vid
+                    FROM flat f LEFT JOIN vocab v ON f.tok = v.tok)
+         SELECT lang, CAST(idx // 64 AS BIGINT) AS seq_id,
+                list(vid ORDER BY idx) AS seq_ids,
+                CAST(COUNT(*) AS BIGINT) AS n_ids
+         FROM mapped GROUP BY lang, idx // 64""",
     "x38d_token_ids" ->
       s"""WITH $bpeRoundsCtes,
           seg AS (SELECT doc_id, string_split(t, ' ') AS tk FROM t3),

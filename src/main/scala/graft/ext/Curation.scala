@@ -136,4 +136,42 @@ object Curation {
     df.withColumn("bin",
       floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget).cast("long"))
   }
+
+  /** Fixed-length SEQUENCE packing — the actual pretraining input shape:
+    * each group's token-id stream (docs concatenated in `idCol` order)
+    * chunks into consecutive sequences of `seqLen` ids, crossing document
+    * boundaries; the final sequence per group may be short (no padding —
+    * the trainer's collator owns pad tokens). [[packByTokenBudget]]
+    * assigns whole DOCS to bins; this packs the IDS themselves.
+    *
+    * Scale shape: per-doc lengths ride the same exclusive-prefix window
+    * as x19 (one shuffle on the group key; salt skewed groups upstream —
+    * the s4 recipe); the exploded stream then carries (group, seq_id,
+    * local_pos, vid) INTS ONLY into one (group, seq_id) reassembly
+    * aggregation. Token text never appears — input is already encoded.
+    * Deterministic: doc order and in-doc positions fully order every id. */
+  def packSequences(df: DataFrame, groupCols: Seq[String], idCol: String,
+                    idsCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    Seq("_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id", "seq_ids",
+        "n_ids").foreach(c =>
+      require(c == idCol || !df.columns.contains(c),
+        s"packSequences reserves column $c"))
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offd = df
+      .withColumn("_ps_n", size(col(idsCol)).cast("long"))
+      .withColumn("_ps_off", coalesce(sum(col("_ps_n")).over(w), lit(0L)))
+    offd.select((gcols :+ col("_ps_off") :+ posexplode(col(idsCol))): _*)
+      .withColumn("_ps_idx", col("_ps_off") + col("pos"))
+      .withColumn("seq_id", floor(col("_ps_idx") / seqLen).cast("long"))
+      .withColumn("_ps_local", (col("_ps_idx") % seqLen).cast("int"))
+      .groupBy((gcols :+ col("seq_id")): _*)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("_ps_local"), col("col")))),
+          s => s.getField("col")).as("seq_ids"),
+        count(lit(1)).cast("long").as("n_ids"))
+  }
 }

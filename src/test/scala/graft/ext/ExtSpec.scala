@@ -144,6 +144,28 @@ class ExtSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
   }
 
+  test("packSequences chunks the per-group id stream at seqLen, crossing doc boundaries") {
+    val d = Seq(
+      (1L, "en", Seq(2, 3, 0)),
+      (2L, "en", Seq(3, 0, 0, 0)),
+      (3L, "en", Seq(2)),
+      (4L, "de", Seq(0, 1)),
+      (5L, "de", Seq(1, 1, 1))).toDF("doc_id", "lang", "ids")
+    val out = Curation.packSequences(d, Seq("lang"), "doc_id", "ids", 4)
+      .as[(String, Long, Seq[Int], Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // en stream [2,3,0] ++ [3,0,0,0] ++ [2] chunks to [2,3,0,3],[0,0,0,2];
+    // de stream [0,1] ++ [1,1,1] leaves a short tail [1]
+    assert(out == Seq(
+      ("de", 0L, Seq(0, 1, 1, 1), 4L),
+      ("de", 1L, Seq(1), 1L),
+      ("en", 0L, Seq(2, 3, 0, 3), 4L),
+      ("en", 1L, Seq(0, 0, 0, 2), 4L)), out)
+    // total ids conserved regardless of seqLen
+    val n7 = Curation.packSequences(d, Seq("lang"), "doc_id", "ids", 7)
+      .agg(sum(col("n_ids"))).as[Long].head()
+    assert(n7 == 13L)
+  }
+
   test("bpeTrain stops early when the corpus runs out of pairs; staging path agrees") {
     assert(TextStats.bpeTrain(Seq("x").toDF("text"), "text", 3).isEmpty)
     // a corpus with exactly one mergeable round
