@@ -394,6 +394,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tokenIdsJoin: broadcast vocab, plan size independent of vocab size") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def enc(n: Int) = graft.ext.TextStats.tokenIdsJoin(docs, "text", "doc_id",
+      Nil, graft.ext.TextStats.trainTokenVocabDf(docs, "text", Nil, n))
+    val p10 = tree(enc(10))
+    val p1000 = tree(enc(1000))
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    assert(!p10.contains("CartesianProduct"), p10)
+    // vocab size is DATA, not plan: 100× the vocab, identical plan tree
+    def shape(p: String) = p.linesIterator.map(_.replaceAll("#\\d+L?", "#x")
+      .replaceAll("\\d+", "N")).mkString("\n")
+    assert(shape(p10) == shape(p1000),
+      s"plan must not grow with vocab size:\n$p10\n----\n$p1000")
+    // the reassembly agg groups on the id; token strings never reach it
+    p10.linesIterator.filter(_.contains("HashAggregate")).foreach { l =>
+      assert(!l.contains("_ti_tok"), s"token strings in the reassembly: $l")
+    }
+  }
+
+  test("x42 sequence pack: exchanges key on lang/doc_id/seq_id only — ids, never text") {
+    val p = tree(q("x42_sequence_pack"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l =>
+      l.contains("lang#") || l.contains("doc_id#") || l.contains("seq_id#")
+        || l.contains("tok#")), // the bounded vocab-count shuffle
+      s"unexpected exchange key: ${exchanges.mkString("\n")}")
+  }
+
   test("ivfAssignJoin: broadcast-hash-join assignment, plan size independent of nCentroids") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
