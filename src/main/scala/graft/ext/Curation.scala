@@ -137,6 +137,48 @@ object Curation {
       floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Incremental [[packSequences]] for a GROWING corpus: the only state
+    * is an APPEND-ONLY carry stage — one (groupCols..., n_carry) row per
+    * group PER BATCH ([[batchCarry]], appended after packing, the
+    * spanHashes/signature-stage contract) — aggregated to per-group
+    * totals on read (metadata-scale: rows = groups × batches). A new
+    * batch packs with its groups' offsets continuing from the total, so
+    * sequences keep numbering exactly where the previous batch stopped
+    * and a group's tail sequence is COMPLETED by the next batch (same
+    * seq_id, the ids that fill it). Parity with the one-shot form is the
+    * contract: for every (group, seq_id), concatenating the per-batch
+    * increments in batch order equals packing the concatenated corpus
+    * once (ExtSpec pins it, including a tail completed across the batch
+    * boundary). */
+  def packSequencesIncremental(newDf: DataFrame, carryPath: String,
+                               groupCols: Seq[String], idCol: String,
+                               idsCol: String, seqLen: Int): DataFrame = {
+    val carry = newDf.sparkSession.read.parquet(carryPath)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_carry")).as("n_carry"))
+    packSequencesWithBase(newDf, broadcast(carry), groupCols, idCol,
+      idsCol, seqLen)
+  }
+
+  /** The batch's per-group id mass — append to the carry stage AFTER
+    * packing the batch. */
+  def batchCarry(newDf: DataFrame, groupCols: Seq[String],
+                 idsCol: String): DataFrame =
+    newDf.groupBy(groupCols.map(col): _*)
+      .agg(sum(size(col(idsCol)).cast("long")).as("n_carry"))
+
+  private def packSequencesWithBase(df: DataFrame, base: DataFrame,
+                                    groupCols: Seq[String], idCol: String,
+                                    idsCol: String, seqLen: Int): DataFrame = {
+    reservePackCols(df, idCol)
+    require(!df.columns.contains("n_carry"),
+      "packSequencesIncremental reserves column n_carry")
+    val withBase = df.join(base, groupCols.toSeq, "left")
+      .withColumn("_ps_base", coalesce(col("n_carry"), lit(0L)))
+      .drop("n_carry")
+    packSequencesFrom(withBase, groupCols, idCol, idsCol, seqLen)
+  }
+
   /** Fixed-length SEQUENCE packing — the actual pretraining input shape:
     * each group's token-id stream (docs concatenated in `idCol` order)
     * chunks into consecutive sequences of `seqLen` ids, crossing document
@@ -152,17 +194,28 @@ object Curation {
     * Deterministic: doc order and in-doc positions fully order every id. */
   def packSequences(df: DataFrame, groupCols: Seq[String], idCol: String,
                     idsCol: String, seqLen: Int): DataFrame = {
-    require(seqLen >= 1, "seqLen must be positive")
-    Seq("_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id", "seq_ids",
-        "n_ids").foreach(c =>
+    reservePackCols(df, idCol)
+    packSequencesFrom(df.withColumn("_ps_base", lit(0L)),
+      groupCols, idCol, idsCol, seqLen)
+  }
+
+  private def reservePackCols(df: DataFrame, idCol: String): Unit =
+    Seq("_ps_base", "_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id",
+        "seq_ids", "n_ids").foreach(c =>
       require(c == idCol || !df.columns.contains(c),
         s"packSequences reserves column $c"))
+
+  private def packSequencesFrom(df: DataFrame, groupCols: Seq[String],
+                                idCol: String, idsCol: String,
+                                seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
     val gcols = groupCols.map(col)
     val w = Window.partitionBy(gcols: _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offd = df
       .withColumn("_ps_n", size(col(idsCol)).cast("long"))
-      .withColumn("_ps_off", coalesce(sum(col("_ps_n")).over(w), lit(0L)))
+      .withColumn("_ps_off",
+        col("_ps_base") + coalesce(sum(col("_ps_n")).over(w), lit(0L)))
     offd.select((gcols :+ col("_ps_off") :+ posexplode(col(idsCol))): _*)
       .withColumn("_ps_idx", col("_ps_off") + col("pos"))
       .withColumn("seq_id", floor(col("_ps_idx") / seqLen).cast("long"))

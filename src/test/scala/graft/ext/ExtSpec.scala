@@ -166,6 +166,39 @@ class ExtSpec extends SparkSpec {
     assert(n7 == 13L)
   }
 
+  test("packSequencesIncremental continues numbering from the carry; increments compose to one-shot") {
+    val base = Seq((1L, "en", Seq(2, 3, 0)), (2L, "en", Seq(3, 0)),
+      (3L, "de", Seq(5))).toDF("doc_id", "lang", "ids")
+    val b1 = Seq((10L, "en", Seq(7, 8, 9)), (11L, "de", Seq(6, 4, 6, 4)))
+      .toDF("doc_id", "lang", "ids")
+    val carry = java.nio.file.Files.createTempDirectory("graft_carry")
+      .toString + "/c"
+    // empty first carry: zero rows, schema only
+    Curation.batchCarry(base.limit(0), Seq("lang"), "ids").write.parquet(carry)
+    def packInc(df: org.apache.spark.sql.DataFrame) =
+      Curation.packSequencesIncremental(df, carry, Seq("lang"), "doc_id", "ids", 4)
+        .as[(String, Long, Seq[Int], Long)].collect().toSeq
+    val p0 = packInc(base)
+    Curation.batchCarry(base, Seq("lang"), "ids").write.mode("append").parquet(carry)
+    val p1 = packInc(b1)
+    Curation.batchCarry(b1, Seq("lang"), "ids").write.mode("append").parquet(carry)
+    // batch 2's en ids land at global idx 5,6,7: they COMPLETE base's
+    // short tail seq 1 (same seq_id, the filling ids)
+    assert(p0.toSet == Set(("en", 0L, Seq(2, 3, 0, 3), 4L), ("en", 1L, Seq(0), 1L),
+      ("de", 0L, Seq(5), 1L)), p0)
+    assert(p1.toSet == Set(("en", 1L, Seq(7, 8, 9), 3L),
+      ("de", 0L, Seq(6, 4, 6), 3L), ("de", 1L, Seq(4), 1L)), p1)
+    // parity: per (group, seq_id), increments concatenated in batch order
+    // equal the one-shot packing of the full corpus
+    val oneShot = Curation.packSequences(base.unionByName(b1),
+      Seq("lang"), "doc_id", "ids", 4)
+      .as[(String, Long, Seq[Int], Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val composed = (p0 ++ p1).groupBy(r => (r._1, r._2))
+      .view.mapValues(_.flatMap(_._3).toSeq).toMap
+    assert(composed == oneShot, s"composed $composed vs one-shot $oneShot")
+  }
+
   test("bpeTrain stops early when the corpus runs out of pairs; staging path agrees") {
     assert(TextStats.bpeTrain(Seq("x").toDF("text"), "text", 3).isEmpty)
     // a corpus with exactly one mergeable round
