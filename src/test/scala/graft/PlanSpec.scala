@@ -301,6 +301,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"budget cut is a window filter, not a join: $p")
   }
 
+  test("x38d encode with trained artifacts is a ZERO-exchange projection") {
+    import org.apache.spark.sql.functions.col
+    // training collects bounded artifacts (merge table, vocab); what runs
+    // over the corpus afterwards must be scan + project only
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = graft.ext.TextStats.bpeTrain(docs.select(col("text")), "text", 2)
+    val vocab = graft.ext.TextStats.trainTokenVocab(docs, "text", merges, 20)
+    val p = tree(docs.select(col("doc_id"),
+      graft.ext.TextStats.tokenIds(col("text"), merges, vocab).as("ids")))
+    assert(!p.contains("Exchange"), s"encode must not shuffle: $p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x41 repeated spans: digest window + id agg — two exchanges, no self-join, no text on the wire") {
     val p = tree(q("x41_repeated_spans"))
     assert(p.linesIterator.count(_.contains("Exchange")) == 2,
