@@ -1246,6 +1246,35 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
           size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
     }),
+    "x44_epoch_shuffle" -> ((s, dir) => {
+      // deterministic training-order shuffle: two epochs (seed = epoch
+      // number) of the documents corpus, each a reproducible uniform
+      // permutation delivered as (batch, pos) — batch by the md5 digest's
+      // leading hex pair, pos by the digest within the batch. One
+      // batch-key exchange per epoch, no global sort, no RNG state; the
+      // oracle replays both permutations from (seed, doc_id) alone.
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      Seq(0L, 1L).map { ep =>
+        graft.ext.Curation.epochShuffle(d, Seq("doc_id"), ep, 2)
+          .withColumn("epoch", lit(ep))
+      }.reduce(_ unionAll _)
+        .select(col("epoch"), col("batch"), col("pos"), col("doc_id"))
+    }),
+    "x43_bm25_topk" -> ((s, dir) =>
+      // sparse retrieval: exact rational-idf BM25 (k1=1.2, b=0.75 as the
+      // integer pair 120/75 over scale 100, idf = (N-df+1)/(df+1), all
+      // products in decimal(38,0), one floor-div to a Q20 long) — top-5
+      // docs per query, ties to the lower doc_id. Plan: ONE (tok, doc)
+      // postings shuffle; the query batch is broadcast so the postings
+      // never reshuffle for the probe; scoring reduces on (qid, doc)
+      // over candidates only; top-k is a per-query window on that
+      // candidate frame. The oracle replays the identical integers over
+      // HUGEINT.
+      graft.ext.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "text", "doc_id",
+        Seq(1L -> "customer filter join", 2L -> "window merge sort",
+            3L -> "vector stream batch"), 5)
+        .withColumn("rank", col("rank").cast("long"))),
     "x42_sequence_pack" -> ((s, dir) => {
       // fixed-length sequence packing — the pretraining input shape: each
       // lang's token-id stream (docs in doc_id order, ids from the raw
@@ -2671,6 +2700,58 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    "x44_epoch_shuffle" ->
+      """WITH e AS (SELECT epoch, doc_id,
+                           md5(concat_ws(':', epoch, doc_id)) AS h
+                    FROM (SELECT unnest([0, 1]::BIGINT[]) AS epoch)
+                    CROSS JOIN documents)
+         SELECT epoch, substr(h, 1, 2) AS batch,
+                CAST(ROW_NUMBER() OVER (
+                       PARTITION BY epoch, substr(h, 1, 2)
+                       ORDER BY h, doc_id) AS BIGINT) AS pos,
+                doc_id
+         FROM e""",
+    "x43_bm25_topk" ->
+      """WITH tk0 AS (
+           SELECT doc_id, unnest(string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+           FROM documents),
+         tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
+         post AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dl AS (SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
+                FROM documents d
+                LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1) x
+                USING (doc_id)),
+         tdf AS (SELECT tok, COUNT(*) AS tdf FROM post GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n,
+                          (100::HUGEINT * COALESCE(SUM(dl), 0)) // COUNT(*) AS a
+                   FROM dl),
+         q AS (SELECT * FROM (VALUES (1, 'customer filter join'),
+                                     (2, 'window merge sort'),
+                                     (3, 'vector stream batch')) v(qid, qtext)),
+         qt AS (SELECT DISTINCT qid, tok FROM (
+                  SELECT qid, unnest(string_split_regex(
+                           regexp_replace(qtext, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+                  FROM q)
+                WHERE tok <> ''),
+         scored AS (
+           SELECT qt.qid, p.doc_id,
+                  SUM(CAST((1048576::HUGEINT * (n - tdf + 1) * tf * 22000 * a)
+                      // ((tdf + 1)::HUGEINT
+                          * (tf * 10000 * a + 120 * (25 * a + 7500 * dl)))
+                      AS BIGINT)) AS score_q20
+           FROM post p JOIN qt ON p.tok = qt.tok
+           JOIN dl USING (doc_id)
+           JOIN tdf ON p.tok = tdf.tok
+           CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_q20,
+                CAST(rank AS BIGINT) AS rank
+         FROM (SELECT qid, doc_id, score_q20,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score_q20 DESC, doc_id) AS rank
+               FROM scored)
+         WHERE rank <= 5""",
     "x42_sequence_pack" ->
       """WITH toks AS (
            SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk

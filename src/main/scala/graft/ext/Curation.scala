@@ -199,6 +199,41 @@ object Curation {
       groupCols, idCol, idsCol, seqLen)
   }
 
+  /** Deterministic epoch shuffle — the training-order randomization step
+    * between curation and batch assembly. Each row is assigned to one of
+    * 16^hexDigits batches by the leading hex digits of
+    * `md5(seed ":" id...)`, and ordered within its batch by the full
+    * digest (id columns as a formal tiebreak): consuming batches in
+    * (batch, pos) order replays a uniform pseudo-random permutation of
+    * the corpus that any engine can reproduce from (seed, ids) alone —
+    * no RNG state, so a re-run, a resumed job, and the DuckDB oracle all
+    * see the identical order. A new seed (e.g. the epoch number) yields
+    * an independent permutation.
+    *
+    * Scale: ONE exchange on the batch key; the per-batch row_number sorts
+    * corpus/16^hexDigits rows per partition — size `hexDigits` so a batch
+    * fits an executor (4 digits = 65 536 batches ≈ 1.5 GB/batch at
+    * 100 TB). No global sort, no driver state. MD5 is the catalog's
+    * cross-engine hash (x1/x27 precedent).
+    *
+    * Returns the input plus (batch, pos). */
+  def epochShuffle(df: DataFrame, idCols: Seq[String], seed: Long,
+                   hexDigits: Int = 4): DataFrame = {
+    require(idCols.nonEmpty, "epochShuffle needs at least one id column")
+    require(hexDigits >= 1 && hexDigits <= 16,
+      "hexDigits must be in [1, 16]")
+    Seq("_es_h", "batch", "pos").foreach(c =>
+      require(!df.columns.contains(c), s"epochShuffle reserves column $c"))
+    val h = md5(concat_ws(":",
+      (lit(seed).cast("string") +: idCols.map(c => col(c).cast("string"))): _*))
+    val order = col("_es_h") +: idCols.map(col)
+    df.withColumn("_es_h", h)
+      .withColumn("batch", substring(col("_es_h"), 1, hexDigits))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("batch").orderBy(order: _*)).cast("long"))
+      .drop("_es_h")
+  }
+
   private def reservePackCols(df: DataFrame, idCol: String): Unit =
     Seq("_ps_base", "_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id",
         "seq_ids", "n_ids").foreach(c =>

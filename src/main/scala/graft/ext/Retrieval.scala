@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse (lexical) retrieval over a document corpus: inverted-index
+  * statistics and BM25 top-k search. The dense half of retrieval lives in
+  * [[Similarity]] (brute-force / IVF / PQ ANN); this module is the other
+  * half a training-data pipeline needs — term-based search for corpus
+  * exploration, decontamination triage ("which documents mention this
+  * benchmark?"), and targeted curation pulls.
+  *
+  * Cross-engine determinism: classic BM25's `ln`-based IDF is not
+  * bit-stable across engines (libm vs java.lang.Math), so scoring uses a
+  * RATIONAL-IDF BM25 variant computed entirely in exact integer
+  * arithmetic:
+  *
+  *   idf(t)        = (N - df(t) + 1) / (df(t) + 1)            (monotone in df, as ln-idf is)
+  *   tfNorm(t, d)  = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   score(q, d)   = Σ_{t ∈ q} floor(2^20 · idf(t) · tfNorm(t, d))
+  *
+  * with k1 = 1.2 and b = 0.75 carried as the integer pair (K1=120, B=75)
+  * over scale S=100, and avgdl carried as `A = (S·totalLen) div N`
+  * (floor(100·avgdl) — both engines floor identically). Every product is
+  * evaluated in decimal(38,0) (exact at any realistic corpus width: the
+  * widest intermediate is 2^20·N·tf·22000·A ≈ 1e33 for a 1e11-document,
+  * 1e5-token-cap corpus) and the single floor-division lands back in a
+  * long (≤ 2^20·(k1+1)·N ≈ 2.3e17 at that scale). The DuckDB oracle
+  * replays the same integers over HUGEINT.
+  *
+  * Scale shape: the inverted index is ONE (token, doc) shuffle with
+  * map-side partial counts; a query batch is broadcast and hash-joined
+  * against the postings (the postings side never re-shuffles for the
+  * probe), candidate scores reduce on a (query, doc) key — candidates
+  * only, never the corpus — and top-k is a per-query window over that
+  * candidate-sized frame. Corpus-wide scalars (N, totalLen) ride the plan
+  * as a broadcast single-row join.
+  *
+  * Reference provenance: the reference has no search operator; this is
+  * beyond-reference surface motivated by its dictionary-exploration
+  * scripts (e.g. dug_helpers/dug_utils.py's term lookups), re-expressed
+  * as corpus-scale retrieval.
+  */
+object Retrieval {
+
+  /** Tokenized (id, tok) pairs: whitespace split of the trimmed text,
+    * empty/blank-safe. Identical semantics to [[TextStats]]'s tokenizers
+    * and the x34 vocabulary query. */
+  def tokens(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Postings list: (tok, doc_id, tf). One shuffle on (tok, doc_id) with
+    * map-side partial counts. */
+  def postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    tokens(df, textCol, idCol)
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Per-document length (whitespace token count) — zero-exchange
+    * projection. Token-less docs keep dl = 0 and simply never match a
+    * posting. */
+  def docLengths(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextStats.tokenCount(col(textCol)).cast("long").as("dl"))
+
+  /** Document frequency per term, from a postings frame. */
+  def termDf(post: DataFrame): DataFrame =
+    post.groupBy("tok").agg(count(lit(1)).as("tdf"))
+
+  /** BM25 top-k search: for each (qid, qtext) query, the k highest-scoring
+    * documents by the exact rational-idf BM25 above, ties broken by doc id
+    * ascending. Returns (qid, doc_id, score_q20, rank).
+    *
+    * `queries` is a small literal batch (search is interactive-scale on
+    * the query side); it is broadcast, so the corpus-side postings never
+    * reshuffle for the probe. For a query WORKLOAD as data, see
+    * [[bm25TopKJoin]]. */
+  def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    bm25TopKJoin(corpus, textCol, idCol,
+      queries.toDF("qid", "qtext"), "qid", "qtext", k)
+  }
+
+  /** Data-driven form of [[bm25TopK]]: queries arrive as a DataFrame
+    * (qidCol, qtextCol). The query side is broadcast — the plan and the
+    * corpus-side shuffle layout are independent of the number of queries
+    * (the ivfAssignJoin lesson). Query terms are de-duplicated per query
+    * (standard BM25 sums each distinct term once). */
+  def bm25TopKJoin(corpus: DataFrame, textCol: String, idCol: String,
+                   queries: DataFrame, qidCol: String, qtextCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val reserved = Seq("doc_id", "tok", "tf", "dl", "tdf", "qid",
+      "_n", "_a", "score_q20", "rank")
+    reserved.foreach { c =>
+      require(!queries.columns.contains(c) || c == qidCol || c == qtextCol,
+        s"bm25TopKJoin reserves column $c on the query side")
+    }
+
+    val post = postings(corpus, textCol, idCol)
+    val dls = docLengths(corpus, textCol, idCol)
+    val tdfs = termDf(post)
+
+    // Corpus scalars as ONE broadcast row: N docs and A = floor(100*avgdl).
+    // The div is exact integer floor (both operands non-negative).
+    val stats = dls.agg(count(lit(1)).as("_n"), sum("dl").as("_tl"))
+      .selectExpr("_n",
+        "(100 * cast(_tl as decimal(38,0))) div _n as _a")
+
+    val qterms = queries
+      .select(col(qidCol).as("qid"),
+        explode(split(TextStats.wsTrim(col(qtextCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+
+    // One exact integer term score. All products in decimal(38,0); the
+    // single floor-div (IntegralDivide — exact, both engines floor the
+    // same non-negative quotient) returns the long Q20 score.
+    val termScore =
+      """(1048576 * cast(_n - tdf + 1 as decimal(38,0)) * tf * 22000 * _a)
+         div
+         (cast(tdf + 1 as decimal(38,0)) * (tf * 10000 * _a + 120 * (25 * _a + 7500 * dl)))"""
+
+    val scored = post
+      .join(broadcast(qterms), "tok")
+      .join(dls, "doc_id")
+      .join(tdfs, "tok")
+      .join(broadcast(stats))
+      .groupBy("qid", "doc_id")
+      .agg(sum(expr(termScore)).as("score_q20"))
+
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("score_q20").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** The oracle's scoring expression over HUGEINT — kept beside the Spark
+    * form so the two integer formulas can only drift together. `n`/`a`
+    * are the stats CTE columns, `tdf`/`tf`/`dl` the per-candidate ones. */
+  val oracleTermScoreSql: String =
+    """CAST((1048576::HUGEINT * (n - tdf + 1) * tf * 22000 * a)
+           // ((tdf + 1)::HUGEINT * (tf * 10000 * a + 120 * (25 * a + 7500 * dl)))
+           AS BIGINT)"""
+}

@@ -549,6 +549,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x43 bm25: query batch broadcast; plan size independent of query count") {
+    val p = tree(q("x43_bm25_topk"))
+    // the probe side (postings) joins the broadcast query terms — never a
+    // shuffle keyed on the query batch, never a cartesian
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the query batch is DATA, not plan: 3 vs 30 queries must produce the
+    // same plan shape (the ivfAssignJoin plan-size-independence contract)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def topk(n: Int) = ext.Retrieval.bm25TopK(
+      docs, "text", "doc_id", (1 to n).map(i => i.toLong -> s"term$i"), 5)
+    assert(tree(topk(3)).linesIterator.size == tree(topk(30)).linesIterator.size)
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

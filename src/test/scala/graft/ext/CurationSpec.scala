@@ -82,4 +82,29 @@ class CurationSpec extends SparkSpec {
         "doc_id", "dom", "_cum_tok", Map(), 1L)
     }
   }
+
+  test("epochShuffle: reproducible permutation, seed-independent orders") {
+    val ids = (1L to 200L).toDF("id")
+    def order(seed: Long): Seq[Long] =
+      Curation.epochShuffle(ids, Seq("id"), seed, 1)
+        .orderBy("batch", "pos").select("id").as[Long].collect().toSeq
+    val s0 = order(0L)
+    // a permutation: every id exactly once
+    assert(s0.sorted == (1L to 200L), s0.take(10))
+    // deterministic: identical on re-run
+    assert(order(0L) == s0)
+    // not the identity, and a different seed gives a different permutation
+    assert(s0 != (1L to 200L).toSeq)
+    assert(order(1L) != s0)
+    // pos is contiguous from 1 within each batch
+    val byBatch = Curation.epochShuffle(ids, Seq("id"), 0L, 1)
+      .select("batch", "pos").as[(String, Long)].collect()
+      .groupBy(_._1).values
+    assert(byBatch.forall(b => b.map(_._2).sorted.toSeq == (1L to b.length)))
+    // reserved columns guarded
+    val e = intercept[IllegalArgumentException] {
+      Curation.epochShuffle(ids.withColumn("pos", lit(1)), Seq("id"), 0L)
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
 }

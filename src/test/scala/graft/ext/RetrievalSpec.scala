@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior of the sparse-retrieval (BM25) family. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffle join join join"),   // tf-heavy on a common term
+    (2L, "spark broadcast join"),           // both query terms, short doc
+    (3L, "broadcast variable lore"),        // rare-term doc
+    (4L, "spark spark spark spark spark spark spark spark"), // long, one term
+    (5L, "unrelated words only here")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: conjunctive match outranks partial; rare terms outweigh common") {
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq(1L -> "spark broadcast"), 5)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect()
+    // doc 2 holds BOTH terms → must rank first; docs 3 (rare 'broadcast')
+    // and 1/4 ('spark' only) follow; doc 5 matches nothing.
+    assert(out.head._2 == 2L, out.toSeq)
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L, 4L), out.toSeq)
+    // 'broadcast' (df=2) must contribute more than 'spark' (df=3) at equal
+    // tf: doc 3 (broadcast only) outscores doc 1 (spark, tf-saturated).
+    val byDoc = out.map(r => r._2 -> r._3).toMap
+    assert(byDoc(3L) > byDoc(1L), byDoc)
+    // scores are positive and ranks contiguous from 1
+    assert(out.forall(_._3 > 0) && out.map(_._4).toSeq == (1 to out.length))
+  }
+
+  test("bm25TopK: tf saturation — k1 caps repeated-term gains sublinearly") {
+    // doc 4 has tf=8 of 'spark' vs doc 2's tf=1, but dl-normalization and
+    // k1 saturation keep it under 8x; both dls differ so just pin ordering
+    // doc4 > doc2-for-spark-only and the score ratio < tf ratio.
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq(1L -> "spark"), 5).as[(Long, Long, Long, Int)].collect()
+    val byDoc = out.map(r => r._2 -> r._3).toMap
+    assert(byDoc(4L) > byDoc(2L), byDoc)
+    assert(byDoc(4L).toDouble / byDoc(2L) < 8.0, byDoc)
+  }
+
+  test("bm25TopK: k truncates per query and ties break to the lower doc id") {
+    val tied = Seq(
+      (10L, "alpha beta"), (11L, "alpha beta"), (12L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(tied, "text", "doc_id",
+      Seq(7L -> "alpha"), 2).orderBy("rank")
+      .as[(Long, Long, Long, Int)].collect()
+    // identical docs → identical scores → id-ascending, truncated at k=2
+    assert(out.map(_._2).toSeq == Seq(10L, 11L), out.toSeq)
+    assert(out(0)._3 == out(1)._3)
+  }
+
+  test("bm25TopKJoin rejects reserved columns on the query side") {
+    val bad = Seq((1L, "x", 0L)).toDF("qid", "qtext", "tf")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKJoin(corpus, "text", "doc_id", bad, "qid", "qtext", 3)
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
+  test("bm25 is blank-safe: token-less docs and blank queries contribute nothing") {
+    val withBlank = corpus.union(Seq((6L, "   "), (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val out = Retrieval.bm25TopK(withBlank, "text", "doc_id",
+      Seq(1L -> "spark", 2L -> "  "), 10).as[(Long, Long, Long, Int)].collect()
+    assert(out.forall(r => r._1 == 1L), out.toSeq)          // blank query: no rows
+    assert(!out.exists(r => r._2 == 6L || r._2 == 7L))       // blank docs never match
+  }
+}
