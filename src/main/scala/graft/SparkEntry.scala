@@ -1246,6 +1246,16 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
           size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
     }),
+    "x45_bigram_lm" -> ((s, dir) => {
+      // CCNet-style LM quality filter in exact arithmetic: self-trained
+      // bigram counts, score = mean conditional token probability in Q30
+      // (stupid backoff α=0.4 for unseen pairs). Training is two
+      // token-key shuffles; scoring equi-joins the count tables and
+      // reduces on doc_id; T rides as one broadcast row. The oracle
+      // retrains and rescores the identical integers over HUGEINT.
+      val d = t(s, dir, "documents")
+      graft.ext.TextStats.bigramLmScoreQ30(d, "text", "doc_id", d, "text")
+    }),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -2700,6 +2710,36 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    "x45_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         c1 AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY 1),
+         tt AS (SELECT COUNT(*) AS t FROM tok),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM w0),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         sc AS (
+           SELECT bg.doc_id, COUNT(*) AS n_pairs,
+                  CAST(SUM(CASE WHEN c2.c2 IS NOT NULL
+                    THEN CAST((1073741824::HUGEINT * c2.c2) // u1.c1 AS BIGINT)
+                    ELSE CAST((4::HUGEINT * 1073741824 * COALESCE(u2.c1, 0))
+                              // (10::HUGEINT * t) AS BIGINT)
+                  END) AS BIGINT) AS sum_p_q30
+           FROM bg
+           LEFT JOIN c2 USING (w1, w2)
+           LEFT JOIN c1 u1 ON bg.w1 = u1.w
+           LEFT JOIN c1 u2 ON bg.w2 = u2.w
+           CROSS JOIN tt
+           GROUP BY 1)
+         SELECT d.doc_id, COALESCE(sc.n_pairs, 0) AS n_pairs, sc.sum_p_q30,
+                CAST(sc.sum_p_q30 // sc.n_pairs AS BIGINT) AS lm_q30
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
     "x44_epoch_shuffle" ->
       """WITH e AS (SELECT epoch, doc_id,
                            md5(concat_ws(':', epoch, doc_id)) AS h

@@ -394,6 +394,77 @@ object TextStats {
         s => s.getField("_ti_vid")).as("ids"))
   }
 
+  /** Bigram language-model quality score — the CCNet-style "train a small
+    * LM on a trusted corpus, score candidate documents by how predictable
+    * their text is" filter, in exact cross-engine arithmetic. True LM
+    * perplexity sums ln-probabilities (not bit-stable across engines), so
+    * the score is the MEAN CONDITIONAL TOKEN PROBABILITY in Q30 fixed
+    * point: for each adjacent pair (w1, w2) of a document,
+    *
+    *   p_q30 = floor(2^30 · C2(w1,w2) / C1(w1))          seen bigram
+    *         = floor(2^30 · α · C1(w2) / T)               backoff (α = 4/10)
+    *
+    * (stupid-backoff shape; unseen w2 scores 0), and the document score is
+    * `lm_q30 = floor(Σ p_q30 / nPairs)` — higher = more in-distribution.
+    * Monotone in the same counts perplexity uses, deterministic, and
+    * replayable in SQL. Products run in decimal(38,0) (2^30·C2 overflows a
+    * long once a bigram tops ~8.5e9 occurrences — the Zipf head at 100 TB
+    * crosses that); each floor-div lands back in a long ≤ 2^30.
+    *
+    * Scale: training is two token-key shuffles (bigram + unigram counts)
+    * with map-side partials absorbing the Zipf head; T rides as ONE
+    * broadcast row. Scoring explodes the candidate's pairs, equi-joins
+    * the count tables on token keys, and reduces on the doc id — all
+    * shuffles carry token/id keys with long payloads. Candidate docs with
+    * fewer than two tokens return n_pairs = 0, lm_q30 null.
+    *
+    * Returns (doc_id, n_pairs, sum_p_q30, lm_q30). */
+  def bigramLmScoreQ30(score: DataFrame, textCol: String, idCol: String,
+                       train: DataFrame, trainTextCol: String): DataFrame = {
+    val reserved = Seq("doc_id", "_w1", "_w2", "_c2", "_c1w1", "_c1w2", "_t",
+      "n_pairs", "sum_p_q30", "lm_q30")
+    reserved.foreach(c => require(c == idCol || !score.columns.contains(c),
+      s"bigramLmScoreQ30 reserves column $c on the score side"))
+
+    def toks(tc: String): Column = split(wsTrim(col(tc)), "\\s+")
+    def pairs(df: DataFrame, tc: String, keep: Seq[Column]): DataFrame =
+      df.filter(col(tc).isNotNull && wsTrim(col(tc)) =!= "")
+        .select((keep :+ toks(tc).as("_tk")): _*)
+        .filter(size(col("_tk")) >= 2)
+        .select((keep :+ explode(arrays_zip(
+          slice(col("_tk"), lit(1), size(col("_tk")) - 1).as("a"),
+          slice(col("_tk"), lit(2), size(col("_tk")) - 1).as("b"))).as("_p")): _*)
+        .select((keep :+ col("_p.a").as("_w1") :+ col("_p.b").as("_w2")): _*)
+
+    val trainTok = train
+      .filter(col(trainTextCol).isNotNull && wsTrim(col(trainTextCol)) =!= "")
+      .select(explode(toks(trainTextCol)).as("_w"))
+    val c1 = trainTok.groupBy("_w").agg(count(lit(1)).as("_c1"))
+    val c2 = pairs(train, trainTextCol, Nil)
+      .groupBy("_w1", "_w2").agg(count(lit(1)).as("_c2"))
+    val tTotal = trainTok.agg(count(lit(1)).as("_t"))
+
+    val scored = pairs(score, textCol, Seq(col(idCol).as("doc_id")))
+      .join(c2, Seq("_w1", "_w2"), "left")
+      .join(c1.select(col("_w").as("_w1"), col("_c1").as("_c1w1")),
+        Seq("_w1"), "left")
+      .join(c1.select(col("_w").as("_w2"), col("_c1").as("_c1w2")),
+        Seq("_w2"), "left")
+      .join(broadcast(tTotal))
+      .withColumn("_p_q30", expr(
+        """CASE WHEN _c2 IS NOT NULL
+             THEN (1073741824 * cast(_c2 as decimal(38,0))) div _c1w1
+             ELSE (4L * 1073741824L * cast(coalesce(_c1w2, 0) as decimal(38,0)))
+                  div (10L * _t) END"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("_p_q30").as("sum_p_q30"))
+      .withColumn("lm_q30", expr("sum_p_q30 div n_pairs"))
+
+    score.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+  }
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

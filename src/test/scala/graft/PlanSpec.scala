@@ -563,6 +563,18 @@ class PlanSpec extends SparkSpec {
     assert(tree(topk(3)).linesIterator.size == tree(topk(30)).linesIterator.size)
   }
 
+  test("x45 bigram LM: count joins key on tokens/ids, never raw text") {
+    val p = tree(q("x45_bigram_lm"))
+    assert(!p.contains("CartesianProduct"), p)
+    // every join keys on _w1/_w2/doc_id (token and id keys) or is the
+    // broadcast single-row T — the document text column never reaches an
+    // exchange or join key
+    tree(q("x45_bigram_lm")).linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange"))
+      .foreach(l => assert(!l.contains("text#"),
+        s"x45 must not join/shuffle on raw text: $l"))
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block
