@@ -1246,6 +1246,23 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
           size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
     }),
+    "x43b_bm25_indexed" -> ((s, dir) => {
+      // the retrieval LAYOUT lifecycle through the driver gate (s8/s9
+      // precedent): write the md5-bucketed, dl/tdf-denormalized postings
+      // index to a session temp dir (construction-time side effect,
+      // JVM-exit cleanup), then answer x43's queries FROM the layout —
+      // the probe scan statically prunes to the query terms' buckets
+      // (PlanSpec pins the partition filter + count) and needs no
+      // corpus-side join at all. Pruning must be invisible to the
+      // RESULT: the oracle is x43's, verbatim.
+      val d = t(s, dir, "documents")
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_bm25_index_")
+      graft.ext.Retrieval.writeIndex(d, "text", "doc_id", ldir)
+      graft.ext.Retrieval.bm25TopKIndexed(ldir,
+        Seq(1L -> "customer filter join", 2L -> "window merge sort",
+            3L -> "vector stream batch"), 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "x45_bigram_lm" -> ((s, dir) => {
       // CCNet-style LM quality filter in exact arithmetic: self-trained
       // bigram counts, score = mean conditional token probability in Q30
@@ -1432,7 +1449,9 @@ object SparkEntry {
     * x6b's exact query from the cid-partitioned layout — partition pruning
     * must be invisible to RESULTS, so its oracle is x6b's, verbatim. */
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf"))
+    oracleSqlBase +
+      ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf")) +
+      ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

@@ -68,6 +68,16 @@ object Retrieval {
   def termDf(post: DataFrame): DataFrame =
     post.groupBy("tok").agg(count(lit(1)).as("tdf"))
 
+  /** One exact integer term score. All products in decimal(38,0); the
+    * single floor-div (IntegralDivide — exact, both engines floor the
+    * same non-negative quotient) returns the long Q20 score. Shared by
+    * the joined and the indexed probe (whose layout denormalizes the
+    * same tdf/dl/_n/_a columns). */
+  private val termScoreSql: String =
+    """(1048576 * cast(_n - tdf + 1 as decimal(38,0)) * tf * 22000 * _a)
+       div
+       (cast(tdf + 1 as decimal(38,0)) * (tf * 10000 * _a + 120 * (25 * _a + 7500 * dl)))"""
+
   /** BM25 top-k search: for each (qid, qtext) query, the k highest-scoring
     * documents by the exact rational-idf BM25 above, ties broken by doc id
     * ascending. Returns (qid, doc_id, score_q20, rank).
@@ -116,22 +126,80 @@ object Retrieval {
       .filter(col("tok") =!= "")
       .distinct()
 
-    // One exact integer term score. All products in decimal(38,0); the
-    // single floor-div (IntegralDivide — exact, both engines floor the
-    // same non-negative quotient) returns the long Q20 score.
-    val termScore =
-      """(1048576 * cast(_n - tdf + 1 as decimal(38,0)) * tf * 22000 * _a)
-         div
-         (cast(tdf + 1 as decimal(38,0)) * (tf * 10000 * _a + 120 * (25 * _a + 7500 * dl)))"""
-
     val scored = post
       .join(broadcast(qterms), "tok")
       .join(dls, "doc_id")
       .join(tdfs, "tok")
       .join(broadcast(stats))
       .groupBy("qid", "doc_id")
-      .agg(sum(expr(termScore)).as("score_q20"))
+      .agg(sum(expr(termScoreSql)).as("score_q20"))
 
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("score_q20").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist the BM25 index as a PRUNABLE LAYOUT (the writeIvfPartitioned
+    * lesson applied to retrieval): postings denormalized with each row's
+    * dl and term df — so probe-time needs NO corpus-side join at all —
+    * partitioned by the leading `hexDigits` of md5(tok). A query's terms
+    * map to a handful of buckets, so the probe read statically prunes to
+    * |distinct terms| of the 16^hexDigits partitions before any task
+    * launches. Corpus scalars (N, A) land as a one-row parquet beside it.
+    *
+    * Index size: one (doc_id, tf, dl, tdf) row per posting — the dl/tdf
+    * denormalization trades ~2 longs per posting for a join-free probe
+    * plan, the standard search-index layout call. */
+  def writeIndex(corpus: DataFrame, textCol: String, idCol: String,
+                 path: String, hexDigits: Int = 2): Unit = {
+    require(hexDigits >= 1 && hexDigits <= 8, "hexDigits must be in [1, 8]")
+    val post = postings(corpus, textCol, idCol)
+    val dls = docLengths(corpus, textCol, idCol)
+    post
+      .join(termDf(post), "tok")
+      .join(dls, "doc_id")
+      .withColumn("bucket", substring(md5(col("tok")), 1, hexDigits))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    dls.agg(count(lit(1)).as("_n"), sum("dl").as("_tl"))
+      .selectExpr("_n", "(100 * cast(_tl as decimal(38,0))) div _n as _a")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a [[writeIndex]] layout: the query terms' md5
+    * buckets fold into an IN filter on the partition column, so the scan
+    * prunes to the terms' buckets statically; scoring is then a broadcast
+    * qterms join + one (qid, doc) reduction + per-query window — the
+    * corpus never joins or reshuffles at probe time. Results are
+    * bit-identical to [[bm25TopK]] on the same corpus (the driver gate
+    * pins this: the x43b oracle is x43's, verbatim). */
+  def bm25TopKIndexed(path: String, queries: Seq[(Long, String)], k: Int,
+                      hexDigits: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val terms = queries.flatMap { case (qid, qtext) =>
+      qtext.trim.split("\\s+").filter(_.nonEmpty).map(qid -> _)
+    }.distinct
+    // driver-side md5 (same lowercase hex as Spark's md5()): the bucket
+    // list must exist BEFORE the plan so pruning is static
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buckets = terms.map(_._2).distinct.map { t =>
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, hexDigits)
+    }.distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    val scored = post
+      .join(broadcast(terms.toDF("qid", "tok")), "tok")
+      .join(broadcast(stats))
+      .groupBy("qid", "doc_id")
+      .agg(sum(expr(termScoreSql)).as("score_q20"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rank", row_number().over(

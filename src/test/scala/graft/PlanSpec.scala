@@ -563,6 +563,30 @@ class PlanSpec extends SparkSpec {
     assert(tree(topk(3)).linesIterator.size == tree(topk(30)).linesIterator.size)
   }
 
+  test("x43b indexed bm25 statically prunes the layout scan to the terms' buckets") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("bm25_lifecycle").toString
+    ext.Retrieval.writeIndex(docs, "text", "doc_id", path)
+    val nBuckets = spark.read.parquet(s"$path/postings")
+      .select("bucket").distinct().count()
+    val out = ext.Retrieval.bm25TopKIndexed(path, Seq(1L -> "customer filter"), 5)
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scan = root.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("bm25_lifecycle") => f
+    }.getOrElse(fail("no layout scan in the plan"))
+    assert(scan.metadata("PartitionFilters").contains("bucket"),
+      scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"2 terms must scan <= 2 of $nBuckets buckets, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    assert(nBuckets > 2, "fixture must spread wider than the probe set")
+  }
+
   test("x45 bigram LM: count joins key on tokens/ids, never raw text") {
     val p = tree(q("x45_bigram_lm"))
     assert(!p.contains("CartesianProduct"), p)

@@ -62,6 +62,17 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("reserves"))
   }
 
+  test("indexed probe: bit-identical to the joined path on the same corpus") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    Retrieval.writeIndex(corpus, "text", "doc_id", path)
+    val qs = Seq(1L -> "spark broadcast", 2L -> "unrelated lore")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "score_q20", "rank")
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(rows(Retrieval.bm25TopKIndexed(path, qs, 3)) ==
+      rows(Retrieval.bm25TopK(corpus, "text", "doc_id", qs, 3)))
+  }
+
   test("bm25 is blank-safe: token-less docs and blank queries contribute nothing") {
     val withBlank = corpus.union(Seq((6L, "   "), (7L, null.asInstanceOf[String]))
       .toDF("doc_id", "text"))
