@@ -1246,6 +1246,26 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
           size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
     }),
+    "x43c_bm25_incremental" -> ((s, dir) => {
+      // the GROWING-corpus index (x26/x41c append-only staging applied to
+      // retrieval): the corpus arrives as two batches (doc_id parity),
+      // each appending bucket-partitioned postings + one stats row;
+      // nothing global rewrites. The probe prunes to the query terms'
+      // buckets, recovers term df from the pruned rows themselves (a
+      // term's postings all live in its one bucket) and (N, avgdl) from
+      // the per-batch stats rows — and must be bit-identical to the
+      // one-shot x43 over the full corpus: the oracle is x43's, verbatim.
+      val d = t(s, dir, "documents")
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_bm25_inc_")
+      Seq(0, 1).foreach { par =>
+        graft.ext.Retrieval.appendIndexBatch(
+          d.filter(pmod(col("doc_id"), lit(2)) === par), "text", "doc_id", ldir)
+      }
+      graft.ext.Retrieval.bm25TopKStaged(ldir,
+        Seq(1L -> "customer filter join", 2L -> "window merge sort",
+            3L -> "vector stream batch"), 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "x43b_bm25_indexed" -> ((s, dir) => {
       // the retrieval LAYOUT lifecycle through the driver gate (s8/s9
       // precedent): write the md5-bucketed, dl/tdf-denormalized postings
@@ -1451,7 +1471,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf")) +
-      ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk"))
+      ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
+      ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

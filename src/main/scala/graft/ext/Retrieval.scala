@@ -142,6 +142,22 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Driver-side (qid, term) pairs and their distinct md5 buckets — the
+    * same lowercase hex as Spark's md5(), computed BEFORE the plan so the
+    * layout scan's bucket filter prunes statically. */
+  private def queryTermsAndBuckets(queries: Seq[(Long, String)],
+                                   hexDigits: Int): (Seq[(Long, String)], Seq[String]) = {
+    val terms = queries.flatMap { case (qid, qtext) =>
+      qtext.trim.split("\\s+").filter(_.nonEmpty).map(qid -> _)
+    }.distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buckets = terms.map(_._2).distinct.map { t =>
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, hexDigits)
+    }.distinct
+    (terms, buckets)
+  }
+
   /** Persist the BM25 index as a PRUNABLE LAYOUT (the writeIvfPartitioned
     * lesson applied to retrieval): postings denormalized with each row's
     * dl and term df — so probe-time needs NO corpus-side join at all —
@@ -182,16 +198,7 @@ object Retrieval {
     require(k > 0, "k must be positive")
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val terms = queries.flatMap { case (qid, qtext) =>
-      qtext.trim.split("\\s+").filter(_.nonEmpty).map(qid -> _)
-    }.distinct
-    // driver-side md5 (same lowercase hex as Spark's md5()): the bucket
-    // list must exist BEFORE the plan so pruning is static
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val buckets = terms.map(_._2).distinct.map { t =>
-      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .substring(0, hexDigits)
-    }.distinct
+    val (terms, buckets) = queryTermsAndBuckets(queries, hexDigits)
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))
     val stats = spark.read.parquet(s"$path/stats")
@@ -201,6 +208,61 @@ object Retrieval {
       .groupBy("qid", "doc_id")
       .agg(sum(expr(termScoreSql)).as("score_q20"))
     import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("score_q20").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Incremental index for a GROWING corpus (the x26/x41c append-only
+    * staging pattern): each arriving batch appends its postings — (tok,
+    * doc_id, tf, dl), bucket-partitioned like [[writeIndex]] — plus ONE
+    * (n_docs, sum_dl) stats row. Nothing global is rewritten, so term df
+    * and avgdl are NOT denormalized (they would go stale on every
+    * append); [[bm25TopKStaged]] recovers both at probe time: df from
+    * the pruned buckets themselves (a term's postings all live in its
+    * one bucket — counting them there IS the corpus df), corpus scalars
+    * by aggregating the metadata-scale stats rows. Requires corpus-wide
+    * unique doc ids across batches (the x26 contract). */
+  def appendIndexBatch(batch: DataFrame, textCol: String, idCol: String,
+                       path: String, hexDigits: Int = 2): Unit = {
+    require(hexDigits >= 1 && hexDigits <= 8, "hexDigits must be in [1, 8]")
+    val dls = docLengths(batch, textCol, idCol)
+    postings(batch, textCol, idCol)
+      .join(dls, "doc_id")
+      .withColumn("bucket", substring(md5(col("tok")), 1, hexDigits))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.mode("append").parquet(s"$path/stats_inc")
+  }
+
+  /** BM25 top-k against an [[appendIndexBatch]] stage: the scan prunes to
+    * the query terms' buckets statically; term df is counted from the
+    * pruned rows (ONE tok-key window over a buckets-sized frame — never
+    * the corpus); (N, A) aggregate from the per-batch stats rows. Results
+    * are bit-identical to [[bm25TopK]] over the union of all appended
+    * batches (the x43c driver row pins this against x43's oracle). */
+  def bm25TopKStaged(path: String, queries: Seq[(Long, String)], k: Int,
+                     hexDigits: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val (terms, buckets) = queryTermsAndBuckets(queries, hexDigits)
+    val stats = spark.read.parquet(s"$path/stats_inc")
+      .agg(sum("n_docs").as("_n"), sum("sum_dl").as("_tl"))
+      .selectExpr("_n", "(100 * cast(_tl as decimal(38,0))) div _n as _a")
+    import org.apache.spark.sql.expressions.Window
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("tok")))
+    val scored = post
+      .join(broadcast(terms.toDF("qid", "tok")), "tok")
+      .join(broadcast(stats))
+      .groupBy("qid", "doc_id")
+      .agg(sum(expr(termScoreSql)).as("score_q20"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid")

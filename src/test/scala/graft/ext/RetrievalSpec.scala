@@ -73,6 +73,25 @@ class RetrievalSpec extends SparkSpec {
       rows(Retrieval.bm25TopK(corpus, "text", "doc_id", qs, 3)))
   }
 
+  test("incremental index: appended batches probe bit-identical to one-shot") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_inc").toString
+    val (b1, b2) = (corpus.filter(col("doc_id") <= 2), corpus.filter(col("doc_id") > 2))
+    Retrieval.appendIndexBatch(b1, "text", "doc_id", path)
+    Retrieval.appendIndexBatch(b2, "text", "doc_id", path)
+    val qs = Seq(1L -> "spark broadcast", 2L -> "unrelated lore")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "score_q20", "rank")
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(rows(Retrieval.bm25TopKStaged(path, qs, 3)) ==
+      rows(Retrieval.bm25TopK(corpus, "text", "doc_id", qs, 3)))
+    // a third batch shifts df/avgdl corpus-wide: the staged probe must
+    // track the union, not the first snapshot
+    val b3 = Seq((9L, "spark spark lore")).toDF("doc_id", "text")
+    Retrieval.appendIndexBatch(b3, "text", "doc_id", path)
+    assert(rows(Retrieval.bm25TopKStaged(path, qs, 3)) ==
+      rows(Retrieval.bm25TopK(corpus.unionAll(b3), "text", "doc_id", qs, 3)))
+  }
+
   test("bm25 is blank-safe: token-less docs and blank queries contribute nothing") {
     val withBlank = corpus.union(Seq((6L, "   "), (7L, null.asInstanceOf[String]))
       .toDF("doc_id", "text"))

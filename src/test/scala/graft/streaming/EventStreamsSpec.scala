@@ -440,6 +440,39 @@ class EventStreamsSpec extends SparkSpec {
       s"streamed ${statSet(spark.read.parquet(out))} vs ${s1 ++ s2}")
   }
 
+  test("streaming index ingest: micro-batches append the BM25 stage ≡ one-shot index") {
+    // the retrieval face of the x26 mold: document micro-batches append
+    // bucket-partitioned postings + a stats row each (nothing global
+    // rewrites — df and avgdl are probe-time recoveries), and the staged
+    // probe over the drained stream must be bit-identical to the batch
+    // scorer over the full corpus.
+    import graft.ext.Retrieval
+    val b1 = Seq((1L, "spark shuffle join"), (2L, "spark broadcast join"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "broadcast variable lore"), (4L, "unrelated words"))
+      .toDF("doc_id", "text")
+    val src = Files.createTempDirectory("bm25src").toString
+    val ckpt = Files.createTempDirectory("bm25ckpt").toString
+    val stage = Files.createTempDirectory("bm25stage").toString
+    def drain(): Unit = {
+      val q = spark.readStream.schema(b1.schema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Retrieval.appendIndexBatch(batch.toDF(), "text", "doc_id", stage)
+        }.start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); drain()
+    b2.write.mode("append").parquet(src); drain()
+    val qs = Seq(1L -> "spark broadcast", 2L -> "lore")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "doc_id", "score_q20")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(rows(Retrieval.bm25TopKStaged(stage, qs, 4)) ==
+      rows(Retrieval.bm25TopK(b1.unionAll(b2), "text", "doc_id", qs, 4)))
+  }
+
   test("upsert sink exactly-once survives a crash BETWEEN sink write and checkpoint commit") {
     val src = Files.createTempDirectory("csrc").toString
     val sink = Files.createTempDirectory("csink").toString
