@@ -208,7 +208,10 @@ object Curation {
     * the corpus that any engine can reproduce from (seed, ids) alone —
     * no RNG state, so a re-run, a resumed job, and the DuckDB oracle all
     * see the identical order. A new seed (e.g. the epoch number) yields
-    * an independent permutation.
+    * an independent permutation. Requires the id columns to be non-null
+    * and unique per row (the catalog's id contract): duplicate id tuples
+    * would tie both the digest and the tiebreak, leaving their relative
+    * order engine-dependent.
     *
     * Scale: ONE exchange on the batch key; the per-batch row_number sorts
     * corpus/16^hexDigits rows per partition — size `hexDigits` so a batch

@@ -116,9 +116,11 @@ object Retrieval {
 
     // Corpus scalars as ONE broadcast row: N docs and A = floor(100*avgdl).
     // The div is exact integer floor (both operands non-negative).
+    // _n = 0 (empty corpus) must not ANSI-throw on the div: the guard
+    // value never reaches output (no postings -> no candidate rows)
     val stats = dls.agg(count(lit(1)).as("_n"), sum("dl").as("_tl"))
       .selectExpr("_n",
-        "(100 * cast(_tl as decimal(38,0))) div _n as _a")
+        "case when _n = 0 then 0L else (100 * cast(_tl as decimal(38,0))) div _n end as _a")
 
     val qterms = queries
       .select(col(qidCol).as("qid"),
@@ -182,7 +184,8 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     dls.agg(count(lit(1)).as("_n"), sum("dl").as("_tl"))
-      .selectExpr("_n", "(100 * cast(_tl as decimal(38,0))) div _n as _a")
+      .selectExpr("_n",
+        "case when _n = 0 then 0L else (100 * cast(_tl as decimal(38,0))) div _n end as _a")
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -253,7 +256,8 @@ object Retrieval {
     val (terms, buckets) = queryTermsAndBuckets(queries, hexDigits)
     val stats = spark.read.parquet(s"$path/stats_inc")
       .agg(sum("n_docs").as("_n"), sum("sum_dl").as("_tl"))
-      .selectExpr("_n", "(100 * cast(_tl as decimal(38,0))) div _n as _a")
+      .selectExpr("_n",
+        "case when _n = 0 then 0L else (100 * cast(_tl as decimal(38,0))) div _n end as _a")
     import org.apache.spark.sql.expressions.Window
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))

@@ -452,8 +452,11 @@ object TextStats {
         Seq("_w2"), "left")
       .join(broadcast(tTotal))
       .withColumn("_p_q30", expr(
+        // _t = 0 (empty train corpus) must not ANSI-throw on the backoff
+        // div: every pair is then unseen and scores 0
         """CASE WHEN _c2 IS NOT NULL
              THEN (1073741824 * cast(_c2 as decimal(38,0))) div _c1w1
+             WHEN _t = 0 THEN 0L
              ELSE (4L * 1073741824L * cast(coalesce(_c1w2, 0) as decimal(38,0)))
                   div (10L * _t) END"""))
       .groupBy("doc_id")

@@ -40,6 +40,14 @@ class LmSpec extends SparkSpec {
     assert(out(1L) > out(2L), out)
   }
 
+  test("bigramLmScoreQ30: empty train corpus scores 0, no ANSI throw") {
+    val cand = Seq((1L, "a b")).toDF("doc_id", "text")
+    val out = TextStats.bigramLmScoreQ30(
+      cand, "text", "doc_id", train.filter(col("doc_id") < 0), "text")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(out.sameElements(Array((1L, 1L, Some(0L), Some(0L)))), out.toSeq)
+  }
+
   test("bigramLmScoreQ30 rejects reserved score-side columns") {
     val bad = Seq((1L, "a b", 0L)).toDF("doc_id", "text", "_c2")
     val e = intercept[IllegalArgumentException] {

@@ -99,5 +99,9 @@ class RetrievalSpec extends SparkSpec {
       Seq(1L -> "spark", 2L -> "  "), 10).as[(Long, Long, Long, Int)].collect()
     assert(out.forall(r => r._1 == 1L), out.toSeq)          // blank query: no rows
     assert(!out.exists(r => r._2 == 6L || r._2 == 7L))       // blank docs never match
+    // an EMPTY corpus must return empty, not ANSI-throw on avgdl's div
+    val none = corpus.filter(col("doc_id") < 0)
+    assert(Retrieval.bm25TopK(none, "text", "doc_id", Seq(1L -> "spark"), 3)
+      .count() == 0)
   }
 }
