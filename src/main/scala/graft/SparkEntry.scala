@@ -1283,6 +1283,22 @@ object SparkEntry {
             3L -> "vector stream batch"), 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    "x46_curriculum" -> ((s, dir) => {
+      // COMPOSITION row (x37 discipline): the x45 LM score feeds a
+      // quality-curriculum training order — absolute Q30 score bands
+      // (zero-exchange projection; no global rank sort) with an x44-style
+      // reproducible shuffle inside each band. Consuming (band desc,
+      // batch, pos) anneals training clean→noisy. The oracle replays the
+      // x45 CTE chain, the band arithmetic, and both window orders.
+      val d = t(s, dir, "documents")
+      val scored = graft.ext.TextStats.bigramLmScoreQ30(
+        d, "text", "doc_id", d, "text")
+      graft.ext.Curation.curriculumOrder(
+          scored.select(col("doc_id"), col("lm_q30")),
+          Seq("doc_id"), "lm_q30", 4, 0L, 2)
+        .select(col("band"), col("batch"), col("pos"), col("doc_id"),
+          col("lm_q30"))
+    }),
     "x45_bigram_lm" -> ((s, dir) => {
       // CCNet-style LM quality filter in exact arithmetic: self-trained
       // bigram counts, score = mean conditional token probability in Q30
@@ -2750,6 +2766,49 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    "x46_curriculum" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         c1 AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY 1),
+         tt AS (SELECT COUNT(*) AS t FROM tok),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM w0),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         sc AS (
+           SELECT bg.doc_id, COUNT(*) AS n_pairs,
+                  CAST(SUM(CASE WHEN c2.c2 IS NOT NULL
+                    THEN CAST((1073741824::HUGEINT * c2.c2) // u1.c1 AS BIGINT)
+                    ELSE CAST((4::HUGEINT * 1073741824 * COALESCE(u2.c1, 0))
+                              // (10::HUGEINT * t) AS BIGINT)
+                  END) AS BIGINT) AS sum_p_q30
+           FROM bg
+           LEFT JOIN c2 USING (w1, w2)
+           LEFT JOIN c1 u1 ON bg.w1 = u1.w
+           LEFT JOIN c1 u2 ON bg.w2 = u2.w
+           CROSS JOIN tt
+           GROUP BY 1),
+         lm AS (
+           SELECT d.doc_id,
+                  CAST(sc.sum_p_q30 // sc.n_pairs AS BIGINT) AS lm_q30
+           FROM documents d LEFT JOIN sc USING (doc_id)),
+         cu AS (
+           SELECT doc_id, lm_q30,
+                  least(3, greatest(0, (COALESCE(lm_q30, 0) * 4) // 1073741824))
+                    AS band,
+                  md5(concat_ws(':', 0, doc_id)) AS h
+           FROM lm)
+         SELECT band, substr(h, 1, 2) AS batch,
+                CAST(ROW_NUMBER() OVER (
+                       PARTITION BY band, substr(h, 1, 2)
+                       ORDER BY h, doc_id) AS BIGINT) AS pos,
+                doc_id, lm_q30
+         FROM cu""",
     "x45_bigram_lm" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(

@@ -237,6 +237,38 @@ object Curation {
       .drop("_es_h")
   }
 
+  /** Quality-curriculum training order: rows are banded by ABSOLUTE
+    * score range — `band = min(nBands−1, floor(score·nBands / 2^30))`
+    * over a Q30 score column, a zero-exchange projection (a rank-quantile
+    * decile would need a global sort; fixed bands don't and stay
+    * deterministic under corpus growth) — then [[epochShuffle]]-style
+    * randomized WITHIN each band: batch by the md5 digest's leading hex,
+    * pos by the digest. Consuming (band desc, batch, pos) anneals
+    * training from the highest-quality band down, with a reproducible
+    * uniform shuffle inside each band. Null scores (e.g. docs the LM
+    * scorer returns no pairs for) band as 0. One (band, batch)-key
+    * exchange; same id contract as [[epochShuffle]].
+    *
+    * Returns the input plus (band, batch, pos). */
+  def curriculumOrder(df: DataFrame, idCols: Seq[String], scoreQ30Col: String,
+                      nBands: Int, seed: Long, hexDigits: Int = 4): DataFrame = {
+    require(idCols.nonEmpty, "curriculumOrder needs at least one id column")
+    require(nBands >= 1 && nBands <= 1024, "nBands must be in [1, 1024]")
+    require(hexDigits >= 1 && hexDigits <= 16, "hexDigits must be in [1, 16]")
+    Seq("_cu_h", "band", "batch", "pos").foreach(c =>
+      require(!df.columns.contains(c), s"curriculumOrder reserves column $c"))
+    val h = md5(concat_ws(":",
+      (lit(seed).cast("string") +: idCols.map(c => col(c).cast("string"))): _*))
+    val order = col("_cu_h") +: idCols.map(col)
+    df.withColumn("band", expr(
+        s"least(${nBands - 1}L, greatest(0L, (coalesce($scoreQ30Col, 0L) * ${nBands}L) div 1073741824L))"))
+      .withColumn("_cu_h", h)
+      .withColumn("batch", substring(col("_cu_h"), 1, hexDigits))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("band", "batch").orderBy(order: _*)).cast("long"))
+      .drop("_cu_h")
+  }
+
   private def reservePackCols(df: DataFrame, idCol: String): Unit =
     Seq("_ps_base", "_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id",
         "seq_ids", "n_ids").foreach(c =>

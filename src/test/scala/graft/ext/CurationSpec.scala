@@ -107,4 +107,32 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserves"))
   }
+
+  test("curriculumOrder: absolute score bands, clamped edges, in-band shuffle") {
+    val q = 1073741824L // 2^30
+    val rows = Seq(
+      (1L, Some(0L)),          // band 0
+      (2L, Some(q / 4)),       // exactly the 0/1 boundary -> band 1
+      (3L, Some(q / 2 - 1)),   // band 1
+      (4L, Some(q)),           // full score clamps into the top band
+      (5L, None),              // null scores band as 0
+      (6L, Some(-5L))          // negative clamps to 0
+    ).toDF("id", "score")
+    val out = Curation.curriculumOrder(rows, Seq("id"), "score", 4, 0L, 1)
+      .select("id", "band").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 0L, 6L -> 0L), out)
+    // pos restarts per (band, batch) and is deterministic across calls
+    val big = (1L to 100L).map(i => (i, Some(i * q / 100))).toDF("id", "score")
+    def run() = Curation.curriculumOrder(big, Seq("id"), "score", 4, 7L, 1)
+      .select("band", "batch", "pos", "id")
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.groupBy(r => (r._1, r._2)).values
+      .forall(g => g.map(_._3).sorted == (1L to g.length)))
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.curriculumOrder(rows.withColumn("band", lit(1)), Seq("id"), "score", 4, 0L)
+    }
+    assert(e2.getMessage.contains("reserves"))
+  }
 }
