@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Aggs, Filters, Joins, Merge, Projections, Windows}
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1262,8 +1262,7 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(2)) === par), "text", "doc_id", ldir)
       }
       graft.ext.Retrieval.bm25TopKStaged(ldir,
-        Seq(1L -> "customer filter join", 2L -> "window merge sort",
-            3L -> "vector stream batch"), 5)
+        hybridQueries, 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
     "x43b_bm25_indexed" -> ((s, dir) => {
@@ -1279,9 +1278,69 @@ object SparkEntry {
       val ldir = graft.ops.Scale.tempLayoutDir("graft_bm25_index_")
       graft.ext.Retrieval.writeIndex(d, "text", "doc_id", ldir)
       graft.ext.Retrieval.bm25TopKIndexed(ldir,
-        Seq(1L -> "customer filter join", 2L -> "window merge sort",
-            3L -> "vector stream batch"), 5)
+        hybridQueries, 5)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+    "x47_c4_clean" -> ((s, dir) => {
+      // C4-style LINE-RULE cleaning over synthesized 3-token lines (the
+      // x27 move — fixture text has no newlines): keep a line iff ≥3
+      // words AND no boilerplate marker ('dup' / 'slow' play the
+      // 'javascript' / 'cookie' role on this vocabulary); a doc survives
+      // with ≥2 kept lines. Pure zero-exchange projection — the line
+      // array never leaves its row; md5 proves byte-identical reassembly.
+      val d = t(s, dir, "documents")
+      val toks = col("_toks")
+      val lined = d.withColumn("_toks", split(TextStats.wsTrim(col("text")), "\\s+"))
+        .withColumn("text",
+          concat_ws("\n", transform(
+            sequence(lit(0), ((size(toks) - 1) / 3).cast("int")),
+            i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))))
+        .drop("_toks")
+      Curation.c4LineClean(lined, "text", "doc_id",
+          minWordsPerLine = 3, banned = Seq("dup", "slow"), minKeptLines = 2)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+    }),
+    "x48_hybrid_rrf" -> ((s, dir) => {
+      // HYBRID retrieval: the lexical (x43 BM25) and dense (x6 brute
+      // cosine) top-10 lists for the same three queries, fused by
+      // reciprocal-rank fusion in Q30 fixed point — exact integer
+      // arithmetic end to end. The lexical list drops n_id = qid so both
+      // lists exclude self identically. Fusion touches candidates only
+      // (one union + one (qid,n_id) reduce + one window); the oracle
+      // replays both ranker CTEs and the same floor-divs.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.ext.Retrieval.bm25TopK(docs, "text", "doc_id",
+          hybridQueries, 10)
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("n_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+          10, (a, b) => Similarity.quantizedDot(a, b))
+        .select(col("q_id").as("qid"), col("n_id"), col("rank"))
+      graft.ext.Retrieval.rrfFuse(Seq(lex, dense), "qid", "n_id", "rank",
+        rrfK = 60, kOut = 5)
+    }),
+    "x49_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining (DPR discipline): docs the LEXICAL ranker
+      // puts in its top-10 that the DENSE ranker does not — lexically
+      // plausible, semantically distant, i.e. exactly the contrastive
+      // negatives a retriever trains on. Per-query anti-join of two
+      // candidate-scale lists; keeps the lexical rank as the mining
+      // order.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.ext.Retrieval.bm25TopK(docs, "text", "doc_id",
+          hybridQueries, 10)
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("n_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+          10, (a, b) => Similarity.quantizedDot(a, b))
+        .select(col("q_id").as("qid"), col("n_id"))
+      graft.ext.Retrieval.hardNegatives(lex, dense, "qid", "n_id")
+        .select(col("qid"), col("n_id"), col("rank").cast("long").as("rank"))
     }),
     "x46_curriculum" -> ((s, dir) => {
       // COMPOSITION row (x37 discipline): the x45 LM score feeds a
@@ -1335,8 +1394,7 @@ object SparkEntry {
       // HUGEINT.
       graft.ext.Retrieval.bm25TopK(
         t(s, dir, "documents"), "text", "doc_id",
-        Seq(1L -> "customer filter join", 2L -> "window merge sort",
-            3L -> "vector stream batch"), 5)
+        hybridQueries, 5)
         .withColumn("rank", col("rank").cast("long"))),
     "x42_sequence_pack" -> ((s, dir) => {
       // fixed-length sequence packing — the pretraining input shape: each
@@ -1386,6 +1444,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("n").desc, col("tok")).limit(100))
   )
+
+  /** The retrieval-family query batch (x43/x48/x49 share it; the oracle
+    * inlines the same three rows as a VALUES table). qids 1–3 double as
+    * the dense side's query vec_ids. */
+  private val hybridQueries: Seq[(Long, String)] = Seq(
+    1L -> "customer filter join", 2L -> "window merge sort",
+    3L -> "vector stream batch")
 
   /** Stopword lists for the x36 lang-ID heuristic — the SINGLE SOURCE for
     * both the Spark classifier and the oracle SQL (same pattern as
@@ -1490,7 +1555,106 @@ object SparkEntry {
       ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
       ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk"))
 
+  /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
+    * the x43 lexical chain at k=10 — with the self-hit dropped AFTER
+    * ranking, mirroring the Spark side's post-rank filter — plus the x6
+    * dense chain at k=10 for query vec_ids 1–3. Kept as ONE string so the
+    * two consumers can only drift together. */
+  private val hybridOracleCtes: String =
+    """WITH tk0 AS (
+           SELECT doc_id, unnest(string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+           FROM documents),
+         tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
+         post AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dl AS (SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
+                FROM documents d
+                LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1) x
+                USING (doc_id)),
+         tdf AS (SELECT tok, COUNT(*) AS tdf FROM post GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n,
+                          (100::HUGEINT * COALESCE(SUM(dl), 0)) // COUNT(*) AS a
+                   FROM dl),
+         q AS (SELECT * FROM (VALUES (1, 'customer filter join'),
+                                     (2, 'window merge sort'),
+                                     (3, 'vector stream batch')) v(qid, qtext)),
+         qt AS (SELECT DISTINCT qid, tok FROM (
+                  SELECT qid, unnest(string_split_regex(
+                           regexp_replace(qtext, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+                  FROM q)
+                WHERE tok <> ''),
+         lexscore AS (
+           SELECT qt.qid, p.doc_id,
+                  SUM(CAST((1048576::HUGEINT * (n - tdf + 1) * tf * 22000 * a)
+                      // ((tdf + 1)::HUGEINT
+                          * (tf * 10000 * a + 120 * (25 * a + 7500 * dl)))
+                      AS BIGINT)) AS score_q20
+           FROM post p JOIN qt ON p.tok = qt.tok
+           JOIN dl USING (doc_id)
+           JOIN tdf ON p.tok = tdf.tok
+           CROSS JOIN stats
+           GROUP BY 1, 2),
+         lexr AS (SELECT qid, doc_id, rank FROM (
+                    SELECT qid, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score_q20 DESC, doc_id) AS rank
+                    FROM lexscore)
+                  WHERE rank <= 10),
+         lexf AS (SELECT * FROM lexr WHERE doc_id <> qid),
+         dq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                WHERE vec_id IN (1, 2, 3)),
+         dprod AS (SELECT dq.q_id, e.vec_id AS n_id,
+                   unnest(dq.q_vec) AS qx, unnest(e.embedding) AS ex
+                   FROM dq, embeddings e WHERE e.vec_id <> dq.q_id),
+         ddp AS (SELECT q_id, n_id,
+                 SUM(CAST(floor(CAST(qx AS DOUBLE) * CAST(ex AS DOUBLE) * 1073741824) AS BIGINT)) AS s
+                 FROM dprod GROUP BY q_id, n_id),
+         denser AS (SELECT q_id, n_id, rnk FROM (
+                      SELECT q_id, n_id,
+                             ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY s DESC, n_id) AS rnk
+                      FROM ddp)
+                    WHERE rnk <= 10)"""
+
   private def oracleSqlBase: Map[String, String] = Map(
+    "x47_c4_clean" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+                    FROM documents),
+           lined AS (SELECT doc_id,
+             list_transform(generate_series(0, CAST((len(toks) - 1) // 3 AS BIGINT)),
+               i -> array_to_string(toks[(i*3+1):(i*3+3)], ' ')) AS ls
+             FROM t),
+           kept AS (SELECT doc_id, len(ls) AS n_all,
+             list_filter(ls, l ->
+               (CASE WHEN trim(l) = '' THEN 0
+                     ELSE len(string_split_regex(trim(l), '\s+')) END) >= 3
+               AND NOT contains(lower(l), 'dup')
+               AND NOT contains(lower(l), 'slow')) AS ks
+             FROM lined)
+         SELECT doc_id, md5(array_to_string(ks, chr(10))) AS clean_md5,
+                CAST(len(ks) AS BIGINT) AS n_kept,
+                CAST(n_all - len(ks) AS BIGINT) AS n_dropped
+         FROM kept WHERE len(ks) >= 2""",
+    "x48_hybrid_rrf" ->
+      (hybridOracleCtes + """,
+         contrib AS (SELECT qid, doc_id AS n_id,
+                            1073741824 // (60 + rank) AS c FROM lexf
+                     UNION ALL
+                     SELECT q_id AS qid, n_id, 1073741824 // (60 + rnk) AS c
+                     FROM denser),
+         fused AS (SELECT qid, n_id, SUM(c) AS s FROM contrib GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(n_id AS BIGINT) AS n_id,
+                CAST(s AS BIGINT) AS rrf_q30,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY s DESC, n_id) AS BIGINT) AS rank
+         FROM fused QUALIFY rank <= 5"""),
+    "x49_hard_negatives" ->
+      (hybridOracleCtes + """
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS n_id,
+                CAST(rank AS BIGINT) AS rank
+         FROM lexf
+         WHERE NOT EXISTS (SELECT 1 FROM denser d
+                           WHERE d.q_id = lexf.qid AND d.n_id = lexf.doc_id)"""),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

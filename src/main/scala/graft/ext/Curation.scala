@@ -54,6 +54,49 @@ object Curation {
   def report(curated: DataFrame): DataFrame =
     curated.groupBy(col("status")).agg(count(lit(1)).as("n"))
 
+  /** C4-style LINE-rule cleaning (the Raffel et al. 2020 §2.2 discipline,
+    * the rule-based half beside [[graft.ext.Dedup.dedupLinesAcrossCorpus]]'s
+    * frequency half): `textCol` is newline-separated lines; a line is KEPT
+    * iff it has at least `minWordsPerLine` whitespace-delimited words and
+    * contains none of the `banned` markers (case-insensitive substring —
+    * the "javascript" / "enable cookies" boilerplate test). A document
+    * survives iff at least `minKeptLines` lines remain. Returns the
+    * surviving docs with `textCol` rewritten to the kept lines re-joined
+    * by \n in original order, plus `n_kept` / `n_dropped` line counts.
+    * NULL text is treated as zero lines (the contaminationFraction
+    * lesson: never let size(NULL) = -1 artifacts out).
+    *
+    * Scale: a PURE PROJECTION — the line array never leaves its row, so
+    * the pass is zero-exchange at any corpus size. The HOF lambdas read
+    * only their element and literal arguments (the wordNgrams
+    * interpreted-lambda lesson: nothing captured is re-evaluated per
+    * element), and the line array lands in its own column first so the
+    * filter reads a bare attribute. */
+  def c4LineClean(df: DataFrame, textCol: String, idCol: String,
+                  minWordsPerLine: Int = 3, banned: Seq[String] = Nil,
+                  minKeptLines: Int = 1): DataFrame = {
+    require(minWordsPerLine >= 0 && minKeptLines >= 0,
+      "minWordsPerLine and minKeptLines must be non-negative")
+    Seq("_lines", "_keptl").foreach { c =>
+      require(!df.columns.contains(c), s"c4LineClean reserves column $c")
+    }
+    val bannedLc = banned.map(_.toLowerCase)
+    def wordCount(l: Column): Column =
+      when(trim(l) === "", lit(0)).otherwise(size(split(trim(l), "\\s+")))
+    def bannedHit(l: Column): Column =
+      bannedLc.foldLeft(lit(false))((acc, b) => acc || lower(l).contains(b))
+    val kept = filter(col("_lines"),
+      l => wordCount(l) >= minWordsPerLine && !bannedHit(l))
+    df.withColumn("_lines", split(coalesce(col(textCol), lit("")), "\n"))
+      .withColumn("_keptl", kept)
+      .withColumn(textCol, array_join(col("_keptl"), "\n"))
+      .withColumn("n_kept", size(col("_keptl")).cast("long"))
+      .withColumn("n_dropped",
+        (size(col("_lines")) - size(col("_keptl"))).cast("long"))
+      .filter(col("n_kept") >= minKeptLines)
+      .drop("_lines", "_keptl")
+  }
+
   /** Deterministic hash-stratified sample: keep `k` rows per stratum,
     * chosen by md5 of the id — reproducible across runs AND engines (no
     * RNG state, unlike sampleBy), which is what makes a carved eval set

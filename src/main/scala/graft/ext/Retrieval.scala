@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse (lexical) retrieval over a document corpus: inverted-index
@@ -273,6 +274,52 @@ object Retrieval {
           .orderBy(col("score_q20").desc, col("doc_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    * the standard HYBRID-retrieval combiner for the lexical ([[bm25TopK]])
+    * and dense ([[Similarity.bruteForceTopK]] / ivfTopKJoin) halves.
+    * Each input must carry (`qidCol`, `idCol`, `rankCol`) with rank ≥ 1;
+    * a candidate's fused score is
+    *
+    *   rrf_q30 = Σ_lists floor(2^30 / (rrfK + rank))   (absent ⇒ 0)
+    *
+    * — the classic 1/(k+r) in Q30 fixed point, so the fusion is exact
+    * integer arithmetic and bit-stable cross-engine (floor-div, rank > 0).
+    * Returns (qid, n_id, rrf_q30, rank) with the fused rank 1..kOut per
+    * query, ties broken by id ascending.
+    *
+    * Scale: fusion touches only the top-k lists (|queries|·k rows per
+    * list), never the corpus — one union, one (qid, id) candidate-scale
+    * reduce, one per-query window. The exchange key carries two longs. */
+  def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
+              rankCol: String, rrfK: Int = 60, kOut: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 0 && kOut > 0, "rrfK must be >= 0 and kOut positive")
+    val contribs = rankings.map(_.select(
+      col(qidCol).cast("long").as("qid"),
+      col(idCol).cast("long").as("n_id"),
+      expr(s"CAST(1073741824 DIV ($rrfK + CAST($rankCol AS BIGINT)) AS BIGINT)")
+        .as("_c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("n_id"))
+      .agg(sum(col("_c")).as("rrf_q30"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("rrf_q30").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= kOut)
+  }
+
+  /** Hard-negative mining for retriever training: candidates the LEXICAL
+    * ranker surfaces that the DENSE ranker does not — lexically plausible
+    * but semantically distant, the canonical contrastive-training
+    * negatives (DPR, Karpukhin et al. 2020). Pure per-query set
+    * difference: `lexRanked` anti-joined with `denseRanked` on
+    * (`qidCol`, `idCol`), keeping the lexical rank/score columns.
+    * Candidate-scale only — both inputs are top-k lists. */
+  def hardNegatives(lexRanked: DataFrame, denseRanked: DataFrame,
+                    qidCol: String, idCol: String): DataFrame =
+    lexRanked.join(denseRanked.select(col(qidCol), col(idCol)),
+      Seq(qidCol, idCol), "left_anti")
 
   /** The oracle's scoring expression over HUGEINT — kept beside the Spark
     * form so the two integer formulas can only drift together. `n`/`a`

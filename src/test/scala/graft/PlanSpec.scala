@@ -289,6 +289,20 @@ class PlanSpec extends SparkSpec {
     assert(rows(out) == rows(ref))
   }
 
+  test("x47 C4 line cleaning is a pure projection: zero exchanges") {
+    val p = tree(q("x47_c4_clean"))
+    assert(!p.contains("Exchange"), s"line rules must not shuffle: $p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x48 hybrid fusion: no cartesian; the fused reduce keys on (qid, n_id) longs") {
+    val p = tree(q("x48_hybrid_rrf"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the post-ranker exchange is the candidate-scale (qid, n_id) reduce —
+    // corpus text/vectors were projected away inside the rankers
+    assert(p.contains("hashpartitioning(qid#"), p)
+  }
+
   test("x32 mixture sampling is a pure scan-level filter: zero exchanges") {
     val p = tree(q("x32_mixture_sample"))
     assert(!p.contains("Exchange"), s"rate sampling must not shuffle: $p")

@@ -135,4 +135,38 @@ class CurationSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("reserves"))
   }
+
+  test("c4LineClean: line rules, in-order reassembly, doc threshold, null text") {
+    val lined = Seq(
+      // drops the Cookie line (case-insensitive marker) and the 1-word
+      // line; keeps the other two in original order
+      (1L, "keep this line fine\nbad Cookie line here\nno\nanother good line kept"),
+      (2L, "two words\nso dies"),           // every line < 3 words
+      (3L, null.asInstanceOf[String]),       // null text = zero lines
+      (4L, "one good line here\nsecond good line too")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4LineClean(lined, "text", "doc_id",
+        minWordsPerLine = 3, banned = Seq("cookie"), minKeptLines = 2)
+      .select("doc_id", "text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 4L), out)
+    assert(out.head._2 == "keep this line fine\nanother good line kept"
+      && out.head._3 == 2L && out.head._4 == 2L, out.head)
+    assert(out(1)._2 == "one good line here\nsecond good line too"
+      && out(1)._3 == 2L && out(1)._4 == 0L, out(1))
+    // minKeptLines = 0 keeps even fully-cleaned docs (text becomes empty)
+    val all = Curation.c4LineClean(lined, "text", "doc_id",
+      minWordsPerLine = 3, banned = Seq("cookie"), minKeptLines = 0)
+    assert(all.count() == 4)
+    assert(all.filter(col("doc_id") === 3L).select("text")
+      .as[String].head() == "")
+  }
+
+  test("c4LineClean guards its reserved columns") {
+    val bad = Seq((1L, "x", "y")).toDF("doc_id", "text", "_lines")
+    val e = intercept[IllegalArgumentException] {
+      Curation.c4LineClean(bad, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
 }

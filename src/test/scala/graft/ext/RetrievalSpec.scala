@@ -104,4 +104,33 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25TopK(none, "text", "doc_id", Seq(1L -> "spark"), 3)
       .count() == 0)
   }
+
+  test("rrfFuse: exact Q30 contributions, absent list = 0, ties to lower id") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "n_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L), (1L, 13L, 1L))
+      .toDF("qid", "n_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "qid", "n_id", "rank",
+        rrfK = 60, kOut = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    def c(r: Long) = 1073741824L / (60L + r) // floor, rank > 0
+    // 11 is in both lists and must fuse to the top; 10 and 13 tie at c(1)
+    // and must break to the lower id; 12 trails at c(2)
+    assert(out.map(r => (r._2, r._3)) == Seq(
+      (11L, c(2) + c(1)), (10L, c(1)), (13L, c(1)), (12L, c(2))), out)
+    assert(out.map(_._4) == Seq(1L, 2L, 3L, 4L), out)
+    // kOut truncates
+    assert(Retrieval.rrfFuse(Seq(a, b), "qid", "n_id", "rank", 60, 2)
+      .count() == 2)
+  }
+
+  test("hardNegatives: per-query lexical-minus-dense, lexical columns kept") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 10L, 1L))
+      .toDF("qid", "n_id", "rank")
+    val dense = Seq((1L, 11L, 1L), (2L, 99L, 1L)).toDF("qid", "n_id", "rank")
+    val out = Retrieval.hardNegatives(lex, dense, "qid", "n_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 11 is dense-accepted for q1 so it is NOT a hard negative there;
+    // doc 10 is (for both queries — dense never surfaced it)
+    assert(out == Seq((1L, 10L, 1L), (2L, 10L, 1L)), out)
+  }
 }
