@@ -52,31 +52,34 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, e, _) if e != null =>
       s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
     val rdds = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"persistent_rdds":$rdds,"warmup_sec":$warmup,"sf":"$sfDir"}"""
-    println(fullJson)
-    // The driver captures a bounded TAIL of stdout; the full line above is
-    // ~8 KB with the total FIRST, so appended fields can push the headline
-    // numbers out of the window (BENCH_r03 lesson: parsed=null). Persist the
-    // full artifact to a file and finish with a short, tail-proof summary
-    // line (< ~500 B) so the headline always survives capture.
+    // The driver captures a bounded TAIL of stdout (~4 KB observed): the
+    // full-precision line with errors + persistent_rdds outgrew it in r7
+    // (head of the line fell out of the window -> parsed=null). Keep the
+    // lossless artifact on DISK, and keep the stdout line SMALL: 2-dp
+    // durations, no per-query rdd/error dicts, printed LAST so its start
+    // sits inside the capture window.
+    val qsFull = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"persistent_rdds":$rdds,"warmup_sec":$warmup,"sf":"$sfDir"}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy { case (_, v, _, _) => -v }.take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val nErrors = results.count(_._3 != null)
-    println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"slowest":$slowest}""")
+    println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"slowest":$slowest,"errors":$errs}""")
+    val qs = results.map { case (k, v, _, _) => f"""\"$k\":$v%.2f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

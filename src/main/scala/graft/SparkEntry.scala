@@ -18,17 +18,20 @@ import graft.ext.{Curation, Dedup, Similarity, TextStats}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read it as long nanos and convert explicitly
-    // (exact integer division — no double round-trip at 2^60 magnitudes).
-    if (name == "events")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-  }
 
-  /** events.ts (long nanos under nanosAsLong) → TimestampType, exact. */
-  private def eventTs: Column = timestamp_micros(expr("ts DIV 1000"))
+  /** events.ts is parquet timestamp[us] without timezone → Spark infers
+    * TIMESTAMP_NTZ, DuckDB naive TIMESTAMP: identical wall-clock fields in
+    * both engines, no session-timezone dependence. */
+  private def eventTs: Column = col("ts")
+
+  /** Exact micros-since-epoch for a TIMESTAMP_NTZ column, computed in the
+    * naive (wall-clock) domain so it matches DuckDB's epoch_us(ts) on the
+    * same naive value regardless of either engine's session timezone —
+    * a cast to TIMESTAMP would re-interpret through the session zone. */
+  private def eventTsMicros: Column =
+    expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
 
   /** Exact, order-independent sum of a double column: cast each value to
     * decimal(18,2) (the data is 2-dp money), sum exactly, emit double. */
@@ -536,13 +539,11 @@ object SparkEntry {
     }),
     "et3_event_gaps" -> ((s, dir) => {
       // lead/lag surface: per-user inter-event gap stats. Exact integer
-      // time arithmetic at MICROsecond precision: DuckDB reads the
-      // nanos-parquet timestamp truncated to micros, so each ts is floored
-      // to micros (ts DIV 1000) BEFORE differencing — and the window also
-      // orders by the floored value, so a micro-level tie breaks on
-      // event_id identically in both engines
+      // time arithmetic at MICROsecond precision (the parquet storage
+      // precision, so no truncation ambiguity); a micro-level tie breaks
+      // on event_id identically in both engines
       import org.apache.spark.sql.expressions.Window
-      val usec = expr("ts DIV 1000")
+      val usec = eventTsMicros
       val w = Window.partitionBy(col("user_id")).orderBy(usec, col("event_id"))
       t(s, dir, "events")
         .select(col("user_id"), (usec - lag(usec, 1).over(w)).as("gap_us"))
@@ -569,7 +570,7 @@ object SparkEntry {
       // pre-aggregated unique per (key, ts) per the ASOF contract.
       // Oracle: DuckDB's native ASOF LEFT JOIN.
       val ev = t(s, dir, "events")
-      val usec = expr("ts DIV 1000")
+      val usec = eventTsMicros
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), usec.as("ts_us"), col("event_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1412,6 +1413,10 @@ object SparkEntry {
         .join(ids, Seq("doc_id")) // id-keyed equi-join, lang back onto ids
       graft.ext.Curation.packSequences(
         withLang, Seq("lang"), "doc_id", "ids", 64)
+        // stringify for the gate comparator (j3 precedent) — the packed
+        // array form is the operator's real output
+        .withColumn("seq_ids",
+          concat_ws(" ", transform(col("seq_ids"), _.cast("string"))))
     }),
     "x38d_token_ids" -> ((s, dir) => {
       // the tokenizer's FINAL stage: trained merges (x38b) + trained
@@ -1423,10 +1428,15 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val merges = graft.ext.TextStats.bpeTrain(d.select(col("text")), "text", 3)
       val vocab = graft.ext.TextStats.trainTokenVocab(d, "text", merges, 50)
+      // the id stream goes to the gate as a space-joined string — the
+      // driver's comparator sorts rows by every column and can't order
+      // raw arrays (j3 precedent); the array form stays the library API
       d.filter(col("text").isNotNull &&
           trim(regexp_replace(col("text"), "\\s+", " ")) =!= "")
         .select(col("doc_id"),
-          graft.ext.TextStats.tokenIds(col("text"), merges, vocab).as("ids"))
+          concat_ws(" ", transform(
+            graft.ext.TextStats.tokenIds(col("text"), merges, vocab),
+            _.cast("string"))).as("ids"))
     }),
     "x34_vocab_freq" -> ((s, dir) =>
       // vocabulary building: corpus-wide token frequency + document
@@ -3048,7 +3058,8 @@ object SparkEntry {
            JOIN tdf ON p.tok = tdf.tok
            CROSS JOIN stats
            GROUP BY 1, 2)
-         SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_q20,
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+                CAST(score_q20 AS BIGINT) AS score_q20,
                 CAST(rank AS BIGINT) AS rank
          FROM (SELECT qid, doc_id, score_q20,
                       ROW_NUMBER() OVER (PARTITION BY qid
@@ -3072,7 +3083,7 @@ object SparkEntry {
          mapped AS (SELECT f.lang, f.idx, CAST(COALESCE(v.vid, 0) AS INTEGER) AS vid
                     FROM flat f LEFT JOIN vocab v ON f.tok = v.tok)
          SELECT lang, CAST(idx // 64 AS BIGINT) AS seq_id,
-                list(vid ORDER BY idx) AS seq_ids,
+                array_to_string(list(vid ORDER BY idx), ' ') AS seq_ids,
                 CAST(COUNT(*) AS BIGINT) AS n_ids
          FROM mapped GROUP BY lang, idx // 64""",
     "x38d_token_ids" ->
@@ -3085,7 +3096,8 @@ object SparkEntry {
           pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM seg),
           mapped AS (SELECT p.doc_id, p.i, CAST(COALESCE(v.vid, 0) AS INTEGER) AS vid
                      FROM pos p LEFT JOIN vocab v ON p.tk[p.i] = v.tok)
-          SELECT doc_id, list(vid ORDER BY i) AS ids FROM mapped GROUP BY doc_id""",
+          SELECT doc_id, array_to_string(list(vid ORDER BY i), ' ') AS ids
+          FROM mapped GROUP BY doc_id""",
     // x34: same \s+ split (Java and RE2 agree on ASCII \s), empty tokens
     // dropped, total order (n desc, tok asc) makes the LIMIT boundary
     // engine-portable
