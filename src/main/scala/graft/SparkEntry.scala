@@ -1359,6 +1359,39 @@ object SparkEntry {
         .select(col("band"), col("batch"), col("pos"), col("doc_id"),
           col("lm_q30"))
     }),
+    "x50_shard_export" -> ((s, dir) => {
+      // the DELIVERY lifecycle through the driver gate (s8/x43b
+      // precedent): token-balanced shard assignment — banded round-robin,
+      // NO global sort, a 16-way salt bounding any hot band's window task
+      // — written partitionBy(shard) to a session temp dir, then answered
+      // FROM the layout: per-shard doc/token mass + an id-sum membership
+      // fingerprint. The layout hop must be invisible to the RESULT, and
+      // the assignment exactly replayable: the oracle recomputes
+      // band/salt/rn/shard from (doc_id, text) alone, never seeing the
+      // files.
+      val d = t(s, dir, "documents")
+      val weighted = d.select(col("doc_id"), col("lang"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      val assigned = graft.ext.Curation.assignShards(
+        weighted, "doc_id", "n_tok", 8, 64L)
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_shards_")
+      assigned.write.partitionBy("shard").mode("overwrite").parquet(ldir)
+      s.read.parquet(ldir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok_total"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+    "x51_dataset_card" -> ((s, dir) =>
+      // the corpus datasheet a release ships with: ROLLUP over
+      // (source, lang) of exact-integer metrics — doc/token/char mass,
+      // exact-dup counts, length extremes. Floats never appear (consumers
+      // derive means from the sums), so the whole card hash-verifies.
+      // One content-digest window + one rollup agg with map-side partials.
+      graft.ext.Curation.datasetCard(t(s, dir, "documents"), "text",
+          "doc_id", Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
     "x45_bigram_lm" -> ((s, dir) => {
       // CCNet-style LM quality filter in exact arithmetic: self-trained
       // bigram counts, score = mean conditional token probability in Q30
@@ -2983,6 +3016,56 @@ object SparkEntry {
                        ORDER BY h, doc_id) AS BIGINT) AS pos,
                 doc_id, lm_q30
          FROM cu""",
+    // x50: the assignment replays from (doc_id, text) alone — band by
+    // 64-token width, salt = the draw's leading hex digit, round-robin
+    // within (band, salt) ordered by (draw, doc_id), shard staggered by
+    // band + salt. The layout write/read hop on the Spark side must not
+    // change a single total.
+    "x50_shard_export" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL
+                    OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+               AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || ':shard') AS h
+           FROM documents),
+         a AS (
+           SELECT doc_id, n_tok, h, n_tok // 64 AS band,
+             CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+               AS salt
+           FROM w),
+         r AS (
+           SELECT doc_id, n_tok, band, salt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY band, salt
+               ORDER BY h, doc_id) AS BIGINT) AS rn
+           FROM a)
+         SELECT CAST((band + salt + rn - 1) % 8 AS BIGINT) AS shard,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tok_total,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM r GROUP BY 1""",
+    "x51_dataset_card" ->
+      """WITH b AS (
+           SELECT source, lang,
+             CASE WHEN text IS NULL
+                    OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+               AS n_tok,
+             COALESCE(LENGTH(text), 0) AS nch,
+             CASE WHEN text IS NOT NULL
+                    AND COUNT(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS dup
+           FROM documents)
+         SELECT source, lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                CAST(SUM(nch) AS BIGINT) AS n_chars,
+                CAST(SUM(dup) AS BIGINT) AS n_dup_docs,
+                CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+                CAST(MAX(n_tok) AS BIGINT) AS max_tok
+         FROM b GROUP BY ROLLUP (source, lang)""",
     "x45_bigram_lm" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(

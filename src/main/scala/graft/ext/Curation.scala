@@ -312,6 +312,80 @@ object Curation {
       .drop("_cu_h")
   }
 
+  /** Token-balanced output sharding — the DELIVERY side of a data build:
+    * a finished corpus ships as `nShards` same-cost files, so every
+    * downstream reader (a training job's data loaders, most of all) gets
+    * an even slice. Exact bin-packing needs a global order; this is the
+    * scale-first approximation with NO global sort and no driver state:
+    *
+    *   1. `band = weight div bandWidth` groups rows of similar cost — a
+    *      zero-exchange projection;
+    *   2. within a band, rows take a salted-md5 order and round-robin
+    *      across shards (`(band + salt + rn − 1) mod nShards`): same-band
+    *      rows differ by < bandWidth tokens, so each shard's take from a
+    *      (band, salt) group is even to ±1 row, and the (band + salt)
+    *      offset staggers WHICH shard eats each group's remainder.
+    *
+    * The window partitions on (band, salt16) — the hex digit bounds a hot
+    * band to 1/16 of its rows per task (the saltedRunningSum move; dense
+    * corpora concentrate in few bands, so banding alone would serialize).
+    * Deterministic across runs, engines, and partitionings: the draw is
+    * md5(id∥":shard"), ties broken by id — ids must be unique (the
+    * catalog's id contract). Weights must be non-negative; a weight ≥
+    * ~2^63/nShards would overflow the offset arithmetic long before any
+    * real token count does.
+    *
+    * Returns the input plus `shard` (int in [0, nShards)). Write with
+    * `.write.partitionBy("shard")` for the N-files layout. */
+  def assignShards(df: DataFrame, idCol: String, weightCol: String,
+                   nShards: Int, bandWidth: Long = 64L): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    require(bandWidth >= 1, "bandWidth must be positive")
+    Seq("_sh_h", "_sh_band", "_sh_salt", "_sh_rn", "shard").foreach(c =>
+      require(!df.columns.contains(c), s"assignShards reserves column $c"))
+    val h = md5(concat(col(idCol).cast("string"), lit(":shard")))
+    df.withColumn("_sh_h", h)
+      .withColumn("_sh_band", expr(s"cast($weightCol as bigint) div ${bandWidth}L"))
+      // leading hex digit of the draw → 16 deterministic salts
+      .withColumn("_sh_salt",
+        (instr(lit("0123456789abcdef"), substring(col("_sh_h"), 1, 1)) - 1)
+          .cast("long"))
+      .withColumn("_sh_rn", row_number().over(
+        Window.partitionBy(col("_sh_band"), col("_sh_salt"))
+          .orderBy(col("_sh_h"), col(idCol))).cast("long"))
+      .withColumn("shard",
+        pmod(col("_sh_band") + col("_sh_salt") + col("_sh_rn") - 1,
+          lit(nShards.toLong)).cast("int"))
+      .drop("_sh_h", "_sh_band", "_sh_salt", "_sh_rn")
+  }
+
+  /** Dataset card — the datasheet rollup a corpus release ships with:
+    * per-dimension (and grand-total, via ROLLUP) document counts, token
+    * and character mass, exact-duplicate counts, and length extremes.
+    * Every metric is an exact integer, so the whole card is
+    * oracle-portable (no float means — consumers derive them from the
+    * sums).
+    *
+    * Scale: one window shuffle on the 16-byte content digest marks
+    * duplicates (the curate dup rule), then one rollup aggregation over
+    * the dimension keys with map-side partials. */
+  def datasetCard(df: DataFrame, textCol: String, idCol: String,
+                  dimCols: Seq[String]): DataFrame = {
+    require(dimCols.nonEmpty, "datasetCard needs at least one dimension")
+    require(!df.columns.contains("_dc_dup"), "datasetCard reserves _dc_dup")
+    val t = col(textCol)
+    val dup = (count(lit(1)).over(Window.partitionBy(md5(t))) > 1 &&
+      t.isNotNull).cast("long")
+    val nTok = TextStats.tokenCount(t).cast("long")
+    df.withColumn("_dc_dup", dup)
+      .rollup(dimCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"),
+        sum(coalesce(length(t), lit(0)).cast("long")).as("n_chars"),
+        sum(col("_dc_dup")).as("n_dup_docs"),
+        min(nTok).as("min_tok"), max(nTok).as("max_tok"))
+  }
+
   private def reservePackCols(df: DataFrame, idCol: String): Unit =
     Seq("_ps_base", "_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id",
         "seq_ids", "n_ids").foreach(c =>

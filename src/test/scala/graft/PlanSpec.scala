@@ -356,6 +356,35 @@ class PlanSpec extends SparkSpec {
       s"unexpected exchange key: ${exchanges.mkString("\n")}")
   }
 
+  test("x50 shard assignment: one (band, salt)-keyed window exchange — never a global sort") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.ext.TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+    val p = tree(graft.ext.Curation.assignShards(d, "doc_id", "n_tok", 8))
+    assert(p.contains("Window"), p)
+    // exact bin-packing would need rangepartitioning/a single-partition
+    // window; the banded form must never plan one
+    assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"),
+      s"assignment must not globally sort: $p")
+    assert(p.contains("hashpartitioning(_sh_band"),
+      s"window exchange must key on (band, salt): $p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"banding and salting are projections — one exchange total: $p")
+  }
+
+  test("x51 dataset card: digest window + rollup expand — two exchanges, no join") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = tree(graft.ext.Curation.datasetCard(d, "text", "doc_id",
+      Seq("source", "lang")))
+    assert(p.contains("Window") && p.contains("Expand"), p)
+    assert(!p.contains("Join"),
+      s"dup marking is a window over the digest, not a self-join: $p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2,
+      s"one digest-window exchange + one rollup agg exchange: $p")
+  }
+
   test("x40 zipf quality: vocab TakeOrdered + broadcast; token stream never shuffle-joins") {
     val p = tree(q("x40_zipf_quality"))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -169,4 +169,56 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserves"))
   }
+
+  test("assignShards: exact coverage, range, determinism, token balance") {
+    val df = (1L to 400L).map(i => (i, (i % 97) + 3)).toDF("doc_id", "n_tok")
+    val out = Curation.assignShards(df, "doc_id", "n_tok", 4, 16L)
+    val rows = out.select("doc_id", "shard").as[(Long, Int)].collect()
+    // every row exactly once, shard in range — partition, never sample
+    assert(rows.length == 400 && rows.map(_._1).distinct.length == 400)
+    assert(rows.forall { case (_, sh) => sh >= 0 && sh < 4 })
+    // no RNG state: identical assignment every run
+    val again = Curation.assignShards(df, "doc_id", "n_tok", 4, 16L)
+      .select("doc_id", "shard").as[(Long, Int)].collect()
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // the point of the op: per-shard token mass is even (same-band rows
+    // differ < bandWidth, round-robin splits each (band, salt) group ±1)
+    val totals = out.groupBy("shard").agg(sum("n_tok"))
+      .as[(Int, Long)].collect().map(_._2)
+    val mean = totals.sum.toDouble / totals.length
+    assert(totals.length == 4 &&
+      totals.forall(t => math.abs(t - mean) <= 0.15 * mean),
+      s"shard token totals ${totals.toSeq} vs mean $mean")
+  }
+
+  test("assignShards guards its reserved columns and parameters") {
+    val bad = Seq((1L, 5L, 0)).toDF("doc_id", "n_tok", "shard")
+    val e = intercept[IllegalArgumentException] {
+      Curation.assignShards(bad, "doc_id", "n_tok", 4)
+    }
+    assert(e.getMessage.contains("reserves"))
+    val ok = Seq((1L, 5L)).toDF("doc_id", "n_tok")
+    intercept[IllegalArgumentException] {
+      Curation.assignShards(ok, "doc_id", "n_tok", 0)
+    }
+  }
+
+  test("datasetCard: exact-integer rollup with dup marking and null text") {
+    val df = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "en", "s1"), // exact dup pair — both rows marked
+      (3L, null.asInstanceOf[String], "de", "s1"),
+      (4L, "x y", "de", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = Curation.datasetCard(df, "text", "doc_id", Seq("source", "lang"))
+      .as[(Option[String], Option[String], Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7, r._8))
+      .toMap
+    assert(card.size == 6) // 3 leaf + 2 source subtotals + 1 grand total
+    assert(card((Some("s1"), Some("en"))) == ((2L, 6L, 10L, 2L, 3L, 3L)))
+    assert(card((Some("s1"), Some("de"))) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(card((Some("s2"), Some("de"))) == ((1L, 2L, 3L, 0L, 2L, 2L)))
+    assert(card((Some("s1"), None)) == ((3L, 6L, 10L, 2L, 0L, 3L)))
+    assert(card((None, None)) == ((4L, 8L, 13L, 2L, 0L, 3L)))
+  }
 }
