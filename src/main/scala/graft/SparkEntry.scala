@@ -1392,6 +1392,25 @@ object SparkEntry {
           "doc_id", Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
+    "x51b_card_incremental" -> ((s, dir) => {
+      // the GROWING-corpus datasheet (x26/x43c append-only staging
+      // applied to reporting): the corpus arrives as two batches (doc_id
+      // parity), each appending O(distinct-texts) card state; the card
+      // reads ONLY the stage — old batches never rescan — and must be
+      // bit-identical to the one-shot x51: the oracle is x51's, verbatim.
+      // Cross-batch duplicate texts still mark exactly (they collide on
+      // the content digest whichever batch they arrived in).
+      val d = t(s, dir, "documents")
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_card_inc_")
+      Seq(0, 1).foreach { par =>
+        graft.ext.Curation.appendCardBatch(
+          d.filter(pmod(col("doc_id"), lit(2)) === par), "text", "doc_id",
+          Seq("source", "lang"), ldir)
+      }
+      graft.ext.Curation.datasetCardFromStaged(s, ldir, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))
+    }),
     "x45_bigram_lm" -> ((s, dir) => {
       // CCNet-style LM quality filter in exact arithmetic: self-trained
       // bigram counts, score = mean conditional token probability in Q30
@@ -1596,7 +1615,8 @@ object SparkEntry {
     oracleSqlBase +
       ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf")) +
       ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
-      ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk"))
+      ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk")) +
+      ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card"))
 
   /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
     * the x43 lexical chain at k=10 — with the self-hit dropped AFTER

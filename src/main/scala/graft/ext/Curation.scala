@@ -386,6 +386,59 @@ object Curation {
         min(nTok).as("min_tok"), max(nTok).as("max_tok"))
   }
 
+  /** Append one batch's [[datasetCard]] state to a staged card at `path`
+    * — the x26/x43c append-only discipline applied to the REPORTING op,
+    * so a growing corpus keeps its datasheet current without ever
+    * rescanning old batches. The state is one row per (content digest ×
+    * dimension tuple) with its doc count and the (digest-determined)
+    * token/char numbers: O(distinct texts), not O(docs), and dup marking
+    * stays exact across batches because duplicate texts collide on the
+    * digest no matter which batch they arrived in. Null text keys a
+    * distinct '0' sentinel (never counted dup, zero mass — the
+    * [[datasetCard]] contract); real digests carry a '1' prefix so the
+    * domains can't collide. */
+  def appendCardBatch(batch: DataFrame, textCol: String, idCol: String,
+                      dimCols: Seq[String], path: String): Unit = {
+    require(dimCols.nonEmpty, "appendCardBatch needs at least one dimension")
+    val t = col(textCol)
+    val h = when(t.isNull, lit("0")).otherwise(concat(lit("1"), md5(t)))
+    batch
+      .select((dimCols.map(col) :+ h.as("_h")
+        :+ TextStats.tokenCount(t).cast("long").as("_tok")
+        :+ coalesce(length(t), lit(0)).cast("long").as("_nch")): _*)
+      .groupBy((col("_h") +: dimCols.map(col)): _*)
+      // same digest = same text, so _tok/_nch are constant per group
+      .agg(count(lit(1)).as("_n"), min(col("_tok")).as("_tok2"),
+        min(col("_nch")).as("_nch2"))
+      .withColumnRenamed("_tok2", "_tok").withColumnRenamed("_nch2", "_nch")
+      .write.mode("append").parquet(path)
+  }
+
+  /** The [[datasetCard]] answered from an [[appendCardBatch]] stage —
+    * bit-identical to the one-shot card over the union of all appended
+    * batches (the x51b driver row pins this against x51's oracle).
+    * Re-merges per-batch rows for the same (digest, dims) key, marks a
+    * digest dup when its doc count ACROSS all dims and batches exceeds 1
+    * (one digest-key window over the digest-sized frame — never the
+    * corpus), then rolls up exactly like the one-shot. */
+  def datasetCardFromStaged(spark: org.apache.spark.sql.SparkSession,
+                            path: String, dimCols: Seq[String]): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .groupBy((col("_h") +: dimCols.map(col)): _*)
+      .agg(sum(col("_n")).as("_n"), min(col("_tok")).as("_tok"),
+        min(col("_nch")).as("_nch"))
+    val dupN = when(
+      sum(col("_n")).over(Window.partitionBy(col("_h"))) > 1 &&
+        col("_h").startsWith("1"), col("_n")).otherwise(lit(0L))
+    merged.withColumn("_dup_n", dupN)
+      .rollup(dimCols.map(col): _*)
+      .agg(sum(col("_n")).as("n_docs"),
+        sum(col("_n") * col("_tok")).as("n_tokens"),
+        sum(col("_n") * col("_nch")).as("n_chars"),
+        sum(col("_dup_n")).as("n_dup_docs"),
+        min(col("_tok")).as("min_tok"), max(col("_tok")).as("max_tok"))
+  }
+
   private def reservePackCols(df: DataFrame, idCol: String): Unit =
     Seq("_ps_base", "_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id",
         "seq_ids", "n_ids").foreach(c =>

@@ -203,6 +203,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("incremental card over append batches ≡ one-shot card, incl. cross-batch dups") {
+    val df = Seq(
+      (1L, "a b c", "en", "s1"),   // dup pair split ACROSS the parity
+      (2L, "a b c", "en", "s1"),   // batches — digest collision must mark
+      (3L, null.asInstanceOf[String], "de", "s1"),
+      (4L, "x y", "de", "s2"),
+      (5L, "a b c", "de", "s2")    // same text, other dims — still dup
+    ).toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("card_inc_spec_").toString
+    try {
+      Seq(0, 1).foreach { par =>
+        Curation.appendCardBatch(df.filter(pmod(col("doc_id"), lit(2)) === par),
+          "text", "doc_id", Seq("source", "lang"), dir)
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (Option(r.getString(0)), Option(r.getString(1)))
+      def vals(r: org.apache.spark.sql.Row) = (2 to 7).map(r.getLong).toSeq
+      val oneShot = Curation.datasetCard(df, "text", "doc_id",
+          Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
+      val staged = Curation.datasetCardFromStaged(spark, dir,
+          Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
+      assert(staged == oneShot, s"staged $staged vs one-shot $oneShot")
+      assert(staged((Some("s2"), Some("de"))) == Seq(2L, 5L, 8L, 1L, 2L, 3L))
+      assert(staged((None, None))(3) == 3L) // all three 'a b c' docs are dups
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("datasetCard: exact-integer rollup with dup marking and null text") {
     val df = Seq(
       (1L, "a b c", "en", "s1"),
