@@ -344,6 +344,28 @@ object TextStats {
       t => coalesce(try_element_at(m, t), lit(0)))
   }
 
+  /** Token-id DECODING — the inference inverse every shipped tokenizer
+    * pairs with [[tokenIds]]: map each id back to its vocab token
+    * (1-based rank; 0/out-of-range ids decode to `oov`), join on the
+    * normalized space, and undo the merge separators — so
+    * `decodeTokenIds(tokenIds(t))` reproduces `bpeNormalize(t)` EXACTLY
+    * whenever every token is in-vocab (ExtSpec pins the md5-equal
+    * round-trip; OOV positions surface as a visible `oov` marker instead
+    * of silently vanishing). Pure zero-exchange
+    * projection; the vocab rides as an array literal (the bounded trained
+    * artifact, [[tokenIds]]'s contract); the explicit range guard keeps
+    * the lookup ANSI-safe (id 0 is an INVALID array index to Spark, not
+    * merely out-of-bounds — even try_element_at throws on it). */
+  def decodeTokenIds(ids: Column, vocab: Seq[String],
+                     sep: String = "\u0001", oov: String = "�"): Column = {
+    val arr = typedlit(vocab)
+    replace(
+      concat_ws(" ", transform(ids,
+        id => when(id.between(1, vocab.size),
+          element_at(arr, id.cast("int"))).otherwise(lit(oov)))),
+      lit(sep), lit(" "))
+  }
+
   /** Trained vocabulary as a DATAFRAME (tok, vid) — the input to
     * [[tokenIdsJoin]]. Same statistic and tie-break as
     * [[trainTokenVocab]]; the rank window runs over the already-LIMITed

@@ -118,6 +118,32 @@ class ExtSpec extends SparkSpec {
     assert(v2 == Seq("y", "z"), v2)
   }
 
+  test("decodeTokenIds inverts tokenIds exactly in-vocab; OOV surfaces, never vanishes") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a   b\tc d")).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(corpus, "text", 2)
+    // full-coverage vocab -> decode(encode(t)) == bpeNormalize(t), md5-equal
+    val full = TextStats.trainTokenVocab(corpus, "text", merges, 100)
+    val rt = corpus.select(
+        md5(TextStats.bpeNormalize(col("text"))).as("want"),
+        md5(TextStats.decodeTokenIds(
+          TextStats.tokenIds(col("text"), merges, full), full)).as("got"))
+      .as[(String, String)].collect()
+    assert(rt.forall { case (w, g) => w == g }, rt.toSeq)
+    // truncated vocab: the OOV id decodes to a visible marker at its
+    // position (never silently dropped); in-vocab ids still un-merge to
+    // their original words. doc 2 = "a b c d" → ids [a·b·c→1, d→OOV 0]
+    val tiny = TextStats.trainTokenVocab(corpus, "text", merges, 1)
+    val ids2 = corpus.filter(col("doc_id") === 2L)
+      .select(TextStats.tokenIds(col("text"), merges, tiny))
+      .as[Seq[Int]].head()
+    assert(ids2 == Seq(1, 0), ids2)
+    val dec = corpus.filter(col("doc_id") === 2L)
+      .select(TextStats.decodeTokenIds(
+        TextStats.tokenIds(col("text"), merges, tiny), tiny))
+      .as[String].head()
+    assert(dec == "a b c �", dec)
+  }
+
   test("tokenIdsJoin ≡ tokenIds: the data-driven vocab path is bit-identical") {
     // the ivfAssignJoin lesson applied to the tokenizer: a real vocab is
     // 50k-100k entries — too big for a plan literal — so the join form
