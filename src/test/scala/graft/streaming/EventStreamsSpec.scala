@@ -308,6 +308,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == expected, s"streamed $streamed vs batch $expected")
   }
 
+  test("streaming corpus ingest keeps the dataset card current: staged ≡ one-shot") {
+    // the reporting face of the append-only family (x51b): each arriving
+    // micro-batch appends its O(distinct-texts) card state; the card is
+    // answered from the stage alone and must equal the one-shot card over
+    // everything ingested — cross-batch duplicate texts included (they
+    // collide on the content digest whichever micro-batch delivered them).
+    import graft.ext.Curation
+    def docs(rows: (Long, String, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text", "lang", "source")
+    val b1 = docs((1L, "a b c", "en", "s1"), (2L, "x y", "de", "s2"))
+    val b2 = docs((3L, "a b c", "en", "s2"), // dup of 1, other dims, later batch
+      (4L, null.asInstanceOf[String], "de", "s1"))
+    val stage = Files.createTempDirectory("cardstage").resolve("card").toString
+    val src = Files.createTempDirectory("cardsrc").toString
+    val ckpt = Files.createTempDirectory("cardckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.schema(b1.schema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Curation.appendCardBatch(batch.toDF(), "text", "doc_id",
+            Seq("source", "lang"), stage)
+        }.start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); drain()
+    b2.write.mode("append").parquet(src); drain()
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getString(0)), Option(r.getString(1)))
+    def vals(r: org.apache.spark.sql.Row) = (2 to 7).map(r.getLong).toSeq
+    val streamed = Curation.datasetCardFromStaged(spark, stage,
+      Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
+    val oneShot = Curation.datasetCard(b1.unionByName(b2), "text", "doc_id",
+      Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
+    assert(streamed == oneShot, s"streamed $streamed vs one-shot $oneShot")
+    assert(streamed((None, None))(3) == 2L, // the cross-batch pair is dup
+      streamed((None, None)))
+  }
+
   test("streaming embedding ingest: micro-batches assign against staged centroids, pair, append") {
     // continuous-ingest SEMANTIC dedup — the embedding face of the LSH
     // ingest test above (x26 mold): the assigned-corpus stage is the only
