@@ -345,7 +345,10 @@ object Curation {
       require(!df.columns.contains(c), s"assignShards reserves column $c"))
     val h = md5(concat(col(idCol).cast("string"), lit(":shard")))
     df.withColumn("_sh_h", h)
-      .withColumn("_sh_band", expr(s"cast($weightCol as bigint) div ${bandWidth}L"))
+      // null weight bands as zero-cost (a null band would propagate into
+      // a null shard and a __HIVE_DEFAULT_PARTITION__ bucket on write)
+      .withColumn("_sh_band",
+        expr(s"cast(coalesce($weightCol, 0) as bigint) div ${bandWidth}L"))
       // leading hex digit of the draw → 16 deterministic salts
       .withColumn("_sh_salt",
         (instr(lit("0123456789abcdef"), substring(col("_sh_h"), 1, 1)) - 1)

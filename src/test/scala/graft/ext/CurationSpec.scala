@@ -191,6 +191,14 @@ class CurationSpec extends SparkSpec {
       s"shard token totals ${totals.toSeq} vs mean $mean")
   }
 
+  test("assignShards: null weight bands as zero-cost, never a null shard") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("doc_id", "n_tok")
+    val out = Curation.assignShards(df, "doc_id", "n_tok", 2)
+      .select("doc_id", "shard").as[(Long, Int)].collect()
+    assert(out.length == 3 && out.forall { case (_, sh) => sh == 0 || sh == 1 })
+  }
+
   test("assignShards guards its reserved columns and parameters") {
     val bad = Seq((1L, 5L, 0)).toDF("doc_id", "n_tok", "shard")
     val e = intercept[IllegalArgumentException] {
