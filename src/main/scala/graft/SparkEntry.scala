@@ -968,6 +968,14 @@ object SparkEntry {
           d.filter(col("doc_id") < 10), "text", "doc_id", 3)
         .filter(col("frac") >= 0.05)
     }),
+    "x23c_contamination_pairs" -> ((s, dir) => {
+      // pair-level attribution: WHICH benchmark doc contaminated which
+      // train doc (+ shared-gram evidence count) — the auditable report
+      // behind x23's aggregate. Same broadcast-eval-grams posture.
+      val d = t(s, dir, "documents")
+      Dedup.contaminationPairs(d.filter(col("doc_id") >= 10),
+        d.filter(col("doc_id") < 10), "text", "doc_id", 3)
+    }),
     "x24_pii_redaction" -> ((s, dir) => {
       // PII scrub: synthetic email+phone appended per row so the redaction
       // regexes genuinely fire on every document
@@ -2612,6 +2620,23 @@ object SparkEntry {
          SELECT tg.doc_id, CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_shared
          FROM tg JOIN bg ON tg.g = bg.g
          GROUP BY tg.doc_id""",
+    // x23c: both gram lists are per-doc distinct, so each
+    // (train, gram, bench) triple appears once and COUNT(*) is the
+    // distinct shared-gram count per pair
+    "x23c_contamination_pairs" ->
+      """WITH grams AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 2, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+           FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+                 FROM documents)),
+         bg AS (SELECT doc_id AS bench_doc_id, unnest(gs) AS g
+                FROM grams WHERE doc_id < 10),
+         tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 10)
+         SELECT tg.doc_id, bg.bench_doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM tg JOIN bg USING (g)
+         GROUP BY 1, 2""",
     // x23b: tg is distinct per (doc, gram), bg distinct — COUNT(*) is the
     // doc's gram total, COUNT(_hit-side col) the shared count (COUNT
     // skips the left-join NULLs); one division for the fraction

@@ -431,6 +431,29 @@ object Dedup {
       .agg(count_distinct(col("g")).as("n_shared"))
   }
 
+  /** Pair-level contamination ATTRIBUTION — which benchmark document
+    * contaminated which train document, with the shared-gram count as
+    * evidence: the report a decontamination run ships so drops are
+    * auditable per benchmark (the [[contaminatedDocs]] aggregate tells
+    * you THAT a doc overlaps; this tells you with WHAT). Same scale
+    * posture as the x23 family: eval grams broadcast (small by
+    * definition, pinned — never a shuffle of the exploded train-gram
+    * stream), one (train, bench)-keyed aggregation; [[wordNgrams]]
+    * already distincts within a doc, so each (train, gram, bench) triple
+    * joins once and a plain count is the distinct shared-gram count.
+    * Returns (idCol, bench_<idCol>, n_shared). */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, n: Int): DataFrame = {
+    val benchId = s"bench_$idCol"
+    val bg = bench.select(col(idCol).as(benchId),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    val tg = train.select(col(idCol),
+      explode(wordNgrams(col(textCol), n)).as("g"))
+    tg.join(broadcast(bg), "g")
+      .groupBy(col(idCol), col(benchId))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Fractional contamination — the THRESHOLDED form production
     * decontamination uses (drop a doc when ≥ frac of its distinct
     * n-grams appear in the benchmark split), vs [[contaminatedDocs]]'

@@ -116,6 +116,11 @@ class PlanSpec extends SparkSpec {
     val p = tree(q("x23_decontamination"))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the pair-attribution form shares the posture: eval grams broadcast,
+    // the (train, bench) agg shuffles id pairs + counts only
+    val pp = tree(q("x23c_contamination_pairs"))
+    assert(pp.contains("BroadcastHashJoin"), pp)
+    assert(!pp.contains("SortMergeJoin"), pp)
   }
 
   test("decontamination bloom variant probes the gram stream before the join") {

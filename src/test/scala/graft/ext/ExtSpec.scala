@@ -420,6 +420,24 @@ class ExtSpec extends SparkSpec {
     assert(out == withBloom)
   }
 
+  test("contaminationPairs attributes overlap to the specific benchmark doc") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "pack my box with five dozen")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something with the quick brown fox inside"), // ↔ 100 only
+      (2L, "entirely unrelated content right here"),
+      (3L, "quick brown fox then pack my box with stuff") // ↔ both
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(train, bench, "text", "doc_id", 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      (1L, 100L) -> 2L, // "the quick brown", "quick brown fox"
+      (3L, 100L) -> 1L, // "quick brown fox"
+      (3L, 101L) -> 2L  // "pack my box", "my box with"
+    ), out)
+  }
+
   test("simhash: identical => equal, near-dup closer than unrelated (hamming)") {
     val sh = Dedup.simhash(docs, "text", "doc_id", 32)
       .as[(Long, Long)].collect().toMap
