@@ -1400,6 +1400,15 @@ object SparkEntry {
           "doc_id", Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
+    "x52_span_corrupt" -> ((s, dir) =>
+      // T5-style denoising pairs: 3-token chunks masked at 15% by a
+      // deterministic salted draw; k-th masked chunk → <extra_id_k> in
+      // the input, sentinel-delimited spans in the target. A pure
+      // zero-exchange projection (PlanSpec); the oracle replays draw,
+      // sentinel ranks, and both reassemblies from (doc_id, text) alone.
+      graft.ext.Curation.spanCorrupt(
+          t(s, dir, "documents"), "text", "doc_id", 3, 15)
+        .select(col("doc_id"), col("input"), col("target"), col("n_masked"))),
     "x51b_card_incremental" -> ((s, dir) => {
       // the GROWING-corpus datasheet (x26/x43c append-only staging
       // applied to reporting): the corpus arrives as two batches (doc_id
@@ -3111,6 +3120,47 @@ object SparkEntry {
                 CAST(MIN(n_tok) AS BIGINT) AS min_tok,
                 CAST(MAX(n_tok) AS BIGINT) AS max_tok
          FROM b GROUP BY ROLLUP (source, lang)""",
+    // x52: the draw ((2-hex-digit value of md5(id:span:chunk)) % 100),
+    // sentinel ranks (1-based list_position - 1), and both reassemblies
+    // replay exactly; range(0, 0) and the blank-text guard keep
+    // degenerate docs at empty input/target
+    "x52_span_corrupt" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL
+                    OR regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+           FROM documents),
+         ch AS (
+           SELECT doc_id, t,
+             range(0, CAST((len(t) + 2) // 3 AS BIGINT)) AS idxs,
+             list_filter(range(0, CAST((len(t) + 2) // 3 AS BIGINT)),
+               c -> ((strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':span:'
+                                  || CAST(c AS VARCHAR)), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':span:'
+                                  || CAST(c AS VARCHAR)), 2, 1)) - 1) % 100
+                    < 15) AS masked
+           FROM base)
+         SELECT doc_id,
+           -- flatten([]) is NULL in DuckDB (Spark's is []) — coalesce both
+           -- reassemblies so unmasked/degenerate docs emit '' like Spark
+           COALESCE(array_to_string(flatten(list_transform(idxs,
+             c -> CASE WHEN list_contains(masked, c)
+                    THEN ['<extra_id_'
+                          || CAST(list_position(masked, c) - 1 AS VARCHAR)
+                          || '>']
+                    ELSE t[c*3+1 : least((c+1)*3, len(t))] END)), ' '), '')
+             AS input,
+           COALESCE(array_to_string(flatten(list_transform(masked,
+             c -> list_prepend('<extra_id_'
+                    || CAST(list_position(masked, c) - 1 AS VARCHAR) || '>',
+                  t[c*3+1 : least((c+1)*3, len(t))]))), ' '), '') AS target,
+           CAST(len(masked) AS BIGINT) AS n_masked
+         FROM ch""",
     "x45_bigram_lm" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(

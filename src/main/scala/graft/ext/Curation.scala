@@ -442,6 +442,64 @@ object Curation {
         min(col("_tok")).as("min_tok"), max(col("_tok")).as("max_tok"))
   }
 
+  /** T5-style span corruption — the denoising-objective data prep
+    * (Raffel et al. 2020 §3.1.4): tokens are chunked into fixed
+    * `spanLen` windows; each chunk is masked with probability
+    * `ratePct`% by a DETERMINISTIC salted draw (md5 of id:chunk — same
+    * engine-portable Bernoulli as [[mixtureSample]], so the corruption
+    * replays bit-for-bit across runs, engines, and partitionings, and
+    * re-running the pipeline regenerates the identical training pairs).
+    * The k-th masked chunk (in order) becomes `<extra_id_k>` in the
+    * INPUT; the TARGET is the standard sentinel-delimited sequence of
+    * the masked-out spans. Degenerate docs (null/blank text) emit empty
+    * input/target with n_masked = 0.
+    *
+    * Scale: a PURE PROJECTION — zero exchanges at any corpus size. Every
+    * HOF lambda reads only its element argument and bare attributes (the
+    * wordNgrams interpreted-lambda lesson), with the masked-chunk list
+    * materialized in its own column so sentinel ranks come from
+    * array_position on an attribute.
+    *
+    * Returns (idCol, input, target, n_masked). */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+                  spanLen: Int = 3, ratePct: Int = 15): DataFrame = {
+    require(spanLen >= 1, "spanLen must be positive")
+    require(ratePct >= 0 && ratePct <= 100, "ratePct is a percentage")
+    Seq("_sc_toks", "_sc_masked", "input", "target", "n_masked").foreach(c =>
+      require(c == idCol || !df.columns.contains(c),
+        s"spanCorrupt reserves column $c"))
+    val t = TextStats.wsTrim(col(textCol))
+    val toks = col("_sc_toks")
+    val nChunks = ceil(size(toks) / lit(spanLen.toDouble)).cast("int")
+    // deterministic per-(doc, chunk) draw in [0, 100)
+    def draw(c: Column): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":span:"),
+        c.cast("string"))), 1, 2), 16, 10).cast("int") % 100
+    // sequence(0, n-1) with n = 0 would generate DESCENDING [0, -1]
+    // (Spark's default step is -1 when start > stop) — guard explicitly
+    val chunkIdx = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    val masked = filter(chunkIdx, c => draw(c) < ratePct)
+    val chunk: (Column => Column) =
+      c => slice(toks, c * spanLen + 1, lit(spanLen))
+    def sentinel(c: Column): Column =
+      concat(lit("<extra_id_"),
+        (array_position(col("_sc_masked"), c) - 1).cast("string"), lit(">"))
+    df.withColumn("_sc_toks",
+        when(t.isNull || t === "", array().cast("array<string>"))
+          .otherwise(split(t, "\\s+")))
+      .withColumn("_sc_masked", masked)
+      .withColumn("input", concat_ws(" ", flatten(transform(
+        chunkIdx,
+        c => when(array_contains(col("_sc_masked"), c), array(sentinel(c)))
+          .otherwise(chunk(c))))))
+      .withColumn("target", concat_ws(" ", flatten(transform(
+        col("_sc_masked"),
+        c => concat(array(sentinel(c)), chunk(c))))))
+      .withColumn("n_masked", size(col("_sc_masked")).cast("long"))
+      .drop("_sc_toks", "_sc_masked")
+  }
+
   private def reservePackCols(df: DataFrame, idCol: String): Unit =
     Seq("_ps_base", "_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id",
         "seq_ids", "n_ids").foreach(c =>

@@ -378,6 +378,12 @@ class PlanSpec extends SparkSpec {
       s"banding and salting are projections — one exchange total: $p")
   }
 
+  test("x52 span corruption is a pure projection: zero exchanges") {
+    val p = tree(q("x52_span_corrupt"))
+    assert(!p.contains("Exchange"),
+      s"chunking/masking/reassembly never leave the row: $p")
+  }
+
   test("x51 dataset card: digest window + rollup expand — two exchanges, no join") {
     import org.apache.spark.sql.functions.col
     val d = spark.read.parquet(s"$dir/documents.parquet")

@@ -243,6 +243,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: lossless input+target decomposition, rate edges, degenerate docs") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 3 chunks: [t0..t2][t3..t5][t6]
+      (2L, null.asInstanceOf[String]),
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    // rate 100: every chunk masked — input is pure sentinels, target
+    // carries every token in order
+    val all = Curation.spanCorrupt(df, "text", "doc_id", 3, 100)
+      .select("doc_id", "input", "target", "n_masked")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(all(0) == ((1L, "<extra_id_0> <extra_id_1> <extra_id_2>",
+      "<extra_id_0> t0 t1 t2 <extra_id_1> t3 t4 t5 <extra_id_2> t6", 3L)))
+    assert(all(1) == ((2L, "", "", 0L)) && all(2) == ((3L, "", "", 0L)))
+    // rate 0: nothing masked — input is the normalized text
+    val none = Curation.spanCorrupt(df, "text", "doc_id", 3, 0)
+      .filter(col("doc_id") === 1L)
+      .select("input", "target", "n_masked")
+      .as[(String, String, Long)].head()
+    assert(none == (("t0 t1 t2 t3 t4 t5 t6", "", 0L)))
+    // at any rate: substituting each <extra_id_k>'s span from the target
+    // back into the input reproduces the original token stream — the
+    // decomposition is lossless (and deterministic across calls)
+    val mid = Curation.spanCorrupt(df, "text", "doc_id", 3, 50)
+      .filter(col("doc_id") === 1L)
+      .select("input", "target").as[(String, String)].head()
+    val spans = mid._2.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+      .map(_.trim).zipWithIndex.map { case (s, k) => s"<extra_id_$k>" -> s }
+    val rebuilt = spans.foldLeft(mid._1) { case (acc, (sen, span)) =>
+      acc.replace(sen, span) }
+    assert(rebuilt == "t0 t1 t2 t3 t4 t5 t6", s"in=${mid._1} tgt=${mid._2}")
+    val mid2 = Curation.spanCorrupt(df, "text", "doc_id", 3, 50)
+      .filter(col("doc_id") === 1L)
+      .select("input", "target").as[(String, String)].head()
+    assert(mid == mid2)
+  }
+
   test("datasetCard: exact-integer rollup with dup marking and null text") {
     val df = Seq(
       (1L, "a b c", "en", "s1"),
