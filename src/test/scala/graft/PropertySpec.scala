@@ -393,4 +393,51 @@ class PropertySpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(again.toSet == kept.toSet)
   }
+
+  test("assignShards: partition (never sample/duplicate) for arbitrary weights and shard counts") {
+    import graft.ext.Curation
+    val row = for {
+      id <- Gen.chooseNum(1L, 1000000L)
+      w <- Gen.chooseNum(0L, 500L) // includes zero-weight docs
+    } yield (id, w)
+    val rows = Gen.listOfN(150, row).sample.get
+      .groupBy(_._1).map(_._2.head).toSeq // unique ids (the id contract)
+    val df = rows.toDF("doc_id", "n_tok")
+    Seq(1, 3, 8).foreach { k =>
+      val out = Curation.assignShards(df, "doc_id", "n_tok", k, 32L)
+        .select("doc_id", "n_tok", "shard").as[(Long, Long, Int)].collect()
+      // exact partition: every input row once, weights untouched, in range
+      assert(out.map(r => (r._1, r._2)).toVector.sorted == rows.toVector.sorted,
+        s"k=$k lost or mutated rows")
+      assert(out.forall(r => r._3 >= 0 && r._3 < k), s"k=$k out of range")
+      if (k == 1) assert(out.forall(_._3 == 0))
+    }
+  }
+
+  test("spanCorrupt: lossless decomposition for arbitrary corpora, rates, span lengths") {
+    import graft.ext.Curation
+    val docGen = Gen.chooseNum(0, 17).map(n => (0 until n).map(i => s"w$i").mkString(" "))
+    val docs = Gen.listOfN(40, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    for (rate <- Seq(0, 15, 50, 100); spanLen <- Seq(1, 3, 5)) {
+      val out = Curation.spanCorrupt(df, "text", "doc_id", spanLen, rate)
+        .select("doc_id", "input", "target", "n_masked")
+        .as[(Long, String, String, Long)].collect()
+      out.foreach { case (id, input, target, nMasked) =>
+        val orig = docs.find(_._1 == id).get._2.trim
+          .split("\\s+").filter(_.nonEmpty).mkString(" ")
+        // substituting each sentinel's target span back into the input
+        // recovers the original token stream, at every rate and span size
+        val spans = target.split("<extra_id_\\d+>").map(_.trim).filter(_.nonEmpty)
+        assert(spans.length == (if (target.isEmpty) 0 else nMasked),
+          s"doc $id target $target")
+        val rebuilt = spans.zipWithIndex.foldLeft(input) {
+          case (acc, (span, k)) => acc.replace(s"<extra_id_$k>", span)
+        }
+        assert(rebuilt == orig, s"doc $id rate $rate len $spanLen: " +
+          s"input=$input target=$target rebuilt=$rebuilt orig=$orig")
+      }
+    }
+  }
 }
