@@ -378,6 +378,17 @@ class PlanSpec extends SparkSpec {
       s"banding and salting are projections — one exchange total: $p")
   }
 
+  test("x51b incremental card answers from the stage alone — the corpus never rescans") {
+    val p = tree(q("x51b_card_incremental"))
+    // construction appends the card state (side effect); the RETURNED
+    // plan must read only the O(distinct-texts) stage — one parquet scan,
+    // and never documents.parquet
+    assert(!p.contains("documents.parquet"),
+      s"card must not rescan the corpus: $p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"exactly the stage scan: $p")
+  }
+
   test("x52 span corruption is a pure projection: zero exchanges") {
     val p = tree(q("x52_span_corrupt"))
     assert(!p.contains("Exchange"),
