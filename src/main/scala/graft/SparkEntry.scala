@@ -1397,7 +1397,7 @@ object SparkEntry {
       // derive means from the sums), so the whole card hash-verifies.
       // One content-digest window + one rollup agg with map-side partials.
       graft.ext.Curation.datasetCard(t(s, dir, "documents"), "text",
-          "doc_id", Seq("source", "lang"))
+          Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
     "x52_span_corrupt" -> ((s, dir) =>
@@ -1421,7 +1421,7 @@ object SparkEntry {
       val ldir = graft.ops.Scale.tempLayoutDir("graft_card_inc_")
       Seq(0, 1).foreach { par =>
         graft.ext.Curation.appendCardBatch(
-          d.filter(pmod(col("doc_id"), lit(2)) === par), "text", "doc_id",
+          d.filter(pmod(col("doc_id"), lit(2)) === par), "text",
           Seq("source", "lang"), ldir)
       }
       graft.ext.Curation.datasetCardFromStaged(s, ldir, Seq("source", "lang"))

@@ -341,14 +341,17 @@ object Curation {
                    nShards: Int, bandWidth: Long = 64L): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
     require(bandWidth >= 1, "bandWidth must be positive")
-    Seq("_sh_h", "_sh_band", "_sh_salt", "_sh_rn", "shard").foreach(c =>
+    Seq("_sh_h", "_sh_w", "_sh_band", "_sh_salt", "_sh_rn", "shard").foreach(c =>
       require(!df.columns.contains(c), s"assignShards reserves column $c"))
     val h = md5(concat(col(idCol).cast("string"), lit(":shard")))
     df.withColumn("_sh_h", h)
       // null weight bands as zero-cost (a null band would propagate into
-      // a null shard and a __HIVE_DEFAULT_PARTITION__ bucket on write)
-      .withColumn("_sh_band",
-        expr(s"cast(coalesce($weightCol, 0) as bigint) div ${bandWidth}L"))
+      // a null shard and a __HIVE_DEFAULT_PARTITION__ bucket on write).
+      // The weight routes through col() into a reserved name FIRST so an
+      // unusual caller column name (dashes, spaces) can't be misparsed by
+      // the integral-divide expr below.
+      .withColumn("_sh_w", coalesce(col(weightCol).cast("bigint"), lit(0L)))
+      .withColumn("_sh_band", expr(s"_sh_w div ${bandWidth}L"))
       // leading hex digit of the draw → 16 deterministic salts
       .withColumn("_sh_salt",
         (instr(lit("0123456789abcdef"), substring(col("_sh_h"), 1, 1)) - 1)
@@ -359,7 +362,7 @@ object Curation {
       .withColumn("shard",
         pmod(col("_sh_band") + col("_sh_salt") + col("_sh_rn") - 1,
           lit(nShards.toLong)).cast("int"))
-      .drop("_sh_h", "_sh_band", "_sh_salt", "_sh_rn")
+      .drop("_sh_h", "_sh_w", "_sh_band", "_sh_salt", "_sh_rn")
   }
 
   /** Dataset card — the datasheet rollup a corpus release ships with:
@@ -372,10 +375,15 @@ object Curation {
     * Scale: one window shuffle on the 16-byte content digest marks
     * duplicates (the curate dup rule), then one rollup aggregation over
     * the dimension keys with map-side partials. */
-  def datasetCard(df: DataFrame, textCol: String, idCol: String,
+  def datasetCard(df: DataFrame, textCol: String,
                   dimCols: Seq[String]): DataFrame = {
     require(dimCols.nonEmpty, "datasetCard needs at least one dimension")
+    // non-dim input columns are projected away by the agg, so only the
+    // dup-flag working name and dim/output collisions can bite
     require(!df.columns.contains("_dc_dup"), "datasetCard reserves _dc_dup")
+    Seq("n_docs", "n_tokens", "n_chars", "n_dup_docs", "min_tok", "max_tok")
+      .foreach(c => require(!dimCols.contains(c),
+        s"datasetCard reserves output column $c — rename the dimension"))
     val t = col(textCol)
     val dup = (count(lit(1)).over(Window.partitionBy(md5(t))) > 1 &&
       t.isNotNull).cast("long")
@@ -400,9 +408,12 @@ object Curation {
     * distinct '0' sentinel (never counted dup, zero mass — the
     * [[datasetCard]] contract); real digests carry a '1' prefix so the
     * domains can't collide. */
-  def appendCardBatch(batch: DataFrame, textCol: String, idCol: String,
+  def appendCardBatch(batch: DataFrame, textCol: String,
                       dimCols: Seq[String], path: String): Unit = {
     require(dimCols.nonEmpty, "appendCardBatch needs at least one dimension")
+    Seq("_h", "_n", "_tok", "_nch", "_tok2", "_nch2").foreach(c =>
+      require(!dimCols.contains(c) && c != textCol,
+        s"appendCardBatch reserves column $c"))
     val t = col(textCol)
     val h = when(t.isNull, lit("0")).otherwise(concat(lit("1"), md5(t)))
     batch

@@ -398,7 +398,7 @@ class PlanSpec extends SparkSpec {
   test("x51 dataset card: digest window + rollup expand — two exchanges, no join") {
     import org.apache.spark.sql.functions.col
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val p = tree(graft.ext.Curation.datasetCard(d, "text", "doc_id",
+    val p = tree(graft.ext.Curation.datasetCard(d, "text",
       Seq("source", "lang")))
     assert(p.contains("Window") && p.contains("Expand"), p)
     assert(!p.contains("Join"),

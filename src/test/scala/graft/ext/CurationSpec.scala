@@ -223,12 +223,12 @@ class CurationSpec extends SparkSpec {
     try {
       Seq(0, 1).foreach { par =>
         Curation.appendCardBatch(df.filter(pmod(col("doc_id"), lit(2)) === par),
-          "text", "doc_id", Seq("source", "lang"), dir)
+          "text", Seq("source", "lang"), dir)
       }
       def key(r: org.apache.spark.sql.Row) =
         (Option(r.getString(0)), Option(r.getString(1)))
       def vals(r: org.apache.spark.sql.Row) = (2 to 7).map(r.getLong).toSeq
-      val oneShot = Curation.datasetCard(df, "text", "doc_id",
+      val oneShot = Curation.datasetCard(df, "text",
           Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
       val staged = Curation.datasetCardFromStaged(spark, dir,
           Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
@@ -287,7 +287,7 @@ class CurationSpec extends SparkSpec {
       (3L, null.asInstanceOf[String], "de", "s1"),
       (4L, "x y", "de", "s2")
     ).toDF("doc_id", "text", "lang", "source")
-    val card = Curation.datasetCard(df, "text", "doc_id", Seq("source", "lang"))
+    val card = Curation.datasetCard(df, "text", Seq("source", "lang"))
       .as[(Option[String], Option[String], Long, Long, Long, Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7, r._8))
       .toMap

@@ -328,7 +328,7 @@ class EventStreamsSpec extends SparkSpec {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          Curation.appendCardBatch(batch.toDF(), "text", "doc_id",
+          Curation.appendCardBatch(batch.toDF(), "text",
             Seq("source", "lang"), stage)
         }.start()
       q.awaitTermination(120000)
@@ -340,7 +340,7 @@ class EventStreamsSpec extends SparkSpec {
     def vals(r: org.apache.spark.sql.Row) = (2 to 7).map(r.getLong).toSeq
     val streamed = Curation.datasetCardFromStaged(spark, stage,
       Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
-    val oneShot = Curation.datasetCard(b1.unionByName(b2), "text", "doc_id",
+    val oneShot = Curation.datasetCard(b1.unionByName(b2), "text",
       Seq("source", "lang")).collect().map(r => key(r) -> vals(r)).toMap
     assert(streamed == oneShot, s"streamed $streamed vs one-shot $oneShot")
     assert(streamed((None, None))(3) == 2L, // the cross-batch pair is dup
