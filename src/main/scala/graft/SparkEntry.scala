@@ -1400,6 +1400,24 @@ object SparkEntry {
           Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
+    "x53_tokenizer_eval" -> ((s, dir) => {
+      // tokenizer-efficiency eval — the bytes-per-token fairness metric a
+      // tokenizer release reports per language: segment with the TRAINED
+      // merges (x38b artifact), then per lang the exact byte and token
+      // mass (consumers derive bytes/token from the sums — no floats in
+      // the gate). Training is construction-time; the scored pass is a
+      // projection + ONE lang-key agg.
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.TextStats.bpeTrain(d.select(col("text")), "text", 3)
+      val norm = graft.ext.TextStats.bpeNormalize(col("text"))
+      d.filter(col("text").isNotNull && norm =!= "")
+        .select(col("lang"), octet_length(norm).cast("long").as("_b"),
+          size(graft.ext.TextStats.bpeSegment(col("text"), merges))
+            .cast("long").as("_t"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_b")).as("n_bytes"),
+          sum(col("_t")).as("n_tokens"))
+    }),
     "x52_span_corrupt" -> ((s, dir) =>
       // T5-style denoising pairs: 3-token chunks masked at 15% by a
       // deterministic salted draw; k-th masked chunk → <extra_id_k> in
@@ -3027,6 +3045,17 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    // x53: byte mass reads the NORMALIZED text (t0 — merging only swaps
+    // 1-byte spaces for the 1-byte sep, so t3 bytes would equal t0's, but
+    // t0 is the metric's definition); token mass reads the trained
+    // segmentation (t3). strlen = DuckDB's byte length (Spark octet_length)
+    "x53_tokenizer_eval" ->
+      s"""WITH $bpeRoundsCtes
+          SELECT d.lang, COUNT(*) AS n_docs,
+                 CAST(SUM(strlen(t0.t)) AS BIGINT) AS n_bytes,
+                 CAST(SUM(len(string_split(t3.t, ' '))) AS BIGINT) AS n_tokens
+          FROM t3 JOIN t0 USING (doc_id) JOIN documents d USING (doc_id)
+          GROUP BY 1""",
     "x46_curriculum" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(

@@ -389,6 +389,13 @@ class PlanSpec extends SparkSpec {
       s"exactly the stage scan: $p")
   }
 
+  test("x53 tokenizer eval: segmentation is a projection — one lang-key agg exchange") {
+    val p = tree(q("x53_tokenizer_eval"))
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"trained-merge segmentation must not shuffle; only the lang agg: $p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x52 span corruption is a pure projection: zero exchanges") {
     val p = tree(q("x52_span_corrupt"))
     assert(!p.contains("Exchange"),
