@@ -1400,6 +1400,30 @@ object SparkEntry {
           Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
+    "x54_release_build" -> ((s, dir) => {
+      // DELIVERY CAPSTONE (the x37 discipline on the OUTPUT side): curate
+      // → survivors → token-balanced shard assignment → physical
+      // partitionBy(shard) layout → per-(shard, lang) release card read
+      // FROM the layout. Every stage is an op its own row already proves
+      // (x16/x50/x51); THIS row hash-checks the delivery WIRING — who
+      // survives, which shard they land in, what mass each shard attests.
+      val d = t(s, dir, "documents")
+      val ok = graft.ext.Curation.curate(d, "text", "doc_id", "lang",
+          graft.ext.Curation.Rules(minTokens = 20,
+            allowedLangs = Seq("de", "en", "es", "zh")))
+        .filter(col("status") === "ok").select("doc_id")
+      val survivors = d.join(ok, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      val assigned = graft.ext.Curation.assignShards(
+        survivors, "doc_id", "n_tok", 8, 64L)
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_release_")
+      assigned.write.partitionBy("shard").mode("overwrite").parquet(ldir)
+      s.read.parquet(ldir)
+        .groupBy(col("shard").cast("long").as("shard"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
     "x53_tokenizer_eval" -> ((s, dir) => {
       // tokenizer-efficiency eval — the bytes-per-token fairness metric a
       // tokenizer release reports per language: segment with the TRAINED
@@ -3045,6 +3069,46 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    // x54: the x16 status chain picks survivors, the x50 assignment
+    // chain (band/salt/rn/shard, replayed over SURVIVORS only — the rn
+    // is curation-dependent) shards them, and the card groups by
+    // (shard, lang). The Spark side's physical layout hop must be
+    // invisible to every total.
+    "x54_release_build" ->
+      """WITH stats AS (
+           SELECT doc_id, lang, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                       AS DOUBLE) / length(text) END AS punct_ratio,
+             CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS mean_tl
+           FROM documents),
+         surv AS (
+           SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR) || ':shard') AS h
+           FROM stats
+           WHERE NOT (dup_rank > 1) AND n_tok >= 20
+             AND lang IN ('de','en','es','zh')
+             AND NOT (punct_ratio > 0.2 OR mean_tl < 2.0 OR mean_tl > 12.0)),
+         a AS (
+           SELECT doc_id, lang, n_tok, h, n_tok // 64 AS band,
+             CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+               AS salt
+           FROM surv),
+         r AS (
+           SELECT doc_id, lang, n_tok, band, salt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY band, salt
+               ORDER BY h, doc_id) AS BIGINT) AS rn
+           FROM a)
+         SELECT CAST((band + salt + rn - 1) % 8 AS BIGINT) AS shard, lang,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM r GROUP BY 1, 2""",
     // x53: byte mass reads the NORMALIZED text (t0 — merging only swaps
     // 1-byte spaces for the 1-byte sep, so t3 bytes would equal t0's, but
     // t0 is the metric's definition); token mass reads the trained

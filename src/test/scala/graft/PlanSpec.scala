@@ -389,6 +389,15 @@ class PlanSpec extends SparkSpec {
       s"exactly the stage scan: $p")
   }
 
+  test("x54 release build answers from the shard layout alone") {
+    // construction curates, assigns, and writes (side effects); the
+    // RETURNED card must read only the partitioned layout — one scan,
+    // never documents.parquet
+    val p = tree(q("x54_release_build"))
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
   test("x53 tokenizer eval: segmentation is a projection — one lang-key agg exchange") {
     val p = tree(q("x53_tokenizer_eval"))
     assert(p.linesIterator.count(_.contains("Exchange")) == 1,
