@@ -66,16 +66,18 @@ object Bench {
     // sits inside the capture window.
     val qsFull = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    try {
+    val artifactWritten = try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"persistent_rdds":$rdds,"warmup_sec":$warmup,"sf":"$sfDir"}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      true
     } catch {
       case e: Throwable =>
         // never silently lose the lossless artifact — flag it in-window
         println(s"""{"metric":"bench_artifact_write_failed","error":${jstr(
           e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))}}""")
+        false
     }
     val slowest = results.toSeq.sortBy { case (_, v, _, _) => -v }.take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
@@ -97,7 +99,7 @@ object Bench {
     // per-query dict has grown past the safe budget, drop it from stdout
     // (bench_full.json keeps it lossless) rather than risk losing the
     // headline numbers entirely.
-    if (headline.length <= 3800) println(headline)
+    if (headline.length <= 3800 || !artifactWritten) println(headline)
     else println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir","note":"per-query durations in bench_full.json (stdout budget)"}""")
     spark.stop()

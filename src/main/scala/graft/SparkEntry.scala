@@ -1384,7 +1384,9 @@ object SparkEntry {
         weighted, "doc_id", "n_tok", 8, 64L)
       val ldir = graft.ops.Scale.tempLayoutDir("graft_shards_")
       assigned.write.partitionBy("shard").mode("overwrite").parquet(ldir)
-      s.read.parquet(ldir)
+      // explicit schema: a zero-survivor layout has no data files to
+      // infer from, and must read back as empty, not throw
+      s.read.schema(assigned.schema).parquet(ldir)
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tok_total"),
@@ -1419,7 +1421,7 @@ object SparkEntry {
         survivors, "doc_id", "n_tok", 8, 64L)
       val ldir = graft.ops.Scale.tempLayoutDir("graft_release_")
       assigned.write.partitionBy("shard").mode("overwrite").parquet(ldir)
-      s.read.parquet(ldir)
+      s.read.schema(assigned.schema).parquet(ldir)
         .groupBy(col("shard").cast("long").as("shard"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           sum(col("doc_id")).as("id_sum"))
@@ -3088,12 +3090,17 @@ object SparkEntry {
                        / len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS mean_tl
            FROM documents),
          surv AS (
+           -- the same first-failing-rule CASE as x16's oracle (NOT a WHERE
+           -- chain: `lang IN` would drop NULL langs that Spark's curate
+           -- passes through as 'ok' — its !isin condition is NULL there)
            SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
                   md5(CAST(doc_id AS VARCHAR) || ':shard') AS h
            FROM stats
-           WHERE NOT (dup_rank > 1) AND n_tok >= 20
-             AND lang IN ('de','en','es','zh')
-             AND NOT (punct_ratio > 0.2 OR mean_tl < 2.0 OR mean_tl > 12.0)),
+           WHERE CASE WHEN dup_rank > 1 THEN 'dup'
+                      WHEN n_tok < 20 THEN 'too_short'
+                      WHEN lang NOT IN ('de','en','es','zh') THEN 'bad_lang'
+                      WHEN punct_ratio > 0.2 OR mean_tl < 2.0 OR mean_tl > 12.0 THEN 'low_quality'
+                      ELSE 'ok' END = 'ok'),
          a AS (
            SELECT doc_id, lang, n_tok, h, n_tok // 64 AS band,
              CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)

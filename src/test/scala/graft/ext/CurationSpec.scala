@@ -199,6 +199,23 @@ class CurationSpec extends SparkSpec {
     assert(out.length == 3 && out.forall { case (_, sh) => sh == 0 || sh == 1 })
   }
 
+  test("shard layout round-trips an EMPTY corpus (explicit read schema, no infer crash)") {
+    // zero survivors => partitionBy writes only _SUCCESS; schema inference
+    // would throw — the x50/x54 read-back passes the schema explicitly
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    val assigned = Curation.assignShards(empty, "doc_id", "n_tok", 4)
+    val dir = java.nio.file.Files.createTempDirectory("shard_empty_").toString
+    try {
+      assigned.write.partitionBy("shard").mode("overwrite").parquet(dir)
+      assert(spark.read.schema(assigned.schema).parquet(dir).count() == 0)
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("assignShards guards its reserved columns and parameters") {
     val bad = Seq((1L, 5L, 0)).toDF("doc_id", "n_tok", "shard")
     val e = intercept[IllegalArgumentException] {
