@@ -407,9 +407,21 @@ object Curation {
     * digest no matter which batch they arrived in. Null text keys a
     * distinct '0' sentinel (never counted dup, zero mass — the
     * [[datasetCard]] contract); real digests carry a '1' prefix so the
-    * domains can't collide. */
+    * domains can't collide.
+    *
+    * Exactly-once under streaming replay: a bare append is NOT
+    * replay-idempotent — a micro-batch re-delivered after a crash
+    * between the append and the checkpoint commit would double-count.
+    * From `foreachBatch`, write each batch to its own subdir with
+    * `overwrite = true` (`appendCardBatch(b, …, s"$stage/batch=$id",
+    * overwrite = true)`): a replayed batch then overwrites its own
+    * state instead of duplicating it, and [[datasetCardFromStaged]]
+    * reads the partitioned stage unchanged (the extra partition column
+    * is dropped by its aggregations). EventStreamsSpec pins the
+    * crash-replay parity. */
   def appendCardBatch(batch: DataFrame, textCol: String,
-                      dimCols: Seq[String], path: String): Unit = {
+                      dimCols: Seq[String], path: String,
+                      overwrite: Boolean = false): Unit = {
     require(dimCols.nonEmpty, "appendCardBatch needs at least one dimension")
     Seq("_h", "_n", "_tok", "_nch", "_tok2", "_nch2").foreach(c =>
       require(!dimCols.contains(c) && c != textCol,
@@ -425,7 +437,7 @@ object Curation {
       .agg(count(lit(1)).as("_n"), min(col("_tok")).as("_tok2"),
         min(col("_nch")).as("_nch2"))
       .withColumnRenamed("_tok2", "_tok").withColumnRenamed("_nch2", "_nch")
-      .write.mode("append").parquet(path)
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
   }
 
   /** The [[datasetCard]] answered from an [[appendCardBatch]] stage —

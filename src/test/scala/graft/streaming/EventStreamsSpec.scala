@@ -347,6 +347,48 @@ class EventStreamsSpec extends SparkSpec {
       streamed((None, None)))
   }
 
+  test("card stage replay-idempotence: re-delivered batches overwrite their own state") {
+    // crash BETWEEN the stage write and the checkpoint commit re-delivers
+    // the micro-batch; the per-batch-subdir overwrite form must absorb the
+    // replay (a bare append would double-count every metric)
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),
+      (3L, "x y", "de", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val stage = Files.createTempDirectory("cardi").resolve("card").toString
+    val src = Files.createTempDirectory("cardisrc").toString
+    val ckpt = Files.createTempDirectory("cardickpt").toString
+    docs.write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          Curation.appendCardBatch(batch.toDF(), "text",
+            Seq("source", "lang"), s"$stage/batch=$id", overwrite = true)
+        }.start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    def card() = Curation.datasetCardFromStaged(spark, stage,
+      Seq("source", "lang")).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (2 to 7).map(r.getLong).toSeq).toMap
+    val first = card()
+    assert(first == Curation.datasetCard(docs, "text", Seq("source", "lang"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (2 to 7).map(r.getLong).toSeq).toMap)
+    // simulate the replay: wipe the checkpoint so the same files re-deliver
+    // with the same batch id — the overwrite absorbs it
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(ckpt))
+    drain()
+    assert(card() == first, "replayed batch must not double-count")
+  }
+
   test("streaming embedding ingest: micro-batches assign against staged centroids, pair, append") {
     // continuous-ingest SEMANTIC dedup — the embedding face of the LSH
     // ingest test above (x26 mold): the assigned-corpus stage is the only
