@@ -113,7 +113,10 @@ object Dedup {
     * for JVM-exit deletion) and return its path — the setup step for
     * [[lshCandidatePairsIncremental]] and tests of the staged flow. In
     * production the stage is a durable table the pipeline owns, appended
-    * batch by batch. */
+    * batch by batch — and for streaming ingest, appended per-batch-subdir
+    * with overwrite so a crash-replayed micro-batch can't double its
+    * signatures (the `Curation.appendCardBatch(…, overwrite = true)`
+    * discipline, EventStreamsSpec). */
   def stageSignatures(sig: DataFrame): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_sig_stage_")
     registerStageDirForCleanup(dir.toString)

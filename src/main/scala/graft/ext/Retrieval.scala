@@ -228,7 +228,14 @@ object Retrieval {
     * the pruned buckets themselves (a term's postings all live in its
     * one bucket — counting them there IS the corpus df), corpus scalars
     * by aggregating the metadata-scale stats rows. Requires corpus-wide
-    * unique doc ids across batches (the x26 contract). */
+    * unique doc ids across batches (the x26 contract).
+    *
+    * Exactly-once under streaming replay: a bare append is not
+    * replay-idempotent — from `foreachBatch`, give each micro-batch its
+    * own `path` subtree keyed by the batch id and pre-delete it (the
+    * `Curation.appendCardBatch(…, overwrite = true)` discipline,
+    * EventStreamsSpec) so a crash-replayed batch overwrites its own
+    * postings instead of duplicating them. */
   def appendIndexBatch(batch: DataFrame, textCol: String, idCol: String,
                        path: String, hexDigits: Int = 2): Unit = {
     require(hexDigits >= 1 && hexDigits <= 8, "hexDigits must be in [1, 8]")
