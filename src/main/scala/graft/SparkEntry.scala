@@ -1402,6 +1402,24 @@ object SparkEntry {
           Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
+    "x55_leakage_split" -> ((s, dir) => {
+      // leakage-free train/eval split: a whole near-dup CLUSTER goes to
+      // one side (splitting by doc would leak eval near-dups into train
+      // — the failure mode cluster-aware splits exist to prevent).
+      // Cluster label = CC min-id (x17) for paired docs, own id for
+      // singletons; the split is a deterministic salted draw on the
+      // LABEL, so cluster members can never disagree. 10% eval.
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2))
+      val labeled = d.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val draw = conv(substring(md5(concat(col("cluster_id").cast("string"),
+        lit(":split"))), 1, 2), 16, 10).cast("int") % 100
+      labeled.withColumn("split",
+        when(draw < 10, "eval").otherwise("train"))
+    }),
     "x54_release_build" -> ((s, dir) => {
       // DELIVERY CAPSTONE (the x37 discipline on the OUTPUT side): curate
       // → survivors → token-balanced shard assignment → physical
@@ -2576,6 +2594,41 @@ object SparkEntry {
            SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
          SELECT id, LEAST(id, MIN(peer)) AS cluster_id
          FROM reach GROUP BY id""",
+    // x55: the x17 closure labels paired docs, singletons label as
+    // themselves, and the split draw reads the LABEL (2-hex md5 value %
+    // 100) — so a cluster can never straddle the split
+    "x55_leakage_split" ->
+      """WITH RECURSIVE sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                   UNION SELECT b_id, a_id FROM cand),
+         reach AS (
+           SELECT src AS id, dst AS peer FROM edges
+           UNION
+           SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+         cl AS (SELECT id, LEAST(id, MIN(peer)) AS cluster_id
+                FROM reach GROUP BY id),
+         lab AS (
+           SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+         SELECT doc_id, cluster_id,
+           CASE WHEN ((strpos('0123456789abcdef',
+                        substr(md5(CAST(cluster_id AS VARCHAR) || ':split'), 1, 1)) - 1) * 16
+                      + strpos('0123456789abcdef',
+                        substr(md5(CAST(cluster_id AS VARCHAR) || ':split'), 2, 1)) - 1) % 100
+                     < 10
+                THEN 'eval' ELSE 'train' END AS split
+         FROM lab""",
     "x4_jaccard_pairs" ->
       """WITH sets AS (SELECT doc_id, lang, source,
              list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS toks FROM documents)

@@ -420,6 +420,25 @@ class ExtSpec extends SparkSpec {
     assert(out == withBloom)
   }
 
+  test("leakage-free split: near-dup candidates never straddle the split") {
+    // the x55 contract on real fixture data: every LSH candidate pair
+    // lands on ONE side, eval is non-degenerate, and the draw is stable
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = graft.SparkEntry.queries("x55_leakage_split")(spark,
+      "/root/testdata/sf0.001")
+    val bySide = split.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2)
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(bySide(a) == bySide(b), s"pair ($a, $b) straddles the split")
+    }
+    val nEval = bySide.values.count(_ == "eval")
+    assert(nEval > 0 && nEval < bySide.size, s"degenerate split: $nEval eval")
+  }
+
   test("contaminationPairs attributes overlap to the specific benchmark doc") {
     val bench = Seq(
       (100L, "the quick brown fox jumps"),
