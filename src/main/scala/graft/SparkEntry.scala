@@ -1402,6 +1402,41 @@ object SparkEntry {
           Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           col("n_chars"), col("n_dup_docs"), col("min_tok"), col("max_tok"))),
+    "x56_dsir_select" -> ((s, dir) =>
+      // DSIR-style targeted selection (Xie et al. 2023): score every doc
+      // by how much its hashed-token distribution resembles the English
+      // subset (the "target"), exact Q20 probability ratios over 64 md5
+      // buckets, keep the deterministic top-100. One explode + one
+      // bucket-key exchange (both count columns in a single conditional
+      // agg), ratio table + totals broadcast, per-doc reduce, TakeOrdered
+      // top-k. The oracle replays the same integers over HUGEINT.
+      graft.ext.Curation.dsirTopK(
+        t(s, dir, "documents"), "text", "doc_id",
+        col("lang") === "en", 64, 100)),
+    "x57_prototype_prune" -> ((s, dir) => {
+      // prototypicality pruning (Sorscher et al. 2022): rank embeddings by
+      // cosine to their OWN centroid (first-64 convention — the trained
+      // path composes via x35), drop the most prototypical 25% of each
+      // cell. Assignment is the broadcast ivfAssignJoin argmax; ONE
+      // cid-window exchange; cut is exact integer ceil. The oracle replays
+      // assignment, cosine, rank, and cut bit-for-bit.
+      val emb = t(s, dir, "embeddings")
+      Similarity.prototypePrune(emb,
+          emb.filter(col("vec_id") < 64)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          "vec_id", "embedding", 250)
+        .select(col("vec_id"), col("cid"), col("rnk"),
+          col("keep").cast("long").as("keep"))
+    }),
+    "x58_temperature_mix" -> ((s, dir) =>
+      // temperature-flattened domain mixing at α = 1/2 (the mT5/XLM-R
+      // head-vs-tail rebalance): per-source rates recomputed from the
+      // LIVE counts — 1000·isqrt(n_min·n_d) div n_d per-mille, exact
+      // integer sqrt — then the salted id-hash Bernoulli. One small
+      // domain agg + broadcast rate join; the corpus side never shuffles.
+      graft.ext.Curation.sqrtTemperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source")),
     "x55_leakage_split" -> ((s, dir) => {
       // leakage-free train/eval split: a whole near-dup CLUSTER goes to
       // one side (splitting by doc would leak eval near-dups into train
@@ -2597,6 +2632,79 @@ object SparkEntry {
     // x55: the x17 closure labels paired docs, singletons label as
     // themselves, and the split draw reads the LABEL (2-hex md5 value %
     // 100) — so a cluster can never straddle the split
+    "x56_dsir_select" ->
+      """WITH toks AS (SELECT doc_id,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+              FROM documents),
+         tk AS (SELECT doc_id, is_t,
+                (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
+                 + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS b
+                FROM toks WHERE tok <> ''),
+         cnt AS (SELECT b, COUNT(*) AS cr, SUM(is_t) AS ct FROM tk GROUP BY b),
+         tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnt),
+         ratio AS (SELECT b,
+                   (CAST(ct + 1 AS HUGEINT) * (tr + 64) * 1048576)
+                   // (CAST(cr + 1 AS HUGEINT) * (tt + 64)) AS rq20
+                   FROM cnt CROSS JOIN tot),
+         sc AS (SELECT t.doc_id, CAST(SUM(r.rq20) // COUNT(*) AS BIGINT) AS score_q20
+                FROM tk t JOIN ratio r ON r.b = t.b GROUP BY t.doc_id)
+         SELECT doc_id, score_q20 FROM sc
+         ORDER BY score_q20 DESC, doc_id LIMIT 100""",
+    "x57_prototype_prune" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
+           cs AS (SELECT vec_id, cid,
+                  CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                        FROM embeddings e CROSS JOIN c)
+                  GROUP BY vec_id, cid),
+           assign AS (SELECT vec_id, cid FROM cs
+                      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+           norms AS (SELECT vec_id,
+                     SUM(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS ns
+                     FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+           cnorms AS (SELECT cid,
+                      SUM(CAST(floor(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1073741824) AS BIGINT)) AS cns
+                      FROM (SELECT cid, unnest(cvec) AS x FROM c) GROUP BY cid),
+           scored AS (SELECT a.vec_id, a.cid,
+                      CASE WHEN na.ns = 0 OR cn.cns = 0 THEN -2.0
+                           ELSE (CAST(s.s AS DOUBLE)/1073741824)
+                                / (sqrt(CAST(na.ns AS DOUBLE)/1073741824)
+                                   * sqrt(CAST(cn.cns AS DOUBLE)/1073741824)) END AS cos
+                      FROM assign a
+                      JOIN cs s ON s.vec_id = a.vec_id AND s.cid = a.cid
+                      JOIN norms na ON na.vec_id = a.vec_id
+                      JOIN cnorms cn ON cn.cid = a.cid),
+           ranked AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS rnk,
+                      COUNT(*) OVER (PARTITION BY cid) AS n
+                      FROM scored)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(rnk AS BIGINT) AS rnk,
+                CAST(CASE WHEN rnk > (n * 250 + 999) // 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM ranked""",
+    "x58_temperature_mix" ->
+      """WITH cnt AS (SELECT source AS d, COUNT(*) AS n FROM documents GROUP BY source),
+           mn AS (SELECT MIN(n) AS nmin FROM cnt),
+           r0 AS (SELECT d, n, n * nmin AS p,
+                  CAST(floor(sqrt(CAST(n * nmin AS DOUBLE))) AS BIGINT) AS c0
+                  FROM cnt CROSS JOIN mn),
+           r1 AS (SELECT d, n, p, CASE WHEN c0 * c0 > p THEN c0 - 1 ELSE c0 END AS c1 FROM r0),
+           r2 AS (SELECT d, n, CASE WHEN (c1 + 1) * (c1 + 1) <= p THEN c1 + 1 ELSE c1 END AS c2 FROM r1),
+           rates AS (SELECT d, (1000 * c2) // n AS rate FROM r2)
+         SELECT doc_id, source FROM (
+           SELECT dd.doc_id, dd.source, r.rate,
+             (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 268435456
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) % 1000 AS draw
+           FROM (SELECT doc_id, source,
+                 md5(CAST(doc_id AS VARCHAR) || ':tmix') AS h FROM documents) dd
+           JOIN rates r ON dd.source IS NOT DISTINCT FROM r.d)
+         WHERE draw < rate""",
     "x55_leakage_split" ->
       """WITH RECURSIVE sig AS (
            SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,

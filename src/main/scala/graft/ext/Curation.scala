@@ -134,6 +134,117 @@ object Curation {
     df.filter(draw < rate)
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much its hashed-token distribution resembles a TARGET subset of
+    * the same corpus (the "high-quality reference" — in-domain text,
+    * curated pages, …), then keep the top `k` scorers. DSIR's importance
+    * weight is a product of per-feature probability ratios
+    * p_target(f)/p_raw(f) over hashed n-gram features; engines disagree
+    * on `ln`'s last ulp, so the cross-engine-EXACT form used here scores
+    * each token bucket by its add-1-smoothed probability ratio in Q20
+    *
+    *   r(b) = floor( 2^20 · (ct(b)+1)·(TR+B) / ((cr(b)+1)·(TT+B)) )
+    *
+    * (ct/cr = target/raw token counts of bucket b, TT/TR their corpus
+    * totals, B the bucket count) and takes the per-document MEAN bucket
+    * ratio — monotone in the same "looks like the target" direction as
+    * DSIR's log-ratio sum, but every step is exact integer arithmetic
+    * (products in decimal(38,0), one floor-div; exact up to ~10^15-token
+    * corpora — two orders past a 100 TB text corpus). Deterministic
+    * top-k replaces the paper's Gumbel perturbation (their "top-k
+    * heuristic" variant): ties break toward the lower id.
+    *
+    * Scale shape: one explode + ONE bucket-key exchange computes both
+    * count columns (conditional sum — the target is a predicate, not a
+    * second scan); the B-row ratio table and the one-row totals ride the
+    * plan as broadcasts; the per-doc reduce is an id-keyed agg with
+    * map-side partials; the top-k is TakeOrdered (per-partition heap +
+    * driver merge), never a global sort.
+    *
+    * Returns (idCol, score_q20), the k highest-scoring documents. */
+  def dsirTopK(df: DataFrame, textCol: String, idCol: String,
+               isTarget: Column, buckets: Int = 64, k: Int = 100): DataFrame = {
+    require(buckets >= 1 && buckets <= 256,
+      "bucket count must fit the 2-hex-digit hash")
+    require(k >= 1, "k must be positive")
+    Seq("_ds_t", "_ds_b", "_ds_cr", "_ds_ct", "_ds_tr", "_ds_tt",
+        "_ds_r", "_ds_s", "_ds_n", "score_q20").foreach(c =>
+      require(c == idCol || !df.columns.contains(c),
+        s"dsirTopK reserves column $c"))
+    val toks = df
+      .select(col(idCol), isTarget.cast("boolean").as("_ds_t"),
+        explode(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("_ds_tok"))
+      .filter(col("_ds_tok") =!= "")
+      .select(col(idCol), col("_ds_t"),
+        (conv(substring(md5(col("_ds_tok")), 1, 2), 16, 10).cast("long")
+          % buckets).as("_ds_b"))
+    val cnt = toks.groupBy(col("_ds_b")).agg(
+      count(lit(1)).as("_ds_cr"),
+      sum(when(col("_ds_t"), 1L).otherwise(0L)).as("_ds_ct"))
+    val tot = cnt.agg(sum(col("_ds_cr")).as("_ds_tr"),
+      sum(col("_ds_ct")).as("_ds_tt"))
+    val ratio = cnt.crossJoin(broadcast(tot)).select(col("_ds_b"), expr(
+      s"""(cast(_ds_ct + 1 as decimal(38,0)) * (_ds_tr + $buckets) * 1048576)
+          div (cast(_ds_cr + 1 as decimal(38,0)) * (_ds_tt + $buckets))""")
+      .as("_ds_r"))
+    toks.join(broadcast(ratio), Seq("_ds_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_ds_r")).as("_ds_s"), count(lit(1)).as("_ds_n"))
+      .select(col(idCol),
+        expr("_ds_s div _ds_n").cast("long").as("score_q20"))
+      .orderBy(col("score_q20").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Temperature-flattened domain mixing at α = 1/2 — the multilingual-
+    * pretraining standard (mT5/XLM-R sample language ℓ with probability
+    * ∝ n_ℓ^α so head languages stop drowning the tail). Sampling domain
+    * d at p(d) ∝ n_d^α means each ROW of d survives with rate
+    * ∝ n_d^(α−1) = 1/√n_d at α = 1/2; normalizing so the SMALLEST domain
+    * keeps everything gives the exact integer per-mille rate
+    *
+    *   rate(d) = (1000 · isqrt(n_min · n_d)) div n_d        (≤ 1000)
+    *
+    * with isqrt the exact integer square root (floor(√·) from one IEEE
+    * sqrt plus a ±1 integer correction — both engines land on the same
+    * integer). Unlike [[mixtureSample]] the rates are DATA-DRIVEN —
+    * recomputed from the live domain counts, no hand-tuned map. The
+    * survivor draw is the same salted id-hash Bernoulli, so membership
+    * is deterministic across runs, engines, and partitionings.
+    *
+    * Scale shape: one domain-key count agg (map-side partials; the table
+    * is |domains| rows), a one-row min broadcast, and the rate table
+    * broadcast back onto the corpus — the big side takes a zero-exchange
+    * filter. Exact while n_min·n_d < 2^63 (domains to ~3·10^9 rows);
+    * beyond that compute rates on a sampled count. Null domains are a
+    * domain of their own (null-safe join). */
+  def sqrtTemperatureSample(df: DataFrame, idCol: String,
+                            domainCol: String): DataFrame = {
+    Seq("_tm_n", "_tm_min", "_tm_c", "_tm_rate", "_tm_d").foreach(c =>
+      require(c == idCol || !df.columns.contains(c),
+        s"sqrtTemperatureSample reserves column $c"))
+    val cnts = df.groupBy(col(domainCol).as("_tm_d"))
+      .agg(count(lit(1)).as("_tm_n"))
+    val nMin = cnts.agg(min(col("_tm_n")).as("_tm_min"))
+    // exact isqrt of n_min·n_d: one IEEE sqrt then the standard ±1
+    // correction (a double is within 1 ulp of the true root, so one
+    // step each way suffices below 2^63)
+    val prod = col("_tm_n") * col("_tm_min")
+    val c0 = floor(sqrt(prod.cast("double"))).cast("long")
+    val c1 = when(c0 * c0 > prod, c0 - 1).otherwise(c0)
+    val c2 = when((c1 + 1) * (c1 + 1) <= prod, c1 + 1).otherwise(c1)
+    val rates = cnts.crossJoin(broadcast(nMin))
+      .select(col("_tm_d"), c2.as("_tm_c"), col("_tm_n"))
+      .select(col("_tm_d"),
+        expr("(1000 * _tm_c) div _tm_n").as("_tm_rate"))
+    val draw = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":tmix"))), 1, 8), 16, 10).cast("long") % 1000
+    df.join(broadcast(rates), col(domainCol) <=> col("_tm_d"))
+      .filter(draw < col("_tm_rate"))
+      .drop("_tm_d", "_tm_rate")
+  }
+
   /** Per-domain TOKEN-BUDGET sampling — the form pretrain mixtures are
     * actually specified in ("30B tokens of code, 5B of forums"), vs
     * [[mixtureSample]]'s row rates and [[hashStratifiedSample]]'s k rows.

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column.
@@ -749,5 +750,53 @@ object Similarity {
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
         (coalesce(col("cluster_id"), col(idCol)) === col(idCol)).as("keep"))
+  }
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): rank
+    * every embedding by cosine to its OWN cluster centroid and drop the
+    * `dropPermille`/1000 most PROTOTYPICAL (closest-to-centroid) fraction
+    * of each cell — with abundant data, the easy redundant core of each
+    * cluster contributes least to training, so pruning it beats random
+    * subsampling. (With scarce data the paper drops the far tail instead:
+    * flip the kept band by filtering on `rnk` yourself.)
+    *
+    * Determinism: assignment is [[ivfAssignJoin]]'s Q30 argmax; the
+    * within-cell order is the cosine assembled from exact Q30 integers by
+    * fixed IEEE double steps (the x30 convention), ties toward the lower
+    * id; the cut is exact integer ceil. A zero-norm vector (cosine
+    * undefined) ranks below every real cosine instead of riding NaN
+    * ordering quirks.
+    *
+    * Scale shape: one broadcast centroid fan-out (plan size independent
+    * of k) + ONE cid-key window exchange. A cell is one window task —
+    * k-means cells are capacity-bounded by construction (k grows with the
+    * corpus in the IVF/SemDeDup regime), and the guard knob is the same
+    * as [[semDedupClusters]]'s: raise the centroid count.
+    *
+    * Returns (idCol, cid, rnk, keep) — rnk 1 = most prototypical; keep =
+    * rnk past the cut. */
+  def prototypePrune(emb: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, dropPermille: Int): DataFrame = {
+    require(dropPermille >= 0 && dropPermille <= 1000,
+      "dropPermille is per-mille: 0..1000")
+    Seq("_pp_cnrm", "_pp_cos", "_pp_n", "rnk", "keep").foreach(c =>
+      require(c == idCol || !emb.columns.contains(c),
+        s"prototypePrune reserves column $c"))
+    val cents = centroids.select(col("cid"), col("cvec"),
+      sqrt(quantizedDot(col("cvec"), col("cvec"))).as("_pp_cnrm"))
+    val cos = when(col("nrm") * col("_pp_cnrm") === 0.0, lit(-2.0))
+      .otherwise(quantizedDot(col(vecCol), col("cvec"))
+        / (col("nrm") * col("_pp_cnrm")))
+    val scored = semDedupAssign(emb, centroids, idCol, vecCol)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col(idCol), col("cid"), cos.as("_pp_cos"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("_pp_cos").desc, col(idCol))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("_pp_n", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .select(col(idCol), col("cid").cast("long").as("cid"), col("rnk"),
+        expr(s"rnk > (_pp_n * $dropPermille + 999) div 1000").as("keep"))
   }
 }

@@ -440,6 +440,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x56 dsir: ratio table broadcast onto the token stream; top-k is TakeOrdered") {
+    val p = tree(q("x56_dsir_select"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"),
+      s"the selection cut must never globally sort the corpus: $p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the 64-row ratio table must broadcast, not shuffle-join the stream: $p")
+  }
+
+  test("x58 temperature mix: the corpus side filters behind a broadcast rate join") {
+    val p = tree(q("x58_temperature_mix"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the |domains|-row rate table must broadcast: $p")
+    assert(!p.contains("rangepartitioning") && !p.contains("CartesianProduct"), p)
+    // the only hash exchanges aggregate the tiny domain-count table (the
+    // rate branch appears once per consumer) — the doc stream itself
+    // reaches its filter through broadcasts alone, so every hash exchange
+    // must key on the domain column, never the id
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("source")),
+      s"corpus-side exchange (non-domain key): $hashEx\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("x57 prototype prune: broadcast centroid fan-out, one cid-window exchange") {
+    val p = tree(q("x57_prototype_prune"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"centroids must broadcast into the fan-out and the join-back: $p")
+  }
+
   test("bpe round: one pair-key shuffle + TakeOrdered top-1; the merge apply is a pure projection") {
     import org.apache.spark.sql.functions.col
     val norm = spark.read.parquet(s"$dir/documents.parquet")

@@ -315,4 +315,82 @@ class CurationSpec extends SparkSpec {
     assert(card((Some("s1"), None)) == ((3L, 6L, 10L, 2L, 0L, 3L)))
     assert(card((None, None)) == ((4L, 8L, 13L, 2L, 0L, 3L)))
   }
+
+  // reference md5 helpers for the deterministic-draw specs below
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dsirTopK matches an independent BigInt replay of the ratio arithmetic") {
+    val B = 64
+    val docs = Seq(
+      (1L, "aa aa aa", true),   // pure target-vocabulary doc
+      (2L, "aa bb", true),
+      (3L, "bb bb bb bb", false),
+      (4L, "aa bb cc", false),
+      (5L, "", true),           // token-less: must not appear
+      (6L, null.asInstanceOf[String], false)
+    ).toDF("doc_id", "text", "is_t")
+    val out = Curation.dsirTopK(docs, "text", "doc_id", col("is_t"), B, 10)
+      .as[(Long, Long)].collect().toMap
+
+    // independent replay: same bucketing, BigInt instead of decimal(38,0)
+    val toks = Seq(1L -> ("aa aa aa", true), 2L -> ("aa bb", true),
+      3L -> ("bb bb bb bb", false), 4L -> ("aa bb cc", false))
+      .flatMap { case (id, (t, tt)) => t.split("\\s+").map(tok => (id, tt, tok)) }
+    def bucket(tok: String): Long = java.lang.Long.parseLong(md5Hex(tok).take(2), 16) % B
+    val byB = toks.groupBy { case (_, _, tok) => bucket(tok) }
+    val cr = byB.view.mapValues(_.size.toLong).toMap
+    val ct = byB.view.mapValues(_.count(_._2).toLong).toMap
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    def rq20(b: Long): BigInt =
+      (BigInt(ct(b) + 1) * (tr + B) * 1048576) / (BigInt(cr(b) + 1) * (tt + B))
+    val expected = toks.groupBy(_._1).map { case (id, ts) =>
+      id -> (ts.map(t => rq20(bucket(t._3))).sum / ts.size).toLong
+    }
+    assert(out == expected, s"got $out expected $expected")
+    // pure-target doc must outscore the pure-non-target doc
+    assert(out(1L) > out(3L))
+    // k truncates on the (score desc, id) total order
+    val top2 = Curation.dsirTopK(docs, "text", "doc_id", col("is_t"), B, 2)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(top2 == expected.toSeq.sortBy { case (id, s) => (-s, id) }.take(2)
+      .map(_._1).toSet)
+  }
+
+  test("sqrtTemperatureSample: exact rates, smallest domain intact, null-safe") {
+    // a: 4 rows, b: 16 rows, null: 4 rows -> n_min = 4
+    // rate(a) = rate(null) = 1000; rate(b) = 1000*isqrt(4*16)/16 = 500
+    val rows = (1L to 4L).map((_, "a")) ++ (11L to 26L).map((_, "b")) ++
+      (31L to 34L).map((_, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "source")
+    val out = Curation.sqrtTemperatureSample(df, "doc_id", "source")
+      .as[(Long, Option[String])].collect().toSet
+    def draw(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(s"$id:tmix").take(8), 16) % 1000
+    val expected = rows.filter { case (id, d) =>
+      val rate = if (d == "b") 500L else 1000L
+      draw(id) < rate
+    }.map { case (id, d) => (id, Option(d)) }.toSet
+    assert(out == expected)
+    // the smallest domains keep every row (rate 1000)
+    assert(out.count(_._2.contains("a")) == 4)
+    assert(out.count(_._2.isEmpty) == 4, "null domain must survive the join")
+    // deterministic across calls
+    val out2 = Curation.sqrtTemperatureSample(df, "doc_id", "source")
+      .as[(Long, Option[String])].collect().toSet
+    assert(out == out2)
+  }
+
+  test("sqrtTemperatureSample isqrt correction lands on exact floors") {
+    // 3 vs 5 rows: p = 15, isqrt = 3, rate(b) = 600; expected-mass check
+    val df = ((1L to 3L).map((_, "a")) ++ (11L to 15L).map((_, "b")))
+      .toDF("doc_id", "source")
+    val kept = Curation.sqrtTemperatureSample(df, "doc_id", "source")
+    def draw(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(s"$id:tmix").take(8), 16) % 1000
+    val expB = (11L to 15L).count(draw(_) < 600)
+    assert(kept.filter(col("source") === "a").count() == 3)
+    assert(kept.filter(col("source") === "b").count() == expB.toLong)
+  }
 }

@@ -1025,4 +1025,48 @@ class ExtSpec extends SparkSpec {
     assert(got.sameElements(Array(
       (12L, "m n o p q r", 0L), (13L, "", 6L))), got.toSeq)
   }
+
+  test("prototypePrune drops the most prototypical ceil-fraction per cell") {
+    // two unit-axis centroids; dot-argmax assignment puts 10,11 in cell 0
+    // and 12,13,14 in cell 1; cosine ranks are hand-computable
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // cell 0, cos 1.0   -> rnk 1
+      (11L, Array(0.8f, 0.6f, 0.0f)),   // cell 0, cos 0.8   -> rnk 2
+      (12L, Array(0.6f, 0.8f, 0.0f)),   // cell 1, cos 0.8   -> rnk 3
+      (13L, Array(0.0f, 1.0f, 0.0f)),   // cell 1, cos 1.0   -> rnk 1
+      (14L, Array(0.1f, 0.9f, 0.0f))    // cell 1, cos ~0.994 -> rnk 2
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("cid", "cvec")
+    val out = Similarity.prototypePrune(emb, cents, "vec_id", "embedding", 500)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // cell 0 (n=2): cut = ceil(1.0) = 1 -> rnk 1 dropped
+    assert(out(10L) == ((0L, 1L, false)))
+    assert(out(11L) == ((0L, 2L, true)))
+    // cell 1 (n=3): cut = ceil(1.5) = 2 -> rnks 1,2 dropped
+    assert(out(13L) == ((1L, 1L, false)))
+    assert(out(14L) == ((1L, 2L, false)))
+    assert(out(12L) == ((1L, 3L, true)))
+    // rate edges: 0 keeps everything, 1000 drops everything
+    val all = Similarity.prototypePrune(emb, cents, "vec_id", "embedding", 0)
+    assert(all.filter(!col("keep")).count() == 0)
+    val none = Similarity.prototypePrune(emb, cents, "vec_id", "embedding", 1000)
+    assert(none.filter(col("keep")).count() == 0)
+  }
+
+  test("prototypePrune: zero-norm vectors rank last, never NaN-first") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)), // zero norm: cosine undefined -> sentinel -2
+      (3L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0f, 0.0f))).toDF("cid", "cvec")
+    val out = Similarity.prototypePrune(emb, cents, "vec_id", "embedding", 0)
+      .select(col("vec_id"), col("rnk")).as[(Long, Long)].collect().toMap
+    assert(out(2L) == 3L, s"zero-norm must rank last: $out")
+    assert(out(1L) == 1L && out(3L) == 2L)
+  }
 }
