@@ -1618,7 +1618,75 @@ object SparkEntry {
         .filter(col("tok") =!= "")
         .groupBy("tok")
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
-        .orderBy(col("n").desc, col("tok")).limit(100))
+        .orderBy(col("n").desc, col("tok")).limit(100)),
+    "x59_pagerank" -> ((s, dir) => {
+      // host-graph centrality (the Common-Crawl-style link ranking crawl
+      // curation feeds on): PageRank in exact Q18 integer fixed point, 3
+      // power iterations, damping 850‰. The graph: customer→supplier for
+      // every (order, lineitem) pair — parallel edges are link weight —
+      // with the reverse edge only for quantity > 25, so some suppliers
+      // are dangling and the dangling-mass redistribution is exercised.
+      // Node ids pack namespaces as cust·2 / supp·2+1. The oracle unrolls
+      // all three rounds as CTEs over HUGEINT.
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val fwd = pairs.select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = pairs.filter(col("l_quantity") > 25)
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"))
+      graft.ext.Graphs.pageRank(fwd.union(rev), "src", "dst", 3)
+    }),
+    "x60_margin_mine" -> ((s, dir) => {
+      // margin-based pair mining (the LASER/CCMatrix bitext criterion):
+      // even vec_ids mine their best match among odd vec_ids by margin —
+      // similarity relative to BOTH sides' k=4 neighborhoods — not raw
+      // top-1 (raw top-1 mines hub vectors). Exact Q30 dots, one Q20
+      // floor-div; the oracle replays both kNN passes and the margin.
+      val e = t(s, dir, "embeddings")
+      Similarity.marginMine(
+        e.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", 4)
+    }),
+    "x61_host_filter" -> ((s, dir) =>
+      // host-level curation (RefinedWeb's judge-the-site-first move):
+      // per-source exact-dup and short-doc per-mille rates, computed over
+      // digests (the corpus never shuffles), hosts over 450‰ short docs
+      // (< 50 words) or any dup mass dropped WHOLESALE. Survivors carry
+      // the host verdict columns for audit.
+      graft.ext.Curation.hostFilter(t(s, dir, "documents"),
+          "text", "source", 100, 450, 50)
+        .select(col("doc_id"), col("source"), col("dup_pm"), col("short_pm"))),
+    "x62_chunk_neardup" -> ((s, dir) =>
+      // partial-overlap near-dup: whole-doc MinHash (x3) dilutes a shared
+      // region below the banding threshold once the docs differ
+      // elsewhere; chunk-level signatures restore locality. 120-char
+      // chunks, k=4 hashes in 2 bands, hot bands capped at 50 chunks
+      // (the boilerplate guard), doc pairs scored by distinct chunk
+      // collisions. The oracle replays chunking, every min-md5 window,
+      // the cap, and the hit count.
+      Dedup.chunkNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+          120, 4, 2, maxBandChunks = 50)
+        .select(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id"), col("n_chunk_hits"))),
+    "x63_release_delta" -> ((s, dir) => {
+      // release-to-release corpus diff: v1 lacks every 7th doc, v2 drops
+      // every 13th and revises every 11th (text + ' rev2') — the delta
+      // card reports per-source added/removed/changed/unchanged counts
+      // and the exact token-mass swing. One id-keyed full-outer join of
+      // digest projections; the oracle replays both versions and the
+      // rollup.
+      val d = t(s, dir, "documents")
+      val oldV = d.filter(col("doc_id") % 7 =!= 0)
+      val newV = d.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.ext.Curation.releaseDelta(oldV, newV, "text", "doc_id",
+        Seq("source"))
+    })
   )
 
   /** The retrieval-family query batch (x43/x48/x49 share it; the oracle
@@ -3546,6 +3614,163 @@ object SparkEntry {
                FROM documents)
          WHERE tok <> ''
          GROUP BY tok
-         ORDER BY n DESC, tok LIMIT 100"""
+         ORDER BY n DESC, tok LIMIT 100""",
+    // x59: every integer step of Graphs.pageRank replayed over HUGEINT —
+    // same edge multiset, same Q18 base, same floor-divisions, three
+    // unrolled rounds (all values non-negative, so trunc == floor in
+    // both engines)
+    "x59_pagerank" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT b.node, b.od,
+              CAST(((150::HUGEINT * bq.bq)
+                    + 850::HUGEINT * (COALESCE(c.s, 0) + dg.dm // nn.n))
+                   // 1000 AS BIGINT) AS rq
+            FROM base b
+            LEFT JOIN (SELECT e.dst, SUM(r.rq // r.od) AS s
+                       FROM edges e JOIN $prev r ON r.node = e.src
+                       GROUP BY e.dst) c ON c.dst = b.node
+            CROSS JOIN (SELECT COALESCE(SUM(rq), 0) AS dm
+                        FROM $prev WHERE od IS NULL) dg
+            CROSS JOIN nn CROSS JOIN bq)"""
+      s"""WITH pr AS (SELECT o_custkey, l_suppkey, l_quantity
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          edges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pr
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, o_custkey * 2 FROM pr
+                    WHERE l_quantity > 25),
+          nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+          od AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src),
+          base AS (SELECT n.node, o.od FROM nodes n
+                   LEFT JOIN od o ON o.node = n.node),
+          nn AS (SELECT COUNT(*) AS n FROM base),
+          bq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // n AS bq FROM nn),
+          r0 AS (SELECT b.node, b.od, CAST(bq.bq AS BIGINT) AS rq
+                 FROM base b CROSS JOIN bq),
+          ${round("r0", "r1")},
+          ${round("r1", "r2")},
+          ${round("r2", "r3")}
+          SELECT node, rq AS rank_q18 FROM r3"""
+    },
+    // x60: both kNN passes and the margin replayed — Q30 dots (floor each
+    // product, exact long sums), neighborhood SUMS, one positive-mod Q20
+    // floor-div, argmax by (margin desc, id)
+    "x60_margin_mine" ->
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         dots AS (SELECT qv, nv,
+                    SUM(CAST(floor(CAST(qx AS DOUBLE) * CAST(nx AS DOUBLE)
+                                   * 1073741824) AS BIGINT)) AS s
+                  FROM (SELECT l.vec_id AS qv, r.vec_id AS nv,
+                               unnest(l.embedding) AS qx,
+                               unnest(r.embedding) AS nx
+                        FROM l CROSS JOIN r)
+                  GROUP BY qv, nv),
+         fwd AS (SELECT qv, nv, s,
+                   row_number() OVER (PARTITION BY qv ORDER BY s DESC, nv) AS rn
+                 FROM dots),
+         fs AS (SELECT qv, SUM(s) AS ls FROM fwd WHERE rn <= 4 GROUP BY qv),
+         bwd AS (SELECT qv, nv, s,
+                   row_number() OVER (PARTITION BY nv ORDER BY s DESC, qv) AS rn
+                 FROM dots),
+         bs AS (SELECT nv, SUM(s) AS rs FROM bwd WHERE rn <= 4 GROUP BY nv),
+         cand AS (SELECT f.qv, f.nv,
+                    (2::HUGEINT * f.s * 4 * 1048576) AS num,
+                    (fs.ls + bs.rs)::HUGEINT AS den
+                  FROM fwd f
+                  JOIN fs ON fs.qv = f.qv
+                  JOIN bs ON bs.nv = f.nv
+                  WHERE f.rn <= 4 AND fs.ls + bs.rs > 0),
+         marg AS (SELECT qv, nv,
+                    CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+                      AS margin_q20
+                  FROM cand),
+         best AS (SELECT qv, nv, margin_q20,
+                    row_number() OVER (PARTITION BY qv
+                      ORDER BY margin_q20 DESC, nv) AS rn
+                  FROM marg)
+         SELECT qv AS q_id, nv AS n_id, margin_q20 FROM best WHERE rn = 1""",
+    // x61: host verdicts replayed — same md5 digests, same \s+ word
+    // count, same per-mille floor-divisions and thresholds
+    "x61_host_filter" ->
+      """WITH s AS (SELECT doc_id, source, md5(text) AS d,
+              length(list_filter(string_split_regex(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                x -> x <> '')) AS wc
+            FROM documents),
+         v AS (SELECT source,
+              (1000 * (COUNT(*) - COUNT(DISTINCT d))) // COUNT(*) AS dup_pm,
+              (1000 * SUM(CASE WHEN wc < 50 THEN 1 ELSE 0 END)) // COUNT(*)
+                AS short_pm
+            FROM s GROUP BY source)
+         SELECT s.doc_id, s.source, CAST(v.dup_pm AS BIGINT) AS dup_pm,
+                CAST(v.short_pm AS BIGINT) AS short_pm
+         FROM s JOIN v ON s.source = v.source
+         WHERE v.dup_pm <= 100 AND v.short_pm <= 450""",
+    // x62: chunking, every min-md5 window, the hot-band cap, and the
+    // distinct-chunk-collision count replayed; band equality compares the
+    // hash pair directly (sha1(h1|h2) equality ⇔ (h1,h2) equality — the
+    // x3 precedent)
+    "x62_chunk_neardup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL AND length(text) >= 5),
+         ch AS (SELECT doc_id, i AS cidx, substr(text, i*120+1, 120) AS chunk
+                FROM d, (SELECT unnest(generate_series(0,
+                     (SELECT CAST(MAX(length(text)) AS BIGINT) // 120 FROM d)))
+                     AS i) g
+                WHERE i <= (length(text) - 1) // 120),
+         chf AS (SELECT * FROM ch WHERE length(chunk) >= 5),
+         sig AS (SELECT doc_id, cidx,
+                  MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+                 FROM (SELECT doc_id, cidx, md5(substr(chunk, j, 5)) AS m
+                       FROM chf, (SELECT unnest(generate_series(1, 116)) AS j) gg
+                       WHERE j <= greatest(length(chunk) - 4, 1))
+                 GROUP BY doc_id, cidx),
+         bands AS (SELECT doc_id, cidx, 0 AS band_idx, h1 || '|' || h2 AS bk
+                   FROM sig
+                   UNION ALL
+                   SELECT doc_id, cidx, 1, h3 || '|' || h4 FROM sig),
+         ok AS (SELECT band_idx, bk FROM bands
+                GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+         bb AS (SELECT b.doc_id, b.cidx, b.band_idx, b.bk
+                FROM bands b JOIN ok USING (band_idx, bk)),
+         hits AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                         a.cidx AS a_cidx, b.cidx AS b_cidx
+                  FROM bb a JOIN bb b ON a.band_idx = b.band_idx
+                    AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, COUNT(*) AS n_chunk_hits
+         FROM hits GROUP BY a_id, b_id""",
+    // x63: both corpus versions rebuilt, digests compared null-safely
+    // (IS DISTINCT FROM ⇔ Spark's <=> negated), same \s+ word counts,
+    // same rollup — all integers
+    "x63_release_delta" ->
+      """WITH oldv AS (SELECT doc_id, source, md5(text) AS d,
+              CAST(length(list_filter(string_split_regex(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                x -> x <> '')) AS BIGINT) AS wc
+            FROM documents WHERE doc_id % 7 <> 0),
+         newt AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END
+                AS text
+            FROM documents WHERE doc_id % 13 <> 0),
+         newv AS (SELECT doc_id, source, md5(text) AS d,
+              CAST(length(list_filter(string_split_regex(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                x -> x <> '')) AS BIGINT) AS wc
+            FROM newt),
+         j AS (SELECT COALESCE(n.source, o.source) AS source,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.d IS DISTINCT FROM n.d THEN 'changed'
+                      ELSE 'unchanged' END AS st,
+                 COALESCE(n.wc, 0) - COALESCE(o.wc, 0) AS dn
+               FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+         SELECT source,
+                CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+                CAST(SUM(dn) AS BIGINT) AS tok_delta
+         FROM j GROUP BY source"""
   )
 }

@@ -245,6 +245,111 @@ object Curation {
       .drop("_tm_d", "_tm_rate")
   }
 
+  /** Host-level curation — judge the SITE, not just the page (the
+    * RefinedWeb/C4 move: URL/host rules run BEFORE content rules, because
+    * boilerplate mills and mirror farms emit pages that individually pass
+    * doc-level filters). Two exact per-host per-mille signals:
+    *
+    *   dup_pm   = 1000·(n_docs − distinct_texts) div n_docs
+    *   short_pm = 1000·|{docs with < minWords words}| div n_docs
+    *
+    * and every document of a host that trips either threshold is dropped
+    * wholesale. Both signals are exact integer arithmetic on md5 digests
+    * and whitespace word counts, so host verdicts replay in ANSI SQL. A
+    * null host is a host of its own (null-safe join), same convention as
+    * [[sqrtTemperatureSample]].
+    *
+    * Scale shape: ONE host-keyed aggregation over a (host, digest,
+    * wordcount) projection — the 16-byte digest stands in for the text,
+    * so the exchange never carries documents (the x27 discipline); the
+    * count-distinct runs as Spark's standard two-phase expand. The
+    * |hosts|-row verdict table joins back as a broadcast: the corpus side
+    * takes a zero-exchange filter. Survivors keep their columns plus the
+    * host's (dup_pm, short_pm) for audit. */
+  def hostFilter(df: DataFrame, textCol: String, hostCol: String,
+                 maxDupPermille: Int, maxShortPermille: Int,
+                 minWords: Int): DataFrame = {
+    require(maxDupPermille >= 0 && maxDupPermille <= 1000 &&
+      maxShortPermille >= 0 && maxShortPermille <= 1000,
+      "thresholds are per-mille: 0..1000")
+    require(minWords >= 1, "minWords must be >= 1")
+    Seq("_hf_h", "_hf_d", "_hf_wc", "_hf_n", "_hf_nd", "_hf_short",
+        "dup_pm", "short_pm").foreach(c =>
+      require(!df.columns.contains(c), s"hostFilter reserves column $c"))
+    val wc = size(filter(split(TextStats.wsTrim(col(textCol)), "\\s+"),
+      t => t =!= ""))
+    val stats = df
+      .select(col(hostCol).as("_hf_h"), md5(col(textCol)).as("_hf_d"),
+        wc.as("_hf_wc"))
+      .groupBy(col("_hf_h"))
+      .agg(count(lit(1)).as("_hf_n"),
+        countDistinct(col("_hf_d")).as("_hf_nd"),
+        sum(when(col("_hf_wc") < minWords, 1L).otherwise(0L)).as("_hf_short"))
+    val verdict = stats.select(col("_hf_h"),
+      expr("(1000 * (_hf_n - _hf_nd)) div _hf_n").as("dup_pm"),
+      expr("(1000 * _hf_short) div _hf_n").as("short_pm"))
+    df.join(broadcast(verdict), col(hostCol) <=> col("_hf_h"))
+      .filter(col("dup_pm") <= maxDupPermille &&
+        col("short_pm") <= maxShortPermille)
+      .drop("_hf_h")
+  }
+
+  /** Release-to-release corpus delta — the datasheet DIFF between two
+    * corpus versions ([[datasetCard]] describes ONE release; consumers of
+    * a refreshed corpus ask what CHANGED: how many docs appeared,
+    * vanished, were edited, and what the token-mass swing is, per
+    * domain). Rows align by `idCol`; change detection is a null-safe md5
+    * compare, so a doc whose text is byte-identical never counts as
+    * changed and null texts compare sanely. All outputs are exact
+    * integers (consumers derive rates), so the whole delta hash-verifies.
+    *
+    * Scale shape: both corpora project to (id, groups, 16-byte digest,
+    * token count) — text never reaches the join — then ONE id-keyed
+    * full-outer join (the m1/m2 merge discipline) and one group rollup
+    * with map-side partials. `idCol` must be unique per side (it is a
+    * version KEY; duplicate keys would cross-product in the join — run
+    * [[graft.ops.Merge.scd2Merge]]-style validation upstream if unsure).
+    *
+    * Returns one row per group: n_added, n_removed, n_changed,
+    * n_unchanged, tok_delta (Σ new tokens − Σ old tokens; null-text docs
+    * contribute 0). */
+  def releaseDelta(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                   idCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "releaseDelta groups by at least one column")
+    val reserved = Seq("_rd_id_o", "_rd_id_n", "_rd_d_o", "_rd_d_n",
+      "_rd_n_o", "_rd_n_n", "_rd_st", "_rd_dn", "n_added", "n_removed",
+      "n_changed", "n_unchanged", "tok_delta")
+    Seq(oldDf, newDf).foreach(df => reserved.foreach(c =>
+      require(!df.columns.contains(c), s"releaseDelta reserves column $c")))
+    def wc(c: Column): Column =
+      size(filter(split(TextStats.wsTrim(c), "\\s+"), t => t =!= ""))
+    def proj(df: DataFrame, tag: String) = df.select(
+      col(idCol).as(s"_rd_id_$tag") +:
+        groupCols.map(c => col(c).as(s"_rd_${c}_$tag")) :+
+        md5(col(textCol)).as(s"_rd_d_$tag") :+
+        wc(col(textCol)).cast("long").as(s"_rd_n_$tag"): _*)
+    val j = proj(oldDf, "o")
+      .join(proj(newDf, "n"), col("_rd_id_o") === col("_rd_id_n"),
+        "full_outer")
+    val st = when(col("_rd_id_o").isNull, "added")
+      .when(col("_rd_id_n").isNull, "removed")
+      .when(!(col("_rd_d_o") <=> col("_rd_d_n")), "changed")
+      .otherwise("unchanged")
+    j.select(
+        groupCols.map(c =>
+          coalesce(col(s"_rd_${c}_n"), col(s"_rd_${c}_o")).as(c)) ++
+          Seq(st.as("_rd_st"),
+            (coalesce(col("_rd_n_n"), lit(0L)) -
+              coalesce(col("_rd_n_o"), lit(0L))).as("_rd_dn")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("_rd_st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("_rd_st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_rd_st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("_rd_st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(col("_rd_dn")).as("tok_delta"))
+  }
+
   /** Per-domain TOKEN-BUDGET sampling — the form pretrain mixtures are
     * actually specified in ("30B tokens of code, 5B of forums"), vs
     * [[mixtureSample]]'s row rates and [[hashStratifiedSample]]'s k rows.

@@ -109,6 +109,71 @@ object Dedup {
     lshCandidatePairsStaged(sig, idCol, k, rowsPerBand, dir.toString)
   }
 
+  /** Chunk-level (partial-overlap) near-dup detection — what whole-doc
+    * MinHash structurally misses: two docs sharing one long identical
+    * region but differing elsewhere (an article wrapped in two sites'
+    * boilerplate, a quoted passage, a concatenated page) dilute the
+    * shared shingles below any banding threshold at the DOC level.
+    * Chunking restores locality: split each text into fixed
+    * `chunkChars`-character windows, MinHash-signature each CHUNK
+    * ([[minhashSignature]] semantics, so every hash is the oracle-portable
+    * min-md5-window form), LSH-band the chunks, and report DOC pairs
+    * supported by `minChunkHits`+ distinct chunk collisions.
+    *
+    * `maxBandChunks` (0 = off) drops bands hotter than the cap BEFORE the
+    * self-join — at corpus scale a boilerplate chunk ("all rights
+    * reserved …") lands millions of chunks in one band and the pair
+    * fan-out under it is quadratic; capping trades recall on
+    * ultra-common chunks (which dedup wants to ignore anyway) for a
+    * bounded join. The cap is one extra band-key count — narrow rows.
+    *
+    * Scale shape: chunking is a projection (explode fan-out ≈ corpus
+    * chars / chunkChars); signatures are the same zero-shuffle native
+    * pass as x2; every exchange after that carries (band_key, id, cidx)
+    * rows, never chunk text; the hit count is one (a_id, b_id)-keyed agg.
+    * Same recompute-vs-stage trade as [[lshCandidatePairs]] — at true
+    * 100 TB, stage the chunk signature table first.
+    *
+    * Tail chunks shorter than `shingleLen` cannot form one full shingle
+    * and are dropped. Returns (a_id, b_id, n_chunk_hits), a_id < b_id. */
+  def chunkNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                        chunkChars: Int, k: Int, rowsPerBand: Int,
+                        maxBandChunks: Int = 0, minChunkHits: Int = 1,
+                        shingleLen: Int = 5): DataFrame = {
+    require(chunkChars >= shingleLen, "chunks must fit one shingle")
+    require(minChunkHits >= 1, "minChunkHits must be >= 1")
+    require(maxBandChunks >= 0, "maxBandChunks: 0 disables the cap")
+    val chunks = df
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= shingleLen)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, (length(`$textCol`) - 1) div $chunkChars), " +
+          s"i -> substring(`$textCol`, i * $chunkChars + 1, $chunkChars))"))
+        .as(Seq("cidx", "_ck_chunk")))
+      .filter(length(col("_ck_chunk")) >= shingleLen)
+      .select(struct(col(idCol).as("id"), col("cidx").as("cidx")).as("_ck"),
+        col("_ck_chunk"))
+    val sig = minhashSignature(chunks, "_ck_chunk", k, shingleLen, "_ck")
+    var bands = lshBands(sig, "_ck", k, rowsPerBand)
+    if (maxBandChunks > 0) {
+      val ok = bands.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("_ck_n"))
+        .filter(col("_ck_n") <= maxBandChunks)
+        .drop("_ck_n")
+      bands = bands.join(ok, Seq("band_idx", "band_key"), "left_semi")
+    }
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a._ck.id") < col("b._ck.id"))
+      .select(col("a._ck.id").as("a_id"), col("b._ck.id").as("b_id"),
+        col("a._ck.cidx").as("a_cidx"), col("b._ck.cidx").as("b_cidx"))
+      .distinct()
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_chunk_hits"))
+      .filter(col("n_chunk_hits") >= minChunkHits)
+  }
+
   /** Write a signature table to a unique temp parquet stage (registered
     * for JVM-exit deletion) and return its path — the setup step for
     * [[lshCandidatePairsIncremental]] and tests of the staged flow. In

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for web-scale corpus curation.
+  *
+  * Crawl-derived pretraining corpora rank HOSTS by link-graph importance
+  * before they rank pages by content: Common Crawl publishes a host-level
+  * centrality ranking with every crawl, and crawl frontiers / corpus
+  * inclusion lists are seeded from it. The engine therefore ships the
+  * canonical ranker — PageRank (Page et al. 1999) — in the same
+  * cross-engine-exact integer arithmetic the rest of the oracle-checked
+  * surface uses, so a trained ranking is bit-replayable in ANSI SQL.
+  */
+object Graphs {
+
+  /** PageRank power iteration in EXACT Q18 integer fixed point.
+    *
+    * Rank mass lives in units of 10⁻¹⁸ (longs): r₀(v) = S div N with
+    * S = 10¹⁸, and each round applies
+    *
+    *   r'(v) = ( (1000−d)·(S div N)
+    *             + d·( Σ_{u→v} r(u) div out(u)  +  D div N ) ) div 1000
+    *
+    * with d the damping in per-mille and D the total rank of dangling
+    * (no-out-edge) nodes, redistributed uniformly — the standard
+    * dangling-mass completion. Every operation is integer add / multiply
+    * / floor-division on non-negative values (truncating and flooring
+    * engines agree), products are taken in decimal(38,0) for headroom, so
+    * N rounds replay bit-for-bit as N unrolled CTEs in any ANSI engine —
+    * an ORACLE-CHECKABLE PageRank (x59). Parallel edges are intentional
+    * multiplicity: a host linking twice contributes twice, which is how a
+    * link-count-weighted host graph is usually fed.
+    *
+    * Scale shape per iteration: one (src=node)-keyed join moves (node,
+    * rank, outdeg) longs onto the edge list — never payloads — one
+    * dst-keyed sum with map-side partials, one node-keyed left join back
+    * onto the |V|-row node table, and a one-row dangling-mass broadcast.
+    * The edge list is the big side and is never re-keyed twice in a
+    * round; pre-partitioning edges by src lets every iteration reuse the
+    * same exchange. The returned plan is lazy and the ranks frame fans
+    * out twice per round (dangling branch + contribution branch), so for
+    * deep runs pass `stagePerIteration = true` to stage each round to a
+    * unique temp parquet (JVM-exit cleanup, same contract as
+    * [[graft.ext.Dedup.stageSignatures]]) — constant plan size, each
+    * round's rank table materialized exactly once. |V| is obtained with
+    * one count() action up front (a single scalar, not a collect).
+    *
+    * Returns (node: long, rank_q18: long) — rank scaled by 10¹⁸; total
+    * mass ≈ 10¹⁸ (floor-division leaks at most N+1 units per round). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPerMille: Int = 850,
+               stagePerIteration: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    val internal = Set("node", "rank_q", "rank_q18", "_pr_src", "_pr_dst",
+      "_pr_od", "_pr_c", "_pr_s", "_pr_dm")
+    val clashes = edges.columns.filter(c => internal(c) && c != srcCol && c != dstCol)
+    require(clashes.isEmpty,
+      s"pageRank reserves column names ${clashes.mkString(", ")}")
+
+    val e = edges.select(col(srcCol).cast("long").as("_pr_src"),
+      col(dstCol).cast("long").as("_pr_dst"))
+    val nodes = e.select(col("_pr_src").as("node"))
+      .union(e.select(col("_pr_dst").as("node"))).distinct()
+    val od = e.groupBy(col("_pr_src").as("node"))
+      .agg(count(lit(1)).as("_pr_od"))
+    // (node, outdeg-or-null): the per-round skeleton every rank table
+    // rides on; null outdeg marks a dangling node
+    val base = nodes.join(od, Seq("node"), "left")
+    val n = base.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val baseQ = (BigInt(10).pow(18) / n).toString
+    val d = dampingPerMille
+
+    var ranks = base.select(col("node"), col("_pr_od"),
+      expr(s"cast($baseQ as bigint)").as("rank_q"))
+    for (_ <- 1 to iters) {
+      val dang = ranks.filter(col("_pr_od").isNull)
+        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
+      val contrib = e
+        .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
+          col("_pr_src") === col("node"))
+        .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
+        .groupBy(col("_pr_dst"))
+        .agg(sum(col("_pr_c")).as("_pr_s"))
+      ranks = base
+        .join(contrib, col("node") === col("_pr_dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("_pr_od"), expr(
+          s"""cast((cast(${1000 - d} as decimal(38,0)) * $baseQ
+              + cast($d as decimal(38,0))
+                * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
+              as bigint)""").as("rank_q"))
+      if (stagePerIteration)
+        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+    }
+    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+  }
+}

@@ -119,6 +119,72 @@ object Similarity {
 
   private final val Q30Scale = (1L << 30).toDouble
 
+  /** Margin-based candidate pair mining (Artetxe & Schwenk 2019 — the
+    * criterion LASER/CCMatrix-style parallel-corpus mining selects pairs
+    * with): a candidate (x, y) is scored by its similarity RELATIVE to
+    * each side's local neighborhood,
+    *
+    *   margin(x, y) = 2·s(x, y) / (mean_k(x) + mean_k(y))
+    *
+    * (the "ratio" variant), which demotes hub vectors that are close to
+    * EVERYTHING — raw top-1 similarity mines hubs, margin mines mutual
+    * fits. Returns, per left row, the best-margin right candidate among
+    * the left row's k nearest.
+    *
+    * Cross-engine exactness: s is the Q30 quantized dot ([[quantizedDot]]
+    * — order-independent longs), the neighborhood means stay SUMS
+    * (margin = 2·k·s / (sum_k(x) + sum_k(y)) — same value, one division),
+    * the single division is a Q20 floor-div with the positive-mod trick
+    * (truncating and flooring engines agree even on negative numerators),
+    * and candidates whose denominator is ≤ 0 are dropped (margin
+    * undefined — both neighborhoods anti-aligned; with the normalized
+    * embeddings this mines in practice, denominators are positive).
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (broadcast the query
+    * side, stream the corpus, map-side TopKAgg truncation — the shuffle
+    * carries (q, n, score) triples only), two id-keyed (id, long) sum
+    * tables joined back by id, and a per-left argmax over ≤ k candidate
+    * rows. Past brute-force scale, swap the top-k passes for
+    * [[ivfTopKJoin]] — the margin algebra is unchanged. Both sides must
+    * have ≥ k rows (fewer would silently shrink a neighborhood sum and
+    * inflate that side's margins).
+    *
+    * Returns (q_id, n_id, margin_q20) — q_id from `left`, its mined
+    * match from `right`, margin in Q20 fixed point. */
+  def marginMine(left: DataFrame, right: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q30 = (a: Column, b: Column) => quantizedDot(a, b)
+    // score columns out of topKPerQuery are exact integer-valued doubles
+    // (acc/2^30); ×2^30 recovers the long bit-exactly
+    def toLong(c: Column): Column = (c * lit(Q30Scale)).cast("long")
+    val fwd = bruteForceTopK(right, left, idCol, vecCol, k, q30)
+    val bwd = bruteForceTopK(left, right, idCol, vecCol, k, q30)
+    def sums(tk: DataFrame, out: String) = tk.groupBy(col("q_id"))
+      .agg(sum(toLong(col("score"))).as(out))
+    val ls = sums(fwd, "_mm_ls")
+    val rs = sums(bwd, "_mm_rs").withColumnRenamed("q_id", "n_id")
+    val cand = fwd
+      .select(col("q_id"), col("n_id"), toLong(col("score")).as("_mm_s"))
+      .join(ls, Seq("q_id"))
+      .join(rs, Seq("n_id"))
+      .withColumn("_mm_den", col("_mm_ls") + col("_mm_rs"))
+      .filter(col("_mm_den") > 0)
+      // margin_q20 = floor(2·k·s·2^20 / den) via the positive-mod trick
+      // (numerator may be negative; den > 0 by the filter above)
+      .withColumn("_mm_numr",
+        expr(s"cast(2 * _mm_s as decimal(38,0)) * $k * 1048576"))
+      .withColumn("margin_q20", expr(
+        """cast((_mm_numr - ((_mm_numr % _mm_den + _mm_den) % _mm_den))
+           div _mm_den as bigint)"""))
+    cand
+      .withColumn("_mm_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("margin_q20").desc, col("n_id"))))
+      .filter(col("_mm_rn") === 1)
+      .select(col("q_id"), col("n_id"), col("margin_q20"))
+  }
+
   /** Candidate near-dup pairs via exact RHP-signature collision, verified
     * with the Q30-exact cosine (engine-portable arithmetic — see
     * [[quantizedDot]]). `minCos` filters the verified pairs. */

@@ -712,6 +712,63 @@ class PlanSpec extends SparkSpec {
         s"x45 must not join/shuffle on raw text: $l"))
   }
 
+  test("x59 pageRank: rank tables shuffle on node keys only; dangling mass is a one-row broadcast") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val p = tree(graft.ext.Graphs.pageRank(edges, "src", "dst", 2))
+    assert(!p.contains("CartesianProduct"), p)
+    // rank mass is payload, never a partitioning key — every exchange
+    // keys on the node id columns
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach(l =>
+      assert(!l.contains("rank_q"), s"rank must not be a shuffle key: $l"))
+    // the per-round dangling scalar rides as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("x60 margin mining: query sides broadcast; exchanges carry id/score triples, never vectors") {
+    val p = tree(q("x60_margin_mine"))
+    // both bruteForceTopK passes broadcast their query side
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin")) >= 2, p)
+    p.linesIterator
+      .filter(l => l.contains("hashpartitioning"))
+      .foreach(l => assert(!l.contains("embedding"),
+        s"x60 must not shuffle on vectors: $l"))
+  }
+
+  test("x61 host filter: corpus side is zero-exchange behind a broadcast verdict join") {
+    val p = tree(q("x61_host_filter"))
+    // exactly the two stats exchanges (host key; host+digest partial for
+    // the count-distinct) — the corpus probe side never shuffles
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the digest stands in for the document: text never reaches an exchange key
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach(l =>
+      assert(!l.contains("text#"), s"x61 must not shuffle raw text: $l"))
+  }
+
+  test("x62 chunk near-dup: exchanges carry band keys and ids, never chunk text") {
+    val p = tree(q("x62_chunk_neardup"))
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator
+      .filter(l => l.contains("hashpartitioning"))
+      .foreach(l => assert(!l.contains("_ck_chunk") && !l.contains("text#"),
+        s"x62 must not shuffle chunk text: $l"))
+  }
+
+  test("x63 release delta: one id-keyed full-outer join of digest projections — text never shuffles") {
+    val p = tree(q("x63_release_delta"))
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+    assert(p.contains("FullOuter"), p)
+    p.linesIterator
+      .filter(l => l.contains("hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"),
+        s"x63 must not shuffle document text: $l"))
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

@@ -382,6 +382,72 @@ class CurationSpec extends SparkSpec {
     assert(out == out2)
   }
 
+  test("hostFilter drops trip-wire hosts wholesale, keeps clean hosts with audit columns") {
+    val long = "one two three four five six seven eight"
+    val corpus = Seq(
+      // hostA: 4 docs, one exact dup pair -> dup_pm = 1000*(4-3) div 4 = 250
+      (1L, long + " a", "hostA"), (2L, long + " a", "hostA"),
+      (3L, long + " b", "hostA"), (4L, long + " c", "hostA"),
+      // hostB: 3 distinct docs, 2 short (<3 words) -> short_pm = 666
+      (5L, "tiny", "hostB"), (6L, "also tiny", "hostB"), (7L, long, "hostB"),
+      // hostC: clean
+      (8L, long + " x", "hostC"), (9L, long + " y", "hostC")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.hostFilter(corpus, "text", "source",
+      maxDupPermille = 200, maxShortPermille = 500, minWords = 3)
+    val rows = out.select("doc_id", "source", "dup_pm", "short_pm")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(8L, 9L)),
+      s"only hostC survives: ${rows.mkString(",")}")
+    assert(rows.forall(r => r._3 == 0L && r._4 == 0L))
+    // loosen the thresholds: hostA passes at dup<=250, hostB at short<=700
+    val loose = Curation.hostFilter(corpus, "text", "source", 250, 700, 3)
+    assert(loose.count() == 9)
+  }
+
+  test("hostFilter treats a null host as its own host and guards reserved columns") {
+    val corpus = Seq(
+      (1L, "a b c d", null.asInstanceOf[String]),
+      (2L, "a b c d", null.asInstanceOf[String]), // dup inside the null host
+      (3L, "e f g h", "ok")
+    ).toDF("doc_id", "text", "source")
+    // null host: dup_pm = 500 -> dropped wholesale; "ok" survives
+    val out = Curation.hostFilter(corpus, "text", "source", 400, 1000, 2)
+    assert(out.select("doc_id").as[Long].collect().sameElements(Array(3L)))
+    intercept[IllegalArgumentException](
+      Curation.hostFilter(corpus.withColumn("dup_pm", lit(1)),
+        "text", "source", 100, 100, 2))
+    intercept[IllegalArgumentException](
+      Curation.hostFilter(corpus, "text", "source", 1001, 100, 2))
+  }
+
+  test("releaseDelta classifies add/remove/change/unchanged and sums exact token swings") {
+    val oldV = Seq(
+      (1L, "alpha beta gamma", "s1"),    // unchanged
+      (2L, "one two three four", "s1"),  // changed (reworded, -1 token)
+      (3L, "to be removed soon", "s2"),  // removed
+      (5L, null.asInstanceOf[String], "s2") // null text, unchanged
+    ).toDF("doc_id", "text", "source")
+    val newV = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "one two three", "s1"),
+      (4L, "a brand new doc here", "s2"), // added (+5 tokens)
+      (5L, null.asInstanceOf[String], "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.releaseDelta(oldV, newV, "text", "doc_id", Seq("source"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // s1: 0 added, 0 removed, 1 changed (doc 2), 1 unchanged; delta -1
+    assert(got("s1") == ((0L, 0L, 1L, 1L, -1L)), got("s1").toString)
+    // s2: doc 4 added (+5), doc 3 removed (-4), doc 5 null≡null unchanged
+    assert(got("s2") == ((1L, 1L, 0L, 1L, 1L)), got("s2").toString)
+    intercept[IllegalArgumentException](
+      Curation.releaseDelta(oldV, newV, "text", "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      Curation.releaseDelta(oldV.withColumn("tok_delta", lit(1)), newV,
+        "text", "doc_id", Seq("source")))
+  }
+
   test("sqrtTemperatureSample isqrt correction lands on exact floors") {
     // 3 vs 5 rows: p = 15, isqrt = 3, rate(b) = 600; expected-mass check
     val df = ((1L to 3L).map((_, "a")) ++ (11L to 15L).map((_, "b")))

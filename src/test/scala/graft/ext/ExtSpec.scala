@@ -1069,4 +1069,105 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) == 3L, s"zero-norm must rank last: $out")
     assert(out(1L) == 1L && out(3L) == 2L)
   }
+
+  // ───────── chunk-level near-dup ─────────
+
+  /** deterministic high-entropy filler (seeded PRNG, 62-char alphabet) —
+    * unrelated regions practically never share a 5-gram, let alone a
+    * min-hash; a structured generator here (e.g. arithmetic mod 26) DOES
+    * mint cross-doc shingle collisions and breaks the band censuses */
+  private def noise(seed: Int, n: Int): String =
+    new scala.util.Random(seed).alphanumeric.take(n).mkString
+
+  test("chunkNearDupPairs catches partial overlap that whole-doc LSH misses") {
+    // two docs share ONE identical 60-char chunk inside 600 chars of
+    // unrelated text each: whole-doc minhash (k=4, 2 bands) dilutes the
+    // region (56 shared shingles out of ~650) and must NOT pair them;
+    // the chunked form sees two identical chunks and MUST
+    val shared = ("an identical shared passage of exactly sixty characters " +
+      "in here somewhere").take(60)
+    assert(shared.length == 60)
+    val corpus = Seq(
+      (1L, noise(1, 600) + shared),  // shared at offset 600 = chunk 10
+      (2L, shared + noise(2, 600)),  // shared at offset 0   = chunk 0
+      (3L, noise(3, 600))
+    ).toDF("doc_id", "text")
+    val wholeDoc = Dedup.lshCandidatePairs(
+      Dedup.minhashSignature(corpus, "text", 4), "doc_id", 4, 2)
+    assert(wholeDoc.isEmpty, "whole-doc LSH should dilute the shared region")
+    val chunked = Dedup.chunkNearDupPairs(corpus, "text", "doc_id",
+      60, 4, 2).as[(Long, Long, Long)].collect()
+    assert(chunked.map(r => (r._1, r._2)).contains((1L, 2L)),
+      s"chunk level must catch the shared region: ${chunked.mkString(",")}")
+    assert(!chunked.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
+  test("chunkNearDupPairs: hot-band cap drops boilerplate bands, tail chunks respect shingleLen") {
+    val boiler = ("all rights reserved standard footer boilerplate text " +
+      "line of sixty").take(60)
+    // 12 docs: 120 distinct noise chars + the same aligned boilerplate
+    // chunk; the boilerplate band holds 12 chunks
+    val corpus = (1 to 12).map(i => (i.toLong, noise(i, 120) + boiler))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.chunkNearDupPairs(corpus, "text", "doc_id", 60, 4, 2)
+    assert(uncapped.count() == 66, "all C(12,2) boilerplate pairs expected")
+    val capped = Dedup.chunkNearDupPairs(corpus, "text", "doc_id", 60, 4, 2,
+      maxBandChunks = 5)
+    assert(capped.isEmpty,
+      "a band hotter than the cap must not generate pairs")
+    // tail chunks shorter than one shingle drop: the 2-char tails can
+    // neither crash the shingler nor mint spurious collisions
+    val tails = Seq((1L, "a" * 60 + "zz"), (2L, "a" * 60 + "yy"))
+      .toDF("doc_id", "text")
+    val t = Dedup.chunkNearDupPairs(tails, "text", "doc_id", 60, 4, 2)
+      .as[(Long, Long, Long)].collect()
+    assert(t.toSeq == Seq((1L, 2L, 1L)),
+      s"one shared chunk, dropped tails: ${t.mkString(",")}")
+    intercept[IllegalArgumentException](
+      Dedup.chunkNearDupPairs(tails, "text", "doc_id", 3, 4, 2))
+  }
+
+  // ───────── margin mining ─────────
+
+  test("marginMine demotes the hub: mutual fits beat the raw top-1") {
+    // h is the raw top-1 for BOTH left rows (dot 1.2 beats 1.0), but h is
+    // close to everything, so its backward neighborhood sum is fat and
+    // margin hands each left row its mutually-exclusive partner instead —
+    // the exact failure mode margin mining exists to fix (raw top-1
+    // mining pairs every query with the hub).
+    val left = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val right = Seq(
+      (1L, Array(1.2f, 1.2f)),  // hub
+      (3L, Array(1.0f, 0.1f)),  // partner of 0
+      (5L, Array(0.05f, 1.0f))  // partner of 2
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.marginMine(left, right, "vec_id", "embedding", 2)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 2L -> 5L), s"hub must lose by margin: $got")
+  }
+
+  test("marginMine drops candidates with non-positive neighborhood mass") {
+    // every cross dot is negative -> every denominator <= 0 -> no mined
+    // pair survives (margin undefined on anti-aligned neighborhoods)
+    val left = Seq((0L, Array(-1.0f, 0.0f)), (2L, Array(-0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val right = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.marginMine(left, right, "vec_id", "embedding", 2)
+      .isEmpty)
+  }
+
+  test("marginMine emits one best-margin row per left id, Q20-positive") {
+    val left = Seq((0L, Array(1.0f, 0.2f)), (2L, Array(0.2f, 1.0f)),
+      (4L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val right = Seq((1L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (5L, Array(0.6f, 0.6f))).toDF("vec_id", "embedding")
+    val rows = Similarity.marginMine(left, right, "vec_id", "embedding", 3)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.sameElements(Array(0L, 2L, 4L)))
+    assert(rows.forall(_._3 > 0))
+  }
 }
