@@ -1672,6 +1672,21 @@ object SparkEntry {
           120, 4, 2, maxBandChunks = 50)
         .select(col("a_id").cast("long").as("a_id"),
           col("b_id").cast("long").as("b_id"), col("n_chunk_hits"))),
+    "x62b_chunk_incremental" -> ((s, dir) => {
+      // continuous-ingest partial-overlap dedup: the corpus's CHUNK
+      // signatures staged to parquet (x26's append-only discipline), the
+      // new batch (every 5th doc) band-joins against stage ∪ batch —
+      // corpus text never rescanned, cross-batch hit counts exact, the
+      // hot-band cap censuses the combined corpus. Oracle = the one-shot
+      // x62 replay restricted to pairs touching the batch.
+      val d = t(s, dir, "documents")
+      val stage = Dedup.stageSignatures(Dedup.chunkSignatures(
+        d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", 120, 4))
+      Dedup.chunkNearDupPairsIncremental(d.filter(col("doc_id") % 5 === 0),
+          stage, "text", "doc_id", 120, 4, 2, maxBandChunks = 50)
+        .select(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id"), col("n_chunk_hits"))
+    }),
     "x63_release_delta" -> ((s, dir) => {
       // release-to-release corpus diff: v1 lacks every 7th doc, v2 drops
       // every 13th and revises every 11th (text + ' rev2') — the delta
@@ -1688,6 +1703,38 @@ object SparkEntry {
         Seq("source"))
     })
   )
+
+  /** Shared CTE prefix of the x62/x62b oracles: 120-char chunks, per-chunk
+    * min-md5 signatures, 2 bands, the ≤50 hot-band cap, distinct chunk
+    * collisions as `hits(a_id, b_id, a_cidx, b_cidx)`. */
+  private val chunkDedupCtes: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+                  WHERE text IS NOT NULL AND length(text) >= 5),
+       ch AS (SELECT doc_id, i AS cidx, substr(text, i*120+1, 120) AS chunk
+              FROM d, (SELECT unnest(generate_series(0,
+                   (SELECT CAST(MAX(length(text)) AS BIGINT) // 120 FROM d)))
+                   AS i) g
+              WHERE i <= (length(text) - 1) // 120),
+       chf AS (SELECT * FROM ch WHERE length(chunk) >= 5),
+       sig AS (SELECT doc_id, cidx,
+                MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+               FROM (SELECT doc_id, cidx, md5(substr(chunk, j, 5)) AS m
+                     FROM chf, (SELECT unnest(generate_series(1, 116)) AS j) gg
+                     WHERE j <= greatest(length(chunk) - 4, 1))
+               GROUP BY doc_id, cidx),
+       bands AS (SELECT doc_id, cidx, 0 AS band_idx, h1 || '|' || h2 AS bk
+                 FROM sig
+                 UNION ALL
+                 SELECT doc_id, cidx, 1, h3 || '|' || h4 FROM sig),
+       ok AS (SELECT band_idx, bk FROM bands
+              GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+       bb AS (SELECT b.doc_id, b.cidx, b.band_idx, b.bk
+              FROM bands b JOIN ok USING (band_idx, bk)),
+       hits AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.cidx AS a_cidx, b.cidx AS b_cidx
+                FROM bb a JOIN bb b ON a.band_idx = b.band_idx
+                  AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
 
   /** The retrieval-family query batch (x43/x48/x49 share it; the oracle
     * inlines the same three rows as a VALUES table). qids 1–3 double as
@@ -3711,35 +3758,18 @@ object SparkEntry {
     // hash pair directly (sha1(h1|h2) equality ⇔ (h1,h2) equality — the
     // x3 precedent)
     "x62_chunk_neardup" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-                    WHERE text IS NOT NULL AND length(text) >= 5),
-         ch AS (SELECT doc_id, i AS cidx, substr(text, i*120+1, 120) AS chunk
-                FROM d, (SELECT unnest(generate_series(0,
-                     (SELECT CAST(MAX(length(text)) AS BIGINT) // 120 FROM d)))
-                     AS i) g
-                WHERE i <= (length(text) - 1) // 120),
-         chf AS (SELECT * FROM ch WHERE length(chunk) >= 5),
-         sig AS (SELECT doc_id, cidx,
-                  MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
-                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
-                 FROM (SELECT doc_id, cidx, md5(substr(chunk, j, 5)) AS m
-                       FROM chf, (SELECT unnest(generate_series(1, 116)) AS j) gg
-                       WHERE j <= greatest(length(chunk) - 4, 1))
-                 GROUP BY doc_id, cidx),
-         bands AS (SELECT doc_id, cidx, 0 AS band_idx, h1 || '|' || h2 AS bk
-                   FROM sig
-                   UNION ALL
-                   SELECT doc_id, cidx, 1, h3 || '|' || h4 FROM sig),
-         ok AS (SELECT band_idx, bk FROM bands
-                GROUP BY 1, 2 HAVING COUNT(*) <= 50),
-         bb AS (SELECT b.doc_id, b.cidx, b.band_idx, b.bk
-                FROM bands b JOIN ok USING (band_idx, bk)),
-         hits AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-                         a.cidx AS a_cidx, b.cidx AS b_cidx
-                  FROM bb a JOIN bb b ON a.band_idx = b.band_idx
-                    AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      s"""$chunkDedupCtes
          SELECT a_id, b_id, COUNT(*) AS n_chunk_hits
          FROM hits GROUP BY a_id, b_id""",
+    // x62b: the incremental form answers the SAME question for pairs
+    // touching the batch — the oracle is the one-shot replay filtered to
+    // them (cap census = whole corpus = stage ∪ batch, exactly what the
+    // incremental op censuses)
+    "x62b_chunk_incremental" ->
+      s"""$chunkDedupCtes
+         SELECT a_id, b_id, COUNT(*) AS n_chunk_hits
+         FROM hits WHERE a_id % 5 = 0 OR b_id % 5 = 0
+         GROUP BY a_id, b_id""",
     // x63: both corpus versions rebuilt, digests compared null-safely
     // (IS DISTINCT FROM ⇔ Spark's <=> negated), same \s+ word counts,
     // same rollup — all integers

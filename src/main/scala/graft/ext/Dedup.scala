@@ -140,9 +140,31 @@ object Dedup {
                         chunkChars: Int, k: Int, rowsPerBand: Int,
                         maxBandChunks: Int = 0, minChunkHits: Int = 1,
                         shingleLen: Int = 5): DataFrame = {
-    require(chunkChars >= shingleLen, "chunks must fit one shingle")
     require(minChunkHits >= 1, "minChunkHits must be >= 1")
-    require(maxBandChunks >= 0, "maxBandChunks: 0 disables the cap")
+    val sig = chunkSignatures(df, textCol, idCol, chunkChars, k, shingleLen)
+    val bands = cappedChunkBands(
+      lshBands(sig, "_ck", k, rowsPerBand), maxBandChunks)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    chunkHitCount(
+      a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a._ck.id") < col("b._ck.id"))
+        .select(col("a._ck.id").as("a_id"), col("b._ck.id").as("b_id"),
+          col("a._ck.cidx").as("a_cidx"), col("b._ck.cidx").as("b_cidx")),
+      minChunkHits)
+  }
+
+  /** The (chunk-key, k-hash) signature table [[chunkNearDupPairs]] and
+    * [[chunkNearDupPairsIncremental]] band from: one row per
+    * `chunkChars`-character window, keyed by a `_ck = (id, cidx)` struct.
+    * This is the table a production flow STAGES (parquet, appended batch
+    * by batch — the [[stageSignatures]] contract) so corpus text is never
+    * rescanned. */
+  def chunkSignatures(df: DataFrame, textCol: String, idCol: String,
+                      chunkChars: Int, k: Int,
+                      shingleLen: Int = 5): DataFrame = {
+    require(chunkChars >= shingleLen, "chunks must fit one shingle")
     val chunks = df
       .filter(col(textCol).isNotNull && length(col(textCol)) >= shingleLen)
       .select(col(idCol), posexplode(expr(
@@ -152,26 +174,72 @@ object Dedup {
       .filter(length(col("_ck_chunk")) >= shingleLen)
       .select(struct(col(idCol).as("id"), col("cidx").as("cidx")).as("_ck"),
         col("_ck_chunk"))
-    val sig = minhashSignature(chunks, "_ck_chunk", k, shingleLen, "_ck")
-    var bands = lshBands(sig, "_ck", k, rowsPerBand)
-    if (maxBandChunks > 0) {
+    minhashSignature(chunks, "_ck_chunk", k, shingleLen, "_ck")
+  }
+
+  private def cappedChunkBands(bands: DataFrame, maxBandChunks: Int): DataFrame = {
+    require(maxBandChunks >= 0, "maxBandChunks: 0 disables the cap")
+    if (maxBandChunks == 0) bands
+    else {
       val ok = bands.groupBy(col("band_idx"), col("band_key"))
         .agg(count(lit(1)).as("_ck_n"))
         .filter(col("_ck_n") <= maxBandChunks)
         .drop("_ck_n")
-      bands = bands.join(ok, Seq("band_idx", "band_key"), "left_semi")
+      bands.join(ok, Seq("band_idx", "band_key"), "left_semi")
     }
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a._ck.id") < col("b._ck.id"))
-      .select(col("a._ck.id").as("a_id"), col("b._ck.id").as("b_id"),
-        col("a._ck.cidx").as("a_cidx"), col("b._ck.cidx").as("b_cidx"))
-      .distinct()
+  }
+
+  private def chunkHitCount(pairs: DataFrame, minChunkHits: Int): DataFrame =
+    pairs.distinct()
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_chunk_hits"))
       .filter(col("n_chunk_hits") >= minChunkHits)
+
+  /** Incremental [[chunkNearDupPairs]] — partial-overlap detection for a
+    * GROWING corpus, the [[lshCandidatePairsIncremental]] discipline on
+    * CHUNK signatures: the ingested corpus's chunk-signature table lives
+    * in a parquet stage (append per batch; corpus TEXT is never
+    * rescanned), an arriving batch computes only its own chunk
+    * signatures and band-joins against stage ∪ batch. Returns doc pairs
+    * with at least one side in the batch, a_id < b_id, with the same
+    * `n_chunk_hits` the one-shot form would report for those pairs —
+    * cross-batch hit counts are exact because every staged chunk is
+    * present to collide with. The hot-band cap censuses stage ∪ batch,
+    * so a boilerplate band already hot in the corpus stays dropped for
+    * every later batch. Scale shape: the batch's band rows broadcast
+    * (`broadcastNew = false` for backfill batches too big to broadcast);
+    * the stage streams map-side. */
+  def chunkNearDupPairsIncremental(newDf: DataFrame, sigPath: String,
+                                   textCol: String, idCol: String,
+                                   chunkChars: Int, k: Int, rowsPerBand: Int,
+                                   maxBandChunks: Int = 0,
+                                   minChunkHits: Int = 1,
+                                   shingleLen: Int = 5,
+                                   broadcastNew: Boolean = true): DataFrame = {
+    require(minChunkHits >= 1, "minChunkHits must be >= 1")
+    val newSig = chunkSignatures(newDf, textCol, idCol, chunkChars, k,
+      shingleLen)
+    val staged = newDf.sparkSession.read.parquet(sigPath)
+    val all = cappedChunkBands(
+      lshBands(staged.unionByName(newSig), "_ck", k, rowsPerBand),
+      maxBandChunks).as("a")
+    val nb0 = lshBands(newSig, "_ck", k, rowsPerBand)
+    val nb = (if (broadcastNew) broadcast(nb0) else nb0).as("b")
+    val hits = all.join(nb,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a._ck.id") =!= col("b._ck.id"))
+      .select(
+        when(col("a._ck.id") < col("b._ck.id"),
+          struct(col("a._ck.id").as("a_id"), col("b._ck.id").as("b_id"),
+            col("a._ck.cidx").as("a_cidx"), col("b._ck.cidx").as("b_cidx")))
+          .otherwise(
+            struct(col("b._ck.id").as("a_id"), col("a._ck.id").as("b_id"),
+              col("b._ck.cidx").as("a_cidx"), col("a._ck.cidx").as("b_cidx")))
+          .as("_ck_p"))
+      .select(col("_ck_p.a_id"), col("_ck_p.b_id"),
+        col("_ck_p.a_cidx"), col("_ck_p.b_cidx"))
+    chunkHitCount(hits, minChunkHits)
   }
 
   /** Write a signature table to a unique temp parquet stage (registered

@@ -759,6 +759,16 @@ class PlanSpec extends SparkSpec {
         s"x62 must not shuffle chunk text: $l"))
   }
 
+  test("x62b incremental chunk dedup: new-batch bands broadcast, stage streams map-side") {
+    val p = tree(q("x62b_chunk_incremental"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator
+      .filter(l => l.contains("hashpartitioning"))
+      .foreach(l => assert(!l.contains("_ck_chunk") && !l.contains("text#"),
+        s"x62b must not shuffle chunk text: $l"))
+  }
+
   test("x63 release delta: one id-keyed full-outer join of digest projections — text never shuffles") {
     val p = tree(q("x63_release_delta"))
     assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)

@@ -1127,6 +1127,31 @@ class ExtSpec extends SparkSpec {
       Dedup.chunkNearDupPairs(tails, "text", "doc_id", 3, 4, 2))
   }
 
+  test("chunk incremental over a staged corpus ≡ one-shot pairs touching the batch") {
+    val sharedA = noise(100, 60) // one chunk shared across the batch line
+    val sharedB = noise(200, 60)
+    val corpus = Seq(
+      (1L, noise(1, 60) + sharedA),            // old
+      (2L, sharedB + noise(2, 120)),           // old
+      (3L, noise(3, 120)),                     // old, clean
+      (10L, sharedA + noise(4, 60)),           // new: overlaps old 1
+      (15L, noise(5, 60) + sharedB + sharedA), // new: overlaps 1, 2, 10
+      (20L, noise(6, 120))                     // new, clean
+    ).toDF("doc_id", "text")
+    val isNew = (id: Long) => id >= 10L
+    val oneShot = Dedup.chunkNearDupPairs(corpus, "text", "doc_id", 60, 4, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oneShot.exists(p => !isNew(p._1) && isNew(p._2)),
+      "fixture must have cross-batch overlap")
+    val stage = Dedup.stageSignatures(Dedup.chunkSignatures(
+      corpus.filter(col("doc_id") < 10), "text", "doc_id", 60, 4))
+    val inc = Dedup.chunkNearDupPairsIncremental(
+      corpus.filter(col("doc_id") >= 10), stage, "text", "doc_id", 60, 4, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == oneShot.filter(p => isNew(p._1) || isNew(p._2)),
+      s"one-shot ∩ batch = $oneShot vs incremental = $inc")
+  }
+
   // ───────── margin mining ─────────
 
   test("marginMine demotes the hub: mutual fits beat the raw top-1") {
