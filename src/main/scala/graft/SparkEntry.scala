@@ -1637,7 +1637,33 @@ object SparkEntry {
       val rev = pairs.filter(col("l_quantity") > 25)
         .select((col("l_suppkey") * 2 + 1).as("src"),
           (col("o_custkey") * 2).as("dst"))
-      graft.ext.Graphs.pageRank(fwd.union(rev), "src", "dst", 3)
+      // stagePerIteration: the lazy form re-executes the rank lineage
+      // 2^iters times (dangling + contribution branches per round);
+      // staging each round to a tiny (|V|-row) parquet is the 100 TB
+      // form and the GraphsSpec pins staged ≡ lazy bit-for-bit
+      graft.ext.Graphs.pageRank(fwd.union(rev), "src", "dst", 3,
+        stagePerIteration = true)
+    }),
+    "x59b_trustrank" -> ((s, dir) => {
+      // TrustRank over the same host graph: teleport confined to the
+      // trusted seed set (every 4th supplier), so link-farm hosts with no
+      // in-links from the trusted region score zero — the spam-demotion
+      // companion to x59. Seeds with no observed links still absorb
+      // teleport mass. Oracle unrolls the same three seeded rounds.
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val fwd = pairs.select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = pairs.filter(col("l_quantity") > 25)
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 4 === 0)
+        .select((col("s_suppkey") * 2 + 1).as("seed"))
+      graft.ext.Graphs.trustRank(fwd.union(rev), "src", "dst",
+        seeds, "seed", 3, stagePerIteration = true)
     }),
     "x60_margin_mine" -> ((s, dir) => {
       // margin-based pair mining (the LASER/CCMatrix bitext criterion):
@@ -3692,6 +3718,47 @@ object SparkEntry {
           nn AS (SELECT COUNT(*) AS n FROM base),
           bq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // n AS bq FROM nn),
           r0 AS (SELECT b.node, b.od, CAST(bq.bq AS BIGINT) AS rq
+                 FROM base b CROSS JOIN bq),
+          ${round("r0", "r1")},
+          ${round("r1", "r2")},
+          ${round("r2", "r3")}
+          SELECT node, rq AS rank_q18 FROM r3"""
+    },
+    // x59b: the seeded (TrustRank) rounds — teleport and dangling mass go
+    // to the seed distribution only; otherwise the x59 replay verbatim
+    "x59b_trustrank" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT b.node, b.od, b.seed,
+              CAST(((150::HUGEINT * (CASE WHEN b.seed THEN bq.bq ELSE 0 END))
+                    + 850::HUGEINT * (COALESCE(c.s, 0)
+                        + CASE WHEN b.seed THEN dg.dm // ns.ns ELSE 0 END))
+                   // 1000 AS BIGINT) AS rq
+            FROM base b
+            LEFT JOIN (SELECT e.dst, SUM(r.rq // r.od) AS s
+                       FROM edges e JOIN $prev r ON r.node = e.src
+                       GROUP BY e.dst) c ON c.dst = b.node
+            CROSS JOIN (SELECT COALESCE(SUM(rq), 0) AS dm
+                        FROM $prev WHERE od IS NULL) dg
+            CROSS JOIN ns CROSS JOIN bq)"""
+      s"""WITH pr AS (SELECT o_custkey, l_suppkey, l_quantity
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          edges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pr
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, o_custkey * 2 FROM pr
+                    WHERE l_quantity > 25),
+          seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+                    WHERE s_suppkey % 4 = 0),
+          nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges
+                    UNION SELECT node FROM seeds),
+          od AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src),
+          base AS (SELECT n.node, o.od, (sd.node IS NOT NULL) AS seed
+                   FROM nodes n
+                   LEFT JOIN od o ON o.node = n.node
+                   LEFT JOIN seeds sd ON sd.node = n.node),
+          ns AS (SELECT COUNT(*) AS ns FROM seeds),
+          bq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // ns AS bq FROM ns),
+          r0 AS (SELECT b.node, b.od, b.seed,
+                   CAST(CASE WHEN b.seed THEN bq.bq ELSE 0 END AS BIGINT) AS rq
                  FROM base b CROSS JOIN bq),
           ${round("r0", "r1")},
           ${round("r1", "r2")},

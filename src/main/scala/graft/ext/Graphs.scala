@@ -99,4 +99,84 @@ object Graphs {
     }
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank with
+    * the teleport confined to a TRUSTED seed set: trust mass originates
+    * only at vetted hosts and flows along links, so link-farm spam that
+    * PageRank rewards (it teleports everywhere) scores near zero unless
+    * the trusted region links into it. This is the crawl-curation
+    * companion to [[pageRank]]: rank by importance, demote by distrust.
+    *
+    * Same exact Q18 integer arithmetic and shapes as [[pageRank]]; the
+    * differences are the init and the teleport/dangling targets:
+    *
+    *   r₀(v)  = (S div |seeds|)·[v ∈ seeds]
+    *   r'(v)  = ( (1000−d)·(S div |seeds|)·[v ∈ seeds]
+    *              + d·( Σ_{u→v} r(u) div out(u)
+    *                    + (D div |seeds|)·[v ∈ seeds] ) ) div 1000
+    *
+    * (dangling mass D returns to the seed distribution, per the paper's
+    * static teleport vector). `seeds` is a one-column frame of node ids;
+    * ids absent from the graph still absorb teleport mass (they are
+    * trusted hosts that happen to have no observed links — standard).
+    * Seeds ride the plan as a broadcast; everything else matches
+    * [[pageRank]]'s per-iteration shape. Oracle-checked (x59b). */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String, iters: Int,
+                dampingPerMille: Int = 850,
+                stagePerIteration: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    val internal = Set("node", "rank_q", "rank_q18", "_pr_src", "_pr_dst",
+      "_pr_od", "_pr_c", "_pr_s", "_pr_dm", "_pr_seed")
+    val clashes = edges.columns.filter(c =>
+      internal(c) && c != srcCol && c != dstCol)
+    require(clashes.isEmpty,
+      s"trustRank reserves column names ${clashes.mkString(", ")}")
+    val e = edges.select(col(srcCol).cast("long").as("_pr_src"),
+      col(dstCol).cast("long").as("_pr_dst"))
+    val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+    val nodes = e.select(col("_pr_src").as("node"))
+      .union(e.select(col("_pr_dst").as("node")))
+      .union(seedNodes).distinct()
+    val od = e.groupBy(col("_pr_src").as("node"))
+      .agg(count(lit(1)).as("_pr_od"))
+    val base = nodes.join(od, Seq("node"), "left")
+      .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
+        Seq("node"), "left")
+      .select(col("node"), col("_pr_od"),
+        coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "trustRank needs a non-empty seed set")
+    val baseQ = (BigInt(10).pow(18) / nSeeds).toString
+    val d = dampingPerMille
+
+    var ranks = base.select(col("node"), col("_pr_od"), col("_pr_seed"),
+      expr(s"cast(if(_pr_seed, $baseQ, 0) as bigint)").as("rank_q"))
+    for (_ <- 1 to iters) {
+      val dang = ranks.filter(col("_pr_od").isNull)
+        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
+      val contrib = e
+        .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
+          col("_pr_src") === col("node"))
+        .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
+        .groupBy(col("_pr_dst"))
+        .agg(sum(col("_pr_c")).as("_pr_s"))
+      ranks = base
+        .join(contrib, col("node") === col("_pr_dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("_pr_od"), col("_pr_seed"), expr(
+          s"""cast((cast(${1000 - d} as decimal(38,0))
+                * if(_pr_seed, $baseQ, 0)
+              + cast($d as decimal(38,0))
+                * (coalesce(_pr_s, 0L)
+                   + if(_pr_seed, _pr_dm div $nSeeds, 0L))) div 1000
+              as bigint)""").as("rank_q"))
+      if (stagePerIteration)
+        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+    }
+    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+  }
 }

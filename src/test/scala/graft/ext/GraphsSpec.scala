@@ -61,6 +61,61 @@ class GraphsSpec extends SparkSpec {
     assert(run(edges, 3) == run(edges, 3, stage = true))
   }
 
+  /** Independent BigInt replay of the trustRank contract. */
+  private def replayTrust(edges: Seq[(Long, Long)], seedIds: Seq[Long],
+                          iters: Int, d: Int = 850): Map[Long, BigInt] = {
+    val seeds = seedIds.distinct.toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct
+    val od = edges.groupBy(_._1).view.mapValues(es => BigInt(es.size)).toMap
+    val base = BigInt(10).pow(18) / seeds.size
+    def tele(v: Long): BigInt = if (seeds(v)) base else BigInt(0)
+    var r = nodes.map(v => v -> tele(v)).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(od.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      r = nodes.map(v => v -> (
+        (BigInt(1000 - d) * tele(v) +
+          BigInt(d) * (contrib.getOrElse(v, BigInt(0)) +
+            (if (seeds(v)) dm / seeds.size else BigInt(0)))) / 1000)).toMap
+    }
+    r
+  }
+
+  private def runTrust(edges: Seq[(Long, Long)], seedIds: Seq[Long],
+                       iters: Int): Map[Long, Long] =
+    Graphs.trustRank(edges.toDF("src", "dst"), "src", "dst",
+        seedIds.toDF("seed"), "seed", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("trustRank matches an independent BigInt replay; spam region scores zero") {
+    // trusted: 1 ↔ 2; spam farm: 10 ↔ 11 (heavily interlinked, no links
+    // from the trusted region); 3 is linked FROM the trusted region
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L),
+      (10L, 11L), (11L, 10L), (10L, 11L), (11L, 10L))
+    val got = runTrust(edges, Seq(1L, 2L), 3)
+    val want = replayTrust(edges, Seq(1L, 2L), 3)
+      .map { case (k, v) => k -> v.toLong }
+    assert(got == want)
+    // PageRank would reward the farm's interlinking; TrustRank must not
+    assert(got(10L) == 0L && got(11L) == 0L, got.toString)
+    assert(got(3L) > 0L, "trusted region links into 3: it earns trust")
+    val pr = run(edges, 3)
+    assert(pr(10L) > 0L, "sanity: plain PageRank DOES pay the farm")
+  }
+
+  test("trustRank: a seed absent from the graph still absorbs teleport mass") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val got = runTrust(edges, Seq(1L, 99L), 2)
+    val want = replayTrust(edges, Seq(1L, 99L), 2)
+      .map { case (k, v) => k -> v.toLong }
+    assert(got == want)
+    assert(got.contains(99L) && got(99L) > 0L)
+    intercept[IllegalArgumentException](
+      Graphs.trustRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq.empty[Long].toDF("seed"), "seed", 1))
+  }
+
   test("pageRank guards its parameters and reserved columns") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](

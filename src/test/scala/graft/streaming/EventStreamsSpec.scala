@@ -308,6 +308,59 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == expected, s"streamed $streamed vs batch $expected")
   }
 
+  test("streaming chunk ingest: micro-batches chunk-join the signature stage, then append") {
+    // continuous-ingest PARTIAL-OVERLAP detection — the streaming face of
+    // x62b: the chunk-signature stage is the only state; an arriving
+    // batch chunk-signatures itself, band-joins stage ∪ batch for doc
+    // pairs (corpus text never rescanned), emits them, appends its chunk
+    // signatures. Contract: streamed micro-batches find exactly the
+    // pairs (WITH hit counts) the batch-incremental flow finds
+    // sequentially.
+    import graft.ext.Dedup
+    def nz(seed: Int, n: Int) =
+      new scala.util.Random(seed).alphanumeric.take(n).mkString
+    val sharedA = nz(100, 60); val sharedB = nz(200, 60)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val base = docs(1L -> (nz(1, 60) + sharedA), 2L -> (sharedB + nz(2, 60)),
+      3L -> nz(3, 120))
+    val b1 = docs(10L -> (sharedA + nz(4, 60)), 11L -> nz(5, 120))
+    val b2 = docs(20L -> (nz(6, 60) + sharedB), 21L -> (sharedA + sharedB))
+    def inc(batch: org.apache.spark.sql.DataFrame, stage: String) =
+      Dedup.chunkNearDupPairsIncremental(batch, stage, "text", "doc_id",
+        60, 4, 2)
+    def csig(df: org.apache.spark.sql.DataFrame) =
+      Dedup.chunkSignatures(df, "text", "doc_id", 60, 4)
+
+    val stageExp = Dedup.stageSignatures(csig(base))
+    val p1 = inc(b1, stageExp).as[(Long, Long, Long)].collect().toSet
+    csig(b1).write.mode("append").parquet(stageExp)
+    val p2 = inc(b2, stageExp).as[(Long, Long, Long)].collect().toSet
+    val expected = p1 ++ p2
+    assert(expected.exists(p => p._1 == 1L && p._2 == 10L), expected.toString)
+    assert(expected.exists(p => p._1 == 10L && p._2 == 21L),
+      s"cross-batch pair via the staged b1 chunk: $expected")
+
+    val stage = Dedup.stageSignatures(csig(base))
+    val src = Files.createTempDirectory("chunksrc").toString
+    val ckpt = Files.createTempDirectory("chunkckpt").toString
+    val out = Files.createTempDirectory("chunkout").resolve("pairs").toString
+    def drain(): Unit = {
+      val q = spark.readStream.schema(base.schema).parquet(src)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          inc(batch.toDF(), stage).write.mode("append").parquet(out)
+          csig(batch.toDF()).write.mode("append").parquet(stage) // AFTER pairing
+        }.start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); drain()
+    b2.write.mode("append").parquet(src); drain()
+
+    val streamed = spark.read.parquet(out).as[(Long, Long, Long)].collect().toSet
+    assert(streamed == expected, s"streamed $streamed vs batch $expected")
+  }
+
   test("streaming corpus ingest keeps the dataset card current: staged ≡ one-shot") {
     // the reporting face of the append-only family (x51b): each arriving
     // micro-batch appends its O(distinct-texts) card state; the card is
