@@ -1713,6 +1713,53 @@ object SparkEntry {
         .select(col("a_id").cast("long").as("a_id"),
           col("b_id").cast("long").as("b_id"), col("n_chunk_hits"))
     }),
+    "x64_copygraph_curation" -> ((s, dir) => {
+      // copy-graph curation capstone — the round's family composed into
+      // one flow: chunk collisions (x62) lift to a host-level COPY GRAPH
+      // (one edge per colliding cross-host doc pair, both directions),
+      // PageRank (x59) scores how embedded each host is in the copying
+      // economy, the 3 most copy-central hosts drop WHOLESALE (the
+      // boilerplate-mill cut — within-host copying is x61's job), and
+      // the release reports surviving hosts' exact doc/token mass. The
+      // oracle replays chunking → collisions → graph → three Q18 rounds
+      // → the deterministic cut → the rollup.
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.chunkNearDupPairs(d, "text", "doc_id",
+        120, 4, 2, maxBandChunks = 50)
+      val hid = expr("cast(substring(source, 4) as long)")
+      val srcOf = d.select(col("doc_id"), hid.as("hid"))
+      val e0 = pairs
+        .join(srcOf.select(col("doc_id").as("a_id"), col("hid").as("a_h")),
+          Seq("a_id"))
+        .join(srcOf.select(col("doc_id").as("b_id"), col("hid").as("b_h")),
+          Seq("b_id"))
+        .filter(col("a_h") =!= col("b_h"))
+      // stage the copy graph before iterating: pageRank's node census +
+      // per-round joins would otherwise re-execute the whole chunk-LSH
+      // lineage once per reference (the same move x62b makes for its
+      // signature table)
+      // stage the ONE-directional host pairs, then symmetrize off the
+      // staged parquet — a union over the raw frame would re-execute the
+      // whole chunk-LSH lineage once per direction
+      val sp = d.sparkSession.read.parquet(Dedup.stageSignatures(
+        e0.select(col("a_h"), col("b_h"))))
+      val edges = sp.select(col("a_h").as("src"), col("b_h").as("dst"))
+        .union(sp.select(col("b_h").as("src"), col("a_h").as("dst")))
+      // lazy rounds here: with the copy graph staged flat, the 2^3 rank
+      // fan-out re-scans a |hosts|-row parquet — cheaper than 3 stage
+      // write/read job cycles (x59 stages because ITS edge lineage is 3
+      // parquet scans, not a whole LSH pipeline)
+      val drop = graft.ext.Graphs.pageRank(edges, "src", "dst", 3)
+        .orderBy(col("rank_q18").desc, col("node")).limit(3)
+        .select(col("node"))
+      val wc = size(filter(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+"), t => t =!= ""))
+      d.withColumn("_hid", hid)
+        .join(broadcast(drop), col("_hid") === col("node"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(wc.cast("long")).as("n_tokens"))
+    }),
     "x63_release_delta" -> ((s, dir) => {
       // release-to-release corpus diff: v1 lacks every 7th doc, v2 drops
       // every 13th and revises every 11th (text + ' rev2') — the delta
@@ -3837,6 +3884,56 @@ object SparkEntry {
          SELECT a_id, b_id, COUNT(*) AS n_chunk_hits
          FROM hits WHERE a_id % 5 = 0 OR b_id % 5 = 0
          GROUP BY a_id, b_id""",
+    // x64: the capstone replay — x62's chunk-collision CTEs, the host
+    // copy-graph, three unrolled Q18 PageRank rounds, the top-3 cut,
+    // and the survivor rollup, in one statement
+    "x64_copygraph_curation" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (SELECT b.node, b.od,
+              CAST(((150::HUGEINT * pbq.bq)
+                    + 850::HUGEINT * (COALESCE(c.s, 0) + dg.dm // pnn.n))
+                   // 1000 AS BIGINT) AS rq
+            FROM pbase b
+            LEFT JOIN (SELECT e.dst, SUM(r.rq // r.od) AS s
+                       FROM pedges e JOIN $prev r ON r.node = e.src
+                       GROUP BY e.dst) c ON c.dst = b.node
+            CROSS JOIN (SELECT COALESCE(SUM(rq), 0) AS dm
+                        FROM $prev WHERE od IS NULL) dg
+            CROSS JOIN pnn CROSS JOIN pbq)"""
+      s"""$chunkDedupCtes,
+          cpairs AS (SELECT a_id, b_id FROM hits GROUP BY a_id, b_id),
+          sp AS (SELECT CAST(substr(da.source, 4) AS BIGINT) AS a_h,
+                        CAST(substr(db.source, 4) AS BIGINT) AS b_h
+                 FROM cpairs p
+                 JOIN documents da ON da.doc_id = p.a_id
+                 JOIN documents db ON db.doc_id = p.b_id
+                 WHERE CAST(substr(da.source, 4) AS BIGINT)
+                       <> CAST(substr(db.source, 4) AS BIGINT)),
+          pedges AS MATERIALIZED (SELECT a_h AS src, b_h AS dst FROM sp
+                     UNION ALL SELECT b_h, a_h FROM sp),
+          pnodes AS (SELECT src AS node FROM pedges
+                     UNION SELECT dst FROM pedges),
+          pod AS (SELECT src AS node, COUNT(*) AS od FROM pedges GROUP BY src),
+          pbase AS (SELECT n.node, o.od FROM pnodes n
+                    LEFT JOIN pod o ON o.node = n.node),
+          pnn AS (SELECT COUNT(*) AS n FROM pbase),
+          pbq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // n AS bq
+                  FROM pnn),
+          pr0 AS (SELECT b.node, b.od, CAST(pbq.bq AS BIGINT) AS rq
+                  FROM pbase b CROSS JOIN pbq),
+          ${round("pr0", "pr1")},
+          ${round("pr1", "pr2")},
+          ${round("pr2", "pr3")},
+          drop3 AS (SELECT node FROM pr3 ORDER BY rq DESC, node LIMIT 3)
+          SELECT dd.source, COUNT(*) AS n_docs,
+                 CAST(SUM(length(list_filter(string_split_regex(
+                   regexp_replace(dd.text, '^\\s+|\\s+$$', '', 'g'), '\\s+'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents dd
+          WHERE CAST(substr(dd.source, 4) AS BIGINT) NOT IN
+                (SELECT node FROM drop3)
+          GROUP BY dd.source"""
+    },
     // x63: both corpus versions rebuilt, digests compared null-safely
     // (IS DISTINCT FROM ⇔ Spark's <=> negated), same \s+ word counts,
     // same rollup — all integers

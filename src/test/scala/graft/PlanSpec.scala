@@ -769,6 +769,16 @@ class PlanSpec extends SparkSpec {
         s"x62b must not shuffle chunk text: $l"))
   }
 
+  test("x64 copy-graph curation: drop list broadcast onto the corpus; no text in exchange keys") {
+    val p = tree(q("x64_copygraph_curation"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the 3-host drop list reaches the corpus as a broadcast anti join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach(l =>
+      assert(!l.contains("text#") && !l.contains("_ck_chunk"),
+        s"x64 must not shuffle document text: $l"))
+  }
+
   test("x63 release delta: one id-keyed full-outer join of digest projections — text never shuffles") {
     val p = tree(q("x63_release_delta"))
     assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
