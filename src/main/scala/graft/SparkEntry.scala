@@ -1644,6 +1644,27 @@ object SparkEntry {
       graft.ext.Graphs.pageRank(fwd.union(rev), "src", "dst", 3,
         stagePerIteration = true)
     }),
+    "x59c_pagerank_weighted" -> ((s, dir) => {
+      // the 100 TB form of x59: the link graph AGGREGATED to
+      // (src, dst, weight) before ranking — billions of parallel edges
+      // collapse to one row each, and the weighted rounds are
+      // BIT-IDENTICAL to the expanded multiset (the contribution algebra
+      // commutes with the floor-div), so the x59 oracle verifies this
+      // query verbatim.
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val fwd = pairs.select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = pairs.filter(col("l_quantity") > 25)
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"))
+      val weighted = fwd.union(rev)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.ext.Graphs.pageRankWeighted(weighted, "src", "dst", "w", 3,
+        stagePerIteration = true)
+    }),
     "x59b_trustrank" -> ((s, dir) => {
       // TrustRank over the same host graph: teleport confined to the
       // trusted seed set (every 4th supplier), so link-farm hosts with no
@@ -1915,6 +1936,7 @@ object SparkEntry {
     * must be invisible to RESULTS, so its oracle is x6b's, verbatim. */
   def oracleSql: Map[String, String] =
     oracleSqlBase +
+      ("x59c_pagerank_weighted" -> oracleSqlBase("x59_pagerank")) +
       ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf")) +
       ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
       ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk")) +

@@ -100,6 +100,71 @@ object Graphs {
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
 
+  /** [[pageRank]] over a WEIGHTED edge list — the compact form of
+    * parallel edges: a real host graph ships as (src, dst, link_count)
+    * after aggregation, not as billions of duplicate rows. Bit-identical
+    * to [[pageRank]] on the expanded multiset: out-degree becomes Σw per
+    * src, and each edge contributes w·(rank div Σw) — exactly the sum of
+    * w parallel edges' floor-divided contributions, so the x59 oracle
+    * verifies this form verbatim (x59c aliases it). Same per-iteration
+    * shapes; the contribution product w·(rank div Σw) stays within longs
+    * while w·rank < 2⁶³ — i.e. total weighted degree per node to ~9·10¹⁸
+    * rank-units, far past any real host graph. Weights must be positive
+    * (a src whose weights sum to 0 hits the ANSI divide guard loudly;
+    * dangling means ABSENT from the edge list, same as [[pageRank]]). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int,
+                       dampingPerMille: Int = 850,
+                       stagePerIteration: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    val internal = Set("node", "rank_q", "rank_q18", "_pr_src", "_pr_dst",
+      "_pr_w", "_pr_od", "_pr_c", "_pr_s", "_pr_dm")
+    val clashes = edges.columns.filter(c =>
+      internal(c) && c != srcCol && c != dstCol && c != weightCol)
+    require(clashes.isEmpty,
+      s"pageRankWeighted reserves column names ${clashes.mkString(", ")}")
+
+    val e = edges.select(col(srcCol).cast("long").as("_pr_src"),
+      col(dstCol).cast("long").as("_pr_dst"),
+      col(weightCol).cast("long").as("_pr_w"))
+    val nodes = e.select(col("_pr_src").as("node"))
+      .union(e.select(col("_pr_dst").as("node"))).distinct()
+    val od = e.groupBy(col("_pr_src").as("node"))
+      .agg(sum(col("_pr_w")).as("_pr_od"))
+    val base = nodes.join(od, Seq("node"), "left")
+    val n = base.count()
+    require(n > 0, "pageRankWeighted needs a non-empty graph")
+    val baseQ = (BigInt(10).pow(18) / n).toString
+    val d = dampingPerMille
+
+    var ranks = base.select(col("node"), col("_pr_od"),
+      expr(s"cast($baseQ as bigint)").as("rank_q"))
+    for (_ <- 1 to iters) {
+      val dang = ranks.filter(col("_pr_od").isNull)
+        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
+      val contrib = e
+        .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
+          col("_pr_src") === col("node"))
+        .select(col("_pr_dst"),
+          expr("_pr_w * (rank_q div _pr_od)").as("_pr_c"))
+        .groupBy(col("_pr_dst"))
+        .agg(sum(col("_pr_c")).as("_pr_s"))
+      ranks = base
+        .join(contrib, col("node") === col("_pr_dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("_pr_od"), expr(
+          s"""cast((cast(${1000 - d} as decimal(38,0)) * $baseQ
+              + cast($d as decimal(38,0))
+                * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
+              as bigint)""").as("rank_q"))
+      if (stagePerIteration)
+        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+    }
+    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank with
     * the teleport confined to a TRUSTED seed set: trust mass originates
     * only at vetted hosts and flows along links, so link-farm spam that

@@ -116,6 +116,26 @@ class GraphsSpec extends SparkSpec {
         Seq.empty[Long].toDF("seed"), "seed", 1))
   }
 
+  test("pageRankWeighted ≡ pageRank on the expanded parallel-edge multiset, bit for bit") {
+    // the compact (src, dst, w) form must reproduce the multiset form
+    // exactly — w·(r div Σw) is precisely the sum of w floor-divided
+    // parallel contributions
+    val multi = Seq((1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (3L, 1L), (3L, 1L), (4L, 1L))
+    val weighted = multi.groupBy(identity).view
+      .map { case ((s, d2), es) => (s, d2, es.size.toLong) }.toSeq
+      .toDF("src", "dst", "w")
+    val got = Graphs.pageRankWeighted(weighted, "src", "dst", "w", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == run(multi, 3))
+    // staged form identical too
+    val staged = Graphs.pageRankWeighted(weighted, "src", "dst", "w", 3,
+      stagePerIteration = true).as[(Long, Long)].collect().toMap
+    assert(staged == got)
+    intercept[IllegalArgumentException](
+      Graphs.pageRankWeighted(weighted, "src", "dst", "w", 0))
+  }
+
   test("pageRank guards its parameters and reserved columns") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](
