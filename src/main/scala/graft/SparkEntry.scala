@@ -1795,6 +1795,29 @@ object SparkEntry {
           concat(col("text"), lit(" rev2"))).otherwise(col("text")))
       graft.ext.Curation.releaseDelta(oldV, newV, "text", "doc_id",
         Seq("source"))
+    }),
+    "x65_perceptron_quality" -> ((s, dir) => {
+      // TRAIN the hashed-feature quality model x31 scores with (its doc
+      // says "real deployments learn the weights" — this is that
+      // learning, in-engine): a 3-epoch batch perceptron labels docs
+      // en-vs-rest from the lang column and learns 64 bucket weights +
+      // bias in exact integer arithmetic. Batch updates are SUMS, so
+      // every epoch — and the trained artifact — is order-free and
+      // replays weight-for-weight in the oracle's unrolled-epoch CTEs
+      // (the x35/x38b trainer discipline). The output is the DEPLOYED
+      // form: each doc's raw integer score under the trained weights +
+      // the ±1 prediction, a zero-exchange projection.
+      val d = t(s, dir, "documents")
+      val w = graft.ext.Learn.perceptronTrain(
+        d.withColumn("_y", when(col("lang") === "en", 1L).otherwise(-1L)),
+        "text", "doc_id", "_y", 64, 3, stageFeatures = true)
+      d.filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"),
+          graft.ext.Learn.perceptronScore(col("text"), w)
+            .cast("long").as("score"))
+        .withColumn("pred",
+          when(col("score") > 0, 1L).otherwise(-1L))
     })
   )
 
@@ -3987,6 +4010,52 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
                 CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
                 CAST(SUM(dn) AS BIGINT) AS tok_delta
-         FROM j GROUP BY source"""
+         FROM j GROUP BY source""",
+    // x65: the perceptron EPOCHS unrolled — w1 is the epoch-1 update
+    // (w = 0 makes every margin 0, so ALL docs update), each later epoch
+    // rescores with the previous weights and adds the misclassified
+    // docs' (y · count) sums; the final SELECT deploys w3. Weights are
+    // integer SUMS, so the replay is exact; HUGEINT headroom on the
+    // score products (|w| can reach the corpus token mass).
+    "x65_perceptron_quality" ->
+      """WITH docs AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                  regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         toks AS (SELECT doc_id, y, unnest(string_split_regex(t, '\s+')) AS tok
+                  FROM docs),
+         feat AS (
+           SELECT doc_id, y,
+                  (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
+                   + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS b,
+                  COUNT(*) AS cnt
+           FROM toks GROUP BY 1, 2, 3
+           UNION ALL
+           SELECT doc_id, y, 64 AS b, 1 AS cnt FROM docs),
+         w1 AS (SELECT b, SUM(y * cnt) AS w FROM feat GROUP BY b),
+         s2 AS (SELECT f.doc_id, f.y,
+                       SUM(CAST(COALESCE(w1.w, 0) AS HUGEINT) * f.cnt) AS s
+                FROM feat f LEFT JOIN w1 ON w1.b = f.b GROUP BY 1, 2),
+         d2 AS (SELECT f.b, SUM(f.y * f.cnt) AS dw
+                FROM feat f JOIN s2 ON s2.doc_id = f.doc_id
+                WHERE s2.y * s2.s <= 0 GROUP BY f.b),
+         w2 AS (SELECT COALESCE(w1.b, d2.b) AS b,
+                       CAST(COALESCE(w1.w, 0) + COALESCE(d2.dw, 0) AS HUGEINT) AS w
+                FROM w1 FULL JOIN d2 ON w1.b = d2.b),
+         s3 AS (SELECT f.doc_id, f.y, SUM(COALESCE(w2.w, 0) * f.cnt) AS s
+                FROM feat f LEFT JOIN w2 ON w2.b = f.b GROUP BY 1, 2),
+         d3 AS (SELECT f.b, SUM(f.y * f.cnt) AS dw
+                FROM feat f JOIN s3 ON s3.doc_id = f.doc_id
+                WHERE s3.y * s3.s <= 0 GROUP BY f.b),
+         w3 AS (SELECT COALESCE(w2.b, d3.b) AS b,
+                       COALESCE(w2.w, 0) + COALESCE(d3.dw, 0) AS w
+                FROM w2 FULL JOIN d3 ON w2.b = d3.b),
+         fin AS (SELECT f.doc_id, SUM(COALESCE(w3.w, 0) * f.cnt) AS s
+                 FROM feat f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1)
+         SELECT doc_id, CAST(s AS BIGINT) AS score,
+                CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         FROM fin"""
   )
 }

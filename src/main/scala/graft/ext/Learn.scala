@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine supervised training for the corpus-quality models the
+  * curation layer consumes. [[graft.ext.TextStats.hashedLinearScoreQ30]]
+  * scores documents with a hashed-feature linear model whose weights
+  * "real deployments learn offline" — this closes that loop the way
+  * Similarity.kMeansTrain closed the IVF/SemDeDup seed convention and
+  * TextStats.bpeTrain closed the tokenizer: the LEARNING itself runs as
+  * Spark aggregations in exact integer arithmetic, so every epoch — and
+  * therefore the trained artifact — replays bit-for-bit in the DuckDB
+  * oracle (no floats, no RNG, no order dependence anywhere).
+  *
+  * The model is a batch (parallel-update) perceptron over hashed
+  * bag-of-token counts: per epoch, every misclassified document
+  * contributes `y·count_b` to each feature bucket `b` it touches, and
+  * the updates are SUMS — commutative and associative — so the result is
+  * independent of row order and partitioning, unlike the classic
+  * sequential perceptron. Provenance: the reference validates and
+  * filters rows with hand-written predicates
+  * (get_bdc_studies_md_from_gen3.py:208-219); a learned quality filter
+  * is that same operator with data-derived weights.
+  *
+  * 100 TB shape: ONE text pass builds the (id, bucket, count, y) feature
+  * table (stage it with `stageFeatures` so deep runs never rescan text);
+  * each epoch is two id/bucket-keyed aggregations over that narrow
+  * table — the margin pass folds the weight vector in as a ≤257-entry
+  * plan literal (bounded by the 2-hex-digit bucket contract, so the
+  * ivfAssignJoin plan-size lesson doesn't bite), and the update pass
+  * collects ≤ nBuckets+1 longs to the driver (the kMeansTrain
+  * bounded-driver-state contract). Margins accumulate in decimal(38,0)
+  * because |w| can reach the corpus token mass after E epochs — a long
+  * would overflow at extreme scale before the decimal does.
+  */
+object Learn {
+
+  /** Hashed bag-of-token features: one (idCol, _pc_y, _pc_b, _pc_c) row
+    * per (document, bucket) plus a constant BIAS row per document at
+    * bucket `nBuckets` — the bias learns as just another feature, so one
+    * aggregation per epoch covers both. Bucket hash = first two md5 hex
+    * digits mod nBuckets, byte-identical to the x31 scorer's convention.
+    * Empty/null texts carry no signal and are excluded from training
+    * (the x31 filter). */
+  def hashedTokenFeatures(df: DataFrame, textCol: String, idCol: String,
+                          labelCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 256,
+      "bucket count must fit the 2-hex-digit hash")
+    Seq("_pc_y", "_pc_b", "_pc_c", "_pc_tok").foreach(c =>
+      require(c != idCol && c != labelCol,
+        s"hashedTokenFeatures reserves column $c"))
+    val labeled = df
+      .filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol), col(labelCol).cast("long").as("_pc_y"),
+        col(textCol))
+    val tokFeat = labeled
+      .select(col(idCol), col("_pc_y"),
+        explode(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("_pc_tok"))
+      .withColumn("_pc_b",
+        (conv(substring(md5(col("_pc_tok")), 1, 2), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+      .groupBy(col(idCol), col("_pc_y"), col("_pc_b"))
+      .agg(count(lit(1)).cast("long").as("_pc_c"))
+    tokFeat.unionByName(labeled.select(col(idCol), col("_pc_y"),
+      lit(nBuckets).cast("int").as("_pc_b"), lit(1L).as("_pc_c")))
+  }
+
+  /** Train a binary hashed-feature perceptron. `labelCol` must hold
+    * exactly +1 (positive) or −1 (negative) per row; rows with
+    * empty/null `textCol` are ignored. Returns nBuckets+1 integer
+    * weights — index `b` for bucket `b`, last entry the bias.
+    *
+    * Epoch semantics (exact, order-free): with current weights `w`, doc
+    * `i` has raw score `s_i = Σ_b w_b·cnt_{i,b} + bias`; every doc with
+    * `y_i·s_i ≤ 0` (misclassified, or on the boundary — epoch 1 puts
+    * ALL docs here since w = 0) contributes `y_i·cnt_{i,b}` to `Δw_b`.
+    * Batch updates make the epoch a pure aggregation, reproducible on
+    * any engine from the data alone — the x65 oracle unrolls every
+    * epoch in SQL and must agree weight-for-weight.
+    *
+    * `stageFeatures` writes the feature table to a managed stage first
+    * (Dedup.stageSignatures: temp dir + shutdown-hook cleanup) so the
+    * per-epoch passes re-read a narrow parquet instead of re-scanning
+    * text — the x35 `stagePerIteration` discipline. */
+  def perceptronTrain(df: DataFrame, textCol: String, idCol: String,
+                      labelCol: String, nBuckets: Int, epochs: Int,
+                      stageFeatures: Boolean = false): Seq[Long] = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val feat0 = hashedTokenFeatures(df, textCol, idCol, labelCol, nBuckets)
+    val feat =
+      if (stageFeatures)
+        df.sparkSession.read.parquet(Dedup.stageSignatures(feat0))
+      else feat0
+    val w = Array.fill(nBuckets + 1)(0L)
+    for (_ <- 1 to epochs) {
+      val upd = epochUpdates(feat, idCol, w.toSeq).collect()
+      upd.foreach(r => w(r.getInt(0)) += r.getLong(1))
+    }
+    w.toSeq
+  }
+
+  /** One training epoch's per-bucket weight deltas under the current
+    * weights — the frame [[perceptronTrain]] collects each round
+    * (exposed so PlanSpec pins the real epoch plan). Margin pass: one
+    * id-keyed aggregation with the weight vector as a plan literal
+    * (bounded ≤ 257 longs — never a join); update pass: misclassified
+    * ids rejoin the feature table BY ID, then one bucket-keyed
+    * aggregation of ≤ nBuckets+1 rows. */
+  private[graft] def epochUpdates(feat: DataFrame, idCol: String,
+                                  weights: Seq[Long]): DataFrame = {
+    val wlit = typedlit(weights)
+    val mis = feat
+      .groupBy(col(idCol), col("_pc_y"))
+      .agg(sum(element_at(wlit, col("_pc_b") + 1).cast("decimal(38,0)")
+        * col("_pc_c")).as("_pc_s"))
+      .filter(col("_pc_y") * col("_pc_s") <= 0)
+      .select(col(idCol))
+    feat.join(mis, Seq(idCol))
+      .groupBy(col("_pc_b"))
+      .agg(sum(col("_pc_y") * col("_pc_c")).as("_pc_d"))
+  }
+
+  /** Score a text with trained [[perceptronTrain]] weights: the raw
+    * integer score `Σ_b w_b·cnt_b + bias` as decimal(38,0) — a pure
+    * zero-exchange projection (tokenize → hash → literal lookup → fold),
+    * the deployment shape of the learned filter. `weights.size - 1` is
+    * the bucket count; the last entry is the bias. */
+  def perceptronScore(text: Column, weights: Seq[Long]): Column = {
+    val n = weights.size - 1
+    require(n > 0 && n <= 256, "weights must be nBuckets+1 with nBuckets <= 256")
+    val wlit = typedlit(weights)
+    val terms = transform(split(TextStats.wsTrim(text), "\\s+"), t =>
+      element_at(wlit,
+        (conv(substring(md5(t), 1, 2), 16, 10).cast("long") % n).cast("int")
+          + 1).cast("decimal(38,0)"))
+    aggregate(terms, lit(weights.last).cast("decimal(38,0)"),
+      (acc, x) => acc + x)
+  }
+}

@@ -379,6 +379,10 @@ object TextStats {
       .select(explode(bpeSegment(col(textCol), merges, sep)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("_tv_n"))
       .orderBy(col("_tv_n").desc, col("tok")).limit(n)
+      // the unpartitioned window ranks only the ALREADY-LIMITED vocab
+      // frame (≤ n ≤ 2^20 rows after TakeOrdered), never the corpus —
+      // the same bounded-seed convention as pqCodebookTrained; Spark's
+      // single-partition WindowExec warning here is about a ≤1M-row frame
       .withColumn("vid", row_number()
         .over(Window.orderBy(col("_tv_n").desc, col("tok"))).cast("int"))
       .select("tok", "vid")

@@ -541,6 +541,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x65 perceptron: deployed scoring is zero-exchange; epoch passes key on id/bucket only") {
+    import org.apache.spark.sql.functions._
+    // the driver query's RETURNED plan is the deployment shape — trained
+    // weights folded in as literals, scoring a pure projection
+    val p = tree(q("x65_perceptron_quality"))
+    assert(!p.contains("Exchange"), p)
+    // one real epoch over the feature table: every exchange keys on the
+    // doc id or the bucket (the margin groupBy carries the ±1 label as a
+    // second key) — the corpus text never reaches an exchange, and the
+    // weight lookup is a literal, not a join
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("_y", when(col("lang") === "en", 1L).otherwise(-1L))
+    val feat = graft.ext.Learn.hashedTokenFeatures(
+      docs, "text", "doc_id", "_y", 64)
+    val t2 = tree(graft.ext.Learn.epochUpdates(feat, "doc_id",
+      Seq.fill(65)(1L)))
+    assert(!t2.contains("CartesianProduct") &&
+      !t2.contains("BroadcastNestedLoop"), t2)
+    val exchanges = t2.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l =>
+      l.contains("doc_id#") || l.contains("_pc_b#")),
+      s"unexpected exchange key:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"corpus text in an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("x42 sequence pack: exchanges key on lang/doc_id/seq_id only — ids, never text") {
     val p = tree(q("x42_sequence_pack"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)

@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LearnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent replay of the perceptron contract in plain Scala BigInt
+    * — same md5 bucket hash, same batch-update epochs, written against
+    * the MATH (not the code): tokens split on whitespace, bucket = first
+    * two md5 hex digits mod n, bias is bucket n, epoch updates sum
+    * y·count over docs with y·score ≤ 0. */
+  private def replayTrain(docs: Seq[(Long, String, Long)], nBuckets: Int,
+                          epochs: Int): Map[Int, BigInt] = {
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = f"${md(0) & 0xff}%02x"
+      Integer.parseInt(hex, 16) % nBuckets
+    }
+    val feats: Seq[(Long, Long, Map[Int, Long])] = docs
+      .filter { case (_, t, _) => t != null && t.trim.nonEmpty }
+      .map { case (id, t, y) =>
+        val counts = t.trim.split("\\s+").toSeq
+          .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+        (id, y, counts + (nBuckets -> (counts.getOrElse(nBuckets, 0L) + 1L)))
+      }
+    var w = Map.empty[Int, BigInt].withDefaultValue(BigInt(0))
+    for (_ <- 1 to epochs) {
+      val mis = feats.filter { case (_, y, cnt) =>
+        val s = cnt.map { case (b, c) => w(b) * c }.sum
+        BigInt(y) * s <= 0
+      }
+      val upd = mis.flatMap { case (_, y, cnt) =>
+        cnt.map { case (b, c) => b -> BigInt(y) * c } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      w = (w.keySet ++ upd.keySet).map(b =>
+        b -> (w(b) + upd.getOrElse(b, BigInt(0)))).toMap
+        .withDefaultValue(BigInt(0))
+    }
+    w
+  }
+
+  private def score(t: String, w: Seq[Long], nBuckets: Int): BigInt = {
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      Integer.parseInt(f"${md(0) & 0xff}%02x", 16) % nBuckets
+    }
+    t.trim.split("\\s+").map(tok => BigInt(w(bucket(tok)))).sum +
+      BigInt(w(nBuckets))
+  }
+
+  private val fixture = Seq(
+    (1L, "alpha beta beta gamma", 1L),
+    (2L, "delta epsilon zeta", -1L),
+    (3L, "alpha alpha beta", 1L),
+    (4L, "zeta zeta eta theta", -1L),
+    (5L, "beta gamma gamma", 1L),
+    (6L, "epsilon eta eta", -1L),
+    (7L, "", 1L), // empty text: excluded from training and scoring
+    (8L, null.asInstanceOf[String], -1L),
+    // a positive leaning on negative vocabulary ('eta' is negative-class
+    // elsewhere): epoch 1's all-docs update misclassifies it, so epochs
+    // 2 and 3 make REAL corrections (verified: update sets of size 7/1/1
+    // across epochs 1..3, zero training error from epoch 4)
+    (9L, "gamma eta eta", 1L))
+
+  private def trainFixture(epochs: Int, nBuckets: Int = 16,
+                           stage: Boolean = false): Seq[Long] =
+    Learn.perceptronTrain(fixture.toDF("doc_id", "text", "y"),
+      "text", "doc_id", "y", nBuckets, epochs, stageFeatures = stage)
+
+  test("perceptronTrain matches an independent BigInt replay, epoch by epoch") {
+    for (epochs <- 1 to 3) {
+      val got = trainFixture(epochs)
+      val want = replayTrain(fixture, 16, epochs)
+      (0 to 16).foreach { b =>
+        assert(BigInt(got(b)) == want(b),
+          s"epochs=$epochs bucket=$b: got ${got(b)}, want ${want(b)}")
+      }
+    }
+  }
+
+  test("weights are order- and partitioning-invariant (batch updates are sums)") {
+    val base = trainFixture(3)
+    val shuffled = Learn.perceptronTrain(
+      fixture.reverse.toDF("doc_id", "text", "y").repartition(7),
+      "text", "doc_id", "y", 16, 3)
+    assert(base == shuffled)
+  }
+
+  test("stageFeatures is bit-identical to the lazy plan") {
+    assert(trainFixture(3) == trainFixture(3, stage = true))
+  }
+
+  test("separable data trains to zero training error") {
+    // the fixture is linearly separable in bucket space (checked by
+    // hand against the bucket map; 'alpha'/'epsilon' collide at bucket
+    // 12 and doc 9 leans on negative vocabulary, so separation is
+    // non-trivial) — verified empirically that 5 batch epochs reach a
+    // separator and stay there
+    val w = trainFixture(5)
+    val errs = fixture.filter { case (_, t, _) => t != null && t.trim.nonEmpty }
+      .count { case (_, t, y) =>
+        val s = score(t, w, 16)
+        (if (s > 0) 1L else -1L) != y
+      }
+    assert(errs == 0, s"still $errs training errors after 5 epochs")
+  }
+
+  test("perceptronScore matches the replay's deployment scoring") {
+    val w = trainFixture(3)
+    val got = fixture.toDF("doc_id", "text", "y")
+      .filter(col("text").isNotNull && TextStats.wsTrim(col("text")) =!= "")
+      .select(col("doc_id"),
+        Learn.perceptronScore(col("text"), w).cast("long").as("s"))
+      .as[(Long, Long)].collect().toMap
+    fixture.filter { case (_, t, _) => t != null && t.trim.nonEmpty }
+      .foreach { case (id, t, _) =>
+        assert(BigInt(got(id)) == score(t, w, 16), s"doc $id")
+      }
+  }
+
+  test("epoch 1 from zero weights updates on every doc (margin 0 is misclassified)") {
+    val got = trainFixture(1)
+    // epoch-1 weights = sum of y·cnt over ALL nonempty docs — the bias
+    // bucket (index 16) is Σy over them: 4 positives, 3 negatives → +1
+    assert(got(16) == 1L)
+    // and at least one token bucket is nonzero (classes differ)
+    assert(got.take(16).exists(_ != 0L))
+  }
+}
