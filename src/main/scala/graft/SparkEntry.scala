@@ -1818,6 +1818,33 @@ object SparkEntry {
             .cast("long").as("score"))
         .withColumn("pred",
           when(col("score") > 0, 1L).otherwise(-1L))
+    }),
+    "x66_html_extract" -> ((s, dir) => {
+      // HTML main-content extraction — the crawl pipeline's FIRST stage,
+      // upstream of x47's line rules: each doc wraps into a synthetic
+      // page (title/style/script head, link-only nav, the text as a
+      // paragraph, a link-dense sponsored unit on every 3rd doc, a
+      // link-only footer — the x14b built-blob discipline), and
+      // htmlMainContent must recover exactly the prose: script/style
+      // content never leaks, the nav/footer/ad blocks fall to the
+      // anchor-density rule, short fragments to the word rule. Exact
+      // integer rules (cross-multiplied per-mille, no division), so the
+      // oracle replays page construction AND extraction bit-for-bit.
+      // Pure zero-exchange projection (PlanSpec).
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc</title><style>.x{color:red}</style>"),
+        lit("<script type=\"text/javascript\">var a=1;</script></head><body>"),
+        lit("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></div>"),
+        lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<div>sponsored <a href=\"/ad\">click here now</a> " +
+            "<a href=\"/ad2\">buy today</a></div>")).otherwise(lit("")),
+        lit("<div><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a>" +
+          "</div></body></html>"))
+      graft.ext.Curation.htmlMainContent(
+        d.select(col("doc_id"), html.as("html")), "html", "doc_id", 3, 300)
     })
   )
 
@@ -4056,6 +4083,52 @@ object SparkEntry {
                  FROM feat f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1)
          SELECT doc_id, CAST(s AS BIGINT) AS score,
                 CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
-         FROM fin"""
+         FROM fin""",
+    "x66_html_extract" -> x66OracleSql
   )
+
+  /** x66: the synthetic page build + the whole extraction replayed —
+    * script/style excision, block segmentation at block-tag boundaries,
+    * and the two keep rules (≥3 words; cross-multiplied ≤300‰ anchor
+    * density — integer compare, no division) inside list lambdas. */
+  private def x66OracleSql: String =
+    """WITH pages AS (
+         SELECT doc_id,
+           '<html><head><title>Doc</title><style>.x{color:red}</style>' ||
+           '<script type="text/javascript">var a=1;</script></head><body>' ||
+           '<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' ||
+           '<p>' || COALESCE(text, '') || '</p>' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '<div>sponsored <a href="/ad">click here now</a> <a href="/ad2">buy today</a></div>'
+                ELSE '' END ||
+           '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>' AS html
+         FROM documents),
+       blocked AS (
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)</?(p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|blockquote|pre|title|body|html|head)\b[^>]*>',
+             e'\n', 'g') AS b
+         FROM pages),
+       blocks AS (SELECT doc_id, string_split(b, e'\n') AS bl FROM blocked),
+       scored AS (
+         SELECT doc_id, bl,
+           list_filter(bl, x ->
+             (CASE WHEN trim(regexp_replace(x, '<[^>]*>', '', 'g')) = '' THEN 0
+                   ELSE len(string_split_regex(trim(regexp_replace(x, '<[^>]*>', '', 'g')), '\s+')) END) >= 3
+             AND (len(regexp_replace(x, '<[^>]*>', '', 'g'))
+                  - len(regexp_replace(regexp_replace(x, '(?is)<a\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'))) * 1000
+                 <= 300 * len(regexp_replace(x, '<[^>]*>', '', 'g'))) AS kept
+         FROM blocks)
+       SELECT doc_id,
+              array_to_string(list_transform(kept,
+                x -> trim(regexp_replace(x, '<[^>]*>', '', 'g'))), e'\n') AS text_main,
+              CAST(len(list_filter(bl,
+                x -> trim(regexp_replace(x, '<[^>]*>', '', 'g')) <> '')) AS BIGINT) AS n_blocks,
+              CAST(len(kept) AS BIGINT) AS n_kept
+       FROM scored"""
 }

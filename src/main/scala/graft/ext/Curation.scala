@@ -97,6 +97,74 @@ object Curation {
       .drop("_lines", "_keptl")
   }
 
+  /** HTML main-content extraction — the stage BEFORE [[c4LineClean]] in
+    * a web-crawl pipeline (jusText/trafilatura's job, reduced to its
+    * deterministic core): strip script/style/comment subtrees, break the
+    * page into text blocks at block-level tag boundaries, score each
+    * block by word count and ANCHOR-TEXT density (navigation, footers,
+    * and ad units are link-dense; body prose is not), and keep blocks
+    * with ≥ `minWordsPerBlock` words and ≤ `maxLinkPermille` of their
+    * characters inside `<a>` elements. Link density is exact integer
+    * per-mille over RAW (untrimmed) tag-stripped lengths, so the rule —
+    * and therefore the extraction — replays bit-for-bit in any engine:
+    * no DOM, no heuristic scoring floats, RE2-safe regexes (no
+    * backreferences — script and style close in separate passes).
+    *
+    * A pure zero-exchange projection (the x47/x52 shape): regex chains
+    * and array HOFs, one codegen stage over the corpus. Returns the
+    * input id plus `text_main` (kept blocks' trimmed text joined with
+    * newlines), `n_blocks` (non-empty text blocks seen), and `n_kept`
+    * — the audit pair every drop rule in this catalog carries. */
+  def htmlMainContent(df: DataFrame, htmlCol: String, idCol: String,
+                      minWordsPerBlock: Int = 3,
+                      maxLinkPermille: Int = 300): DataFrame = {
+    require(minWordsPerBlock >= 0, "minWordsPerBlock must be non-negative")
+    require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+      "maxLinkPermille is per-mille: 0..1000")
+    Seq("_hm_blocks", "_hm_kept", "text_main", "n_blocks", "n_kept")
+      .foreach(c => require(c == idCol || !df.columns.contains(c),
+        s"htmlMainContent reserves column $c"))
+    val noScript = regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(col(htmlCol), lit("")),
+          "(?is)<script\\b[^>]*>.*?</script>", " "),
+        "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    // block-level boundaries become newlines; inline markup (<a>, <b>,
+    // <span>, ...) stays for the per-block link-density measurement
+    val blocked = regexp_replace(noScript,
+      "(?i)</?(p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|table|tr|td|th|section|" +
+        "article|header|footer|nav|blockquote|pre|title|body|html|head)\\b[^>]*>",
+      "\n")
+    def plainRaw(b: Column): Column = regexp_replace(b, "<[^>]*>", "")
+    def noAnchorRaw(b: Column): Column =
+      plainRaw(regexp_replace(b, "(?is)<a\\b[^>]*>.*?</a>", ""))
+    def wordsOf(b: Column): Column = {
+      val t = trim(plainRaw(b))
+      when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
+    }
+    // anchor-text chars = raw stripped length minus the anchors-removed
+    // stripped length (removal only deletes characters, so this is ≥ 0
+    // and exact). The density rule compares CROSS-MULTIPLIED longs —
+    // 1000·anchor_chars ≤ maxLinkPermille·block_chars — so there is no
+    // division anywhere and the comparison is exact in every engine
+    def linkOk(b: Column): Column = {
+      val raw = length(plainRaw(b)).cast("long")
+      val anchor = raw - length(noAnchorRaw(b)).cast("long")
+      anchor * 1000L <= lit(maxLinkPermille.toLong) * raw
+    }
+    val keepRule = (b: Column) =>
+      wordsOf(b) >= minWordsPerBlock && linkOk(b)
+    df.withColumn("_hm_blocks", split(blocked, "\n"))
+      .withColumn("_hm_kept", filter(col("_hm_blocks"), keepRule))
+      .select(col(idCol),
+        array_join(transform(col("_hm_kept"), b => trim(plainRaw(b))), "\n")
+          .as("text_main"),
+        size(filter(col("_hm_blocks"), b => trim(plainRaw(b)) =!= ""))
+          .cast("long").as("n_blocks"),
+        size(col("_hm_kept")).cast("long").as("n_kept"))
+  }
+
   /** Deterministic hash-stratified sample: keep `k` rows per stratum,
     * chosen by md5 of the id — reproducible across runs AND engines (no
     * RNG state, unlike sampleBy), which is what makes a carved eval set

@@ -300,6 +300,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x66 html extraction is a pure projection: zero exchanges, no join") {
+    val p = tree(q("x66_html_extract"))
+    assert(!p.contains("Exchange"), s"html rules must not shuffle: $p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x48 hybrid fusion: no cartesian; the fused reduce keys on (qid, n_id) longs") {
     val p = tree(q("x48_hybrid_rrf"))
     assert(!p.contains("CartesianProduct"), p)
