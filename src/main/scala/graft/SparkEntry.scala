@@ -1845,7 +1845,34 @@ object SparkEntry {
           "</div></body></html>"))
       graft.ext.Curation.htmlMainContent(
         d.select(col("doc_id"), html.as("html")), "html", "doc_id", 3, 300)
-    })
+    }),
+    "x65b_learned_curation" -> ((s, dir) => {
+      // the learned filter DEPLOYED as curation (x46's composition move,
+      // on x65's trainer): train en-vs-rest on the even-id HALF of the
+      // corpus, score every doc with the trained weights, and report
+      // predicted-keep mass per language — generalization over the
+      // unseen half included, the whole train→deploy→curate wiring
+      // hash-checked against the oracle's split-trained replay.
+      val d = t(s, dir, "documents")
+      val lab = when(col("lang") === "en", 1L).otherwise(-1L)
+      val w = graft.ext.Learn.perceptronTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lab),
+        "text", "doc_id", "_y", 64, 3, stageFeatures = true)
+      d.filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .withColumn("_s", graft.ext.Learn.perceptronScore(col("text"), w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_s") > 0, 1L).otherwise(0L)).as("n_pred_en"))
+    }),
+    "x67_token_chunks" -> ((s, dir) =>
+      // sliding token-window chunking (window 64, stride 48 → 16-token
+      // overlap): the retrieval/embedding input shape, a pure projection
+      // whose chunk ids are text-determined — the oracle replays every
+      // window boundary and the reassembled chunk text
+      graft.ext.Curation.chunkByTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", 64, 48))
   )
 
   /** Shared CTE prefix of the x62/x62b oracles: 120-char chunks, per-chunk
@@ -4039,19 +4066,57 @@ object SparkEntry {
                 CAST(SUM(dn) AS BIGINT) AS tok_delta
          FROM j GROUP BY source""",
     // x65: the perceptron EPOCHS unrolled — w1 is the epoch-1 update
-    // (w = 0 makes every margin 0, so ALL docs update), each later epoch
-    // rescores with the previous weights and adds the misclassified
-    // docs' (y · count) sums; the final SELECT deploys w3. Weights are
-    // integer SUMS, so the replay is exact; HUGEINT headroom on the
-    // score products (|w| can reach the corpus token mass).
-    "x65_perceptron_quality" ->
+    // (w = 0 makes every margin 0, so ALL training docs update), each
+    // later epoch rescores with the previous weights and adds the
+    // misclassified docs' (y · count) sums; the final SELECT deploys w3
+    // over the WHOLE corpus. Weights are integer SUMS, so the replay is
+    // exact; HUGEINT headroom on the score products.
+    "x65_perceptron_quality" -> (perceptronCtes("TRUE") +
+      """
+         SELECT doc_id, CAST(s AS BIGINT) AS score,
+                CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         FROM fin"""),
+    // x65b: same trainer restricted to the even-id split, deployed on
+    // every doc — the rollup counts predicted-keep per language, so the
+    // train→deploy→curate WIRING is hash-checked
+    "x65b_learned_curation" -> (perceptronCtes("doc_id % 2 = 0") +
+      """
+         SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN f.s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pred_en
+         FROM fin f JOIN docs d USING (doc_id)
+         GROUP BY d.lang"""),
+    "x66_html_extract" -> x66OracleSql,
+    // x67: every window start from generate_series(0, n-1, stride), the
+    // slice clamped at the tail — chunk ids and text replayed exactly
+    "x67_token_chunks" ->
       """WITH docs AS (
-           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-                  regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+           SELECT doc_id,
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
            FROM documents
            WHERE text IS NOT NULL
              AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
-         toks AS (SELECT doc_id, y, unnest(string_split_regex(t, '\s+')) AS tok
+         st AS (SELECT doc_id, t,
+                       unnest(generate_series(0, len(t) - 1, 48)) AS s
+                FROM docs)
+         SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+                CAST(LEAST(64, len(t) - s) AS BIGINT) AS n_tokens,
+                array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+         FROM st"""
+  )
+
+  /** x65/x65b shared perceptron replay: 3 unrolled epochs trained on
+    * the docs satisfying `trainPred`, deployment scores (`fin`) over
+    * ALL nonempty docs. `docs` keeps lang for downstream rollups. */
+  private def perceptronCtes(trainPred: String): String =
+    s"""WITH docs AS (
+           SELECT doc_id, lang,
+                  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                  regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
+         toks AS (SELECT doc_id, y, unnest(string_split_regex(t, '\\s+')) AS tok
                   FROM docs),
          feat AS (
            SELECT doc_id, y,
@@ -4061,31 +4126,27 @@ object SparkEntry {
            FROM toks GROUP BY 1, 2, 3
            UNION ALL
            SELECT doc_id, y, 64 AS b, 1 AS cnt FROM docs),
-         w1 AS (SELECT b, SUM(y * cnt) AS w FROM feat GROUP BY b),
+         tfeat AS (SELECT * FROM feat WHERE $trainPred),
+         w1 AS (SELECT b, SUM(y * cnt) AS w FROM tfeat GROUP BY b),
          s2 AS (SELECT f.doc_id, f.y,
                        SUM(CAST(COALESCE(w1.w, 0) AS HUGEINT) * f.cnt) AS s
-                FROM feat f LEFT JOIN w1 ON w1.b = f.b GROUP BY 1, 2),
+                FROM tfeat f LEFT JOIN w1 ON w1.b = f.b GROUP BY 1, 2),
          d2 AS (SELECT f.b, SUM(f.y * f.cnt) AS dw
-                FROM feat f JOIN s2 ON s2.doc_id = f.doc_id
+                FROM tfeat f JOIN s2 ON s2.doc_id = f.doc_id
                 WHERE s2.y * s2.s <= 0 GROUP BY f.b),
          w2 AS (SELECT COALESCE(w1.b, d2.b) AS b,
                        CAST(COALESCE(w1.w, 0) + COALESCE(d2.dw, 0) AS HUGEINT) AS w
                 FROM w1 FULL JOIN d2 ON w1.b = d2.b),
          s3 AS (SELECT f.doc_id, f.y, SUM(COALESCE(w2.w, 0) * f.cnt) AS s
-                FROM feat f LEFT JOIN w2 ON w2.b = f.b GROUP BY 1, 2),
+                FROM tfeat f LEFT JOIN w2 ON w2.b = f.b GROUP BY 1, 2),
          d3 AS (SELECT f.b, SUM(f.y * f.cnt) AS dw
-                FROM feat f JOIN s3 ON s3.doc_id = f.doc_id
+                FROM tfeat f JOIN s3 ON s3.doc_id = f.doc_id
                 WHERE s3.y * s3.s <= 0 GROUP BY f.b),
          w3 AS (SELECT COALESCE(w2.b, d3.b) AS b,
                        COALESCE(w2.w, 0) + COALESCE(d3.dw, 0) AS w
                 FROM w2 FULL JOIN d3 ON w2.b = d3.b),
          fin AS (SELECT f.doc_id, SUM(COALESCE(w3.w, 0) * f.cnt) AS s
-                 FROM feat f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1)
-         SELECT doc_id, CAST(s AS BIGINT) AS score,
-                CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
-         FROM fin""",
-    "x66_html_extract" -> x66OracleSql
-  )
+                 FROM feat f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1)"""
 
   /** x66: the synthetic page build + the whole extraction replayed —
     * script/style excision, block segmentation at block-tag boundaries,

@@ -165,6 +165,43 @@ object Curation {
         size(col("_hm_kept")).cast("long").as("n_kept"))
   }
 
+  /** Sliding token-window chunking — the retrieval/embedding input
+    * shape ([[graft.ext.Dedup.chunkNearDupPairs]] chunks CHARACTERS for
+    * dedup signatures; this chunks TOKENS for models): each document's
+    * whitespace token stream emits windows of `window` tokens starting
+    * every `stride` tokens (stride < window ⇒ overlapping context, the
+    * standard RAG layout), the last window short if the tail is. Chunk
+    * identity is (idCol, chunk_id = start div stride) — fully determined
+    * by the text, so chunks are reproducible across runs and engines and
+    * the chunk table can key joins the way doc ids do. Empty/null texts
+    * emit nothing.
+    *
+    * Scale shape: a pure PROJECTION — split, one generate-sequence
+    * explode, per-chunk slice/join, all codegen; no exchange anywhere
+    * (the explode multiplies rows ~n/stride-fold, which is the output's
+    * size, not a shuffle). Returns (idCol, chunk_id, n_tokens,
+    * chunk_text). */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      "stride must be in [1, window] (stride > window would drop tokens)")
+    Seq("_ck_toks", "_ck_n", "_ck_s", "chunk_id", "n_tokens", "chunk_text")
+      .foreach(c => require(c == idCol || !df.columns.contains(c),
+        s"chunkByTokens reserves column $c"))
+    df.filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .withColumn("_ck_toks", split(TextStats.wsTrim(col(textCol)), "\\s+"))
+      .withColumn("_ck_n", size(col("_ck_toks")))
+      .select(col(idCol), col("_ck_toks"), col("_ck_n"),
+        explode(sequence(lit(0), col("_ck_n") - 1, lit(stride))).as("_ck_s"))
+      .select(col(idCol),
+        expr(s"_ck_s div $stride").cast("long").as("chunk_id"),
+        least(lit(window), col("_ck_n") - col("_ck_s")).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("_ck_toks"), col("_ck_s") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** Deterministic hash-stratified sample: keep `k` rows per stratum,
     * chosen by md5 of the id — reproducible across runs AND engines (no
     * RNG state, unlike sampleBy), which is what makes a carved eval set

@@ -306,6 +306,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x67 token chunking is a pure projection: zero exchanges, no join") {
+    val p = tree(q("x67_token_chunks"))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle: $p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("x48 hybrid fusion: no cartesian; the fused reduce keys on (qid, n_id) longs") {
     val p = tree(q("x48_hybrid_rrf"))
     assert(!p.contains("CartesianProduct"), p)

@@ -205,6 +205,41 @@ class CurationSpec extends SparkSpec {
       s"300permille block not on the boundary: ${kept(300)} vs ${kept(299)}")
   }
 
+  test("chunkByTokens: window boundaries, tail clamp, overlap, degenerate docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens, window 4 stride 3
+      (2L, "a b"),                  // shorter than one window
+      (3L, ""),                     // empty → no chunks
+      (4L, null.asInstanceOf[String]),
+      (5L, "  x1   x2  x3  "))      // ragged whitespace normalizes
+      .toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(docs, "text", "doc_id", 4, 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(c => (c._1, c._2)).toSeq
+    assert(out == Seq(
+      // doc 1: starts 0,3,6 — the middle window overlaps both sides,
+      // the tail window is 1 token
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 1L, "t7"),
+      (2L, 0L, 2L, "a b"),
+      (5L, 0L, 3L, "x1 x2 x3")), out)
+  }
+
+  test("chunkByTokens guards parameters and reserved columns") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(df, "text", "doc_id", 4, 5)
+    }.getMessage.contains("stride"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(df, "text", "doc_id", 0, 1)
+    }.getMessage.contains("window"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(
+        Seq((1L, "a", "x")).toDF("doc_id", "text", "chunk_id"),
+        "text", "doc_id", 4, 3)
+    }.getMessage.contains("reserves"))
+  }
+
   test("c4LineClean guards its reserved columns") {
     val bad = Seq((1L, "x", "y")).toDF("doc_id", "text", "_lines")
     val e = intercept[IllegalArgumentException] {
