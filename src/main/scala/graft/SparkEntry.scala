@@ -1872,7 +1872,32 @@ object SparkEntry {
       // window boundary and the reassembled chunk text
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "text", "doc_id", 64, 48))
+        "text", "doc_id", 64, 48)),
+    "s10_ivf_append" -> ((s, dir) => {
+      // CONTINUOUS INGEST of the IVF layout (s9 is the one-shot write):
+      // the resident 4/5 of the corpus writes the layout, the remaining
+      // 1/5 arrives later and APPENDS into the same cid= directories —
+      // no re-cluster, no rewrite of resident cells. The probe must see
+      // ONE seamless index: the oracle is x6b's full-corpus query,
+      // verbatim, so any row the append dropped, duplicated, or
+      // mis-celled breaks the hash.
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      def assign(batch: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssignJoin(batch.select(col("vec_id"), col("embedding")),
+          centroids, "vec_id", "embedding")
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_ivf_append_")
+      Similarity.writeIvfPartitioned(
+        assign(emb.filter(col("vec_id") % 5 =!= 0)), ldir)
+      Similarity.appendIvfPartitioned(
+        assign(emb.filter(col("vec_id") % 5 === 0)), ldir)
+      Similarity.ivfTopKPartitioned(ldir, centroids,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5, 2)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"),
+          col("rank").cast("long").as("rnk"))
+    })
   )
 
   /** Shared CTE prefix of the x62/x62b oracles: 120-char chunks, per-chunk
@@ -2015,6 +2040,7 @@ object SparkEntry {
     oracleSqlBase +
       ("x59c_pagerank_weighted" -> oracleSqlBase("x59_pagerank")) +
       ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf")) +
+      ("s10_ivf_append" -> oracleSqlBase("x6b_ann_ivf")) +
       ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
       ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk")) +
       ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card"))

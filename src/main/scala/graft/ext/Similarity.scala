@@ -573,6 +573,21 @@ object Similarity {
     assigned.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** CONTINUOUS-INGEST maintenance of a [[writeIvfPartitioned]] layout:
+    * a new batch, assigned against the SAME centroids (the x26/x43c
+    * append-only stage discipline on the ANN index), lands as append-mode
+    * files inside the matching `cid=` directories — no re-cluster, no
+    * rewrite of resident cells, and probe reads prune statically exactly
+    * as before because partition directories are unchanged. The trade
+    * the knob names: appended batches accrete files per cell
+    * (batches × ~1), so periodic [[graft.ops.Scale.compactParquet]] per
+    * hot cell is the matching maintenance op. Centroid drift is the
+    * caller's contract — re-assigning under NEW centroids requires a
+    * rewrite, which is [[writeIvfPartitioned]]'s job. */
+  def appendIvfPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
     centroids.select(col("cid").cast("int"), col("cvec"))
       .collect()

@@ -294,6 +294,42 @@ class PlanSpec extends SparkSpec {
     assert(rows(out) == rows(ref))
   }
 
+  test("appended IVF layout: pruning and results unchanged, files accrete per cell") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    def assign(b: DataFrame) =
+      graft.ext.Similarity.ivfAssignJoin(b, cents, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    graft.ext.Similarity.writeIvfPartitioned(
+      assign(emb.filter(col("vec_id") % 5 =!= 0)), path)
+    graft.ext.Similarity.appendIvfPartitioned(
+      assign(emb.filter(col("vec_id") % 5 === 0)), path)
+    val out = graft.ext.Similarity.ivfTopKPartitioned(path, cents,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3, 2)
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scan = root.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("ivf_append") => f
+    }.getOrElse(fail("no layout scan in the plan"))
+    // append did not disturb static pruning: same <=4-cell bound as the
+    // one-shot layout
+    assert(scan.metadata("PartitionFilters").contains("cid"), scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount <= 4,
+      s"got ${scan.selectedPartitions.partitionCount}")
+    // and the probe sees ONE seamless index == the in-memory full corpus
+    def rows(df: DataFrame) = df.selectExpr("q_id", "n_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ref = graft.ext.Similarity.ivfTopKJoin(emb, cents,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3, 2)
+    assert(rows(out) == rows(ref))
+  }
+
   test("x47 C4 line cleaning is a pure projection: zero exchanges") {
     val p = tree(q("x47_c4_clean"))
     assert(!p.contains("Exchange"), s"line rules must not shuffle: $p")
