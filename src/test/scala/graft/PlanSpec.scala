@@ -589,11 +589,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("x65 perceptron: deployed scoring is zero-exchange; epoch passes key on id/bucket only") {
+  test("x65 trained quality: deployed scoring is zero-exchange; epoch passes key on id/bucket only") {
     import org.apache.spark.sql.functions._
     // the driver query's RETURNED plan is the deployment shape — trained
-    // weights folded in as literals, scoring a pure projection
-    val p = tree(q("x65_perceptron_quality"))
+    // weights + threshold folded in as literals, scoring a pure
+    // projection (training ran eagerly at construction)
+    val p = tree(q("x65_trained_quality"))
     assert(!p.contains("Exchange"), p)
     // one real epoch over the feature table: every exchange keys on the
     // doc id or the bucket (the margin groupBy carries the ±1 label as a

@@ -123,6 +123,108 @@ class LearnSpec extends SparkSpec {
       }
   }
 
+  /** Independent BigInt replay of the centroid-threshold contract: Q20
+    * floor-div mean-difference weights, threshold = accuracy-maximizing
+    * candidate over distinct training scores ∪ the all-positive
+    * sentinel, ties to the smallest T. */
+  private def replayCentroid(docs: Seq[(Long, String, Long)],
+                             nBuckets: Int): (Map[Int, BigInt], BigInt) = {
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      Integer.parseInt(f"${md(0) & 0xff}%02x", 16) % nBuckets
+    }
+    val feats = docs.filter { case (_, t, _) => t != null && t.trim.nonEmpty }
+      .map { case (id, t, y) =>
+        (id, y, t.trim.split("\\s+").toSeq.groupBy(bucket)
+          .view.mapValues(ts => BigInt(ts.size)).toMap)
+      }
+    val nPos = BigInt(feats.count(_._2 > 0))
+    val nNeg = BigInt(feats.count(_._2 < 0))
+    val q20 = BigInt(1) << 20
+    val buckets = feats.flatMap(_._3.keys).distinct
+    val w = buckets.map { b =>
+      val cp = feats.filter(_._2 > 0).map(_._3.getOrElse(b, BigInt(0))).sum
+      val cn = feats.filter(_._2 < 0).map(_._3.getOrElse(b, BigInt(0))).sum
+      b -> ((cp * q20) / nPos - (cn * q20) / nNeg)
+    }.toMap.withDefaultValue(BigInt(0))
+    val scored = feats.map { case (_, y, c) =>
+      (c.map { case (b, n) => w(b) * n }.sum, y) }
+    val cands = (scored.map(_._1).min - 1) +: scored.map(_._1).distinct.sorted
+    val best = cands.map { t =>
+      (BigInt(scored.count { case (s, y) =>
+        (if (s > t) 1L else -1L) == y }), t)
+    }.maxBy { case (acc, t) => (acc, -t) } // acc desc, then SMALLEST t
+    (w, best._2)
+  }
+
+  test("centroidThresholdTrain matches an independent BigInt replay (weights + threshold)") {
+    val (wantW, wantT) = replayCentroid(fixture, 16)
+    val (gotW, gotT) = Learn.centroidThresholdTrain(
+      fixture.toDF("doc_id", "text", "y"), "text", "doc_id", "y", 16)
+    (0 until 16).foreach { b =>
+      assert(BigInt(gotW(b)) == wantW(b), s"bucket $b: ${gotW(b)} vs ${wantW(b)}")
+    }
+    assert(BigInt(gotT) == wantT, s"threshold $gotT vs $wantT")
+  }
+
+  test("centroid trainer is order- and partitioning-invariant") {
+    val a = Learn.centroidThresholdTrain(
+      fixture.toDF("doc_id", "text", "y"), "text", "doc_id", "y", 16)
+    val b = Learn.centroidThresholdTrain(
+      fixture.reverse.toDF("doc_id", "text", "y").repartition(5),
+      "text", "doc_id", "y", 16)
+    assert(a == b)
+  }
+
+  test("centroid trainer LEARNS the length rule on the real corpus (beats majority)") {
+    // the catalog's degenerate-model guard: on documents with the
+    // y = (>= 40 tokens) label, training accuracy must clear 0.9 — far
+    // above the ~0.69 majority share — and both classes must appear in
+    // the predictions (measured 0.972 at sf0.001)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lenLabel = when(size(split(TextStats.wsTrim(col("text")),
+      "\\s+")) >= 40, 1L).otherwise(-1L)
+    val (w, thr) = Learn.centroidThresholdTrain(
+      d.withColumn("_y", lenLabel), "text", "doc_id", "_y", 64)
+    val scored = d
+      .filter(col("text").isNotNull && TextStats.wsTrim(col("text")) =!= "")
+      .select(lenLabel.as("y"),
+        (Learn.centroidScore(col("text"), w) > thr).as("p"))
+      .as[(Long, Boolean)].collect()
+    val acc = scored.count { case (y, p) => (y == 1L) == p }.toDouble / scored.length
+    val maj = math.max(scored.count(_._1 == 1L), scored.count(_._1 == -1L))
+      .toDouble / scored.length
+    assert(acc >= 0.9 && acc > maj, s"acc $acc vs majority $maj")
+    assert(scored.exists(_._2) && scored.exists(!_._2), "degenerate predictions")
+  }
+
+  test("quantStep > 1 sweeps floored candidates and stays exact") {
+    // step 4: scores floor to multiples of 4; deployment compares the
+    // floored score against thresholdQ*step. Replay driver-side.
+    val (w, tq) = Learn.centroidThresholdTrain(
+      fixture.toDF("doc_id", "text", "y"), "text", "doc_id", "y", 16,
+      quantStep = 4L)
+    val (wantW, _) = replayCentroid(fixture, 16)
+    (0 until 16).foreach(b => assert(BigInt(w(b)) == wantW(b)))
+    def floorDiv(a: BigInt, b: BigInt) = (a - a.mod(b)) / b
+    val feats = fixture.filter { case (_, t, _) => t != null && t.trim.nonEmpty }
+    def score(t: String): BigInt = {
+      def bucket(tok: String): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        Integer.parseInt(f"${md(0) & 0xff}%02x", 16) % 16
+      }
+      t.trim.split("\\s+").map(tok => BigInt(w(bucket(tok)))).sum
+    }
+    val qs = feats.map { case (_, t, y) => (floorDiv(score(t), 4), y) }
+    val cands = (qs.map(_._1).min - 1) +: qs.map(_._1).distinct.sorted
+    val bestT = cands.map { c =>
+      (BigInt(qs.count { case (q, y) => (if (q > c) 1L else -1L) == y }), c)
+    }.maxBy { case (acc, c) => (acc, -c) }._2
+    assert(BigInt(tq) == bestT, s"quantized threshold $tq vs $bestT")
+  }
+
   test("epoch 1 from zero weights updates on every doc (margin 0 is misclassified)") {
     val got = trainFixture(1)
     // epoch-1 weights = sum of y·cnt over ALL nonempty docs — the bias
