@@ -1849,6 +1849,33 @@ object SparkEntry {
       graft.ext.Curation.htmlMainContent(
         d.select(col("doc_id"), html.as("html")), "html", "doc_id", 3, 300)
     }),
+    "x66b_crawl_clean" -> ((s, dir) => {
+      // the two-stage crawl front end COMPOSED: extraction then line
+      // rules. The page plants a cookie-notice PARAGRAPH — prose-shaped
+      // and link-free, so the anchor-density/word rules must keep it and
+      // only x47's banned-marker line rule can drop it; conversely the
+      // link-only nav dies in extraction before the line stage ever sees
+      // it. One zero-exchange projection chain; the oracle replays both
+      // stages in one statement.
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc</title><style>.x{color:red}</style>"),
+        lit("<script type=\"text/javascript\">var a=1;</script></head><body>"),
+        lit("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></div>"),
+        lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+        lit("<p>this site uses cookie tracking please accept our cookie " +
+          "policy</p>"),
+        lit("<div><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a>" +
+          "</div></body></html>"))
+      val extracted = graft.ext.Curation.htmlMainContent(
+        d.select(col("doc_id"), html.as("html")), "html", "doc_id", 3, 300)
+        .select(col("doc_id"), col("text_main").as("text"))
+      graft.ext.Curation.c4LineClean(extracted, "text", "doc_id",
+          minWordsPerLine = 3, banned = Seq("cookie"), minKeptLines = 1)
+        .select(col("doc_id"), col("text").as("text_clean"),
+          col("n_kept"), col("n_dropped"))
+    }),
     "x65b_learned_curation" -> ((s, dir) => {
       // the learned filter DEPLOYED as curation (x46's composition move,
       // on x65's trainer): train the length rule on the even-id HALF of
@@ -4118,6 +4145,7 @@ object SparkEntry {
          FROM sc f JOIN docs d USING (doc_id)
          GROUP BY d.lang"""),
     "x66_html_extract" -> x66OracleSql,
+    "x66b_crawl_clean" -> x66bOracleSql,
     // x67: every window start from generate_series(0, n-1, stride), the
     // slice clamped at the tail — chunk ids and text replayed exactly
     "x67_token_chunks" ->
@@ -4190,48 +4218,91 @@ object SparkEntry {
                   SELECT (SELECT MIN(q) - 1 FROM g), (SELECT np FROM cls)),
          best AS (SELECT q AS t FROM cand ORDER BY acc DESC, q ASC LIMIT 1)"""
 
-  /** x66: the synthetic page build + the whole extraction replayed —
+  /** x66/x66b shared extraction replay: the synthetic page build (the
+    * `pageExpr` SQL differs per query) + the whole extraction —
     * script/style excision, block segmentation at block-tag boundaries,
     * and the two keep rules (≥3 words; cross-multiplied ≤300‰ anchor
-    * density — integer compare, no division) inside list lambdas. */
-  private def x66OracleSql: String =
-    """WITH pages AS (
-         SELECT doc_id,
-           '<html><head><title>Doc</title><style>.x{color:red}</style>' ||
-           '<script type="text/javascript">var a=1;</script></head><body>' ||
-           '<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' ||
-           '<p>' || COALESCE(text, '') || '</p>' ||
-           CASE WHEN doc_id % 3 = 0
-                THEN '<div>sponsored <a href="/ad">click here now</a> <a href="/ad2">buy today</a></div>'
-                ELSE '' END ||
-           '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>' AS html
+    * density — integer compare, no division) inside list lambdas. Ends
+    * with `ext` = the x66 output shape. */
+  private def htmlExtractCtes(pageExpr: String): String =
+    s"""WITH pages AS (
+         SELECT doc_id, $pageExpr AS html
          FROM documents),
        blocked AS (
          SELECT doc_id,
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                 regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g'),
-             '(?i)</?(p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|blockquote|pre|title|body|html|head)\b[^>]*>',
-             e'\n', 'g') AS b
+             '(?i)</?(p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|blockquote|pre|title|body|html|head)\\b[^>]*>',
+             e'\\n', 'g') AS b
          FROM pages),
-       blocks AS (SELECT doc_id, string_split(b, e'\n') AS bl FROM blocked),
+       blocks AS (SELECT doc_id, string_split(b, e'\\n') AS bl FROM blocked),
        scored AS (
          SELECT doc_id, bl,
            list_filter(bl, x ->
              (CASE WHEN trim(regexp_replace(x, '<[^>]*>', '', 'g')) = '' THEN 0
-                   ELSE len(string_split_regex(trim(regexp_replace(x, '<[^>]*>', '', 'g')), '\s+')) END) >= 3
+                   ELSE len(string_split_regex(trim(regexp_replace(x, '<[^>]*>', '', 'g')), '\\s+')) END) >= 3
              AND (len(regexp_replace(x, '<[^>]*>', '', 'g'))
-                  - len(regexp_replace(regexp_replace(x, '(?is)<a\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'))) * 1000
+                  - len(regexp_replace(regexp_replace(x, '(?is)<a\\b[^>]*>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'))) * 1000
                  <= 300 * len(regexp_replace(x, '<[^>]*>', '', 'g'))) AS kept
-         FROM blocks)
-       SELECT doc_id,
+         FROM blocks),
+       ext AS (
+         SELECT doc_id,
               array_to_string(list_transform(kept,
-                x -> trim(regexp_replace(x, '<[^>]*>', '', 'g'))), e'\n') AS text_main,
+                x -> trim(regexp_replace(x, '<[^>]*>', '', 'g'))), e'\\n') AS text_main,
               CAST(len(list_filter(bl,
                 x -> trim(regexp_replace(x, '<[^>]*>', '', 'g')) <> '')) AS BIGINT) AS n_blocks,
               CAST(len(kept) AS BIGINT) AS n_kept
-       FROM scored"""
+         FROM scored)"""
+
+  /** the x66 page: link-only nav/footer, the text as one paragraph, a
+    * link-dense sponsored unit on every 3rd doc. */
+  private val x66PageSql: String =
+    """'<html><head><title>Doc</title><style>.x{color:red}</style>' ||
+           '<script type="text/javascript">var a=1;</script></head><body>' ||
+           '<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' ||
+           '<p>' || COALESCE(text, '') || '</p>' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '<div>sponsored <a href="/ad">click here now</a> <a href="/ad2">buy today</a></div>'
+                ELSE '' END ||
+           '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'"""
+
+  /** the x66b page: same chrome, but the boilerplate is a cookie-notice
+    * PARAGRAPH — prose-shaped and link-free, so HTML extraction keeps it
+    * and only the line rules can drop it. */
+  private val x66bPageSql: String =
+    """'<html><head><title>Doc</title><style>.x{color:red}</style>' ||
+           '<script type="text/javascript">var a=1;</script></head><body>' ||
+           '<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>' ||
+           '<p>' || COALESCE(text, '') || '</p>' ||
+           '<p>this site uses cookie tracking please accept our cookie policy</p>' ||
+           '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'"""
+
+  private def x66OracleSql: String =
+    htmlExtractCtes(x66PageSql) +
+      """
+       SELECT doc_id, text_main, n_blocks, n_kept FROM ext"""
+
+  /** x66b: extraction (which KEEPS the prose-shaped cookie notice) then
+    * the C4 line rules (min 3 words, banned marker 'cookie', ≥1 kept
+    * line) over the extracted text — the two-stage crawl front end. */
+  private def x66bOracleSql: String =
+    htmlExtractCtes(x66bPageSql) +
+      """,
+       lined AS (SELECT doc_id, string_split(text_main, e'\n') AS ls FROM ext),
+       cleaned AS (
+         SELECT doc_id, ls,
+           list_filter(ls, x ->
+             (CASE WHEN trim(x) = '' THEN 0
+                   ELSE len(string_split_regex(trim(x), '\s+')) END) >= 3
+             AND NOT contains(lower(x), 'cookie')) AS ks
+         FROM lined)
+       SELECT doc_id, array_to_string(ks, e'\n') AS text_clean,
+              CAST(len(ks) AS BIGINT) AS n_kept,
+              CAST(len(ls) - len(ks) AS BIGINT) AS n_dropped
+       FROM cleaned
+       WHERE len(ks) >= 1"""
 }

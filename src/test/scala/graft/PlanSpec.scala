@@ -342,6 +342,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x66b crawl clean (extract + line rules) stays one zero-exchange projection chain") {
+    val p = tree(q("x66b_crawl_clean"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("x67 token chunking is a pure projection: zero exchanges, no join") {
     val p = tree(q("x67_token_chunks"))
     assert(!p.contains("Exchange"), s"chunking must not shuffle: $p")

@@ -163,6 +163,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("trained quality filter deploys on the ingest stream (x65 artifacts, stateless parity)") {
+    // train ONCE on a batch frame (eager, bounded-driver artifacts),
+    // deploy the SAME weights+threshold on a readStream: scoring is a
+    // pure projection, so the streamed verdicts must be byte-equal to
+    // the batch run's — the x65 model filters the ingest stream with no
+    // retrain and no stateful operator. The HTML extraction (x66) and
+    // token chunking (x67) projections ride the same stream stage,
+    // pinning that the round's whole stateless family lifts to streams.
+    val docs = Seq(
+      (1L, "alpha beta beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "short doc"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "tiny"),
+      (5L, "k l m n o p q r s t u v w x y z aa bb cc dd")
+    ).toDF("doc_id", "text")
+    val src = Files.createTempDirectory("qfsrc").toString
+    docs.write.mode("overwrite").parquet(src)
+    // label: >= 10 tokens; both classes present
+    val lab = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+      "\\s+")) >= 10, 1L).otherwise(-1L)
+    val (w, thr) = graft.ext.Learn.centroidThresholdTrain(
+      docs.withColumn("_y", lab), "text", "doc_id", "_y", 16)
+    def stage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.ext.Curation.chunkByTokens(
+        df.withColumn("keep",
+            graft.ext.Learn.centroidScore(col("text"), w) > thr)
+          .filter(col("keep")),
+        "text", "doc_id", 6, 4)
+    val expected = stage(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(c => (c._1, c._2))
+    assert(expected.nonEmpty && expected.map(_._1).toSet != docs
+      .as[(Long, String)].collect().map(_._1).toSet,
+      "fixture must keep some docs and drop some")
+    val q = stage(spark.readStream.schema(docs.schema).parquet(src))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .format("memory").queryName("qf_stream").start()
+    q.awaitTermination(120000)
+    val got = spark.table("qf_stream")
+      .as[(Long, Long, Long, String)].collect().sortBy(c => (c._1, c._2))
+    assert(got.sameElements(expected))
+  }
+
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
     // streaming dimension maintenance: each micro-batch of change events
     // MERGEs into the versioned table via ops.Merge.scd2Merge — the
