@@ -82,6 +82,40 @@ class PropertySpec extends SparkSpec {
     assert(out.map(_._1).toSet == expectedIds)
   }
 
+  test("chunkByTokens: windows reconstruct the token stream at every (window, stride)") {
+    val tokGen = Gen.oneOf("t1", "t2", "t3", "aa", "bb")
+    val docGen = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val docs = Gen.listOfN(20, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    for ((window, stride) <- Seq((4, 4), (4, 3), (6, 2), (1, 1))) {
+      val out = graft.ext.Curation.chunkByTokens(df, "text", "doc_id",
+          window, stride)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, t) =>
+        val toks = t.split("\\s+").toSeq
+        val chunks = out(id)
+        // chunk ids are 0..k-1 dense; starts cover the stream by stride
+        assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+        chunks.foreach { case (_, cid, nTok, text) =>
+          val s = (cid * stride).toInt
+          val want = toks.slice(s, s + window)
+          assert(text == want.mkString(" "), s"doc $id chunk $cid")
+          assert(nTok == want.size)
+        }
+        // stride <= window ⇒ every token index falls in some window
+        val covered = chunks.flatMap { case (_, cid, nTok, _) =>
+          (cid * stride) until (cid * stride + nTok) }.toSet
+        assert(covered == toks.indices.map(_.toLong).toSet, s"doc $id gaps")
+        // non-overlapping case reconstructs the exact stream
+        if (window == stride)
+          assert(chunks.map(_._4).mkString(" ") == toks.mkString(" "))
+      }
+    }
+  }
+
   test("incremental LSH == full-corpus pairs touching the batch, for random corpora") {
     val word = Gen.oneOf("spark", "scan", "merge", "hash", "sort", "row")
     val textGen = Gen.listOfN(12, word).map(_.mkString(" "))
