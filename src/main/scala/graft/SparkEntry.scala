@@ -1904,6 +1904,28 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x68_char_bpe" -> ((s, dir) => {
+      // CHARACTER-level BPE — the granularity real tokenizers train at
+      // (x38b merges word pairs; this merges characters): the corpus
+      // re-tokenizes to one char per token with '¤' marking word
+      // boundaries (the SentencePiece '▁' move — merges may absorb the
+      // boundary, which is how word-initial subwords form), and the SAME
+      // three-round trainer runs over that stream. One projection turns
+      // the word problem into the char problem; the trainer, its
+      // tie-break, its apply step, and the oracle's round chain are
+      // x38b's verbatim — composition, not reimplementation. BMP text
+      // contract (the '.' char-split is per code point in both engines).
+      val d = t(s, dir, "documents")
+      val charified = d.select(
+        trim(regexp_replace(
+          regexp_replace(graft.ext.TextStats.bpeNormalize(col("text")),
+            " ", "¤"),
+          "(.)", "$1 ")).as("ctext"))
+      val merges = graft.ext.TextStats.bpeTrain(charified, "ctext", 3)
+      s.createDataFrame(merges)
+        .select(col("merge_rank").cast("long").as("merge_rank"),
+          col("a"), col("b"), col("n"))
+    }),
     "s10_ivf_append" -> ((s, dir) => {
       // CONTINUOUS INGEST of the IVF layout (s9 is the one-shot write):
       // the resident 4/5 of the corpus writes the layout, the remaining
@@ -2010,7 +2032,13 @@ object SparkEntry {
     * side uses (replace() is leftmost-non-overlapping in both engines, so
     * greedy BPE application agrees byte-for-byte; chr(1) is
     * TextStats.bpeTrain's default sep). */
-  private def bpeRoundsCtes: String = {
+  private def bpeRoundsCtes: String =
+    bpeRoundsCtesFrom("trim(regexp_replace(text, '\\s+', ' ', 'g'))")
+
+  /** x68's char-level variant reuses the same round chain over a
+    * different t0 tokenization — `t0Expr` is the SQL producing the
+    * space-separated token stream from `documents.text`. */
+  private def bpeRoundsCtesFrom(t0Expr: String): String = {
     def pairs(src: String) =
       s"""SELECT u.a AS a, u.b AS b, COUNT(*) AS n FROM (
             SELECT unnest(list_transform(generate_series(1, len(s) - 1),
@@ -2024,7 +2052,7 @@ object SparkEntry {
             (SELECT ' ' || a || chr(1) || b || ' ' FROM $m)),
           '  ', ' ')) AS t FROM $src"""
     s"""t0 AS (
-          SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+          SELECT doc_id, $t0Expr AS t
           FROM documents
           WHERE text IS NOT NULL
             AND trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''),
@@ -3576,6 +3604,15 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    // x68: the same round chain over the CHAR-tokenized stream — word
+    // boundaries become '¤' tokens, every char a token ('\1 ' is RE2's
+    // replacement backreference; Spark spells it '$1 ')
+    "x68_char_bpe" ->
+      s"""WITH ${bpeRoundsCtesFrom(
+        "trim(regexp_replace(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '¤'), '(.)', '\\1 ', 'g'))")}
+          SELECT CAST(1 AS BIGINT) AS merge_rank, a, b, CAST(n AS BIGINT) AS n FROM m1
+          UNION ALL SELECT 2, a, b, n FROM m2
+          UNION ALL SELECT 3, a, b, n FROM m3""",
     // x54: the x16 status chain picks survivors, the x50 assignment
     // chain (band/salt/rn/shard, replayed over SURVIVORS only — the rn
     // is curation-dependent) shards them, and the card groups by

@@ -68,6 +68,25 @@ class ExtSpec extends SparkSpec {
       (3, s"a${S}b", s"a${S}b${S}c", 1L)), merges.toString)
   }
 
+  test("char-level BPE: the x68 charification feeds the trainer, boundary merges allowed") {
+    val S = "\u0001"
+    // "aa ab aa" charifies to "a a ¤ a b ¤ a a" (¤ marks word boundaries,
+    // the SentencePiece move). Hand-checked rounds: (a,a)x2 beats (¤,a)x2
+    // on the a-asc tie; then every pair is 1 and (a,b) wins the tie; then
+    // (a·a, ¤) — a BOUNDARY-absorbing merge, the word-final subword form.
+    val charified = Seq("aa ab aa").toDF("text").select(
+      trim(regexp_replace(
+        regexp_replace(TextStats.bpeNormalize(col("text")), " ", "¤"),
+        "(.)", "$1 ")).as("ctext"))
+    assert(charified.as[String].head() == "a a ¤ a b ¤ a a")
+    val merges = TextStats.bpeTrain(charified, "ctext", 3)
+      .map(m => (m.merge_rank, m.a, m.b, m.n))
+    assert(merges == Seq(
+      (1, "a", "a", 2L),
+      (2, "a", "b", 1L),
+      (3, s"a${S}a", "¤", 1L)), merges.toString)
+  }
+
   test("bpeApplyMerge is greedy leftmost non-overlapping (the BPE rule)") {
     val S = "\u0001"
     val df = Seq("b b b", "b b", "x b b y", "ba b b", "b").toDF("text")
