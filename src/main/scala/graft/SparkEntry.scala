@@ -1904,6 +1904,20 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x69_bm25_prf" -> ((s, dir) => {
+      // BM25 with RM3-style pseudo-relevance feedback: pass 1's top-3
+      // docs per query donate their 2 heaviest non-query terms, pass 2
+      // rescores with the expanded set — the classic recall lever over
+      // x43's one-pass search, in the same exact Q20 integers so BOTH
+      // passes (feedback pick, expansion mining, rescoring) hash-check
+      // against the oracle's replay. Plan: two broadcast probes of ONE
+      // postings frame; the corpus never reshuffles for either pass.
+      import s.implicits._
+      graft.ext.Retrieval.bm25PrfTopK(
+        t(s, dir, "documents"), "text", "doc_id",
+        hybridQueries.toDF("qid", "qtext"), "qid", "qtext", 5, 3, 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "x68_char_bpe" -> ((s, dir) => {
       // CHARACTER-level BPE — the granularity real tokenizers train at
       // (x38b merges word pairs; this merges characters): the corpus
@@ -1991,6 +2005,49 @@ object SparkEntry {
   private val hybridQueries: Seq[(Long, String)] = Seq(
     1L -> "customer filter join", 2L -> "window merge sort",
     3L -> "vector stream batch")
+
+  /** One BM25 scoring CTE over a (qid, tok) term table — the exact
+    * integer formula shared by x43's one-pass and both of x69's passes
+    * (single-sourced so the engines can only drift together). */
+  private def bm25ScoredCte(qt: String, out: String): String =
+    s"""$out AS (
+           SELECT $qt.qid, p.doc_id,
+                  SUM(CAST((1048576::HUGEINT * (n - tdf + 1) * tf * 22000 * a)
+                      // ((tdf + 1)::HUGEINT
+                          * (tf * 10000 * a + 120 * (25 * a + 7500 * dl)))
+                      AS BIGINT)) AS score_q20
+           FROM post p JOIN $qt ON p.tok = $qt.tok
+           JOIN dl USING (doc_id)
+           JOIN tdf ON p.tok = tdf.tok
+           CROSS JOIN stats
+           GROUP BY 1, 2)"""
+
+  /** Shared x43/x69 prefix: postings/lengths/dfs/corpus scalars, the
+    * hybrid query batch, its distinct terms, and the pass-1 scores. */
+  private def bm25BaseCtes: String =
+    s"""WITH tk0 AS (
+           SELECT doc_id, unnest(string_split_regex(
+                    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+           FROM documents),
+         tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
+         post AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dl AS (SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
+                FROM documents d
+                LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1) x
+                USING (doc_id)),
+         tdf AS (SELECT tok, COUNT(*) AS tdf FROM post GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n,
+                          (100::HUGEINT * COALESCE(SUM(dl), 0)) // COUNT(*) AS a
+                   FROM dl),
+         q AS (SELECT * FROM (VALUES (1, 'customer filter join'),
+                                     (2, 'window merge sort'),
+                                     (3, 'vector stream batch')) v(qid, qtext)),
+         qt AS (SELECT DISTINCT qid, tok FROM (
+                  SELECT qid, unnest(string_split_regex(
+                           regexp_replace(qtext, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+                  FROM q)
+                WHERE tok <> ''),
+         ${bm25ScoredCte("qt", "scored")}"""
 
   /** Stopword lists for the x36 lang-ID heuristic — the SINGLE SOURCE for
     * both the Spark classifier and the oracle SQL (same pattern as
@@ -3844,40 +3901,8 @@ object SparkEntry {
                        ORDER BY h, doc_id) AS BIGINT) AS pos,
                 doc_id
          FROM e""",
-    "x43_bm25_topk" ->
-      """WITH tk0 AS (
-           SELECT doc_id, unnest(string_split_regex(
-                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
-           FROM documents),
-         tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
-         post AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
-         dl AS (SELECT d.doc_id, COALESCE(x.dl, 0) AS dl
-                FROM documents d
-                LEFT JOIN (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1) x
-                USING (doc_id)),
-         tdf AS (SELECT tok, COUNT(*) AS tdf FROM post GROUP BY 1),
-         stats AS (SELECT COUNT(*) AS n,
-                          (100::HUGEINT * COALESCE(SUM(dl), 0)) // COUNT(*) AS a
-                   FROM dl),
-         q AS (SELECT * FROM (VALUES (1, 'customer filter join'),
-                                     (2, 'window merge sort'),
-                                     (3, 'vector stream batch')) v(qid, qtext)),
-         qt AS (SELECT DISTINCT qid, tok FROM (
-                  SELECT qid, unnest(string_split_regex(
-                           regexp_replace(qtext, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
-                  FROM q)
-                WHERE tok <> ''),
-         scored AS (
-           SELECT qt.qid, p.doc_id,
-                  SUM(CAST((1048576::HUGEINT * (n - tdf + 1) * tf * 22000 * a)
-                      // ((tdf + 1)::HUGEINT
-                          * (tf * 10000 * a + 120 * (25 * a + 7500 * dl)))
-                      AS BIGINT)) AS score_q20
-           FROM post p JOIN qt ON p.tok = qt.tok
-           JOIN dl USING (doc_id)
-           JOIN tdf ON p.tok = tdf.tok
-           CROSS JOIN stats
-           GROUP BY 1, 2)
+    "x43_bm25_topk" -> (bm25BaseCtes +
+      """
          SELECT CAST(qid AS BIGINT) AS qid, doc_id,
                 CAST(score_q20 AS BIGINT) AS score_q20,
                 CAST(rank AS BIGINT) AS rank
@@ -3885,7 +3910,38 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY qid
                                          ORDER BY score_q20 DESC, doc_id) AS rank
                FROM scored)
-         WHERE rank <= 5""",
+         WHERE rank <= 5"""),
+    // x69: pass 1's top-3 per query are the FEEDBACK docs; their 2
+    // heaviest terms (summed tf, ties token-asc, original terms
+    // excluded) expand the query; pass 2 rescores with the same exact
+    // integers. UNION (distinct) mirrors Spark's unionByName+distinct.
+    "x69_bm25_prf" -> (bm25BaseCtes +
+      s""",
+         ranked1 AS (SELECT qid, doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY score_q20 DESC, doc_id) AS r
+                     FROM scored),
+         fb AS (SELECT qid, doc_id FROM ranked1 WHERE r <= 3),
+         expc AS (SELECT f.qid, p.tok, SUM(p.tf) AS fm
+                  FROM post p JOIN fb f USING (doc_id)
+                  GROUP BY 1, 2),
+         expx AS (SELECT e.qid, e.tok, e.fm FROM expc e
+                  LEFT JOIN qt ON qt.qid = e.qid AND qt.tok = e.tok
+                  WHERE qt.tok IS NULL),
+         expt AS (SELECT qid, tok FROM (
+                    SELECT qid, tok, ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY fm DESC, tok) AS fr
+                    FROM expx) WHERE fr <= 2),
+         qt2 AS (SELECT qid, tok FROM qt UNION SELECT qid, tok FROM expt),
+         ${bm25ScoredCte("qt2", "scored2")}
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+                CAST(score_q20 AS BIGINT) AS score_q20,
+                CAST(rank AS BIGINT) AS rank
+         FROM (SELECT qid, doc_id, score_q20,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score_q20 DESC, doc_id) AS rank
+               FROM scored2)
+         WHERE rank <= 5"""),
     "x42_sequence_pack" ->
       """WITH toks AS (
            SELECT doc_id, lang, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk

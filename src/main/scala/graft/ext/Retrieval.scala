@@ -110,38 +110,88 @@ object Retrieval {
       require(!queries.columns.contains(c) || c == qidCol || c == qtextCol,
         s"bm25TopKJoin reserves column $c on the query side")
     }
+    val parts = indexParts(corpus, textCol, idCol)
+    rankScores(parts, queryTermsOf(queries, qidCol, qtextCol))
+      .filter(col("rank") <= k)
+  }
 
+  /** The shared probe inputs: postings, doc lengths, term dfs, and the
+    * corpus scalars as ONE broadcastable row. */
+  private case class IndexParts(post: DataFrame, dls: DataFrame,
+                                tdfs: DataFrame, stats: DataFrame)
+
+  private def indexParts(corpus: DataFrame, textCol: String,
+                         idCol: String): IndexParts = {
     val post = postings(corpus, textCol, idCol)
     val dls = docLengths(corpus, textCol, idCol)
-    val tdfs = termDf(post)
-
-    // Corpus scalars as ONE broadcast row: N docs and A = floor(100*avgdl).
-    // The div is exact integer floor (both operands non-negative).
-    // _n = 0 (empty corpus) must not ANSI-throw on the div: the guard
-    // value never reaches output (no postings -> no candidate rows)
+    // Corpus scalars: N docs and A = floor(100*avgdl). The div is exact
+    // integer floor (both operands non-negative). _n = 0 (empty corpus)
+    // must not ANSI-throw on the div: the guard value never reaches
+    // output (no postings -> no candidate rows)
     val stats = dls.agg(count(lit(1)).as("_n"), sum("dl").as("_tl"))
       .selectExpr("_n",
         "case when _n = 0 then 0L else (100 * cast(_tl as decimal(38,0))) div _n end as _a")
+    IndexParts(post, dls, termDf(post), stats)
+  }
 
-    val qterms = queries
+  /** Distinct (qid, tok) query terms (standard BM25 sums each distinct
+    * term once). */
+  private def queryTermsOf(queries: DataFrame, qidCol: String,
+                           qtextCol: String): DataFrame =
+    queries
       .select(col(qidCol).as("qid"),
         explode(split(TextStats.wsTrim(col(qtextCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .distinct()
 
-    val scored = post
+  /** Score candidates for a (qid, tok) term table and rank per query —
+    * the probe shape both passes of [[bm25PrfTopK]] and the one-pass
+    * searches share: term table broadcast, postings never reshuffle,
+    * (qid, doc_id) reduce over candidates only. */
+  private def rankScores(parts: IndexParts, qterms: DataFrame): DataFrame =
+    parts.post
       .join(broadcast(qterms), "tok")
-      .join(dls, "doc_id")
-      .join(tdfs, "tok")
-      .join(broadcast(stats))
+      .join(parts.dls, "doc_id")
+      .join(parts.tdfs, "tok")
+      .join(broadcast(parts.stats))
       .groupBy("qid", "doc_id")
       .agg(sum(expr(termScoreSql)).as("score_q20"))
-
-    import org.apache.spark.sql.expressions.Window
-    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid")
           .orderBy(col("score_q20").desc, col("doc_id"))))
+
+  /** BM25 with RM3-style pseudo-relevance feedback — the classic
+    * two-pass expansion (Abdul-Jaleel et al. 2004's RM3, reduced to its
+    * deterministic core): pass 1 retrieves each query's top `kFb`
+    * feedback documents; the `mExp` heaviest terms across them (by
+    * summed tf, ties token-ascending, the query's own terms excluded)
+    * join the query; pass 2 rescores with the expanded term set —
+    * uniform term weights, so every score stays the exact integer Q20
+    * BM25 and the whole two-pass flow replays in the oracle.
+    *
+    * Scale shape: two broadcast probes of the SAME postings frame (the
+    * corpus never reshuffles for either pass); the feedback set
+    * (|Q|·kFb rows) broadcasts onto the postings by doc id for
+    * expansion mining, whose aggregation is feedback-sized, not
+    * corpus-sized. Returns pass-2's (qid, doc_id, score_q20, rank ≤ k). */
+  def bm25PrfTopK(corpus: DataFrame, textCol: String, idCol: String,
+                  queries: DataFrame, qidCol: String, qtextCol: String,
+                  k: Int, kFb: Int, mExp: Int): DataFrame = {
+    require(k > 0 && kFb > 0 && mExp > 0, "k, kFb, mExp must be positive")
+    val parts = indexParts(corpus, textCol, idCol)
+    val qt = queryTermsOf(queries, qidCol, qtextCol)
+    val fb = rankScores(parts, qt).filter(col("rank") <= kFb)
+      .select(col("qid"), col("doc_id"))
+    val expTop = parts.post
+      .join(broadcast(fb), "doc_id")
+      .groupBy(col("qid"), col("tok"))
+      .agg(sum(col("tf")).as("_fm"))
+      .join(qt, Seq("qid", "tok"), "left_anti")
+      .withColumn("_fr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("_fm").desc, col("tok"))))
+      .filter(col("_fr") <= mExp)
+      .select(col("qid"), col("tok"))
+    rankScores(parts, qt.unionByName(expTop).distinct())
       .filter(col("rank") <= k)
   }
 

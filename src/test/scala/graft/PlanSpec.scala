@@ -744,6 +744,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x69 bm25 PRF: both passes broadcast their term tables; no cartesian") {
+    val p = tree(q("x69_bm25_prf"))
+    // (the corpus-scalar stats row rides a 1-row broadcast nested loop by
+    // design — the x43 shape — so only cartesians are banned)
+    assert(!p.contains("CartesianProduct"), p)
+    // pass-1 terms, the feedback doc set, and the expanded pass-2 terms
+    // all ride broadcasts onto the postings — at least 3 broadcast joins,
+    // and no SortMergeJoin keyed on the token column (the corpus never
+    // reshuffles for a probe)
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n$p")
+    val smjTok = p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("[tok#"))
+    assert(!smjTok, p)
+  }
+
   test("x43 bm25: query batch broadcast; plan size independent of query count") {
     val p = tree(q("x43_bm25_topk"))
     // the probe side (postings) joins the broadcast query terms — never a

@@ -533,6 +533,27 @@ class ExtSpec extends SparkSpec {
     assert(ivf.sameElements(Array(1L))) // nearest neighbour found in probed cell
   }
 
+  test("appendIvfPartitioned creates brand-new cells; probes find them") {
+    // continuous ingest can land in a cell the original write never
+    // touched — the append must create the cid= directory and pruned
+    // probe reads must discover it (partition discovery is per-read)
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)), (2, Array(-1.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    def emb(rows: (Long, Array[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    val base = emb(1L -> Array(0.9f, 0.1f), 2L -> Array(0.1f, 0.95f))
+    val batch = emb(3L -> Array(-0.9f, 0.05f)) // assigns to cell 2 — NEW
+    val path = java.nio.file.Files.createTempDirectory("ivf_newcell").toString
+    Similarity.writeIvfPartitioned(
+      Similarity.ivfAssignJoin(base, centroids, "vec_id", "embedding"), path)
+    Similarity.appendIvfPartitioned(
+      Similarity.ivfAssignJoin(batch, centroids, "vec_id", "embedding"), path)
+    val q = emb(100L -> Array(-1.0f, 0.0f)) // probes cell 2 only at nProbe=1
+    val got = Similarity.ivfTopKPartitioned(path, centroids, q,
+      "vec_id", "embedding", 1, 1).select("n_id").as[Long].collect()
+    assert(got.sameElements(Array(3L)), got.mkString(","))
+  }
+
   test("ivfAssignJoin agrees with the literal-projection assignment (Q30)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

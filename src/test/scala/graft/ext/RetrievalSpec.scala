@@ -105,6 +105,46 @@ class RetrievalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("bm25PrfTopK: feedback terms expand the query and surface unreachable docs") {
+    // query 'apple' alone can never reach d2/d3 (no shared term); its
+    // top feedback doc d1 donates 'banana' (apple itself excluded), and
+    // the expanded query retrieves d2. d3 stays out (no query or
+    // expansion term). kFb=1, mExp=1 makes the donation deterministic.
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian")
+    ).toDF("doc_id", "text")
+    val qs = Seq(1L -> "apple").toDF("qid", "qtext")
+    val base = Retrieval.bm25TopKJoin(docs, "text", "doc_id",
+      qs, "qid", "qtext", 5).select("doc_id").as[Long].collect().toSet
+    assert(base == Set(1L), base.toString)
+    val prf = Retrieval.bm25PrfTopK(docs, "text", "doc_id",
+      qs, "qid", "qtext", 5, 1, 1)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(prf == Seq(1L, 2L), prf.toString)
+    // original terms never re-donate: the expansion excluded 'apple', so
+    // d1 still ranks first (it matches both apple AND banana)
+  }
+
+  test("bm25PrfTopK: expansion mines only feedback docs and respects mExp") {
+    // two feedback docs donate terms; mExp=1 keeps only the heaviest
+    // (summed tf, ties token-asc)
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "banana fig"),
+      (4L, "cherry fig")
+    ).toDF("doc_id", "text")
+    val qs = Seq(1L -> "apple").toDF("qid", "qtext")
+    // feedback = d1, d2 (the only apple docs); term masses: banana 2,
+    // cherry 1 → banana expands; d3 (banana) enters, d4 (cherry) doesn't
+    val prf = Retrieval.bm25PrfTopK(docs, "text", "doc_id",
+      qs, "qid", "qtext", 5, 2, 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf == Set(1L, 2L, 3L), prf.toString)
+  }
+
   test("rrfFuse: exact Q30 contributions, absent list = 0, ties to lower id") {
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "n_id", "rank")
     val b = Seq((1L, 11L, 1L), (1L, 12L, 2L), (1L, 13L, 1L))
