@@ -1904,6 +1904,18 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x70_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking (Rabin-boundary discipline on tokens):
+      // boundaries fall where the local 4-token window hashes into the
+      // 1/16 cut class, so an insertion shifts only the chunk it lands
+      // in — downstream boundaries re-synchronize and dedup keeps
+      // matching (x67's fixed windows all shift; DedupSpec pins the
+      // contrast). Window hashes ride the codegen'd spanHashes explode;
+      // cut positions reduce in ONE id-keyed agg; the oracle replays
+      // every window hash, the cut class, and chunk reassembly.
+      graft.ext.Dedup.cdcChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", 4, 16)),
     "x69_bm25_prf" -> ((s, dir) => {
       // BM25 with RM3-style pseudo-relevance feedback: pass 1's top-3
       // docs per query donate their 2 heaviest non-query terms, pass 2
@@ -4239,6 +4251,36 @@ object SparkEntry {
          GROUP BY d.lang"""),
     "x66_html_extract" -> x66OracleSql,
     "x66b_crawl_clean" -> x66bOracleSql,
+    // x70: every 4-token window hash, the 1/16 cut class (first two md5
+    // hex digits mod 16), and chunk reassembly between consecutive cuts
+    // replayed; docs shorter than the window form one chunk
+    "x70_cdc_chunks" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         cutl AS (
+           SELECT doc_id, t, len(t) AS n,
+                  list_filter(generate_series(1, len(t) - 4), i ->
+                    (CAST(strpos('0123456789abcdef',
+                         substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 1)) - 1
+                       AS BIGINT) * 16
+                     + strpos('0123456789abcdef',
+                         substr(md5(array_to_string(t[i+1:i+4], ' ')), 2, 1)) - 1)
+                    % 16 = 0) AS cuts
+           FROM docs),
+         cp AS (SELECT doc_id, t,
+                       list_concat(list_concat([0], cuts), [n]) AS ks
+                FROM cutl),
+         ch AS (SELECT doc_id, t, ks,
+                       unnest(generate_series(1, len(ks) - 1)) AS j
+                FROM cp)
+         SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_id,
+                CAST(ks[j+1] - ks[j] AS BIGINT) AS n_tokens,
+                array_to_string(t[ks[j]+1 : ks[j+1]], ' ') AS chunk_text
+         FROM ch""",
     // x67: every window start from generate_series(0, n-1, stride), the
     // slice clamped at the tail — chunk ids and text replayed exactly
     "x67_token_chunks" ->

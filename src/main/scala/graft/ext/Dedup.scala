@@ -713,6 +713,58 @@ object Dedup {
           (0 until k).map(o => col(s"_sp_win.$o")): _*)).as("h"))
   }
 
+  /** Content-defined chunking (the Rabin-boundary move, LBFS/restic's
+    * dedup discipline applied to tokens): a chunk boundary falls BEFORE
+    * token i wherever the k-token window starting at i hashes into the
+    * cut class (first-two-md5-hex-digits mod `maskMod` == 0, the x31
+    * bucket convention — mean chunk length ≈ maskMod tokens). Boundaries
+    * depend only on LOCAL content, so an insertion near a document's
+    * head shifts every fixed window ([[graft.ext.Curation.chunkByTokens]],
+    * [[chunkNearDupPairs]]'s char windows) but CDC boundaries
+    * re-synchronize at the next cut — downstream chunks hash identically
+    * and dedup keeps matching them (DedupSpec pins this shift
+    * robustness). Documents shorter than k tokens form one chunk; the
+    * deterministic core carries no min/max-chunk clamps (those need a
+    * sequential scan; the mask IS the length knob).
+    *
+    * Scale shape: window hashes ride the codegen'd [[spanHashes]]
+    * explode; cut positions reduce in ONE id-keyed aggregation (longs
+    * only — ~n/maskMod cuts per doc); chunk assembly is a per-doc
+    * projection over the cut array. Returns (idCol, chunk_id, n_tokens,
+    * chunk_text). */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                k: Int, maskMod: Int): DataFrame = {
+    require(k >= 2, "a boundary window is at least 2 tokens (k >= 2)")
+    require(maskMod >= 2 && maskMod <= 256,
+      "maskMod must be in [2, 256] (mean chunk length; 2-hex-digit hash)")
+    Seq("_cd_cuts", "_cd_toks", "_cd_cp", "chunk_id", "n_tokens", "chunk_text")
+      .foreach(c => require(c == idCol || !df.columns.contains(c),
+        s"cdcChunks reserves column $c"))
+    val cuts = spanHashes(df, textCol, idCol, k)
+      .filter(col("pos") >= 1 &&
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long") % maskMod === 0)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_cd_cuts"))
+    val toks = df
+      .filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol),
+        split(TextStats.wsTrim(col(textCol)), "\\s+").as("_cd_toks"))
+    toks.join(cuts, Seq(idCol), "left")
+      .withColumn("_cd_cp",
+        concat(array(lit(0)), coalesce(col("_cd_cuts"),
+            typedlit(Seq.empty[Int])),
+          array(size(col("_cd_toks")))))
+      .select(col(idCol), col("_cd_toks"),
+        posexplode(transform(sequence(lit(0), size(col("_cd_cp")) - 2),
+          j => struct(element_at(col("_cd_cp"), j + 1).as("s"),
+            element_at(col("_cd_cp"), j + 2).as("e")))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        (col("col.e") - col("col.s")).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("_cd_toks"), col("col.s") + 1,
+          col("col.e") - col("col.s"))).as("chunk_text"))
+  }
+
   /** Spans repeated >= minOcc times corpus-wide (within- OR cross-document
     * — ExactSubstr excises both): (h, n_occ, n_docs). One shuffle keyed on
     * the 16-byte digest; map-side partial counts absorb hot spans. */

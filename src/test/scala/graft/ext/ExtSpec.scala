@@ -68,6 +68,34 @@ class ExtSpec extends SparkSpec {
       (3, s"a${S}b", s"a${S}b${S}c", 1L)), merges.toString)
   }
 
+  test("cdcChunks: boundaries re-synchronize after an insertion (fixed windows all shift)") {
+    // doc B = doc A with one token inserted at the head. CDC boundaries
+    // depend only on local 4-token windows, so they shift WITH the
+    // content: verified by hand (and by the oracle's replay), A cuts at
+    // {12,17,25,34} and B at {13,18,26,35} — every chunk but the first
+    // is byte-identical. Fixed-stride windows (x67) share NOTHING.
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, "INS " + a)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunks(docs, "text", "doc_id", 4, 16)
+      .as[(Long, Long, Long, String)].collect()
+    val ca = cdc.filter(_._1 == 1L).sortBy(_._2).map(_._4).toSeq
+    val cb = cdc.filter(_._1 == 2L).sortBy(_._2).map(_._4).toSeq
+    assert(ca.size == 5 && cb.size == 5, s"${ca.size}/${cb.size}")
+    assert(ca.head != cb.head && cb.head == "INS " + ca.head)
+    assert(ca.tail == cb.tail, "downstream chunks must re-synchronize")
+    // the fixed-window chunker has zero shared chunks on the same pair —
+    // the contrast that motivates CDC for dedup
+    val fixed = Curation.chunkByTokens(docs, "text", "doc_id", 8, 8)
+      .as[(Long, Long, Long, String)].collect()
+    val fa = fixed.filter(_._1 == 1L).map(_._4).toSet
+    val fb = fixed.filter(_._1 == 2L).map(_._4).toSet
+    assert((fa intersect fb).isEmpty, (fa intersect fb).toString)
+    // degenerate docs: shorter than the window -> exactly one chunk
+    val tiny = Dedup.cdcChunks(Seq((9L, "a b c")).toDF("doc_id", "text"),
+      "text", "doc_id", 4, 16).as[(Long, Long, Long, String)].collect()
+    assert(tiny.toSeq == Seq((9L, 0L, 3L, "a b c")), tiny.mkString(","))
+  }
+
   test("char-level BPE: the x68 charification feeds the trainer, boundary merges allowed") {
     val S = "\u0001"
     // "aa ab aa" charifies to "a a ¤ a b ¤ a a" (¤ marks word boundaries,
