@@ -717,6 +717,15 @@ object SparkEntry {
     }),
     "x5_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", 16)),
+    "x5c_simhash_pairs" -> ((s, dir) => {
+      // banded hamming LSH over 32-bit simhash signatures: candidates
+      // from ANY equal 8-bit band, exact bit_count verify ≤ 3. Pigeonhole
+      // (3 < 4 bands) makes the banded stage lossless, so the ORACLE is
+      // the brute-force definition itself — the algorithm is pinned
+      // against the math, not against a replay of its own steps.
+      val sig = Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", 32)
+      Dedup.simhashNearDupPairs(sig, "doc_id", "simhash", 32, 4, 3)
+    }),
     "x17_dup_clusters" -> ((s, dir) =>
       // dedup tail: LSH candidate pairs → connected components → cluster
       // label = min id (the A8 keeper); oracle = recursive-CTE closure
@@ -2017,6 +2026,31 @@ object SparkEntry {
   private val hybridQueries: Seq[(Long, String)] = Seq(
     1L -> "customer filter join", 2L -> "window merge sort",
     3L -> "vector stream batch")
+
+  /** x5/x5c: the md5-bit SimHash replayed — the 60-bit token hash is the
+    * first 15 md5 hex digits (matching Spark's conv(substring(md5,1,15)))
+    * assembled digit-by-digit, bit sums per position, sign → bit. The
+    * whitespace-only doc keeps its single empty token, exactly as the
+    * Spark side's unfiltered explode does. */
+  private def simhashSigCte(nBits: Int): String = {
+    val v = (1 to 15).map(i =>
+      s"(CAST(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1 AS BIGINT) * ${BigInt(16).pow(15 - i)})")
+      .mkString("(", " + ", ")")
+    val sums = (0 until nBits).map(i =>
+      s"SUM(CASE WHEN (v >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n                  ")
+    val sig = (0 until nBits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""tk AS (
+          SELECT doc_id, unnest(string_split_regex(
+                   regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        tv AS (SELECT doc_id, $v AS v FROM tk),
+        bs AS (SELECT doc_id,
+                  $sums
+               FROM tv GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bs)"""
+  }
 
   /** One BM25 scoring CTE over a (qid, tok) term table — the exact
     * integer formula shared by x43's one-pass and both of x69's passes
@@ -4251,6 +4285,16 @@ object SparkEntry {
          GROUP BY d.lang"""),
     "x66_html_extract" -> x66OracleSql,
     "x66b_crawl_clean" -> x66bOracleSql,
+    // x5: the signature itself; x5c: the brute-force hamming-≤3 pair
+    // definition (the banded Spark path must equal it — pigeonhole)
+    "x5_simhash" -> (s"WITH ${simhashSigCte(16)}\n" +
+      "         SELECT doc_id, simhash FROM sig"),
+    "x5c_simhash_pairs" -> (s"WITH ${simhashSigCte(32)}\n" +
+      """
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
     // x70: every 4-token window hash, the 1/16 cut class (first two md5
     // hex digits mod 16), and chunk reassembly between consecutive cuts
     // replayed; docs shorter than the window form one chunk

@@ -350,6 +350,43 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Banded hamming near-dup pairs over [[simhash]] signatures — LSH in
+    * hamming space: the nBits signature splits into `bands` equal slices;
+    * docs sharing ANY band's value become candidates (equi-join on the
+    * (band, value) key — never all-pairs), and the exact [[hamming]]
+    * verify keeps pairs ≤ `maxHamming`. Pigeonhole makes the candidate
+    * stage LOSSLESS whenever maxHamming < bands (≤ maxHamming differing
+    * bits cannot touch every band), so the result set EQUALS the
+    * brute-force definition — which is exactly what the x5c oracle
+    * computes, pinning the banded algorithm against the definition.
+    * Returns (a_id, b_id, hamming), a < b.
+    *
+    * Scale: the demo runs 16-bit/4-band (compact oracle); a corpus-scale
+    * deployment uses 64-bit signatures with 8 × 8-bit bands — same code,
+    * bigger knobs — so band buckets stay selective. */
+  def simhashNearDupPairs(sig: DataFrame, idCol: String, sigCol: String,
+                          nBits: Int, bands: Int,
+                          maxHamming: Int): DataFrame = {
+    require(nBits % bands == 0, s"nBits $nBits must split into $bands bands")
+    require(maxHamming < bands,
+      "losslessness needs maxHamming < bands (pigeonhole)")
+    val w = nBits / bands
+    val banded = sig.select(col(idCol).as("_sh_id"), col(sigCol).as("_sh_sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("_sh_b"))
+      .withColumn("_sh_v",
+        expr(s"shiftright(_sh_sig, _sh_b * $w)").bitwiseAND((1L << w) - 1))
+    val a = banded.select(col("_sh_b"), col("_sh_v"),
+      col("_sh_id").as("a_id"), col("_sh_sig").as("_sh_siga"))
+    val b = banded.select(col("_sh_b"), col("_sh_v"),
+      col("_sh_id").as("b_id"), col("_sh_sig").as("_sh_sigb"))
+    a.join(b, Seq("_sh_b", "_sh_v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming(col("_sh_siga"), col("_sh_sigb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** N-gram (token-set) Jaccard similarity for candidate pairs: both sides
     * reduced to distinct token arrays; |∩| / |∪|. */
   def tokenSets(df: DataFrame, textCol: String, idCol: String): DataFrame =

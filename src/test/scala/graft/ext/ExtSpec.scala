@@ -68,6 +68,30 @@ class ExtSpec extends SparkSpec {
       (3, s"a${S}b", s"a${S}b${S}c", 1L)), merges.toString)
   }
 
+  test("simhashNearDupPairs: banded candidates equal brute force; lossless guard enforced") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // near-dup of 1
+      (3L, "omega psi chi phi upsilon"),      // unrelated
+      (4L, "alpha beta gamma delta epsilon")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs, "text", "doc_id", 32)
+    val got = Dedup.simhashNearDupPairs(sig, "doc_id", "simhash", 32, 4, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the collected signatures — the oracle's definition
+    val s = sig.as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- s.keys; b <- s.keys if a < b
+      h = java.lang.Long.bitCount(s(a) ^ s(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 4L, 0L)), "exact dup must be hamming 0")
+    // pigeonhole guard: maxHamming >= bands would lose pairs — rejected
+    assert(intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(sig, "doc_id", "simhash", 32, 4, 4)
+    }.getMessage.contains("pigeonhole"))
+  }
+
   test("cdcChunks: boundaries re-synchronize after an insertion (fixed windows all shift)") {
     // doc B = doc A with one token inserted at the head. CDC boundaries
     // depend only on local 4-token windows, so they shift WITH the
