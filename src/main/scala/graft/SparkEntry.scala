@@ -1913,6 +1913,24 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x71_bootstrap_ci" -> ((s, dir) =>
+      // deterministic Poisson bootstrap on the mean tokens-per-doc: 8
+      // resamples as extra COLUMNS of one aggregation (no second pass,
+      // no RNG state — weights are salted-md5 draws against fixed
+      // Poisson(1) thresholds), each mean an exact Q6 floor-div. Row
+      // b = -1 is the point estimate; rows 0..7 are the uncertainty
+      // band the dataset card ships beside it. The oracle replays every
+      // weight draw and every division.
+      graft.ext.Curation.bootstrapMean(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ext.TextStats.tokenCount(col("text")).cast("long")
+              .as("n_tok")),
+        "n_tok", "doc_id", 8)
+        // totals fit longs at gate scale; the operator's decimal(38,0)
+        // internals are the 100 TB headroom
+        .withColumn("w_total", col("w_total").cast("long"))
+        .withColumn("v_total", col("v_total").cast("long"))),
     "x70_cdc_chunks" -> ((s, dir) =>
       // content-defined chunking (Rabin-boundary discipline on tokens):
       // boundaries fall where the local 4-token window hashes into the
@@ -4285,6 +4303,40 @@ object SparkEntry {
          GROUP BY d.lang"""),
     "x66_html_extract" -> x66OracleSql,
     "x66b_crawl_clean" -> x66bOracleSql,
+    // x71: every Poisson weight draw (4-hex-digit md5 value against the
+    // fixed 24109/48218/60273 thresholds), both totals, and the Q6
+    // floor-div replayed; b = -1 is the unweighted point estimate
+    "x71_bootstrap_ci" ->
+      """WITH vals AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL
+                         OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                       ELSE len(string_split_regex(
+                              regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS v
+           FROM documents),
+         draws AS (
+           SELECT doc_id, v, b,
+                  (((CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 16
+                     + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS h4
+           FROM (SELECT doc_id, v, b,
+                        md5(CAST(doc_id AS VARCHAR) || ':bs:' || CAST(b AS VARCHAR)) AS h
+                 FROM vals, (SELECT unnest(generate_series(0, 7)) AS b))),
+         wts AS (SELECT doc_id, v, b,
+                        CASE WHEN h4 < 24109 THEN 0 WHEN h4 < 48218 THEN 1
+                             WHEN h4 < 60273 THEN 2 ELSE 3 END AS w
+                 FROM draws),
+         agg AS (SELECT b, SUM(w)::HUGEINT AS wt, SUM(w * v)::HUGEINT AS vt
+                 FROM wts GROUP BY b
+                 UNION ALL
+                 SELECT -1, COUNT(*)::HUGEINT, COALESCE(SUM(v), 0)::HUGEINT
+                 FROM vals)
+         SELECT CAST(b AS BIGINT) AS b, CAST(wt AS BIGINT) AS w_total,
+                CAST(vt AS BIGINT) AS v_total,
+                CASE WHEN wt > 0
+                     THEN CAST((1000000 * vt) // wt AS BIGINT) END AS mean_q6
+         FROM agg""",
     // x5: the signature itself; x5c: the brute-force hamming-≤3 pair
     // definition (the banded Spark path must equal it — pigeonhole)
     "x5_simhash" -> (s"WITH ${simhashSigCte(16)}\n" +

@@ -202,6 +202,62 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** Deterministic Poisson bootstrap — error bars on a corpus statistic
+    * WITHOUT a second data pass or any RNG state (Chamandy et al. 2012's
+    * "Estimating Uncertainty for Massive Data Streams" move, made
+    * engine-portable): resample `b` gives doc `i` the weight
+    * Poisson(1)-quantized from a salted md5 draw (16-bit value against
+    * the fixed cumulative thresholds 24109/48218/60273 ≈
+    * e⁻¹/2e⁻¹/2.5e⁻¹ · 2¹⁶, weights capped at 3 — the omitted tail mass
+    * is < 2 % and the cap is part of the DEFINITION, so every engine
+    * replays it exactly). All `nResamples` weighted sums ride ONE
+    * aggregation with map-side partials — the resamples are extra
+    * COLUMNS, not extra passes — and each resample's mean is an exact
+    * Q6 floor-div. Row b = −1 is the unweighted point estimate; the
+    * spread of rows 0..B−1 is the bootstrap uncertainty band a dataset
+    * card ships beside the point value.
+    *
+    * Returns (b, w_total, v_total, mean_q6) — `mean_q6` =
+    * (10⁶·Σw·v) div Σw, null if the resample drew no mass. Values must
+    * be NON-NEGATIVE (token/char masses are): on negative totals
+    * Spark's `div` truncates toward zero where DuckDB's `//` floors, so
+    * the cross-engine floor claim holds only above zero. */
+  def bootstrapMean(df: DataFrame, valueCol: String, idCol: String,
+                    nResamples: Int): DataFrame = {
+    require(nResamples >= 1 && nResamples <= 64,
+      "nResamples in [1, 64] (each adds two aggregation columns)")
+    Seq("b", "w_total", "v_total", "mean_q6").foreach(c =>
+      require(!df.columns.contains(c) || c == idCol || c == valueCol,
+        s"bootstrapMean reserves column $c"))
+    def weight(b: Int): Column = {
+      val h = conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(s":bs:$b"))), 1, 4), 16, 10).cast("long")
+      when(h < 24109L, 0L).when(h < 48218L, 1L)
+        .when(h < 60273L, 2L).otherwise(3L)
+    }
+    val v = col(valueCol).cast("decimal(38,0)")
+    val aggs =
+      (sum(lit(1L)).cast("decimal(38,0)").as("w_m1") +: sum(v).as("v_m1") +:
+        (0 until nResamples).flatMap(b => Seq(
+          sum(weight(b)).cast("decimal(38,0)").as(s"w_$b"),
+          sum(weight(b) * v).as(s"v_$b"))))
+    // ONE aggregation job; the B+1 report rows explode out of its single
+    // row (a per-branch select would re-run the corpus agg per resample)
+    val entries = (-1 +: (0 until nResamples).toList).map { b =>
+      val suf = if (b < 0) "m1" else b.toString
+      struct(lit(b.toLong).as("b"), col(s"w_$suf").as("w_total"),
+        col(s"v_$suf").as("v_total"))
+    }
+    df.filter(col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("r"))
+      .select(col("r.b").as("b"), col("r.w_total").as("w_total"),
+        col("r.v_total").as("v_total"))
+      .withColumn("mean_q6",
+        when(col("w_total") > 0,
+          expr("(1000000 * v_total) div w_total")).cast("long"))
+  }
+
   /** Deterministic hash-stratified sample: keep `k` rows per stratum,
     * chosen by md5 of the id — reproducible across runs AND engines (no
     * RNG state, unlike sampleBy), which is what makes a carved eval set

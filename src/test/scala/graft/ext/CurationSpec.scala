@@ -205,6 +205,36 @@ class CurationSpec extends SparkSpec {
       s"300permille block not on the boundary: ${kept(300)} vs ${kept(299)}")
   }
 
+  test("bootstrapMean: deterministic Poisson resamples, one agg, exact Q6 means") {
+    val docs = (1L to 200L).map(i => (i, i % 10 + 1)).toDF("doc_id", "v")
+    def longs(df: org.apache.spark.sql.DataFrame) = df.select(col("b"),
+      col("w_total").cast("long"), col("v_total").cast("long"), col("mean_q6"))
+    val out = longs(Curation.bootstrapMean(docs, "v", "doc_id", 8))
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (-1L to 7L), out.map(_._1).mkString(","))
+    val point = out.head
+    assert(point._2 == 200L && point._3 == (1L to 200L).map(_ % 10 + 1).sum)
+    assert(point._4.contains(1000000L * point._3 / point._2))
+    // resamples draw real mass and scatter AROUND the point estimate
+    val res = out.tail
+    assert(res.forall(r => r._2 > 100L && r._2 < 300L),
+      s"Poisson(1) mass far off n: ${res.map(_._2).mkString(",")}")
+    val pm = point._4.get
+    assert(res.forall(r => math.abs(r._4.get - pm) < pm / 5),
+      "resample means should cluster near the point mean")
+    assert(res.map(_._4.get).distinct.size > 1,
+      "independent resamples must differ")
+    // deterministic: a second run is byte-identical
+    val again = longs(Curation.bootstrapMean(docs.repartition(7), "v", "doc_id", 8))
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.sameElements(again))
+    // empty input: every resample reports null mass, no crash
+    val empty = longs(Curation.bootstrapMean(
+      docs.filter(col("doc_id") < 0), "v", "doc_id", 2))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    assert(empty.length == 3 && empty.forall(_._4.isEmpty))
+  }
+
   test("chunkByTokens: window boundaries, tail clamp, overlap, degenerate docs") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens, window 4 stride 3
