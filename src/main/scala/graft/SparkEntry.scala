@@ -733,6 +733,24 @@ object SparkEntry {
         Dedup.minhashSignature(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2))
         .select(col("id").cast("long").as("id"),
           col("cluster_id").cast("long").as("cluster_id"))),
+    "x17b_quality_keeper" -> ((s, dir) => {
+      // keeper selection the way production does it: each dup cluster
+      // keeps its BEST-QUALITY member (x31's hashed score, ties to the
+      // lower id), not x17's arbitrary min-id. Cluster labels join the
+      // zero-exchange score projection BY ID; one cluster-keyed window
+      // picks the keeper. The oracle chains the x17 recursive closure
+      // with the x31 score replay, so the composed policy hash-checks.
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2))
+      val scored = d.select(col("doc_id"),
+        graft.ext.TextStats.hashedLinearScoreQ30Fast(col("text"),
+          graft.ext.TextStats.seededWeightsQ30(64)).as("q30"))
+      Dedup.clusterKeepers(clusters, scored, "doc_id", "q30")
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("keeper_id").cast("long").as("keeper_id"),
+          col("keeper_score").as("keeper_q30"))
+    }),
 
     // ───────────────────────── ext: similarity ─────────────────────────
     "x6_ann_topk" -> ((s, dir) => {
@@ -2045,6 +2063,31 @@ object SparkEntry {
     1L -> "customer filter join", 2L -> "window merge sort",
     3L -> "vector stream batch")
 
+  /** x17/x17b shared duplicate-closure replay: minhash signatures →
+    * banded candidates → symmetric edges → recursive reachability →
+    * min-label `labels (id, cluster_id)`. */
+  private def dupClosureCtes: String =
+    """WITH RECURSIVE sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                   UNION SELECT b_id, a_id FROM cand),
+         reach AS (
+           SELECT src AS id, dst AS peer FROM edges
+           UNION
+           SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+         labels AS (SELECT id, LEAST(id, MIN(peer)) AS cluster_id
+                    FROM reach GROUP BY id)"""
+
   /** x5/x5c: the md5-bit SimHash replayed — the 60-bit token hash is the
     * first 15 md5 hex digits (matching Spark's conv(substring(md5,1,15)))
     * assembled digit-by-digit, bit sums per position, sign → bit. The
@@ -3101,27 +3144,30 @@ object SparkEntry {
            FROM dots d JOIN norms na ON na.vec_id = d.a_id
                        JOIN norms nb ON nb.vec_id = d.b_id)
          WHERE cos >= 0.2""",
-    "x17_dup_clusters" ->
-      """WITH RECURSIVE sig AS (
-           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
-                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
-           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
-                 FROM documents, (SELECT unnest(generate_series(1,
-                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
-                 WHERE i <= greatest(length(text) - 4, 1))
-           GROUP BY doc_id),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
-         edges AS (SELECT a_id AS src, b_id AS dst FROM cand
-                   UNION SELECT b_id, a_id FROM cand),
-         reach AS (
-           SELECT src AS id, dst AS peer FROM edges
-           UNION
-           SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
-         SELECT id, LEAST(id, MIN(peer)) AS cluster_id
-         FROM reach GROUP BY id""",
+    "x17_dup_clusters" -> (dupClosureCtes +
+      """
+         SELECT id, cluster_id FROM labels"""),
+    // x17b: the cluster labels join the x31 quality scores and the
+    // KEEPER is the best-quality member (score desc, id asc) — the
+    // production refinement of x17's arbitrary min-id representative
+    "x17b_quality_keeper" -> (dupClosureCtes +
+      s""",
+         w AS (SELECT * FROM (VALUES ${qualityWeightsSql(64)}) AS t(b, wq)),
+         toksq AS (SELECT doc_id,
+                   unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+                   FROM documents),
+         btq AS (SELECT doc_id,
+                 (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
+                  + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS b
+                 FROM toksq),
+         scq AS (SELECT doc_id, CAST(SUM(w.wq) AS BIGINT) AS s
+                 FROM btq JOIN w ON w.b = btq.b GROUP BY doc_id)
+         SELECT cluster_id, id AS keeper_id, s AS keeper_q30
+         FROM (SELECT l.cluster_id, l.id, scq.s,
+                      ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                        ORDER BY scq.s DESC, l.id) AS rn
+               FROM labels l JOIN scq ON scq.doc_id = l.id)
+         WHERE rn = 1"""),
     // x55: the x17 closure labels paired docs, singletons label as
     // themselves, and the split draw reads the LABEL (2-hex md5 value %
     // 100) — so a cluster can never straddle the split

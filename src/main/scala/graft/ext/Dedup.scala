@@ -350,6 +350,25 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Keeper selection over [[dupClusters]] labels the way production
+    * curation does it: each cluster keeps its BEST member by a quality
+    * score (descending, ties to the lower id) instead of the arbitrary
+    * min-id representative. `labels` is (id, cluster_id); `scores` is
+    * (idCol, scoreCol) — joined BY ID (one id-keyed hash join), keeper
+    * picked by one cluster-keyed window over cluster-sized groups.
+    * Returns (cluster_id, keeper_id, keeper_score). */
+  def clusterKeepers(labels: DataFrame, scores: DataFrame,
+                     idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    labels.join(scores, col("id") === col(idCol))
+      .withColumn("_ck_rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col(scoreCol).desc, col("id"))))
+      .filter(col("_ck_rn") === 1)
+      .select(col("cluster_id"), col("id").as("keeper_id"),
+        col(scoreCol).as("keeper_score"))
+  }
+
   /** Banded hamming near-dup pairs over [[simhash]] signatures — LSH in
     * hamming space: the nBits signature splits into `bands` equal slices;
     * docs sharing ANY band's value become candidates (equi-join on the

@@ -68,6 +68,20 @@ class ExtSpec extends SparkSpec {
       (3, s"a${S}b", s"a${S}b${S}c", 1L)), merges.toString)
   }
 
+  test("clusterKeepers picks the best-quality member, not the min id") {
+    // clusters {1,2,3} and {10,11}: the best score sits on the HIGHEST
+    // id in the first cluster — the policy must diverge from x17's
+    // min-id label there, and break the second cluster's score tie to
+    // the lower id
+    val labels = Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id"))
+    val scores = Seq((1L, 5L), (2L, 7L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "q")
+    val got = Dedup.clusterKeepers(labels, scores, "doc_id", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 9L), (10L, 10L, 4L)), got.toString)
+  }
+
   test("simhashNearDupPairs: banded candidates equal brute force; lossless guard enforced") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
