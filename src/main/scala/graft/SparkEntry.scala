@@ -1931,6 +1931,38 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x72_passage_retrieval" -> ((s, dir) => {
+      // the canonical RAG query: BM25 over PASSAGES (x67's 64/48 token
+      // windows), each doc answered by its best passage, top-3 docs per
+      // query. Passage id = doc_id·100000 + chunk_id (chunk counts are
+      // tokens/48 — the multiplier holds to 4.8M-token docs); scoring
+      // normalizes by PASSAGE length, which is the point of passage
+      // retrieval. Two windows: best chunk per (query, doc), then the
+      // doc ranking. The oracle rebuilds chunks, the passage index, and
+      // both windows from the shared BM25 scoring CTE.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val chunks = graft.ext.Curation.chunkByTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", 64, 48)
+        .select((col("doc_id") * 100000 + col("chunk_id")).as("pid"),
+          col("chunk_text"))
+      graft.ext.Retrieval.bm25TopKJoin(chunks, "chunk_text", "pid",
+          hybridQueries.toDF("qid", "qtext"), "qid", "qtext", 1 << 30)
+        .select(col("qid"), col("doc_id").as("pid"), col("score_q20"))
+        .withColumn("doc_id", expr("pid div 100000"))
+        .withColumn("chunk_id", expr("pid % 100000"))
+        .withColumn("_cr", row_number().over(
+          Window.partitionBy(col("qid"), col("doc_id"))
+            .orderBy(col("score_q20").desc, col("pid"))))
+        .filter(col("_cr") === 1)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score_q20").desc, col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("doc_id"), col("chunk_id"),
+          col("score_q20"), col("rnk"))
+    }),
     "x71_bootstrap_ci" -> ((s, dir) =>
       // deterministic Poisson bootstrap on the mean tokens-per-doc: 8
       // resamples as extra COLUMNS of one aggregation (no second pass,
@@ -4349,6 +4381,52 @@ object SparkEntry {
          GROUP BY d.lang"""),
     "x66_html_extract" -> x66OracleSql,
     "x66b_crawl_clean" -> x66bOracleSql,
+    // x72: chunks rebuilt (x67's windows), the passage inverted index
+    // and scalars over CHUNKS, the shared scoring CTE, then both
+    // windows — best chunk per (query, doc), doc ranking top-3
+    "x72_passage_retrieval" ->
+      (s"""WITH docs AS (
+           SELECT doc_id,
+                  string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
+         st AS (SELECT doc_id, t,
+                       unnest(generate_series(0, len(t) - 1, 48)) AS s
+                FROM docs),
+         chunks AS (SELECT doc_id * 100000 + (s // 48) AS doc_id,
+                           t[s + 1 : s + 64] AS ct
+                    FROM st),
+         tk AS (SELECT doc_id, unnest(ct) AS tok FROM chunks),
+         post AS (SELECT tok, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dl AS (SELECT doc_id, len(ct) AS dl FROM chunks),
+         tdf AS (SELECT tok, COUNT(*) AS tdf FROM post GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n,
+                          (100::HUGEINT * COALESCE(SUM(dl), 0)) // COUNT(*) AS a
+                   FROM dl),
+         q AS (SELECT * FROM (VALUES (1, 'customer filter join'),
+                                     (2, 'window merge sort'),
+                                     (3, 'vector stream batch')) v(qid, qtext)),
+         qt AS (SELECT DISTINCT qid, tok FROM (
+                  SELECT qid, unnest(string_split_regex(
+                           regexp_replace(qtext, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+                  FROM q)
+                WHERE tok <> ''),
+         ${bm25ScoredCte("qt", "scored")},
+         best AS (SELECT qid, doc_id // 100000 AS rd, doc_id % 100000 AS cid,
+                         score_q20,
+                         ROW_NUMBER() OVER (PARTITION BY qid, doc_id // 100000
+                           ORDER BY score_q20 DESC, doc_id) AS cr
+                  FROM scored)
+         SELECT CAST(qid AS BIGINT) AS qid, rd AS doc_id,
+                CAST(cid AS BIGINT) AS chunk_id,
+                CAST(score_q20 AS BIGINT) AS score_q20,
+                CAST(rnk AS BIGINT) AS rnk
+         FROM (SELECT qid, rd, cid, score_q20,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY score_q20 DESC, rd) AS rnk
+               FROM best WHERE cr = 1)
+         WHERE rnk <= 3"""),
     // x71: every Poisson weight draw (4-hex-digit md5 value against the
     // fixed 24109/48218/60273 thresholds), both totals, and the Q6
     // floor-div replayed; b = -1 is the unweighted point estimate

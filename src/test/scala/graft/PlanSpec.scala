@@ -348,6 +348,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x70 cdc chunking: cut positions shuffle on the doc id only") {
+    val p = tree(q("x70_cdc_chunks"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("doc_id#")),
+      s"cdc exchanges must key on the id:\n${exchanges.mkString("\n")}")
+  }
+
+  test("x71 bootstrap: all resamples ride ONE aggregation (single exchange, no join)") {
+    val p = tree(q("x71_bootstrap_ci"))
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("SinglePartition"),
+      s"expected exactly the final-agg gather:\n${exchanges.mkString("\n")}")
+  }
+
   test("x67 token chunking is a pure projection: zero exchanges, no join") {
     val p = tree(q("x67_token_chunks"))
     assert(!p.contains("Exchange"), s"chunking must not shuffle: $p")
