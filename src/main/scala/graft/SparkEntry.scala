@@ -1931,6 +1931,30 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x14c_pixel_stats" -> ((s, dir) => {
+      // the multimodal column's PIXEL half made real (x14b proved the
+      // headers): pattern blobs carry a seeded raster — byte i is
+      // (doc_id + i) mod 256 — so pixel CONTENT is a replayable
+      // formula, and the REAL P5 decoder (header walk → raster offset →
+      // unsigned byte scan) must reproduce exact sums and extremes the
+      // oracle computes from the generator. Every 10th image truncates
+      // one byte short and must quarantine. Batch-wise mapPartitions,
+      // the prescribed multimodal shape.
+      import graft.ext.Multimodal
+      val d = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .withColumn("_w", (col("doc_id") % 31 + 1).cast("int"))
+        .withColumn("_h", (col("doc_id") % 17 + 1).cast("int"))
+        .withColumn("_n", (col("_w") * col("_h")).cast("long"))
+        .withColumn("_len", when(col("doc_id") % 10 === 0, col("_n") - 1)
+          .otherwise(col("_n")))
+        .withColumn("b", Multimodal.pnmPatternBlob(col("_w"), col("_h"),
+          col("doc_id"), col("_len")))
+      Multimodal.imageRasterStats(Multimodal.asMedia(d, "doc_id", "b", "pnm"))
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("nPx").as("n_px"),
+          col("sumPx").as("sum_px"), col("minPx").as("min_px"),
+          col("maxPx").as("max_px"), col("ok"))
+    }),
     "x72_passage_retrieval" -> ((s, dir) => {
       // the canonical RAG query: BM25 over PASSAGES (x67's 64/48 token
       // windows), each doc answered by its best passage, top-3 docs per
@@ -4381,6 +4405,28 @@ object SparkEntry {
          GROUP BY d.lang"""),
     "x66_html_extract" -> x66OracleSql,
     "x66b_crawl_clean" -> x66bOracleSql,
+    // x14c: the pixel PATTERN replayed from the generator — sums and
+    // extremes of (doc_id + i) mod 256 over the full raster; truncated
+    // images (every 10th) quarantine to zeros
+    "x14c_pixel_stats" ->
+      """WITH img AS (
+           SELECT doc_id,
+                  (doc_id % 31 + 1) * (doc_id % 17 + 1) AS n
+           FROM documents WHERE doc_id % 2 = 0),
+         px AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+                FROM img),
+         st AS (SELECT doc_id, n,
+                       SUM((doc_id + i) % 256) AS s,
+                       MIN((doc_id + i) % 256) AS mn,
+                       MAX((doc_id + i) % 256) AS mx
+                FROM px GROUP BY 1, 2)
+         SELECT doc_id AS media_id,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n END AS BIGINT) AS n_px,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE s END AS BIGINT) AS sum_px,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE mn END AS BIGINT) AS min_px,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE mx END AS BIGINT) AS max_px,
+                doc_id % 10 <> 0 AS ok
+         FROM st""",
     // x72: chunks rebuilt (x67's windows), the passage inverted index
     // and scalars over CHUNKS, the shared scoring CTE, then both
     // windows — best chunk per (query, doc), doc ranking top-3

