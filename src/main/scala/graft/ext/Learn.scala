@@ -95,6 +95,12 @@ object Learn {
       if (stageFeatures)
         df.sparkSession.read.parquet(Dedup.stageSignatures(feat0))
       else feat0
+    // label contract ±1 exactly (see centroidThresholdTrain): one cheap
+    // bounded job against the feature table before the epochs start
+    val labels = feat.select(col("_pc_y")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(labels.subsetOf(Set(1L, -1L)),
+      s"labels must be exactly +1/-1, got ${labels.mkString(", ")}")
     val w = Array.fill(nBuckets + 1)(0L)
     for (_ <- 1 to epochs) {
       val upd = epochUpdates(feat, idCol, w.toSeq).collect()
@@ -165,6 +171,11 @@ object Learn {
     val docs = feat.select(col(idCol), col("_pc_y")).distinct()
     val cls = docs.groupBy(col("_pc_y")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the label contract is ±1 EXACTLY — any other value would split
+    // engine ('y > 0') and oracle ('y = 1' CASE) semantics silently, so
+    // it fails loudly here (the class census already sees every label)
+    require(cls.keySet.subsetOf(Set(1L, -1L)),
+      s"labels must be exactly +1/-1, got ${cls.keySet.mkString(", ")}")
     val nPos = cls.getOrElse(1L, 0L)
     val nNeg = cls.getOrElse(-1L, 0L)
     require(nPos > 0 && nNeg > 0,

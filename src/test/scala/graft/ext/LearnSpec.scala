@@ -225,6 +225,19 @@ class LearnSpec extends SparkSpec {
     assert(BigInt(tq) == bestT, s"quantized threshold $tq vs $bestT")
   }
 
+  test("both trainers reject labels outside the exact ±1 contract") {
+    // a 0 or +2 label would silently split engine (y > 0) and oracle
+    // (y = 1 CASE) semantics — must fail loudly instead
+    val bad = Seq((1L, "alpha beta", 1L), (2L, "gamma delta", 0L))
+      .toDF("doc_id", "text", "y")
+    assert(intercept[IllegalArgumentException] {
+      Learn.centroidThresholdTrain(bad, "text", "doc_id", "y", 16)
+    }.getMessage.contains("+1/-1"))
+    assert(intercept[IllegalArgumentException] {
+      Learn.perceptronTrain(bad, "text", "doc_id", "y", 16, 1)
+    }.getMessage.contains("+1/-1"))
+  }
+
   test("epoch 1 from zero weights updates on every doc (margin 0 is misclassified)") {
     val got = trainFixture(1)
     // epoch-1 weights = sum of y·cnt over ALL nonempty docs — the bias
