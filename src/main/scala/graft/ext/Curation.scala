@@ -139,8 +139,14 @@ object Curation {
     def plainRaw(b: Column): Column = regexp_replace(b, "<[^>]*>", "")
     def noAnchorRaw(b: Column): Column =
       plainRaw(regexp_replace(b, "(?is)<a\\b[^>]*>.*?</a>", ""))
-    def wordsOf(b: Column): Column = {
-      val t = trim(plainRaw(b))
+    // parse each block ONCE into (plain, noAnchor) — the rules and the
+    // output all read the struct fields, so the tag-strip regexes run
+    // exactly once per block instead of once per rule (the HOF-lambda
+    // re-evaluation lesson, PERF.md)
+    val parsed = transform(split(blocked, "\n"), b =>
+      struct(plainRaw(b).as("p"), noAnchorRaw(b).as("na")))
+    def wordsOf(s: Column): Column = {
+      val t = trim(s.getField("p"))
       when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
     }
     // anchor-text chars = raw stripped length minus the anchors-removed
@@ -148,19 +154,18 @@ object Curation {
     // and exact). The density rule compares CROSS-MULTIPLIED longs —
     // 1000·anchor_chars ≤ maxLinkPermille·block_chars — so there is no
     // division anywhere and the comparison is exact in every engine
-    def linkOk(b: Column): Column = {
-      val raw = length(plainRaw(b)).cast("long")
-      val anchor = raw - length(noAnchorRaw(b)).cast("long")
+    def linkOk(s: Column): Column = {
+      val raw = length(s.getField("p")).cast("long")
+      val anchor = raw - length(s.getField("na")).cast("long")
       anchor * 1000L <= lit(maxLinkPermille.toLong) * raw
     }
-    val keepRule = (b: Column) =>
-      wordsOf(b) >= minWordsPerBlock && linkOk(b)
-    df.withColumn("_hm_blocks", split(blocked, "\n"))
-      .withColumn("_hm_kept", filter(col("_hm_blocks"), keepRule))
+    df.withColumn("_hm_blocks", parsed)
+      .withColumn("_hm_kept", filter(col("_hm_blocks"), s =>
+        wordsOf(s) >= minWordsPerBlock && linkOk(s)))
       .select(col(idCol),
-        array_join(transform(col("_hm_kept"), b => trim(plainRaw(b))), "\n")
+        array_join(transform(col("_hm_kept"), s => trim(s.getField("p"))), "\n")
           .as("text_main"),
-        size(filter(col("_hm_blocks"), b => trim(plainRaw(b)) =!= ""))
+        size(filter(col("_hm_blocks"), s => trim(s.getField("p")) =!= ""))
           .cast("long").as("n_blocks"),
         size(col("_hm_kept")).cast("long").as("n_kept"))
   }
