@@ -101,12 +101,17 @@ object Learn {
       .collect().map(_.getLong(0)).toSet
     require(labels.subsetOf(Set(1L, -1L)),
       s"labels must be exactly +1/-1, got ${labels.mkString(", ")}")
-    val w = Array.fill(nBuckets + 1)(0L)
+    // BigInt accumulation + longValueExact per epoch: the weight literal
+    // the next epoch folds in must be exact longs, so an overflow FAILS
+    // LOUDLY here instead of wrapping into a silently-wrong model
+    val w = Array.fill(nBuckets + 1)(BigInt(0))
+    var wl = Seq.fill(nBuckets + 1)(0L)
     for (_ <- 1 to epochs) {
-      val upd = epochUpdates(feat, idCol, w.toSeq).collect()
-      upd.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      val upd = epochUpdates(feat, idCol, wl).collect()
+      upd.foreach(r => w(r.getInt(0)) += BigInt(r.getDecimal(1).toBigInteger))
+      wl = w.toSeq.map(_.bigInteger.longValueExact())
     }
-    w.toSeq
+    wl
   }
 
   /** One training epoch's per-bucket weight deltas under the current
@@ -127,7 +132,10 @@ object Learn {
       .select(col(idCol))
     feat.join(mis, Seq(idCol))
       .groupBy(col("_pc_b"))
-      .agg(sum(col("_pc_y") * col("_pc_c")).as("_pc_d"))
+      // decimal(38,0) deltas: a long sum would wrap silently once a
+      // bucket's update mass passes 2^63 tokens
+      .agg(sum((col("_pc_y") * col("_pc_c")).cast("decimal(38,0)"))
+        .as("_pc_d"))
   }
 
   /** Nearest-centroid classifier with an EXACT threshold sweep — the
@@ -162,7 +170,8 @@ object Learn {
     * default quantStep = 1 that is simply `score > thresholdQ`. */
   def centroidThresholdTrain(df: DataFrame, textCol: String, idCol: String,
                              labelCol: String, nBuckets: Int,
-                             quantStep: Long = 1L): (Seq[Long], Long) = {
+                             quantStep: Long = 1L,
+                             maxSweepCandidates: Long = 1L << 20): (Seq[Long], Long) = {
     require(quantStep >= 1L, "quantStep must be >= 1")
     val feat = hashedTokenFeatures(df, textCol, idCol, labelCol, nBuckets,
       includeBias = false)
@@ -180,32 +189,88 @@ object Learn {
     val nNeg = cls.getOrElse(-1L, 0L)
     require(nPos > 0 && nNeg > 0,
       s"centroidThresholdTrain needs both classes (got +1: $nPos, -1: $nNeg)")
-    val q20 = BigInt(1) << 20
-    val w = Array.fill(nBuckets)(0L)
-    feat.groupBy(col("_pc_y"), col("_pc_b"))
-      .agg(sum(col("_pc_c")).as("_pc_s")).collect()
-      .foreach { r =>
-        val y = r.getLong(0); val b = r.getInt(1); val c = BigInt(r.getLong(2))
-        val d = if (y > 0) (c * q20) / nPos else -((c * q20) / nNeg)
-        w(b) += d.toLong // |d| <= 2^20 * mean tokens per doc
-      }
-    // threshold sweep over TRAINING scores: group by the floored score,
-    // cumulative class counts in score order, accuracy per candidate
-    val wl = w.toSeq
+    // class bucket sums in decimal(38,0): a long sum would wrap silently
+    // once a class's bucket token mass passes 2^63
+    val sums = feat.groupBy(col("_pc_y"), col("_pc_b"))
+      .agg(sum(col("_pc_c").cast("decimal(38,0)")).as("_pc_s")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val wl = centroidWeightFold(sums.toIndexedSeq, nBuckets, nPos, nNeg)
+    // threshold sweep over TRAINING scores (shared with the data-driven
+    // trainer): census-bounded, then the grouped cumulative window
     val scored = df
       .filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
       .select(col(labelCol).cast("long").as("_pc_y"),
         centroidScore(col(textCol), wl).as("_pc_s"))
+    val t = thresholdSweep(scored, nPos, quantStep, maxSweepCandidates)
+    (wl, t)
+  }
+
+  /** Q20 mean-difference weight fold over the collected class bucket
+    * sums: `w_b = (2²⁰·cp_b) div n₊ − (2²⁰·cn_b) div n₋`. BigInt
+    * throughout, converted with `longValueExact` so an overflowing
+    * weight FAILS LOUDLY instead of wrapping — |w_b| is bounded by
+    * 2²⁰·(mean tokens per doc), so a long overflows only past ~2⁴³ mean
+    * tokens, but a silent wrap is never acceptable in an oracle-checked
+    * trainer (LearnSpec pins the failure mode). */
+  private[graft] def centroidWeightFold(classSums: Seq[(Long, Int, BigInt)],
+                                        nBuckets: Int, nPos: Long,
+                                        nNeg: Long): Seq[Long] = {
+    val q20 = BigInt(1) << 20
+    val w = Array.fill(nBuckets)(BigInt(0))
+    classSums.foreach { case (y, b, c) =>
+      w(b) += (if (y > 0) (c * q20) / nPos else -((c * q20) / nNeg))
+    }
+    w.toSeq.map(_.bigInteger.longValueExact())
+  }
+
+  /** Exact accuracy-maximizing threshold sweep over the training scores
+    * — step 2 of both centroid trainers. `scored` carries
+    * (_pc_y ∈ {+1,−1}, _pc_s); scores floor to multiples of `quantStep`
+    * and the candidate set is the DISTINCT quantized scores plus the
+    * all-positive sentinel below them; ties take the smallest T.
+    *
+    * The cumulative-accuracy window is unpartitioned BY CONSTRUCTION
+    * (candidates are globally ordered), so the frame it ranks must be
+    * provably small: a census of the grouped candidate frame runs FIRST
+    * and fails loudly over `maxSweepCandidates` (the
+    * semDedupClusters.maxCellSize discipline) — at 100× scale distinct
+    * raw scores approach corpus cardinality and a silent sweep would be
+    * the driver-adjacent bottleneck. The failure message derives the
+    * quantStep that brings the sweep back under the ceiling. */
+  private[graft] def thresholdSweep(scored: DataFrame, nPos: Long,
+                                    quantStep: Long,
+                                    maxSweepCandidates: Long): Long = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxSweepCandidates >= 1, "maxSweepCandidates must be >= 1")
+    val g = scored
       .withColumn("_pc_q",
         expr(s"cast((_pc_s - pmod(_pc_s, $quantStep)) / $quantStep as decimal(38,0))"))
-    val g = scored.groupBy(col("_pc_q"))
+      .groupBy(col("_pc_q"))
       .agg(sum(when(col("_pc_y") > 0, 1L).otherwise(0L)).as("_pc_gp"),
         sum(when(col("_pc_y") < 0, 1L).otherwise(0L)).as("_pc_gn"))
-    val winAll = org.apache.spark.sql.expressions.Window.orderBy(col("_pc_q"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // the unpartitioned window ranks the GROUPED candidate frame (<=
-    // distinct quantized scores, bounded by quantStep), not the corpus —
-    // the trainTokenVocabDf bounded-frame convention
+    // LOUD census before the single-partition window: candidate count
+    // plus the min (reused as the sentinel base) and max (for the
+    // quantStep suggestion) in one bounded job
+    val cen = g.agg(count(lit(1)).as("_pc_n"),
+      min(col("_pc_q")).cast("decimal(38,0)").as("_pc_mn"),
+      max(col("_pc_q")).cast("decimal(38,0)").as("_pc_mx")).collect().head
+    val nCand = cen.getLong(0)
+    require(nCand > 0, "threshold sweep needs at least one scored doc")
+    val minQ = BigInt(cen.getDecimal(1).toBigInteger)
+    val maxQ = BigInt(cen.getDecimal(2).toBigInteger)
+    require(nCand <= maxSweepCandidates, {
+      val span = (maxQ - minQ + 1) * quantStep
+      val step = (span + maxSweepCandidates - 1) / maxSweepCandidates
+      s"threshold sweep has $nCand distinct quantized score candidates " +
+        s"(> maxSweepCandidates = $maxSweepCandidates): the cumulative " +
+        s"window would run single-partition over an unbounded frame — " +
+        s"raise quantStep to >= $step (observed quantized span $span) " +
+        s"or raise maxSweepCandidates explicitly"
+    })
+    val winAll = Window.orderBy(col("_pc_q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the unpartitioned window ranks the GROUPED candidate frame — just
+    // censused <= maxSweepCandidates rows — never the corpus
     val best = g
       .withColumn("_pc_acc",
         sum(col("_pc_gn")).over(winAll) + (lit(nPos) - sum(col("_pc_gp")).over(winAll)))
@@ -215,12 +280,10 @@ object Learn {
       .collect()
     val (bestQ, bestAcc) =
       (BigInt(best.head.getDecimal(0).toBigInteger), best.head.getLong(1))
-    val minQ = BigInt(g.agg(min(col("_pc_q")).cast("decimal(38,0)")).collect()
-      .head.getDecimal(0).toBigInteger)
     // the all-positive sentinel (T below every score) wins ties: it is
     // the smallest candidate, matching the oracle's ORDER BY acc DESC, q
     val t = if (nPos >= bestAcc) minQ - 1 else bestQ
-    (wl, t.bigInteger.longValueExact())
+    t.bigInteger.longValueExact()
   }
 
   /** Score a text with trained [[centroidThresholdTrain]] weights (one

@@ -238,6 +238,37 @@ class LearnSpec extends SparkSpec {
     }.getMessage.contains("+1/-1"))
   }
 
+  test("threshold sweep is census-bounded: too many candidates fails loudly with a quantStep hint") {
+    // the fixture's 7 nonempty docs score distinctly; a 2-candidate
+    // ceiling must fail BEFORE the single-partition window runs, and the
+    // message must tell the caller which knob to turn
+    val e = intercept[IllegalArgumentException] {
+      Learn.centroidThresholdTrain(fixture.toDF("doc_id", "text", "y"),
+        "text", "doc_id", "y", 16, maxSweepCandidates = 2L)
+    }
+    assert(e.getMessage.contains("quantStep"), e.getMessage)
+    assert(e.getMessage.contains("maxSweepCandidates"), e.getMessage)
+    // a quantStep coarse enough to land under the ceiling trains fine
+    // with the SAME ceiling (all scores floor into <= 2 candidates)
+    val (w, _) = Learn.centroidThresholdTrain(
+      fixture.toDF("doc_id", "text", "y"), "text", "doc_id", "y", 16,
+      quantStep = 1L << 40, maxSweepCandidates = 2L)
+    val (wantW, _) = replayCentroid(fixture, 16)
+    (0 until 16).foreach(b => assert(BigInt(w(b)) == wantW(b)))
+  }
+
+  test("centroid weight fold fails loudly on long overflow (no silent wrap)") {
+    // a class bucket sum near 2^63: (c·2^20) div n overflows a long —
+    // must raise, never wrap into a silently-wrong model
+    intercept[ArithmeticException] {
+      Learn.centroidWeightFold(Seq((1L, 0, BigInt(Long.MaxValue))), 1, 1L, 1L)
+    }
+    // the non-overflowing fold stays exact: (3·2^20) div 2 − (2·2^20) div 2
+    assert(Learn.centroidWeightFold(
+      Seq((1L, 0, BigInt(3)), (-1L, 0, BigInt(2))), 1, 2L, 2L)
+      == Seq(((BigInt(3) << 20) / 2 - (BigInt(2) << 20) / 2).toLong))
+  }
+
   test("epoch 1 from zero weights updates on every doc (margin 0 is misclassified)") {
     val got = trainFixture(1)
     // epoch-1 weights = sum of y·cnt over ALL nonempty docs — the bias
