@@ -1923,6 +1923,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("_s") > thr, 1L).otherwise(0L)).as("n_pred_keep"))
     }),
+    "x65c_wide_quality" -> ((s, dir) => {
+      // x65's trainer at PRODUCTION WIDTH: 4096 hash buckets via the
+      // 4-hex-digit md5 prefix, the weight table kept as DATA and
+      // broadcast-joined (the tokenIdsJoin/ivfAssignJoin move applied to
+      // the learned quality model) — plan size independent of model
+      // width, where x65's 64-weight literal is the compact-demo form.
+      // Same exact integer math (Q20 mean-difference + census-bounded
+      // threshold sweep), oracle-replayed at the full 4096-bucket width.
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, thr) = graft.ext.Learn.centroidThresholdTrainJoin(
+        d.withColumn("_y", lenLabel), "text", "doc_id", "_y", 4096,
+        hexDigits = 4)
+      graft.ext.Learn.centroidScoreJoin(d, "text", "doc_id", w, 4096,
+          hexDigits = 4)
+        .select(col("doc_id"), col("score").cast("long").as("score"))
+        .withColumn("pred",
+          when(col("score") > thr, 1L).otherwise(-1L))
+    }),
     "x67_token_chunks" -> ((s, dir) =>
       // sliding token-window chunking (window 64, stride 48 → 16-token
       // overlap): the retrieval/embedding input shape, a pure projection
@@ -4403,6 +4423,15 @@ object SparkEntry {
                   AS BIGINT) AS n_pred_keep
          FROM sc f JOIN docs d USING (doc_id)
          GROUP BY d.lang"""),
+    // x65c: the SAME trainer replay at production width — 4096 buckets
+    // on the 4-hex-digit hash; the engine side trains/scores via the
+    // broadcast-joined weight TABLE, and must agree weight-for-weight
+    "x65c_wide_quality" -> (centroidCtes("TRUE", 4096, 4) +
+      """
+         SELECT doc_id, CAST(s AS BIGINT) AS score,
+                CAST(CASE WHEN s > (SELECT t FROM best) THEN 1 ELSE -1 END
+                  AS BIGINT) AS pred
+         FROM sc"""),
     "x66_html_extract" -> x66OracleSql,
     "x66b_crawl_clean" -> x66bOracleSql,
     // x14c: the pixel PATTERN replayed from the generator — sums and
@@ -4565,12 +4594,20 @@ object SparkEntry {
          FROM st"""
   )
 
-  /** x65/x65b shared centroid-trainer replay: Q20 mean-difference
+  /** x65/x65b/x65c shared centroid-trainer replay: Q20 mean-difference
     * weights from the docs satisfying `trainPred`, the exact threshold
     * sweep over the TRAINING scores, deployment scores (`sc`) over ALL
     * nonempty docs. `docs` keeps lang for downstream rollups; the label
-    * is the length rule y = +1 iff the doc has ≥ 40 tokens. */
-  private def centroidCtes(trainPred: String): String =
+    * is the length rule y = +1 iff the doc has ≥ 40 tokens. The bucket
+    * hash is the first `hexDigits` md5 hex digits mod `nBuckets` —
+    * x65/x65b replay the 2-digit/64-bucket literal model, x65c the
+    * 4-digit/4096-bucket production-width one (same CTE, wider knobs —
+    * the engine's literal and data-driven trainers share ONE replay). */
+  private def centroidCtes(trainPred: String, nBuckets: Int = 64,
+                           hexDigits: Int = 2): String = {
+    val digit = (i: Int) => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val bexpr = (2 to hexDigits).foldLeft(s"CAST(${digit(1)} AS BIGINT)")(
+      (a, i) => s"($a * 16 + ${digit(i)})")
     s"""WITH docs AS (
            SELECT doc_id, lang,
                   CASE WHEN len(string_split_regex(t, '\\s+')) >= 40
@@ -4583,11 +4620,9 @@ object SparkEntry {
          toks AS (SELECT doc_id, y, unnest(string_split_regex(t, '\\s+')) AS tok
                   FROM docs),
          feat AS (
-           SELECT doc_id, y,
-                  (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) * 16
-                   + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS b,
-                  COUNT(*) AS cnt
-           FROM toks GROUP BY 1, 2, 3),
+           SELECT doc_id, y, ($bexpr) % $nBuckets AS b, COUNT(*) AS cnt
+           FROM (SELECT doc_id, y, md5(tok) AS h FROM toks)
+           GROUP BY 1, 2, 3),
          tfeat AS (SELECT * FROM feat WHERE $trainPred),
          cls AS (SELECT COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS np,
                         COUNT(DISTINCT CASE WHEN y = -1 THEN doc_id END) AS nn
@@ -4618,6 +4653,7 @@ object SparkEntry {
                   UNION ALL
                   SELECT (SELECT MIN(q) - 1 FROM g), (SELECT np FROM cls)),
          best AS (SELECT q AS t FROM cand ORDER BY acc DESC, q ASC LIMIT 1)"""
+  }
 
   /** x66/x66b shared extraction replay: the synthetic page build (the
     * `pageExpr` SQL differs per query) + the whole extraction —

@@ -39,15 +39,19 @@ object Learn {
   /** Hashed bag-of-token features: one (idCol, _pc_y, _pc_b, _pc_c) row
     * per (document, bucket) plus a constant BIAS row per document at
     * bucket `nBuckets` — the bias learns as just another feature, so one
-    * aggregation per epoch covers both. Bucket hash = first two md5 hex
-    * digits mod nBuckets, byte-identical to the x31 scorer's convention.
+    * aggregation per epoch covers both. Bucket hash = first `hexDigits`
+    * md5 hex digits mod nBuckets (default 2, byte-identical to the x31
+    * scorer's convention; 4 for production-width ≥4096-bucket models).
     * Empty/null texts carry no signal and are excluded from training
     * (the x31 filter). */
   def hashedTokenFeatures(df: DataFrame, textCol: String, idCol: String,
                           labelCol: String, nBuckets: Int,
-                          includeBias: Boolean = true): DataFrame = {
-    require(nBuckets > 0 && nBuckets <= 256,
-      "bucket count must fit the 2-hex-digit hash")
+                          includeBias: Boolean = true,
+                          hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      "hexDigits must be in 1..8 (md5 prefix)")
+    require(nBuckets > 0 && nBuckets <= (1L << (4 * hexDigits)),
+      s"bucket count must fit the $hexDigits-hex-digit hash")
     Seq("_pc_y", "_pc_b", "_pc_c", "_pc_tok").foreach(c =>
       require(c != idCol && c != labelCol,
         s"hashedTokenFeatures reserves column $c"))
@@ -59,7 +63,7 @@ object Learn {
       .select(col(idCol), col("_pc_y"),
         explode(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("_pc_tok"))
       .withColumn("_pc_b",
-        (conv(substring(md5(col("_pc_tok")), 1, 2), 16, 10).cast("long")
+        (conv(substring(md5(col("_pc_tok")), 1, hexDigits), 16, 10).cast("long")
           % nBuckets).cast("int"))
       .groupBy(col(idCol), col("_pc_y"), col("_pc_b"))
       .agg(count(lit(1)).cast("long").as("_pc_c"))
@@ -298,6 +302,109 @@ object Learn {
         (conv(substring(md5(t), 1, 2), 16, 10).cast("long") % n).cast("int")
           + 1).cast("decimal(38,0)"))
     aggregate(terms, lit(0L).cast("decimal(38,0)"), (acc, x) => acc + x)
+  }
+
+  /** Data-driven form of [[centroidThresholdTrain]] for PRODUCTION-WIDTH
+    * models — the weight table is a DataFrame, not a plan literal, so
+    * PLAN SIZE IS INDEPENDENT OF BUCKET COUNT (the
+    * [[graft.ext.TextStats.tokenIdsJoin]] / ivfAssignJoin lesson): a real
+    * fastText-class quality model hashes into 10⁵–10⁶ buckets, and a
+    * million-entry `typedlit` would bloat the plan and defeat codegen.
+    * Same exact math as the literal trainer — Q20 mean-difference
+    * weights, census-bounded threshold sweep — but every step stays
+    * distributed: the class bucket sums REDUCE on the bucket key (never
+    * collected), the Q20 floor-divs run as ANSI decimal `div` inside
+    * that aggregation (non-negative operands, so truncation = floor,
+    * HUGEINT-exact in the oracle), and training scores come from one
+    * broadcast join of the ≤nBuckets-row weight table against the
+    * (id, bucket, count) feature frame. ANSI mode makes any long
+    * overflow in the weight subtraction throw instead of wrap — the
+    * [[centroidWeightFold]] contract, enforced by the engine.
+    *
+    * With `hexDigits = 2` and the same nBuckets this trains the
+    * BIT-IDENTICAL artifact to [[centroidThresholdTrain]] (LearnSpec
+    * pins the parity); `hexDigits = 4` opens 65 536 hash buckets.
+    * Returns (weights: DataFrame(b: int, w: long), thresholdQ) —
+    * deploy with [[centroidScoreJoin]]. */
+  def centroidThresholdTrainJoin(df: DataFrame, textCol: String,
+                                 idCol: String, labelCol: String,
+                                 nBuckets: Int, hexDigits: Int = 4,
+                                 quantStep: Long = 1L,
+                                 maxSweepCandidates: Long = 1L << 20,
+                                 stageWeights: Boolean = true): (DataFrame, Long) = {
+    require(quantStep >= 1L, "quantStep must be >= 1")
+    val feat = hashedTokenFeatures(df, textCol, idCol, labelCol, nBuckets,
+      includeBias = false, hexDigits = hexDigits)
+    val docs = feat.select(col(idCol), col("_pc_y")).distinct()
+    val cls = docs.groupBy(col("_pc_y")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(cls.keySet.subsetOf(Set(1L, -1L)),
+      s"labels must be exactly +1/-1, got ${cls.keySet.mkString(", ")}")
+    val nPos = cls.getOrElse(1L, 0L)
+    val nNeg = cls.getOrElse(-1L, 0L)
+    require(nPos > 0 && nNeg > 0,
+      s"centroidThresholdTrainJoin needs both classes (got +1: $nPos, -1: $nNeg)")
+    // w_b = (2^20·cp_b) div n+ − (2^20·cn_b) div n−, computed WHERE THE
+    // BUCKET LIVES: one bucket-keyed aggregation, decimal(38,0) sums,
+    // ANSI div (floor on these non-negative operands), long subtraction
+    // that throws on overflow instead of wrapping
+    val weights0 = feat
+      .groupBy(col("_pc_b").as("b"))
+      .agg(sum(when(col("_pc_y") > 0, col("_pc_c")).otherwise(0L)
+          .cast("decimal(38,0)")).as("_pc_cp"),
+        sum(when(col("_pc_y") < 0, col("_pc_c")).otherwise(0L)
+          .cast("decimal(38,0)")).as("_pc_cn"))
+      .select(col("b"),
+        (expr(s"(_pc_cp * 1048576) div $nPos")
+          - expr(s"(_pc_cn * 1048576) div $nNeg")).as("w"))
+    // stage the trained artifact (default): the weight table is tiny
+    // (≤ nBuckets rows) but its LINEAGE is a full corpus pass — staging
+    // makes the sweep's jobs and every deployment read a flat ≤nBuckets-
+    // row parquet instead of re-training per job (the stageSignatures /
+    // x35 stagePerIteration contract: temp dir, JVM-exit cleanup)
+    val weights =
+      if (stageWeights)
+        df.sparkSession.read.parquet(Dedup.stageSignatures(weights0))
+      else weights0
+    // training scores via the SAME broadcast-join scorer deployment
+    // uses; the sweep is the shared census-bounded step
+    val scored = feat.join(broadcast(weights), col("_pc_b") === col("b"), "left")
+      .groupBy(col(idCol), col("_pc_y"))
+      .agg(sum(coalesce(col("w"), lit(0L)).cast("decimal(38,0)")
+        * col("_pc_c")).as("_pc_s"))
+    val t = thresholdSweep(scored.select(col("_pc_y"), col("_pc_s")),
+      nPos, quantStep, maxSweepCandidates)
+    (weights, t)
+  }
+
+  /** Deploy trained [[centroidThresholdTrainJoin]] weights: score =
+    * Σ_b w_b·cnt_{doc,b} as decimal(38,0), via one zero-exchange
+    * tokenize→hash→count projection and ONE broadcast hash join of the
+    * weight table (buckets absent from the table score 0, matching the
+    * literal scorer's zero weights). The corpus never shuffles on
+    * anything but the doc id. Returns (idCol, score); empty/null texts
+    * are absent, like [[centroidScore]]'s deployment filter. */
+  def centroidScoreJoin(df: DataFrame, textCol: String, idCol: String,
+                        weights: DataFrame, nBuckets: Int,
+                        hexDigits: Int = 4): DataFrame = {
+    require(weights.columns.toSet == Set("b", "w"),
+      "weights must have exactly (b, w) — centroidThresholdTrainJoin's shape")
+    Seq("_pc_b", "_pc_c", "_pc_tok", "score").foreach(c =>
+      require(c != idCol && !df.columns.contains(c),
+        s"centroidScoreJoin reserves column $c"))
+    val feat = df
+      .filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("_pc_tok"))
+      .withColumn("_pc_b",
+        (conv(substring(md5(col("_pc_tok")), 1, hexDigits), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+      .groupBy(col(idCol), col("_pc_b"))
+      .agg(count(lit(1)).cast("long").as("_pc_c"))
+    feat.join(broadcast(weights), col("_pc_b") === col("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w"), lit(0L)).cast("decimal(38,0)")
+        * col("_pc_c")).as("score"))
   }
 
   /** Score a text with trained [[perceptronTrain]] weights: the raw

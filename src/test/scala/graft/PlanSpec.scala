@@ -640,6 +640,33 @@ class PlanSpec extends SparkSpec {
       s"corpus text in an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("x65c wide quality: weight table is data — broadcast join, width-independent plan") {
+    import org.apache.spark.sql.functions._
+    val p = tree(q("x65c_wide_quality"))
+    // the deployed scorer joins the staged weight parquet by BROADCAST;
+    // the corpus side never shuffles on anything but doc_id/bucket
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => l.contains("doc_id#") || l.contains("_pc_b#")),
+      s"unexpected exchange key:\n${exchanges.mkString("\n")}")
+    // model width lives in the weight DATA, not the plan: the deployment
+    // scorer's plan shape is identical at 64 and 4096 buckets (the
+    // tokenIdsJoin discipline)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def dep(n: Int) = {
+      val w = spark.range(n).select(col("id").cast("int").as("b"),
+        lit(1L).as("w"))
+      tree(graft.ext.Learn.centroidScoreJoin(d, "text", "doc_id", w, n,
+        hexDigits = 4))
+    }
+    def shape(s: String) = s.linesIterator.map(_.replaceAll("#\\d+L?", "#x")
+      .replaceAll("\\d+", "N")).mkString("\n")
+    assert(shape(dep(64)) == shape(dep(4096)),
+      s"plan must not grow with model width:\n${dep(64)}\n----\n${dep(4096)}")
+  }
+
   test("x42 sequence pack: exchanges key on lang/doc_id/seq_id only — ids, never text") {
     val p = tree(q("x42_sequence_pack"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)

@@ -128,11 +128,14 @@ class LearnSpec extends SparkSpec {
     * candidate over distinct training scores ∪ the all-positive
     * sentinel, ties to the smallest T. */
   private def replayCentroid(docs: Seq[(Long, String, Long)],
-                             nBuckets: Int): (Map[Int, BigInt], BigInt) = {
+                             nBuckets: Int,
+                             hexDigits: Int = 2): (Map[Int, BigInt], BigInt) = {
     def bucket(tok: String): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(tok.getBytes("UTF-8"))
-      Integer.parseInt(f"${md(0) & 0xff}%02x", 16) % nBuckets
+      val hex = md.take((hexDigits + 1) / 2).map(b => f"${b & 0xff}%02x")
+        .mkString.take(hexDigits)
+      Integer.parseInt(hex, 16) % nBuckets
     }
     val feats = docs.filter { case (_, t, _) => t != null && t.trim.nonEmpty }
       .map { case (id, t, y) =>
@@ -236,6 +239,41 @@ class LearnSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Learn.perceptronTrain(bad, "text", "doc_id", "y", 16, 1)
     }.getMessage.contains("+1/-1"))
+  }
+
+  test("join trainer (hexDigits=2) trains the bit-identical artifact to the literal trainer") {
+    val df = fixture.toDF("doc_id", "text", "y")
+    val (wl, tl) = Learn.centroidThresholdTrain(df, "text", "doc_id", "y", 16)
+    val (wdf, tj) = Learn.centroidThresholdTrainJoin(df, "text", "doc_id",
+      "y", 16, hexDigits = 2)
+    assert(tj == tl, s"threshold $tj vs $tl")
+    val wm = wdf.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 16).foreach(b =>
+      assert(wm.getOrElse(b, 0L) == wl(b), s"bucket $b: ${wm.get(b)} vs ${wl(b)}"))
+    // deployment parity: the broadcast-join scorer equals the literal
+    // scorer doc-for-doc (absent weight rows score 0)
+    val litScores = df
+      .filter(col("text").isNotNull && TextStats.wsTrim(col("text")) =!= "")
+      .select(col("doc_id"),
+        Learn.centroidScore(col("text"), wl).cast("long").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val joinScores = Learn.centroidScoreJoin(df, "text", "doc_id", wdf, 16,
+        hexDigits = 2)
+      .select(col("doc_id"), col("score").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(joinScores == litScores)
+  }
+
+  test("wide trainer (4096 buckets, 4 hex digits) matches an independent BigInt replay") {
+    val (wantW, wantT) = replayCentroid(fixture, 4096, hexDigits = 4)
+    val (wdf, gotT) = Learn.centroidThresholdTrainJoin(
+      fixture.toDF("doc_id", "text", "y"), "text", "doc_id", "y", 4096)
+    assert(BigInt(gotT) == wantT, s"threshold $gotT vs $wantT")
+    val wm = wdf.collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+    wantW.foreach { case (b, v) =>
+      assert(wm.getOrElse(b, BigInt(0)) == v, s"bucket $b: ${wm.get(b)} vs $v") }
+    wm.foreach { case (b, v) =>
+      assert(wantW.getOrElse(b, BigInt(0)) == v, s"stray bucket $b = $v") }
   }
 
   test("threshold sweep is census-bounded: too many candidates fails loudly with a quantStep hint") {
