@@ -1989,7 +1989,10 @@ object SparkEntry {
       val chunks = graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)
-        .select((col("doc_id") * 100000 + col("chunk_id")).as("pid"),
+        // loud pack: a >= 4.8M-token doc (chunk_id >= 100000) raises
+        // instead of silently colliding into a neighboring doc's pids
+        .select(graft.ext.Retrieval.packedId(col("doc_id"), col("chunk_id"),
+            100000L).as("pid"),
           col("chunk_text"))
       graft.ext.Retrieval.bm25TopKJoin(chunks, "chunk_text", "pid",
           hybridQueries.toDF("qid", "qtext"), "qid", "qtext", 1 << 30)

@@ -121,9 +121,13 @@ object Curation {
     require(minWordsPerBlock >= 0, "minWordsPerBlock must be non-negative")
     require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
       "maxLinkPermille is per-mille: 0..1000")
+    // no idCol exemption: an id column named like an output would yield
+    // duplicate output columns — fail loudly instead
     Seq("_hm_blocks", "_hm_kept", "text_main", "n_blocks", "n_kept")
-      .foreach(c => require(c == idCol || !df.columns.contains(c),
-        s"htmlMainContent reserves column $c"))
+      .foreach { c =>
+        require(c != idCol, s"htmlMainContent reserves column $c — rename the id column")
+        require(!df.columns.contains(c), s"htmlMainContent reserves column $c")
+      }
     val noScript = regexp_replace(
       regexp_replace(
         regexp_replace(coalesce(col(htmlCol), lit("")),
@@ -191,9 +195,14 @@ object Curation {
     require(window >= 1, "window must be >= 1")
     require(stride >= 1 && stride <= window,
       "stride must be in [1, window] (stride > window would drop tokens)")
+    // no idCol exemption: an id column NAMED like an output (chunk_id,
+    // n_tokens, chunk_text) would yield duplicate output columns — fail
+    // loudly instead
     Seq("_ck_toks", "_ck_n", "_ck_s", "chunk_id", "n_tokens", "chunk_text")
-      .foreach(c => require(c == idCol || !df.columns.contains(c),
-        s"chunkByTokens reserves column $c"))
+      .foreach { c =>
+        require(c != idCol, s"chunkByTokens reserves column $c — rename the id column")
+        require(!df.columns.contains(c), s"chunkByTokens reserves column $c")
+      }
     df.filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
       .withColumn("_ck_toks", split(TextStats.wsTrim(col(textCol)), "\\s+"))
       .withColumn("_ck_n", size(col("_ck_toks")))

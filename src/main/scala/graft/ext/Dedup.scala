@@ -356,17 +356,30 @@ object Dedup {
     * min-id representative. `labels` is (id, cluster_id); `scores` is
     * (idCol, scoreCol) — joined BY ID (one id-keyed hash join), keeper
     * picked by one cluster-keyed window over cluster-sized groups.
-    * Returns (cluster_id, keeper_id, keeper_score). */
+    * The scores side is PROJECTED onto internal aliases before the
+    * join, so the join key is unambiguous for any idCol — including
+    * `idCol == "id"` or a scores frame that carries its own unrelated
+    * `id`/`cluster_id` column (the bare `col("id") === col(idCol)`
+    * form mis-resolved both). Returns (cluster_id, keeper_id,
+    * keeper_score). */
   def clusterKeepers(labels: DataFrame, scores: DataFrame,
                      idCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    labels.join(scores, col("id") === col(idCol))
+    require(labels.columns.toSet == Set("id", "cluster_id"),
+      "labels must be exactly (id, cluster_id) — dupClusters' shape")
+    require(scores.columns.contains(idCol),
+      s"scores side lacks id column $idCol")
+    require(scores.columns.contains(scoreCol),
+      s"scores side lacks score column $scoreCol")
+    val s = scores.select(col(idCol).as("_ck_sid"),
+      col(scoreCol).as("_ck_score"))
+    labels.join(s, col("id") === col("_ck_sid"))
       .withColumn("_ck_rn", row_number().over(
         Window.partitionBy(col("cluster_id"))
-          .orderBy(col(scoreCol).desc, col("id"))))
+          .orderBy(col("_ck_score").desc, col("id"))))
       .filter(col("_ck_rn") === 1)
       .select(col("cluster_id"), col("id").as("keeper_id"),
-        col(scoreCol).as("keeper_score"))
+        col("_ck_score").as("keeper_score"))
   }
 
   /** Banded hamming near-dup pairs over [[simhash]] signatures — LSH in
@@ -793,9 +806,13 @@ object Dedup {
     require(k >= 2, "a boundary window is at least 2 tokens (k >= 2)")
     require(maskMod >= 2 && maskMod <= 256,
       "maskMod must be in [2, 256] (mean chunk length; 2-hex-digit hash)")
+    // no idCol exemption: an id column named like an output would yield
+    // duplicate output columns — fail loudly instead
     Seq("_cd_cuts", "_cd_toks", "_cd_cp", "chunk_id", "n_tokens", "chunk_text")
-      .foreach(c => require(c == idCol || !df.columns.contains(c),
-        s"cdcChunks reserves column $c"))
+      .foreach { c =>
+        require(c != idCol, s"cdcChunks reserves column $c — rename the id column")
+        require(!df.columns.contains(c), s"cdcChunks reserves column $c")
+      }
     val cuts = spanHashes(df, textCol, idCol, k)
       .filter(col("pos") >= 1 &&
         conv(substring(col("h"), 1, 2), 16, 10).cast("long") % maskMod === 0)

@@ -44,6 +44,22 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Pack a (parent id, child id) pair into ONE long key:
+    * `parent·mult + child`, with a LOUD per-row bound check — `child`
+    * must lie in [0, mult) or the row raises, because a silent
+    * out-of-range child would COLLIDE into another parent's key space
+    * (the x72 passage-id contract: a ≥ mult·stride-token document must
+    * fail the job, never silently merge its passages into a neighboring
+    * document's). ANSI mode already makes the multiply overflow-loud;
+    * this makes the modulus assumption equally loud. Unpack with
+    * `pid div mult` / `pid % mult`. */
+  def packedId(parent: Column, child: Column, mult: Long): Column = {
+    require(mult >= 2, "mult must be >= 2")
+    when(child >= 0 && child < mult, parent * mult + child)
+      .otherwise(raise_error(concat(
+        lit(s"packedId: child id out of [0, $mult): "), child.cast("string"))))
+  }
+
   /** Tokenized (id, tok) pairs: whitespace split of the trimmed text,
     * empty/blank-safe. Identical semantics to [[TextStats]]'s tokenizers
     * and the x34 vocabulary query. */

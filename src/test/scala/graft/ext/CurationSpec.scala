@@ -268,6 +268,16 @@ class CurationSpec extends SparkSpec {
         Seq((1L, "a", "x")).toDF("doc_id", "text", "chunk_id"),
         "text", "doc_id", 4, 3)
     }.getMessage.contains("reserves"))
+    // an ID COLUMN named like an output must fail loudly too — the old
+    // idCol exemption yielded duplicate chunk_id output columns
+    assert(intercept[IllegalArgumentException] {
+      Curation.chunkByTokens(Seq((1L, "a b c")).toDF("chunk_id", "text"),
+        "text", "chunk_id", 4, 3)
+    }.getMessage.contains("rename the id column"))
+    assert(intercept[IllegalArgumentException] {
+      Curation.htmlMainContent(Seq((1L, "<p>x y z</p>")).toDF("text_main", "html"),
+        "html", "text_main", 3, 300)
+    }.getMessage.contains("rename the id column"))
   }
 
   test("c4LineClean guards its reserved columns") {

@@ -82,6 +82,39 @@ class ExtSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 9L), (10L, 10L, 4L)), got.toString)
   }
 
+  test("clusterKeepers joins unambiguously: idCol == \"id\" and stray id columns both work") {
+    // the bare col(\"id\") === col(idCol) form mis-resolved when the
+    // scores frame ITSELF used \"id\" (a trivially-true self-compare) or
+    // smuggled an unrelated \"id\" column — both shapes must now pick the
+    // same keepers as the clean frame
+    val labels = Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id"))
+    val want = Set((1L, 3L, 9L), (10L, 10L, 4L))
+    // scores keyed by a column literally named "id"
+    val sameName = Seq((1L, 5L), (2L, 7L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("id", "q")
+    assert(Dedup.clusterKeepers(labels, sameName, "id", "q")
+      .as[(Long, Long, Long)].collect().toSet == want)
+    // scores carrying an UNRELATED "id" column (decoy values would pick
+    // the wrong keepers if the join resolved against it)
+    val stray = Seq((1L, 5L, 99L), (2L, 7L, 99L), (3L, 9L, 99L),
+      (10L, 4L, 99L), (11L, 4L, 99L)).toDF("doc_id", "q", "id")
+    assert(Dedup.clusterKeepers(labels, stray, "doc_id", "q")
+      .as[(Long, Long, Long)].collect().toSet == want)
+    // labels must be the exact dupClusters shape
+    assert(intercept[IllegalArgumentException] {
+      Dedup.clusterKeepers(sameName.withColumnRenamed("q", "cluster_id")
+        .withColumn("extra", lit(1)), sameName, "id", "q")
+    }.getMessage.contains("dupClusters"))
+  }
+
+  test("cdcChunks rejects an id column named like an output") {
+    assert(intercept[IllegalArgumentException] {
+      Dedup.cdcChunks(Seq((1L, "a b c d e")).toDF("chunk_id", "text"),
+        "text", "chunk_id", 4, 16)
+    }.getMessage.contains("rename the id column"))
+  }
+
   test("simhashNearDupPairs: banded candidates equal brute force; lossless guard enforced") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -15,6 +15,26 @@ class RetrievalSpec extends SparkSpec {
     (5L, "unrelated words only here")
   ).toDF("doc_id", "text")
 
+  test("packedId packs in-range children and raises loudly on the bound") {
+    val df = Seq((7L, 0L), (7L, 99999L), (8L, 42L)).toDF("d", "c")
+    val ok = df.select(Retrieval.packedId(col("d"), col("c"), 100000L).as("pid"))
+      .as[Long].collect().toSet
+    assert(ok == Set(700000L, 799999L, 800042L), ok.toString)
+    // chunk_id == mult would silently collide into doc 8's key space —
+    // the x72 failure mode — and must raise instead
+    val bad = Seq((7L, 100000L)).toDF("d", "c")
+    val e = intercept[Exception] {
+      bad.select(Retrieval.packedId(col("d"), col("c"), 100000L)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("packedId"),
+      String.valueOf(e.getMessage))
+    // negative children are equally out of contract
+    intercept[Exception] {
+      Seq((7L, -1L)).toDF("d", "c")
+        .select(Retrieval.packedId(col("d"), col("c"), 100000L)).collect()
+    }
+  }
+
   test("bm25TopK: conjunctive match outranks partial; rare terms outweigh common") {
     val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
       Seq(1L -> "spark broadcast"), 5)
