@@ -22,18 +22,47 @@ class PlanSpec extends SparkSpec {
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
 
-  test("catalog sweep: no query in the driver contract plans a CartesianProduct") {
-    // the one plan shape with no excuse at 100 TB: a cartesian is always a
-    // bug in this catalog (ANN crossJoins pin a broadcast side and plan as
-    // BroadcastNestedLoopJoin; every block/pair join is an equi-join).
+  test("catalog sweep: no CartesianProduct; unpartitioned windows only on the allowlist") {
+    // two catalog-wide bans in ONE construction pass (building every
+    // query is the expensive part):
+    //  - a cartesian is always a bug in this catalog (ANN crossJoins pin
+    //    a broadcast side and plan as BroadcastNestedLoopJoin; every
+    //    block/pair join is an equi-join);
+    //  - a WindowExec with NO partitionSpec runs single-partition — over
+    //    a corpus-sized frame that is the classic silent scale-killer.
+    //    Every such window must be on the documented bounded-frame
+    //    allowlist below, so a NEW global window fails the suite instead
+    //    of scrolling past as a WARN. (The trainers' internal sweeps are
+    //    separately census-bounded — Learn.thresholdSweep,
+    //    trainTokenVocabDf's TakeOrdered seed — and never reach a
+    //    returned plan.)
     // Construction side effects (bucketed tables, layout writes, BPE
     // training) run as part of building each frame — this is also the one
     // test that constructs EVERY catalog query, so plan analysis errors
     // anywhere in the contract surface here instead of at verify time.
+    val globalWindowAllowlist: Map[String, String] = Map(
+      // name -> why the unpartitioned frame is bounded (currently none:
+      // every catalog query partitions its windows or pre-aggregates to
+      // a bounded frame before ranking)
+    )
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      val p = tree(fn(spark, dir))
+      val df = fn(spark, dir)
+      val p = tree(df)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      val hits = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+      }
+      if (hits.nonEmpty && !globalWindowAllowlist.contains(name))
+        offenders += s"$name (${hits.size} unpartitioned window(s))"
     }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec outside the allowlist — partition it, " +
+        s"pre-aggregate to a bounded frame, or document it on the " +
+        s"allowlist with its bound:\n${offenders.mkString("\n")}")
   }
 
   test("entry: all four dimension joins are broadcast hash joins") {
