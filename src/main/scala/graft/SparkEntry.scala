@@ -2063,14 +2063,12 @@ object SparkEntry {
       // three-round trainer runs over that stream. One projection turns
       // the word problem into the char problem; the trainer, its
       // tie-break, its apply step, and the oracle's round chain are
-      // x38b's verbatim — composition, not reimplementation. BMP text
-      // contract (the '.' char-split is per code point in both engines).
+      // x38b's verbatim — composition, not reimplementation. The '.'
+      // char-split is per CODE POINT in both engines, so non-BMP text
+      // charifies whole (TextStats.charify; PropertySpec pins it).
       val d = t(s, dir, "documents")
       val charified = d.select(
-        trim(regexp_replace(
-          regexp_replace(graft.ext.TextStats.bpeNormalize(col("text")),
-            " ", "¤"),
-          "(.)", "$1 ")).as("ctext"))
+        graft.ext.TextStats.charify(col("text")).as("ctext"))
       val merges = graft.ext.TextStats.bpeTrain(charified, "ctext", 3)
       s.createDataFrame(merges)
         .select(col("merge_rank").cast("long").as("merge_rank"),

@@ -203,6 +203,21 @@ object TextStats {
   def bpeNormalize(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))
 
+  /** Character-level tokenization for char BPE (x68): [[bpeNormalize]],
+    * mark word boundaries with '¤' (the SentencePiece '▁' move — merges
+    * may absorb the boundary, which is how word-initial subwords form),
+    * then put one space after every CHARACTER so the char stream feeds
+    * the word-level trainer unchanged. The '(.)' split is PER CODE
+    * POINT: java.util.regex and RE2 are both code-point automata, so
+    * astral-plane text — emoji, CJK extensions, musical symbols —
+    * charifies to whole characters and NEVER to lone UTF-16 surrogates
+    * (PropertySpec pins the invariant against a driver-side code-point
+    * replay; bpeNormalize has already collapsed the line terminators
+    * that '.' would skip). */
+  def charify(text: Column): Column =
+    trim(regexp_replace(regexp_replace(bpeNormalize(text), " ", "¤"),
+      "(.)", "$1 "))
+
   /** One BPE-training round's statistic: adjacent-token pair counts over a
     * [[bpeNormalize]]d text column, as (a, b, n) rows. Same scale shape as
     * the x34/x38 vocabulary passes: the pair stream is built with

@@ -351,6 +351,62 @@ class PropertySpec extends SparkSpec {
       s"$before -> $after / $merges")
   }
 
+  test("charify is code-point safe: astral text never splits into lone surrogates") {
+    import graft.ext.TextStats
+    // generators draw from BMP letters, astral singles (musical symbol,
+    // emoji, CJK ext-B), and combining marks — the x68 charification
+    // must emit whole code points only, match a driver-side code-point
+    // replay exactly, and round-trip to the normalized text
+    val astral = Gen.oneOf("𝄞", "😀", "𪘀",
+      "a", "b", "é", "é", "字")
+    val word = Gen.nonEmptyListOf(astral).map(_.take(4).mkString)
+    val doc = for {
+      n <- Gen.chooseNum(1, 8)
+      ws <- Gen.listOfN(n, word)
+      pad <- Gen.oneOf("", " ", "\t\n")
+    } yield pad + ws.mkString(" ")
+    val docs = Gen.listOfN(30, doc).sample.get
+    def replay(s: String): String = // the contract, per CODE POINT
+      s.trim.replaceAll("\\s+", " ").replace(' ', '¤')
+        .codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+        .mkString(" ")
+    val got = docs.toDF("text")
+      .select(col("text"), TextStats.charify(col("text")).as("c"))
+      .as[(String, String)].collect()
+    got.foreach { case (text, c) =>
+      assert(c == replay(text), s"'$text': '$c' vs '${replay(text)}'")
+      c.split(" ").filter(_.nonEmpty).foreach { tok =>
+        assert(tok.codePoints().count() == 1, s"multi-codepoint token '$tok'")
+        assert(!tok.exists(ch => Character.isSurrogate(ch) && tok.length == 1),
+          s"lone surrogate in '$text'")
+      }
+      // round-trip: un-spacing the chars and restoring boundaries
+      // recovers the normalized text
+      assert(c.split(" ").mkString.replace('¤', ' ')
+        == text.trim.replaceAll("\\s+", " "), s"round-trip of '$text'")
+    }
+    // and the trainer consumes the astral stream whole: every learned
+    // merge side is a well-formed code-point sequence
+    val merges = TextStats.bpeTrain(
+      docs.toDF("text").select(TextStats.charify(col("text")).as("ctext")),
+      "ctext", 3)
+    merges.foreach { m =>
+      Seq(m.a, m.b).foreach { s =>
+        var i = 0
+        while (i < s.length) {
+          val ch = s.charAt(i)
+          if (Character.isHighSurrogate(ch))
+            assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+              s"dangling high surrogate in merge '$s'")
+          else assert(!Character.isLowSurrogate(ch),
+            s"dangling low surrogate in merge '$s'")
+          i += 1
+        }
+      }
+    }
+  }
+
   test("exciseRepeatedSpans: token accounting, subsequence, pass-through, determinism") {
     import graft.ext.{Dedup, TextStats}
     // tiny alphabet forces heavy span repetition (incl. overlapping and
