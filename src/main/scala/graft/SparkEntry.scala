@@ -1713,6 +1713,34 @@ object SparkEntry {
       graft.ext.Graphs.trustRank(fwd.union(rev), "src", "dst",
         seeds, "seed", 3, stagePerIteration = true)
     }),
+    "x59d_pagerank_incremental" -> ((s, dir) => {
+      // incremental re-rank on edge APPEND — the per-crawl cadence: the
+      // resident graph (orders with o_orderkey % 5 ≠ 0) ranks cold for 3
+      // rounds and stages its rank table; the append (the remaining
+      // orders' edges) arrives and the FULL graph runs 2 warm rounds
+      // seeded from that staged table — carried nodes start at their
+      // prior rank, new nodes at the uniform base, and no cold restart
+      // re-derives what the last release knew. The oracle unrolls the 3
+      // cold rounds AND the 2 warm rounds bit-for-bit.
+      def graph(p: org.apache.spark.sql.DataFrame) = {
+        val fwd = p.select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        val rev = p.filter(col("l_quantity") > 25)
+          .select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("o_custkey") * 2).as("dst"))
+        fwd.union(rev)
+      }
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val prior = graft.ext.Graphs.pageRank(
+        graph(pairs.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst", 3,
+        stagePerIteration = true)
+      graft.ext.Graphs.pageRankWarm(graph(pairs), "src", "dst", 2, prior,
+        stagePerIteration = true)
+    }),
     "x60_margin_mine" -> ((s, dir) => {
       // margin-based pair mining (the LASER/CCMatrix bitext criterion):
       // even vec_ids mine their best match among odd vec_ids by margin —
@@ -4206,6 +4234,58 @@ object SparkEntry {
           ${round("r1", "r2")},
           ${round("r2", "r3")}
           SELECT node, rq AS rank_q18 FROM r3"""
+    },
+    // x59d: the x59 rounds TWICE — 3 cold rounds over the resident
+    // (o_orderkey % 5 <> 0) edge set, then 2 warm rounds over the FULL
+    // edge set seeded from the cold result (carried nodes keep their
+    // rank, new nodes enter at the full graph's uniform base)
+    "x59d_pagerank_incremental" -> {
+      def round(prev: String, cur: String, edges: String, base: String,
+                nn: String, bq: String) =
+        s"""$cur AS (SELECT b.node, b.od,
+              CAST(((150::HUGEINT * bq.bq)
+                    + 850::HUGEINT * (COALESCE(c.s, 0) + dg.dm // nn.n))
+                   // 1000 AS BIGINT) AS rq
+            FROM $base b
+            LEFT JOIN (SELECT e.dst, SUM(r.rq // r.od) AS s
+                       FROM $edges e JOIN $prev r ON r.node = e.src
+                       GROUP BY e.dst) c ON c.dst = b.node
+            CROSS JOIN (SELECT COALESCE(SUM(rq), 0) AS dm
+                        FROM $prev WHERE od IS NULL) dg
+            CROSS JOIN $nn nn CROSS JOIN $bq bq)"""
+      s"""WITH pr AS (SELECT o_orderkey, o_custkey, l_suppkey, l_quantity
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          oedges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM pr WHERE o_orderkey % 5 <> 0
+                     UNION ALL
+                     SELECT l_suppkey * 2 + 1, o_custkey * 2 FROM pr
+                     WHERE o_orderkey % 5 <> 0 AND l_quantity > 25),
+          edges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pr
+                    UNION ALL
+                    SELECT l_suppkey * 2 + 1, o_custkey * 2 FROM pr
+                    WHERE l_quantity > 25),
+          onodes AS (SELECT src AS node FROM oedges UNION SELECT dst FROM oedges),
+          ood AS (SELECT src AS node, COUNT(*) AS od FROM oedges GROUP BY src),
+          obase AS (SELECT n.node, o.od FROM onodes n
+                    LEFT JOIN ood o ON o.node = n.node),
+          onn AS (SELECT COUNT(*) AS n FROM obase),
+          obq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // n AS bq FROM onn),
+          or0 AS (SELECT b.node, b.od, CAST(obq.bq AS BIGINT) AS rq
+                  FROM obase b CROSS JOIN obq),
+          ${round("or0", "or1", "oedges", "obase", "onn", "obq")},
+          ${round("or1", "or2", "oedges", "obase", "onn", "obq")},
+          ${round("or2", "or3", "oedges", "obase", "onn", "obq")},
+          nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+          od AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src),
+          base AS (SELECT n.node, o.od FROM nodes n
+                   LEFT JOIN od o ON o.node = n.node),
+          nn AS (SELECT COUNT(*) AS n FROM base),
+          bq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // n AS bq FROM nn),
+          w0 AS (SELECT b.node, b.od, CAST(COALESCE(p.rq, bq.bq) AS BIGINT) AS rq
+                 FROM base b LEFT JOIN or3 p ON p.node = b.node CROSS JOIN bq),
+          ${round("w0", "w1", "edges", "base", "nn", "bq")},
+          ${round("w1", "w2", "edges", "base", "nn", "bq")}
+          SELECT node, rq AS rank_q18 FROM w2"""
     },
     // x59b: the seeded (TrustRank) rounds — teleport and dangling mass go
     // to the seed distribution only; otherwise the x59 replay verbatim

@@ -61,6 +61,83 @@ class GraphsSpec extends SparkSpec {
     assert(run(edges, 3) == run(edges, 3, stage = true))
   }
 
+  /** BigInt replay of the WARM rounds: r₀ = prior where present, uniform
+    * base of the CURRENT graph where new; then the pageRank update. */
+  private def replayWarm(edges: Seq[(Long, Long)], prior: Map[Long, BigInt],
+                         iters: Int, d: Int = 850): Map[Long, BigInt] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val od = edges.groupBy(_._1).view.mapValues(es => BigInt(es.size)).toMap
+    val base = BigInt(10).pow(18) / n
+    var r = nodes.map(v => v -> prior.getOrElse(v, base)).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(od.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      r = nodes.map(v => v -> (
+        (BigInt(1000 - d) * base +
+          BigInt(d) * (contrib.getOrElse(v, BigInt(0)) + dm / n)) / 1000)).toMap
+    }
+    r
+  }
+
+  private def runWarm(edges: Seq[(Long, Long)], prior: Map[Long, Long],
+                      iters: Int, stage: Boolean = false): Map[Long, Long] =
+    Graphs.pageRankWarm(edges.toDF("src", "dst"), "src", "dst", iters,
+        prior.toSeq.toDF("node", "rank_q18"), stagePerIteration = stage)
+      .as[(Long, Long)].collect().toMap
+
+  test("pageRankWarm matches the BigInt replay on an edge append (new + carried + dangling nodes)") {
+    // resident graph ranks cold; an append adds a new node 5 and a new
+    // edge into the dangling node 4 — warm rounds must seed carried
+    // nodes from the prior, new node 5 at the FULL graph's uniform base
+    val old = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L))
+    val full = old ++ Seq((5L, 1L), (1L, 5L), (5L, 4L))
+    val prior = run(old, 3)
+    val got = runWarm(full, prior, 2)
+    val want = replayWarm(full, prior.map { case (k, v) => k -> BigInt(v) }, 2)
+      .map { case (k, v) => k -> v.toLong }
+    assert(got == want)
+    // staged ≡ lazy, bit for bit
+    assert(runWarm(full, prior, 2, stage = true) == got)
+  }
+
+  test("pageRankWarm with a uniform prior is bit-identical to cold pageRank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.size
+    val uniform = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      .map(v => v -> (BigInt(10).pow(18) / n).toLong).toMap
+    assert(runWarm(edges, uniform, 3) == run(edges, 3))
+    // and an EMPTY prior cold-starts every node the same way
+    assert(runWarm(edges, Map.empty, 3) == run(edges, 3))
+  }
+
+  test("pageRankWarm converges faster than a cold restart after a small append") {
+    // a ring with chords plus a 2-edge append: after the same 2 rounds,
+    // the warm ranks must sit closer (L1 on rank_q18) to the converged
+    // full ranking than the cold ranks do — the point of warm-starting
+    // deep runs MUST stage: the lazy plan's rank lineage doubles per
+    // round (the pageRank scaladoc's 2^iters warning)
+    val old = (1L to 12L).map(v => (v, v % 12 + 1)) ++
+      Seq((1L, 7L), (4L, 10L), (8L, 2L))
+    val full = old ++ Seq((13L, 1L), (7L, 13L))
+    val prior = run(old, 12, stage = true)
+    val converged = run(full, 40, stage = true)
+    def l1(a: Map[Long, Long]) =
+      converged.keys.map(k => (BigInt(a(k)) - BigInt(converged(k))).abs).sum
+    val warm2 = runWarm(full, prior, 2)
+    val cold2 = run(full, 2)
+    assert(l1(warm2) < l1(cold2),
+      s"warm L1 ${l1(warm2)} must beat cold L1 ${l1(cold2)}")
+  }
+
+  test("pageRankWarm guards the prior's shape") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    assert(intercept[IllegalArgumentException](
+      Graphs.pageRankWarm(e, "src", "dst", 1,
+        Seq((1L, 1L)).toDF("node", "rank"))).getMessage.contains("rank_q18"))
+  }
+
   /** Independent BigInt replay of the trustRank contract. */
   private def replayTrust(edges: Seq[(Long, Long)], seedIds: Seq[Long],
                           iters: Int, d: Int = 850): Map[Long, BigInt] = {
