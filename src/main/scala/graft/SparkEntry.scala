@@ -2126,6 +2126,35 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"),
           col("score").cast("double").as("score"),
           col("rank").cast("long").as("rnk"))
+    }),
+    "s10b_ivf_compact" -> ((s, dir) => {
+      // the FULL maintenance lifecycle (s10 stops at append): the
+      // resident 3/5 writes the layout, TWO 1/5 batches append — files
+      // accrete per touched cell — then compactIvfCells rewrites the hot
+      // cells back toward one file each and the probe runs against the
+      // compacted layout. Compaction must be invisible to answers: the
+      // oracle is x6b's full-corpus query, verbatim, so a row dropped,
+      // duplicated, or mis-celled by the rewrite breaks the hash
+      // (PlanSpec pins the file-count drop itself).
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      def assign(batch: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfAssignJoin(batch.select(col("vec_id"), col("embedding")),
+          centroids, "vec_id", "embedding")
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_ivf_compact_")
+      Similarity.writeIvfPartitioned(
+        assign(emb.filter(col("vec_id") % 5 > 1)), ldir)
+      Similarity.appendIvfPartitioned(
+        assign(emb.filter(col("vec_id") % 5 === 0)), ldir)
+      Similarity.appendIvfPartitioned(
+        assign(emb.filter(col("vec_id") % 5 === 1)), ldir)
+      Similarity.compactIvfCells(s, ldir, targetRowsPerFile = 1L << 20)
+      Similarity.ivfTopKPartitioned(ldir, centroids,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5, 2)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"),
+          col("rank").cast("long").as("rnk"))
     })
   )
 
@@ -2369,6 +2398,7 @@ object SparkEntry {
       ("x59c_pagerank_weighted" -> oracleSqlBase("x59_pagerank")) +
       ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf")) +
       ("s10_ivf_append" -> oracleSqlBase("x6b_ann_ivf")) +
+      ("s10b_ivf_compact" -> oracleSqlBase("x6b_ann_ivf")) +
       ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
       ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk")) +
       ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card"))

@@ -588,6 +588,57 @@ object Similarity {
     assigned.repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(path)
 
+  /** The maintenance pass [[appendIvfPartitioned]]'s scaladoc promises:
+    * compact the HOT cells of a cid-partitioned layout back toward one
+    * file each. Each append batch accretes ~1 file per touched cell, so
+    * after B batches a probe of that cell pays B file opens + footers —
+    * the small-file decay [[graft.ops.Scale.compactParquet]] documents.
+    * This walks the `cid=` directories (an O(cells) driver listing — the
+    * same manifest-scale contract as [[graft.ops.Scale]]'s footer
+    * manifest), and for every cell holding more than `maxFilesPerCell`
+    * data files, rewrites it via `compactParquet` into a hidden
+    * `.compact/` staging dir (invisible to concurrent readers — Spark
+    * skips dot-paths) and then SWAPS it in. The swap is delete+rename —
+    * atomic enough for a local/HDFS layout; on an object-store lake the
+    * commit step is a manifest swap instead, the
+    * [[graft.ops.Scale.compactParquet]] caller contract. Cold cells are
+    * untouched: maintenance cost scales with the append's footprint, not
+    * the corpus. Partition directories never change, so probe pruning
+    * and answers are invisible to compaction (s10b's oracle is x6b's,
+    * verbatim; PlanSpec pins the file counts).
+    *
+    * Returns (cid, filesBefore, filesAfter) per compacted cell. */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
+                      layoutDir: String, targetRowsPerFile: Long,
+                      maxFilesPerCell: Int = 1): Seq[(Int, Int, Int)] = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = root.getFileSystem(conf)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact")
+    val out = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .sortBy(_.getPath.getName)
+      .flatMap { cell =>
+        val before = dataFiles(cell.getPath).length
+        if (before <= maxFilesPerCell) None
+        else {
+          val cid = cell.getPath.getName.stripPrefix("cid=").toInt
+          val staged = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
+          val after = graft.ops.Scale.compactParquet(spark,
+            cell.getPath.toString, staged.toString, targetRowsPerFile)
+          require(fs.delete(cell.getPath, true) && fs.rename(staged, cell.getPath),
+            s"compact commit failed for cell $cid")
+          Some((cid, before, after))
+        }
+      }.toSeq
+    fs.delete(staging, true)
+    out
+  }
+
   private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
     centroids.select(col("cid").cast("int"), col("cvec"))
       .collect()

@@ -119,6 +119,46 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compactIvfCells: hot cells rewrite to one file, cold cells untouched, reads lossless") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    def assign(b: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssignJoin(b, cents, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    // resident write + two appends: every touched cell accretes a file
+    // per batch (the small-file decay the maintenance pass exists for)
+    Similarity.writeIvfPartitioned(assign(emb.filter(col("vec_id") % 3 === 0)), path)
+    Similarity.appendIvfPartitioned(assign(emb.filter(col("vec_id") % 3 === 1)), path)
+    Similarity.appendIvfPartitioned(assign(emb.filter(col("vec_id") % 3 === 2)), path)
+    val before = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"), col("cid")).collect().toSet
+    def cellFiles(cid: Int) = new java.io.File(s"$path/cid=$cid").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val hot = (0 until 8).filter(c => new java.io.File(s"$path/cid=$c").isDirectory
+      && cellFiles(c) > 1)
+    assert(hot.nonEmpty, "fixture must accrete multi-file cells")
+    val report = Similarity.compactIvfCells(spark, path, 1L << 20)
+    // every hot cell compacted to ONE file (1M-row target >> cell size),
+    // report says so, and nothing else was touched
+    assert(report.map(_._1).toSet == hot.toSet, s"$report vs hot=$hot")
+    report.foreach { case (cid, nBefore, nAfter) =>
+      assert(nBefore > 1 && nAfter == 1, s"cell $cid: $nBefore -> $nAfter")
+      assert(cellFiles(cid) == 1, s"cell $cid still has ${cellFiles(cid)} files")
+    }
+    // the staging dir is gone and the layout reads back losslessly —
+    // same rows, same cells, partition pruning still derives cid from
+    // the unchanged directory names
+    assert(!new java.io.File(s"$path/.compact").exists())
+    val after = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"), col("cid")).collect().toSet
+    assert(after == before)
+    // idempotent: a second pass finds nothing hot
+    assert(Similarity.compactIvfCells(spark, path, 1L << 20).isEmpty)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     Seq("bkt_a", "bkt_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
