@@ -344,9 +344,10 @@ object Curation {
       "bucket count must fit the 2-hex-digit hash")
     require(k >= 1, "k must be positive")
     Seq("_ds_t", "_ds_b", "_ds_cr", "_ds_ct", "_ds_tr", "_ds_tt",
-        "_ds_r", "_ds_s", "_ds_n", "score_q20").foreach(c =>
-      require(c == idCol || !df.columns.contains(c),
-        s"dsirTopK reserves column $c"))
+        "_ds_r", "_ds_s", "_ds_n", "score_q20").foreach { c =>
+      require(c != idCol, s"dsirTopK reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"dsirTopK reserves column $c")
+    }
     val toks = df
       .select(col(idCol), isTarget.cast("boolean").as("_ds_t"),
         explode(split(TextStats.wsTrim(col(textCol)), "\\s+")).as("_ds_tok"))
@@ -396,9 +397,11 @@ object Curation {
     * domain of their own (null-safe join). */
   def sqrtTemperatureSample(df: DataFrame, idCol: String,
                             domainCol: String): DataFrame = {
-    Seq("_tm_n", "_tm_min", "_tm_c", "_tm_rate", "_tm_d").foreach(c =>
-      require(c == idCol || !df.columns.contains(c),
-        s"sqrtTemperatureSample reserves column $c"))
+    Seq("_tm_n", "_tm_min", "_tm_c", "_tm_rate", "_tm_d").foreach { c =>
+      require(c != idCol && c != domainCol,
+        s"sqrtTemperatureSample reserves column $c — rename the input column")
+      require(!df.columns.contains(c), s"sqrtTemperatureSample reserves column $c")
+    }
     val cnts = df.groupBy(col(domainCol).as("_tm_d"))
       .agg(count(lit(1)).as("_tm_n"))
     val nMin = cnts.agg(min(col("_tm_n")).as("_tm_min"))
@@ -879,9 +882,10 @@ object Curation {
                   spanLen: Int = 3, ratePct: Int = 15): DataFrame = {
     require(spanLen >= 1, "spanLen must be positive")
     require(ratePct >= 0 && ratePct <= 100, "ratePct is a percentage")
-    Seq("_sc_toks", "_sc_masked", "input", "target", "n_masked").foreach(c =>
-      require(c == idCol || !df.columns.contains(c),
-        s"spanCorrupt reserves column $c"))
+    Seq("_sc_toks", "_sc_masked", "input", "target", "n_masked").foreach { c =>
+      require(c != idCol, s"spanCorrupt reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"spanCorrupt reserves column $c")
+    }
     val t = TextStats.wsTrim(col(textCol))
     val toks = col("_sc_toks")
     val nChunks = ceil(size(toks) / lit(spanLen.toDouble)).cast("int")
@@ -916,9 +920,10 @@ object Curation {
 
   private def reservePackCols(df: DataFrame, idCol: String): Unit =
     Seq("_ps_base", "_ps_n", "_ps_off", "_ps_idx", "_ps_local", "seq_id",
-        "seq_ids", "n_ids").foreach(c =>
-      require(c == idCol || !df.columns.contains(c),
-        s"packSequences reserves column $c"))
+        "seq_ids", "n_ids").foreach { c =>
+      require(c != idCol, s"packSequences reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"packSequences reserves column $c")
+    }
 
   private def packSequencesFrom(df: DataFrame, groupCols: Seq[String],
                                 idCol: String, idsCol: String,

@@ -764,9 +764,10 @@ object Dedup {
   def spanHashes(df: DataFrame, textCol: String, idCol: String,
                  k: Int): DataFrame = {
     require(k >= 2, "a span is at least 2 tokens (k >= 2)")
-    Seq("_sp_toks", "_sp_win", "pos", "h").foreach(c =>
-      require(c == idCol || !df.columns.contains(c),
-        s"spanHashes reserves column $c"))
+    Seq("_sp_toks", "_sp_win", "pos", "h").foreach { c =>
+      require(c != idCol, s"spanHashes reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"spanHashes reserves column $c")
+    }
     val toks = col("_sp_toks")
     val nWin = size(toks) - (k - 1)
     df.filter(col(textCol).isNotNull &&
@@ -925,9 +926,10 @@ object Dedup {
                           k: Int, minOcc: Int = 2): DataFrame = {
     require(minOcc >= 2, "a repeat needs at least 2 occurrences")
     Seq("_sp_occ", "_sp_rn", "_sp_p", "_sp_mask", "_sp_zip", "_sp_toks2",
-        "text_clean", "n_removed").foreach(c =>
-      require(c == idCol || !df.columns.contains(c),
-        s"exciseRepeatedSpans reserves column $c"))
+        "text_clean", "n_removed").foreach { c =>
+      require(c != idCol, s"exciseRepeatedSpans reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"exciseRepeatedSpans reserves column $c")
+    }
     import org.apache.spark.sql.expressions.Window
     val byH = Window.partitionBy(col("h"))
     val keeper = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))

@@ -912,9 +912,10 @@ object Similarity {
                      vecCol: String, dropPermille: Int): DataFrame = {
     require(dropPermille >= 0 && dropPermille <= 1000,
       "dropPermille is per-mille: 0..1000")
-    Seq("_pp_cnrm", "_pp_cos", "_pp_n", "rnk", "keep").foreach(c =>
-      require(c == idCol || !emb.columns.contains(c),
-        s"prototypePrune reserves column $c"))
+    Seq("_pp_cnrm", "_pp_cos", "_pp_n", "rnk", "keep").foreach { c =>
+      require(c != idCol, s"prototypePrune reserves column $c — rename the id column")
+      require(!emb.columns.contains(c), s"prototypePrune reserves column $c")
+    }
     val cents = centroids.select(col("cid"), col("cvec"),
       sqrt(quantizedDot(col("cvec"), col("cvec"))).as("_pp_cnrm"))
     val cos = when(col("nrm") * col("_pp_cnrm") === 0.0, lit(-2.0))

@@ -416,9 +416,10 @@ object TextStats {
   def tokenIdsJoin(df: DataFrame, textCol: String, idCol: String,
                    merges: Seq[BpeMerge], vocab: DataFrame,
                    sep: String = "\u0001"): DataFrame = {
-    Seq("_ti_pos", "_ti_tok", "_ti_vid", "ids").foreach(c =>
-      require(c == idCol || !df.columns.contains(c),
-        s"tokenIdsJoin reserves column $c"))
+    Seq("_ti_pos", "_ti_tok", "_ti_vid", "ids").foreach { c =>
+      require(c != idCol, s"tokenIdsJoin reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"tokenIdsJoin reserves column $c")
+    }
     require(vocab.columns.toSet == Set("tok", "vid"),
       "vocab must have exactly (tok, vid) — trainTokenVocabDf's shape")
     val seg = df
@@ -462,10 +463,17 @@ object TextStats {
     * Returns (doc_id, n_pairs, sum_p_q30, lm_q30). */
   def bigramLmScoreQ30(score: DataFrame, textCol: String, idCol: String,
                        train: DataFrame, trainTextCol: String): DataFrame = {
+    // "doc_id" is the OUTPUT id name, so idCol == "doc_id" is the one
+    // legal overlap; any other reserved name as the id column would
+    // yield duplicate/mis-bound output columns — fail loudly
     val reserved = Seq("doc_id", "_w1", "_w2", "_c2", "_c1w1", "_c1w2", "_t",
       "n_pairs", "sum_p_q30", "lm_q30")
-    reserved.foreach(c => require(c == idCol || !score.columns.contains(c),
-      s"bigramLmScoreQ30 reserves column $c on the score side"))
+    reserved.foreach { c =>
+      require(c == "doc_id" || c != idCol,
+        s"bigramLmScoreQ30 reserves column $c — rename the id column")
+      require((c == idCol && c == "doc_id") || !score.columns.contains(c),
+        s"bigramLmScoreQ30 reserves column $c on the score side")
+    }
 
     def toks(tc: String): Column = split(wsTrim(col(tc)), "\\s+")
     def pairs(df: DataFrame, tc: String, keep: Seq[Column]): DataFrame =

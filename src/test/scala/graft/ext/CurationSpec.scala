@@ -280,6 +280,18 @@ class CurationSpec extends SparkSpec {
     }.getMessage.contains("rename the id column"))
   }
 
+  test("curation ops reject id columns named like outputs") {
+    def rejects(body: => Any): Unit =
+      assert(intercept[IllegalArgumentException](body)
+        .getMessage.contains("rename the id column"))
+    rejects(Curation.spanCorrupt(Seq((1L, "a b c")).toDF("input", "text"),
+      "text", "input"))
+    rejects(Curation.dsirTopK(Seq((1L, "a b")).toDF("score_q20", "text"),
+      "text", "score_q20", lit(true)))
+    rejects(Curation.packSequences(Seq((1L, Seq(1, 2))).toDF("seq_id", "ids"),
+      Nil, "seq_id", "ids", 4))
+  }
+
   test("c4LineClean guards its reserved columns") {
     val bad = Seq((1L, "x", "y")).toDF("doc_id", "text", "_lines")
     val e = intercept[IllegalArgumentException] {

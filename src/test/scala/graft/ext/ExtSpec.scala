@@ -115,6 +115,30 @@ class ExtSpec extends SparkSpec {
     }.getMessage.contains("rename the id column"))
   }
 
+  test("reserved-output-name guards reject id columns named like outputs across the surface") {
+    // the whole defect class closed at once: an id column NAMED like an
+    // operator output used to slip through the reserved check and yield
+    // duplicate/mis-bound output columns — every site must now fail with
+    // the rename hint
+    def rejects(body: => Any): Unit =
+      assert(intercept[IllegalArgumentException](body)
+        .getMessage.contains("rename the id column"))
+    rejects(Dedup.spanHashes(Seq((1L, "a b c")).toDF("pos", "text"),
+      "text", "pos", 2))
+    rejects(Dedup.exciseRepeatedSpans(
+      Seq((1L, "a b c")).toDF("text_clean", "text"), "text", "text_clean", 2))
+    rejects(TextStats.tokenIdsJoin(Seq((1L, "a b")).toDF("ids", "text"),
+      "text", "ids", Seq.empty[BpeMerge], Seq(("a", 1)).toDF("tok", "vid")))
+    rejects(TextStats.bigramLmScoreQ30(
+      Seq((1L, "a b")).toDF("n_pairs", "text"), "text", "n_pairs",
+      Seq("a b").toDF("text"), "text"))
+    // ...while the one legal overlap — the id column that IS the output
+    // id name — still works
+    assert(TextStats.bigramLmScoreQ30(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "text", "doc_id",
+      Seq("a b").toDF("text"), "text").columns.contains("doc_id"))
+  }
+
   test("simhashNearDupPairs: banded candidates equal brute force; lossless guard enforced") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -205,6 +205,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("wide quality model deploys on the ingest stream (x65c artifact, foreachBatch parity)") {
+    // the PRODUCTION-WIDTH deployment: train once (weight table staged
+    // to parquet by the trainer), then score each ingest micro-batch
+    // with centroidScoreJoin — a broadcast join of the staged artifact,
+    // no retrain, no literal rebuild. Scoring is per-doc aggregation, so
+    // the stream shape is foreachBatch (micro-batch = batch semantics);
+    // the streamed scores must be byte-equal to one batch run.
+    val docs = Seq(
+      (1L, "alpha beta beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "short doc"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "tiny"),
+      (5L, "k l m n o p q r s t u v w x y z aa bb cc dd")
+    ).toDF("doc_id", "text")
+    val src = Files.createTempDirectory("wqsrc").toString
+    docs.write.mode("overwrite").parquet(src)
+    val lab = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+      "\\s+")) >= 10, 1L).otherwise(-1L)
+    val (w, thr) = graft.ext.Learn.centroidThresholdTrainJoin(
+      docs.withColumn("_y", lab), "text", "doc_id", "_y", 4096)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Learn.centroidScoreJoin(df, "text", "doc_id", w, 4096)
+        .select(col("doc_id"), col("score").cast("long").as("s"),
+          (col("score") > thr).as("keep"))
+    val expected = score(docs).as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(expected.map(_._3).toSet == Set(true, false),
+      "fixture must keep some docs and drop some")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = spark.readStream.schema(docs.schema).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= score(batch).as[(Long, Long, Boolean)].collect()
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(got.sortBy(_._1).toSeq == expected.toSeq)
+  }
+
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
     // streaming dimension maintenance: each micro-batch of change events
     // MERGEs into the versioned table via ops.Merge.scd2Merge — the
