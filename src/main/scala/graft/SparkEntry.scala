@@ -683,6 +683,31 @@ object SparkEntry {
         d.select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("gs")),
         "doc_id", "gs")
     }),
+    "x13c_containment" -> ((s, dir) => {
+      // doc-in-doc detection — the signal symmetric Jaccard misses: every
+      // 7th doc also ships a boilerplate-WRAPPED copy (id + 100000;
+      // nav-header/footer chrome around the same text — the
+      // scraped-with-chrome shape). The pair's Jaccard decays with the
+      // wrap ratio; containment = |∩| / min(|A|,|B|) stays ≈ 1 and
+      // catches it. Candidates here are the known wrap relation (the
+      // candidate SOURCE is pluggable — x13b's LSH supplies them at
+      // scale); the verify is the id-keyed asymmetric containmentVerify
+      // over word-bigram sets, O(|candidates|).
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), col("text"))
+      val wrapped = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("site navigation header menu about contact "),
+            col("text"),
+            lit(" footer privacy terms copyright notice legal")).as("text"))
+      val sets = d.unionByName(wrapped)
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("gs"))
+      val cands = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 100000).as("b_id"))
+      Dedup.containmentVerify(cands, sets, "doc_id", "gs")
+    }),
     "x4_jaccard_pairs" -> ((s, dir) => {
       // SMALL-BLOCK FIXTURE (oracle-comparison only): all-pairs within a
       // (lang, source) block is quadratic in the block — fine at sf0.1,
@@ -1018,6 +1043,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.duplicateSentenceFraction(col("text")).as("dup_sent_frac"),
         TextStats.maxTokenLen(col("text")).cast("long").as("max_tok_len"))),
+    "x25b_topngram_fraction" -> ((s, dir) =>
+      // Gopher's remaining repetition rule: characters covered by the
+      // most frequent word bigram (all sliding windows, overlaps
+      // included — degenerate token loops can exceed 1000‰, which IS the
+      // signal), exact cross-multiplied per-mille, ties to the
+      // lexicographically smallest gram. One (id, gram) aggregation +
+      // a doc-partitioned top-1 window; the oracle replays every window,
+      // the tie rule, and the floor-div.
+      TextStats.topNgramCharFraction(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", 2)),
     "x18_stratified_sample" -> ((s, dir) =>
       // deterministic eval-set carving: 5 docs per (lang, source) stratum
       // picked by id-hash — stable across runs and engines
@@ -3463,6 +3499,65 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
          FROM sets a JOIN sets b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+    // x13c: the wrapped-copy construction, bigram sets for originals AND
+    // wraps, and both ratios replayed — containment's min-side divisor
+    // against Jaccard's union divisor, IEEE divisions of exact ints
+    "x13c_containment" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         corpus AS (SELECT doc_id, t FROM d
+                    UNION ALL
+                    SELECT doc_id + 100000,
+                           'site navigation header menu about contact ' || t
+                             || ' footer privacy terms copyright notice legal'
+                    FROM d WHERE doc_id % 7 = 0),
+         sets AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, greatest(len(ts) - 1, 1)),
+                           i -> concat_ws(' ', ts[i], ts[i+1]))) AS gs
+                  FROM (SELECT doc_id, string_split_regex(t, '\s+') AS ts
+                        FROM corpus)),
+         cands AS (SELECT doc_id AS a_id, doc_id + 100000 AS b_id
+                   FROM d WHERE doc_id % 7 = 0)
+         SELECT c.a_id, c.b_id,
+                CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+                CAST(len(a.gs) AS BIGINT) AS n_a,
+                CAST(len(b.gs) AS BIGINT) AS n_b,
+                CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / least(len(a.gs), len(b.gs)) AS containment,
+                CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+         FROM cands c
+         JOIN sets a ON a.doc_id = c.a_id
+         JOIN sets b ON b.doc_id = c.b_id""",
+    // x25b: every sliding bigram window, the (count desc, gram asc) tie
+    // rule, and the cross-multiplied per-mille floor-div replayed
+    "x25b_topngram_fraction" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         tok AS (SELECT doc_id, length(t) AS n_chars,
+                        string_split_regex(t, '\s+') AS ts
+                 FROM d),
+         g AS (SELECT doc_id, n_chars,
+                      unnest(list_transform(generate_series(1, len(ts) - 1),
+                        i -> concat_ws(' ', ts[i], ts[i+1]))) AS gram
+               FROM tok WHERE len(ts) >= 2),
+         c AS (SELECT doc_id, n_chars, gram, COUNT(*) AS n_occ
+               FROM g GROUP BY 1, 2, 3),
+         r AS (SELECT doc_id, n_chars, gram, n_occ,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY n_occ DESC, gram ASC) AS rn
+               FROM c)
+         SELECT doc_id, gram AS top_gram, CAST(n_occ AS BIGINT) AS n_occ,
+                CAST((1000 * n_occ * length(gram)) // n_chars AS BIGINT)
+                  AS frac_permille
+         FROM r WHERE rn = 1""",
     "x20_nfc_normalize" ->
       """SELECT doc_id,
          md5(nfc_normalize(text || 'e' || chr(769))) AS norm_md5,

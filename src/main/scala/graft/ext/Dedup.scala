@@ -445,6 +445,34 @@ object Dedup {
         jaccard(col("a_set"), col("b_set")).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT for candidate pairs — the doc-in-doc
+    * signal symmetric Jaccard structurally misses: a document quoted
+    * whole inside a longer one, or wrapped in boilerplate, has
+    * |∩| ≈ |smaller side| so containment = |∩| / min(|A|, |B|) ≈ 1 while
+    * Jaccard = |∩| / |∪| shrinks with the size ratio — at 10× wrap it is
+    * under 0.1 and every symmetric threshold lets the copy through.
+    * Production curation runs BOTH: Jaccard for near-dup pairs,
+    * containment for subsumption (quote farms, scraped-with-chrome
+    * copies, licence-text wrapping). Same scale-safe candidate-driven
+    * shape as [[jaccardVerify]] — candidates carry (a_id, b_id) only and
+    * the sets join back BY ID, O(|candidates|); both ratios are IEEE
+    * divisions of exact integers, bit-stable across engines. Returns
+    * (a_id, b_id, n_common, n_a, n_b, containment, jaccard). */
+  def containmentVerify(candidates: DataFrame, sets: DataFrame, idCol: String,
+                        setCol: String = "toks"): DataFrame = {
+    val a = sets.select(col(idCol).as("a_id"), col(setCol).as("a_set"))
+    val b = sets.select(col(idCol).as("b_id"), col(setCol).as("b_set"))
+    candidates.select(col("a_id"), col("b_id"))
+      .join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long").as("n_common"),
+        size(col("a_set")).cast("long").as("n_a"),
+        size(col("b_set")).cast("long").as("n_b"),
+        (size(array_intersect(col("a_set"), col("b_set"))).cast("double")
+          / least(size(col("a_set")), size(col("b_set")))).as("containment"),
+        jaccard(col("a_set"), col("b_set")).as("jaccard"))
+  }
+
   /** Duplicate clusters: connected components over (a_id, b_id) near-dup
     * pairs, label = MIN id in the component (so the label doubles as the
     * deterministic keeper, A8 semantics). Docs with no pair are absent —

@@ -612,29 +612,57 @@ object Similarity {
                       layoutDir: String, targetRowsPerFile: Long,
                       maxFilesPerCell: Int = 1): Seq[(Int, Int, Int)] = {
     require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(layoutDir)
     val fs = root.getFileSystem(conf)
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    val staging = new org.apache.hadoop.fs.Path(root, ".compact")
-    val out = fs.listStatus(root)
+    val hot = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-      .sortBy(_.getPath.getName)
-      .flatMap { cell =>
-        val before = dataFiles(cell.getPath).length
-        if (before <= maxFilesPerCell) None
-        else {
-          val cid = cell.getPath.getName.stripPrefix("cid=").toInt
-          val staged = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
-          val after = graft.ops.Scale.compactParquet(spark,
-            cell.getPath.toString, staged.toString, targetRowsPerFile)
-          require(fs.delete(cell.getPath, true) && fs.rename(staged, cell.getPath),
-            s"compact commit failed for cell $cid")
-          Some((cid, before, after))
-        }
-      }.toSeq
+      .map(s => s.getPath.getName.stripPrefix("cid=").toInt ->
+        dataFiles(s.getPath).length)
+      .filter(_._2 > maxFilesPerCell).toMap
+    if (hot.isEmpty) return Seq.empty
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact")
+    fs.delete(staging, true)
+    // ONE partition-pruned read + ONE partitionBy write rewrites every
+    // hot cell that fits its target in a single job — the shape that
+    // holds when thousands of cells run hot after a big append (a
+    // per-cell compactParquet loop is O(hot cells) driver-sequential
+    // jobs). The pruned census also tells us which cells exceed
+    // targetRowsPerFile; only THOSE few fall back to the per-cell
+    // multi-file compactParquet path.
+    val hotIds = hot.keys.toSeq.sorted.map(Int.box)
+    val pruned = spark.read.parquet(layoutDir)
+      .filter(col("cid").isin(hotIds: _*))
+    val rows = pruned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (big, small) = hot.keys.toSeq.sorted
+      .partition(c => rows.getOrElse(c, 0L) > targetRowsPerFile)
+    if (small.nonEmpty)
+      pruned.filter(col("cid").isin(small.map(Int.box): _*))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
+    big.foreach { cid =>
+      graft.ops.Scale.compactParquet(spark,
+        new org.apache.hadoop.fs.Path(root, s"cid=$cid").toString,
+        new org.apache.hadoop.fs.Path(staging, s"cid=$cid").toString,
+        targetRowsPerFile)
+    }
+    // commit: swap each staged cell in (delete+rename locally; on an
+    // object-store lake this step is the atomic manifest swap — the
+    // compactParquet caller contract). A hot cell with zero rows has no
+    // staged dir and simply drops its dead files.
+    val out = hot.keys.toSeq.sorted.map { cid =>
+      val cell = new org.apache.hadoop.fs.Path(root, s"cid=$cid")
+      val staged = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
+      require(fs.delete(cell, true), s"compact commit failed for cell $cid")
+      if (fs.exists(staged))
+        require(fs.rename(staged, cell), s"compact commit failed for cell $cid")
+      (cid, hot(cid), if (fs.exists(cell)) dataFiles(cell).length else 0)
+    }
     fs.delete(staging, true)
     out
   }

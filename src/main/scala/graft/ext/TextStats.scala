@@ -194,6 +194,55 @@ object TextStats {
       .withColumn("zipf_score", col("bits").cast("double") / col("n_tok"))
   }
 
+  /** Gopher's remaining repetition rule (Rae et al. 2021 §A1.1): the
+    * fraction of a document's characters covered by its MOST FREQUENT
+    * word n-gram — boilerplate-looped and template-generated pages score
+    * high where [[duplicateSentenceFraction]] (line-level) misses
+    * sub-sentence repetition. Definition (the standard reimplementation
+    * form): `frac = n_occ(top gram) · len(top gram) / len(text)`, with
+    * occurrences counted over ALL sliding windows — overlaps included,
+    * so the per-mille can exceed 1000 on degenerate token loops, which
+    * is exactly the signal (a cap would erase it). Exact integer
+    * cross-multiplied per-mille; ties break to the lexicographically
+    * smallest gram; docs shorter than `n` tokens carry no windows and
+    * are absent.
+    *
+    * Scale shape: one explode of full n-gram windows (the codegen'd
+    * slice/zip form — no index lambda), ONE (id, gram)-keyed aggregation
+    * with map-side partials, then a doc-partitioned top-1 window over
+    * the per-doc distinct-gram frame. Text leaves the exchange only as
+    * single grams. Returns (idCol, top_gram, n_occ, frac_permille). */
+  def topNgramCharFraction(df: DataFrame, textCol: String, idCol: String,
+                           n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n must be >= 1")
+    Seq("_tg_len", "_tg_gram", "_tg_rn", "top_gram", "n_occ", "frac_permille")
+      .foreach { c =>
+        require(c != idCol, s"topNgramCharFraction reserves column $c — rename the id column")
+        require(!df.columns.contains(c), s"topNgramCharFraction reserves column $c")
+      }
+    val t = wsTrim(col(textCol))
+    val toks = split(t, "\\s+")
+    // full windows only: slice length = size - n + 1 once size >= n
+    val zipped = arrays_zip((0 until n).map(o =>
+      slice(toks, lit(o + 1), size(toks) - (n - 1))): _*)
+    val grams = transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(o => s.getField(o.toString)): _*))
+    df.filter(col(textCol).isNotNull && size(split(wsTrim(col(textCol)), "\\s+")) >= n
+        && wsTrim(col(textCol)) =!= "")
+      .select(col(idCol), length(t).as("_tg_len"), explode(grams).as("_tg_gram"))
+      .groupBy(col(idCol), col("_tg_len"), col("_tg_gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("_tg_rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("n_occ").desc, col("_tg_gram").asc)))
+      .filter(col("_tg_rn") === 1)
+      .select(col(idCol), col("_tg_gram").as("top_gram"),
+        col("n_occ").cast("long").as("n_occ"),
+        expr("cast((1000 * n_occ * length(_tg_gram)) div _tg_len as bigint)")
+          .as("frac_permille"))
+  }
+
   // ───────────────────────── BPE merge training ─────────────────────────
 
   /** Canonical whitespace form for the BPE rounds: runs of whitespace

@@ -115,6 +115,40 @@ class ExtSpec extends SparkSpec {
     }.getMessage.contains("rename the id column"))
   }
 
+  test("containmentVerify: doc-in-doc scores ~1 where Jaccard decays with the wrap ratio") {
+    // b contains a's text verbatim inside 12 tokens of chrome: every one
+    // of a's bigrams appears in b, so containment is exactly 1.0 while
+    // Jaccard is 3/15 — under any symmetric near-dup threshold
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "x1 x2 x3 x4 x5 x6 alpha beta gamma delta y1 y2 y3 y4 y5 y6"),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("gs"))
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val got = Dedup.containmentVerify(cands, sets, "doc_id", "gs")
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"),
+        col("n_b"), col("containment"), col("jaccard"))
+      .as[(Long, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._2)
+    assert(got(0) == (1L, 2L, 3L, 3L, 15L, 1.0, 0.2), got(0).toString)
+    assert(got(1)._6 == 0.0 && got(1)._7 == 0.0, got(1).toString)
+  }
+
+  test("topNgramCharFraction: counts all windows, exact per-mille, smallest-gram ties, short docs absent") {
+    val docs = Seq(
+      (1L, "a a a a b"),    // "a a" x3 of 4 windows; 1000*3*3 div 9 = 1000
+      (2L, "m n m"),        // "m n" and "n m" tie at 1 -> smaller gram wins
+      (3L, "z z z z z z"),  // degenerate loop: 1000*5*3 div 11 = 1363 > 1000
+      (4L, "solo"),         // 1 token: no bigram window -> absent
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextStats.topNgramCharFraction(docs, "text", "doc_id", 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a a", 3L, 1000L),
+      (2L, "m n", 1L, 600L),  // 1000*1*3 div 5
+      (3L, "z z", 5L, 1363L)), got.mkString(", "))
+  }
+
   test("reserved-output-name guards reject id columns named like outputs across the surface") {
     // the whole defect class closed at once: an id column NAMED like an
     // operator output used to slip through the reserved check and yield
