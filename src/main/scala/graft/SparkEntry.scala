@@ -1038,6 +1038,23 @@ object SparkEntry {
         (length(withPii) - length(TextStats.redactPii(withPii)))
           .cast("long").as("n_removed_chars"))
     }),
+    "x24b_luhn_redaction" -> ((s, dir) => {
+      // checksum-VALIDATED card redaction: every doc carries one genuine
+      // PAN (the classic 4111... test number, separator varies by doc
+      // parity) and one Luhn-INVALID 16-digit decoy — the pass must
+      // redact exactly the valid one and leave the decoy, which a bare
+      // 16-digit regex cannot do. The oracle replays candidate
+      // extraction, the full Luhn fold per candidate, and the literal
+      // replacement chain.
+      val card = when(col("doc_id") % 2 === 0,
+        lit("4111-1111-1111-1111")).otherwise(lit("4111 1111 1111 1111"))
+      val withPan = concat(col("text"), lit(" pay "), card,
+        lit(" order 1234 5678 9012 3456 end"))
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(TextStats.redactCardNumbers(withPan)).as("redacted_md5"),
+        (length(withPan) - length(TextStats.redactCardNumbers(withPan)))
+          .cast("long").as("n_removed_chars"))
+    }),
     "x25_gopher_quality" -> ((s, dir) =>
       // Gopher/C4 repetition + degenerate-token signals
       t(s, dir, "documents").select(col("doc_id"),
@@ -3583,6 +3600,36 @@ object SparkEntry {
              '\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}', '<PHONE>', 'g')) AS BIGINT)
              AS n_removed_chars
          FROM w""",
+    // x24b: candidate extraction, the 16-digit Luhn fold per candidate
+    // (double odd 1-based positions, fold >9 back by 9, sum mod 10), and
+    // the literal replace chain over the VALID candidates only
+    "x24b_luhn_redaction" ->
+      """WITH w AS (
+           SELECT doc_id,
+             text || ' pay '
+                  || CASE WHEN doc_id % 2 = 0 THEN '4111-1111-1111-1111'
+                          ELSE '4111 1111 1111 1111' END
+                  || ' order 1234 5678 9012 3456 end' AS t
+           FROM documents),
+         red AS (
+           SELECT doc_id, t,
+             list_reduce(
+               list_prepend(t,
+                 list_filter(
+                   regexp_extract_all(t,
+                     '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b'),
+                   c -> list_sum(list_transform(generate_series(1, 16), i ->
+                          CASE WHEN i % 2 = 1
+                            THEN CASE WHEN 2 * (ascii(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)) - 48) > 9
+                                      THEN 2 * (ascii(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)) - 48) - 9
+                                      ELSE 2 * (ascii(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)) - 48) END
+                            ELSE ascii(substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)) - 48 END))
+                        % 10 = 0)),
+               (acc, c) -> replace(acc, c, '<CARD>')) AS r
+           FROM w)
+         SELECT doc_id, md5(r) AS redacted_md5,
+                CAST(length(t) - length(r) AS BIGINT) AS n_removed_chars
+         FROM red""",
     "x25_gopher_quality" ->
       """SELECT doc_id,
          1.0 - CAST(len(list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\. ')))

@@ -95,6 +95,38 @@ object TextStats {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\(\\d{3}\\)[ .-]?\\d{3}[ .-]?\\d{4}", "<PHONE>")
 
+  /** Luhn checksum validity of a 16-digit card-number candidate (digits
+    * possibly separated by spaces/dashes): strip non-digits, double every
+    * other digit from the left (16-digit layout), fold >9 back by 9, sum
+    * mod 10 == 0. Pure integer column arithmetic — no UDF — and
+    * replayable in ANSI SQL, so redaction decisions hash-check. */
+  def luhnValid16(cand: Column): Column = {
+    val digs = regexp_replace(cand, "[^0-9]", "")
+    val s = aggregate(transform(sequence(lit(1), lit(16)), i => {
+      val d = ascii(digs.substr(i, lit(1))) - lit(48)
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    }), lit(0), (acc, x) => acc + x)
+    length(digs) === 16 && s % 10 === 0
+  }
+
+  /** Card-number redaction with Luhn VALIDATION — the "check before you
+    * scrub" PII discipline: a bare 16-digit regex over-redacts (order
+    * numbers, tracking ids, timestamps-run-together), so production
+    * passes validate the checksum first and redact only genuine PANs.
+    * Candidates are 16 digits in 4 groups (optional space/dash
+    * separators, word-bounded); each candidate's Luhn check runs as pure
+    * column arithmetic, and the valid ones fold through literal
+    * `replace` calls (the bpeApplyMerge move — no regex rewrite of the
+    * doc). Zero-exchange projection; invalid candidates are left
+    * untouched, which IS the operator's point. */
+  def redactCardNumbers(text: Column): Column = {
+    val cands = regexp_extract_all(text,
+      lit("\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b"), lit(0))
+    aggregate(filter(cands, c => luhnValid16(c)), text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+  }
+
   /** Gopher/C4-style repetition signal: fraction of sentence units that
     * repeat an earlier unit (0 = all distinct). Exact rational arithmetic
     * (int counts, one double division). */

@@ -115,6 +115,24 @@ class ExtSpec extends SparkSpec {
     }.getMessage.contains("rename the id column"))
   }
 
+  test("redactCardNumbers: Luhn-valid PANs redact, invalid 16-digit decoys survive") {
+    // the operator's point is the checksum: two classic test PANs (Visa
+    // 4111..., Mastercard 5500...0004) must redact under either
+    // separator style, while Luhn-invalid 16-digit runs pass through
+    val docs = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),
+      (2L, "order 1234 5678 9012 3456 ref"),
+      (3L, "a 4111-1111-1111-1111 b 9999 9999 9999 9999 c"),
+      (4L, "5500 0000 0000 0004 visa")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextStats.redactCardNumbers(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "pay <CARD> now", got(1L))
+    assert(got(2L) == "order 1234 5678 9012 3456 ref", got(2L))
+    assert(got(3L) == "a <CARD> b 9999 9999 9999 9999 c", got(3L))
+    assert(got(4L) == "<CARD> visa", got(4L))
+  }
+
   test("containmentVerify: doc-in-doc scores ~1 where Jaccard decays with the wrap ratio") {
     // b contains a's text verbatim inside 12 tokens of chrome: every one
     // of a's bigrams appears in b, so containment is exactly 1.0 while
