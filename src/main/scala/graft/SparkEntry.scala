@@ -2024,6 +2024,39 @@ object SparkEntry {
         .withColumn("pred",
           when(col("score") > thr, 1L).otherwise(-1L))
     }),
+    "x65d_model_eval" -> ((s, dir) => {
+      // the train→deploy loop's missing third step: EVALUATION on a
+      // held-out split. Train on the even-id half (x65b's split), score
+      // the odd half the model never saw, and report the confusion
+      // matrix plus exact integer per-mille accuracy/precision/recall
+      // (floor-divs, NULL on empty denominators) — the numbers a model
+      // card ships. The oracle replays the split training AND the
+      // held-out confusion sums.
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, thr) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
+      d.filter(col("doc_id") % 2 === 1)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(lenLabel.as("_y"),
+          when(graft.ext.Learn.centroidScore(col("text"), w) > thr, 1L)
+            .otherwise(-1L).as("_p"))
+        .agg(
+          sum(when(col("_y") === 1 && col("_p") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("_y") === -1 && col("_p") === 1, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("_y") === 1 && col("_p") === -1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("_y") === -1 && col("_p") === -1, 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("cast((1000 * (tp + tn)) div (tp + fp + fn + tn) as bigint)")
+            .as("acc_permille"),
+          expr("cast((1000 * tp) div nullif(tp + fp, 0) as bigint)")
+            .as("prec_permille"),
+          expr("cast((1000 * tp) div nullif(tp + fn, 0) as bigint)")
+            .as("rec_permille"))
+    }),
     "x67_token_chunks" -> ((s, dir) =>
       // sliding token-window chunking (window 64, stride 48 → 16-token
       // overlap): the retrieval/embedding input shape, a pure projection
@@ -4676,6 +4709,29 @@ object SparkEntry {
                   AS BIGINT) AS n_pred_keep
          FROM sc f JOIN docs d USING (doc_id)
          GROUP BY d.lang"""),
+    // x65d: the even-half trainer replay, then the held-out (odd-half)
+    // confusion sums and the exact per-mille metric floor-divs
+    "x65d_model_eval" -> (centroidCtes("doc_id % 2 = 0") +
+      """,
+         ev AS (SELECT f.y,
+                       CASE WHEN f.s > (SELECT t FROM best) THEN 1 ELSE -1 END
+                         AS pred
+                FROM sc f WHERE f.doc_id % 2 = 1),
+         cm AS (SELECT
+                  SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+                  SUM(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+                  SUM(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS fn,
+                  SUM(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS tn
+                FROM ev)
+         SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                CAST((1000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+                  AS acc_permille,
+                CAST((1000 * tp) // NULLIF(tp + fp, 0) AS BIGINT)
+                  AS prec_permille,
+                CAST((1000 * tp) // NULLIF(tp + fn, 0) AS BIGINT)
+                  AS rec_permille
+         FROM cm"""),
     // x65c: the SAME trainer replay at production width — 4096 buckets
     // on the 4-hex-digit hash; the engine side trains/scores via the
     // broadcast-joined weight TABLE, and must agree weight-for-weight
