@@ -858,6 +858,20 @@ object SparkEntry {
         .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
           col("keep").cast("long").as("keep"))
     }),
+    "x35b_kmeans_parallel_seed" -> ((s, dir) => {
+      // k-means|| seeding (Bahmani et al. 2012) — the SCALABLE seeding
+      // that replaces the first-k convention x35's trainer starts from:
+      // first-k seeds can all land in one cluster (ids correlate with
+      // sources), while k-means|| oversamples by squared-distance mass
+      // in O(rounds) passes. Deterministic md5 draws (the mixtureSample
+      // discipline) + exact Q30 distances make every round replayable:
+      // the oracle unrolls both rounds, the final nearest-candidate
+      // weighting, and the (weight desc, id) top-k cut.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.kMeansParallelSeed(emb, "vec_id", "embedding", 8, 8, 2)
+        .select(col("cid").cast("long").as("cid"), col("cand_id"),
+          col("weight"))
+    }),
     "x35_kmeans_train" -> ((s, dir) => {
       // TRAIN the centroids the IVF/SemDeDup family consumes (their seeds
       // were the first-k convention; this is the Lloyd trainer): 2
@@ -3232,6 +3246,61 @@ object SparkEntry {
     // `div` — exact at any cell size); scaled back by 2^-30; ONE rounding
     // to REAL — the same single float rounding the Spark side performs),
     // then a final assignment against the trained centroids
+    // x35b: both k-means|| rounds unrolled — Q30 distance lambdas, the
+    // 4-hex md5 draw against the cross-multiplied HUGEINT inequality,
+    // the final nearest-candidate weighting, and the top-k cut
+    "x35b_kmeans_parallel_seed" -> {
+      def dist(a: String, b: String) =
+        s"""list_sum(list_transform(generate_series(1, len($a)), i ->
+            CAST(floor((CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+                       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+                       * 1073741824) AS BIGINT)))"""
+      def h16(r: Int) =
+        s"""(((CAST(strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 1, 1)) - 1 AS BIGINT) * 16
+             + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 2, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 4, 1)) - 1)"""
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         c0 AS (SELECT vec_id AS cand_id, embedding AS cvec
+                FROM e ORDER BY vec_id LIMIT 1),
+         p1 AS (SELECT x.vec_id, MIN(${dist("x.embedding", "c.cvec")}) AS d2
+                FROM e x CROSS JOIN c0 c GROUP BY x.vec_id),
+         t1 AS (SELECT CAST(SUM(d2) AS HUGEINT) AS tot FROM p1),
+         s1 AS (SELECT p.vec_id FROM p1 p, t1
+                WHERE CAST(${h16(1)} AS HUGEINT) * tot
+                      < 524288 * CAST(p.d2 AS HUGEINT)),
+         c1 AS (SELECT cand_id, cvec FROM c0
+                UNION ALL
+                SELECT e.vec_id, e.embedding FROM e JOIN s1 USING (vec_id)
+                WHERE e.vec_id NOT IN (SELECT cand_id FROM c0)),
+         p2 AS (SELECT x.vec_id, MIN(${dist("x.embedding", "c.cvec")}) AS d2
+                FROM e x CROSS JOIN c1 c GROUP BY x.vec_id),
+         t2 AS (SELECT CAST(SUM(d2) AS HUGEINT) AS tot FROM p2),
+         s2 AS (SELECT p.vec_id FROM p2 p, t2
+                WHERE CAST(${h16(2)} AS HUGEINT) * tot
+                      < 524288 * CAST(p.d2 AS HUGEINT)),
+         c2 AS (SELECT cand_id, cvec FROM c1
+                UNION ALL
+                SELECT e.vec_id, e.embedding FROM e JOIN s2 USING (vec_id)
+                WHERE e.vec_id NOT IN (SELECT cand_id FROM c1)),
+         asn AS (SELECT x.vec_id, c.cand_id,
+                        ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                          ORDER BY ${dist("x.embedding", "c.cvec")} ASC,
+                                   c.cand_id ASC) AS rn
+                 FROM e x CROSS JOIN c2 c),
+         w AS (SELECT c.cand_id, COUNT(a.vec_id) AS weight
+               FROM c2 c
+               LEFT JOIN (SELECT vec_id, cand_id FROM asn WHERE rn = 1) a
+                 USING (cand_id)
+               GROUP BY c.cand_id),
+         fin AS (SELECT cand_id, weight,
+                        ROW_NUMBER() OVER (ORDER BY weight DESC, cand_id ASC)
+                          - 1 AS cid
+                 FROM w)
+         SELECT CAST(cid AS BIGINT) AS cid, CAST(cand_id AS BIGINT) AS cand_id,
+                CAST(weight AS BIGINT) AS weight
+         FROM fin WHERE cid < 8"""
+    },
     "x35_kmeans_train" ->
       """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
            s1 AS (SELECT vec_id, cid,

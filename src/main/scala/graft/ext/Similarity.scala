@@ -38,6 +38,18 @@ object Similarity {
         org.apache.spark.sql.graftbridge.Bridge.expression(a),
         org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
+  /** Squared Euclidean distance in exact Q30 integers: Σᵢ
+    * floor((aᵢ−bᵢ)²·2³⁰) as a long. Each per-component step is
+    * deterministic IEEE arithmetic (exact float→double widening, one
+    * subtraction, one multiply, an exact ×2³⁰, floor), so the sum is
+    * bit-identical across engines — the [[quantizedDot]] convention in
+    * distance form. */
+  def quantizedDistQ30(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      floor(d * d * lit((1L << 30).toDouble)).cast("long")
+    }), lit(0L), (acc, x) => acc + x)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -524,6 +536,93 @@ object Similarity {
     * [[graft.ext.Dedup.stageSignatures]]) so every iteration starts
     * from a flat scan — constant plan size for deep runs, and each
     * iteration's corpus pass executes exactly once. */
+  /** k-means‖ seeding (Bahmani et al. 2012) in DETERMINISTIC,
+    * oracle-replayable form — the scalable seeding that replaces the
+    * first-k-rows convention: first-k seeds can all land in one cluster
+    * (ids correlate with sources/time), while k-means‖ oversamples
+    * points with probability ∝ their squared distance to the current
+    * seed set, spreading seeds across the data in O(rounds) passes
+    * instead of k-means++'s k sequential passes.
+    *
+    * Determinism (no RNG state, the mixtureSample draw discipline): the
+    * round-r draw for point x is `h16(id, r) · Σd² < l · d²(x) · 2¹⁶`
+    * with h16 the first 4 md5 hex digits of `id:kpp:r` — an exact
+    * integer cross-multiplication in decimal(38,0), replayed verbatim
+    * by the oracle. Distances are [[quantizedDistQ30]] longs; the seed
+    * chain starts at the min-id vector; candidate weights are nearest-
+    * candidate counts over the FINAL candidate set (ties → lowest
+    * candidate id); the k winners rank by (weight desc, id asc) and
+    * take cid 0..k−1 in that order.
+    *
+    * Scale shape: rounds+1 corpus passes, each a zero-exchange
+    * projection against the BROADCAST-SIZED candidate set folded in as
+    * plan literals (bounded ≈ 1 + l·rounds ≪ maxCandidates — k-means‖'s
+    * whole point is that the oversample is small) plus a 1-row total or
+    * a candidate-keyed count; sampled candidates collect to the driver
+    * under a LOUD `maxCandidates` ceiling (the semDedupClusters
+    * discipline). Returns (cid, cand_id, weight, cvec) — feed
+    * `select(cid, cvec)` to [[kMeansTrain]]. */
+  def kMeansParallelSeed(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, l: Int, rounds: Int,
+                         maxCandidates: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(l >= 1, "l (oversampling factor) must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    require(maxCandidates >= k, "maxCandidates must be >= k")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    def foldLeast(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head else least(cs: _*)
+    val head = base.orderBy(col("id")).limit(1).collect()
+    require(head.nonEmpty, "kMeansParallelSeed needs a non-empty corpus")
+    var cands: Vector[(Long, Seq[Float])] =
+      Vector(head.head.getLong(0) -> head.head.getSeq[Float](1).toVector)
+    for (r <- 1 to rounds) {
+      val dMin = foldLeast(cands.map { case (_, cv) =>
+        quantizedDistQ30(col("v"), typedlit(cv)) })
+      val scored = base.withColumn("_kp_d2", dMin)
+      val tot = scored.agg(sum(col("_kp_d2").cast("decimal(38,0)")).as("t"))
+        .collect().head.getDecimal(0)
+      if (tot != null && tot.signum > 0) {
+        val totLit = expr(s"cast('${tot.toBigInteger}' as decimal(38,0))")
+        val h = conv(substring(md5(concat(col("id").cast("string"),
+          lit(s":kpp:$r"))), 1, 4), 16, 10).cast("long")
+        val sampled = scored
+          .filter(h.cast("decimal(38,0)") * totLit <
+            lit(l.toLong * 65536L).cast("decimal(38,0)")
+              * col("_kp_d2").cast("decimal(38,0)"))
+          .select(col("id"), col("v")).collect()
+        val known = cands.map(_._1).toSet
+        cands = cands ++ sampled.toSeq
+          .filter(rw => !known(rw.getLong(0))).sortBy(_.getLong(0))
+          .map(rw => rw.getLong(0) -> rw.getSeq[Float](1).toVector)
+        require(cands.size <= maxCandidates,
+          s"k-means|| oversample reached ${cands.size} candidates " +
+            s"(> maxCandidates = $maxCandidates): lower l/rounds or raise " +
+            s"maxCandidates explicitly")
+      }
+    }
+    require(cands.size >= k,
+      s"k-means|| sampled only ${cands.size} candidates for k = $k — " +
+        s"raise l or rounds (corpus may also be smaller than k)")
+    // weights = nearest-candidate counts over the final candidate set
+    // (struct least: d2 asc, candidate id asc — the oracle's row_number)
+    val nearest = foldLeast(cands.map { case (cid0, cv) =>
+      struct(quantizedDistQ30(col("v"), typedlit(cv)).as("d"),
+        lit(cid0).as("i")) }).getField("i")
+    val weights = base.select(nearest.as("_kp_c"))
+      .groupBy(col("_kp_c")).agg(count(lit(1)).as("w"))
+      .collect().map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
+    val fin = cands
+      .map { case (id0, cv) => (id0, weights.getOrElse(id0, 0L), cv) }
+      .sortBy { case (id0, w, _) => (-w, id0) }
+      .take(k).zipWithIndex
+      .map { case ((id0, w, cv), i) => (i, id0, w, cv) }
+    import spark.implicits._
+    fin.toDF("cid", "cand_id", "weight", "cvec")
+  }
+
   def kMeansTrain(corpus: DataFrame, seed: DataFrame, idCol: String,
                   vecCol: String, iters: Int,
                   stagePerIteration: Boolean = false): DataFrame = {

@@ -115,6 +115,54 @@ class ExtSpec extends SparkSpec {
     }.getMessage.contains("rename the id column"))
   }
 
+  test("kMeansParallelSeed spreads seeds by distance mass where first-k collapses") {
+    // three tight clusters with ids ordered so the FIRST k ids all sit
+    // in cluster A — the first-k convention's failure mode. k-means||'s
+    // d²-weighted oversample must seed across clusters: its k-means cost
+    // (Σ min quantized d²) must beat the first-k seed's on this fixture.
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val raw: Seq[(Long, Seq[Float])] =
+      (1L to 8L).map(i => i -> v(0.0 + i * 0.001, 0.0)) ++
+      (9L to 16L).map(i => i -> v(10.0 + i * 0.001, 10.0)) ++
+      (17L to 24L).map(i => i -> v(-10.0 + i * 0.001, 5.0))
+    val pts = raw.toDF("vec_id", "embedding")
+    val seed = Similarity.kMeansParallelSeed(pts, "vec_id", "embedding",
+      3, 4, 3)
+    val rows = seed.select(col("cid"), col("cand_id"), col("weight"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 3, rows.mkString(","))
+    val ids = rows.map(_._2).toSet
+    assert(ids.subsetOf(raw.map(_._1).toSet), ids.toString)
+    // cid order is (weight desc, id asc)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+    // cost comparison against the first-k seed, replayed driver-side
+    // with the exact Q30 distance
+    def q30(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        val d = x.toDouble - y.toDouble
+        math.floor(d * d * (1L << 30).toDouble).toLong
+      }.sum
+    val byId = raw.toMap
+    def cost(centIds: Set[Long]): BigInt = {
+      val cents = centIds.toSeq.map(byId)
+      raw.map { case (_, p) => BigInt(cents.map(c => q30(p, c)).min) }.sum
+    }
+    assert(cost(ids) < cost(Set(1L, 2L, 3L)),
+      s"parallel-seed cost ${cost(ids)} must beat first-k ${cost(Set(1L, 2L, 3L))}")
+    // deterministic under repartitioning and row order
+    val seed2 = Similarity.kMeansParallelSeed(
+      pts.orderBy(col("vec_id").desc).repartition(7),
+      "vec_id", "embedding", 3, 4, 3)
+    assert(seed2.select(col("cid"), col("cand_id"), col("weight"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq == rows.toSeq)
+    // the seed table feeds the Lloyd trainer unchanged (spherical
+    // assignment is by DOT product, so a cell may legitimately empty out
+    // and drop — standard Lloyd; shape compatibility is the claim here)
+    val trained = Similarity.kMeansTrain(pts,
+      seed.select(col("cid"), col("cvec")), "vec_id", "embedding", 1)
+    assert(trained.count() >= 1 && trained.count() <= 3)
+  }
+
   test("redactCardNumbers: Luhn-valid PANs redact, invalid 16-digit decoys survive") {
     // the operator's point is the checksum: two classic test PANs (Visa
     // 4111..., Mastercard 5500...0004) must redact under either
