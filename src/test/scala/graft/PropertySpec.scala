@@ -396,12 +396,15 @@ class PropertySpec extends SparkSpec {
         var i = 0
         while (i < s.length) {
           val ch = s.charAt(i)
-          if (Character.isHighSurrogate(ch))
+          if (Character.isHighSurrogate(ch)) {
             assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
               s"dangling high surrogate in merge '$s'")
-          else assert(!Character.isLowSurrogate(ch),
-            s"dangling low surrogate in merge '$s'")
-          i += 1
+            i += 2 // a well-formed pair consumes BOTH halves
+          } else {
+            assert(!Character.isLowSurrogate(ch),
+              s"dangling low surrogate in merge '$s'")
+            i += 1
+          }
         }
       }
     }
