@@ -1074,6 +1074,21 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.duplicateSentenceFraction(col("text")).as("dup_sent_frac"),
         TextStats.maxTokenLen(col("text")).cast("long").as("max_tok_len"))),
+    "x73_keyword_tags" -> ((s, dir) => {
+      // multi-keyword topic tagging (the FlashText use case, Spark-
+      // native): the keyword dictionary is DATA — (kw, tag) rows with
+      // synonym groups sharing a tag — broadcast onto the token stream;
+      // each doc gets its sorted distinct tags pipe-joined (P10
+      // convention) and a count, unmatched/empty docs an empty tag
+      // string. One broadcast join + one id-keyed agg.
+      import s.implicits._
+      val kws = Seq(("join", "exec"), ("merge", "exec"), ("sort", "exec"),
+        ("stream", "runtime"), ("batch", "runtime"),
+        ("spark", "engine"), ("quantum", "absent")).toDF("kw", "tag")
+      TextStats.keywordTags(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", kws)
+    }),
     "x25b_topngram_fraction" -> ((s, dir) =>
       // Gopher's remaining repetition rule: characters covered by the
       // most frequent word bigram (all sliding windows, overlaps
@@ -3618,6 +3633,29 @@ object SparkEntry {
              / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
          FROM sets a JOIN sets b
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""",
+    // x73: the keyword table, token-exact lowercase matching, distinct
+    // tags sorted + pipe-joined, and the all-docs left join replayed
+    "x73_keyword_tags" ->
+      """WITH kw AS (SELECT * FROM (VALUES
+             ('join','exec'), ('merge','exec'), ('sort','exec'),
+             ('stream','runtime'), ('batch','runtime'),
+             ('spark','engine'), ('quantum','absent')) v(kw, tag)),
+         d AS (SELECT doc_id,
+                      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS t
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         toks AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok
+                  FROM d),
+         m AS (SELECT DISTINCT doc_id, tag
+               FROM toks JOIN kw ON kw.kw = toks.tok),
+         agg AS (SELECT doc_id,
+                        array_to_string(list_sort(list(tag)), '|') AS tags,
+                        COUNT(*) AS n_tags
+                 FROM m GROUP BY doc_id)
+         SELECT doc.doc_id, COALESCE(a.tags, '') AS tags,
+                CAST(COALESCE(a.n_tags, 0) AS BIGINT) AS n_tags
+         FROM documents doc LEFT JOIN agg a USING (doc_id)""",
     // x13c: the wrapped-copy construction, bigram sets for originals AND
     // wraps, and both ratios replayed — containment's min-side divisor
     // against Jaccard's union divisor, IEEE divisions of exact ints

@@ -95,6 +95,44 @@ object TextStats {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\(\\d{3}\\)[ .-]?\\d{3}[ .-]?\\d{4}", "<PHONE>")
 
+  /** Multi-keyword topic tagging via a broadcast keyword TABLE — the
+    * FlashText/Aho-Corasick use case (tag documents by which of many
+    * thousands of keywords they contain) in its Spark-native form:
+    * instead of a compiled trie, the keyword set is DATA — a (kw, tag)
+    * DataFrame broadcast against the exploded lowercased token stream
+    * (plan size independent of dictionary width, the tokenIdsJoin
+    * discipline; several keywords may share a tag — synonym lists).
+    * Matching is token-exact on lowercase; each doc reports its sorted
+    * distinct tags pipe-joined (the P10 convention — engine-portable,
+    * no array-compare ambiguity) and the tag count; unmatched docs keep
+    * an empty tag string via the left join back. Scale shape: one
+    * broadcast hash join on the token, one id-keyed distinct-tag
+    * aggregation — the corpus never shuffles on anything but the id.
+    * Returns (idCol, tags, n_tags). */
+  def keywordTags(df: DataFrame, textCol: String, idCol: String,
+                  keywords: DataFrame): DataFrame = {
+    require(keywords.columns.toSet == Set("kw", "tag"),
+      "keywords must have exactly (kw, tag)")
+    Seq("_kt_tok", "_kt_tag", "tags", "n_tags").foreach { c =>
+      require(c != idCol, s"keywordTags reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"keywordTags reserves column $c")
+    }
+    val toks = df
+      .filter(col(textCol).isNotNull && wsTrim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(split(lower(wsTrim(col(textCol))), "\\s+")).as("_kt_tok"))
+    val tagged = toks
+      .join(broadcast(keywords.select(lower(col("kw")).as("_kt_tok"),
+        col("tag").as("_kt_tag"))), Seq("_kt_tok"))
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_set(col("_kt_tag"))), "|").as("tags"),
+        size(collect_set(col("_kt_tag"))).cast("long").as("n_tags"))
+    df.select(col(idCol))
+      .join(tagged, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("tags"), lit("")).as("tags"),
+        coalesce(col("n_tags"), lit(0L)).as("n_tags"))
+  }
+
   /** Luhn checksum validity of a 16-digit card-number candidate (digits
     * possibly separated by spaces/dashes): strip non-digits, double every
     * other digit from the left (16-digit layout), fold >9 back by 9, sum

@@ -115,6 +115,31 @@ class ExtSpec extends SparkSpec {
     }.getMessage.contains("rename the id column"))
   }
 
+  test("keywordTags: synonym groups collapse, case-insensitive, unmatched docs tag empty") {
+    val kws = Seq(("Join", "exec"), ("merge", "exec"), ("stream", "runtime"),
+      ("ghost", "absent")).toDF("kw", "tag")
+    val d = Seq(
+      (1L, "JOIN then merge then join"),   // both kws -> ONE exec tag
+      (2L, "stream of Merge results"),     // runtime + exec, sorted
+      (3L, "nothing relevant here"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextStats.keywordTags(d, "text", "doc_id", kws)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "exec", 1L),
+      (2L, "exec|runtime", 2L),
+      (3L, "", 0L), (4L, "", 0L), (5L, "", 0L)), got.mkString(", "))
+    // dictionary shape + reserved-name guards
+    assert(intercept[IllegalArgumentException] {
+      TextStats.keywordTags(d, "text", "doc_id", kws.withColumnRenamed("kw", "k"))
+    }.getMessage.contains("(kw, tag)"))
+    assert(intercept[IllegalArgumentException] {
+      TextStats.keywordTags(Seq((1L, "x")).toDF("tags", "text"),
+        "text", "tags", kws)
+    }.getMessage.contains("rename the id column"))
+  }
+
   test("kMeansParallelSeed spreads seeds by distance mass where first-k collapses") {
     // three tight clusters with ids ordered so the FIRST k ids all sit
     // in cluster A — the first-k convention's failure mode. k-means||'s
