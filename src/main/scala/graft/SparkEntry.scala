@@ -1064,10 +1064,16 @@ object SparkEntry {
         lit("4111-1111-1111-1111")).otherwise(lit("4111 1111 1111 1111"))
       val withPan = concat(col("text"), lit(" pay "), card,
         lit(" order 1234 5678 9012 3456 end"))
-      t(s, dir, "documents").select(col("doc_id"),
-        md5(TextStats.redactCardNumbers(withPan)).as("redacted_md5"),
-        (length(withPan) - length(TextStats.redactCardNumbers(withPan)))
-          .cast("long").as("n_removed_chars"))
+      // one redaction pass per row: the Luhn chain is interpreted HOF
+      // work, so materialize it in a named column instead of evaluating
+      // it once for the md5 and again for the length (the x66
+      // parse-once lesson)
+      t(s, dir, "documents")
+        .select(col("doc_id"), withPan.as("_t"),
+          TextStats.redactCardNumbers(withPan).as("_red"))
+        .select(col("doc_id"), md5(col("_red")).as("redacted_md5"),
+          (length(col("_t")) - length(col("_red")))
+            .cast("long").as("n_removed_chars"))
     }),
     "x25_gopher_quality" -> ((s, dir) =>
       // Gopher/C4 repetition + degenerate-token signals

@@ -435,14 +435,22 @@ object Dedup {
     * form, which explodes quadratically once a block holds millions of
     * docs). Compose as lshCandidatePairs → jaccardVerify. */
   def jaccardVerify(candidates: DataFrame, sets: DataFrame, idCol: String,
-                    setCol: String = "toks"): DataFrame = {
+                    setCol: String = "toks"): DataFrame =
+    candidateSetPairs(candidates, sets, idCol, setCol)
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long").as("n_common"),
+        jaccard(col("a_set"), col("b_set")).as("jaccard"))
+
+  /** Shared candidate→sets join behind [[jaccardVerify]] and
+    * [[containmentVerify]]: candidates carry (a_id, b_id) only, both
+    * sides' sets join back BY ID — O(|candidates|), never block-
+    * quadratic. Returns (a_id, b_id, a_set, b_set). */
+  private def candidateSetPairs(candidates: DataFrame, sets: DataFrame,
+                                idCol: String, setCol: String): DataFrame = {
     val a = sets.select(col(idCol).as("a_id"), col(setCol).as("a_set"))
     val b = sets.select(col(idCol).as("b_id"), col(setCol).as("b_set"))
     candidates.select(col("a_id"), col("b_id"))
       .join(a, "a_id").join(b, "b_id")
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_set"), col("b_set"))).cast("long").as("n_common"),
-        jaccard(col("a_set"), col("b_set")).as("jaccard"))
   }
 
   /** Asymmetric n-gram CONTAINMENT for candidate pairs — the doc-in-doc
@@ -459,11 +467,8 @@ object Dedup {
     * divisions of exact integers, bit-stable across engines. Returns
     * (a_id, b_id, n_common, n_a, n_b, containment, jaccard). */
   def containmentVerify(candidates: DataFrame, sets: DataFrame, idCol: String,
-                        setCol: String = "toks"): DataFrame = {
-    val a = sets.select(col(idCol).as("a_id"), col(setCol).as("a_set"))
-    val b = sets.select(col(idCol).as("b_id"), col(setCol).as("b_set"))
-    candidates.select(col("a_id"), col("b_id"))
-      .join(a, "a_id").join(b, "b_id")
+                        setCol: String = "toks"): DataFrame =
+    candidateSetPairs(candidates, sets, idCol, setCol)
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_set"), col("b_set"))).cast("long").as("n_common"),
         size(col("a_set")).cast("long").as("n_a"),
@@ -471,7 +476,6 @@ object Dedup {
         (size(array_intersect(col("a_set"), col("b_set"))).cast("double")
           / least(size(col("a_set")), size(col("b_set")))).as("containment"),
         jaccard(col("a_set"), col("b_set")).as("jaccard"))
-  }
 
   /** Duplicate clusters: connected components over (a_id, b_id) near-dup
     * pairs, label = MIN id in the component (so the label doubles as the

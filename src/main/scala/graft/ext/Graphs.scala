@@ -85,8 +85,22 @@ object Graphs {
     val baseQ = (BigInt(10).pow(18) / n).toString
     val d = dampingPerMille
 
-    var ranks = base.select(col("node"), col("_pr_od"),
+    val ranks0 = base.select(col("node"), col("_pr_od"),
       expr(s"cast($baseQ as bigint)").as("rank_q"))
+    prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
+  }
+
+  /** Shared power-iteration tail of [[pageRank]] and [[pageRankWarm]]:
+    * `iters` exact Q18 rounds of the update rule over edge table `e`
+    * (_pr_src, _pr_dst) and skeleton `base` (node, _pr_od), starting
+    * from `ranks0` (node, _pr_od, rank_q). ONE implementation — the
+    * round algebra cannot drift between the cold and warm paths (the
+    * spec pins warm-with-uniform-prior ≡ cold bit-for-bit). */
+  private def prRounds(e: DataFrame, base: DataFrame, n: Long,
+                       baseQ: String, d: Int, iters: Int,
+                       stagePerIteration: Boolean,
+                       ranks0: DataFrame): DataFrame = {
+    var ranks = ranks0
     for (_ <- 1 to iters) {
       val dang = ranks.filter(col("_pr_od").isNull)
         .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
@@ -166,35 +180,16 @@ object Graphs {
     val d = dampingPerMille
 
     // r0 = prior rank where the node carried one, uniform S div N where
-    // it is new; departed prior nodes fall out via the skeleton join
-    var ranks = base
+    // it is new; departed prior nodes fall out via the skeleton join —
+    // then the SHARED round loop runs unchanged (prRounds)
+    var ranks0 = base
       .join(priorRanks.select(col("node"), col("rank_q18").as("_pr_warm")),
         Seq("node"), "left")
       .select(col("node"), col("_pr_od"),
         coalesce(col("_pr_warm"), expr(s"cast($baseQ as bigint)")).as("rank_q"))
     if (stagePerIteration)
-      ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
-    for (_ <- 1 to iters) {
-      val dang = ranks.filter(col("_pr_od").isNull)
-        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-      val contrib = e
-        .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
-          col("_pr_src") === col("node"))
-        .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
-        .groupBy(col("_pr_dst"))
-        .agg(sum(col("_pr_c")).as("_pr_s"))
-      ranks = base
-        .join(contrib, col("node") === col("_pr_dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), col("_pr_od"), expr(
-          s"""cast((cast(${1000 - d} as decimal(38,0)) * $baseQ
-              + cast($d as decimal(38,0))
-                * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
-              as bigint)""").as("rank_q"))
-      if (stagePerIteration)
-        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
-    }
-    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+      ranks0 = ranks0.sparkSession.read.parquet(Dedup.stageSignatures(ranks0))
+    prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
   }
 
   /** [[pageRank]] over a WEIGHTED edge list — the compact form of

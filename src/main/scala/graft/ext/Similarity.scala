@@ -697,10 +697,13 @@ object Similarity {
     * manifest), and for every cell holding more than `maxFilesPerCell`
     * data files, rewrites it via `compactParquet` into a hidden
     * `.compact/` staging dir (invisible to concurrent readers — Spark
-    * skips dot-paths) and then SWAPS it in. The swap is delete+rename —
-    * atomic enough for a local/HDFS layout; on an object-store lake the
-    * commit step is a manifest swap instead, the
-    * [[graft.ops.Scale.compactParquet]] caller contract. Cold cells are
+    * skips dot-paths) and then SWAPS it in RENAME-FIRST: old data moves
+    * aside, the staged copy renames in, then the old copy drops — at no
+    * instant is a cell's only copy gone, and a leftover `.compact/` from
+    * an interrupted commit is REFUSED loudly (it may hold a cell's only
+    * copy) instead of wiped. On an object-store lake the commit step is
+    * a manifest swap instead, the [[graft.ops.Scale.compactParquet]]
+    * caller contract. Cold cells are
     * untouched: maintenance cost scales with the append's footprint, not
     * the corpus. Partition directories never change, so probe pruning
     * and answers are invisible to compaction (s10b's oracle is x6b's,
@@ -725,7 +728,13 @@ object Similarity {
       .filter(_._2 > maxFilesPerCell).toMap
     if (hot.isEmpty) return Seq.empty
     val staging = new org.apache.hadoop.fs.Path(root, ".compact")
-    fs.delete(staging, true)
+    // a leftover .compact means a prior run died MID-COMMIT and may hold
+    // the only copy of a cell (its old- dir) — wiping it here would
+    // destroy that copy, so refuse loudly and let the operator recover
+    // (rename old-cid=X back, or confirm the live cell and remove it)
+    require(!fs.exists(staging),
+      s"$staging exists — a previous compaction did not commit cleanly; " +
+        "recover or remove it explicitly before compacting again")
     // ONE partition-pruned read + ONE partitionBy write rewrites every
     // hot cell that fits its target in a single job — the shape that
     // holds when thousands of cells run hot after a big append (a
@@ -750,16 +759,23 @@ object Similarity {
         new org.apache.hadoop.fs.Path(staging, s"cid=$cid").toString,
         targetRowsPerFile)
     }
-    // commit: swap each staged cell in (delete+rename locally; on an
-    // object-store lake this step is the atomic manifest swap — the
-    // compactParquet caller contract). A hot cell with zero rows has no
-    // staged dir and simply drops its dead files.
+    // commit: RENAME-FIRST swap per cell — the old data moves aside
+    // (never deleted before its replacement is live), the staged copy
+    // renames in, THEN the old copy drops. At no instant is a cell's
+    // only copy gone, so a crash at any point leaves every row on disk
+    // and the stale-staging guard above surfaces the interrupted commit
+    // on the next run. (On an object-store lake this whole step is the
+    // atomic manifest swap — the compactParquet caller contract.) A hot
+    // cell with zero rows has no staged dir and simply drops its dead
+    // files.
     val out = hot.keys.toSeq.sorted.map { cid =>
       val cell = new org.apache.hadoop.fs.Path(root, s"cid=$cid")
+      val old = new org.apache.hadoop.fs.Path(staging, s"old-cid=$cid")
       val staged = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
-      require(fs.delete(cell, true), s"compact commit failed for cell $cid")
+      require(fs.rename(cell, old), s"compact commit failed for cell $cid")
       if (fs.exists(staged))
         require(fs.rename(staged, cell), s"compact commit failed for cell $cid")
+      require(fs.delete(old, true), s"compact cleanup failed for cell $cid")
       (cid, hot(cid), if (fs.exists(cell)) dataFiles(cell).length else 0)
     }
     fs.delete(staging, true)

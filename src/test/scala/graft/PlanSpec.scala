@@ -41,23 +41,50 @@ class PlanSpec extends SparkSpec {
     // test that constructs EVERY catalog query, so plan analysis errors
     // anywhere in the contract surface here instead of at verify time.
     val globalWindowAllowlist: Map[String, String] = Map(
-      // name -> why the unpartitioned frame is bounded (currently none:
-      // every catalog query partitions its windows or pre-aggregates to
-      // a bounded frame before ranking)
+      // name -> why the unpartitioned frame is bounded
+      "x42_sequence_pack" ->
+        ("trainTokenVocabDf's vid rank rides the broadcast vocab lineage: " +
+          "an unpartitioned row_number over the ALREADY-LIMITED vocab " +
+          "frame (<= 50 rows after TakeOrdered; <= n <= 2^20 by contract " +
+          "- TextStats.trainTokenVocabDf documents the bound), never the " +
+          "corpus")
     )
+    // AQE wraps every exchange-bearing plan in AdaptiveSparkPlanExec,
+    // a LEAF node whose children are invisible to collect — unwrap it
+    // (the same move as the layout-scan pins below) or the detector is
+    // vacuous for exactly the plans that can hold a global window
+    def globalWindows(df: DataFrame): Int = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      root.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+      }.size
+    }
+    // canary: the detector must SEE a deliberately-global window through
+    // the AQE wrapper, or the sweep below proves nothing
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val canary = spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(4)
+        .withColumn("_rn", row_number().over(Window.orderBy(col("doc_id"))))
+      assert(globalWindows(canary) >= 1,
+        "window detector went blind — AQE unwrap broken?\n" + tree(canary))
+    }
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val p = tree(df)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
-      val hits = df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-          if w.partitionSpec.isEmpty => w
-      }
-      if (hits.nonEmpty && !globalWindowAllowlist.contains(name))
-        offenders += s"$name (${hits.size} unpartitioned window(s))"
+      val hits = globalWindows(df)
+      if (hits > 0 && !globalWindowAllowlist.contains(name))
+        offenders += s"$name ($hits unpartitioned window(s))"
     }
     assert(offenders.isEmpty,
       s"unpartitioned WindowExec outside the allowlist — partition it, " +

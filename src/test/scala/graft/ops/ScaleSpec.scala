@@ -159,6 +159,41 @@ class ScaleSpec extends SparkSpec {
     assert(Similarity.compactIvfCells(spark, path, 1L << 20).isEmpty)
   }
 
+  test("compactIvfCells: oversized cells take the per-cell multi-file path; stale staging refused") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // ONE cell holds everything (a single centroid), appended twice so
+    // it runs hot; a 100-row target forces the cell (500 rows) through
+    // the per-cell compactParquet fallback into ceil(500/100) files
+    val cents = emb.filter(col("vec_id") === 0)
+      .select(lit(0).as("cid"), col("embedding").as("cvec"))
+    def assign(b: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssignJoin(b, cents, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivf_compact_big").toString
+    Similarity.writeIvfPartitioned(assign(emb.filter(col("vec_id") % 2 === 0)), path)
+    Similarity.appendIvfPartitioned(assign(emb.filter(col("vec_id") % 2 === 1)), path)
+    val before = spark.read.parquet(path).count()
+    val report = Similarity.compactIvfCells(spark, path, 100L)
+    assert(report.map(_._1) == Seq(0), report.toString)
+    val (_, nBefore, nAfter) = report.head
+    assert(nBefore >= 2 && nAfter == 5, s"$nBefore -> $nAfter (want 5 = ceil(500/100))")
+    assert(new java.io.File(s"$path/cid=0").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")) == 5)
+    // lossless through the fallback path too
+    assert(spark.read.parquet(path).count() == before)
+    assert(!new java.io.File(s"$path/.compact").exists())
+    // a leftover .compact (interrupted commit — may hold a cell's only
+    // copy) is REFUSED, never wiped
+    Similarity.appendIvfPartitioned(assign(emb.filter(col("vec_id") % 2 === 0)), path)
+    assert(new java.io.File(s"$path/.compact/old-cid=0").mkdirs())
+    assert(intercept[IllegalArgumentException] {
+      Similarity.compactIvfCells(spark, path, 100L)
+    }.getMessage.contains("did not commit cleanly"))
+    assert(new java.io.File(s"$path/.compact/old-cid=0").exists(),
+      "the guard must not delete the stale staging dir")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     Seq("bkt_a", "bkt_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
