@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Aggs, Filters, Joins, Merge, Projections, Windows}
-import graft.ext.{Curation, Dedup, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Similarity, TextStats, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -697,15 +697,25 @@ object SparkEntry {
         .filter(col("text").isNotNull &&
           graft.ext.TextStats.wsTrim(col("text")) =!= "")
         .select(col("doc_id"), col("text"))
+      // the +100000 wrap offset assumes doc_id < 100000 — a corpus id at
+      // or past it would COLLIDE a wrapped id with a real id (engine and
+      // oracle replay the same collision, so the gate would stay green
+      // while the fixture's wrap relation silently degrades). Make the
+      // assumption loud per row, the packedId bound discipline; the
+      // oracle needs no twin because a passing run proves it never fired.
+      val wrapId = when(col("doc_id") < 100000, col("doc_id") + 100000)
+        .otherwise(raise_error(concat(
+          lit("x13c wrap offset collision: doc_id "),
+          col("doc_id").cast("string"), lit(" >= 100000"))).cast("long"))
       val wrapped = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select(wrapId.as("doc_id"),
           concat(lit("site navigation header menu about contact "),
             col("text"),
             lit(" footer privacy terms copyright notice legal")).as("text"))
       val sets = d.unionByName(wrapped)
         .select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("gs"))
       val cands = d.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id").as("a_id"), (col("doc_id") + 100000).as("b_id"))
+        .select(col("doc_id").as("a_id"), wrapId.as("b_id"))
       Dedup.containmentVerify(cands, sets, "doc_id", "gs")
     }),
     "x4_jaccard_pairs" -> ((s, dir) => {
@@ -869,6 +879,19 @@ object SparkEntry {
       // weighting, and the (weight desc, id) top-k cut.
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       Similarity.kMeansParallelSeed(emb, "vec_id", "embedding", 8, 8, 2)
+        .select(col("cid").cast("long").as("cid"), col("cand_id"),
+          col("weight"))
+    }),
+    "x35c_kmeans_seed_join" -> ((s, dir) => {
+      // The DATA-DRIVEN k-means|| form (kMeansParallelSeedJoin): the same
+      // Bahmani rounds, draws, and (weight desc, id) cut as x35b, but the
+      // candidate set lives in a parquet stage and meets the corpus by
+      // BROADCAST JOIN — plan size independent of the candidate count, so
+      // seeding scales to the k = 10^4-10^5 cells a 100 TB IVF needs.
+      // Bit-parity with the literal path is the contract: this row answers
+      // x35b's oracle VERBATIM.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.kMeansParallelSeedJoin(emb, "vec_id", "embedding", 8, 8, 2)
         .select(col("cid").cast("long").as("cid"), col("cand_id"),
           col("weight"))
     }),
@@ -1095,6 +1118,20 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", kws)
     }),
+    "x74_unigram_train" -> ((s, dir) =>
+      // Unigram-LM (SentencePiece-style) tokenizer trainer — the other
+      // major subword algorithm beside the complete BPE family
+      // (x38–x38d, x68): seed vocabulary from bounded-length substring
+      // counts, TWO hard-EM (Viterbi) rounds, required-char floor, prune
+      // to the target size. Every statistic is an integer count and
+      // every score the exact Q8 integer log₂ (shift-and-square — no
+      // libm), so the oracle replays the ENTIRE training run: seed top-k,
+      // both Viterbi rounds (recursive-CTE dp with the same
+      // (score desc, split asc) tie rule), char floors, the prune cut,
+      // and the final Q8 scores — bit for bit.
+      Unigram.unigramTrain(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, maxWordLen = 16, nSeed = 40, emRounds = 2,
+        vocabSize = 40)),
     "x25b_topngram_fraction" -> ((s, dir) =>
       // Gopher's remaining repetition rule: characters covered by the
       // most frequent word bigram (all sliding windows, overlaps
@@ -1387,6 +1424,24 @@ object SparkEntry {
       }
       graft.ext.Retrieval.bm25TopKStaged(ldir,
         hybridQueries, 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    "x43d_bm25_compacted" -> ((s, dir) => {
+      // the postings-layout MAINTENANCE lifecycle (the s10b IVF move
+      // applied to retrieval): three append batches accrete ~1 file per
+      // touched md5(tok) bucket, compactIndexBuckets rewrites every hot
+      // bucket back toward one file (one pruned read + one partitionBy
+      // write, rename-first commit), and the staged probe then answers
+      // x43's oracle VERBATIM — compaction must be invisible to results,
+      // and the ScaleSpec pins the file counts.
+      val d = t(s, dir, "documents")
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_bm25_cmp_")
+      Seq(0, 1, 2).foreach { par =>
+        graft.ext.Retrieval.appendIndexBatch(
+          d.filter(pmod(col("doc_id"), lit(3)) === par), "text", "doc_id", ldir)
+      }
+      graft.ext.Retrieval.compactIndexBuckets(s, ldir, 1L << 20)
+      graft.ext.Retrieval.bm25TopKStaged(ldir, hybridQueries, 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
     "x43b_bm25_indexed" -> ((s, dir) => {
@@ -2522,6 +2577,7 @@ object SparkEntry {
       ("s10b_ivf_compact" -> oracleSqlBase("x6b_ann_ivf")) +
       ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
       ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk")) +
+      ("x43d_bm25_compacted" -> oracleSqlBase("x43_bm25_topk")) +
       ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card"))
 
   /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
@@ -2584,6 +2640,164 @@ object SparkEntry {
                                ORDER BY s DESC, n_id) AS rnk
                       FROM ddp)
                     WHERE rnk <= 10)"""
+
+  /** The k-means‖ seeding oracle (x35b AND x35c — the literal and
+    * data-driven paths are bit-parity by contract, so one replay answers
+    * both): both Bahmani rounds unrolled — Q30 distance lambdas, the
+    * 4-hex md5 draw against the cross-multiplied HUGEINT inequality, the
+    * final nearest-candidate weighting, and the (weight desc, id) top-k
+    * cut. */
+  private val kppSeedOracleSql: String = {
+    def dist(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)), i ->
+          CAST(floor((CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+                     * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+                     * 1073741824) AS BIGINT)))"""
+    def h16(r: Int) =
+      s"""(((CAST(strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 1, 1)) - 1 AS BIGINT) * 16
+           + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 2, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 4, 1)) - 1)"""
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       c0 AS (SELECT vec_id AS cand_id, embedding AS cvec
+              FROM e ORDER BY vec_id LIMIT 1),
+       p1 AS (SELECT x.vec_id, MIN(${dist("x.embedding", "c.cvec")}) AS d2
+              FROM e x CROSS JOIN c0 c GROUP BY x.vec_id),
+       t1 AS (SELECT CAST(SUM(d2) AS HUGEINT) AS tot FROM p1),
+       s1 AS (SELECT p.vec_id FROM p1 p, t1
+              WHERE CAST(${h16(1)} AS HUGEINT) * tot
+                    < 524288 * CAST(p.d2 AS HUGEINT)),
+       c1 AS (SELECT cand_id, cvec FROM c0
+              UNION ALL
+              SELECT e.vec_id, e.embedding FROM e JOIN s1 USING (vec_id)
+              WHERE e.vec_id NOT IN (SELECT cand_id FROM c0)),
+       p2 AS (SELECT x.vec_id, MIN(${dist("x.embedding", "c.cvec")}) AS d2
+              FROM e x CROSS JOIN c1 c GROUP BY x.vec_id),
+       t2 AS (SELECT CAST(SUM(d2) AS HUGEINT) AS tot FROM p2),
+       s2 AS (SELECT p.vec_id FROM p2 p, t2
+              WHERE CAST(${h16(2)} AS HUGEINT) * tot
+                    < 524288 * CAST(p.d2 AS HUGEINT)),
+       c2 AS (SELECT cand_id, cvec FROM c1
+              UNION ALL
+              SELECT e.vec_id, e.embedding FROM e JOIN s2 USING (vec_id)
+              WHERE e.vec_id NOT IN (SELECT cand_id FROM c1)),
+       asn AS (SELECT x.vec_id, c.cand_id,
+                      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                        ORDER BY ${dist("x.embedding", "c.cvec")} ASC,
+                                 c.cand_id ASC) AS rn
+               FROM e x CROSS JOIN c2 c),
+       w AS (SELECT c.cand_id, COUNT(a.vec_id) AS weight
+             FROM c2 c
+             LEFT JOIN (SELECT vec_id, cand_id FROM asn WHERE rn = 1) a
+               USING (cand_id)
+             GROUP BY c.cand_id),
+       fin AS (SELECT cand_id, weight,
+                      ROW_NUMBER() OVER (ORDER BY weight DESC, cand_id ASC)
+                        - 1 AS cid
+               FROM w)
+       SELECT CAST(cid AS BIGINT) AS cid, CAST(cand_id AS BIGINT) AS cand_id,
+              CAST(weight AS BIGINT) AS weight
+       FROM fin WHERE cid < 8"""
+  }
+
+  /** The x74 unigram-LM trainer oracle: replays the WHOLE training run —
+    * substring seed counts + top-k cut, the exact Q8 integer log₂ (8
+    * unrolled shift-and-square CTE steps — the same arithmetic as
+    * [[graft.ext.Unigram.log2q8]]), BOTH Viterbi hard-EM rounds as
+    * recursive CTEs (dp carried as a LIST<STRUCT(s,j)> per word; the
+    * (score desc, split asc) tie rule as ORDER BY cs DESC, cj ASC LIMIT
+    * 1), required-char floors, the prune cut, and the final scores. */
+  private val unigramOracleSql: String = {
+    val (maxP, maxW, nSeed, vocab) = (4, 16, 40, 40)
+    def logChain(src: String): (Seq[String], String) = {
+      val l0 = s"""${src}_l0 AS (SELECT piece, cnt, length(bin(cnt)) - 1 AS e,
+        (cnt * 256) // (1::BIGINT << (length(bin(cnt)) - 1)) AS m,
+        0::BIGINT AS a FROM $src)"""
+      val steps = (1 to 8).map { i =>
+        s"""${src}_l$i AS (SELECT piece, cnt, e,
+          CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
+          a*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS a
+          FROM ${src}_l${i - 1})"""
+      }
+      val fin = s"${src}_lq"
+      ((l0 +: steps) :+ s"$fin AS (SELECT piece, cnt, e*256 + a AS lq FROM ${src}_l8)",
+        fin)
+    }
+    // vocabCte(piece, cnt) -> vs_tag(piece, s): Q8 log-prob scores
+    // against the vocabulary total (the total rides as the '' row)
+    def scores(vocabCte: String, tag: String): Seq[String] = {
+      val wt = s"wt_$tag"
+      val (chain, fin) = logChain(wt)
+      (s"""$wt AS (SELECT piece, cnt FROM $vocabCte
+         UNION ALL SELECT '', SUM(cnt) FROM $vocabCte)""" +: chain) :+
+        s"""vs_$tag AS (SELECT piece,
+           lq - (SELECT lq FROM $fin WHERE piece = '') AS s
+           FROM $fin WHERE piece <> '')"""
+    }
+    // Viterbi counts under vs(piece, s) over w(word, wcnt) -> cnt_tag
+    def viterbi(vs: String, tag: String): Seq[String] = Seq(
+      s"""dp_$tag AS (
+        SELECT word, 0 AS pos, [{'s': 0::BIGINT, 'j': -1}] AS d FROM w
+        UNION ALL
+        SELECT word, pos + 1,
+          list_append(d, (
+            SELECT {'s': cs, 'j': cj} FROM (
+              SELECT d[js.j + 1].s + v.s AS cs, js.j AS cj
+              FROM js JOIN $vs v
+                ON js.j BETWEEN GREATEST(0, pos + 1 - $maxP) AND pos
+               AND v.piece = substr(word, js.j + 1, pos + 1 - js.j)
+              ORDER BY cs DESC, cj ASC LIMIT 1)))
+        FROM dp_$tag WHERE pos < length(word))""",
+      s"fin_$tag AS (SELECT word, d FROM dp_$tag WHERE pos = length(word))",
+      s"""path_$tag AS (
+        SELECT word, length(word) AS pos, d FROM fin_$tag
+        UNION ALL
+        SELECT word, d[pos + 1].j, d FROM path_$tag WHERE pos > 0)""",
+      s"""cnt_$tag AS (
+        SELECT substr(p.word, p.d[p.pos + 1].j + 1, p.pos - p.d[p.pos + 1].j) AS piece,
+               SUM(w.wcnt) AS cnt
+        FROM path_$tag p JOIN w USING (word) WHERE p.pos > 0
+        GROUP BY 1)""")
+    val base = Seq(
+      """w0 AS (SELECT unnest(string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ww
+         FROM documents WHERE text IS NOT NULL
+           AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')""",
+      s"""w AS (SELECT substr(ww, 1, $maxW) AS word, COUNT(*) AS wcnt
+         FROM w0 WHERE ww <> '' GROUP BY 1)""",
+      s"js AS (SELECT j FROM generate_series(0, $maxW) t(j))",
+      s"ls AS (SELECT l FROM generate_series(1, $maxP) t(l))",
+      s"""sub AS (SELECT substr(word, js.j + 1, ls.l) AS piece, SUM(wcnt) AS cnt
+         FROM w, js, ls
+         WHERE js.j < length(word) AND ls.l <= length(word) - js.j
+         GROUP BY 1)""",
+      s"seedtop AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT $nSeed)",
+      "chars AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1)",
+      """v0 AS (SELECT DISTINCT piece, cnt FROM
+         (SELECT * FROM seedtop UNION ALL SELECT * FROM chars))""")
+    val round1Vocab = Seq(
+      """v1 AS (
+        SELECT c.piece, COALESCE(k.cnt, 1) AS cnt
+        FROM chars c LEFT JOIN cnt_r1 k USING (piece)
+        UNION ALL
+        SELECT piece, cnt FROM cnt_r1 WHERE length(piece) > 1)""")
+    val prune = Seq(
+      """charsf AS (
+        SELECT c.piece, COALESCE(k.cnt, 1) AS n
+        FROM chars c LEFT JOIN cnt_r2 k USING (piece))""",
+      s"""multif AS (
+        SELECT piece, cnt AS n FROM cnt_r2 WHERE length(piece) > 1
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+                <= $vocab - (SELECT COUNT(*) FROM chars))""",
+      """finv AS (SELECT piece, n AS cnt FROM charsf
+         UNION ALL SELECT piece, n FROM multif)""")
+    val parts = base ++ scores("v0", "0") ++ viterbi("vs_0", "r1") ++
+      round1Vocab ++ scores("v1", "1") ++ viterbi("vs_1", "r2") ++
+      prune ++ scores("finv", "f")
+    "WITH RECURSIVE\n  " + parts.mkString(",\n  ") + """
+      SELECT f.piece, CAST(f.cnt AS BIGINT) AS n, CAST(v.s AS BIGINT) AS score_q8
+      FROM finv f JOIN vs_f v USING (piece)"""
+  }
 
   private def oracleSqlBase: Map[String, String] = Map(
     "x47_c4_clean" ->
@@ -3270,58 +3484,11 @@ object SparkEntry {
     // x35b: both k-means|| rounds unrolled — Q30 distance lambdas, the
     // 4-hex md5 draw against the cross-multiplied HUGEINT inequality,
     // the final nearest-candidate weighting, and the top-k cut
-    "x35b_kmeans_parallel_seed" -> {
-      def dist(a: String, b: String) =
-        s"""list_sum(list_transform(generate_series(1, len($a)), i ->
-            CAST(floor((CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
-                       * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
-                       * 1073741824) AS BIGINT)))"""
-      def h16(r: Int) =
-        s"""(((CAST(strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 1, 1)) - 1 AS BIGINT) * 16
-             + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 2, 1)) - 1) * 16
-             + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 3, 1)) - 1) * 16
-             + strpos('0123456789abcdef', substr(md5(CAST(p.vec_id AS VARCHAR) || ':kpp:$r'), 4, 1)) - 1)"""
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         c0 AS (SELECT vec_id AS cand_id, embedding AS cvec
-                FROM e ORDER BY vec_id LIMIT 1),
-         p1 AS (SELECT x.vec_id, MIN(${dist("x.embedding", "c.cvec")}) AS d2
-                FROM e x CROSS JOIN c0 c GROUP BY x.vec_id),
-         t1 AS (SELECT CAST(SUM(d2) AS HUGEINT) AS tot FROM p1),
-         s1 AS (SELECT p.vec_id FROM p1 p, t1
-                WHERE CAST(${h16(1)} AS HUGEINT) * tot
-                      < 524288 * CAST(p.d2 AS HUGEINT)),
-         c1 AS (SELECT cand_id, cvec FROM c0
-                UNION ALL
-                SELECT e.vec_id, e.embedding FROM e JOIN s1 USING (vec_id)
-                WHERE e.vec_id NOT IN (SELECT cand_id FROM c0)),
-         p2 AS (SELECT x.vec_id, MIN(${dist("x.embedding", "c.cvec")}) AS d2
-                FROM e x CROSS JOIN c1 c GROUP BY x.vec_id),
-         t2 AS (SELECT CAST(SUM(d2) AS HUGEINT) AS tot FROM p2),
-         s2 AS (SELECT p.vec_id FROM p2 p, t2
-                WHERE CAST(${h16(2)} AS HUGEINT) * tot
-                      < 524288 * CAST(p.d2 AS HUGEINT)),
-         c2 AS (SELECT cand_id, cvec FROM c1
-                UNION ALL
-                SELECT e.vec_id, e.embedding FROM e JOIN s2 USING (vec_id)
-                WHERE e.vec_id NOT IN (SELECT cand_id FROM c1)),
-         asn AS (SELECT x.vec_id, c.cand_id,
-                        ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                          ORDER BY ${dist("x.embedding", "c.cvec")} ASC,
-                                   c.cand_id ASC) AS rn
-                 FROM e x CROSS JOIN c2 c),
-         w AS (SELECT c.cand_id, COUNT(a.vec_id) AS weight
-               FROM c2 c
-               LEFT JOIN (SELECT vec_id, cand_id FROM asn WHERE rn = 1) a
-                 USING (cand_id)
-               GROUP BY c.cand_id),
-         fin AS (SELECT cand_id, weight,
-                        ROW_NUMBER() OVER (ORDER BY weight DESC, cand_id ASC)
-                          - 1 AS cid
-                 FROM w)
-         SELECT CAST(cid AS BIGINT) AS cid, CAST(cand_id AS BIGINT) AS cand_id,
-                CAST(weight AS BIGINT) AS weight
-         FROM fin WHERE cid < 8"""
-    },
+    "x74_unigram_train" -> unigramOracleSql,
+    "x35b_kmeans_parallel_seed" -> kppSeedOracleSql,
+    // x35c answers the SAME oracle verbatim: the data-driven join path is
+    // bit-parity with the literal path by contract (ExtSpec pins it)
+    "x35c_kmeans_seed_join" -> kppSeedOracleSql,
     "x35_kmeans_train" ->
       """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 64),
            s1 AS (SELECT vec_id, cid,

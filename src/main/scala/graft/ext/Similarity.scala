@@ -562,9 +562,16 @@ object Similarity {
     * under a LOUD `maxCandidates` ceiling (the semDedupClusters
     * discipline). Returns (cid, cand_id, weight, cvec) — feed
     * `select(cid, cvec)` to [[kMeansTrain]]. */
+  /** LITERAL-BOUND CEILING: each candidate rides the plan as a typedlit
+    * vector inside a least() chain — O(candidates × dim) literals and
+    * O(candidates) interpreted distance lambdas per pass — so the ceiling
+    * is deliberately LOW, near the ~1 + l·rounds candidates k-means‖
+    * actually oversamples in its intended small-k regime. Past it (large
+    * k, aggressive l·rounds) use [[kMeansParallelSeedJoin]], whose
+    * candidates stay DATA and whose plan size is candidate-independent. */
   def kMeansParallelSeed(corpus: DataFrame, idCol: String, vecCol: String,
                          k: Int, l: Int, rounds: Int,
-                         maxCandidates: Int = 4096): DataFrame = {
+                         maxCandidates: Int = 512): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(l >= 1, "l (oversampling factor) must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
@@ -621,6 +628,129 @@ object Similarity {
       .map { case ((id0, w, cv), i) => (i, id0, w, cv) }
     import spark.implicits._
     fin.toDF("cid", "cand_id", "weight", "cvec")
+  }
+
+  /** Fan every row of `df` out against the BROADCAST candidate table on
+    * the non-foldable always-zero key (the [[centroidFanout]] move, minus
+    * its small-cid range check — candidate ids here are corpus ids, i.e.
+    * arbitrary longs). Adds `_kp_cid` / `_kp_cv`. */
+  private[graft] def kppFanout(df: DataFrame, cands: DataFrame,
+                               vecCol: String): DataFrame = {
+    val c = broadcast(cands.select(
+      (size(col("cvec")) * lit(0)).as("_kp_one"),
+      col("cand_id").as("_kp_cid"), col("cvec").as("_kp_cv")))
+    df.withColumn("_kp_one", size(col(vecCol)) * lit(0))
+      .join(c, "_kp_one")
+      .drop("_kp_one")
+  }
+
+  /** Per-row min squared distance to the candidate set, candidates as
+    * DATA: broadcast fan-out + a primitive `min(long)` HashAggregate
+    * keyed on the id alone — the exchange carries (id, long) pairs, its
+    * map-side partial collapses the ×candidates fan-out to one row per
+    * corpus row, and the plan tree is independent of the candidate count
+    * (PlanSpec pins both). Returns (id, _kp_d2). */
+  private[graft] def kppMinDist(base: DataFrame, cands: DataFrame): DataFrame =
+    kppFanout(base, cands, "v")
+      .select(col("id"), quantizedDistQ30(col("v"), col("_kp_cv")).as("_kp_dc"))
+      .groupBy(col("id"))
+      .agg(min(col("_kp_dc")).as("_kp_d2"))
+
+  /** DATA-DRIVEN k-means‖ seeding — [[kMeansParallelSeed]] with the
+    * candidate set held as a parquet STAGE instead of plan literals (the
+    * ivfAssignJoin/tokenIdsJoin move): the literal form folds every
+    * candidate vector into the plan inside a least() chain, infeasible at
+    * the k = 10⁴–10⁵ cells a 100 TB IVF needs; here each pass
+    * BroadcastHashJoins the corpus against the staged (cand_id, cvec)
+    * table, so plan/codegen size is INDEPENDENT of the candidate count
+    * and the ceiling is broadcast memory, not expression-tree size.
+    *
+    * Bit-parity contract: draws, distances, weights, and the final
+    * (weight desc, id asc) top-k cut are the literal path's, verbatim —
+    * exact Q30 distances, the `h16(id, r)·Σd² < l·d²·2¹⁶` decimal(38,0)
+    * cross-multiplication, nearest-candidate ties to the lowest id — so
+    * the two paths agree bit-for-bit (ExtSpec pins it) and x35b's oracle
+    * replays this form unchanged (x35c).
+    *
+    * Scale shape per round: one broadcast fan-out (zero corpus movement)
+    * → a (id, long) min-distance HashAggregate → one id-keyed join that
+    * moves the corpus rows once to meet their d² (the ivfAssignJoin
+    * join-back shape) → the sampled candidates append to the stage as a
+    * candidate-scale WRITE, never a driver collect. The final weighting
+    * costs two more passes (min distance, then argmin-by-id at that
+    * distance — two primitive aggs instead of one struct-min, which
+    * would demote the ×candidates fan-out to a SortAggregate). Only
+    * candidate IDS AND WEIGHTS (2 longs × ≤ maxCandidates — bounded
+    * driver data, like any dimension) ever reach the driver for the
+    * top-k ranking; candidate VECTORS never leave the cluster.
+    *
+    * Preconditions: `idCol` unique and non-null (the d² join-back and the
+    * sampling draw key on it). Returns (cid, cand_id, weight, cvec),
+    * the [[kMeansParallelSeed]] contract. */
+  def kMeansParallelSeedJoin(corpus: DataFrame, idCol: String, vecCol: String,
+                             k: Int, l: Int, rounds: Int,
+                             maxCandidates: Int = 1 << 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(l >= 1, "l (oversampling factor) must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    require(maxCandidates >= k, "maxCandidates must be >= k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    // seed chain starts at the min-id vector (the literal path's c0)
+    var stagePath = Dedup.stageSignatures(
+      base.orderBy(col("id")).limit(1)
+        .select(col("id").as("cand_id"), col("v").as("cvec")))
+    var nCands = 1L
+    for (r <- 1 to rounds) {
+      val cands = spark.read.parquet(stagePath)
+      val scored = base.join(kppMinDist(base, cands), Seq("id"))
+      val tot = scored.agg(sum(col("_kp_d2").cast("decimal(38,0)")).as("t"))
+        .collect().head.getDecimal(0)
+      if (tot != null && tot.signum > 0) {
+        val totLit = expr(s"cast('${tot.toBigInteger}' as decimal(38,0))")
+        val h = conv(substring(md5(concat(col("id").cast("string"),
+          lit(s":kpp:$r"))), 1, 4), 16, 10).cast("long")
+        val fresh = scored
+          .filter(h.cast("decimal(38,0)") * totLit <
+            lit(l.toLong * 65536L).cast("decimal(38,0)")
+              * col("_kp_d2").cast("decimal(38,0)"))
+          .select(col("id").as("cand_id"), col("v").as("cvec"))
+          .join(cands.select(col("cand_id")), Seq("cand_id"), "left_anti")
+        stagePath = Dedup.stageSignatures(cands.unionByName(fresh))
+        nCands = spark.read.parquet(stagePath).count()
+        require(nCands <= maxCandidates,
+          s"k-means|| oversample reached $nCands candidates " +
+            s"(> maxCandidates = $maxCandidates): lower l/rounds or raise " +
+            s"maxCandidates explicitly")
+      }
+    }
+    require(nCands >= k,
+      s"k-means|| sampled only $nCands candidates for k = $k — " +
+        s"raise l or rounds (corpus may also be smaller than k)")
+    val cands = spark.read.parquet(stagePath)
+    // nearest candidate per corpus row, ties -> lowest cand_id: pass 1 =
+    // primitive min(d²); pass 2 = fan out the (id, v, d²) rows again and
+    // keep min(cand_id) among the exact-d² matches — two primitive
+    // HashAggregates instead of one struct-min SortAggregate over the
+    // ×candidates fan-out
+    val withMin = base.join(kppMinDist(base, cands), Seq("id"))
+    val nearest = kppFanout(withMin, cands, "v")
+      .filter(quantizedDistQ30(col("v"), col("_kp_cv")) === col("_kp_d2"))
+      .groupBy(col("id"))
+      .agg(min(col("_kp_cid")).as("_kp_c"))
+    // ids + weights only — never vectors — collect for the bounded top-k
+    val wMap = nearest.groupBy(col("_kp_c")).agg(count(lit(1)).as("w"))
+      .collect().map(rw => rw.getLong(0) -> rw.getLong(1)).toMap
+    val fin = cands.select(col("cand_id")).collect().map(_.getLong(0)).toSeq
+      .map(id0 => (id0, wMap.getOrElse(id0, 0L)))
+      .sortBy { case (id0, w) => (-w, id0) }
+      .take(k).zipWithIndex
+      .map { case ((id0, w), i) => (i, id0, w) }
+    broadcast(fin.toDF("cid", "cand_id", "weight"))
+      .join(cands, Seq("cand_id"))
+      .select(col("cid"), col("cand_id"), col("weight"), col("cvec"))
   }
 
   def kMeansTrain(corpus: DataFrame, seed: DataFrame, idCol: String,
@@ -709,78 +839,28 @@ object Similarity {
     * and answers are invisible to compaction (s10b's oracle is x6b's,
     * verbatim; PlanSpec pins the file counts).
     *
+    * SINGLE-WRITER REQUIREMENT: compaction is invisible to concurrent
+    * READERS only. An [[appendIvfPartitioned]] racing this call can land
+    * files in a cell dir between the hot-cell census and the rename swap
+    * — those files move aside with the old copy and are DELETED with it.
+    * Serialize compaction against appends (run it from the one
+    * maintenance owner of the layout, the same single-writer contract
+    * every append-only stage in this library carries); on a shared lake,
+    * take the table lock / commit the swap through the manifest.
+    *
     * Returns (cid, filesBefore, filesAfter) per compacted cell. */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
                       layoutDir: String, targetRowsPerFile: Long,
-                      maxFilesPerCell: Int = 1): Seq[(Int, Int, Int)] = {
-    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
-    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(layoutDir)
-    val fs = root.getFileSystem(conf)
-    def dataFiles(p: org.apache.hadoop.fs.Path) =
-      fs.listStatus(p).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    val hot = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-      .map(s => s.getPath.getName.stripPrefix("cid=").toInt ->
-        dataFiles(s.getPath).length)
-      .filter(_._2 > maxFilesPerCell).toMap
-    if (hot.isEmpty) return Seq.empty
-    val staging = new org.apache.hadoop.fs.Path(root, ".compact")
-    // a leftover .compact means a prior run died MID-COMMIT and may hold
-    // the only copy of a cell (its old- dir) — wiping it here would
-    // destroy that copy, so refuse loudly and let the operator recover
-    // (rename old-cid=X back, or confirm the live cell and remove it)
-    require(!fs.exists(staging),
-      s"$staging exists — a previous compaction did not commit cleanly; " +
-        "recover or remove it explicitly before compacting again")
-    // ONE partition-pruned read + ONE partitionBy write rewrites every
-    // hot cell that fits its target in a single job — the shape that
-    // holds when thousands of cells run hot after a big append (a
-    // per-cell compactParquet loop is O(hot cells) driver-sequential
-    // jobs). The pruned census also tells us which cells exceed
-    // targetRowsPerFile; only THOSE few fall back to the per-cell
-    // multi-file compactParquet path.
-    val hotIds = hot.keys.toSeq.sorted.map(Int.box)
-    val pruned = spark.read.parquet(layoutDir)
-      .filter(col("cid").isin(hotIds: _*))
-    val rows = pruned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val (big, small) = hot.keys.toSeq.sorted
-      .partition(c => rows.getOrElse(c, 0L) > targetRowsPerFile)
-    if (small.nonEmpty)
-      pruned.filter(col("cid").isin(small.map(Int.box): _*))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
-    big.foreach { cid =>
-      graft.ops.Scale.compactParquet(spark,
-        new org.apache.hadoop.fs.Path(root, s"cid=$cid").toString,
-        new org.apache.hadoop.fs.Path(staging, s"cid=$cid").toString,
-        targetRowsPerFile)
-    }
-    // commit: RENAME-FIRST swap per cell — the old data moves aside
-    // (never deleted before its replacement is live), the staged copy
-    // renames in, THEN the old copy drops. At no instant is a cell's
-    // only copy gone, so a crash at any point leaves every row on disk
-    // and the stale-staging guard above surfaces the interrupted commit
-    // on the next run. (On an object-store lake this whole step is the
-    // atomic manifest swap — the compactParquet caller contract.) A hot
-    // cell with zero rows has no staged dir and simply drops its dead
-    // files.
-    val out = hot.keys.toSeq.sorted.map { cid =>
-      val cell = new org.apache.hadoop.fs.Path(root, s"cid=$cid")
-      val old = new org.apache.hadoop.fs.Path(staging, s"old-cid=$cid")
-      val staged = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
-      require(fs.rename(cell, old), s"compact commit failed for cell $cid")
-      if (fs.exists(staged))
-        require(fs.rename(staged, cell), s"compact commit failed for cell $cid")
-      require(fs.delete(old, true), s"compact cleanup failed for cell $cid")
-      (cid, hot(cid), if (fs.exists(cell)) dataFiles(cell).length else 0)
-    }
-    fs.delete(staging, true)
-    out
-  }
+                      maxFilesPerCell: Int = 1): Seq[(Int, Int, Int)] =
+    // the generic hot-partition pass (ONE pruned read + ONE partitionBy
+    // write for in-target cells, per-cell compactParquet fallback for
+    // oversized ones, rename-first commit, stale-staging refusal) with
+    // the cid keys restored to ints and numeric ordering
+    graft.ops.Scale.compactPartitionedLayout(spark, layoutDir, "cid",
+        targetRowsPerFile, maxFilesPerCell,
+        ks => col("cid").isin(ks.map(k => Int.box(k.toInt)): _*))
+      .map { case (k, before, after) => (k.toInt, before, after) }
+      .sortBy(_._1)
 
   private def collectCentroids(centroids: DataFrame): Seq[(Int, Array[Float])] =
     centroids.select(col("cid").cast("int"), col("cvec"))
@@ -873,10 +953,14 @@ object Similarity {
       val sub = corpus.select(col(idCol),
         slice(col(vecCol), mi * subDim + 1, subDim).as("_sv"))
       // seed = first k rows by id, cids 0..k-1 (the window ranks only the
-      // k-row limited frame, not the corpus)
+      // k-row limited frame, not the corpus; partitioned on the
+      // non-foldable always-zero key pmod(size, 1) so the bounded frame
+      // doesn't trip the global-window WARN)
       val seed = sub.orderBy(col(idCol)).limit(k)
         .withColumn("cid", (row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1)
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(size(col("_sv")), lit(1)))
+            .orderBy(col(idCol))) - 1)
           .cast("int"))
         .select(col("cid"), col("_sv").as("cvec"))
       collectCentroids(kMeansTrain(sub, seed, idCol, "_sv", iters)

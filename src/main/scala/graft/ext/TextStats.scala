@@ -513,12 +513,18 @@ object TextStats {
       .select(explode(bpeSegment(col(textCol), merges, sep)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("_tv_n"))
       .orderBy(col("_tv_n").desc, col("tok")).limit(n)
-      // the unpartitioned window ranks only the ALREADY-LIMITED vocab
-      // frame (≤ n ≤ 2^20 rows after TakeOrdered), never the corpus —
-      // the same bounded-seed convention as pqCodebookTrained; Spark's
-      // single-partition WindowExec warning here is about a ≤1M-row frame
+      // the rank window covers only the ALREADY-LIMITED vocab frame
+      // (≤ n ≤ 2^20 rows after TakeOrdered), never the corpus — the same
+      // bounded-seed convention as pqCodebookTrained. It partitions on a
+      // NON-FOLDABLE always-zero key — pmod(x, 1), which the optimizer
+      // keeps (x * 0 over a non-nullable column simplifies away and the
+      // spec would go empty again): execution is the same single
+      // partition the bounded frame needs, but WindowExec's global-window
+      // WARN stays reserved for REAL unbounded windows instead of
+      // flooding the logs.
       .withColumn("vid", row_number()
-        .over(Window.orderBy(col("_tv_n").desc, col("tok"))).cast("int"))
+        .over(Window.partitionBy(pmod(col("_tv_n"), lit(1L)))
+          .orderBy(col("_tv_n").desc, col("tok"))).cast("int"))
       .select("tok", "vid")
   }
 

@@ -387,6 +387,93 @@ object Scale {
     * commit step (on a real lake, an atomic metadata/manifest swap —
     * overwriting the directory being read would lose data on failure,
     * same contract as the reference's staged store sync). */
+  /** HOT-PARTITION compaction of a `partitionBy(partCol)` layout — the
+    * generic form of the IVF-cell maintenance pass
+    * ([[graft.ext.Similarity.compactIvfCells]] and the BM25 postings'
+    * [[graft.ext.Retrieval.compactIndexBuckets]] are thin wrappers):
+    * append batches accrete ~1 file per touched partition, so after B
+    * batches a pruned probe of that partition pays B file opens +
+    * footers. This walks the `partCol=` directories (an O(partitions)
+    * driver listing — the footer-manifest scale contract) and rewrites
+    * every partition holding more than `maxFilesPerPart` data files:
+    * ONE read pruned to the hot partitions (`pruneFilter` builds the
+    * partition-column predicate in the caller's key type, so static
+    * pruning stays intact) + ONE `partitionBy` write into a hidden
+    * `.compact/` staging dir for all hot partitions that fit
+    * `targetRowsPerFile`; only oversized partitions fall back to the
+    * per-partition multi-file [[compactParquet]] path. The commit is
+    * RENAME-FIRST per partition (old data moves aside before the staged
+    * copy renames in — at no instant is a partition's only copy gone),
+    * and a leftover `.compact/` from an interrupted commit is REFUSED
+    * loudly. Partition directories never change, so pruned probes and
+    * answers are invisible to compaction.
+    *
+    * SINGLE-WRITER: invisible to concurrent READERS only — an append
+    * racing the census-to-swap window can land files that are deleted
+    * with the old copy. Serialize compaction against appends (the
+    * append-only stages' single-maintenance-owner contract).
+    *
+    * Keys are handled as the raw `partCol=<value>` directory suffixes;
+    * callers with typed partition columns pass a `pruneFilter` in that
+    * type and map the returned keys back. Returns (key, filesBefore,
+    * filesAfter) per compacted partition, key-sorted. */
+  def compactPartitionedLayout(spark: org.apache.spark.sql.SparkSession,
+                               layoutDir: String, partCol: String,
+                               targetRowsPerFile: Long, maxFilesPerPart: Int,
+                               pruneFilter: Seq[String] => org.apache.spark.sql.Column)
+      : Seq[(String, Int, Int)] = {
+    require(maxFilesPerPart >= 1, "maxFilesPerPart must be >= 1")
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(layoutDir)
+    val fs = root.getFileSystem(conf)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val prefix = s"$partCol="
+    val hot = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.stripPrefix(prefix) ->
+        dataFiles(s.getPath).length)
+      .filter(_._2 > maxFilesPerPart).toMap
+    if (hot.isEmpty) return Seq.empty
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact")
+    // a leftover .compact means a prior run died MID-COMMIT and may hold
+    // the only copy of a partition — refuse loudly, never wipe
+    require(!fs.exists(staging),
+      s"$staging exists — a previous compaction did not commit cleanly; " +
+        "recover or remove it explicitly before compacting again")
+    val hotKeys = hot.keys.toSeq.sorted
+    val pruned = spark.read.parquet(layoutDir).filter(pruneFilter(hotKeys))
+    val rows = pruned.groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val (big, small) = hotKeys
+      .partition(k => rows.getOrElse(k, 0L) > targetRowsPerFile)
+    if (small.nonEmpty)
+      pruned.filter(pruneFilter(small))
+        .repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
+    big.foreach { k =>
+      compactParquet(spark,
+        new org.apache.hadoop.fs.Path(root, s"$prefix$k").toString,
+        new org.apache.hadoop.fs.Path(staging, s"$prefix$k").toString,
+        targetRowsPerFile)
+    }
+    // commit: rename-first swap per partition (see scaladoc)
+    val out = hotKeys.map { k =>
+      val part = new org.apache.hadoop.fs.Path(root, s"$prefix$k")
+      val old = new org.apache.hadoop.fs.Path(staging, s"old-$prefix$k")
+      val staged = new org.apache.hadoop.fs.Path(staging, s"$prefix$k")
+      require(fs.rename(part, old), s"compact commit failed for $prefix$k")
+      if (fs.exists(staged))
+        require(fs.rename(staged, part), s"compact commit failed for $prefix$k")
+      require(fs.delete(old, true), s"compact cleanup failed for $prefix$k")
+      (k, hot(k), if (fs.exists(part)) dataFiles(part).length else 0)
+    }
+    fs.delete(staging, true)
+    out
+  }
+
   def compactParquet(spark: org.apache.spark.sql.SparkSession, src: String,
                      dest: String, targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")

@@ -40,15 +40,15 @@ class PlanSpec extends SparkSpec {
     // training) run as part of building each frame — this is also the one
     // test that constructs EVERY catalog query, so plan analysis errors
     // anywhere in the contract surface here instead of at verify time.
-    val globalWindowAllowlist: Map[String, String] = Map(
-      // name -> why the unpartitioned frame is bounded
-      "x42_sequence_pack" ->
-        ("trainTokenVocabDf's vid rank rides the broadcast vocab lineage: " +
-          "an unpartitioned row_number over the ALREADY-LIMITED vocab " +
-          "frame (<= 50 rows after TakeOrdered; <= n <= 2^20 by contract " +
-          "- TextStats.trainTokenVocabDf documents the bound), never the " +
-          "corpus")
-    )
+    // name -> why the unpartitioned frame is bounded. CURRENTLY EMPTY for
+    // real: every bounded-frame window in the library now partitions on a
+    // non-foldable always-zero key (trainTokenVocabDf's vid rank — the
+    // former x42 entry — Learn.thresholdSweep's cumulative window,
+    // pqCodebookTrained's seed rank), which executes identically on the
+    // one partition the bounded frame needs but keeps partitionSpec
+    // non-empty — so BOTH this detector AND WindowExec's runtime WARN
+    // stay reserved for genuinely unbounded global windows.
+    val globalWindowAllowlist: Map[String, String] = Map.empty
     // AQE wraps every exchange-bearing plan in AdaptiveSparkPlanExec,
     // a LEAF node whose children are invisible to collect — unwrap it
     // (the same move as the layout-scan pins below) or the detector is
@@ -729,7 +729,8 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.nonEmpty && exchanges.forall(l =>
       l.contains("lang#") || l.contains("doc_id#") || l.contains("seq_id#")
-        || l.contains("tok#")), // the bounded vocab-count shuffle
+        || l.contains("tok#")       // the bounded vocab-count shuffle
+        || l.contains("_tv_n#")),   // vid rank's non-foldable zero key
       s"unexpected exchange key: ${exchanges.mkString("\n")}")
   }
 
@@ -769,6 +770,38 @@ class PlanSpec extends SparkSpec {
     val cells64 = assigned(64).select("cid").distinct().count()
     assert(cells64 > cells16,
       s"64-centroid assignment must spread further ($cells16 vs $cells64 cells)")
+  }
+
+  test("x35c seeding: candidates are data — broadcast fan-out, candidate-independent plan") {
+    import org.apache.spark.sql.functions.col
+    // the per-round/min-distance pass is the whole scale story of the
+    // data-driven k-means|| form: the candidate table must BROADCAST into
+    // the fan-out (zero corpus movement), the min-d² agg must stay a
+    // primitive-buffer HashAggregate keyed on the id alone, and the plan
+    // tree must not grow with the candidate count (the ivfAssignJoin
+    // plan-size-independence contract — what frees seeding from the
+    // literal path's typedlit ceiling)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("v"))
+    def cands(n: Int) = emb.filter(col("vec_id") < n)
+      .select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").as("cvec"))
+    val p8 = tree(graft.ext.Similarity.kppMinDist(base, cands(8)))
+    val p64 = tree(graft.ext.Similarity.kppMinDist(base, cands(64)))
+    assert(p8.contains("BroadcastHashJoin"), p8)
+    assert(!p8.contains("CartesianProduct") && !p8.contains("SortMergeJoin"), p8)
+    assert(!p8.contains("SortAggregate"),
+      s"min-d2 must stay a primitive HashAggregate: $p8")
+    p8.linesIterator.filter(_.contains("HashAggregate")).foreach { l =>
+      assert(l.contains("id") && !l.contains("_kp_cv") && !l.contains("v#"),
+        s"min-d2 agg must key on the id only: $l")
+    }
+    def shape(p: String) = p.linesIterator.map(_.replaceAll("#\\d+L?", "#x")
+      .replaceAll("\\d+", "N")).mkString("\n")
+    assert(shape(p8) == shape(p64),
+      s"plan must not grow with the candidate count:\n$p8\n----\n$p64")
   }
 
   test("x35 k-means: all three scoring fan-outs are broadcast; shuffle joins key on the id only") {

@@ -188,6 +188,106 @@ class ExtSpec extends SparkSpec {
     assert(trained.count() >= 1 && trained.count() <= 3)
   }
 
+  test("log2q8: column and driver implementations agree; exact at powers of two") {
+    val xs = (1L to 1024L) ++ Seq(12345L, 999999L, 1L << 40, (1L << 55) - 1)
+    val got = xs.toDF("x").select(col("x"), Unigram.log2q8(col("x")).as("l"))
+      .as[(Long, Long)].collect().toMap
+    xs.foreach { x =>
+      assert(got(x) == Unigram.log2q8Long(x), s"x=$x")
+      // never above the true log, never more than ~8 ulps of truncation under
+      val ideal = math.floor(math.log(x.toDouble) / math.log(2.0) * 256).toLong
+      assert(got(x) <= ideal && got(x) >= ideal - 8, s"x=$x got=${got(x)} ideal=$ideal")
+    }
+    (0 to 54).foreach(e =>
+      assert(Unigram.log2q8Long(1L << e) == e.toLong * 256, s"2^$e"))
+  }
+
+  test("unigram viterbi: max-score path, ties to the smallest split (longest last piece)") {
+    // equal-count pieces make [ab|c] and [a|bc] score-tie on "abc": the
+    // dp's (s desc, j asc) rule must pick j=1 — the LONGEST final piece
+    val s = Map("a" -> -100L, "b" -> -100L, "c" -> -100L,
+      "ab" -> -100L, "bc" -> -100L)
+    val w = Seq("abc", "abab").toDF("word")
+    val got = w
+      .withColumn("dp", Unigram.viterbiDp(col("word"), s, 2))
+      .select(col("word"), Unigram.viterbiPieces(col("word"), col("dp")).as("ps"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("abc") == Seq("a", "bc"), got("abc"))
+    // fewer pieces always win under equal negative scores
+    assert(got("abab") == Seq("ab", "ab"), got("abab"))
+  }
+
+  test("unigramTrain: hand-computed EM fixture — counts, char floor, prune, scores") {
+    // corpus: "abab" ×2, "abc" ×1. Seed counts: a=5 b=5 ab=5 ba=2 c=1
+    // bc=1 (total 19). Round-1 Viterbi: abab→[ab,ab] (fewer pieces);
+    // abc→[a,bc] (score tie, smallest-j rule). Counts: ab=4 a=1 bc=1;
+    // char floor b=1 c=1 (total 8). Round-2 scores make [ab,c] win on
+    // abc → final counts ab=5 c=1, floors a=1 b=1. Prune vocabSize=4 =
+    // 3 chars + top-1 multi (ab).
+    val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("doc_id", "text")
+    val got = Unigram.unigramTrain(docs, "text", maxPieceLen = 2,
+        maxWordLen = 8, nSeed = 10, emRounds = 2, vocabSize = 4)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    def sc(n: Long) = Unigram.log2q8Long(n) - Unigram.log2q8Long(8L)
+    assert(got == Seq(("a", 1L, sc(1)), ("ab", 5L, sc(5)),
+      ("b", 1L, sc(1)), ("c", 1L, sc(1))), got.toString)
+    // required chars can never be pruned away
+    assert(intercept[IllegalArgumentException] {
+      Unigram.unigramTrain(docs, "text", 2, 8, 10, 1, 2)
+    }.getMessage.contains("required single"))
+  }
+
+  test("unigram segment: lossless coverage, truncation contract, reserved names") {
+    val docs = Seq((1L, "abab abc xyz"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // vocab covering only a/b/c/ab: xyz's chars must still segment —
+    // build scores over the full char inventory like the trainer would
+    val s = Map("a" -> -100L, "b" -> -120L, "c" -> -150L, "ab" -> -130L,
+      "x" -> -700L, "y" -> -700L, "z" -> -700L)
+    val got = Unigram.segment(docs, "text", "doc_id", s, 2, 8)
+      .as[(Long, Seq[String])].collect()
+    got.foreach { case (_, ps) => assert(ps.nonEmpty) }
+    // every word reassembles from its pieces
+    val words = got.map(_._2.mkString)
+    assert(words.toSet == Set("abab", "abc", "xyz"), words.mkString(","))
+    // truncation: maxWordLen=2 cuts "abab" to "ab" before segmenting
+    val t = Unigram.segment(docs.filter(col("doc_id") === 1), "text",
+        "doc_id", s, 2, 2)
+      .as[(Long, Seq[String])].collect().map(_._2.mkString).toSet
+    assert(t == Set("ab", "xy"), t.toString)
+    assert(intercept[IllegalArgumentException] {
+      Unigram.segment(docs.withColumnRenamed("doc_id", "pieces"), "text",
+        "pieces", s, 2, 8)
+    }.getMessage.contains("rename the id column"))
+  }
+
+  test("kMeansParallelSeedJoin: bit-parity with the literal path") {
+    // the data-driven form's whole contract: same draws, distances,
+    // weights, and top-k cut as the literal path — compare FULL rows,
+    // vectors included, on the literal test's adversarial fixture and on
+    // the parquet embeddings at the x35b/x35c catalog params
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val raw: Seq[(Long, Seq[Float])] =
+      (1L to 8L).map(i => i -> v(0.0 + i * 0.001, 0.0)) ++
+      (9L to 16L).map(i => i -> v(10.0 + i * 0.001, 10.0)) ++
+      (17L to 24L).map(i => i -> v(-10.0 + i * 0.001, 5.0))
+    val pts = raw.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cid"), col("cand_id"), col("weight"), col("cvec"))
+        .as[(Int, Long, Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(rows(Similarity.kMeansParallelSeedJoin(pts, "vec_id", "embedding", 3, 4, 3))
+      == rows(Similarity.kMeansParallelSeed(pts, "vec_id", "embedding", 3, 4, 3)))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    assert(rows(Similarity.kMeansParallelSeedJoin(emb, "vec_id", "embedding", 8, 8, 2))
+      == rows(Similarity.kMeansParallelSeed(emb, "vec_id", "embedding", 8, 8, 2)))
+    // the over-sample ceiling still fires loudly on the join path
+    assert(intercept[IllegalArgumentException] {
+      Similarity.kMeansParallelSeedJoin(pts, "vec_id", "embedding",
+        2, 24, 3, maxCandidates = 2)
+    }.getMessage.contains("maxCandidates"))
+  }
+
   test("redactCardNumbers: Luhn-valid PANs redact, invalid 16-digit decoys survive") {
     // the operator's point is the checksum: two classic test PANs (Visa
     // 4111..., Mastercard 5500...0004) must redact under either

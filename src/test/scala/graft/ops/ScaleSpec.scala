@@ -194,6 +194,43 @@ class ScaleSpec extends SparkSpec {
       "the guard must not delete the stale staging dir")
   }
 
+  test("compactIndexBuckets: hot postings buckets rewrite to one file; probe results unchanged") {
+    import graft.ext.Retrieval
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("bm25_compact").toString
+    // three append batches: every touched bucket accretes ~1 file per
+    // batch — the small-file decay the maintenance pass exists for
+    (0 to 2).foreach { par =>
+      Retrieval.appendIndexBatch(docs.filter(col("doc_id") % 3 === par),
+        "text", "doc_id", path)
+    }
+    val queries = Seq(1L -> "customer filter join", 2L -> "window merge sort")
+    def rows(k: Int) = Retrieval.bm25TopKStaged(path, queries, k)
+      .select(col("qid"), col("doc_id"), col("score_q20"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val before = rows(5)
+    def bucketFiles(b: String) = new java.io.File(s"$path/postings/bucket=$b")
+      .listFiles().count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    val bucketDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=")).toSeq
+    val hot = bucketDirs.filter(bucketFiles(_) > 1)
+    assert(hot.nonEmpty, "fixture must accrete multi-file buckets")
+    val report = Retrieval.compactIndexBuckets(spark, path, 1L << 20)
+    assert(report.map(_._1).toSet == hot.toSet, s"$report vs hot=$hot")
+    report.foreach { case (b, nBefore, nAfter) =>
+      assert(nBefore > 1 && nAfter == 1, s"bucket $b: $nBefore -> $nAfter")
+      assert(bucketFiles(b) == 1, s"bucket $b still has ${bucketFiles(b)} files")
+    }
+    assert(!new java.io.File(s"$path/postings/.compact").exists())
+    // compaction is invisible to the probe: identical rows, and a second
+    // pass finds nothing hot
+    assert(rows(5) == before)
+    assert(Retrieval.compactIndexBuckets(spark, path, 1L << 20).isEmpty)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     Seq("bkt_a", "bkt_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
