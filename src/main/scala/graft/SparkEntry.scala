@@ -827,6 +827,82 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"),
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
+    "x75_ivfpq_topk" -> ((s, dir) => {
+      // COMPOSED IVF-PQ (IVFADC, Jégou et al. 2011) — the actual
+      // billion-scale FAISS layout: IVF cells (first-16 centroids, the
+      // deterministic convention) + PQ codes over the RESIDUAL x − c(x)
+      // (4 subspaces × 16 codes from the first-16 residuals). x6b and
+      // x29 each exist alone; this composes them: probe top-2 cells per
+      // query, ADC score = Q30(q·c_cell) + Σ_m Q30(q_m·cb[m][code]).
+      // Every step — assignment argmax, exact-double residuals, encode
+      // argmin, the ADC sum — is engine-portable, so the composed
+      // approximate index is hash-checked end to end.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfPqTopK(emb, cents, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", 4, 16, 64, 5, 2)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"),
+          col("rank").cast("long").as("rnk"))
+    }),
+    "s11_ivfpq_layout" -> ((s, dir) => {
+      // the IVF-PQ LAYOUT lifecycle (s9 precedent): encode the corpus,
+      // write (id, codes) partitionBy(cid) — m code ints per row instead
+      // of dim floats, AND static cell pruning — then answer x75's
+      // queries FROM the layout: the probe scan prunes to the probed
+      // cells (PlanSpec pins it) and scores from codes alone; vectors
+      // are never stored or read. The oracle is x75's, verbatim —
+      // the layout is invisible to results.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+      val res = Similarity.ivfResiduals(emb, cents, "vec_id", "embedding")
+      val cb = Similarity.ivfPqCodebook(res, "vec_id", 4, 16, 64)
+      val enc = Similarity.pqEncodeResiduals(res, "resid", cb)
+        .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_ivfpq_")
+      Similarity.writeIvfPqPartitioned(enc, ldir)
+      Similarity.ivfPqTopKPartitioned(ldir, cents,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding", cb, 5, 2)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"),
+          col("rank").cast("long").as("rnk"))
+    }),
+    "s11b_ivfpq_append" -> ((s, dir) => {
+      // IVF-PQ CONTINUOUS INGEST (the s10/s10b lifecycle on the CODES
+      // layout): quantizers train ONCE on the resident base — the base
+      // holds ids 0..15, so the frozen centroids and residual codebook
+      // equal x75's — then two batches encode under them and APPEND,
+      // files accrete per touched cell, compaction rewrites the hot
+      // cells, and the probe answers from the compacted layout. Because
+      // encoding depends only on the frozen quantizers, base+appends
+      // reach the one-shot state exactly: the oracle is x75's, verbatim.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+      val base = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 > 1)
+      val cb = Similarity.ivfPqCodebook(
+        Similarity.ivfResiduals(base, cents, "vec_id", "embedding"),
+        "vec_id", 4, 16, 64)
+      def enc(batch: org.apache.spark.sql.DataFrame) =
+        Similarity.pqEncodeResiduals(
+            Similarity.ivfResiduals(batch, cents, "vec_id", "embedding"),
+            "resid", cb)
+          .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+      val ldir = graft.ops.Scale.tempLayoutDir("graft_ivfpq_append_")
+      Similarity.writeIvfPqPartitioned(enc(base), ldir)
+      Similarity.appendIvfPqPartitioned(
+        enc(emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0)), ldir)
+      Similarity.appendIvfPqPartitioned(
+        enc(emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 1)), ldir)
+      Similarity.compactIvfCells(s, ldir, targetRowsPerFile = 1L << 20)
+      Similarity.ivfPqTopKPartitioned(ldir, cents,
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding", cb, 5, 2)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"),
+          col("rank").cast("long").as("rnk"))
+    }),
     "x33_topk_similar" -> ((s, dir) => {
       // per-document top-k most-similar docs over TEXT: LSH candidates
       // (the scale path — never all-pairs), exact Jaccard verify joined
@@ -1132,6 +1208,51 @@ object SparkEntry {
       Unigram.unigramTrain(t(s, dir, "documents"), "text",
         maxPieceLen = 4, maxWordLen = 16, nSeed = 40, emRounds = 2,
         vocabSize = 40)),
+    "x74b_unigram_score" -> ((s, dir) => {
+      // the trained LM put to its pipeline USE — CCNet-style document
+      // quality scoring (Wenzek et al. 2020 rank docs by LM perplexity):
+      // train the x74 unigram LM (same params — the oracle replays the
+      // training verbatim), then score every document by its Viterbi
+      // code length under the trained vocabulary. The trained scores are
+      // a bounded driver artifact (≤ vocabSize pairs, the
+      // literal-segmenter regime); bits_q8/bpp_q8 are exact integers, so
+      // the oracle replays train → segment → roll-up end to end.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val trained = Unigram.unigramTrain(docs, "text",
+          maxPieceLen = 4, maxWordLen = 16, nSeed = 40, emRounds = 2,
+          vocabSize = 40)
+        .select(col("piece"), col("score_q8"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Unigram.scoreDocs(docs, "text", "doc_id", trained,
+        maxPieceLen = 4, maxWordLen = 16)
+    }),
+    "x74d_unigram_train_join" -> ((s, dir) =>
+      // the fully DATA-DRIVEN trainer — the production form for 32k–50k
+      // vocabularies: no maxVocabLiteral ceiling, no driver collect of
+      // counts or scores; E-steps segment via the substring-edge
+      // broadcast join, M-steps score in-plan, rounds stage to parquet
+      // (the kMeansTrain stage-per-iteration move). Bit-parity with the
+      // literal trainer is the contract: answers x74's oracle VERBATIM.
+      Unigram.unigramTrainJoin(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, maxWordLen = 16, nSeed = 40, emRounds = 2,
+        vocabSize = 40)),
+    "x74c_unigram_score_join" -> ((s, dir) => {
+      // the DATA-DRIVEN twin of x74b — train → deploy stays on the
+      // cluster end to end: the trained vocabulary feeds the segmenter
+      // as a DataFrame (substring-edge broadcast join; plan size and
+      // driver traffic independent of vocabulary width — the path a
+      // production 32k–50k SentencePiece vocab needs, past x74b's
+      // literal-segmenter ceiling). No collect anywhere. Answers x74b's
+      // oracle VERBATIM — bit-parity with the literal segmenter is the
+      // contract (ExtSpec pins it on fixture and corpus).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val trained = Unigram.unigramTrain(docs, "text",
+        maxPieceLen = 4, maxWordLen = 16, nSeed = 40, emRounds = 2,
+        vocabSize = 40)
+      Unigram.scoreDocsJoin(docs, "text", "doc_id",
+        trained.select(col("piece"), col("score_q8")),
+        maxPieceLen = 4, maxWordLen = 16)
+    }),
     "x25b_topngram_fraction" -> ((s, dir) =>
       // Gopher's remaining repetition rule: characters covered by the
       // most frequent word bigram (all sliding windows, overlaps
@@ -2578,6 +2699,10 @@ object SparkEntry {
       ("x43b_bm25_indexed" -> oracleSqlBase("x43_bm25_topk")) +
       ("x43c_bm25_incremental" -> oracleSqlBase("x43_bm25_topk")) +
       ("x43d_bm25_compacted" -> oracleSqlBase("x43_bm25_topk")) +
+      ("s11_ivfpq_layout" -> oracleSqlBase("x75_ivfpq_topk")) +
+      ("s11b_ivfpq_append" -> oracleSqlBase("x75_ivfpq_topk")) +
+      ("x74c_unigram_score_join" -> oracleSqlBase("x74b_unigram_score")) +
+      ("x74d_unigram_train_join" -> oracleSqlBase("x74_unigram_train")) +
       ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card"))
 
   /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
@@ -2707,7 +2832,14 @@ object SparkEntry {
     * recursive CTEs (dp carried as a LIST<STRUCT(s,j)> per word; the
     * (score desc, split asc) tie rule as ORDER BY cs DESC, cj ASC LIMIT
     * 1), required-char floors, the prune cut, and the final scores. */
-  private val unigramOracleSql: String = {
+  /** Shared builder of the x74/x74b oracles: the training replay (seed →
+    * two hard-EM Viterbi rounds → prune → final Q8 scores) is common; the
+    * score form appends a THIRD Viterbi pass under the final scores plus
+    * the per-document roll-up (the corpus scored IS the training corpus,
+    * so the distinct-word table `w` is shared and the required-char floor
+    * guarantees n_oov = 0 — the CASE arm still replays the engine's oov
+    * rule so a segmentation bug breaks the hash instead of hiding). */
+  private val (unigramOracleSql: String, unigramScoreOracleSql: String) = {
     val (maxP, maxW, nSeed, vocab) = (4, 16, 40, 40)
     def logChain(src: String): (Seq[String], String) = {
       val l0 = s"""${src}_l0 AS (SELECT piece, cnt, length(bin(cnt)) - 1 AS e,
@@ -2794,9 +2926,39 @@ object SparkEntry {
     val parts = base ++ scores("v0", "0") ++ viterbi("vs_0", "r1") ++
       round1Vocab ++ scores("v1", "1") ++ viterbi("vs_1", "r2") ++
       prune ++ scores("finv", "f")
-    "WITH RECURSIVE\n  " + parts.mkString(",\n  ") + """
+    val trainSql =
+      "WITH RECURSIVE\n  " + parts.mkString(",\n  ") + """
       SELECT f.piece, CAST(f.cnt AS BIGINT) AS n, CAST(v.s AS BIGINT) AS score_q8
       FROM finv f JOIN vs_f v USING (piece)"""
+    // x74b: a third Viterbi pass (dp_sc/path_sc) under the FINAL scores
+    // gives each distinct word its best-path score and piece count; the
+    // per-doc word multiset then rolls up to the exact integer outputs
+    val scoreParts = parts ++ viterbi("vs_f", "sc") ++ Seq(
+      "wnp AS (SELECT word, COUNT(*) AS np FROM path_sc WHERE pos > 0 GROUP BY 1)",
+      """wstat AS (SELECT f.word, f.d[length(f.word) + 1].s AS ws, n.np
+         FROM fin_sc f JOIN wnp n USING (word))""",
+      s"""docw AS (SELECT doc_id, substr(ww, 1, $maxW) AS word, COUNT(*) AS dc
+         FROM (SELECT doc_id, unnest(string_split_regex(""" +
+        """regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ww
+              FROM documents WHERE text IS NOT NULL
+                AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')
+         WHERE ww <> '' GROUP BY 1, 2)""",
+      """sel AS (SELECT d.doc_id, d.dc, s.ws, s.np,
+           (s.ws > -(1::BIGINT << 60)) AS ok
+         FROM docw d JOIN wstat s USING (word))""")
+    val scoreSql =
+      "WITH RECURSIVE\n  " + scoreParts.mkString(",\n  ") + """
+      SELECT doc_id,
+        CAST(COALESCE(SUM(CASE WHEN ok THEN dc END), 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(SUM(CASE WHEN NOT ok THEN dc END), 0) AS BIGINT) AS n_oov,
+        CAST(COALESCE(SUM(CASE WHEN ok THEN dc * np END), 0) AS BIGINT) AS n_pieces,
+        CAST(COALESCE(-SUM(CASE WHEN ok THEN dc * ws END), 0) AS BIGINT) AS bits_q8,
+        CASE WHEN COALESCE(SUM(CASE WHEN ok THEN dc * np END), 0) > 0
+             THEN CAST((-SUM(CASE WHEN ok THEN dc * ws END))
+                       // SUM(CASE WHEN ok THEN dc * np END) AS BIGINT)
+        END AS bpp_q8
+      FROM sel GROUP BY doc_id"""
+    (trainSql, scoreSql)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -3484,7 +3646,67 @@ object SparkEntry {
     // x35b: both k-means|| rounds unrolled — Q30 distance lambdas, the
     // 4-hex md5 draw against the cross-multiplied HUGEINT inequality,
     // the final nearest-candidate weighting, and the top-k cut
+    // x75: the composed IVF-PQ replay — IVF assignment (Q30 argmax, ties
+    // to lowest cid), exact-double residuals, residual codebook from the
+    // first-16 rows, encode argmin over (c·c − 2·r·c) Q30 longs (ties to
+    // lowest code), top-2 probe cells per query (s desc, cid asc), and
+    // the ADC sum Q30(q·c_cell) + Σ_m Q30(q_m·cb[m][code])
+    "x75_ivfpq_topk" ->
+      """WITH ivfc AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+           asns AS (SELECT vec_id, cid,
+                    CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                    FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                          FROM embeddings e CROSS JOIN ivfc c)
+                    GROUP BY vec_id, cid),
+           asn AS (SELECT vec_id, cid FROM asns
+                   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+           rese AS (SELECT vec_id, cid, ord, CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE) AS rx FROM
+                    (SELECT e.vec_id, a.cid, generate_subscripts(e.embedding, 1) AS ord,
+                            unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                     FROM embeddings e JOIN asn a USING (vec_id)
+                     JOIN ivfc c ON c.cid = a.cid)),
+           resm AS (SELECT vec_id, (ord - 1) // 16 AS m,
+                           ord - ((ord - 1) // 16) * 16 AS sord, rx FROM rese),
+           cbr AS (SELECT m, vec_id AS code, sord, rx FROM resm WHERE vec_id < 16),
+           cc AS (SELECT m, code,
+                  CAST(SUM(CAST(floor(rx * rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM cbr GROUP BY m, code),
+           xc AS (SELECT r.vec_id, r.m, c.code,
+                  CAST(SUM(CAST(floor(r.rx * c.rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM resm r JOIN cbr c ON c.m = r.m AND c.sord = r.sord
+                  GROUP BY r.vec_id, r.m, c.code),
+           codes AS (SELECT vec_id, m, code FROM (
+                     SELECT x.vec_id, x.m, x.code,
+                            row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY (c.s - 2*x.s), x.code) AS rn
+                     FROM xc x JOIN cc c ON c.m = x.m AND c.code = x.code)
+                     WHERE rn = 1),
+           probes AS (SELECT q_id, cid FROM (
+                      SELECT vec_id AS q_id, cid,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                      FROM asns WHERE vec_id < 4) WHERE rn <= 2),
+           qsub AS (SELECT vec_id AS q_id, (ord - 1) // 16 AS m,
+                           ord - ((ord - 1) // 16) * 16 AS sord, qx FROM
+                    (SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+                            unnest(embedding) AS qx
+                     FROM embeddings WHERE vec_id < 4)),
+           qcb AS (SELECT q.q_id, q.m, c.code,
+                   CAST(SUM(CAST(floor(CAST(q.qx AS DOUBLE) * c.rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
+                   FROM qsub q JOIN cbr c ON c.m = q.m AND c.sord = q.sord
+                   GROUP BY q.q_id, q.m, c.code),
+           adc AS (SELECT p.q_id, n.vec_id AS n_id, MAX(ct.s) + SUM(qc.s) AS s
+                   FROM probes p
+                   JOIN asn n ON n.cid = p.cid AND n.vec_id <> p.q_id
+                   JOIN codes cd ON cd.vec_id = n.vec_id
+                   JOIN qcb qc ON qc.q_id = p.q_id AND qc.m = cd.m AND qc.code = cd.code
+                   JOIN asns ct ON ct.vec_id = p.q_id AND ct.cid = p.cid
+                   GROUP BY p.q_id, n.vec_id)
+         SELECT q_id, n_id, CAST(s AS DOUBLE)/1073741824 AS score,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY s DESC, n_id) AS BIGINT) AS rnk
+         FROM adc QUALIFY rnk <= 5""",
     "x74_unigram_train" -> unigramOracleSql,
+    "x74b_unigram_score" -> unigramScoreOracleSql,
     "x35b_kmeans_parallel_seed" -> kppSeedOracleSql,
     // x35c answers the SAME oracle verbatim: the data-driven join path is
     // bit-parity with the literal path by contract (ExtSpec pins it)

@@ -968,6 +968,183 @@ object Similarity {
     }
   }
 
+  // ───────────────────── composed IVF-PQ index ─────────────────────
+  //
+  // The billion-scale FAISS layout (Jégou et al. 2011, "Product
+  // quantization for nearest neighbor search" §IV — IVFADC): IVF cells
+  // for the coarse quantizer, PQ codes over the RESIDUAL x − c(x) for
+  // the fine one. A probe scans nProbe/nCells of the corpus (IVF) and
+  // reads m CODE BYTES per row instead of dim floats (PQ) — the two
+  // compressions compose, which is why this is the standard
+  // billion-vector layout. x6b (IVF) and x29 (flat PQ) each exist alone;
+  // this composes them with the same exact-Q30 oracle discipline:
+  // assignment argmax, residual subtraction (exact double), encode
+  // argmin, and the ADC sum are all engine-portable integer/IEEE steps,
+  // so even the composed approximate index is hash-checked (x75/s11).
+
+  /** Assignment + per-row residual against the winning cell centroid:
+    * (idCol, vecCol, cid, resid) with resid = x − c as array<double> —
+    * float widens to double exactly and one subtraction is a single
+    * deterministic IEEE op, so residuals are bit-identical everywhere.
+    * Assignment is [[ivfAssignJoin]] (broadcast fan-out, plan size
+    * independent of the cell count); the centroid joins back by
+    * BROADCAST on cid for the subtraction. */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                   vecCol: String): DataFrame =
+    ivfAssignJoin(corpus.select(col(idCol), col(vecCol)), centroids,
+        idCol, vecCol)
+      .join(broadcast(centroids.select(col("cid"), col("cvec").as("_ip_cv"))),
+        Seq("cid"))
+      .select(col(idCol), col(vecCol), col("cid"),
+        zip_with(col(vecCol), col("_ip_cv"),
+          (x, c) => x.cast("double") - c.cast("double")).as("resid"))
+
+  /** PQ codebook over RESIDUALS: per subspace, the residual sub-vectors
+    * of the first `kCode` rows (by id) — the same deterministic seed
+    * convention as [[pqCodebook]], applied to [[ivfResiduals]] output.
+    * Bounded driver data (m × kCode × dim/m doubles). Code index i is
+    * the i-th smallest id (== id on the dense-id fixtures, matching the
+    * oracle's vec_id keying). */
+  def ivfPqCodebook(residuals: DataFrame, idCol: String, m: Int, kCode: Int,
+                    dim: Int): Seq[Seq[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val rows = residuals.filter(col(idCol) < kCode)
+      .select(col(idCol).cast("int"), col("resid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    (0 until m).map(mi => rows.toSeq.map { case (_, v) =>
+      java.util.Arrays.copyOfRange(v, mi * subDim, (mi + 1) * subDim) })
+  }
+
+  /** Q30 dot as an exact long for DOUBLE-domain vectors: Σ floor(xᵢ·yᵢ·
+    * 2³⁰). The native [[quantizedDotQ30Long]] path reads FLOAT arrays
+    * (DotQ30.getFloat) — residuals and their codebooks are doubles, so
+    * the IVF-PQ terms use this column form: one IEEE double multiply per
+    * element (deterministic), an exact ×2³⁰ (power of two), floor to a
+    * long, longs sum exactly. The oracle replays
+    * `floor(rx·cx·1073741824)` verbatim. */
+  private def dotQ30LongD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      floor(x.cast("double") * y.cast("double") * lit((1L << 30).toDouble))
+        .cast("long")),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Encode residuals against a double codebook: per subspace the
+    * L2-nearest entry via argmin(c·c − 2·r·c) ENTIRELY in Q30 longs
+    * (ties → lowest code — `array_position` of the min). The [[pqEncode]]
+    * twin for the residual (double) domain; a pure projection. */
+  def pqEncodeResiduals(df: DataFrame, residCol: String,
+                        codebook: Seq[Seq[Array[Double]]],
+                        outCol: String = "codes"): DataFrame = {
+    val m = codebook.size
+    val subDim = codebook.head.head.length
+    val codes = array((0 until m).map { mi =>
+      val sub = slice(col(residCol), mi * subDim + 1, subDim)
+      val vals = transform(typedlit(codebook(mi).map(_.toSeq)), c =>
+        dotQ30LongD(c, c) - lit(2L) * dotQ30LongD(sub, c))
+      (array_position(vals, array_min(vals)) - 1).cast("int")
+    }: _*)
+    df.withColumn(outCol, codes)
+  }
+
+  /** Shared IVF-PQ probe tail: candidates = encoded rows in each query's
+    * probed cells; ADC score = Q30(q · c_cell) + Σ_m Q30(q_m ·
+    * cb[m][code_m]) — per-term exact Q30 longs summed exactly, the
+    * IVFADC inner-product estimator. The query side broadcasts; the
+    * encoded corpus streams; the only shuffle is the bounded per-query
+    * top-k (TopKAgg). */
+  private def ivfPqCandidateTopK(enc: DataFrame, centroids: DataFrame,
+                                 q: DataFrame, probes: DataFrame,
+                                 codebook: Seq[Seq[Array[Double]]],
+                                 k: Int): DataFrame = {
+    val m = codebook.size
+    val subDim = codebook.head.head.length
+    val cbLit = typedlit(codebook.map(_.map(_.toSeq)))
+    val qAssigned = q.join(probes, "q_id")
+    val cellTerm = quantizedDotQ30Long(col("q_vec"), col("_ip_cv"))
+    val residTerm = (0 until m).map { mi =>
+      val qSub = slice(col("q_vec"), mi * subDim + 1, subDim)
+      val cent = element_at(element_at(cbLit, mi + 1),
+        element_at(col("codes"), mi + 1) + 1)
+      dotQ30LongD(qSub, cent) // query floats × double codebook entry
+    }.reduce(_ + _)
+    enc
+      .join(broadcast(qAssigned), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(centroids.select(col("cid"), col("cvec").as("_ip_cv"))),
+        Seq("cid"))
+      .select(col("q_id"), col("n_id"),
+        ((cellTerm + residTerm).cast("double") / lit((1L << 30).toDouble))
+          .as("score"))
+      .transform(topKPerQuery(_, k))
+  }
+
+  /** In-memory composed IVF-PQ top-k: assign + residual-encode the
+    * corpus, then ADC-score each query against its `nProbe` best cells'
+    * codes. Results are approximate (two quantizations) but bit-exact
+    * across engines — the oracle replays assignment, residuals, encode,
+    * probe ranking, and the ADC sum (x75). */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, m: Int, kCode: Int, dim: Int,
+                k: Int, nProbe: Int): DataFrame = {
+    val res = ivfResiduals(corpus, centroids, idCol, vecCol)
+    val cb = ivfPqCodebook(res, idCol, m, kCode, dim)
+    val enc = pqEncodeResiduals(res, "resid", cb)
+      .select(col(idCol).as("n_id"), col("cid"), col("codes"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    ivfPqCandidateTopK(enc, centroids, q, probeCells(q, centroids, nProbe),
+      cb, k)
+  }
+
+  /** The 100 TB IVF-PQ layout: (id, codes) partitioned by cid — m·4
+    * bytes of codes per row instead of dim·4 of floats, the PQ memory
+    * move, AND static nProbe/nCells pruning, the IVF scan move. Vectors
+    * are NOT stored: the probe answers from codes + the (bounded)
+    * codebook + centroids alone. */
+  def writeIvfPqPartitioned(enc: DataFrame, path: String): Unit =
+    enc.select(col("n_id"), col("cid"), col("codes"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** CONTINUOUS-INGEST for the IVF-PQ layout — the standard FAISS `add`
+    * path: the coarse quantizer (centroids) and the fine one (the
+    * residual codebook) train ONCE and FREEZE; a new batch assigns,
+    * residual-encodes against them, and lands append-mode in the
+    * matching `cid=` directories. Because encoding depends only on the
+    * frozen quantizers, base+appends reach the exact state a one-shot
+    * [[writeIvfPqPartitioned]] of the union would (s11b answers x75's
+    * oracle verbatim). Same trades as [[appendIvfPartitioned]]: batches
+    * accrete ~1 file per touched cell, so [[compactIvfCells]] is the
+    * matching maintenance pass — the codes layout is cid-partitioned
+    * parquet exactly like the vector layout, so the generic
+    * hot-partition compaction (and its SINGLE-WRITER contract) applies
+    * unchanged. Quantizer drift (re-training centroids or codebook)
+    * requires a full rewrite, which is [[writeIvfPqPartitioned]]'s job. */
+  def appendIvfPqPartitioned(enc: DataFrame, path: String): Unit =
+    enc.select(col("n_id"), col("cid"), col("codes"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
+  /** IVF-PQ top-k FROM a [[writeIvfPqPartitioned]] layout: the probed
+    * cell set folds into an IN filter on the partition column (static
+    * pruning before any task — the s9 contract), and the ADC scoring
+    * needs only the stored codes: the scan reads m code bytes per
+    * candidate row, never a vector. Answers s11 with x75's oracle,
+    * verbatim — the layout is invisible to results. */
+  def ivfPqTopKPartitioned(layoutDir: String, centroids: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           codebook: Seq[Seq[Array[Double]]], k: Int,
+                           nProbe: Int): DataFrame = {
+    val spark = centroids.sparkSession
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probes = probeCells(q, centroids, nProbe)
+    val cids = probes.select(col("cid")).distinct().collect().map(_.getInt(0))
+    val enc = spark.read.parquet(layoutDir)
+      .filter(col("cid").isin(cids.toSeq.map(Int.box): _*))
+      .select(col("n_id"), col("cid").cast("int").as("cid"), col("codes"))
+    ivfPqCandidateTopK(enc, centroids, q, probes, codebook, k)
+  }
+
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int,
               q30: Boolean = false): DataFrame = {

@@ -304,4 +304,277 @@ object Unigram {
       .select(col(idCol),
         viterbiPieces(col("_ug_w"), col("_ug_dp")).as("pieces"))
   }
+
+  /** Unigram-LM DOCUMENT scoring — the CCNet-style LM-quality signal
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data" — docs rank by LM perplexity) with
+    * the TRAINED unigram vocabulary as the LM: each document's words
+    * (truncated exactly as in training) segment by Viterbi under
+    * `scores`, and the document's total code length is the negated sum
+    * of its words' best-path Q8 log₂ probabilities. Returns per doc:
+    *
+    *  - `n_words` — segmentable words (multiplicity counted)
+    *  - `n_oov`   — words NO segmentation covers (possible only when a
+    *    doc holds characters outside the training inventory; such words
+    *    are excluded from every other statistic — 0 when scoring the
+    *    training corpus, which the required-char floor guarantees)
+    *  - `n_pieces` — total Viterbi pieces across segmentable words
+    *  - `bits_q8` — Σ −pathScore: the document's code length in Q8 bits
+    *  - `bpp_q8` — bits_q8 div n_pieces (floor; operands non-negative so
+    *    floor = truncate in any engine) — bits-per-piece, the integer
+    *    perplexity proxy (perplexity = 2^(bpp_q8/256)); null when the
+    *    doc has no segmentable words
+    *
+    * Docs with no words at all (null/blank text) are absent — no LM
+    * evidence either way. All five outputs are exact integers, so the
+    * oracle replays the whole pipeline (x74b).
+    *
+    * Scale shape: ONE (id, word) text pass + count; the Viterbi dp runs
+    * once per DISTINCT word (zero-exchange projection over the
+    * distinct-word table — document text never carries through the dp)
+    * and joins back on the word key; the final agg is id-keyed with
+    * map-side partials. */
+  def scoreDocs(df: DataFrame, textCol: String, idCol: String,
+                scores: Map[String, Long], maxPieceLen: Int,
+                maxWordLen: Int): DataFrame = {
+    Seq("_ug_w", "_ug_dp", "_ug_dc", "_ug_ws", "_ug_np", "word",
+        "n_words", "n_oov", "n_pieces", "bits_q8", "bpp_q8").foreach { c =>
+      require(c != idCol, s"Unigram.scoreDocs reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"Unigram.scoreDocs reserves column $c")
+    }
+    val docWords = df.select(col(idCol),
+        explode(split(TextStats.wsTrim(coalesce(col(textCol), lit(""))),
+          "\\s+")).as("_ug_w"))
+      .filter(col("_ug_w") =!= "")
+      .select(col(idCol), substring(col("_ug_w"), 1, maxWordLen).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("_ug_dc"))
+    val wordStats = docWords.select(col("word")).distinct()
+      .withColumn("_ug_dp", viterbiDp(col("word"), scores, maxPieceLen))
+      .select(col("word"),
+        element_at(col("_ug_dp"), length(col("word")) + 1)
+          .getField("s").as("_ug_ws"),
+        size(viterbiPieces(col("word"), col("_ug_dp")))
+          .cast("long").as("_ug_np"))
+    scoreRollup(docWords, wordStats, idCol)
+  }
+
+  /** Shared per-doc roll-up of [[scoreDocs]]/[[scoreDocsJoin]]: join the
+    * per-doc word multiset to the per-distinct-word stats and aggregate
+    * to the five exact integer outputs. */
+  private def scoreRollup(docWords: DataFrame, wordStats: DataFrame,
+                          idCol: String): DataFrame = {
+    val ok = col("_ug_ws") > NegInf
+    docWords.join(wordStats, "word")
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(sum(when(ok, col("_ug_dc"))), lit(0L)).as("n_words"),
+        coalesce(sum(when(!ok, col("_ug_dc"))), lit(0L)).as("n_oov"),
+        coalesce(sum(when(ok, col("_ug_dc") * col("_ug_np"))), lit(0L))
+          .as("n_pieces"),
+        coalesce(sum(when(ok, -col("_ug_dc") * col("_ug_ws"))), lit(0L))
+          .as("bits_q8"))
+      .withColumn("bpp_q8",
+        when(col("n_pieces") > 0, expr("bits_q8 div n_pieces")))
+  }
+
+  /** Candidate-edge Viterbi dp — [[viterbiDp]] with the vocabulary as
+    * DATA instead of a plan literal: `edges` is the word's in-vocabulary
+    * substring edges as array<struct<i:int,j:int,s:long>> (piece =
+    * word[j+1..i] scored s). dp[i] maximizes over the edges ENDING at i;
+    * positions no edge reaches (or reachable only through dead states)
+    * hold the NegInf sentinel with a frozen back-pointer. Bit-parity with
+    * the literal dp is exact: out-of-vocabulary (j, i) pairs score NegInf
+    * in BOTH forms, and dead-state back-pointers are unobservable — the
+    * back-walk only runs when the end state is reachable, and a reachable
+    * path traverses reachable states only, whose (s, smallest-j) choices
+    * the two forms share. */
+  private def viterbiDpFromEdges(word: Column, edges: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("s"), lit(-1).as("j"))),
+      (acc, i) => {
+        val cands = transform(
+          filter(edges, e => e.getField("i") === i),
+          e => struct(
+            when(element_at(acc, e.getField("j") + 1).getField("s") > NegInf,
+                element_at(acc, e.getField("j") + 1).getField("s") +
+                  e.getField("s"))
+              .otherwise(lit(NegInf)).as("s"),
+            (-e.getField("j")).as("nj")))
+        val best = coalesce(array_max(cands),
+          struct(lit(NegInf).as("s"), lit(1).as("nj")))
+        concat(acc, array(struct(best.getField("s").as("s"),
+          (-best.getField("nj")).as("j"))))
+      })
+
+  /** Substring-edge table of a (word, …) frame under a vocabulary
+    * DataFrame: every (start j, end i) window of every word whose piece
+    * is IN the vocabulary, as (word, _ug_edges) with the edge list
+    * sorted — the input to [[viterbiDpFromEdges]]. One explode
+    * (≤ len·maxPieceLen rows per word) + one broadcast equi-join +
+    * one word-keyed agg. Words whose every window misses drop out —
+    * callers that must see them (oov accounting) LEFT-join back. */
+  private def wordEdges(words: DataFrame, vocab: DataFrame,
+                        maxPieceLen: Int): DataFrame = {
+    val windows = transform(sequence(lit(0), length(col("word")) - 1), j =>
+      transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - j)),
+        l => struct(j.cast("int").as("j"), (j + l).cast("int").as("i"),
+          substr(col("word"), j + 1, l).as("piece"))))
+    words.select(col("word"))
+      .select(col("word"), explode(flatten(windows)).as("_ug_e"))
+      .select(col("word"), col("_ug_e.j").as("j"), col("_ug_e.i").as("i"),
+        col("_ug_e.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"),
+        col("score_q8").cast("long").as("_ug_s"))), "piece")
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(
+        struct(col("i"), col("j"), col("_ug_s").as("s")))).as("_ug_edges"))
+  }
+
+  /** [[emPieceCounts]] with the vocabulary as DATA — the E-step of the
+    * join-form trainer: segment the distinct-word table under a (piece,
+    * score_q8) DataFrame via the edge join + edge-list dp and count
+    * pieces weighted by word frequency. Words with no in-vocabulary
+    * segmentation contribute nothing — exactly the literal E-step's
+    * behavior (unreachable dp → empty piece list → no rows), so the two
+    * forms' counts are bit-identical. */
+  def emPieceCountsJoin(words: DataFrame, vocab: DataFrame,
+                        maxPieceLen: Int): DataFrame =
+    words.join(wordEdges(words, vocab, maxPieceLen), "word")
+      .withColumn("_ug_dp", viterbiDpFromEdges(col("word"), col("_ug_edges")))
+      .select(col("wcnt"),
+        explode(viterbiPieces(col("word"), col("_ug_dp"))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+
+  /** Q8 log-prob scores of a (piece, cnt) vocabulary frame — the M-step,
+    * in-plan: score = log2q8(cnt) − log2q8(Σcnt), the total met by a
+    * broadcast join (one row). Returns (piece, cnt, score_q8). */
+  private def scoresOfDf(counts: DataFrame): DataFrame = {
+    val total = counts.agg(sum(col("cnt")).cast("long").as("_ug_t"))
+    counts.join(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        (log2q8(col("cnt")) - log2q8(col("_ug_t"))).as("score_q8"))
+  }
+
+  /** [[unigramTrain]] on the fully DATA-DRIVEN path — no `maxVocabLiteral`
+    * ceiling, no driver collect of counts or scores: the seed cut is a
+    * TakeOrdered frame, every E-step segments via the edge join
+    * ([[emPieceCountsJoin]]), every M-step scores in-plan
+    * ([[scoresOfDf]]), and each round's vocabulary STAGES to parquet (the
+    * kMeansTrain stage-per-iteration move) so lineage stays flat across
+    * rounds. The only driver scalar is the required-char census
+    * (`chars.count()` — one long, the loud vocabSize-coverage check).
+    * Bit-parity with [[unigramTrain]] is exact — same seed tie rule, same
+    * Viterbi tie rule (shared dp semantics), same floors and prune — so
+    * x74d answers x74's oracle verbatim. This is the production form for
+    * 32k–50k vocabularies; the literal trainer remains the small-vocab
+    * fast path. Returns (piece, n, score_q8). */
+  def unigramTrainJoin(df: DataFrame, textCol: String, maxPieceLen: Int,
+                       maxWordLen: Int, nSeed: Int, emRounds: Int,
+                       vocabSize: Int): DataFrame = {
+    require(nSeed >= 1, "nSeed must be >= 1")
+    require(emRounds >= 1, "emRounds must be >= 1")
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val spark = df.sparkSession
+    val words = spark.read.parquet(
+      Dedup.stageSignatures(wordCounts(df, textCol, maxWordLen)))
+    val subs = substringCounts(words, maxPieceLen)
+    val chars = subs.filter(length(col("piece")) === 1)
+    val nChars = chars.count()
+    require(nChars > 0, "unigram training needs a non-empty corpus")
+    require(vocabSize >= nChars,
+      s"vocabSize = $vocabSize must cover the $nChars required single " +
+        "chars (they are never pruned)")
+    // seed = top-nSeed substrings by (cnt desc, piece asc) ∪ all single
+    // chars — the literal trainer's seed, as a TakeOrdered frame
+    val seedTop = subs.orderBy(col("cnt").desc, col("piece")).limit(nSeed)
+    val v0 = chars.unionByName(seedTop).groupBy(col("piece"))
+      .agg(max(col("cnt")).as("cnt")) // distinct (chars ∩ seedTop agree on cnt)
+    var vocab = spark.read.parquet(Dedup.stageSignatures(scoresOfDf(v0)))
+    for (_ <- 1 until emRounds) {
+      val cnts = emPieceCountsJoin(words, vocab, maxPieceLen)
+      val floored = chars.select(col("piece"))
+        .join(cnts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("cnt"))
+        .unionByName(cnts.filter(length(col("piece")) > 1))
+      vocab = spark.read.parquet(
+        Dedup.stageSignatures(scoresOfDf(floored)))
+    }
+    val last = emPieceCountsJoin(words, vocab, maxPieceLen)
+    val charsFin = chars.select(col("piece"))
+      .join(last, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("n"))
+    val multi = last.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(vocabSize - nChars.toInt)
+      .select(col("piece"), col("cnt").as("n"))
+    val fin = charsFin.unionByName(multi)
+    val total = fin.agg(sum(col("n")).cast("decimal(38,0)").as("_ug_t"))
+    fin.join(broadcast(total))
+      .select(col("piece"), col("n"),
+        (log2q8(col("n")) - log2q8(col("_ug_t"))).as("score_q8"))
+  }
+
+  /** [[scoreDocs]] on the DATA-DRIVEN segmentation path — the x38d
+    * tokenIdsJoin move applied to the unigram segmenter, for vocabularies
+    * past the literal ceiling (a production SentencePiece vocab is
+    * 32k–50k pieces; `maxVocabLiteral` exists because the literal dp
+    * folds O(vocab) map entries into the plan). The vocabulary arrives as
+    * a DataFrame (piece, score_q8): each distinct word explodes into its
+    * ≤ len·maxPieceLen candidate substrings ONCE, an equi-join against
+    * the vocabulary keeps the in-vocabulary edges (broadcast at any
+    * realistic vocab size), and the dp folds over the collected edge
+    * list — plan size independent of the vocabulary, no driver collect
+    * anywhere (train → deploy stays on the cluster end to end).
+    * Output and semantics are [[scoreDocs]]'s, bit for bit (x74c answers
+    * x74b's oracle verbatim; ExtSpec pins parity on both paths). */
+  def scoreDocsJoin(df: DataFrame, textCol: String, idCol: String,
+                    vocab: DataFrame, maxPieceLen: Int,
+                    maxWordLen: Int): DataFrame = {
+    Seq("_ug_w", "_ug_dp", "_ug_dc", "_ug_ws", "_ug_np", "_ug_e",
+        "_ug_edges", "_ug_s", "word",
+        "n_words", "n_oov", "n_pieces", "bits_q8", "bpp_q8").foreach { c =>
+      require(c != idCol, s"Unigram.scoreDocsJoin reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"Unigram.scoreDocsJoin reserves column $c")
+    }
+    require(vocab.columns.contains("piece") && vocab.columns.contains("score_q8"),
+      s"vocab must carry (piece, score_q8); got ${vocab.columns.mkString(",")}")
+    val docWords = df.select(col(idCol),
+        explode(split(TextStats.wsTrim(coalesce(col(textCol), lit(""))),
+          "\\s+")).as("_ug_w"))
+      .filter(col("_ug_w") =!= "")
+      .select(col(idCol), substring(col("_ug_w"), 1, maxWordLen).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("_ug_dc"))
+    // every (start j, end i) substring window of every distinct word, once
+    val windows = transform(sequence(lit(0), length(col("word")) - 1), j =>
+      transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - j)),
+        l => struct(j.cast("int").as("j"), (j + l).cast("int").as("i"),
+          substr(col("word"), j + 1, l).as("piece"))))
+    val allWords = docWords.select(col("word")).distinct()
+    val edges = allWords
+      .select(col("word"), explode(flatten(windows)).as("_ug_e"))
+      .select(col("word"), col("_ug_e.j").as("j"), col("_ug_e.i").as("i"),
+        col("_ug_e.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"),
+        col("score_q8").cast("long").as("_ug_s"))), "piece")
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(
+        struct(col("i"), col("j"), col("_ug_s").as("s")))).as("_ug_edges"))
+    // LEFT join back: a word with NO in-vocabulary substring at all (every
+    // window missed the join) still needs a dp — an empty edge list drives
+    // every position to the NegInf sentinel, so it lands in n_oov exactly
+    // like the literal path's all-misses dp
+    val wordStats = allWords.join(edges, Seq("word"), "left")
+      .withColumn("_ug_edges", coalesce(col("_ug_edges"),
+        expr("cast(array() as array<struct<i:int,j:int,s:bigint>>)")))
+      .withColumn("_ug_dp", viterbiDpFromEdges(col("word"), col("_ug_edges")))
+      .select(col("word"),
+        element_at(col("_ug_dp"), length(col("word")) + 1)
+          .getField("s").as("_ug_ws"),
+        size(viterbiPieces(col("word"), col("_ug_dp")))
+          .cast("long").as("_ug_np"))
+    scoreRollup(docWords, wordStats, idCol)
+  }
 }

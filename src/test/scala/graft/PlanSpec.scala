@@ -203,6 +203,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("AQE skew-join engages on a deliberately skewed shuffle join (OptimizeSkewedJoin live)") {
+    // s2/s3 prove the PLAN-level salting equivalences; this pins the
+    // RUNTIME half of the 100 TB skew story: Spark's own
+    // OptimizeSkewedJoin must split an oversized shuffle partition at
+    // execution time (thresholds lowered to fire at fixture scale — the
+    // defaults are 256MB-class), the way the runtime-bloom pin keeps
+    // InjectRuntimeFilter live. If an engine config change ever turned
+    // AQE skew handling off, this fails instead of silently regressing
+    // every unsalted skewed join.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(confs(0), "8KB")
+    spark.conf.set(confs(1), "2")
+    spark.conf.set(confs(2), "4KB")
+    spark.conf.set(confs(3), "false") // coalescing would merge the skew signal away
+    spark.conf.set(confs(4), "-1")    // force the shuffle join path
+    try {
+      // one hot key owning ~97% of the left side + a spread tail: the
+      // hot key's shuffle partition dwarfs the median. NOTE: the join
+      // output must NOT feed an operator that needs hash distribution on
+      // the join key (e.g. groupBy(k)) — AQE refuses to split a skewed
+      // partition it would immediately have to re-shuffle.
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 32 =!= 0, lit(1L)).otherwise(col("id") % 997).as("k"),
+          concat(lit("payload-"), col("id")).as("pay"))
+      val right = spark.range(0, 997).select(col("id").as("k"), col("id").as("v"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pay"))).as("bytes"))
+      val row = joined.collect().head // AQE decides at runtime — must execute
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not engage on the skewed join:\n$p")
+      // and splitting the hot partition is invisible to the result
+      assert(row.getLong(0) == 60000L)
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("runtime bloom filter injects on the probe side of a selective fact-fact join") {
     // the 100 TB shape: a big-big shuffle join where one side carries a
     // selective filter — Catalyst's InjectRuntimeFilter builds a bloom
@@ -384,6 +429,41 @@ class PlanSpec extends SparkSpec {
     val ref = graft.ext.Similarity.ivfTopKJoin(emb, cents,
       emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3, 2)
     assert(rows(out) == rows(ref))
+  }
+
+  test("s11 ivf-pq layout: probe scan prunes to probed cells and reads codes, never vectors") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val res = graft.ext.Similarity.ivfResiduals(emb, cents, "vec_id", "embedding")
+    val cb = graft.ext.Similarity.ivfPqCodebook(res, "vec_id", 4, 16, 64)
+    val enc = graft.ext.Similarity.pqEncodeResiduals(res, "resid", cb)
+      .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_layout").toString
+    graft.ext.Similarity.writeIvfPqPartitioned(enc, path)
+    val nCells = enc.select("cid").distinct().count()
+    val out = graft.ext.Similarity.ivfPqTopKPartitioned(path, cents,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", cb, 3, 2)
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scan = root.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("ivfpq_layout") => f
+    }.getOrElse(fail("no layout scan in the plan"))
+    assert(scan.metadata("PartitionFilters").contains("cid"), scan.metadata.toString)
+    assert(scan.selectedPartitions.partitionCount <= 4,
+      s"2 queries x nProbe=2 must scan <= 4 of $nCells cells, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    assert(nCells > 4, "fixture must spread wider than the probe set")
+    // the PQ memory story: the probe reads the m code ints per row, and
+    // could not read a vector even if it wanted to — none is stored
+    val read = scan.metadata("ReadSchema")
+    assert(read.contains("codes") && !read.contains("embedding") &&
+      !read.contains("resid"), read)
   }
 
   test("x47 C4 line cleaning is a pure projection: zero exchanges") {
@@ -802,6 +882,29 @@ class PlanSpec extends SparkSpec {
       .replaceAll("\\d+", "N")).mkString("\n")
     assert(shape(p8) == shape(p64),
       s"plan must not grow with the candidate count:\n$p8\n----\n$p64")
+  }
+
+  test("x74c scoring: vocabulary is data — broadcast edge join, vocab-independent plan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the data-driven segmenter's scale story: the vocabulary must
+    // BROADCAST into the substring-edge join (the corpus' distinct-word
+    // side never moves for it), no cartesian anywhere, and the plan tree
+    // must not grow with the vocabulary width — what frees segmentation
+    // from the literal dp's maxVocabLiteral ceiling
+    val docs = Seq((1L, "ab ba abc"), (2L, "xyz zy")).toDF("doc_id", "text")
+    def vocab(n: Int) = (0 until n)
+      .map(i => (s"p$i", -300L - i)).toDF("piece", "score_q8")
+    val p3 = tree(graft.ext.Unigram.scoreDocsJoin(docs, "text", "doc_id",
+      vocab(3), 2, 8))
+    val p60 = tree(graft.ext.Unigram.scoreDocsJoin(docs, "text", "doc_id",
+      vocab(60), 2, 8))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(!p3.contains("CartesianProduct"), p3)
+    def shape(p: String) = p.linesIterator.map(_.replaceAll("#\\d+L?", "#x")
+      .replaceAll("\\d+", "N")).mkString("\n")
+    assert(shape(p3) == shape(p60),
+      s"plan must not grow with the vocabulary:\n$p3\n----\n$p60")
   }
 
   test("x35 k-means: all three scoring fan-outs are broadcast; shuffle joins key on the id only") {

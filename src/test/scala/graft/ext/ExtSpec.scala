@@ -261,6 +261,139 @@ class ExtSpec extends SparkSpec {
     }.getMessage.contains("rename the id column"))
   }
 
+  test("unigram scoreDocs: hand-computed bits/pieces, oov isolation, floor-div, absent blanks") {
+    // vocab: p(a)=p(b)=1/4 (−512 Q8), p(ab)=1/2 (−256). "ab" segments
+    // [ab] (−256 beats [a,b] = −1024); "a" scores −512; "az" has no
+    // covering segmentation (z is outside the inventory) → oov
+    val s = Map("a" -> -512L, "b" -> -512L, "ab" -> -256L)
+    val docs = Seq((1L, "ab a"), (2L, "ab az"), (3L, "   "),
+      (4L, null.asInstanceOf[String]), (5L, "ab ab a")).toDF("doc_id", "text")
+    val got = Unigram.scoreDocs(docs, "text", "doc_id", s, 2, 8)
+      .select(col("doc_id"), col("n_words"), col("n_oov"), col("n_pieces"),
+        col("bits_q8"), col("bpp_q8"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 2L, 768L, Some(384L)),   // ab(−256,1pc) + a(−512,1pc)
+      (2L, 1L, 1L, 1L, 256L, Some(256L)),   // az excluded from everything but n_oov
+      (5L, 3L, 0L, 3L, 1024L, Some(341L))), // 1024 div 3 floors to 341
+      got.toString)
+    // docs with no words at all are absent, not zero rows
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+    // a doc that is ALL oov keeps n_words=0 and a null bpp
+    val allOov = Unigram.scoreDocs(Seq((9L, "zz")).toDF("doc_id", "text"),
+        "text", "doc_id", s, 2, 8)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(allOov == ((9L, 0L, 1L, 0L, 0L, None)), allOov.toString)
+    assert(intercept[IllegalArgumentException] {
+      Unigram.scoreDocs(docs.withColumnRenamed("doc_id", "bits_q8"),
+        "text", "bits_q8", s, 2, 8)
+    }.getMessage.contains("rename the id column"))
+  }
+
+  test("scoreDocsJoin: bit-parity with the literal scorer on fixture and corpus; vocab contract") {
+    // the data-driven segmenter's whole contract: identical outputs with
+    // the vocabulary as a DataFrame instead of a plan literal — including
+    // the all-oov word, whose every substring misses the edge join
+    val s = Map("a" -> -512L, "b" -> -512L, "ab" -> -256L)
+    val docs = Seq((1L, "ab a"), (2L, "ab az"), (5L, "ab ab a"), (9L, "zz"))
+      .toDF("doc_id", "text")
+    val vocab = s.toSeq.toDF("piece", "score_q8")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_words"), col("n_oov"), col("n_pieces"),
+        col("bits_q8"), col("bpp_q8"))
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(rows(Unigram.scoreDocsJoin(docs, "text", "doc_id", vocab, 2, 8))
+      == rows(Unigram.scoreDocs(docs, "text", "doc_id", s, 2, 8)))
+    // and on the parquet corpus under the actually-trained vocabulary
+    val pdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val trained = Unigram.unigramTrain(pdocs, "text", maxPieceLen = 4,
+      maxWordLen = 16, nSeed = 40, emRounds = 2, vocabSize = 40)
+    val tmap = trained.select(col("piece"), col("score_q8"))
+      .as[(String, Long)].collect().toMap
+    assert(rows(Unigram.scoreDocsJoin(pdocs, "text", "doc_id",
+        trained.select(col("piece"), col("score_q8")), 4, 16))
+      == rows(Unigram.scoreDocs(pdocs, "text", "doc_id", tmap, 4, 16)))
+    assert(intercept[IllegalArgumentException] {
+      Unigram.scoreDocsJoin(docs, "text", "doc_id",
+        vocab.withColumnRenamed("piece", "p"), 2, 8)
+    }.getMessage.contains("piece, score_q8"))
+  }
+
+  test("unigramTrainJoin: bit-parity with the literal trainer on fixture and corpus") {
+    // the data-driven trainer's whole contract: same seed tie rule, same
+    // Viterbi dp, same floors and prune — identical output with every
+    // stage a DataFrame (no literal ceiling, no driver count collect)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("piece"), col("n"), col("score_q8"))
+        .as[(String, Long, Long)].collect().toSet
+    val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("doc_id", "text")
+    assert(rows(Unigram.unigramTrainJoin(docs, "text", 2, 8, 10, 2, 4))
+      == rows(Unigram.unigramTrain(docs, "text", 2, 8, 10, 2, 4)))
+    val pdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assert(rows(Unigram.unigramTrainJoin(pdocs, "text", 4, 16, 40, 2, 40))
+      == rows(Unigram.unigramTrain(pdocs, "text", 4, 16, 40, 2, 40)))
+    // the coverage check still fires loudly
+    assert(intercept[IllegalArgumentException] {
+      Unigram.unigramTrainJoin(docs, "text", 2, 8, 10, 1, 2)
+    }.getMessage.contains("required single"))
+  }
+
+  test("appendIvfPqPartitioned: frozen-quantizer appends reach the one-shot state; compaction shrinks") {
+    // the FAISS add path: centroids + residual codebook train on the
+    // resident base and FREEZE; appended batches encode under them, so
+    // base+appends must equal a one-shot write of the union bit for bit
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val base = emb.filter(col("vec_id") < 16 || col("vec_id") % 5 > 1)
+    val cb = Similarity.ivfPqCodebook(
+      Similarity.ivfResiduals(base, cents, "vec_id", "embedding"),
+      "vec_id", 4, 16, 64)
+    def enc(b: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncodeResiduals(
+          Similarity.ivfResiduals(b, cents, "vec_id", "embedding"), "resid", cb)
+        .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+    val oneDir = java.nio.file.Files.createTempDirectory("ivfpq_oneshot").toString
+    Similarity.writeIvfPqPartitioned(enc(emb), oneDir)
+    val appDir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    Similarity.writeIvfPqPartitioned(enc(base), appDir)
+    Similarity.appendIvfPqPartitioned(
+      enc(emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0)), appDir)
+    Similarity.appendIvfPqPartitioned(
+      enc(emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 1)), appDir)
+    // identical layout CONTENT (cells, ids, codes) before any compaction
+    def state(p: String) = spark.read.parquet(p)
+      .select(col("n_id"), col("cid"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(state(appDir) == state(oneDir))
+    // files accreted per touched cell; the generic maintenance pass
+    // (compactIvfCells — the codes layout is cid-partitioned parquet
+    // exactly like the vector layout) rewrites hot cells to one file
+    def cellFiles(cid: Int) = new java.io.File(s"$appDir/cid=$cid").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val hot = (0 until 16).filter(c =>
+      new java.io.File(s"$appDir/cid=$c").isDirectory && cellFiles(c) > 1)
+    assert(hot.nonEmpty, "fixture must accrete multi-file cells")
+    val report = Similarity.compactIvfCells(spark, appDir, 1L << 20)
+    assert(report.map(_._1).toSet == hot.toSet, s"$report vs hot=$hot")
+    hot.foreach(c => assert(cellFiles(c) == 1))
+    assert(state(appDir) == state(oneDir)) // compaction invisible to content
+    // and the probe over the appended+compacted layout answers exactly
+    // like the one-shot layout
+    val qs = emb.filter(col("vec_id") < 4)
+    def full(p: String) =
+      Similarity.ivfPqTopKPartitioned(p, cents, qs, "vec_id", "embedding",
+          cb, 5, 2)
+        .select(col("q_id").cast("long"), col("n_id").cast("long"),
+          col("score"), col("rank").cast("long"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full(appDir) == full(oneDir))
+  }
+
   test("kMeansParallelSeedJoin: bit-parity with the literal path") {
     // the data-driven form's whole contract: same draws, distances,
     // weights, and top-k cut as the literal path — compare FULL rows,
@@ -1030,6 +1163,49 @@ class ExtSpec extends SparkSpec {
       Similarity.pqCodebookTrained(emb, "vec_id", "embedding", 4, 16, 64, 2), 5)))
     assert(rSeed >= 0.15, s"PQ seed recall $rSeed")
     assert(rTrained >= rSeed, s"training must not hurt: $rSeed -> $rTrained")
+  }
+
+  test("ivfPqTopK: composed IVF-PQ — layout ≡ in-memory, recall at the PQ bound, probes monotone") {
+    // the composed index's recall limiter on this fixture is PQ
+    // distortion (near-uniform synthetic vectors are PQ's worst case —
+    // the flat-PQ test's honest bound is 0.15), so the composed pin is
+    // the PQ-side floor; IVF contributes the scan cut, not the loss
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    val qs = emb.filter(col("vec_id") < 8)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id").cast("long"), col("n_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val exact = keyset(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+      5, (a, b) => Similarity.quantizedDot(a, b)))
+    def rec(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    val p2 = rec(keyset(Similarity.ivfPqTopK(emb, cents, qs,
+      "vec_id", "embedding", 4, 16, 64, 5, 2)))
+    val p8 = rec(keyset(Similarity.ivfPqTopK(emb, cents, qs,
+      "vec_id", "embedding", 4, 16, 64, 5, 8)))
+    assert(p2 >= 0.1, s"composed IVF-PQ recall $p2 (measured 0.15)")
+    assert(p8 >= p2, s"more probes must not lose recall: $p2 -> $p8")
+    // the partitioned layout answers identically to the in-memory path
+    // (codes + codebook + centroids only — no vectors stored)
+    val res = Similarity.ivfResiduals(emb, cents, "vec_id", "embedding")
+    val cb = Similarity.ivfPqCodebook(res, "vec_id", 4, 16, 64)
+    val enc = Similarity.pqEncodeResiduals(res, "resid", cb)
+      .select(col("vec_id").as("n_id"), col("cid"), col("codes"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_spec").toString
+    Similarity.writeIvfPqPartitioned(enc, path)
+    assert(!spark.read.parquet(path).columns.contains("embedding") &&
+      !spark.read.parquet(path).columns.contains("resid"),
+      "the layout must hold codes, never vectors")
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("score"), col("rank").cast("long"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full(Similarity.ivfPqTopKPartitioned(path, cents, qs,
+        "vec_id", "embedding", cb, 5, 2))
+      == full(Similarity.ivfPqTopK(emb, cents, qs,
+        "vec_id", "embedding", 4, 16, 64, 5, 2)))
   }
 
   test("pqCodebookTrained composes with pqTopK (trained codebook, same contract)") {
