@@ -718,6 +718,17 @@ object SparkEntry {
         .select(col("doc_id").as("a_id"), wrapId.as("b_id"))
       Dedup.containmentVerify(cands, sets, "doc_id", "gs")
     }),
+    "x13d_edit_verify" -> ((s, dir) => {
+      // CHARACTER-exact verify over the same LSH candidates as x13b —
+      // the edit-distance tail of the verify family (set statistics
+      // can't see reorderings or typo families; Levenshtein can).
+      // O(|candidates|) pairs, each O(maxLen²) after the loud 128-char
+      // truncation both engines replay.
+      val d = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2)
+      Dedup.editVerify(cands, d, "doc_id", "text", 128)
+    }),
     "x4_jaccard_pairs" -> ((s, dir) => {
       // SMALL-BLOCK FIXTURE (oracle-comparison only): all-pairs within a
       // (lang, source) block is quadratic in the block — fine at sf0.1,
@@ -1140,6 +1151,20 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.contaminationPairs(d.filter(col("doc_id") >= 10),
         d.filter(col("doc_id") < 10), "text", "doc_id", 3)
+    }),
+    "x23d_bloom_decontam" -> ((s, dir) => {
+      // BLOOM decontamination — x23's regime flip: when the eval side is
+      // itself corpus-scale (decontaminating a new crawl against the
+      // entire trained corpus), its grams can't broadcast exactly; a
+      // FIXED 131072-bit bitmap (4096 32-bit words, built by one bit_or
+      // aggregation) broadcasts instead. k=3 md5 positions per gram; no
+      // false negatives, and the false positives are md5-DETERMINISTIC,
+      // so the oracle verifies the exact flagged set including them.
+      val d = t(s, dir, "documents")
+      val bits = Dedup.bloomGramBits(d.filter(col("doc_id") < 10),
+        "text", 3, 131072, 3)
+      Dedup.contaminatedDocsBloom(d.filter(col("doc_id") >= 10), bits,
+        "text", "doc_id", 3, 131072, 3)
     }),
     "x24_pii_redaction" -> ((s, dir) => {
       // PII scrub: synthetic email+phone appended per row so the redaction
@@ -2825,6 +2850,32 @@ object SparkEntry {
        FROM fin WHERE cid < 8"""
   }
 
+  /** Shared CTE prefix of the x13b/x13d oracles: the 5-char-shingle
+    * minhash signatures (k=4) and the 2-band LSH candidate pairs they
+    * imply — one definition so the two verifies provably run over the
+    * same candidate set. */
+  private val lshCandCtes: String =
+    """sig AS (
+           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
+                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
+           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
+                 FROM documents, (SELECT unnest(generate_series(1,
+                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
+                 WHERE i <= greatest(length(text) - 4, 1))
+           GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4)))"""
+
+  /** DuckDB SQL for the first-5-hex-digit integer of md5(`e`) — the
+    * engine's `conv(substring(md5(e),1,5),16,10)`: a 5-nibble positional
+    * chain, 20 bits. The bloom position draw (x23d). */
+  private def md5Hex5(e: String): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) * 16 + ${nib(5)})"
+  }
+
   /** The x74 unigram-LM trainer oracle: replays the WHOLE training run —
     * substring seed counts + top-k cut, the exact Q8 integer log₂ (8
     * unrolled shift-and-square CTE steps — the same arithmetic as
@@ -3535,23 +3586,12 @@ object SparkEntry {
          FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
                      JOIN sets sb ON c.b_id = sb.doc_id""",
     "x13b_ngram_lsh" ->
-      """WITH sig AS (
-           SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
-                  MIN(substr(m,17,8)) AS h3, MIN(substr(m,25,8)) AS h4
-           FROM (SELECT doc_id, md5(substr(text, i, 5)) AS m
-                 FROM documents, (SELECT unnest(generate_series(1,
-                 (SELECT CAST(MAX(length(text)) AS BIGINT) FROM documents))) AS i) g
-                 WHERE i <= greatest(length(text) - 4, 1))
-           GROUP BY doc_id),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))),
+      s"""WITH $lshCandCtes,
          sets AS (
            SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, greatest(len(t) - 1, 1)),
                     i -> concat_ws(' ', t[i], t[i+1]))) AS gs
-           FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
                  FROM documents))
          SELECT c.a_id, c.b_id,
            CAST(len(list_intersect(sa.gs, sb.gs)) AS BIGINT) AS n_common,
@@ -3559,6 +3599,17 @@ object SparkEntry {
              / len(list_distinct(list_concat(sa.gs, sb.gs))) AS jaccard
          FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
                      JOIN sets sb ON c.b_id = sb.doc_id""",
+    "x13d_edit_verify" ->
+      s"""WITH $lshCandCtes,
+         txt AS (SELECT doc_id, substr(coalesce(text, ''), 1, 128) AS t
+                 FROM documents)
+         SELECT c.a_id, c.b_id,
+           CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS dist,
+           CASE WHEN greatest(length(ta.t), length(tb.t)) = 0 THEN 1.0
+                ELSE 1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+                     / greatest(length(ta.t), length(tb.t)) END AS sim
+         FROM cand c JOIN txt ta ON c.a_id = ta.doc_id
+                     JOIN txt tb ON c.b_id = tb.doc_id""",
     "x22_int8_ann" ->
       """WITH qs AS (
            SELECT vec_id, embedding,
@@ -4202,6 +4253,37 @@ object SparkEntry {
                 CAST(COUNT(*) AS BIGINT) AS n_shared
          FROM tg JOIN bg USING (g)
          GROUP BY 1, 2""",
+    // x23d: the bloom bitmap replayed exactly — positions from the shared
+    // 5-nibble md5 chain, 32-bit words built by bit_or, the probe's
+    // LEFT-join + bit test; a gram flags iff all 3 positions are set, so
+    // the oracle checks the deterministic false positives too
+    "x23d_bloom_decontam" ->
+      s"""WITH grams AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 2, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gs
+           FROM (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+                 FROM documents)),
+         bg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 10),
+         hs AS (SELECT h FROM generate_series(1, 3) t(h)),
+         bpos AS (SELECT ${md5Hex5("bg.g || ':bloom:' || h")} % 131072 AS p
+                  FROM bg, hs),
+         bits AS (SELECT p // 32 AS widx,
+                         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+                  FROM bpos GROUP BY 1),
+         tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id >= 10),
+         tp AS (SELECT doc_id, g,
+                       ${md5Hex5("tg.g || ':bloom:' || h")} % 131072 AS p
+                FROM tg, hs),
+         hit AS (SELECT tp.doc_id, tp.g,
+                   SUM(CASE WHEN b.bits IS NOT NULL
+                             AND ((b.bits >> CAST(tp.p % 32 AS INT)) & 1) = 1
+                            THEN 1 ELSE 0 END) AS nh
+                 FROM tp LEFT JOIN bits b ON tp.p // 32 = b.widx
+                 GROUP BY 1, 2)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+         FROM hit WHERE nh = 3
+         GROUP BY doc_id""",
     // x23b: tg is distinct per (doc, gram), bg distinct — COUNT(*) is the
     // doc's gram total, COUNT(_hit-side col) the shared count (COUNT
     // skips the left-join NULLs); one division for the fraction

@@ -477,6 +477,39 @@ object Dedup {
           / least(size(col("a_set")), size(col("b_set")))).as("containment"),
         jaccard(col("a_set"), col("b_set")).as("jaccard"))
 
+  /** Edit-distance (Levenshtein) verification of candidate pairs — the
+    * CHARACTER-exact tail of the verify family beside [[jaccardVerify]]
+    * (symmetric sets) and [[containmentVerify]] (subsumption): two texts
+    * can share every word-set statistic yet differ by edits sets can't
+    * see (reorderings collapse, typo families, template slot fills), and
+    * conversely near-identical strings with one word swapped score low
+    * Jaccard on small token sets. Same scale-safe candidate-driven shape:
+    * candidates carry (a_id, b_id) only, texts join back BY ID —
+    * O(|candidates|) rows. The CPU trade is per-PAIR: Levenshtein is
+    * O(len²), so texts TRUNCATE to `maxLen` chars first (the loud,
+    * documented bound that keeps a pathological pair from owning a task —
+    * production uses edit distance on short text: titles, lines,
+    * near-identical spans, after a cheap set-based candidate stage; both
+    * engines replay the same truncation, so the oracle checks the exact
+    * semantics). Returns (a_id, b_id, dist, sim): dist the integer edit
+    * distance of the truncated texts, sim = 1 − dist / max(len_a, len_b)
+    * (one IEEE division of exact integers — bit-stable), 1.0 when both
+    * truncated texts are empty. */
+  def editVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String, maxLen: Int = 256): DataFrame = {
+    require(maxLen >= 1, s"editVerify maxLen must be >= 1: $maxLen")
+    val txt = docs.select(col(idCol),
+      substring(coalesce(col(textCol), lit("")), 1, maxLen).as("_ed_t"))
+    val maxL = greatest(length(col("a_set")), length(col("b_set")))
+    candidateSetPairs(candidates, txt, idCol, "_ed_t")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_set"), col("b_set")).cast("long").as("dist"),
+        when(maxL === 0, lit(1.0))
+          .otherwise(lit(1.0) -
+            levenshtein(col("a_set"), col("b_set")).cast("double")
+              / maxL.cast("double")).as("sim"))
+  }
+
   /** Duplicate clusters: connected components over (a_id, b_id) near-dup
     * pairs, label = MIN id in the component (so the label doubles as the
     * deterministic keeper, A8 semantics). Docs with no pair are absent —
@@ -732,6 +765,82 @@ object Dedup {
         when(col("n_grams") === 0, lit(null).cast("double"))
           .otherwise(col("n_shared").cast("double") / col("n_grams")))
       .select(col(idCol), col("n_grams"), col("n_shared"), col("frac"))
+  }
+
+  /** The k md5-derived bloom bit positions of a gram column — shared by
+    * the build and probe sides of [[bloomGramBits]]/
+    * [[contaminatedDocsBloom]] so the two can only agree: position h
+    * (1-based) is the first 5 md5 hex digits of `gram || ":bloom:" || h`
+    * taken mod mBits. Pure integer/md5 arithmetic — replays bit-for-bit
+    * in any engine, which is what makes the bloom's FALSE POSITIVES
+    * oracle-checkable, not just its no-false-negative guarantee. */
+  private def bloomPositions(gram: Column, mBits: Int, kHash: Int): Column =
+    array((1 to kHash).map { h =>
+      conv(substring(md5(concat(gram, lit(s":bloom:$h"))), 1, 5), 16, 10)
+        .cast("long") % mBits
+    }: _*)
+
+  /** The eval side of BLOOM decontamination — [[contaminatedDocs]]' regime
+    * flip: x23 broadcasts the eval grams EXACTLY, which is right while
+    * eval sets are benchmark-sized, and impossible when the "eval" side is
+    * itself corpus-scale (decontaminating a new crawl against the entire
+    * already-trained corpus, 10⁹+ distinct grams). A bloom filter replaces
+    * the unbounded gram set with a FIXED-size bitmap: mBits bits stored as
+    * mBits/32 (word_idx, bits) rows — built here as DATA by one explode
+    * (k positions per distinct eval gram) and one bit_or aggregation, so
+    * the eval side never collects and the bitmap's size is the caller's
+    * choice, independent of the eval corpus. 32-bit words (bits in a long,
+    * top half zero) keep every shift result positive — no sign-bit
+    * semantics to match across engines. `mBits` ≤ 2²⁰ (positions draw from
+    * 5 md5 hex digits); size it at ≈ 1.44 · kHash · |eval grams| bits for
+    * the classic fp rate 2^−kHash. */
+  def bloomGramBits(bench: DataFrame, textCol: String, n: Int, mBits: Int,
+                    kHash: Int): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0 && mBits <= (1 << 20),
+      s"mBits must be a multiple of 32 in [32, 2^20]: $mBits")
+    require(kHash >= 1, s"kHash must be >= 1: $kHash")
+    bench.select(explode(wordNgrams(col(textCol), n)).as("g")).distinct()
+      .select(explode(bloomPositions(col("g"), mBits, kHash)).as("p"))
+      // word_idx = p >> 5, bit = p & 31: exact integer ops on the
+      // non-negative position (== p // 32 and p % 32, the oracle's spelling)
+      .groupBy(call_function("shiftright", col("p"), lit(5)).as("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        col("p").bitwiseAND(31L).cast("int"))).as("bits"))
+  }
+
+  /** The probe side: flag train docs whose ANY distinct word n-gram hits
+    * all `kHash` bloom bits, with the flagged-gram count as evidence —
+    * [[contaminatedDocs]]' output shape under the bloom's contract: NO
+    * false negatives (every truly shared gram flags — the safe direction
+    * for decontamination, which over-drops rather than leaks), false
+    * positives at the sized 2^−kHash rate, and DETERMINISTIC — the md5
+    * positions replay bit-for-bit, so the oracle verifies the exact
+    * flagged set INCLUDING its false positives. Scale shape: the bitmap
+    * broadcasts (≤ mBits/32 rows — pinned; that boundedness is the whole
+    * point), the corpus gram stream explodes ×kHash then collapses in one
+    * (id, gram) agg and one id agg; the corpus never shuffles text. */
+  def contaminatedDocsBloom(train: DataFrame, bloomBits: DataFrame,
+                            textCol: String, idCol: String, n: Int,
+                            mBits: Int, kHash: Int): DataFrame = {
+    require(kHash >= 1, s"kHash must be >= 1: $kHash")
+    val probes = train
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(col(idCol), col("g"),
+        explode(bloomPositions(col("g"), mBits, kHash)).as("p"))
+      .select(col(idCol), col("g"),
+        call_function("shiftright", col("p"), lit(5)).as("word_idx"),
+        col("p").bitwiseAND(31L).cast("int").as("_bit"))
+    probes
+      .join(broadcast(bloomBits), Seq("word_idx"), "left_outer")
+      .select(col(idCol), col("g"),
+        when(col("bits").isNotNull &&
+             call_function("shiftright", col("bits"), col("_bit"))
+               .bitwiseAND(1L) === 1L, 1L).otherwise(0L).as("_hit"))
+      .groupBy(col(idCol), col("g"))
+      .agg(sum(col("_hit")).as("_nh"))
+      .filter(col("_nh") === kHash)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_flagged"))
   }
 
   /** The dedup lifecycle's final artifact: the corpus with every

@@ -194,6 +194,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x23d bloom bitmap broadcasts; the probe never sort-merges the gram stream") {
+    // the whole point of the bloom form is that the EVAL side reduces to
+    // a fixed <= mBits/32-row bitmap — so the probe join must be a
+    // broadcast of that bitmap onto the exploded corpus-gram stream, with
+    // no shuffle of the stream before it
+    val p = tree(q("x23d_bloom_decontam"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("x26 incremental dedup broadcasts the new batch; corpus bands never shuffle") {
     // the staged corpus streams map-side through a broadcast join against
     // the (small) new-batch bands — no shuffle of the corpus side before

@@ -458,6 +458,68 @@ class ExtSpec extends SparkSpec {
     assert(got(1)._6 == 0.0 && got(1)._7 == 0.0, got(1).toString)
   }
 
+  test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),             // the classic: dist 3
+      (3L, "abcdefXX"), (4L, "abcdefYYZZ"),        // truncate at 6: dist 0
+      (5L, ""), (6L, null.asInstanceOf[String]),   // empty vs null -> both ""
+      (7L, "abc")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (3L, 4L), (5L, 6L), (5L, 7L)).toDF("a_id", "b_id")
+    val got = Dedup.editVerify(cands, docs, "doc_id", "text", maxLen = 6)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0 - 2.0 / 6),  // "kitten"/"sittin" after truncation
+      (3L, 4L, 0L, 1.0),            // both truncate to "abcdef"
+      (5L, 6L, 0L, 1.0),            // two empties: dist 0, sim pinned 1.0
+      (5L, 7L, 3L, 0.0)), got.mkString(", "))
+    // only candidate pairs appear — never all-pairs
+    assert(got.size == 4)
+  }
+
+  test("bloom decontamination: no false negatives vs exact, deterministic, bounded bitmap") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something with the quick brown fox inside"),
+      (2L, "entirely unrelated content right here"),
+      (3L, "quick brown fox appears again")).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedDocs(train, bench, "text", "doc_id", 3)
+      .as[(Long, Long)].collect().toMap
+    val bits = Dedup.bloomGramBits(bench, "text", 3, 131072, 3)
+    // bitmap is bounded by construction: <= mBits/32 rows, each 32-bit
+    val bitRows = bits.as[(Long, Long)].collect()
+    assert(bitRows.length <= 131072 / 32)
+    assert(bitRows.forall { case (w, b) =>
+      w >= 0 && w < 131072 / 32 && b >= 0 && b <= 0xFFFFFFFFL })
+    val bloom = Dedup.contaminatedDocsBloom(train, bits, "text", "doc_id", 3,
+      131072, 3).as[(Long, Long)].collect().toMap
+    // no false negatives: every exactly-shared doc flags with >= its count
+    assert(exact.keySet.subsetOf(bloom.keySet))
+    exact.foreach { case (id, n) => assert(bloom(id) >= n) }
+    // at this sizing (131072 bits, ~9 grams) there are no fps either
+    assert(bloom == exact)
+    // determinism: a second independent build+probe is bit-identical
+    val again = Dedup.contaminatedDocsBloom(train,
+      Dedup.bloomGramBits(bench, "text", 3, 131072, 3),
+      "text", "doc_id", 3, 131072, 3).as[(Long, Long)].collect().toMap
+    assert(again == bloom)
+    // the false-positive direction, demonstrated: an undersized 32-bit
+    // bloom (9 draws over 32 bits) yields a DETERMINISTIC false positive —
+    // on this md5-fixed fixture doc 1 flags 3 grams where only 2 truly
+    // overlap. Over-count, never under-count: the safe direction.
+    val tiny = Dedup.contaminatedDocsBloom(train,
+      Dedup.bloomGramBits(bench, "text", 3, 32, 3), "text", "doc_id", 3, 32, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(tiny.keySet))
+    exact.foreach { case (id, n) => assert(tiny(id) >= n) }
+    assert(tiny.values.sum > exact.values.sum,
+      s"undersized bloom produced no false positive: $tiny vs $exact")
+    // shape guards
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGramBits(bench, "text", 3, 100, 3) } // not a multiple of 32
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGramBits(bench, "text", 3, 32, 0) }
+  }
+
   test("topNgramCharFraction: counts all windows, exact per-mille, smallest-gram ties, short docs absent") {
     val docs = Seq(
       (1L, "a a a a b"),    // "a a" x3 of 4 windows; 1000*3*3 div 9 = 1000
