@@ -1553,6 +1553,33 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("_enc")).as("seg_md5"),
           size(split(col("_enc"), " ")).cast("long").as("n_tokens"))
     }),
+    "x76_wordpiece_train" -> ((s, dir) => {
+      // the THIRD major subword trainer beside BPE (x38b) and unigram-LM
+      // (x74): WordPiece ranks each round's merge by LIKELIHOOD GAIN —
+      // score_q8 = lg(c_pair) − lg(c_a) − lg(c_b) in exact Q8 integer
+      // logs — not raw pair count, so a rarer-but-tighter pair can win
+      // (ExtSpec pins a fixture where it does). Three rounds over the
+      // distinct-word unit stream; the oracle unrolls them with the same
+      // doubled-space literal replace and two Q8 log chains per round.
+      val merges = graft.ext.WordPiece.wordPieceTrain(
+        t(s, dir, "documents"), "text", 3, 16)
+      s.createDataFrame(merges)
+        .select(col("merge_rank").cast("long").as("merge_rank"),
+          col("a"), col("b"), col("merged"), col("pn"), col("score_q8"))
+    }),
+    "x76b_wordpiece_encode" -> ((s, dir) => {
+      // the WordPiece INFERENCE path: greedy longest-match-first (BERT's
+      // MaxMatch) under the x76-trained vocabulary (minFreq 2 — rare
+      // chars prune, so [UNK]s are possible and the rule is exercised);
+      // per doc the word/unk/piece counts and the md5 of the piece
+      // stream in document word order. The oracle replays training, the
+      // vocabulary cut, the greedy walk (recursive CTE with the same
+      // longest-first rule), and the ordered roll-up.
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.WordPiece.wordPieceTrain(d, "text", 3, 16)
+      val vocab = graft.ext.WordPiece.wordPieceVocab(d, "text", merges, 16, 2L)
+      graft.ext.WordPiece.segmentDocs(d, "text", "doc_id", vocab, 8, 16)
+    }),
     "x43c_bm25_incremental" -> ((s, dir) => {
       // the GROWING-corpus index (x26/x41c append-only staging applied to
       // retrieval): the corpus arrives as two batches (doc_id parity),
@@ -2874,6 +2901,122 @@ object SparkEntry {
   private def md5Hex5(e: String): String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
     s"((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}) * 16 + ${nib(5)})"
+  }
+
+  /** The x76/x76b WordPiece oracles: the three training rounds unrolled
+    * (unit + pair counts over the distinct-word unit stream, TWO Q8
+    * integer-log chains per round — pairs and units — the likelihood-gain
+    * score join, the (s desc, a, b) top-1, the doubled-space literal
+    * merge apply), and for the encode form the minFreq-2 vocabulary cut,
+    * the greedy longest-match-first walk as a recursive CTE (the same
+    * whole-word-[UNK] rule), and the word-order roll-up. */
+  private val (wpTrainOracleSql: String, wpEncodeOracleSql: String) = {
+    val (maxW, maxP, minFreq) = (16, 8, 2)
+    // Q8 log chain over a counts CTE exposing {keys}, v — the log2q8
+    // arithmetic shared with the unigram oracles
+    def lq(src: String, keys: String): Seq[String] = {
+      // accumulator named fr8 — the pair chain's key columns include 'a'
+      val l0 = s"""${src}_l0 AS (SELECT $keys, v, length(bin(v)) - 1 AS e,
+        (v * 256) // (1::BIGINT << (length(bin(v)) - 1)) AS m,
+        0::BIGINT AS fr8 FROM $src)"""
+      val steps = (1 to 8).map { i =>
+        s"""${src}_l$i AS (SELECT $keys, v, e,
+          CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
+          fr8*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS fr8
+          FROM ${src}_l${i - 1})"""
+      }
+      (l0 +: steps) :+
+        s"${src}_lq AS (SELECT $keys, v, e*256 + fr8 AS lq FROM ${src}_l8)"
+    }
+    def round(r: Int): Seq[String] = {
+      val prev = s"t${r - 1}"
+      Seq(
+        s"""uc$r AS (SELECT u, SUM(wcnt) AS v FROM (
+              SELECT unnest(string_split(t, ' ')) AS u, wcnt FROM $prev)
+            GROUP BY 1)""",
+        s"""pc$r AS (SELECT a, b, SUM(wcnt) AS v FROM (
+              SELECT s[i] AS a, s[i+1] AS b, wcnt
+              FROM (SELECT string_split(t, ' ') AS s, wcnt FROM $prev), js
+              WHERE i <= len(s) - 1)
+            GROUP BY 1, 2)""") ++
+        lq(s"uc$r", "u") ++ lq(s"pc$r", "a, b") ++ Seq(
+        s"""m$r AS (SELECT p.a, p.b,
+              p.a || CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3) ELSE p.b END AS mg,
+              p.v AS pn, p.lq - ua.lq - ub.lq AS s
+            FROM pc${r}_lq p JOIN uc${r}_lq ua ON p.a = ua.u
+                             JOIN uc${r}_lq ub ON p.b = ub.u
+            ORDER BY s DESC, p.a, p.b LIMIT 1)""",
+        s"""t$r AS (SELECT trim(replace(replace(
+              ' ' || replace(t, ' ', '  ') || ' ',
+              (SELECT ' ' || a || '  ' || b || ' ' FROM m$r),
+              (SELECT ' ' || mg || ' ' FROM m$r)),
+            '  ', ' ')) AS t, wcnt FROM $prev)""")
+    }
+    val base = Seq(
+      s"""w0 AS (SELECT unnest(string_split_regex(
+           regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS ww
+         FROM documents WHERE text IS NOT NULL
+           AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> '')""",
+      s"""w AS (SELECT substr(ww, 1, $maxW) AS word, COUNT(*) AS wcnt
+         FROM w0 WHERE ww <> '' GROUP BY 1)""",
+      s"js AS (SELECT i FROM generate_series(1, $maxW) t(i))",
+      s"""t0 AS (SELECT substr(word, 1, 1) ||
+           regexp_replace(substr(word, 2), '(.)', ' ##\\1', 'g') AS t, wcnt
+         FROM w)""")
+    val trainParts = base ++ round(1) ++ round(2) ++ round(3)
+    val trainSql = "WITH " + trainParts.mkString(",\n  ") + """
+      SELECT CAST(1 AS BIGINT) AS merge_rank, a, b, mg AS merged,
+             CAST(pn AS BIGINT) AS pn, CAST(s AS BIGINT) AS score_q8 FROM m1
+      UNION ALL SELECT 2, a, b, mg, pn, s FROM m2
+      UNION ALL SELECT 3, a, b, mg, pn, s FROM m3"""
+    // encode: vocabulary = units of the final stream with cnt >= minFreq;
+    // the greedy walk advances each live word by its longest in-vocab
+    // piece ('##'-prefixed past position 0); no match at any position =>
+    // the whole word is one [UNK] (pos jumps to the end so the walk
+    // terminates); the roll-up orders pieces by in-doc word position
+    val encodeParts = trainParts ++ Seq(
+      s"""vc AS (SELECT u, SUM(wcnt) AS cnt FROM (
+            SELECT unnest(string_split(t, ' ')) AS u, wcnt FROM t3)
+          GROUP BY 1)""",
+      s"voc AS (SELECT u FROM vc WHERE cnt >= $minFreq)",
+      s"ls AS (SELECT l FROM generate_series(1, $maxP) t(l))",
+      s"""seg AS (
+        SELECT word, 0 AS pos, 0::BIGINT AS np, FALSE AS unk, '' AS acc
+        FROM w
+        UNION ALL
+        SELECT word,
+          CASE WHEN nx.l IS NULL THEN length(word) ELSE pos + nx.l END,
+          CASE WHEN nx.l IS NULL THEN 1::BIGINT ELSE np + 1 END,
+          nx.l IS NULL,
+          CASE WHEN nx.l IS NULL THEN '[UNK]'
+               ELSE acc || CASE WHEN acc = '' THEN '' ELSE ' ' END || nx.p END
+        FROM (
+          SELECT word, pos, np, acc,
+            (SELECT {'l': c.l, 'p': c.p} FROM (
+               SELECT l, CASE WHEN z.pos = 0 THEN substr(z.word, 1, l)
+                              ELSE '##' || substr(z.word, z.pos + 1, l) END AS p
+               FROM ls WHERE l <= length(z.word) - z.pos) c
+             JOIN voc v ON v.u = c.p
+             ORDER BY c.l DESC LIMIT 1) AS nx
+          FROM seg z WHERE z.pos < length(z.word)))""",
+      "wseg AS (SELECT word, np, unk, acc FROM seg WHERE pos = length(word))",
+      s"""docw AS (SELECT doc_id, i AS pos, substr(t[i], 1, $maxW) AS word
+         FROM (SELECT doc_id, string_split_regex(
+                 regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+               FROM documents WHERE text IS NOT NULL
+                 AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
+              (SELECT unnest(generate_series(1, (SELECT CAST(MAX(length(text))
+                 AS BIGINT) FROM documents))) AS i) g
+         WHERE i <= len(t) AND t[i] <> '')""")
+    val encodeSql = "WITH RECURSIVE " + encodeParts.mkString(",\n  ") + """
+      SELECT d.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN s.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        CAST(SUM(s.np) AS BIGINT) AS n_pieces,
+        md5(string_agg(s.acc, ' ' ORDER BY d.pos)) AS seg_md5
+      FROM docw d JOIN wseg s USING (word)
+      GROUP BY 1"""
+    (trainSql, encodeSql)
   }
 
   /** The x74 unigram-LM trainer oracle: replays the WHOLE training run —
@@ -4665,6 +4808,8 @@ object SparkEntry {
           SELECT doc_id, md5(t) AS seg_md5,
                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
           FROM t3""",
+    "x76_wordpiece_train" -> wpTrainOracleSql,
+    "x76b_wordpiece_encode" -> wpEncodeOracleSql,
     // x68: the same round chain over the CHAR-tokenized stream — word
     // boundaries become '¤' tokens, every char a token ('\1 ' is RE2's
     // replacement backreference; Spark spells it '$1 ')

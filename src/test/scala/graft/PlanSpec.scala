@@ -710,6 +710,44 @@ class PlanSpec extends SparkSpec {
       s"merge apply must stay a projection: ${tree(applied)}")
   }
 
+  test("WordPiece: scored top-1 is TakeOrdered; merge apply and greedy segment are projections") {
+    import org.apache.spark.sql.functions.col
+    val words = graft.ext.Unigram.wordCounts(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", 16)
+    val stream = words.select(
+      graft.ext.WordPiece.wordUnits(col("word")).as("_wp_t"), col("wcnt"))
+    // the per-round statistic: unit + pair aggs and the score join are
+    // bounded token-key work, and the top-1 runs as TakeOrdered — never a
+    // global sort of the pair vocabulary
+    val uc = graft.ext.WordPiece.unitCounts(stream)
+    val top = graft.ext.WordPiece.pairCounts(stream)
+      .join(uc.select(col("u").as("a"), col("cnt").as("_ca")), "a")
+      .join(uc.select(col("u").as("b"), col("cnt").as("_cb")), "b")
+      .select(col("a"), col("b"),
+        (graft.ext.Unigram.log2q8(col("pn")) -
+          graft.ext.Unigram.log2q8(col("_ca")) -
+          graft.ext.Unigram.log2q8(col("_cb"))).as("s"))
+      .orderBy(col("s").desc, col("a"), col("b")).limit(1)
+    val p = tree(top)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // merge application: a pure projection (pin it over a flat scan — the
+    // word table's own groupBy is out of scope here)
+    val flat = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.ext.WordPiece.wordUnits(col("text")).as("_wp_t"))
+    val applied = flat.select(graft.ext.WordPiece.applyMerge(
+      col("_wp_t"), "t", "##h", "th").as("_wp_t"))
+    assert(!tree(applied).contains("Exchange"),
+      s"merge apply must stay a projection: ${tree(applied)}")
+    // greedy segmentation: the fold runs once per DISTINCT word — the only
+    // exchange is that distinct, never a per-occurrence shuffle
+    val seg = words.select(col("word")).distinct()
+      .select(col("word"), graft.ext.WordPiece.greedySegment(
+        col("word"), Map("t" -> 1L, "##h" -> 1L), 8).as("_wp_seg"))
+    val sp = tree(seg)
+    assert(sp.linesIterator.count(_.contains("Exchange")) <= 1, sp)
+  }
+
   test("x37 capstone pipeline: id-keyed joins only — no cartesian/nested-loop stage wiring") {
     val p = tree(q("x37_pretrain_build"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

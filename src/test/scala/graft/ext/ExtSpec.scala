@@ -520,6 +520,43 @@ class ExtSpec extends SparkSpec {
       Dedup.bloomGramBits(bench, "text", 3, 32, 0) }
   }
 
+  test("wordPieceTrain: likelihood ranking picks the rarer-but-tighter pair BPE would not") {
+    // word counts: ab x4, cd x3. Pair (a,##b): pn 4, c(a)=c(##b)=4 ->
+    // score = lg4 - lg4 - lg4 = -512 Q8. Pair (c,##d): pn 3, counts 3 ->
+    // score = -lg3 = -405 Q8. WordPiece merges (c,##d) FIRST despite the
+    // lower raw count — the ranking BPE inverts.
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab ab cd cd")).toDF("doc_id", "text")
+    val ms = WordPiece.wordPieceTrain(docs, "text", 3, 16)
+    assert(ms.map(m => (m.merge_rank, m.a, m.b, m.merged, m.pn, m.score_q8)) ==
+      Seq((1, "c", "##d", "cd", 3L, -405L),
+          (2, "a", "##b", "ab", 4L, -512L)), ms.toString) // round 3 exhausts
+    // trained vocab at minFreq 1: the two merged units only
+    val v = WordPiece.wordPieceVocab(docs, "text", ms, 16, 1L)
+    assert(v == Map("ab" -> 4L, "cd" -> 3L), v.toString)
+    // minFreq prunes
+    assert(WordPiece.wordPieceVocab(docs, "text", ms, 16, 4L) == Map("ab" -> 4L))
+    // ceiling fires loudly
+    intercept[IllegalArgumentException] {
+      WordPiece.wordPieceVocab(docs, "text", ms, 16, 1L, maxVocabLiteral = 1)
+    }
+  }
+
+  test("WordPiece greedy MaxMatch: longest-first, ## continuations, whole-word [UNK]") {
+    val vocab = Map("ab" -> 1L, "a" -> 1L, "##b" -> 1L, "c" -> 1L)
+    val docs = Seq(
+      (1L, "abb c ab"),  // abb -> "ab ##b" (longest-first), c -> "c", ab -> "ab"
+      (2L, "abc"),       // pos 2 has no ##c -> whole word [UNK]
+      (3L, "  "), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = WordPiece.segmentDocs(docs, "text", "doc_id", vocab, 8, 16)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (1L, 3L, 0L, 4L, h("ab ##b c ab")),
+      (2L, 1L, 1L, 1L, h("[UNK]"))), got.mkString(", "))
+  }
+
   test("topNgramCharFraction: counts all windows, exact per-mille, smallest-gram ties, short docs absent") {
     val docs = Seq(
       (1L, "a a a a b"),    // "a a" x3 of 4 windows; 1000*3*3 div 9 = 1000
