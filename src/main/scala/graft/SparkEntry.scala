@@ -1580,6 +1580,19 @@ object SparkEntry {
       val vocab = graft.ext.WordPiece.wordPieceVocab(d, "text", merges, 16, 2L)
       graft.ext.WordPiece.segmentDocs(d, "text", "doc_id", vocab, 8, 16)
     }),
+    "x76c_wordpiece_encode_join" -> ((s, dir) => {
+      // the DATA-DRIVEN WordPiece segmenter — x76b with the vocabulary as
+      // a DataFrame met by broadcast edge join (the x74c move), the path
+      // a production ~30k-piece BERT vocabulary needs past the literal
+      // ceiling: no driver collect anywhere, plan size vocab-independent.
+      // Bit-parity with the literal fold is the contract — this answers
+      // x76b's oracle VERBATIM.
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.WordPiece.wordPieceTrain(d, "text", 3, 16)
+      val vocabDf = graft.ext.WordPiece.wordPieceVocabDf(d, "text", merges,
+        16, 2L)
+      graft.ext.WordPiece.segmentDocsJoin(d, "text", "doc_id", vocabDf, 8, 16)
+    }),
     "x43c_bm25_incremental" -> ((s, dir) => {
       // the GROWING-corpus index (x26/x41c append-only staging applied to
       // retrieval): the corpus arrives as two batches (doc_id parity),
@@ -4810,6 +4823,9 @@ object SparkEntry {
           FROM t3""",
     "x76_wordpiece_train" -> wpTrainOracleSql,
     "x76b_wordpiece_encode" -> wpEncodeOracleSql,
+    // x76c: the data-driven segmenter answers the literal form's oracle
+    // VERBATIM — bit-parity is the contract
+    "x76c_wordpiece_encode_join" -> wpEncodeOracleSql,
     // x68: the same round chain over the CHAR-tokenized stream — word
     // boundaries become '¤' tokens, every char a token ('\1 ' is RE2's
     // replacement backreference; Spark spells it '$1 ')

@@ -955,6 +955,26 @@ class PlanSpec extends SparkSpec {
       s"plan must not grow with the vocabulary:\n$p3\n----\n$p60")
   }
 
+  test("x76c segmentation: vocabulary is data — broadcast edge join, vocab-independent plan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the same freedom for the WordPiece greedy segmenter: the vocabulary
+    // broadcasts into the position-aware window join, and the plan tree
+    // is identical at 3 vs 60 pieces
+    val docs = Seq((1L, "ab ba abc"), (2L, "xyz zy")).toDF("doc_id", "text")
+    def vocab(n: Int) = (0 until n).map(i => s"p$i").toDF("piece")
+    val p3 = tree(graft.ext.WordPiece.segmentDocsJoin(docs, "text", "doc_id",
+      vocab(3), 2, 8))
+    val p60 = tree(graft.ext.WordPiece.segmentDocsJoin(docs, "text", "doc_id",
+      vocab(60), 2, 8))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(!p3.contains("CartesianProduct"), p3)
+    def shape(p: String) = p.linesIterator.map(_.replaceAll("#\\d+L?", "#x")
+      .replaceAll("\\d+", "N")).mkString("\n")
+    assert(shape(p3) == shape(p60),
+      s"plan must not grow with the vocabulary:\n$p3\n----\n$p60")
+  }
+
   test("x35 k-means: all three scoring fan-outs are broadcast; shuffle joins key on the id only") {
     // seed pass plans as the BHJ on the non-foldable zero key; trained
     // passes may simplify to a condition-free BNLJ over the broadcast

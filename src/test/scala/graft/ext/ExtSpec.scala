@@ -557,6 +557,31 @@ class ExtSpec extends SparkSpec {
       (2L, 1L, 1L, 1L, h("[UNK]"))), got.mkString(", "))
   }
 
+  test("WordPiece data-driven segmenter: bit-parity with the literal fold on fixture and corpus") {
+    // the hand fixture, including the all-oov word whose every window
+    // misses the edge join (the LEFT-join-back arm)
+    val vocab = Map("ab" -> 1L, "a" -> 1L, "##b" -> 1L, "c" -> 1L)
+    val docs = Seq((1L, "abb c ab"), (2L, "abc"), (3L, "xyz"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val vdf = vocab.keys.toSeq.toDF("piece")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows(WordPiece.segmentDocsJoin(docs, "text", "doc_id", vdf, 8, 16))
+      == rows(WordPiece.segmentDocs(docs, "text", "doc_id", vocab, 8, 16)))
+    // and on the real corpus under a trained vocabulary
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ms = WordPiece.wordPieceTrain(d, "text", 2, 16)
+    val lit = WordPiece.wordPieceVocab(d, "text", ms, 16, 2L)
+    val join = WordPiece.wordPieceVocabDf(d, "text", ms, 16, 2L)
+    assert(rows(WordPiece.segmentDocsJoin(d, "text", "doc_id", join, 8, 16))
+      == rows(WordPiece.segmentDocs(d, "text", "doc_id", lit, 8, 16)))
+    // vocab-shape contract
+    intercept[IllegalArgumentException] {
+      WordPiece.segmentDocsJoin(docs, "text", "doc_id",
+        Seq("x").toDF("not_piece"), 8, 16)
+    }
+  }
+
   test("topNgramCharFraction: counts all windows, exact per-mille, smallest-gram ties, short docs absent") {
     val docs = Seq(
       (1L, "a a a a b"),    // "a a" x3 of 4 windows; 1000*3*3 div 9 = 1000

@@ -244,6 +244,59 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == expected.toSeq)
   }
 
+  test("trained tokenizers deploy on the ingest stream (x74c/x76b artifacts, foreachBatch parity)") {
+    // train ONCE (unigram-LM vocabulary as a staged frame; WordPiece
+    // merges + vocab map), then score/segment each ingest micro-batch
+    // under the FROZEN artifacts — both passes are per-doc projections
+    // plus an id-keyed roll-up, so micro-batch = batch semantics and the
+    // streamed union must equal one batch run byte for byte. Doc 5 holds
+    // a character outside the training inventory, so the oov/[UNK] arms
+    // are live on the stream too.
+    val train = Seq(
+      (1L, "aba aba cab"),
+      (2L, "aba cab cab bba"),
+      (3L, "bab bab aba"),
+      (4L, "cab aba")).toDF("doc_id", "text")
+    val docs = train.unionByName(
+      Seq((5L, "aba zzß cab")).toDF("doc_id", "text"))
+    val src = Files.createTempDirectory("toksrc").toString
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    // unigram: trained vocab staged to parquet — the x74d production shape
+    val uv = graft.ext.Unigram.unigramTrain(train, "text", 3, 16, 10, 2, 20)
+    val uvDir = Files.createTempDirectory("tokvoc").toString
+    uv.write.mode("overwrite").parquet(uvDir)
+    // WordPiece: merges + minFreq-1 literal vocab
+    val wm = graft.ext.WordPiece.wordPieceTrain(train, "text", 2, 16)
+    val wv = graft.ext.WordPiece.wordPieceVocab(train, "text", wm, 16, 1L)
+    def stage(df: org.apache.spark.sql.DataFrame) = {
+      val vocab = spark.read.parquet(uvDir)
+      graft.ext.Unigram.scoreDocsJoin(df, "text", "doc_id", vocab, 3, 16)
+        .join(graft.ext.WordPiece.segmentDocs(df, "text", "doc_id", wv, 8, 16)
+          .select(col("doc_id"), col("n_words").as("wp_words"),
+            col("n_unk"), col("n_pieces").as("wp_pieces"), col("seg_md5")),
+          "doc_id")
+    }
+    val expected = stage(docs)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long, Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(expected.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(expected.find(_._1 == 5L).get._3 > 0, "doc 5 must have unigram oov")
+    assert(expected.find(_._1 == 5L).get._8 > 0, "doc 5 must have a [UNK] word")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Option[Long], Long, Long, Long, String)]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= stage(batch).as[(Long, Long, Long, Long, Long, Option[Long],
+          Long, Long, Long, String)].collect()
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(got.sortBy(_._1).toSeq == expected)
+  }
+
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
     // streaming dimension maintenance: each micro-batch of change events
     // MERGEs into the versioned table via ops.Merge.scd2Merge — the
