@@ -857,6 +857,21 @@ object SparkEntry {
           col("score").cast("double").as("score"),
           col("rank").cast("long").as("rnk"))
     }),
+    "x75b_ivfpq_rerank" -> ((s, dir) => {
+      // two-stage retrieval (the FAISS refine pattern): the x75 ADC stage
+      // widened to a 12-candidate shortlist, then the EXACT Q30 dot
+      // re-scores just those pairs — recall recovers toward the IVF bound
+      // while the corpus is still read as codes; the shortlist side
+      // broadcasts onto the id-keyed vector fetch.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfPqRerank(emb, cents, emb.filter(col("vec_id") < 4),
+          "vec_id", "embedding", 4, 16, 64, 5, 2, 12)
+        .select(col("q_id"), col("n_id"),
+          col("score").cast("double").as("score"),
+          col("rank").cast("long").as("rnk"))
+    }),
     "s11_ivfpq_layout" -> ((s, dir) => {
       // the IVF-PQ LAYOUT lifecycle (s9 precedent): encode the corpus,
       // write (id, codes) partitionBy(cid) — m code ints per row instead
@@ -2333,6 +2348,25 @@ object SparkEntry {
           expr("cast((1000 * tp) div nullif(tp + fn, 0) as bigint)")
             .as("rec_permille"))
     }),
+    "x65e_model_auc" -> ((s, dir) => {
+      // the model card's threshold-FREE metric beside x65d's confusion
+      // numbers: exact integer Mann–Whitney AUC of the trained scorer on
+      // the held-out half (ties half-credited, ×2 to stay whole) — one
+      // score-key groupBy + a census-bounded cumulative window, never a
+      // pairwise join.
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, _) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
+      val scored = d.filter(col("doc_id") % 2 === 1)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(lenLabel.as("_y"),
+          graft.ext.Learn.centroidScore(col("text"), w).as("_s"))
+      graft.ext.Learn.aucExact(scored, "_y", "_s")
+    }),
     "x67_token_chunks" -> ((s, dir) =>
       // sliding token-window chunking (window 64, stride 48 → 16-token
       // overlap): the retrieval/embedding input shape, a pure projection
@@ -3168,6 +3202,61 @@ object SparkEntry {
     (trainSql, scoreSql)
   }
 
+  /** Shared CTE prefix of the x75/x75b oracles: IVF assignment,
+    * residuals, the residual PQ codebook, encode, probes, and the ADC
+    * candidate scores — one definition so the rerank oracle provably
+    * widens the SAME approximate stage it refines. */
+  private val ivfPqAdcCtes: String =
+    """ivfc AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+           asns AS (SELECT vec_id, cid,
+                    CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                    FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                          FROM embeddings e CROSS JOIN ivfc c)
+                    GROUP BY vec_id, cid),
+           asn AS (SELECT vec_id, cid FROM asns
+                   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
+           rese AS (SELECT vec_id, cid, ord, CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE) AS rx FROM
+                    (SELECT e.vec_id, a.cid, generate_subscripts(e.embedding, 1) AS ord,
+                            unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
+                     FROM embeddings e JOIN asn a USING (vec_id)
+                     JOIN ivfc c ON c.cid = a.cid)),
+           resm AS (SELECT vec_id, (ord - 1) // 16 AS m,
+                           ord - ((ord - 1) // 16) * 16 AS sord, rx FROM rese),
+           cbr AS (SELECT m, vec_id AS code, sord, rx FROM resm WHERE vec_id < 16),
+           cc AS (SELECT m, code,
+                  CAST(SUM(CAST(floor(rx * rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM cbr GROUP BY m, code),
+           xc AS (SELECT r.vec_id, r.m, c.code,
+                  CAST(SUM(CAST(floor(r.rx * c.rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM resm r JOIN cbr c ON c.m = r.m AND c.sord = r.sord
+                  GROUP BY r.vec_id, r.m, c.code),
+           codes AS (SELECT vec_id, m, code FROM (
+                     SELECT x.vec_id, x.m, x.code,
+                            row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY (c.s - 2*x.s), x.code) AS rn
+                     FROM xc x JOIN cc c ON c.m = x.m AND c.code = x.code)
+                     WHERE rn = 1),
+           probes AS (SELECT q_id, cid FROM (
+                      SELECT vec_id AS q_id, cid,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                      FROM asns WHERE vec_id < 4) WHERE rn <= 2),
+           qsub AS (SELECT vec_id AS q_id, (ord - 1) // 16 AS m,
+                           ord - ((ord - 1) // 16) * 16 AS sord, qx FROM
+                    (SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+                            unnest(embedding) AS qx
+                     FROM embeddings WHERE vec_id < 4)),
+           qcb AS (SELECT q.q_id, q.m, c.code,
+                   CAST(SUM(CAST(floor(CAST(q.qx AS DOUBLE) * c.rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
+                   FROM qsub q JOIN cbr c ON c.m = q.m AND c.sord = q.sord
+                   GROUP BY q.q_id, q.m, c.code),
+           adc AS (SELECT p.q_id, n.vec_id AS n_id, MAX(ct.s) + SUM(qc.s) AS s
+                   FROM probes p
+                   JOIN asn n ON n.cid = p.cid AND n.vec_id <> p.q_id
+                   JOIN codes cd ON cd.vec_id = n.vec_id
+                   JOIN qcb qc ON qc.q_id = p.q_id AND qc.m = cd.m AND qc.code = cd.code
+                   JOIN asns ct ON ct.vec_id = p.q_id AND ct.cid = p.cid
+                   GROUP BY p.q_id, n.vec_id)"""
+
   private def oracleSqlBase: Map[String, String] = Map(
     "x47_c4_clean" ->
       """WITH t AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
@@ -3859,59 +3948,31 @@ object SparkEntry {
     // lowest code), top-2 probe cells per query (s desc, cid asc), and
     // the ADC sum Q30(q·c_cell) + Σ_m Q30(q_m·cb[m][code])
     "x75_ivfpq_topk" ->
-      """WITH ivfc AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-           asns AS (SELECT vec_id, cid,
-                    CAST(SUM(CAST(floor(CAST(ex AS DOUBLE)*CAST(cx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
-                    FROM (SELECT e.vec_id, c.cid, unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
-                          FROM embeddings e CROSS JOIN ivfc c)
-                    GROUP BY vec_id, cid),
-           asn AS (SELECT vec_id, cid FROM asns
-                   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) = 1),
-           rese AS (SELECT vec_id, cid, ord, CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE) AS rx FROM
-                    (SELECT e.vec_id, a.cid, generate_subscripts(e.embedding, 1) AS ord,
-                            unnest(e.embedding) AS ex, unnest(c.cvec) AS cx
-                     FROM embeddings e JOIN asn a USING (vec_id)
-                     JOIN ivfc c ON c.cid = a.cid)),
-           resm AS (SELECT vec_id, (ord - 1) // 16 AS m,
-                           ord - ((ord - 1) // 16) * 16 AS sord, rx FROM rese),
-           cbr AS (SELECT m, vec_id AS code, sord, rx FROM resm WHERE vec_id < 16),
-           cc AS (SELECT m, code,
-                  CAST(SUM(CAST(floor(rx * rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
-                  FROM cbr GROUP BY m, code),
-           xc AS (SELECT r.vec_id, r.m, c.code,
-                  CAST(SUM(CAST(floor(r.rx * c.rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
-                  FROM resm r JOIN cbr c ON c.m = r.m AND c.sord = r.sord
-                  GROUP BY r.vec_id, r.m, c.code),
-           codes AS (SELECT vec_id, m, code FROM (
-                     SELECT x.vec_id, x.m, x.code,
-                            row_number() OVER (PARTITION BY x.vec_id, x.m
-                              ORDER BY (c.s - 2*x.s), x.code) AS rn
-                     FROM xc x JOIN cc c ON c.m = x.m AND c.code = x.code)
-                     WHERE rn = 1),
-           probes AS (SELECT q_id, cid FROM (
-                      SELECT vec_id AS q_id, cid,
-                             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-                      FROM asns WHERE vec_id < 4) WHERE rn <= 2),
-           qsub AS (SELECT vec_id AS q_id, (ord - 1) // 16 AS m,
-                           ord - ((ord - 1) // 16) * 16 AS sord, qx FROM
-                    (SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-                            unnest(embedding) AS qx
-                     FROM embeddings WHERE vec_id < 4)),
-           qcb AS (SELECT q.q_id, q.m, c.code,
-                   CAST(SUM(CAST(floor(CAST(q.qx AS DOUBLE) * c.rx * 1073741824) AS BIGINT)) AS BIGINT) AS s
-                   FROM qsub q JOIN cbr c ON c.m = q.m AND c.sord = q.sord
-                   GROUP BY q.q_id, q.m, c.code),
-           adc AS (SELECT p.q_id, n.vec_id AS n_id, MAX(ct.s) + SUM(qc.s) AS s
-                   FROM probes p
-                   JOIN asn n ON n.cid = p.cid AND n.vec_id <> p.q_id
-                   JOIN codes cd ON cd.vec_id = n.vec_id
-                   JOIN qcb qc ON qc.q_id = p.q_id AND qc.m = cd.m AND qc.code = cd.code
-                   JOIN asns ct ON ct.vec_id = p.q_id AND ct.cid = p.cid
-                   GROUP BY p.q_id, n.vec_id)
+      s"""WITH $ivfPqAdcCtes
          SELECT q_id, n_id, CAST(s AS DOUBLE)/1073741824 AS score,
                 CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM adc QUALIFY rnk <= 5""",
+    // x75b: the SAME ADC chain widened to a 12-candidate shortlist, then
+    // the exact Q30 dot re-scores just those (q, n) pairs — the refine
+    // stage must replay bit-for-bit on top of the approximate one
+    "x75b_ivfpq_rerank" ->
+      s"""WITH $ivfPqAdcCtes,
+           short AS (SELECT q_id, n_id FROM (
+                     SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                       ORDER BY s DESC, n_id) AS rn FROM adc) WHERE rn <= 12),
+           ex AS (SELECT q_id, n_id,
+                  CAST(SUM(CAST(floor(CAST(qx AS DOUBLE)*CAST(nx AS DOUBLE)*1073741824) AS BIGINT)) AS BIGINT) AS s
+                  FROM (SELECT sh.q_id, sh.n_id,
+                          unnest(eq.embedding) AS qx, unnest(en.embedding) AS nx
+                        FROM short sh
+                        JOIN embeddings eq ON eq.vec_id = sh.q_id
+                        JOIN embeddings en ON en.vec_id = sh.n_id)
+                  GROUP BY q_id, n_id)
+         SELECT q_id, n_id, CAST(s AS DOUBLE)/1073741824 AS score,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY s DESC, n_id) AS BIGINT) AS rnk
+         FROM ex QUALIFY rnk <= 5""",
     "x74_unigram_train" -> unigramOracleSql,
     "x74b_unigram_score" -> unigramScoreOracleSql,
     "x35b_kmeans_parallel_seed" -> kppSeedOracleSql,
@@ -5477,6 +5538,27 @@ object SparkEntry {
                 CAST((1000 * tp) // NULLIF(tp + fn, 0) AS BIGINT)
                   AS rec_permille
          FROM cm"""),
+    // x65e: the held-out scores collapse to per-distinct-score class
+    // counts; wins rank strictly-below negatives via the cumulative
+    // window, ties half-credit through the ×2 numerator
+    "x65e_model_auc" -> (centroidCtes("doc_id % 2 = 0") +
+      """,
+         gsc AS (SELECT s,
+                   SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p,
+                   SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS q
+                 FROM sc WHERE doc_id % 2 = 1 GROUP BY s),
+         cum AS (SELECT p, q,
+                   COALESCE(SUM(q) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cq
+                 FROM gsc)
+         SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                CAST(SUM(q) AS BIGINT) AS n_neg,
+                CAST(SUM(p * (2 * cq + q)) AS BIGINT) AS auc2_num,
+                CAST((1000 * SUM(p * (2 * cq + q)))
+                     // NULLIF(2 * SUM(p) * SUM(q), 0) AS BIGINT)
+                  AS auc_permille
+         FROM cum"""),
     // x65c: the SAME trainer replay at production width — 4096 buckets
     // on the 4-hex-digit hash; the engine side trains/scores via the
     // broadcast-joined weight TABLE, and must agree weight-for-weight

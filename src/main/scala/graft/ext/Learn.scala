@@ -296,6 +296,51 @@ object Learn {
     t.bigInteger.longValueExact()
   }
 
+  /** EXACT integer AUC (the Mann–Whitney U statistic) of a scored,
+    * labeled frame — the threshold-FREE ranking metric beside x65d's
+    * thresholded confusion numbers: AUC = P(score⁺ > score⁻) +
+    * ½·P(score⁺ = score⁻) over all (positive, negative) pairs. Everything
+    * stays integer: `auc2_num` = 2·wins + ties (the ×2 keeps the
+    * half-tie credit whole), denominator 2·n_pos·n_neg, and
+    * `auc_permille` their floor-div per-mille — identical in any engine.
+    *
+    * Scale shape (the [[thresholdSweep]] discipline): never a pairwise
+    * join — one groupBy collapses the corpus to per-DISTINCT-score
+    * (pos, neg) counts, a LOUD census bounds that candidate frame, and
+    * the cumulative below-this-score window runs over the censused rows
+    * only (zero-key partition — single-partition by construction, with
+    * the WARN reserved for real unbounded windows). Pair products fold
+    * as decimal(38,0) and the outputs cast to long with ANSI overflow
+    * loudness. Returns ONE row (n_pos, n_neg, auc2_num, auc_permille);
+    * auc_permille is NULL when either class is empty. */
+  def aucExact(scored: DataFrame, yCol: String, sCol: String,
+               maxScoreCandidates: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxScoreCandidates >= 1, "maxScoreCandidates must be >= 1")
+    val g = scored.groupBy(col(sCol).as("_auc_s"))
+      .agg(sum(when(col(yCol) > 0, 1L).otherwise(0L)).as("_auc_p"),
+        sum(when(col(yCol) < 0, 1L).otherwise(0L)).as("_auc_q"))
+    val card = g.count()
+    require(card <= maxScoreCandidates,
+      s"AUC has $card distinct score candidates (> maxScoreCandidates = " +
+        s"$maxScoreCandidates): the cumulative window would run " +
+        "single-partition over an unbounded frame — quantize the scores " +
+        "or raise the ceiling explicitly")
+    val below = Window.partitionBy(pmod(col("_auc_p"), lit(1L)))
+      .orderBy(col("_auc_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("_auc_cq", coalesce(sum(col("_auc_q")).over(below), lit(0L)))
+      .agg(
+        sum(col("_auc_p")).as("n_pos"),
+        sum(col("_auc_q")).as("n_neg"),
+        sum((col("_auc_p") * (col("_auc_cq") * 2L + col("_auc_q")))
+          .cast("decimal(38,0)")).as("_auc_n2"))
+      .select(col("n_pos"), col("n_neg"),
+        col("_auc_n2").cast("long").as("auc2_num"),
+        expr("cast((1000 * _auc_n2) div nullif(2 * n_pos * n_neg, 0) as bigint)")
+          .as("auc_permille"))
+  }
+
   /** Score a text with trained [[centroidThresholdTrain]] weights (one
     * weight per bucket, no bias — the threshold plays that role): raw
     * integer Σ w_b·cnt_b as decimal(38,0), a zero-exchange projection. */

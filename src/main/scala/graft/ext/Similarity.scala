@@ -1145,6 +1145,37 @@ object Similarity {
     ivfPqCandidateTopK(enc, centroids, q, probes, codebook, k)
   }
 
+  /** Two-stage IVF-PQ retrieval with EXACT re-ranking — the FAISS
+    * refine/rescore pattern (IndexRefineFlat): PQ distances are biased
+    * by quantization, so production ANN takes a WIDER approximate
+    * shortlist from the compressed index (stage 1 — the corpus is read
+    * as m code ints per row) and re-scores only those candidates against
+    * the TRUE vectors (stage 2 — an id-keyed join fetching
+    * |queries|·shortlist vectors, never a second corpus scan), returning
+    * the exact-ranked top k. Recall approaches the IVF bound while scan
+    * economics stay PQ's — the standard accuracy-recovery move at
+    * billion scale. Stage 2's exact score is the same Q30 dot every
+    * exact path uses, so the whole two-stage pipeline is oracle-exact.
+    * The shortlist side (bounded) broadcasts onto the vector fetch; the
+    * corpus never shuffles. */
+  def ivfPqRerank(corpus: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  m: Int, kCode: Int, dim: Int, k: Int, nProbe: Int,
+                  shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) — stage 2 only re-ranks")
+    val short = ivfPqTopK(corpus, centroids, queries, idCol, vecCol, m,
+        kCode, dim, shortlist, nProbe)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("_ip_qv"))
+    val nv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("_ip_nv"))
+    nv.join(broadcast(short.join(broadcast(qv), Seq("q_id"))), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (quantizedDotQ30Long(col("_ip_qv"), col("_ip_nv")).cast("double")
+          / lit((1L << 30).toDouble)).as("score"))
+      .transform(topKPerQuery(_, k))
+  }
+
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int,
               q30: Boolean = false): DataFrame = {

@@ -315,4 +315,29 @@ class LearnSpec extends SparkSpec {
     // and at least one token bucket is nonzero (classes differ)
     assert(got.take(16).exists(_ != 0L))
   }
+
+  test("aucExact: hand-counted pairs, tie half-credit, degenerate classes, census guard") {
+    // pos scores {3, 2}, neg {2, 1}: wins (3>2, 3>1, 2>1) = 3, ties
+    // (2=2) = 1 -> auc2 = 2*3 + 1 = 7 over 2*2*2 = 8 -> 875 per mille
+    val scored = Seq((1L, 3L), (1L, 2L), (-1L, 2L), (-1L, 1L))
+      .toDF("y", "s")
+    val got = Learn.aucExact(scored, "y", "s")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(got == ((2L, 2L, 7L, Some(875L))), got.toString)
+    // perfect separation -> AUC 1000; inverted -> 0
+    assert(Learn.aucExact(Seq((1L, 9L), (1L, 8L), (-1L, 2L)).toDF("y", "s"),
+      "y", "s").as[(Long, Long, Long, Option[Long])].collect().head
+      == ((2L, 1L, 4L, Some(1000L))))
+    assert(Learn.aucExact(Seq((1L, 1L), (-1L, 5L)).toDF("y", "s"),
+      "y", "s").as[(Long, Long, Long, Option[Long])].collect().head
+      == ((1L, 1L, 0L, Some(0L))))
+    // one-class input: numerator 0, per-mille NULL (undefined, not 0)
+    assert(Learn.aucExact(Seq((1L, 4L), (1L, 2L)).toDF("y", "s"),
+      "y", "s").as[(Long, Long, Long, Option[Long])].collect().head
+      == ((2L, 0L, 0L, None)))
+    // the census guard fires loudly past the candidate ceiling
+    intercept[IllegalArgumentException] {
+      Learn.aucExact(scored, "y", "s", maxScoreCandidates = 2)
+    }
+  }
 }
