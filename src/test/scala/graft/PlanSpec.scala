@@ -258,6 +258,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions (CoalesceShufflePartitions live)") {
+    // the other half of AQE's runtime re-plan beside the skew split: tiny
+    // post-shuffle partitions merge at execution time, so a fixed
+    // shuffle.partitions=32 does not condemn small intermediate stages to
+    // 32 near-empty tasks (at 100 TB the same mechanism right-sizes the
+    // REDUCE side of selective aggregations). If a config change ever
+    // turned coalescing off, this fails instead of silently multiplying
+    // scheduler overhead across every small stage.
+    import org.apache.spark.sql.functions._
+    val agged = spark.range(0, 1000)
+      .groupBy((col("id") % 7).as("k")).agg(count(lit(1)).as("n"))
+    agged.collect() // AQE decides at runtime — must execute
+    val p = agged.queryExecution.executedPlan.toString
+    assert(p.contains("coalesced"),
+      s"CoalesceShufflePartitions did not engage on the small shuffle:\n$p")
+  }
+
   test("runtime bloom filter injects on the probe side of a selective fact-fact join") {
     // the 100 TB shape: a big-big shuffle join where one side carries a
     // selective filter — Catalyst's InjectRuntimeFilter builds a bloom

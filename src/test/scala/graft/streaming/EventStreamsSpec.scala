@@ -297,6 +297,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == expected)
   }
 
+  test("bloom decontamination deploys on the ingest stream (x23d bitmap frozen, stateless parity)") {
+    // the bitmap builds ONCE from the eval corpus and freezes (staged to
+    // parquet — at 100 TB the eval side is itself corpus-scale, which is
+    // the bloom's reason to exist); each ingest micro-batch probes the
+    // SAME frozen bitmap, so the streamed flag set must equal the batch
+    // run's — including any md5-deterministic false positives.
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "something with the quick brown fox inside"),
+      (2L, "entirely unrelated content right here"),
+      (3L, "quick brown fox appears again"),
+      (4L, "more clean text nothing shared")).toDF("doc_id", "text")
+    val src = Files.createTempDirectory("bloomsrc").toString
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    val bitsDir = Files.createTempDirectory("bloombits").toString
+    graft.ext.Dedup.bloomGramBits(bench, "text", 3, 131072, 3)
+      .write.mode("overwrite").parquet(bitsDir)
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Dedup.contaminatedDocsBloom(df,
+        spark.read.parquet(bitsDir), "text", "doc_id", 3, 131072, 3)
+    val expected = probe(docs).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(expected.nonEmpty && expected.size < 4,
+      s"fixture must flag some docs and pass others: $expected")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= probe(batch).as[(Long, Long)].collect()
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(got.sortBy(_._1).toSeq == expected)
+  }
+
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
     // streaming dimension maintenance: each micro-batch of change events
     // MERGEs into the versioned table via ops.Merge.scd2Merge — the
