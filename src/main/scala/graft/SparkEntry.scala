@@ -1906,6 +1906,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.ext.TextStats.bigramLmScoreQ30(d, "text", "doc_id", d, "text")
     }),
+    "x77_kn_bigram" -> ((s, dir) => {
+      // interpolated KNESER–NEY bigram LM — the standard smoothing
+      // (KenLM's default) beside x45's stupid backoff: discounted bigram
+      // estimate + continuation-probability interpolation, evaluated over
+      // one common denominator with ONE exact floor division per pair
+      // (D = 3/4 stays rational). Self-trained like x45; the oracle
+      // retrains and rescores the identical integers over HUGEINT.
+      val d = t(s, dir, "documents")
+      graft.ext.TextStats.kneserNeyBigramScoreQ30(d, "text", "doc_id",
+        d, "text")
+    }),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -5112,6 +5123,48 @@ object SparkEntry {
            LEFT JOIN c1 u1 ON bg.w1 = u1.w
            LEFT JOIN c1 u2 ON bg.w2 = u2.w
            CROSS JOIN tt
+           GROUP BY 1)
+         SELECT d.doc_id, COALESCE(sc.n_pairs, 0) AS n_pairs, sc.sum_p_q30,
+                CAST(sc.sum_p_q30 // sc.n_pairs AS BIGINT) AS lm_q30
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
+    // x77: the KN model tables (bigram counts, context count + left
+    // diversity, right diversity, type total) and the one-floor-div
+    // score replayed over HUGEINT; unseen context falls to pure
+    // continuation, empty train to 0
+    "x77_kn_bigram" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM w0),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, SUM(c2) AS c1x, COUNT(*) AS n1l
+                 FROM c2 GROUP BY 1),
+         cr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+         nb AS (SELECT COUNT(*) AS nbt FROM c2),
+         sc AS (
+           SELECT bg.doc_id, COUNT(*) AS n_pairs,
+                  CAST(SUM(CASE WHEN x.c1x IS NOT NULL THEN
+                         CAST((1073741824::HUGEINT *
+                               (CASE WHEN c2.c2 IS NOT NULL
+                                  THEN (4::HUGEINT * c2.c2 - 3) * nb.nbt
+                                  ELSE 0::HUGEINT END
+                                + 3::HUGEINT * COALESCE(x.n1l, 0)
+                                             * COALESCE(r.n1r, 0)))
+                              // (4::HUGEINT * x.c1x * nb.nbt) AS BIGINT)
+                       WHEN nb.nbt > 0 THEN
+                         CAST((1073741824::HUGEINT * COALESCE(r.n1r, 0))
+                              // nb.nbt AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum_p_q30
+           FROM bg
+           LEFT JOIN c2 USING (w1, w2)
+           LEFT JOIN ctx x ON bg.w1 = x.w1
+           LEFT JOIN cr r ON bg.w2 = r.w2
+           CROSS JOIN nb
            GROUP BY 1)
          SELECT d.doc_id, COALESCE(sc.n_pairs, 0) AS n_pairs, sc.sum_p_q30,
                 CAST(sc.sum_p_q30 // sc.n_pairs AS BIGINT) AS lm_q30

@@ -642,6 +642,86 @@ object TextStats {
       .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
   }
 
+  /** Interpolated KNESER–NEY bigram LM scoring — the standard smoothing
+    * real LM-quality filters ship (KenLM's default; [[bigramLmScoreQ30]]
+    * is the stupid-backoff baseline beside it), in EXACT integer
+    * arithmetic: with discount D = 3/4,
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − D)⁺ / c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * — the discounted bigram estimate interpolated with the CONTINUATION
+    * probability (how many distinct contexts w₂ follows, over the
+    * distinct-bigram-type total), the fix for stupid backoff's burstiness
+    * blindness: a word seen often in ONE context ("Francisco") stops
+    * inheriting high backoff mass. c(w₁·) is w₁'s count as a bigram
+    * CONTEXT (= Σ_w c(w₁w)), so the discount mass identity is exact.
+    * Everything evaluates over one common denominator 4·c(w₁·)·N₁₊(··):
+    *
+    *   p_q30 = ⌊2³⁰·((4c₁₂−3)⁺·N₁₊(··) + 3·N₁₊(w₁·)·N₁₊(·w₂))
+    *            / (4·c(w₁·)·N₁₊(··))⌋
+    *
+    * — ONE floor division of exact integers (products fold in
+    * decimal(38,0)), bit-identical in any engine. Unseen context w₁ →
+    * pure continuation ⌊2³⁰·N₁₊(·w₂)/N₁₊(··)⌋; unseen w₂ everywhere → 0;
+    * empty train → 0. Returns (doc_id, n_pairs, sum_p_q30, lm_q30 =
+    * mean) — the [[bigramLmScoreQ30]] output shape. Scale: training is
+    * two token/pair-key shuffles whose model tables are vocabulary-
+    * bounded; scoring equi-joins them onto the score side's pair stream
+    * and reduces on doc_id; the type total rides as one broadcast row. */
+  def kneserNeyBigramScoreQ30(score: DataFrame, textCol: String,
+                              idCol: String, train: DataFrame,
+                              trainTextCol: String): DataFrame = {
+    val reserved = Seq("doc_id", "_w1", "_w2", "_c2", "_c1x", "_n1l", "_n1r",
+      "_nbt", "n_pairs", "sum_p_q30", "lm_q30")
+    reserved.foreach { c =>
+      require(c == "doc_id" || c != idCol,
+        s"kneserNeyBigramScoreQ30 reserves column $c — rename the id column")
+      require((c == idCol && c == "doc_id") || !score.columns.contains(c),
+        s"kneserNeyBigramScoreQ30 reserves column $c on the score side")
+    }
+    def toks(tc: String): Column = split(wsTrim(col(tc)), "\\s+")
+    def pairs(df: DataFrame, tc: String, keep: Seq[Column]): DataFrame =
+      df.filter(col(tc).isNotNull && wsTrim(col(tc)) =!= "")
+        .select((keep :+ toks(tc).as("_tk")): _*)
+        .filter(size(col("_tk")) >= 2)
+        .select((keep :+ explode(arrays_zip(
+          slice(col("_tk"), lit(1), size(col("_tk")) - 1).as("a"),
+          slice(col("_tk"), lit(2), size(col("_tk")) - 1).as("b"))).as("_p")): _*)
+        .select((keep :+ col("_p.a").as("_w1") :+ col("_p.b").as("_w2")): _*)
+    val c2 = pairs(train, trainTextCol, Nil)
+      .groupBy("_w1", "_w2").agg(count(lit(1)).as("_c2"))
+    // context counts + left-diversity in ONE pass over the (small) bigram
+    // count table; right-diversity and the type total likewise
+    val ctx = c2.groupBy("_w1")
+      .agg(sum(col("_c2")).as("_c1x"), count(lit(1)).as("_n1l"))
+    val contRight = c2.groupBy("_w2").agg(count(lit(1)).as("_n1r"))
+    val types = c2.agg(count(lit(1)).as("_nbt"))
+    val scored = pairs(score, textCol, Seq(col(idCol).as("doc_id")))
+      .join(c2, Seq("_w1", "_w2"), "left")
+      .join(ctx, Seq("_w1"), "left")
+      .join(contRight, Seq("_w2"), "left")
+      .join(broadcast(types))
+      .withColumn("_p_q30", expr(
+        """CASE WHEN _c1x IS NOT NULL THEN
+             (1073741824 * (CASE WHEN _c2 IS NOT NULL
+                  THEN (4 * cast(_c2 as decimal(38,0)) - 3) * _nbt
+                  ELSE cast(0 as decimal(38,0)) END
+                + 3 * cast(coalesce(_n1l, 0) as decimal(38,0))
+                    * coalesce(_n1r, 0)))
+             div (4 * cast(_c1x as decimal(38,0)) * _nbt)
+           WHEN _nbt > 0
+             THEN (1073741824 * cast(coalesce(_n1r, 0) as decimal(38,0)))
+                  div _nbt
+           ELSE 0L END"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("_p_q30").as("sum_p_q30"))
+      .withColumn("lm_q30", expr("sum_p_q30 div n_pairs"))
+    score.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+  }
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

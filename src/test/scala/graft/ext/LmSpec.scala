@@ -55,4 +55,50 @@ class LmSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserves"))
   }
+
+  test("kneserNeyBigramScoreQ30: hand-computed discount + continuation interpolation") {
+    // train bigrams: (a,b)x2, (a,c)x1, (c,b)x1 -> nbt 3;
+    // ctx: a (c1x 3, n1l 2), c (1, 1); cont-right: b 2, c 1.
+    // P(b|a) = (2-3/4)/3 + (3/4)(2/3)(2/3) = 3/4 -> 805306368
+    // P(c|b): context b UNSEEN -> pure continuation 1/3 -> 357913941
+    // P(a,a): seen context, unseen pair, cont(a)=0 -> 0
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "c b"))
+      .toDF("doc_id", "text")
+    val score = Seq((10L, "a b c b"), (11L, "x"), (12L, "a a"))
+      .toDF("doc_id", "text")
+    val got = TextStats.kneserNeyBigramScoreQ30(score, "text", "doc_id",
+        train, "text")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .sortBy(_._1).toSeq
+    val pBA = 805306368L           // floor(2^30 * 27/36)
+    val pCb = 357913941L           // floor(2^30 * 1/3)
+    val pBC = 805306368L           // floor(2^30 * 9/12) — P(b|c)
+    assert(got == Seq(
+      (10L, 3L, Some(pBA + pCb + pBC), Some((pBA + pCb + pBC) / 3)),
+      (11L, 0L, None, None),
+      (12L, 1L, Some(0L), Some(0L))), got.mkString(", "))
+    // the KN signal vs stupid backoff: under x45's backoff an unseen pair
+    // with a FREQUENT second word scores high regardless of context
+    // diversity; KN scores by distinct-context count. Here "b" follows
+    // two distinct contexts but "c" only one, so KN's continuation ranks
+    // unseen->b above unseen->c exactly 2:1
+    val contB = 715827882L         // floor(2^30 * 2/3)
+    val kn = TextStats.kneserNeyBigramScoreQ30(
+      Seq((20L, "zz b"), (21L, "zz c")).toDF("doc_id", "text"),
+      "text", "doc_id", train, "text")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(kn(0)._3 == Some(contB) && kn(1)._3 == Some(pCb),
+      kn.mkString(", "))
+    // empty train: every pair 0, no ANSI throw
+    val empty = TextStats.kneserNeyBigramScoreQ30(score, "text", "doc_id",
+      train.filter(col("doc_id") < 0), "text")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(empty.head == ((10L, 3L, Some(0L), Some(0L))), empty.mkString(", "))
+    // reserved-name guard
+    val e = intercept[IllegalArgumentException] {
+      TextStats.kneserNeyBigramScoreQ30(
+        score.withColumnRenamed("doc_id", "_w1"), "text", "_w1", train, "text")
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
 }
