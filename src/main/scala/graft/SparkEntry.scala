@@ -857,6 +857,17 @@ object SparkEntry {
           col("score").cast("double").as("score"),
           col("rank").cast("long").as("rnk"))
     }),
+    "x78_embed_pool" -> ((s, dir) => {
+      // chunk→document embedding pooling — the standard passage-to-doc
+      // aggregation (chunks embed under a context cap; the doc vector is
+      // their mean), exact in Q30: quantize, sum longs, one positive-mod
+      // floor division per coordinate. vec_id div 4 is the synthetic
+      // parent relation (4 chunks per doc); the pooled vectors feed the
+      // exact-Q30 ANN stack unchanged.
+      val emb = t(s, dir, "embeddings")
+        .select(expr("vec_id div 4").as("parent_id"), col("embedding"))
+      Similarity.meanPoolQ30(emb, "parent_id", "embedding")
+    }),
     "x75b_ivfpq_rerank" -> ((s, dir) => {
       // two-stage retrieval (the FAISS refine pattern): the x75 ADC stage
       // widened to a 12-candidate shortlist, then the EXACT Q30 dot
@@ -3984,6 +3995,23 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM ex QUALIFY rnk <= 5""",
+    // x78: quantize → per-(parent, dim) HUGEINT sums → the same
+    // positive-mod floor division → coordinate-ordered list
+    "x78_embed_pool" ->
+      """WITH x AS (SELECT vec_id // 4 AS parent_id,
+                  generate_subscripts(embedding, 1) AS d,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1073741824)
+                       AS BIGINT) AS q
+           FROM embeddings),
+         g AS (SELECT parent_id, d, SUM(q) AS s, COUNT(*) AS n
+               FROM x GROUP BY 1, 2),
+         m AS (SELECT parent_id, d,
+                      CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS v, n
+               FROM g)
+         SELECT CAST(parent_id AS BIGINT) AS parent_id,
+                CAST(MAX(n) AS BIGINT) AS n_chunks,
+                list(v ORDER BY d) AS pooled
+         FROM m GROUP BY 1""",
     "x74_unigram_train" -> unigramOracleSql,
     "x74b_unigram_score" -> unigramScoreOracleSql,
     "x35b_kmeans_parallel_seed" -> kppSeedOracleSql,

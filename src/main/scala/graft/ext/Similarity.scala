@@ -1176,6 +1176,47 @@ object Similarity {
       .transform(topKPerQuery(_, k))
   }
 
+  /** MEAN-POOL chunk embeddings to their parent unit — the standard
+    * passage→document aggregation every long-document embedding pipeline
+    * runs (chunks embed independently under a context-length cap, the
+    * document vector is their mean), in EXACT integer arithmetic: each
+    * float coordinate quantizes to Q30 (floor(x·2³⁰), one deterministic
+    * step), longs SUM exactly per (group, dimension), and the mean is
+    * one floor division — so the pooled vector is bit-identical in any
+    * engine and feeds the exact-Q30 ANN stack unchanged. Returns
+    * (groupCol, n_chunks, pooled: array<long> of Q30 coordinates in
+    * dimension order).
+    *
+    * Scale shape: one posexplode (rows × dim — dim is bounded, 64 here)
+    * into a (group, dim)-keyed aggregation with map-side partials, then
+    * one group-keyed re-assembly; no collect, no vector ever on the
+    * driver. The re-assembly sorts (dim, value) structs so coordinate
+    * order never depends on shuffle arrival order. */
+  def meanPoolQ30(chunks: DataFrame, groupCol: String,
+                  vecCol: String): DataFrame = {
+    Seq("_mp_d", "_mp_x", "_mp_s", "n_chunks", "pooled").foreach { c =>
+      require(c != groupCol, s"meanPoolQ30 reserves column $c — rename the group column")
+    }
+    chunks
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("_mp_d", "_mp_x")))
+      .select(col(groupCol), col("_mp_d"),
+        floor(col("_mp_x").cast("double") * lit((1L << 30).toDouble))
+          .cast("long").as("_mp_x"))
+      .groupBy(col(groupCol), col("_mp_d"))
+      .agg(sum(col("_mp_x")).as("_mp_s"), count(lit(1)).as("n_chunks"))
+      // exact FLOOR division of the (possibly negative) coordinate sum:
+      // subtract the positive mod so `div` divides an exact multiple —
+      // trunc == floor on multiples in every engine (the kMeansTrain move)
+      .select(col(groupCol), col("_mp_d"),
+        expr("(_mp_s - ((_mp_s % n_chunks + n_chunks) % n_chunks)) div n_chunks")
+          .as("_mp_x"),
+        col("n_chunks"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        transform(array_sort(collect_list(struct(col("_mp_d"), col("_mp_x")))),
+          e => e.getField("_mp_x")).as("pooled"))
+  }
+
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int,
               q30: Boolean = false): DataFrame = {

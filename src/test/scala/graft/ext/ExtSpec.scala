@@ -1332,6 +1332,25 @@ class ExtSpec extends SparkSpec {
         "vec_id", "embedding", 4, 16, 64, 5, 2)))
   }
 
+  test("meanPoolQ30: exact Q30 means, FLOOR on negative sums, per-group counts") {
+    // group 3's dim sum is -536870912 ≡ 1 (mod 3): floor gives
+    // -178956971 where truncation would give -178956970 — the positive-
+    // mod subtraction must be live or engines disagree on negative means
+    val chunks = Seq(
+      (1L, Seq(1.5f, -0.5f)), (1L, Seq(0.5f, -0.5f)),
+      (3L, Seq(-0.4f)), (3L, Seq(-0.4f)), (3L, Seq(0.3f))
+    ).toDF("parent_id", "embedding")
+    val got = Similarity.meanPoolQ30(chunks, "parent_id", "embedding")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, Seq(1073741824L, -536870912L)),
+      (3L, 3L, Seq(-178956971L))), got.mkString(", "))
+    intercept[IllegalArgumentException] {
+      Similarity.meanPoolQ30(
+        chunks.withColumnRenamed("parent_id", "pooled"), "pooled", "embedding")
+    }
+  }
+
   test("ivfPqRerank: exact rescoring recovers recall the ADC stage loses") {
     // the refine stage's whole contract: within the probed cells, a wide
     // ADC shortlist + exact rescore must reach the IVF bound (PQ
