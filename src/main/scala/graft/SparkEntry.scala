@@ -1928,6 +1928,20 @@ object SparkEntry {
       graft.ext.TextStats.kneserNeyBigramScoreQ30(d, "text", "doc_id",
         d, "text")
     }),
+    "x77b_perplexity_buckets" -> ((s, dir) => {
+      // CCNet's head/middle/tail perplexity split over the x77 KN
+      // scores: the corpus reduces to ≤ 2³⁰/2²² = 256 quantized score
+      // bins (census-guarded), a cumulative window ranks the BINS only,
+      // and the bin→bucket table broadcasts back — whole bins share a
+      // bucket, so the split never consults within-bin order. Docs with
+      // no bigram pair score NULL → 'unscored'.
+      val d = t(s, dir, "documents")
+      val kn = graft.ext.TextStats.kneserNeyBigramScoreQ30(
+        d, "text", "doc_id", d, "text")
+      graft.ext.TextStats.scoreBuckets(kn, "doc_id", "lm_q30",
+          quantStep = 1L << 22)
+        .select(col("doc_id"), col("score").as("lm_q30"), col("bucket"))
+    }),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -2964,6 +2978,47 @@ object SparkEntry {
            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4)))"""
 
+  /** The x77/x77b Kneser–Ney model chain: bigram counts, context count +
+    * left diversity, right diversity, type total, and the one-floor-div
+    * interpolated score per pair rolled up per doc (doc_id, n_pairs,
+    * sum_p_q30) over HUGEINT — shared verbatim by the score query and
+    * the perplexity-bucket query so the two oracles can't drift. */
+  private val knBigramCtes: String =
+    """toks AS (
+           SELECT doc_id, string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM w0),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT w1, SUM(c2) AS c1x, COUNT(*) AS n1l
+                 FROM c2 GROUP BY 1),
+         cr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+         nb AS (SELECT COUNT(*) AS nbt FROM c2),
+         sc AS (
+           SELECT bg.doc_id, COUNT(*) AS n_pairs,
+                  CAST(SUM(CASE WHEN x.c1x IS NOT NULL THEN
+                         CAST((1073741824::HUGEINT *
+                               (CASE WHEN c2.c2 IS NOT NULL
+                                  THEN (4::HUGEINT * c2.c2 - 3) * nb.nbt
+                                  ELSE 0::HUGEINT END
+                                + 3::HUGEINT * COALESCE(x.n1l, 0)
+                                             * COALESCE(r.n1r, 0)))
+                              // (4::HUGEINT * x.c1x * nb.nbt) AS BIGINT)
+                       WHEN nb.nbt > 0 THEN
+                         CAST((1073741824::HUGEINT * COALESCE(r.n1r, 0))
+                              // nb.nbt AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum_p_q30
+           FROM bg
+           LEFT JOIN c2 USING (w1, w2)
+           LEFT JOIN ctx x ON bg.w1 = x.w1
+           LEFT JOIN cr r ON bg.w2 = r.w2
+           CROSS JOIN nb
+           GROUP BY 1)"""
+
   /** DuckDB SQL for the first-5-hex-digit integer of md5(`e`) — the
     * engine's `conv(substring(md5(e),1,5),16,10)`: a 5-nibble positional
     * chain, 20 bits. The bloom position draw (x23d). */
@@ -3015,11 +3070,16 @@ object SparkEntry {
             FROM pc${r}_lq p JOIN uc${r}_lq ua ON p.a = ua.u
                              JOIN uc${r}_lq ub ON p.b = ub.u
             ORDER BY s DESC, p.a, p.b LIMIT 1)""",
-        s"""t$r AS (SELECT trim(replace(replace(
-              ' ' || replace(t, ' ', '  ') || ' ',
-              (SELECT ' ' || a || '  ' || b || ' ' FROM m$r),
-              (SELECT ' ' || mg || ' ' FROM m$r)),
-            '  ', ' ')) AS t, wcnt FROM $prev)""")
+        // an exhausted round (empty m$r) must pass the stream through
+        // unchanged — the engine stops applying merges on exhaustion;
+        // replace(t, NULL, NULL) would instead NULL-poison every word
+        // and wipe the encode oracle's vocabulary
+        s"""t$r AS (SELECT CASE WHEN (SELECT COUNT(*) FROM m$r) = 0 THEN t
+              ELSE trim(replace(replace(
+                ' ' || replace(t, ' ', '  ') || ' ',
+                (SELECT ' ' || a || '  ' || b || ' ' FROM m$r),
+                (SELECT ' ' || mg || ' ' FROM m$r)),
+              '  ', ' ')) END AS t, wcnt FROM $prev)""")
     }
     val base = Seq(
       s"""w0 AS (SELECT unnest(string_split_regex(
@@ -3198,8 +3258,16 @@ object SparkEntry {
     // per-doc word multiset then rolls up to the exact integer outputs
     val scoreParts = parts ++ viterbi("vs_f", "sc") ++ Seq(
       "wnp AS (SELECT word, COUNT(*) AS np FROM path_sc WHERE pos > 0 GROUP BY 1)",
-      """wstat AS (SELECT f.word, f.d[length(f.word) + 1].s AS ws, n.np
-         FROM fin_sc f JOIN wnp n USING (word))""",
+      // an OOV word's dp appends NULL steps (the empty scalar subquery),
+      // so its end-state score reads NULL and it may be absent from wnp
+      // — COALESCE both to the engine's NegInf-sentinel semantics (ws =
+      // exactly -(1<<60) makes the ok comparison FALSE, not NULL, so the
+      // n_oov arm is genuinely live) and LEFT-join so the word still
+      // reaches the roll-up
+      """wstat AS (SELECT f.word,
+           COALESCE(f.d[length(f.word) + 1].s, -(1::BIGINT << 60)) AS ws,
+           COALESCE(n.np, 0) AS np
+         FROM fin_sc f LEFT JOIN wnp n USING (word))""",
       s"""docw AS (SELECT doc_id, substr(ww, 1, $maxW) AS word, COUNT(*) AS dc
          FROM (SELECT doc_id, unnest(string_split_regex(""" +
         """regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ww
@@ -3866,6 +3934,9 @@ object SparkEntry {
              / len(list_distinct(list_concat(sa.gs, sb.gs))) AS jaccard
          FROM cand c JOIN sets sa ON c.a_id = sa.doc_id
                      JOIN sets sb ON c.b_id = sb.doc_id""",
+    // x13d: DuckDB's levenshtein counts BYTE edits where Spark counts
+    // code points — equivalent on the ASCII test corpus; see the
+    // editVerify scaladoc's unicode contract
     "x13d_edit_verify" ->
       s"""WITH $lshCandCtes,
          txt AS (SELECT doc_id, substr(coalesce(text, ''), 1, 128) AS t
@@ -5160,43 +5231,32 @@ object SparkEntry {
     // score replayed over HUGEINT; unseen context falls to pure
     // continuation, empty train to 0
     "x77_kn_bigram" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(
-                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-           FROM documents
-           WHERE text IS NOT NULL
-             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
-         w0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-                FROM toks WHERE len(t) >= 2),
-         bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM w0),
-         c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
-         ctx AS (SELECT w1, SUM(c2) AS c1x, COUNT(*) AS n1l
-                 FROM c2 GROUP BY 1),
-         cr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
-         nb AS (SELECT COUNT(*) AS nbt FROM c2),
-         sc AS (
-           SELECT bg.doc_id, COUNT(*) AS n_pairs,
-                  CAST(SUM(CASE WHEN x.c1x IS NOT NULL THEN
-                         CAST((1073741824::HUGEINT *
-                               (CASE WHEN c2.c2 IS NOT NULL
-                                  THEN (4::HUGEINT * c2.c2 - 3) * nb.nbt
-                                  ELSE 0::HUGEINT END
-                                + 3::HUGEINT * COALESCE(x.n1l, 0)
-                                             * COALESCE(r.n1r, 0)))
-                              // (4::HUGEINT * x.c1x * nb.nbt) AS BIGINT)
-                       WHEN nb.nbt > 0 THEN
-                         CAST((1073741824::HUGEINT * COALESCE(r.n1r, 0))
-                              // nb.nbt AS BIGINT)
-                       ELSE 0 END) AS BIGINT) AS sum_p_q30
-           FROM bg
-           LEFT JOIN c2 USING (w1, w2)
-           LEFT JOIN ctx x ON bg.w1 = x.w1
-           LEFT JOIN cr r ON bg.w2 = r.w2
-           CROSS JOIN nb
-           GROUP BY 1)
+      s"""WITH $knBigramCtes
          SELECT d.doc_id, COALESCE(sc.n_pairs, 0) AS n_pairs, sc.sum_p_q30,
                 CAST(sc.sum_p_q30 // sc.n_pairs AS BIGINT) AS lm_q30
          FROM documents d LEFT JOIN sc USING (doc_id)""",
+    // x77b: the bin census, the desc cumulative window over bins, and
+    // the floor-div bucket pick replayed exactly; docs outside sc (no
+    // bigram pair) fall through both LEFT joins to 'unscored'
+    "x77b_perplexity_buckets" ->
+      s"""WITH $knBigramCtes,
+         scr AS (SELECT doc_id,
+                        CAST(sum_p_q30 // n_pairs AS BIGINT) AS lm FROM sc),
+         bins AS (SELECT lm // 4194304 AS qb, COUNT(*) AS c
+                  FROM scr GROUP BY 1),
+         tot AS (SELECT SUM(c) AS t FROM bins),
+         lab AS (SELECT qb,
+                   CASE CAST((3 * COALESCE(SUM(c) OVER (ORDER BY qb DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)) // t AS INT)
+                     WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+                 FROM bins CROSS JOIN tot)
+         SELECT d.doc_id, scr.lm AS lm_q30,
+                COALESCE(lab.bucket, 'unscored') AS bucket
+         FROM documents d
+         LEFT JOIN scr USING (doc_id)
+         LEFT JOIN lab ON scr.lm // 4194304 = lab.qb""",
     "x44_epoch_shuffle" ->
       """WITH e AS (SELECT epoch, doc_id,
                            md5(concat_ws(':', epoch, doc_id)) AS h

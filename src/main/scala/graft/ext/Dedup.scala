@@ -494,7 +494,14 @@ object Dedup {
     * semantics). Returns (a_id, b_id, dist, sim): dist the integer edit
     * distance of the truncated texts, sim = 1 − dist / max(len_a, len_b)
     * (one IEEE division of exact integers — bit-stable), 1.0 when both
-    * truncated texts are empty. */
+    * truncated texts are empty.
+    *
+    * Unicode contract: Spark's levenshtein counts CODE-POINT edits (the
+    * correct unit — this operator's semantics); DuckDB's counts BYTE
+    * edits, so the x13d oracle equivalence holds on ASCII corpora (the
+    * test tables) and the oracle is the weaker byte-level twin beyond
+    * ASCII — the engine side needs no change, the caveat is the
+    * oracle's. */
   def editVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String, maxLen: Int = 256): DataFrame = {
     require(maxLen >= 1, s"editVerify maxLen must be >= 1: $maxLen")

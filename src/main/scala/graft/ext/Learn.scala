@@ -329,16 +329,21 @@ object Learn {
     val below = Window.partitionBy(pmod(col("_auc_p"), lit(1L)))
       .orderBy(col("_auc_s"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // every pair-count product folds in decimal(38,0) BEFORE multiplying
+    // — p·(2·cq+q) and 2·n_pos·n_neg overflow longs at ~1e9-row classes,
+    // exactly the scale the census discipline targets (ANSI would throw)
     g.withColumn("_auc_cq", coalesce(sum(col("_auc_q")).over(below), lit(0L)))
       .agg(
         sum(col("_auc_p")).as("n_pos"),
         sum(col("_auc_q")).as("n_neg"),
-        sum((col("_auc_p") * (col("_auc_cq") * 2L + col("_auc_q")))
-          .cast("decimal(38,0)")).as("_auc_n2"))
+        sum(col("_auc_p").cast("decimal(38,0)") *
+          (col("_auc_cq").cast("decimal(38,0)") * 2L + col("_auc_q")))
+          .as("_auc_n2"))
       .select(col("n_pos"), col("n_neg"),
         col("_auc_n2").cast("long").as("auc2_num"),
-        expr("cast((1000 * _auc_n2) div nullif(2 * n_pos * n_neg, 0) as bigint)")
-          .as("auc_permille"))
+        expr("""cast((1000 * _auc_n2)
+                 div nullif(2 * cast(n_pos as decimal(38,0)) * n_neg, 0)
+               as bigint)""").as("auc_permille"))
   }
 
   /** Score a text with trained [[centroidThresholdTrain]] weights (one

@@ -856,9 +856,11 @@ object Similarity {
     // write for in-target cells, per-cell compactParquet fallback for
     // oversized ones, rename-first commit, stale-staging refusal) with
     // the cid keys restored to ints and numeric ordering
+    // the pass pins the partition column to STRING internally (the dir-
+    // name round-trip contract), so the prune filter compares raw keys
     graft.ops.Scale.compactPartitionedLayout(spark, layoutDir, "cid",
         targetRowsPerFile, maxFilesPerCell,
-        ks => col("cid").isin(ks.map(k => Int.box(k.toInt)): _*))
+        ks => col("cid").isin(ks: _*))
       .map { case (k, before, after) => (k.toInt, before, after) }
       .sortBy(_._1)
 

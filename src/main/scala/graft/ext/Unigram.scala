@@ -546,22 +546,11 @@ object Unigram {
       .filter(col("_ug_w") =!= "")
       .select(col(idCol), substring(col("_ug_w"), 1, maxWordLen).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("_ug_dc"))
-    // every (start j, end i) substring window of every distinct word, once
-    val windows = transform(sequence(lit(0), length(col("word")) - 1), j =>
-      transform(
-        sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - j)),
-        l => struct(j.cast("int").as("j"), (j + l).cast("int").as("i"),
-          substr(col("word"), j + 1, l).as("piece"))))
     val allWords = docWords.select(col("word")).distinct()
-    val edges = allWords
-      .select(col("word"), explode(flatten(windows)).as("_ug_e"))
-      .select(col("word"), col("_ug_e.j").as("j"), col("_ug_e.i").as("i"),
-        col("_ug_e.piece").as("piece"))
-      .join(broadcast(vocab.select(col("piece"),
-        col("score_q8").cast("long").as("_ug_s"))), "piece")
-      .groupBy(col("word"))
-      .agg(array_sort(collect_list(
-        struct(col("i"), col("j"), col("_ug_s").as("s")))).as("_ug_edges"))
+    // the SAME edge construction the join-form trainer's E-step uses —
+    // one definition, so the trainer and the deploy-path segmenter can
+    // never desynchronize on window bounds or score casts
+    val edges = wordEdges(allWords, vocab, maxPieceLen)
     // LEFT join back: a word with NO in-vocabulary substring at all (every
     // window missed the join) still needs a dp — an empty edge list drives
     // every position to the NegInf sentinel, so it lands in n_oov exactly

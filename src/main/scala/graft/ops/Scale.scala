@@ -444,7 +444,25 @@ object Scale {
       s"$staging exists — a previous compaction did not commit cleanly; " +
         "recover or remove it explicitly before compacting again")
     val hotKeys = hot.keys.toSeq.sorted
-    val pruned = spark.read.parquet(layoutDir).filter(pruneFilter(hotKeys))
+    // the partition column must round-trip AS THE DIRECTORY STRING:
+    // partition-type inference would parse an all-numeric key set (e.g.
+    // md5-hex buckets that happen to draw only digits, "07") as ints —
+    // the census would then miss the hot key ("7" != "07") and, worse,
+    // the staging partitionBy would write bucket=7 while the commit
+    // expects bucket=07, renaming the only copy aside and deleting it.
+    // Pin the partition column to STRING via an explicit schema (data
+    // schema from one leaf dir, which has no partition column).
+    // Partition types live only in directory names, so later readers
+    // re-infer exactly as before — the pin is invisible outside this
+    // pass.
+    val leaf = new org.apache.hadoop.fs.Path(root, s"$prefix${hotKeys.head}")
+    val dataSchema = spark.read.parquet(leaf.toString).schema
+    require(!dataSchema.fieldNames.contains(partCol),
+      s"layout data files must not store partition column $partCol")
+    val pruned = spark.read
+      .schema(dataSchema.add(partCol, org.apache.spark.sql.types.StringType))
+      .parquet(layoutDir)
+      .filter(pruneFilter(hotKeys))
     val rows = pruned.groupBy(col(partCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     val (big, small) = hotKeys

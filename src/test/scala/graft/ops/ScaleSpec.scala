@@ -194,6 +194,36 @@ class ScaleSpec extends SparkSpec {
       "the guard must not delete the stale staging dir")
   }
 
+  test("compactPartitionedLayout: all-numeric string keys round-trip (zero-padded dirs survive)") {
+    // md5-hex bucket keys can draw an ALL-DIGIT key set; partition-type
+    // inference would then parse "07" as int 7 — the census would miss
+    // the hot key ("7" != "07") and the commit would rename the only
+    // copy aside and delete it while the staged rewrite sat in
+    // bucket=7. The pass pins the partition column to string, so
+    // zero-padded directories survive with their data.
+    import graft.ops.Scale
+    val path = java.nio.file.Files.createTempDirectory("numkey_compact").toString
+    def batch(lo: Int) = (lo until lo + 40)
+      .map(i => (i.toLong, if (i % 2 == 0) "07" else "12"))
+      .toDF("id", "bucket").repartition(1)
+    Seq(0, 40, 80).foreach(lo =>
+      batch(lo).write.mode("append").partitionBy("bucket").parquet(path))
+    def files(k: String) = new java.io.File(s"$path/bucket=$k").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files("07") == 3 && files("12") == 3, "fixture must accrete files")
+    val before = spark.read.parquet(path)
+      .select(col("id"), col("bucket").cast("string")).collect().toSet
+    val report = Scale.compactPartitionedLayout(spark, path, "bucket",
+      1L << 20, 1, ks => col("bucket").isin(ks: _*))
+    assert(report.map(_._1).toSet == Set("07", "12"), report.toString)
+    assert(new java.io.File(s"$path/bucket=07").isDirectory,
+      "the zero-padded directory must survive compaction")
+    assert(files("07") == 1 && files("12") == 1)
+    val after = spark.read.parquet(path)
+      .select(col("id"), col("bucket").cast("string")).collect().toSet
+    assert(after == before, "compaction lost or rewrote rows")
+  }
+
   test("compactIndexBuckets: hot postings buckets rewrite to one file; probe results unchanged") {
     import graft.ext.Retrieval
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
