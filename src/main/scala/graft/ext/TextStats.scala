@@ -722,6 +722,89 @@ object TextStats {
       .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
   }
 
+  /** CCNet-style SCORE BUCKETING — split a scored corpus into
+    * equal-mass quantile buckets (CCNet's head/middle/tail perplexity
+    * terciles) by the score DISTRIBUTION, deterministically: scores
+    * floor-quantize to multiples of `quantStep`, the quantized BINS are
+    * counted, and each bin takes the bucket of its FIRST document in
+    * (score desc) order — `bucket = ⌊nLabels · cumBefore / total⌋` —
+    * so equal scores can never straddle a cut (the whole bin lands in
+    * one bucket, which is what makes the split replayable: no
+    * within-bin ordering is ever consulted). Higher score = earlier
+    * label (labels = head, middle, tail by default: for an lm_q30 mean
+    * token probability, head = most in-domain, exactly CCNet's use).
+    * NULL scores (e.g. docs with no bigram pairs) label `unscored`.
+    *
+    * Returns (doc_id, score, bucket). All arithmetic is exact integer —
+    * floor-quantization, cumulative bin counts, one `div` per bin — so
+    * an oracle replays the split bit-for-bit.
+    *
+    * Scale shape (the thresholdSweep discipline): the corpus reduces to
+    * the quantized-bin table in ONE map-side-combining aggregation; a
+    * LOUD census fails past `maxBins` (with the quantStep that brings
+    * it back under) BEFORE the single-partition cumulative window ever
+    * sees the frame — the window ranks censused bins, never the corpus
+    * (partitioned on a non-foldable constant key, so a REAL global
+    * window stays visible in the logs); the bin→bucket table then
+    * BROADCASTS back onto the corpus. Only two longs (census) reach the
+    * driver. For a Q30 score domain the bin count is structurally
+    * ≤ 2³⁰/quantStep at ANY corpus size. */
+  def scoreBuckets(scored: DataFrame, idCol: String, scoreCol: String,
+                   quantStep: Long = 1L << 20,
+                   labels: Seq[String] = Seq("head", "middle", "tail"),
+                   maxBins: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantStep >= 1, s"quantStep must be >= 1: $quantStep")
+    require(labels.nonEmpty && labels.size == labels.distinct.size,
+      s"labels must be non-empty and distinct: $labels")
+    require(!labels.contains("unscored"),
+      "label 'unscored' is reserved for NULL scores")
+    require(maxBins >= 1, s"maxBins must be >= 1: $maxBins")
+    val reserved = Seq("doc_id", "score", "bucket", "_sb_q", "_sb_c", "_sb_cb")
+    reserved.foreach { c =>
+      require(c == "doc_id" || c != idCol,
+        s"scoreBuckets reserves column $c — rename the id column")
+      require((c == "doc_id" && c == idCol) || (c == "score" && c == scoreCol)
+        || !scored.columns.contains(c),
+        s"scoreBuckets reserves column $c on the score side")
+    }
+    // floor division from Spark's truncating `div` (exact long
+    // arithmetic, ANSI-safe; DuckDB's `//` floors natively)
+    val qExpr = expr(s"(score div ${quantStep}L) - (CASE WHEN score < 0 " +
+      s"AND pmod(score, ${quantStep}L) != 0 THEN 1L ELSE 0L END)")
+    val s = scored
+      .select(col(idCol).as("doc_id"), col(scoreCol).cast("long").as("score"))
+    val bins = s.filter(col("score").isNotNull)
+      .withColumn("_sb_q", qExpr)
+      .groupBy(col("_sb_q")).agg(count(lit(1)).as("_sb_c"))
+    val cen = bins.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("_sb_c")), lit(0L)).as("t")).collect().head
+    val (nBins, total) = (cen.getLong(0), cen.getLong(1))
+    require(nBins <= maxBins,
+      s"scoreBuckets has $nBins quantized score bins (> maxBins = " +
+        s"$maxBins): the cumulative window would rank an unbounded " +
+        s"frame — raise quantStep (>= ~${quantStep * (nBins / maxBins + 1)}) " +
+        "or raise maxBins explicitly")
+    if (total == 0)
+      return s.select(col("doc_id"), col("score"),
+        lit("unscored").as("bucket"))
+    // cumulative count BEFORE each bin in (score desc) order, over the
+    // censused bin frame only; constant-key partition (see scaladoc)
+    val winB = Window.partitionBy(pmod(col("_sb_c"), lit(1L)))
+      .orderBy(col("_sb_q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nL = labels.size
+    val labeled = bins
+      .withColumn("_sb_cb", coalesce(sum(col("_sb_c")).over(winB), lit(0L)))
+      .withColumn("bucket", element_at(typedlit(labels),
+        expr(s"cast(($nL * _sb_cb) div ${total}L as int) + 1")))
+      .select(col("_sb_q"), col("bucket"))
+    s.withColumn("_sb_q", qExpr)
+      .join(broadcast(labeled), Seq("_sb_q"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("bucket"), lit("unscored")).as("bucket"))
+  }
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

@@ -101,4 +101,71 @@ class LmSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserves"))
   }
+
+  test("scoreBuckets: equal-mass terciles, whole bins never straddle a cut") {
+    // 9 docs, scores 90..10 step 10, quantStep 1 → 9 bins: clean thirds
+    val s = (1L to 9L).map(i => (i, i * 10L)).toDF("doc_id", "s")
+    val got = TextStats.scoreBuckets(s, "doc_id", "s", quantStep = 1L)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._3) == Seq("tail", "tail", "tail", "middle", "middle",
+      "middle", "head", "head", "head"), got.mkString(", "))
+    // a bin STRADDLING the cut takes the bucket of its first doc: scores
+    // [10,10,10,1] → bin 10 (cumBefore 0 → head), bin 1 (cumBefore 3 →
+    // (3·3) div 4 = 2 → tail); no doc lands in middle
+    val tie = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 1L))
+      .toDF("doc_id", "s")
+    val tied = TextStats.scoreBuckets(tie, "doc_id", "s", quantStep = 1L)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(tied.map(_._3) == Seq("head", "head", "head", "tail"),
+      tied.mkString(", "))
+  }
+
+  test("scoreBuckets: quantization buckets by bin, NULL scores → unscored") {
+    // quantStep 10: 95,91 share bin 9; 55 bin 5; 15,11 bin 1 — with 5
+    // docs the bins cut at cumBefore {0,2,3}: (3·0)div5=0 head,
+    // (3·2)div5=1 middle, (3·3)div5=1 middle
+    val s = Seq((1L, Some(95L)), (2L, Some(91L)), (3L, Some(55L)),
+      (4L, Some(15L)), (5L, Some(11L)), (6L, None))
+      .toDF("doc_id", "s")
+    val got = TextStats.scoreBuckets(s, "doc_id", "s", quantStep = 10L)
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._3) == Seq("head", "head", "middle", "middle",
+      "middle", "unscored"), got.mkString(", "))
+    // negative scores floor-quantize (−5 with step 10 → bin −1, below 0)
+    val neg = Seq((1L, 5L), (2L, -5L)).toDF("doc_id", "s")
+    val nb = TextStats.scoreBuckets(neg, "doc_id", "s", quantStep = 10L,
+        labels = Seq("hi", "lo"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(nb.map(_._3) == Seq("hi", "lo"), nb.mkString(", "))
+  }
+
+  test("scoreBuckets: generic label arity, empty input, loud bin census") {
+    val s = (1L to 8L).map(i => (i, i)).toDF("doc_id", "s")
+    val quart = TextStats.scoreBuckets(s, "doc_id", "s", quantStep = 1L,
+        labels = Seq("q1", "q2", "q3", "q4"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(quart.map(_._3) == Seq("q4", "q4", "q3", "q3", "q2", "q2",
+      "q1", "q1"), quart.mkString(", "))
+    // all-NULL input: total 0 → every doc unscored, no div-by-zero
+    val allNull = Seq((1L, None: Option[Long])).toDF("doc_id", "s")
+    val un = TextStats.scoreBuckets(allNull, "doc_id", "s")
+      .as[(Long, Option[Long], String)].collect().toSeq
+    assert(un == Seq((1L, None, "unscored")), un.mkString(", "))
+    // census: more bins than maxBins fails loudly with a quantStep hint
+    val e = intercept[IllegalArgumentException] {
+      TextStats.scoreBuckets(s, "doc_id", "s", quantStep = 1L, maxBins = 3L)
+    }
+    assert(e.getMessage.contains("raise quantStep"), e.getMessage)
+    // reserved labels / columns
+    val e2 = intercept[IllegalArgumentException] {
+      TextStats.scoreBuckets(s, "doc_id", "s",
+        labels = Seq("head", "unscored"))
+    }
+    assert(e2.getMessage.contains("unscored"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      TextStats.scoreBuckets(s.withColumnRenamed("s", "_sb_q"),
+        "doc_id", "_sb_q")
+    }
+    assert(e3.getMessage.contains("reserves"), e3.getMessage)
+  }
 }
