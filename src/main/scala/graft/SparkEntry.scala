@@ -1942,6 +1942,50 @@ object SparkEntry {
           quantStep = 1L << 22)
         .select(col("doc_id"), col("score").as("lm_q30"), col("bucket"))
     }),
+    "x79_cms_heavy_hitters" -> ((s, dir) => {
+      // count–min heavy hitters: the token stream folds into a FIXED
+      // 4×2048-cell sketch (one map-side-combining agg — the stream
+      // shuffles 20-bit cell coordinates only), the sketch broadcasts
+      // back onto the distinct-token candidates, and tokens estimating
+      // ≥ 1/200 of the stream surface. est ≥ exact ALWAYS (count–min
+      // overestimates only) and the md5 hashing makes the estimates —
+      // including their collision inflation — oracle-exact. The exact
+      // column is the small-SF audit; at 100 TB you'd ship est alone.
+      val d = t(s, dir, "documents")
+      val toks = d.filter(col("text").isNotNull)
+        .select(explode(split(graft.ext.TextStats.wsTrim(col("text")),
+          "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sk = graft.ext.Sketch.cmsSketch(toks, "tok", 2048, 4)
+      val est = graft.ext.Sketch.cmsEstimate(toks, sk, "tok", 2048, 4)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      val thr = toks.agg(count(lit(1)).as("_n"))
+        .select(expr("_n div 200L").as("_thr"))
+      est.join(exact, col("value") === col("tok"))
+        .join(broadcast(thr))
+        .filter(col("est") >= col("_thr"))
+        .select(col("value").as("token"), col("est"), col("exact"))
+    }),
+    "x80_hll_distinct" -> ((s, dir) => {
+      // per-language distinct-token cardinality by HyperLogLog: 256
+      // max-registers per language (p=8, ~6.5% expected error), exact
+      // integer estimate arithmetic (rational α, Q8-log linear-counting
+      // small-range arm — the md5 hash makes even the ERROR
+      // deterministic, so the oracle replays est bit-for-bit). The
+      // registers are max-mergeable across shards/batches; exact
+      // count_distinct rides as the small-SF audit column.
+      val d = t(s, dir, "documents")
+      val toks = d.filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(
+          graft.ext.TextStats.wsTrim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val regs = graft.ext.Sketch.hllRegisters(toks, Seq("lang"), "tok", 8)
+      val est = graft.ext.Sketch.hllEstimate(regs, Seq("lang"), 8)
+      val exact = toks.groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("exact"))
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), col("est"), col("exact"))
+    }),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -3018,6 +3062,65 @@ object SparkEntry {
            LEFT JOIN cr r ON bg.w2 = r.w2
            CROSS JOIN nb
            GROUP BY 1)"""
+
+  /** x80: the HyperLogLog state and estimate replayed exactly — the
+    * 60-bit 15-nibble md5 hash, bucket = top 8 bits, rank = leading-zero
+    * count of the 52-bit rest (+1), MAX registers per (lang, bucket),
+    * the Σ 2^(53−reg) common-scale sum with absent buckets at 2^53, the
+    * rational-α HUGEINT floor division, and the small-range linear-
+    * counting arm over the 8-step Q8 log chain (the tokenizer-oracle
+    * arithmetic) with ln 2 at Q20 726817. */
+  private val x80OracleSql: String = {
+    val hex15 = (1 to 15).map(i =>
+      s"(CAST(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1 " +
+        s"AS BIGINT) * ${BigInt(16).pow(15 - i)})")
+      .mkString("(", "\n                + ", ")")
+    val logSteps = (1 to 8).map { i =>
+      s"""v_l$i AS (SELECT lang, v, raw,
+             e, CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2
+                     ELSE (m*m)//256 END AS m,
+             fr8*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS fr8
+           FROM v_l${i - 1})"""
+    }.mkString(",\n         ")
+    val estNum = BigInt(7213000) * (BigInt(1) << 77)
+    s"""WITH tk AS (SELECT lang, unnest(string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         tks AS (SELECT lang, tok FROM tk WHERE tok <> ''),
+         hh AS (SELECT lang, $hex15 AS h
+                FROM (SELECT DISTINCT lang, tok FROM tks)),
+         rb AS (SELECT lang, h // 4503599627370496 AS bucket,
+                       CASE WHEN h % 4503599627370496 = 0 THEN 53
+                            ELSE 53 - length(bin(h % 4503599627370496))
+                       END AS rank
+                FROM hh),
+         regs AS (SELECT lang, bucket, MAX(rank) AS reg FROM rb GROUP BY 1, 2),
+         g AS (SELECT lang, COUNT(*) AS v,
+                      SUM(1::BIGINT << CAST(53 - reg AS INT)) AS s1
+               FROM regs GROUP BY 1),
+         graw AS (SELECT lang, v,
+                    CAST($estNum::HUGEINT
+                         // (2570790000::HUGEINT
+                             * (s1 + ((256 - v)::BIGINT << 53))) AS BIGINT)
+                      AS raw
+                  FROM g),
+         v_l0 AS (SELECT lang, v, raw, length(bin(256 - v)) - 1 AS e,
+                    ((256 - v) * 256)
+                      // (1::BIGINT << (length(bin(256 - v)) - 1)) AS m,
+                    0::BIGINT AS fr8
+                  FROM graw),
+         $logSteps,
+         est AS (SELECT lang,
+                   CASE WHEN v < 256 AND raw * 2 <= 1280
+                     THEN (256 * (2048 - (e*256 + fr8)) * 726817) // 268435456
+                     ELSE raw END AS est
+                 FROM v_l8),
+         ex AS (SELECT lang, COUNT(DISTINCT tok) AS exact
+                FROM tks GROUP BY 1)
+         SELECT est.lang, CAST(est.est AS BIGINT) AS est,
+                CAST(ex.exact AS BIGINT) AS exact
+         FROM est JOIN ex USING (lang)"""
+  }
 
   /** DuckDB SQL for the first-5-hex-digit integer of md5(`e`) — the
     * engine's `conv(substring(md5(e),1,5),16,10)`: a 5-nibble positional
@@ -5257,6 +5360,33 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN scr USING (doc_id)
          LEFT JOIN lab ON scr.lm // 4194304 = lab.qb""",
+    // x79: the 4×2048 cell build from the shared 5-nibble md5 chain,
+    // the candidate probe's min-over-rows (missing cell reads 0), and
+    // the 1/200 stream threshold — collision inflation replays
+    // identically, so est is exact-comparable, not just bounded
+    "x79_cms_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         tks AS (SELECT tok FROM tk WHERE tok <> ''),
+         hs AS (SELECT h FROM generate_series(0, 3) t(h)),
+         cells AS (SELECT h AS row,
+                          ${md5Hex5("tks.tok || ':cms:' || h")} % 2048 AS pos,
+                          COUNT(*) AS c
+                   FROM tks CROSS JOIN hs GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT tok FROM tks),
+         cpos AS (SELECT cand.tok, h AS row,
+                         ${md5Hex5("cand.tok || ':cms:' || h")} % 2048 AS pos
+                  FROM cand CROSS JOIN hs),
+         est AS (SELECT tok, MIN(COALESCE(c.c, 0)) AS est
+                 FROM cpos LEFT JOIN cells c USING (row, pos) GROUP BY 1),
+         ex AS (SELECT tok, COUNT(*) AS exact FROM tks GROUP BY 1),
+         thr AS (SELECT COUNT(*) // 200 AS t FROM tks)
+         SELECT est.tok AS token, CAST(est.est AS BIGINT) AS est,
+                CAST(ex.exact AS BIGINT) AS exact
+         FROM est JOIN ex USING (tok) CROSS JOIN thr
+         WHERE est.est >= thr.t""",
+    "x80_hll_distinct" -> x80OracleSql,
     "x44_epoch_shuffle" ->
       """WITH e AS (SELECT epoch, doc_id,
                            md5(concat_ws(':', epoch, doc_id)) AS h

@@ -1,0 +1,123 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior of the mergeable sketches (x79 count–min, x80 HyperLogLog). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stream = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+    Seq.fill(9)("gamma") ++ Seq.fill(1)("delta")
+
+  test("cms: est >= exact for every value; exact when collision-free") {
+    val df = stream.toDF("v")
+    val sk = Sketch.cmsSketch(df, "v", 2048, 4)
+    val est = Sketch.cmsEstimate(df, sk, "v", 2048, 4)
+      .as[(String, Long)].collect().toMap
+    val exact = stream.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: est ${est(k)} < exact $n")
+    }
+    // 4 distinct values in 4×2048 cells: no collisions, est == exact
+    assert(est == exact, s"$est vs $exact")
+    // a value never seen estimates 0 (its cells may be empty)
+    val unseen = Sketch.cmsEstimate(Seq("zz9qx").toDF("v"), sk, "v", 2048, 4)
+      .as[(String, Long)].collect().toMap
+    assert(unseen("zz9qx") >= 0L)
+  }
+
+  test("cms: width-1 forces total-count collisions; deeper sketch estimates tighter") {
+    val df = stream.toDF("v")
+    // every value hashes to the single cell per row → est = stream size
+    val sk1 = Sketch.cmsSketch(df, "v", 1, 2)
+    val est1 = Sketch.cmsEstimate(df, sk1, "v", 1, 2)
+      .as[(String, Long)].collect().toMap
+    assert(est1.values.toSet == Set(stream.size.toLong), est1.toString)
+    // min over more rows can only tighten: est(depth 4) <= est(depth 1)
+    // on a deliberately collision-heavy width
+    val skA = Sketch.cmsSketch(df, "v", 2, 1)
+    val skB = Sketch.cmsSketch(df, "v", 2, 4)
+    val a = Sketch.cmsEstimate(df, skA, "v", 2, 1).as[(String, Long)]
+      .collect().toMap
+    val b = Sketch.cmsEstimate(df, skB, "v", 2, 4).as[(String, Long)]
+      .collect().toMap
+    a.keys.foreach(k => assert(b(k) <= a(k), s"$k: ${b(k)} > ${a(k)}"))
+  }
+
+  test("cms: cells merge across shards (sum) to the one-shot sketch; null/empty handling") {
+    val (s1, s2) = stream.splitAt(30)
+    val merged = Sketch.cmsSketch(s1.toDF("v"), "v", 64, 3)
+      .unionByName(Sketch.cmsSketch(s2.toDF("v"), "v", 64, 3))
+      .groupBy("row", "pos").agg(sum("c").as("c"))
+    val oneShot = Sketch.cmsSketch(stream.toDF("v"), "v", 64, 3)
+    assert(merged.as[(Int, Long, Long)].collect().sorted.toSeq ==
+      oneShot.as[(Int, Long, Long)].collect().sorted.toSeq)
+    // nulls are skipped, not hashed
+    val withNull = (stream :+ null.asInstanceOf[String]).toDF("v")
+    assert(Sketch.cmsSketch(withNull, "v", 64, 3)
+      .agg(sum("c")).as[Long].head() == stream.size.toLong * 3)
+    intercept[IllegalArgumentException] {
+      Sketch.cmsSketch(stream.toDF("v"), "v", 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.cmsEstimate(stream.toDF("v"), oneShot.drop("c"), "v", 64, 3)
+    }
+  }
+
+  test("hll: registers max-merge across shards to the one-shot state") {
+    val vals = (1L to 5000L).map(i => ("g", s"tok$i")).toDF("k", "v")
+    val (a, b) = ((1L to 3000L), (2500L to 5000L)) // overlapping shards
+    val ra = Sketch.hllRegisters(
+      a.map(i => ("g", s"tok$i")).toDF("k", "v"), Seq("k"), "v", 8)
+    val rb = Sketch.hllRegisters(
+      b.map(i => ("g", s"tok$i")).toDF("k", "v"), Seq("k"), "v", 8)
+    val merged = ra.unionByName(rb).groupBy("k", "bucket")
+      .agg(max("reg").as("reg"))
+    val oneShot = Sketch.hllRegisters(vals, Seq("k"), "v", 8)
+    assert(merged.as[(String, Long, Long)].collect().sorted.toSeq ==
+      oneShot.as[(String, Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("hll: deterministic estimate lands within the 1.04/sqrt(m) error band") {
+    // md5 hashing → the error is DETERMINISTIC, so these are exact pins,
+    // not flaky statistical bounds: p=8 (m=256) expects ~6.5% rel error
+    val n = 20000L
+    val vals = (1L to n).map(i => ("g", s"item:$i")).toDF("k", "v")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(vals, Seq("k"), "v", 8), Seq("k"), 8)
+      .as[(String, Long)].head()._2
+    assert(math.abs(est - n).toDouble / n < 0.10, s"est $est for n $n")
+    // duplicates don't move the registers: distinct-ness is the point
+    val dup = vals.unionByName(vals).unionByName(vals)
+    val estDup = Sketch.hllEstimate(
+      Sketch.hllRegisters(dup, Seq("k"), "v", 8), Seq("k"), 8)
+      .as[(String, Long)].head()._2
+    assert(estDup == est)
+  }
+
+  test("hll: small-range linear counting engages and stays accurate") {
+    val n = 30L
+    val vals = (1L to n).map(i => ("g", s"s$i")).toDF("k", "v")
+    val regs = Sketch.hllRegisters(vals, Seq("k"), "v", 8)
+    // fewer observed buckets than values is possible, but V <= n << m
+    assert(regs.count() <= n)
+    val est = Sketch.hllEstimate(regs, Seq("k"), 8)
+      .as[(String, Long)].head()._2
+    assert(math.abs(est - n).toDouble / n < 0.25, s"est $est for n $n")
+    // grouped: keys estimate independently
+    val two = vals.unionByName(
+      (1L to 4000L).map(i => ("h", s"t$i")).toDF("k", "v"))
+    val byK = Sketch.hllEstimate(
+      Sketch.hllRegisters(two, Seq("k"), "v", 8), Seq("k"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(byK("g") == est, "an unrelated key must not disturb g")
+    assert(math.abs(byK("h") - 4000L).toDouble / 4000 < 0.10, byK.toString)
+    intercept[IllegalArgumentException] {
+      Sketch.hllRegisters(vals, Seq("k"), "v", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.hllRegisters(vals, Seq("bucket"), "v", 8)
+    }
+  }
+}
