@@ -1986,6 +1986,18 @@ object SparkEntry {
       est.join(exact, Seq("lang"))
         .select(col("lang"), col("est"), col("exact"))
     }),
+    "x81_profile_stats" -> ((s, dir) => {
+      // single-pass column profiling — the trust-the-new-drop summary:
+      // unpivot IN the projection (one scan for all columns), ONE
+      // (column, value) count aggregation, stats + exact top-3 off that
+      // table; the top-K is the salted two-phase window, so n_chars
+      // (near-distinct per row) spreads across tasks instead of
+      // funneling one column's whole distinct set through one window
+      // partition. Values compare as strings, ties value-ascending.
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.profileColumns(
+        d, Seq("lang", "source", "n_chars"), 3)
+    }),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -5387,6 +5399,33 @@ object SparkEntry {
          FROM est JOIN ex USING (tok) CROSS JOIN thr
          WHERE est.est >= thr.t""",
     "x80_hll_distinct" -> x80OracleSql,
+    // x81: the unpivot, the (column, value) count table, and the
+    // (count desc, value asc) top-3 replayed; the salted two-phase
+    // engine top-K equals this plain window because the order is total
+    "x81_profile_stats" ->
+      """WITH st AS (
+           SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS v FROM documents
+           UNION ALL
+           SELECT 'source', CAST(source AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+         vc AS (SELECT col, v, COUNT(*) AS c FROM st GROUP BY 1, 2),
+         stats AS (SELECT col, SUM(c) AS n_rows,
+                     COALESCE(SUM(CASE WHEN v IS NULL THEN c END), 0)
+                       AS n_nulls,
+                     COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct
+                   FROM vc GROUP BY 1),
+         tops AS (SELECT col,
+                    string_agg(v, '|' ORDER BY c DESC, v ASC) AS top_values
+                  FROM (SELECT col, v, c, row_number() OVER (
+                          PARTITION BY col ORDER BY c DESC, v) AS r
+                        FROM vc WHERE v IS NOT NULL)
+                  WHERE r <= 3 GROUP BY 1)
+         SELECT s.col AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_nulls AS BIGINT) AS n_nulls,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                COALESCE(top_values, '') AS top_values
+         FROM stats s LEFT JOIN tops USING (col)""",
     "x44_epoch_shuffle" ->
       """WITH e AS (SELECT epoch, doc_id,
                            md5(concat_ws(':', epoch, doc_id)) AS h
