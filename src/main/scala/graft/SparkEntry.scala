@@ -1951,20 +1951,24 @@ object SparkEntry {
       // overestimates only) and the md5 hashing makes the estimates —
       // including their collision inflation — oracle-exact. The exact
       // column is the small-SF audit; at 100 TB you'd ship est alone.
+      val toks = sketchTokens(t(s, dir, "documents"))
+      cmsHeavyTail(toks, graft.ext.Sketch.cmsSketch(toks, "tok", 2048, 4))
+    }),
+    "x79b_cms_incremental" -> ((s, dir) => {
+      // continuous-ingest count–min: the base corpus summarizes ONCE
+      // into a staged parquet sketch; each new batch builds its own
+      // cells and folds in by cell-sum merge — the base is never
+      // rescanned (its sketch IS its summary; only the fixed
+      // 4×2048-cell tables ever meet). The merged estimate answers
+      // x79's oracle VERBATIM: the ingest lifecycle is invisible to
+      // results.
       val d = t(s, dir, "documents")
-      val toks = d.filter(col("text").isNotNull)
-        .select(explode(split(graft.ext.TextStats.wsTrim(col("text")),
-          "\\s+")).as("tok"))
-        .filter(col("tok") =!= "")
-      val sk = graft.ext.Sketch.cmsSketch(toks, "tok", 2048, 4)
-      val est = graft.ext.Sketch.cmsEstimate(toks, sk, "tok", 2048, 4)
-      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
-      val thr = toks.agg(count(lit(1)).as("_n"))
-        .select(expr("_n div 200L").as("_thr"))
-      est.join(exact, col("value") === col("tok"))
-        .join(broadcast(thr))
-        .filter(col("est") >= col("_thr"))
-        .select(col("value").as("token"), col("est"), col("exact"))
+      val baseT = sketchTokens(d.filter(pmod(col("doc_id"), lit(3)) =!= 2))
+      val batchT = sketchTokens(d.filter(pmod(col("doc_id"), lit(3)) === 2))
+      val sk = graft.ext.Sketch.cmsMerge(Seq(
+        graft.ext.Sketch.cmsSketchStaged(baseT, "tok", 2048, 4),
+        graft.ext.Sketch.cmsSketch(batchT, "tok", 2048, 4)))
+      cmsHeavyTail(sketchTokens(d), sk)
     }),
     "x80_hll_distinct" -> ((s, dir) => {
       // per-language distinct-token cardinality by HyperLogLog: 256
@@ -1974,17 +1978,25 @@ object SparkEntry {
       // deterministic, so the oracle replays est bit-for-bit). The
       // registers are max-mergeable across shards/batches; exact
       // count_distinct rides as the small-SF audit column.
+      val toks = langTokens(t(s, dir, "documents"))
+      hllDistinctTail(toks,
+        graft.ext.Sketch.hllRegisters(toks, Seq("lang"), "tok", 8))
+    }),
+    "x80b_hll_incremental" -> ((s, dir) => {
+      // continuous-ingest HLL: staged base registers + batch registers
+      // re-max into the whole-corpus state (registers are maxes — merge
+      // ≡ one-shot bit-for-bit), so distinct-token tracking over a
+      // growing corpus never revisits old batches. Answers x80's oracle
+      // VERBATIM.
       val d = t(s, dir, "documents")
-      val toks = d.filter(col("text").isNotNull)
-        .select(col("lang"), explode(split(
-          graft.ext.TextStats.wsTrim(col("text")), "\\s+")).as("tok"))
-        .filter(col("tok") =!= "")
-      val regs = graft.ext.Sketch.hllRegisters(toks, Seq("lang"), "tok", 8)
-      val est = graft.ext.Sketch.hllEstimate(regs, Seq("lang"), 8)
-      val exact = toks.groupBy(col("lang"))
-        .agg(countDistinct(col("tok")).as("exact"))
-      est.join(exact, Seq("lang"))
-        .select(col("lang"), col("est"), col("exact"))
+      val regs = graft.ext.Sketch.hllMerge(Seq(
+        graft.ext.Sketch.hllRegistersStaged(
+          langTokens(d.filter(pmod(col("doc_id"), lit(3)) =!= 2)),
+          Seq("lang"), "tok", 8),
+        graft.ext.Sketch.hllRegisters(
+          langTokens(d.filter(pmod(col("doc_id"), lit(3)) === 2)),
+          Seq("lang"), "tok", 8)), Seq("lang"))
+      hllDistinctTail(langTokens(d), regs)
     }),
     "x81_profile_stats" -> ((s, dir) => {
       // single-pass column profiling — the trust-the-new-drop summary:
@@ -2894,7 +2906,9 @@ object SparkEntry {
       ("s11b_ivfpq_append" -> oracleSqlBase("x75_ivfpq_topk")) +
       ("x74c_unigram_score_join" -> oracleSqlBase("x74b_unigram_score")) +
       ("x74d_unigram_train_join" -> oracleSqlBase("x74_unigram_train")) +
-      ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card"))
+      ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card")) +
+      ("x79b_cms_incremental" -> oracleSqlBase("x79_cms_heavy_hitters")) +
+      ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct"))
 
   /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
     * the x43 lexical chain at k=10 — with the self-hit dropped AFTER
@@ -3074,6 +3088,44 @@ object SparkEntry {
            LEFT JOIN cr r ON bg.w2 = r.w2
            CROSS JOIN nb
            GROUP BY 1)"""
+
+  /** Whitespace token stream of the documents frame — the sketch
+    * queries' (x79/x80 families) shared input. */
+  private def sketchTokens(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(explode(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** [[sketchTokens]] keeping the language key (x80 family). */
+  private def langTokens(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("lang"), explode(split(
+        graft.ext.TextStats.wsTrim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** x79/x79b shared tail: probe the sketch with the distinct tokens,
+    * join the exact audit counts, keep est ≥ 1/200 of the stream. */
+  private def cmsHeavyTail(toksAll: DataFrame, sk: DataFrame): DataFrame = {
+    val est = graft.ext.Sketch.cmsEstimate(toksAll, sk, "tok", 2048, 4)
+    val exact = toksAll.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val thr = toksAll.agg(count(lit(1)).as("_n"))
+      .select(expr("_n div 200L").as("_thr"))
+    est.join(exact, col("value") === col("tok"))
+      .join(broadcast(thr))
+      .filter(col("est") >= col("_thr"))
+      .select(col("value").as("token"), col("est"), col("exact"))
+  }
+
+  /** x80/x80b shared tail: estimate from registers + exact audit. */
+  private def hllDistinctTail(toksAll: DataFrame,
+                              regs: DataFrame): DataFrame = {
+    val est = graft.ext.Sketch.hllEstimate(regs, Seq("lang"), 8)
+    val exact = toksAll.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact"))
+    est.join(exact, Seq("lang"))
+      .select(col("lang"), col("est"), col("exact"))
+  }
 
   /** x80: the HyperLogLog state and estimate replayed exactly — the
     * 60-bit 15-nibble md5 hash, bucket = top 8 bits, rank = leading-zero

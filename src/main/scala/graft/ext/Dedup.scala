@@ -311,7 +311,7 @@ object Dedup {
       }
     }))
 
-  private def registerStageDirForCleanup(dir: String): Unit = {
+  private[ext] def registerStageDirForCleanup(dir: String): Unit = {
     installStageCleanupHook
     stageDirs.add(dir)
   }

@@ -86,6 +86,49 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Merge count–min cell tables (shards, batches, streaming
+    * micro-batches) by cell re-sum — the merged sketch is EXACTLY the
+    * one-shot sketch of the concatenated streams (cells are sums;
+    * SketchSpec pins the equality), which is what makes the sketch a
+    * continuous-ingest citizen: the base corpus is summarized once and
+    * never rescanned. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("row"), col("pos")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Merge HLL register tables by re-max — exactly the one-shot
+    * registers of the concatenated streams (registers are maxes). */
+  def hllMerge(registers: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(registers.nonEmpty, "hllMerge needs at least one register table")
+    registers.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+  }
+
+  /** Stage a sketch/register table to parquet — the persisted
+    * continuous-ingest artifact a later batch merges into — and read it
+    * back. Unique per-invocation dir (no cross-session overwrite
+    * races), registered for deletion at JVM exit. The write runs at
+    * construction time, the lshCandidatePairsStaged convention. */
+  private def stage(df: DataFrame, prefix: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Dedup.registerStageDirForCleanup(dir.toString)
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
+  }
+
+  /** [[cmsSketch]] staged to parquet — the base-corpus summary. */
+  def cmsSketchStaged(values: DataFrame, valueCol: String,
+                      width: Int, depth: Int): DataFrame =
+    stage(cmsSketch(values, valueCol, width, depth), "graft_cms_stage_")
+
+  /** [[hllRegisters]] staged to parquet — the base-corpus state. */
+  def hllRegistersStaged(df: DataFrame, keyCols: Seq[String],
+                         valueCol: String, p: Int): DataFrame =
+    stage(hllRegisters(df, keyCols, valueCol, p), "graft_hll_stage_")
+
   /** HYPERLOGLOG registers over a (grouped) value stream: per group key,
     * 2^p max-registers as DATA — (keys..., bucket, reg). The 60-bit
     * value hash is the first 15 md5 hex digits (the SimHash hash); the
