@@ -2010,6 +2010,90 @@ object SparkEntry {
       graft.ops.Profile.profileColumns(
         d, Seq("lang", "source", "n_chars"), 3)
     }),
+    "x82_kmv_overlap" -> ((s, dir) => {
+      // cross-corpus overlap WITHOUT the gram join: bottom-k (KMV /
+      // theta) sketches of the 3-word-shingle sets of two corpus halves
+      // compose into union / Jaccard / intersection estimates from 2·k
+      // longs — the cheap train×eval contamination probe that decides
+      // whether the exact x23 pass is worth running. md5 hashing makes
+      // the estimates (including their sampling error) oracle-exact;
+      // the exact union / intersection ride as small-SF audit columns.
+      val gr = overlapShingles(t(s, dir, "documents"))
+      kmvOverlapTail(gr,
+        graft.ext.Sketch.kmvState(
+          gr.filter(pmod(col("doc_id"), lit(2)) === 0), "g", 256),
+        graft.ext.Sketch.kmvState(
+          gr.filter(pmod(col("doc_id"), lit(2)) === 1), "g", 256))
+    }),
+    "x82b_kmv_incremental" -> ((s, dir) => {
+      // continuous-ingest KMV: the A-side base corpus samples ONCE into
+      // a staged parquet state; a new batch samples itself and folds in
+      // by re-bottom-k — the k smallest of a union are each within
+      // their own side's k smallest, so merge ≡ one-shot bit-for-bit
+      // and the overlap probe answers x82's oracle VERBATIM without
+      // ever rescanning the base.
+      val gr = overlapShingles(t(s, dir, "documents"))
+      val sa = graft.ext.Sketch.kmvMerge(Seq(
+        graft.ext.Sketch.kmvStateStaged(
+          gr.filter(pmod(col("doc_id"), lit(4)) === 0), "g", 256),
+        graft.ext.Sketch.kmvState(
+          gr.filter(pmod(col("doc_id"), lit(4)) === 2), "g", 256)), 256)
+      kmvOverlapTail(gr, sa,
+        graft.ext.Sketch.kmvState(
+          gr.filter(pmod(col("doc_id"), lit(2)) === 1), "g", 256))
+    }),
+    "x83_hits" -> ((s, dir) => {
+      // HITS hubs & authorities over the x59 link graph — the
+      // bidirectional centrality PageRank can't give (authority ≈
+      // trustworthy host, hub ≈ directory worth crawling outward from):
+      // exact Q9 integer fixed point, max-normalized, 2 mutual-
+      // reinforcement rounds, staged per round (constant plan size).
+      // The oracle unrolls both rounds as CTEs over HUGEINT.
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val fwd = pairs.select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = pairs.filter(col("l_quantity") > 25)
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"))
+      graft.ext.Graphs.hits(fwd.union(rev), "src", "dst", 2,
+        stagePerIteration = true)
+    }),
+    "x84_priority_sample" -> ((s, dir) =>
+      // weight-proportional coreset: 100 docs sampled ∝ n_chars WITHOUT
+      // replacement, each carrying the Duffield–Lund–Thorup Horvitz–
+      // Thompson adjusted weight ŵ = max(w, τ), so char totals (or any
+      // subset's) estimate unbiasedly from the sample alone — "measure
+      // the 100 TB corpus from m rows". Priorities q = w·2⁴⁸ div
+      // (md5₄₈(id:pri)+1) are integers, so the top-100 boundary and τ
+      // (the 101st priority) replay verbatim in the oracle; the cut is
+      // a TakeOrdered, never a global sort.
+      graft.ext.Curation.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 100)),
+    "x85_histogram" -> ((s, dir) =>
+      // the distribution view behind x81's scalar profile: equi-width
+      // 16-bin histogram of n_chars in exact integer arithmetic — one
+      // (min, max) aggregate broadcast back, width = range div 16 + 1,
+      // ONE map-side-combining bin-key groupBy; empty bins are absent
+      // rows (a 100 TB histogram materializes observed bins only).
+      graft.ops.Profile.histogram(t(s, dir, "documents"), "n_chars", 16)),
+    "x86_allpairs_join" -> ((s, dir) => {
+      // EXACT near-dup pair mining with NO false negatives — the
+      // guarantee the x2/x3 LSH stack trades away: prefix-filtered
+      // all-pairs join (Bayardo et al. WWW'07) over 3-word-shingle sets
+      // at Jaccard ≥ 6/10. Rarest-first prefixes make the candidate
+      // join sparse; every arithmetic step is an integer comparison, so
+      // the oracle replays the prefix boundary and the final
+      // (tNum+tDen)·i ≥ tNum·(n_a+n_b) test verbatim.
+      val sets = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.Dedup.wordNgrams(col("text"), 3).as("gs"))
+      graft.ext.Dedup.allPairsJoin(sets, "doc_id", "gs", 6, 10)
+    }),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -2908,7 +2992,8 @@ object SparkEntry {
       ("x74d_unigram_train_join" -> oracleSqlBase("x74_unigram_train")) +
       ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card")) +
       ("x79b_cms_incremental" -> oracleSqlBase("x79_cms_heavy_hitters")) +
-      ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct"))
+      ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct")) +
+      ("x82b_kmv_incremental" -> oracleSqlBase("x82_kmv_overlap"))
 
   /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
     * the x43 lexical chain at k=10 — with the self-hit dropped AFTER
@@ -3104,6 +3189,31 @@ object SparkEntry {
         graft.ext.TextStats.wsTrim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
 
+  /** 3-word shingle stream of the documents frame — the x82 overlap
+    * queries' shared input: (doc_id, g). */
+  private def overlapShingles(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.ext.Dedup.wordNgrams(col("text"), 3)).as("g"))
+
+  /** x82/x82b shared tail: the KMV overlap estimate row plus the exact
+    * union / intersection audit columns (one gram-key aggregation over
+    * the full stream — the small-SF audit; at 100 TB you'd ship the
+    * estimate alone, which never touches the corpus). */
+  private def kmvOverlapTail(gr: DataFrame, sa: DataFrame,
+                             sb: DataFrame): DataFrame = {
+    val est = graft.ext.Sketch.kmvOverlap(sa, sb, 256)
+    val ex = gr.groupBy(col("g"))
+      .agg(max(when(pmod(col("doc_id"), lit(2)) === 0, 1)).as("_ia"),
+        max(when(pmod(col("doc_id"), lit(2)) === 1, 1)).as("_ib"))
+      .agg(count(lit(1)).as("exact_union"),
+        coalesce(sum(when(col("_ia") === 1 && col("_ib") === 1, 1L)),
+          lit(0L)).as("exact_inter"))
+    est.crossJoin(broadcast(ex))
+      .select(col("k_eff"), col("j_num"), col("union_est"),
+        col("inter_est"), col("exact_union"), col("exact_inter"))
+  }
+
   /** x79/x79b shared tail: probe the sketch with the distinct tokens,
     * join the exact audit counts, keep est ≥ 1/200 of the stream. */
   private def cmsHeavyTail(toksAll: DataFrame, sk: DataFrame): DataFrame = {
@@ -3184,6 +3294,172 @@ object SparkEntry {
          SELECT est.lang, CAST(est.est AS BIGINT) AS est,
                 CAST(ex.exact AS BIGINT) AS exact
          FROM est JOIN ex USING (lang)"""
+  }
+
+  /** The x82 KMV-overlap oracle (x82b answers it verbatim): the 3-word
+    * shingle stream with the truncated-short-doc rule (concat_ws skips
+    * out-of-range members — the wordNgrams zip-of-slices semantics),
+    * the 48-bit 12-nibble ":kmv"-salted md5 hashes, per-side bottom-256
+    * samples, the bottom-256 of their union, the membership count
+    * j_num, the (k−1)·2⁴⁸ // (h₍ₖ₎+1) union estimate with the exact
+    * small-regime arm, the j_num·union_est // k_eff intersection
+    * estimate, and the exact union/intersection audit — every integer
+    * replayed over HUGEINT. */
+  private val x82OracleSql: String = {
+    val h12 = (1 to 12).map(i =>
+      s"(CAST(strpos('0123456789abcdef', substr(md5(g || ':kmv'), $i, 1)) " +
+        s"- 1 AS BIGINT) * ${BigInt(16).pow(12 - i)})")
+      .mkString("(", "\n                + ", ")")
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+           FROM documents WHERE text IS NOT NULL),
+         gr AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+                FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                          AS i
+                      FROM tk)),
+         ha AS (SELECT DISTINCT $h12 AS h FROM gr WHERE doc_id % 2 = 0),
+         hb AS (SELECT DISTINCT $h12 AS h FROM gr WHERE doc_id % 2 = 1),
+         sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         l AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+               ORDER BY h LIMIT 256),
+         st AS (SELECT COUNT(*) AS k_eff, MAX(h) AS hk,
+                  COALESCE(SUM(CASE WHEN l.h IN (SELECT h FROM sa)
+                                     AND l.h IN (SELECT h FROM sb)
+                               THEN 1 END), 0) AS j_num
+                FROM l),
+         ue AS (SELECT k_eff, j_num,
+                  CASE WHEN k_eff < 256 THEN k_eff
+                    ELSE CAST((255::HUGEINT * 281474976710656)
+                              // (hk + 1) AS BIGINT) END AS union_est
+                FROM st),
+         ex AS (SELECT COUNT(*) AS exact_union,
+                  COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0)
+                    AS exact_inter
+                FROM (SELECT g,
+                        MAX(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS ia,
+                        MAX(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS ib
+                      FROM gr GROUP BY g))
+         SELECT CAST(k_eff AS BIGINT) AS k_eff,
+                CAST(j_num AS BIGINT) AS j_num,
+                CAST(union_est AS BIGINT) AS union_est,
+                CASE WHEN k_eff = 0 THEN 0
+                  ELSE CAST((j_num::HUGEINT * union_est) // k_eff AS BIGINT)
+                END AS inter_est,
+                CAST(exact_union AS BIGINT) AS exact_union,
+                CAST(exact_inter AS BIGINT) AS exact_inter
+         FROM ue CROSS JOIN ex"""
+  }
+
+  /** The x84 priority-sampling oracle: the 48-bit ":pri"-salted md5
+    * priorities, the (q desc, id) top-101 cut, τ = min q of a FULL
+    * top-101 (0 otherwise — the take-all regime), and ŵ = max(w, τ),
+    * every integer replayed over HUGEINT. */
+  private val x84OracleSql: String = {
+    val h12 = (1 to 12).map(i =>
+      s"(CAST(strpos('0123456789abcdef', " +
+        s"substr(md5(CAST(doc_id AS VARCHAR) || ':pri'), $i, 1)) " +
+        s"- 1 AS BIGINT) * ${BigInt(16).pow(12 - i)})")
+      .mkString("(", "\n                + ", ")")
+    s"""WITH k AS (SELECT doc_id, n_chars,
+             CAST((n_chars::HUGEINT * 281474976710656)
+                  // ($h12 + 1) AS BIGINT) AS q
+           FROM documents),
+         top AS (SELECT * FROM k ORDER BY q DESC, doc_id LIMIT 101),
+         tau AS (SELECT CASE WHEN COUNT(*) = 101 THEN MIN(q) ELSE 0 END AS t
+                 FROM top),
+         smp AS (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 100)
+         SELECT smp.doc_id, smp.n_chars,
+                GREATEST(smp.n_chars, tau.t) AS w_adj
+         FROM smp CROSS JOIN tau"""
+  }
+
+  /** The x85 histogram oracle: the (min, max) bounds, width =
+    * range // 16 + 1, the bin floor-division (operands non-negative —
+    * trunc ≡ floor in both engines), and the inclusive lo/hi edges. */
+  private val x85OracleSql: String =
+    """WITH b AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx
+           FROM documents WHERE n_chars IS NOT NULL),
+         w AS (SELECT mn, (mx - mn) // 16 + 1 AS wd FROM b),
+         h AS (SELECT (n_chars - w.mn) // w.wd AS bin, COUNT(*) AS c
+               FROM documents CROSS JOIN w
+               WHERE n_chars IS NOT NULL GROUP BY 1)
+         SELECT h.bin, w.mn + h.bin * w.wd AS lo,
+                w.mn + (h.bin + 1) * w.wd - 1 AS hi,
+                CAST(h.c AS BIGINT) AS c
+         FROM h CROSS JOIN w"""
+
+  /** The x86 all-pairs oracle: the 3-shingle sets (the x82 truncated-
+    * short-doc gram rule), global rarest-first order (count asc, g asc),
+    * per-doc prefix p ≤ n − ceil(6n/10) + 1, the prefix equi-join with
+    * the tDen·min ≥ tNum·max size bound, and the exact-intersection
+    * verify with the 16·i ≥ 6·(n_a+n_b) threshold — all integers. */
+  private val x86OracleSql: String =
+    """WITH tk0 AS (SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+         FROM documents WHERE text IS NOT NULL),
+       gr AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+              FROM (SELECT doc_id, t,
+                      unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+                    FROM tk0)),
+       cnt AS (SELECT g, COUNT(*) AS c FROM gr GROUP BY 1),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY 1),
+       pos AS (SELECT gr.doc_id, gr.g, sz.n,
+                 ROW_NUMBER() OVER (PARTITION BY gr.doc_id
+                                    ORDER BY cnt.c, gr.g) AS p
+               FROM gr JOIN cnt USING (g) JOIN sz USING (doc_id)),
+       pref AS (SELECT doc_id, g, n FROM pos
+                WHERE p <= n - ((6 * n + 9) // 10) + 1),
+       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM pref a JOIN pref b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                WHERE 10 * LEAST(a.n, b.n) >= 6 * GREATEST(a.n, b.n)),
+       iv AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+              FROM cand c
+              JOIN gr ta ON ta.doc_id = c.a_id
+              JOIN gr tb ON tb.doc_id = c.b_id AND tb.g = ta.g
+              GROUP BY 1, 2)
+       SELECT c.a_id, c.b_id,
+              CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+              CAST(iv.i AS BIGINT) AS n_inter
+       FROM cand c
+       JOIN sz sa ON sa.doc_id = c.a_id
+       JOIN sz sb ON sb.doc_id = c.b_id
+       JOIN iv ON iv.a_id = c.a_id AND iv.b_id = c.b_id
+       WHERE 16 * iv.i >= 6 * (sa.n + sb.n)"""
+
+  /** The x83 HITS oracle: the x59 edge multiset, h₀ = 10⁹, and both
+    * mutual-reinforcement rounds unrolled — each half-step one edge
+    * join + sum, a left join back onto the node skeleton (absent side
+    * reads 0), and the ·10⁹ // max normalization over HUGEINT. */
+  private val x83OracleSql: String = {
+    def half(scores: String, fromEnd: String, toEnd: String,
+             rawCte: String, outCte: String) =
+      s"""${rawCte} AS (SELECT n.node, COALESCE(s.s, 0::HUGEINT) AS raw
+            FROM nodes n
+            LEFT JOIN (SELECT e.$toEnd AS nd, SUM(r.q) AS s
+                       FROM edges e JOIN $scores r ON r.node = e.$fromEnd
+                       GROUP BY e.$toEnd) s ON s.nd = n.node),
+          $outCte AS (SELECT node, (raw * 1000000000)
+                        // (SELECT MAX(raw) FROM $rawCte) AS q
+                      FROM $rawCte)"""
+    s"""WITH pr AS (SELECT o_custkey, l_suppkey, l_quantity
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                  FROM pr
+                  UNION ALL
+                  SELECT l_suppkey * 2 + 1, o_custkey * 2 FROM pr
+                  WHERE l_quantity > 25),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        h0 AS (SELECT node, 1000000000::HUGEINT AS q FROM nodes),
+        ${half("h0", "src", "dst", "ar1", "a1")},
+        ${half("a1", "dst", "src", "hr1", "h1")},
+        ${half("h1", "src", "dst", "ar2", "a2")},
+        ${half("a2", "dst", "src", "hr2", "h2")}
+        SELECT h2.node, CAST(h2.q AS BIGINT) AS hub_q9,
+               CAST(a2.q AS BIGINT) AS auth_q9
+        FROM h2 JOIN a2 ON a2.node = h2.node"""
   }
 
   /** DuckDB SQL for the first-5-hex-digit integer of md5(`e`) — the
@@ -5451,6 +5727,11 @@ object SparkEntry {
          FROM est JOIN ex USING (tok) CROSS JOIN thr
          WHERE est.est >= thr.t""",
     "x80_hll_distinct" -> x80OracleSql,
+    "x82_kmv_overlap" -> x82OracleSql,
+    "x83_hits" -> x83OracleSql,
+    "x84_priority_sample" -> x84OracleSql,
+    "x85_histogram" -> x85OracleSql,
+    "x86_allpairs_join" -> x86OracleSql,
     // x81: the unpivot, the (column, value) count table, and the
     // (count desc, value asc) top-3 replayed; the salted two-phase
     // engine top-K equals this plain window because the order is total

@@ -309,6 +309,64 @@ object Curation {
     df.filter(draw < rate)
   }
 
+  /** PRIORITY SAMPLING (Duffield, Lund & Thorup 2007, "Priority sampling
+    * for estimation of arbitrary subset sums"): a weight-proportional
+    * m-row sample WITHOUT replacement carrying the Horvitz–Thompson
+    * adjusted weights that make any subset-sum estimate from the sample
+    * unbiased — the third sampler beside [[hashStratifiedSample]]'s
+    * fixed-k strata and [[mixtureSample]]'s Bernoulli rates, and the
+    * scale move for "estimate token totals / domain mass from m rows
+    * instead of scanning the corpus" and for carving a weighted coreset
+    * (docs ∝ token count) for mixture design.
+    *
+    * Deterministic-replay form: the uniform draw is the salted 48-bit
+    * md5 hash of the id, u = (h+1)/2⁴⁸ ∈ (0, 1]; the priority is the
+    * integer q = w·2⁴⁸ div (h+1) ≥ w (ONE decimal(38,0) floor division,
+    * no float anywhere); the sample is the top m by (q desc, id asc) —
+    * a TOTAL order, so the boundary is engine-portable (x84 replays it
+    * verbatim) — and the threshold τ is the (m+1)-th priority, 0 when
+    * the corpus fits inside m (then the sample IS the corpus and
+    * ŵ = w exactly). Each sampled row carries ŵ = max(w, τ); by the
+    * paper, E[Σ_{sample ∩ S} ŵ] = Σ_S w for every fixed subset S.
+    *
+    * Scale shape: one projection computes (id, w, q); the top-(m+1) cut
+    * is a TakeOrdered (per-partition bottom-k, ONE merge — never a
+    * global sort); τ folds back over the m survivors as a one-row
+    * broadcast. Weights must be > 0 — a non-positive or null weight
+    * raises PER ROW (the packedId loud-bound discipline), because a
+    * silently dropped weight skews every downstream estimate.
+    *
+    * Returns the m sampled rows as (idCol, weightCol, w_adj), ordered
+    * semantics only (no rank column — the sample is a SET). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    Seq("_ps_h", "_ps_q", "_ps_tau", "w_adj").foreach(c =>
+      require(!df.columns.contains(c),
+        s"prioritySample reserves column $c — rename it"))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":pri"))), 1, 12), 16, 10).cast("long")
+    val keyed = df
+      .select(col(idCol), col(weightCol).cast("long").as(weightCol))
+      .withColumn("_ps_h", h)
+      .withColumn("_ps_q",
+        when(col(weightCol).isNotNull && col(weightCol) > 0, expr(
+          s"cast((cast($weightCol as decimal(38,0)) * 281474976710656)" +
+            " div (_ps_h + 1L) as bigint)"))
+          .otherwise(raise_error(concat(
+            lit(s"prioritySample needs positive weights; $weightCol = "),
+            coalesce(col(weightCol).cast("string"), lit("null"))))))
+    val topM1 = keyed
+      .orderBy(col("_ps_q").desc, col(idCol)).limit(m + 1)
+    val tau = topM1.agg(
+      when(count(lit(1)) === (m + 1), min(col("_ps_q")))
+        .otherwise(lit(0L)).as("_ps_tau"))
+    topM1.orderBy(col("_ps_q").desc, col(idCol)).limit(m)
+      .crossJoin(broadcast(tau))
+      .select(col(idCol), col(weightCol),
+        greatest(col(weightCol), col("_ps_tau")).as("w_adj"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much its hashed-token distribution resembles a TARGET subset of

@@ -1105,6 +1105,83 @@ object Dedup {
         size(col("_sp_mask")).cast("long").as("n_removed"))
   }
 
+  /** EXACT all-pairs set-similarity join by PREFIX FILTERING (Bayardo,
+    * Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search"; the
+    * SSJoin/PPJoin family): every document pair whose token-set Jaccard
+    * is ≥ tNum/tDen — with NO false negatives, the guarantee the LSH
+    * family (x2/x3) trades away. The filter theorem: order the token
+    * universe by one GLOBAL total order (here rarest-first — ascending
+    * global frequency, then token — the canonical choice, because rare
+    * tokens make the least-selective prefixes collide least) and keep
+    * each document's first p = |A| − ceil(t·|A|) + 1 tokens; any pair
+    * with Jaccard ≥ t MUST share a prefix token (if the prefixes were
+    * disjoint, the overlap is at most the suffix length, too small).
+    * Candidates additionally pass the size bound tDen·min ≥ tNum·max
+    * (Jaccard ≤ min/max), then verify EXACTLY.
+    *
+    * Integer-exact throughout: ceil(t·n) = (tNum·n + tDen − 1) div tDen;
+    * the final test den·i ≥ num·(n_a + n_b − i) folds to
+    * (tNum + tDen)·i ≥ tNum·(n_a + n_b) — no division anywhere, so the
+    * x86 oracle replays the whole chain including the prefix boundary.
+    *
+    * Scale shape: one token-key exchange for the global frequencies, a
+    * per-document window for prefix positions (PARTITIONED by id —
+    * bounded by document size, never global), one equi-join on prefix
+    * tokens producing candidates (the prefix join is where the theorem
+    * earns its keep: rarest-first ordering keeps the hottest join key as
+    * cold as the data allows — the built-in skew mitigation, with AQE's
+    * OptimizeSkewedJoin behind it for residual hot tokens), a distinct
+    * on (a, b) id pairs, and the candidate-driven verify joining the
+    * token arrays back BY ID (the [[jaccardVerify]] shape —
+    * O(|candidates|), never block-quadratic).
+    *
+    * Returns (a_id, b_id, n_a, n_b, n_inter) for every qualifying pair,
+    * a_id < b_id. */
+  def allPairsJoin(df: DataFrame, idCol: String, setCol: String,
+                   tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
+      s"threshold is a fraction in (0, 1]: $tNum/$tDen")
+    // no reserved-name contract: both inputs are projected to internal
+    // names before any output column exists.
+    // elements are OPAQUE strings (tokens, shingles, hashes — the caller
+    // picks the granularity); duplicates inside a set are collapsed
+    val tk = df.select(col(idCol).as("a_id"),
+      explode(array_distinct(col(setCol))).as("tok"))
+    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
+    val sz = tk.groupBy(col("a_id")).agg(count(lit(1)).as("_ap_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"))
+      .orderBy(col("_ap_c"), col("tok"))
+    val pref = tk.join(cnt, "tok").join(sz, "a_id")
+      .withColumn("_ap_p", row_number().over(w))
+      .filter(col("_ap_p") <=
+        expr(s"_ap_n - ((${tNum}L * _ap_n + ${tDen - 1}L) div ${tDen}L) + 1L"))
+      .select(col("a_id"), col("tok"), col("_ap_n"))
+    val cand = pref
+      .join(pref.select(col("a_id").as("b_id"), col("tok"),
+        col("_ap_n").as("_ap_nb")), "tok")
+      .filter(col("a_id") < col("b_id"))
+      // size bound: Jaccard ≤ min/max, so tDen·min ≥ tNum·max or prune
+      .filter(lit(tDen) * least(col("_ap_n"), col("_ap_nb")) >=
+        lit(tNum) * greatest(col("_ap_n"), col("_ap_nb")))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sets = tk.groupBy(col("a_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"))
+      .withColumnRenamed("a_id", "_ap_id")
+    cand
+      .join(sets.select(col("_ap_id").as("a_id"), col("toks").as("_ap_ta")),
+        "a_id")
+      .join(sets.select(col("_ap_id").as("b_id"), col("toks").as("_ap_tb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(col("_ap_ta")).cast("long").as("n_a"),
+        size(col("_ap_tb")).cast("long").as("n_b"),
+        size(array_intersect(col("_ap_ta"), col("_ap_tb"))).cast("long")
+          .as("n_inter"))
+      .filter(lit((tNum + tDen).toLong) * col("n_inter") >=
+        lit(tNum.toLong) * (col("n_a") + col("n_b")))
+  }
+
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
   def wordNgrams(text: Column, n: Int): Column = {

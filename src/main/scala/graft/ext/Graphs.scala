@@ -348,4 +348,94 @@ object Graphs {
     }
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
+    * a hyperlinked environment") in EXACT Q9 integer fixed point — the
+    * bidirectional complement to [[pageRank]]'s single score: a node is
+    * a good HUB if it points at good authorities, a good AUTHORITY if
+    * good hubs point at it (curation uses both: authority ≈ trustworthy
+    * content host, hub ≈ directory/aggregator to crawl outward from).
+    *
+    * h₀(v) = S = 10⁹ for every node; each round
+    *
+    *   a_raw(v) = Σ_{u→v} h(u);   a(v) = a_raw·S div max(a_raw)
+    *   h_raw(u) = Σ_{u→v} a(v);   h(u) = h_raw·S div max(h_raw)
+    *
+    * MAX-normalization instead of the textbook L2: the power iteration
+    * converges to the principal singular vectors up to scale under ANY
+    * norm, so the ranking is the classic one — but max keeps every step
+    * integer add / multiply / floor-division on non-negative values
+    * (truncating and flooring engines agree), so N rounds replay
+    * bit-for-bit as unrolled CTEs in any ANSI engine (x83). Parallel
+    * edges are multiplicity, as in [[pageRank]]. Zero-in-degree nodes
+    * hold authority 0, zero-out-degree nodes hub 0 — they stay in the
+    * result (they are the graph's leaves, not noise).
+    *
+    * Scale shape per round: one src-keyed join moving (node, hub) longs
+    * onto the edge list + a dst-keyed sum with map-side partials, the
+    * mirror-image dst-keyed join + src-keyed sum, two |V|-row left
+    * joins back onto the node skeleton, and two ONE-ROW max broadcasts.
+    * Only 8-byte scores ride the exchanges. The hub frame fans out
+    * twice per round, so deep runs pass `stagePerIteration = true`
+    * (each round's hub table staged to a temp parquet — constant plan
+    * size, the [[pageRank]] contract; the final auth lineage is then
+    * one round deep).
+    *
+    * Returns (node: long, hub_q9: long, auth_q9: long) — scores scaled
+    * by 10⁹, max per column = 10⁹ by construction. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+           stagePerIteration: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val internal = Set("node", "hub_q9", "auth_q9", "_ht_src", "_ht_dst",
+      "_ht_s", "_ht_m", "_ht_raw")
+    val clashes = edges.columns.filter(c =>
+      internal(c) && c != srcCol && c != dstCol)
+    require(clashes.isEmpty,
+      s"hits reserves column names ${clashes.mkString(", ")}")
+    val s9 = 1000000000L
+    // see pageRank: staged rounds stage the edge table too, or every
+    // round re-executes the caller's edge-build lineage several times
+    val e0 = edges.select(col(srcCol).cast("long").as("_ht_src"),
+      col(dstCol).cast("long").as("_ht_dst"))
+    val e =
+      if (stagePerIteration)
+        edges.sparkSession.read.parquet(Dedup.stageSignatures(e0))
+      else e0
+    val nodes = e.select(col("_ht_src").as("node"))
+      .union(e.select(col("_ht_dst").as("node"))).distinct()
+    require(e.limit(1).count() > 0, "hits needs a non-empty edge list")
+
+    // one half-step: scores flow across the edges from `fromEnd` to the
+    // other end, sum there, and max-normalize back to Q9 — the SAME code
+    // runs the authority update (from src) and the hub update (from dst)
+    def halfStep(scores: DataFrame, scoreCol: String,
+                 fromEnd: String, toEnd: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("node"), col(scoreCol)),
+          col(fromEnd) === col("node"))
+        .groupBy(col(toEnd))
+        .agg(sum(col(scoreCol)).as("_ht_s"))
+      val tab = nodes.join(raw, col("node") === col(toEnd), "left")
+        .select(col("node"), coalesce(col("_ht_s"), lit(0L)).as("_ht_raw"))
+      val mx = tab.agg(max(col("_ht_raw")).as("_ht_m"))
+      tab.crossJoin(broadcast(mx))
+        .select(col("node"), expr(
+          s"cast((cast(_ht_raw as decimal(38,0)) * $s9) div _ht_m" +
+            " as bigint)").as(outCol))
+    }
+
+    var hub = nodes.withColumn("hub_q9", lit(s9))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "hub_q9", "_ht_src", "_ht_dst", "auth_q9")
+      hub = halfStep(auth, "auth_q9", "_ht_dst", "_ht_src", "hub_q9")
+      if (stagePerIteration)
+        hub = hub.sparkSession.read.parquet(Dedup.stageSignatures(hub))
+    }
+    // hub and auth both descend from `nodes` — rename one join key so the
+    // self-join resolves unambiguously regardless of staging
+    hub.join(auth.withColumnRenamed("node", "_ht_n2"),
+        col("node") === col("_ht_n2"))
+      .select(col("node"), col("hub_q9"), col("auth_q9"))
+  }
 }

@@ -129,6 +129,95 @@ object Sketch {
                          valueCol: String, p: Int): DataFrame =
     stage(hllRegisters(df, keyCols, valueCol, p), "graft_hll_stage_")
 
+  /** md5-derived 48-bit KMV hash of a value: the first 12 md5 hex digits
+    * of "v:kmv" as a long — uniform on [0, 2⁴⁸), independent of the cms
+    * and bloom chains by the salt, replayed in SQL by the 12-nibble
+    * positional chain (x82). */
+  private def kmvHash(v: Column): Column =
+    conv(substring(md5(concat(v, lit(":kmv"))), 1, 12), 16, 10).cast("long")
+
+  /** K-MINIMUM-VALUES (bottom-k / theta-style) sketch state over a value
+    * stream: the k SMALLEST distinct 48-bit hashes, as DATA — ≤ k rows of
+    * (h). The third sketch beside count–min (frequency) and HLL
+    * (distinct): KMV's state is a uniform SAMPLE of the distinct-value
+    * hash space, so states over different corpora compose into SET
+    * estimates — union, intersection, Jaccard (Beyer et al., SIGMOD'07,
+    * "On synopses for distinct value estimation under multiset
+    * operations") — which neither of the other two can answer. That is
+    * the cheap cross-corpus overlap probe (train×eval contamination
+    * rate, crawl-vs-crawl novelty) that runs on 2·k longs instead of a
+    * full gram join.
+    *
+    * Plan: one hash-key distinct (map-side partial dedup — only 8-byte
+    * hashes ever cross the exchange, never values) + a TakeOrdered k
+    * (per-partition bottom-k, merged once). States over shards/batches
+    * merge by re-bottom-k ([[kmvMerge]]; SketchSpec pins merge ≡
+    * one-shot). NULL values are skipped. */
+  def kmvState(values: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 16), s"k must be in [2, 2^16]: $k")
+    values.filter(col(valueCol).isNotNull)
+      .select(kmvHash(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Merge KMV states (shards, batches) by re-bottom-k: bottom-k of the
+    * union of bottom-k samples IS the bottom-k of the union — the k
+    * smallest hashes of A ∪ B are each within the k smallest of their
+    * own side — so the merged state equals the one-shot state
+    * bit-for-bit (SketchSpec pins it). */
+  def kmvMerge(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "kmvMerge needs at least one state")
+    require(k >= 2 && k <= (1 << 16), s"k must be in [2, 2^16]: $k")
+    states.reduce(_ unionByName _).distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** [[kmvState]] staged to parquet — the base-corpus sample a later
+    * batch merges into without rescanning the base. */
+  def kmvStateStaged(values: DataFrame, valueCol: String, k: Int): DataFrame =
+    stage(kmvState(values, valueCol, k), "graft_kmv_stage_")
+
+  /** Cross-corpus overlap from two [[kmvState]] frames ALONE (the
+    * corpora themselves are never touched): one row
+    * (k_eff, j_num, union_est, inter_est).
+    *
+    *  - L = bottom-k of the union of the two states; k_eff = |L| ≤ k.
+    *  - union_est: while k_eff < k the union sample is COMPLETE, so the
+    *    estimate is the exact k_eff; otherwise the classic order-
+    *    statistic estimate (k−1)·2⁴⁸ div (h₍ₖ₎+1) — one decimal(38,0)
+    *    floor division, deterministic because the hash is md5-derived.
+    *  - j_num = |{h ∈ L : h ∈ A ∧ h ∈ B}| — L is a uniform sample of
+    *    the union, so j_num/k_eff estimates the Jaccard similarity.
+    *  - inter_est = j_num·union_est div k_eff — exact in the small
+    *    regime (there j_num IS the intersection count and union_est =
+    *    k_eff).
+    *
+    * Plan: both states and L are ≤ k rows — two broadcast membership
+    * joins + one single-row aggregate; nothing here scales with corpus
+    * size. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 16), s"k must be in [2, 2^16]: $k")
+    Seq(a, b).foreach(s => require(s.columns.contains("h"),
+      "kmvOverlap takes kmvState frames (column h)"))
+    val l = kmvMerge(Seq(a, b), k)
+    val flags = l
+      .join(broadcast(a.select(col("h")).withColumn("_kv_a", lit(1))),
+        Seq("h"), "left")
+      .join(broadcast(b.select(col("h")).withColumn("_kv_b", lit(1))),
+        Seq("h"), "left")
+    flags.agg(count(lit(1)).as("k_eff"), max(col("h")).as("_kv_hk"),
+        coalesce(sum(when(col("_kv_a") === 1 && col("_kv_b") === 1, 1L)),
+          lit(0L)).as("j_num"))
+      .withColumn("union_est",
+        when(col("k_eff") < k, col("k_eff")).otherwise(expr(
+          s"cast((${k - 1}L * cast(281474976710656 as decimal(38,0)))" +
+            " div (_kv_hk + 1L) as bigint)")))
+      .select(col("k_eff"), col("j_num"), col("union_est"),
+        when(col("k_eff") === 0L, lit(0L)).otherwise(expr(
+          "cast((cast(j_num as decimal(38,0)) * union_est) div k_eff" +
+            " as bigint)")).as("inter_est"))
+  }
+
   /** HYPERLOGLOG registers over a (grouped) value stream: per group key,
     * 2^p max-registers as DATA — (keys..., bucket, reg). The 60-bit
     * value hash is the first 15 md5 hex digits (the SimHash hash); the

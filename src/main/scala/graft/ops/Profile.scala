@@ -55,4 +55,58 @@ object Profile {
       .select(col("column"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), coalesce(col("top_values"), lit("")).as("top_values"))
   }
+
+  /** EQUI-WIDTH HISTOGRAM of an integer column — the distribution view
+    * [[profileColumns]]'s scalar stats can't give (skew, modes, tail
+    * mass before picking partition sizes or quality-score cuts).
+    *
+    * Integer-exact and engine-portable: bounds come from one (min, max)
+    * aggregate; width = (max − min) div nBins + 1, so exactly ≤ nBins
+    * buckets cover the range and max lands inside the last one; bin =
+    * (v − min) div width — every step integer floor-division on
+    * non-negative values (x85 replays it verbatim). NULLs are excluded
+    * (they are [[profileColumns]]'s n_nulls, not a bin). Empty bins are
+    * absent rows (a 100 TB histogram materializes observed bins only).
+    *
+    * Scale shape: the bounds aggregate is one row and folds back as a
+    * broadcast; the counts are ONE map-side-combining groupBy on a
+    * small-int bin key. Counts are sums, so histograms over shards with
+    * SHARED bounds merge by re-sum (the [[graft.ext.Sketch]] property);
+    * pass the bounds explicitly via `fixedBounds` for that use.
+    *
+    * Returns (bin, lo, hi, c) — lo/hi the inclusive value range of the
+    * bin — ordered by nothing (sort at render). */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+                fixedBounds: Option[(Long, Long)] = None): DataFrame = {
+    require(nBins >= 1 && nBins <= (1 << 20),
+      s"nBins must be in [1, 2^20]: $nBins")
+    // no reserved-name contract needed: the input is projected to an
+    // internal name before any output column exists
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_hg_v"))
+    val bounds = fixedBounds match {
+      case Some((mn, mx)) =>
+        require(mn <= mx, s"fixedBounds needs mn <= mx: ($mn, $mx)")
+        vals.sparkSession.range(1)
+          .select(lit(mn).as("_hg_mn"), lit(mx).as("_hg_mx"))
+      case None =>
+        vals.agg(min(col("_hg_v")).as("_hg_mn"), max(col("_hg_v")).as("_hg_mx"))
+    }
+    vals.crossJoin(broadcast(bounds))
+      .withColumn("_hg_w", expr(s"(_hg_mx - _hg_mn) div ${nBins}L + 1L"))
+      // out-of-bounds under fixedBounds raises PER ROW: a negative
+      // (v − mn) would hit div's trunc-vs-floor divergence and a silent
+      // clamp would fake the tail — loud beats both
+      .withColumn("bin",
+        when(col("_hg_v") >= col("_hg_mn") && col("_hg_v") <= col("_hg_mx"),
+          expr("(_hg_v - _hg_mn) div _hg_w"))
+          .otherwise(raise_error(concat(
+            lit(s"histogram: $valueCol value outside bounds: "),
+            col("_hg_v").cast("string")))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c"),
+        min(expr("_hg_mn + bin * _hg_w")).as("lo"),
+        min(expr("_hg_mn + (bin + 1) * _hg_w - 1")).as("hi"))
+      .select(col("bin"), col("lo"), col("hi"), col("c"))
+  }
 }

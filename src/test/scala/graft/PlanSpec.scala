@@ -1145,6 +1145,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("x83 hits: score exchanges key on node/edge ids only; max is a one-row broadcast") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val p = tree(graft.ext.Graphs.hits(edges, "src", "dst", 2))
+    assert(!p.contains("CartesianProduct"), p)
+    // scores are payload, never a partitioning key
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach(l =>
+      assert(!l.contains("hub_q9") && !l.contains("auth_q9") &&
+        !l.contains("_ht_raw"),
+        s"scores must not be shuffle keys: $l"))
+    // the per-half-step max rides as a one-row broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("x82 kmv: state is a TakeOrdered bottom-k; overlap probe is broadcast-only") {
+    import spark.implicits._
+    val vals = (1 to 200).map(i => s"v$i").toDF("v")
+    // the state: per-partition bottom-k merged once — not a global sort
+    val ps = tree(graft.ext.Sketch.kmvState(vals, "v", 64))
+    assert(ps.contains("TakeOrderedAndProject"), ps)
+    // the overlap probe runs entirely on the ≤ k-row states: both
+    // membership joins broadcast, nothing corpus-sized is touched
+    val p = tree(graft.ext.Sketch.kmvOverlap(
+      graft.ext.Sketch.kmvState(
+        vals.filter(org.apache.spark.sql.functions.length($"v") % 2 === 0),
+        "v", 64),
+      graft.ext.Sketch.kmvState(
+        vals.filter(org.apache.spark.sql.functions.length($"v") % 2 === 1),
+        "v", 64),
+      64))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
   test("x60 margin mining: query sides broadcast; exchanges carry id/score triples, never vectors") {
     val p = tree(q("x60_margin_mine"))
     // both bruteForceTopK passes broadcast their query side

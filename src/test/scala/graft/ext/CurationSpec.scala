@@ -47,6 +47,56 @@ class CurationSpec extends SparkSpec {
     assert(s1.sameElements(s2)) // no RNG state — identical pick every run
   }
 
+  test("prioritySample: matches an independent BigInt replay; take-all regime exact") {
+    // weights 1..40 — heavily weighted rows should dominate the sample
+    val rows = (1L to 40L).map(i => (i, i))
+    val df = rows.toDF("id", "w")
+    val m = 10
+    val got = Curation.prioritySample(df, "id", "w", m)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // independent replay of the contract: q = w·2^48 / (h48+1), top m+1
+    // by (q desc, id asc), tau = (m+1)-th q, w_adj = max(w, tau)
+    def h48(id: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:pri".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      BigInt(md.take(12), 16)
+    }
+    val qs = rows.map { case (id, w) =>
+      (id, w, (BigInt(w) * (BigInt(1) << 48) / (h48(id) + 1)).toLong)
+    }.sortBy { case (id, _, q) => (-q, id) }
+    val tau = qs(m)._3
+    val want = qs.take(m)
+      .map { case (id, w, _) => (id, w, math.max(w, tau)) }.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.forall(_._3 >= tau), "every HT weight is >= tau")
+    // take-all regime: m >= N returns every row with w_adj = w exactly
+    val all = Curation.prioritySample(df, "id", "w", 50)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(all.toSeq == rows.map { case (id, w) => (id, w, w) })
+    // the estimator's deterministic instance: sum of HT weights on THIS
+    // fixture lands near the true total (unbiasedness is over the hash
+    // draw; here we pin the concrete md5 outcome stays in a sane band)
+    val total = rows.map(_._2).sum.toDouble
+    val est = want.map(_._3).sum.toDouble
+    assert(est > total * 0.5 && est < total * 2.0, s"est $est total $total")
+  }
+
+  test("prioritySample guards weights, parameters, and reserved columns") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception](
+      Curation.prioritySample(df, "id", "w", 1).collect())
+    assert(e.getMessage != null)
+    val nullW = Seq((1L, Some(5L)), (2L, None)).toDF("id", "w")
+    intercept[Exception](
+      Curation.prioritySample(nullW, "id", "w", 1).collect())
+    intercept[IllegalArgumentException](
+      Curation.prioritySample(Seq((1L, 1L)).toDF("id", "w"), "id", "w", 0))
+    intercept[IllegalArgumentException](
+      Curation.prioritySample(Seq((1L, 1L, 1L)).toDF("id", "w", "w_adj"),
+        "id", "w", 1))
+  }
+
   test("packByTokenBudget: new bin when the prefix fills the budget") {
     val df = Seq((1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L),
       (4L, "g", 50L), (5L, "h", 999L)).toDF("doc_id", "grp", "n_tok")

@@ -458,6 +458,55 @@ class ExtSpec extends SparkSpec {
     assert(got(1)._6 == 0.0 && got(1)._7 == 0.0, got(1).toString)
   }
 
+  test("allPairsJoin: exact threshold pairs equal brute force; boundary inclusive") {
+    // J(1,2) = J(1,6) = 3/4, J(2,6) = 1, J(1,3) = 1/3 (an exact
+    // boundary at t = 1/3 — >= keeps it), J(2,3) = J(3,6) = 2/5,
+    // everything involving 4 or 5 is far below
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("a", "b", "e", "f")),
+      (4L, Seq("a", "x", "y", "z")),
+      (5L, Seq("p", "q")),
+      (6L, Seq("c", "b", "a", "a"))      // dup of 2 up to order/multiplicity
+    ).toDF("id", "s")
+    def brute(t: Double): Set[(Long, Long)] = {
+      val m = Map(1L -> Set("a", "b", "c", "d"), 2L -> Set("a", "b", "c"),
+        3L -> Set("a", "b", "e", "f"), 4L -> Set("a", "x", "y", "z"),
+        5L -> Set("p", "q"), 6L -> Set("a", "b", "c"))
+      (for {
+        a <- m.keys; b <- m.keys if a < b
+        j = m(a).intersect(m(b)).size.toDouble / m(a).union(m(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+    }
+    def run(num: Int, den: Int): Set[(Long, Long, Long, Long, Long)] =
+      Dedup.allPairsJoin(sets, "id", "s", num, den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val half = run(1, 2)
+    assert(half.map(p => (p._1, p._2)) == brute(0.5), half)
+    // (1,2): n_a 4, n_b 3, inter 3; (2,6): the exact duplicate
+    assert(half.contains((1L, 2L, 4L, 3L, 3L)), half)
+    assert(half.contains((2L, 6L, 3L, 3L, 3L)), half)
+    // J(1,3) = 2/6 = 1/3: kept at t = 1/3 (boundary inclusive), dropped above
+    assert(run(1, 3).map(p => (p._1, p._2)) == brute(1.0 / 3))
+    assert(run(1, 3).contains((1L, 3L, 4L, 4L, 2L)))
+    // t = 1: exact duplicates only
+    assert(run(1, 1).map(p => (p._1, p._2)) == Set((2L, 6L)))
+    // brute-force agreement across a threshold sweep (the no-false-
+    // negative guarantee is the operator's whole point)
+    for ((n, d) <- Seq((1, 4), (2, 5), (3, 5), (7, 10), (9, 10)))
+      assert(run(n, d).map(p => (p._1, p._2)) == brute(n.toDouble / d),
+        s"threshold $n/$d")
+    intercept[IllegalArgumentException](Dedup.allPairsJoin(sets, "id", "s", 3, 2))
+    // a set column named like an output is harmless — inputs are
+    // projected to internal names first
+    val renamed = Dedup.allPairsJoin(
+      sets.withColumnRenamed("s", "n_inter"), "id", "n_inter", 1, 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(renamed.map(p => (p._1, p._2)) == Set((2L, 6L)))
+  }
+
   test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"),             // the classic: dist 3

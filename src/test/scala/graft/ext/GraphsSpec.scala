@@ -213,6 +213,73 @@ class GraphsSpec extends SparkSpec {
       Graphs.pageRankWeighted(weighted, "src", "dst", "w", 0))
   }
 
+  /** Independent BigInt replay of the hits contract — h₀ = 10⁹, the two
+    * half-steps, max-normalized floor division, written against the
+    * MATH (not the code). */
+  private def replayHits(edges: Seq[(Long, Long)],
+                         iters: Int): Map[Long, (BigInt, BigInt)] = {
+    val s9 = BigInt(1000000000)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var hub = nodes.map(v => v -> s9).toMap
+    var auth = Map.empty[Long, BigInt]
+    def half(sc: Map[Long, BigInt], flip: Boolean): Map[Long, BigInt] = {
+      val raw = nodes.map { v =>
+        v -> edges.collect {
+          case (u, w) if !flip && w == v => sc(u)
+          case (u, w) if flip && u == v => sc(w)
+        }.sum
+      }.toMap
+      val mx = raw.values.max
+      raw.view.mapValues(r => r * s9 / mx).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = half(hub, flip = false)
+      hub = half(auth, flip = true)
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  test("hits matches an independent BigInt replay; hubs and authorities split") {
+    // 1 and 2 are pure hubs pointing at authority 4; 3 is both-ish
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (1L, 3L), (2L, 3L))
+    val got = Graphs.hits(edges.toDF("src", "dst"), "src", "dst", 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((BigInt(h), BigInt(a))) }.toMap
+    assert(got == replayHits(edges, 2))
+    // node 4 is the max authority and a zero hub; 1/2 are max hubs with
+    // zero authority
+    assert(got(4L)._2 == BigInt(1000000000) && got(4L)._1 == 0)
+    assert(got(1L)._1 == BigInt(1000000000) && got(1L)._2 == 0)
+    assert(got(2L)._1 == got(1L)._1)
+    // 3 gets some authority (1,2 point at it) and a smaller hub score
+    assert(got(3L)._2 > 0 && got(3L)._1 > 0 && got(3L)._1 < got(1L)._1)
+  }
+
+  test("hits stagePerIteration is bit-identical to the lazy plan; guards hold") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val lazyRun = Graphs.hits(edges.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val staged = Graphs.hits(edges.toDF("src", "dst"), "src", "dst", 3,
+      stagePerIteration = true).as[(Long, Long, Long)].collect().toSet
+    assert(staged == lazyRun)
+    // parallel edges are multiplicity: doubling 4→1 changes the result
+    // (the duplicate is NOT collapsed) and matches the BigInt replay
+    val parEdges = edges :+ ((4L, 1L))
+    val par = Graphs.hits(parEdges.toDF("src", "dst"), "src", "dst", 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((BigInt(h), BigInt(a))) }.toMap
+    assert(par == replayHits(parEdges, 2))
+    intercept[IllegalArgumentException](
+      Graphs.hits(edges.toDF("src", "dst"), "src", "dst", 0))
+    intercept[IllegalArgumentException](
+      Graphs.hits(Seq((1L, 2L, 3L)).toDF("src", "dst", "hub_q9"),
+        "src", "dst", 1))
+    intercept[IllegalArgumentException](
+      Graphs.hits(spark.emptyDataFrame
+        .withColumn("src", lit(1L)).withColumn("dst", lit(2L)),
+        "src", "dst", 1))
+  }
+
   test("pageRank guards its parameters and reserved columns") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](

@@ -120,4 +120,55 @@ class SketchSpec extends SparkSpec {
       Sketch.hllRegisters(vals, Seq("bucket"), "v", 8)
     }
   }
+
+  test("kmv: state is the k smallest distinct hashes; merge == one-shot") {
+    val vals = (1 to 500).map(i => s"v$i").toDF("v")
+    val k = 32
+    val st = Sketch.kmvState(vals, "v", k).as[Long].collect()
+    assert(st.length == k && st.distinct.length == k)
+    // the state IS the bottom-k of the full distinct hash set
+    val all = Sketch.kmvState(vals, "v", 1 << 16).as[Long].collect().sorted
+    assert(st.sorted.toSeq == all.take(k).toSeq)
+    // shard merge equals the one-shot state bit-for-bit
+    val sh1 = Sketch.kmvState(vals.filter(length($"v") % 2 === 0), "v", k)
+    val sh2 = Sketch.kmvState(vals.filter(length($"v") % 2 === 1), "v", k)
+    val merged = Sketch.kmvMerge(Seq(sh1, sh2), k).as[Long].collect().sorted
+    assert(merged.toSeq == st.sorted.toSeq, "merge must equal one-shot")
+    // duplicates and nulls don't perturb the sample
+    val dup = Sketch.kmvState(vals.unionByName(vals)
+      .unionByName(Seq.empty[String].toDF("v")
+        .unionByName(spark.sql("SELECT CAST(NULL AS STRING) AS v"))), "v", k)
+      .as[Long].collect().sorted
+    assert(dup.toSeq == st.sorted.toSeq)
+    intercept[IllegalArgumentException] { Sketch.kmvState(vals, "v", 1) }
+  }
+
+  test("kmv: overlap estimates union/intersection; exact in the small regime") {
+    // big regime: 600 left-only, 600 shared, 600 right-only, k=128
+    val a = ((1 to 600).map(i => s"l$i") ++ (1 to 600).map(i => s"s$i")).toDF("v")
+    val b = ((1 to 600).map(i => s"r$i") ++ (1 to 600).map(i => s"s$i")).toDF("v")
+    val k = 128
+    val row = Sketch.kmvOverlap(
+      Sketch.kmvState(a, "v", k), Sketch.kmvState(b, "v", k), k)
+      .as[(Long, Long, Long, Long)].head()
+    val (kEff, jNum, unionEst, interEst) = row
+    assert(kEff == k)
+    // true union 1800, intersection 600, jaccard 1/3
+    assert(math.abs(unionEst - 1800.0) / 1800 < 0.25, s"union_est $unionEst")
+    assert(math.abs(interEst - 600.0) / 600 < 0.40, s"inter_est $interEst")
+    assert(interEst == jNum * unionEst / kEff)
+    // small regime: everything fits in k -> all four EXACT
+    val sa = Seq("a", "b", "c", "d").toDF("v")
+    val sb = Seq("c", "d", "e").toDF("v")
+    val ex = Sketch.kmvOverlap(
+      Sketch.kmvState(sa, "v", k), Sketch.kmvState(sb, "v", k), k)
+      .as[(Long, Long, Long, Long)].head()
+    assert(ex == ((5L, 2L, 5L, 2L)), s"small regime must be exact: $ex")
+    // disjoint small corpora: zero intersection, no div-by-zero paths
+    val dj = Sketch.kmvOverlap(
+      Sketch.kmvState(sa, "v", k),
+      Sketch.kmvState(Seq("z1", "z2").toDF("v"), "v", k), k)
+      .as[(Long, Long, Long, Long)].head()
+    assert(dj == ((6L, 0L, 6L, 0L)), dj.toString)
+  }
 }

@@ -66,4 +66,52 @@ class ProfileSpec extends SparkSpec {
       Profile.profileColumns(fixture, Seq("lang", "lang"), 3)
     }
   }
+
+  test("histogram: exact bins, inclusive edges, nulls excluded, empty bins absent") {
+    // values 0..9 and 95..99, nBins 10 over range 0..99: width 10
+    val vals = ((0L to 9L) ++ (95L to 99L)).map(Tuple1(_)).toDF("v")
+    val got = Profile.histogram(vals, "v", 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 9L, 10L), (9L, 90L, 99L, 5L)), got.toSeq)
+    // max lands INSIDE the last bin (width = range div n + 1)
+    assert(got.last._3 >= 99L)
+    // nulls are excluded, not a bin
+    val withNull = (Seq(Some(1L), Some(2L), None)).map(Tuple1(_)).toDF("v")
+    val nn = Profile.histogram(withNull, "v", 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(nn.map(_._4).sum == 2L, nn.toSeq)
+    // single-value column: one bin holding everything
+    val one = Profile.histogram(Seq(7L, 7L, 7L).map(Tuple1(_)).toDF("v"), "v", 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(one.toSeq == Seq((0L, 7L, 7L, 3L)), one.toSeq)
+  }
+
+  test("histogram: fixed bounds shard-merge equals one-shot; out-of-bounds raises") {
+    val vals = (0L to 99L).map(Tuple1(_)).toDF("v")
+    val oneShot = Profile.histogram(vals, "v", 8, Some((0L, 99L)))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // two shards with SHARED bounds re-sum to the one-shot counts
+    val s1 = Profile.histogram(vals.filter($"v" % 2 === 0), "v", 8, Some((0L, 99L)))
+    val s2 = Profile.histogram(vals.filter($"v" % 2 === 1), "v", 8, Some((0L, 99L)))
+    val merged = s1.unionByName(s2)
+      .groupBy($"bin", $"lo", $"hi").agg(sum($"c").as("c"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(merged.toSeq == oneShot.toSeq)
+    // a value outside fixed bounds raises per row instead of mis-binning
+    intercept[Exception] {
+      Profile.histogram(Seq(200L).map(Tuple1(_)).toDF("v"), "v", 8,
+        Some((0L, 99L))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Profile.histogram(vals, "v", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.histogram(vals, "v", 8, Some((5L, 1L)))
+    }
+    // a value column named like an output is harmless: the input is
+    // projected to an internal name first
+    val renamed = Profile.histogram(vals.withColumnRenamed("v", "bin"),
+      "bin", 8).as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(renamed.map(_._4).sum == 100L)
+  }
 }

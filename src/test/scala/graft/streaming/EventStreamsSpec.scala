@@ -333,6 +333,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == expected)
   }
 
+  test("streaming sketch maintenance: per-batch CMS/HLL/KMV merges ≡ one-shot state") {
+    // continuous-ingest sketches: each micro-batch builds its own cells /
+    // registers / bottom-k sample and MERGES into the running state — the
+    // stream never rescans prior batches. Because the states are sums /
+    // maxes / bottom-ks (associative + commutative), the post-stream
+    // state must equal the one-shot batch sketch BIT-FOR-BIT, whatever
+    // the micro-batch boundaries were.
+    import org.apache.spark.sql.DataFrame
+    val docs = (1L to 60L).map(i => (i, s"w${i % 7} w${i % 11} w${i % 13}"))
+      .toDF("doc_id", "text")
+    val src = Files.createTempDirectory("sketchsrc").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    def toks(df: DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("tok"))
+        .withColumn("k", lit("all"))
+    val all = toks(docs)
+    val estOne = graft.ext.Sketch.cmsEstimate(all,
+      graft.ext.Sketch.cmsSketch(all, "tok", 256, 4), "tok", 256, 4)
+      .as[(String, Long)].collect().toMap
+    val hllOne = graft.ext.Sketch.hllEstimate(
+      graft.ext.Sketch.hllRegisters(all, Seq("k"), "tok", 8), Seq("k"), 8)
+      .as[(String, Long)].collect().toMap
+    val kmvOne = graft.ext.Sketch.kmvState(all, "tok", 8)
+      .as[Long].collect().sorted.toSeq
+
+    val cmsB = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Long, Long)]]
+    val hllB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
+    val kmvB = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t = toks(batch)
+        cmsB += graft.ext.Sketch.cmsSketch(t, "tok", 256, 4)
+          .as[(Int, Long, Long)].collect().toSeq
+        hllB += graft.ext.Sketch.hllRegisters(t, Seq("k"), "tok", 8)
+          .as[(String, Long, Long)].collect().toSeq
+        kmvB += graft.ext.Sketch.kmvState(t, "tok", 8)
+          .as[Long].collect().toSeq
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(cmsB.size >= 2, s"want >= 2 micro-batches, got ${cmsB.size}")
+
+    val estStream = graft.ext.Sketch.cmsEstimate(all,
+      graft.ext.Sketch.cmsMerge(cmsB.toSeq.map(_.toDF("row", "pos", "c"))),
+      "tok", 256, 4).as[(String, Long)].collect().toMap
+    assert(estStream == estOne)
+    val hllStream = graft.ext.Sketch.hllEstimate(
+      graft.ext.Sketch.hllMerge(
+        hllB.toSeq.map(_.toDF("k", "bucket", "reg")), Seq("k")), Seq("k"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(hllStream == hllOne)
+    val kmvStream = graft.ext.Sketch.kmvMerge(
+      kmvB.toSeq.map(_.toDF("h")), 8).as[Long].collect().sorted.toSeq
+    assert(kmvStream == kmvOne)
+  }
+
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
     // streaming dimension maintenance: each micro-batch of change events
     // MERGEs into the versioned table via ops.Merge.scd2Merge — the
