@@ -2094,6 +2094,28 @@ object SparkEntry {
           graft.ext.Dedup.wordNgrams(col("text"), 3).as("gs"))
       graft.ext.Dedup.allPairsJoin(sets, "doc_id", "gs", 6, 10)
     }),
+    "x87_triangles" -> ((s, dir) => {
+      // community structure of the supplier co-purchase graph: per-node
+      // triangle counts + exact-Q20 local clustering coefficient by
+      // DEGREE-ORDERED orientation (Suri–Vassilvitskii — each triangle
+      // found once from its lowest-degree apex, hub fan-out bounded at
+      // Σ C(outdeg⁺, 2) instead of the celebrity-node blow-up). Edges:
+      // two suppliers sharing an order, quantity > 40 lines only.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 40)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sp"))
+      val e = li.join(li.select(col("o"), col("sp").as("sp2")), "o")
+        .filter(col("sp") < col("sp2"))
+      graft.ext.Graphs.triangles(e, "sp", "sp2")
+    }),
+    "x88_pmi_collocations" -> ((s, dir) =>
+      // collocation mining: top-50 adjacent token pairs by pointwise
+      // mutual information (Church & Hanks) at min pair count 5 — the
+      // rare-but-exclusive ranking that inverts x38's raw-count merge
+      // order; the Q20 probability ratio is integer-exact so the oracle
+      // replays the scores AND the top-k boundary.
+      graft.ext.TextStats.pmiCollocations(
+        t(s, dir, "documents"), "text", 5, 50)),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -3428,6 +3450,65 @@ object SparkEntry {
        JOIN sz sb ON sb.doc_id = c.b_id
        JOIN iv ON iv.a_id = c.a_id AND iv.b_id = c.b_id
        WHERE 16 * iv.i >= 6 * (sa.n + sb.n)"""
+
+  /** The x87 triangle oracle: the normalized co-purchase edge set, the
+    * (deg, id)-ordered orientation, the apex wedge join closed by the
+    * oriented (b, c) edge, the 3-way per-node attribution, and the Q20
+    * clustering-coefficient floor division. */
+  private val x87OracleSql: String =
+    """WITH li AS (SELECT l_orderkey AS o, l_suppkey AS sp FROM lineitem
+           WHERE l_quantity > 40),
+       e0 AS (SELECT DISTINCT a.sp AS u, b.sp AS v
+              FROM li a JOIN li b ON a.o = b.o AND a.sp < b.sp),
+       deg AS (SELECT node, COUNT(*) AS d
+               FROM (SELECT u AS node FROM e0
+                     UNION ALL SELECT v FROM e0) GROUP BY 1),
+       oe AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                     THEN u ELSE v END AS a,
+                     CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                     THEN v ELSE u END AS b
+              FROM e0 JOIN deg du ON du.node = e0.u
+                      JOIN deg dv ON dv.node = e0.v),
+       tri AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z
+               FROM oe o1
+               JOIN oe o2 ON o2.a = o1.a AND o1.b <> o2.b
+               JOIN oe o3 ON o3.a = o1.b AND o3.b = o2.b),
+       pn AS (SELECT node, COUNT(*) AS n_tri
+              FROM (SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri) GROUP BY 1)
+       SELECT deg.node, CAST(deg.d AS BIGINT) AS deg,
+              CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+              CASE WHEN deg.d >= 2
+                THEN CAST((2097152::HUGEINT * COALESCE(pn.n_tri, 0))
+                          // (deg.d * (deg.d - 1)) AS BIGINT)
+                ELSE 0 END AS coef_q20
+       FROM deg LEFT JOIN pn USING (node)"""
+
+  /** The x88 PMI oracle: unigram and adjacent-pair counts over the
+    * trimmed split, the 2²⁰·c_ab·N² // (P·c_a·c_b) ratio over HUGEINT,
+    * the minCount floor, and the (score desc, w1, w2) top-50 cut. */
+  private val x88OracleSql: String =
+    """WITH toks AS (SELECT string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+         FROM documents
+         WHERE text IS NOT NULL
+           AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+       un AS (SELECT unnest(t) AS w FROM toks),
+       c1 AS (SELECT w, COUNT(*) AS c FROM un GROUP BY 1),
+       nn AS (SELECT COUNT(*) AS n FROM un),
+       bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)),
+       c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       pp AS (SELECT SUM(c) AS p FROM c2)
+       SELECT w1, w2, CAST(c2.c AS BIGINT) AS n_pair,
+              CAST((1048576::HUGEINT * c2.c * nn.n * nn.n)
+                   // (pp.p * a.c * b.c) AS BIGINT) AS score_q20
+       FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2
+       CROSS JOIN nn CROSS JOIN pp
+       WHERE c2.c >= 5
+       ORDER BY score_q20 DESC, w1, w2 LIMIT 50"""
 
   /** The x83 HITS oracle: the x59 edge multiset, h₀ = 10⁹, and both
     * mutual-reinforcement rounds unrolled — each half-step one edge
@@ -5732,6 +5813,8 @@ object SparkEntry {
     "x84_priority_sample" -> x84OracleSql,
     "x85_histogram" -> x85OracleSql,
     "x86_allpairs_join" -> x86OracleSql,
+    "x87_triangles" -> x87OracleSql,
+    "x88_pmi_collocations" -> x88OracleSql,
     // x81: the unpivot, the (column, value) count table, and the
     // (count desc, value asc) top-3 replayed; the salted two-phase
     // engine top-K equals this plain window because the order is total

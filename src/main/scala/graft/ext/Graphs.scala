@@ -438,4 +438,66 @@ object Graphs {
         col("node") === col("_ht_n2"))
       .select(col("node"), col("hub_q9"), col("auth_q9"))
   }
+
+  /** TRIANGLE COUNTING + local clustering coefficient by DEGREE-ORDERED
+    * edge orientation — the standard scalable formulation (Suri &
+    * Vassilvitskii, WWW'11 "Counting triangles and the curse of the last
+    * reducer"): direct every undirected edge from its lower endpoint to
+    * its higher under the total order (degree, node id), so each
+    * triangle is found EXACTLY ONCE from its smallest-ordered apex and —
+    * the reason the ordering exists — every hub's fan-out collapses:
+    * a degree-d node keeps only its neighbors of HIGHER degree as
+    * out-edges, bounding the wedge work at Σ C(outdeg⁺, 2) ≈ m^(3/2)
+    * instead of the Σ C(deg, 2) that makes the naive wedge join
+    * explode on the first celebrity node (the "curse of the last
+    * reducer"). Clustering coefficient = 2·tri / (deg·(deg−1)) reported
+    * in exact Q20 (one floor division; 0 when deg < 2).
+    *
+    * Input edges are UNDIRECTED: duplicates, reversed duplicates, and
+    * self-loops collapse in the normalization. Plan: one distinct on
+    * the normalized (lo, hi) pair, one degree aggregation, the wedge
+    * self-join keyed on the apex + the closure equi-join keyed on the
+    * (b, c) pair — ids only on every exchange — then a 3-way explode
+    * and a node-keyed count.
+    *
+    * Returns (node, deg, n_tri, coef_q20) for every node with ≥ 1 edge
+    * (x87 replays every step). */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_tr_u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_tr_v"))
+      .filter(col("_tr_u") =!= col("_tr_v"))
+      .distinct()
+    val deg = e.select(col("_tr_u").as("node"))
+      .unionAll(e.select(col("_tr_v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): a → b iff (deg_a, a) < (deg_b, b)
+    val oe = e
+      .join(deg.select(col("node").as("_tr_u"), col("deg").as("_tr_du")), "_tr_u")
+      .join(deg.select(col("node").as("_tr_v"), col("deg").as("_tr_dv")), "_tr_v")
+      .select(
+        when(col("_tr_du") < col("_tr_dv") ||
+          (col("_tr_du") === col("_tr_dv") && col("_tr_u") < col("_tr_v")),
+          col("_tr_u")).otherwise(col("_tr_v")).as("a"),
+        when(col("_tr_du") < col("_tr_dv") ||
+          (col("_tr_du") === col("_tr_dv") && col("_tr_u") < col("_tr_v")),
+          col("_tr_v")).otherwise(col("_tr_u")).as("b"))
+    // wedge from the shared apex, closed by the (b, c) edge — the
+    // orientation admits exactly one of (b, c)/(c, b), so each triangle
+    // materializes once
+    val tri = oe
+      .join(oe.select(col("a"), col("b").as("c")), "a")
+      .filter(col("b") =!= col("c"))
+      .join(oe.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coef_q20",
+        when(col("deg") >= 2,
+          expr("(2097152L * n_tri) div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -805,6 +805,61 @@ object TextStats {
         coalesce(col("bucket"), lit("unscored")).as("bucket"))
   }
 
+  /** PMI COLLOCATION MINING (Church & Hanks 1990, "Word association
+    * norms, mutual information, and lexicography"): the top-k adjacent
+    * token pairs by pointwise mutual information — THE classic
+    * collocation measure, ranking rare-but-exclusive pairs ("Hong
+    * Kong") above merely-frequent ones, the exact inverse emphasis of
+    * the raw-count pair ranking (x38's BPE merge order).
+    *
+    * Determinism: PMI = log(p(ab) / (p(a)·p(b))) with p(ab) = c_ab/P
+    * (P = adjacent-pair instances) and p(w) = c_w/N (N = token
+    * instances); log is monotone, so ranking by the RATIO ranks by PMI
+    * — and the ratio stays integer: score_q20 = 2²⁰·c_ab·N² div
+    * (P·c_a·c_b), one decimal(38,0) floor division (exact to N ≈ 4·10¹⁰
+    * tokens; past that the decimal overflows LOUDLY, never silently).
+    * `minCount` (the standard c_ab floor) kills the hapax pairs PMI is
+    * notorious for promoting. Ties break (score desc, w1, w2) — a total
+    * order, so the top-k boundary is engine-portable (x88).
+    *
+    * Scale shape: one unigram and one pair token-key aggregation (both
+    * map-side combining; adjacency is the zip-of-slices projection —
+    * no index lambda, no per-element regex re-evaluation), N and P ride
+    * as one-row broadcasts, the pair scoring joins count tables keyed
+    * on tokens, and the cut is a TakeOrdered. Nothing but tokens and
+    * longs ever shuffles. Returns (w1, w2, n_pair, score_q20). */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Int, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.filter(col(textCol).isNotNull && wsTrim(col(textCol)) =!= "")
+    val tk = base.select(explode(split(wsTrim(col(textCol)), "\\s+")).as("_w"))
+    val c1 = tk.groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+    val n = tk.agg(count(lit(1)).as("_n"))
+    val pairs = base
+      .select(split(wsTrim(col(textCol)), "\\s+").as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1).as("a"),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1).as("b"))).as("_p"))
+      .select(col("_p.a").as("w1"), col("_p.b").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val p = c2.agg(sum(col("n_pair")).as("_p"))
+    // the unigram table is vocabulary-sized (unbounded at 100 TB) — a
+    // token-keyed equi-join, NOT a pinned broadcast; AQE may still
+    // broadcast it when it measures small
+    c2.filter(col("n_pair") >= minCount)
+      .join(c1.select(col("_w").as("w1"), col("_c1").as("_c1a")), "w1")
+      .join(c1.select(col("_w").as("w2"), col("_c1").as("_c1b")), "w2")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(p))
+      .withColumn("score_q20", expr(
+        "cast((1048576L * cast(n_pair as decimal(38,0)) * _n * _n)" +
+          " div (cast(_p as decimal(38,0)) * _c1a * _c1b) as bigint)"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("score_q20"))
+      .orderBy(col("score_q20").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Rolling (polynomial) hash over tokens, base-31 mod 2^61-1. The fold
     * runs in decimal(38,0) so `acc*31 + h` never overflows (ANSI-safe:
     * Spark 4 would throw on long overflow), then casts back to long —

@@ -1160,6 +1160,22 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("x87 triangles: id-only exchanges, equi-joins throughout, no cartesian") {
+    val p = tree(q("x87_triangles"))
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange keys on node/edge id columns — degree and triangle
+    // counts are payload, never partitioning keys
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach(l =>
+      assert(!l.contains("n_tri") && !l.contains("coef"),
+        s"counts must not be shuffle keys: $l"))
+  }
+
+  test("x88 pmi: the top-k cut is a TakeOrdered, not a global sort") {
+    val p = tree(q("x88_pmi_collocations"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x82 kmv: state is a TakeOrdered bottom-k; overlap probe is broadcast-only") {
     import spark.implicits._
     val vals = (1 to 200).map(i => s"v$i").toDF("v")

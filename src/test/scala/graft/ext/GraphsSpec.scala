@@ -280,6 +280,53 @@ class GraphsSpec extends SparkSpec {
         "src", "dst", 1))
   }
 
+  /** Independent brute-force triangle/coefficient replay — adjacency
+    * sets, all (a < b < c) id-ordered triples, written against the
+    * MATH (not the degree-ordered code path). */
+  private def bruteTriangles(
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val adj = nodes.map(n => n -> es.collect {
+      case (a, b) if a == n => b
+      case (a, b) if b == n => a
+    }.toSet).toMap
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } yield (a, b, c)
+    nodes.map { n =>
+      val d = adj(n).size.toLong
+      val t = tris.count(x => x._1 == n || x._2 == n || x._3 == n).toLong
+      n -> ((d, t, if (d >= 2) 2097152L * t / (d * (d - 1)) else 0L))
+    }.toMap
+  }
+
+  test("triangles: K4+pendant hand graph; dup/reversed/self edges collapse") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L), (5L, 1L), (2L, 1L), (3L, 3L)))
+    val got = Graphs.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == bruteTriangles(edges))
+    // K4 holds 4 triangles, 3 per member; the pendant node holds none
+    assert(got(1L) == ((4L, 3L, 524288L)), got(1L))    // coef 0.5 in Q20
+    assert(got(2L) == ((3L, 3L, 1048576L)), got(2L))   // coef 1.0 in Q20
+    assert(got(5L) == ((1L, 0L, 0L)), got(5L))
+    assert(got.values.map(_._2).sum == 12L, "4 triangles x 3 nodes")
+  }
+
+  test("triangles: brute-force agreement on a pseudo-random graph") {
+    val edges = (1L to 60L).map(i => ((i * 7) % 19, (i * 11) % 19))
+      .filter(e => e._1 != e._2)
+    val got = Graphs.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == bruteTriangles(edges))
+    assert(got.values.map(_._2).sum % 3 == 0, "each triangle counted thrice")
+  }
+
   test("pageRank guards its parameters and reserved columns") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](

@@ -168,4 +168,33 @@ class LmSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("reserves"), e3.getMessage)
   }
+
+  test("pmiCollocations: exclusivity outranks raw frequency; exact Q20 scores") {
+    // x/y co-occur ONLY with each other (2 times); a/b co-occur 10 times
+    // but are individually common — PMI must rank (x,y) above (a,b),
+    // the inversion of the raw-count ranking
+    val docs = (Seq.fill(10)("a b") ++ Seq.fill(20)("a c") ++
+      Seq.fill(20)("d b") ++ Seq.fill(2)("x y"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextStats.pmiCollocations(docs, "text", 1, 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.head._1 == "x" && got.head._2 == "y", got.toSeq)
+    // N = 104 tokens, P = 52 pairs: score(x,y) = 2^20·2·104² / (52·2·2)
+    // = 104·2^20 exactly; score(a,b) = floor(2^20·10·104²/(52·30·30))
+    assert(got.head._4 == 104L * 1048576L, got.head)
+    val ab = got.find(p => p._1 == "a" && p._2 == "b").get
+    val want = (BigInt(1048576) * 10 * 104 * 104 / (BigInt(52) * 30 * 30)).toLong
+    assert(ab._3 == 10L && ab._4 == want, ab)
+    assert(got.head._4 > ab._4, "exclusive pair must outrank frequent pair")
+    // minCount floors out the rare pair entirely
+    val floored = TextStats.pmiCollocations(docs, "text", 5, 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(!floored.exists(_._1 == "x"), floored.toSeq)
+    // k cuts on the (score desc, w1, w2) total order
+    val top1 = TextStats.pmiCollocations(docs, "text", 1, 1)
+      .as[(String, String, Long, Long)].collect()
+    assert(top1.length == 1 && top1.head._1 == "x")
+    intercept[IllegalArgumentException](
+      TextStats.pmiCollocations(docs, "text", 0, 10))
+  }
 }
