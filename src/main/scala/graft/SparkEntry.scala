@@ -2094,6 +2094,24 @@ object SparkEntry {
           graft.ext.Dedup.wordNgrams(col("text"), 3).as("gs"))
       graft.ext.Dedup.allPairsJoin(sets, "doc_id", "gs", 6, 10)
     }),
+    "x86b_allpairs_incremental" -> ((s, dir) => {
+      // continuous-ingest exact near-dup mining: the base corpus (80%)
+      // stages its prefix index ONCE (prefixes + sets + FROZEN frequency
+      // order); the new batch (20%) prefixes itself under the frozen
+      // order (never-seen elements sort as count-0 rarest — still a
+      // total order, so the no-false-negative guarantee holds) and
+      // joins batch×base + batch×batch. The base corpus is never
+      // rescanned; the oracle is the FULL x86 chain restricted to
+      // batch-touching pairs — the lifecycle is invisible to results.
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.Dedup.wordNgrams(col("text"), 3).as("gs"))
+      val idx = graft.ext.Dedup.allPairsIndex(
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "gs", 6, 10)
+      graft.ext.Dedup.allPairsJoinIncremental(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0), idx, "doc_id", "gs",
+        6, 10)
+    }),
     "x87_triangles" -> ((s, dir) => {
       // community structure of the supplier co-purchase graph: per-node
       // triangle counts + exact-Q20 local clustering coefficient by
@@ -5813,6 +5831,12 @@ object SparkEntry {
     "x84_priority_sample" -> x84OracleSql,
     "x85_histogram" -> x85OracleSql,
     "x86_allpairs_join" -> x86OracleSql,
+    // x86b: the full x86 chain restricted to pairs touching the 20%
+    // batch (doc_id % 5 = 0) — the incremental path must return exactly
+    // the batch-touching slice of the one-shot join
+    "x86b_allpairs_incremental" ->
+      s"""WITH res AS ($x86OracleSql)
+         SELECT * FROM res WHERE a_id % 5 = 0 OR b_id % 5 = 0""",
     "x87_triangles" -> x87OracleSql,
     "x88_pmi_collocations" -> x88OracleSql,
     // x81: the unpivot, the (column, value) count table, and the

@@ -3,6 +3,14 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Staged all-pairs prefix index ([[Dedup.allPairsIndex]]): the base
+  * corpus's prefixes (a_id, tok, _ap_n), element sets (_ap_id, toks),
+  * and FROZEN element-frequency order (tok, _ap_c) — each a parquet
+  * stage, so incremental batches never rescan the base. */
+case class AllPairsIndex(prefix: org.apache.spark.sql.DataFrame,
+                         sets: org.apache.spark.sql.DataFrame,
+                         counts: org.apache.spark.sql.DataFrame)
+
 /** Large-scale document deduplication operators.
   *
   * Beyond the reference's id-level dedup (SURVEY.md A1/A8), these are the
@@ -1145,29 +1153,59 @@ object Dedup {
     // names before any output column exists.
     // elements are OPAQUE strings (tokens, shingles, hashes — the caller
     // picks the granularity); duplicates inside a set are collapsed
-    val tk = df.select(col(idCol).as("a_id"),
-      explode(array_distinct(col(setCol))).as("tok"))
+    val tk = apTokens(df, idCol, setCol)
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
-    val sz = tk.groupBy(col("a_id")).agg(count(lit(1)).as("_ap_n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a_id"))
-      .orderBy(col("_ap_c"), col("tok"))
-    val pref = tk.join(cnt, "tok").join(sz, "a_id")
-      .withColumn("_ap_p", row_number().over(w))
-      .filter(col("_ap_p") <=
-        expr(s"_ap_n - ((${tNum}L * _ap_n + ${tDen - 1}L) div ${tDen}L) + 1L"))
-      .select(col("a_id"), col("tok"), col("_ap_n"))
+    val pref = apPrefix(tk, cnt, tNum, tDen)
     val cand = pref
       .join(pref.select(col("a_id").as("b_id"), col("tok"),
         col("_ap_n").as("_ap_nb")), "tok")
       .filter(col("a_id") < col("b_id"))
-      // size bound: Jaccard ≤ min/max, so tDen·min ≥ tNum·max or prune
-      .filter(lit(tDen) * least(col("_ap_n"), col("_ap_nb")) >=
-        lit(tNum) * greatest(col("_ap_n"), col("_ap_nb")))
+      .transform(apSizeBound(tNum, tDen))
       .select(col("a_id"), col("b_id")).distinct()
-    val sets = tk.groupBy(col("a_id"))
+    apVerify(cand, apSets(tk), tNum, tDen)
+  }
+
+  /** (id as a_id, tok) element stream behind the all-pairs family. */
+  private def apTokens(df: DataFrame, idCol: String, setCol: String): DataFrame =
+    df.select(col(idCol).as("a_id"),
+      explode(array_distinct(col(setCol))).as("tok"))
+
+  /** Per-document prefixes of [[allPairsJoin]] under the global order
+    * (count, tok) given by `cnt` — an element ABSENT from cnt reads
+    * count 0 (rarest), which is how a frozen base-corpus order stays a
+    * valid total order for never-seen batch elements. Returns
+    * (a_id, tok, _ap_n). */
+  private def apPrefix(tk: DataFrame, cnt: DataFrame,
+                       tNum: Int, tDen: Int): DataFrame = {
+    val sz = tk.groupBy(col("a_id")).agg(count(lit(1)).as("_ap_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"))
+      .orderBy(col("_ap_c"), col("tok"))
+    tk.join(cnt, Seq("tok"), "left")
+      .withColumn("_ap_c", coalesce(col("_ap_c"), lit(0L)))
+      .join(sz, "a_id")
+      .withColumn("_ap_p", row_number().over(w))
+      .filter(col("_ap_p") <=
+        expr(s"_ap_n - ((${tNum}L * _ap_n + ${tDen - 1}L) div ${tDen}L) + 1L"))
+      .select(col("a_id"), col("tok"), col("_ap_n"))
+  }
+
+  /** The Jaccard size bound over a candidate frame carrying (_ap_n,
+    * _ap_nb): J ≤ min/max, so tDen·min ≥ tNum·max or the pair prunes. */
+  private def apSizeBound(tNum: Int, tDen: Int)(cand: DataFrame): DataFrame =
+    cand.filter(lit(tDen) * least(col("_ap_n"), col("_ap_nb")) >=
+      lit(tNum) * greatest(col("_ap_n"), col("_ap_nb")))
+
+  /** Sorted distinct element arrays per id: (_ap_id, toks). */
+  private def apSets(tk: DataFrame): DataFrame =
+    tk.groupBy(col("a_id"))
       .agg(sort_array(collect_list(col("tok"))).as("toks"))
       .withColumnRenamed("a_id", "_ap_id")
+
+  /** Candidate-driven exact verify of the all-pairs family: sets join
+    * back BY ID, the threshold test is (tNum+tDen)·i ≥ tNum·(n_a+n_b). */
+  private def apVerify(cand: DataFrame, sets: DataFrame,
+                       tNum: Int, tDen: Int): DataFrame =
     cand
       .join(sets.select(col("_ap_id").as("a_id"), col("toks").as("_ap_ta")),
         "a_id")
@@ -1180,6 +1218,68 @@ object Dedup {
           .as("n_inter"))
       .filter(lit((tNum + tDen).toLong) * col("n_inter") >=
         lit(tNum.toLong) * (col("n_a") + col("n_b")))
+
+  /** Staged prefix INDEX of a base corpus for [[allPairsJoinIncremental]]:
+    * the base's prefixes, element sets, and — the piece that makes the
+    * index reusable — its element-frequency table, FROZEN as the global
+    * prefix order. Each table stages to parquet (unique temp dirs,
+    * JVM-exit cleanup, the stageSignatures contract), so later batches
+    * never rescan the base corpus. */
+  def allPairsIndex(base: DataFrame, idCol: String, setCol: String,
+                    tNum: Int, tDen: Int): AllPairsIndex = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
+      s"threshold is a fraction in (0, 1]: $tNum/$tDen")
+    val spark = base.sparkSession
+    val tk = apTokens(base, idCol, setCol)
+    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
+    val cntS = spark.read.parquet(stageSignatures(cnt))
+    AllPairsIndex(
+      spark.read.parquet(stageSignatures(apPrefix(tk, cntS, tNum, tDen))),
+      spark.read.parquet(stageSignatures(apSets(tk))),
+      cntS)
+  }
+
+  /** INCREMENTAL [[allPairsJoin]]: every pair at Jaccard ≥ tNum/tDen
+    * TOUCHING a new batch — batch×base plus batch×batch — against a
+    * staged [[allPairsIndex]], with the base corpus never rescanned
+    * (the x26 continuous-ingest move applied to the exact join).
+    *
+    * Correctness under the frozen order: the prefix-filter lemma needs
+    * only SOME total order applied consistently to both sides of a pair
+    * — the base's (frequency, element) order extends to never-seen
+    * batch elements as (0, element), still total, so no qualifying pair
+    * is missed even as true frequencies drift. Drift costs only
+    * candidate selectivity (rebuild the index on the usual compaction
+    * cadence), never recall — and the exact verify makes the OUTPUT
+    * identical to a full [[allPairsJoin]] restricted to batch-touching
+    * pairs, which is what the x86b oracle checks.
+    *
+    * Batch ids must be disjoint from base ids (pairs normalize to
+    * a_id < b_id across the union). Returns (a_id, b_id, n_a, n_b,
+    * n_inter). */
+  def allPairsJoinIncremental(batch: DataFrame, index: AllPairsIndex,
+                              idCol: String, setCol: String,
+                              tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
+      s"threshold is a fraction in (0, 1]: $tNum/$tDen")
+    val tk = apTokens(batch, idCol, setCol)
+    val bpref = apPrefix(tk, index.counts, tNum, tDen)
+    // batch × batch, id-ordered inside the batch
+    val candNN = bpref
+      .join(bpref.select(col("a_id").as("b_id"), col("tok"),
+        col("_ap_n").as("_ap_nb")), "tok")
+      .filter(col("a_id") < col("b_id"))
+      .transform(apSizeBound(tNum, tDen))
+      .select(col("a_id"), col("b_id"))
+    // batch × base, normalized to a_id < b_id across the id union
+    val candNO = bpref
+      .join(index.prefix.select(col("a_id").as("_ap_oid"), col("tok"),
+        col("_ap_n").as("_ap_nb")), "tok")
+      .transform(apSizeBound(tNum, tDen))
+      .select(least(col("a_id"), col("_ap_oid")).as("a_id"),
+        greatest(col("a_id"), col("_ap_oid")).as("b_id"))
+    val cand = candNN.unionByName(candNO).distinct()
+    apVerify(cand, apSets(tk).unionByName(index.sets), tNum, tDen)
   }
 
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a

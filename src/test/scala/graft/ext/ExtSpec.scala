@@ -507,6 +507,37 @@ class ExtSpec extends SparkSpec {
     assert(renamed.map(p => (p._1, p._2)) == Set((2L, 6L)))
   }
 
+  test("allPairsJoinIncremental: exactly the batch-touching slice; frozen order handles unseen elements") {
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("a", "b", "e", "f")),
+      (4L, Seq("a", "x", "y", "z")),
+      (5L, Seq("p", "q")),
+      (6L, Seq("c", "b", "a")),
+      // batch doc with an element the base NEVER saw: "zz" freezes at
+      // count 0 (rarest) — it must land in the prefix, and the (2,7)
+      // pair (J = 3/4 >= 1/2) must still surface
+      (7L, Seq("a", "b", "c", "zz"))
+    ).toDF("id", "s")
+    val base = sets.filter($"id" <= 4)
+    val batch = sets.filter($"id" >= 5)
+    val idx = Dedup.allPairsIndex(base, "id", "s", 1, 2)
+    val inc = Dedup.allPairsJoinIncremental(batch, idx, "id", "s", 1, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val full = Dedup.allPairsJoin(sets, "id", "s", 1, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val touching = full.filter(p => p._1 >= 5 || p._2 >= 5)
+    assert(inc == touching, s"inc $inc vs touching slice $touching")
+    assert(inc.contains((2L, 7L, 3L, 4L, 3L)),
+      "the unseen-element pair must survive the frozen order")
+    assert(inc.exists(p => p._1 >= 5 && p._2 >= 5) ||
+      !full.exists(p => p._1 >= 5 && p._2 >= 5),
+      "batch-internal pairs covered when they exist")
+    // base-only pairs never reappear
+    assert(inc.forall(p => p._1 >= 5 || p._2 >= 5))
+  }
+
   test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"),             // the classic: dist 3
