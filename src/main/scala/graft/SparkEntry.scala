@@ -2134,6 +2134,19 @@ object SparkEntry {
       // replays the scores AND the top-k boundary.
       graft.ext.TextStats.pmiCollocations(
         t(s, dir, "documents"), "text", 5, 50)),
+    "x89_retrieval_eval" -> ((s, dir) => {
+      // offline ranker evaluation (the trec_eval surface) with a
+      // corpus-derivable ground truth: qrels = boolean-AND containment
+      // (doc holds every query token), run = the x43 BM25 top-5; per
+      // query n_rel / hits / precision@5 / recall@5 / reciprocal rank,
+      // all exact integers (1/rank is rational — unlike log-discounted
+      // NDCG this stays engine-exact).
+      val d = t(s, dir, "documents")
+      graft.ext.Retrieval.evalRun(
+        graft.ext.Retrieval.bm25TopK(d, "text", "doc_id", hybridQueries, 5),
+        graft.ext.Retrieval.containmentQrels(d, "text", "doc_id",
+          hybridQueries), 5)
+    }),
     "x44_epoch_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle: two epochs (seed = epoch
       // number) of the documents corpus, each a reproducible uniform
@@ -5839,6 +5852,42 @@ object SparkEntry {
          SELECT * FROM res WHERE a_id % 5 = 0 OR b_id % 5 = 0""",
     "x87_triangles" -> x87OracleSql,
     "x88_pmi_collocations" -> x88OracleSql,
+    // x89: the x43 ranking chain + the boolean-AND containment qrels +
+    // the exact-integer metric roll-up
+    "x89_retrieval_eval" -> (bm25BaseCtes +
+      """,
+         run AS (SELECT qid, doc_id, rank FROM (
+                   SELECT qid, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_q20 DESC, doc_id) AS rank
+                   FROM scored)
+                 WHERE rank <= 5),
+         qn AS (SELECT qid, COUNT(*) AS nq FROM qt GROUP BY 1),
+         qr AS (SELECT qt.qid, p.doc_id
+                FROM qt JOIN post p USING (tok)
+                JOIN qn ON qn.qid = qt.qid
+                GROUP BY qt.qid, p.doc_id, qn.nq
+                HAVING COUNT(*) = qn.nq),
+         nr AS (SELECT qid, COUNT(*) AS n_rel FROM qr GROUP BY 1),
+         per AS (SELECT r.qid,
+                   COALESCE(SUM(CASE WHEN qr.doc_id IS NOT NULL
+                                THEN 1 END), 0) AS hits,
+                   MIN(CASE WHEN qr.doc_id IS NOT NULL
+                       THEN r.rank END) AS fr
+                 FROM run r
+                 LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+                 GROUP BY 1)
+         SELECT CAST(per.qid AS BIGINT) AS qid,
+                CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+                CAST(per.hits AS BIGINT) AS hits,
+                CAST((1048576 * per.hits) // 5 AS BIGINT) AS prec_q20,
+                CASE WHEN COALESCE(nr.n_rel, 0) > 0
+                  THEN CAST((1048576 * per.hits) // nr.n_rel AS BIGINT)
+                  ELSE 0 END AS recall_q20,
+                CASE WHEN per.fr IS NOT NULL
+                  THEN CAST(1048576 // per.fr AS BIGINT)
+                  ELSE 0 END AS rr_q20
+         FROM per LEFT JOIN nr ON nr.qid = per.qid"""),
     // x81: the unpivot, the (column, value) count table, and the
     // (count desc, value asc) top-3 replayed; the salted two-phase
     // engine top-K equals this plain window because the order is total

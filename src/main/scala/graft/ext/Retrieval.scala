@@ -420,6 +420,66 @@ object Retrieval {
     lexRanked.join(denseRanked.select(col(qidCol), col(idCol)),
       Seq(qidCol, idCol), "left_anti")
 
+  /** ALL-TOKEN containment qrels — a deterministic relevance judgment
+    * both engines can derive from the corpus alone: a document is
+    * RELEVANT to a query iff it contains every distinct query token
+    * (boolean-AND retrieval, the strictest lexical ground truth). The
+    * pragmatic stand-in for human qrels when evaluating a ranker
+    * offline at corpus scale. One (distinct) token-key join + one
+    * (qid, doc) aggregation; the per-query token counts broadcast.
+    * Returns (qid, doc_id). */
+  def containmentQrels(corpus: DataFrame, textCol: String, idCol: String,
+                       queries: Seq[(Long, String)]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).distinct.map(w => (q, w))
+    }.toDF("qid", "tok")
+    val qn = qt.groupBy(col("qid")).agg(count(lit(1)).as("_ev_nq"))
+    tokens(corpus, textCol, idCol).distinct()
+      .join(qt, "tok")
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("_ev_m"))
+      .join(broadcast(qn), "qid")
+      .filter(col("_ev_m") === col("_ev_nq"))
+      .select(col("qid"), col("doc_id"))
+  }
+
+  /** RETRIEVAL EVALUATION (the trec_eval surface) of a ranked run
+    * against a qrels table, in exact integers: per query —
+    * n_rel, hits@k, precision@k and recall@k in Q20, and the reciprocal
+    * rank of the first relevant hit in Q20 (MRR's per-query term;
+    * 1/rank is RATIONAL, so unlike the log-discounted NDCG the whole
+    * metric stays engine-exact). A query with no relevant hit scores
+    * rr 0; recall of an empty qrels set is 0 by convention.
+    *
+    * Candidate-scale only: the run is |queries|·k rows; the one
+    * corpus-shaped input is qrels, met by a (qid, doc)-keyed equi-join
+    * from the tiny run side. Returns (qid, n_rel, hits, prec_q20,
+    * recall_q20, rr_q20). */
+  def evalRun(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    Seq("qid", "doc_id", "rank").foreach(c => require(run.columns.contains(c),
+      s"run must carry (qid, doc_id, rank) — missing $c"))
+    val rel = qrels.select(col("qid"), col("doc_id"))
+      .withColumn("_ev_rel", lit(1L))
+    val per = run.select(col("qid"), col("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+      .join(rel, Seq("qid", "doc_id"), "left")
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(col("_ev_rel")), lit(0L)).as("hits"),
+        min(when(col("_ev_rel") === 1L, col("rank"))).as("_ev_fr"))
+    val nrel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    per.join(nrel, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        expr(s"(1048576L * hits) div ${k}L").as("prec_q20"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr("(1048576L * hits) div n_rel")).otherwise(lit(0L))
+          .as("recall_q20"),
+        when(col("_ev_fr").isNotNull, expr("1048576L div _ev_fr"))
+          .otherwise(lit(0L)).as("rr_q20"))
+  }
+
   /** The oracle's scoring expression over HUGEINT — kept beside the Spark
     * form so the two integer formulas can only drift together. `n`/`a`
     * are the stats CTE columns, `tdf`/`tf`/`dl` the per-candidate ones. */

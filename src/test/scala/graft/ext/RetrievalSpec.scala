@@ -193,4 +193,37 @@ class RetrievalSpec extends SparkSpec {
     // doc 10 is (for both queries — dense never surfaced it)
     assert(out == Seq((1L, 10L, 1L), (2L, 10L, 1L)), out)
   }
+
+  test("containmentQrels + evalRun: hand-computed precision/recall/MRR") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a c x"),
+      (4L, "z z"), (5L, "b")).toDF("doc_id", "text")
+    val queries = Seq(1L -> "a b", 2L -> "z", 3L -> "q")
+    val qrels = Retrieval.containmentQrels(docs, "text", "doc_id", queries)
+      .as[(Long, Long)].collect().toSet
+    // "a b" → docs holding BOTH a and b; "z" → doc 4; "q" → nothing
+    assert(qrels == Set((1L, 1L), (1L, 2L), (2L, 4L)))
+    // hand-built run: q1 ranks (3, 1, 2) — first relevant at rank 2;
+    // q2 hits at rank 1; q3 retrieves only an irrelevant doc
+    val run = Seq(
+      (1L, 3L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (2L, 4L, 1L),
+      (3L, 5L, 1L)).toDF("qid", "doc_id", "rank")
+    val got = Retrieval.evalRun(run,
+        Retrieval.containmentQrels(docs, "text", "doc_id", queries), 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1048576L * 2 / 3, 1048576L, 524288L),
+      (2L, 1L, 1L, 1048576L / 3, 1048576L, 1048576L),
+      (3L, 0L, 0L, 0L, 0L, 0L)), got)
+    // ranks beyond k are ignored: k = 1 sees only the rank-1 rows
+    val at1 = Retrieval.evalRun(run,
+        Retrieval.containmentQrels(docs, "text", "doc_id", queries), 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(at1.head == ((1L, 2L, 0L, 0L, 0L, 0L)), at1.head)
+    assert(at1(1) == ((2L, 1L, 1L, 1048576L, 1048576L, 1048576L)), at1(1))
+    intercept[IllegalArgumentException](Retrieval.evalRun(run, docs, 0))
+    intercept[IllegalArgumentException](
+      Retrieval.evalRun(run.drop("rank"), docs, 3))
+  }
 }
