@@ -2134,6 +2134,19 @@ object SparkEntry {
       // replays the scores AND the top-k boundary.
       graft.ext.TextStats.pmiCollocations(
         t(s, dir, "documents"), "text", 5, 50)),
+    "x90_kcore" -> ((s, dir) => {
+      // dense-backbone extraction: the 3-core of the sparse supplier
+      // co-purchase graph (quantity > 48 lines) by iterative peeling to
+      // a fixpoint — the engine loops adaptively under a loud ceiling,
+      // the oracle unrolls 12 fixed rounds; peeling is idempotent once
+      // stable, so the two agree exactly.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 48)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sp"))
+      val e = li.join(li.select(col("o"), col("sp").as("sp2")), "o")
+        .filter(col("sp") < col("sp2"))
+      graft.ext.Graphs.kCore(e, "sp", "sp2", 3, maxRounds = 12)
+    }),
     "x89_retrieval_eval" -> ((s, dir) => {
       // offline ranker evaluation (the trec_eval surface) with a
       // corpus-derivable ground truth: qrels = boolean-AND containment
@@ -3540,6 +3553,33 @@ object SparkEntry {
        CROSS JOIN nn CROSS JOIN pp
        WHERE c2.c >= 5
        ORDER BY score_q20 DESC, w1, w2 LIMIT 50"""
+
+  /** The x90 k-core oracle: the sparse co-purchase edge set, the
+    * two-way adjacency, and 12 unrolled peel rounds (each a
+    * both-endpoints-alive degree count + the ≥ k cut) — idempotent once
+    * stable, so the fixed unroll equals the engine's adaptive loop
+    * (which converges ≤ 10 rounds at every SF, ceiling-guarded). */
+  private val x90OracleSql: String = {
+    // MATERIALIZED: each round references the previous alive set twice,
+    // so default CTE inlining would expand the tree 2^12-fold (planning
+    // blow-up + thousands of re-opened scans)
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (SELECT e.a AS node, COUNT(*) AS d
+            FROM ee e
+            JOIN a${i - 1} x ON x.node = e.a
+            JOIN a${i - 1} y ON y.node = e.b
+            GROUP BY 1),
+          a$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 3)"""
+    s"""WITH li AS (SELECT l_orderkey AS o, l_suppkey AS sp FROM lineitem
+           WHERE l_quantity > 48),
+        e0 AS (SELECT DISTINCT a.sp AS u, b.sp AS v
+               FROM li a JOIN li b ON a.o = b.o AND a.sp < b.sp),
+        ee AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+               UNION ALL SELECT v, u FROM e0),
+        a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM ee),
+        ${(1 to 12).map(round).mkString(",\n        ")}
+        SELECT node, CAST(d AS BIGINT) AS deg FROM d12 WHERE d >= 3"""
+  }
 
   /** The x83 HITS oracle: the x59 edge multiset, h₀ = 10⁹, and both
     * mutual-reinforcement rounds unrolled — each half-step one edge
@@ -5852,6 +5892,7 @@ object SparkEntry {
          SELECT * FROM res WHERE a_id % 5 = 0 OR b_id % 5 = 0""",
     "x87_triangles" -> x87OracleSql,
     "x88_pmi_collocations" -> x88OracleSql,
+    "x90_kcore" -> x90OracleSql,
     // x89: the x43 ranking chain + the boolean-AND containment qrels +
     // the exact-integer metric roll-up
     "x89_retrieval_eval" -> (bm25BaseCtes +

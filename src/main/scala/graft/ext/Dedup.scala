@@ -1230,7 +1230,11 @@ object Dedup {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
       s"threshold is a fraction in (0, 1]: $tNum/$tDen")
     val spark = base.sparkSession
-    val tk = apTokens(base, idCol, setCol)
+    // stage the element stream FIRST: counts, prefixes, and sets all
+    // derive from it, and without the stage each would re-run the
+    // caller's set projection (often a shingle explode) over the whole
+    // base corpus — one text pass instead of three
+    val tk = spark.read.parquet(stageSignatures(apTokens(base, idCol, setCol)))
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
     val cntS = spark.read.parquet(stageSignatures(cnt))
     AllPairsIndex(

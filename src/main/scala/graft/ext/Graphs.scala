@@ -439,6 +439,66 @@ object Graphs {
       .select(col("node"), col("hub_q9"), col("auth_q9"))
   }
 
+  /** K-CORE DECOMPOSITION (the k-core): iterative peeling — repeatedly
+    * drop every node with fewer than k neighbors among the survivors —
+    * until a fixpoint; what remains is the maximal subgraph of minimum
+    * degree ≥ k (Seidman 1983), the standard "dense backbone" extractor
+    * (spam-farm cores in link graphs, well-connected community seeds).
+    *
+    * Exactness contract: peeling is DETERMINISTIC and IDEMPOTENT once
+    * stable — extra rounds are no-ops — so a fixed-round oracle unroll
+    * (x90 uses 12) replays the engine's adaptive loop exactly whenever
+    * convergence happens within the unroll, and the engine's loud
+    * `maxRounds` ceiling guarantees exactly that or fails.
+    *
+    * Scale shape per round: the directed adjacency (each undirected
+    * edge, both ways — built once, staged) is filtered to
+    * both-endpoints-alive by two node-keyed joins, then one
+    * map-side-combining degree count; the survivor set stages per
+    * round ([[Dedup.stageSignatures]] — constant plan size), and the
+    * ONLY driver scalar is the per-round survivor count backing the
+    * convergence test (the pageRank |V| discipline). Ids only on every
+    * exchange.
+    *
+    * Returns (node, deg) for the members of the k-core, `deg` their
+    * within-core degree. Empty when no k-core exists. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = edges.sparkSession
+    val und = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_kc_u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_kc_v"))
+      .filter(col("_kc_u") =!= col("_kc_v"))
+      .distinct()
+    val ee = spark.read.parquet(Dedup.stageSignatures(
+      und.select(col("_kc_u").as("_kc_a"), col("_kc_v").as("_kc_b"))
+        .unionAll(und.select(col("_kc_v").as("_kc_a"),
+          col("_kc_u").as("_kc_b")))))
+    var alive = ee.select(col("_kc_a").as("node")).distinct()
+    var n = alive.count()
+    var result: DataFrame = null
+    var r = 0
+    while (result == null && r < maxRounds) {
+      r += 1
+      val deg = ee
+        .join(alive.select(col("node").as("_kc_a")), "_kc_a")
+        .join(alive.select(col("node").as("_kc_b")), "_kc_b")
+        .groupBy(col("_kc_a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      val next = spark.read.parquet(Dedup.stageSignatures(deg))
+      val m = next.count()
+      if (m == n) result = next.select(col("node"), col("deg"))
+      else { n = m; alive = next.select(col("node")) }
+    }
+    if (result == null) throw new IllegalStateException(
+      s"kCore did not reach a fixpoint in $maxRounds rounds — raise " +
+        "maxRounds (and the oracle unroll) for this graph")
+    result
+  }
+
   /** TRIANGLE COUNTING + local clustering coefficient by DEGREE-ORDERED
     * edge orientation — the standard scalable formulation (Suri &
     * Vassilvitskii, WWW'11 "Counting triangles and the curse of the last

@@ -327,6 +327,47 @@ class GraphsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum % 3 == 0, "each triangle counted thrice")
   }
 
+  test("kCore: cascade peeling matches brute force; empty core; guards") {
+    // a triangle {1,2,3} with a tail 3-4-5: peeling the 2-core removes 5,
+    // THEN 4 (cascade — two rounds, not one) and keeps the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
+    // no 3-core exists: peeling cascades to empty, still converges
+    val none = Graphs.kCore(edges.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect()
+    assert(none.isEmpty)
+    // brute-force agreement on a pseudo-random graph, k = 3
+    val rnd = (1L to 60L).map(i => ((i * 7) % 19, (i * 11) % 19))
+      .filter(e => e._1 != e._2)
+    def brute(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val undirected = es.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      var alive = (undirected.map(_._1) ++ undirected.map(_._2)).toSet
+      var stable = false
+      while (!stable) {
+        val deg = alive.map(n => n -> undirected.count { case (a, b) =>
+          (a == n && alive(b)) || (b == n && alive(a)) }).toMap
+        val next = alive.filter(deg(_) >= k)
+        stable = next == alive
+        alive = next
+      }
+      alive.map(n => n -> undirected.count { case (a, b) =>
+        (a == n && alive(b)) || (b == n && alive(a)) }.toLong).toMap
+    }
+    val gotRnd = Graphs.kCore(rnd.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotRnd == brute(rnd, 3))
+    // the ceiling fails loudly instead of returning a half-peeled set
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+    intercept[IllegalStateException](
+      Graphs.kCore(chain.toDF("src", "dst"), "src", "dst", 2,
+        maxRounds = 2))
+    intercept[IllegalArgumentException](
+      Graphs.kCore(chain.toDF("src", "dst"), "src", "dst", 0))
+  }
+
   test("pageRank guards its parameters and reserved columns") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](
