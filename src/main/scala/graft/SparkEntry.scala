@@ -553,6 +553,61 @@ object SparkEntry {
           max(col("gap_us")).as("max_gap_us"),
           sum(col("gap_us")).as("sum_gap_us"))
     }),
+    "et5_funnel" -> ((s, dir) => {
+      // ordered conversion funnel view → click → purchase: each step's
+      // time is the user's FIRST qualifying event STRICTLY AFTER the
+      // previous step (sequential-funnel semantics — min-per-type would
+      // count a purchase that PRECEDED the view). Exact micros; the
+      // per-step tables are |users|-row and join back user-keyed, so
+      // the event stream is scanned once per step and never collected.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), eventTsMicros.as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      s1.agg(count(lit(1)).as("n1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+        .select(explode(array(
+          struct(lit(1L).as("step"), lit("view").as("step_name"),
+            col("n1").as("n_users"), lit(1048576L).as("conv_prev_q20")),
+          struct(lit(2L).as("step"), lit("click").as("step_name"),
+            col("n2").as("n_users"),
+            when(col("n1") > 0, expr("(1048576L * n2) div n1"))
+              .otherwise(lit(0L)).as("conv_prev_q20")),
+          struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+            col("n3").as("n_users"),
+            when(col("n2") > 0, expr("(1048576L * n3) div n2"))
+              .otherwise(lit(0L)).as("conv_prev_q20")))).as("r"))
+        .select(col("r.step"), col("r.step_name"), col("r.n_users"),
+          col("r.conv_prev_q20"))
+    }),
+    "et6_retention" -> ((s, dir) => {
+      // weekly cohort retention: cohort(u) = week of u's first signup
+      // (weeks = micros div 7 days from the fixed epoch origin — no
+      // calendar ambiguity); retained at offset w iff any event falls
+      // in cohort_week + w. One distinct (user, week) reduction, one
+      // user-keyed cohort join, exact Q20 retention ratios.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), eventTsMicros.as("us"))
+        .withColumn("wk", expr("us div 604800000000L"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+      ev.select(col("user_id"), col("wk")).distinct()
+        .join(cohort, "user_id").filter(col("wk") >= col("cw"))
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("n_cohort"),
+          expr("(1048576L * n_active) div n_cohort").as("retention_q20"))
+    }),
     "j9_range_join" -> ((s, dir) => {
       // interval join as a bucketed equi-join (PlanSpec pins: no nested
       // loop) — overlapping price bands × orders containment
@@ -4272,6 +4327,55 @@ object SparkEntry {
            MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
            CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
          FROM g GROUP BY user_id""",
+    // et5: each step's first-qualifying-event-after-previous, the three
+    // scalar counts, and the Q20 step-over-step conversions
+    "et5_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.us) AS t2
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.us) AS t3
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1),
+         c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                      (SELECT COUNT(*) FROM s2) AS n2,
+                      (SELECT COUNT(*) FROM s3) AS n3)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                CAST(n1 AS BIGINT) AS n_users,
+                CAST(1048576 AS BIGINT) AS conv_prev_q20 FROM c
+         UNION ALL
+         SELECT 2, 'click', CAST(n2 AS BIGINT),
+                CASE WHEN n1 > 0
+                  THEN CAST((1048576::HUGEINT * n2) // n1 AS BIGINT)
+                  ELSE 0 END FROM c
+         UNION ALL
+         SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+                CASE WHEN n2 > 0
+                  THEN CAST((1048576::HUGEINT * n3) // n2 AS BIGINT)
+                  ELSE 0 END FROM c""",
+    // et6: fixed-origin week buckets, first-signup cohorts, distinct
+    // (user, week) activity, Q20 retention ratios
+    "et6_retention" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                            epoch_us(ts) // 604800000000 AS wk
+           FROM events),
+         co AS (SELECT user_id, MIN(wk) AS cw FROM ev
+                WHERE event_type = 'signup' GROUP BY 1),
+         sz AS (SELECT cw, COUNT(*) AS n_cohort FROM co GROUP BY 1),
+         aw AS (SELECT DISTINCT user_id, wk FROM ev),
+         act AS (SELECT co.cw, aw.wk - co.cw AS week_offset,
+                        COUNT(*) AS n_active
+                 FROM aw JOIN co USING (user_id)
+                 WHERE aw.wk >= co.cw GROUP BY 1, 2)
+         SELECT act.cw AS cohort_week, act.week_offset,
+                CAST(act.n_active AS BIGINT) AS n_active,
+                CAST(sz.n_cohort AS BIGINT) AS n_cohort,
+                CAST((1048576::HUGEINT * act.n_active) // sz.n_cohort
+                     AS BIGINT) AS retention_q20
+         FROM act JOIN sz USING (cw)""",
     "j9_range_join" ->
       """WITH bands AS (
            SELECT i AS band_id, CAST(i*25000 AS DOUBLE) AS lo,
