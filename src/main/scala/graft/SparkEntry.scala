@@ -2129,6 +2129,17 @@ object SparkEntry {
       graft.ext.Curation.prioritySample(
         t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", 100)),
+    "x84b_priority_stratified" -> ((s, dir) =>
+      // the balanced weighted coreset: an independent 20-row priority
+      // sample per language with per-stratum Horvitz–Thompson weights —
+      // the per-domain draw a mixture designer uses where the flat x84
+      // would let one giant domain crowd out the rest. Same md5 draw as
+      // x84 (a row's priority is stratification-independent), W2
+      // bounded window for the per-stratum cut.
+      graft.ext.Curation.prioritySampleStratified(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", 20)),
     "x85_histogram" -> ((s, dir) =>
       // the distribution view behind x81's scalar profile: equi-width
       // 16-bin histogram of n_chars in exact integer arithmetic — one
@@ -3494,6 +3505,30 @@ object SparkEntry {
          SELECT smp.doc_id, smp.n_chars,
                 GREATEST(smp.n_chars, tau.t) AS w_adj
          FROM smp CROSS JOIN tau"""
+  }
+
+  /** The x84b stratified-priority oracle: the same 48-bit priorities,
+    * per-language rank window, per-stratum τ from the kept rank-21 row
+    * (0 when the stratum fits in 20 — exact regime), ŵ = max(w, τ). */
+  private val x84bOracleSql: String = {
+    val h12 = (1 to 12).map(i =>
+      s"(CAST(strpos('0123456789abcdef', " +
+        s"substr(md5(CAST(doc_id AS VARCHAR) || ':pri'), $i, 1)) " +
+        s"- 1 AS BIGINT) * ${BigInt(16).pow(12 - i)})")
+      .mkString("(", "\n                + ", ")")
+    s"""WITH k AS (SELECT lang, doc_id, n_chars,
+             CAST((n_chars::HUGEINT * 281474976710656)
+                  // ($h12 + 1) AS BIGINT) AS q
+           FROM documents),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY q DESC, doc_id) AS rn FROM k),
+         kept AS (SELECT * FROM r WHERE rn <= 21),
+         tau AS (SELECT lang, COALESCE(MAX(CASE WHEN rn = 21 THEN q END), 0)
+                          AS t
+                 FROM kept GROUP BY 1)
+         SELECT kept.lang, kept.doc_id, kept.n_chars,
+                GREATEST(kept.n_chars, tau.t) AS w_adj
+         FROM kept JOIN tau USING (lang) WHERE kept.rn <= 20"""
   }
 
   /** The x85 histogram oracle: the (min, max) bounds, width =
@@ -5986,6 +6021,7 @@ object SparkEntry {
     "x82_kmv_overlap" -> x82OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,
+    "x84b_priority_stratified" -> x84bOracleSql,
     "x85_histogram" -> x85OracleSql,
     "x86_allpairs_join" -> x86OracleSql,
     // x86b: the full x86 chain restricted to pairs touching the 20%

@@ -346,16 +346,7 @@ object Curation {
         s"prioritySample reserves column $c — rename it"))
     val h = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":pri"))), 1, 12), 16, 10).cast("long")
-    val keyed = df
-      .select(col(idCol), col(weightCol).cast("long").as(weightCol))
-      .withColumn("_ps_h", h)
-      .withColumn("_ps_q",
-        when(col(weightCol).isNotNull && col(weightCol) > 0, expr(
-          s"cast((cast($weightCol as decimal(38,0)) * 281474976710656)" +
-            " div (_ps_h + 1L) as bigint)"))
-          .otherwise(raise_error(concat(
-            lit(s"prioritySample needs positive weights; $weightCol = "),
-            coalesce(col(weightCol).cast("string"), lit("null"))))))
+    val keyed = priorityKeyed(df, Nil, idCol, weightCol)
     val topM1 = keyed
       .orderBy(col("_ps_q").desc, col(idCol)).limit(m + 1)
     val tau = topM1.agg(
@@ -365,6 +356,63 @@ object Curation {
       .crossJoin(broadcast(tau))
       .select(col(idCol), col(weightCol),
         greatest(col(weightCol), col("_ps_tau")).as("w_adj"))
+  }
+
+  /** Shared (id, w, _ps_h, _ps_q) projection of the priority-sampling
+    * family: the salted 48-bit draw and the integer priority, with the
+    * loud positive-weight contract. */
+  private def priorityKeyed(df: DataFrame, strataCols: Seq[String],
+                            idCol: String, weightCol: String): DataFrame = {
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":pri"))), 1, 12), 16, 10).cast("long")
+    df.select((strataCols.map(col) :+ col(idCol) :+
+        col(weightCol).cast("long").as(weightCol)): _*)
+      .withColumn("_ps_h", h)
+      .withColumn("_ps_q",
+        when(col(weightCol).isNotNull && col(weightCol) > 0, expr(
+          s"cast((cast($weightCol as decimal(38,0)) * 281474976710656)" +
+            " div (_ps_h + 1L) as bigint)"))
+          .otherwise(raise_error(concat(
+            lit(s"prioritySample needs positive weights; $weightCol = "),
+            coalesce(col(weightCol).cast("string"), lit("null"))))))
+  }
+
+  /** STRATIFIED [[prioritySample]]: an independent weight-proportional
+    * m-row priority sample PER STRATUM, each row carrying its stratum's
+    * Horvitz–Thompson ŵ = max(w, τ_stratum) — the balanced weighted
+    * coreset (per-language, per-source) a mixture designer actually
+    * draws, where the flat sampler would let one giant domain crowd out
+    * the rest. Same integer priorities and take-all-regime exactness as
+    * the flat form, same md5 draw (a row's priority is independent of
+    * how the corpus is stratified).
+    *
+    * Scale shape: ONE pass builds the priorities; the per-stratum top-
+    * (m+1) is the W2 bounded window (partitioned by the strata — never
+    * global); τ_stratum = the (m+1)-th priority where the stratum
+    * overflows m (else 0 — that stratum is exact), derived from the
+    * kept rows with one strata-keyed aggregate joined back. Returns
+    * (strata..., idCol, weightCol, w_adj). */
+  def prioritySampleStratified(df: DataFrame, strataCols: Seq[String],
+                               idCol: String, weightCol: String,
+                               m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    Seq("_ps_h", "_ps_q", "_ps_rn", "_ps_tau", "w_adj").foreach(c =>
+      require(!df.columns.contains(c),
+        s"prioritySampleStratified reserves column $c — rename it"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col("_ps_q").desc, col(idCol))
+    val kept = priorityKeyed(df, strataCols, idCol, weightCol)
+      .withColumn("_ps_rn", row_number().over(w))
+      .filter(col("_ps_rn") <= m + 1)
+    val tau = kept.groupBy(strataCols.map(col): _*)
+      .agg(coalesce(max(when(col("_ps_rn") === m + 1, col("_ps_q"))),
+        lit(0L)).as("_ps_tau"))
+    kept.filter(col("_ps_rn") <= m)
+      .join(tau, strataCols)
+      .select((strataCols.map(col) :+ col(idCol) :+ col(weightCol) :+
+        greatest(col(weightCol), col("_ps_tau")).as("w_adj")): _*)
   }
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for

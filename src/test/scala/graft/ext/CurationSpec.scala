@@ -82,6 +82,31 @@ class CurationSpec extends SparkSpec {
     assert(est > total * 0.5 && est < total * 2.0, s"est $est total $total")
   }
 
+  test("prioritySampleStratified: per-stratum ≡ flat sample of that stratum; small strata exact") {
+    // strata A (30 rows) overflows m = 5; stratum B (3 rows) is exact
+    val rows = (1L to 30L).map(i => ("A", i, i)) ++
+      Seq(("B", 101L, 7L), ("B", 102L, 9L), ("B", 103L, 2L))
+    val df = rows.toDF("g", "id", "w")
+    val got = Curation.prioritySampleStratified(df, Seq("g"), "id", "w", 5)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // the draw is stratification-independent, so each stratum's rows
+    // must equal the FLAT sampler run on that stratum alone
+    val flatA = Curation.prioritySample(df.filter($"g" === "A"), "id", "w", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val flatB = Curation.prioritySample(df.filter($"g" === "B"), "id", "w", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.filter(_._1 == "A").map(r => (r._2, r._3, r._4)) == flatA)
+    assert(got.filter(_._1 == "B").map(r => (r._2, r._3, r._4)) == flatB)
+    // the exact regime: stratum B keeps every row at its own weight
+    assert(got.filter(_._1 == "B") ==
+      Set(("B", 101L, 7L, 7L), ("B", 102L, 9L, 9L), ("B", 103L, 2L, 2L)))
+    intercept[IllegalArgumentException](
+      Curation.prioritySampleStratified(df, Nil, "id", "w", 5))
+    intercept[IllegalArgumentException](
+      Curation.prioritySampleStratified(
+        df.withColumnRenamed("w", "w_adj"), Seq("g"), "id", "w_adj", 5))
+  }
+
   test("prioritySample guards weights, parameters, and reserved columns") {
     val df = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
     val e = intercept[Exception](
