@@ -1267,6 +1267,15 @@ object Dedup {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
       s"threshold is a fraction in (0, 1]: $tNum/$tDen")
     val tk = apTokens(batch, idCol, setCol)
+    // LOUD disjointness contract: a batch id already present in the base
+    // would double its set rows in the verify join and emit phantom
+    // self-pairs — fail here instead (one tiny ids-only semi-join)
+    val clash = batch.select(col(idCol).as("_ap_id")).distinct()
+      .join(index.sets.select(col("_ap_id")), "_ap_id")
+      .limit(1).count()
+    require(clash == 0L,
+      "allPairsJoinIncremental requires batch ids disjoint from the " +
+        "base index — re-submit changed docs via a fresh index instead")
     val bpref = apPrefix(tk, index.counts, tNum, tDen)
     // batch × batch, id-ordered inside the batch
     val candNN = bpref

@@ -536,6 +536,12 @@ class ExtSpec extends SparkSpec {
       "batch-internal pairs covered when they exist")
     // base-only pairs never reappear
     assert(inc.forall(p => p._1 >= 5 || p._2 >= 5))
+    // a batch id already present in the base fails LOUDLY — it would
+    // double its set rows in the verify join and emit phantom pairs
+    val e = intercept[IllegalArgumentException](
+      Dedup.allPairsJoinIncremental(
+        sets.filter($"id" === 2 || $"id" === 7), idx, "id", "s", 1, 2))
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
   }
 
   test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
