@@ -2213,6 +2213,23 @@ object SparkEntry {
         .filter(col("sp") < col("sp2"))
       graft.ext.Graphs.kCore(e, "sp", "sp2", 3, maxRounds = 12)
     }),
+    "x91_components" -> ((s, dir) => {
+      // generic connected components over an ARBITRARY edge list — the
+      // CC engine every dedup family composes (min-label propagation,
+      // fused steps, lineage-truncating materialized rounds, loud
+      // non-convergence flag), exposed standalone on the sparse
+      // co-purchase graph. Oracle = recursive reachability closure with
+      // min-peer labels, the x17 convention.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 48)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sp"))
+      val pairs = li.join(li.select(col("o"), col("sp").as("sp2")), "o")
+        .filter(col("sp") < col("sp2"))
+        .select(col("sp").as("a_id"), col("sp2").as("b_id")).distinct()
+      graft.ext.Dedup.dupClusters(pairs)
+        .select(col("id").cast("long").as("id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+    }),
     "x89_retrieval_eval" -> ((s, dir) => {
       // offline ranker evaluation (the trec_eval surface) with a
       // corpus-derivable ground truth: qrels = boolean-AND containment
@@ -6033,6 +6050,22 @@ object SparkEntry {
     "x87_triangles" -> x87OracleSql,
     "x88_pmi_collocations" -> x88OracleSql,
     "x90_kcore" -> x90OracleSql,
+    // x91: recursive reachability closure + min-peer labels over the
+    // same sparse co-purchase edges (every node here has >= 1 edge, so
+    // the closure covers all of them)
+    "x91_components" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey AS o, l_suppkey AS sp
+             FROM lineitem WHERE l_quantity > 48),
+         e0 AS (SELECT DISTINCT a.sp AS u, b.sp AS v
+                FROM li a JOIN li b ON a.o = b.o AND a.sp < b.sp),
+         edges AS (SELECT u AS src, v AS dst FROM e0
+                   UNION SELECT v, u FROM e0),
+         reach AS (SELECT src AS id, dst AS peer FROM edges
+                   UNION
+                   SELECT r.id, e.dst FROM reach r
+                   JOIN edges e ON r.peer = e.src)
+         SELECT id, LEAST(id, MIN(peer)) AS cluster_id
+         FROM reach GROUP BY id""",
     // x89: the x43 ranking chain + the boolean-AND containment qrels +
     // the exact-integer metric roll-up
     "x89_retrieval_eval" -> (bm25BaseCtes +
