@@ -2213,6 +2213,20 @@ object SparkEntry {
         .filter(col("sp") < col("sp2"))
       graft.ext.Graphs.kCore(e, "sp", "sp2", 3, maxRounds = 12)
     }),
+    "x14d_frame_sample" -> ((s, dir) => {
+      // the video half of the multimodal plumbing as an oracle row:
+      // every 7th frame index per clip (frame count from metadata —
+      // here derived deterministically from n_chars; actual frame
+      // extraction is the decode stub's job by the x14 contract). A
+      // pure column explode — no data movement, sampling plan
+      // independent of clip length.
+      val clips = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("n_chars"), lit(40)) + 1).cast("int").as("n_frames"))
+      graft.ext.Multimodal.sampleFrameIndexes(clips, "n_frames", 7)
+        .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
+    }),
     "x91_components" -> ((s, dir) => {
       // generic connected components over an ARBITRARY edge list — the
       // CC engine every dedup family composes (min-label propagation,
@@ -6050,6 +6064,16 @@ object SparkEntry {
     "x87_triangles" -> x87OracleSql,
     "x88_pmi_collocations" -> x88OracleSql,
     "x90_kcore" -> x90OracleSql,
+    // x14d: the stride-7 frame index sequence per clip, frame counts
+    // from the same n_chars derivation
+    "x14d_frame_sample" ->
+      """WITH clips AS (SELECT doc_id AS media_id,
+             (n_chars % 40) + 1 AS n_frames FROM documents)
+         SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+                CAST(i AS BIGINT) AS frame_idx
+         FROM clips,
+              LATERAL (SELECT unnest(generate_series(0,
+                         greatest(n_frames - 1, 0), 7)) AS i) g""",
     // x91: recursive reachability closure + min-peer labels over the
     // same sparse co-purchase edges (every node here has >= 1 edge, so
     // the closure covers all of them)
