@@ -2178,6 +2178,29 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(5)) === 0), idx, "doc_id", "gs",
         6, 10)
     }),
+    "x86c_allpairs_ingest" -> ((s, dir) => {
+      // the multi-batch ingest lifecycle of the exact join: base (60%)
+      // indexes once; batch₁ (doc_id%5=0) joins against it and APPENDS
+      // (prefixes + sets under the frozen order; counts never move);
+      // batch₂ (doc_id%5=1) then joins against base+batch₁. The union
+      // of the two runs is EXACTLY the one-shot join restricted to
+      // batch-touching pairs — each cross-batch pair found once, in the
+      // later batch's run; the base corpus is scanned only at indexing.
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.Dedup.wordNgrams(col("text"), 3).as("gs"))
+      val b1 = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val b2 = d.filter(pmod(col("doc_id"), lit(5)) === 1)
+      val idx0 = graft.ext.Dedup.allPairsIndex(
+        d.filter(pmod(col("doc_id"), lit(5)) >= 2), "doc_id", "gs", 6, 10)
+      val p1 = graft.ext.Dedup.allPairsJoinIncremental(
+        b1, idx0, "doc_id", "gs", 6, 10)
+      val idx1 = graft.ext.Dedup.allPairsIndexAppend(
+        idx0, b1, "doc_id", "gs", 6, 10)
+      val p2 = graft.ext.Dedup.allPairsJoinIncremental(
+        b2, idx1, "doc_id", "gs", 6, 10)
+      p1.unionByName(p2)
+    }),
     "x87_triangles" -> ((s, dir) => {
       // community structure of the supplier co-purchase graph: per-node
       // triangle counts + exact-Q20 local clustering coefficient by
@@ -6061,6 +6084,12 @@ object SparkEntry {
     "x86b_allpairs_incremental" ->
       s"""WITH res AS ($x86OracleSql)
          SELECT * FROM res WHERE a_id % 5 = 0 OR b_id % 5 = 0""",
+    // x86c: the slice touching EITHER ingest batch — the two-batch
+    // lifecycle must accumulate exactly this, each pair once
+    "x86c_allpairs_ingest" ->
+      s"""WITH res AS ($x86OracleSql)
+         SELECT * FROM res
+         WHERE a_id % 5 <= 1 OR b_id % 5 <= 1""",
     "x87_triangles" -> x87OracleSql,
     "x88_pmi_collocations" -> x88OracleSql,
     "x90_kcore" -> x90OracleSql,

@@ -1243,6 +1243,33 @@ object Dedup {
       cntS)
   }
 
+  /** APPEND a processed batch into an [[AllPairsIndex]]: the batch's
+    * prefixes and element sets — computed under the index's FROZEN
+    * frequency order, exactly as [[allPairsJoinIncremental]] sees them —
+    * join the staged base tables, so the NEXT batch's incremental join
+    * also pairs against this one. Counts stay frozen (the order must
+    * never change under already-indexed prefixes); rebuild the index on
+    * the usual compaction cadence when drift erodes selectivity. The
+    * ingest invariant (spec-pinned): joining batches b₁, b₂, … each
+    * against the index-so-far and unioning the outputs yields EXACTLY
+    * the one-shot [[allPairsJoin]] restricted to batch-touching pairs —
+    * each pair materializes once (a cross-batch pair only in the later
+    * batch's run). Same disjoint-ids contract as the join. */
+  def allPairsIndexAppend(index: AllPairsIndex, batch: DataFrame,
+                          idCol: String, setCol: String,
+                          tNum: Int, tDen: Int): AllPairsIndex = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
+      s"threshold is a fraction in (0, 1]: $tNum/$tDen")
+    val spark = batch.sparkSession
+    val tk = apTokens(batch, idCol, setCol)
+    AllPairsIndex(
+      spark.read.parquet(stageSignatures(
+        index.prefix.unionByName(apPrefix(tk, index.counts, tNum, tDen)))),
+      spark.read.parquet(stageSignatures(
+        index.sets.unionByName(apSets(tk)))),
+      index.counts)
+  }
+
   /** INCREMENTAL [[allPairsJoin]]: every pair at Jaccard ≥ tNum/tDen
     * TOUCHING a new batch — batch×base plus batch×batch — against a
     * staged [[allPairsIndex]], with the base corpus never rescanned

@@ -542,6 +542,24 @@ class ExtSpec extends SparkSpec {
       Dedup.allPairsJoinIncremental(
         sets.filter($"id" === 2 || $"id" === 7), idx, "id", "s", 1, 2))
     assert(e.getMessage.contains("disjoint"), e.getMessage)
+    // MULTI-BATCH ingest: b1 joins the base index and APPENDS; b2 then
+    // joins base+b1 — the union must equal the one-shot join's slice
+    // touching either batch, each pair exactly once (cross-batch pairs
+    // surface only in the later batch's run)
+    val b1 = sets.filter($"id" === 5 || $"id" === 6)
+    val b2 = sets.filter($"id" === 7)
+    val run1 = Dedup.allPairsJoinIncremental(b1, idx, "id", "s", 1, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val idx1 = Dedup.allPairsIndexAppend(idx, b1, "id", "s", 1, 2)
+    val run2 = Dedup.allPairsJoinIncremental(b2, idx1, "id", "s", 1, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val accumulated = run1 ++ run2
+    assert(accumulated.distinct.size == accumulated.size,
+      s"no pair may surface twice: $accumulated")
+    assert(accumulated.toSet == touching,
+      s"ingest union $accumulated vs one-shot slice $touching")
+    // the cross-batch pair (6,7) must come from b2's run specifically
+    assert(run2.exists(p => p._1 == 6L && p._2 == 7L), run2.toString)
   }
 
   test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
