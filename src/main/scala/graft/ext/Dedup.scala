@@ -1262,11 +1262,14 @@ object Dedup {
       s"threshold is a fraction in (0, 1]: $tNum/$tDen")
     val spark = batch.sparkSession
     val tk = apTokens(batch, idCol, setCol)
+    // stage ONLY the batch's tables and union them onto the existing
+    // staged parts — the file-append shape: the base is never rewritten,
+    // so appending batch t costs O(|batch t|) whatever the index holds
     AllPairsIndex(
-      spark.read.parquet(stageSignatures(
-        index.prefix.unionByName(apPrefix(tk, index.counts, tNum, tDen)))),
-      spark.read.parquet(stageSignatures(
-        index.sets.unionByName(apSets(tk)))),
+      index.prefix.unionByName(spark.read.parquet(stageSignatures(
+        apPrefix(tk, index.counts, tNum, tDen)))),
+      index.sets.unionByName(spark.read.parquet(stageSignatures(
+        apSets(tk)))),
       index.counts)
   }
 
