@@ -496,6 +496,21 @@ object SparkEntry {
         .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
     "u4_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+    "u5_set_all_surface" -> ((s, dir) => {
+      // the ALL (bag-semantics) halves of the set surface — u2/u3 cover
+      // the distinct halves: exceptAll keeps multiplicity DIFFERENCES,
+      // intersectAll the per-value minimum. Bags compare as per-value
+      // counts (deterministic; raw bag row order is not).
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(sp).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_except_all"))
+        .join(c.intersectAll(sp).groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n_intersect_all")), Seq("nationkey"), "full")
+        .select(col("nationkey"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+    }),
 
     // ───────────────────────── time / events ─────────────────────────
     "d1_year_agg" -> ((s, dir) =>
@@ -536,6 +551,22 @@ object SparkEntry {
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("pr"))
+    }),
+    "w6_value_windows" -> ((s, dir) => {
+      // the VALUE-function window surface beside w5's rank family:
+      // first/last/nth over a fully-specified frame and cume_dist —
+      // deterministic because the (price desc, key) order is total;
+      // cume_dist is one IEEE division of exact integers, bit-stable.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("top_key"),
+        last(col("o_orderkey")).over(wf).as("bottom_key"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"),
+        cume_dist().over(w).as("cd"))
     }),
     "et3_event_gaps" -> ((s, dir) => {
       // lead/lag surface: per-user inter-event gap stats. Exact integer
@@ -4224,6 +4255,19 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice DESC, o_orderkey)""",
+    "w6_value_windows" ->
+      """SELECT o_orderkey,
+         first_value(o_orderkey) OVER w AS top_key,
+         last_value(o_orderkey) OVER wf AS bottom_key,
+         nth_value(o_orderkey, 2) OVER wf AS second_key,
+         cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey),
+                wf AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)""",
     "a5_group_to_doc" ->
       """SELECT l_orderkey, MIN(l_returnflag) AS min_flag, COUNT(*) AS n_members,
          string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) AS members
@@ -4513,6 +4557,17 @@ object SparkEntry {
          INTERSECT SELECT s_nationkey FROM supplier""",
     "u4_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "u5_set_all_surface" ->
+      """WITH ea AS (SELECT nationkey, COUNT(*) AS n FROM (
+             SELECT c_nationkey AS nationkey FROM customer
+             EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 1),
+         ia AS (SELECT nationkey, COUNT(*) AS n FROM (
+             SELECT c_nationkey AS nationkey FROM customer
+             INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY 1)
+         SELECT COALESCE(ea.nationkey, ia.nationkey) AS nationkey,
+                CAST(COALESCE(ea.n, 0) AS BIGINT) AS n_except_all,
+                CAST(COALESCE(ia.n, 0) AS BIGINT) AS n_intersect_all
+         FROM ea FULL JOIN ia ON ia.nationkey = ea.nationkey""",
     "d1_year_agg" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
