@@ -30,7 +30,13 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - w0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // same dev-loop narrowing Verify has: SPARK_GRAFT_ONLY=s10b times just
+    // that query — the one-command isolated-vs-in-catalog A/B the round-11
+    // verdict had to approximate through Verify wall-clock deltas
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a throwing query must SURFACE in the artifact, not record a tiny
       // duration that reads as success
@@ -46,6 +52,11 @@ object Bench {
       val nRdds = spark.sparkContext.getPersistentRDDs.size
       spark.catalog.clearCache() // queries are independent; drop leftovers
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // staged temp-parquet dirs live until JVM exit otherwise; a
+      // 229-query session accumulates dozens (disk + page-cache pressure
+      // — the r11 bench-tail amplification: s10b 28.6s in-catalog vs
+      // ~12s isolated). Queries are independent — delete them NOW.
+      graft.ext.Dedup.drainStageDirs()
       (name, dt, err, nRdds)
     }
     def jstr(s: String): String = "\"" + s.flatMap {

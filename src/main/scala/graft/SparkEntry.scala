@@ -155,9 +155,11 @@ object SparkEntry {
         .agg(expr("percentile(l_quantity, 0.5)").as("med"),
           expr("percentile(l_quantity, 0.9)").as("p90"),
           max(col("l_quantity")).as("max_qty"))),
-    // t-digest-style sketch percentiles — rows-only (sketch internals are
-    // engine-specific); the 100 TB path when exact percentile (a full sort
-    // per group) is too expensive
+    // t-digest-style sketch percentiles — rows-only (Spark's sketch
+    // internals are engine-specific); kept as the built-in surface. The
+    // ORACLE-CHECKED member of this family is x92_quantile_sketch: the
+    // house mergeable quantile sketch whose estimates (and their
+    // sampling error) replay bit-for-bit in DuckDB.
     "a10b_approx_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("med_approx"),
@@ -620,13 +622,17 @@ object SparkEntry {
     }),
     "et6_retention" -> ((s, dir) => {
       // weekly cohort retention: cohort(u) = week of u's first signup
-      // (weeks = micros div 7 days from the fixed epoch origin — no
+      // (weeks = FLOOR(micros / 7 days) from the fixed epoch origin — no
       // calendar ambiguity); retained at offset w iff any event falls
       // in cohort_week + w. One distinct (user, week) reduction, one
-      // user-keyed cohort join, exact Q20 retention ratios.
+      // user-keyed cohort join, exact Q20 retention ratios. The week
+      // bucket uses the floor-division idiom (Spark's `div` truncates
+      // toward zero; DuckDB's `//` floors) so a pre-epoch event buckets
+      // identically in both engines.
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"), eventTsMicros.as("us"))
-        .withColumn("wk", expr("us div 604800000000L"))
+        .withColumn("wk", expr("(us div 604800000000L) - (CASE WHEN " +
+          "us < 0 AND pmod(us, 604800000000L) != 0 THEN 1L ELSE 0L END)"))
       val cohort = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
       val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
@@ -2128,6 +2134,37 @@ object SparkEntry {
         graft.ext.Sketch.kmvState(
           gr.filter(pmod(col("doc_id"), lit(2)) === 1), "g", 256))
     }),
+    "x92_quantile_sketch" -> ((s, dir) => {
+      // mergeable quantile sketch — the fourth sketch (frequency,
+      // distinct, overlap, now QUANTILES): per language, a ≤128-row
+      // hash-coordinated bottom-k sample of n_chars answers every
+      // percentile from the state alone (the deterministic form of
+      // a10b's approx_percentile — est is md5-derived, so the oracle
+      // replays it AND its sampling error exactly). en (218 docs at
+      // sf0.01) exercises the sampled regime; the smaller languages sit
+      // in the take-all regime where est ≡ exact by construction. The
+      // exact column is the small-SF audit (a full per-group sort); at
+      // 100 TB you'd ship est alone — the state is k rows per group.
+      val d = t(s, dir, "documents")
+      qsQuantileTail(d,
+        graft.ext.Sketch.qsState(d, Seq("lang"), "doc_id", "n_chars", 128))
+    }),
+    "x92b_quantile_ingest" -> ((s, dir) => {
+      // continuous-ingest quantile sketch: staged base state + batch
+      // state re-bottom-k into the whole-corpus state — the k smallest
+      // (h, v) of a union are each within their own side's k smallest,
+      // so merge ≡ one-shot bit-for-bit and the percentile probe
+      // answers x92's oracle VERBATIM without rescanning the base.
+      val d = t(s, dir, "documents")
+      val st = graft.ext.Sketch.qsMerge(Seq(
+        graft.ext.Sketch.qsStateStaged(
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 2),
+          Seq("lang"), "doc_id", "n_chars", 128),
+        graft.ext.Sketch.qsState(
+          d.filter(pmod(col("doc_id"), lit(3)) === 2),
+          Seq("lang"), "doc_id", "n_chars", 128)), Seq("lang"), 128)
+      qsQuantileTail(d, st)
+    }),
     "x83_hits" -> ((s, dir) => {
       // HITS hubs & authorities over the x59 link graph — the
       // bidirectional centrality PageRank can't give (authority ≈
@@ -3210,7 +3247,8 @@ object SparkEntry {
       ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card")) +
       ("x79b_cms_incremental" -> oracleSqlBase("x79_cms_heavy_hitters")) +
       ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct")) +
-      ("x82b_kmv_incremental" -> oracleSqlBase("x82_kmv_overlap"))
+      ("x82b_kmv_incremental" -> oracleSqlBase("x82_kmv_overlap")) +
+      ("x92b_quantile_ingest" -> oracleSqlBase("x92_quantile_sketch"))
 
   /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
     * the x43 lexical chain at k=10 — with the self-hit dropped AFTER
@@ -3431,6 +3469,30 @@ object SparkEntry {
         col("inter_est"), col("exact_union"), col("exact_inter"))
   }
 
+  /** x92/x92b shared tail: per-language permille estimates from the
+    * quantile-sketch state, joined to the exact same-rank-rule values
+    * (value at rank ⌈p·N/1000⌉ of the FULL group sorted ascending — a
+    * per-group sort, the small-SF audit column; the estimate itself
+    * never touches the corpus). */
+  private def qsQuantileTail(d: DataFrame, st: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val permilles = Seq(500, 900, 990)
+    val est = graft.ext.Sketch.qsQuantiles(st, Seq("lang"), permilles)
+    val exact = d
+      .filter(col("n_chars").isNotNull) // the state skips nulls too
+      .select(col("lang"), col("n_chars").as("v"))
+      .withColumn("_qx_n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("_qx_vr", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("v"))))
+      .select(col("lang"), col("v"), col("_qx_n"), col("_qx_vr"),
+        explode(typedlit(permilles.map(_.toLong))).as("permille"))
+      .filter(col("_qx_vr") ===
+        greatest(lit(1L), expr("(permille * _qx_n + 999L) div 1000L")))
+      .select(col("lang"), col("permille"), col("v").as("exact"))
+    est.join(exact, Seq("lang", "permille"))
+      .select(col("lang"), col("permille"), col("est"), col("exact"))
+  }
+
   /** x79/x79b shared tail: probe the sketch with the distinct tokens,
     * join the exact audit counts, keep est ≥ 1/200 of the stream. */
   private def cmsHeavyTail(toksAll: DataFrame, sk: DataFrame): DataFrame = {
@@ -3614,6 +3676,44 @@ object SparkEntry {
          SELECT kept.lang, kept.doc_id, kept.n_chars,
                 GREATEST(kept.n_chars, tau.t) AS w_adj
          FROM kept JOIN tau USING (lang) WHERE kept.rn <= 20"""
+  }
+
+  /** The x92 quantile-sketch oracle: the 48-bit ":qtl"-salted md5 row
+    * hashes, per-language bottom-128 (h, v) state, value-rank estimates
+    * at rank ⌈p·n/1000⌉ over the state, and the same rank rule over the
+    * full group as the exact audit — every step integer, so the
+    * estimate AND its sampling error replay verbatim. */
+  private val x92OracleSql: String = {
+    val h12 = (1 to 12).map(i =>
+      s"(CAST(strpos('0123456789abcdef', " +
+        s"substr(md5(CAST(doc_id AS VARCHAR) || ':qtl'), $i, 1)) " +
+        s"- 1 AS BIGINT) * ${BigInt(16).pow(12 - i)})")
+      .mkString("(", "\n                + ", ")")
+    s"""WITH dv AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+         hs AS (SELECT DISTINCT lang, $h12 AS h, v FROM dv),
+         st AS (SELECT lang, h, v FROM (
+                  SELECT lang, h, v, ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY h, v) AS rn FROM hs)
+                WHERE rn <= 128),
+         sr AS (SELECT lang, v,
+                  COUNT(*) OVER (PARTITION BY lang) AS n,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, h) AS vr
+                FROM st),
+         p AS (SELECT unnest([500, 900, 990]) AS permille),
+         est AS (SELECT lang, permille, v AS est
+                 FROM sr CROSS JOIN p
+                 WHERE vr = GREATEST(1, (permille * n + 999) // 1000)),
+         xr AS (SELECT lang, v,
+                  COUNT(*) OVER (PARTITION BY lang) AS n,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS vr
+                FROM dv),
+         ex AS (SELECT lang, permille, v AS exact
+                FROM xr CROSS JOIN p
+                WHERE vr = GREATEST(1, (permille * n + 999) // 1000))
+         SELECT est.lang, CAST(est.permille AS BIGINT) AS permille,
+                CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
+         FROM est JOIN ex USING (lang, permille)"""
   }
 
   /** The x85 histogram oracle: the (min, max) bounds, width =
@@ -6128,6 +6228,7 @@ object SparkEntry {
          WHERE est.est >= thr.t""",
     "x80_hll_distinct" -> x80OracleSql,
     "x82_kmv_overlap" -> x82OracleSql,
+    "x92_quantile_sketch" -> x92OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,
     "x84b_priority_stratified" -> x84bOracleSql,

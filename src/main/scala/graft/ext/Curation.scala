@@ -344,8 +344,6 @@ object Curation {
     Seq("_ps_h", "_ps_q", "_ps_tau", "w_adj").foreach(c =>
       require(!df.columns.contains(c),
         s"prioritySample reserves column $c — rename it"))
-    val h = conv(substring(md5(concat(col(idCol).cast("string"),
-      lit(":pri"))), 1, 12), 16, 10).cast("long")
     val keyed = priorityKeyed(df, Nil, idCol, weightCol)
     val topM1 = keyed
       .orderBy(col("_ps_q").desc, col(idCol)).limit(m + 1)
@@ -360,21 +358,28 @@ object Curation {
 
   /** Shared (id, w, _ps_h, _ps_q) projection of the priority-sampling
     * family: the salted 48-bit draw and the integer priority, with the
-    * loud positive-weight contract. */
+    * loud positive-INTEGER-weight contract — a fractional weight (2.7)
+    * would silently truncate to 2 and skew every Horvitz–Thompson
+    * estimate downstream, so non-integral weights raise PER ROW like
+    * non-positive ones (pre-quantize fractional weights to a fixed
+    * point, e.g. Q20, before sampling). */
   private def priorityKeyed(df: DataFrame, strataCols: Seq[String],
                             idCol: String, weightCol: String): DataFrame = {
     val h = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":pri"))), 1, 12), 16, 10).cast("long")
-    df.select((strataCols.map(col) :+ col(idCol) :+
-        col(weightCol).cast("long").as(weightCol)): _*)
+    val wOk = col(weightCol).isNotNull && col(weightCol) > 0 &&
+      col(weightCol).cast("long") === col(weightCol)
+    df.select((strataCols.map(col) :+ col(idCol) :+ col(weightCol)): _*)
       .withColumn("_ps_h", h)
       .withColumn("_ps_q",
-        when(col(weightCol).isNotNull && col(weightCol) > 0, expr(
+        when(wOk, expr(
           s"cast((cast($weightCol as decimal(38,0)) * 281474976710656)" +
             " div (_ps_h + 1L) as bigint)"))
           .otherwise(raise_error(concat(
-            lit(s"prioritySample needs positive weights; $weightCol = "),
+            lit(s"prioritySample needs positive integer weights " +
+              s"(quantize fractional weights first); $weightCol = "),
             coalesce(col(weightCol).cast("string"), lit("null"))))))
+      .withColumn(weightCol, col(weightCol).cast("long"))
   }
 
   /** STRATIFIED [[prioritySample]]: an independent weight-proportional

@@ -319,9 +319,30 @@ object Dedup {
       }
     }))
 
-  private[ext] def registerStageDirForCleanup(dir: String): Unit = {
+  private[graft] def registerStageDirForCleanup(dir: String): Unit = {
     installStageCleanupHook
     stageDirs.add(dir)
+  }
+
+  /** Delete every registered staging dir NOW and clear the registry —
+    * the inter-query hygiene hook for long catalog sessions (Bench,
+    * Verify). The JVM-exit hook alone let a 229-query session accumulate
+    * dozens of temp parquet stages (disk + page-cache pressure measured
+    * as up-to-17× bench-tail inflation in round 11). Safe between
+    * independent queries: a stage is only read by the query that created
+    * it, and that query has completed its action before the drain. */
+  def drainStageDirs(): Unit = {
+    val it = stageDirs.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      it.remove()
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
   }
 
   /** MinHash signature via the native single-pass codegen expression

@@ -312,14 +312,24 @@ object Learn {
     * the WARN reserved for real unbounded windows). Pair products fold
     * as decimal(38,0) and the outputs cast to long with ANSI overflow
     * loudness. Returns ONE row (n_pos, n_neg, auc2_num, auc_permille);
-    * auc_permille is NULL when either class is empty. */
+    * auc_permille is NULL when either class is empty.
+    *
+    * LABEL CONTRACT: y > 0 is positive, y < 0 is negative (the ±1
+    * convention of the x65 family). A y == 0 or NULL label raises PER
+    * ROW — the common 0/1 labeling would otherwise silently produce
+    * n_neg = 0 and a NULL AUC; remap 0/1 labels to -1/+1 first. */
   def aucExact(scored: DataFrame, yCol: String, sCol: String,
                maxScoreCandidates: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxScoreCandidates >= 1, "maxScoreCandidates must be >= 1")
+    val yChecked = when(col(yCol) > 0 || col(yCol) < 0, col(yCol))
+      .otherwise(raise_error(concat(
+        lit(s"aucExact labels must be +1/-1 ($yCol > 0 positive, < 0 " +
+          s"negative; remap 0/1 labels); got $yCol = "),
+        coalesce(col(yCol).cast("string"), lit("null")))))
     val g = scored.groupBy(col(sCol).as("_auc_s"))
-      .agg(sum(when(col(yCol) > 0, 1L).otherwise(0L)).as("_auc_p"),
-        sum(when(col(yCol) < 0, 1L).otherwise(0L)).as("_auc_q"))
+      .agg(sum(when(yChecked > 0, 1L).otherwise(0L)).as("_auc_p"),
+        sum(when(yChecked < 0, 1L).otherwise(0L)).as("_auc_q"))
     val card = g.count()
     require(card <= maxScoreCandidates,
       s"AUC has $card distinct score candidates (> maxScoreCandidates = " +

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** MERGEABLE SKETCHES for corpus-scale statistics — the third leg of the
   * approximate family beside LSH buckets (dedup) and IVF cells (ANN):
-  * fixed-size summaries whose cells are plain aggregates (SUM / MAX), so
-  * they combine map-side, merge across shards/batches by construction,
-  * and — because every hash is an md5 derivation, never a seeded RNG —
-  * replay BIT-FOR-BIT in any engine. That determinism is the house
-  * discipline (bloomPositions, SimHash, the salted draws): the sketch's
-  * approximation ERROR is itself oracle-checkable, not just bounded on
-  * paper.
+  * fixed-size summaries whose cells are plain aggregates (SUM / MAX /
+  * bottom-k), so they combine map-side, merge across shards/batches by
+  * construction, and — because every hash is an md5 derivation, never a
+  * seeded RNG — replay BIT-FOR-BIT in any engine. That determinism is the
+  * house discipline (bloomPositions, SimHash, the salted draws): the
+  * sketch's approximation ERROR is itself oracle-checkable, not just
+  * bounded on paper.
   *
   * Count–min sketch: frequency estimation / heavy hitters over an
   * unbounded value stream in depth×width cells (overestimates only).
@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * ln uses the Q8 integer log₂ shared with the tokenizer trainers and
   * an ln 2 Q20 constant — a documented, deterministic approximation of
   * the float formula, NOT a float).
+  * KMV (bottom-k / theta): distinct-value sampling for SET estimates —
+  * union, intersection, Jaccard — across corpora.
+  * Quantile sketch: hash-coordinated bottom-k row sample answering all
+  * quantiles per group key ([[qsState]] — the mergeable quantile summary
+  * that completes the family: frequency, distinct, overlap, quantiles).
   */
 object Sketch {
 
@@ -216,6 +221,126 @@ object Sketch {
         when(col("k_eff") === 0L, lit(0L)).otherwise(expr(
           "cast((cast(j_num as decimal(38,0)) * union_est) div k_eff" +
             " as bigint)")).as("inter_est"))
+  }
+
+  /** md5-derived 48-bit quantile-sketch hash of a row id: first 12 md5
+    * hex digits of "id:qtl" as a long — a salt chain independent of
+    * ":kmv"/":cms:"/":pri", replayed in SQL by the 12-nibble positional
+    * chain (x92). */
+  private def qsHash(id: Column): Column =
+    conv(substring(md5(concat(id, lit(":qtl"))), 1, 12), 16, 10).cast("long")
+
+  /** MERGEABLE QUANTILE SKETCH state over a keyed value stream — the
+    * fourth sketch beside count–min (frequency), HLL (distinct) and KMV
+    * (set overlap): per group key, the ≤ `k` rows whose ":qtl"-salted
+    * 48-bit md5 row-id hash is smallest (ties value-ascending), each
+    * carrying its VALUE — i.e. a hash-coordinated uniform row sample,
+    * the classic mergeable quantile summary (Agarwal et al., PODS'12,
+    * "Mergeable summaries": a random sample of size k answers all
+    * quantiles to ε ≈ √(log(1/δ)/k)). A KLL/GK compactor would give
+    * ε = O(1/k), but its compaction decisions depend on ARRIVAL ORDER —
+    * merge ≡ one-shot bit-for-bit (the house pin that makes the sketch
+    * oracle-checkable) is structurally impossible there; hash
+    * coordination gives it by construction: the bottom-k of a union is
+    * within the union of the sides' bottom-k's, so shard/batch states
+    * re-bottom-k into EXACTLY the one-shot state ([[qsMerge]],
+    * SketchSpec pins it). No RNG anywhere — the sample, the estimates,
+    * and their sampling ERROR all replay bit-for-bit in any engine.
+    *
+    * VALUES must already be integers (the Q-fixed-point contract):
+    * a fractional value raises PER ROW rather than silently truncating.
+    * `idCol` must uniquely key rows within the stream (the doc_id
+    * contract) — the hash coordinates on row identity so duplicate
+    * VALUES still sample uniformly. NULL values are skipped.
+    *
+    * Plan: one guarded projection → distinct → the W2 bounded per-key
+    * top-k window (partitioned by the group keys, never global); only
+    * (keys, 8-byte h, 8-byte v) rows ever cross an exchange. */
+  def qsState(df: DataFrame, keyCols: Seq[String], idCol: String,
+              valueCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && k <= (1 << 16), s"k must be in [2, 2^16]: $k")
+    // the state schema is (keys..., h, v): only a KEY column can collide
+    // with it (the id feeds the hash, the value aliases to v)
+    Seq("h", "v", "_qs_rn").foreach(c => require(!keyCols.contains(c),
+      s"qsState reserves column $c — rename the key column"))
+    val vChecked = when(col(valueCol).cast("long") === col(valueCol),
+        col(valueCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"qsState needs integer (Q-fixed-point) values; $valueCol = "),
+        col(valueCol).cast("string"))))
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+
+        qsHash(col(idCol).cast("string")).as("h") :+
+        vChecked.as("v")): _*)
+      .distinct()
+    val win = Window
+      .partitionBy((if (keyCols.isEmpty) Seq(pmod(col("h"), lit(1L)))
+        else keyCols.map(col)): _*)
+      .orderBy(col("h"), col("v"))
+    rows.withColumn("_qs_rn", row_number().over(win))
+      .filter(col("_qs_rn") <= k).drop("_qs_rn")
+  }
+
+  /** Merge quantile-sketch states (shards, batches, micro-batches) by
+    * re-bottom-k per key: every one of the k smallest (h, v) rows of the
+    * union is within its own side's k smallest, so the merged state IS
+    * the one-shot state bit-for-bit (SketchSpec pins it) — continuous
+    * quantile tracking never rescans the base corpus. */
+  def qsMerge(states: Seq[DataFrame], keyCols: Seq[String],
+              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(states.nonEmpty, "qsMerge needs at least one state")
+    require(k >= 2 && k <= (1 << 16), s"k must be in [2, 2^16]: $k")
+    val win = Window
+      .partitionBy((if (keyCols.isEmpty) Seq(pmod(col("h"), lit(1L)))
+        else keyCols.map(col)): _*)
+      .orderBy(col("h"), col("v"))
+    states.reduce(_ unionByName _).distinct()
+      .withColumn("_qs_rn", row_number().over(win))
+      .filter(col("_qs_rn") <= k).drop("_qs_rn")
+  }
+
+  /** [[qsState]] staged to parquet — the base-corpus sample a later
+    * batch merges into without rescanning the base. */
+  def qsStateStaged(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    valueCol: String, k: Int): DataFrame =
+    stage(qsState(df, keyCols, idCol, valueCol, k), "graft_qs_stage_")
+
+  /** Quantile estimates from a [[qsState]] frame ALONE (the corpus is
+    * never touched): for each group key and requested permille p, the
+    * value at rank ⌈p·n/1000⌉ (≥ 1) of the state's values sorted
+    * ascending (ties hash-ascending — any tie order yields the same
+    * VALUE), where n ≤ k is the state's per-key row count. Exact
+    * integer rank arithmetic, replayed verbatim in SQL. Returns
+    * (keys..., permille, est), one row per key × permille.
+    *
+    * Plan: both windows run over the ≤ k-per-key STATE (constant-key
+    * partition in the ungrouped case — the censused-frame discipline),
+    * and the permille list folds in as a plan literal. */
+  def qsQuantiles(state: DataFrame, keyCols: Seq[String],
+                  permilles: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(permilles.nonEmpty && permilles == permilles.sorted &&
+      permilles.distinct == permilles &&
+      permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be distinct, ascending, in [1, 1000]: $permilles")
+    Seq("h", "v").foreach(c => require(state.columns.contains(c),
+      s"qsQuantiles takes qsState frames (column $c)"))
+    val parts = if (keyCols.isEmpty) Seq(pmod(col("h"), lit(1L)))
+      else keyCols.map(col)
+    val ranked = state
+      .withColumn("_qs_n", count(lit(1)).over(Window.partitionBy(parts: _*)))
+      .withColumn("_qs_vr", row_number().over(
+        Window.partitionBy(parts: _*).orderBy(col("v"), col("h"))))
+    ranked
+      .select((keyCols.map(col) :+ col("v") :+ col("_qs_n") :+
+        col("_qs_vr") :+
+        explode(typedlit(permilles.map(_.toLong))).as("permille")): _*)
+      .filter(col("_qs_vr") ===
+        greatest(lit(1L), expr("(permille * _qs_n + 999L) div 1000L")))
+      .select((keyCols.map(col) :+ col("permille") :+
+        col("v").as("est")): _*)
   }
 
   /** HYPERLOGLOG registers over a (grouped) value stream: per group key,

@@ -772,8 +772,19 @@ object TextStats {
     // arithmetic, ANSI-safe; DuckDB's `//` floors natively)
     val qExpr = expr(s"(score div ${quantStep}L) - (CASE WHEN score < 0 " +
       s"AND pmod(score, ${quantStep}L) != 0 THEN 1L ELSE 0L END)")
+    // scores must already be integers (the Q-fixed-point contract of
+    // every scorer in this library): a fractional score would truncate
+    // toward zero BEFORE the floor-quantize correction and diverge from
+    // an oracle flooring the original value — raise PER ROW instead.
+    // NULL scores stay allowed (→ the reserved "unscored" bucket).
+    val sChecked = when(
+        col(scoreCol).isNull || col(scoreCol).cast("long") === col(scoreCol),
+        col(scoreCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"scoreBuckets needs integer (Q-fixed-point) scores; " +
+          s"$scoreCol = "), col(scoreCol).cast("string"))))
     val s = scored
-      .select(col(idCol).as("doc_id"), col(scoreCol).cast("long").as("score"))
+      .select(col(idCol).as("doc_id"), sChecked.as("score"))
     val bins = s.filter(col("score").isNotNull)
       .withColumn("_sb_q", qExpr)
       .groupBy(col("_sb_q")).agg(count(lit(1)).as("_sb_c"))

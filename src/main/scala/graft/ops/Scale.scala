@@ -215,30 +215,16 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Unique temp directory for a written layout, registered for recursive
-    * deletion at JVM exit — the same no-accumulation/no-race contract as
-    * Dedup.stageSignatures' staging dirs. */
+  /** Unique temp directory for a written layout, registered in the shared
+    * staging-dir registry (Dedup) — deleted at JVM exit, or earlier by the
+    * Bench/Verify per-query `drainStageDirs()` hygiene so a long catalog
+    * session doesn't accumulate dozens of layouts' disk + page-cache
+    * pressure (the round-11 bench-tail amplification). */
   def tempLayoutDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    installLayoutCleanupHook
-    layoutDirs.add(dir.toString)
+    graft.ext.Dedup.registerStageDirForCleanup(dir.toString)
     dir.toString
   }
-
-  private val layoutDirs = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  private lazy val installLayoutCleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      layoutDirs.forEach { d =>
-        val p = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        }
-      }
-    }))
 
   /** Per-file skipping manifest for a parquet directory: one row per data
     * file with its row count and per-key min/max — the file-skipping
@@ -395,7 +381,11 @@ object Scale {
     * batches a pruned probe of that partition pays B file opens +
     * footers. This walks the `partCol=` directories (an O(partitions)
     * driver listing — the footer-manifest scale contract) and rewrites
-    * every partition holding more than `maxFilesPerPart` data files:
+    * every partition holding more than `maxFilesPerPart` data files.
+    * The small-vs-big row census comes from parquet FOOTER metadata
+    * (O(hot files) footer opens on executors, zero data read — the
+    * [[parquetManifestFooters]] contract), so the data itself is read
+    * exactly once:
     * ONE read pruned to the hot partitions (`pruneFilter` builds the
     * partition-column predicate in the caller's key type, so static
     * pruning stays intact) + ONE `partitionBy` write into a hidden
@@ -463,8 +453,29 @@ object Scale {
       .schema(dataSchema.add(partCol, org.apache.spark.sql.types.StringType))
       .parquet(layoutDir)
       .filter(pruneFilter(hotKeys))
-    val rows = pruned.groupBy(col(partCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    // small-vs-big census from parquet FOOTER metadata only — O(files)
+    // footer opens distributed over executors, zero data read. The
+    // groupBy(partCol).count() this replaces was a full second pass over
+    // the very data the compaction is about to rewrite.
+    val sconf = new org.apache.spark.SerializableWritable(conf)
+    val keyedFiles = hotKeys.flatMap { k =>
+      dataFiles(new org.apache.hadoop.fs.Path(root, s"$prefix$k"))
+        .map(s => k -> fs.makeQualified(s.getPath).toUri.toString)
+    }
+    val rows: Map[String, Long] = spark.sparkContext
+      .parallelize(keyedFiles, math.max(1, math.min(keyedFiles.size, 64)))
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val c = sconf.value
+        it.map { case (k, p) =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), c))
+          try (k, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+          finally reader.close()
+        }
+      }.collect() // O(hot files) pairs — bounded like the dir listing
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
     val (big, small) = hotKeys
       .partition(k => rows.getOrElse(k, 0L) > targetRowsPerFile)
     if (small.nonEmpty)
@@ -477,17 +488,32 @@ object Scale {
         new org.apache.hadoop.fs.Path(staging, s"$prefix$k").toString,
         targetRowsPerFile)
     }
-    // commit: rename-first swap per partition (see scaladoc)
-    val out = hotKeys.map { k =>
-      val part = new org.apache.hadoop.fs.Path(root, s"$prefix$k")
-      val old = new org.apache.hadoop.fs.Path(staging, s"old-$prefix$k")
-      val staged = new org.apache.hadoop.fs.Path(staging, s"$prefix$k")
-      require(fs.rename(part, old), s"compact commit failed for $prefix$k")
-      if (fs.exists(staged))
-        require(fs.rename(staged, part), s"compact commit failed for $prefix$k")
-      require(fs.delete(old, true), s"compact cleanup failed for $prefix$k")
-      (k, hot(k), if (fs.exists(part)) dataFiles(part).length else 0)
-    }
+    // commit: rename-first swap per partition (see scaladoc). Partitions
+    // are independent, so the 3-4 FS round-trips each are issued from a
+    // bounded driver pool — on an object store with thousands of hot
+    // partitions the commit costs max(rename latency), not the serial
+    // sum of O(partitions) metadata round-trips. Crash mid-commit leaves
+    // some partitions swapped and some staged, exactly like the serial
+    // form — the leftover-.compact refusal above is the recovery gate.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, hotKeys.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val out = try {
+      val futs = hotKeys.map { k => scala.concurrent.Future {
+        val part = new org.apache.hadoop.fs.Path(root, s"$prefix$k")
+        val old = new org.apache.hadoop.fs.Path(staging, s"old-$prefix$k")
+        val staged = new org.apache.hadoop.fs.Path(staging, s"$prefix$k")
+        require(fs.rename(part, old), s"compact commit failed for $prefix$k")
+        if (fs.exists(staged))
+          require(fs.rename(staged, part), s"compact commit failed for $prefix$k")
+        require(fs.delete(old, true), s"compact cleanup failed for $prefix$k")
+        (k, hot(k), if (fs.exists(part)) dataFiles(part).length else 0)
+      }}
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     fs.delete(staging, true)
     out
   }

@@ -171,4 +171,47 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(dj == ((6L, 0L, 6L, 0L)), dj.toString)
   }
+
+  test("quantile sketch: per-key bottom-k state; merge == one-shot; take-all regime exact") {
+    // key a: 300 rows (sampled regime at k=64); key b: 40 rows (take-all)
+    val df = ((1 to 300).map(i => ("a", i.toLong, i * 3L)) ++
+      (1 to 40).map(i => ("b", 1000L + i, i * 10L))).toDF("k", "id", "v")
+    val k = 64
+    val st = Sketch.qsState(df, Seq("k"), "id", "v", k)
+    val stc = st.as[(String, Long, Long)].collect()
+    assert(stc.count(_._1 == "a") == k && stc.count(_._1 == "b") == 40)
+    // shard merge equals the one-shot state bit-for-bit
+    val sh1 = Sketch.qsState(df.filter($"id" % 2 === 0), Seq("k"), "id", "v", k)
+    val sh2 = Sketch.qsState(df.filter($"id" % 2 === 1), Seq("k"), "id", "v", k)
+    val merged = Sketch.qsMerge(Seq(sh1, sh2), Seq("k"), k)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(merged == stc.sorted.toSeq, "merge must equal one-shot")
+    // take-all regime: the estimates ARE the group's exact quantiles
+    val q = Sketch.qsQuantiles(st, Seq("k"), Seq(500, 900, 1000))
+      .as[(String, Long, Long)].collect().toSeq
+    val bq = q.filter(_._1 == "b").map(t => t._2 -> t._3).toMap
+    assert(bq == Map(500L -> 200L, 900L -> 360L, 1000L -> 400L), bq.toString)
+    // sampled regime: median of the 3..900 staircase (true p50 = 450)
+    // within the ~1/√k sampling band — deterministic given md5, so this
+    // pins the OBSERVED error, not a probabilistic bound
+    val aq = q.filter(_._1 == "a").map(t => t._2 -> t._3).toMap
+    assert(math.abs(aq(500L) - 450L) <= 170, aq.toString)
+    assert(aq(1000L) <= 900L && aq(1000L) >= 450L, aq.toString)
+    // ungrouped form: constant-key partition, same take-all exactness
+    val ug = Sketch.qsQuantiles(
+      Sketch.qsState(df.filter($"k" === "b"), Nil, "id", "v", k),
+      Nil, Seq(500)).as[(Long, Long)].collect().toSeq
+    assert(ug == Seq((500L, 200L)), ug.toString)
+    // fractional values raise loudly; bad params raise loudly
+    val bad = Seq(("a", 1L, 2.5)).toDF("k", "id", "v")
+    intercept[Exception] {
+      Sketch.qsState(bad, Seq("k"), "id", "v", k).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.qsState(df, Seq("k"), "id", "v", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.qsQuantiles(st, Seq("k"), Seq(900, 500))
+    }
+  }
 }

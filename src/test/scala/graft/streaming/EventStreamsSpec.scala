@@ -333,7 +333,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == expected)
   }
 
-  test("streaming sketch maintenance: per-batch CMS/HLL/KMV merges ≡ one-shot state") {
+  test("streaming sketch maintenance: per-batch CMS/HLL/KMV/quantile merges ≡ one-shot state") {
     // continuous-ingest sketches: each micro-batch builds its own cells /
     // registers / bottom-k sample and MERGES into the running state — the
     // stream never rescans prior batches. Because the states are sums /
@@ -357,10 +357,16 @@ class EventStreamsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     val kmvOne = graft.ext.Sketch.kmvState(all, "tok", 8)
       .as[Long].collect().sorted.toSeq
+    def lens(df: DataFrame) = df.select(col("doc_id"),
+      lit("all").as("k"), length(col("text")).cast("long").as("len"))
+    val qsOne = graft.ext.Sketch.qsQuantiles(
+      graft.ext.Sketch.qsState(lens(docs), Seq("k"), "doc_id", "len", 16),
+      Seq("k"), Seq(500, 900)).as[(String, Long, Long)].collect().sorted.toSeq
 
     val cmsB = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Long, Long)]]
     val hllB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
     val kmvB = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val qsB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream.trigger(Trigger.AvailableNow())
@@ -372,6 +378,9 @@ class EventStreamsSpec extends SparkSpec {
           .as[(String, Long, Long)].collect().toSeq
         kmvB += graft.ext.Sketch.kmvState(t, "tok", 8)
           .as[Long].collect().toSeq
+        qsB += graft.ext.Sketch.qsState(
+          lens(batch), Seq("k"), "doc_id", "len", 16)
+          .as[(String, Long, Long)].collect().toSeq
         ()
       }
       .start()
@@ -390,6 +399,11 @@ class EventStreamsSpec extends SparkSpec {
     val kmvStream = graft.ext.Sketch.kmvMerge(
       kmvB.toSeq.map(_.toDF("h")), 8).as[Long].collect().sorted.toSeq
     assert(kmvStream == kmvOne)
+    val qsStream = graft.ext.Sketch.qsQuantiles(
+      graft.ext.Sketch.qsMerge(
+        qsB.toSeq.map(_.toDF("k", "h", "v")), Seq("k"), 16),
+      Seq("k"), Seq(500, 900)).as[(String, Long, Long)].collect().sorted.toSeq
+    assert(qsStream == qsOne)
   }
 
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
