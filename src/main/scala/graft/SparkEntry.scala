@@ -3910,31 +3910,31 @@ object SparkEntry {
     // arithmetic shared with the unigram oracles
     def lq(src: String, keys: String): Seq[String] = {
       // accumulator named fr8 — the pair chain's key columns include 'a'
-      val l0 = s"""${src}_l0 AS (SELECT $keys, v, length(bin(v)) - 1 AS e,
+      val l0 = s"""${src}_l0 AS MATERIALIZED (SELECT $keys, v, length(bin(v)) - 1 AS e,
         (v * 256) // (1::BIGINT << (length(bin(v)) - 1)) AS m,
         0::BIGINT AS fr8 FROM $src)"""
       val steps = (1 to 8).map { i =>
-        s"""${src}_l$i AS (SELECT $keys, v, e,
+        s"""${src}_l$i AS MATERIALIZED (SELECT $keys, v, e,
           CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
           fr8*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS fr8
           FROM ${src}_l${i - 1})"""
       }
       (l0 +: steps) :+
-        s"${src}_lq AS (SELECT $keys, v, e*256 + fr8 AS lq FROM ${src}_l8)"
+        s"${src}_lq AS MATERIALIZED (SELECT $keys, v, e*256 + fr8 AS lq FROM ${src}_l8)"
     }
     def round(r: Int): Seq[String] = {
       val prev = s"t${r - 1}"
       Seq(
-        s"""uc$r AS (SELECT u, SUM(wcnt) AS v FROM (
+        s"""uc$r AS MATERIALIZED (SELECT u, SUM(wcnt) AS v FROM (
               SELECT unnest(string_split(t, ' ')) AS u, wcnt FROM $prev)
             GROUP BY 1)""",
-        s"""pc$r AS (SELECT a, b, SUM(wcnt) AS v FROM (
+        s"""pc$r AS MATERIALIZED (SELECT a, b, SUM(wcnt) AS v FROM (
               SELECT s[i] AS a, s[i+1] AS b, wcnt
               FROM (SELECT string_split(t, ' ') AS s, wcnt FROM $prev), js
               WHERE i <= len(s) - 1)
             GROUP BY 1, 2)""") ++
         lq(s"uc$r", "u") ++ lq(s"pc$r", "a, b") ++ Seq(
-        s"""m$r AS (SELECT p.a, p.b,
+        s"""m$r AS MATERIALIZED (SELECT p.a, p.b,
               p.a || CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3) ELSE p.b END AS mg,
               p.v AS pn, p.lq - ua.lq - ub.lq AS s
             FROM pc${r}_lq p JOIN uc${r}_lq ua ON p.a = ua.u
@@ -3944,7 +3944,7 @@ object SparkEntry {
         // unchanged — the engine stops applying merges on exhaustion;
         // replace(t, NULL, NULL) would instead NULL-poison every word
         // and wipe the encode oracle's vocabulary
-        s"""t$r AS (SELECT CASE WHEN (SELECT COUNT(*) FROM m$r) = 0 THEN t
+        s"""t$r AS MATERIALIZED (SELECT CASE WHEN (SELECT COUNT(*) FROM m$r) = 0 THEN t
               ELSE trim(replace(replace(
                 ' ' || replace(t, ' ', '  ') || ' ',
                 (SELECT ' ' || a || '  ' || b || ' ' FROM m$r),
@@ -3952,14 +3952,14 @@ object SparkEntry {
               '  ', ' ')) END AS t, wcnt FROM $prev)""")
     }
     val base = Seq(
-      s"""w0 AS (SELECT unnest(string_split_regex(
+      s"""w0 AS MATERIALIZED (SELECT unnest(string_split_regex(
            regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS ww
          FROM documents WHERE text IS NOT NULL
            AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> '')""",
-      s"""w AS (SELECT substr(ww, 1, $maxW) AS word, COUNT(*) AS wcnt
+      s"""w AS MATERIALIZED (SELECT substr(ww, 1, $maxW) AS word, COUNT(*) AS wcnt
          FROM w0 WHERE ww <> '' GROUP BY 1)""",
-      s"js AS (SELECT i FROM generate_series(1, $maxW) t(i))",
-      s"""t0 AS (SELECT substr(word, 1, 1) ||
+      s"js AS MATERIALIZED (SELECT i FROM generate_series(1, $maxW) t(i))",
+      s"""t0 AS MATERIALIZED (SELECT substr(word, 1, 1) ||
            regexp_replace(substr(word, 2), '(.)', ' ##\\1', 'g') AS t, wcnt
          FROM w)""")
     val trainParts = base ++ round(1) ++ round(2) ++ round(3)
@@ -3974,39 +3974,54 @@ object SparkEntry {
     // the whole word is one [UNK] (pos jumps to the end so the walk
     // terminates); the roll-up orders pieces by in-doc word position
     val encodeParts = trainParts ++ Seq(
-      s"""vc AS (SELECT u, SUM(wcnt) AS cnt FROM (
+      s"""vc AS MATERIALIZED (SELECT u, SUM(wcnt) AS cnt FROM (
             SELECT unnest(string_split(t, ' ')) AS u, wcnt FROM t3)
           GROUP BY 1)""",
-      s"voc AS (SELECT u FROM vc WHERE cnt >= $minFreq)",
-      s"ls AS (SELECT l FROM generate_series(1, $maxP) t(l))",
+      s"voc AS MATERIALIZED (SELECT u FROM vc WHERE cnt >= $minFreq)",
+      s"ls AS MATERIALIZED (SELECT l FROM generate_series(1, $maxP) t(l))",
+      // the longest-match argmax is SET-BASED (candidate lengths expand
+      // through one hash join against voc, MAX(l) picks the winner, the
+      // piece re-derives from (word, pos, l)) — the correlated
+      // `ORDER BY l DESC LIMIT 1` scalar subquery it replaces
+      // re-executed per live word per step and measured 74-94 s per
+      // encode oracle at sf0.01; this form is < 2 s, same walk exactly
       s"""seg AS (
         SELECT word, 0 AS pos, 0::BIGINT AS np, FALSE AS unk, '' AS acc
         FROM w
         UNION ALL
         SELECT word,
-          CASE WHEN nx.l IS NULL THEN length(word) ELSE pos + nx.l END,
-          CASE WHEN nx.l IS NULL THEN 1::BIGINT ELSE np + 1 END,
-          nx.l IS NULL,
-          CASE WHEN nx.l IS NULL THEN '[UNK]'
-               ELSE acc || CASE WHEN acc = '' THEN '' ELSE ' ' END || nx.p END
+          CASE WHEN ml IS NULL THEN length(word) ELSE pos + ml END,
+          CASE WHEN ml IS NULL THEN 1::BIGINT ELSE np + 1 END,
+          ml IS NULL,
+          CASE WHEN ml IS NULL THEN '[UNK]'
+               ELSE acc || CASE WHEN acc = '' THEN '' ELSE ' ' END ||
+                 CASE WHEN pos = 0 THEN substr(word, 1, ml)
+                      ELSE '##' || substr(word, pos + 1, ml) END END
         FROM (
-          SELECT word, pos, np, acc,
-            (SELECT {'l': c.l, 'p': c.p} FROM (
-               SELECT l, CASE WHEN z.pos = 0 THEN substr(z.word, 1, l)
-                              ELSE '##' || substr(z.word, z.pos + 1, l) END AS p
-               FROM ls WHERE l <= length(z.word) - z.pos) c
-             JOIN voc v ON v.u = c.p
-             ORDER BY c.l DESC LIMIT 1) AS nx
-          FROM seg z WHERE z.pos < length(z.word)))""",
-      "wseg AS (SELECT word, np, unk, acc FROM seg WHERE pos = length(word))",
-      s"""docw AS (SELECT doc_id, i AS pos, substr(t[i], 1, $maxW) AS word
-         FROM (SELECT doc_id, string_split_regex(
-                 regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
-               FROM documents WHERE text IS NOT NULL
-                 AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
-              (SELECT unnest(generate_series(1, (SELECT CAST(MAX(length(text))
-                 AS BIGINT) FROM documents))) AS i) g
-         WHERE i <= len(t) AND t[i] <> '')""")
+          SELECT z.word, z.pos, z.np, z.acc,
+            MAX(CASE WHEN v.u IS NOT NULL THEN ls.l END) AS ml
+          FROM seg z
+          JOIN ls ON ls.l <= length(z.word) - z.pos
+          LEFT JOIN voc v
+            ON v.u = CASE WHEN z.pos = 0 THEN substr(z.word, 1, ls.l)
+                          ELSE '##' || substr(z.word, z.pos + 1, ls.l) END
+          WHERE z.pos < length(z.word)
+          GROUP BY z.word, z.pos, z.np, z.acc))""",
+      "wseg AS MATERIALIZED (SELECT word, np, unk, acc FROM seg WHERE pos = length(word))",
+      // generate_subscripts + unnest expand the word list IN LOCKSTEP —
+      // the generate_series(1, MAX(length(text))) cross join this
+      // replaces copied every doc's whole word LIST once per character
+      // index (O(docs·max_chars·words) list copies, the dominant cost
+      // of the encode oracle at sf0.01)
+      s"""docw AS MATERIALIZED (SELECT doc_id, pos, substr(ww, 1, $maxW) AS word
+         FROM (SELECT doc_id, generate_subscripts(t, 1) AS pos,
+                      unnest(t) AS ww
+               FROM (SELECT doc_id, string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$$', '', 'g'),
+                       '\\s+') AS t
+                     FROM documents WHERE text IS NOT NULL
+                       AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''))
+         WHERE ww <> '')""")
     val encodeSql = "WITH RECURSIVE " + encodeParts.mkString(",\n  ") + """
       SELECT d.doc_id,
         CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -4023,8 +4038,9 @@ object SparkEntry {
     * unrolled shift-and-square CTE steps — the same arithmetic as
     * [[graft.ext.Unigram.log2q8]]), BOTH Viterbi hard-EM rounds as
     * recursive CTEs (dp carried as a LIST<STRUCT(s,j)> per word; the
-    * (score desc, split asc) tie rule as ORDER BY cs DESC, cj ASC LIMIT
-    * 1), required-char floors, the prune cut, and the final scores. */
+    * (score desc, split asc) tie rule via the packed-MAX argmax — see
+    * the viterbi builder), required-char floors, the prune cut, and the
+    * final scores. */
   /** Shared builder of the x74/x74b oracles: the training replay (seed →
     * two hard-EM Viterbi rounds → prune → final Q8 scores) is common; the
     * score form appends a THIRD Viterbi pass under the final scores plus
@@ -4035,17 +4051,17 @@ object SparkEntry {
   private val (unigramOracleSql: String, unigramScoreOracleSql: String) = {
     val (maxP, maxW, nSeed, vocab) = (4, 16, 40, 40)
     def logChain(src: String): (Seq[String], String) = {
-      val l0 = s"""${src}_l0 AS (SELECT piece, cnt, length(bin(cnt)) - 1 AS e,
+      val l0 = s"""${src}_l0 AS MATERIALIZED (SELECT piece, cnt, length(bin(cnt)) - 1 AS e,
         (cnt * 256) // (1::BIGINT << (length(bin(cnt)) - 1)) AS m,
         0::BIGINT AS a FROM $src)"""
       val steps = (1 to 8).map { i =>
-        s"""${src}_l$i AS (SELECT piece, cnt, e,
+        s"""${src}_l$i AS MATERIALIZED (SELECT piece, cnt, e,
           CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
           a*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS a
           FROM ${src}_l${i - 1})"""
       }
       val fin = s"${src}_lq"
-      ((l0 +: steps) :+ s"$fin AS (SELECT piece, cnt, e*256 + a AS lq FROM ${src}_l8)",
+      ((l0 +: steps) :+ s"$fin AS MATERIALIZED (SELECT piece, cnt, e*256 + a AS lq FROM ${src}_l8)",
         fin)
     }
     // vocabCte(piece, cnt) -> vs_tag(piece, s): Q8 log-prob scores
@@ -4053,68 +4069,83 @@ object SparkEntry {
     def scores(vocabCte: String, tag: String): Seq[String] = {
       val wt = s"wt_$tag"
       val (chain, fin) = logChain(wt)
-      (s"""$wt AS (SELECT piece, cnt FROM $vocabCte
+      (s"""$wt AS MATERIALIZED (SELECT piece, cnt FROM $vocabCte
          UNION ALL SELECT '', SUM(cnt) FROM $vocabCte)""" +: chain) :+
-        s"""vs_$tag AS (SELECT piece,
+        s"""vs_$tag AS MATERIALIZED (SELECT piece,
            lq - (SELECT lq FROM $fin WHERE piece = '') AS s
            FROM $fin WHERE piece <> '')"""
     }
-    // Viterbi counts under vs(piece, s) over w(word, wcnt) -> cnt_tag
+    // Viterbi counts under vs(piece, s) over w(word, wcnt) -> cnt_tag.
+    // The per-step argmax is SET-BASED: every (word, j, piece) candidate
+    // expands through one vectorized hash join and folds with MAX over
+    // the packed key (cs + 2^30)*32 + (16 - j) — exactly the
+    // (cs DESC, j ASC) tie order (|cs| < 2^30 by the Q8 score bounds;
+    // 16 - j < 32). A correlated `ORDER BY ... LIMIT 1` scalar subquery
+    // here re-executes per row per step and measured 562 s at sf0.01 —
+    // 40% of the whole 229-oracle gate; this form is < 2 s. The LEFT
+    // join keeps a no-candidate word alive with a NULL step (the
+    // engine's oov sentinel path), though the char floor makes that arm
+    // structurally dead on any corpus whose chars seed the vocab.
     def viterbi(vs: String, tag: String): Seq[String] = Seq(
       s"""dp_$tag AS (
         SELECT word, 0 AS pos, [{'s': 0::BIGINT, 'j': -1}] AS d FROM w
         UNION ALL
         SELECT word, pos + 1,
-          list_append(d, (
-            SELECT {'s': cs, 'j': cj} FROM (
-              SELECT d[js.j + 1].s + v.s AS cs, js.j AS cj
-              FROM js JOIN $vs v
-                ON js.j BETWEEN GREATEST(0, pos + 1 - $maxP) AND pos
-               AND v.piece = substr(word, js.j + 1, pos + 1 - js.j)
-              ORDER BY cs DESC, cj ASC LIMIT 1)))
-        FROM dp_$tag WHERE pos < length(word))""",
-      s"fin_$tag AS (SELECT word, d FROM dp_$tag WHERE pos = length(word))",
+          list_append(d, {'s': mx // 32 - (1::BIGINT << 30),
+                          'j': 16 - (mx % 32)})
+        FROM (
+          SELECT dp.word, dp.pos, dp.d,
+            MAX((dp.d[js.j + 1].s + v.s + (1::BIGINT << 30)) * 32
+                + (16 - js.j)) AS mx
+          FROM dp_$tag dp
+          LEFT JOIN js ON js.j BETWEEN GREATEST(0, dp.pos + 1 - $maxP)
+                            AND dp.pos
+          LEFT JOIN $vs v
+            ON v.piece = substr(dp.word, js.j + 1, dp.pos + 1 - js.j)
+          WHERE dp.pos < length(dp.word)
+          GROUP BY dp.word, dp.pos, dp.d))""",
+      s"fin_$tag AS MATERIALIZED (SELECT word, d FROM dp_$tag WHERE pos = length(word))",
       s"""path_$tag AS (
         SELECT word, length(word) AS pos, d FROM fin_$tag
         UNION ALL
         SELECT word, d[pos + 1].j, d FROM path_$tag WHERE pos > 0)""",
-      s"""cnt_$tag AS (
+      s"""cnt_$tag AS MATERIALIZED (
         SELECT substr(p.word, p.d[p.pos + 1].j + 1, p.pos - p.d[p.pos + 1].j) AS piece,
                SUM(w.wcnt) AS cnt
         FROM path_$tag p JOIN w USING (word) WHERE p.pos > 0
         GROUP BY 1)""")
     val base = Seq(
-      """w0 AS (SELECT unnest(string_split_regex(
+      """w0 AS MATERIALIZED (SELECT unnest(string_split_regex(
            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ww
          FROM documents WHERE text IS NOT NULL
            AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')""",
-      s"""w AS (SELECT substr(ww, 1, $maxW) AS word, COUNT(*) AS wcnt
+      s"""w AS MATERIALIZED (SELECT substr(ww, 1, $maxW) AS word, COUNT(*) AS wcnt
          FROM w0 WHERE ww <> '' GROUP BY 1)""",
-      s"js AS (SELECT j FROM generate_series(0, $maxW) t(j))",
-      s"ls AS (SELECT l FROM generate_series(1, $maxP) t(l))",
-      s"""sub AS (SELECT substr(word, js.j + 1, ls.l) AS piece, SUM(wcnt) AS cnt
+      s"js AS MATERIALIZED (SELECT j FROM generate_series(0, $maxW) t(j))",
+      s"ls AS MATERIALIZED (SELECT l FROM generate_series(1, $maxP) t(l))",
+      s"""sub AS MATERIALIZED (SELECT substr(word, js.j + 1, ls.l) AS piece, SUM(wcnt) AS cnt
          FROM w, js, ls
          WHERE js.j < length(word) AND ls.l <= length(word) - js.j
          GROUP BY 1)""",
-      s"seedtop AS (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT $nSeed)",
-      "chars AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1)",
-      """v0 AS (SELECT DISTINCT piece, cnt FROM
+      s"seedtop AS MATERIALIZED (SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT $nSeed)",
+      "chars AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1)",
+      """v0 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM
          (SELECT * FROM seedtop UNION ALL SELECT * FROM chars))""")
     val round1Vocab = Seq(
-      """v1 AS (
+      """v1 AS MATERIALIZED (
         SELECT c.piece, COALESCE(k.cnt, 1) AS cnt
         FROM chars c LEFT JOIN cnt_r1 k USING (piece)
         UNION ALL
         SELECT piece, cnt FROM cnt_r1 WHERE length(piece) > 1)""")
     val prune = Seq(
-      """charsf AS (
+      """charsf AS MATERIALIZED (
         SELECT c.piece, COALESCE(k.cnt, 1) AS n
         FROM chars c LEFT JOIN cnt_r2 k USING (piece))""",
-      s"""multif AS (
+      s"""multif AS MATERIALIZED (
         SELECT piece, cnt AS n FROM cnt_r2 WHERE length(piece) > 1
         QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
                 <= $vocab - (SELECT COUNT(*) FROM chars))""",
-      """finv AS (SELECT piece, n AS cnt FROM charsf
+      """finv AS MATERIALIZED (SELECT piece, n AS cnt FROM charsf
          UNION ALL SELECT piece, n FROM multif)""")
     val parts = base ++ scores("v0", "0") ++ viterbi("vs_0", "r1") ++
       round1Vocab ++ scores("v1", "1") ++ viterbi("vs_1", "r2") ++
@@ -4127,24 +4158,24 @@ object SparkEntry {
     // gives each distinct word its best-path score and piece count; the
     // per-doc word multiset then rolls up to the exact integer outputs
     val scoreParts = parts ++ viterbi("vs_f", "sc") ++ Seq(
-      "wnp AS (SELECT word, COUNT(*) AS np FROM path_sc WHERE pos > 0 GROUP BY 1)",
+      "wnp AS MATERIALIZED (SELECT word, COUNT(*) AS np FROM path_sc WHERE pos > 0 GROUP BY 1)",
       // an OOV word's dp appends NULL steps (the empty scalar subquery),
       // so its end-state score reads NULL and it may be absent from wnp
       // — COALESCE both to the engine's NegInf-sentinel semantics (ws =
       // exactly -(1<<60) makes the ok comparison FALSE, not NULL, so the
       // n_oov arm is genuinely live) and LEFT-join so the word still
       // reaches the roll-up
-      """wstat AS (SELECT f.word,
+      """wstat AS MATERIALIZED (SELECT f.word,
            COALESCE(f.d[length(f.word) + 1].s, -(1::BIGINT << 60)) AS ws,
            COALESCE(n.np, 0) AS np
          FROM fin_sc f LEFT JOIN wnp n USING (word))""",
-      s"""docw AS (SELECT doc_id, substr(ww, 1, $maxW) AS word, COUNT(*) AS dc
+      s"""docw AS MATERIALIZED (SELECT doc_id, substr(ww, 1, $maxW) AS word, COUNT(*) AS dc
          FROM (SELECT doc_id, unnest(string_split_regex(""" +
         """regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ww
               FROM documents WHERE text IS NOT NULL
                 AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')
          WHERE ww <> '' GROUP BY 1, 2)""",
-      """sel AS (SELECT d.doc_id, d.dc, s.ws, s.np,
+      """sel AS MATERIALIZED (SELECT d.doc_id, d.dc, s.ws, s.np,
            (s.ws > -(1::BIGINT << 60)) AS ok
          FROM docw d JOIN wstat s USING (word))""")
     val scoreSql =
