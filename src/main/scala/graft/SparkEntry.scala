@@ -2165,6 +2165,31 @@ object SparkEntry {
           Seq("lang"), "doc_id", "n_chars", 128)), Seq("lang"), 128)
       qsQuantileTail(d, st)
     }),
+    "x92c_sketch_clip" -> ((s, dir) => {
+      // sketch-GUIDED winsorization — the quantile state doing its
+      // production job: per language, p05/p95 clip bounds come from the
+      // ≤128-row state (never a corpus sort); the corpus pass clamps
+      // n_chars into [lo, hi] with one broadcast bounds join and rolls
+      // up exact integer clip accounting. At 100 TB this is the whole
+      // point of the sketch: outlier-robust normalization whose bounds
+      // cost k rows per group, not a global sort.
+      val d = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      val st = graft.ext.Sketch.qsState(d, Seq("lang"), "doc_id", "n_chars", 128)
+      val bounds = graft.ext.Sketch.qsQuantiles(st, Seq("lang"), Seq(50, 950))
+        .groupBy(col("lang")).agg(
+          min(when(col("permille") === 50, col("est"))).as("lo"),
+          min(when(col("permille") === 950, col("est"))).as("hi"))
+      d.join(broadcast(bounds), Seq("lang"))
+        .select(col("lang"),
+          greatest(col("lo"), least(col("hi"), col("n_chars"))).as("v"),
+          (col("n_chars") < col("lo")).cast("long").as("clo"),
+          (col("n_chars") > col("hi")).cast("long").as("chi"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("v")).as("sum_clipped"),
+          sum(col("clo")).as("n_clip_lo"),
+          sum(col("chi")).as("n_clip_hi"))
+    }),
     "x83_hits" -> ((s, dir) => {
       // HITS hubs & authorities over the x59 link graph — the
       // bidirectional centrality PageRank can't give (authority ≈
@@ -3678,12 +3703,14 @@ object SparkEntry {
          FROM kept JOIN tau USING (lang) WHERE kept.rn <= 20"""
   }
 
-  /** The x92 quantile-sketch oracle: the 48-bit ":qtl"-salted md5 row
-    * hashes, per-language bottom-128 (h, v) state, value-rank estimates
-    * at rank ⌈p·n/1000⌉ over the state, and the same rank rule over the
-    * full group as the exact audit — every step integer, so the
-    * estimate AND its sampling error replay verbatim. */
-  private val x92OracleSql: String = {
+  /** Shared CTE prefix of the x92 quantile-sketch oracles: the 48-bit
+    * ":qtl"-salted md5 row hashes, the per-language bottom-128 (h, v)
+    * state, and the value-rank estimates at rank ⌈p·n/1000⌉ over the
+    * state — every step integer, so the estimate AND its sampling error
+    * replay verbatim. Parameterized by the permille list so the
+    * percentile row (x92/x92b) and the clipping consumer (x92c) provably
+    * share the same state chain. */
+  private def qsOracleCtes(permilles: Seq[Int]): String = {
     val h12 = (1 to 12).map(i =>
       s"(CAST(strpos('0123456789abcdef', " +
         s"substr(md5(CAST(doc_id AS VARCHAR) || ':qtl'), $i, 1)) " +
@@ -3700,10 +3727,15 @@ object SparkEntry {
                   COUNT(*) OVER (PARTITION BY lang) AS n,
                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, h) AS vr
                 FROM st),
-         p AS (SELECT unnest([500, 900, 990]) AS permille),
+         p AS (SELECT unnest([${permilles.mkString(", ")}]) AS permille),
          est AS (SELECT lang, permille, v AS est
                  FROM sr CROSS JOIN p
-                 WHERE vr = GREATEST(1, (permille * n + 999) // 1000)),
+                 WHERE vr = GREATEST(1, (permille * n + 999) // 1000))"""
+  }
+
+  /** x92: sketch estimates joined to the same-rank-rule exact values. */
+  private val x92OracleSql: String =
+    qsOracleCtes(Seq(500, 900, 990)) + s""",
          xr AS (SELECT lang, v,
                   COUNT(*) OVER (PARTITION BY lang) AS n,
                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS vr
@@ -3714,7 +3746,26 @@ object SparkEntry {
          SELECT est.lang, CAST(est.permille AS BIGINT) AS permille,
                 CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
          FROM est JOIN ex USING (lang, permille)"""
-  }
+
+  /** x92c: per-language p05/p95 clip bounds from the sketch estimates,
+    * then the winsorized corpus roll-up. */
+  private val x92cOracleSql: String =
+    qsOracleCtes(Seq(50, 950)) + s""",
+         b AS (SELECT lang,
+                 MIN(CASE WHEN permille = 50 THEN est END) AS lo,
+                 MIN(CASE WHEN permille = 950 THEN est END) AS hi
+               FROM est GROUP BY 1)
+         SELECT d.lang,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(GREATEST(b.lo, LEAST(b.hi, d.n_chars))) AS BIGINT)
+                  AS sum_clipped,
+                CAST(SUM(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_lo,
+                CAST(SUM(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip_hi
+         FROM documents d JOIN b USING (lang)
+         WHERE d.n_chars IS NOT NULL
+         GROUP BY 1"""
 
   /** The x85 histogram oracle: the (min, max) bounds, width =
     * range // 16 + 1, the bin floor-division (operands non-negative —
@@ -6260,6 +6311,7 @@ object SparkEntry {
     "x80_hll_distinct" -> x80OracleSql,
     "x82_kmv_overlap" -> x82OracleSql,
     "x92_quantile_sketch" -> x92OracleSql,
+    "x92c_sketch_clip" -> x92cOracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,
     "x84b_priority_stratified" -> x84bOracleSql,

@@ -194,6 +194,48 @@ class ScaleSpec extends SparkSpec {
       "the guard must not delete the stale staging dir")
   }
 
+  test("compactPartitionedLayout: the data is read EXACTLY once (footer census, no count pass)") {
+    // the small-vs-big census comes from parquet footer metadata — the
+    // earlier groupBy(partCol).count() was a SECOND full read of the
+    // data about to be rewritten. Pin it with task input metrics: total
+    // records read across the whole compaction must be ~the row count
+    // (one pruned read feeding the rewrite), not ~2x.
+    import graft.ops.Scale
+    val path = java.nio.file.Files.createTempDirectory("census_compact").toString
+    def batch(lo: Int) = (lo until lo + 60)
+      .map(i => (i.toLong, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "bucket").repartition(1)
+    Seq(0, 60).foreach(lo =>
+      batch(lo).write.mode("append").partitionBy("bucket").parquet(path))
+    val rows = 120L
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val report = Scale.compactPartitionedLayout(spark, path, "bucket",
+        1L << 20, 1, ks => col("bucket").isin(ks: _*))
+      // listener events are async — poll until the counter stabilizes
+      var last = -1L
+      var tries = 0
+      while (read.get() != last && tries < 100) {
+        last = read.get(); Thread.sleep(100); tries += 1
+      }
+      assert(report.map(_._1).toSet == Set("x", "y"), report.toString)
+      val n = read.get()
+      assert(n >= rows, s"expected the one rewrite pass (~$rows records), saw $n")
+      assert(n < 2 * rows,
+        s"compaction read $n records for $rows rows — a second data pass " +
+          "(the census must come from footers, not a count job)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the layout still reads back whole
+    assert(spark.read.parquet(path).count() == rows)
+  }
+
   test("compactPartitionedLayout: all-numeric string keys round-trip (zero-padded dirs survive)") {
     // md5-hex bucket keys can draw an ALL-DIGIT key set; partition-type
     // inference would then parse "07" as int 7 — the census would miss
