@@ -333,6 +333,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == expected)
   }
 
+  test("sketch clip bounds deploy on the ingest stream (x92c artifact, stateless parity)") {
+    // the quantile state builds ONCE on the base corpus and its p25/p75
+    // clip bounds FREEZE (staged to parquet — the x92c winsorization
+    // artifact); each ingest micro-batch clamps through the same frozen
+    // bounds as a stream-static broadcast join. Clamping is a pure
+    // projection under frozen bounds, so the streamed rows must be
+    // byte-equal to the batch clamp's.
+    import org.apache.spark.sql.DataFrame
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", i * 7L))
+      .toDF("doc_id", "lang", "n_chars")
+    val src = Files.createTempDirectory("clipsrc").toString
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    val boundsDir = Files.createTempDirectory("clipbounds").toString
+    graft.ext.Sketch.qsQuantiles(
+        graft.ext.Sketch.qsState(docs, Seq("lang"), "doc_id", "n_chars", 8),
+        Seq("lang"), Seq(250, 750))
+      .groupBy(col("lang")).agg(
+        min(when(col("permille") === 250, col("est"))).as("lo"),
+        min(when(col("permille") === 750, col("est"))).as("hi"))
+      .write.mode("overwrite").parquet(boundsDir)
+    def clamp(df: DataFrame) =
+      df.join(broadcast(spark.read.parquet(boundsDir)), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          greatest(col("lo"), least(col("hi"), col("n_chars"))).as("clipped"))
+    val expected = clamp(docs).as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(expected.length == 40 &&
+      expected.map(_._3).distinct.length < 40,
+      "fixture must actually clip (bounds inside the value range)")
+    val q = clamp(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .format("memory").queryName("clip_stream").start()
+    q.awaitTermination(120000)
+    val got = spark.table("clip_stream")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(expected))
+  }
+
   test("streaming sketch maintenance: per-batch CMS/HLL/KMV/quantile merges ≡ one-shot state") {
     // continuous-ingest sketches: each micro-batch builds its own cells /
     // registers / bottom-k sample and MERGES into the running state — the
