@@ -2190,6 +2190,48 @@ object SparkEntry {
           sum(col("clo")).as("n_clip_lo"),
           sum(col("chi")).as("n_clip_hi"))
     }),
+    "x93_cms_join_size" -> ((s, dir) => {
+      // join-size estimation from sketches alone — the count–min inner
+      // product: |views ⋈ purchases on user_id| = Σ_u nv(u)·np(u)
+      // estimated from two fixed 4×1024-cell tables (min over rows of
+      // Σ_pos a·b, overestimates only), the planner probe that picks
+      // broadcast-vs-shuffle at 100 TB without scanning either side.
+      // md5 cells make the estimate — collision inflation included —
+      // oracle-exact; the exact inner product rides as the small-SF
+      // audit column.
+      val ev = t(s, dir, "events")
+      def keys(typ: String) = ev.filter(col("event_type") === typ)
+        .select(col("user_id").as("k"))
+      val est = graft.ext.Sketch.cmsJoinSizeEstimate(
+        graft.ext.Sketch.cmsSketch(keys("view"), "k", 1024, 4),
+        graft.ext.Sketch.cmsSketch(keys("purchase"), "k", 1024, 4), 4)
+      val exact = ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .agg(coalesce(sum(col("nv").cast("decimal(38,0)") * col("np")),
+          lit(0).cast("decimal(38,0)")).cast("long").as("exact"))
+      est.crossJoin(broadcast(exact))
+    }),
+    "et7_windowed_quantiles" -> ((s, dir) => {
+      // hourly value percentiles from the quantile sketch — the
+      // observability query (latency/value percentiles per time window)
+      // at 100 TB: per hour bucket the ≤64-row state answers p50/p95/
+      // p99 without ever sorting the window; cents via the exact
+      // decimal money discipline, the week-bucket floor-division idiom
+      // for the hour key.
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"),
+          eventTsMicros.as("us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .withColumn("wh", expr("(us div 3600000000L) - (CASE WHEN " +
+          "us < 0 AND pmod(us, 3600000000L) != 0 THEN 1L ELSE 0L END)"))
+      graft.ext.Sketch.qsQuantiles(
+          graft.ext.Sketch.qsState(ev, Seq("wh"), "event_id", "cents", 64),
+          Seq("wh"), Seq(500, 950, 990))
+        .select(col("wh").as("window_hour"), col("permille"), col("est"))
+    }),
     "x83_hits" -> ((s, dir) => {
       // HITS hubs & authorities over the x59 link graph — the
       // bidirectional centrality PageRank can't give (authority ≈
@@ -3746,6 +3788,65 @@ object SparkEntry {
          SELECT est.lang, CAST(est.permille AS BIGINT) AS permille,
                 CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
          FROM est JOIN ex USING (lang, permille)"""
+
+  /** x93: the count–min inner-product join-size estimate replayed —
+    * both event streams' 4×1024 cell tables from the 5-nibble md5
+    * position chain, per-row Σ a·b over the cell equi-join with absent
+    * rows reading 0, MIN over the 4 rows, and the exact
+    * Σ_u views(u)·purchases(u) audit. */
+  private val x93OracleSql: String =
+    s"""WITH hs AS (SELECT h FROM generate_series(0, 3) t(h)),
+         va AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL),
+         vb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         ca AS (SELECT h AS row, ${md5Hex5("va.k || ':cms:' || h")} % 1024
+                         AS pos, COUNT(*) AS c
+                FROM va CROSS JOIN hs GROUP BY 1, 2),
+         cb AS (SELECT h AS row, ${md5Hex5("vb.k || ':cms:' || h")} % 1024
+                         AS pos, COUNT(*) AS c
+                FROM vb CROSS JOIN hs GROUP BY 1, 2),
+         ip AS (SELECT ca.row, SUM(ca.c::HUGEINT * cb.c) AS ip
+                FROM ca JOIN cb USING (row, pos) GROUP BY 1),
+         est AS (SELECT MIN(COALESCE(ip.ip, 0)) AS est
+                 FROM hs LEFT JOIN ip ON ip.row = hs.h),
+         ex AS (SELECT COALESCE(SUM(nv::HUGEINT * np), 0) AS exact FROM (
+                  SELECT user_id,
+                    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+                    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+                  FROM events WHERE event_type IN ('view', 'purchase')
+                  GROUP BY 1))
+         SELECT CAST(est.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact
+         FROM est CROSS JOIN ex"""
+
+  /** et7: the hourly-window quantile-sketch estimates replayed — exact
+    * decimal cents, floor-division hour buckets, the ":qtl" hash chain
+    * over event_id, per-window bottom-64 state, rank estimates. */
+  private val et7OracleSql: String = {
+    val h12 = (1 to 12).map(i =>
+      s"(CAST(strpos('0123456789abcdef', " +
+        s"substr(md5(CAST(event_id AS VARCHAR) || ':qtl'), $i, 1)) " +
+        s"- 1 AS BIGINT) * ${BigInt(16).pow(12 - i)})")
+      .mkString("(", "\n                + ", ")")
+    s"""WITH ev AS (SELECT event_id,
+             epoch_us(ts) // 3600000000 AS wh,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+         hs AS (SELECT DISTINCT wh, $h12 AS h, v FROM ev),
+         st AS (SELECT wh, h, v FROM (
+                  SELECT wh, h, v, ROW_NUMBER() OVER (PARTITION BY wh
+                           ORDER BY h, v) AS rn FROM hs)
+                WHERE rn <= 64),
+         sr AS (SELECT wh, v,
+                  COUNT(*) OVER (PARTITION BY wh) AS n,
+                  ROW_NUMBER() OVER (PARTITION BY wh ORDER BY v, h) AS vr
+                FROM st),
+         p AS (SELECT unnest([500, 950, 990]) AS permille)
+         SELECT wh AS window_hour, CAST(permille AS BIGINT) AS permille,
+                CAST(v AS BIGINT) AS est
+         FROM sr CROSS JOIN p
+         WHERE vr = GREATEST(1, (permille * n + 999) // 1000)"""
+  }
 
   /** x92c: per-language p05/p95 clip bounds from the sketch estimates,
     * then the winsorized corpus roll-up. */
@@ -6312,6 +6413,8 @@ object SparkEntry {
     "x82_kmv_overlap" -> x82OracleSql,
     "x92_quantile_sketch" -> x92OracleSql,
     "x92c_sketch_clip" -> x92cOracleSql,
+    "x93_cms_join_size" -> x93OracleSql,
+    "et7_windowed_quantiles" -> et7OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,
     "x84b_priority_stratified" -> x84bOracleSql,

@@ -91,6 +91,34 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** JOIN-SIZE ESTIMATE from two [[cmsSketch]] cell tables ALONE — the
+    * count–min inner product (Cormode & Muthukrishnan, J. Algorithms'05
+    * §4.2): for each of the `depth` hash rows, Σ_pos a_cell·b_cell ≥
+    * Σ_k cnt_a(k)·cnt_b(k) = |A ⋈ B| (collisions only ADD cross terms),
+    * so the min over rows overestimates-only, like the point estimate.
+    * This is the planner probe that decides broadcast-vs-shuffle (or
+    * whether a join is feasible at all) from two fixed-size summaries,
+    * without scanning either side — and since the sketches are
+    * mergeable, the estimate stays maintainable under ingest. A depth
+    * row with NO colliding cells reads its true 0 (the row frame joins
+    * LEFT from a literal depth range). Products fold in decimal(38,0)
+    * (two ~1e9 counts overflow a long). Returns one row (est). */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16]: $depth")
+    Seq(a, b).foreach(s => Seq("row", "pos", "c").foreach(c =>
+      require(s.columns.contains(c),
+        s"cmsJoinSizeEstimate takes cmsSketch cell tables — missing $c")))
+    val ip = a.select(col("row"), col("pos"), col("c").as("_ca"))
+      .join(b.select(col("row"), col("pos"), col("c").as("_cb")),
+        Seq("row", "pos"))
+      .groupBy(col("row"))
+      .agg(sum(col("_ca").cast("decimal(38,0)") * col("_cb")).as("_ip"))
+    a.sparkSession.range(depth).select(col("id").cast("int").as("row"))
+      .join(ip, Seq("row"), "left")
+      .agg(min(coalesce(col("_ip"), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("est"))
+  }
+
   /** Merge count–min cell tables (shards, batches, streaming
     * micro-batches) by cell re-sum — the merged sketch is EXACTLY the
     * one-shot sketch of the concatenated streams (cells are sums;

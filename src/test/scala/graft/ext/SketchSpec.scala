@@ -172,6 +172,32 @@ class SketchSpec extends SparkSpec {
     assert(dj == ((6L, 0L, 6L, 0L)), dj.toString)
   }
 
+  test("cms inner product: join-size est >= exact, exact when collision-free, disjoint reads 0") {
+    val a = (Seq.fill(5)("u1") ++ Seq.fill(3)("u2") ++ Seq("u3")).toDF("k")
+    val b = (Seq.fill(2)("u1") ++ Seq.fill(4)("u3") ++ Seq.fill(7)("u9")).toDF("k")
+    val (w, d) = (2048, 4)
+    val sa = Sketch.cmsSketch(a, "k", w, d)
+    val sb = Sketch.cmsSketch(b, "k", w, d)
+    val est = Sketch.cmsJoinSizeEstimate(sa, sb, d).as[Long].head()
+    val exact = 5L * 2 + 1L * 4 // u1: 5·2, u3: 1·4
+    assert(est >= exact, s"inner product must overestimate only: $est")
+    assert(est == exact, s"6 keys in 4×2048 cells should be collision-free: $est")
+    // width-1 degeneracy: one cell holds everything -> est = |A|·|B|
+    val est1 = Sketch.cmsJoinSizeEstimate(
+      Sketch.cmsSketch(a, "k", 1, d), Sketch.cmsSketch(b, "k", 1, d), d)
+      .as[Long].head()
+    assert(est1 == 9L * 13L, s"width-1 must read |A|·|B|: $est1")
+    // disjoint key sets: every depth row reads its true 0 (the literal
+    // row frame keeps rows with no colliding cells in the MIN)
+    val dj = Sketch.cmsJoinSizeEstimate(
+      Sketch.cmsSketch(Seq("zz1", "zz2").toDF("k"), "k", w, d), sb, d)
+      .as[Long].head()
+    assert(dj == 0L, s"disjoint sketches must estimate 0: $dj")
+    intercept[IllegalArgumentException] {
+      Sketch.cmsJoinSizeEstimate(sa.drop("c"), sb, d)
+    }
+  }
+
   test("quantile sketch: per-key bottom-k state; merge == one-shot; take-all regime exact") {
     // key a: 300 rows (sampled regime at k=64); key b: 40 rows (take-all)
     val df = ((1 to 300).map(i => ("a", i.toLong, i * 3L)) ++
