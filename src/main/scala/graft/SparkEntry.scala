@@ -2232,6 +2232,13 @@ object SparkEntry {
           Seq("wh"), Seq(500, 950, 990))
         .select(col("wh").as("window_hour"), col("permille"), col("est"))
     }),
+    "x94_char_entropy" -> ((s, dir) =>
+      // character-distribution Shannon entropy per doc in exact Q8 bits
+      // — the random-bytes/base64-blob quality signal beside Gopher
+      // ratios and zipf slope; only (doc, char, count) rows cross the
+      // exchange, and the Q8 log chain replays bit-for-bit in SQL.
+      graft.ext.TextStats.charEntropyQ8(
+        t(s, dir, "documents"), "doc_id", "text")),
     "x83_hits" -> ((s, dir) => {
       // HITS hubs & authorities over the x59 link graph — the
       // bidirectional centrality PageRank can't give (authority ≈
@@ -3846,6 +3853,41 @@ object SparkEntry {
                 CAST(v AS BIGINT) AS est
          FROM sr CROSS JOIN p
          WHERE vr = GREATEST(1, (permille * n + 999) // 1000)"""
+  }
+
+  /** x94: per-doc char-entropy replayed — per-char substr expansion,
+    * (doc, char) counts, TWO Q8 log chains (counts and totals — the
+    * unigram-oracle arithmetic), and the exact
+    * (n·lq(n) − Σ k·lq(k)) // n fold. */
+  private val x94OracleSql: String = {
+    def lq(src: String, keys: String, v: String): Seq[String] = {
+      val l0 = s"${src}_l0 AS MATERIALIZED (SELECT $keys, $v AS vv, " +
+        s"length(bin($v)) - 1 AS e, " +
+        s"($v * 256) // (1::BIGINT << (length(bin($v)) - 1)) AS m, " +
+        "0::BIGINT AS a FROM " + src + ")"
+      val steps = (1 to 8).map { i =>
+        s"""${src}_l$i AS MATERIALIZED (SELECT $keys, vv, e,
+          CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
+          a*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS a
+          FROM ${src}_l${i - 1})"""
+      }
+      (l0 +: steps) :+
+        s"${src}_lq AS MATERIALIZED (SELECT $keys, vv, e*256 + a AS lq FROM ${src}_l8)"
+    }
+    val parts = Seq(
+      """ch AS MATERIALIZED (SELECT doc_id, substr(text, i, 1) AS c
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, length(text))) AS i
+               FROM documents WHERE text IS NOT NULL))""",
+      "cc AS MATERIALIZED (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2)") ++
+      lq("cc", "doc_id, c", "k") ++
+      Seq("nn AS MATERIALIZED (SELECT doc_id, SUM(k) AS n FROM cc GROUP BY 1)") ++
+      lq("nn", "doc_id", "n")
+    "WITH " + parts.mkString(",\n  ") + """
+      SELECT s.doc_id, CAST(n.vv AS BIGINT) AS n_chars_counted,
+             CAST((n.vv * n.lq - s.sc) // n.vv AS BIGINT) AS ent_q8
+      FROM (SELECT doc_id, SUM(vv * lq) AS sc FROM cc_lq GROUP BY 1) s
+      JOIN nn_lq n USING (doc_id)"""
   }
 
   /** x92c: per-language p05/p95 clip bounds from the sketch estimates,
@@ -6415,6 +6457,7 @@ object SparkEntry {
     "x92c_sketch_clip" -> x92cOracleSql,
     "x93_cms_join_size" -> x93OracleSql,
     "et7_windowed_quantiles" -> et7OracleSql,
+    "x94_char_entropy" -> x94OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,
     "x84b_priority_stratified" -> x84bOracleSql,

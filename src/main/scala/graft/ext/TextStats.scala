@@ -27,6 +27,43 @@ object TextStats {
   def wsTrim(text: Column): Column =
     regexp_replace(text, "^\\s+|\\s+$", "")
 
+  /** Per-document character-distribution Shannon entropy in exact Q8
+    * bits — the random-bytes / gibberish / base64-blob detector beside
+    * the Gopher ratios (x25) and zipf slope (x40): natural text sits
+    * near its language's ~4.1-bit character entropy, encoded blobs near
+    * 6, single-character runs near 0. All integer: with per-doc char
+    * counts c and n = Σc,
+    * `ent_q8 = (n·log2q8(n) − Σ c·log2q8(c)) div n` — the exact Q8 form
+    * of H = Σ (c/n)·log₂(n/c), floor-divided once at the end, so any
+    * engine replays it bit-for-bit ([[graft.ext.Unigram.log2q8]]).
+    *
+    * Chars split by the zero-width `(?!^)` regex (character-exact for
+    * BMP text; the corpus contract is ASCII/BMP — a surrogate pair
+    * would split into halves in UTF-16 engines). Docs with NULL or
+    * empty text are absent from the result (no distribution to
+    * measure). Returns (idCol, n_chars_counted, ent_q8).
+    *
+    * Scale shape: one explode + ONE (id, char)-keyed map-side-combining
+    * count + one id-keyed fold — only (id, char ≤ alphabet, count) rows
+    * cross the exchange, the x34 vocab-count shape. */
+  def charEntropyQ8(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Seq("_ce_ch", "_ce_c", "n_chars_counted", "ent_q8").foreach(c =>
+      require(!df.columns.contains(c) || (c != idCol && c != textCol),
+        s"charEntropyQ8 reserves column $c — rename it"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "(?!^)")).as("_ce_ch"))
+      .filter(col("_ce_ch") =!= "") // empty text explodes to one "" row
+      .groupBy(col(idCol), col("_ce_ch"))
+      .agg(count(lit(1)).as("_ce_c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_ce_c")).as("n_chars_counted"),
+        sum(col("_ce_c") * Unigram.log2q8(col("_ce_c"))).as("_ce_sc"))
+      .withColumn("_ce_ln", Unigram.log2q8(col("n_chars_counted")))
+      .select(col(idCol), col("n_chars_counted"),
+        expr("(n_chars_counted * _ce_ln - _ce_sc) div n_chars_counted")
+          .as("ent_q8"))
+  }
+
   /** Whitespace token count (0 for empty/blank text). */
   def tokenCount(text: Column): Column = {
     val t = wsTrim(text)

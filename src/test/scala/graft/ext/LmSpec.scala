@@ -197,4 +197,35 @@ class LmSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextStats.pmiCollocations(docs, "text", 0, 10))
   }
+
+  test("charEntropyQ8: exact Q8 entropy — degenerate 0, uniform log2(k)·256, BigInt replay") {
+    val docs = Seq(
+      (1L, "aaaa"),            // one symbol -> H = 0
+      (2L, "ab"),              // uniform 2 -> H = 1 bit = 256 Q8
+      (3L, "abcdabcd"),        // uniform 4 -> H = 2 bits = 512 Q8
+      (4L, "aab"),             // skewed 3-char case, replayed below
+      (5L, ""),                // empty: no distribution -> absent
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextStats.charEntropyQ8(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L),
+      s"empty/null docs must be absent: ${got.toSeq}")
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L) == ((4L, 0L)))
+    assert(byId(2L) == ((2L, 256L)))
+    assert(byId(3L) == ((8L, 512L)))
+    // independent replay of the exact integer formula for "aab":
+    // (n·lq(n) − Σ c·lq(c)) div n with the engine's own log2q8Long
+    val expected4 = {
+      val n = 3L
+      val sc = 2L * Unigram.log2q8Long(2L) + 1L * Unigram.log2q8Long(1L)
+      (n * Unigram.log2q8Long(n) - sc) / n
+    }
+    assert(byId(4L) == ((3L, expected4)), s"got ${byId(4L)}, want $expected4")
+    // and the Q8 value sits within one step of the float entropy
+    val hFloat = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) /
+      math.log(2)
+    assert(math.abs(byId(4L)._2 - hFloat * 256).abs <= 2.0)
+  }
 }
