@@ -333,6 +333,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == expected)
   }
 
+  test("windowed quantile maintenance: per-batch per-window states merge ≡ one-shot (et7 on a stream)") {
+    // the streaming form of et7: each micro-batch builds its own
+    // per-hour-window quantile states; merging them per window equals
+    // the one-shot batch state bit-for-bit (bottom-k coordination), so
+    // window percentiles over an unbounded stream never rescan prior
+    // batches — and a late-arriving event for an OLD window just merges
+    // into that window's state like any other row (no reprocessing).
+    import org.apache.spark.sql.DataFrame
+    val ev = (1L to 90L).map(i => (i, i % 5, (i * 37 % 100) + 1))
+      .toDF("event_id", "wh", "cents")
+    val src = Files.createTempDirectory("wqsrc").toString
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    def state(df: DataFrame) =
+      graft.ext.Sketch.qsState(df, Seq("wh"), "event_id", "cents", 8)
+    val oneShot = graft.ext.Sketch.qsQuantiles(state(ev), Seq("wh"),
+        Seq(500, 950)).as[(Long, Long, Long)].collect().sorted.toSeq
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long)]]
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        parts += state(batch).as[(Long, Long, Long)].collect().toSeq
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(parts.size >= 2, s"want >= 2 micro-batches, got ${parts.size}")
+    val streamed = graft.ext.Sketch.qsQuantiles(
+      graft.ext.Sketch.qsMerge(
+        parts.toSeq.map(_.toDF("wh", "h", "v")), Seq("wh"), 8),
+      Seq("wh"), Seq(500, 950)).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed == oneShot)
+  }
+
   test("sketch clip bounds deploy on the ingest stream (x92c artifact, stateless parity)") {
     // the quantile state builds ONCE on the base corpus and its p25/p75
     // clip bounds FREEZE (staged to parquet — the x92c winsorization
