@@ -2239,6 +2239,26 @@ object SparkEntry {
       // exchange, and the Q8 log chain replays bit-for-bit in SQL.
       graft.ext.TextStats.charEntropyQ8(
         t(s, dir, "documents"), "doc_id", "text")),
+    "x95_ngram_diversity" -> ((s, dir) => {
+      // distinct-n corpus diversity (the Li et al. generation-diversity
+      // metric applied to corpus slices): per language and n ∈ {1,2,3},
+      // unique n-grams over total n-grams as an exact Q20 ratio —
+      // repetitive/templated slices score low before any model sees
+      // them. Grams keep per-doc multiplicity (that repetition IS the
+      // signal); only (lang, n, gram) rows cross the exchange and the
+      // distinct count is the standard two-phase partial aggregation.
+      val d = t(s, dir, "documents").filter(col("text").isNotNull &&
+        graft.ext.TextStats.wsTrim(col("text")) =!= "")
+      (1 to 3).map { n =>
+        d.select(col("lang"), lit(n.toLong).as("n"),
+          explode(graft.ext.Dedup.wordNgrams(col("text"), n,
+            distinct = false)).as("g"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("lang"), col("n"))
+        .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("uniq"))
+        .select(col("lang"), col("n"), col("total"), col("uniq"),
+          expr("(1048576L * uniq) div total").as("distinct_q20"))
+    }),
     "x83_hits" -> ((s, dir) => {
       // HITS hubs & authorities over the x59 link graph — the
       // bidirectional centrality PageRank can't give (authority ≈
@@ -3888,6 +3908,34 @@ object SparkEntry {
              CAST((n.vv * n.lq - s.sc) // n.vv AS BIGINT) AS ent_q8
       FROM (SELECT doc_id, SUM(vv * lq) AS sc FROM cc_lq GROUP BY 1) s
       JOIN nn_lq n USING (doc_id)"""
+  }
+
+  /** x95: distinct-n diversity replayed — the wordNgrams slice-zip
+    * semantics per n (short docs truncate, concat_ws skips the null
+    * tail), per-doc multiplicity kept, Q20 unique/total ratio. */
+  private val x95OracleSql: String = {
+    def gN(n: Int): String = {
+      val cat = (0 until n).map(o => s"t[i+$o]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""g$n AS (SELECT lang, $n AS n, $cat AS g
+         FROM (SELECT lang, t,
+                 unnest(generate_series(1, greatest(len(t) - ${n - 1}, 1))) AS i
+               FROM tk))"""
+    }
+    s"""WITH tk AS (SELECT lang, string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+           FROM documents WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
+         ${gN(1)},
+         ${gN(2)},
+         ${gN(3)},
+         gg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+                UNION ALL SELECT * FROM g3)
+         SELECT lang, CAST(n AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS total,
+                CAST(COUNT(DISTINCT g) AS BIGINT) AS uniq,
+                CAST((1048576::HUGEINT * COUNT(DISTINCT g)) // COUNT(*)
+                     AS BIGINT) AS distinct_q20
+         FROM gg GROUP BY 1, 2"""
   }
 
   /** x92c: per-language p05/p95 clip bounds from the sketch estimates,
@@ -6458,6 +6506,7 @@ object SparkEntry {
     "x93_cms_join_size" -> x93OracleSql,
     "et7_windowed_quantiles" -> et7OracleSql,
     "x94_char_entropy" -> x94OracleSql,
+    "x95_ngram_diversity" -> x95OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,
     "x84b_priority_stratified" -> x84bOracleSql,

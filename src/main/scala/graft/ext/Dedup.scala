@@ -1348,7 +1348,13 @@ object Dedup {
 
   /** Word n-gram sets (distinct) for n-gram Jaccard: tokens joined with a
     * single space per n-window. Pure projection. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column = wordNgrams(text, n, distinct = true)
+
+  /** [[wordNgrams]] with per-doc multiplicity control: `distinct = false`
+    * keeps every occurrence — the form corpus-diversity metrics
+    * (distinct-n) need, where within-doc repetition is exactly the
+    * signal being measured. */
+  def wordNgrams(text: Column, n: Int, distinct: Boolean): Column = {
     val toks = split(TextStats.wsTrim(text), "\\s+")
     // n-grams as a zip of n shifted slices, NOT an index lambda: inside a
     // transform() lambda every toks reference re-evaluates the split per
@@ -1360,7 +1366,8 @@ object Dedup {
     // concat_ws skips them, yielding the same truncated gram.
     val zipped = arrays_zip((0 until n).map(o =>
       slice(toks, lit(o + 1), greatest(size(toks) - (n - 1), lit(1)))): _*)
-    array_distinct(transform(zipped, s =>
-      concat_ws(" ", (0 until n).map(o => s.getField(o.toString)): _*)))
+    val grams = transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(o => s.getField(o.toString)): _*))
+    if (distinct) array_distinct(grams) else grams
   }
 }
