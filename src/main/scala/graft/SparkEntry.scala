@@ -2213,6 +2213,34 @@ object SparkEntry {
           lit(0).cast("decimal(38,0)")).cast("long").as("exact"))
       est.crossJoin(broadcast(exact))
     }),
+    "x93b_join_size_incremental" -> ((s, dir) => {
+      // continuous-ingest join-size probe: both sides' base sketches
+      // stage ONCE; a new event batch folds in by cell-sum merge and
+      // the inner product re-evaluates from the merged cells — the
+      // planner probe stays current under ingest without rescanning
+      // either stream. Answers x93's oracle VERBATIM (cells are sums:
+      // merge ≡ one-shot bit-for-bit).
+      val ev = t(s, dir, "events")
+      def keys(typ: String, batchArm: Boolean) = ev
+        .filter(col("event_type") === typ &&
+          (if (batchArm) pmod(col("event_id"), lit(3)) === 2
+           else pmod(col("event_id"), lit(3)) =!= 2))
+        .select(col("user_id").as("k"))
+      def merged(typ: String) = graft.ext.Sketch.cmsMerge(Seq(
+        graft.ext.Sketch.cmsSketchStaged(keys(typ, batchArm = false),
+          "k", 1024, 4),
+        graft.ext.Sketch.cmsSketch(keys(typ, batchArm = true),
+          "k", 1024, 4)))
+      val est = graft.ext.Sketch.cmsJoinSizeEstimate(
+        merged("view"), merged("purchase"), 4)
+      val exact = ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .agg(coalesce(sum(col("nv").cast("decimal(38,0)") * col("np")),
+          lit(0).cast("decimal(38,0)")).cast("long").as("exact"))
+      est.crossJoin(broadcast(exact))
+    }),
     "et7_windowed_quantiles" -> ((s, dir) => {
       // hourly value percentiles from the quantile sketch — the
       // observability query (latency/value percentiles per time window)
@@ -3342,7 +3370,8 @@ object SparkEntry {
       ("x79b_cms_incremental" -> oracleSqlBase("x79_cms_heavy_hitters")) +
       ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct")) +
       ("x82b_kmv_incremental" -> oracleSqlBase("x82_kmv_overlap")) +
-      ("x92b_quantile_ingest" -> oracleSqlBase("x92_quantile_sketch"))
+      ("x92b_quantile_ingest" -> oracleSqlBase("x92_quantile_sketch")) +
+      ("x93b_join_size_incremental" -> oracleSqlBase("x93_cms_join_size"))
 
   /** Shared oracle CTE prefix for the hybrid-retrieval family (x48/x49):
     * the x43 lexical chain at k=10 — with the self-hit dropped AFTER
