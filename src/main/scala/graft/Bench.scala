@@ -107,12 +107,18 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir"}"""
     // the driver captures a bounded stdout TAIL (~4 KB observed): a
     // headline whose start falls outside the window parses as null. If the
-    // per-query dict has grown past the safe budget, drop it from stdout
-    // (bench_full.json keeps it lossless) rather than risk losing the
-    // headline numbers entirely.
+    // per-query dict has grown past the safe budget, keep the SLOWEST 50
+    // in stdout (the tail is what per-query regression tracking needs;
+    // bench_full.json stays lossless) rather than dropping to {} — r11
+    // shipped "parsed": null for exactly this reason.
     if (headline.length <= 3800 || !artifactWritten) println(headline)
-    else println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir","note":"per-query durations in bench_full.json (stdout budget)"}""")
+    else {
+      val top50 = results.toSeq.sortBy { case (_, v, _, _) => -v }.take(50)
+        .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      println(
+        f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top50,"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir","note":"queries = slowest 50 of ${results.size}; full set in bench_full.json (stdout budget)"}""")
+    }
     spark.stop()
   }
 }
