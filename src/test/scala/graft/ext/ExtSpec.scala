@@ -458,6 +458,31 @@ class ExtSpec extends SparkSpec {
     assert(got(1)._6 == 0.0 && got(1)._7 == 0.0, got(1).toString)
   }
 
+  test("wordNgrams multiplicity overload: distinct=false keeps repeats; short docs truncate identically") {
+    // the distinct-n diversity metric (x95) measures within-doc
+    // repetition, so its gram stream must keep every occurrence; the
+    // default distinct form and the multiplicity form must agree as
+    // SETS (same grams, same short-doc truncation)
+    val docs = Seq(
+      (1L, "a b a b a"),   // bigrams with repeats: a b, b a, a b, b a
+      (2L, "solo"),        // 1 token -> one truncated bigram "solo"
+      (3L, "x y")).toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"),
+      Dedup.wordNgrams(col("text"), 2, distinct = false).as("gs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(all(1L) == Seq("a b", "b a", "a b", "b a"), all(1L).toString)
+    assert(all(2L) == Seq("solo"), all(2L).toString)
+    assert(all(3L) == Seq("x y"), all(3L).toString)
+    val dst = docs.select(col("doc_id"),
+      Dedup.wordNgrams(col("text"), 2).as("gs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(dst(1L) == Seq("a b", "b a"), dst(1L).toString)
+    // set-equality between the two forms on every doc
+    all.foreach { case (id, gs) =>
+      assert(gs.toSet == dst(id).toSet, s"doc $id: $gs vs ${dst(id)}")
+    }
+  }
+
   test("allPairsJoin: exact threshold pairs equal brute force; boundary inclusive") {
     // J(1,2) = J(1,6) = 3/4, J(2,6) = 1, J(1,3) = 1/3 (an exact
     // boundary at t = 1/3 — >= keeps it), J(2,3) = J(3,6) = 2/5,
