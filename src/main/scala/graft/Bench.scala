@@ -36,7 +36,35 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
-    val results = selected.map { case (name, fn) =>
+    // per-query environment instrumentation (the r12 verdict's open
+    // question: some heavy families read 2-4x their isolated cost in the
+    // driver's run with no plan change — adjudicate with DATA, not
+    // box-noise assertions): catalog position, driver GC-time delta,
+    // driver heap high-water (per-query peak reset), and the process's
+    // page-cache-relevant write_bytes delta from /proc/self/io
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ >= 0).sum
+    def ioWriteBytes(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("write_bytes:") =>
+          l.substring(l.indexOf(':') + 1).trim.toLong }
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP)
+    def resetHeapPeaks(): Unit =
+      heapPools.foreach(p => try p.resetPeakUsage()
+        catch { case _: Throwable => () })
+    def peakHeapMb(): Long =
+      heapPools.map(p => try p.getPeakUsage.getUsed
+        catch { case _: Throwable => 0L }).sum / (1024 * 1024)
+    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      val gc0 = gcMillis(); val io0 = ioWriteBytes(); resetHeapPeaks()
       val t0 = System.nanoTime()
       // a throwing query must SURFACE in the artifact, not record a tiny
       // duration that reads as success
@@ -45,6 +73,10 @@ object Bench {
           e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis() - gc0
+      val peakMb = peakHeapMb()
+      val ioMb = { val w = ioWriteBytes(); if (w < 0 || io0 < 0) -1L
+        else (w - io0) / (1024 * 1024) }
       // persistent RDDs outliving their query (operators with managed
       // caches, e.g. dupClusters' final round) are invisible to
       // clearCache — count them into the artifact, then drop them so no
@@ -57,17 +89,28 @@ object Bench {
       // — the r11 bench-tail amplification: s10b 28.6s in-catalog vs
       // ~12s isolated). Queries are independent — delete them NOW.
       graft.ext.Dedup.drainStageDirs()
-      (name, dt, err, nRdds)
+      // force a driver GC BETWEEN queries (outside the timed region):
+      // ContextCleaner only reclaims this query's broadcasts/shuffle
+      // files after a driver GC notices the references are dead — the
+      // 15s periodic GC lands mid-NEXT-query, charging query N+1 for
+      // query N's cleanup (the in-catalog-vs-isolated amplification
+      // class). Deterministic cleanup point beats a timer.
+      System.gc()
+      (name, dt, err, nRdds, gcMs, peakMb, ioMb, idx)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val errs = results.collect { case (k, _, e, _) if e != null =>
+    val errs = results.collect { case (k, _, e, _, _, _, _, _) if e != null =>
       s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
-    val rdds = results.map { case (k, _, _, n) => s"\"" + k + "\":" + n }
+    val rdds = results.map { case (k, _, _, n, _, _, _, _) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    val metrics = results.map { case (k, _, _, _, gc, mb, io, i) =>
+      s"\"" + k + "\":{\"idx\":" + i + ",\"gc_ms\":" + gc +
+        ",\"peak_heap_mb\":" + mb + ",\"io_write_mb\":" + io + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver captures a bounded TAIL of stdout (~4 KB observed): the
     // full-precision line with errors + persistent_rdds outgrew it in r7
@@ -75,12 +118,12 @@ object Bench {
     // lossless artifact on DISK, and keep the stdout line SMALL: 2-dp
     // durations, no per-query rdd/error dicts, printed LAST so its start
     // sits inside the capture window.
-    val qsFull = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val artifactWritten = try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"persistent_rdds":$rdds,"warmup_sec":$warmup,"sf":"$sfDir"}""" + "\n")
+        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"persistent_rdds":$rdds,"metrics":$metrics,"warmup_sec":$warmup,"sf":"$sfDir"}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       true
     } catch {
@@ -90,18 +133,19 @@ object Bench {
           e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))}}""")
         false
     }
-    val slowest = results.toSeq.sortBy { case (_, v, _, _) => -v }.take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+    val slowest = results.toSeq.sortBy { case (_, v, _, _, _, _, _, _) => -v }
+      .take(10)
+      .map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val nErrors = results.count(_._3 != null)
     // errors in the summary line are CAPPED (first 3, 80-char messages) so
     // a broken build can't regrow the r7 overgrown-line failure; the full
     // detail is in bench_full.json
-    val errsCapped = results.collect { case (k, _, e, _) if e != null => (k, e) }
+    val errsCapped = results.collect { case (k, _, e, _, _, _, _, _) if e != null => (k, e) }
       .take(3).map { case (k, e) => s"\"" + k + "\":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"slowest":$slowest,"errors":$errsCapped}""")
-    val qs = results.map { case (k, v, _, _) => f"""\"$k\":$v%.2f""" }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => f"""\"$k\":$v%.2f""" }
       .mkString("{", ",", "}")
     val headline =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir"}"""
@@ -113,8 +157,9 @@ object Bench {
     // shipped "parsed": null for exactly this reason.
     if (headline.length <= 3800 || !artifactWritten) println(headline)
     else {
-      val top50 = results.toSeq.sortBy { case (_, v, _, _) => -v }.take(50)
-        .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+      val top50 = results.toSeq.sortBy { case (_, v, _, _, _, _, _, _) => -v }
+        .take(50)
+        .map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       println(
         f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top50,"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir","note":"queries = slowest 50 of ${results.size}; full set in bench_full.json (stdout budget)"}""")

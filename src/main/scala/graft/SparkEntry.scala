@@ -155,15 +155,13 @@ object SparkEntry {
         .agg(expr("percentile(l_quantity, 0.5)").as("med"),
           expr("percentile(l_quantity, 0.9)").as("p90"),
           max(col("l_quantity")).as("max_qty"))),
-    // t-digest-style sketch percentiles — rows-only (Spark's sketch
-    // internals are engine-specific); kept as the built-in surface. The
-    // ORACLE-CHECKED member of this family is x92_quantile_sketch: the
-    // house mergeable quantile sketch whose estimates (and their
-    // sampling error) replay bit-for-bit in DuckDB.
-    "a10b_approx_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("med_approx"),
-          expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"))),
+    // a10b_approx_percentiles (Spark's builtin t-digest-style
+    // approx_percentile) is RETIRED from the catalog (r13): its sketch
+    // internals are engine-specific so the row could only ever be
+    // rows-only, and the x92 quantile-sketch family now answers the
+    // same question deterministically — estimates AND sampling error
+    // oracle-replayed. The builtin remains available to users
+    // (GraftFunctions registers nothing over it; it is stock Spark).
     "a7_rollup" -> ((s, dir) =>
       Aggs.rollupCounts(
         t(s, dir, "customer")
@@ -958,7 +956,16 @@ object SparkEntry {
       // exact-Q30 ANN stack unchanged.
       val emb = t(s, dir, "embeddings")
         .select(expr("vec_id div 4").as("parent_id"), col("embedding"))
+      // the catalog row ships the pooled vector EXPLODED to scalar
+      // (parent_id, n_chunks, dim, v) rows: the driver's comparer
+      // lexsorts raw columns and cannot sort an array-typed column
+      // (the r12 red row) — meanPoolQ30 itself still returns the
+      // array form for the ANN stack
       Similarity.meanPoolQ30(emb, "parent_id", "embedding")
+        .select(col("parent_id"), col("n_chunks"),
+          posexplode(col("pooled")).as(Seq("dim", "v")))
+        .select(col("parent_id"), col("n_chunks"),
+          col("dim").cast("long").as("dim"), col("v"))
     }),
     "x75b_ivfpq_rerank" -> ((s, dir) => {
       // two-stage retrieval (the FAISS refine pattern): the x75 ADC stage
@@ -4234,11 +4241,17 @@ object SparkEntry {
            regexp_replace(substr(word, 2), '(.)', ' ##\\1', 'g') AS t, wcnt
          FROM w)""")
     val trainParts = base ++ round(1) ++ round(2) ++ round(3)
+    // every branch casts pn/s: DuckDB resolves a UNION ALL column's type
+    // as the WIDEST branch type, so one uncast SUM-typed branch widens
+    // the whole column back to HUGEINT -> pandas float64 -> the driver
+    // hashes 871.0 against Spark's 871 (the r12 red row)
     val trainSql = "WITH " + trainParts.mkString(",\n  ") + """
       SELECT CAST(1 AS BIGINT) AS merge_rank, a, b, mg AS merged,
              CAST(pn AS BIGINT) AS pn, CAST(s AS BIGINT) AS score_q8 FROM m1
-      UNION ALL SELECT 2, a, b, mg, pn, s FROM m2
-      UNION ALL SELECT 3, a, b, mg, pn, s FROM m3"""
+      UNION ALL SELECT CAST(2 AS BIGINT), a, b, mg,
+             CAST(pn AS BIGINT), CAST(s AS BIGINT) FROM m2
+      UNION ALL SELECT CAST(3 AS BIGINT), a, b, mg,
+             CAST(pn AS BIGINT), CAST(s AS BIGINT) FROM m3"""
     // encode: vocabulary = units of the final stream with cnt >= minFreq;
     // the greedy walk advances each live word by its longest in-vocab
     // piece ('##'-prefixed past position 0); no match at any position =>
@@ -5312,7 +5325,8 @@ object SparkEntry {
                   ORDER BY s DESC, n_id) AS BIGINT) AS rnk
          FROM ex QUALIFY rnk <= 5""",
     // x78: quantize → per-(parent, dim) HUGEINT sums → the same
-    // positive-mod floor division → coordinate-ordered list
+    // positive-mod floor division; scalar per-dimension rows (duckdb's
+    // generate_subscripts is 1-based, Spark's posexplode 0-based → d-1)
     "x78_embed_pool" ->
       """WITH x AS (SELECT vec_id // 4 AS parent_id,
                   generate_subscripts(embedding, 1) AS d,
@@ -5320,14 +5334,12 @@ object SparkEntry {
                        AS BIGINT) AS q
            FROM embeddings),
          g AS (SELECT parent_id, d, SUM(q) AS s, COUNT(*) AS n
-               FROM x GROUP BY 1, 2),
-         m AS (SELECT parent_id, d,
-                      CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS v, n
-               FROM g)
+               FROM x GROUP BY 1, 2)
          SELECT CAST(parent_id AS BIGINT) AS parent_id,
-                CAST(MAX(n) AS BIGINT) AS n_chunks,
-                list(v ORDER BY d) AS pooled
-         FROM m GROUP BY 1""",
+                CAST(n AS BIGINT) AS n_chunks,
+                CAST(d - 1 AS BIGINT) AS dim,
+                CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS v
+         FROM g""",
     "x74_unigram_train" -> unigramOracleSql,
     "x74b_unigram_score" -> unigramScoreOracleSql,
     "x35b_kmeans_parallel_seed" -> kppSeedOracleSql,

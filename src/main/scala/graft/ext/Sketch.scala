@@ -108,15 +108,38 @@ object Sketch {
     Seq(a, b).foreach(s => Seq("row", "pos", "c").foreach(c =>
       require(s.columns.contains(c),
         s"cmsJoinSizeEstimate takes cmsSketch cell tables — missing $c")))
+    val frame = a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("row"))
+    // guard the depth precondition IN the plan: a caller-supplied depth
+    // larger than the sketches' build depth would read the absent rows
+    // as 0 via the left-join coalesce and MIN would return 0 — a silent
+    // underestimate inverting the overestimate-only guarantee. A
+    // non-empty cmsSketch populates every row 0..depth-1, so each side's
+    // distinct row set must equal the literal frame exactly; any drift
+    // (wrong depth, mixed-depth sketches) raises instead of estimating.
+    // (Same-WIDTH is not recoverable from cells — it stays a documented
+    // precondition: mixed widths hash the same value to different pos.)
+    def rowDrift(s: DataFrame) = s.select(col("row")).distinct()
+      .withColumn("_s", lit(1))
+      .join(frame.withColumn("_f", lit(1)), Seq("row"), "full")
+      .agg(count(when(col("_s").isNull || col("_f").isNull, 1)).as("drift"))
+    val drift = rowDrift(a).select(col("drift").as("_da"))
+      .crossJoin(rowDrift(b).select(col("drift").as("_db")))
     val ip = a.select(col("row"), col("pos"), col("c").as("_ca"))
       .join(b.select(col("row"), col("pos"), col("c").as("_cb")),
         Seq("row", "pos"))
       .groupBy(col("row"))
       .agg(sum(col("_ca").cast("decimal(38,0)") * col("_cb")).as("_ip"))
-    a.sparkSession.range(depth).select(col("id").cast("int").as("row"))
-      .join(ip, Seq("row"), "left")
+    frame.join(ip, Seq("row"), "left")
       .agg(min(coalesce(col("_ip"), lit(0).cast("decimal(38,0)")))
         .cast("long").as("est"))
+      .crossJoin(drift)
+      .select(when(col("_da") + col("_db") > 0,
+          raise_error(concat(lit("cmsJoinSizeEstimate: sketch row set != "),
+            lit(s"[0, $depth) — depth mismatch ("),
+            col("_da").cast("string"), lit("/"), col("_db").cast("string"),
+            lit(" drifting rows); pass the build depth"))))
+        .otherwise(col("est")).as("est"))
   }
 
   /** Merge count–min cell tables (shards, batches, streaming
@@ -281,9 +304,10 @@ object Sketch {
     * contract) — the hash coordinates on row identity so duplicate
     * VALUES still sample uniformly. NULL values are skipped.
     *
-    * Plan: one guarded projection → distinct → the W2 bounded per-key
-    * top-k window (partitioned by the group keys, never global); only
-    * (keys, 8-byte h, 8-byte v) rows ever cross an exchange. */
+    * Plan: one guarded projection → distinct → [[qsBottomK]] (salted
+    * two-phase per-key selection; TakeOrdered for the ungrouped form —
+    * no task ever sorts a corpus-sized frame); only (keys, 8-byte h,
+    * 8-byte v) rows ever cross an exchange. */
   def qsState(df: DataFrame, keyCols: Seq[String], idCol: String,
               valueCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -302,12 +326,35 @@ object Sketch {
         qsHash(col(idCol).cast("string")).as("h") :+
         vChecked.as("v")): _*)
       .distinct()
-    val win = Window
-      .partitionBy((if (keyCols.isEmpty) Seq(pmod(col("h"), lit(1L)))
-        else keyCols.map(col)): _*)
-      .orderBy(col("h"), col("v"))
-    rows.withColumn("_qs_rn", row_number().over(win))
-      .filter(col("_qs_rn") <= k).drop("_qs_rn")
+    qsBottomK(rows, keyCols, k)
+  }
+
+  /** Bottom-k (h, v) rows per key with NO corpus-sized single-task sort
+    * (the r12 posture fix): the keyed form is the `Scale.saltedTopK`
+    * two-phase — phase 1 ranks within (keys, pmod(h, 32)) so every key's
+    * row set spreads over 32 tasks and at most 32·k rows per key survive
+    * to the phase-2 re-rank (sound by the merge lemma: each of the
+    * union's k smallest (h, v) rows is within its own salt bucket's k
+    * smallest); the ungrouped form is orderBy(h, v).limit(k) —
+    * TakeOrderedAndProject, per-partition truncation to k before the
+    * single k·nPartitions-row reduce, never a global one-task sort.
+    * Both phases order by the TOTAL (h, v) order over distinct rows, so
+    * the result is bit-identical to the one-window form. */
+  private def qsBottomK(rows: DataFrame, keyCols: Seq[String],
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (keyCols.isEmpty) rows.orderBy(col("h"), col("v")).limit(k)
+    else {
+      val w1 = Window
+        .partitionBy((keyCols.map(col) :+ pmod(col("h"), lit(32L))): _*)
+        .orderBy(col("h"), col("v"))
+      val w2 = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("h"), col("v"))
+      rows.withColumn("_qs_rn", row_number().over(w1))
+        .filter(col("_qs_rn") <= k)
+        .withColumn("_qs_rn", row_number().over(w2))
+        .filter(col("_qs_rn") <= k).drop("_qs_rn")
+    }
   }
 
   /** Merge quantile-sketch states (shards, batches, micro-batches) by
@@ -317,16 +364,9 @@ object Sketch {
     * quantile tracking never rescans the base corpus. */
   def qsMerge(states: Seq[DataFrame], keyCols: Seq[String],
               k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(states.nonEmpty, "qsMerge needs at least one state")
     require(k >= 2 && k <= (1 << 16), s"k must be in [2, 2^16]: $k")
-    val win = Window
-      .partitionBy((if (keyCols.isEmpty) Seq(pmod(col("h"), lit(1L)))
-        else keyCols.map(col)): _*)
-      .orderBy(col("h"), col("v"))
-    states.reduce(_ unionByName _).distinct()
-      .withColumn("_qs_rn", row_number().over(win))
-      .filter(col("_qs_rn") <= k).drop("_qs_rn")
+    qsBottomK(states.reduce(_ unionByName _).distinct(), keyCols, k)
   }
 
   /** [[qsState]] staged to parquet — the base-corpus sample a later

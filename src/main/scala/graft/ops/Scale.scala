@@ -509,10 +509,20 @@ object Scale {
           require(fs.rename(staged, part), s"compact commit failed for $prefix$k")
         require(fs.delete(old, true), s"compact cleanup failed for $prefix$k")
         (k, hot(k), if (fs.exists(part)) dataFiles(part).length else 0)
-      }}
-      scala.concurrent.Await.result(
+      // lift each commit to Try BEFORE sequencing: Future.sequence on raw
+      // futures fails fast on the first failed rename while sibling
+      // threads keep swapping partition dirs in the background
+      // (pool.shutdown() does not wait) — a caller acting on the error
+      // (e.g. inspecting the leftover .compact dir per the recovery
+      // message) would race in-flight swaps. Awaiting the Try-lifted
+      // sequence guarantees no commit thread outlives this method; only
+      // then is the first failure surfaced.
+      }.transform(scala.util.Success(_)) }
+      val settled = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs),
         scala.concurrent.duration.Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      settled.collect { case scala.util.Success(v) => v }
     } finally pool.shutdown()
     fs.delete(staging, true)
     out

@@ -49,6 +49,28 @@ class PlanSpec extends SparkSpec {
     // non-empty — so BOTH this detector AND WindowExec's runtime WARN
     // stay reserved for genuinely unbounded global windows.
     val globalWindowAllowlist: Map[String, String] = Map.empty
+    // The r12 lesson (qsState's ungrouped form): a window partitioned by
+    // a CONSTANT non-foldable key — pmod(x, 1), the documented idiom for
+    // keeping partitionSpec non-empty on a deliberately one-partition
+    // bounded frame — is invisible to the empty-partitionSpec detector
+    // above, yet over an unbounded input it is exactly the same
+    // single-task scale-killer. So constant-key windows are ALSO swept:
+    // every query reaching one must be allowlisted here with the bound
+    // that makes its one-partition frame safe. A new constant-key window
+    // over an un-censused frame fails the suite.
+    // the exact r13 census: these three (and ONLY these) reach a
+    // constant-key window, each over a frame bounded upstream. The x92
+    // quantile-sketch family no longer appears here — qsBottomK replaced
+    // its constant-key window with TakeOrdered/salted two-phase forms.
+    val constKeyWindowAllowlist: Map[String, String] = Map(
+      "x77b_perplexity_buckets" -> ("Learn.scoreBuckets cumulative window " +
+        "ranks the ≤2^30/quantStep quantized score BINS (census-guarded), " +
+        "never the corpus rows"),
+      "x65e_model_auc" -> ("Learn.aucExact cumulative window runs over " +
+        "the census-bounded distinct-score-bucket frame, never a " +
+        "pairwise join or row-level frame"),
+      "x42_sequence_pack" -> ("TextStats.trainTokenVocabDf's vid-rank " +
+        "window runs over the TakeOrdered ≤vocab-size seed frame"))
     // AQE wraps every exchange-bearing plan in AdaptiveSparkPlanExec,
     // a LEAF node whose children are invisible to collect — unwrap it
     // (the same move as the layout-scan pins below) or the detector is
@@ -66,6 +88,47 @@ class PlanSpec extends SparkSpec {
           if w.partitionSpec.isEmpty => w
       }.size
     }
+    // constant-key = every partition expression is foldable or the
+    // pmod(x, 1) idiom — evaluates to one partition regardless of input.
+    // The planner pre-projects non-trivial partition expressions into
+    // aliases (`pmod(x, 1) AS _w0`), so the window's partitionSpec only
+    // shows an AttributeReference — resolve attributes back through the
+    // plan's Project aliases before classifying.
+    def constKeyWindows(df: DataFrame): Int = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        Alias, AttributeReference, Expression, Literal, Pmod}
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val aliases = scala.collection.mutable.Map.empty[Long, Expression]
+      root.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case a: Alias => aliases(a.exprId.id) = a.child
+          case _ => ()
+        })
+      }
+      @annotation.tailrec
+      def resolve(e: Expression, fuel: Int = 8): Expression = e match {
+        case ar: AttributeReference if fuel > 0 && aliases.contains(ar.exprId.id) =>
+          resolve(aliases(ar.exprId.id), fuel - 1)
+        case other => other
+      }
+      def isConstKey(e: Expression): Boolean = {
+        val r = resolve(e)
+        r.foldable || (r match {
+          case Pmod(_, Literal(m, _), _) => m == 1 || m == 1L
+          case _ => false
+        })
+      }
+      root.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty && w.partitionSpec.forall(isConstKey) => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.nonEmpty && w.partitionSpec.forall(isConstKey) => w
+      }.size
+    }
     // canary: the detector must SEE a deliberately-global window through
     // the AQE wrapper, or the sweep below proves nothing
     {
@@ -76,8 +139,16 @@ class PlanSpec extends SparkSpec {
         .withColumn("_rn", row_number().over(Window.orderBy(col("doc_id"))))
       assert(globalWindows(canary) >= 1,
         "window detector went blind — AQE unwrap broken?\n" + tree(canary))
+      val constCanary = spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(4)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(pmod(col("n_chars"), lit(1L)))
+            .orderBy(col("doc_id"))))
+      assert(constKeyWindows(constCanary) >= 1,
+        "constant-key window detector went blind\n" + tree(constCanary))
     }
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val constOffenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val p = tree(df)
@@ -85,11 +156,21 @@ class PlanSpec extends SparkSpec {
       val hits = globalWindows(df)
       if (hits > 0 && !globalWindowAllowlist.contains(name))
         offenders += s"$name ($hits unpartitioned window(s))"
+      val cHits = constKeyWindows(df)
+      if (cHits > 0 && !constKeyWindowAllowlist.keys.exists(name.startsWith))
+        constOffenders += s"$name ($cHits constant-key window(s))"
+      else if (cHits > 0)
+        info(s"const-key window allowlisted: $name ($cHits)")
     }
     assert(offenders.isEmpty,
       s"unpartitioned WindowExec outside the allowlist — partition it, " +
         s"pre-aggregate to a bounded frame, or document it on the " +
         s"allowlist with its bound:\n${offenders.mkString("\n")}")
+    assert(constOffenders.isEmpty,
+      s"constant-key (pmod(x,1)/foldable) WindowExec outside the " +
+        s"allowlist — these run one task over their whole input; " +
+        s"two-phase it (Scale.saltedTopK / qsBottomK) or document the " +
+        s"frame's bound:\n${constOffenders.mkString("\n")}")
   }
 
   test("entry: all four dimension joins are broadcast hash joins") {

@@ -43,14 +43,54 @@ def canon(df):
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def dtype_class(s):
+    """Coarse value-representation class, as the driver's hash sees it."""
+    k = s.dtype.kind
+    if k in "iu": return "int"
+    if k == "f":  return "float"
+    if k == "b":  return "bool"
+    if k == "M":  return "datetime"
+    return "object"
+
+def repr_check(name, sdf, odf):
+    """Driver-strictness representation gate (the two r12 failure classes):
+    1. float-vs-int dtype drift — DuckDB widens e.g. an uncast SUM to
+       HUGEINT, pandas converts HUGEINT->float64, and the driver hashes
+       871.0 against Spark's 871 even though canon() equates them;
+    2. non-scalar (array/struct) columns — the driver's comparer lexsorts
+       raw columns and crashes on ndarray cells, while canon() happily
+       stringifies them.
+    Returns an error string, or None if the shapes are driver-safe."""
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        ks, ko = dtype_class(sdf[c]), dtype_class(odf[c])
+        if {ks, ko} == {"int", "float"}:
+            return (f"dtype drift col {c}: spark={sdf[c].dtype} vs "
+                    f"oracle={odf[c].dtype} (driver hashes these differently"
+                    " — cast the oracle/query so both sides agree)")
+        for side, df in (("spark", sdf), ("oracle", odf)):
+            if df[c].dtype == object:
+                nn = df[c].dropna()
+                v = nn.iloc[0] if len(nn) else None
+                if isinstance(v, (list, tuple, dict, set)) or \
+                   getattr(v, "ndim", 0) > 0:
+                    return (f"non-scalar col {c} ({side}): driver comparer "
+                            "cannot lexsort array/struct cells — reshape to "
+                            "scalar rows (posexplode) or hash to a string")
+    return None
+
 for name in names:
     spark_files = glob.glob(f"{out}/{name}/*.parquet")
     if not spark_files:
         fails.append((name, "no spark output"))
         continue
     try:
-        sdf = canon(pd.concat([pd.read_parquet(f) for f in spark_files]))
-        odf = canon(con.sql(oracle[name]).df())
+        sraw = pd.concat([pd.read_parquet(f) for f in spark_files])
+        oraw = con.sql(oracle[name]).df()
+        rerr = repr_check(name, sraw, oraw)
+        if rerr:
+            fails.append((name, rerr))
+            continue
+        sdf, odf = canon(sraw), canon(oraw)
     except Exception as e:
         fails.append((name, f"exec error: {e}"))
         continue
