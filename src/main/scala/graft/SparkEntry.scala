@@ -2938,6 +2938,29 @@ object SparkEntry {
           graft.ext.Learn.centroidScore(col("text"), w).as("_s"))
       graft.ext.Learn.aucExact(scored, "_y", "_s")
     }),
+    "x96_ece_calibration" -> ((s, dir) => {
+      // the model card's CALIBRATION row beside x65e's AUC: reliability
+      // table + expected calibration error of the trained scorer, with
+      // bin confidences learned on one held-out quarter (doc_id%4==1,
+      // histogram binning) and observed rates measured on the disjoint
+      // test quarter (doc_id%4==3) — all Q20 floor rationals, replayed
+      // exactly; the bin frame is ~26 rows at quantStep 2^23 (scores
+      // scale with document length, not corpus size, so the census
+      // holds at any SF).
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, _) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
+      val scored = d.filter(col("doc_id") % 2 === 1)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), lenLabel.as("_y"),
+          graft.ext.Learn.centroidScore(col("text"), w).as("_s"))
+      graft.ext.Learn.eceCalibration(scored, "_y", "_s",
+        pmod(col("doc_id"), lit(4L)) === 1L, 1L << 23)
+    }),
     "x67_token_chunks" -> ((s, dir) =>
       // sliding token-window chunking (window 64, stride 48 → 16-token
       // overlap): the retrieval/embedding input shape, a pure projection
@@ -7100,6 +7123,43 @@ object SparkEntry {
                      // NULLIF(2 * SUM(p) * SUM(q), 0) AS BIGINT)
                   AS auc_permille
          FROM cum"""),
+    // x96: histogram-binned calibration — bin confidence from the
+    // calibration quarter, observed rate from the test quarter, Q20
+    // floors throughout; duckdb's // floors natively (negative-score
+    // bins match Spark's positive-mod-corrected div)
+    "x96_ece_calibration" -> (centroidCtes("doc_id % 2 = 0") +
+      s""",
+         ev AS (SELECT doc_id, y, s, s // ${1L << 23} AS bin,
+                       (doc_id % 4 = 1) AS cal
+                FROM sc WHERE doc_id % 2 = 1),
+         bg AS (SELECT bin,
+                 SUM(CASE WHEN cal THEN 1 ELSE 0 END) AS n_cal,
+                 SUM(CASE WHEN cal AND y = 1 THEN 1 ELSE 0 END) AS pos_cal,
+                 SUM(CASE WHEN NOT cal THEN 1 ELSE 0 END) AS n_test,
+                 SUM(CASE WHEN NOT cal AND y = 1 THEN 1 ELSE 0 END) AS pos_test
+               FROM ev GROUP BY 1),
+         bt AS (SELECT SUM(n_cal) AS tc, SUM(pos_cal) AS tp,
+                       SUM(n_test) AS tn FROM bg),
+         cb AS (SELECT bin, n_cal, pos_cal, n_test, pos_test,
+                  CASE WHEN n_cal > 0 THEN (1048576 * pos_cal) // n_cal
+                       ELSE (1048576 * (SELECT tp FROM bt))
+                            // (SELECT tc FROM bt) END AS conf_q20,
+                  (1048576 * pos_test) // n_test AS obs_q20
+                FROM bg WHERE n_test > 0),
+         be AS (SELECT CAST(SUM(CAST(n_test AS HUGEINT)
+                             * abs(conf_q20 - obs_q20))
+                           // (SELECT tn FROM bt) AS BIGINT) AS ece_q20
+               FROM cb)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(n_cal AS BIGINT) AS n_cal,
+                CAST(pos_cal AS BIGINT) AS pos_cal,
+                CAST(n_test AS BIGINT) AS n_test,
+                CAST(pos_test AS BIGINT) AS pos_test,
+                CAST(conf_q20 AS BIGINT) AS conf_q20,
+                CAST(obs_q20 AS BIGINT) AS obs_q20,
+                CAST(abs(conf_q20 - obs_q20) AS BIGINT) AS gap_q20,
+                (SELECT ece_q20 FROM be) AS ece_q20
+         FROM cb"""),
     // x65c: the SAME trainer replay at production width — 4096 buckets
     // on the 4-hex-digit hash; the engine side trains/scores via the
     // broadcast-joined weight TABLE, and must agree weight-for-weight

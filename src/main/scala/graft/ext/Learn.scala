@@ -356,6 +356,99 @@ object Learn {
                as bigint)""").as("auc_permille"))
   }
 
+  /** EXPECTED CALIBRATION ERROR over quantized score bins — the
+    * model-card metric beside [[aucExact]]'s ranking quality and x65d's
+    * confusion numbers: how far the scorer's bin-level confidence sits
+    * from the observed positive rate (the reliability-diagram summary,
+    * Naeini et al. AAAI'15; fixed-bin form per Guo et al. ICML'17).
+    *
+    * Score→probability needs NO parametric link: a bin's predicted
+    * confidence is its positive rate on the CALIBRATION split
+    * (histogram binning — Zadrozny & Elkan KDD'02) and the observed
+    * rate comes from the disjoint TEST split, so both are exact Q20
+    * floor rationals and the whole metric replays bit-for-bit in SQL.
+    * Bins the calibration split never saw fall back to that split's
+    * GLOBAL positive rate (the empirical prior). ECE_q20 =
+    * ⌊Σ n_test_bin·|conf−obs| / n_test⌋, constant on every row.
+    *
+    * Contracts (the aucExact/scoreBuckets conventions): labels are
+    * strictly positive/negative (raise per row on 0/NULL — remap 0/1
+    * labels to ±1); scores are integers (Q fixed point, raise per row);
+    * NULL scores are excluded (they carry no calibration signal);
+    * `calPred` must be a deterministic row split. The calibration
+    * split must be non-empty (loud census raise — the prior divides by
+    * its size).
+    *
+    * 100 TB shape: one (bin)-keyed aggregation with map-side combine
+    * over four conditional-count columns — only censused bin rows ever
+    * cross an exchange after it; the bin frame is census-guarded
+    * (≤ maxBins, raise names the quantStep that fits); the two 1-row
+    * totals broadcast back via crossJoin; the Σ n·gap fold runs in
+    * decimal(38,0) (n_test·2²⁰ passes a long only below ~8·10¹² rows
+    * per bin). Returns one row per bin WITH TEST MASS: (bin, n_cal,
+    * pos_cal, n_test, pos_test, conf_q20, obs_q20, gap_q20, ece_q20). */
+  def eceCalibration(scored: DataFrame, yCol: String, sCol: String,
+                     calPred: Column, quantStep: Long,
+                     maxBins: Long = 1L << 12): DataFrame = {
+    require(quantStep >= 1, s"quantStep must be >= 1: $quantStep")
+    require(maxBins >= 1, s"maxBins must be >= 1: $maxBins")
+    val q20 = 1L << 20
+    val yChecked = when(col(yCol) > 0 || col(yCol) < 0, col(yCol))
+      .otherwise(raise_error(concat(
+        lit(s"eceCalibration labels must be +1/-1 ($yCol > 0 positive, " +
+          s"< 0 negative; remap 0/1 labels); got $yCol = "),
+        coalesce(col(yCol).cast("string"), lit("null")))))
+    val sChecked = when(col(sCol).cast("long") === col(sCol),
+        col(sCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"eceCalibration needs integer (Q-fixed-point) scores; " +
+          s"$sCol = "), col(sCol).cast("string"))))
+    val rows = scored.filter(col(sCol).isNotNull)
+      .select(yChecked.as("_ec_y"), sChecked.as("_ec_s"),
+        calPred.as("_ec_cal"))
+      // floor-quantized bin: truncating div corrected by the
+      // positive-mod idiom (exact for negative scores; DuckDB's //
+      // floors natively)
+      .withColumn("bin", expr(s"(_ec_s div ${quantStep}L) - " +
+        s"(CASE WHEN _ec_s < 0 AND pmod(_ec_s, ${quantStep}L) != 0 " +
+        s"THEN 1L ELSE 0L END)"))
+    val bins = rows.groupBy(col("bin")).agg(
+      sum(when(col("_ec_cal"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(col("_ec_cal") && col("_ec_y") > 0, 1L).otherwise(0L))
+        .as("pos_cal"),
+      sum(when(!col("_ec_cal"), 1L).otherwise(0L)).as("n_test"),
+      sum(when(!col("_ec_cal") && col("_ec_y") > 0, 1L).otherwise(0L))
+        .as("pos_test"))
+    // census: bin-frame bound + non-empty calibration split, one action
+    val cen = bins.agg(count(lit(1)).as("nb"),
+      coalesce(sum(col("n_cal")), lit(0L)).as("tc")).collect().head
+    val (nBins, totCal) = (cen.getLong(0), cen.getLong(1))
+    require(nBins <= maxBins,
+      s"eceCalibration has $nBins score bins (> maxBins = $maxBins): " +
+        s"raise quantStep (>= ~${quantStep * (nBins / maxBins + 1)}) " +
+        "or raise maxBins explicitly")
+    require(totCal > 0,
+      "eceCalibration needs a non-empty calibration split (calPred " +
+        "selected no rows) — the bin-confidence prior divides by it")
+    val tot = bins.agg(sum(col("n_cal")).as("_ec_tc"),
+      sum(col("pos_cal")).as("_ec_tp"),
+      sum(col("n_test")).as("_ec_tt"))
+    val conf = bins.crossJoin(broadcast(tot))
+      .withColumn("conf_q20",
+        when(col("n_cal") > 0, expr(s"(${q20}L * pos_cal) div n_cal"))
+          .otherwise(expr(s"(${q20}L * _ec_tp) div _ec_tc")))
+      .filter(col("n_test") > 0)
+      .withColumn("obs_q20", expr(s"(${q20}L * pos_test) div n_test"))
+      .withColumn("gap_q20", abs(col("conf_q20") - col("obs_q20")))
+    val ece = conf.agg(
+      expr("""cast(sum(cast(n_test as decimal(38,0)) * gap_q20)
+               div cast(first(_ec_tt) as decimal(38,0)) as bigint)""")
+        .as("ece_q20"))
+    conf.select(col("bin"), col("n_cal"), col("pos_cal"), col("n_test"),
+        col("pos_test"), col("conf_q20"), col("obs_q20"), col("gap_q20"))
+      .crossJoin(broadcast(ece))
+  }
+
   /** Score a text with trained [[centroidThresholdTrain]] weights (one
     * weight per bucket, no bias — the threshold plays that role): raw
     * integer Σ w_b·cnt_b as decimal(38,0), a zero-exchange projection. */

@@ -340,4 +340,46 @@ class LearnSpec extends SparkSpec {
       Learn.aucExact(scored, "y", "s", maxScoreCandidates = 2)
     }
   }
+  test("eceCalibration: hand-computed reliability bins, prior fallback, negative-score bin, guards") {
+    // quantStep 10. cal rows: bin0 {+5, -7}, bin1 {+12}, bin3 {-35}
+    // -> tc=4, tp=2, prior = (2^20*2) div 4 = 524288. test rows:
+    // bin0 {+3, +9} obs 2^20, bin1 {-15} obs 0, bin2 {+25} (no cal ->
+    // prior), bin-1 {-3} (floor(-3/10) = -1, no cal -> prior).
+    // ece = (2*524288 + 1*1048576 + 1*524288 + 1*524288) div 5 = 629145
+    val rows = Seq(
+      (1L, 5L, true), (-1L, 7L, true), (1L, 3L, false), (1L, 9L, false),
+      (1L, 12L, true), (-1L, 15L, false),
+      (1L, 25L, false),
+      (-1L, 35L, true),
+      (-1L, -3L, false)).toDF("y", "s", "cal")
+    val got = Learn.eceCalibration(rows, "y", "s", col("cal"), 10L)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (-1L, 0L, 0L, 1L, 0L, 524288L, 0L, 524288L, 629145L),
+      (0L, 2L, 1L, 2L, 2L, 524288L, 1048576L, 524288L, 629145L),
+      (1L, 1L, 1L, 1L, 0L, 1048576L, 0L, 1048576L, 629145L),
+      (2L, 0L, 0L, 1L, 1L, 524288L, 1048576L, 524288L, 629145L)), got.toString)
+    // cal-only bin 3 is absent from the output but counted in the prior
+    assert(!got.exists(_._1 == 3L))
+    // zero/NULL labels raise per row (the aucExact contract)
+    intercept[Exception] {
+      Learn.eceCalibration(Seq((0L, 5L, true), (1L, 6L, false))
+        .toDF("y", "s", "cal"), "y", "s", col("cal"), 10L).collect()
+    }
+    // fractional scores raise per row (the Q contract)
+    intercept[Exception] {
+      Learn.eceCalibration(Seq((1L, 1.5, true), (1L, 6.0, false))
+        .toDF("y", "s", "cal"), "y", "s", col("cal"), 10L).collect()
+    }
+    // empty calibration split raises loudly (the prior divides by it)
+    intercept[IllegalArgumentException] {
+      Learn.eceCalibration(rows, "y", "s", lit(false), 10L)
+    }
+    // the bin census guard names a quantStep that fits
+    intercept[IllegalArgumentException] {
+      Learn.eceCalibration(rows, "y", "s", col("cal"), 1L, maxBins = 2L)
+    }
+  }
 }
