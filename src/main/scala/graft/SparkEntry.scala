@@ -2961,6 +2961,27 @@ object SparkEntry {
       graft.ext.Learn.eceCalibration(scored, "_y", "_s",
         pmod(col("doc_id"), lit(4L)) === 1L, 1L << 23)
     }),
+    "x96b_calibrated_scores" -> ((s, dir) => {
+      // the x96 calibrator DEPLOYED (the x92c clip-deploy symmetry):
+      // bin confidences learned on the calibration quarter attach to
+      // every test-quarter document as a Q20 probability column via a
+      // ≤censused-bins broadcast join — the deploy side never shuffles.
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, _) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
+      val ev = d.filter(col("doc_id") % 2 === 1)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), lenLabel.as("_y"),
+          graft.ext.Learn.centroidScore(col("text"), w).as("_s"))
+      graft.ext.Learn.calibrateScores(
+        ev.filter(pmod(col("doc_id"), lit(4L)) === 1L),
+        ev.filter(pmod(col("doc_id"), lit(4L)) === 3L),
+        "_y", "_s", "doc_id", 1L << 23)
+    }),
     "x67_token_chunks" -> ((s, dir) =>
       // sliding token-window chunking (window 64, stride 48 → 16-token
       // overlap): the retrieval/embedding input shape, a pure projection
@@ -7160,6 +7181,25 @@ object SparkEntry {
                 CAST(abs(conf_q20 - obs_q20) AS BIGINT) AS gap_q20,
                 (SELECT ece_q20 FROM be) AS ece_q20
          FROM cb"""),
+    // x96b: the calibrator deployed — bin confidences from the
+    // calibration quarter left-join onto the test quarter; unseen bins
+    // coalesce to the global calibration rate
+    "x96b_calibrated_scores" -> (centroidCtes("doc_id % 2 = 0") +
+      s""",
+         ev AS (SELECT doc_id, y, s, s // ${1L << 23} AS bin,
+                       (doc_id % 4 = 1) AS cal
+                FROM sc WHERE doc_id % 2 = 1),
+         cb AS (SELECT bin, COUNT(*) AS n,
+                       SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p
+                FROM ev WHERE cal GROUP BY 1),
+         pr AS (SELECT (1048576 * SUM(p)) // SUM(n) AS prior FROM cb)
+         SELECT e.doc_id,
+                CAST(e.s AS BIGINT) AS score,
+                CAST(e.bin AS BIGINT) AS bin,
+                CAST(COALESCE((1048576 * c.p) // c.n,
+                              (SELECT prior FROM pr)) AS BIGINT) AS p_q20
+         FROM ev e LEFT JOIN cb c ON c.bin = e.bin
+         WHERE NOT e.cal"""),
     // x65c: the SAME trainer replay at production width — 4096 buckets
     // on the 4-hex-digit hash; the engine side trains/scores via the
     // broadcast-joined weight TABLE, and must agree weight-for-weight

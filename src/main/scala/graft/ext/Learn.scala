@@ -449,6 +449,62 @@ object Learn {
       .crossJoin(broadcast(ece))
   }
 
+  /** DEPLOY the [[eceCalibration]] histogram calibrator: each deploy
+    * row's calibrated probability is its score bin's positive rate on
+    * the calibration frame (Q20 floor), falling back to the frame's
+    * global positive rate for bins the calibration never saw — the
+    * same statistic x96 audits, shipped as a COLUMN (the x92c
+    * clip-deploy symmetry: the sketch/statistic trains once, deploys
+    * everywhere). Same contracts as eceCalibration (±1 labels, integer
+    * scores, non-empty calibration, censused ≤ maxBins bin frame).
+    *
+    * Scale: the calibration frame reduces to ≤ maxBins (bin, conf)
+    * rows which BROADCAST onto the deploy projection — the deploy side
+    * never shuffles. Returns (idCol, score, bin, p_q20). */
+  def calibrateScores(cal: DataFrame, deploy: DataFrame, yCol: String,
+                      sCol: String, idCol: String, quantStep: Long,
+                      maxBins: Long = 1L << 12): DataFrame = {
+    require(quantStep >= 1, s"quantStep must be >= 1: $quantStep")
+    require(maxBins >= 1, s"maxBins must be >= 1: $maxBins")
+    val q20 = 1L << 20
+    def binOf(s: String) = expr(s"($s div ${quantStep}L) - " +
+      s"(CASE WHEN $s < 0 AND pmod($s, ${quantStep}L) != 0 " +
+      s"THEN 1L ELSE 0L END)")
+    val yChecked = when(col(yCol) > 0 || col(yCol) < 0, col(yCol))
+      .otherwise(raise_error(concat(
+        lit(s"calibrateScores labels must be +1/-1; got $yCol = "),
+        coalesce(col(yCol).cast("string"), lit("null")))))
+    def sChecked(df: DataFrame) = when(
+        col(sCol).cast("long") === col(sCol), col(sCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"calibrateScores needs integer scores; $sCol = "),
+        col(sCol).cast("string"))))
+    val bins = cal.filter(col(sCol).isNotNull)
+      .select(yChecked.as("_cc_y"), sChecked(cal).as("_cc_s"))
+      .withColumn("bin", binOf("_cc_s"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("_cc_n"),
+        sum(when(col("_cc_y") > 0, 1L).otherwise(0L)).as("_cc_p"))
+    val cen = bins.agg(count(lit(1)).as("nb"),
+      coalesce(sum(col("_cc_n")), lit(0L)).as("tc"),
+      coalesce(sum(col("_cc_p")), lit(0L)).as("tp")).collect().head
+    require(cen.getLong(0) <= maxBins,
+      s"calibrateScores has ${cen.getLong(0)} calibration bins " +
+        s"(> maxBins = $maxBins): raise quantStep " +
+        s"(>= ~${quantStep * (cen.getLong(0) / maxBins + 1)})")
+    require(cen.getLong(1) > 0,
+      "calibrateScores needs a non-empty calibration frame")
+    // BigInt: 2^20·tp wraps a long past ~8·10^12 calibration positives
+    val prior = ((BigInt(cen.getLong(2)) * q20) / cen.getLong(1)).toLong
+    val conf = bins.select(col("bin"),
+      expr(s"(${q20}L * _cc_p) div _cc_n").as("_cc_conf"))
+    deploy.filter(col(sCol).isNotNull)
+      .select(col(idCol), sChecked(deploy).as("score"))
+      .withColumn("bin", binOf("score"))
+      .join(broadcast(conf), Seq("bin"), "left")
+      .select(col(idCol), col("score"), col("bin"),
+        coalesce(col("_cc_conf"), lit(prior)).as("p_q20"))
+  }
+
   /** Score a text with trained [[centroidThresholdTrain]] weights (one
     * weight per bucket, no bias — the threshold plays that role): raw
     * integer Σ w_b·cnt_b as decimal(38,0), a zero-exchange projection. */

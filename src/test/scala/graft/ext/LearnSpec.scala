@@ -382,4 +382,27 @@ class LearnSpec extends SparkSpec {
       Learn.eceCalibration(rows, "y", "s", col("cal"), 1L, maxBins = 2L)
     }
   }
+  test("calibrateScores: bin confidence deploys by broadcast join, prior for unseen bins") {
+    // calibration bins (quantStep 10): bin0 {+5, -7} conf 524288,
+    // bin1 {+12} conf 2^20, bin3 {-35} conf 0; prior (2*2^20) div 4
+    val cal = Seq((1L, 5L), (-1L, 7L), (1L, 12L), (-1L, 35L)).toDF("y", "s")
+    val dep = Seq((1L, 3L), (2L, 25L), (3L, -3L), (4L, 35L))
+      .toDF("doc_id", "s")
+    val got = Learn.calibrateScores(cal, dep.withColumn("y", lit(1L)),
+        "y", "s", "doc_id", 10L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, 524288L),
+      (2L, 25L, 2L, 524288L),   // unseen bin -> prior
+      (3L, -3L, -1L, 524288L),  // negative-score unseen bin -> prior
+      (4L, 35L, 3L, 0L)), got.toString)
+    // empty calibration raises; census guard names a fitting quantStep
+    intercept[IllegalArgumentException] {
+      Learn.calibrateScores(cal.filter(lit(false)), dep, "y", "s",
+        "doc_id", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Learn.calibrateScores(cal, dep, "y", "s", "doc_id", 1L, maxBins = 2L)
+    }
+  }
 }
