@@ -2961,6 +2961,25 @@ object SparkEntry {
       graft.ext.Learn.eceCalibration(scored, "_y", "_s",
         pmod(col("doc_id"), lit(4L)) === 1L, 1L << 23)
     }),
+    "x97_release_drift" -> ((s, dir) => {
+      // corpus-level drift between the two releases (the x63 even/odd
+      // release-pair convention): per language, the quantized
+      // Jensen-Shannon divergence of the releases' token distributions
+      // — the x63 id-keyed delta says WHICH docs changed; this says
+      // whether the language itself moved. One tokenize+groupBy pass
+      // per release, one token-keyed full-outer join, Q8-bit outputs.
+      val d = t(s, dir, "documents")
+      def counts(p: Column) = d.filter(p)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          explode(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      graft.ext.TextStats.distributionDriftQ8(
+        counts(col("doc_id") % 2 === 0), counts(col("doc_id") % 2 === 1),
+        Seq("lang"), "tok", "c")
+    }),
     "x96b_calibrated_scores" -> ((s, dir) => {
       // the x96 calibrator DEPLOYED (the x92c clip-deploy symmetry):
       // bin confidences learned on the calibration quarter attach to
@@ -3993,6 +4012,78 @@ object SparkEntry {
   /** x95: distinct-n diversity replayed — the wordNgrams slice-zip
     * semantics per n (short docs truncate, concat_ws skips the null
     * tail), per-doc multiplicity kept, Q20 unique/total ratio. */
+  /** x97: quantized-JSD release drift replayed — per-release (lang, tok)
+    * counts, full-outer merge, Q20 probability floors, the shared Q8
+    * integer-log chain on 2·pq / 2·qq / pq+qq (arguments ≤ 2²¹), HUGEINT
+    * term sums, floor divisions (duckdb's // floors natively). */
+  private val x97OracleSql: String = {
+    def lq(src: String): Seq[String] = {
+      val l0 = s"""${src}_l0 AS MATERIALIZED (SELECT lang, tok, v,
+        length(bin(v)) - 1 AS e,
+        (v * 256) // (1::BIGINT << (length(bin(v)) - 1)) AS m,
+        0::BIGINT AS acc FROM $src)"""
+      val steps = (1 to 8).map { i =>
+        s"""${src}_l$i AS MATERIALIZED (SELECT lang, tok, v, e,
+          CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
+          acc*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS acc
+          FROM ${src}_l${i - 1})"""
+      }
+      (l0 +: steps) :+
+        s"${src}_lq AS MATERIALIZED (SELECT lang, tok, e*256 + acc AS lq FROM ${src}_l8)"
+    }
+    val parts = Seq(
+      s"""base AS MATERIALIZED (SELECT doc_id, lang,
+           string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'),
+             '\\s+') AS tk
+         FROM documents WHERE text IS NOT NULL
+           AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> '')""",
+      """ca AS MATERIALIZED (SELECT lang, tok, COUNT(*) AS a FROM (
+           SELECT lang, unnest(tk) AS tok FROM base WHERE doc_id % 2 = 0)
+         GROUP BY 1, 2)""",
+      """cb AS MATERIALIZED (SELECT lang, tok, COUNT(*) AS b FROM (
+           SELECT lang, unnest(tk) AS tok FROM base WHERE doc_id % 2 = 1)
+         GROUP BY 1, 2)""",
+      """j AS MATERIALIZED (SELECT COALESCE(ca.lang, cb.lang) AS lang,
+              COALESCE(ca.tok, cb.tok) AS tok,
+              COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+         FROM ca FULL OUTER JOIN cb
+           ON ca.lang = cb.lang AND ca.tok = cb.tok)""",
+      """tt AS MATERIALIZED (SELECT lang, SUM(a) AS na, SUM(b) AS nb,
+              SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS va,
+              SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS vb
+         FROM j GROUP BY 1)""",
+      """q AS MATERIALIZED (SELECT j.lang, j.tok,
+              CASE WHEN t.na > 0 THEN (1048576 * j.a) // t.na ELSE 0 END AS pq,
+              CASE WHEN t.nb > 0 THEN (1048576 * j.b) // t.nb ELSE 0 END AS qq
+         FROM j JOIN tt t ON t.lang = j.lang)""",
+      "p2 AS MATERIALIZED (SELECT lang, tok, 2 * pq AS v FROM q WHERE pq >= 1)",
+      "q2 AS MATERIALIZED (SELECT lang, tok, 2 * qq AS v FROM q WHERE qq >= 1)",
+      "mm AS MATERIALIZED (SELECT lang, tok, pq + qq AS v FROM q WHERE pq >= 1 OR qq >= 1)") ++
+      lq("p2") ++ lq("q2") ++ lq("mm") ++ Seq(
+      """sp AS (SELECT q.lang,
+              SUM(CAST(q.pq AS HUGEINT) * (p.lq - m.lq)) AS s
+         FROM q
+         JOIN p2_lq p ON p.lang = q.lang AND p.tok = q.tok
+         JOIN mm_lq m ON m.lang = q.lang AND m.tok = q.tok
+         GROUP BY 1)""",
+      """sq AS (SELECT q.lang,
+              SUM(CAST(q.qq AS HUGEINT) * (p.lq - m.lq)) AS s
+         FROM q
+         JOIN q2_lq p ON p.lang = q.lang AND p.tok = q.tok
+         JOIN mm_lq m ON m.lang = q.lang AND m.tok = q.tok
+         GROUP BY 1)""")
+    "WITH " + parts.mkString(",\n  ") + """
+      SELECT t.lang, CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             CAST(t.va AS BIGINT) AS vocab_a, CAST(t.vb AS BIGINT) AS vocab_b,
+             CAST(COALESCE(s1.s, 0) // 1048576 AS BIGINT) AS kl_am_q8,
+             CAST(COALESCE(s2.s, 0) // 1048576 AS BIGINT) AS kl_bm_q8,
+             CAST((COALESCE(s1.s, 0) + COALESCE(s2.s, 0)) // 2097152
+               AS BIGINT) AS jsd_q8
+      FROM tt t
+      LEFT JOIN sp s1 ON s1.lang = t.lang
+      LEFT JOIN sq s2 ON s2.lang = t.lang"""
+  }
+
   private val x95OracleSql: String = {
     def gN(n: Int): String = {
       val cat = (0 until n).map(o => s"t[i+$o]").mkString("concat_ws(' ', ", ", ", ")")
@@ -6591,6 +6682,7 @@ object SparkEntry {
     "x93_cms_join_size" -> x93OracleSql,
     "et7_windowed_quantiles" -> et7OracleSql,
     "x94_char_entropy" -> x94OracleSql,
+    "x97_release_drift" -> x97OracleSql,
     "x95_ngram_diversity" -> x95OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,

@@ -921,4 +921,103 @@ object TextStats {
         acc * 31 + conv(substring(md5(tok), 1, 15), 16, 10).cast("decimal(38,0)"),
         m)).cast("long")
   }
+  /** TOKEN-DISTRIBUTION DRIFT between two corpus releases — the
+    * Jensen–Shannon divergence (Lin, IEEE Trans. IT 1991), the standard
+    * bounded/symmetric corpus-drift metric (KL itself is infinite the
+    * moment a release coins one new token): per group key,
+    * JSD(A, B) = ½·KL(P‖M) + ½·KL(Q‖M) with M = ½(P+Q), over the two
+    * releases' token distributions. The id-keyed x63 release delta says
+    * WHICH documents changed; this says whether the LANGUAGE ITSELF
+    * moved — vocabulary/topic shift that survives doc-level matching.
+    *
+    * Integer-exact definition (the oracle replays it bit-for-bit):
+    * probabilities quantize to Q20 floors pq = ⌊2²⁰·a/N_A⌋,
+    * qq = ⌊2²⁰·b/N_B⌋; tokens whose quantized mass floors to 0 on a
+    * side are excluded from THAT side's sum (quantization-floor
+    * truncation — documented, deterministic; the metric's resolution is
+    * 2⁻²⁰ of a release's mass, so the regime is vocab ≪ 2²⁰ tokens
+    * carrying it, which the Zipf head always satisfies). Each side's
+    * per-token term is pq·(lq(2·pq) − lq(pq+qq)) in the exact Q8 log of
+    * [[graft.ext.Unigram.log2q8]] (arguments ≤ 2²¹, deep inside the
+    * 2⁵⁵ domain regardless of corpus size — the quantization is also
+    * what makes the log chain scale-safe), summed in decimal(38,0);
+    * kl_*_q8 and jsd_q8 read in Q8 bits after floor division (the
+    * positive-mod idiom — sums can be slightly negative under
+    * quantization). A qq = 0 token contributes exactly pq·256
+    * (lq(2x) − lq(x) ≡ 256 by construction — e increments, mantissa
+    * chain identical), the log-of-2 bit.
+    *
+    * Inputs are (keys..., tokenCol, cntCol) count tables (build them
+    * with one tokenize+groupBy pass per release; counts must be
+    * positive integers — raise per row). 100 TB shape: ONE
+    * (keys, token)-keyed full-outer join of the two count tables (the
+    * x63 m1/m2 merge discipline on distributions), per-key totals
+    * broadcast back, one map-side-combining per-key aggregation;
+    * tokens never leave their hash partition after the join. Returns
+    * (keys..., n_a, n_b, vocab_a, vocab_b, kl_am_q8, kl_bm_q8,
+    * jsd_q8). */
+  def distributionDriftQ8(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                          tokenCol: String, cntCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "distributionDriftQ8 needs >= 1 group key")
+    val q20 = 1L << 20
+    val reserved = Seq("_dd_t", "_dd_a", "_dd_b", "_dd_pq", "_dd_qq",
+      "n_a", "n_b", "vocab_a", "vocab_b")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"distributionDriftQ8 reserves column $c — rename the key column"))
+    def cChecked(src: DataFrame) = when(
+        col(cntCol).cast("long") === col(cntCol) && col(cntCol) > 0,
+        col(cntCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"distributionDriftQ8 needs positive integer counts; " +
+          s"$cntCol = "),
+        coalesce(col(cntCol).cast("string"), lit("null")))))
+    def side(src: DataFrame, as: String) = src.select(
+      (keyCols.map(col) :+ col(tokenCol).as("_dd_t") :+
+        cChecked(src).as(as)): _*)
+    val j = side(a, "_dd_a").join(side(b, "_dd_b"),
+        keyCols :+ "_dd_t", "full")
+      .select((keyCols.map(col) :+ col("_dd_t") :+
+        coalesce(col("_dd_a"), lit(0L)).as("_dd_a") :+
+        coalesce(col("_dd_b"), lit(0L)).as("_dd_b")): _*)
+    val tot = j.groupBy(keyCols.map(col): _*).agg(
+      sum(col("_dd_a")).as("n_a"), sum(col("_dd_b")).as("n_b"),
+      sum(when(col("_dd_a") > 0, 1L).otherwise(0L)).as("vocab_a"),
+      sum(when(col("_dd_b") > 0, 1L).otherwise(0L)).as("vocab_b"))
+    // Q20 floors; 2^20 * count folds in decimal(38,0) (a long wraps past
+    // ~8.8e12-count tokens); pq/qq <= 2^20 so the cast back is safe.
+    // n_a/n_b >= 1 whenever any row exists on that side; a token present
+    // only on the other side divides by a possibly-zero total -> guard
+    // with the pq=0 branch (empty releases carry no drift terms).
+    def quant(cnt: String, n: String) = expr(
+      s"""CASE WHEN $n > 0 THEN cast((cast(${q20}L as decimal(38,0)) * $cnt)
+            div $n as bigint) ELSE 0L END""")
+    val lq = (c: Column) => Unigram.log2q8(c)
+    val terms = j.join(broadcast(tot), keyCols)
+      .withColumn("_dd_pq", quant("_dd_a", "n_a"))
+      .withColumn("_dd_qq", quant("_dd_b", "n_b"))
+      .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("vocab_a") :+ col("vocab_b") :+
+        when(col("_dd_pq") >= 1L,
+          col("_dd_pq").cast("decimal(38,0)") *
+            (lq(col("_dd_pq") * 2L) - lq(col("_dd_pq") + col("_dd_qq"))))
+          .otherwise(lit(0L).cast("decimal(38,0)")).as("_dd_kp") :+
+        when(col("_dd_qq") >= 1L,
+          col("_dd_qq").cast("decimal(38,0)") *
+            (lq(col("_dd_qq") * 2L) - lq(col("_dd_pq") + col("_dd_qq"))))
+          .otherwise(lit(0L).cast("decimal(38,0)")).as("_dd_kq")): _*)
+    // floor division via the positive-mod idiom: the decimal sums can be
+    // slightly negative under quantization and Spark's div truncates
+    // while DuckDB's // floors
+    def floorDiv(num: String, den: Long) = expr(
+      s"""cast(($num - ((pmod($num, ${den}L) + ${den}L) % ${den}L))
+           div ${den}L as bigint)""")
+    terms.groupBy((keyCols :+ "n_a" :+ "n_b" :+ "vocab_a" :+ "vocab_b")
+        .map(col): _*)
+      .agg(sum(col("_dd_kp")).as("_dd_sp"), sum(col("_dd_kq")).as("_dd_sq"))
+      .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("vocab_a") :+ col("vocab_b") :+
+        floorDiv("_dd_sp", q20).as("kl_am_q8") :+
+        floorDiv("_dd_sq", q20).as("kl_bm_q8") :+
+        floorDiv("(_dd_sp + _dd_sq)", 2L * q20).as("jsd_q8")): _*)
+  }
 }

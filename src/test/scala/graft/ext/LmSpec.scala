@@ -228,4 +228,43 @@ class LmSpec extends SparkSpec {
       math.log(2)
     assert(math.abs(byId(4L)._2 - hFloat * 256).abs <= 2.0)
   }
+  test("distributionDriftQ8: hand-quantized JSD vs the log2q8Long driver replay, guards") {
+    import graft.ext.Unigram.log2q8Long
+    // A: x:3 y:1 (N=4); B: x:1 z:1 (N=2). pq: x 786432, y 262144;
+    // qq: x 524288, z 524288. One-sided tokens contribute exactly
+    // mass*256 (the log-of-2 bit); the shared token's terms come from
+    // the SAME integer log chain the engine runs.
+    val a = Seq(("k", "x", 3L), ("k", "y", 1L)).toDF("g", "tok", "c")
+    val b = Seq(("k", "x", 1L), ("k", "z", 1L)).toDF("g", "tok", "c")
+    val sp = BigInt(786432) * (log2q8Long(1572864) - log2q8Long(1310720)) +
+      BigInt(262144) * 256
+    val sq = BigInt(524288) * (log2q8Long(1048576) - log2q8Long(1310720)) +
+      BigInt(524288) * 256
+    def fd(n: BigInt, d: Long): Long = ((n - (((n % d) + d) % d)) / d).toLong
+    val got = TextStats.distributionDriftQ8(a, b, Seq("g"), "tok", "c")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("k", 4L, 2L, 2L, 2L,
+      fd(sp, 1L << 20), fd(sq, 1L << 20), fd(sp + sq, 1L << 21))),
+      got.toString)
+    // identical releases -> zero drift everywhere
+    val same = TextStats.distributionDriftQ8(a, a, Seq("g"), "tok", "c")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert((same._6, same._7, same._8) == ((0L, 0L, 0L)), same.toString)
+    // non-positive and fractional counts raise per row
+    intercept[Exception] {
+      TextStats.distributionDriftQ8(
+        Seq(("k", "x", 0L)).toDF("g", "tok", "c"), b, Seq("g"), "tok", "c")
+        .collect()
+    }
+    intercept[Exception] {
+      TextStats.distributionDriftQ8(
+        Seq(("k", "x", 1.5)).toDF("g", "tok", "c"), b, Seq("g"), "tok", "c")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.distributionDriftQ8(a, b, Nil, "tok", "c")
+    }
+  }
 }
