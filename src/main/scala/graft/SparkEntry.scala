@@ -2980,6 +2980,29 @@ object SparkEntry {
         counts(col("doc_id") % 2 === 0), counts(col("doc_id") % 2 === 1),
         Seq("lang"), "tok", "c")
     }),
+    "x97b_drift_incremental" -> ((s, dir) => {
+      // continuous-ingest drift monitor: release B's base counts stage
+      // ONCE; a new batch folds in by key re-sum (counts are sums:
+      // merge ≡ one-shot bit-for-bit) and the drift re-evaluates from
+      // the merged distribution — answers x97's oracle VERBATIM
+      // without rescanning either corpus (the x93b/x92b twin).
+      val d = t(s, dir, "documents")
+      def counts(p: Column) = d.filter(p)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          explode(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val odd = col("doc_id") % 2 === 1
+      val bMerged = graft.ext.TextStats.mergeTokenCounts(Seq(
+        graft.ext.TextStats.tokenCountsStaged(
+          counts(odd && pmod(col("doc_id"), lit(4L)) === 1L)),
+        counts(odd && pmod(col("doc_id"), lit(4L)) === 3L)),
+        Seq("lang"), "tok", "c")
+      graft.ext.TextStats.distributionDriftQ8(
+        counts(col("doc_id") % 2 === 0), bMerged, Seq("lang"), "tok", "c")
+    }),
     "x96b_calibrated_scores" -> ((s, dir) => {
       // the x96 calibrator DEPLOYED (the x92c clip-deploy symmetry):
       // bin confidences learned on the calibration quarter attach to
@@ -6683,6 +6706,10 @@ object SparkEntry {
     "et7_windowed_quantiles" -> et7OracleSql,
     "x94_char_entropy" -> x94OracleSql,
     "x97_release_drift" -> x97OracleSql,
+    // x97b answers the SAME oracle verbatim: counts are sums, so the
+    // staged-base + batch merge IS the one-shot count table (the
+    // x93b/x35c same-oracle convention; LmSpec pins the merge identity)
+    "x97b_drift_incremental" -> x97OracleSql,
     "x95_ngram_diversity" -> x95OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,

@@ -956,6 +956,31 @@ object TextStats {
     * tokens never leave their hash partition after the join. Returns
     * (keys..., n_a, n_b, vocab_a, vocab_b, kl_am_q8, kl_bm_q8,
     * jsd_q8). */
+  /** Merge per-release token-count tables (shards, batches, streaming
+    * micro-batches) by key re-sum — counts are sums, so the merged
+    * table is EXACTLY the one-shot count table of the concatenated
+    * corpora (the cmsMerge property). This is what makes the
+    * [[distributionDriftQ8]] monitor a continuous-ingest citizen: each
+    * release's distribution maintains under ingest and the base corpus
+    * is never rescanned. */
+  def mergeTokenCounts(tables: Seq[DataFrame], keyCols: Seq[String],
+                       tokenCol: String, cntCol: String): DataFrame = {
+    require(tables.nonEmpty, "mergeTokenCounts needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((keyCols :+ tokenCol).map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol))
+  }
+
+  /** A token-count table staged to parquet — the persisted base-corpus
+    * distribution a later batch merges into (the cmsSketchStaged
+    * convention: unique per-invocation dir, deleted at JVM exit). */
+  def tokenCountsStaged(counts: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokcnt_stage_")
+    Dedup.registerStageDirForCleanup(dir.toString)
+    counts.write.mode("overwrite").parquet(dir.toString)
+    counts.sparkSession.read.parquet(dir.toString)
+  }
+
   def distributionDriftQ8(a: DataFrame, b: DataFrame, keyCols: Seq[String],
                           tokenCol: String, cntCol: String): DataFrame = {
     require(keyCols.nonEmpty, "distributionDriftQ8 needs >= 1 group key")

@@ -267,4 +267,20 @@ class LmSpec extends SparkSpec {
       TextStats.distributionDriftQ8(a, b, Nil, "tok", "c")
     }
   }
+  test("mergeTokenCounts: staged-base + batch re-sum == one-shot counts (the x97b identity)") {
+    val docs = Seq(
+      ("k", "a a b"), ("k", "b c"), ("k", "a c c"), ("m", "a b")
+    ).toDF("g", "t")
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select($"g", explode(split($"t", " ")).as("tok"))
+      .groupBy($"g", $"tok").agg(count(lit(1)).as("c"))
+    val oneShot = counts(docs).orderBy("g", "tok")
+      .as[(String, String, Long)].collect().toSeq
+    val merged = TextStats.mergeTokenCounts(Seq(
+        TextStats.tokenCountsStaged(counts(docs.limit(2))),
+        counts(docs.except(docs.limit(2)))),
+      Seq("g"), "tok", "c").orderBy("g", "tok")
+      .as[(String, String, Long)].collect().toSeq
+    assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+  }
 }
