@@ -2980,6 +2980,24 @@ object SparkEntry {
         counts(col("doc_id") % 2 === 0), counts(col("doc_id") % 2 === 1),
         Seq("lang"), "tok", "c")
     }),
+    "x97c_drift_tokens" -> ((s, dir) => {
+      // drift ATTRIBUTION: per language the 8 tokens with the largest
+      // quantized mass shift between the releases — the report a
+      // curator reads after x97 flags a slice; same quantized
+      // distribution as the monitor, so the attribution is consistent
+      // with the score it explains.
+      val d = t(s, dir, "documents")
+      def counts(p: Column) = d.filter(p)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          explode(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      graft.ext.TextStats.driftTopTokens(
+        counts(col("doc_id") % 2 === 0), counts(col("doc_id") % 2 === 1),
+        Seq("lang"), "tok", "c", 8)
+    }),
     "x97b_drift_incremental" -> ((s, dir) => {
       // continuous-ingest drift monitor: release B's base counts stage
       // ONCE; a new batch folds in by key re-sum (counts are sums:
@@ -4039,22 +4057,9 @@ object SparkEntry {
     * counts, full-outer merge, Q20 probability floors, the shared Q8
     * integer-log chain on 2·pq / 2·qq / pq+qq (arguments ≤ 2²¹), HUGEINT
     * term sums, floor divisions (duckdb's // floors natively). */
-  private val x97OracleSql: String = {
-    def lq(src: String): Seq[String] = {
-      val l0 = s"""${src}_l0 AS MATERIALIZED (SELECT lang, tok, v,
-        length(bin(v)) - 1 AS e,
-        (v * 256) // (1::BIGINT << (length(bin(v)) - 1)) AS m,
-        0::BIGINT AS acc FROM $src)"""
-      val steps = (1 to 8).map { i =>
-        s"""${src}_l$i AS MATERIALIZED (SELECT lang, tok, v, e,
-          CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
-          acc*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS acc
-          FROM ${src}_l${i - 1})"""
-      }
-      (l0 +: steps) :+
-        s"${src}_lq AS MATERIALIZED (SELECT lang, tok, e*256 + acc AS lq FROM ${src}_l8)"
-    }
-    val parts = Seq(
+  /** x97-family shared CTEs: per-release (lang, tok) counts, full-outer
+    * merge, per-lang totals, Q20 probability floors — ends at `q`. */
+  private val x97BaseCtes: Seq[String] = Seq(
       s"""base AS MATERIALIZED (SELECT doc_id, lang,
            string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'),
              '\\s+') AS tk
@@ -4075,10 +4080,27 @@ object SparkEntry {
               SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS va,
               SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS vb
          FROM j GROUP BY 1)""",
-      """q AS MATERIALIZED (SELECT j.lang, j.tok,
+      """q AS MATERIALIZED (SELECT j.lang, j.tok, j.a, j.b,
               CASE WHEN t.na > 0 THEN (1048576 * j.a) // t.na ELSE 0 END AS pq,
               CASE WHEN t.nb > 0 THEN (1048576 * j.b) // t.nb ELSE 0 END AS qq
-         FROM j JOIN tt t ON t.lang = j.lang)""",
+         FROM j JOIN tt t ON t.lang = j.lang)""")
+
+  private val x97OracleSql: String = {
+    def lq(src: String): Seq[String] = {
+      val l0 = s"""${src}_l0 AS MATERIALIZED (SELECT lang, tok, v,
+        length(bin(v)) - 1 AS e,
+        (v * 256) // (1::BIGINT << (length(bin(v)) - 1)) AS m,
+        0::BIGINT AS acc FROM $src)"""
+      val steps = (1 to 8).map { i =>
+        s"""${src}_l$i AS MATERIALIZED (SELECT lang, tok, v, e,
+          CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
+          acc*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS acc
+          FROM ${src}_l${i - 1})"""
+      }
+      (l0 +: steps) :+
+        s"${src}_lq AS MATERIALIZED (SELECT lang, tok, e*256 + acc AS lq FROM ${src}_l8)"
+    }
+    val parts = x97BaseCtes ++ Seq(
       "p2 AS MATERIALIZED (SELECT lang, tok, 2 * pq AS v FROM q WHERE pq >= 1)",
       "q2 AS MATERIALIZED (SELECT lang, tok, 2 * qq AS v FROM q WHERE qq >= 1)",
       "mm AS MATERIALIZED (SELECT lang, tok, pq + qq AS v FROM q WHERE pq >= 1 OR qq >= 1)") ++
@@ -6710,6 +6732,18 @@ object SparkEntry {
     // staged-base + batch merge IS the one-shot count table (the
     // x93b/x35c same-oracle convention; LmSpec pins the merge identity)
     "x97b_drift_incremental" -> x97OracleSql,
+    // x97c: the same quantized distribution, ranked by absolute mass
+    // shift (ties token-ascending) and cut at k=8 per language
+    "x97c_drift_tokens" -> ("WITH " + x97BaseCtes.mkString(",\n  ") + """,
+         r AS (SELECT lang, tok, a, b, pq, qq, abs(pq - qq) AS shift,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY abs(pq - qq) DESC, tok) AS rnk
+               FROM q)
+         SELECT lang, tok AS token,
+                CAST(a AS BIGINT) AS cnt_a, CAST(b AS BIGINT) AS cnt_b,
+                CAST(pq AS BIGINT) AS p_q20, CAST(qq AS BIGINT) AS q_q20,
+                CAST(shift AS BIGINT) AS shift_q20, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 8"""),
     "x95_ngram_diversity" -> x95OracleSql,
     "x83_hits" -> x83OracleSql,
     "x84_priority_sample" -> x84OracleSql,

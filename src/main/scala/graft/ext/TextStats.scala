@@ -981,20 +981,24 @@ object TextStats {
     counts.sparkSession.read.parquet(dir.toString)
   }
 
-  def distributionDriftQ8(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-                          tokenCol: String, cntCol: String): DataFrame = {
-    require(keyCols.nonEmpty, "distributionDriftQ8 needs >= 1 group key")
+  /** Shared x97-family plumbing: the (keys, token)-keyed full-outer
+    * count merge with per-key totals broadcast back and both Q20
+    * probability floors attached — (keys..., _dd_t, _dd_a, _dd_b, n_a,
+    * n_b, vocab_a, vocab_b, _dd_pq, _dd_qq). */
+  private def driftQuantized(a: DataFrame, b: DataFrame,
+                             keyCols: Seq[String], tokenCol: String,
+                             cntCol: String, op: String): DataFrame = {
+    require(keyCols.nonEmpty, s"$op needs >= 1 group key")
     val q20 = 1L << 20
     val reserved = Seq("_dd_t", "_dd_a", "_dd_b", "_dd_pq", "_dd_qq",
       "n_a", "n_b", "vocab_a", "vocab_b")
     reserved.foreach(c => require(!keyCols.contains(c),
-      s"distributionDriftQ8 reserves column $c — rename the key column"))
+      s"$op reserves column $c — rename the key column"))
     def cChecked(src: DataFrame) = when(
         col(cntCol).cast("long") === col(cntCol) && col(cntCol) > 0,
         col(cntCol).cast("long"))
       .otherwise(raise_error(concat(
-        lit(s"distributionDriftQ8 needs positive integer counts; " +
-          s"$cntCol = "),
+        lit(s"$op needs positive integer counts; $cntCol = "),
         coalesce(col(cntCol).cast("string"), lit("null")))))
     def side(src: DataFrame, as: String) = src.select(
       (keyCols.map(col) :+ col(tokenCol).as("_dd_t") :+
@@ -1016,10 +1020,17 @@ object TextStats {
     def quant(cnt: String, n: String) = expr(
       s"""CASE WHEN $n > 0 THEN cast((cast(${q20}L as decimal(38,0)) * $cnt)
             div $n as bigint) ELSE 0L END""")
-    val lq = (c: Column) => Unigram.log2q8(c)
-    val terms = j.join(broadcast(tot), keyCols)
+    j.join(broadcast(tot), keyCols)
       .withColumn("_dd_pq", quant("_dd_a", "n_a"))
       .withColumn("_dd_qq", quant("_dd_b", "n_b"))
+  }
+
+  def distributionDriftQ8(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                          tokenCol: String, cntCol: String): DataFrame = {
+    val q20 = 1L << 20
+    val lq = (c: Column) => Unigram.log2q8(c)
+    val terms = driftQuantized(a, b, keyCols, tokenCol, cntCol,
+        "distributionDriftQ8")
       .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
         col("vocab_a") :+ col("vocab_b") :+
         when(col("_dd_pq") >= 1L,
@@ -1044,5 +1055,31 @@ object TextStats {
         floorDiv("_dd_sp", q20).as("kl_am_q8") :+
         floorDiv("_dd_sq", q20).as("kl_bm_q8") :+
         floorDiv("(_dd_sp + _dd_sq)", 2L * q20).as("jsd_q8")): _*)
+  }
+  /** DRIFT ATTRIBUTION — the x97 family's "what moved" diagnostic: per
+    * group key, the k tokens with the largest absolute quantized mass
+    * shift |pq − qq| (Q20), ties token-ascending — the report a curator
+    * reads after [[distributionDriftQ8]] flags a slice. Same quantized
+    * distribution as the monitor (identical joins/floors), so the
+    * attribution is consistent with the score it explains.
+    *
+    * Scale: the shift projection rides the same one full-outer join;
+    * the top-k is the W2 bounded per-key window (partitioned by the
+    * group keys over (shift, token) pairs — never global). Returns
+    * (keys..., token, cnt_a, cnt_b, p_q20, q_q20, shift_q20, rnk). */
+  def driftTopTokens(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                     tokenCol: String, cntCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= (1 << 16), s"k must be in [1, 2^16]: $k")
+    val win = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("shift_q20").desc, col("_dd_t"))
+    driftQuantized(a, b, keyCols, tokenCol, cntCol, "driftTopTokens")
+      .withColumn("shift_q20", abs(col("_dd_pq") - col("_dd_qq")))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select((keyCols.map(col) :+ col("_dd_t").as("token") :+
+        col("_dd_a").as("cnt_a") :+ col("_dd_b").as("cnt_b") :+
+        col("_dd_pq").as("p_q20") :+ col("_dd_qq").as("q_q20") :+
+        col("shift_q20") :+ col("rnk").cast("long").as("rnk")): _*)
   }
 }
