@@ -440,6 +440,7 @@ class EventStreamsSpec extends SparkSpec {
     val hllB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
     val kmvB = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
     val qsB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
+    val cntB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String, Long)]]
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream.trigger(Trigger.AvailableNow())
@@ -454,6 +455,9 @@ class EventStreamsSpec extends SparkSpec {
         qsB += graft.ext.Sketch.qsState(
           lens(batch), Seq("k"), "doc_id", "len", 16)
           .as[(String, Long, Long)].collect().toSeq
+        cntB += t.groupBy(col("k"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .as[(String, String, Long)].collect().toSeq
         ()
       }
       .start()
@@ -477,6 +481,26 @@ class EventStreamsSpec extends SparkSpec {
         qsB.toSeq.map(_.toDF("k", "h", "v")), Seq("k"), 16),
       Seq("k"), Seq(500, 900)).as[(String, Long, Long)].collect().sorted.toSeq
     assert(qsStream == qsOne)
+    // x97 drift distribution rides the same property: per-micro-batch
+    // token counts re-sum (mergeTokenCounts) to the one-shot table, so
+    // the drift score against a FIXED release A is bit-identical to the
+    // batch computation — the streaming arm of the x97b ingest pin
+    val relA = (1L to 30L).map(i => (i, s"w${i % 5} w${i % 7}"))
+      .toDF("doc_id", "text")
+    def cnts(df: DataFrame) = toks(df)
+      .groupBy(col("k"), col("tok")).agg(count(lit(1)).as("c"))
+    val driftOne = graft.ext.TextStats.distributionDriftQ8(
+      cnts(relA), cnts(docs), Seq("k"), "tok", "c")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    val driftStream = graft.ext.TextStats.distributionDriftQ8(
+      cnts(relA),
+      graft.ext.TextStats.mergeTokenCounts(
+        cntB.toSeq.map(_.toDF("k", "tok", "c")), Seq("k"), "tok", "c"),
+      Seq("k"), "tok", "c")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(driftStream == driftOne, s"stream=$driftStream one=$driftOne")
   }
 
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
