@@ -4056,7 +4056,9 @@ object SparkEntry {
   /** x97: quantized-JSD release drift replayed — per-release (lang, tok)
     * counts, full-outer merge, Q20 probability floors, the shared Q8
     * integer-log chain on 2·pq / 2·qq / pq+qq (arguments ≤ 2²¹), HUGEINT
-    * term sums, floor divisions (duckdb's // floors natively). */
+    * term sums, explicit positive-mod floor divisions (duckdb's //
+    * truncates toward zero on integers; trunc == floor only for the
+    * non-negative intermediates, and the final sums can be negative). */
   /** x97-family shared CTEs: per-release (lang, tok) counts, full-outer
     * merge, per-lang totals, Q20 probability floors — ends at `q`. */
   private val x97BaseCtes: Seq[String] = Seq(
@@ -4118,12 +4120,23 @@ object SparkEntry {
          JOIN mm_lq m ON m.lang = q.lang AND m.tok = q.tok
          GROUP BY 1)""")
     "WITH " + parts.mkString(",\n  ") + """
+      -- FLOOR division, spelled out: duckdb's // TRUNCATES toward zero
+      -- on integers (-5 // 2^20 = 0, not -1), so the slightly-negative
+      -- quantization-residue sums need the positive-mod correction the
+      -- engine uses (subtract the positive mod, then divide the exact
+      -- multiple — trunc == floor on multiples)
       SELECT t.lang, CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
              CAST(t.va AS BIGINT) AS vocab_a, CAST(t.vb AS BIGINT) AS vocab_b,
-             CAST(COALESCE(s1.s, 0) // 1048576 AS BIGINT) AS kl_am_q8,
-             CAST(COALESCE(s2.s, 0) // 1048576 AS BIGINT) AS kl_bm_q8,
-             CAST((COALESCE(s1.s, 0) + COALESCE(s2.s, 0)) // 2097152
-               AS BIGINT) AS jsd_q8
+             CAST((COALESCE(s1.s, 0)
+                   - ((COALESCE(s1.s, 0) % 1048576 + 1048576) % 1048576))
+                  // 1048576 AS BIGINT) AS kl_am_q8,
+             CAST((COALESCE(s2.s, 0)
+                   - ((COALESCE(s2.s, 0) % 1048576 + 1048576) % 1048576))
+                  // 1048576 AS BIGINT) AS kl_bm_q8,
+             CAST((COALESCE(s1.s, 0) + COALESCE(s2.s, 0)
+                   - (((COALESCE(s1.s, 0) + COALESCE(s2.s, 0)) % 2097152
+                       + 2097152) % 2097152))
+                  // 2097152 AS BIGINT) AS jsd_q8
       FROM tt t
       LEFT JOIN sp s1 ON s1.lang = t.lang
       LEFT JOIN sq s2 ON s2.lang = t.lang"""
@@ -7299,11 +7312,15 @@ object SparkEntry {
          FROM cum"""),
     // x96: histogram-binned calibration — bin confidence from the
     // calibration quarter, observed rate from the test quarter, Q20
-    // floors throughout; duckdb's // floors natively (negative-score
-    // bins match Spark's positive-mod-corrected div)
+    // floors throughout. Bins are FLOOR-quantized with the explicit
+    // positive-mod correction: duckdb's // TRUNCATES toward zero on
+    // integers (the x97 sf0.1 lesson), so a bare s // q would mis-bin
+    // negative scores vs Spark's floor-corrected div
     "x96_ece_calibration" -> (centroidCtes("doc_id % 2 = 0") +
       s""",
-         ev AS (SELECT doc_id, y, s, s // ${1L << 23} AS bin,
+         ev AS (SELECT doc_id, y, s,
+                       (s - ((s % ${1L << 23} + ${1L << 23})
+                             % ${1L << 23})) // ${1L << 23} AS bin,
                        (doc_id % 4 = 1) AS cal
                 FROM sc WHERE doc_id % 2 = 1),
          bg AS (SELECT bin,
@@ -7339,7 +7356,9 @@ object SparkEntry {
     // coalesce to the global calibration rate
     "x96b_calibrated_scores" -> (centroidCtes("doc_id % 2 = 0") +
       s""",
-         ev AS (SELECT doc_id, y, s, s // ${1L << 23} AS bin,
+         ev AS (SELECT doc_id, y, s,
+                       (s - ((s % ${1L << 23} + ${1L << 23})
+                             % ${1L << 23})) // ${1L << 23} AS bin,
                        (doc_id % 4 = 1) AS cal
                 FROM sc WHERE doc_id % 2 = 1),
          cb AS (SELECT bin, COUNT(*) AS n,

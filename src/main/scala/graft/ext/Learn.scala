@@ -407,8 +407,9 @@ object Learn {
       .select(yChecked.as("_ec_y"), sChecked.as("_ec_s"),
         calPred.as("_ec_cal"))
       // floor-quantized bin: truncating div corrected by the
-      // positive-mod idiom (exact for negative scores; DuckDB's //
-      // floors natively)
+      // positive-mod idiom (exact for negative scores; an oracle
+      // must apply the SAME correction — duckdb's // truncates toward
+      // zero on integers)
       .withColumn("bin", expr(s"(_ec_s div ${quantStep}L) - " +
         s"(CASE WHEN _ec_s < 0 AND pmod(_ec_s, ${quantStep}L) != 0 " +
         s"THEN 1L ELSE 0L END)"))

@@ -806,7 +806,9 @@ object TextStats {
         s"scoreBuckets reserves column $c on the score side")
     }
     // floor division from Spark's truncating `div` (exact long
-    // arithmetic, ANSI-safe; DuckDB's `//` floors natively)
+    // arithmetic, ANSI-safe; an oracle replaying negative
+    // scores must apply the same correction — duckdb's `//` truncates
+    // toward zero on integers)
     val qExpr = expr(s"(score div ${quantStep}L) - (CASE WHEN score < 0 " +
       s"AND pmod(score, ${quantStep}L) != 0 THEN 1L ELSE 0L END)")
     // scores must already be integers (the Q-fixed-point contract of
@@ -1042,8 +1044,9 @@ object TextStats {
             (lq(col("_dd_qq") * 2L) - lq(col("_dd_pq") + col("_dd_qq"))))
           .otherwise(lit(0L).cast("decimal(38,0)")).as("_dd_kq")): _*)
     // floor division via the positive-mod idiom: the decimal sums can be
-    // slightly negative under quantization and Spark's div truncates
-    // while DuckDB's // floors
+    // slightly negative under quantization, and BOTH Spark's div and
+    // duckdb's // truncate toward zero — the oracle applies the same
+    // explicit correction (the sf0.1 zh slice caught a bare // here)
     def floorDiv(num: String, den: Long) = expr(
       s"""cast(($num - ((pmod($num, ${den}L) + ${den}L) % ${den}L))
            div ${den}L as bigint)""")
