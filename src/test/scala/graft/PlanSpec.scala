@@ -873,6 +873,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x97 drift: one token-keyed full-outer join, totals broadcast, text never re-shuffles") {
+    val p = tree(q("x97_release_drift"))
+    // the distribution merge is the ONLY shuffle-join KIND in the plan:
+    // every SortMergeJoin line is the (keys, token)-keyed FullOuter
+    // (the totals branch re-derives the same join — its identical
+    // shuffle stages are AQE-reused at runtime, not re-scanned); the
+    // per-key totals come back as a broadcast, and no document text
+    // column ever crosses an Exchange
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.nonEmpty && smj.forall(_.contains("FullOuter")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")), p)
+  }
+
+  test("x96b calibration deploy: bin confidences broadcast, deploy side never shuffles") {
+    val p = tree(q("x96b_calibrated_scores"))
+    // the censused bin table joins by broadcast; the scored deploy
+    // projection must reach it without a sort-merge (no deploy-side
+    // exchange-for-join)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tokenIdsJoin: broadcast vocab, plan size independent of vocab size") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
