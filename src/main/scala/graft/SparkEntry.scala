@@ -1499,6 +1499,16 @@ object SparkEntry {
       // collect_list). The oracle replays keeper + mask + rebuild.
       graft.ext.Dedup.exciseRepeatedSpans(
         t(s, dir, "documents"), "text", "doc_id", 5)),
+    "x41d_shared_spans_exact" -> ((s, dir) =>
+      // the span family's EXACTNESS stage: maximal shared substrings
+      // between digest-collided doc pairs, boundaries token-exact via
+      // per-diagonal gaps-and-islands run merging (a maximal shared
+      // span matches all its interior 5-windows and none beyond), each
+      // span re-verified against the actual token slices. Digest-keyed
+      // self-join bounded by the occ<=64 hot-span cap; token arrays
+      // join back by id only.
+      graft.ext.Dedup.sharedSpansExact(
+        t(s, dir, "documents"), "text", "doc_id", 5)),
     "x41_repeated_spans" -> ((s, dir) =>
       // ExactSubstr-style span-level dedup signal (Lee et al. 2022): per
       // doc, how many of its 5-token windows repeat ANYWHERE in the
@@ -2998,6 +3008,26 @@ object SparkEntry {
         counts(col("doc_id") % 2 === 0), counts(col("doc_id") % 2 === 1),
         Seq("lang"), "tok", "c", 8)
     }),
+    "x97d_psi_alert" -> ((s, dir) => {
+      // the drift monitor's PAGER WIRE: per-language Population
+      // Stability Index over the same quantized release distributions
+      // as x97's JSD, with a thresholded 0/1 alert column (32 Q8 ≈ the
+      // conventional PSI 0.1 "investigate" line). PSI is unbounded
+      // where JSD saturates at 1 bit, so it keeps resolving "how bad"
+      // after the alarm fires; one-sided token mass is reported, not
+      // epsilon-clipped.
+      val d = t(s, dir, "documents")
+      def counts(p: Column) = d.filter(p)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          explode(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      graft.ext.TextStats.psiDriftQ8(
+        counts(col("doc_id") % 2 === 0), counts(col("doc_id") % 2 === 1),
+        Seq("lang"), "tok", "c", 32L)
+    }),
     "x97b_drift_incremental" -> ((s, dir) => {
       // continuous-ingest drift monitor: release B's base counts stage
       // ONCE; a new batch folds in by key re-sum (counts are sums:
@@ -3041,6 +3071,28 @@ object SparkEntry {
         ev.filter(pmod(col("doc_id"), lit(4L)) === 1L),
         ev.filter(pmod(col("doc_id"), lit(4L)) === 3L),
         "_y", "_s", "doc_id", 1L << 23)
+    }),
+    "x96c_pav" -> ((s, dir) => {
+      // ISOTONIC (PAV) calibration beside x96's histogram binning —
+      // the exact-arithmetic minimax form (floor commutes with
+      // min/max, so the Q20 floors of every pooled-interval rate
+      // reproduce the real-valued isotonic fit bit-for-bit); same
+      // train/score/split recipe as x96, output carries BOTH
+      // calibrators' per-bin probabilities and test ECEs so the model
+      // card can pick which to ship.
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, _) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
+      val scored = d.filter(col("doc_id") % 2 === 1)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), lenLabel.as("_y"),
+          graft.ext.Learn.centroidScore(col("text"), w).as("_s"))
+      graft.ext.Learn.pavCalibration(scored, "_y", "_s",
+        pmod(col("doc_id"), lit(4L)) === 1L, 1L << 23)
     }),
     "x67_token_chunks" -> ((s, dir) =>
       // sliding token-window chunking (window 64, stride 48 → 16-token
@@ -4087,21 +4139,27 @@ object SparkEntry {
               CASE WHEN t.nb > 0 THEN (1048576 * j.b) // t.nb ELSE 0 END AS qq
          FROM j JOIN tt t ON t.lang = j.lang)""")
 
-  private val x97OracleSql: String = {
-    def lq(src: String): Seq[String] = {
-      val l0 = s"""${src}_l0 AS MATERIALIZED (SELECT lang, tok, v,
-        length(bin(v)) - 1 AS e,
-        (v * 256) // (1::BIGINT << (length(bin(v)) - 1)) AS m,
-        0::BIGINT AS acc FROM $src)"""
-      val steps = (1 to 8).map { i =>
-        s"""${src}_l$i AS MATERIALIZED (SELECT lang, tok, v, e,
-          CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
-          acc*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS acc
-          FROM ${src}_l${i - 1})"""
-      }
-      (l0 +: steps) :+
-        s"${src}_lq AS MATERIALIZED (SELECT lang, tok, e*256 + acc AS lq FROM ${src}_l8)"
+  /** CTE chain replaying [[graft.ext.Unigram.log2q8]] in DuckDB over a
+    * (lang, tok, v) source: exponent from the bit length, 8 squaring
+    * rounds for the mantissa bits — ends at `<src>_lq (lang, tok, lq)`.
+    * Shared by every x97-family oracle that needs the exact Q8 log. */
+  private def oracleLog2q8Ctes(src: String): Seq[String] = {
+    val l0 = s"""${src}_l0 AS MATERIALIZED (SELECT lang, tok, v,
+      length(bin(v)) - 1 AS e,
+      (v * 256) // (1::BIGINT << (length(bin(v)) - 1)) AS m,
+      0::BIGINT AS acc FROM $src)"""
+    val steps = (1 to 8).map { i =>
+      s"""${src}_l$i AS MATERIALIZED (SELECT lang, tok, v, e,
+        CASE WHEN (m*m)//256 >= 512 THEN ((m*m)//256)//2 ELSE (m*m)//256 END AS m,
+        acc*2 + CASE WHEN (m*m)//256 >= 512 THEN 1 ELSE 0 END AS acc
+        FROM ${src}_l${i - 1})"""
     }
+    (l0 +: steps) :+
+      s"${src}_lq AS MATERIALIZED (SELECT lang, tok, e*256 + acc AS lq FROM ${src}_l8)"
+  }
+
+  private val x97OracleSql: String = {
+    def lq(src: String): Seq[String] = oracleLog2q8Ctes(src)
     val parts = x97BaseCtes ++ Seq(
       "p2 AS MATERIALIZED (SELECT lang, tok, 2 * pq AS v FROM q WHERE pq >= 1)",
       "q2 AS MATERIALIZED (SELECT lang, tok, 2 * qq AS v FROM q WHERE qq >= 1)",
@@ -4140,6 +4198,40 @@ object SparkEntry {
       FROM tt t
       LEFT JOIN sp s1 ON s1.lang = t.lang
       LEFT JOIN sq s2 ON s2.lang = t.lang"""
+  }
+
+  /** x97d: per-language PSI over the same quantized distributions as
+    * x97, restricted to tokens present on BOTH sides (the engine's
+    * epsilon-free convention; excluded mass reported per side), plus
+    * the thresholded alert at 32 Q8. Every term is non-negative (the
+    * quantized log is monotone), so the bare `//` is floor here. */
+  private val x97dOracleSql: String = {
+    val parts = x97BaseCtes ++ Seq(
+      "pp AS MATERIALIZED (SELECT lang, tok, pq AS v FROM q WHERE pq >= 1 AND qq >= 1)",
+      "qp AS MATERIALIZED (SELECT lang, tok, qq AS v FROM q WHERE pq >= 1 AND qq >= 1)") ++
+      oracleLog2q8Ctes("pp") ++ oracleLog2q8Ctes("qp") ++ Seq(
+      """ps AS (SELECT q.lang,
+              SUM(CAST(q.pq - q.qq AS HUGEINT) * (p.lq - s.lq)) AS s,
+              COUNT(*) AS cm
+         FROM q
+         JOIN pp_lq p ON p.lang = q.lang AND p.tok = q.tok
+         JOIN qp_lq s ON s.lang = q.lang AND s.tok = q.tok
+         GROUP BY 1)""",
+      """xm AS (SELECT lang,
+              SUM(CASE WHEN NOT (pq >= 1 AND qq >= 1) THEN pq ELSE 0 END) AS xa,
+              SUM(CASE WHEN NOT (pq >= 1 AND qq >= 1) THEN qq ELSE 0 END) AS xb
+         FROM q GROUP BY 1)""")
+    "WITH " + parts.mkString(",\n  ") + """
+      SELECT t.lang, CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             CAST(COALESCE(ps.cm, 0) AS BIGINT) AS common_tokens,
+             CAST(COALESCE(xm.xa, 0) AS BIGINT) AS onesided_mass_a_q20,
+             CAST(COALESCE(xm.xb, 0) AS BIGINT) AS onesided_mass_b_q20,
+             CAST(COALESCE(ps.s, 0) // 1048576 AS BIGINT) AS psi_q8,
+             CAST(CASE WHEN COALESCE(ps.s, 0) // 1048576 >= 32
+                  THEN 1 ELSE 0 END AS BIGINT) AS alert
+      FROM tt t
+      LEFT JOIN ps ON ps.lang = t.lang
+      LEFT JOIN xm ON xm.lang = t.lang"""
   }
 
   private val x95OracleSql: String = {
@@ -6186,6 +6278,39 @@ object SparkEntry {
                   (x, j) -> NOT list_contains(COALESCE(m.ps, []), j - 1)), ' '), '') AS text_clean,
                 CAST(len(COALESCE(m.ps, [])) AS BIGINT) AS n_removed
          FROM toks k LEFT JOIN mask m ON k.doc_id = m.m_id""",
+    // x41d: maximal shared substrings replayed — same md5 5-windows,
+    // same occ-cap, pairs on digest equality, runs merged per diagonal
+    // by the gaps-and-islands idiom, then re-sliced from the token
+    // arrays for the verified bit
+    "x41d_shared_spans_exact" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
+                FROM toks WHERE len(t) >= 5),
+         w AS (SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h FROM w0),
+         occ AS (SELECT doc_id, i, h, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM w),
+         sp AS (SELECT doc_id, i, h FROM occ WHERE n_occ BETWEEN 2 AND 64),
+         m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ap,
+                      a.i - b.i AS diag
+               FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         r AS (SELECT a_id, b_id, diag, ap,
+                 ap - row_number() OVER (PARTITION BY a_id, b_id, diag
+                                         ORDER BY ap) AS isl
+               FROM m),
+         runs AS (SELECT a_id, b_id, diag, MIN(ap) AS a_start,
+                    MAX(ap) - MIN(ap) + 5 AS n_tokens
+                  FROM r GROUP BY a_id, b_id, diag, isl)
+         SELECT r.a_id, r.b_id,
+                CAST(r.a_start AS BIGINT) AS a_start,
+                CAST(r.a_start - r.diag AS BIGINT) AS b_start,
+                CAST(r.n_tokens AS BIGINT) AS n_tokens,
+                CAST(CASE WHEN ta.t[r.a_start+1:r.a_start+r.n_tokens]
+                           = tb.t[(r.a_start-r.diag)+1:(r.a_start-r.diag)+r.n_tokens]
+                     THEN 1 ELSE 0 END AS BIGINT) AS verified
+         FROM runs r JOIN toks ta ON ta.doc_id = r.a_id
+                     JOIN toks tb ON tb.doc_id = r.b_id""",
     "x41_repeated_spans" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
@@ -6741,6 +6866,7 @@ object SparkEntry {
     "et7_windowed_quantiles" -> et7OracleSql,
     "x94_char_entropy" -> x94OracleSql,
     "x97_release_drift" -> x97OracleSql,
+    "x97d_psi_alert" -> x97dOracleSql,
     // x97b answers the SAME oracle verbatim: counts are sums, so the
     // staged-base + batch merge IS the one-shot count table (the
     // x93b/x35c same-oracle convention; LmSpec pins the merge identity)
@@ -7372,6 +7498,70 @@ object SparkEntry {
                               (SELECT prior FROM pr)) AS BIGINT) AS p_q20
          FROM ev e LEFT JOIN cb c ON c.bin = e.bin
          WHERE NOT e.cal"""),
+    // x96c: isotonic (PAV) calibration via the minimax identity —
+    // iso(k) = max_{i<=k} min_{j>=k} rate(i,j) over pooled calibration
+    // bin intervals; floor commutes with min/max so every interval
+    // rate quantizes to its Q20 floor FIRST (HUGEINT product) and the
+    // max-min over those floors IS the floor of the real isotonic fit.
+    // Unseen bins fall back to the calibration prior (x96b convention).
+    "x96c_pav" -> (centroidCtes("doc_id % 2 = 0") +
+      s""",
+         ev AS (SELECT doc_id, y, s,
+                       (s - ((s % ${1L << 23} + ${1L << 23})
+                             % ${1L << 23})) // ${1L << 23} AS bin,
+                       (doc_id % 4 = 1) AS cal
+                FROM sc WHERE doc_id % 2 = 1),
+         bg AS (SELECT bin,
+                 SUM(CASE WHEN cal THEN 1 ELSE 0 END) AS n_cal,
+                 SUM(CASE WHEN cal AND y = 1 THEN 1 ELSE 0 END) AS pos_cal,
+                 SUM(CASE WHEN NOT cal THEN 1 ELSE 0 END) AS n_test,
+                 SUM(CASE WHEN NOT cal AND y = 1 THEN 1 ELSE 0 END) AS pos_test
+               FROM ev GROUP BY 1),
+         bt AS (SELECT SUM(n_cal) AS tc, SUM(pos_cal) AS tp FROM bg),
+         cf AS (SELECT bin, n_cal, pos_cal FROM bg WHERE n_cal > 0),
+         pre AS (SELECT t.bin AS bin,
+                   SUM(u.n_cal) AS cn_in, SUM(u.pos_cal) AS cp_in,
+                   SUM(CASE WHEN u.bin < t.bin THEN u.n_cal ELSE 0 END) AS cn_ex,
+                   SUM(CASE WHEN u.bin < t.bin THEN u.pos_cal ELSE 0 END) AS cp_ex
+                 FROM cf t JOIN cf u ON u.bin <= t.bin GROUP BY 1),
+         iv AS (SELECT l.bin AS i, h.bin AS j,
+                  CAST((1048576 * CAST(h.cp_in - l.cp_ex AS HUGEINT))
+                       // (h.cn_in - l.cn_ex) AS BIGINT) AS rate
+                FROM pre l JOIN pre h ON l.bin <= h.bin),
+         mn AS (SELECT k.bin AS bin, iv.i AS i, MIN(iv.rate) AS m
+                FROM cf k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+                GROUP BY 1, 2),
+         pv AS (SELECT bin, MAX(m) AS pav_q20 FROM mn GROUP BY 1),
+         cb AS (SELECT g.bin AS bin, n_cal, pos_cal, n_test, pos_test,
+                  CASE WHEN n_cal > 0 THEN (1048576 * pos_cal) // n_cal
+                       ELSE (1048576 * (SELECT tp FROM bt))
+                            // (SELECT tc FROM bt) END AS conf_q20,
+                  COALESCE(pv.pav_q20,
+                    (1048576 * (SELECT tp FROM bt))
+                      // (SELECT tc FROM bt)) AS pav_q20,
+                  (1048576 * pos_test) // n_test AS obs_q20
+                FROM bg g LEFT JOIN pv ON pv.bin = g.bin
+                WHERE n_test > 0),
+         te AS (SELECT SUM(n_test) AS tn FROM cb),
+         be AS (SELECT
+                  CAST(SUM(CAST(n_test AS HUGEINT) * abs(conf_q20 - obs_q20))
+                       // (SELECT tn FROM te) AS BIGINT) AS eh,
+                  CAST(SUM(CAST(n_test AS HUGEINT) * abs(pav_q20 - obs_q20))
+                       // (SELECT tn FROM te) AS BIGINT) AS ep
+                FROM cb)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(n_cal AS BIGINT) AS n_cal,
+                CAST(pos_cal AS BIGINT) AS pos_cal,
+                CAST(n_test AS BIGINT) AS n_test,
+                CAST(pos_test AS BIGINT) AS pos_test,
+                CAST(conf_q20 AS BIGINT) AS conf_q20,
+                CAST(pav_q20 AS BIGINT) AS pav_q20,
+                CAST(obs_q20 AS BIGINT) AS obs_q20,
+                CAST(abs(conf_q20 - obs_q20) AS BIGINT) AS gap_hist_q20,
+                CAST(abs(pav_q20 - obs_q20) AS BIGINT) AS gap_pav_q20,
+                (SELECT eh FROM be) AS ece_hist_q20,
+                (SELECT ep FROM be) AS ece_pav_q20
+         FROM cb"""),
     // x65c: the SAME trainer replay at production width — 4096 buckets
     // on the 4-hex-digit hash; the engine side trains/scores via the
     // broadcast-joined weight TABLE, and must agree weight-for-weight

@@ -1029,6 +1029,75 @@ object Dedup {
       .filter(col("n_occ") >= minOcc)
   }
 
+  /** EXACT maximal shared substrings between digest-collided document
+    * pairs — the verify stage that lifts the span family from
+    * window-QUANTIZED to token-EXACT boundaries (Lee et al. 2022
+    * fidelity without a corpus suffix array). Identity: a maximal
+    * shared token span [s, e] (length ≥ k) matches ALL of its interior
+    * k-windows and NONE beyond, so on each (pair, diagonal = posA −
+    * posB) the maximal run of CONSECUTIVE matched window starts
+    * reconstructs the true span exactly: start = run min, length =
+    * run max − run min + k. Runs merge by gaps-and-islands (window
+    * start − row_number is constant within a run), so two distinct
+    * shared substrings on the same diagonal stay two spans — the case
+    * a min/max-per-diagonal quantization would weld into one. A final
+    * token-slice comparison re-checks every reported span against the
+    * actual text (digest equality is md5-trusted upstream; `verified`
+    * = 1 is the exactness certificate, and the DedupSpec fixture pins
+    * a boundary the windowed form misquantizes).
+    *
+    * Scale: matched pairs are keyed by DIGEST (never text); hyper-
+    * repeated digests (occ > occCap, boilerplate) are dropped before
+    * the self-join — the x62 hot-band discipline that bounds the
+    * quadratic — at the documented cost that a span containing a
+    * capped window may split at that window. Runs group on (pair,
+    * diagonal); the verify joins each doc's token array back by id
+    * (two id-keyed joins, no token ever rides a digest exchange).
+    * Spans shorter than k tokens are invisible by construction (the
+    * window length IS the detection floor). Returns
+    * (a_id, b_id, a_start, b_start, n_tokens, verified). */
+  def sharedSpansExact(df: DataFrame, textCol: String, idCol: String,
+                       k: Int, occCap: Int = 64): DataFrame = {
+    require(k >= 2, "a span is at least 2 tokens (k >= 2)")
+    require(occCap >= 2, s"occCap must be >= 2: $occCap")
+    import org.apache.spark.sql.expressions.Window
+    val sp = spanHashes(df, textCol, idCol, k)
+      .withColumn("_sx_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("_sx_occ") >= 2 && col("_sx_occ") <= occCap)
+      .select(col(idCol), col("pos"), col("h"))
+    val m = sp.select(col(idCol).as("a_id"), col("pos").as("_sx_ap"), col("h"))
+      .join(sp.select(col(idCol).as("b_id"), col("pos").as("_sx_bp"),
+        col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("_sx_ap"),
+        (col("_sx_ap") - col("_sx_bp")).as("_sx_diag"))
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("_sx_diag"))
+      .orderBy(col("_sx_ap"))
+    val runs = m
+      .withColumn("_sx_isl", col("_sx_ap") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("_sx_diag"), col("_sx_isl"))
+      .agg(min(col("_sx_ap")).as("a_start"),
+        (max(col("_sx_ap")) - min(col("_sx_ap")) + k).as("n_tokens"))
+      .select(col("a_id"), col("b_id"), col("a_start"),
+        (col("a_start") - col("_sx_diag")).as("b_start"), col("n_tokens"))
+    val toks = df
+      .filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol), split(TextStats.wsTrim(col(textCol)), "\\s+")
+        .as("_sx_t"))
+    runs
+      .join(toks.select(col(idCol).as("a_id"), col("_sx_t").as("_sx_ta")),
+        Seq("a_id"))
+      .join(toks.select(col(idCol).as("b_id"), col("_sx_t").as("_sx_tb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        col("a_start").cast("long").as("a_start"),
+        col("b_start").cast("long").as("b_start"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        when(slice(col("_sx_ta"), col("a_start") + 1, col("n_tokens"))
+          === slice(col("_sx_tb"), col("b_start") + 1, col("n_tokens")),
+          1L).otherwise(0L).as("verified"))
+  }
+
   /** Per-document repeated-span statistics: how much of each doc is
     * ExactSubstr-removable. n_spans = full k-windows, n_repeated = windows
     * whose span occurs >= minOcc times corpus-wide, repeated_frac their

@@ -506,6 +506,134 @@ object Learn {
         coalesce(col("_cc_conf"), lit(prior)).as("p_q20"))
   }
 
+  /** ISOTONIC (pool-adjacent-violators) calibration — the
+    * exact-arithmetic sibling of [[eceCalibration]]'s histogram binning
+    * (Zadrozny & Elkan, KDD 2002; Robertson et al., "Order Restricted
+    * Statistical Inference" 1988 for the minimax identity): fit the
+    * best MONOTONE step function of the score under squared loss, so
+    * pooled neighbors smooth the small-bin noise histogram binning
+    * passes through. Rather than the sequential PAV sweep (which would
+    * be a driver loop), this uses the closed minimax form
+    * `iso(k) = max_{i ≤ k} min_{j ≥ k} rate(i, j)` over pooled bin
+    * intervals — and because floor is monotone it commutes with min/max,
+    * so computing every interval rate as a Q20 FLOOR first yields
+    * exactly ⌊2²⁰·iso(k)⌋: the whole fit is one declarative triangular
+    * self-join over the censused calibration-bin frame, replayable
+    * bit-for-bit by a SQL oracle (no recursion, no driver fold).
+    *
+    * Same contracts as eceCalibration (±1 labels raise per row, integer
+    * Q scores raise per row, NULL scores excluded, non-empty calibration
+    * split). The bin census here bounds a CUBE (intervals × members ≈
+    * B³/6 rows), hence the tighter default maxBins = 2⁹ — still far
+    * above any sane reliability-table width; the guard names the
+    * quantStep that fits. Bins the calibration never saw fall back to
+    * the calibration prior (the x96/x96b convention, NOT an isotonic
+    * interpolation — keeps the fallback identical across the family).
+    *
+    * 100 TB shape: the corpus reduces to the ≤ maxBins bin frame in one
+    * map-side-combining aggregation; every join after that is
+    * bounded-frame algebra on broadcast sides (the deploy/test rows
+    * never re-shuffle). Returns one row per bin WITH TEST MASS:
+    * (bin, n_cal, pos_cal, n_test, pos_test, conf_q20 [histogram],
+    * pav_q20 [isotonic], obs_q20, gap_hist_q20, gap_pav_q20,
+    * ece_hist_q20, ece_pav_q20) — the two ECEs side-by-side are the
+    * model card's "which calibrator do I ship" row. */
+  def pavCalibration(scored: DataFrame, yCol: String, sCol: String,
+                     calPred: Column, quantStep: Long,
+                     maxBins: Long = 1L << 9): DataFrame = {
+    require(quantStep >= 1, s"quantStep must be >= 1: $quantStep")
+    require(maxBins >= 1 && maxBins <= (1L << 12),
+      s"maxBins must be in [1, 4096] (the interval cube is ~B^3/6 rows): $maxBins")
+    val q20 = 1L << 20
+    val yChecked = when(col(yCol) > 0 || col(yCol) < 0, col(yCol))
+      .otherwise(raise_error(concat(
+        lit(s"pavCalibration labels must be +1/-1 ($yCol > 0 positive, " +
+          s"< 0 negative; remap 0/1 labels); got $yCol = "),
+        coalesce(col(yCol).cast("string"), lit("null")))))
+    val sChecked = when(col(sCol).cast("long") === col(sCol),
+        col(sCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"pavCalibration needs integer (Q-fixed-point) scores; " +
+          s"$sCol = "), col(sCol).cast("string"))))
+    val rows = scored.filter(col(sCol).isNotNull)
+      .select(yChecked.as("_pv_y"), sChecked.as("_pv_s"),
+        calPred.as("_pv_cal"))
+      .withColumn("bin", expr(s"(_pv_s div ${quantStep}L) - " +
+        s"(CASE WHEN _pv_s < 0 AND pmod(_pv_s, ${quantStep}L) != 0 " +
+        s"THEN 1L ELSE 0L END)"))
+    val bins = rows.groupBy(col("bin")).agg(
+      sum(when(col("_pv_cal"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(col("_pv_cal") && col("_pv_y") > 0, 1L).otherwise(0L))
+        .as("pos_cal"),
+      sum(when(!col("_pv_cal"), 1L).otherwise(0L)).as("n_test"),
+      sum(when(!col("_pv_cal") && col("_pv_y") > 0, 1L).otherwise(0L))
+        .as("pos_test"))
+    val cen = bins.agg(count(lit(1)).as("nb"),
+      coalesce(sum(col("n_cal")), lit(0L)).as("tc"),
+      coalesce(sum(col("pos_cal")), lit(0L)).as("tp")).collect().head
+    val (nBins, totCal, totPos) =
+      (cen.getLong(0), cen.getLong(1), cen.getLong(2))
+    require(nBins <= maxBins,
+      s"pavCalibration has $nBins score bins (> maxBins = $maxBins): " +
+        s"raise quantStep (>= ~${quantStep * (nBins / maxBins + 1)}) " +
+        "or raise maxBins explicitly (interval cube grows as B^3)")
+    require(totCal > 0,
+      "pavCalibration needs a non-empty calibration split (calPred " +
+        "selected no rows) — the bin-confidence prior divides by it")
+    // BigInt: 2^20·tp wraps a long past ~8·10^12 calibration positives
+    val prior = ((BigInt(totPos) * q20) / totCal).toLong
+    // the isotonic fit runs over bins CARRYING calibration mass only
+    val cf = bins.filter(col("n_cal") > 0)
+      .select(col("bin"), col("n_cal"), col("pos_cal"))
+    // inclusive/exclusive prefix sums by bounded triangular join — no
+    // window, so nothing for the PlanSpec single-task-window sweep
+    val pre = cf.select(col("bin").as("_pv_tb"))
+      .join(broadcast(cf.select(col("bin").as("_pv_ub"),
+        col("n_cal").as("_pv_un"), col("pos_cal").as("_pv_up"))),
+        col("_pv_ub") <= col("_pv_tb"))
+      .groupBy(col("_pv_tb"))
+      .agg(sum(col("_pv_un")).as("cn_in"), sum(col("_pv_up")).as("cp_in"),
+        sum(when(col("_pv_ub") < col("_pv_tb"), col("_pv_un"))
+          .otherwise(0L)).as("cn_ex"),
+        sum(when(col("_pv_ub") < col("_pv_tb"), col("_pv_up"))
+          .otherwise(0L)).as("cp_ex"))
+    def endp(p: String) = pre.select(col("_pv_tb").as(p + "b"),
+      col("cn_in").as(p + "cn_in"), col("cp_in").as(p + "cp_in"),
+      col("cn_ex").as(p + "cn_ex"), col("cp_ex").as(p + "cp_ex"))
+    // every pooled interval's Q20 floor rate; N >= n_cal(i) >= 1
+    val iv = endp("l").join(broadcast(endp("h")), col("lb") <= col("hb"))
+      .select(col("lb"), col("hb"),
+        expr(s"""cast((cast(${q20}L as decimal(38,0)) * (hcp_in - lcp_ex))
+                  div (hcn_in - lcn_ex) as bigint)""").as("_pv_rate"))
+    // iso(k) = max over lower ends i<=k of (min over upper ends j>=k)
+    val pav = iv.join(broadcast(cf.select(col("bin").as("_pv_k"))),
+        col("lb") <= col("_pv_k") && col("hb") >= col("_pv_k"))
+      .groupBy(col("_pv_k"), col("lb"))
+      .agg(min(col("_pv_rate")).as("_pv_mn"))
+      .groupBy(col("_pv_k")).agg(max(col("_pv_mn")).as("pav_q20"))
+      .select(col("_pv_k").as("bin"), col("pav_q20"))
+    val conf = bins.join(broadcast(pav), Seq("bin"), "left")
+      .withColumn("conf_q20",
+        when(col("n_cal") > 0, expr(s"(${q20}L * pos_cal) div n_cal"))
+          .otherwise(lit(prior)))
+      .withColumn("pav_q20", coalesce(col("pav_q20"), lit(prior)))
+      .filter(col("n_test") > 0)
+      .withColumn("obs_q20", expr(s"(${q20}L * pos_test) div n_test"))
+      .withColumn("gap_hist_q20", abs(col("conf_q20") - col("obs_q20")))
+      .withColumn("gap_pav_q20", abs(col("pav_q20") - col("obs_q20")))
+    val ece = conf.agg(
+      expr("""cast(sum(cast(n_test as decimal(38,0)) * gap_hist_q20)
+               div sum(cast(n_test as decimal(38,0))) as bigint)""")
+        .as("ece_hist_q20"),
+      expr("""cast(sum(cast(n_test as decimal(38,0)) * gap_pav_q20)
+               div sum(cast(n_test as decimal(38,0))) as bigint)""")
+        .as("ece_pav_q20"))
+    conf.select(col("bin"), col("n_cal"), col("pos_cal"), col("n_test"),
+        col("pos_test"), col("conf_q20"), col("pav_q20"), col("obs_q20"),
+        col("gap_hist_q20"), col("gap_pav_q20"))
+      .crossJoin(broadcast(ece))
+  }
+
   /** Score a text with trained [[centroidThresholdTrain]] weights (one
     * weight per bucket, no bias — the threshold plays that role): raw
     * integer Σ w_b·cnt_b as decimal(38,0), a zero-exchange projection. */

@@ -119,12 +119,19 @@ object Sketch {
     // (wrong depth, mixed-depth sketches) raises instead of estimating.
     // (Same-WIDTH is not recoverable from cells — it stays a documented
     // precondition: mixed widths hash the same value to different pos.)
+    // An EMPTY cell table is not drift: cmsSketch over an empty corpus
+    // yields zero rows, and the exact join size against anything is 0 —
+    // short-circuit to est=0 instead of raising (the drift raise is for
+    // NON-empty sketches whose row set mismatches the claimed depth).
     def rowDrift(s: DataFrame) = s.select(col("row")).distinct()
       .withColumn("_s", lit(1))
       .join(frame.withColumn("_f", lit(1)), Seq("row"), "full")
-      .agg(count(when(col("_s").isNull || col("_f").isNull, 1)).as("drift"))
-    val drift = rowDrift(a).select(col("drift").as("_da"))
-      .crossJoin(rowDrift(b).select(col("drift").as("_db")))
+      .agg(count(when(col("_s").isNull || col("_f").isNull, 1)).as("drift"),
+        count(col("_s")).as("present"))
+    val drift = rowDrift(a).select(col("drift").as("_da"),
+        col("present").as("_pa"))
+      .crossJoin(rowDrift(b).select(col("drift").as("_db"),
+        col("present").as("_pb")))
     val ip = a.select(col("row"), col("pos"), col("c").as("_ca"))
       .join(b.select(col("row"), col("pos"), col("c").as("_cb")),
         Seq("row", "pos"))
@@ -134,7 +141,8 @@ object Sketch {
       .agg(min(coalesce(col("_ip"), lit(0).cast("decimal(38,0)")))
         .cast("long").as("est"))
       .crossJoin(drift)
-      .select(when(col("_da") + col("_db") > 0,
+      .select(when(col("_pa") === 0 || col("_pb") === 0, lit(0L))
+        .when(col("_da") + col("_db") > 0,
           raise_error(concat(lit("cmsJoinSizeEstimate: sketch row set != "),
             lit(s"[0, $depth) — depth mismatch ("),
             col("_da").cast("string"), lit("/"), col("_db").cast("string"),

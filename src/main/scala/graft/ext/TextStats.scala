@@ -923,41 +923,6 @@ object TextStats {
         acc * 31 + conv(substring(md5(tok), 1, 15), 16, 10).cast("decimal(38,0)"),
         m)).cast("long")
   }
-  /** TOKEN-DISTRIBUTION DRIFT between two corpus releases — the
-    * Jensen–Shannon divergence (Lin, IEEE Trans. IT 1991), the standard
-    * bounded/symmetric corpus-drift metric (KL itself is infinite the
-    * moment a release coins one new token): per group key,
-    * JSD(A, B) = ½·KL(P‖M) + ½·KL(Q‖M) with M = ½(P+Q), over the two
-    * releases' token distributions. The id-keyed x63 release delta says
-    * WHICH documents changed; this says whether the LANGUAGE ITSELF
-    * moved — vocabulary/topic shift that survives doc-level matching.
-    *
-    * Integer-exact definition (the oracle replays it bit-for-bit):
-    * probabilities quantize to Q20 floors pq = ⌊2²⁰·a/N_A⌋,
-    * qq = ⌊2²⁰·b/N_B⌋; tokens whose quantized mass floors to 0 on a
-    * side are excluded from THAT side's sum (quantization-floor
-    * truncation — documented, deterministic; the metric's resolution is
-    * 2⁻²⁰ of a release's mass, so the regime is vocab ≪ 2²⁰ tokens
-    * carrying it, which the Zipf head always satisfies). Each side's
-    * per-token term is pq·(lq(2·pq) − lq(pq+qq)) in the exact Q8 log of
-    * [[graft.ext.Unigram.log2q8]] (arguments ≤ 2²¹, deep inside the
-    * 2⁵⁵ domain regardless of corpus size — the quantization is also
-    * what makes the log chain scale-safe), summed in decimal(38,0);
-    * kl_*_q8 and jsd_q8 read in Q8 bits after floor division (the
-    * positive-mod idiom — sums can be slightly negative under
-    * quantization). A qq = 0 token contributes exactly pq·256
-    * (lq(2x) − lq(x) ≡ 256 by construction — e increments, mantissa
-    * chain identical), the log-of-2 bit.
-    *
-    * Inputs are (keys..., tokenCol, cntCol) count tables (build them
-    * with one tokenize+groupBy pass per release; counts must be
-    * positive integers — raise per row). 100 TB shape: ONE
-    * (keys, token)-keyed full-outer join of the two count tables (the
-    * x63 m1/m2 merge discipline on distributions), per-key totals
-    * broadcast back, one map-side-combining per-key aggregation;
-    * tokens never leave their hash partition after the join. Returns
-    * (keys..., n_a, n_b, vocab_a, vocab_b, kl_am_q8, kl_bm_q8,
-    * jsd_q8). */
   /** Merge per-release token-count tables (shards, batches, streaming
     * micro-batches) by key re-sum — counts are sums, so the merged
     * table is EXACTLY the one-shot count table of the concatenated
@@ -1027,6 +992,41 @@ object TextStats {
       .withColumn("_dd_qq", quant("_dd_b", "n_b"))
   }
 
+  /** TOKEN-DISTRIBUTION DRIFT between two corpus releases — the
+    * Jensen–Shannon divergence (Lin, IEEE Trans. IT 1991), the standard
+    * bounded/symmetric corpus-drift metric (KL itself is infinite the
+    * moment a release coins one new token): per group key,
+    * JSD(A, B) = ½·KL(P‖M) + ½·KL(Q‖M) with M = ½(P+Q), over the two
+    * releases' token distributions. The id-keyed x63 release delta says
+    * WHICH documents changed; this says whether the LANGUAGE ITSELF
+    * moved — vocabulary/topic shift that survives doc-level matching.
+    *
+    * Integer-exact definition (the oracle replays it bit-for-bit):
+    * probabilities quantize to Q20 floors pq = ⌊2²⁰·a/N_A⌋,
+    * qq = ⌊2²⁰·b/N_B⌋; tokens whose quantized mass floors to 0 on a
+    * side are excluded from THAT side's sum (quantization-floor
+    * truncation — documented, deterministic; the metric's resolution is
+    * 2⁻²⁰ of a release's mass, so the regime is vocab ≪ 2²⁰ tokens
+    * carrying it, which the Zipf head always satisfies). Each side's
+    * per-token term is pq·(lq(2·pq) − lq(pq+qq)) in the exact Q8 log of
+    * [[graft.ext.Unigram.log2q8]] (arguments ≤ 2²¹, deep inside the
+    * 2⁵⁵ domain regardless of corpus size — the quantization is also
+    * what makes the log chain scale-safe), summed in decimal(38,0);
+    * kl_*_q8 and jsd_q8 read in Q8 bits after floor division (the
+    * positive-mod idiom — sums can be slightly negative under
+    * quantization). A qq = 0 token contributes exactly pq·256
+    * (lq(2x) − lq(x) ≡ 256 by construction — e increments, mantissa
+    * chain identical), the log-of-2 bit.
+    *
+    * Inputs are (keys..., tokenCol, cntCol) count tables (build them
+    * with one tokenize+groupBy pass per release; counts must be
+    * positive integers — raise per row). 100 TB shape: ONE
+    * (keys, token)-keyed full-outer join of the two count tables (the
+    * x63 m1/m2 merge discipline on distributions), per-key totals
+    * broadcast back, one map-side-combining per-key aggregation;
+    * tokens never leave their hash partition after the join. Returns
+    * (keys..., n_a, n_b, vocab_a, vocab_b, kl_am_q8, kl_bm_q8,
+    * jsd_q8). */
   def distributionDriftQ8(a: DataFrame, b: DataFrame, keyCols: Seq[String],
                           tokenCol: String, cntCol: String): DataFrame = {
     val q20 = 1L << 20
@@ -1059,6 +1059,64 @@ object TextStats {
         floorDiv("_dd_sq", q20).as("kl_bm_q8") :+
         floorDiv("(_dd_sp + _dd_sq)", 2L * q20).as("jsd_q8")): _*)
   }
+  /** PER-KEY POPULATION STABILITY INDEX with a thresholded ALERT —
+    * the x97 family's pager wire. PSI (Kullback's J divergence over
+    * binned distributions; the standard credit-risk/production-ML
+    * drift trigger) is Σ_t (p_t − q_t)·log(p_t/q_t) — symmetric and,
+    * unlike [[distributionDriftQ8]]'s bounded JSD, UNBOUNDED: it grows
+    * without limit as mass concentrates, which is exactly what makes
+    * it the alerting statistic (JSD saturates at 1 bit; PSI keeps
+    * resolving "how bad").
+    *
+    * Integer-exact definition: over the same Q20 probability floors as
+    * the JSD monitor, restricted to tokens with pq ≥ 1 AND qq ≥ 1
+    * (PSI's log blows up at zero — the classical fix is an arbitrary
+    * epsilon clip; this engine instead EXCLUDES one-sided tokens and
+    * REPORTS the excluded mass per side, so the alert never depends on
+    * an epsilon choice): each term is (pq − qq)·(lq(pq) − lq(qq)) in
+    * the exact Q8 log of [[graft.ext.Unigram.log2q8]] — lq is monotone,
+    * so every term is ≥ 0 and the decimal(38,0) sum needs no negative
+    * floor correction; psi_q8 reads in Q8 bits after dividing out the
+    * Q20 mass scale. alert = (psi_q8 ≥ alertThresholdQ8), an integer
+    * 0/1 column (≈ 26 Q8 ≈ the conventional PSI 0.1-nat "investigate"
+    * line; 64 Q8 ≈ the 0.25-nat "act" line).
+    *
+    * 100 TB shape: identical to the JSD monitor — ONE (keys, token)-
+    * keyed full-outer join, totals broadcast back, one map-side-
+    * combining per-key aggregation; the alert is a projection on the
+    * per-key frame. Returns (keys..., n_a, n_b, common_tokens,
+    * onesided_mass_a_q20, onesided_mass_b_q20, psi_q8, alert). */
+  def psiDriftQ8(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                 tokenCol: String, cntCol: String,
+                 alertThresholdQ8: Long): DataFrame = {
+    require(alertThresholdQ8 >= 0,
+      s"alertThresholdQ8 must be >= 0: $alertThresholdQ8")
+    val q20 = 1L << 20
+    val lq = (c: Column) => Unigram.log2q8(c)
+    val both = col("_dd_pq") >= 1L && col("_dd_qq") >= 1L
+    val terms = driftQuantized(a, b, keyCols, tokenCol, cntCol,
+        "psiDriftQ8")
+      .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        when(both, (col("_dd_pq") - col("_dd_qq")).cast("decimal(38,0)") *
+          (lq(col("_dd_pq")) - lq(col("_dd_qq"))))
+          .otherwise(lit(0L).cast("decimal(38,0)")).as("_dd_ps") :+
+        when(both, 1L).otherwise(0L).as("_dd_cm") :+
+        when(!both, col("_dd_pq")).otherwise(0L).as("_dd_xa") :+
+        when(!both, col("_dd_qq")).otherwise(0L).as("_dd_xb")): _*)
+    terms.groupBy((keyCols :+ "n_a" :+ "n_b").map(col): _*)
+      .agg(sum(col("_dd_ps")).as("_dd_s"),
+        sum(col("_dd_cm")).as("common_tokens"),
+        sum(col("_dd_xa")).as("onesided_mass_a_q20"),
+        sum(col("_dd_xb")).as("onesided_mass_b_q20"))
+      // every PSI term is >= 0 (lq monotone), so trunc == floor here
+      .withColumn("psi_q8", expr(s"cast(_dd_s div ${q20}L as bigint)"))
+      .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("common_tokens") :+ col("onesided_mass_a_q20") :+
+        col("onesided_mass_b_q20") :+ col("psi_q8") :+
+        when(col("psi_q8") >= alertThresholdQ8, 1L).otherwise(0L)
+          .as("alert")): _*)
+  }
+
   /** DRIFT ATTRIBUTION — the x97 family's "what moved" diagnostic: per
     * group key, the k tokens with the largest absolute quantized mass
     * shift |pq − qq| (Q20), ties token-ascending — the report a curator

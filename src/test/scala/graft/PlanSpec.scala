@@ -157,7 +157,7 @@ class PlanSpec extends SparkSpec {
       if (hits > 0 && !globalWindowAllowlist.contains(name))
         offenders += s"$name ($hits unpartitioned window(s))"
       val cHits = constKeyWindows(df)
-      if (cHits > 0 && !constKeyWindowAllowlist.keys.exists(name.startsWith))
+      if (cHits > 0 && !constKeyWindowAllowlist.contains(name))
         constOffenders += s"$name ($cHits constant-key window(s))"
       else if (cHits > 0)
         info(s"const-key window allowlisted: $name ($cHits)")

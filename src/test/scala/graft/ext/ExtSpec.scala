@@ -1875,6 +1875,38 @@ class ExtSpec extends SparkSpec {
     assert(pos3.groupBy(_._3).values.count(_.length == 2) == 1)
   }
 
+  test("sharedSpansExact: token-exact boundaries the windowed form misquantizes; diagonal gaps stay split") {
+    val docs = Seq(
+      (1L, "u v w x y z q"),
+      (2L, "m u v w x y z n"),
+      (3L, "a1 a2 a3 a4 a5 G1 H b1 b2 b3 b4 b5"),
+      (4L, "a1 a2 a3 a4 a5 G2 H b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpansExact(docs, "text", "doc_id", 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3))
+    // pair (1,2): the true shared substring is the SIX tokens
+    // "u v w x y z" at offsets (0, 1) — the windowed form sees two
+    // overlapping 5-windows with quantized boundaries; the diagonal
+    // run merges them into the exact span (THE misquantization pin).
+    // pair (3,4): two separate shared substrings on the SAME diagonal
+    // ("a1..a5" then "H b1..b5", split by G1/G2) — gaps-and-islands
+    // keeps them apart where a min/max-per-diagonal weld would report
+    // one bogus 12-token span. Every span re-verifies against the
+    // actual token slices.
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 1L, 6L, 1L),
+      (3L, 4L, 0L, 0L, 5L, 1L),
+      (3L, 4L, 6L, 6L, 6L, 1L)), got.toSeq.toString)
+    // guards
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpansExact(docs, "text", "doc_id", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpansExact(docs, "text", "doc_id", 5, occCap = 1)
+    }
+  }
+
   test("exciseRepeatedSpans keeps the corpus-first occurrence and reassembles the rest") {
     val docs = Seq(
       (1L, "a b c d e f"),          // keeper of [a b c d e] (min id)

@@ -405,4 +405,68 @@ class LearnSpec extends SparkSpec {
       Learn.calibrateScores(cal, dep, "y", "s", "doc_id", 1L, maxBins = 2L)
     }
   }
+  test("pavCalibration: hand-computed isotonic fit, monotone, ECE <= histogram, guards") {
+    // quantStep 1 so bin = score. Calibration rates by bin:
+    // [0/2, 2/2, 0/2, 2/2] — bins 1,2 violate monotonicity; PAV pools
+    // them to 2/4 = 0.5, so iso = [0, 1/2, 1/2, 1] (hand-checked via
+    // the minimax identity too). Test rates are the TRUE monotone
+    // [0, 1/2, 1/2, 1] plus a never-calibrated bin 5 (prior = 4/8):
+    // PAV nails every test bin (ece_pav = 0) while histogram misses
+    // bins 1-2 by 2^19 each (ece_hist = (8*524288) div 18 = 233016).
+    val cal = Seq(
+      (-1L, 0L), (-1L, 0L), (1L, 1L), (1L, 1L),
+      (-1L, 2L), (-1L, 2L), (1L, 3L), (1L, 3L)).map(r => (r._1, r._2, true))
+    val test = Seq(
+      (-1L, 0L), (-1L, 0L), (-1L, 0L), (-1L, 0L),
+      (1L, 1L), (1L, 1L), (-1L, 1L), (-1L, 1L),
+      (1L, 2L), (1L, 2L), (-1L, 2L), (-1L, 2L),
+      (1L, 3L), (1L, 3L), (1L, 3L), (1L, 3L),
+      (1L, 5L), (-1L, 5L)).map(r => (r._1, r._2, false))
+    val rows = (cal ++ test).toDF("y", "s", "cal")
+    val got = Learn.pavCalibration(rows, "y", "s", col("cal"), 1L)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 4L, 0L, 0L, 0L, 0L, 0L, 0L, 233016L, 0L),
+      (1L, 2L, 2L, 4L, 2L, 1048576L, 524288L, 524288L, 524288L, 0L,
+        233016L, 0L),
+      (2L, 2L, 0L, 4L, 2L, 0L, 524288L, 524288L, 524288L, 0L,
+        233016L, 0L),
+      (3L, 2L, 2L, 4L, 4L, 1048576L, 1048576L, 1048576L, 0L, 0L,
+        233016L, 0L),
+      (5L, 0L, 0L, 2L, 1L, 524288L, 524288L, 524288L, 0L, 0L,
+        233016L, 0L)), got.toString)
+    // the two pins the family promises: the isotonic fit is MONOTONE
+    // over calibration-carrying bins, and its test ECE never reads
+    // worse than histogram binning ON THIS FIXTURE (noisy small bins)
+    val calBins = got.filter(_._2 > 0)
+    assert(calBins.map(_._7) == calBins.map(_._7).sorted,
+      s"pav_q20 must be non-decreasing in bin: ${calBins.map(_._7)}")
+    assert(got.head._12 <= got.head._11,
+      s"ece_pav ${got.head._12} > ece_hist ${got.head._11}")
+    // already-monotone calibration: PAV == per-bin histogram rates
+    val mono = Seq((-1L, 0L, true), (1L, 1L, true), (1L, 1L, true),
+      (-1L, 1L, true), (1L, 2L, true), (1L, 0L, false), (1L, 1L, false),
+      (1L, 2L, false))
+      .toDF("y", "s", "cal")
+    val mg = Learn.pavCalibration(mono, "y", "s", col("cal"), 1L)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long)].collect().toSeq
+    assert(mg.map(r => (r._1, r._6, r._7)) == Seq(
+      (0L, 0L, 0L), (1L, 699050L, 699050L), (2L, 1048576L, 1048576L)),
+      mg.toString)
+    // guards: empty calibration split; the cube-bound census names a
+    // fitting quantStep; the shared label/score contracts raise per row
+    intercept[IllegalArgumentException] {
+      Learn.pavCalibration(rows, "y", "s", lit(false), 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Learn.pavCalibration(rows, "y", "s", col("cal"), 1L, maxBins = 2L)
+    }
+    intercept[Exception] {
+      Learn.pavCalibration(Seq((0L, 5L, true), (1L, 6L, false))
+        .toDF("y", "s", "cal"), "y", "s", col("cal"), 10L).collect()
+    }
+  }
 }

@@ -267,6 +267,41 @@ class LmSpec extends SparkSpec {
       TextStats.distributionDriftQ8(a, b, Nil, "tok", "c")
     }
   }
+  test("psiDriftQ8: hand-quantized PSI, one-sided mass reported, alert threshold") {
+    import graft.ext.Unigram.log2q8Long
+    // same releases as the JSD fixture: A x:3 y:1 (N=4), B x:1 z:1
+    // (N=2). Only x is two-sided: term (786432-524288)·Δlq; y and z
+    // are EXCLUDED from PSI (epsilon-free) and their quantized mass
+    // reported per side. True PSI = 0.25·log2(1.5) ≈ 0.146 bits ≈ 37
+    // Q8 — over the conventional 32 Q8 "investigate" line, so alert=1.
+    val a = Seq(("k", "x", 3L), ("k", "y", 1L)).toDF("g", "tok", "c")
+    val b = Seq(("k", "x", 1L), ("k", "z", 1L)).toDF("g", "tok", "c")
+    val s = BigInt(786432 - 524288) *
+      (log2q8Long(786432) - log2q8Long(524288))
+    val psi = (s / (1L << 20)).toLong
+    assert(psi >= 36 && psi <= 38, s"fixture PSI far from 0.146 bits: $psi")
+    val got = TextStats.psiDriftQ8(a, b, Seq("g"), "tok", "c", 32L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("k", 4L, 2L, 1L, 262144L, 524288L, psi, 1L)),
+      got.toString)
+    // identical releases: zero PSI, zero one-sided mass, no alert even
+    // at the lowest positive threshold
+    val same = TextStats.psiDriftQ8(a, a, Seq("g"), "tok", "c", 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert((same._4, same._5, same._6, same._7, same._8)
+      == ((2L, 0L, 0L, 0L, 0L)), same.toString)
+    // contracts ride driftQuantized: non-positive counts raise per row;
+    // a negative threshold is rejected up front
+    intercept[Exception] {
+      TextStats.psiDriftQ8(Seq(("k", "x", 0L)).toDF("g", "tok", "c"), b,
+        Seq("g"), "tok", "c", 32L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.psiDriftQ8(a, b, Seq("g"), "tok", "c", -1L)
+    }
+  }
   test("mergeTokenCounts: staged-base + batch re-sum == one-shot counts (the x97b identity)") {
     val docs = Seq(
       ("k", "a a b"), ("k", "b c"), ("k", "a c c"), ("m", "a b")

@@ -193,6 +193,22 @@ class SketchSpec extends SparkSpec {
       Sketch.cmsSketch(Seq("zz1", "zz2").toDF("k"), "k", w, d), sb, d)
       .as[Long].head()
     assert(dj == 0L, s"disjoint sketches must estimate 0: $dj")
+    // EMPTY sketch (zero cell rows): exact join size is 0 — must
+    // short-circuit to 0, NOT trip the depth-drift raise
+    val empty = Sketch.cmsSketch(
+      Seq.empty[String].toDF("k").filter(col("k").isNotNull), "k", w, d)
+    val ez = Sketch.cmsJoinSizeEstimate(empty, sb, d).as[Long].head()
+    assert(ez == 0L, s"empty sketch must estimate 0: $ez")
+    val ez2 = Sketch.cmsJoinSizeEstimate(sa, empty, d).as[Long].head()
+    assert(ez2 == 0L, s"empty right sketch must estimate 0: $ez2")
+    // NON-empty sketch with a depth claim larger than its build depth:
+    // the row-set drift raise fires (a silent 0-row left-join read would
+    // invert the overestimate-only guarantee)
+    val wrongDepth = intercept[Exception] {
+      Sketch.cmsJoinSizeEstimate(sa, sb, d + 2).as[Long].head()
+    }
+    assert(wrongDepth.getMessage.contains("depth mismatch"),
+      wrongDepth.getMessage)
     intercept[IllegalArgumentException] {
       Sketch.cmsJoinSizeEstimate(sa.drop("c"), sb, d)
     }

@@ -67,12 +67,18 @@ def repr_check(name, sdf, odf):
             return (f"dtype drift col {c}: spark={sdf[c].dtype} vs "
                     f"oracle={odf[c].dtype} (driver hashes these differently"
                     " — cast the oracle/query so both sides agree)")
-        for side, df in (("spark", sdf), ("oracle", odf)):
+    # Non-scalar sweep covers EVERY value of EVERY object column on BOTH
+    # sides (not just the first non-null of shared columns): a column
+    # whose early rows are scalar but later rows are arrays, or one
+    # present on a single side only, still crashes the driver comparer.
+    def nonscalar(v):
+        return isinstance(v, (list, tuple, dict, set)) or \
+            getattr(v, "ndim", 0) > 0
+    for side, df in (("spark", sdf), ("oracle", odf)):
+        for c in sorted(df.columns):
             if df[c].dtype == object:
                 nn = df[c].dropna()
-                v = nn.iloc[0] if len(nn) else None
-                if isinstance(v, (list, tuple, dict, set)) or \
-                   getattr(v, "ndim", 0) > 0:
+                if len(nn) and nn.map(nonscalar).any():
                     return (f"non-scalar col {c} ({side}): driver comparer "
                             "cannot lexsort array/struct cells — reshape to "
                             "scalar rows (posexplode) or hash to a string")
