@@ -503,6 +503,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(driftStream == driftOne, s"stream=$driftStream one=$driftOne")
   }
 
+  test("streamed calibrator deploy: per-micro-batch calibrateScores == one-shot batch deploy") {
+    // the x96b histogram calibrator as a STREAM consumer: the (bin,
+    // conf) table trains once on a fixed calibration frame, and each
+    // micro-batch of arriving scores picks up its calibrated Q20
+    // probability through the same broadcast join — the deploy side is
+    // a stateless projection, so the union over micro-batches must be
+    // row-identical to the one-shot batch deploy (the x65b pattern).
+    import org.apache.spark.sql.DataFrame
+    val cal = Seq((1L, 5L), (-1L, 7L), (1L, 12L), (-1L, 35L), (1L, 35L),
+      (-1L, -13L)).toDF("y", "s")
+    // scores spanning calibrated bins, an unseen bin, and a negative
+    // floor bin (the duckdb-truncation regression surface)
+    val dep = (1L to 30L).map(i => (i, (i % 7) * 10L - 20L))
+      .toDF("doc_id", "s")
+    val one = graft.ext.Learn.calibrateScores(cal, dep, "y", "s",
+        "doc_id", 10L)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_calib_stream_").toString
+    dep.repartition(3).write.mode("overwrite").parquet(src)
+    val outB = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Long)]]
+    val q = spark.readStream.schema(dep.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        outB += graft.ext.Learn.calibrateScores(cal, batch, "y", "s",
+            "doc_id", 10L)
+          .as[(Long, Long, Long, Long)].collect().toSeq
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(outB.size >= 2, s"want >= 2 micro-batches, got ${outB.size}")
+    assert(outB.toSeq.flatten.sorted == one,
+      s"stream=${outB.toSeq.flatten.sorted} one=$one")
+  }
+
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
     // streaming dimension maintenance: each micro-batch of change events
     // MERGEs into the versioned table via ops.Merge.scd2Merge — the
