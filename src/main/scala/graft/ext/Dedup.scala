@@ -1327,10 +1327,30 @@ object Dedup {
     val tk = spark.read.parquet(stageSignatures(apTokens(base, idCol, setCol)))
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
     val cntS = spark.read.parquet(stageSignatures(cnt))
+    // prefix and sets both derive from the ALREADY-STAGED tk + counts —
+    // stage them CONCURRENTLY (two driver threads, two Spark jobs)
+    // instead of two sequential write+read commit round-trips; both
+    // futures settle before any failure rethrows (the Scale.scala
+    // compaction-pool discipline, r12 ADVICE)
+    val (prefixPath, setsPath) = stagePairConcurrently(
+      apPrefix(tk, cntS, tNum, tDen), apSets(tk))
     AllPairsIndex(
-      spark.read.parquet(stageSignatures(apPrefix(tk, cntS, tNum, tDen))),
-      spark.read.parquet(stageSignatures(apSets(tk))),
+      spark.read.parquet(prefixPath),
+      spark.read.parquet(setsPath),
       cntS)
+  }
+
+  /** Stage two independent tables on two driver threads (Spark schedules
+    * the jobs concurrently); both settle before the first failure
+    * rethrows, so no staging thread outlives the call. */
+  private def stagePairConcurrently(a: DataFrame, b: DataFrame): (String, String) = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = Seq(Future(stageSignatures(a)), Future(stageSignatures(b)))
+    val settled = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    (settled(0).get, settled(1).get)
   }
 
   /** APPEND a processed batch into an [[AllPairsIndex]]: the batch's
@@ -1355,11 +1375,13 @@ object Dedup {
     // stage ONLY the batch's tables and union them onto the existing
     // staged parts — the file-append shape: the base is never rewritten,
     // so appending batch t costs O(|batch t|) whatever the index holds
+    // the two independent batch tables stage concurrently (see
+    // allPairsIndex)
+    val (prefixPath, setsPath) = stagePairConcurrently(
+      apPrefix(tk, index.counts, tNum, tDen), apSets(tk))
     AllPairsIndex(
-      index.prefix.unionByName(spark.read.parquet(stageSignatures(
-        apPrefix(tk, index.counts, tNum, tDen)))),
-      index.sets.unionByName(spark.read.parquet(stageSignatures(
-        apSets(tk)))),
+      index.prefix.unionByName(spark.read.parquet(prefixPath)),
+      index.sets.unionByName(spark.read.parquet(setsPath)),
       index.counts)
   }
 
