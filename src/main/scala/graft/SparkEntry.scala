@@ -705,7 +705,9 @@ object SparkEntry {
       // non-keepers — the surviving corpus is the pipeline's actual
       // artifact (md5 proves surviving text bytes)
       val d = t(s, dir, "documents")
-      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairsStaged(
+      // CC feed rides star candidates (connectivity-identical, hot-
+      // bucket-linear — see x17)
+      val clusters = Dedup.dupClusters(Dedup.lshCandidateStarPairsStaged(
         Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2))
       Dedup.applyDedup(d, clusters, "doc_id")
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
@@ -863,9 +865,14 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(sig, "doc_id", "simhash", 32, 4, 3)
     }),
     "x17_dup_clusters" -> ((s, dir) =>
-      // dedup tail: LSH candidate pairs → connected components → cluster
-      // label = min id (the A8 keeper); oracle = recursive-CTE closure
-      Dedup.dupClusters(Dedup.lshCandidatePairs(
+      // dedup tail: LSH candidates → connected components → cluster
+      // label = min id (the A8 keeper); oracle = recursive-CTE closure.
+      // Candidates feed CC as per-bucket STARS (bucket-min ↔ member) —
+      // connectivity-identical to the clique join (same closure, same
+      // clusters, so the oracle is unchanged) but linear in hot-bucket
+      // size where the clique is quadratic (a 10⁵-doc boilerplate
+      // group is 10⁵ star edges vs 5·10⁹ clique pairs).
+      Dedup.dupClusters(Dedup.lshCandidateStarPairs(
         Dedup.minhashSignature(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2))
         .select(col("id").cast("long").as("id"),
           col("cluster_id").cast("long").as("cluster_id"))),
@@ -877,7 +884,8 @@ object SparkEntry {
       // picks the keeper. The oracle chains the x17 recursive closure
       // with the x31 score replay, so the composed policy hash-checks.
       val d = t(s, dir, "documents")
-      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(
+      // same star-candidate CC feed as x17 (connectivity-identical)
+      val clusters = Dedup.dupClusters(Dedup.lshCandidateStarPairs(
         Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2))
       val scored = d.select(col("doc_id"),
         graft.ext.TextStats.hashedLinearScoreQ30Fast(col("text"),
@@ -1213,7 +1221,7 @@ object SparkEntry {
             allowedLangs = Seq("de", "en", "es", "zh")))
         .filter(col("status") === "ok").select("doc_id")
       val curated = d.join(ok, "doc_id")
-      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairsStaged(
+      val clusters = Dedup.dupClusters(Dedup.lshCandidateStarPairsStaged(
         Dedup.minhashSignature(curated, "text", 4), "doc_id", 4, 2))
       val train = Dedup.applyDedup(curated, clusters, "doc_id")
         .filter(col("doc_id") >= 10) // ids < 10 are the benchmark split
@@ -1936,7 +1944,7 @@ object SparkEntry {
       // singletons; the split is a deterministic salted draw on the
       // LABEL, so cluster members can never disagree. 10% eval.
       val d = t(s, dir, "documents")
-      val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(
+      val clusters = Dedup.dupClusters(Dedup.lshCandidateStarPairs(
         Dedup.minhashSignature(d, "text", 4), "doc_id", 4, 2))
       val labeled = d.select(col("doc_id"))
         .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -3072,6 +3080,29 @@ object SparkEntry {
         ev.filter(pmod(col("doc_id"), lit(4L)) === 3L),
         "_y", "_s", "doc_id", 1L << 23)
     }),
+    "x96d_pav_scores" -> ((s, dir) => {
+      // the ISOTONIC calibrator DEPLOYED (x96b's move for the PAV fit):
+      // the censused step table ships as a sorted plan literal and each
+      // test-quarter score takes the step value of the largest
+      // calibration bin <= its own (constant extrapolation both ends) —
+      // deployed probabilities are MONOTONE in the score, and the
+      // deploy side runs zero exchanges and no join at all.
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, _) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
+      val ev = d.filter(col("doc_id") % 2 === 1)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), lenLabel.as("_y"),
+          graft.ext.Learn.centroidScore(col("text"), w).as("_s"))
+      graft.ext.Learn.pavCalibrateScores(
+        ev.filter(pmod(col("doc_id"), lit(4L)) === 1L),
+        ev.filter(pmod(col("doc_id"), lit(4L)) === 3L),
+        "_y", "_s", "doc_id", 1L << 23)
+    }),
     "x96c_pav" -> ((s, dir) => {
       // ISOTONIC (PAV) calibration beside x96's histogram binning —
       // the exact-arithmetic minimax form (floor commutes with
@@ -4138,6 +4169,25 @@ object SparkEntry {
               CASE WHEN t.na > 0 THEN (1048576 * j.a) // t.na ELSE 0 END AS pq,
               CASE WHEN t.nb > 0 THEN (1048576 * j.b) // t.nb ELSE 0 END AS qq
          FROM j JOIN tt t ON t.lang = j.lang)""")
+
+  /** Shared PAV-fit CTE block (reads a `cf (bin, n_cal, pos_cal)` CTE,
+    * ends at `pv (bin, pav_q20)`) — the DuckDB replay of
+    * [[graft.ext.Learn]]'s minimax isotonic fit, used by the x96c audit
+    * and the x96d deploy oracles. */
+  private val pavFitCtes: String =
+    """pre AS (SELECT t.bin AS bin,
+                   SUM(u.n_cal) AS cn_in, SUM(u.pos_cal) AS cp_in,
+                   SUM(CASE WHEN u.bin < t.bin THEN u.n_cal ELSE 0 END) AS cn_ex,
+                   SUM(CASE WHEN u.bin < t.bin THEN u.pos_cal ELSE 0 END) AS cp_ex
+                 FROM cf t JOIN cf u ON u.bin <= t.bin GROUP BY 1),
+         iv AS (SELECT l.bin AS i, h.bin AS j,
+                  CAST((1048576 * CAST(h.cp_in - l.cp_ex AS HUGEINT))
+                       // (h.cn_in - l.cn_ex) AS BIGINT) AS rate
+                FROM pre l JOIN pre h ON l.bin <= h.bin),
+         mn AS (SELECT k.bin AS bin, iv.i AS i, MIN(iv.rate) AS m
+                FROM cf k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+                GROUP BY 1, 2),
+         pv AS (SELECT bin, MAX(m) AS pav_q20 FROM mn GROUP BY 1)"""
 
   /** CTE chain replaying [[graft.ext.Unigram.log2q8]] in DuckDB over a
     * (lang, tok, v) source: exponent from the bit length, 8 squaring
@@ -7498,6 +7548,30 @@ object SparkEntry {
                               (SELECT prior FROM pr)) AS BIGINT) AS p_q20
          FROM ev e LEFT JOIN cb c ON c.bin = e.bin
          WHERE NOT e.cal"""),
+    // x96d: the isotonic calibrator deployed — the PAV fit over the
+    // calibration quarter's bins, then DuckDB's native ASOF LEFT JOIN
+    // picks each test row's largest fitted bin <= its own (the step
+    // function); rows below the lowest fitted bin clamp to the first
+    // step value, matching the engine's constant extrapolation
+    "x96d_pav_scores" -> (centroidCtes("doc_id % 2 = 0") +
+      s""",
+         ev AS (SELECT doc_id, y, s,
+                       (s - ((s % ${1L << 23} + ${1L << 23})
+                             % ${1L << 23})) // ${1L << 23} AS bin,
+                       (doc_id % 4 = 1) AS cal
+                FROM sc WHERE doc_id % 2 = 1),
+         cf AS (SELECT bin, COUNT(*) AS n_cal,
+                       SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos_cal
+                FROM ev WHERE cal GROUP BY 1),
+         $pavFitCtes,
+         pv0 AS (SELECT pav_q20 AS p0 FROM pv ORDER BY bin LIMIT 1)
+         SELECT e.doc_id,
+                CAST(e.s AS BIGINT) AS score,
+                CAST(e.bin AS BIGINT) AS bin,
+                CAST(COALESCE(pv.pav_q20, (SELECT p0 FROM pv0)) AS BIGINT)
+                  AS p_q20
+         FROM (SELECT * FROM ev WHERE NOT cal) e
+         ASOF LEFT JOIN pv ON e.bin >= pv.bin"""),
     // x96c: isotonic (PAV) calibration via the minimax identity —
     // iso(k) = max_{i<=k} min_{j>=k} rate(i,j) over pooled calibration
     // bin intervals; floor commutes with min/max so every interval
@@ -7519,19 +7593,7 @@ object SparkEntry {
                FROM ev GROUP BY 1),
          bt AS (SELECT SUM(n_cal) AS tc, SUM(pos_cal) AS tp FROM bg),
          cf AS (SELECT bin, n_cal, pos_cal FROM bg WHERE n_cal > 0),
-         pre AS (SELECT t.bin AS bin,
-                   SUM(u.n_cal) AS cn_in, SUM(u.pos_cal) AS cp_in,
-                   SUM(CASE WHEN u.bin < t.bin THEN u.n_cal ELSE 0 END) AS cn_ex,
-                   SUM(CASE WHEN u.bin < t.bin THEN u.pos_cal ELSE 0 END) AS cp_ex
-                 FROM cf t JOIN cf u ON u.bin <= t.bin GROUP BY 1),
-         iv AS (SELECT l.bin AS i, h.bin AS j,
-                  CAST((1048576 * CAST(h.cp_in - l.cp_ex AS HUGEINT))
-                       // (h.cn_in - l.cn_ex) AS BIGINT) AS rate
-                FROM pre l JOIN pre h ON l.bin <= h.bin),
-         mn AS (SELECT k.bin AS bin, iv.i AS i, MIN(iv.rate) AS m
-                FROM cf k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
-                GROUP BY 1, 2),
-         pv AS (SELECT bin, MAX(m) AS pav_q20 FROM mn GROUP BY 1),
+         $pavFitCtes,
          cb AS (SELECT g.bin AS bin, n_cal, pos_cal, n_test, pos_test,
                   CASE WHEN n_cal > 0 THEN (1048576 * pos_cal) // n_cal
                        ELSE (1048576 * (SELECT tp FROM bt))

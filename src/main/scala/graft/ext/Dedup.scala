@@ -86,6 +86,46 @@ object Dedup {
       .distinct()
   }
 
+  /** CONNECTIVITY-oriented LSH candidates — the [[dupClusters]] feeder
+    * that survives hot band buckets: per (band_idx, band_key) bucket
+    * emit a STAR (bucket-min id ↔ every other member) instead of the
+    * clique. For connected components the star is EXACTLY equivalent
+    * (every bucket member is connected through the bucket min, so the
+    * transitive closure — and with it every cluster — is identical to
+    * the clique's; DedupSpec pins the equality), but a bucket of m docs
+    * costs m−1 edges instead of m(m−1)/2. Real corpora make this the
+    * difference between linear and quadratic: a boilerplate/exact-dup
+    * group of 10⁵ docs lands in one band bucket, which the clique form
+    * turns into 5·10⁹ pairs and the star into 10⁵.
+    *
+    * NOT for pair-level consumers (Jaccard verify, x3's pair lists):
+    * the star omits most within-bucket pairs — it answers "which docs
+    * are in the same component", never "which pairs collided". Shape:
+    * one (band)-keyed aggregation for the bucket mins + one band-keyed
+    * join back; only (band_key, id) rows ever shuffle. */
+  def lshCandidateStarPairs(sig: DataFrame, idCol: String, k: Int,
+                            rowsPerBand: Int): DataFrame = {
+    val exploded = lshBands(sig, idCol, k, rowsPerBand)
+    val mins = exploded.groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col(idCol)).as("_lsh_min"))
+    exploded.join(mins, Seq("band_idx", "band_key"))
+      .filter(col(idCol) =!= col("_lsh_min"))
+      .select(col("_lsh_min").as("a_id"), col(idCol).as("b_id"))
+      .distinct()
+  }
+
+  /** [[lshCandidateStarPairs]] from a staged signature table (the
+    * lshCandidatePairsStaged move for CC feeds): one signature pass,
+    * star edges per band bucket. */
+  def lshCandidateStarPairsStaged(sig: DataFrame, idCol: String, k: Int,
+                                  rowsPerBand: Int): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_stage_")
+    registerStageDirForCleanup(dir.toString)
+    sig.write.mode("overwrite").parquet(dir.toString)
+    lshCandidateStarPairs(sig.sparkSession.read.parquet(dir.toString),
+      idCol, k, rowsPerBand)
+  }
+
   /** At-scale LSH candidate generation: materialize the signature table to
     * parquet FIRST, then band/self-join from the staged table — exactly ONE
     * signature computation over the corpus. [[lshCandidatePairs]]'s aliased

@@ -583,35 +583,8 @@ object Learn {
     // BigInt: 2^20·tp wraps a long past ~8·10^12 calibration positives
     val prior = ((BigInt(totPos) * q20) / totCal).toLong
     // the isotonic fit runs over bins CARRYING calibration mass only
-    val cf = bins.filter(col("n_cal") > 0)
-      .select(col("bin"), col("n_cal"), col("pos_cal"))
-    // inclusive/exclusive prefix sums by bounded triangular join — no
-    // window, so nothing for the PlanSpec single-task-window sweep
-    val pre = cf.select(col("bin").as("_pv_tb"))
-      .join(broadcast(cf.select(col("bin").as("_pv_ub"),
-        col("n_cal").as("_pv_un"), col("pos_cal").as("_pv_up"))),
-        col("_pv_ub") <= col("_pv_tb"))
-      .groupBy(col("_pv_tb"))
-      .agg(sum(col("_pv_un")).as("cn_in"), sum(col("_pv_up")).as("cp_in"),
-        sum(when(col("_pv_ub") < col("_pv_tb"), col("_pv_un"))
-          .otherwise(0L)).as("cn_ex"),
-        sum(when(col("_pv_ub") < col("_pv_tb"), col("_pv_up"))
-          .otherwise(0L)).as("cp_ex"))
-    def endp(p: String) = pre.select(col("_pv_tb").as(p + "b"),
-      col("cn_in").as(p + "cn_in"), col("cp_in").as(p + "cp_in"),
-      col("cn_ex").as(p + "cn_ex"), col("cp_ex").as(p + "cp_ex"))
-    // every pooled interval's Q20 floor rate; N >= n_cal(i) >= 1
-    val iv = endp("l").join(broadcast(endp("h")), col("lb") <= col("hb"))
-      .select(col("lb"), col("hb"),
-        expr(s"""cast((cast(${q20}L as decimal(38,0)) * (hcp_in - lcp_ex))
-                  div (hcn_in - lcn_ex) as bigint)""").as("_pv_rate"))
-    // iso(k) = max over lower ends i<=k of (min over upper ends j>=k)
-    val pav = iv.join(broadcast(cf.select(col("bin").as("_pv_k"))),
-        col("lb") <= col("_pv_k") && col("hb") >= col("_pv_k"))
-      .groupBy(col("_pv_k"), col("lb"))
-      .agg(min(col("_pv_rate")).as("_pv_mn"))
-      .groupBy(col("_pv_k")).agg(max(col("_pv_mn")).as("pav_q20"))
-      .select(col("_pv_k").as("bin"), col("pav_q20"))
+    val pav = pavFitQ20(bins.filter(col("n_cal") > 0)
+      .select(col("bin"), col("n_cal"), col("pos_cal")))
     val conf = bins.join(broadcast(pav), Seq("bin"), "left")
       .withColumn("conf_q20",
         when(col("n_cal") > 0, expr(s"(${q20}L * pos_cal) div n_cal"))
@@ -632,6 +605,108 @@ object Learn {
         col("pos_test"), col("conf_q20"), col("pav_q20"), col("obs_q20"),
         col("gap_hist_q20"), col("gap_pav_q20"))
       .crossJoin(broadcast(ece))
+  }
+
+  /** The isotonic fit itself, shared by [[pavCalibration]] and
+    * [[pavCalibrateScores]]: over a (bin, n_cal, pos_cal) frame with
+    * n_cal ≥ 1 per row, returns (bin, pav_q20) — the minimax identity
+    * iso(k) = max_{i≤k} min_{j≥k} ⌊2²⁰·P_ij/N_ij⌋ as bounded-frame
+    * algebra only (triangular broadcast self-joins; inclusive/exclusive
+    * prefix sums by join, not window, so nothing for the PlanSpec
+    * single-task-window sweep). */
+  private def pavFitQ20(cf: DataFrame): DataFrame = {
+    val q20 = 1L << 20
+    val pre = cf.select(col("bin").as("_pv_tb"))
+      .join(broadcast(cf.select(col("bin").as("_pv_ub"),
+        col("n_cal").as("_pv_un"), col("pos_cal").as("_pv_up"))),
+        col("_pv_ub") <= col("_pv_tb"))
+      .groupBy(col("_pv_tb"))
+      .agg(sum(col("_pv_un")).as("cn_in"), sum(col("_pv_up")).as("cp_in"),
+        sum(when(col("_pv_ub") < col("_pv_tb"), col("_pv_un"))
+          .otherwise(0L)).as("cn_ex"),
+        sum(when(col("_pv_ub") < col("_pv_tb"), col("_pv_up"))
+          .otherwise(0L)).as("cp_ex"))
+    def endp(p: String) = pre.select(col("_pv_tb").as(p + "b"),
+      col("cn_in").as(p + "cn_in"), col("cp_in").as(p + "cp_in"),
+      col("cn_ex").as(p + "cn_ex"), col("cp_ex").as(p + "cp_ex"))
+    // every pooled interval's Q20 floor rate; N >= n_cal(i) >= 1
+    val iv = endp("l").join(broadcast(endp("h")), col("lb") <= col("hb"))
+      .select(col("lb"), col("hb"),
+        expr(s"""cast((cast(${q20}L as decimal(38,0)) * (hcp_in - lcp_ex))
+                  div (hcn_in - lcn_ex) as bigint)""").as("_pv_rate"))
+    // iso(k) = max over lower ends i<=k of (min over upper ends j>=k)
+    iv.join(broadcast(cf.select(col("bin").as("_pv_k"))),
+        col("lb") <= col("_pv_k") && col("hb") >= col("_pv_k"))
+      .groupBy(col("_pv_k"), col("lb"))
+      .agg(min(col("_pv_rate")).as("_pv_mn"))
+      .groupBy(col("_pv_k")).agg(max(col("_pv_mn")).as("pav_q20"))
+      .select(col("_pv_k").as("bin"), col("pav_q20"))
+  }
+
+  /** DEPLOY the [[pavCalibration]] isotonic calibrator as a COLUMN (the
+    * x96b move for the PAV fit): each deploy score takes the step
+    * function's value at its bin — the fitted pav_q20 of the LARGEST
+    * calibration bin ≤ its own (constant extrapolation past both ends,
+    * the standard isotonic deploy), so deployed probabilities are
+    * MONOTONE in the score, which the x96b histogram deploy's
+    * prior-fallback cannot promise. The fit is the same censused
+    * bounded-frame algebra as x96c; the step table (≤ maxBins rows)
+    * then ships as a SORTED PLAN LITERAL and the lookup is a bounded
+    * in-row fold — the deploy side runs ZERO exchanges and no join at
+    * all (one better than x96b's broadcast). Contracts as
+    * eceCalibration: ±1 labels, integer scores, NULL deploy scores
+    * excluded, non-empty calibration. Returns (idCol, score, bin,
+    * p_q20). */
+  def pavCalibrateScores(cal: DataFrame, deploy: DataFrame, yCol: String,
+                         sCol: String, idCol: String, quantStep: Long,
+                         maxBins: Long = 1L << 9): DataFrame = {
+    require(quantStep >= 1, s"quantStep must be >= 1: $quantStep")
+    require(maxBins >= 1 && maxBins <= (1L << 12),
+      s"maxBins must be in [1, 4096] (the interval cube is ~B^3/6 rows): $maxBins")
+    def binOf(s: String) = expr(s"($s div ${quantStep}L) - " +
+      s"(CASE WHEN $s < 0 AND pmod($s, ${quantStep}L) != 0 " +
+      s"THEN 1L ELSE 0L END)")
+    val yChecked = when(col(yCol) > 0 || col(yCol) < 0, col(yCol))
+      .otherwise(raise_error(concat(
+        lit(s"pavCalibrateScores labels must be +1/-1; got $yCol = "),
+        coalesce(col(yCol).cast("string"), lit("null")))))
+    def sChecked = when(col(sCol).cast("long") === col(sCol),
+        col(sCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"pavCalibrateScores needs integer scores; $sCol = "),
+        col(sCol).cast("string"))))
+    val bins = cal.filter(col(sCol).isNotNull)
+      .select(yChecked.as("_pd_y"), sChecked.as("_pd_s"))
+      .withColumn("bin", binOf("_pd_s"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cal"),
+        sum(when(col("_pd_y") > 0, 1L).otherwise(0L)).as("pos_cal"))
+    val cen = bins.agg(count(lit(1)).as("nb"),
+      coalesce(sum(col("n_cal")), lit(0L)).as("tc")).collect().head
+    require(cen.getLong(0) <= maxBins,
+      s"pavCalibrateScores has ${cen.getLong(0)} calibration bins " +
+        s"(> maxBins = $maxBins): raise quantStep " +
+        s"(>= ~${quantStep * (cen.getLong(0) / maxBins + 1)})")
+    require(cen.getLong(1) > 0,
+      "pavCalibrateScores needs a non-empty calibration frame")
+    // the fit is censused (<= maxBins rows) — collecting it is the
+    // codebook convention, and shipping it sorted as a plan literal
+    // makes the deploy a pure projection
+    val fit: Seq[(Long, Long)] = pavFitQ20(bins)
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val arr = typedlit(fit)
+    // step lookup over the ASCENDING literal: the last entry with
+    // bin <= b wins; a b below the first entry clamps to the first
+    // (constant extrapolation) — a bounded fold, zero exchanges
+    def stepAt(b: Column): Column =
+      aggregate(arr, element_at(arr, 1),
+        (acc, e) => when(e.getField("_1") <= b, e).otherwise(acc))
+        .getField("_2")
+    deploy.filter(col(sCol).isNotNull)
+      .select(col(idCol), sChecked.as("score"))
+      .withColumn("bin", binOf("score"))
+      .select(col(idCol), col("score"), col("bin"),
+        stepAt(col("bin")).as("p_q20"))
   }
 
   /** Score a text with trained [[centroidThresholdTrain]] weights (one

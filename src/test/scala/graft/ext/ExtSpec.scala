@@ -1875,6 +1875,35 @@ class ExtSpec extends SparkSpec {
     assert(pos3.groupBy(_._3).values.count(_.length == 2) == 1)
   }
 
+  test("lshCandidateStarPairs: CC-identical to the clique join, linear edges in hot buckets") {
+    // 6 exact copies (one hot band bucket — the boilerplate class that
+    // makes clique pairs quadratic), an exact-dup pair, a singleton
+    val docs = (Seq.tabulate(6)(i =>
+      ((i + 1).toLong, "aaaaa bbbbb ccccc ddddd")) ++
+      Seq((10L, "zzzzz yyyyy xxxxx wwwww"),
+        (11L, "zzzzz yyyyy xxxxx wwwww"),
+        (20L, "lonely unique document here"))).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, "text", 4)
+    val clique = Dedup.lshCandidatePairs(sig, "doc_id", 4, 2)
+    val star = Dedup.lshCandidateStarPairs(sig, "doc_id", 4, 2)
+    // the clusters — the thing the star form exists to feed — are
+    // IDENTICAL: every bucket member connects through the bucket min
+    val cClique = Dedup.dupClusters(clique).as[(Long, Long)].collect().toSet
+    val cStar = Dedup.dupClusters(star).as[(Long, Long)].collect().toSet
+    assert(cStar == cClique, s"star=$cStar clique=$cClique")
+    assert(cStar.filter(_._1 <= 6L).map(_._2) == Set(1L))
+    // the hot bucket: m(m-1)/2 clique pairs vs m-1 star edges
+    assert(clique.filter(col("b_id") <= 6).count() == 15L)
+    assert(star.filter(col("b_id") <= 6).count() == 5L)
+    // star edges are a subset of the clique pairs (min < every member)
+    val sp = star.as[(Long, Long)].collect().toSet
+    val cp = clique.as[(Long, Long)].collect().toSet
+    assert(sp.subsetOf(cp), (sp -- cp).toString)
+    // staged form is path-for-path the same pairs
+    assert(Dedup.lshCandidateStarPairsStaged(sig, "doc_id", 4, 2)
+      .as[(Long, Long)].collect().toSet == sp)
+  }
+
   test("sharedSpansExact: token-exact boundaries the windowed form misquantizes; diagonal gaps stay split") {
     val docs = Seq(
       (1L, "u v w x y z q"),

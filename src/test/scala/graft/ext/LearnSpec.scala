@@ -469,4 +469,39 @@ class LearnSpec extends SparkSpec {
         .toDF("y", "s", "cal"), "y", "s", col("cal"), 10L).collect()
     }
   }
+  test("pavCalibrateScores: step-function deploy, clamped extrapolation, zero-exchange plan") {
+    // same calibration as the pavCalibration fixture: fitted steps
+    // [bin0 -> 0, bin1 -> 2^19, bin2 -> 2^19, bin3 -> 2^20]. Deploy
+    // scores probe below the lowest bin (clamp to step 0), exact hits,
+    // a gap bin (takes the largest fitted bin below), and far above
+    // (clamps to the last step) — and the output is monotone in score,
+    // which the x96b prior-fallback deploy cannot promise.
+    val cal = Seq((-1L, 0L), (-1L, 0L), (1L, 1L), (1L, 1L),
+      (-1L, 2L), (-1L, 2L), (1L, 3L), (1L, 3L)).toDF("y", "s")
+    val dep = Seq((1L, -5L), (2L, 0L), (3L, 2L), (4L, 4L), (5L, 99L))
+      .toDF("doc_id", "s")
+    val got = Learn.pavCalibrateScores(cal, dep, "y", "s", "doc_id", 1L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, -5L, -5L, 0L),
+      (2L, 0L, 0L, 0L),
+      (3L, 2L, 2L, 524288L),
+      (4L, 4L, 4L, 1048576L),
+      (5L, 99L, 99L, 1048576L)), got.toString)
+    assert(got.sortBy(_._2).map(_._4) == got.sortBy(_._2).map(_._4).sorted,
+      "deployed probabilities must be monotone in the score")
+    // the deploy side is a pure projection over a plan literal: no
+    // Exchange anywhere (one better than the x96b broadcast join)
+    val plan = Learn.pavCalibrateScores(cal, dep, "y", "s", "doc_id", 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      Learn.pavCalibrateScores(cal.filter(lit(false)), dep, "y", "s",
+        "doc_id", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Learn.pavCalibrateScores(cal, dep, "y", "s", "doc_id", 1L,
+        maxBins = 2L)
+    }
+  }
 }
