@@ -520,10 +520,17 @@ class EventStreamsSpec extends SparkSpec {
     val one = graft.ext.Learn.calibrateScores(cal, dep, "y", "s",
         "doc_id", 10L)
       .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    // the isotonic deploy is even more stream-trivial (a plan-literal
+    // step table, no join) — pin its parity in the same pass
+    val onePav = graft.ext.Learn.pavCalibrateScores(cal, dep, "y", "s",
+        "doc_id", 10L)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
     val src = java.nio.file.Files
       .createTempDirectory("graft_calib_stream_").toString
     dep.repartition(3).write.mode("overwrite").parquet(src)
     val outB = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Long)]]
+    val outPav = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(Long, Long, Long, Long)]]
     val q = spark.readStream.schema(dep.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
@@ -532,6 +539,9 @@ class EventStreamsSpec extends SparkSpec {
         outB += graft.ext.Learn.calibrateScores(cal, batch, "y", "s",
             "doc_id", 10L)
           .as[(Long, Long, Long, Long)].collect().toSeq
+        outPav += graft.ext.Learn.pavCalibrateScores(cal, batch, "y",
+            "s", "doc_id", 10L)
+          .as[(Long, Long, Long, Long)].collect().toSeq
         ()
       }
       .start()
@@ -539,6 +549,8 @@ class EventStreamsSpec extends SparkSpec {
     assert(outB.size >= 2, s"want >= 2 micro-batches, got ${outB.size}")
     assert(outB.toSeq.flatten.sorted == one,
       s"stream=${outB.toSeq.flatten.sorted} one=$one")
+    assert(outPav.toSeq.flatten.sorted == onePav,
+      s"pav stream=${outPav.toSeq.flatten.sorted} one=$onePav")
   }
 
   test("foreachBatch SCD2 maintenance: streamed batches compose like sequential merges") {
