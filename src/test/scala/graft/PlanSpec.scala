@@ -897,6 +897,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x97d PSI alert: the drift plan discipline — full-outer merge only, totals broadcast, no text in exchanges") {
+    val p = tree(q("x97d_psi_alert"))
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.nonEmpty && smj.forall(_.contains("FullOuter")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")), p)
+  }
+
+  test("x96c PAV audit: bounded-frame algebra only — every join broadcast, no sort-merge") {
+    val p = tree(q("x96c_pav"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the triangular fit joins and the pav/ece attach all ride
+    // broadcast frames; a SortMergeJoin would mean the censused bin
+    // frame grew a corpus-sized shuffle
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x96d PAV deploy: a pure projection — no join, no exchange at all") {
+    val p = tree(q("x96d_pav_scores"))
+    // the fit collected to a sorted plan literal + an in-row fold:
+    // the deploy plan is scan -> filter -> project, nothing else
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x41d shared spans: exchange keys are digests/ids/diagonals, never text") {
+    val p = tree(q("x41d_shared_spans_exact"))
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach(l =>
+      assert(!l.contains("text#") && !l.contains("_sx_t"),
+        s"x41d must not key an exchange on text: $l"))
+  }
+
   test("tokenIdsJoin: broadcast vocab, plan size independent of vocab size") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
