@@ -1517,6 +1517,14 @@ object SparkEntry {
       // join back by id only.
       graft.ext.Dedup.sharedSpansExact(
         t(s, dir, "documents"), "text", "doc_id", 5)),
+    "x41e_span_excise_exact" -> ((s, dir) =>
+      // x41d's APPLY: every verified maximal shared span excised from
+      // the higher-id side with token-exact boundaries (lower id
+      // keeps), masks unioned per doc, survivors reassembled in order
+      // — the pairwise exact-boundary completion of the x41b
+      // window-granular excision.
+      graft.ext.Dedup.exciseSharedSpans(
+        t(s, dir, "documents"), "text", "doc_id", 5)),
     "x41_repeated_spans" -> ((s, dir) =>
       // ExactSubstr-style span-level dedup signal (Lee et al. 2022): per
       // doc, how many of its 5-token windows repeat ANYWHERE in the
@@ -4170,6 +4178,39 @@ object SparkEntry {
               CASE WHEN t.nb > 0 THEN (1048576 * j.b) // t.nb ELSE 0 END AS qq
          FROM j JOIN tt t ON t.lang = j.lang)""")
 
+  /** Shared x41d/x41e CTE chain: md5 5-token windows, occ-capped
+    * digest pairs, per-diagonal gaps-and-islands run merging, and the
+    * token-slice verification — ends at
+    * `ver (a_id, b_id, a_start, b_start, n_tokens, verified)` with a
+    * `toks (doc_id, t)` CTE still in scope for rebuilds. */
+  private val sharedSpansCtes: String =
+    """WITH toks AS (
+           SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         w0 AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
+                FROM toks WHERE len(t) >= 5),
+         w AS (SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h FROM w0),
+         occ AS (SELECT doc_id, i, h, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM w),
+         sp AS (SELECT doc_id, i, h FROM occ WHERE n_occ BETWEEN 2 AND 64),
+         m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ap,
+                      a.i - b.i AS diag
+               FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         r AS (SELECT a_id, b_id, diag, ap,
+                 ap - row_number() OVER (PARTITION BY a_id, b_id, diag
+                                         ORDER BY ap) AS isl
+               FROM m),
+         runs AS (SELECT a_id, b_id, diag, MIN(ap) AS a_start,
+                    MAX(ap) - MIN(ap) + 5 AS n_tokens
+                  FROM r GROUP BY a_id, b_id, diag, isl),
+         ver AS (SELECT r.a_id, r.b_id, r.a_start,
+                   r.a_start - r.diag AS b_start, r.n_tokens,
+                   CASE WHEN ta.t[r.a_start+1:r.a_start+r.n_tokens]
+                          = tb.t[(r.a_start-r.diag)+1:(r.a_start-r.diag)+r.n_tokens]
+                        THEN 1 ELSE 0 END AS verified
+                 FROM runs r JOIN toks ta ON ta.doc_id = r.a_id
+                             JOIN toks tb ON tb.doc_id = r.b_id)"""
+
   /** Shared PAV-fit CTE block (reads a `cf (bin, n_cal, pos_cal)` CTE,
     * ends at `pv (bin, pav_q20)`) — the DuckDB replay of
     * [[graft.ext.Learn]]'s minimax isotonic fit, used by the x96c audit
@@ -6332,35 +6373,41 @@ object SparkEntry {
     // same occ-cap, pairs on digest equality, runs merged per diagonal
     // by the gaps-and-islands idiom, then re-sliced from the token
     // arrays for the verified bit
-    "x41d_shared_spans_exact" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-           FROM documents
-           WHERE text IS NOT NULL AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
-         w0 AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
-                FROM toks WHERE len(t) >= 5),
-         w AS (SELECT doc_id, i, md5(array_to_string(t[i+1:i+5], ' ')) AS h FROM w0),
-         occ AS (SELECT doc_id, i, h, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM w),
-         sp AS (SELECT doc_id, i, h FROM occ WHERE n_occ BETWEEN 2 AND 64),
-         m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.i AS ap,
-                      a.i - b.i AS diag
-               FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id),
-         r AS (SELECT a_id, b_id, diag, ap,
-                 ap - row_number() OVER (PARTITION BY a_id, b_id, diag
-                                         ORDER BY ap) AS isl
-               FROM m),
-         runs AS (SELECT a_id, b_id, diag, MIN(ap) AS a_start,
-                    MAX(ap) - MIN(ap) + 5 AS n_tokens
-                  FROM r GROUP BY a_id, b_id, diag, isl)
-         SELECT r.a_id, r.b_id,
-                CAST(r.a_start AS BIGINT) AS a_start,
-                CAST(r.a_start - r.diag AS BIGINT) AS b_start,
-                CAST(r.n_tokens AS BIGINT) AS n_tokens,
-                CAST(CASE WHEN ta.t[r.a_start+1:r.a_start+r.n_tokens]
-                           = tb.t[(r.a_start-r.diag)+1:(r.a_start-r.diag)+r.n_tokens]
-                     THEN 1 ELSE 0 END AS BIGINT) AS verified
-         FROM runs r JOIN toks ta ON ta.doc_id = r.a_id
-                     JOIN toks tb ON tb.doc_id = r.b_id""",
+    "x41d_shared_spans_exact" -> (sharedSpansCtes +
+      """
+         SELECT a_id, b_id,
+                CAST(a_start AS BIGINT) AS a_start,
+                CAST(b_start AS BIGINT) AS b_start,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(verified AS BIGINT) AS verified
+         FROM ver"""),
+    // x41e: the apply — verified spans mask their b-side token ranges
+    // (lower id keeps), masks union per doc, survivors string_agg back
+    // in position order; unmasked docs pass through normalized
+    "x41e_span_excise_exact" -> (sharedSpansCtes +
+      """,
+         mask AS (SELECT DISTINCT doc_id, p FROM (
+                    SELECT b_id AS doc_id,
+                           unnest(generate_series(b_start,
+                             b_start + n_tokens - 1)) AS p
+                    FROM ver WHERE verified = 1)),
+         tokpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+                    FROM (SELECT doc_id, t,
+                            unnest(generate_series(1, len(t))) AS i
+                          FROM toks)),
+         kept AS (SELECT tp.doc_id, tp.p, tp.tok
+                  FROM tokpos tp LEFT JOIN mask m
+                    ON m.doc_id = tp.doc_id AND m.p = tp.p
+                  WHERE m.doc_id IS NULL),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+                     FROM kept GROUP BY 1),
+         mn AS (SELECT doc_id, COUNT(*) AS nrem FROM mask GROUP BY 1)
+         SELECT t.doc_id,
+                COALESCE(rb.txt, '') AS text_clean,
+                CAST(COALESCE(mn.nrem, 0) AS BIGINT) AS n_removed
+         FROM toks t
+         LEFT JOIN rebuilt rb ON rb.doc_id = t.doc_id
+         LEFT JOIN mn ON mn.doc_id = t.doc_id"""),
     "x41_repeated_spans" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t

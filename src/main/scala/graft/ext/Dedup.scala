@@ -1243,6 +1243,50 @@ object Dedup {
         size(col("_sp_mask")).cast("long").as("n_removed"))
   }
 
+  /** Pairwise EXACT-BOUNDARY excision — [[sharedSpansExact]]'s apply
+    * stage, completing the Lee et al. 2022 story with token-exact
+    * cuts: for every verified maximal shared span between a pair, the
+    * HIGHER id loses its occurrence (the lower id is the keeper — the
+    * A8 min-keeper convention at span granularity), masks union per
+    * doc, and the survivors reassemble in document order (the
+    * exciseRepeatedSpans zip-filter rebuild). Differences from the
+    * window-granular [[exciseRepeatedSpans]]: boundaries come from the
+    * verified maximal spans (never from per-window keeper races when
+    * overlapping spans straddle documents), and within-doc repeats are
+    * out of scope (pairwise spans only). Same null/short-doc contract:
+    * null/blank docs drop, docs shorter than k pass through
+    * whitespace-normalized. Returns (id, text_clean, n_removed). */
+  def exciseSharedSpans(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, occCap: Int = 64): DataFrame = {
+    Seq("_se_p", "_se_mask", "_se_zip", "_se_toks", "text_clean",
+        "n_removed").foreach { c =>
+      require(c != idCol, s"exciseSharedSpans reserves column $c — rename the id column")
+      require(!df.columns.contains(c), s"exciseSharedSpans reserves column $c")
+    }
+    val masks = sharedSpansExact(df, textCol, idCol, k, occCap)
+      .filter(col("verified") === 1L)
+      .select(col("b_id").as(idCol),
+        explode(sequence(col("b_start").cast("int"),
+          (col("b_start") + col("n_tokens") - 1).cast("int"))).as("_se_p"))
+      .groupBy(col(idCol)) // collect_set unions overlapping pair masks
+      .agg(sort_array(collect_set(col("_se_p"))).as("_se_mask"))
+    val toks = col("_se_toks")
+    df.filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol),
+        split(TextStats.wsTrim(col(textCol)), "\\s+").as("_se_toks"))
+      .join(masks, Seq(idCol), "left")
+      .withColumn("_se_mask",
+        coalesce(col("_se_mask"), array().cast("array<int>")))
+      .withColumn("_se_zip",
+        arrays_zip(toks.as("tk"), sequence(lit(0), size(toks) - 1).as("ix")))
+      .select(col(idCol),
+        concat_ws(" ", transform(
+          filter(col("_se_zip"), s =>
+            !array_contains(col("_se_mask"), s.getField("ix"))),
+          s => s.getField("tk"))).as("text_clean"),
+        size(col("_se_mask")).cast("long").as("n_removed"))
+  }
+
   /** EXACT all-pairs set-similarity join by PREFIX FILTERING (Bayardo,
     * Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search"; the
     * SSJoin/PPJoin family): every document pair whose token-set Jaccard

@@ -1936,6 +1936,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("exciseSharedSpans: exact-boundary pairwise apply — lower id keeps, masks union per doc") {
+    // the sharedSpansExact fixture plus a short pass-through doc:
+    // doc 2 loses the exact 6-token "u v w x y z" (tokens 1-6, leaving
+    // "m n"); doc 4 loses BOTH spans on the same diagonal (tokens 0-4
+    // and 6-11, leaving only "G2"); keepers and the sub-k doc pass
+    // through whitespace-normalized
+    val docs = Seq(
+      (1L, "u v w x y z q"),
+      (2L, "m u v w x y z n"),
+      (3L, "a1 a2 a3 a4 a5 G1 H b1 b2 b3 b4 b5"),
+      (4L, "a1 a2 a3 a4 a5 G2 H b1 b2 b3 b4 b5"),
+      (9L, "\ttiny  doc ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseSharedSpans(docs, "text", "doc_id", 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "u v w x y z q", 0L),
+      (2L, "m n", 6L),
+      (3L, "a1 a2 a3 a4 a5 G1 H b1 b2 b3 b4 b5", 0L),
+      (4L, "G2", 11L),
+      (9L, "tiny doc", 0L)), got.toSeq.toString)
+  }
+
   test("exciseRepeatedSpans keeps the corpus-first occurrence and reassembles the rest") {
     val docs = Seq(
       (1L, "a b c d e f"),          // keeper of [a b c d e] (min id)
