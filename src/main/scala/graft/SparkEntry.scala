@@ -1517,6 +1517,21 @@ object SparkEntry {
       // join back by id only.
       graft.ext.Dedup.sharedSpansExact(
         t(s, dir, "documents"), "text", "doc_id", 5)),
+    "x41f_shared_spans_incremental" -> ((s, dir) => {
+      // continuous-ingest twin of x41d: the 80% base stages its span
+      // digests ONCE; the 20% batch finds every maximal shared span
+      // touching it (batch×base + batch×batch) while only the batch
+      // pays a window pass — occurrence caps count across base ∪
+      // batch, so the output answers the ONE-SHOT oracle restricted to
+      // batch-touching pairs verbatim (the x86b convention).
+      val d = t(s, dir, "documents")
+      val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val stage = graft.ext.Dedup.stageSignatures(
+        graft.ext.Dedup.spanHashes(corpus, "text", "doc_id", 5))
+      graft.ext.Dedup.sharedSpansExactIncremental(batch, corpus, stage,
+        "text", "doc_id", 5)
+    }),
     "x41e_span_excise_exact" -> ((s, dir) =>
       // x41d's APPLY: every verified maximal shared span excised from
       // the higher-id side with token-exact boundaries (lower id
@@ -6381,6 +6396,16 @@ object SparkEntry {
                 CAST(n_tokens AS BIGINT) AS n_tokens,
                 CAST(verified AS BIGINT) AS verified
          FROM ver"""),
+    // x41f: the incremental form answers the ONE-SHOT chain restricted
+    // to pairs touching the doc_id % 5 = 0 batch (the x86b convention)
+    "x41f_shared_spans_incremental" -> (sharedSpansCtes +
+      """
+         SELECT a_id, b_id,
+                CAST(a_start AS BIGINT) AS a_start,
+                CAST(b_start AS BIGINT) AS b_start,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(verified AS BIGINT) AS verified
+         FROM ver WHERE a_id % 5 = 0 OR b_id % 5 = 0"""),
     // x41e: the apply — verified spans mask their b-side token ranges
     // (lower id keeps), masks union per doc, survivors string_agg back
     // in position order; unmasked docs pass through normalized

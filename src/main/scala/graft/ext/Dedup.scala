@@ -1111,6 +1111,23 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("_sx_ap"),
         (col("_sx_ap") - col("_sx_bp")).as("_sx_diag"))
+    spanRunsVerified(m, spanToks(df, textCol, idCol), k)
+  }
+
+  /** Whitespace-split token arrays for the span family's verify joins:
+    * (idCol, _sx_t); null/blank docs dropped (the spanHashes filter). */
+  private def spanToks(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
+      .select(col(idCol).as("_sx_vid"),
+        split(TextStats.wsTrim(col(textCol)), "\\s+").as("_sx_t"))
+
+  /** Shared x41d/x41f tail: per-(pair, diagonal) gaps-and-islands run
+    * merging over matched-window rows `(a_id, b_id, _sx_ap, _sx_diag)`,
+    * then the token-slice verification against `toks (_sx_vid, _sx_t)`.
+    * Returns (a_id, b_id, a_start, b_start, n_tokens, verified). */
+  private def spanRunsVerified(m: DataFrame, toks: DataFrame,
+                               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a_id"), col("b_id"), col("_sx_diag"))
       .orderBy(col("_sx_ap"))
     val runs = m
@@ -1120,14 +1137,10 @@ object Dedup {
         (max(col("_sx_ap")) - min(col("_sx_ap")) + k).as("n_tokens"))
       .select(col("a_id"), col("b_id"), col("a_start"),
         (col("a_start") - col("_sx_diag")).as("b_start"), col("n_tokens"))
-    val toks = df
-      .filter(col(textCol).isNotNull && TextStats.wsTrim(col(textCol)) =!= "")
-      .select(col(idCol), split(TextStats.wsTrim(col(textCol)), "\\s+")
-        .as("_sx_t"))
     runs
-      .join(toks.select(col(idCol).as("a_id"), col("_sx_t").as("_sx_ta")),
+      .join(toks.select(col("_sx_vid").as("a_id"), col("_sx_t").as("_sx_ta")),
         Seq("a_id"))
-      .join(toks.select(col(idCol).as("b_id"), col("_sx_t").as("_sx_tb")),
+      .join(toks.select(col("_sx_vid").as("b_id"), col("_sx_t").as("_sx_tb")),
         Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         col("a_start").cast("long").as("a_start"),
@@ -1136,6 +1149,74 @@ object Dedup {
         when(slice(col("_sx_ta"), col("a_start") + 1, col("n_tokens"))
           === slice(col("_sx_tb"), col("b_start") + 1, col("n_tokens")),
           1L).otherwise(0L).as("verified"))
+  }
+
+  /** INCREMENTAL [[sharedSpansExact]] for a GROWING corpus (the x26/x86b
+    * contract): the already-ingested corpus's span digests live in a
+    * parquet stage — (id, pos, h) rows, the [[repeatedSpanStatsIncremental]]
+    * stage format — and a NEW batch finds every maximal shared span
+    * TOUCHING it (batch×corpus + batch×batch) while only the batch pays
+    * a window pass. Occurrence caps count across corpus ∪ batch, so cap
+    * decisions match the one-shot form on every shared digest; the
+    * output is EXACTLY the one-shot [[sharedSpansExact]] restricted to
+    * batch-touching pairs (the x86b same-oracle convention).
+    *
+    * 100 TB posture: the corpus stage is filtered map-side by a
+    * BROADCAST semi-join against the batch's distinct digests (never
+    * shuffled on a text key, never rescanned as windows); the ONLY
+    * corpus-text touch is the verify's id-keyed token join, itself
+    * semi-join-pruned to docs that actually matched. Batch ids must be
+    * disjoint from corpus ids (loud raise). Set `broadcastNew = false`
+    * for backfill batches too big to broadcast. Append the batch's
+    * [[spanHashes]] to the stage AFTER calling. */
+  def sharedSpansExactIncremental(newDf: DataFrame, corpus: DataFrame,
+                                  spanPath: String, textCol: String,
+                                  idCol: String, k: Int, occCap: Int = 64,
+                                  broadcastNew: Boolean = true): DataFrame = {
+    require(k >= 2, "a span is at least 2 tokens (k >= 2)")
+    require(occCap >= 2, s"occCap must be >= 2: $occCap")
+    val newSp = spanHashes(newDf, textCol, idCol, k)
+    val corpSp = newDf.sparkSession.read.parquet(spanPath)
+    val clash = newDf.select(col(idCol)).distinct()
+      .join(corpus.select(col(idCol)), Seq(idCol), "leftsemi")
+      .limit(1).count()
+    require(clash == 0L,
+      "sharedSpansExactIncremental requires batch ids disjoint from the " +
+        "corpus — re-submit changed docs via a fresh one-shot pass instead")
+    // per-digest occurrence across corpus ∪ batch, batch-digest-bounded
+    val newH0 = newSp.groupBy("h").agg(count(lit(1)).as("_sx_new_n"))
+    val newH = if (broadcastNew) broadcast(newH0) else newH0
+    val corpM = corpSp.join(newH.select("h"), Seq("h"), "leftsemi")
+    val corpN = corpM.groupBy("h").agg(count(lit(1)).as("_sx_corp_n"))
+    val okH0 = newH.join(corpN, Seq("h"), "left")
+      .select(col("h"), (col("_sx_new_n") +
+        coalesce(col("_sx_corp_n"), lit(0L))).as("_sx_tot"))
+      .filter(col("_sx_tot") >= 2 && col("_sx_tot") <= occCap)
+      .select("h")
+    val okH = if (broadcastNew) broadcast(okH0) else okH0
+    def side(df: DataFrame, p: String) = df.join(okH, Seq("h"))
+      .select(col(idCol).as(p + "id"), col("pos").as(p + "pos"), col("h"))
+    val bsp = side(newSp, "x")
+    // batch×batch (ordered inside the batch) + batch×corpus (normalized
+    // across the id union — the x86b least/greatest move)
+    val bb = bsp.join(side(newSp, "y"), Seq("h"))
+      .filter(col("xid") < col("yid"))
+    val bc = bsp.join(side(corpM, "y"), Seq("h"))
+    val m = bb.unionByName(bc)
+      .select(least(col("xid"), col("yid")).as("a_id"),
+        greatest(col("xid"), col("yid")).as("b_id"),
+        when(col("xid") < col("yid"), col("xpos")).otherwise(col("ypos"))
+          .as("_sx_ap"),
+        (when(col("xid") < col("yid"), col("xpos")).otherwise(col("ypos")) -
+          when(col("xid") < col("yid"), col("ypos")).otherwise(col("xpos")))
+          .as("_sx_diag"))
+    // verify tokens: the batch's own + ONLY the corpus docs that matched
+    val matchedCorp = m.select(col("a_id").as("_sx_vid"))
+      .unionByName(m.select(col("b_id").as("_sx_vid"))).distinct()
+    val toks = spanToks(newDf, textCol, idCol)
+      .unionByName(spanToks(corpus, textCol, idCol)
+        .join(matchedCorp, Seq("_sx_vid"), "leftsemi"))
+    spanRunsVerified(m, toks, k)
   }
 
   /** Per-document repeated-span statistics: how much of each doc is

@@ -1936,6 +1936,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("sharedSpansExactIncremental: the batch-touching slice of the one-shot; base never re-windowed") {
+    val base = Seq(
+      (1L, "u v w x y z q"),
+      (3L, "a1 a2 a3 a4 a5 G1 H b1 b2 b3 b4 b5"),
+      (5L, "s1 s2 s3 s4 s5 s6"),
+      (7L, "s1 s2 s3 s4 s5 s6") // base-base pair: must NOT appear
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "m u v w x y z n"),
+      (14L, "a1 a2 a3 a4 a5 G2 H b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val stage = Dedup.stageSignatures(
+      Dedup.spanHashes(base, "text", "doc_id", 5))
+    val got = Dedup.sharedSpansExactIncremental(batch, base, stage,
+        "text", "doc_id", 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    // the ingest invariant: exactly the one-shot join over base ∪ batch,
+    // restricted to pairs touching the batch
+    val oneShot = Dedup.sharedSpansExact(base.unionByName(batch),
+        "text", "doc_id", 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .filter(r => r._1 >= 10L || r._2 >= 10L)
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(got == oneShot, s"inc=$got one=$oneShot")
+    assert(got.size == 3 && got.forall(_._6 == 1L), got.toString)
+    assert(!got.exists(r => r._1 == 5L || r._1 == 7L), got.toString)
+    // batch ids clashing with the base raise loudly
+    intercept[IllegalArgumentException] {
+      Dedup.sharedSpansExactIncremental(base.limit(1), base, stage,
+        "text", "doc_id", 5)
+    }
+  }
+
   test("exciseSharedSpans: exact-boundary pairwise apply — lower id keeps, masks union per doc") {
     // the sharedSpansExact fixture plus a short pass-through doc:
     // doc 2 loses the exact 6-token "u v w x y z" (tokens 1-6, leaving

@@ -501,6 +501,20 @@ class EventStreamsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().sorted.toSeq
     assert(driftStream == driftOne, s"stream=$driftStream one=$driftOne")
+    // the PSI alert rides the same mergeable counts — identical per-key
+    // PSI and alert bits from the per-micro-batch count merge
+    val psiOne = graft.ext.TextStats.psiDriftQ8(
+      cnts(relA), cnts(docs), Seq("k"), "tok", "c", 32L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    val psiStream = graft.ext.TextStats.psiDriftQ8(
+      cnts(relA),
+      graft.ext.TextStats.mergeTokenCounts(
+        cntB.toSeq.map(_.toDF("k", "tok", "c")), Seq("k"), "tok", "c"),
+      Seq("k"), "tok", "c", 32L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(psiStream == psiOne, s"stream=$psiStream one=$psiOne")
   }
 
   test("streamed calibrator deploy: per-micro-batch calibrateScores == one-shot batch deploy") {
