@@ -3082,6 +3082,16 @@ object SparkEntry {
       graft.ext.TextStats.distributionDriftQ8(
         counts(col("doc_id") % 2 === 0), bMerged, Seq("lang"), "tok", "c")
     }),
+    "x97e_psi_numeric" -> ((s, dir) => {
+      // FEATURE drift beside x97d's language drift: per-language PSI of
+      // the n_chars distribution between the releases, ⌊v/64⌋ bins
+      // playing the token role on the identical epsilon-free machinery
+      // — the classical production-PSI shape (binned numeric feature).
+      val d = t(s, dir, "documents")
+      graft.ext.TextStats.psiNumericQ8(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        Seq("lang"), "n_chars", 64L, 32L)
+    }),
     "x96b_calibrated_scores" -> ((s, dir) => {
       // the x96 calibrator DEPLOYED (the x92c clip-deploy symmetry):
       // bin confidences learned on the calibration quarter attach to
@@ -4306,13 +4316,15 @@ object SparkEntry {
       LEFT JOIN sq s2 ON s2.lang = t.lang"""
   }
 
-  /** x97d: per-language PSI over the same quantized distributions as
-    * x97, restricted to tokens present on BOTH sides (the engine's
-    * epsilon-free convention; excluded mass reported per side), plus
-    * the thresholded alert at 32 Q8. Every term is non-negative (the
-    * quantized log is monotone), so the bare `//` is floor here. */
-  private val x97dOracleSql: String = {
-    val parts = x97BaseCtes ++ Seq(
+  /** The PSI oracle tail over ANY CTE prefix ending at
+    * `q (lang, tok, a, b, pq, qq)` + `tt (lang, na, nb, …)`: two-sided
+    * tokens only (the engine's epsilon-free convention; excluded mass
+    * reported per side), exact Q8 log chains, thresholded alert at 32
+    * Q8. Every term is non-negative (the quantized log is monotone),
+    * so the bare `//` is floor here. Shared by the token form (x97d)
+    * and the numeric-bin form (x97e). */
+  private def psiOracleSql(prefix: Seq[String]): String = {
+    val parts = prefix ++ Seq(
       "pp AS MATERIALIZED (SELECT lang, tok, pq AS v FROM q WHERE pq >= 1 AND qq >= 1)",
       "qp AS MATERIALIZED (SELECT lang, tok, qq AS v FROM q WHERE pq >= 1 AND qq >= 1)") ++
       oracleLog2q8Ctes("pp") ++ oracleLog2q8Ctes("qp") ++ Seq(
@@ -4339,6 +4351,19 @@ object SparkEntry {
       LEFT JOIN ps ON ps.lang = t.lang
       LEFT JOIN xm ON xm.lang = t.lang"""
   }
+
+  private val x97dOracleSql: String = psiOracleSql(x97BaseCtes)
+
+  /** x97e: the same PSI over NUMERIC bins — per-language ⌊n_chars/64⌋
+    * histogram counts per release play the token role (n_chars ≥ 0, so
+    * the bare `//` is floor). */
+  private val x97eOracleSql: String = psiOracleSql(Seq(
+    """ca AS MATERIALIZED (SELECT lang, (n_chars // 64) AS tok, COUNT(*) AS a
+         FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+         GROUP BY 1, 2)""",
+    """cb AS MATERIALIZED (SELECT lang, (n_chars // 64) AS tok, COUNT(*) AS b
+         FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+         GROUP BY 1, 2)""") ++ x97BaseCtes.drop(3))
 
   private val x95OracleSql: String = {
     def gN(n: Int): String = {
@@ -6989,6 +7014,7 @@ object SparkEntry {
     "x94_char_entropy" -> x94OracleSql,
     "x97_release_drift" -> x97OracleSql,
     "x97d_psi_alert" -> x97dOracleSql,
+    "x97e_psi_numeric" -> x97eOracleSql,
     // x97b answers the SAME oracle verbatim: counts are sums, so the
     // staged-base + batch merge IS the one-shot count table (the
     // x93b/x35c same-oracle convention; LmSpec pins the merge identity)

@@ -1117,6 +1117,38 @@ object TextStats {
           .as("alert")): _*)
   }
 
+  /** PSI over a NUMERIC column — the [[psiDriftQ8]] machinery pointed
+    * at feature drift (document length, quality score, any integer
+    * metric): each release's values floor-bin to ⌊v/binWidth⌋ (the
+    * x96 positive-mod floor, exact for negatives) and the bin ids play
+    * the token role in the same epsilon-free PSI with the same alert
+    * contract. Classical production PSI IS this (binned numeric
+    * feature, ~10-20 bins); the token form is the corpus-language
+    * specialization. Values must be integers (raise per row — quantize
+    * floats via the documented Q-scale first); NULLs carry no mass and
+    * are excluded. Returns the psiDriftQ8 frame with bins as tokens. */
+  def psiNumericQ8(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                   valCol: String, binWidth: Long,
+                   alertThresholdQ8: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    def binned(df: DataFrame): DataFrame = {
+      val vChecked = when(col(valCol).cast("long") === col(valCol),
+          col(valCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"psiNumericQ8 needs integer values; $valCol = "),
+          col(valCol).cast("string"))))
+      df.filter(col(valCol).isNotNull)
+        .select((keyCols.map(col) :+ vChecked.as("_pn_v")): _*)
+        .withColumn("_pn_bin", expr(s"(_pn_v div ${binWidth}L) - " +
+          s"(CASE WHEN _pn_v < 0 AND pmod(_pn_v, ${binWidth}L) != 0 " +
+          s"THEN 1L ELSE 0L END)"))
+        .groupBy((keyCols :+ "_pn_bin").map(col): _*)
+        .agg(count(lit(1)).as("_pn_c"))
+    }
+    psiDriftQ8(binned(a), binned(b), keyCols, "_pn_bin", "_pn_c",
+      alertThresholdQ8)
+  }
+
   /** DRIFT ATTRIBUTION — the x97 family's "what moved" diagnostic: per
     * group key, the k tokens with the largest absolute quantized mass
     * shift |pq − qq| (Q20), ties token-ascending — the report a curator

@@ -302,6 +302,36 @@ class LmSpec extends SparkSpec {
       TextStats.psiDriftQ8(a, b, Seq("g"), "tok", "c", -1L)
     }
   }
+  test("psiNumericQ8: floor-binned values compose onto psiDriftQ8; negative bins exact; guards") {
+    // binWidth 64: A values {0, 1 -> bin 0; 130 -> bin 2; -5 -> bin -1},
+    // B values {0 -> bin 0; 70 -> bin 1; 140 -> bin 2}. The composition
+    // contract: identical to psiDriftQ8 over the hand-binned counts.
+    val av = Seq(("k", 0L), ("k", 1L), ("k", 130L), ("k", -5L)).toDF("g", "v")
+    val bv = Seq(("k", 0L), ("k", 70L), ("k", 140L)).toDF("g", "v")
+    val got = TextStats.psiNumericQ8(av, bv, Seq("g"), "v", 64L, 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val handBinnedA = Seq(("k", 0L, 2L), ("k", 2L, 1L), ("k", -1L, 1L))
+      .toDF("g", "bin", "c")
+    val handBinnedB = Seq(("k", 0L, 1L), ("k", 1L, 1L), ("k", 2L, 1L))
+      .toDF("g", "bin", "c")
+    val want = TextStats.psiDriftQ8(handBinnedA, handBinnedB, Seq("g"),
+        "bin", "c", 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+    // n_a counts VALUES (4 and 3), common bins = {0, 2}
+    assert(got.head._2 == 4L && got.head._3 == 3L && got.head._4 == 2L,
+      got.toString)
+    // fractional values raise per row
+    intercept[Exception] {
+      TextStats.psiNumericQ8(Seq(("k", 1.5)).toDF("g", "v"), bv,
+        Seq("g"), "v", 64L, 1L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.psiNumericQ8(av, bv, Seq("g"), "v", 0L, 1L)
+    }
+  }
   test("mergeTokenCounts: staged-base + batch re-sum == one-shot counts (the x97b identity)") {
     val docs = Seq(
       ("k", "a a b"), ("k", "b c"), ("k", "a c c"), ("m", "a b")
