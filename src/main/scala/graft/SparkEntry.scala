@@ -3082,6 +3082,21 @@ object SparkEntry {
       graft.ext.TextStats.distributionDriftQ8(
         counts(col("doc_id") % 2 === 0), bMerged, Seq("lang"), "tok", "c")
     }),
+    "x98_cohen_kappa" -> ((s, dir) => {
+      // LABEL QA: chance-corrected agreement between two deterministic
+      // weak labelers (token-length vs char-length "long/short") per
+      // language — the statistic a pipeline reads before trusting
+      // annotations. Exact Q20 kappa; one confusion-cell aggregation,
+      // everything after is bounded cell-frame algebra.
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+            "\\s+")) >= 40, "long").otherwise("short").as("ra"),
+          when(col("n_chars") >= 256, "long").otherwise("short").as("rb"))
+      graft.ext.Learn.cohenKappaQ20(d, Seq("lang"), "ra", "rb")
+    }),
     "x97e_psi_numeric" -> ((s, dir) => {
       // FEATURE drift beside x97d's language drift: per-language PSI of
       // the n_chars distribution between the releases, ⌊v/64⌋ bins
@@ -7015,6 +7030,38 @@ object SparkEntry {
     "x97_release_drift" -> x97OracleSql,
     "x97d_psi_alert" -> x97dOracleSql,
     "x97e_psi_numeric" -> x97eOracleSql,
+    // x98: Cohen's kappa replayed — confusion cells, marginals, the
+    // HUGEINT chance term, and the positive-mod floor (kappa can be
+    // negative); p_e = 1 degenerates to NULL, never a fake 0
+    "x98_cohen_kappa" ->
+      """WITH lab AS (
+           SELECT lang,
+                  CASE WHEN len(string_split_regex(regexp_replace(text,
+                         '^\s+|\s+$', '', 'g'), '\s+')) >= 40
+                       THEN 'long' ELSE 'short' END AS ra,
+                  CASE WHEN n_chars >= 256 THEN 'long' ELSE 'short' END AS rb
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         cells AS (SELECT lang, ra, rb, COUNT(*) AS c FROM lab GROUP BY 1, 2, 3),
+         na AS (SELECT lang, ra AS l, SUM(c) AS na FROM cells GROUP BY 1, 2),
+         nb AS (SELECT lang, rb AS l, SUM(c) AS nb FROM cells GROUP BY 1, 2),
+         pe AS (SELECT na.lang, SUM(CAST(na.na AS HUGEINT) * nb.nb) AS pe
+                FROM na JOIN nb ON nb.lang = na.lang AND nb.l = na.l
+                GROUP BY 1),
+         tot AS (SELECT lang, SUM(c) AS n,
+                   SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS agree
+                 FROM cells GROUP BY 1),
+         calc AS (SELECT t.lang, t.n, t.agree,
+                    1048576 * (CAST(t.n AS HUGEINT) * t.agree
+                               - COALESCE(pe.pe, 0)) AS x,
+                    CAST(t.n AS HUGEINT) * t.n - COALESCE(pe.pe, 0) AS den
+                  FROM tot t LEFT JOIN pe ON pe.lang = t.lang)
+         SELECT lang, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CAST((x - ((x % den + den) % den)) // den AS BIGINT)
+                END AS kappa_q20
+         FROM calc""",
     // x97b answers the SAME oracle verbatim: counts are sums, so the
     // staged-base + batch merge IS the one-shot count table (the
     // x93b/x35c same-oracle convention; LmSpec pins the merge identity)

@@ -709,6 +709,68 @@ object Learn {
         stepAt(col("bin")).as("p_q20"))
   }
 
+  /** COHEN'S KAPPA — chance-corrected inter-annotator agreement
+    * (Cohen, Educ. Psychol. Meas. 1960), the label-QA statistic a
+    * training-data pipeline reads before trusting human or weak-labeler
+    * annotations: κ = (p_o − p_e)/(1 − p_e) with observed agreement
+    * p_o = agree/n and chance agreement p_e = Σ_k n_aᵏ·n_bᵏ/n² from the
+    * raters' marginals. Exact integer form, per key:
+    * kappa_q20 = ⌊2²⁰·(n·agree − Σ n_a·n_b) / (n² − Σ n_a·n_b)⌋ — the
+    * numerator can be NEGATIVE (systematic disagreement; κ = −1 reads
+    * exactly −2²⁰), so the division is positive-mod floored; a zero
+    * denominator (p_e = 1: both raters constant and equal) yields NULL
+    * (undefined, the aucExact one-class convention, never a fake 0).
+    * Rows where either label is NULL are excluded (unlabeled — they
+    * carry no agreement signal).
+    *
+    * 100 TB shape: one (keys, labelA, labelB)-keyed map-side-combining
+    * aggregation reduces the corpus to confusion CELLS (≤ alphabet²
+    * rows per key); marginals, p_e, and the κ arithmetic are cell-frame
+    * algebra in decimal(38,0) — nothing after the first aggregation
+    * scales with corpus size, and nothing collects. Returns
+    * (keys..., n, n_agree, kappa_q20 [nullable]). */
+  def cohenKappaQ20(df: DataFrame, keyCols: Seq[String],
+                    aCol: String, bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cohenKappaQ20 needs >= 1 group key")
+    val reserved = Seq("_ck_a", "_ck_b", "_ck_n", "_ck_l", "_ck_na",
+      "_ck_nb", "_ck_pe", "_ck_num", "_ck_den", "n", "n_agree", "kappa_q20")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"cohenKappaQ20 reserves column $c — rename the key column"))
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ col(aCol).as("_ck_a") :+
+        col(bCol).as("_ck_b")): _*)
+      .agg(count(lit(1)).as("_ck_n"))
+    val na = cells.groupBy((keyCols.map(col) :+ col("_ck_a").as("_ck_l")): _*)
+      .agg(sum(col("_ck_n")).as("_ck_na"))
+    val nb = cells.groupBy((keyCols.map(col) :+ col("_ck_b").as("_ck_l")): _*)
+      .agg(sum(col("_ck_n")).as("_ck_nb"))
+    // a label used by only one rater contributes n_a·0 = 0 — the inner
+    // join drops exactly those terms
+    val pe = na.join(nb, keyCols :+ "_ck_l")
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_ck_na").cast("decimal(38,0)") * col("_ck_nb"))
+        .as("_ck_pe"))
+    val tot = cells.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_ck_n")).as("n"),
+        sum(when(col("_ck_a") === col("_ck_b"), col("_ck_n"))
+          .otherwise(0L)).as("n_agree"))
+    tot.join(pe, keyCols, "left")
+      .withColumn("_ck_pe",
+        coalesce(col("_ck_pe"), lit(0).cast("decimal(38,0)")))
+      .withColumn("_ck_num", expr(
+        "cast(1048576 as decimal(38,0)) * " +
+          "(cast(n as decimal(38,0)) * n_agree - _ck_pe)"))
+      .withColumn("_ck_den", expr(
+        "cast(n as decimal(38,0)) * n - _ck_pe"))
+      .select((keyCols.map(col) :+ col("n") :+ col("n_agree") :+
+        // pmod is already the positive mod, so num − pmod(num, den) is
+        // the exact floor multiple even for negative numerators
+        when(col("_ck_den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast((_ck_num - pmod(_ck_num, _ck_den)) div _ck_den as bigint)"))
+          .as("kappa_q20")): _*)
+  }
+
   /** Score a text with trained [[centroidThresholdTrain]] weights (one
     * weight per bucket, no bias — the threshold plays that role): raw
     * integer Σ w_b·cnt_b as decimal(38,0), a zero-exchange projection. */

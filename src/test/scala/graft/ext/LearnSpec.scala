@@ -504,4 +504,28 @@ class LearnSpec extends SparkSpec {
         maxBins = 2L)
     }
   }
+  test("cohenKappaQ20: hand-computed kappa, exact -1, degenerate NULL, null labels excluded") {
+    // key k: cells (L,L)x3, (L,S)x1, (S,S)x2 -> n=6, agree=5,
+    // marginals na={L:4,S:2}, nb={L:3,S:3}, pe=4*3+2*3=18,
+    // kappa = (30-18)/(36-18) = 2/3 -> floor(2^21/3) = 699050.
+    // key d: perfect disagreement (L,S),(S,L) -> kappa = -1 exactly.
+    // key c: both raters constant 'L' -> pe = 1 -> NULL.
+    // a NULL-labeled row in k is excluded (carries no signal).
+    val df = Seq(
+      ("k", "L", "L"), ("k", "L", "L"), ("k", "L", "L"),
+      ("k", "L", "S"), ("k", "S", "S"), ("k", "S", "S"),
+      ("k", null, "L"),
+      ("d", "L", "S"), ("d", "S", "L"),
+      ("c", "L", "L"), ("c", "L", "L")
+    ).toDF("g", "ra", "rb")
+    val got = Learn.cohenKappaQ20(df, Seq("g"), "ra", "rb")
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("c", 2L, 2L, None),
+      ("d", 2L, 0L, Some(-1048576L)),
+      ("k", 6L, 5L, Some(699050L))), got.toString)
+    intercept[IllegalArgumentException] {
+      Learn.cohenKappaQ20(df, Nil, "ra", "rb")
+    }
+  }
 }
