@@ -3082,6 +3082,30 @@ object SparkEntry {
       graft.ext.TextStats.distributionDriftQ8(
         counts(col("doc_id") % 2 === 0), bMerged, Seq("lang"), "tok", "c")
     }),
+    "x98b_kappa_incremental" -> ((s, dir) => {
+      // label QA under ingest: the base split's confusion cells stage
+      // ONCE; a new batch's cells fold in by re-sum (cells are sums:
+      // merge ≡ one-shot bit-for-bit) and kappa re-evaluates from the
+      // merged table — answers x98's oracle VERBATIM without
+      // rescanning the base (the x97b/x93b same-oracle convention).
+      val lab = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"),
+          when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+            "\\s+")) >= 40, "long").otherwise("short").as("ra"),
+          when(col("n_chars") >= 256, "long").otherwise("short").as("rb"))
+      val staged = s.read.parquet(graft.ext.Dedup.stageSignatures(
+        graft.ext.Learn.confusionCells(
+          lab.filter(pmod(col("doc_id"), lit(4L)) =!= 0),
+          Seq("lang"), "ra", "rb")))
+      val batch = graft.ext.Learn.confusionCells(
+        lab.filter(pmod(col("doc_id"), lit(4L)) === 0),
+        Seq("lang"), "ra", "rb")
+      graft.ext.Learn.cohenKappaFromCells(
+        graft.ext.Learn.mergeConfusionCells(Seq(staged, batch),
+          Seq("lang")), Seq("lang"))
+    }),
     "x98_cohen_kappa" -> ((s, dir) => {
       // LABEL QA: chance-corrected agreement between two deterministic
       // weak labelers (token-length vs char-length "long/short") per
@@ -4379,6 +4403,39 @@ object SparkEntry {
     """cb AS MATERIALIZED (SELECT lang, (n_chars // 64) AS tok, COUNT(*) AS b
          FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
          GROUP BY 1, 2)""") ++ x97BaseCtes.drop(3))
+
+  /** x98/x98b: Cohen's kappa replayed — confusion cells, marginals,
+    * the HUGEINT chance term, and the positive-mod floor (kappa can be
+    * negative); p_e = 1 degenerates to NULL, never a fake 0. */
+  private val x98OracleSql: String =
+    """WITH lab AS (
+           SELECT lang,
+                  CASE WHEN len(string_split_regex(regexp_replace(text,
+                         '^\s+|\s+$', '', 'g'), '\s+')) >= 40
+                       THEN 'long' ELSE 'short' END AS ra,
+                  CASE WHEN n_chars >= 256 THEN 'long' ELSE 'short' END AS rb
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         cells AS (SELECT lang, ra, rb, COUNT(*) AS c FROM lab GROUP BY 1, 2, 3),
+         na AS (SELECT lang, ra AS l, SUM(c) AS na FROM cells GROUP BY 1, 2),
+         nb AS (SELECT lang, rb AS l, SUM(c) AS nb FROM cells GROUP BY 1, 2),
+         pe AS (SELECT na.lang, SUM(CAST(na.na AS HUGEINT) * nb.nb) AS pe
+                FROM na JOIN nb ON nb.lang = na.lang AND nb.l = na.l
+                GROUP BY 1),
+         tot AS (SELECT lang, SUM(c) AS n,
+                   SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS agree
+                 FROM cells GROUP BY 1),
+         calc AS (SELECT t.lang, t.n, t.agree,
+                    1048576 * (CAST(t.n AS HUGEINT) * t.agree
+                               - COALESCE(pe.pe, 0)) AS x,
+                    CAST(t.n AS HUGEINT) * t.n - COALESCE(pe.pe, 0) AS den
+                  FROM tot t LEFT JOIN pe ON pe.lang = t.lang)
+         SELECT lang, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CAST((x - ((x % den + den) % den)) // den AS BIGINT)
+                END AS kappa_q20
+         FROM calc"""
 
   private val x95OracleSql: String = {
     def gN(n: Int): String = {
@@ -7032,36 +7089,12 @@ object SparkEntry {
     "x97e_psi_numeric" -> x97eOracleSql,
     // x98: Cohen's kappa replayed — confusion cells, marginals, the
     // HUGEINT chance term, and the positive-mod floor (kappa can be
-    // negative); p_e = 1 degenerates to NULL, never a fake 0
-    "x98_cohen_kappa" ->
-      """WITH lab AS (
-           SELECT lang,
-                  CASE WHEN len(string_split_regex(regexp_replace(text,
-                         '^\s+|\s+$', '', 'g'), '\s+')) >= 40
-                       THEN 'long' ELSE 'short' END AS ra,
-                  CASE WHEN n_chars >= 256 THEN 'long' ELSE 'short' END AS rb
-           FROM documents
-           WHERE text IS NOT NULL
-             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
-         cells AS (SELECT lang, ra, rb, COUNT(*) AS c FROM lab GROUP BY 1, 2, 3),
-         na AS (SELECT lang, ra AS l, SUM(c) AS na FROM cells GROUP BY 1, 2),
-         nb AS (SELECT lang, rb AS l, SUM(c) AS nb FROM cells GROUP BY 1, 2),
-         pe AS (SELECT na.lang, SUM(CAST(na.na AS HUGEINT) * nb.nb) AS pe
-                FROM na JOIN nb ON nb.lang = na.lang AND nb.l = na.l
-                GROUP BY 1),
-         tot AS (SELECT lang, SUM(c) AS n,
-                   SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS agree
-                 FROM cells GROUP BY 1),
-         calc AS (SELECT t.lang, t.n, t.agree,
-                    1048576 * (CAST(t.n AS HUGEINT) * t.agree
-                               - COALESCE(pe.pe, 0)) AS x,
-                    CAST(t.n AS HUGEINT) * t.n - COALESCE(pe.pe, 0) AS den
-                  FROM tot t LEFT JOIN pe ON pe.lang = t.lang)
-         SELECT lang, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
-                CASE WHEN den = 0 THEN NULL
-                     ELSE CAST((x - ((x % den + den) % den)) // den AS BIGINT)
-                END AS kappa_q20
-         FROM calc""",
+    // negative); p_e = 1 degenerates to NULL, never a fake 0.
+    // x98b answers the SAME oracle verbatim: confusion cells are sums,
+    // so the staged-base + batch re-sum IS the one-shot cell table
+    // (the x97b/x93b convention; LearnSpec pins the merge identity)
+    "x98_cohen_kappa" -> x98OracleSql,
+    "x98b_kappa_incremental" -> x98OracleSql,
     // x97b answers the SAME oracle verbatim: counts are sums, so the
     // staged-base + batch merge IS the one-shot count table (the
     // x93b/x35c same-oracle convention; LmSpec pins the merge identity)

@@ -736,10 +736,35 @@ object Learn {
       "_ck_nb", "_ck_pe", "_ck_num", "_ck_den", "n", "n_agree", "kappa_q20")
     reserved.foreach(c => require(!keyCols.contains(c),
       s"cohenKappaQ20 reserves column $c — rename the key column"))
-    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    cohenKappaFromCells(confusionCells(df, keyCols, aCol, bCol), keyCols)
+  }
+
+  /** The (keys, labelA, labelB, count) confusion-cell table
+    * [[cohenKappaQ20]] reduces to — exposed because cells are SUMS:
+    * per-shard/batch/micro-batch cell tables re-sum to exactly the
+    * one-shot table (the cmsMerge property), making the κ monitor a
+    * continuous-ingest citizen. NULL-labeled rows excluded. */
+  def confusionCells(df: DataFrame, keyCols: Seq[String],
+                     aCol: String, bCol: String): DataFrame =
+    df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy((keyCols.map(col) :+ col(aCol).as("_ck_a") :+
         col(bCol).as("_ck_b")): _*)
       .agg(count(lit(1)).as("_ck_n"))
+
+  /** Merge confusion-cell tables by cell re-sum — merged ≡ one-shot. */
+  def mergeConfusionCells(tables: Seq[DataFrame],
+                          keyCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeConfusionCells needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "_ck_a" :+ "_ck_b").map(col): _*)
+      .agg(sum(col("_ck_n")).as("_ck_n"))
+  }
+
+  /** κ from a [[confusionCells]] table (see [[cohenKappaQ20]] for the
+    * statistic and its contracts). */
+  def cohenKappaFromCells(cells: DataFrame,
+                          keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "cohenKappaFromCells needs >= 1 group key")
     val na = cells.groupBy((keyCols.map(col) :+ col("_ck_a").as("_ck_l")): _*)
       .agg(sum(col("_ck_n")).as("_ck_na"))
     val nb = cells.groupBy((keyCols.map(col) :+ col("_ck_b").as("_ck_l")): _*)

@@ -527,5 +527,19 @@ class LearnSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Learn.cohenKappaQ20(df, Nil, "ra", "rb")
     }
+    // ingest identity: cells are sums, so shard cells re-sum to the
+    // one-shot table and kappa matches bit-for-bit (the x98b pin)
+    val half1 = Seq(("k", "L", "L"), ("k", "L", "L"), ("d", "L", "S"),
+      ("c", "L", "L")).toDF("g", "ra", "rb")
+    val half2 = Seq(("k", "L", "L"), ("k", "L", "S"), ("k", "S", "S"),
+      ("k", "S", "S"), ("d", "S", "L"), ("c", "L", "L"))
+      .toDF("g", "ra", "rb")
+    val merged = Learn.cohenKappaFromCells(
+      Learn.mergeConfusionCells(Seq(
+        Learn.confusionCells(half1, Seq("g"), "ra", "rb"),
+        Learn.confusionCells(half2, Seq("g"), "ra", "rb")), Seq("g")),
+      Seq("g"))
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(merged == got, s"merged=$merged one=$got")
   }
 }
