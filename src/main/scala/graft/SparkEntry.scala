@@ -2505,6 +2505,19 @@ object SparkEntry {
         .select(col("id").cast("long").as("id"),
           col("cluster_id").cast("long").as("cluster_id"))
     }),
+    "x89b_ndcg" -> ((s, dir) => {
+      // the trec_eval surface's LAST metric: NDCG@5 of the x43 BM25 run
+      // against the containment qrels. The log discount is evaluated
+      // once driver-side into a Q20 constant table shared verbatim with
+      // the oracle (the langIdLists single-source pattern), so the
+      // graded metric replays engine-exact — the reason x89 originally
+      // stopped at reciprocal rank is dissolved, not worked around.
+      val d = t(s, dir, "documents")
+      graft.ext.Retrieval.evalNdcg(
+        graft.ext.Retrieval.bm25TopK(d, "text", "doc_id", hybridQueries, 5),
+        graft.ext.Retrieval.containmentQrels(d, "text", "doc_id",
+          hybridQueries), 5, graft.ext.Retrieval.ndcgDiscountsQ20(5))
+    }),
     "x89_retrieval_eval" -> ((s, dir) => {
       // offline ranker evaluation (the trec_eval surface) with a
       // corpus-derivable ground truth: qrels = boolean-AND containment
@@ -3082,6 +3095,121 @@ object SparkEntry {
       graft.ext.TextStats.distributionDriftQ8(
         counts(col("doc_id") % 2 === 0), bMerged, Seq("lang"), "tok", "c")
     }),
+    "x98c_fleiss_kappa" -> ((s, dir) => {
+      // MULTI-RATER label QA: Fleiss' kappa over THREE deterministic
+      // weak labelers (token-length, char-length, and the cruder
+      // space-count heuristic) per language — the statistic that
+      // replaces Cohen's once a labeling jury has more than two
+      // members. n_uj is a row-wise fold (each row carries all three
+      // labels), so the corpus reduces in ONE (lang, label)-keyed
+      // aggregation; everything after is censused cell algebra.
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+            "\\s+")) >= 40, "long").otherwise("short").as("ra"),
+          when(col("n_chars") >= 256, "long").otherwise("short").as("rb"),
+          when(expr("length(text) - length(replace(text, ' ', ''))") >= 39,
+            "long").otherwise("short").as("rc"))
+      graft.ext.Learn.fleissKappaQ20(d, Seq("lang"), Seq("ra", "rb", "rc"))
+    }),
+    "x98d_fleiss_incremental" -> ((s, dir) => {
+      // the multi-rater monitor under ingest: the base split's Fleiss
+      // cells (per-(lang, label) Σn_uj and Σn_uj² — both item-sums)
+      // stage ONCE; a new batch's cells fold in by re-sum and kappa
+      // re-evaluates from the merged table — answers x98c's oracle
+      // VERBATIM without rescanning the base (the x98b convention).
+      val lab = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"),
+          when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+            "\\s+")) >= 40, "long").otherwise("short").as("ra"),
+          when(col("n_chars") >= 256, "long").otherwise("short").as("rb"),
+          when(expr("length(text) - length(replace(text, ' ', ''))") >= 39,
+            "long").otherwise("short").as("rc"))
+      val staged = s.read.parquet(graft.ext.Dedup.stageSignatures(
+        graft.ext.Learn.fleissCells(
+          lab.filter(pmod(col("doc_id"), lit(4L)) =!= 0),
+          Seq("lang"), Seq("ra", "rb", "rc"))))
+      val batch = graft.ext.Learn.fleissCells(
+        lab.filter(pmod(col("doc_id"), lit(4L)) === 0),
+        Seq("lang"), Seq("ra", "rb", "rc"))
+      graft.ext.Learn.fleissKappaFromCells(
+        graft.ext.Learn.mergeFleissCells(Seq(staged, batch), Seq("lang")),
+        Seq("lang"), m = 3)
+    }),
+    "x98e_krippendorff" -> ((s, dir) => {
+      // label QA with ABSTENTIONS: Krippendorff's alpha over the same
+      // jury, except the space-count labeler abstains (NULL) on
+      // single-token documents — the real-world regime (raters skip
+      // items) that Fleiss' complete-vector contract throws away.
+      // Items keep whatever pairable ratings they have; the per-item
+      // rationals clear exactly through lcm(1..m−1).
+      val spaces = expr("length(text) - length(replace(text, ' ', ''))")
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+            "\\s+")) >= 40, "long").otherwise("short").as("ra"),
+          when(col("n_chars") >= 256, "long").otherwise("short").as("rb"),
+          when(spaces === 0, lit(null).cast("string"))
+            .otherwise(when(spaces >= 39, "long").otherwise("short"))
+            .as("rc"))
+      graft.ext.Learn.krippendorffAlphaQ20(d, Seq("lang"),
+        Seq("ra", "rb", "rc"))
+    }),
+    "x99_chi2_assoc" -> ((s, dir) => {
+      // CATEGORICAL ASSOCIATION: Pearson chi-square of source × length
+      // label per language — the independence check behind any sliced
+      // corpus design ("does quality depend on the crawl source?").
+      // Zero cells contribute their expectation via the censused
+      // observed-label cross; the two floors compose identically in
+      // the oracle.
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"), col("source"),
+          when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+            "\\s+")) >= 40, "long").otherwise("short").as("lenlab"))
+      graft.ext.Learn.chiSquareAssocQ20(d, Seq("lang"), "source", "lenlab")
+    }),
+    "x99b_mcnemar" -> ((s, dir) => {
+      // PAIRED model comparison on the shared held-out half: the x65
+      // trained centroid model vs the crude char-length heuristic,
+      // judged against the token-length label. Only the discordant
+      // pairs carry signal — McNemar's (b−c)²/(b+c) per language in
+      // exact Q20; the models' error sets overlap, which an unpaired
+      // accuracy diff ignores.
+      val d = t(s, dir, "documents")
+      val lenLabel = when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+        "\\s+")) >= 40, 1L).otherwise(-1L)
+      val (w, thr) = graft.ext.Learn.centroidThresholdTrain(
+        d.filter(col("doc_id") % 2 === 0).withColumn("_y", lenLabel),
+        "text", "doc_id", "_y", 64)
+      val ev = d.filter(col("doc_id") % 2 === 1)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"), lenLabel.as("_y"),
+          when(graft.ext.Learn.centroidScore(col("text"), w) > thr, 1L)
+            .otherwise(-1L).as("_pa"),
+          when(col("n_chars") >= 256, 1L).otherwise(-1L).as("_pb"))
+      graft.ext.Learn.mcnemarQ20(ev, Seq("lang"), "_y", "_pa", "_pb")
+    }),
+    "x100_k_anonymity" -> ((s, dir) => {
+      // RELEASE GATE beside the PII redaction family: per language,
+      // how re-identifiable is the corpus under the (source,
+      // length-bucket) quasi-identifier at k = 5 — group census, the
+      // smallest group, and the exact Q20 row-exposure fraction.
+      // (`div` and duckdb `//` both truncate toward zero, so the
+      // bucket replays exactly for any sign.)
+      val d = t(s, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars div 256"))
+      graft.ext.Curation.kAnonymityAudit(d, Seq("lang"),
+        Seq("source", "len_bucket"), 5L)
+    }),
     "x98b_kappa_incremental" -> ((s, dir) => {
       // label QA under ingest: the base split's confusion cells stage
       // ONCE; a new batch's cells fold in by re-sum (cells are sums:
@@ -3120,6 +3248,17 @@ object SparkEntry {
             "\\s+")) >= 40, "long").otherwise("short").as("ra"),
           when(col("n_chars") >= 256, "long").otherwise("short").as("rb"))
       graft.ext.Learn.cohenKappaQ20(d, Seq("lang"), "ra", "rb")
+    }),
+    "x97f_ks_drift" -> ((s, dir) => {
+      // the CDF-shaped drift test beside x97e's density-shaped PSI:
+      // two-sample Kolmogorov–Smirnov over the same ⌊n_chars/64⌋ bins
+      // per language — exact integers end to end (cumulative counts
+      // cross-multiplied by the totals; ONE Q20 floor at the very end),
+      // alert at the conventional 0.1 line (⌊0.1·2²⁰⌋ = 104857).
+      val d = t(s, dir, "documents")
+      graft.ext.TextStats.ksDriftQ20(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        Seq("lang"), "n_chars", 64L, 104857L)
     }),
     "x97e_psi_numeric" -> ((s, dir) => {
       // FEATURE drift beside x97d's language drift: per-language PSI of
@@ -4436,6 +4575,212 @@ object SparkEntry {
                      ELSE CAST((x - ((x % den + den) % den)) // den AS BIGINT)
                 END AS kappa_q20
          FROM calc"""
+
+  /** x98c/x98d: Fleiss' kappa replayed via the binary-label shortcut
+    * (labels are long/short, so n_long determines the item's whole cell
+    * vector: n_short = 3 − n_long): S = Σ(n_l² + n_s²), T = 3n, pooled
+    * ΣC², κ = [T(S−T) − (m−1)ΣC²] / [(m−1)(T² − ΣC²)] with m = 3 and
+    * the positive-mod floor (κ can be negative); den = 0 → NULL. The
+    * three labelers replay the engine's exactly (whitespace tokens ≥ 40,
+    * n_chars ≥ 256 — NULL reads short both sides — spaces ≥ 39). */
+  private val x98cOracleSql: String =
+    """WITH lab AS (
+           SELECT lang,
+                  (CASE WHEN len(string_split_regex(regexp_replace(text,
+                          '^\s+|\s+$', '', 'g'), '\s+')) >= 40
+                        THEN 1 ELSE 0 END
+                   + CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END
+                   + CASE WHEN length(text) - length(replace(text, ' ', ''))
+                          >= 39 THEN 1 ELSE 0 END) AS nl
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         agg AS (SELECT lang, COUNT(*) AS n,
+                   SUM(CAST(nl AS HUGEINT) * nl
+                       + CAST(3 - nl AS HUGEINT) * (3 - nl)) AS s,
+                   SUM(CAST(nl AS HUGEINT)) AS cl,
+                   SUM(CAST(3 - nl AS HUGEINT)) AS cs
+                 FROM lab GROUP BY 1),
+         kap AS (SELECT lang, n, 3 * CAST(n AS HUGEINT) AS t,
+                   1048576 * (3 * CAST(n AS HUGEINT) * (s - 3 * CAST(n AS HUGEINT))
+                              - 2 * (cl * cl + cs * cs)) AS x,
+                   2 * (9 * CAST(n AS HUGEINT) * n - cl * cl - cs * cs) AS den
+                 FROM agg)
+         SELECT lang, CAST(n AS BIGINT) AS n_items,
+                CAST(t AS BIGINT) AS n_ratings,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CAST((x - ((x % den + den) % den)) // den AS BIGINT)
+                END AS kappa_q20
+         FROM kap"""
+
+  /** x98e: Krippendorff's alpha replayed through the binary-label
+    * shortcut: per item the label vector is (va always, vb, vc with the
+    * single-token abstention), m_u its non-null count (items with < 2
+    * pairable ratings drop), nl the long-votes; the per-item rational
+    * (m² − nl² − (m−nl)²)/(m−1) clears exactly through L = lcm(1,2) = 2
+    * (factor 2 at m=2, 1 at m=3); α = [den − (N−1)·Σterms]/den over
+    * den = 2(N² − ΣC²), positive-mod Q20 floor (α can be negative),
+    * NULL on the degenerate denominator. */
+  private val x98eOracleSql: String =
+    """WITH lab AS (
+           SELECT lang,
+                  CASE WHEN len(string_split_regex(regexp_replace(text,
+                          '^\s+|\s+$', '', 'g'), '\s+')) >= 40
+                       THEN 1 ELSE 0 END AS va,
+                  CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END AS vb,
+                  CASE WHEN length(text) - length(replace(text, ' ', '')) = 0
+                       THEN NULL
+                       WHEN length(text) - length(replace(text, ' ', ''))
+                            >= 39 THEN 1 ELSE 0 END AS vc
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         item AS (SELECT lang,
+                    2 + CASE WHEN vc IS NULL THEN 0 ELSE 1 END AS m,
+                    va + vb + COALESCE(vc, 0) AS nl
+                  FROM lab),
+         kept AS (SELECT lang, m, nl, m - nl AS ns,
+                    (CAST(m AS HUGEINT) * m
+                     - CAST(nl AS HUGEINT) * nl
+                     - CAST(m - nl AS HUGEINT) * (m - nl))
+                    * (CASE WHEN m = 2 THEN 2 ELSE 1 END) AS term
+                  FROM item WHERE m >= 2),
+         agg AS (SELECT lang, COUNT(*) AS n_items,
+                   SUM(CAST(m AS HUGEINT)) AS nv,
+                   SUM(CAST(nl AS HUGEINT)) AS cl,
+                   SUM(CAST(ns AS HUGEINT)) AS cs,
+                   SUM(term) AS ol
+                 FROM kept GROUP BY 1),
+         calc AS (SELECT lang, n_items, nv,
+                    2 * (nv * nv - cl * cl - cs * cs) AS den,
+                    1048576 * (2 * (nv * nv - cl * cl - cs * cs)
+                               - (nv - 1) * ol) AS x
+                  FROM agg)
+         SELECT lang, CAST(n_items AS BIGINT) AS n_items,
+                CAST(nv AS BIGINT) AS n_values,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CAST((x - ((x % den + den) % den)) // den AS BIGINT)
+                END AS alpha_q20
+         FROM calc"""
+
+  /** x99: Pearson chi-square replayed — cells, marginals, the censused
+    * observed-label cross (zero cells carry their expectation), and the
+    * SAME two-stage floor as the engine: t = ⌊d²/(R·C)⌋ then
+    * ⌊2²⁰·Σt/N⌋ (both dividends ≥ 0, so the bare `//` is floor). */
+  private val x99OracleSql: String =
+    """WITH lab AS (
+           SELECT lang, source AS a,
+                  CASE WHEN len(string_split_regex(regexp_replace(text,
+                          '^\s+|\s+$', '', 'g'), '\s+')) >= 40
+                       THEN 'long' ELSE 'short' END AS b
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+             AND source IS NOT NULL),
+         cells AS (SELECT lang, a, b, COUNT(*) AS o FROM lab GROUP BY 1, 2, 3),
+         ra AS (SELECT lang, a, SUM(o) AS r FROM cells GROUP BY 1, 2),
+         cb AS (SELECT lang, b, SUM(o) AS c FROM cells GROUP BY 1, 2),
+         tot AS (SELECT lang, SUM(o) AS n, COUNT(DISTINCT a) AS nr,
+                   COUNT(DISTINCT b) AS nc
+                 FROM cells GROUP BY 1),
+         cx AS (SELECT ra.lang, ra.a, cb.b, ra.r, cb.c,
+                  COALESCE(cells.o, 0) AS o
+                FROM ra JOIN cb ON cb.lang = ra.lang
+                LEFT JOIN cells ON cells.lang = ra.lang
+                  AND cells.a = ra.a AND cells.b = cb.b),
+         dd AS (SELECT x.lang, t.n, t.nr, t.nc,
+                  CAST(t.n AS HUGEINT) * x.o
+                    - CAST(x.r AS HUGEINT) * x.c AS d,
+                  CAST(x.r AS HUGEINT) * x.c AS rc
+                FROM cx x JOIN tot t ON t.lang = x.lang)
+         SELECT lang, CAST(n AS BIGINT) AS n,
+                CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS dof,
+                CAST((1048576::HUGEINT * SUM((d * d) // rc)) // n AS BIGINT)
+                  AS chi2_q20
+         FROM dd GROUP BY lang, n"""
+
+  /** x97f: the two-sample KS replayed — the same ⌊n_chars/64⌋ bins as
+    * x97e (n_chars ≥ 0, bare `//` is floor), cumulative counts per
+    * language via a window sum, the gap cross-multiplied by the totals
+    * in HUGEINT, and ONE Q20 floor at the end (all factors ≥ 0, so the
+    * bare `//` is floor there too); a one-sided language is NULL. */
+  private val x97fOracleSql: String =
+    """WITH ha AS (SELECT lang, (n_chars // 64) AS bin, COUNT(*) AS ca
+           FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         hb AS (SELECT lang, (n_chars // 64) AS bin, COUNT(*) AS cb
+           FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT COALESCE(ha.lang, hb.lang) AS lang,
+                      COALESCE(ha.bin, hb.bin) AS bin,
+                      COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM ha FULL JOIN hb
+                 ON ha.lang = hb.lang AND ha.bin = hb.bin),
+         c AS (SELECT lang,
+                 SUM(ca) OVER (PARTITION BY lang ORDER BY bin) AS cma,
+                 SUM(cb) OVER (PARTITION BY lang ORDER BY bin) AS cmb,
+                 SUM(ca) OVER (PARTITION BY lang) AS na,
+                 SUM(cb) OVER (PARTITION BY lang) AS nb
+               FROM m),
+         g AS (SELECT lang, na, nb, COUNT(*) AS n_bins,
+                 MAX(ABS(CAST(cma AS HUGEINT) * nb
+                         - CAST(cmb AS HUGEINT) * na)) AS gap
+               FROM c GROUP BY 1, 2, 3),
+         k AS (SELECT lang, na, nb, n_bins,
+                 CASE WHEN na = 0 OR nb = 0 THEN NULL
+                      ELSE CAST((1048576::HUGEINT * gap)
+                                // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+                 END AS ks_q20
+               FROM g)
+         SELECT lang, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CAST(n_bins AS BIGINT) AS n_bins, ks_q20,
+                CAST(CASE WHEN ks_q20 IS NOT NULL AND ks_q20 >= 104857
+                     THEN 1 ELSE 0 END AS BIGINT) AS alert
+         FROM k"""
+
+  /** x89b: NDCG@5 replayed — the run/qrels CTEs of x89 plus the SHARED
+    * Q20 discount table: the (rank, d, cum) literals below are the SAME
+    * Scala-computed integers the engine's plan carries
+    * ([[graft.ext.Retrieval.ndcgDiscountsQ20]]), so no log is ever
+    * evaluated inside either engine. All operands ≥ 0 → bare `//`. */
+  private val x89bOracleSql: String = {
+    val d = graft.ext.Retrieval.ndcgDiscountsQ20(5)
+    val cum = d.scanLeft(0L)(_ + _).tail
+    val vals = (1 to 5).map(r => s"($r, ${d(r - 1)}, ${cum(r - 1)})")
+      .mkString(", ")
+    bm25BaseCtes +
+      s""",
+         run AS (SELECT qid, doc_id, rank FROM (
+                   SELECT qid, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_q20 DESC, doc_id) AS rank
+                   FROM scored)
+                 WHERE rank <= 5),
+         qn AS (SELECT qid, COUNT(*) AS nq FROM qt GROUP BY 1),
+         qr AS (SELECT qt.qid, p.doc_id
+                FROM qt JOIN post p USING (tok)
+                JOIN qn ON qn.qid = qt.qid
+                GROUP BY qt.qid, p.doc_id, qn.nq
+                HAVING COUNT(*) = qn.nq),
+         nr AS (SELECT qid, COUNT(*) AS n_rel FROM qr GROUP BY 1),
+         disc AS (SELECT * FROM (VALUES $vals) v(r, d, cum)),
+         per AS (SELECT r.qid,
+                   COALESCE(SUM(CASE WHEN qr.doc_id IS NOT NULL
+                                THEN disc.d END), 0) AS dcg
+                 FROM run r
+                 JOIN disc ON disc.r = r.rank
+                 LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+                 GROUP BY 1)
+         SELECT CAST(per.qid AS BIGINT) AS qid,
+                CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+                CAST(per.dcg AS BIGINT) AS dcg_q20,
+                CAST(COALESCE(di.cum, 0) AS BIGINT) AS idcg_q20,
+                CASE WHEN COALESCE(di.cum, 0) > 0
+                  THEN CAST((1048576 * per.dcg) // di.cum AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS ndcg_q20
+         FROM per LEFT JOIN nr ON nr.qid = per.qid
+         LEFT JOIN disc di ON di.r = LEAST(COALESCE(nr.n_rel, 0), 5)"""
+  }
 
   private val x95OracleSql: String = {
     def gN(n: Int): String = {
@@ -7095,6 +7440,65 @@ object SparkEntry {
     // (the x97b/x93b convention; LearnSpec pins the merge identity)
     "x98_cohen_kappa" -> x98OracleSql,
     "x98b_kappa_incremental" -> x98OracleSql,
+    // x98c: Fleiss' kappa (three weak labelers) replayed through the
+    // binary-label cell shortcut; x98d answers the SAME oracle verbatim
+    // — Fleiss cells are item-sums, so staged-base + batch re-sum IS
+    // the one-shot cell table (LearnSpec pins the merge identity)
+    "x98c_fleiss_kappa" -> x98cOracleSql,
+    "x98d_fleiss_incremental" -> x98cOracleSql,
+    // x98e: Krippendorff's alpha — abstention-tolerant agreement, the
+    // per-item rationals cleared exactly through lcm(1..m−1)
+    "x98e_krippendorff" -> x98eOracleSql,
+    // x99b: McNemar's paired test — the shared centroid CTE chain
+    // replays training/threshold, docs re-joined for lang and the
+    // char-length rival; only discordant pairs enter the statistic
+    // ((b−c)² ≥ 0, so the bare // is floor); b+c = 0 → NULL
+    "x99b_mcnemar" -> (centroidCtes("doc_id % 2 = 0") +
+      """,
+         ev AS (SELECT d.lang, f.y,
+                  CASE WHEN f.s > (SELECT t FROM best) THEN 1 ELSE -1 END
+                    AS pa,
+                  CASE WHEN d2.n_chars >= 256 THEN 1 ELSE -1 END AS pb
+                FROM sc f
+                JOIN docs d ON d.doc_id = f.doc_id
+                JOIN documents d2 ON d2.doc_id = f.doc_id
+                WHERE f.doc_id % 2 = 1),
+         cm AS (SELECT lang, COUNT(*) AS n,
+                  SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS b,
+                  SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS c
+                FROM ev GROUP BY 1)
+         SELECT lang, CAST(n AS BIGINT) AS n,
+                CAST(b AS BIGINT) AS n_disagree_a,
+                CAST(c AS BIGINT) AS n_disagree_b,
+                CASE WHEN b + c = 0 THEN NULL
+                     ELSE CAST((1048576::HUGEINT * (b - c) * (b - c))
+                               // (b + c) AS BIGINT)
+                END AS mcnemar_q20
+         FROM cm"""),
+    // x100: the k-anonymity audit — QI-group census and exact Q20
+    // row exposure (all operands ≥ 0; `div` and `//` agree on the
+    // bucket for any sign since both truncate toward zero)
+    "x100_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 256 AS lb,
+                      COUNT(*) AS c
+                    FROM documents GROUP BY 1, 2, 3)
+         SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS n_groups,
+                CAST(MIN(c) AS BIGINT) AS min_group,
+                CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS groups_below_k,
+                CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk,
+                CAST((1048576 * SUM(CASE WHEN c < 5 THEN c ELSE 0 END))
+                     // SUM(c) AS BIGINT) AS risk_q20
+         FROM g GROUP BY 1""",
+    // x99: Pearson chi-square association, identical two-stage floors
+    "x99_chi2_assoc" -> x99OracleSql,
+    // x97f: two-sample KS over the x97e bins — cumulative window sums,
+    // HUGEINT cross-multiplied gap, one Q20 floor at the end
+    "x97f_ks_drift" -> x97fOracleSql,
+    // x89b: NDCG@5 with the shared Q20 discount literals
+    "x89b_ndcg" -> x89bOracleSql,
     // x97b answers the SAME oracle verbatim: counts are sums, so the
     // staged-base + batch merge IS the one-shot count table (the
     // x93b/x35c same-oracle convention; LmSpec pins the merge identity)

@@ -1058,4 +1058,46 @@ object Curation {
           s => s.getField("col")).as("seq_ids"),
         count(lit(1)).cast("long").as("n_ids"))
   }
+
+  /** K-ANONYMITY AUDIT over a quasi-identifier tuple — the release gate
+    * a dataset publisher runs beside PII redaction (x24): a row is
+    * re-identifiable when its QI combination is shared by fewer than k
+    * rows (Sweeney, IJUFKS 2002). Per group key: the QI-group census
+    * (n_groups, the smallest group, how many groups sit under k) and
+    * the ROW-level exposure — rows_at_risk and its exact Q20 fraction
+    * risk_q20 = ⌊2²⁰·rows_at_risk/n⌋ (non-negative, bare floor-div) —
+    * the number a release checklist actually gates on. NULL is a legal
+    * QI value (it identifies like any other), so groups key on the raw
+    * columns with no null filtering.
+    *
+    * 100 TB shape: ONE (keys, QI...)-keyed map-side-combining
+    * aggregation reduces the corpus to QI-group counts; the audit is a
+    * second aggregation on that (much smaller, but NOT censused —
+    * worst case every row is its own group) frame. Both shuffles key
+    * on real data columns; nothing collects. Group counts are SUMS
+    * only across disjoint row shards (re-sum twins must shard by ROWS,
+    * never mix partial groups of the same shard). Returns (keys..., n,
+    * n_groups, min_group, groups_below_k, rows_at_risk, risk_q20). */
+  def kAnonymityAudit(df: DataFrame, keyCols: Seq[String],
+                      qiCols: Seq[String], k: Long): DataFrame = {
+    require(keyCols.nonEmpty, "kAnonymityAudit needs >= 1 group key")
+    require(qiCols.nonEmpty, "kAnonymityAudit needs >= 1 QI column")
+    require(k >= 2, s"k must be >= 2 (k = 1 never flags): $k")
+    val reserved = Seq("_kan_c", "n", "n_groups", "min_group",
+      "groups_below_k", "rows_at_risk", "risk_q20")
+    (keyCols ++ qiCols).foreach(c => require(!reserved.contains(c),
+      s"kAnonymityAudit reserves column $c — rename it"))
+    df.groupBy((keyCols ++ qiCols).map(col): _*)
+      .agg(count(lit(1)).as("_kan_c"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_kan_c")).as("n"),
+        count(lit(1)).as("n_groups"),
+        min(col("_kan_c")).as("min_group"),
+        sum(when(col("_kan_c") < k, 1L).otherwise(0L))
+          .as("groups_below_k"),
+        sum(when(col("_kan_c") < k, col("_kan_c")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("risk_q20",
+        expr("(1048576L * rows_at_risk) div n"))
+  }
 }

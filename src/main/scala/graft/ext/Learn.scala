@@ -796,6 +796,320 @@ object Learn {
           .as("kappa_q20")): _*)
   }
 
+  /** FLEISS' KAPPA — chance-corrected agreement for m ≥ 2 raters
+    * (Fleiss, Psychol. Bull. 1971), the multi-rater generalization the
+    * label-QA layer needs once more than two weak labelers vote: with
+    * n_uj = raters assigning item u to category j, S = Σ_u Σ_j n_uj²,
+    * T = n·m total ratings and C_j = Σ_u n_uj the pooled category
+    * totals,
+    *   κ = [T·(S − T) − (m−1)·ΣC²] / [(m−1)·(T² − ΣC²)],
+    * the cross-multiplied form of (P̄ − P̄_e)/(1 − P̄_e) with
+    * P̄ = (S−T)/(T(m−1)) and P̄_e = ΣC²/T². NOTE: at m = 2 this is
+    * Scott's pi (POOLED marginals), not Cohen's kappa (per-rater
+    * marginals) — both are exposed deliberately. The numerator can be
+    * negative (systematic disagreement), so the Q20 division takes the
+    * positive-mod floor; a zero denominator (every rating identical —
+    * P̄_e = 1) yields NULL, the [[cohenKappaQ20]] convention. Items
+    * with ANY null rater label are excluded whole (Fleiss requires a
+    * complete m-vector per item).
+    *
+    * 100 TB shape: n_uj is computed ROW-WISE (each row carries all m
+    * labels, m is a small plan constant), so the corpus reduces in ONE
+    * (keys, label)-keyed map-side-combining aggregation to ≤ alphabet
+    * cells per key — no per-item shuffle exists anywhere; everything
+    * after is cell-frame algebra in decimal(38,0). Returns
+    * (keys..., n_items, n_ratings, kappa_q20 [nullable]). */
+  def fleissKappaQ20(df: DataFrame, keyCols: Seq[String],
+                     raterCols: Seq[String]): DataFrame = {
+    fleissKappaFromCells(fleissCells(df, keyCols, raterCols), keyCols,
+      raterCols.size)
+  }
+
+  /** The per-(keys, label) cell table [[fleissKappaQ20]] reduces to:
+    * `_fk_c` = Σ_u n_uj (pooled category count) and `_fk_sq` =
+    * Σ_u n_uj² — BOTH item-sums, so per-shard/batch cell tables re-sum
+    * to exactly the one-shot table ([[mergeFleissCells]]), making the
+    * multi-rater monitor a continuous-ingest citizen like
+    * [[confusionCells]]. Items with any null label excluded. */
+  def fleissCells(df: DataFrame, keyCols: Seq[String],
+                  raterCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "fleissCells needs >= 1 group key")
+    require(raterCols.size >= 2, "fleissCells needs >= 2 rater columns")
+    val reserved = Seq("_fk_l", "_fk_n", "_fk_c", "_fk_sq", "_fk_e",
+      "n_items", "n_ratings", "kappa_q20")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"fleissCells reserves column $c — rename the key column"))
+    val labs = array(raterCols.map(col): _*)
+    // per item, per DISTINCT label it received: (label, n_uj) — a
+    // bounded row-wise fold (m entries max), never an item-keyed shuffle
+    val cells = transform(array_distinct(labs), l =>
+      struct(l.as("_fk_l"),
+        size(filter(labs, x => x === l)).cast("long").as("_fk_n")))
+    df.filter(raterCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((keyCols.map(col) :+ explode(cells).as("_fk_e")): _*)
+      .select((keyCols.map(col) :+ col("_fk_e._fk_l").as("_fk_l") :+
+        col("_fk_e._fk_n").as("_fk_n")): _*)
+      .groupBy((keyCols :+ "_fk_l").map(col): _*)
+      .agg(sum(col("_fk_n")).as("_fk_c"),
+        sum(col("_fk_n") * col("_fk_n")).as("_fk_sq"))
+  }
+
+  /** Merge [[fleissCells]] tables by cell re-sum — merged ≡ one-shot. */
+  def mergeFleissCells(tables: Seq[DataFrame],
+                       keyCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeFleissCells needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "_fk_l").map(col): _*)
+      .agg(sum(col("_fk_c")).as("_fk_c"), sum(col("_fk_sq")).as("_fk_sq"))
+  }
+
+  /** κ from a [[fleissCells]] table (see [[fleissKappaQ20]] for the
+    * statistic). `m` is the rater count the cells were built with —
+    * not recoverable from the cells alone, so the caller restates it;
+    * a T not divisible by m raises (wrong m or corrupted cells). */
+  def fleissKappaFromCells(cells: DataFrame, keyCols: Seq[String],
+                           m: Int): DataFrame = {
+    require(keyCols.nonEmpty, "fleissKappaFromCells needs >= 1 group key")
+    require(m >= 2, s"rater count m must be >= 2: $m")
+    cells.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_fk_sq")).cast("decimal(38,0)").as("_fk_s"),
+        sum(col("_fk_c")).cast("decimal(38,0)").as("_fk_t"),
+        sum(col("_fk_c").cast("decimal(38,0)") * col("_fk_c"))
+          .as("_fk_c2"))
+      .withColumn("n_items",
+        when(expr(s"_fk_t % $m = 0"), expr(s"cast(_fk_t div $m as bigint)"))
+          .otherwise(raise_error(concat(
+            lit(s"fleissKappaFromCells: total ratings not divisible by m=$m"
+              + " — wrong rater count or corrupted cells; T = "),
+            col("_fk_t").cast("string")))))
+      .withColumn("_fk_num", expr(
+        s"cast(1048576 as decimal(38,0)) * " +
+          s"(_fk_t * (_fk_s - _fk_t) - ${m - 1} * _fk_c2)"))
+      .withColumn("_fk_den", expr(
+        s"cast(${m - 1} as decimal(38,0)) * (_fk_t * _fk_t - _fk_c2)"))
+      .select((keyCols.map(col) :+ col("n_items") :+
+        col("_fk_t").cast("long").as("n_ratings") :+
+        // positive-mod floor: the numerator can be negative
+        when(col("_fk_den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast((_fk_num - pmod(_fk_num, _fk_den)) div _fk_den as bigint)"))
+          .as("kappa_q20")): _*)
+  }
+
+  /** KRIPPENDORFF'S ALPHA (nominal) — the agreement statistic for the
+    * REAL annotation regime: raters abstain, items carry 2..m ratings,
+    * and [[fleissKappaQ20]]'s complete-vector requirement throws half
+    * the data away. α = 1 − D_o/D_e (Krippendorff 2011,
+    * "Computing Krippendorff's Alpha-Reliability"): with m_u non-null
+    * ratings and n_uc per-label counts on item u, N = Σ m_u pairable
+    * values and C_c = Σ_u n_uc pooled totals,
+    *   D_o = (1/N)·Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1),
+    *   D_e = (N² − ΣC²)/(N(N−1)).
+    * The per-item rationals are cleared EXACTLY by L = lcm(1..m−1) (a
+    * plan constant from the rater count): each item contributes the
+    * integer (m_u² − Σn_uc²)·(L/(m_u−1)), so
+    *   α = [L(N² − ΣC²) − (N−1)·Σ_u terms] / [L(N² − ΣC²)]
+    * in pure decimal(38,0) arithmetic. α can be negative → positive-mod
+    * Q20 floor; a zero denominator (every pairable value identical)
+    * yields NULL, the [[cohenKappaQ20]] convention. Items with fewer
+    * than 2 non-null ratings are excluded (no pairable information).
+    *
+    * 100 TB shape: like [[fleissCells]], m_u, Σn_uc² and the cleared
+    * item term are ROW-WISE folds over the ≤m-entry label array — the
+    * corpus reduces in one (keys, label)-keyed aggregation (pooled C_c)
+    * plus one per-key aggregation (N, Σterms, n_items); no per-item
+    * shuffle exists. Returns (keys..., n_items, n_values,
+    * alpha_q20 [nullable]). */
+  def krippendorffAlphaQ20(df: DataFrame, keyCols: Seq[String],
+                           raterCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "krippendorffAlphaQ20 needs >= 1 group key")
+    require(raterCols.size >= 2,
+      "krippendorffAlphaQ20 needs >= 2 rater columns")
+    val reserved = Seq("_ka_l", "_ka_n", "_ka_m", "_ka_sq", "_ka_t",
+      "_ka_e", "_ka_c2", "_ka_nn", "_ka_ol", "_ka_num", "_ka_den",
+      "n_items", "n_values", "alpha_q20")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"krippendorffAlphaQ20 reserves column $c — rename the key column"))
+    val mMax = raterCols.size
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmL = (1L to (mMax - 1).toLong).reduce((x, y) => x / gcd(x, y) * y)
+    // L/(m_u − 1) as a 1-indexed literal: entry i = L/i
+    val lfac = typedlit((1 to mMax - 1).map(i => lcmL / i))
+    val labs = array(raterCols.map(col): _*)
+    val nn = filter(labs, x => x.isNotNull)
+    val base = df
+      .select((keyCols.map(col) :+ nn.as("_ka_nn")): _*)
+      .filter(size(col("_ka_nn")) >= 2)
+      .withColumn("_ka_m", size(col("_ka_nn")).cast("long"))
+      // Σ_c n_uc² as a bounded row-wise fold over the distinct labels
+      .withColumn("_ka_sq", aggregate(
+        transform(array_distinct(col("_ka_nn")), l =>
+          size(filter(col("_ka_nn"), x => x === l)) *
+            size(filter(col("_ka_nn"), x => x === l))),
+        lit(0), (acc, x) => acc + x).cast("long"))
+      .withColumn("_ka_t",
+        (col("_ka_m") * col("_ka_m") - col("_ka_sq")) *
+          element_at(lfac, (col("_ka_m") - 1).cast("int")).cast("long"))
+    val per = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("_ka_m")).as("n_values"),
+        sum(col("_ka_t").cast("decimal(38,0)")).as("_ka_ol"))
+    val c2 = base
+      .select((keyCols.map(col) :+ explode(transform(
+        array_distinct(col("_ka_nn")), l => struct(l.as("_ka_l"),
+          size(filter(col("_ka_nn"), x => x === l)).cast("long")
+            .as("_ka_n")))).as("_ka_e")): _*)
+      .select((keyCols.map(col) :+ col("_ka_e._ka_l").as("_ka_l") :+
+        col("_ka_e._ka_n").as("_ka_n")): _*)
+      .groupBy((keyCols :+ "_ka_l").map(col): _*)
+      .agg(sum(col("_ka_n")).as("_ka_c"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_ka_c").cast("decimal(38,0)") * col("_ka_c"))
+        .as("_ka_c2"))
+    per.join(c2, keyCols)
+      .withColumn("_ka_den", expr(
+        s"cast($lcmL as decimal(38,0)) * " +
+          "(cast(n_values as decimal(38,0)) * n_values - _ka_c2)"))
+      .withColumn("_ka_num",
+        expr("cast(1048576 as decimal(38,0))") *
+          (col("_ka_den") -
+            (col("n_values").cast("decimal(38,0)") - 1) * col("_ka_ol")))
+      .select((keyCols.map(col) :+ col("n_items") :+ col("n_values") :+
+        // positive-mod floor: α can be negative
+        when(col("_ka_den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "cast((_ka_num - pmod(_ka_num, _ka_den)) div _ka_den as bigint)"))
+          .as("alpha_q20")): _*)
+  }
+
+  /** PEARSON CHI-SQUARE ASSOCIATION between two categorical columns —
+    * the independence test a curation pipeline reads before trusting a
+    * slice design ("is source independent of quality label?", "did the
+    * crawl snapshot change the lang×domain mix?"). With per-key cell
+    * counts O_ab, marginals R_a, C_b and total N,
+    *   χ² = Σ_ab (O_ab − R_a·C_b/N)² / (R_a·C_b/N)
+    *       = Σ_ab (N·O_ab − R_a·C_b)² / (N·R_a·C_b),
+    * summed over the FULL observed-label cross (zero cells contribute
+    * their expectation — omitting them understates the statistic).
+    *
+    * Integer form, floor-composed identically in engine and oracle:
+    * per cell t = ⌊d²/(R·C)⌋ with d = N·O − R·C, then chi2_q20 =
+    * ⌊2²⁰·Σt / N⌋ (both dividends non-negative, so trunc = floor).
+    * The double floor under-reads true 2²⁰·χ² by < 2²⁰·cells/N — far
+    * below any decision threshold at corpus scale — and REPLAYS
+    * bit-for-bit (the lesson of every Q-fixed-point op here: exactness
+    * is cross-engine agreement, not infinite precision). d² must fit
+    * decimal(38,0): |d| ≤ N² needs N ≤ 3·10⁹ per key, enforced by an
+    * in-plan raise (a corpus bigger than that per key should be
+    * sampled first — χ² at that N flags microscopic effects anyway).
+    *
+    * 100 TB shape: ONE (keys, a, b)-keyed map-side-combining
+    * aggregation reduces the corpus to cells; the observed-label cross
+    * joins two ≤alphabet marginal frames per key (censused); dof =
+    * (r−1)(c−1) from the same frames. NULL labels excluded. Returns
+    * (keys..., n, dof, chi2_q20). */
+  def chiSquareAssocQ20(df: DataFrame, keyCols: Seq[String],
+                        aCol: String, bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "chiSquareAssocQ20 needs >= 1 group key")
+    val reserved = Seq("_x2_a", "_x2_b", "_x2_o", "_x2_r", "_x2_c",
+      "_x2_d", "_x2_t", "n", "dof", "chi2_q20")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"chiSquareAssocQ20 reserves column $c — rename the key column"))
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ col(aCol).as("_x2_a") :+
+        col(bCol).as("_x2_b")): _*)
+      .agg(count(lit(1)).as("_x2_o"))
+    val ra = cells.groupBy((keyCols :+ "_x2_a").map(col): _*)
+      .agg(sum(col("_x2_o")).as("_x2_r"))
+    val cb = cells.groupBy((keyCols :+ "_x2_b").map(col): _*)
+      .agg(sum(col("_x2_o")).as("_x2_c"))
+    val tot = cells.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_x2_o")).as("n"),
+        countDistinct(col("_x2_a")).as("_x2_nr"),
+        countDistinct(col("_x2_b")).as("_x2_nc"))
+      .withColumn("n", when(col("n") <= 3000000000L, col("n"))
+        .otherwise(raise_error(concat(
+          lit("chiSquareAssocQ20: per-key n exceeds the 3e9 exactness"
+            + " bound — sample the slice first; n = "),
+          col("n").cast("string")))))
+    // full observed-label cross per key (censused alphabet² frame):
+    // zero cells surface with O = 0 and contribute their expectation
+    val cross = ra.join(cb, keyCols)
+      .join(cells, keyCols :+ "_x2_a" :+ "_x2_b", "left")
+      .withColumn("_x2_o", coalesce(col("_x2_o"), lit(0L)))
+      .join(tot, keyCols)
+      .withColumn("_x2_d",
+        col("n").cast("decimal(38,0)") * col("_x2_o") -
+          col("_x2_r").cast("decimal(38,0)") * col("_x2_c"))
+      // non-negative dividend (d²): the bare div is floor
+      .withColumn("_x2_t", expr(
+        "cast((_x2_d * _x2_d) div " +
+          "(cast(_x2_r as decimal(38,0)) * _x2_c) as decimal(38,0))"))
+    cross.groupBy((keyCols :+ "n").map(col): _*)
+      .agg(((max(col("_x2_nr")) - 1) * (max(col("_x2_nc")) - 1)).as("dof"),
+        sum(col("_x2_t")).as("_x2_t"))
+      .select((keyCols.map(col) :+ col("n") :+ col("dof") :+
+        // non-negative dividend again: trunc = floor
+        expr("cast((cast(1048576 as decimal(38,0)) * _x2_t) div n as bigint)")
+          .as("chi2_q20")): _*)
+  }
+
+  /** McNEMAR'S TEST — the PAIRED model-comparison statistic an eval
+    * pipeline reads before declaring "model B beats model A": on the
+    * SAME labeled examples, only the discordant pairs carry signal —
+    * b = A-right/B-wrong, c = A-wrong/B-right — and
+    * χ²_McNemar = (b − c)²/(b + c) (McNemar, Psychometrika 1947; the
+    * continuity-corrected variant is deliberately omitted — at corpus
+    * n it changes nothing and breaks exactness). Unpaired accuracy
+    * comparison over-states significance because the two error sets
+    * overlap; McNemar conditions on the concordant mass.
+    *
+    * Exact form: mcnemar_q20 = ⌊2²⁰·(b−c)²/(b+c)⌋ — the dividend is a
+    * square (≥ 0), so the bare floor-div is safe; b + c = 0 (the
+    * models never disagree) yields NULL (undefined, the
+    * [[cohenKappaQ20]] convention). Rows with a NULL label or NULL
+    * prediction are excluded. (b−c)² needs |b−c| ≤ 3·10⁹ per key for
+    * decimal(38,0) after the 2²⁰ scale — same bound and in-plan raise
+    * as [[chiSquareAssocQ20]].
+    *
+    * 100 TB shape: ONE map-side-combining aggregation reduces the
+    * corpus to four per-key counters; the statistic is scalar algebra.
+    * Counters are SUMS, so per-shard results re-sum (continuous-eval
+    * ready). Returns (keys..., n, n_disagree_a (=b), n_disagree_b (=c),
+    * mcnemar_q20 [nullable]). */
+  def mcnemarQ20(df: DataFrame, keyCols: Seq[String], yCol: String,
+                 predACol: String, predBCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mcnemarQ20 needs >= 1 group key")
+    val reserved = Seq("_mn_b", "_mn_c", "_mn_d", "n", "n_disagree_a",
+      "n_disagree_b", "mcnemar_q20")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"mcnemarQ20 reserves column $c — rename the key column"))
+    val ok = col(yCol).isNotNull && col(predACol).isNotNull &&
+      col(predBCol).isNotNull
+    val aRight = col(predACol) === col(yCol)
+    val bRight = col(predBCol) === col(yCol)
+    df.filter(ok)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(aRight && !bRight, 1L).otherwise(0L)).as("n_disagree_a"),
+        sum(when(!aRight && bRight, 1L).otherwise(0L)).as("n_disagree_b"))
+      .withColumn("_mn_d", when(
+        col("n_disagree_a") + col("n_disagree_b") <= 3000000000L,
+        (col("n_disagree_a") - col("n_disagree_b")).cast("decimal(38,0)"))
+        .otherwise(raise_error(lit(
+          "mcnemarQ20: discordant count exceeds the 3e9 exactness bound"
+            + " — sample the eval set first"))))
+      .select((keyCols.map(col) :+ col("n") :+ col("n_disagree_a") :+
+        col("n_disagree_b") :+
+        when(col("n_disagree_a") + col("n_disagree_b") === 0,
+          lit(null).cast("long"))
+          // squared dividend >= 0: the bare div is floor
+          .otherwise(expr("cast((cast(1048576 as decimal(38,0)) " +
+            "* _mn_d * _mn_d) div " +
+            "cast(n_disagree_a + n_disagree_b as decimal(38,0)) as bigint)"))
+          .as("mcnemar_q20")): _*)
+  }
+
   /** Score a text with trained [[centroidThresholdTrain]] weights (one
     * weight per bucket, no bias — the threshold plays that role): raw
     * integer Σ w_b·cnt_b as decimal(38,0), a zero-exchange projection. */

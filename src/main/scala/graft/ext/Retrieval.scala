@@ -480,6 +480,60 @@ object Retrieval {
           .otherwise(lit(0L)).as("rr_q20"))
   }
 
+  /** Q20 log-discount table for [[evalNdcg]]: d_r = ⌊2²⁰/log₂(r+1)⌋ for
+    * ranks 1..k. The log is evaluated ONCE, driver-side, and the
+    * resulting integers ship as plan literals into BOTH the engine and
+    * the oracle SQL — so the cross-engine contract never compares a
+    * float: NDCG becomes exact integer arithmetic over a shared
+    * constant table (the langIdLists / seededWeightsQ30 single-source
+    * pattern), which is how the trec_eval surface gets its last metric
+    * without breaking the engine-exact rule [[evalRun]] cites. */
+  def ndcgDiscountsQ20(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= (1 << 12), s"k must be in [1, 4096]: $k")
+    (1 to k).map(r => math.floor((1L << 20).toDouble /
+      (math.log(r + 1.0) / math.log(2.0))).toLong)
+  }
+
+  /** NDCG@k of a ranked run against binary qrels, exact given a shared
+    * Q20 discount table (use [[ndcgDiscountsQ20]]): DCG_q20 = Σ over
+    * relevant ranked docs of d_rank; IDCG_q20 = Σ_{r≤min(n_rel,k)} d_r
+    * (the ideal ranking front-loads every relevant doc); ndcg_q20 =
+    * ⌊2²⁰·DCG/IDCG⌋ (non-negative operands — trunc = floor). A query
+    * with no relevant docs scores 0 by the trec_eval convention (same
+    * as [[evalRun]]'s recall). Candidate-scale only, the evalRun
+    * shape: run is |queries|·k rows, qrels met by one (qid, doc)-keyed
+    * equi-join; the discount and its prefix sums are ≤k-entry plan
+    * literals. Returns (qid, n_rel, dcg_q20, idcg_q20, ndcg_q20). */
+  def evalNdcg(run: DataFrame, qrels: DataFrame, k: Int,
+               discQ20: Seq[Long]): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(discQ20.size == k, s"need exactly $k discounts: ${discQ20.size}")
+    require(discQ20.forall(_ >= 1), "discounts must be positive")
+    require(discQ20.zip(discQ20.tail).forall { case (x, y) => x >= y },
+      "discounts must be non-increasing in rank")
+    Seq("qid", "doc_id", "rank").foreach(c => require(run.columns.contains(c),
+      s"run must carry (qid, doc_id, rank) — missing $c"))
+    val disc = typedlit(discQ20)
+    val cum = typedlit(discQ20.scanLeft(0L)(_ + _).tail)
+    val rel = qrels.select(col("qid"), col("doc_id"))
+      .withColumn("_ev_rel", lit(1L))
+    val per = run.select(col("qid"), col("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+      .join(rel, Seq("qid", "doc_id"), "left")
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(when(col("_ev_rel") === 1L,
+        element_at(disc, col("rank").cast("int")))), lit(0L)).as("dcg_q20"))
+    val nrel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    per.join(nrel, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("dcg_q20"))
+      .withColumn("idcg_q20", when(col("n_rel") > 0,
+        element_at(cum, least(col("n_rel"), lit(k.toLong)).cast("int")))
+        .otherwise(lit(0L)))
+      .withColumn("ndcg_q20", when(col("idcg_q20") > 0,
+        expr("(1048576L * dcg_q20) div idcg_q20")).otherwise(lit(0L)))
+  }
+
   /** The oracle's scoring expression over HUGEINT — kept beside the Spark
     * form so the two integer formulas can only drift together. `n`/`a`
     * are the stats CTE columns, `tdf`/`tf`/`dl` the per-candidate ones. */

@@ -1149,6 +1149,92 @@ object TextStats {
       alertThresholdQ8)
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT over a binned numeric column —
+    * the CDF-shaped sibling of [[psiNumericQ8]]: KS = max_b |F_a(b) −
+    * F_b(b)| over the floor-binned empirical CDFs. PSI and JSD weigh
+    * per-bin DENSITY ratios, so a small uniform location shift smeared
+    * across many bins can stay under their alert line; the KS supremum
+    * accumulates it in the CDF gap — the classical pairing (density test
+    * + distribution test) a production drift monitor runs together.
+    *
+    * Unlike the log-based monitors this is EXACT with no quantization
+    * at all: with cumulative counts A_b, B_b and totals n_a, n_b, the
+    * gap at bin b is |A_b·n_b − B_b·n_a| / (n_a·n_b), and the single
+    * Q20 floor happens once at the end: ks_q20 = ⌊2²⁰·max_b|A_b·n_b −
+    * B_b·n_a| / (n_a·n_b)⌋ (every factor non-negative, so trunc =
+    * floor). A key present on only one side has an undefined statistic
+    * → NULL (never a fake 2²⁰), alert 0. NULL values carry no mass.
+    * alert = ks_q20 ≥ alertThresholdQ20 (the conventional 0.1 line is
+    * ⌊0.1·2²⁰⌋ = 104857).
+    *
+    * 100 TB shape: each side reduces in one (keys, bin)-keyed map-side-
+    * combining aggregation to a bin frame bounded by the value range
+    * over `binWidth` (a numeric-FEATURE contract — tens of bins, like
+    * psiNumericQ8's; do NOT point it at an unbounded id-like column);
+    * the full-outer bin merge, the per-key cumulative window, and the
+    * max all run on that censused frame. Returns (keys..., n_a, n_b,
+    * n_bins, ks_q20 [nullable], alert). */
+  def ksDriftQ20(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                 valCol: String, binWidth: Long,
+                 alertThresholdQ20: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "ksDriftQ20 needs >= 1 group key")
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(alertThresholdQ20 >= 0,
+      s"alertThresholdQ20 must be >= 0: $alertThresholdQ20")
+    val reserved = Seq("_ks_bin", "_ks_ca", "_ks_cb", "_ks_cma", "_ks_cmb",
+      "_ks_gap", "n_a", "n_b", "n_bins", "ks_q20", "alert")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"ksDriftQ20 reserves column $c — rename the key column"))
+    // the psiNumericQ8 floor-bin (positive-mod exact for negatives)
+    def binned(df: DataFrame, cName: String): DataFrame = {
+      val vChecked = when(col(valCol).cast("long") === col(valCol),
+          col(valCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"ksDriftQ20 needs integer values; $valCol = "),
+          col(valCol).cast("string"))))
+      df.filter(col(valCol).isNotNull)
+        .select((keyCols.map(col) :+ vChecked.as("_ks_v")): _*)
+        .withColumn("_ks_bin", expr(s"(_ks_v div ${binWidth}L) - " +
+          s"(CASE WHEN _ks_v < 0 AND pmod(_ks_v, ${binWidth}L) != 0 " +
+          s"THEN 1L ELSE 0L END)"))
+        .groupBy((keyCols :+ "_ks_bin").map(col): _*)
+        .agg(count(lit(1)).as(cName))
+    }
+    val merged = binned(a, "_ks_ca")
+      .join(binned(b, "_ks_cb"), keyCols :+ "_ks_bin", "full")
+      .select((keyCols.map(col) :+ col("_ks_bin") :+
+        coalesce(col("_ks_ca"), lit(0L)).as("_ks_ca") :+
+        coalesce(col("_ks_cb"), lit(0L)).as("_ks_cb")): _*)
+    // one exchange serves both windows (same partition keys): the
+    // cumulative CDF counts and the per-key totals
+    val wCum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ks_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val gaps = merged
+      .withColumn("_ks_cma", sum(col("_ks_ca")).over(wCum))
+      .withColumn("_ks_cmb", sum(col("_ks_cb")).over(wCum))
+      .withColumn("n_a", sum(col("_ks_ca")).over(wAll))
+      .withColumn("n_b", sum(col("_ks_cb")).over(wAll))
+      .withColumn("_ks_gap", abs(
+        col("_ks_cma").cast("decimal(38,0)") * col("n_b") -
+          col("_ks_cmb").cast("decimal(38,0)") * col("n_a")))
+    gaps.groupBy((keyCols :+ "n_a" :+ "n_b").map(col): _*)
+      .agg(max(col("_ks_gap")).as("_ks_gap"),
+        count(lit(1)).as("n_bins"))
+      .withColumn("ks_q20",
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          // non-negative operands: trunc == floor, the bare div is safe
+          .otherwise(expr("cast((cast(1048576 as decimal(38,0)) * _ks_gap)" +
+            " div (cast(n_a as decimal(38,0)) * n_b) as bigint)")))
+      .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("n_bins") :+ col("ks_q20") :+
+        when(col("ks_q20").isNotNull &&
+          col("ks_q20") >= alertThresholdQ20, 1L).otherwise(0L)
+          .as("alert")): _*)
+  }
+
   /** DRIFT ATTRIBUTION — the x97 family's "what moved" diagnostic: per
     * group key, the k tokens with the largest absolute quantized mass
     * shift |pq − qq| (Q20), ties token-ascending — the report a curator

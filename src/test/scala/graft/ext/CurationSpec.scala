@@ -664,4 +664,38 @@ class CurationSpec extends SparkSpec {
     assert(kept.filter(col("source") === "a").count() == 3)
     assert(kept.filter(col("source") === "b").count() == expB.toLong)
   }
+  test("kAnonymityAudit: group census, exact-k boundary, NULL as a QI value, guards") {
+    // key k, QI (q1, q2), k = 3: groups (a,1)x5, (a,2)x2, (b,1)x1,
+    // (b,NULL)x3 — the NULL group has EXACTLY k members, so it is NOT
+    // at risk (the boundary), and NULL keys like any value. At risk:
+    // (a,2) and (b,1) -> 2 groups, 3 rows; risk = floor(2^20*3/11).
+    val rows = Seq.fill(5)(("k", "a", Option(1L))) ++
+      Seq.fill(2)(("k", "a", Option(2L))) ++
+      Seq(("k", "b", Option(1L))) ++
+      Seq.fill(3)(("k", "b", Option.empty[Long]))
+    val df = rows.toDF("g", "q1", "q2")
+    val got = Curation.kAnonymityAudit(df, Seq("g"), Seq("q1", "q2"), 3L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("k", 11L, 4L, 1L, 2L, 3L, 1048576L * 3 / 11)),
+      got.toString)
+    // a fully-anonymous corpus reads zero risk
+    val safe = Curation.kAnonymityAudit(
+        Seq.fill(4)(("k", "a", Option(1L))).toDF("g", "q1", "q2"),
+        Seq("g"), Seq("q1", "q2"), 3L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((safe._5, safe._6, safe._7) == ((0L, 0L, 0L)), safe.toString)
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityAudit(df, Seq("g"), Seq("q1", "q2"), 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityAudit(df, Nil, Seq("q1", "q2"), 3L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityAudit(df, Seq("g"), Nil, 3L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityAudit(df.withColumnRenamed("q1", "risk_q20"),
+        Seq("g"), Seq("risk_q20", "q2"), 3L)
+    }
+  }
 }

@@ -542,4 +542,157 @@ class LearnSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
     assert(merged == got, s"merged=$merged one=$got")
   }
+  test("fleissKappaQ20: hand-computed three-rater kappa, Scott's pi at m=2, degenerate NULL, null exclusion") {
+    // key k (m=3): items AAA, AAB, BBB, ABB ->
+    // S = 9+5+9+5 = 28, T = 12, C_A = C_B = 6, sumC^2 = 72.
+    // kappa = [12·16 - 2·72]/[2·(144-72)] = 48/144 = 1/3
+    //   (classic check: P_bar = 2/3, P_e = 1/2) -> floor(2^20/3) = 349525.
+    // key c: every rating identical -> P_e = 1 -> NULL.
+    // an item with ANY null label is excluded whole.
+    val df = Seq(
+      ("k", "A", "A", "A"), ("k", "A", "A", "B"),
+      ("k", "B", "B", "B"), ("k", "A", "B", "B"),
+      ("k", "A", null, "A"),
+      ("c", "A", "A", "A"), ("c", "A", "A", "A")
+    ).toDF("g", "ra", "rb", "rc")
+    val got = Learn.fleissKappaQ20(df, Seq("g"), Seq("ra", "rb", "rc"))
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("c", 2L, 6L, None),
+      ("k", 4L, 12L, Some(349525L))), got.toString)
+    // m = 2 is Scott's pi, NOT Cohen's kappa: perfect systematic
+    // disagreement (A,B),(B,A) reads exactly -1 (pooled marginals)
+    val two = Seq(("d", "A", "B"), ("d", "B", "A")).toDF("g", "ra", "rb")
+    val pi = Learn.fleissKappaQ20(two, Seq("g"), Seq("ra", "rb"))
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(pi == (("d", 2L, 4L, Some(-1048576L))), pi.toString)
+    // ingest identity: Fleiss cells are item-sums, so shard cells
+    // re-sum to the one-shot table and kappa matches bit-for-bit
+    // (the x98d pin)
+    val half1 = Seq(("k", "A", "A", "A"), ("k", "A", "A", "B"),
+      ("c", "A", "A", "A")).toDF("g", "ra", "rb", "rc")
+    val half2 = Seq(("k", "B", "B", "B"), ("k", "A", "B", "B"),
+      ("k", "A", null, "A"), ("c", "A", "A", "A"))
+      .toDF("g", "ra", "rb", "rc")
+    val merged = Learn.fleissKappaFromCells(
+      Learn.mergeFleissCells(Seq(
+        Learn.fleissCells(half1, Seq("g"), Seq("ra", "rb", "rc")),
+        Learn.fleissCells(half2, Seq("g"), Seq("ra", "rb", "rc"))),
+        Seq("g")), Seq("g"), m = 3)
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(merged == got, s"merged=$merged one=$got")
+    // a restated m that cannot divide the rating total raises in-plan
+    // (wrong rater count or corrupted cells)
+    intercept[Exception] {
+      Learn.fleissKappaFromCells(
+        Learn.fleissCells(Seq(("k", "A", "A", "A")).toDF("g", "ra", "rb", "rc"),
+          Seq("g"), Seq("ra", "rb", "rc")), Seq("g"), m = 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Learn.fleissKappaQ20(df, Nil, Seq("ra", "rb", "rc"))
+    }
+    intercept[IllegalArgumentException] {
+      Learn.fleissKappaQ20(df, Seq("g"), Seq("ra"))
+    }
+    intercept[IllegalArgumentException] {
+      Learn.fleissKappaQ20(df.withColumnRenamed("g", "_fk_l"),
+        Seq("_fk_l"), Seq("ra", "rb", "rc"))
+    }
+  }
+  test("krippendorffAlphaQ20: hand-computed alpha with abstentions, perfect 2^20, degenerate NULL, <2-rating exclusion") {
+    // key k (3 raters, L = lcm(1,2) = 2):
+    //   AAA: m=3, sumsq=9, term 0;  AAB: m=3, sumsq=5, term 4;
+    //   A,B,null: m=2, sumsq=2, term (4-2)*2 = 4;
+    //   A,null,null: m=1 -> EXCLUDED (nothing pairable).
+    // N=8, C_A=6, C_B=2, sumC^2=40; den=2(64-40)=48;
+    // num part = 48 - 7*8 = -8 -> alpha = -1/6
+    //   (direct check: D_o = 1/2, D_e = 3/7, 1 - 7/6 = -1/6)
+    // -> floor(-2^20/6) = -174763.
+    // key p: two unanimous items with an abstention each -> alpha = 1.
+    // key c: every pairable value identical -> D_e = 0 -> NULL.
+    val df = Seq(
+      ("k", "A", "A", "A"), ("k", "A", "A", "B"),
+      ("k", "A", "B", null), ("k", "A", null, null),
+      ("p", "A", "A", null), ("p", "B", "B", null),
+      ("c", "A", "A", null), ("c", "A", "A", null)
+    ).toDF("g", "ra", "rb", "rc")
+    val got = Learn.krippendorffAlphaQ20(df, Seq("g"), Seq("ra", "rb", "rc"))
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("c", 2L, 4L, None),
+      ("k", 3L, 8L, Some(-174763L)),
+      ("p", 2L, 4L, Some(1048576L))), got.toString)
+    intercept[IllegalArgumentException] {
+      Learn.krippendorffAlphaQ20(df, Nil, Seq("ra", "rb", "rc"))
+    }
+    intercept[IllegalArgumentException] {
+      Learn.krippendorffAlphaQ20(df, Seq("g"), Seq("ra"))
+    }
+    intercept[IllegalArgumentException] {
+      Learn.krippendorffAlphaQ20(df.withColumnRenamed("g", "n_values"),
+        Seq("n_values"), Seq("ra", "rb", "rc"))
+    }
+  }
+  test("mcnemarQ20: hand-computed paired test, never-disagree NULL, null exclusion, guards") {
+    // key k: 5 concordant rows, b = 4 (A right, B wrong), c = 1 ->
+    // (4-1)^2/(4+1) = 9/5 = 1.8 -> floor(1.8*2^20) = 1887436.
+    // key d: the models never disagree -> b+c = 0 -> NULL.
+    // a NULL label or prediction is excluded.
+    val df = (Seq.fill(3)(("k", 1L, 1L, 1L)) ++
+      Seq.fill(2)(("k", -1L, -1L, -1L)) ++
+      Seq.fill(4)(("k", 1L, 1L, -1L)) ++
+      Seq(("k", 1L, -1L, 1L)) ++
+      Seq(("d", 1L, 1L, 1L), ("d", 1L, -1L, -1L)))
+      .toDF("g", "y", "pa", "pb")
+      .unionByName(Seq(("k", Option.empty[Long], Option(1L), Option(1L)))
+        .toDF("g", "y", "pa", "pb"))
+    val got = Learn.mcnemarQ20(df, Seq("g"), "y", "pa", "pb")
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("d", 2L, 0L, 0L, None),
+      ("k", 10L, 4L, 1L, Some(1887436L))), got.toString)
+    intercept[IllegalArgumentException] {
+      Learn.mcnemarQ20(df, Nil, "y", "pa", "pb")
+    }
+    intercept[IllegalArgumentException] {
+      Learn.mcnemarQ20(df.withColumnRenamed("g", "n"), Seq("n"),
+        "y", "pa", "pb")
+    }
+  }
+  test("chiSquareAssocQ20: hand-computed 2x2, zero cells carry expectation, single-label dof 0, null exclusion") {
+    // key k: cells (X,L)=4 (X,S)=1 (Y,L)=1 (Y,S)=4; N=10, all marginals
+    // 5. True chi2 = 4*(1.5^2/2.5) = 3.6. Engine floors: every cell
+    // d = +-15, t = 225 // 25 = 9, sum 36 -> floor(2^20*36/10) =
+    // 3774873 (= floor(3.6*2^20) — the two-stage floor loses nothing
+    // here). dof = 1. A NULL-labeled row is excluded.
+    val k = Seq.fill(4)(("k", "X", "L")) ++ Seq(("k", "X", "S")) ++
+      Seq(("k", "Y", "L")) ++ Seq.fill(4)(("k", "Y", "S")) ++
+      Seq(("k", "X", null))
+    val got = Learn.chiSquareAssocQ20(k.toDF("g", "a", "b"),
+        Seq("g"), "a", "b")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("k", 10L, 1L, 3774873L)), got.toString)
+    // zero cells contribute their expectation: perfect association on
+    // a 2x2 with N=4 reads exactly chi2 = N -> 4*2^20 (every cell
+    // including the two EMPTY ones contributes t = 16 // 4 = 4)
+    val z = Seq(("z", "X", "L"), ("z", "X", "L"),
+      ("z", "Y", "S"), ("z", "Y", "S"))
+    val zres = Learn.chiSquareAssocQ20(z.toDF("g", "a", "b"),
+        Seq("g"), "a", "b")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(zres == (("z", 4L, 1L, 4194304L)), zres.toString)
+    // a single-label column is vacuously independent: dof 0, chi2 0
+    val s = Seq(("s", "X", "L"), ("s", "X", "S"))
+    val sres = Learn.chiSquareAssocQ20(s.toDF("g", "a", "b"),
+        Seq("g"), "a", "b")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(sres == (("s", 2L, 0L, 0L)), sres.toString)
+    intercept[IllegalArgumentException] {
+      Learn.chiSquareAssocQ20(z.toDF("g", "a", "b"), Nil, "a", "b")
+    }
+    intercept[IllegalArgumentException] {
+      Learn.chiSquareAssocQ20(z.toDF("dof", "a", "b"), Seq("dof"), "a", "b")
+    }
+  }
 }

@@ -332,6 +332,57 @@ class LmSpec extends SparkSpec {
       TextStats.psiNumericQ8(av, bv, Seq("g"), "v", 0L, 1L)
     }
   }
+  test("ksDriftQ20: hand-computed CDF gap, one-sided NULL, negative bins, guards") {
+    // binWidth 64, key k: A {0,1 -> b0; 130 -> b2} (n=3),
+    // B {0 -> b0; 70 -> b1} (n=2). Cumulatives over sorted bins:
+    // b0 (2,1) gap |2·2-1·3|=1; b1 (2,2) gap |4-6|=2; b2 (3,2) gap 0.
+    // KS = 2/(3·2) = 1/3 -> floor(2^20/3) = 349525. Key m is one-sided
+    // (B empty) -> ks NULL, alert 0 (never a fake extreme).
+    val av = Seq(("k", 0L), ("k", 1L), ("k", 130L), ("m", 7L))
+      .toDF("g", "v")
+    val bv = Seq(("k", 0L), ("k", 70L)).toDF("g", "v")
+    val got = TextStats.ksDriftQ20(av, bv, Seq("g"), "v", 64L, 349525L)
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("k", 3L, 2L, 3L, Some(349525L), 1L),
+      ("m", 1L, 0L, 1L, None, 0L)), got.toString)
+    // one tick above the statistic: alert drops
+    val above = TextStats.ksDriftQ20(av, bv, Seq("g"), "v", 64L, 349526L)
+      .filter($"g" === "k").as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().head
+    assert(above._6 == 0L, above.toString)
+    // identical sides: KS exactly 0
+    val same = TextStats.ksDriftQ20(av, av, Seq("g"), "v", 64L, 1L)
+      .filter($"g" === "k").as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().head
+    assert(same._5.contains(0L) && same._6 == 0L, same.toString)
+    // negative values floor-bin (the psiNumericQ8 correction): A {-5, 0}
+    // -> bins {-1, 0}; B {0}. Gap at b-1: |1·1-0·2| = 1 -> KS = 1/2.
+    val neg = TextStats.ksDriftQ20(
+        Seq(("k", -5L), ("k", 0L)).toDF("g", "v"),
+        Seq(("k", 0L)).toDF("g", "v"), Seq("g"), "v", 64L, 1L)
+      .as[(String, Long, Long, Long, Option[Long], Long)].collect().head
+    assert(neg._5.contains(524288L), neg.toString)
+    // fractional values raise per row; structural guards up front
+    intercept[Exception] {
+      TextStats.ksDriftQ20(Seq(("k", 1.5)).toDF("g", "v"), bv,
+        Seq("g"), "v", 64L, 1L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.ksDriftQ20(av, bv, Seq("g"), "v", 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.ksDriftQ20(av, bv, Nil, "v", 64L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.ksDriftQ20(av, bv, Seq("g"), "v", 64L, -1L)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.ksDriftQ20(av.withColumnRenamed("g", "n_a"), bv,
+        Seq("n_a"), "v", 64L, 1L)
+    }
+  }
   test("mergeTokenCounts: staged-base + batch re-sum == one-shot counts (the x97b identity)") {
     val docs = Seq(
       ("k", "a a b"), ("k", "b c"), ("k", "a c c"), ("m", "a b")

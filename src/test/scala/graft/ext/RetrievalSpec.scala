@@ -226,4 +226,47 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.evalRun(run.drop("rank"), docs, 3))
   }
+  test("evalNdcg: hand-computed NDCG@3, perfect-rank pin, n_rel clamp, guards") {
+    val disc = Retrieval.ndcgDiscountsQ20(3)
+    // anchor the shared constant table: log2(2) and log2(4) are exact
+    // in IEEE double, so ranks 1 and 3 pin exactly; rank 2 sits in
+    // (2^20/1.585, 2^20/1.5848) — a drifted log would leave the band
+    assert(disc.head == 1048576L, disc.toString)
+    assert(disc(2) == 524288L, disc.toString)
+    assert(disc(1) > 661400L && disc(1) < 661700L, disc.toString)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val qrels = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L), // q1: 3 relevant, one unranked
+      (2L, 50L),                       // q2: run never finds it
+      (3L, 30L),                       // q3: perfect single hit
+      (5L, 70L), (5L, 71L), (5L, 72L), (5L, 73L) // q5: n_rel > k
+    ).toDF("qid", "doc_id")
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 60L, 1L),
+      (3L, 30L, 1L),
+      (4L, 80L, 1L), // q4: no qrels at all
+      (5L, 70L, 1L), (5L, 71L, 2L), (5L, 72L, 3L)
+    ).toDF("qid", "doc_id", "rank")
+    val got = Retrieval.evalNdcg(run, qrels, 3, disc)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // q1: dcg = d1+d3, idcg = cum(3) (all three relevant fit in k)
+      (1L, 3L, disc(0) + disc(2), cum(2),
+        1048576L * (disc(0) + disc(2)) / cum(2)),
+      (2L, 1L, 0L, cum(0), 0L),
+      (3L, 1L, disc(0), cum(0), 1048576L), // perfect ranking reads 2^20
+      (4L, 0L, 0L, 0L, 0L),                // no qrels: the 0 convention
+      // q5: idcg clamps to cum(min(4,3)); all 3 ranks hit -> 2^20
+      (5L, 4L, cum(2), cum(2), 1048576L)), got.toString)
+    intercept[IllegalArgumentException](
+      Retrieval.evalNdcg(run, qrels, 2, disc)) // size mismatch
+    intercept[IllegalArgumentException](
+      Retrieval.evalNdcg(run, qrels, 3, Seq(1L, 2L, 3L))) // increasing
+    intercept[IllegalArgumentException](
+      Retrieval.evalNdcg(run, qrels, 3, Seq(3L, 2L, 0L))) // non-positive
+    intercept[IllegalArgumentException](
+      Retrieval.evalNdcg(run.drop("rank"), qrels, 3, disc))
+    intercept[IllegalArgumentException](Retrieval.ndcgDiscountsQ20(0))
+  }
 }
