@@ -3249,6 +3249,35 @@ object SparkEntry {
           when(col("n_chars") >= 256, "long").otherwise("short").as("rb"))
       graft.ext.Learn.cohenKappaQ20(d, Seq("lang"), "ra", "rb")
     }),
+    "x97g_cliffs_delta" -> ((s, dir) => {
+      // the SIGNED ordinal effect size completing the drift triple
+      // (PSI density, KS distance, δ direction): Cliff's delta of
+      // n_chars between the releases over the same ⌊v/64⌋ bins —
+      // which release runs LONGER, and by how much dominance, exact
+      // pair counts with one positive-mod Q20 floor.
+      val d = t(s, dir, "documents")
+      graft.ext.TextStats.cliffsDeltaQ20(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        Seq("lang"), "n_chars", 64L)
+    }),
+    "x101_kendall_tau" -> ((s, dir) => {
+      // SCORER rank agreement: Kendall's tau-a between the bucketed
+      // token-count and char-count quality signals per language — do
+      // two cheap scorers ORDER the corpus the same way? Bucketing
+      // (÷8 / ÷64, both sides non-negative so trunc = floor) keeps the
+      // score-cell frame censused; ties count neither, keeping tau-a
+      // an exact rational.
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"),
+          size(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .cast("long").as("_tc"),
+          col("n_chars"))
+        .select(col("lang"), expr("_tc div 8").as("xb"),
+          expr("n_chars div 64").as("yb"))
+      graft.ext.Learn.kendallTauAQ20(d, Seq("lang"), "xb", "yb")
+    }),
     "x97f_ks_drift" -> ((s, dir) => {
       // the CDF-shaped drift test beside x97e's density-shaped PSI:
       // two-sample Kolmogorov–Smirnov over the same ⌊n_chars/64⌋ bins
@@ -4737,6 +4766,78 @@ object SparkEntry {
                 CAST(CASE WHEN ks_q20 IS NOT NULL AND ks_q20 >= 104857
                      THEN 1 ELSE 0 END AS BIGINT) AS alert
          FROM k"""
+
+  /** x97g: Cliff's delta replayed — the same ⌊n_chars/64⌋ bins and
+    * cumulative window as the KS, pair counts from (a-mass × strictly
+    * lower / strictly higher B-mass), the signed positive-mod Q20
+    * floor over n_a·n_b; one-sided → NULL. */
+  private val x97gOracleSql: String =
+    """WITH ha AS (SELECT lang, (n_chars // 64) AS bin, COUNT(*) AS ca
+           FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         hb AS (SELECT lang, (n_chars // 64) AS bin, COUNT(*) AS cb
+           FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT COALESCE(ha.lang, hb.lang) AS lang,
+                      COALESCE(ha.bin, hb.bin) AS bin,
+                      COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM ha FULL JOIN hb
+                 ON ha.lang = hb.lang AND ha.bin = hb.bin),
+         c AS (SELECT lang, ca, cb,
+                 SUM(cb) OVER (PARTITION BY lang ORDER BY bin) AS cmb,
+                 SUM(ca) OVER (PARTITION BY lang) AS na,
+                 SUM(cb) OVER (PARTITION BY lang) AS nb
+               FROM m),
+         g AS (SELECT lang, na, nb,
+                 SUM(CAST(ca AS HUGEINT) * (cmb - cb)) AS gt,
+                 SUM(CAST(ca AS HUGEINT) * (nb - cmb)) AS lt
+               FROM c GROUP BY 1, 2, 3),
+         k AS (SELECT lang, na, nb, gt, lt,
+                 1048576::HUGEINT * (gt - lt) AS x,
+                 CAST(na AS HUGEINT) * nb AS dn
+               FROM g)
+         SELECT lang, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CAST(gt AS BIGINT) AS n_gt, CAST(lt AS BIGINT) AS n_lt,
+                CASE WHEN na = 0 OR nb = 0 THEN NULL
+                     ELSE CAST((x - ((x % dn + dn) % dn)) // dn AS BIGINT)
+                END AS delta_q20
+         FROM k"""
+
+  /** x101: Kendall's tau-a replayed — bucketed score cells, the
+    * strict-upper cell self-join for concordant/discordant pair sums,
+    * and the signed positive-mod floor over n(n−1). */
+  private val x101OracleSql: String =
+    """WITH lab AS (
+           SELECT lang,
+                  len(string_split_regex(regexp_replace(text,
+                    '^\s+|\s+$', '', 'g'), '\s+')) // 8 AS x,
+                  n_chars // 64 AS y
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+             AND n_chars IS NOT NULL),
+         cells AS (SELECT lang, x, y, COUNT(*) AS o FROM lab GROUP BY 1, 2, 3),
+         tot AS (SELECT lang, SUM(o) AS n FROM cells GROUP BY 1),
+         pr AS (SELECT c1.lang,
+                  SUM(CASE WHEN c2.y > c1.y
+                      THEN CAST(c1.o AS HUGEINT) * c2.o ELSE 0 END) AS cc,
+                  SUM(CASE WHEN c2.y < c1.y
+                      THEN CAST(c1.o AS HUGEINT) * c2.o ELSE 0 END) AS dd
+                FROM cells c1
+                JOIN cells c2 ON c2.lang = c1.lang AND c2.x > c1.x
+                GROUP BY 1),
+         calc AS (SELECT t.lang, t.n,
+                    COALESCE(pr.cc, 0) AS cc, COALESCE(pr.dd, 0) AS dd,
+                    2097152::HUGEINT * (COALESCE(pr.cc, 0)
+                                        - COALESCE(pr.dd, 0)) AS x,
+                    CAST(t.n AS HUGEINT) * (t.n - 1) AS dn
+                  FROM tot t LEFT JOIN pr ON pr.lang = t.lang)
+         SELECT lang, CAST(n AS BIGINT) AS n,
+                CAST(cc AS BIGINT) AS n_conc, CAST(dd AS BIGINT) AS n_disc,
+                CASE WHEN n < 2 THEN NULL
+                     ELSE CAST((x - ((x % dn + dn) % dn)) // dn AS BIGINT)
+                END AS tau_q20
+         FROM calc"""
 
   /** x89b: NDCG@5 replayed — the run/qrels CTEs of x89 plus the SHARED
     * Q20 discount table: the (rank, d, cum) literals below are the SAME
@@ -7497,6 +7598,10 @@ object SparkEntry {
     // x97f: two-sample KS over the x97e bins — cumulative window sums,
     // HUGEINT cross-multiplied gap, one Q20 floor at the end
     "x97f_ks_drift" -> x97fOracleSql,
+    // x97g: Cliff's delta — signed dominance off the same bins
+    "x97g_cliffs_delta" -> x97gOracleSql,
+    // x101: Kendall's tau-a — bucketed score cells, strict-upper sweep
+    "x101_kendall_tau" -> x101OracleSql,
     // x89b: NDCG@5 with the shared Q20 discount literals
     "x89b_ndcg" -> x89bOracleSql,
     // x97b answers the SAME oracle verbatim: counts are sums, so the

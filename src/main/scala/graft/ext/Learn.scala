@@ -1110,6 +1110,87 @@ object Learn {
           .as("mcnemar_q20")): _*)
   }
 
+  /** KENDALL'S TAU-A — rank agreement between two integer scorers on
+    * the same documents ("do the Gopher heuristic and the trained model
+    * ORDER the corpus the same way?"), the scorer-QA complement of
+    * value-level agreement (κ families) and paired accuracy (McNemar):
+    * τ_a = 2(C − D)/(n(n−1)) over concordant/discordant pairs; ties
+    * (either coordinate) count neither, so τ_a (unlike τ_b) stays an
+    * exact rational — the [[graft.ext.Retrieval.evalRun]] reciprocal-
+    * rank move. Signed → positive-mod Q20 floor; n < 2 → NULL.
+    *
+    * 100 TB shape: the corpus reduces in ONE (keys, x, y)-keyed
+    * aggregation to score CELLS; pair counting is a strict-upper
+    * (x2 > x1) self-join of that cell frame — |cells|² work, so the
+    * cell census is load-bearing: scores must be BUCKETED (the x77b
+    * quantization convention) and a per-key census raises in-plan
+    * above `maxCells` (default 4096 → ≤ 2²⁴ pair terms per key).
+    * NULL scores excluded. Returns (keys..., n, n_conc, n_disc,
+    * tau_q20 [nullable]). */
+  def kendallTauAQ20(df: DataFrame, keyCols: Seq[String], xCol: String,
+                     yCol: String, maxCells: Long = 4096L): DataFrame = {
+    require(keyCols.nonEmpty, "kendallTauAQ20 needs >= 1 group key")
+    require(maxCells >= 1 && maxCells <= (1L << 16),
+      s"maxCells must be in [1, 2^16]: $maxCells")
+    val reserved = Seq("_kt_x", "_kt_y", "_kt_o", "_kt_x2", "_kt_y2",
+      "_kt_o2", "_kt_cells", "_kt_cd", "n", "n_conc", "n_disc", "tau_q20")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"kendallTauAQ20 reserves column $c — rename the key column"))
+    def ic(cn: String) = when(col(cn).cast("long") === col(cn),
+        col(cn).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"kendallTauAQ20 needs integer scores; $cn = "),
+        col(cn).cast("string"))))
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((keyCols.map(col) :+ ic(xCol).as("_kt_x") :+
+        ic(yCol).as("_kt_y")): _*)
+      .groupBy((keyCols :+ "_kt_x" :+ "_kt_y").map(col): _*)
+      .agg(count(lit(1)).as("_kt_o"))
+    // the raise rides the KEPT column n — a standalone check column
+    // would be pruned away by Catalyst and never evaluate
+    val census = cells.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_kt_cells"), sum(col("_kt_o")).as("n"))
+      .withColumn("n", when(col("_kt_cells") <= maxCells, col("n"))
+        .otherwise(raise_error(concat(
+          lit(s"kendallTauAQ20: score-cell census exceeds maxCells="
+            + s"$maxCells — bucket the scores coarser; cells = "),
+          col("_kt_cells").cast("string")))))
+    // strict-upper pair sweep on the censused cell frame: each pair of
+    // cells with x2 > x1 contributes o1·o2 concordant (y2 > y1) or
+    // discordant (y2 < y1) pairs; y2 = y1 is a tie and contributes none
+    val c2 = cells.select((keyCols.map(col) :+
+      col("_kt_x").as("_kt_x2") :+ col("_kt_y").as("_kt_y2") :+
+      col("_kt_o").as("_kt_o2")): _*)
+    val pairs = cells.join(c2, keyCols)
+      .filter(col("_kt_x2") > col("_kt_x"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(col("_kt_y2") > col("_kt_y"),
+          col("_kt_o").cast("decimal(38,0)") * col("_kt_o2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("n_conc"),
+        sum(when(col("_kt_y2") < col("_kt_y"),
+          col("_kt_o").cast("decimal(38,0)") * col("_kt_o2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("n_disc"))
+    census.join(pairs, keyCols, "left")
+      .withColumn("n_conc",
+        coalesce(col("n_conc"), lit(0).cast("decimal(38,0)")))
+      .withColumn("n_disc",
+        coalesce(col("n_disc"), lit(0).cast("decimal(38,0)")))
+      .withColumn("_kt_cd", expr(
+        "cast(2097152 as decimal(38,0)) * (n_conc - n_disc)"))
+      .select((keyCols.map(col) :+ col("n") :+
+        col("n_conc").cast("long").as("n_conc") :+
+        col("n_disc").cast("long").as("n_disc") :+
+        when(col("n") < 2, lit(null).cast("long"))
+          // signed dividend: the positive-mod floor correction over
+          // the exact pair denominator n(n−1)
+          .otherwise(expr(
+            """cast((_kt_cd - pmod(_kt_cd,
+                 cast(n as decimal(38,0)) * (n - 1)))
+               div (cast(n as decimal(38,0)) * (n - 1)) as bigint)"""))
+          .as("tau_q20")): _*)
+  }
+
   /** Score a text with trained [[centroidThresholdTrain]] weights (one
     * weight per bucket, no bias — the threshold plays that role): raw
     * integer Σ w_b·cnt_b as decimal(38,0), a zero-exchange projection. */

@@ -1177,32 +1177,69 @@ object TextStats {
   def ksDriftQ20(a: DataFrame, b: DataFrame, keyCols: Seq[String],
                  valCol: String, binWidth: Long,
                  alertThresholdQ20: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // structural guards BEFORE binning builds any plan, so a bad call
+    // fails here and not with an analysis error inside the bin step
     require(keyCols.nonEmpty, "ksDriftQ20 needs >= 1 group key")
+    Seq("_ks_bin", "_ks_ca", "_ks_cb", "_ks_cma", "_ks_cmb", "_ks_gap",
+      "n_a", "n_b", "n_bins", "ks_q20", "alert").foreach(c =>
+      require(!keyCols.contains(c),
+        s"ksDriftQ20 reserves column $c — rename the key column"))
+    ksDriftFromBins(
+      floorBinCounts(a, keyCols, valCol, binWidth, "_ks_c", "ksDriftQ20"),
+      floorBinCounts(b, keyCols, valCol, binWidth, "_ks_c", "ksDriftQ20"),
+      keyCols, "_ks_bin", "_ks_c", alertThresholdQ20)
+  }
+
+  /** The psiNumericQ8 floor-bin (positive-mod, exact for negatives)
+    * reduced to (keys, binCol, cntCol) — the MERGEABLE summary the KS
+    * and Cliff's-delta monitors run on: bin counts are SUMS, so
+    * per-shard/micro-batch tables re-sum to the one-shot table and the
+    * statistics are continuous-ingest citizens (the mergeTokenCounts
+    * property; merge by groupBy(keys, bin).sum). */
+  def floorBinCounts(df: DataFrame, keyCols: Seq[String], valCol: String,
+                     binWidth: Long, cntName: String,
+                     caller: String): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    val vChecked = when(col(valCol).cast("long") === col(valCol),
+        col(valCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$caller needs integer values; $valCol = "),
+        col(valCol).cast("string"))))
+    df.filter(col(valCol).isNotNull)
+      .select((keyCols.map(col) :+ vChecked.as("_ks_v")): _*)
+      .withColumn("_ks_bin", expr(s"(_ks_v div ${binWidth}L) - " +
+        s"(CASE WHEN _ks_v < 0 AND pmod(_ks_v, ${binWidth}L) != 0 " +
+        s"THEN 1L ELSE 0L END)"))
+      .groupBy((keyCols :+ "_ks_bin").map(col): _*)
+      .agg(count(lit(1)).as(cntName))
+  }
+
+  /** [[ksDriftQ20]] over pre-binned count tables — the entry point for
+    * ingest/streaming (bin counts merge by re-sum; see
+    * [[floorBinCounts]]). Counts must be positive (raise per row) and
+    * (keys, bin) rows unique — merge shards first, or the full-outer
+    * bin join fans out. */
+  def ksDriftFromBins(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                      binCol: String, cntCol: String,
+                      alertThresholdQ20: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "ksDriftFromBins needs >= 1 group key")
     require(alertThresholdQ20 >= 0,
       s"alertThresholdQ20 must be >= 0: $alertThresholdQ20")
     val reserved = Seq("_ks_bin", "_ks_ca", "_ks_cb", "_ks_cma", "_ks_cmb",
       "_ks_gap", "n_a", "n_b", "n_bins", "ks_q20", "alert")
     reserved.foreach(c => require(!keyCols.contains(c),
-      s"ksDriftQ20 reserves column $c — rename the key column"))
-    // the psiNumericQ8 floor-bin (positive-mod exact for negatives)
-    def binned(df: DataFrame, cName: String): DataFrame = {
-      val vChecked = when(col(valCol).cast("long") === col(valCol),
-          col(valCol).cast("long"))
+      s"ksDriftFromBins reserves column $c — rename the key column"))
+    def side(df: DataFrame, cName: String): DataFrame = {
+      val cChecked = when(col(cntCol) >= 1L, col(cntCol).cast("long"))
         .otherwise(raise_error(concat(
-          lit(s"ksDriftQ20 needs integer values; $valCol = "),
-          col(valCol).cast("string"))))
-      df.filter(col(valCol).isNotNull)
-        .select((keyCols.map(col) :+ vChecked.as("_ks_v")): _*)
-        .withColumn("_ks_bin", expr(s"(_ks_v div ${binWidth}L) - " +
-          s"(CASE WHEN _ks_v < 0 AND pmod(_ks_v, ${binWidth}L) != 0 " +
-          s"THEN 1L ELSE 0L END)"))
-        .groupBy((keyCols :+ "_ks_bin").map(col): _*)
-        .agg(count(lit(1)).as(cName))
+          lit(s"ksDriftFromBins needs positive counts; $cntCol = "),
+          col(cntCol).cast("string"))))
+      df.select((keyCols.map(col) :+ col(binCol).as("_ks_bin") :+
+        cChecked.as(cName)): _*)
     }
-    val merged = binned(a, "_ks_ca")
-      .join(binned(b, "_ks_cb"), keyCols :+ "_ks_bin", "full")
+    val merged = side(a, "_ks_ca")
+      .join(side(b, "_ks_cb"), keyCols :+ "_ks_bin", "full")
       .select((keyCols.map(col) :+ col("_ks_bin") :+
         coalesce(col("_ks_ca"), lit(0L)).as("_ks_ca") :+
         coalesce(col("_ks_cb"), lit(0L)).as("_ks_cb")): _*)
@@ -1233,6 +1270,91 @@ object TextStats {
         when(col("ks_q20").isNotNull &&
           col("ks_q20") >= alertThresholdQ20, 1L).otherwise(0L)
           .as("alert")): _*)
+  }
+
+  /** CLIFF'S DELTA — the SIGNED ordinal effect size the drift pair
+    * (density PSI + CDF KS) still lacks: δ = (#[x_a > x_b] −
+    * #[x_a < x_b]) / (n_a·n_b) over all cross pairs, +1 when release A
+    * stochastically dominates, −1 when B does (Cliff, Psychol. Bull.
+    * 1993). KS says "how far apart", δ says "which way and how hard" —
+    * the number a curator reads to learn documents got LONGER, not just
+    * different. Computed at bin granularity (within-bin pairs are
+    * ties): greater = Σ_b ca_b·cumB_{<b}, less = Σ_b ca_b·(n_b −
+    * cumB_{≤b}) — exact integers off the same cumulative frame as the
+    * KS, one positive-mod Q20 floor at the end (δ is signed). A
+    * one-sided key is NULL. Same mergeable-bin ingest contract as
+    * [[ksDriftFromBins]]. Returns (keys..., n_a, n_b, n_gt, n_lt,
+    * delta_q20 [nullable]); the REPORT columns n_gt/n_lt are pair
+    * counts computed in decimal and cast to long — beyond 2⁶³ pairs
+    * (n_a·n_b at ~3·10⁹ a side) the cast raises loudly under ANSI
+    * (delta_q20 itself is computed on the decimals and never
+    * overflows). */
+  def cliffsDeltaQ20(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                     valCol: String, binWidth: Long): DataFrame = {
+    require(keyCols.nonEmpty, "cliffsDeltaQ20 needs >= 1 group key")
+    Seq("_ks_bin", "_ks_ca", "_ks_cb", "_ks_cmb", "_ks_gt", "_ks_lt",
+      "n_a", "n_b", "n_gt", "n_lt", "delta_q20").foreach(c =>
+      require(!keyCols.contains(c),
+        s"cliffsDeltaQ20 reserves column $c — rename the key column"))
+    cliffsDeltaFromBins(
+      floorBinCounts(a, keyCols, valCol, binWidth, "_ks_c",
+        "cliffsDeltaQ20"),
+      floorBinCounts(b, keyCols, valCol, binWidth, "_ks_c",
+        "cliffsDeltaQ20"),
+      keyCols, "_ks_bin", "_ks_c")
+  }
+
+  /** [[cliffsDeltaQ20]] over pre-binned count tables (unique
+    * (keys, bin) rows, positive counts — the [[ksDriftFromBins]]
+    * contract). */
+  def cliffsDeltaFromBins(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                          binCol: String, cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "cliffsDeltaFromBins needs >= 1 group key")
+    val reserved = Seq("_ks_bin", "_ks_ca", "_ks_cb", "_ks_cmb", "_ks_gt",
+      "_ks_lt", "n_a", "n_b", "n_gt", "n_lt", "delta_q20")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"cliffsDeltaFromBins reserves column $c — rename the key column"))
+    def side(df: DataFrame, cName: String): DataFrame = {
+      val cChecked = when(col(cntCol) >= 1L, col(cntCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"cliffsDeltaFromBins needs positive counts; $cntCol = "),
+          col(cntCol).cast("string"))))
+      df.select((keyCols.map(col) :+ col(binCol).as("_ks_bin") :+
+        cChecked.as(cName)): _*)
+    }
+    val merged = side(a, "_ks_ca")
+      .join(side(b, "_ks_cb"), keyCols :+ "_ks_bin", "full")
+      .select((keyCols.map(col) :+ col("_ks_bin") :+
+        coalesce(col("_ks_ca"), lit(0L)).as("_ks_ca") :+
+        coalesce(col("_ks_cb"), lit(0L)).as("_ks_cb")): _*)
+    val wCum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ks_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    merged
+      .withColumn("_ks_cmb", sum(col("_ks_cb")).over(wCum))
+      .withColumn("n_a", sum(col("_ks_ca")).over(wAll))
+      .withColumn("n_b", sum(col("_ks_cb")).over(wAll))
+      // a-mass in bin b beats the B-mass in strictly lower bins and
+      // loses to the B-mass in strictly higher ones; within-bin = tie
+      .withColumn("_ks_gt", col("_ks_ca").cast("decimal(38,0)") *
+        (col("_ks_cmb") - col("_ks_cb")))
+      .withColumn("_ks_lt", col("_ks_ca").cast("decimal(38,0)") *
+        (col("n_b") - col("_ks_cmb")))
+      .groupBy((keyCols :+ "n_a" :+ "n_b").map(col): _*)
+      .agg(sum(col("_ks_gt")).as("_ks_gt"), sum(col("_ks_lt")).as("_ks_lt"))
+      .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        col("_ks_gt").cast("long").as("n_gt") :+
+        col("_ks_lt").cast("long").as("n_lt") :+
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          // signed dividend: the positive-mod floor correction
+          .otherwise(expr(
+            """cast(((cast(1048576 as decimal(38,0)) * (_ks_gt - _ks_lt))
+                 - pmod(cast(1048576 as decimal(38,0)) * (_ks_gt - _ks_lt),
+                        cast(n_a as decimal(38,0)) * n_b))
+               div (cast(n_a as decimal(38,0)) * n_b) as bigint)"""))
+          .as("delta_q20")): _*)
   }
 
   /** DRIFT ATTRIBUTION — the x97 family's "what moved" diagnostic: per

@@ -660,6 +660,56 @@ class LearnSpec extends SparkSpec {
         "y", "pa", "pb")
     }
   }
+  test("kendallTauAQ20: exact +-2^20 pins, tie neutrality, duplicate cells, census raise, guards") {
+    // perfect agreement (1,1)(2,2)(3,3): C=3, D=0, n=3 ->
+    // tau = 2*3/(3*2) = 1 -> 2^20; reversal -> exactly -2^20.
+    val asc = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L))
+      .toDF("g", "x", "y")
+    val one = Learn.kendallTauAQ20(asc, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(one == (("k", 3L, 3L, 0L, Some(1048576L))), one.toString)
+    val desc = Seq(("k", 1L, 3L), ("k", 2L, 2L), ("k", 3L, 1L))
+      .toDF("g", "x", "y")
+    val neg = Learn.kendallTauAQ20(desc, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(neg == (("k", 3L, 0L, 3L, Some(-1048576L))), neg.toString)
+    // ties count neither (tau-a): (1,1)(1,2)(2,2) -> only (1,1)-(2,2)
+    // concordant; tau = 2*1/(3*2) = 1/3 -> 349525
+    val ties = Seq(("k", 1L, 1L), ("k", 1L, 2L), ("k", 2L, 2L))
+      .toDF("g", "x", "y")
+    val tt = Learn.kendallTauAQ20(ties, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(tt == (("k", 3L, 1L, 0L, Some(349525L))), tt.toString)
+    // duplicate points weight by cell product: (1,1)x2 vs (2,2) ->
+    // C = 2, tau = 4/6 -> floor(2^21/3) = 699050
+    val dup = Seq(("k", 1L, 1L), ("k", 1L, 1L), ("k", 2L, 2L))
+      .toDF("g", "x", "y")
+    val dd = Learn.kendallTauAQ20(dup, Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(dd == (("k", 3L, 2L, 0L, Some(699050L))), dd.toString)
+    // a single observation has no pairs: NULL
+    val solo = Learn.kendallTauAQ20(Seq(("s", 1L, 1L)).toDF("g", "x", "y"),
+        Seq("g"), "x", "y")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    assert(solo == (("s", 1L, 0L, 0L, None)), solo.toString)
+    // the cell census is load-bearing: 3 cells over maxCells = 2 raises
+    intercept[Exception] {
+      Learn.kendallTauAQ20(asc, Seq("g"), "x", "y", maxCells = 2L)
+        .collect()
+    }
+    // fractional scores raise per row
+    intercept[Exception] {
+      Learn.kendallTauAQ20(Seq(("k", 1.5, 1.0)).toDF("g", "x", "y"),
+        Seq("g"), "x", "y").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Learn.kendallTauAQ20(asc, Nil, "x", "y")
+    }
+    intercept[IllegalArgumentException] {
+      Learn.kendallTauAQ20(asc.withColumnRenamed("g", "tau_q20"),
+        Seq("tau_q20"), "x", "y")
+    }
+  }
   test("chiSquareAssocQ20: hand-computed 2x2, zero cells carry expectation, single-label dof 0, null exclusion") {
     // key k: cells (X,L)=4 (X,S)=1 (Y,L)=1 (Y,S)=4; N=10, all marginals
     // 5. True chi2 = 4*(1.5^2/2.5) = 3.6. Engine floors: every cell

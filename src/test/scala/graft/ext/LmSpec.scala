@@ -383,6 +383,59 @@ class LmSpec extends SparkSpec {
         Seq("n_a"), "v", 64L, 1L)
     }
   }
+  test("cliffsDeltaQ20: signed dominance, exact +-2^20 pins, bin-tie neutrality, one-sided NULL") {
+    // binWidth 64. Full dominance: A {130, 200} (bins 2, 3) vs
+    // B {0, 70} (bins 0, 1) -> every cross pair greater -> +2^20;
+    // swapping sides reads exactly -2^20 (the positive-mod floor).
+    val hi = Seq(("k", 130L), ("k", 200L)).toDF("g", "v")
+    val lo = Seq(("k", 0L), ("k", 70L)).toDF("g", "v")
+    val up = TextStats.cliffsDeltaQ20(hi, lo, Seq("g"), "v", 64L)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(up == (("k", 2L, 2L, 4L, 0L, Some(1048576L))), up.toString)
+    val dn = TextStats.cliffsDeltaQ20(lo, hi, Seq("g"), "v", 64L)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(dn == (("k", 2L, 2L, 0L, 4L, Some(-1048576L))), dn.toString)
+    // partial dominance: A bins {0,2,3} vs B bin {1,1}: gt=4, lt=2 ->
+    // delta = 2/6 = 1/3 -> floor(2^20/3) = 349525
+    val a3 = Seq(("k", 0L), ("k", 130L), ("k", 200L)).toDF("g", "v")
+    val b2 = Seq(("k", 70L), ("k", 70L)).toDF("g", "v")
+    val part = TextStats.cliffsDeltaQ20(a3, b2, Seq("g"), "v", 64L)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(part == (("k", 3L, 2L, 4L, 2L, Some(349525L))), part.toString)
+    // identical sides: within-bin pairs are ties, the cross-bin pair
+    // counts once each way -> gt = lt = 1, delta exactly 0
+    val same = TextStats.cliffsDeltaQ20(hi, hi, Seq("g"), "v", 64L)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert((same._4, same._5, same._6) == ((1L, 1L, Some(0L))),
+      same.toString)
+    // one-sided key: NULL, never a fake +-2^20
+    val oneSided = TextStats.cliffsDeltaQ20(
+        Seq(("m", 7L)).toDF("g", "v"), lo, Seq("g"), "v", 64L)
+      .filter($"g" === "m")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(oneSided._6.isEmpty, oneSided.toString)
+    // shard re-sum == one-shot (the FromBins ingest contract)
+    val sh1 = TextStats.floorBinCounts(
+      Seq(("k", 0L)).toDF("g", "v"), Seq("g"), "v", 64L, "c", "spec")
+    val sh2 = TextStats.floorBinCounts(
+      Seq(("k", 130L), ("k", 200L)).toDF("g", "v"), Seq("g"), "v", 64L,
+      "c", "spec")
+    val merged = sh1.unionByName(sh2)
+      .groupBy($"g", $"_ks_bin").agg(sum($"c").as("c"))
+    val viaBins = TextStats.cliffsDeltaFromBins(merged,
+        TextStats.floorBinCounts(b2, Seq("g"), "v", 64L, "c", "spec"),
+        Seq("g"), "_ks_bin", "c")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(viaBins == part, s"viaBins=$viaBins one=$part")
+    intercept[IllegalArgumentException] {
+      TextStats.cliffsDeltaQ20(hi, lo, Nil, "v", 64L)
+    }
+    intercept[Exception] {
+      TextStats.cliffsDeltaFromBins(
+        Seq(("k", 0L, 0L)).toDF("g", "_ks_bin", "c"), merged,
+        Seq("g"), "_ks_bin", "c").collect()
+    }
+  }
   test("mergeTokenCounts: staged-base + batch re-sum == one-shot counts (the x97b identity)") {
     val docs = Seq(
       ("k", "a a b"), ("k", "b c"), ("k", "a c c"), ("m", "a b")

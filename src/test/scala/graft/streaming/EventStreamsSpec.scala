@@ -441,6 +441,7 @@ class EventStreamsSpec extends SparkSpec {
     val kmvB = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
     val qsB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
     val cntB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String, Long)]]
+    val binB = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream.trigger(Trigger.AvailableNow())
@@ -458,6 +459,9 @@ class EventStreamsSpec extends SparkSpec {
         cntB += t.groupBy(col("k"), col("tok"))
           .agg(count(lit(1)).as("c"))
           .as[(String, String, Long)].collect().toSeq
+        binB += graft.ext.TextStats.floorBinCounts(lens(batch), Seq("k"),
+          "len", 16L, "c", "EventStreamsSpec")
+          .as[(String, Long, Long)].collect().toSeq
         ()
       }
       .start()
@@ -515,6 +519,33 @@ class EventStreamsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().sorted.toSeq
     assert(psiStream == psiOne, s"stream=$psiStream one=$psiOne")
+    // x97f/x97g ride the same mergeable property at the BIN level:
+    // per-micro-batch floor-bin counts re-sum to the one-shot bin
+    // table, so the KS statistic and Cliff's delta against the FIXED
+    // release A are bit-identical to the batch computation
+    val binsRelA = graft.ext.TextStats.floorBinCounts(lens(relA),
+      Seq("k"), "len", 16L, "c", "EventStreamsSpec")
+    val binsMerged = binB.toSeq.map(_.toDF("k", "_ks_bin", "c"))
+      .reduce(_ unionByName _)
+      .groupBy(col("k"), col("_ks_bin")).agg(sum(col("c")).as("c"))
+    val ksOne = graft.ext.TextStats.ksDriftQ20(
+      lens(relA), lens(docs), Seq("k"), "len", 16L, 1L)
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().sorted.toSeq
+    val ksStream = graft.ext.TextStats.ksDriftFromBins(
+      binsRelA, binsMerged, Seq("k"), "_ks_bin", "c", 1L)
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().sorted.toSeq
+    assert(ksStream == ksOne, s"stream=$ksStream one=$ksOne")
+    val cdOne = graft.ext.TextStats.cliffsDeltaQ20(
+      lens(relA), lens(docs), Seq("k"), "len", 16L)
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    val cdStream = graft.ext.TextStats.cliffsDeltaFromBins(
+      binsRelA, binsMerged, Seq("k"), "_ks_bin", "c")
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    assert(cdStream == cdOne, s"stream=$cdStream one=$cdOne")
   }
 
   test("streamed calibrator deploy: per-micro-batch calibrateScores == one-shot batch deploy") {
