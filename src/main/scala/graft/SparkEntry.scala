@@ -905,6 +905,16 @@ object SparkEntry {
           col("score").cast("double").as("score"), col("rank").cast("long").as("rnk"))
     }),
 
+    "x102_kcenter" -> ((s, dir) => {
+      // DIVERSE EXEMPLAR SELECTION (greedy k-center, the SemDeDup
+      // dual): 5 maximally-spread embeddings — seed at min id, then
+      // farthest-point in exact Q30 squared-Euclidean, ties to the
+      // smaller id. Each round is one corpus projection against ≤k
+      // literal centers reduced by top-1; the oracle unrolls the same
+      // rounds. mindist_q30 is the coverage-radius curve.
+      graft.ext.Similarity.kCenterGreedy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 5)
+    }),
     "x22_int8_ann" -> ((s, dir) => {
       // int8-quantized ANN: 4× smaller vectors, exact integer dot ranking
       // (deterministic floor quantization ⇒ fully oracle-checkable)
@@ -4839,6 +4849,40 @@ object SparkEntry {
                 END AS tau_q20
          FROM calc"""
 
+  /** x102: greedy k-center replayed — seed = min(vec_id), then four
+    * unrolled farthest-point rounds: per round, pairwise Q30 squared-
+    * Euclidean to every chosen center (the quantizedDistQ30 per-
+    * component floor), MIN per point, argmax with id-asc ties, chosen
+    * set grows by one. */
+  private val x102OracleSql: String = {
+    val dist = "SUM(CAST(floor((CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE)) " +
+      "* (CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE)) * 1073741824) AS BIGINT))"
+    def round(r: Int): String =
+      s"""pd$r AS (SELECT pid, cid, $dist AS d
+            FROM (SELECT e.vec_id AS pid, c.vec_id AS cid,
+                         unnest(e.embedding) AS ex, unnest(c.embedding) AS cx
+                  FROM embeddings e, ch$r c)
+            GROUP BY pid, cid),
+          pk$r AS (SELECT pid, MIN(d) AS mind FROM pd$r
+                   WHERE pid NOT IN (SELECT vec_id FROM ch$r)
+                   GROUP BY pid
+                   ORDER BY mind DESC, pid LIMIT 1),
+          ch${r + 1} AS (SELECT vec_id, embedding FROM ch$r
+                         UNION ALL
+                         SELECT e.vec_id, e.embedding FROM embeddings e
+                         JOIN pk$r ON e.vec_id = pk$r.pid)"""
+    "WITH ch1 AS (SELECT vec_id, embedding FROM embeddings " +
+      "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),\n" +
+      (1 to 4).map(round).mkString(",\n") + "\n" +
+      """SELECT CAST(1 AS BIGINT) AS pick_rank,
+                CAST(vec_id AS BIGINT) AS vec_id,
+                CAST(NULL AS BIGINT) AS mindist_q30 FROM ch1""" +
+      (1 to 4).map(r =>
+        s""" UNION ALL SELECT CAST(${r + 1} AS BIGINT),
+               CAST(pid AS BIGINT), CAST(mind AS BIGINT) FROM pk$r""")
+        .mkString
+  }
+
   /** x89b: NDCG@5 replayed — the run/qrels CTEs of x89 plus the SHARED
     * Q20 discount table: the (rank, d, cum) literals below are the SAME
     * Scala-computed integers the engine's plan carries
@@ -7602,6 +7646,8 @@ object SparkEntry {
     "x97g_cliffs_delta" -> x97gOracleSql,
     // x101: Kendall's tau-a — bucketed score cells, strict-upper sweep
     "x101_kendall_tau" -> x101OracleSql,
+    // x102: greedy k-center, four unrolled farthest-point rounds
+    "x102_kcenter" -> x102OracleSql,
     // x89b: NDCG@5 with the shared Q20 discount literals
     "x89b_ndcg" -> x89bOracleSql,
     // x97b answers the SAME oracle verbatim: counts are sums, so the

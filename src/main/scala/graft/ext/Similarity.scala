@@ -1410,4 +1410,63 @@ object Similarity {
       .select(col(idCol), col("cid").cast("long").as("cid"), col("rnk"),
         expr(s"rnk > (_pp_n * $dropPermille + 999) div 1000").as("keep"))
   }
+
+  /** GREEDY K-CENTER (farthest-point) DIVERSE SELECTION — the coreset /
+    * exemplar-selection operator (Gonzalez 1985; Sener & Savarese 2018
+    * use exactly this for active data selection): seed at the smallest
+    * id, then repeatedly pick the point FARTHEST from everything chosen
+    * (max over points of min over centers), a 2-approximation of the
+    * optimal k-center cover. The dual of SemDeDup: that REMOVES
+    * near-duplicates, this EXTRACTS a maximally-spread subset (few-shot
+    * exemplars, eval-set seeds, annotation batches).
+    *
+    * Deterministic and engine-exact: distances are [[quantizedDistQ30]]
+    * integers, the argmax tie-breaks id-ascending, the seed is min(id)
+    * — no RNG anywhere, so the oracle replays the rounds verbatim.
+    *
+    * 100 TB shape: each round is ONE corpus projection — min over ≤k
+    * PLAN-LITERAL center vectors (k·dim floats, bounded like the IVF
+    * codebooks) — reduced by TakeOrdered(1); per round the driver
+    * collects exactly one (id, vector) row (the kMeansTrain bounded-
+    * driver-state contract). k corpus passes total; no join, no
+    * shuffle beyond the top-1 reduce. Returns the k-row literal frame
+    * (pick_rank, id, mindist_q30) — mindist NULL for the seed, else
+    * the selected point's distance to its nearest prior center (a
+    * monotone non-increasing sequence: the coverage-radius curve). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2, 64]: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(idCol).cast("long").as("_kc_id"),
+      col(vecCol).as("_kc_v"))
+    val seedRow = pts.orderBy(col("_kc_id")).limit(1)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kCenterGreedy needs a non-empty frame"))
+    var chosen = Vector[(Long, Seq[Float], Option[Long])](
+      (seedRow.getLong(0), seedRow.getSeq[Float](1), None))
+    while (chosen.size < k) {
+      val ids = chosen.map(_._1)
+      val minDist = chosen.map { case (_, v, _) =>
+        quantizedDistQ30(col("_kc_v"), typedlit(v))
+      }.reduce((a, b) => least(a, b))
+      val next = pts.filter(!col("_kc_id").isin(ids: _*))
+        .select(col("_kc_id"), col("_kc_v"), minDist.as("_kc_d"))
+        .orderBy(col("_kc_d").desc, col("_kc_id")).limit(1)
+        .collect().headOption
+      next match {
+        case Some(r) =>
+          chosen = chosen :+ ((r.getLong(0), r.getSeq[Float](1),
+            Some(r.getLong(2))))
+        case None => // fewer than k distinct points: return what exists
+          return chosen.zipWithIndex
+            .map { case ((id, _, d), i) => (i + 1L, id, d) }
+            .toDF("pick_rank", idCol, "mindist_q30")
+      }
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("pick_rank", idCol, "mindist_q30")
+  }
 }

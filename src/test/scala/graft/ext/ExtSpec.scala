@@ -2190,4 +2190,41 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_._1).sorted.sameElements(Array(0L, 2L, 4L)))
     assert(rows.forall(_._3 > 0))
   }
+  test("kCenterGreedy: farthest-point picks, id tie-break, radius curve, short-frame stop, guards") {
+    import spark.implicits._
+    // a 1-D line embedded in 2-D: 0, 1, 10, 11, 5. Seed = min id (at 0);
+    // farthest is 11 (dist 121); then 5 (min-dist 25 to {0, 11}) — the
+    // classic spread. mindist_q30 = exact Q30 squared Euclidean.
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(10f, 0f)),
+      (4L, Seq(11f, 0f)), (5L, Seq(5f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(pts, "vec_id", "embedding", 3)
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, None),
+      (2L, 4L, Some(121L << 30)),
+      (3L, 5L, Some(25L << 30))), got.toString)
+    // the radius curve is non-increasing
+    val ds = got.flatMap(_._3)
+    assert(ds == ds.sorted.reverse, ds.toString)
+    // equidistant candidates tie to the smaller id
+    val tie = Seq((1L, Seq(0f)), (2L, Seq(3f)), (3L, Seq(-3f)))
+      .toDF("vec_id", "embedding")
+    val t2 = Similarity.kCenterGreedy(tie, "vec_id", "embedding", 2)
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(t2(1)._2 == 2L && t2(1)._3.contains(9L << 30), t2.toString)
+    // fewer distinct points than k: returns what exists, no spin
+    val short = Seq((1L, Seq(0f)), (2L, Seq(0f)))
+      .toDF("vec_id", "embedding")
+    val s2 = Similarity.kCenterGreedy(short, "vec_id", "embedding", 5)
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(s2.size == 2 && s2(1)._3.contains(0L), s2.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(pts, "vec_id", "embedding", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(pts.filter($"vec_id" < 0), "vec_id",
+        "embedding", 2)
+    }
+  }
 }
