@@ -3383,6 +3383,26 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x14e_image_neardup" -> ((s, dir) => {
+      // IMAGE near-dup — the multimodal column joins the dedup family:
+      // 16×16 P5 pattern rasters seeded by ⌊doc_id/8⌋ (consecutive ids
+      // share a raster, so exact and near groups exist by
+      // construction), every 10th file truncated and quarantined by
+      // the decoder; 8×8 average-hash → four 16-bit bands → bucketed
+      // candidates (the x5 banding discipline, never all-pairs) →
+      // exact Hamming ≤ 3, where band recall is pigeonhole-EXACT. The
+      // oracle replays raster → samples → mean → bits → bands →
+      // buckets → Hamming from the seeded-pattern formula.
+      import graft.ext.Multimodal
+      val d = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .withColumn("_len", when(col("doc_id") % 10 === 0, lit(255L))
+          .otherwise(lit(256L)))
+        .withColumn("b", Multimodal.pnmPatternBlob(lit(16), lit(16),
+          expr("doc_id div 8"), col("_len")))
+      Multimodal.ahashNearDup(
+        Multimodal.imageAHash8(
+          Multimodal.asMedia(d, "doc_id", "b", "pnm")).toDF(), 3)
+    }),
     "x14c_pixel_stats" -> ((s, dir) => {
       // the multimodal column's PIXEL half made real (x14b proved the
       // headers): pattern blobs carry a seeded raster — byte i is
@@ -7648,6 +7668,46 @@ object SparkEntry {
     "x101_kendall_tau" -> x101OracleSql,
     // x102: greedy k-center, four unrolled farthest-point rounds
     "x102_kcenter" -> x102OracleSql,
+    // x14e: image near-dup replayed from the seeded-pattern formula —
+    // 8×8 nearest-neighbor samples at idx = by·2·16 + bx·2 (w = h = 16),
+    // v = (seed + idx) % 256, floor mean, strict-> bits, 16-bit bands,
+    // the same band-bucket candidate join, exact Hamming ≤ 3
+    // (pigeonhole: a ≤3 pair always shares one of 4 bands). Truncated
+    // files (doc_id % 10 = 0) never hash.
+    "x14e_image_neardup" ->
+      """WITH img AS (SELECT doc_id, doc_id // 8 AS seed FROM documents
+                      WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),
+         smp AS (SELECT doc_id, b,
+                   ((seed + (b // 8) * 32 + (b % 8) * 2) % 256) AS v
+                 FROM img,
+                   (SELECT unnest(generate_series(0, 63)) AS b) g),
+         mn AS (SELECT doc_id, SUM(v) // 64 AS mean FROM smp GROUP BY 1),
+         bits AS (SELECT s.doc_id, s.b,
+                    CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS bit
+                  FROM smp s JOIN mn m ON m.doc_id = s.doc_id),
+         bands AS (SELECT doc_id, b // 16 AS j,
+                     SUM(bit * (1 << (b % 16))) AS v
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM bands x JOIN bands y
+                    ON y.j = x.j AND y.v = x.v AND x.doc_id < y.doc_id),
+         hx AS (SELECT doc_id,
+                  MAX(CASE WHEN j = 0 THEN v END) AS h0,
+                  MAX(CASE WHEN j = 1 THEN v END) AS h1,
+                  MAX(CASE WHEN j = 2 THEN v END) AS h2,
+                  MAX(CASE WHEN j = 3 THEN v END) AS h3
+                FROM bands GROUP BY 1),
+         hm AS (SELECT c.a_id, c.b_id,
+                  bit_count(CAST(xor(a.h0, b.h0) AS BIGINT))
+                  + bit_count(CAST(xor(a.h1, b.h1) AS BIGINT))
+                  + bit_count(CAST(xor(a.h2, b.h2) AS BIGINT))
+                  + bit_count(CAST(xor(a.h3, b.h3) AS BIGINT)) AS hamming
+                FROM cand c
+                JOIN hx a ON a.doc_id = c.a_id
+                JOIN hx b ON b.doc_id = c.b_id)
+         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                CAST(hamming AS BIGINT) AS hamming
+         FROM hm WHERE hamming <= 3""",
     // x89b: NDCG@5 with the shared Q20 discount literals
     "x89b_ndcg" -> x89bOracleSql,
     // x97b answers the SAME oracle verbatim: counts are sums, so the

@@ -137,6 +137,94 @@ object Multimodal {
     }
   }
 
+  final case class AHash(mediaId: Long, b0: Long, b1: Long, b2: Long,
+                         b3: Long, ok: Boolean)
+
+  /** 8×8 AVERAGE-HASH over a decoded P5 raster — the IMAGE near-dup
+    * fingerprint (the pHash family's integer-exact member): sample a
+    * fixed 8×8 grid by nearest-neighbor index mapping (sample (by, bx)
+    * reads raster[⌊by·h/8⌋·w + ⌊bx·w/8⌋] — defined for every w, h ≥ 1,
+    * no resampling arithmetic), mean = ⌊Σ/64⌋, bit = sample > mean
+    * (strict, deterministic ties). The 64 bits ship as FOUR 16-bit
+    * band integers (bit b → band b div 16, weight 2^(b mod 16)) — the
+    * exact shape the x5 SimHash banding consumes, and small enough
+    * that no signed-overflow corner exists. Every step is integer
+    * arithmetic on bytes the seeded-raster oracle can replay. P6 /
+    * 16-bit-maxval / truncated files quarantine ok = false (the x14c
+    * contract). Batch-wise mapPartitions, the prescribed multimodal
+    * shape. */
+  def imageAHash8(media: DataFrame, batchSize: Int = 64): Dataset[AHash] = {
+    implicit val enc: Encoder[AHash] = Encoders.product[AHash]
+    media.select("media_id", "content").mapPartitions { rows: Iterator[Row] =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Option(bytes).flatMap(HeaderCodecs.parsePpmRaster) match {
+            case Some((w, h, 1, off, 1)) =>
+              val samples = new Array[Long](64)
+              var s = 0L
+              var b = 0
+              while (b < 64) {
+                val by = b / 8
+                val bx = b % 8
+                val idx = (by.toLong * h / 8) * w + (bx.toLong * w / 8)
+                val v = (bytes(off + idx.toInt) & 0xFF).toLong
+                samples(b) = v
+                s += v
+                b += 1
+              }
+              val mean = s / 64
+              val bands = Array(0L, 0L, 0L, 0L)
+              b = 0
+              while (b < 64) {
+                if (samples(b) > mean)
+                  bands(b / 16) |= (1L << (b % 16))
+                b += 1
+              }
+              AHash(id, bands(0), bands(1), bands(2), bands(3), ok = true)
+            case _ => AHash(id, 0L, 0L, 0L, 0L, ok = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** Banded near-dup candidate pairs over [[imageAHash8]] fingerprints
+    * with exact Hamming verification — image dedup joining the x3/x5
+    * LSH discipline: candidates must agree on at least one of the four
+    * 16-bit bands (a Hamming-≤3 pair ALWAYS shares a band by
+    * pigeonhole, so recall is exact up to maxHamming = 3; 4..7 is
+    * best-effort, above 7 refuses), then the true distance
+    * Σ bit_count(band XOR band) filters. Quarantined hashes carry no
+    * bands. The join keys on (band index, band value) — bucketed,
+    * never all-pairs; a giant identical-image cluster lands in one
+    * bucket, which is the documented x62-style hot-band regime, never
+    * a cartesian. Returns (a_id, b_id, hamming). */
+  def ahashNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (pigeonhole-exact to 3): $maxHamming")
+    val h = hashes.filter(col("ok"))
+      .select(col("mediaId"), col("b0"), col("b1"), col("b2"), col("b3"))
+    val bands = h.select(col("mediaId"),
+      explode(array((0 to 3).map(j =>
+        struct(lit(j).as("j"), col(s"b$j").as("v"))): _*)).as("_ah_b"))
+      .select(col("mediaId"), col("_ah_b.j").as("_ah_j"),
+        col("_ah_b.v").as("_ah_v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x._ah_j") === col("y._ah_j") &&
+          col("x._ah_v") === col("y._ah_v") &&
+          col("x.mediaId") < col("y.mediaId"))
+      .select(col("x.mediaId").as("a_id"), col("y.mediaId").as("b_id"))
+      .distinct()
+    cand.join(h.toDF("a_id", "_a0", "_a1", "_a2", "_a3"), Seq("a_id"))
+      .join(h.toDF("b_id", "_b0", "_b1", "_b2", "_b3"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (0 to 3).map(j => bit_count(col(s"_a$j").bitwiseXOR(col(s"_b$j"))))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Batch-wise feature extraction: binary → fixed-dim float vector
     * (joins the ANN/near-dup pipeline via graft.ext.Similarity). */
   def extractFeatures(media: DataFrame, dim: Int = 16,

@@ -192,6 +192,54 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.asMedia(z, "seed", "b", "pnm")).head().ok)
   }
 
+  test("imageAHash8 + ahashNearDup: hand-computed bands, 1-bit near pair, inverted no-candidate, quarantine") {
+    def p5(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++
+        px.map(_.toByte)).toArray
+    // 8x8 rasters: every pixel IS its own sample (idx = b), so bands
+    // are hand-checkable. A: top half 200, bottom 10 -> mean 105,
+    // bits 0..31 set -> bands (65535, 65535, 0, 0). B = A. C flips
+    // sample 0 to 10 -> mean 102, bit 0 drops -> (65534, 65535, 0, 0),
+    // Hamming(A, C) = 1 and they share band j = 1. D is A inverted ->
+    // (0, 0, 65535, 65535): Hamming 64, shares NO band -> never a
+    // candidate. E truncated -> quarantined, hashes nothing.
+    val top = Seq.fill(32)(200) ++ Seq.fill(32)(10)
+    val rows = Seq(
+      (1L, p5(8, 8, top)),
+      (2L, p5(8, 8, top)),
+      (3L, p5(8, 8, Seq(10) ++ top.tail)),
+      (4L, p5(8, 8, Seq.fill(32)(10) ++ Seq.fill(32)(200))),
+      (5L, p5(8, 8, top.tail))).toDF("doc_id", "b")
+    val hashes = Multimodal.imageAHash8(
+      Multimodal.asMedia(rows, "doc_id", "b", "pnm"))
+    val hm = hashes.collect().map(h => h.mediaId -> h).toMap
+    assert(hm(1L) == Multimodal.AHash(1L, 65535L, 65535L, 0L, 0L, ok = true))
+    assert(hm(3L) == Multimodal.AHash(3L, 65534L, 65535L, 0L, 0L, ok = true))
+    assert(hm(4L) == Multimodal.AHash(4L, 0L, 0L, 65535L, 65535L, ok = true))
+    assert(!hm(5L).ok)
+    val pairs = Multimodal.ahashNearDup(hashes.toDF(), 3)
+      .as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      pairs.toString)
+    // the 8x8 grid downsamples larger images by nearest-neighbor index
+    // mapping: replay the engine's idx = (by*h/8)*w + (bx*w/8) on a
+    // 16x16 seeded pattern against the hash computed by hand
+    val big = Seq((9L, 16, 16)).toDF("seed", "w", "h")
+      .withColumn("b", Multimodal.pnmPatternBlob(col("w"), col("h"),
+        col("seed"), lit(256)))
+    val bh = Multimodal.imageAHash8(
+      Multimodal.asMedia(big, "seed", "b", "pnm")).collect().head
+    val samples = (0 until 64).map(b => (9L + (b / 8) * 32 + (b % 8) * 2) % 256)
+    val mean = samples.sum / 64
+    val want = (0 to 3).map(j => (0 until 16).map(i =>
+      if (samples(j * 16 + i) > mean) 1L << i else 0L).sum)
+    assert(bh == Multimodal.AHash(9L, want(0), want(1), want(2), want(3),
+      ok = true), s"$bh vs $want")
+    intercept[IllegalArgumentException] {
+      Multimodal.ahashNearDup(hashes.toDF(), 8)
+    }
+  }
+
   test("parseWavHeader walks past non-fmt chunks (LIST before fmt) and pads odd sizes") {
     // real WAVs often carry LIST/INFO chunks ahead of fmt; the walker must
     // skip them — including the 16-bit alignment pad after an odd size
