@@ -915,6 +915,24 @@ object SparkEntry {
       graft.ext.Similarity.kCenterGreedy(
         t(s, dir, "embeddings"), "vec_id", "embedding", 5)
     }),
+    "x102b_kcenter_assign" -> ((s, dir) => {
+      // the k-center APPLY (select→deploy, the x92c/x96b symmetry):
+      // every embedding assigned to its nearest selected center in the
+      // same exact Q30 distances (ties to the lower pick rank), then
+      // the per-center coverage census — member counts and max radius,
+      // the report that says whether k=5 covers the corpus. Centers
+      // ride as ≤k plan literals; one projection + one aggregation.
+      import graft.ext.Similarity
+      val emb = t(s, dir, "embeddings")
+      val sel = Similarity.kCenterGreedy(emb, "vec_id", "embedding", 5)
+        .select(col("pick_rank"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val vecs = emb.filter(col("vec_id").isin(sel.map(_._2): _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      Similarity.kCenterAssign(emb, "vec_id", "embedding",
+        sel.map { case (r, id) => (r, id, vecs(id)) })
+    }),
     "x22_int8_ann" -> ((s, dir) => {
       // int8-quantized ANN: 4× smaller vectors, exact integer dot ranking
       // (deterministic floor quantization ⇒ fully oracle-checkable)
@@ -3259,6 +3277,17 @@ object SparkEntry {
           when(col("n_chars") >= 256, "long").otherwise("short").as("rb"))
       graft.ext.Learn.cohenKappaQ20(d, Seq("lang"), "ra", "rb")
     }),
+    "x97h_wasserstein" -> ((s, dir) => {
+      // the MAGNITUDE member of the drift family: earth-mover distance
+      // of n_chars between the releases in VALUE units ("documents got
+      // ~N characters longer") — exact on the shared ⌊v/64⌋ bins (the
+      // CDF gap is constant between observed bins, so the integral is
+      // a lead-width sum), one Q20 floor at the end.
+      val d = t(s, dir, "documents")
+      graft.ext.TextStats.wassersteinDriftQ20(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        Seq("lang"), "n_chars", 64L)
+    }),
     "x97g_cliffs_delta" -> ((s, dir) => {
       // the SIGNED ordinal effect size completing the drift triple
       // (PSI density, KS distance, δ direction): Cliff's delta of
@@ -4833,6 +4862,42 @@ object SparkEntry {
                 END AS delta_q20
          FROM k"""
 
+  /** x97h: Wasserstein-1 replayed — the shared bin/cumulative frame
+    * plus a LEAD(bin) segment width; the gap is constant between
+    * observed bins, the last bin contributes 0, one Q20·binWidth
+    * floor (all operands ≥ 0 → bare `//`). */
+  private val x97hOracleSql: String =
+    """WITH ha AS (SELECT lang, (n_chars // 64) AS bin, COUNT(*) AS ca
+           FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         hb AS (SELECT lang, (n_chars // 64) AS bin, COUNT(*) AS cb
+           FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT COALESCE(ha.lang, hb.lang) AS lang,
+                      COALESCE(ha.bin, hb.bin) AS bin,
+                      COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM ha FULL JOIN hb
+                 ON ha.lang = hb.lang AND ha.bin = hb.bin),
+         c AS (SELECT lang, bin, ca, cb,
+                 SUM(ca) OVER (PARTITION BY lang ORDER BY bin) AS cma,
+                 SUM(cb) OVER (PARTITION BY lang ORDER BY bin) AS cmb,
+                 SUM(ca) OVER (PARTITION BY lang) AS na,
+                 SUM(cb) OVER (PARTITION BY lang) AS nb,
+                 LEAD(bin) OVER (PARTITION BY lang ORDER BY bin) AS nx
+               FROM m),
+         g AS (SELECT lang, na, nb,
+                 SUM(CASE WHEN nx IS NULL THEN 0
+                     ELSE ABS(CAST(cma AS HUGEINT) * nb
+                              - CAST(cmb AS HUGEINT) * na) * (nx - bin)
+                     END) AS s
+               FROM c GROUP BY 1, 2, 3)
+         SELECT lang, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CASE WHEN na = 0 OR nb = 0 THEN NULL
+                     ELSE CAST((1048576::HUGEINT * 64 * s)
+                               // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+                END AS w1_q20
+         FROM g"""
+
   /** x101: Kendall's tau-a replayed — bucketed score cells, the
     * strict-upper cell self-join for concordant/discordant pair sums,
     * and the signed positive-mod floor over n(n−1). */
@@ -4874,11 +4939,13 @@ object SparkEntry {
     * Euclidean to every chosen center (the quantizedDistQ30 per-
     * component floor), MIN per point, argmax with id-asc ties, chosen
     * set grows by one. */
-  private val x102OracleSql: String = {
-    val dist = "SUM(CAST(floor((CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE)) " +
+  private val kcenterDistSql: String =
+    "SUM(CAST(floor((CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE)) " +
       "* (CAST(ex AS DOUBLE) - CAST(cx AS DOUBLE)) * 1073741824) AS BIGINT))"
+
+  private def kcenterCtes: String = {
     def round(r: Int): String =
-      s"""pd$r AS (SELECT pid, cid, $dist AS d
+      s"""pd$r AS (SELECT pid, cid, $kcenterDistSql AS d
             FROM (SELECT e.vec_id AS pid, c.vec_id AS cid,
                          unnest(e.embedding) AS ex, unnest(c.embedding) AS cx
                   FROM embeddings e, ch$r c)
@@ -4893,7 +4960,11 @@ object SparkEntry {
                          JOIN pk$r ON e.vec_id = pk$r.pid)"""
     "WITH ch1 AS (SELECT vec_id, embedding FROM embeddings " +
       "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),\n" +
-      (1 to 4).map(round).mkString(",\n") + "\n" +
+      (1 to 4).map(round).mkString(",\n")
+  }
+
+  private val x102OracleSql: String =
+    kcenterCtes + "\n" +
       """SELECT CAST(1 AS BIGINT) AS pick_rank,
                 CAST(vec_id AS BIGINT) AS vec_id,
                 CAST(NULL AS BIGINT) AS mindist_q30 FROM ch1""" +
@@ -4901,7 +4972,34 @@ object SparkEntry {
         s""" UNION ALL SELECT CAST(${r + 1} AS BIGINT),
                CAST(pid AS BIGINT), CAST(mind AS BIGINT) FROM pk$r""")
         .mkString
-  }
+
+  /** x102b: the assignment replayed — the shared selection rounds, a
+    * (rank, center) table, pairwise distance to the five chosen in the
+    * same Q30 integers, argmin with ties to the LOWER rank, per-center
+    * census. */
+  private val x102bOracleSql: String =
+    kcenterCtes +
+      s""",
+         rk AS (SELECT CAST(1 AS BIGINT) AS r, vec_id FROM ch1
+                ${(1 to 4).map(r =>
+        s"UNION ALL SELECT CAST(${r + 1} AS BIGINT), pid FROM pk$r")
+        .mkString("\n                ")}),
+         cv AS (SELECT rk.r, e.vec_id, e.embedding
+                FROM rk JOIN embeddings e ON e.vec_id = rk.vec_id),
+         ad AS (SELECT pid, r, $kcenterDistSql AS d
+                FROM (SELECT e.vec_id AS pid, c.r,
+                             unnest(e.embedding) AS ex,
+                             unnest(c.embedding) AS cx
+                      FROM embeddings e, cv c)
+                GROUP BY pid, r),
+         asg AS (SELECT pid, r, d,
+                   ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d, r) AS rn
+                 FROM ad)
+         SELECT a.r AS pick_rank, CAST(rk.vec_id AS BIGINT) AS center_id,
+                CAST(COUNT(*) AS BIGINT) AS n_members,
+                CAST(MAX(a.d) AS BIGINT) AS max_dist_q30
+         FROM asg a JOIN rk ON rk.r = a.r
+         WHERE a.rn = 1 GROUP BY 1, 2"""
 
   /** x89b: NDCG@5 replayed — the run/qrels CTEs of x89 plus the SHARED
     * Q20 discount table: the (rank, d, cum) literals below are the SAME
@@ -7664,10 +7762,15 @@ object SparkEntry {
     "x97f_ks_drift" -> x97fOracleSql,
     // x97g: Cliff's delta — signed dominance off the same bins
     "x97g_cliffs_delta" -> x97gOracleSql,
+    // x97h: Wasserstein-1 — transport cost in value units, lead-width
+    // CDF-gap integral on the shared bins
+    "x97h_wasserstein" -> x97hOracleSql,
     // x101: Kendall's tau-a — bucketed score cells, strict-upper sweep
     "x101_kendall_tau" -> x101OracleSql,
     // x102: greedy k-center, four unrolled farthest-point rounds
     "x102_kcenter" -> x102OracleSql,
+    // x102b: the coverage assignment off the same selection rounds
+    "x102b_kcenter_assign" -> x102bOracleSql,
     // x14e: image near-dup replayed from the seeded-pattern formula —
     // 8×8 nearest-neighbor samples at idx = by·2·16 + bx·2 (w = h = 16),
     // v = (seed + idx) % 256, floor mean, strict-> bits, 16-bit bands,

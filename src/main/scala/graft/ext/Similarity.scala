@@ -1469,4 +1469,44 @@ object Similarity {
       .map { case ((id, _, d), i) => (i + 1L, id, d) }
       .toDF("pick_rank", idCol, "mindist_q30")
   }
+
+  /** The k-center APPLY step — assign every point to its nearest
+    * selected center and report per-center coverage (the deploy half
+    * of [[kCenterGreedy]], mirroring x92c/x96b's select→deploy
+    * symmetry): argmin over the ≤k chosen centers in the same exact
+    * Q30 squared-Euclidean, distance ties to the LOWER center rank
+    * (deterministic); per center, member count and the max radius —
+    * the quality report a curator reads to size annotation batches or
+    * judge whether k suffices. `centers` is (pick_rank, id, vector)
+    * rows (collect of a selection frame joined back to vectors, ≤k —
+    * broadcast as plan literals; no join, one corpus projection +
+    * one map-side-combining aggregation). Returns
+    * (pick_rank, center_id, n_members, max_dist_q30). */
+  def kCenterAssign(df: DataFrame, idCol: String, vecCol: String,
+                    centers: Seq[(Long, Long, Seq[Float])]): DataFrame = {
+    require(centers.nonEmpty && centers.size <= 64,
+      s"centers must hold 1..64 rows: ${centers.size}")
+    require(centers.map(_._1).distinct.size == centers.size,
+      "duplicate pick_rank in centers")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(idCol).cast("long").as("_kc_id"),
+      col(vecCol).as("_kc_v"))
+    // fold over rank-ordered centers: keep the strictly-smaller
+    // distance, so equal distances resolve to the EARLIER rank
+    val best = centers.sortBy(_._1).map { case (r, _, v) =>
+      struct(lit(r).as("_kc_r"),
+        quantizedDistQ30(col("_kc_v"), typedlit(v)).as("_kc_d"))
+    }.reduce((a, b) =>
+      when(b.getField("_kc_d") < a.getField("_kc_d"), b).otherwise(a))
+    val ranks = centers.map { case (r, id, _) => (r, id) }
+      .toDF("pick_rank", "center_id")
+    pts.select(best.as("_kc_best"))
+      .groupBy(col("_kc_best._kc_r").as("pick_rank"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("_kc_best._kc_d")).as("max_dist_q30"))
+      .join(broadcast(ranks), Seq("pick_rank"))
+      .select(col("pick_rank"), col("center_id"), col("n_members"),
+        col("max_dist_q30"))
+  }
 }

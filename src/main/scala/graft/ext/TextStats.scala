@@ -1357,6 +1357,93 @@ object TextStats {
           .as("delta_q20")): _*)
   }
 
+  /** WASSERSTEIN-1 (earth-mover) DRIFT over the same floor bins — the
+    * MAGNITUDE member of the drift family: PSI scores density ratios,
+    * KS takes the worst single CDF gap, Cliff's delta gives direction;
+    * W₁ = ∫|F_a − F_b| dv is the total mass-transport cost in VALUE
+    * units ("documents got ~37 characters longer"), the number a
+    * curator can act on. On integer bins the integral is exact: the
+    * CDF gap is constant between observed bins, so
+    * W₁ = binWidth·Σ_b |A_b·n_b − B_b·n_a|·(next_bin − bin) / (n_a·n_b)
+    * with one Q20 floor at the end (all factors ≥ 0; the last bin
+    * contributes 0 — both CDFs have converged). One-sided keys are
+    * NULL. Same mergeable-bin ingest contract as [[ksDriftFromBins]].
+    *
+    * Bounds: the segment sum ≤ n_a·n_b·binSpan must fit decimal(38,0)
+    * after the 2²⁰·binWidth scale — comfortable for feature-shaped
+    * values (spans of thousands of bins at corpus row counts), the
+    * same numeric-feature contract as the siblings. Returns
+    * (keys..., n_a, n_b, w1_q20 [nullable], in VALUE units). */
+  def wassersteinDriftQ20(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                          valCol: String, binWidth: Long): DataFrame = {
+    require(keyCols.nonEmpty, "wassersteinDriftQ20 needs >= 1 group key")
+    Seq("_ks_bin", "_ks_ca", "_ks_cb", "_ks_cma", "_ks_cmb", "_ks_nx",
+      "_ks_seg", "n_a", "n_b", "w1_q20").foreach(c =>
+      require(!keyCols.contains(c),
+        s"wassersteinDriftQ20 reserves column $c — rename the key column"))
+    wassersteinFromBins(
+      floorBinCounts(a, keyCols, valCol, binWidth, "_ks_c",
+        "wassersteinDriftQ20"),
+      floorBinCounts(b, keyCols, valCol, binWidth, "_ks_c",
+        "wassersteinDriftQ20"),
+      keyCols, "_ks_bin", "_ks_c", unitsPerBin = binWidth)
+  }
+
+  /** [[wassersteinDriftQ20]] over pre-binned count tables (unique
+    * (keys, bin) rows, positive counts — the [[ksDriftFromBins]]
+    * contract); `unitsPerBin` converts bin distance back to value
+    * units inside the single floor. */
+  def wassersteinFromBins(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                          binCol: String, cntCol: String,
+                          unitsPerBin: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "wassersteinFromBins needs >= 1 group key")
+    require(unitsPerBin >= 1, s"unitsPerBin must be >= 1: $unitsPerBin")
+    def side(df: DataFrame, cName: String): DataFrame = {
+      val cChecked = when(col(cntCol) >= 1L, col(cntCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"wassersteinFromBins needs positive counts; $cntCol = "),
+          col(cntCol).cast("string"))))
+      df.select((keyCols.map(col) :+ col(binCol).as("_ks_bin") :+
+        cChecked.as(cName)): _*)
+    }
+    val merged = side(a, "_ks_ca")
+      .join(side(b, "_ks_cb"), keyCols :+ "_ks_bin", "full")
+      .select((keyCols.map(col) :+ col("_ks_bin") :+
+        coalesce(col("_ks_ca"), lit(0L)).as("_ks_ca") :+
+        coalesce(col("_ks_cb"), lit(0L)).as("_ks_cb")): _*)
+    val wCum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ks_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ks_bin"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    merged
+      .withColumn("_ks_cma", sum(col("_ks_ca")).over(wCum))
+      .withColumn("_ks_cmb", sum(col("_ks_cb")).over(wCum))
+      .withColumn("n_a", sum(col("_ks_ca")).over(wAll))
+      .withColumn("n_b", sum(col("_ks_cb")).over(wAll))
+      .withColumn("_ks_nx", lead(col("_ks_bin"), 1).over(wLead))
+      // gap is constant on [bin, next_bin); the final bin has no
+      // segment (both CDFs are complete there)
+      .withColumn("_ks_seg", when(col("_ks_nx").isNull,
+        lit(0).cast("decimal(38,0)"))
+        .otherwise(abs(
+          col("_ks_cma").cast("decimal(38,0)") * col("n_b") -
+            col("_ks_cmb").cast("decimal(38,0)") * col("n_a")) *
+          (col("_ks_nx") - col("_ks_bin"))))
+      .groupBy((keyCols :+ "n_a" :+ "n_b").map(col): _*)
+      .agg(sum(col("_ks_seg")).as("_ks_seg"))
+      .select((keyCols.map(col) :+ col("n_a") :+ col("n_b") :+
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          // non-negative operands: trunc == floor
+          .otherwise(expr(
+            s"""cast((cast(1048576 as decimal(38,0)) * $unitsPerBin
+                  * _ks_seg)
+                div (cast(n_a as decimal(38,0)) * n_b) as bigint)"""))
+          .as("w1_q20")): _*)
+  }
+
   /** DRIFT ATTRIBUTION — the x97 family's "what moved" diagnostic: per
     * group key, the k tokens with the largest absolute quantized mass
     * shift |pq − qq| (Q20), ties token-ascending — the report a curator

@@ -2227,4 +2227,33 @@ class ExtSpec extends SparkSpec {
         "embedding", 2)
     }
   }
+  test("kCenterAssign: nearest-center census, tie to lower rank, guards") {
+    import spark.implicits._
+    // the kCenterGreedy fixture's selection (0, 11, 5 on the line):
+    // 1->c1 (0), 2->c1 (1), 3->c2 (1), 4->c2 (0), 5->c3 (0)
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(10f, 0f)),
+      (4L, Seq(11f, 0f)), (5L, Seq(5f, 0f))).toDF("vec_id", "embedding")
+    val centers = Seq((1L, 1L, Seq(0f, 0f)), (2L, 4L, Seq(11f, 0f)),
+      (3L, 5L, Seq(5f, 0f)))
+    val got = Similarity.kCenterAssign(pts, "vec_id", "embedding", centers)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 1L << 30),
+      (2L, 4L, 2L, 1L << 30),
+      (3L, 5L, 1L, 0L)), got.toString)
+    // equidistant points resolve to the LOWER pick rank
+    val tiePts = Seq((9L, Seq(2f))).toDF("vec_id", "embedding")
+    val tie = Similarity.kCenterAssign(tiePts, "vec_id", "embedding",
+        Seq((1L, 100L, Seq(0f)), (2L, 200L, Seq(4f))))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tie == Seq((1L, 100L, 1L, 4L << 30)), tie.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterAssign(pts, "vec_id", "embedding", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterAssign(pts, "vec_id", "embedding",
+        Seq((1L, 1L, Seq(0f)), (1L, 2L, Seq(1f))))
+    }
+  }
 }

@@ -383,6 +383,53 @@ class LmSpec extends SparkSpec {
         Seq("n_a"), "v", 64L, 1L)
     }
   }
+  test("wassersteinDriftQ20: exact transport cost, sparse-gap persistence, identical 0, one-sided NULL") {
+    // the KS fixture: A bins {0:2, 2:1} (n=3), B bins {0:1, 1:1} (n=2).
+    // Segments: [0,1) gap |4-3|=1; [1,2) gap |4-6|=2; last bin 0.
+    // S = 3 -> W1 = 3/6 bins = 0.5 bins = 32 value units at width 64
+    // -> w1_q20 = 32 * 2^20 = 33554432.
+    val av = Seq(("k", 0L), ("k", 1L), ("k", 130L)).toDF("g", "v")
+    val bv = Seq(("k", 0L), ("k", 70L)).toDF("g", "v")
+    val got = TextStats.wassersteinDriftQ20(av, bv, Seq("g"), "v", 64L)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(got == (("k", 3L, 2L, Some(33554432L))), got.toString)
+    // the gap PERSISTS across unobserved bins: one point at 0 vs one at
+    // 640 (bins 0 and 10) must cost exactly 640 units, not 64
+    val far = TextStats.wassersteinDriftQ20(
+        Seq(("k", 0L)).toDF("g", "v"), Seq(("k", 640L)).toDF("g", "v"),
+        Seq("g"), "v", 64L)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(far._4.contains(640L * 1048576L), far.toString)
+    // identical sides: zero transport; one-sided key: NULL
+    val same = TextStats.wassersteinDriftQ20(av, av, Seq("g"), "v", 64L)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(same._4.contains(0L), same.toString)
+    val oneSided = TextStats.wassersteinDriftQ20(
+        Seq(("m", 7L)).toDF("g", "v"), bv, Seq("g"), "v", 64L)
+      .filter($"g" === "m")
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(oneSided._4.isEmpty, oneSided.toString)
+    // FromBins shard re-sum == one-shot (the mergeable-bin contract)
+    val sh1 = TextStats.floorBinCounts(
+      Seq(("k", 0L), ("k", 1L)).toDF("g", "v"), Seq("g"), "v", 64L,
+      "c", "spec")
+    val sh2 = TextStats.floorBinCounts(
+      Seq(("k", 130L)).toDF("g", "v"), Seq("g"), "v", 64L, "c", "spec")
+    val merged = sh1.unionByName(sh2)
+      .groupBy($"g", $"_ks_bin").agg(sum($"c").as("c"))
+    val viaBins = TextStats.wassersteinFromBins(merged,
+        TextStats.floorBinCounts(bv, Seq("g"), "v", 64L, "c", "spec"),
+        Seq("g"), "_ks_bin", "c", unitsPerBin = 64L)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(viaBins == got, s"viaBins=$viaBins one=$got")
+    intercept[IllegalArgumentException] {
+      TextStats.wassersteinDriftQ20(av, bv, Nil, "v", 64L)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.wassersteinFromBins(merged, merged, Seq("g"),
+        "_ks_bin", "c", unitsPerBin = 0L)
+    }
+  }
   test("cliffsDeltaQ20: signed dominance, exact +-2^20 pins, bin-tie neutrality, one-sided NULL") {
     // binWidth 64. Full dominance: A {130, 200} (bins 2, 3) vs
     // B {0, 70} (bins 0, 1) -> every cross pair greater -> +2^20;

@@ -546,6 +546,13 @@ class EventStreamsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Option[Long])]
       .collect().sorted.toSeq
     assert(cdStream == cdOne, s"stream=$cdStream one=$cdOne")
+    val w1One = graft.ext.TextStats.wassersteinDriftQ20(
+      lens(relA), lens(docs), Seq("k"), "len", 16L)
+      .as[(String, Long, Long, Option[Long])].collect().sorted.toSeq
+    val w1Stream = graft.ext.TextStats.wassersteinFromBins(
+      binsRelA, binsMerged, Seq("k"), "_ks_bin", "c", unitsPerBin = 16L)
+      .as[(String, Long, Long, Option[Long])].collect().sorted.toSeq
+    assert(w1Stream == w1One, s"stream=$w1Stream one=$w1One")
   }
 
   test("streamed calibrator deploy: per-micro-batch calibrateScores == one-shot batch deploy") {
