@@ -3412,6 +3412,27 @@ object SparkEntry {
       graft.ext.Curation.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "text", "doc_id", 64, 48)),
+    "x14f_audio_pcm_stats" -> ((s, dir) => {
+      // the AUDIO column's pixel moment (x14b proved the RIFF header,
+      // this decodes the payload): seeded 16-bit PCM data chunks —
+      // sample i is (doc_id + i) mod 2^16, signed LE — so the REAL
+      // sample decoder's exact count/sum/min/max replay from the
+      // generator formula; every 10th file is cut one byte short of
+      // its declared data size and must quarantine.
+      import graft.ext.Multimodal
+      val d = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .withColumn("_n", (col("doc_id") % 50 + 10).cast("long"))
+        .withColumn("_eb", when(col("doc_id") % 10 === 0,
+          col("_n") * 2 - 1).otherwise(col("_n") * 2))
+        .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+          col("doc_id"), col("_n"), col("_eb")))
+      Multimodal.audioPcmStats(Multimodal.asMedia(d, "doc_id", "b", "wav"))
+        .toDF()
+        .select(col("mediaId").as("media_id"),
+          col("nSamples").as("n_samples"), col("sumAmp").as("sum_amp"),
+          col("minAmp").as("min_amp"), col("maxAmp").as("max_amp"),
+          col("ok"))
+    }),
     "x14e_image_neardup" -> ((s, dir) => {
       // IMAGE near-dup — the multimodal column joins the dedup family:
       // 16×16 P5 pattern rasters seeded by ⌊doc_id/8⌋ (consecutive ids
@@ -7777,6 +7798,32 @@ object SparkEntry {
     // the same band-bucket candidate join, exact Hamming ≤ 3
     // (pigeonhole: a ≤3 pair always shares one of 4 bands). Truncated
     // files (doc_id % 10 = 0) never hash.
+    // x14f: PCM sample decode replayed from the seeded formula —
+    // u = (doc_id + i) mod 2^16, signed = u − 2^16 above 32767;
+    // every 10th file truncates one byte short → quarantine zeros
+    "x14f_audio_pcm_stats" ->
+      """WITH au AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+                     WHERE doc_id % 2 = 0),
+         smp AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+                 FROM au),
+         v AS (SELECT doc_id, n,
+                 CASE WHEN (doc_id + i) % 65536 < 32768
+                      THEN (doc_id + i) % 65536
+                      ELSE (doc_id + i) % 65536 - 65536 END AS s
+               FROM smp),
+         st AS (SELECT doc_id, n, SUM(s) AS sm, MIN(s) AS mn, MAX(s) AS mx
+                FROM v GROUP BY 1, 2)
+         SELECT doc_id AS media_id,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n END AS BIGINT)
+                  AS n_samples,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE sm END AS BIGINT)
+                  AS sum_amp,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE mn END AS BIGINT)
+                  AS min_amp,
+                CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE mx END AS BIGINT)
+                  AS max_amp,
+                doc_id % 10 <> 0 AS ok
+         FROM st""",
     "x14e_image_neardup" ->
       """WITH img AS (SELECT doc_id, doc_id // 8 AS seed FROM documents
                       WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),

@@ -287,6 +287,77 @@ object Multimodal {
       unhex(hexRaster))
   }
 
+  final case class PcmStats(mediaId: Long, nSamples: Long, sumAmp: Long,
+                            minAmp: Long, maxAmp: Long, ok: Boolean)
+
+  /** Batch-wise REAL sample decode for 16-bit PCM WAV — the audio
+    * column's pixel moment (the x14c discipline: x14b proved the RIFF
+    * header, this decodes the payload): the `data` chunk's bytes are
+    * little-endian SIGNED 16-bit samples, folded into exact integer
+    * count/sum/min/max — the loudness/DC-offset/clipping signals an
+    * audio-curation pass reads. Non-16-bit formats, a missing or
+    * odd-length data chunk, and truncated files quarantine ok = false
+    * (quarantine semantics, F9); a legal empty data chunk reads 0
+    * samples with the min/max identity sentinels (32767/−32768)
+    * replayed by the oracle. */
+  def audioPcmStats(media: DataFrame, batchSize: Int = 64): Dataset[PcmStats] = {
+    implicit val enc: Encoder[PcmStats] = Encoders.product[PcmStats]
+    media.select("media_id", "content").mapPartitions { rows: Iterator[Row] =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Option(bytes).flatMap(HeaderCodecs.parseWavData) match {
+            case Some((_, _, 16, off, len)) if len % 2 == 0 =>
+              var i = off
+              val end = off + len
+              var n = 0L
+              var s = 0L
+              var mn = 32767L
+              var mx = -32768L
+              while (i < end) {
+                val v = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toLong
+                s += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                n += 1
+                i += 2
+              }
+              PcmStats(id, n, s, mn, mx, ok = true)
+            case _ => PcmStats(id, 0L, 0L, 0L, 0L, ok = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** [[wavBlob]] extended with a SEEDED 16-bit `data` chunk: sample i
+    * is the unsigned 16-bit value (seed + i) mod 65536 (signed
+    * interpretation u − 65536 above 32767), laid out little-endian —
+    * so sample CONTENT is a replayable formula and the real PCM decode
+    * oracle-checks against the generator (the pnmPatternBlob
+    * discipline for audio). The declared data size is 2·nSamples;
+    * pass `emitBytes < 2·nSamples` to synthesize a truncated file the
+    * decoder must quarantine. */
+  def wavPatternBlob(rate: Column, channels: Column, seed: Column,
+                     nSamples: Column, emitBytes: Column): Column = {
+    val nb = greatest(emitBytes.cast("long"), lit(0L))
+    // byte j: even → low byte (seed + j/2) mod 256; odd → high byte
+    // ((seed + (j−1)/2) mod 65536) div 256. Empty body is its own
+    // branch (Spark sequences DESCEND when start > stop).
+    val hexBody = when(nb === 0, lit("")).otherwise(
+      array_join(transform(sequence(lit(0L), nb - 1), j => {
+        val i = (j - pmod(j, lit(2L))) / 2
+        val u = pmod(seed.cast("bigint") + i, lit(65536L))
+        lpad(hex(when(pmod(j, lit(2L)) === 0, pmod(u, lit(256L)))
+          .otherwise(shiftright(u, 8))), 2, "0")
+      }), ""))
+    concat(wavBlob(rate, channels, lit(16)),
+      lit("data").cast("binary"),
+      leBytes(nSamples.cast("bigint") * 2, 4),
+      unhex(hexBody))
+  }
+
   /** WAV RIFF test-pattern blob: RIFF header + fmt chunk carrying the
     * given rate/channels/bits (PCM; `bits` should be a multiple of 8 —
     * the derived byte-rate/block-align fields floor-divide by 8). `magic`
@@ -399,6 +470,39 @@ object HeaderCodecs {
       pos += 8 + size.toInt + (size.toInt & 1) // chunks are 16-bit aligned
     }
     None
+  }
+
+  /** [[parseWavHeader]] extended to the PAYLOAD: walks the chunk list
+    * for BOTH `fmt ` and `data`, returning (rate, channels, bits,
+    * dataOffset, dataLen) — the complete contract a sample decoder
+    * needs. The data chunk's declared size must fit inside the blob
+    * (truncated files return None → quarantine); fmt validation is
+    * [[parseWavHeader]]'s. Chunk order is free (LIST/other chunks are
+    * skipped, data-before-fmt is legal RIFF). */
+  def parseWavData(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (!isRiffWave(b)) return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      if (id == "fmt ") {
+        if (size < 16 || pos + 8 + 16 > b.length) return None
+        val channels = le16(b, pos + 10)
+        val rate = le32(b, pos + 12)
+        val bits = le16(b, pos + 22)
+        if (!(channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0))
+          return None
+        fmt = Some((rate.toInt, channels, bits))
+      } else if (id == "data") {
+        if (pos + 8 + size.toInt > b.length) return None // truncated
+        data = Some((pos + 8, size.toInt))
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    for ((r, c, bt) <- fmt; (off, len) <- data) yield (r, c, bt, off, len)
   }
 }
 

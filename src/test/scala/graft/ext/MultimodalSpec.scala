@@ -240,6 +240,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioPcmStats + wavPatternBlob: signed LE16 decode replays the seeded formula; truncation/odd/missing-data quarantine") {
+    // seed 32760, 4 samples: u16 = 32760..32763 -> signed -32776+...:
+    // 32760..32763 >= 32768? no (32763 < 32768) -> all positive. Use a
+    // seed that CROSSES the sign boundary: 32766, n=4 -> u 32766,
+    // 32767, 32768, 32769 -> signed 32766, 32767, -32768, -32767:
+    // sum = -2, min = -32768, max = 32767 — the full signed range.
+    val df = Seq((32766L, 4L)).toDF("seed", "n")
+      .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+        col("seed"), col("n"), col("n") * 2))
+    val got = Multimodal.audioPcmStats(
+      Multimodal.asMedia(df, "seed", "b", "wav")).collect().head
+    assert(got == Multimodal.PcmStats(32766L, 4L, -2L, -32768L, 32767L,
+      ok = true), got.toString)
+    // one byte short of the declared data size -> truncated -> quarantine
+    val cut = Seq((7L, 4L)).toDF("seed", "n")
+      .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+        col("seed"), col("n"), col("n") * 2 - 1))
+    assert(!Multimodal.audioPcmStats(
+      Multimodal.asMedia(cut, "seed", "b", "wav")).collect().head.ok)
+    // a header-only blob (no data chunk at all) quarantines
+    val hdr = Seq((1L, 0L)).toDF("seed", "n")
+      .withColumn("b", Multimodal.wavBlob(lit(8000), lit(1), lit(16)))
+    assert(!Multimodal.audioPcmStats(
+      Multimodal.asMedia(hdr, "seed", "b", "wav")).collect().head.ok)
+    // an EMPTY data chunk is legal: 0 samples, identity sentinels
+    val empty = Seq((1L, 0L)).toDF("seed", "n")
+      .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+        col("seed"), col("n"), lit(0)))
+    val e = Multimodal.audioPcmStats(
+      Multimodal.asMedia(empty, "seed", "b", "wav")).collect().head
+    assert(e == Multimodal.PcmStats(1L, 0L, 0L, 32767L, -32768L, ok = true),
+      e.toString)
+    // parseWavData finds data after skipped chunks and validates length
+    val manual = ("RIFF".getBytes("US-ASCII") ++ Array[Byte](40, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0, 9, 9) ++
+      "fmt ".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++
+      Array[Byte](1, 0, 1, 0) ++ Array[Byte](64, 31, 0, 0) ++
+      Array[Byte](-128, 62, 0, 0) ++ Array[Byte](2, 0, 16, 0) ++
+      "data".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0) ++
+      Array[Byte](5, 0))
+    val parsed = HeaderCodecs.parseWavData(manual)
+    assert(parsed.exists { case (r, c, b2, off, len) =>
+      r == 8000 && c == 1 && b2 == 16 && len == 2 &&
+        manual(off) == 5 }, parsed.toString)
+  }
+
   test("parseWavHeader walks past non-fmt chunks (LIST before fmt) and pads odd sizes") {
     // real WAVs often carry LIST/INFO chunks ahead of fmt; the walker must
     // skip them — including the 16-bit alignment pad after an odd size
