@@ -3238,6 +3238,28 @@ object SparkEntry {
       graft.ext.Curation.kAnonymityAudit(d, Seq("lang"),
         Seq("source", "len_bucket"), 5L)
     }),
+    "x99c_chi2_incremental" -> ((s, dir) => {
+      // the association monitor under ingest: contingency cells are
+      // sums, so the base split's cells stage ONCE and a new batch
+      // folds in by re-sum — answers x99's oracle VERBATIM without
+      // rescanning the base (the x98b/x98d convention).
+      val lab = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(size(split(graft.ext.TextStats.wsTrim(col("text")),
+            "\\s+")) >= 40, "long").otherwise("short").as("lenlab"))
+      val staged = s.read.parquet(graft.ext.Dedup.stageSignatures(
+        graft.ext.Learn.chiSquareCells(
+          lab.filter(pmod(col("doc_id"), lit(4L)) =!= 0),
+          Seq("lang"), "source", "lenlab")))
+      val batch = graft.ext.Learn.chiSquareCells(
+        lab.filter(pmod(col("doc_id"), lit(4L)) === 0),
+        Seq("lang"), "source", "lenlab")
+      graft.ext.Learn.chiSquareFromCells(
+        graft.ext.Learn.mergeChiSquareCells(Seq(staged, batch),
+          Seq("lang")), Seq("lang"))
+    }),
     "x98b_kappa_incremental" -> ((s, dir) => {
       // label QA under ingest: the base split's confusion cells stage
       // ONCE; a new batch's cells fold in by re-sum (cells are sums:
@@ -7776,8 +7798,11 @@ object SparkEntry {
                 CAST((1048576 * SUM(CASE WHEN c < 5 THEN c ELSE 0 END))
                      // SUM(c) AS BIGINT) AS risk_q20
          FROM g GROUP BY 1""",
-    // x99: Pearson chi-square association, identical two-stage floors
+    // x99: Pearson chi-square association, identical two-stage floors;
+    // x99c answers the SAME oracle verbatim — contingency cells are
+    // sums, staged-base + batch re-sum IS the one-shot cell table
     "x99_chi2_assoc" -> x99OracleSql,
+    "x99c_chi2_incremental" -> x99OracleSql,
     // x97f: two-sample KS over the x97e bins — cumulative window sums,
     // HUGEINT cross-multiplied gap, one Q20 floor at the end
     "x97f_ks_drift" -> x97fOracleSql,

@@ -1009,16 +1009,41 @@ object Learn {
     * (r−1)(c−1) from the same frames. NULL labels excluded. Returns
     * (keys..., n, dof, chi2_q20). */
   def chiSquareAssocQ20(df: DataFrame, keyCols: Seq[String],
-                        aCol: String, bCol: String): DataFrame = {
-    require(keyCols.nonEmpty, "chiSquareAssocQ20 needs >= 1 group key")
+                        aCol: String, bCol: String): DataFrame =
+    chiSquareFromCells(chiSquareCells(df, keyCols, aCol, bCol), keyCols)
+
+  /** The (keys, _x2_a, _x2_b, _x2_o) contingency-cell table
+    * [[chiSquareAssocQ20]] reduces to — exposed because cells are SUMS
+    * (the [[confusionCells]] property): per-shard/batch cell tables
+    * re-sum to exactly the one-shot table, making the association
+    * monitor a continuous-ingest citizen. NULL labels excluded. */
+  def chiSquareCells(df: DataFrame, keyCols: Seq[String],
+                     aCol: String, bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "chiSquareCells needs >= 1 group key")
     val reserved = Seq("_x2_a", "_x2_b", "_x2_o", "_x2_r", "_x2_c",
       "_x2_d", "_x2_t", "n", "dof", "chi2_q20")
     reserved.foreach(c => require(!keyCols.contains(c),
-      s"chiSquareAssocQ20 reserves column $c — rename the key column"))
-    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      s"chiSquareCells reserves column $c — rename the key column"))
+    df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy((keyCols.map(col) :+ col(aCol).as("_x2_a") :+
         col(bCol).as("_x2_b")): _*)
       .agg(count(lit(1)).as("_x2_o"))
+  }
+
+  /** Merge [[chiSquareCells]] tables by cell re-sum — merged ≡ one-shot. */
+  def mergeChiSquareCells(tables: Seq[DataFrame],
+                          keyCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeChiSquareCells needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "_x2_a" :+ "_x2_b").map(col): _*)
+      .agg(sum(col("_x2_o")).as("_x2_o"))
+  }
+
+  /** χ² from a [[chiSquareCells]] table (see [[chiSquareAssocQ20]] for
+    * the statistic and its bounds). */
+  def chiSquareFromCells(cells: DataFrame,
+                         keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "chiSquareFromCells needs >= 1 group key")
     val ra = cells.groupBy((keyCols :+ "_x2_a").map(col): _*)
       .agg(sum(col("_x2_o")).as("_x2_r"))
     val cb = cells.groupBy((keyCols :+ "_x2_b").map(col): _*)

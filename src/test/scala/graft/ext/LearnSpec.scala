@@ -744,5 +744,15 @@ class LearnSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Learn.chiSquareAssocQ20(z.toDF("dof", "a", "b"), Seq("dof"), "a", "b")
     }
+    // ingest identity: contingency cells are sums — shard cells re-sum
+    // to the one-shot table and chi2 matches bit-for-bit (the x99c pin)
+    val half1 = k.take(5).toDF("g", "a", "b")
+    val half2 = k.drop(5).toDF("g", "a", "b")
+    val merged = Learn.chiSquareFromCells(
+      Learn.mergeChiSquareCells(Seq(
+        Learn.chiSquareCells(half1, Seq("g"), "a", "b"),
+        Learn.chiSquareCells(half2, Seq("g"), "a", "b")), Seq("g")),
+      Seq("g")).as[(String, Long, Long, Long)].collect().head
+    assert(merged == got, s"merged=$merged one=$got")
   }
 }
