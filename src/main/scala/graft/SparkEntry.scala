@@ -915,6 +915,32 @@ object SparkEntry {
       graft.ext.Similarity.kCenterGreedy(
         t(s, dir, "embeddings"), "vec_id", "embedding", 5)
     }),
+    "x103_ppjoin" -> ((s, dir) => {
+      // EXACT similarity self-join (the AllPairs/PPJoin family): every
+      // document pair with bigram-set Jaccard ≥ 8/10 — no LSH false
+      // negatives, the completeness the x13b family trades away. The
+      // prefix filter keys the candidate join on each document's
+      // RAREST bigrams (df-ascending order) and the AllPairs length
+      // filter prunes size-incompatible pairs in-bucket; the exact
+      // threshold is an integer cross-multiplication, no float
+      // threshold anywhere. Bigram sets (the x13 convention) because
+      // the fixture's unigram vocabulary is ~31 tokens — no unigram is
+      // rare, and NO exact algorithm can bucket on one. Even-id slice,
+      // the x14c fixture discipline.
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"),
+          graft.ext.Dedup.wordNgrams(col("text"), 2).as("toks"))
+      val cand = graft.ext.Dedup.ppjoinCandidates(d, "doc_id", "toks",
+        8L, 10L)
+      graft.ext.Dedup.containmentVerify(cand, d, "doc_id")
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+        .filter(col("n_common") * 10 >= col("n_union") * 8)
+        .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
+          col("jaccard"))
+    }),
     "x102b_kcenter_assign" -> ((s, dir) => {
       // the k-center APPLY (select→deploy, the x92c/x96b symmetry):
       // every embedding assigned to its nearest selected center in the
@@ -7817,6 +7843,49 @@ object SparkEntry {
     "x102_kcenter" -> x102OracleSql,
     // x102b: the coverage assignment off the same selection rounds
     "x102b_kcenter_assign" -> x102bOracleSql,
+    // x103: the exact prefix-filtered similarity join replayed — df
+    // ranks, per-doc (df, tok) ordering, the ⌈8sz/10⌉ prefix cut
+    // ((8sz+9)//10, non-negative), rare-token candidate buckets with
+    // the AllPairs length filter, and the integer cross-multiplied
+    // threshold
+    "x103_ppjoin" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 1, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1]))) AS toks
+           FROM (SELECT doc_id, string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                   '\s+') AS t
+                 FROM documents
+                 WHERE doc_id % 2 = 0 AND text IS NOT NULL
+                   AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
+         rk AS (SELECT doc_id, tok,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY df, tok) AS r,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS sz
+                FROM tk JOIN dfq USING (tok)),
+         pre AS (SELECT doc_id, tok, r, sz FROM rk
+                 WHERE r <= sz - ((8 * sz + 9) // 10) + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM pre a JOIN pre b
+                    ON b.tok = a.tok AND a.doc_id < b.doc_id
+                    AND 8 * greatest(a.sz, b.sz)
+                        <= 10 * least(a.sz, b.sz)
+                    AND 1 + least(a.sz - a.r, b.sz - b.r)
+                        >= (8 * (a.sz + b.sz) + 17) // 18),
+         ver AS (SELECT c.a_id, c.b_id,
+                   len(list_intersect(sa.toks, sb.toks)) AS o,
+                   len(sa.toks) + len(sb.toks)
+                     - len(list_intersect(sa.toks, sb.toks)) AS u
+                 FROM cand c
+                 JOIN sets sa ON sa.doc_id = c.a_id
+                 JOIN sets sb ON sb.doc_id = c.b_id)
+         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                CAST(o AS BIGINT) AS n_common, CAST(u AS BIGINT) AS n_union,
+                CAST(o AS DOUBLE) / u AS jaccard
+         FROM ver WHERE o * 10 >= u * 8""",
     // x14e: image near-dup replayed from the seeded-pattern formula —
     // 8×8 nearest-neighbor samples at idx = by·2·16 + bx·2 (w = h = 16),
     // v = (seed + idx) % 256, floor mean, strict-> bits, 16-bit bands,

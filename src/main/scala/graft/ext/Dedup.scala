@@ -497,6 +497,65 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** PREFIX-FILTER candidate pairs for an EXACT Jaccard-threshold
+    * similarity self-join (the AllPairs/PPJoin family — Chaudhuri et
+    * al. ICDE 2006, Xiao et al. WWW 2008): unlike MinHash-LSH this has
+    * ZERO false negatives — every pair with Jaccard ≥ t is a
+    * candidate — because two sets with Jaccard ≥ t overlap in
+    * o ≥ ⌈t·|x|⌉ elements (o ≥ t(|x|+|y|−o) and |y| ≥ o), so in ANY
+    * global total order the first shared element sits within the first
+    * |x| − ⌈t·|x|⌉ + 1 elements of BOTH sets. Ordering by (document
+    * frequency ASC, token ASC) makes those prefixes the RAREST tokens,
+    * so the candidate join's buckets are small by construction — the
+    * whole trick. The threshold is the exact rational tNumer/tDenom
+    * (no float thresholds; ⌈t·sz⌉ = (tNumer·sz + tDenom − 1) div
+    * tDenom, non-negative so the bare div is floor).
+    *
+    * 100 TB shape: one (id, token)-keyed explode, one token-keyed df
+    * aggregation + join (vocabulary reduces, never broadcast), one
+    * per-DOCUMENT window for the prefix cut, and a candidate join
+    * keyed on rare prefix tokens. Compose with [[jaccardVerify]] and
+    * filter o·tDenom ≥ tNumer·(n_a + n_b − o) for the exact join.
+    * Set elements must be distinct per row ([[wordNgrams]] default).
+    * Returns (a_id, b_id) distinct. */
+  def ppjoinCandidates(sets: DataFrame, idCol: String, setCol: String,
+                       tNumer: Long, tDenom: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tDenom >= 1 && tDenom <= 1000 && tNumer >= 1 &&
+      tNumer <= tDenom,
+      s"threshold must be a rational in (0, 1]: $tNumer/$tDenom")
+    val toks = sets.select(col(idCol).as("_pp_id"),
+      explode(col(setCol)).as("_pp_t"))
+    val dfq = toks.groupBy(col("_pp_t")).agg(count(lit(1)).as("_pp_df"))
+    val w = Window.partitionBy(col("_pp_id"))
+      .orderBy(col("_pp_df"), col("_pp_t"))
+    val pre = toks.join(dfq, "_pp_t")
+      .withColumn("_pp_r", row_number().over(w))
+      .withColumn("_pp_sz",
+        count(lit(1)).over(Window.partitionBy(col("_pp_id"))))
+      .filter(col("_pp_r") <= col("_pp_sz") -
+        expr(s"($tNumer * _pp_sz + ${tDenom - 1}) div $tDenom") + 1)
+      .select(col("_pp_id"), col("_pp_t"), col("_pp_r"), col("_pp_sz"))
+    // two more PPJoin prunes ride the candidate join:
+    //  - LENGTH: J ≥ t forces t·max(|x|, |y|) ≤ min (o ≤ min, o ≥ t·max)
+    //  - POSITIONAL: J ≥ t forces o ≥ ⌈t(|x|+|y|)/(1+t)⌉, and on the
+    //    FIRST shared token (positions r_a, r_b in the global order)
+    //    o ≤ 1 + min(|x|−r_a, |y|−r_b) — that row is always in the
+    //    join, so requiring bound ≥ requirement keeps completeness
+    //    while dropping rows that cannot carry enough overlap
+    val reqO = s"(($tNumer * (_pp_asz + _pp_bsz) + ${tNumer + tDenom - 1})" +
+      s" div ${tNumer + tDenom})"
+    pre.toDF("a_id", "_pp_t", "_pp_ar", "_pp_asz")
+      .join(pre.toDF("b_id", "_pp_t", "_pp_br", "_pp_bsz"), "_pp_t")
+      .filter(col("a_id") < col("b_id") &&
+        lit(tNumer) * greatest(col("_pp_asz"), col("_pp_bsz")) <=
+          lit(tDenom) * least(col("_pp_asz"), col("_pp_bsz")))
+      .filter(expr("1 + least(_pp_asz - _pp_ar, _pp_bsz - _pp_br)") >=
+        expr(reqO))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
   /** Exact-Jaccard verification of CANDIDATE pairs — the scale-safe tail
     * of LSH dedup. Candidates carry only (a_id, b_id); the token/ngram
     * arrays join back BY ID, so the work is O(|candidates|): no join key

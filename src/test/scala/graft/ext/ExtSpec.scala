@@ -2227,6 +2227,52 @@ class ExtSpec extends SparkSpec {
         "embedding", 2)
     }
   }
+  test("ppjoinCandidates: complete vs brute force at the threshold, rare-token prefixes, guards") {
+    import spark.implicits._
+    // J(1,3) = J(2,3) = 4/5 = 0.8 >= 0.7 (must surface);
+    // J(1,2) = 4/6 ~ 0.67 < 0.7 (must be filtered by the exact verify,
+    // whether or not the prefix filter emitted it as a candidate)
+    val fix: Seq[(Long, Seq[String])] = Seq(
+      (1L, Seq("z1", "a", "b", "c", "d")),
+      (2L, Seq("z2", "a", "b", "c", "d")),
+      (3L, Seq("a", "b", "c", "d")),
+      (4L, Seq("q1", "q2")))
+    val sets = fix.toDF("doc_id", "toks")
+    val cand = Dedup.ppjoinCandidates(sets, "doc_id", "toks", 7L, 10L)
+      .as[(Long, Long)].collect().toSet
+    // brute-force ground truth at the threshold
+    val m = fix.toMap.view.mapValues(_.toSet).toMap
+    val want = (for {
+      a <- m.keys; b <- m.keys if a < b
+      o = (m(a) intersect m(b)).size
+      u = (m(a) union m(b)).size
+      if o * 10 >= u * 7
+    } yield (a, b)).toSet
+    assert(want == Set((1L, 3L), (2L, 3L)), want.toString)
+    // COMPLETENESS: every true pair is a candidate (the PPJoin
+    // guarantee LSH lacks); precision comes from the verify stage
+    assert(want.subsetOf(cand), s"cand=$cand misses $want")
+    // the end-to-end exact join equals brute force
+    val got = Dedup.containmentVerify(
+        Dedup.ppjoinCandidates(sets, "doc_id", "toks", 7L, 10L),
+        sets, "doc_id")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .filter(col("n_common") * 10 >= col("n_union") * 7)
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"got=$got want=$want")
+    // rare-first ordering: the shared common tokens a..d are the most
+    // frequent, so doc 1's single-token prefix budget (5 - 4 + 1 = 2)
+    // spends on z1 and the rarest shared token — NOT on 'a'..'c'
+    // (df 3). Disjoint doc 4 pairs with nothing.
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L), cand.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.ppjoinCandidates(sets, "doc_id", "toks", 11L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ppjoinCandidates(sets, "doc_id", "toks", 0L, 10L)
+    }
+  }
   test("kCenterAssign: nearest-center census, tie to lower rank, guards") {
     import spark.implicits._
     // the kCenterGreedy fixture's selection (0, 11, 5 on the line):
