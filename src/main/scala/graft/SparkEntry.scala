@@ -915,6 +915,39 @@ object SparkEntry {
       graft.ext.Similarity.kCenterGreedy(
         t(s, dir, "embeddings"), "vec_id", "embedding", 5)
     }),
+    "x103b_ppjoin_incremental" -> ((s, dir) => {
+      // the EXACT join under ingest: the base split stages its prefix
+      // index AND its df table; a new batch ranks its own bigrams
+      // under that FROZEN order (unseen bigrams read df 0 — still one
+      // consistent total order, so prefix completeness holds) and
+      // probes the staged prefixes — base text is never rescanned for
+      // candidates; the verify fetches only candidate-involved sets by
+      // id. Answers the one-shot chain restricted to batch-involved
+      // pairs (the x41f convention).
+      import graft.ext.Dedup
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("toks"))
+      val base = d.filter(pmod(col("doc_id"), lit(4L)) === 2)
+      val batch = d.filter(pmod(col("doc_id"), lit(4L)) === 0)
+      val stagedDf = s.read.parquet(Dedup.stageSignatures(
+        Dedup.ppjoinDfTable(base, "doc_id", "toks")))
+      val stagedPre = s.read.parquet(Dedup.stageSignatures(
+        Dedup.ppjoinPrefixes(base, "doc_id", "toks", 8L, 10L, None)))
+      val batchPre = Dedup.ppjoinPrefixes(batch, "doc_id", "toks",
+        8L, 10L, Some(stagedDf))
+      val cand = Dedup.ppjoinCandidatesFrom(batchPre, stagedPre, 8L, 10L)
+        .unionByName(Dedup.ppjoinCandidatesFrom(batchPre, batchPre,
+          8L, 10L))
+        .distinct()
+      Dedup.containmentVerify(cand, d, "doc_id")
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+        .filter(col("n_common") * 10 >= col("n_union") * 8)
+        .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
+          col("jaccard"))
+    }),
     "x103_ppjoin" -> ((s, dir) => {
       // EXACT similarity self-join (the AllPairs/PPJoin family): every
       // document pair with bigram-set Jaccard ≥ 8/10 — no LSH false
@@ -5070,6 +5103,47 @@ object SparkEntry {
          FROM asg a JOIN rk ON rk.r = a.r
          WHERE a.rn = 1 GROUP BY 1, 2"""
 
+  /** x103: the exact prefix-filtered similarity join replayed (body
+    * shared with the x103b restriction). */
+  private val x103OracleSql: String =
+    """WITH sets AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(t) - 1, 1)),
+                    i -> concat_ws(' ', t[i], t[i+1]))) AS toks
+           FROM (SELECT doc_id, string_split_regex(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                   '\s+') AS t
+                 FROM documents
+                 WHERE doc_id % 2 = 0 AND text IS NOT NULL
+                   AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
+         rk AS (SELECT doc_id, tok,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY df, tok) AS r,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS sz
+                FROM tk JOIN dfq USING (tok)),
+         pre AS (SELECT doc_id, tok, r, sz FROM rk
+                 WHERE r <= sz - ((8 * sz + 9) // 10) + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM pre a JOIN pre b
+                    ON b.tok = a.tok AND a.doc_id < b.doc_id
+                    AND 8 * greatest(a.sz, b.sz)
+                        <= 10 * least(a.sz, b.sz)
+                    AND 1 + least(a.sz - a.r, b.sz - b.r)
+                        >= (8 * (a.sz + b.sz) + 17) // 18),
+         ver AS (SELECT c.a_id, c.b_id,
+                   len(list_intersect(sa.toks, sb.toks)) AS o,
+                   len(sa.toks) + len(sb.toks)
+                     - len(list_intersect(sa.toks, sb.toks)) AS u
+                 FROM cand c
+                 JOIN sets sa ON sa.doc_id = c.a_id
+                 JOIN sets sb ON sb.doc_id = c.b_id)
+         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                CAST(o AS BIGINT) AS n_common, CAST(u AS BIGINT) AS n_union,
+                CAST(o AS DOUBLE) / u AS jaccard
+         FROM ver WHERE o * 10 >= u * 8"""
+
   /** x89b: NDCG@5 replayed — the run/qrels CTEs of x89 plus the SHARED
     * Q20 discount table: the (rank, d, cum) literals below are the SAME
     * Scala-computed integers the engine's plan carries
@@ -7848,44 +7922,14 @@ object SparkEntry {
     // ((8sz+9)//10, non-negative), rare-token candidate buckets with
     // the AllPairs length filter, and the integer cross-multiplied
     // threshold
-    "x103_ppjoin" ->
-      """WITH sets AS (
-           SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, greatest(len(t) - 1, 1)),
-                    i -> concat_ws(' ', t[i], t[i+1]))) AS toks
-           FROM (SELECT doc_id, string_split_regex(
-                   regexp_replace(text, '^\s+|\s+$', '', 'g'),
-                   '\s+') AS t
-                 FROM documents
-                 WHERE doc_id % 2 = 0 AND text IS NOT NULL
-                   AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')),
-         tk AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
-         dfq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
-         rk AS (SELECT doc_id, tok,
-                  ROW_NUMBER() OVER (PARTITION BY doc_id
-                    ORDER BY df, tok) AS r,
-                  COUNT(*) OVER (PARTITION BY doc_id) AS sz
-                FROM tk JOIN dfq USING (tok)),
-         pre AS (SELECT doc_id, tok, r, sz FROM rk
-                 WHERE r <= sz - ((8 * sz + 9) // 10) + 1),
-         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM pre a JOIN pre b
-                    ON b.tok = a.tok AND a.doc_id < b.doc_id
-                    AND 8 * greatest(a.sz, b.sz)
-                        <= 10 * least(a.sz, b.sz)
-                    AND 1 + least(a.sz - a.r, b.sz - b.r)
-                        >= (8 * (a.sz + b.sz) + 17) // 18),
-         ver AS (SELECT c.a_id, c.b_id,
-                   len(list_intersect(sa.toks, sb.toks)) AS o,
-                   len(sa.toks) + len(sb.toks)
-                     - len(list_intersect(sa.toks, sb.toks)) AS u
-                 FROM cand c
-                 JOIN sets sa ON sa.doc_id = c.a_id
-                 JOIN sets sb ON sb.doc_id = c.b_id)
-         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
-                CAST(o AS BIGINT) AS n_common, CAST(u AS BIGINT) AS n_union,
-                CAST(o AS DOUBLE) / u AS jaccard
-         FROM ver WHERE o * 10 >= u * 8""",
+    "x103_ppjoin" -> x103OracleSql,
+    // x103b answers the one-shot chain RESTRICTED to batch-involved
+    // pairs (the x41f convention): candidate order may differ (the
+    // engine ranks under the FROZEN staged df), but completeness holds
+    // for any single total order and the verify stage is exact, so the
+    // final pair set is order-independent
+    "x103b_ppjoin_incremental" ->
+      (x103OracleSql + " AND (a_id % 4 = 0 OR b_id % 4 = 0)"),
     // x14e: image near-dup replayed from the seeded-pattern formula —
     // 8×8 nearest-neighbor samples at idx = by·2·16 + bx·2 (w = h = 16),
     // v = (seed + idx) % 256, floor mean, strict-> bits, 16-bit bands,

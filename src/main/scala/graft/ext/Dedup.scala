@@ -520,39 +520,72 @@ object Dedup {
     * Returns (a_id, b_id) distinct. */
   def ppjoinCandidates(sets: DataFrame, idCol: String, setCol: String,
                        tNumer: Long, tDenom: Long): DataFrame = {
+    val pre = ppjoinPrefixes(sets, idCol, setCol, tNumer, tDenom, None)
+    ppjoinCandidatesFrom(pre, pre, tNumer, tDenom)
+  }
+
+  /** The (token, df) table a [[ppjoinPrefixes]] ordering is built from —
+    * exposed so a GROWING corpus can FREEZE the order at index time
+    * (the BM25 stale-stats convention): completeness of the prefix
+    * filter holds for ANY single total order, so batches ranked under
+    * the staged df table join the staged prefixes exactly. */
+  def ppjoinDfTable(sets: DataFrame, idCol: String,
+                    setCol: String): DataFrame =
+    sets.select(explode(col(setCol)).as("_pp_t"))
+      .groupBy(col("_pp_t")).agg(count(lit(1)).as("_pp_df"))
+
+  /** Per-document PPJoin prefix rows (id, token, rank, size) under the
+    * (df asc, token asc) total order — `dfTable` None derives df from
+    * `sets` itself (the self-join case); Some(staged) ranks under a
+    * FROZEN order, tokens unseen by the stage reading df 0 (rarest —
+    * still one consistent total order, so completeness holds). */
+  def ppjoinPrefixes(sets: DataFrame, idCol: String, setCol: String,
+                     tNumer: Long, tDenom: Long,
+                     dfTable: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tDenom >= 1 && tDenom <= 1000 && tNumer >= 1 &&
       tNumer <= tDenom,
       s"threshold must be a rational in (0, 1]: $tNumer/$tDenom")
     val toks = sets.select(col(idCol).as("_pp_id"),
       explode(col(setCol)).as("_pp_t"))
-    val dfq = toks.groupBy(col("_pp_t")).agg(count(lit(1)).as("_pp_df"))
+    val dfq = dfTable.getOrElse(
+      toks.groupBy(col("_pp_t")).agg(count(lit(1)).as("_pp_df")))
     val w = Window.partitionBy(col("_pp_id"))
       .orderBy(col("_pp_df"), col("_pp_t"))
-    val pre = toks.join(dfq, "_pp_t")
+    toks.join(dfq, Seq("_pp_t"), "left")
+      .withColumn("_pp_df", coalesce(col("_pp_df"), lit(0L)))
       .withColumn("_pp_r", row_number().over(w))
       .withColumn("_pp_sz",
         count(lit(1)).over(Window.partitionBy(col("_pp_id"))))
       .filter(col("_pp_r") <= col("_pp_sz") -
         expr(s"($tNumer * _pp_sz + ${tDenom - 1}) div $tDenom") + 1)
       .select(col("_pp_id"), col("_pp_t"), col("_pp_r"), col("_pp_sz"))
-    // two more PPJoin prunes ride the candidate join:
-    //  - LENGTH: J ≥ t forces t·max(|x|, |y|) ≤ min (o ≤ min, o ≥ t·max)
-    //  - POSITIONAL: J ≥ t forces o ≥ ⌈t(|x|+|y|)/(1+t)⌉, and on the
-    //    FIRST shared token (positions r_a, r_b in the global order)
-    //    o ≤ 1 + min(|x|−r_a, |y|−r_b) — that row is always in the
-    //    join, so requiring bound ≥ requirement keeps completeness
-    //    while dropping rows that cannot carry enough overlap
+  }
+
+  /** The candidate join over two prefix tables, with the two in-bucket
+    * PPJoin prunes:
+    *  - LENGTH: J ≥ t forces t·max(|x|, |y|) ≤ min (o ≤ min, o ≥ t·max)
+    *  - POSITIONAL: J ≥ t forces o ≥ ⌈t(|x|+|y|)/(1+t)⌉, and on the
+    *    FIRST shared token (positions r_a, r_b in the global order)
+    *    o ≤ 1 + min(|x|−r_a, |y|−r_b) — that row is always in the
+    *    join, so requiring bound ≥ requirement keeps completeness
+    *    while dropping rows that cannot carry enough overlap.
+    * Pairs are normalized a_id < b_id and distinct (self-pairs drop),
+    * so the two prefix tables may overlap or differ (self-join vs
+    * batch × stage). */
+  def ppjoinCandidatesFrom(preA: DataFrame, preB: DataFrame,
+                           tNumer: Long, tDenom: Long): DataFrame = {
     val reqO = s"(($tNumer * (_pp_asz + _pp_bsz) + ${tNumer + tDenom - 1})" +
       s" div ${tNumer + tDenom})"
-    pre.toDF("a_id", "_pp_t", "_pp_ar", "_pp_asz")
-      .join(pre.toDF("b_id", "_pp_t", "_pp_br", "_pp_bsz"), "_pp_t")
-      .filter(col("a_id") < col("b_id") &&
+    preA.toDF("_pp_aid", "_pp_t", "_pp_ar", "_pp_asz")
+      .join(preB.toDF("_pp_bid", "_pp_t", "_pp_br", "_pp_bsz"), "_pp_t")
+      .filter(col("_pp_aid") =!= col("_pp_bid") &&
         lit(tNumer) * greatest(col("_pp_asz"), col("_pp_bsz")) <=
           lit(tDenom) * least(col("_pp_asz"), col("_pp_bsz")))
       .filter(expr("1 + least(_pp_asz - _pp_ar, _pp_bsz - _pp_br)") >=
         expr(reqO))
-      .select(col("a_id"), col("b_id"))
+      .select(least(col("_pp_aid"), col("_pp_bid")).as("a_id"),
+        greatest(col("_pp_aid"), col("_pp_bid")).as("b_id"))
       .distinct()
   }
 

@@ -2272,6 +2272,44 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.ppjoinCandidates(sets, "doc_id", "toks", 0L, 10L)
     }
+    // INCREMENTAL form: batch {3, 5} (5 carries tokens UNSEEN by the
+    // base — frozen order ranks them df 0) against staged base {1, 2,
+    // 4}; result = the brute-force pairs with >= 1 batch side. The
+    // base-only pair (1,2) must NOT appear even though its Jaccard
+    // (4/6) would fail the filter anyway at 0.7 — add a base-only TRUE
+    // pair to pin the restriction: docs 6, 7 duplicate each other.
+    val fix2 = fix ++ Seq(
+      (5L, Seq("w1", "w2", "a", "b", "c", "d")),
+      (6L, Seq("m1", "m2", "m3")), (7L, Seq("m1", "m2", "m3")))
+    val sets2 = fix2.toDF("doc_id", "toks")
+    val base2 = sets2.filter(col("doc_id").isin(1L, 2L, 6L, 7L))
+    val batch2 = sets2.filter(col("doc_id").isin(3L, 4L, 5L))
+    val stagedDf = Dedup.ppjoinDfTable(base2, "doc_id", "toks")
+    val basePre = Dedup.ppjoinPrefixes(base2, "doc_id", "toks", 7L, 10L,
+      None)
+    val batchPre = Dedup.ppjoinPrefixes(batch2, "doc_id", "toks", 7L, 10L,
+      Some(stagedDf))
+    val candInc = Dedup.ppjoinCandidatesFrom(batchPre, basePre, 7L, 10L)
+      .unionByName(Dedup.ppjoinCandidatesFrom(batchPre, batchPre, 7L, 10L))
+      .distinct()
+    val gotInc = Dedup.containmentVerify(candInc, sets2, "doc_id")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .filter(col("n_common") * 10 >= col("n_union") * 7)
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSet
+    val m2 = fix2.toMap.view.mapValues(_.toSet).toMap
+    val batchIds = Set(3L, 4L, 5L)
+    val wantInc = (for {
+      a <- m2.keys; b <- m2.keys
+      if a < b && (batchIds(a) || batchIds(b))
+      o = (m2(a) intersect m2(b)).size
+      u = (m2(a) union m2(b)).size
+      if o * 10 >= u * 7
+    } yield (a, b)).toSet
+    assert(wantInc.nonEmpty && gotInc == wantInc,
+      s"got=$gotInc want=$wantInc")
+    // the base-only duplicate pair is excluded by construction
+    assert(!gotInc.contains((6L, 7L)), gotInc.toString)
   }
   test("kCenterAssign: nearest-center census, tie to lower rank, guards") {
     import spark.implicits._
