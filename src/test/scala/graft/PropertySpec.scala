@@ -533,4 +533,129 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("agreement/drift statistics stay in their theoretical ranges on random data") {
+    import graft.ext.{Learn, TextStats}
+    val q20 = 1L << 20
+    // random two-rater labelings over a 3-letter alphabet, 3 keys
+    val lab = Gen.listOfN(120, for {
+      g <- Gen.oneOf("k1", "k2", "k3")
+      a <- Gen.oneOf("A", "B", "C")
+      b <- Gen.oneOf("A", "B", "C")
+      c <- Gen.option(Gen.oneOf("A", "B", "C"))
+    } yield (g, a, b, c.orNull)).sample.get
+    val df = lab.toDF("g", "ra", "rb", "rc")
+    // Cohen's kappa, Fleiss' kappa, Krippendorff's alpha ∈ [-1, 1]
+    Learn.cohenKappaQ20(df, Seq("g"), "ra", "rb")
+      .select(col("kappa_q20")).as[Option[Long]].collect()
+      .flatten.foreach(k => assert(k >= -q20 && k <= q20, k))
+    Learn.fleissKappaQ20(df.filter(col("rc").isNotNull), Seq("g"),
+        Seq("ra", "rb", "rc"))
+      .select(col("kappa_q20")).as[Option[Long]].collect()
+      .flatten.foreach(k => assert(k >= -q20 && k <= q20, k))
+    // alpha ≤ 1 always (D_o, D_e ≥ 0); the LOWER bound is −1 only
+    // asymptotically — finite samples can dip below, so only sanity
+    Learn.krippendorffAlphaQ20(df, Seq("g"), Seq("ra", "rb", "rc"))
+      .select(col("alpha_q20")).as[Option[Long]].collect()
+      .flatten.foreach(a => assert(a >= -100 * q20 && a <= q20, a))
+    // random integer feature drift: KS ∈ [0, 1], Cliff's delta ∈
+    // [-1, 1], W1 >= 0, and the three agree on mergeable-bin inputs
+    val va = Gen.listOfN(80, for {
+      g <- Gen.oneOf("k1", "k2"); v <- Gen.chooseNum(-500L, 500L)
+    } yield (g, v)).sample.get.toDF("g", "v")
+    val vb = Gen.listOfN(80, for {
+      g <- Gen.oneOf("k1", "k2"); v <- Gen.chooseNum(-500L, 500L)
+    } yield (g, v)).sample.get.toDF("g", "v")
+    TextStats.ksDriftQ20(va, vb, Seq("g"), "v", 32L, 1L)
+      .select(col("ks_q20")).as[Option[Long]].collect()
+      .flatten.foreach(k => assert(k >= 0 && k <= q20, k))
+    TextStats.cliffsDeltaQ20(va, vb, Seq("g"), "v", 32L)
+      .select(col("delta_q20")).as[Option[Long]].collect()
+      .flatten.foreach(d => assert(d >= -q20 && d <= q20, d))
+    TextStats.wassersteinDriftQ20(va, vb, Seq("g"), "v", 32L)
+      .select(col("w1_q20")).as[Option[Long]].collect()
+      .flatten.foreach(w => assert(w >= 0, w))
+    // Kendall tau-a ∈ [-1, 1] on random bucketed score pairs
+    val xy = Gen.listOfN(60, for {
+      g <- Gen.oneOf("k1", "k2"); x <- Gen.chooseNum(0L, 9L)
+      y <- Gen.chooseNum(0L, 9L)
+    } yield (g, x, y)).sample.get.toDF("g", "x", "y")
+    Learn.kendallTauAQ20(xy, Seq("g"), "x", "y")
+      .select(col("tau_q20")).as[Option[Long]].collect()
+      .flatten.foreach(t => assert(t >= -q20 && t <= q20, t))
+    // chi-square >= 0 and McNemar >= 0 on random labels/predictions
+    Learn.chiSquareAssocQ20(df.select(col("g"), col("ra"), col("rb")),
+        Seq("g"), "ra", "rb")
+      .select(col("chi2_q20")).as[Long].collect()
+      .foreach(x => assert(x >= 0, x))
+    val mc = lab.map { case (g, a, b, _) =>
+      (g, 1L, if (a == "A") 1L else -1L, if (b == "A") 1L else -1L)
+    }.toDF("g", "y", "pa", "pb")
+    Learn.mcnemarQ20(mc, Seq("g"), "y", "pa", "pb")
+      .select(col("mcnemar_q20")).as[Option[Long]].collect()
+      .flatten.foreach(x => assert(x >= 0, x))
+  }
+
+  test("drift/agreement merge identities hold under random sharding") {
+    import graft.ext.{Learn, TextStats}
+    val rows = Gen.listOfN(90, for {
+      g <- Gen.oneOf("k1", "k2"); a <- Gen.oneOf("A", "B")
+      b <- Gen.oneOf("A", "B"); c <- Gen.oneOf("A", "B")
+      cut <- Gen.chooseNum(0, 2)
+    } yield (g, a, b, c, cut)).sample.get
+    val full = rows.map(r => (r._1, r._2, r._3, r._4))
+      .toDF("g", "ra", "rb", "rc")
+    def shard(i: Int) = rows.filter(_._5 == i)
+      .map(r => (r._1, r._2, r._3, r._4)).toDF("g", "ra", "rb", "rc")
+    val shards = (0 to 2).map(shard)
+    // Fleiss cells: random 3-way shard re-sum == one-shot
+    val one = Learn.fleissKappaQ20(full, Seq("g"), Seq("ra", "rb", "rc"))
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val merged = Learn.fleissKappaFromCells(
+      Learn.mergeFleissCells(shards.map(s =>
+        Learn.fleissCells(s, Seq("g"), Seq("ra", "rb", "rc"))), Seq("g")),
+      Seq("g"), m = 3)
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(merged == one, s"merged=$merged one=$one")
+    // chi-square cells: same identity
+    val c1 = Learn.chiSquareAssocQ20(full, Seq("g"), "ra", "rb")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val c2 = Learn.chiSquareFromCells(
+      Learn.mergeChiSquareCells(shards.map(s =>
+        Learn.chiSquareCells(s, Seq("g"), "ra", "rb")), Seq("g")), Seq("g"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(c2 == c1, s"merged=$c2 one=$c1")
+    // floor-bin counts: random sharding re-sums to the one-shot KS/W1
+    val vals = Gen.listOfN(70, for {
+      g <- Gen.oneOf("k1", "k2"); v <- Gen.chooseNum(-300L, 300L)
+      cut <- Gen.chooseNum(0, 2)
+    } yield (g, v, cut)).sample.get
+    val vFull = vals.map(r => (r._1, r._2)).toDF("g", "v")
+    val vOther = Gen.listOfN(40, for {
+      g <- Gen.oneOf("k1", "k2"); v <- Gen.chooseNum(-300L, 300L)
+    } yield (g, v)).sample.get.toDF("g", "v")
+    val binsMerged = (0 to 2).map(i =>
+      TextStats.floorBinCounts(vals.filter(_._3 == i)
+        .map(r => (r._1, r._2)).toDF("g", "v"), Seq("g"), "v", 32L,
+        "c", "PropertySpec"))
+      .reduce(_ unionByName _)
+      .groupBy(col("g"), col("_ks_bin")).agg(sum(col("c")).as("c"))
+    val otherBins = TextStats.floorBinCounts(vOther, Seq("g"), "v", 32L,
+      "c", "PropertySpec")
+    val ksOne = TextStats.ksDriftQ20(vFull, vOther, Seq("g"), "v", 32L, 1L)
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    val ksM = TextStats.ksDriftFromBins(binsMerged, otherBins, Seq("g"),
+        "_ks_bin", "c", 1L)
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(ksM == ksOne, s"merged=$ksM one=$ksOne")
+    val w1One = TextStats.wassersteinDriftQ20(vFull, vOther, Seq("g"),
+        "v", 32L)
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val w1M = TextStats.wassersteinFromBins(binsMerged, otherBins,
+        Seq("g"), "_ks_bin", "c", unitsPerBin = 32L)
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(w1M == w1One, s"merged=$w1M one=$w1One")
+  }
 }
