@@ -974,6 +974,18 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
           col("jaccard"))
     }),
+    "x104_embedding_drift" -> ((s, dir) => {
+      // the drift family's THIRD modality (tokens x97, numeric x97e-h,
+      // vectors here): per label, the cosine between the two releases'
+      // centroids — computed on exact Q30 per-dimension sums (cos of
+      // sums ≡ cos of means, so nothing divides on the vector side),
+      // one decimal→double cast + IEEE sqrt at the very end (the x7
+      // convention).
+      val e = t(s, dir, "embeddings")
+      graft.ext.Similarity.centroidDriftCos(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        Seq("label"), "embedding")
+    }),
     "x102b_kcenter_assign" -> ((s, dir) => {
       // the k-center APPLY (select→deploy, the x92c/x96b symmetry):
       // every embedding assigned to its nearest selected center in the
@@ -7917,6 +7929,42 @@ object SparkEntry {
     "x102_kcenter" -> x102OracleSql,
     // x102b: the coverage assignment off the same selection rounds
     "x102b_kcenter_assign" -> x102bOracleSql,
+    // x104: centroid drift replayed — the meanPoolQ30 quantization per
+    // dimension, per-side sums, HUGEINT dot/norms, one double cast +
+    // sqrt at the end; zero-norm or one-sided labels read NULL
+    "x104_embedding_drift" ->
+      """WITH q AS (SELECT label, vec_id % 2 = 0 AS isa,
+                  generate_subscripts(embedding, 1) AS d,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                       * 1073741824) AS BIGINT) AS q
+           FROM embeddings),
+         s AS (SELECT label, isa, d, SUM(q) AS s, COUNT(*) AS n
+               FROM q GROUP BY 1, 2, 3),
+         sa AS (SELECT label, d, s, n FROM s WHERE isa),
+         sb AS (SELECT label, d, s, n FROM s WHERE NOT isa),
+         m AS (SELECT COALESCE(sa.label, sb.label) AS label,
+                 COALESCE(sa.s, 0) AS x, COALESCE(sb.s, 0) AS y,
+                 sa.n AS na, sb.n AS nb
+               FROM sa FULL JOIN sb
+                 ON sb.label = sa.label AND sb.d = sa.d),
+         g AS (SELECT label, SUM(CAST(x AS HUGEINT) * y) AS dot,
+                 SUM(CAST(x AS HUGEINT) * x) AS naa,
+                 SUM(CAST(y AS HUGEINT) * y) AS nbb,
+                 MAX(na) AS n_a, MAX(nb) AS n_b
+               FROM m GROUP BY 1)
+         SELECT label, CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+                -- HUGEINT→DOUBLE must route through VARCHAR: duckdb's
+                -- direct cast composes hi·2^64 + lo with TWO roundings
+                -- (1-ulp off Spark's correctly-rounded decimal cast;
+                -- caught at sf0.001 labels 3/8), while strtod rounds
+                -- correctly
+                CASE WHEN naa = 0 OR nbb = 0 THEN NULL
+                     ELSE CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+                          / (sqrt(CAST(CAST(naa AS VARCHAR) AS DOUBLE))
+                             * sqrt(CAST(CAST(nbb AS VARCHAR) AS DOUBLE)))
+                END AS cos_centroid
+         FROM g""",
     // x103: the exact prefix-filtered similarity join replayed — df
     // ranks, per-doc (df, tok) ordering, the ⌈8sz/10⌉ prefix cut
     // ((8sz+9)//10, non-negative), rare-token candidate buckets with

@@ -1470,6 +1470,72 @@ object Similarity {
       .toDF("pick_rank", idCol, "mindist_q30")
   }
 
+  /** EMBEDDING-CENTROID DRIFT between two releases — the drift family's
+    * third modality (x97 watches tokens, x97e-h watch numeric features,
+    * this watches the VECTOR space): per key, the cosine between the
+    * two releases' centroids — cos(mean_a, mean_b) ≡ cos(sum_a, sum_b),
+    * so no division ever happens on the vector side. Per-dimension
+    * sums are exact Q30 longs (the meanPoolQ30 quantization: ×2³⁰ is
+    * exact, floor to long, longs sum in any order); the final cosine
+    * is ONE decimal→double cast per operand, two IEEE sqrts and a
+    * division — the x7 cross-engine convention. A key empty on either
+    * side, or with a zero-norm sum, reads NULL.
+    *
+    * 100 TB shape: one (keys, dim)-keyed map-side-combining aggregation
+    * per side (the sums are MERGEABLE — shard/batch re-sums are the
+    * one-shot sums), one (keys, dim) join, one per-key reduction.
+    * decimal(38,0) exactness bounds the per-key-side row count at
+    * ~3·10⁷ (sum ≤ n·2³⁰ per dim; the dot squares it) — enforced by an
+    * in-plan raise; a bigger release should be sampled first (the
+    * centroid converges long before). Returns (keys..., n_a, n_b,
+    * cos_centroid [nullable double]). */
+  def centroidDriftCos(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                       vecCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "centroidDriftCos needs >= 1 group key")
+    val reserved = Seq("_cd_d", "_cd_q", "_cd_s", "_cd_sa", "_cd_sb",
+      "_cd_dot", "_cd_naa", "_cd_nbb", "n_a", "n_b", "cos_centroid")
+    reserved.foreach(c => require(!keyCols.contains(c),
+      s"centroidDriftCos reserves column $c — rename the key column"))
+    def side(df: DataFrame, sName: String, nName: String): DataFrame = {
+      val q = df.filter(col(vecCol).isNotNull)
+        .select((keyCols.map(col) :+
+          posexplode(col(vecCol)).as(Seq("_cd_d", "_cd_x"))): _*)
+        .select((keyCols.map(col) :+ col("_cd_d") :+
+          floor(col("_cd_x").cast("double") *
+            lit((1L << 30).toDouble)).cast("long").as("_cd_q")): _*)
+      val sums = q.groupBy((keyCols :+ "_cd_d").map(col): _*)
+        .agg(sum(col("_cd_q")).cast("decimal(38,0)").as(sName),
+          count(lit(1)).as("_cd_n"))
+        .withColumn(nName, when(col("_cd_n") <= 30000000L, col("_cd_n"))
+          .otherwise(raise_error(lit(
+            "centroidDriftCos: per-key release exceeds the 3e7 decimal"
+              + " exactness bound — sample the release first"))))
+      sums.select((keyCols.map(col) :+ col("_cd_d") :+ col(sName) :+
+        col(nName)): _*)
+    }
+    val sa = side(a, "_cd_sa", "n_a")
+    val sb = side(b, "_cd_sb", "n_b")
+    sa.join(sb, keyCols :+ "_cd_d", "full")
+      .select((keyCols.map(col) :+ col("_cd_d") :+
+        coalesce(col("_cd_sa"), lit(0).cast("decimal(38,0)")).as("_cd_sa") :+
+        coalesce(col("_cd_sb"), lit(0).cast("decimal(38,0)")).as("_cd_sb") :+
+        col("n_a") :+ col("n_b")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_cd_sa") * col("_cd_sb")).as("_cd_dot"),
+        sum(col("_cd_sa") * col("_cd_sa")).as("_cd_naa"),
+        sum(col("_cd_sb") * col("_cd_sb")).as("_cd_nbb"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select((keyCols.map(col) :+
+        coalesce(col("n_a"), lit(0L)).as("n_a") :+
+        coalesce(col("n_b"), lit(0L)).as("n_b") :+
+        when(col("_cd_naa") === 0 || col("_cd_nbb") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("_cd_dot").cast("double") /
+            (sqrt(col("_cd_naa").cast("double")) *
+              sqrt(col("_cd_nbb").cast("double"))))
+          .as("cos_centroid")): _*)
+  }
+
   /** The k-center APPLY step — assign every point to its nearest
     * selected center and report per-center coverage (the deploy half
     * of [[kCenterGreedy]], mirroring x92c/x96b's select→deploy

@@ -2311,6 +2311,36 @@ class ExtSpec extends SparkSpec {
     // the base-only duplicate pair is excluded by construction
     assert(!gotInc.contains((6L, 7L)), gotInc.toString)
   }
+  test("centroidDriftCos: orthogonal 0, parallel exact 1.0, one-sided NULL, shard-sum identity") {
+    import spark.implicits._
+    val a = Seq((1, Seq(1f, 0f)), (1, Seq(1f, 0f)), (2, Seq(1f, 0f)),
+      (3, Seq(1f, 1f))).toDF("label", "embedding")
+    val b = Seq((1, Seq(0f, 1f)), (2, Seq(2f, 0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.centroidDriftCos(a, b, Seq("label"), "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    // label 1: centroids (1,0) vs (0,1) -> cos 0 exactly;
+    // label 2: (1,0) vs (2,0) -> parallel, cos exactly 1.0 (powers of
+    // two quantize exactly); label 3: b side empty -> NULL
+    assert(got == Seq(
+      (1, 2L, 1L, Some(0.0)),
+      (2, 1L, 1L, Some(1.0)),
+      (3, 1L, 0L, None)), got.toString)
+    // per-dimension Q30 sums are mergeable: sharded a == one-shot a
+    val a1 = a.filter($"label" =!= 1)
+    val a2 = a.filter($"label" === 1)
+    val viaUnion = Similarity.centroidDriftCos(a1.unionByName(a2), b,
+        Seq("label"), "embedding")
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(viaUnion == got, s"union=$viaUnion one=$got")
+    intercept[IllegalArgumentException] {
+      Similarity.centroidDriftCos(a, b, Nil, "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.centroidDriftCos(a.withColumnRenamed("label", "n_a"), b,
+        Seq("n_a"), "embedding")
+    }
+  }
   test("kCenterAssign: nearest-center census, tie to lower rank, guards") {
     import spark.implicits._
     // the kCenterGreedy fixture's selection (0, 11, 5 on the line):
