@@ -95,7 +95,11 @@ object ScaleRehearsal {
       ("x17_dup_clusters", "salt"),
       ("x86b_allpairs_incremental", "salt"),
       ("x43d_bm25_compacted", "raw"),
-      ("x59_pagerank", "graph"))
+      ("x59_pagerank", "graph"),
+      // the exact prefix-filter join: the cipher keeps every copy's
+      // bigram vocabulary disjoint, so prefix buckets grow linearly
+      // (the natural regime for a growing multilingual corpus)
+      ("x103_ppjoin", "salt"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
