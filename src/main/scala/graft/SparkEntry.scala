@@ -974,6 +974,27 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
           col("jaccard"))
     }),
+    "x104b_embedding_drift_incremental" -> ((s, dir) => {
+      // the vector-drift monitor under ingest: release B's per-dim Q30
+      // sums stage ONCE; a new batch folds in by re-sum (sums are
+      // sums — merge ≡ one-shot bit-for-bit) and the cosine
+      // re-evaluates from the merged table — answers x104's oracle
+      // VERBATIM without rescanning the base (the x97b convention for
+      // the third modality).
+      import graft.ext.{Dedup, Similarity}
+      val e = t(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val base = e.filter(pmod(col("vec_id"), lit(4L)) === 1)
+      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3)
+      val staged = s.read.parquet(Dedup.stageSignatures(
+        Similarity.centroidSums(base, Seq("label"), "embedding")))
+      Similarity.centroidDriftFromSums(
+        Similarity.centroidSums(a, Seq("label"), "embedding"),
+        Similarity.mergeCentroidSums(Seq(staged,
+          Similarity.centroidSums(batch, Seq("label"), "embedding")),
+          Seq("label")),
+        Seq("label"))
+    }),
     "x104_embedding_drift" -> ((s, dir) => {
       // the drift family's THIRD modality (tokens x97, numeric x97e-h,
       // vectors here): per label, the cosine between the two releases'
@@ -5115,6 +5136,42 @@ object SparkEntry {
          FROM asg a JOIN rk ON rk.r = a.r
          WHERE a.rn = 1 GROUP BY 1, 2"""
 
+  /** x104: centroid drift replayed (shared verbatim with the x104b
+    * ingest twin — per-dim sums re-sum to the one-shot table). */
+  private val x104OracleSql: String =
+    """WITH q AS (SELECT label, vec_id % 2 = 0 AS isa,
+                  generate_subscripts(embedding, 1) AS d,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                       * 1073741824) AS BIGINT) AS q
+           FROM embeddings),
+         s AS (SELECT label, isa, d, SUM(q) AS s, COUNT(*) AS n
+               FROM q GROUP BY 1, 2, 3),
+         sa AS (SELECT label, d, s, n FROM s WHERE isa),
+         sb AS (SELECT label, d, s, n FROM s WHERE NOT isa),
+         m AS (SELECT COALESCE(sa.label, sb.label) AS label,
+                 COALESCE(sa.s, 0) AS x, COALESCE(sb.s, 0) AS y,
+                 sa.n AS na, sb.n AS nb
+               FROM sa FULL JOIN sb
+                 ON sb.label = sa.label AND sb.d = sa.d),
+         g AS (SELECT label, SUM(CAST(x AS HUGEINT) * y) AS dot,
+                 SUM(CAST(x AS HUGEINT) * x) AS naa,
+                 SUM(CAST(y AS HUGEINT) * y) AS nbb,
+                 MAX(na) AS n_a, MAX(nb) AS n_b
+               FROM m GROUP BY 1)
+         SELECT label, CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+                -- HUGEINT→DOUBLE must route through VARCHAR: duckdb's
+                -- direct cast composes hi·2^64 + lo with TWO roundings
+                -- (1-ulp off Spark's correctly-rounded decimal cast;
+                -- caught at sf0.001 labels 3/8), while strtod rounds
+                -- correctly
+                CASE WHEN naa = 0 OR nbb = 0 THEN NULL
+                     ELSE CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+                          / (sqrt(CAST(CAST(naa AS VARCHAR) AS DOUBLE))
+                             * sqrt(CAST(CAST(nbb AS VARCHAR) AS DOUBLE)))
+                END AS cos_centroid
+         FROM g"""
+
   /** x103: the exact prefix-filtered similarity join replayed (body
     * shared with the x103b restriction). */
   private val x103OracleSql: String =
@@ -7932,39 +7989,10 @@ object SparkEntry {
     // x104: centroid drift replayed — the meanPoolQ30 quantization per
     // dimension, per-side sums, HUGEINT dot/norms, one double cast +
     // sqrt at the end; zero-norm or one-sided labels read NULL
-    "x104_embedding_drift" ->
-      """WITH q AS (SELECT label, vec_id % 2 = 0 AS isa,
-                  generate_subscripts(embedding, 1) AS d,
-                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                       * 1073741824) AS BIGINT) AS q
-           FROM embeddings),
-         s AS (SELECT label, isa, d, SUM(q) AS s, COUNT(*) AS n
-               FROM q GROUP BY 1, 2, 3),
-         sa AS (SELECT label, d, s, n FROM s WHERE isa),
-         sb AS (SELECT label, d, s, n FROM s WHERE NOT isa),
-         m AS (SELECT COALESCE(sa.label, sb.label) AS label,
-                 COALESCE(sa.s, 0) AS x, COALESCE(sb.s, 0) AS y,
-                 sa.n AS na, sb.n AS nb
-               FROM sa FULL JOIN sb
-                 ON sb.label = sa.label AND sb.d = sa.d),
-         g AS (SELECT label, SUM(CAST(x AS HUGEINT) * y) AS dot,
-                 SUM(CAST(x AS HUGEINT) * x) AS naa,
-                 SUM(CAST(y AS HUGEINT) * y) AS nbb,
-                 MAX(na) AS n_a, MAX(nb) AS n_b
-               FROM m GROUP BY 1)
-         SELECT label, CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
-                CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
-                -- HUGEINT→DOUBLE must route through VARCHAR: duckdb's
-                -- direct cast composes hi·2^64 + lo with TWO roundings
-                -- (1-ulp off Spark's correctly-rounded decimal cast;
-                -- caught at sf0.001 labels 3/8), while strtod rounds
-                -- correctly
-                CASE WHEN naa = 0 OR nbb = 0 THEN NULL
-                     ELSE CAST(CAST(dot AS VARCHAR) AS DOUBLE)
-                          / (sqrt(CAST(CAST(naa AS VARCHAR) AS DOUBLE))
-                             * sqrt(CAST(CAST(nbb AS VARCHAR) AS DOUBLE)))
-                END AS cos_centroid
-         FROM g""",
+    // x104b answers the SAME oracle verbatim: per-dim sums are sums,
+    // staged-base + batch re-sum IS the one-shot sum table
+    "x104b_embedding_drift_incremental" -> x104OracleSql,
+    "x104_embedding_drift" -> x104OracleSql,
     // x103: the exact prefix-filtered similarity join replayed — df
     // ranks, per-doc (df, tok) ordering, the ⌈8sz/10⌉ prefix cut
     // ((8sz+9)//10, non-negative), rare-token candidate buckets with

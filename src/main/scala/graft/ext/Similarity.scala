@@ -1490,31 +1490,58 @@ object Similarity {
     * centroid converges long before). Returns (keys..., n_a, n_b,
     * cos_centroid [nullable double]). */
   def centroidDriftCos(a: DataFrame, b: DataFrame, keyCols: Seq[String],
-                       vecCol: String): DataFrame = {
-    require(keyCols.nonEmpty, "centroidDriftCos needs >= 1 group key")
-    val reserved = Seq("_cd_d", "_cd_q", "_cd_s", "_cd_sa", "_cd_sb",
-      "_cd_dot", "_cd_naa", "_cd_nbb", "n_a", "n_b", "cos_centroid")
+                       vecCol: String): DataFrame =
+    centroidDriftFromSums(
+      centroidSums(a, keyCols, vecCol),
+      centroidSums(b, keyCols, vecCol), keyCols)
+
+  /** The (keys, dim, sum_q30, n) per-dimension Q30 sum table
+    * [[centroidDriftCos]] reduces each release to — exposed because
+    * sums and counts are SUMS: per-shard/batch tables re-sum
+    * ([[mergeCentroidSums]]) to exactly the one-shot table, making the
+    * vector-drift monitor a continuous-ingest citizen like the token
+    * and bin-count monitors. */
+  def centroidSums(df: DataFrame, keyCols: Seq[String],
+                   vecCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "centroidSums needs >= 1 group key")
+    val reserved = Seq("_cd_d", "_cd_q", "_cd_x", "_cd_s", "_cd_n",
+      "n_a", "n_b", "cos_centroid")
     reserved.foreach(c => require(!keyCols.contains(c),
-      s"centroidDriftCos reserves column $c — rename the key column"))
-    def side(df: DataFrame, sName: String, nName: String): DataFrame = {
-      val q = df.filter(col(vecCol).isNotNull)
-        .select((keyCols.map(col) :+
-          posexplode(col(vecCol)).as(Seq("_cd_d", "_cd_x"))): _*)
+      s"centroidSums reserves column $c — rename the key column"))
+    df.filter(col(vecCol).isNotNull)
+      .select((keyCols.map(col) :+
+        posexplode(col(vecCol)).as(Seq("_cd_d", "_cd_x"))): _*)
+      .select((keyCols.map(col) :+ col("_cd_d") :+
+        floor(col("_cd_x").cast("double") *
+          lit((1L << 30).toDouble)).cast("long").as("_cd_q")): _*)
+      .groupBy((keyCols :+ "_cd_d").map(col): _*)
+      .agg(sum(col("_cd_q")).cast("decimal(38,0)").as("_cd_s"),
+        count(lit(1)).as("_cd_n"))
+  }
+
+  /** Merge [[centroidSums]] tables by re-sum — merged ≡ one-shot. */
+  def mergeCentroidSums(tables: Seq[DataFrame],
+                        keyCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeCentroidSums needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "_cd_d").map(col): _*)
+      .agg(sum(col("_cd_s")).as("_cd_s"), sum(col("_cd_n")).as("_cd_n"))
+  }
+
+  /** Cosine drift from two [[centroidSums]] tables (see
+    * [[centroidDriftCos]] for the statistic and its bounds). */
+  def centroidDriftFromSums(sumsA: DataFrame, sumsB: DataFrame,
+                            keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "centroidDriftFromSums needs >= 1 group key")
+    def side(s: DataFrame, sName: String, nName: String): DataFrame =
+      s.withColumn(nName, when(col("_cd_n") <= 30000000L, col("_cd_n"))
+        .otherwise(raise_error(lit(
+          "centroidDriftFromSums: per-key release exceeds the 3e7 decimal"
+            + " exactness bound — sample the release first"))))
         .select((keyCols.map(col) :+ col("_cd_d") :+
-          floor(col("_cd_x").cast("double") *
-            lit((1L << 30).toDouble)).cast("long").as("_cd_q")): _*)
-      val sums = q.groupBy((keyCols :+ "_cd_d").map(col): _*)
-        .agg(sum(col("_cd_q")).cast("decimal(38,0)").as(sName),
-          count(lit(1)).as("_cd_n"))
-        .withColumn(nName, when(col("_cd_n") <= 30000000L, col("_cd_n"))
-          .otherwise(raise_error(lit(
-            "centroidDriftCos: per-key release exceeds the 3e7 decimal"
-              + " exactness bound — sample the release first"))))
-      sums.select((keyCols.map(col) :+ col("_cd_d") :+ col(sName) :+
-        col(nName)): _*)
-    }
-    val sa = side(a, "_cd_sa", "n_a")
-    val sb = side(b, "_cd_sb", "n_b")
+          col("_cd_s").as(sName) :+ col(nName)): _*)
+    val sa = side(sumsA, "_cd_sa", "n_a")
+    val sb = side(sumsB, "_cd_sb", "n_b")
     sa.join(sb, keyCols :+ "_cd_d", "full")
       .select((keyCols.map(col) :+ col("_cd_d") :+
         coalesce(col("_cd_sa"), lit(0).cast("decimal(38,0)")).as("_cd_sa") :+
