@@ -915,98 +915,6 @@ object SparkEntry {
       graft.ext.Similarity.kCenterGreedy(
         t(s, dir, "embeddings"), "vec_id", "embedding", 5)
     }),
-    "x103b_ppjoin_incremental" -> ((s, dir) => {
-      // the EXACT join under ingest: the base split stages its prefix
-      // index AND its df table; a new batch ranks its own bigrams
-      // under that FROZEN order (unseen bigrams read df 0 — still one
-      // consistent total order, so prefix completeness holds) and
-      // probes the staged prefixes — base text is never rescanned for
-      // candidates; the verify fetches only candidate-involved sets by
-      // id. Answers the one-shot chain restricted to batch-involved
-      // pairs (the x41f convention).
-      import graft.ext.Dedup
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
-        .filter(col("text").isNotNull &&
-          graft.ext.TextStats.wsTrim(col("text")) =!= "")
-        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 2).as("toks"))
-      val base = d.filter(pmod(col("doc_id"), lit(4L)) === 2)
-      val batch = d.filter(pmod(col("doc_id"), lit(4L)) === 0)
-      val stagedDf = s.read.parquet(Dedup.stageSignatures(
-        Dedup.ppjoinDfTable(base, "doc_id", "toks")))
-      val stagedPre = s.read.parquet(Dedup.stageSignatures(
-        Dedup.ppjoinPrefixes(base, "doc_id", "toks", 8L, 10L, None)))
-      val batchPre = Dedup.ppjoinPrefixes(batch, "doc_id", "toks",
-        8L, 10L, Some(stagedDf))
-      val cand = Dedup.ppjoinCandidatesFrom(batchPre, stagedPre, 8L, 10L)
-        .unionByName(Dedup.ppjoinCandidatesFrom(batchPre, batchPre,
-          8L, 10L))
-        .distinct()
-      Dedup.containmentVerify(cand, d, "doc_id")
-        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
-        .filter(col("n_common") * 10 >= col("n_union") * 8)
-        .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
-          col("jaccard"))
-    }),
-    "x103_ppjoin" -> ((s, dir) => {
-      // EXACT similarity self-join (the AllPairs/PPJoin family): every
-      // document pair with bigram-set Jaccard ≥ 8/10 — no LSH false
-      // negatives, the completeness the x13b family trades away. The
-      // prefix filter keys the candidate join on each document's
-      // RAREST bigrams (df-ascending order) and the AllPairs length
-      // filter prunes size-incompatible pairs in-bucket; the exact
-      // threshold is an integer cross-multiplication, no float
-      // threshold anywhere. Bigram sets (the x13 convention) because
-      // the fixture's unigram vocabulary is ~31 tokens — no unigram is
-      // rare, and NO exact algorithm can bucket on one. Even-id slice,
-      // the x14c fixture discipline.
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
-        .filter(col("text").isNotNull &&
-          graft.ext.TextStats.wsTrim(col("text")) =!= "")
-        .select(col("doc_id"),
-          graft.ext.Dedup.wordNgrams(col("text"), 2).as("toks"))
-      val cand = graft.ext.Dedup.ppjoinCandidates(d, "doc_id", "toks",
-        8L, 10L)
-      graft.ext.Dedup.containmentVerify(cand, d, "doc_id")
-        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
-        .filter(col("n_common") * 10 >= col("n_union") * 8)
-        .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
-          col("jaccard"))
-    }),
-    "x104b_embedding_drift_incremental" -> ((s, dir) => {
-      // the vector-drift monitor under ingest: release B's per-dim Q30
-      // sums stage ONCE; a new batch folds in by re-sum (sums are
-      // sums — merge ≡ one-shot bit-for-bit) and the cosine
-      // re-evaluates from the merged table — answers x104's oracle
-      // VERBATIM without rescanning the base (the x97b convention for
-      // the third modality).
-      import graft.ext.{Dedup, Similarity}
-      val e = t(s, dir, "embeddings")
-      val a = e.filter(col("vec_id") % 2 === 0)
-      val base = e.filter(pmod(col("vec_id"), lit(4L)) === 1)
-      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3)
-      val staged = s.read.parquet(Dedup.stageSignatures(
-        Similarity.centroidSums(base, Seq("label"), "embedding")))
-      Similarity.centroidDriftFromSums(
-        Similarity.centroidSums(a, Seq("label"), "embedding"),
-        Similarity.mergeCentroidSums(Seq(staged,
-          Similarity.centroidSums(batch, Seq("label"), "embedding")),
-          Seq("label")),
-        Seq("label"))
-    }),
-    "x104_embedding_drift" -> ((s, dir) => {
-      // the drift family's THIRD modality (tokens x97, numeric x97e-h,
-      // vectors here): per label, the cosine between the two releases'
-      // centroids — computed on exact Q30 per-dimension sums (cos of
-      // sums ≡ cos of means, so nothing divides on the vector side),
-      // one decimal→double cast + IEEE sqrt at the very end (the x7
-      // convention).
-      val e = t(s, dir, "embeddings")
-      graft.ext.Similarity.centroidDriftCos(
-        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
-        Seq("label"), "embedding")
-    }),
     "x102b_kcenter_assign" -> ((s, dir) => {
       // the k-center APPLY (select→deploy, the x92c/x96b symmetry):
       // every embedding assigned to its nearest selected center in the
@@ -5172,46 +5080,7 @@ object SparkEntry {
                 END AS cos_centroid
          FROM g"""
 
-  /** x103: the exact prefix-filtered similarity join replayed (body
-    * shared with the x103b restriction). */
-  private val x103OracleSql: String =
-    """WITH sets AS (
-           SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, greatest(len(t) - 1, 1)),
-                    i -> concat_ws(' ', t[i], t[i+1]))) AS toks
-           FROM (SELECT doc_id, string_split_regex(
-                   regexp_replace(text, '^\s+|\s+$', '', 'g'),
-                   '\s+') AS t
-                 FROM documents
-                 WHERE doc_id % 2 = 0 AND text IS NOT NULL
-                   AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> '')),
-         tk AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
-         dfq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
-         rk AS (SELECT doc_id, tok,
-                  ROW_NUMBER() OVER (PARTITION BY doc_id
-                    ORDER BY df, tok) AS r,
-                  COUNT(*) OVER (PARTITION BY doc_id) AS sz
-                FROM tk JOIN dfq USING (tok)),
-         pre AS (SELECT doc_id, tok, r, sz FROM rk
-                 WHERE r <= sz - ((8 * sz + 9) // 10) + 1),
-         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM pre a JOIN pre b
-                    ON b.tok = a.tok AND a.doc_id < b.doc_id
-                    AND 8 * greatest(a.sz, b.sz)
-                        <= 10 * least(a.sz, b.sz)
-                    AND 1 + least(a.sz - a.r, b.sz - b.r)
-                        >= (8 * (a.sz + b.sz) + 17) // 18),
-         ver AS (SELECT c.a_id, c.b_id,
-                   len(list_intersect(sa.toks, sb.toks)) AS o,
-                   len(sa.toks) + len(sb.toks)
-                     - len(list_intersect(sa.toks, sb.toks)) AS u
-                 FROM cand c
-                 JOIN sets sa ON sa.doc_id = c.a_id
-                 JOIN sets sb ON sb.doc_id = c.b_id)
-         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
-                CAST(o AS BIGINT) AS n_common, CAST(u AS BIGINT) AS n_union,
-                CAST(o AS DOUBLE) / u AS jaccard
-         FROM ver WHERE o * 10 >= u * 8"""
+
 
   /** x89b: NDCG@5 replayed — the run/qrels CTEs of x89 plus the SHARED
     * Q20 discount table: the (rank, d, cum) literals below are the SAME
@@ -7993,19 +7862,6 @@ object SparkEntry {
     // staged-base + batch re-sum IS the one-shot sum table
     "x104b_embedding_drift_incremental" -> x104OracleSql,
     "x104_embedding_drift" -> x104OracleSql,
-    // x103: the exact prefix-filtered similarity join replayed — df
-    // ranks, per-doc (df, tok) ordering, the ⌈8sz/10⌉ prefix cut
-    // ((8sz+9)//10, non-negative), rare-token candidate buckets with
-    // the AllPairs length filter, and the integer cross-multiplied
-    // threshold
-    "x103_ppjoin" -> x103OracleSql,
-    // x103b answers the one-shot chain RESTRICTED to batch-involved
-    // pairs (the x41f convention): candidate order may differ (the
-    // engine ranks under the FROZEN staged df), but completeness holds
-    // for any single total order and the verify stage is exact, so the
-    // final pair set is order-independent
-    "x103b_ppjoin_incremental" ->
-      (x103OracleSql + " AND (a_id % 4 = 0 OR b_id % 4 = 0)"),
     // x14e: image near-dup replayed from the seeded-pattern formula —
     // 8×8 nearest-neighbor samples at idx = by·2·16 + bx·2 (w = h = 16),
     // v = (seed + idx) % 256, floor mean, strict-> bits, 16-bit bands,

@@ -497,98 +497,6 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** PREFIX-FILTER candidate pairs for an EXACT Jaccard-threshold
-    * similarity self-join (the AllPairs/PPJoin family — Chaudhuri et
-    * al. ICDE 2006, Xiao et al. WWW 2008): unlike MinHash-LSH this has
-    * ZERO false negatives — every pair with Jaccard ≥ t is a
-    * candidate — because two sets with Jaccard ≥ t overlap in
-    * o ≥ ⌈t·|x|⌉ elements (o ≥ t(|x|+|y|−o) and |y| ≥ o), so in ANY
-    * global total order the first shared element sits within the first
-    * |x| − ⌈t·|x|⌉ + 1 elements of BOTH sets. Ordering by (document
-    * frequency ASC, token ASC) makes those prefixes the RAREST tokens,
-    * so the candidate join's buckets are small by construction — the
-    * whole trick. The threshold is the exact rational tNumer/tDenom
-    * (no float thresholds; ⌈t·sz⌉ = (tNumer·sz + tDenom − 1) div
-    * tDenom, non-negative so the bare div is floor).
-    *
-    * 100 TB shape: one (id, token)-keyed explode, one token-keyed df
-    * aggregation + join (vocabulary reduces, never broadcast), one
-    * per-DOCUMENT window for the prefix cut, and a candidate join
-    * keyed on rare prefix tokens. Compose with [[jaccardVerify]] and
-    * filter o·tDenom ≥ tNumer·(n_a + n_b − o) for the exact join.
-    * Set elements must be distinct per row ([[wordNgrams]] default).
-    * Returns (a_id, b_id) distinct. */
-  def ppjoinCandidates(sets: DataFrame, idCol: String, setCol: String,
-                       tNumer: Long, tDenom: Long): DataFrame = {
-    val pre = ppjoinPrefixes(sets, idCol, setCol, tNumer, tDenom, None)
-    ppjoinCandidatesFrom(pre, pre, tNumer, tDenom)
-  }
-
-  /** The (token, df) table a [[ppjoinPrefixes]] ordering is built from —
-    * exposed so a GROWING corpus can FREEZE the order at index time
-    * (the BM25 stale-stats convention): completeness of the prefix
-    * filter holds for ANY single total order, so batches ranked under
-    * the staged df table join the staged prefixes exactly. */
-  def ppjoinDfTable(sets: DataFrame, idCol: String,
-                    setCol: String): DataFrame =
-    sets.select(explode(col(setCol)).as("_pp_t"))
-      .groupBy(col("_pp_t")).agg(count(lit(1)).as("_pp_df"))
-
-  /** Per-document PPJoin prefix rows (id, token, rank, size) under the
-    * (df asc, token asc) total order — `dfTable` None derives df from
-    * `sets` itself (the self-join case); Some(staged) ranks under a
-    * FROZEN order, tokens unseen by the stage reading df 0 (rarest —
-    * still one consistent total order, so completeness holds). */
-  def ppjoinPrefixes(sets: DataFrame, idCol: String, setCol: String,
-                     tNumer: Long, tDenom: Long,
-                     dfTable: Option[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(tDenom >= 1 && tDenom <= 1000 && tNumer >= 1 &&
-      tNumer <= tDenom,
-      s"threshold must be a rational in (0, 1]: $tNumer/$tDenom")
-    val toks = sets.select(col(idCol).as("_pp_id"),
-      explode(col(setCol)).as("_pp_t"))
-    val dfq = dfTable.getOrElse(
-      toks.groupBy(col("_pp_t")).agg(count(lit(1)).as("_pp_df")))
-    val w = Window.partitionBy(col("_pp_id"))
-      .orderBy(col("_pp_df"), col("_pp_t"))
-    toks.join(dfq, Seq("_pp_t"), "left")
-      .withColumn("_pp_df", coalesce(col("_pp_df"), lit(0L)))
-      .withColumn("_pp_r", row_number().over(w))
-      .withColumn("_pp_sz",
-        count(lit(1)).over(Window.partitionBy(col("_pp_id"))))
-      .filter(col("_pp_r") <= col("_pp_sz") -
-        expr(s"($tNumer * _pp_sz + ${tDenom - 1}) div $tDenom") + 1)
-      .select(col("_pp_id"), col("_pp_t"), col("_pp_r"), col("_pp_sz"))
-  }
-
-  /** The candidate join over two prefix tables, with the two in-bucket
-    * PPJoin prunes:
-    *  - LENGTH: J ≥ t forces t·max(|x|, |y|) ≤ min (o ≤ min, o ≥ t·max)
-    *  - POSITIONAL: J ≥ t forces o ≥ ⌈t(|x|+|y|)/(1+t)⌉, and on the
-    *    FIRST shared token (positions r_a, r_b in the global order)
-    *    o ≤ 1 + min(|x|−r_a, |y|−r_b) — that row is always in the
-    *    join, so requiring bound ≥ requirement keeps completeness
-    *    while dropping rows that cannot carry enough overlap.
-    * Pairs are normalized a_id < b_id and distinct (self-pairs drop),
-    * so the two prefix tables may overlap or differ (self-join vs
-    * batch × stage). */
-  def ppjoinCandidatesFrom(preA: DataFrame, preB: DataFrame,
-                           tNumer: Long, tDenom: Long): DataFrame = {
-    val reqO = s"(($tNumer * (_pp_asz + _pp_bsz) + ${tNumer + tDenom - 1})" +
-      s" div ${tNumer + tDenom})"
-    preA.toDF("_pp_aid", "_pp_t", "_pp_ar", "_pp_asz")
-      .join(preB.toDF("_pp_bid", "_pp_t", "_pp_br", "_pp_bsz"), "_pp_t")
-      .filter(col("_pp_aid") =!= col("_pp_bid") &&
-        lit(tNumer) * greatest(col("_pp_asz"), col("_pp_bsz")) <=
-          lit(tDenom) * least(col("_pp_asz"), col("_pp_bsz")))
-      .filter(expr("1 + least(_pp_asz - _pp_ar, _pp_bsz - _pp_br)") >=
-        expr(reqO))
-      .select(least(col("_pp_aid"), col("_pp_bid")).as("a_id"),
-        greatest(col("_pp_aid"), col("_pp_bid")).as("b_id"))
-      .distinct()
-  }
-
   /** Exact-Jaccard verification of CANDIDATE pairs — the scale-safe tail
     * of LSH dedup. Candidates carry only (a_id, b_id); the token/ngram
     * arrays join back BY ID, so the work is O(|candidates|): no join key
@@ -1505,9 +1413,10 @@ object Dedup {
     val pref = apPrefix(tk, cnt, tNum, tDen)
     val cand = pref
       .join(pref.select(col("a_id").as("b_id"), col("tok"),
-        col("_ap_n").as("_ap_nb")), "tok")
+        col("_ap_n").as("_ap_nb"), col("_ap_p").as("_ap_pb")), "tok")
       .filter(col("a_id") < col("b_id"))
       .transform(apSizeBound(tNum, tDen))
+      .transform(apPositionalBound(tNum, tDen))
       .select(col("a_id"), col("b_id")).distinct()
     apVerify(cand, apSets(tk), tNum, tDen)
   }
@@ -1534,7 +1443,7 @@ object Dedup {
       .withColumn("_ap_p", row_number().over(w))
       .filter(col("_ap_p") <=
         expr(s"_ap_n - ((${tNum}L * _ap_n + ${tDen - 1}L) div ${tDen}L) + 1L"))
-      .select(col("a_id"), col("tok"), col("_ap_n"))
+      .select(col("a_id"), col("tok"), col("_ap_n"), col("_ap_p"))
   }
 
   /** The Jaccard size bound over a candidate frame carrying (_ap_n,
@@ -1542,6 +1451,20 @@ object Dedup {
   private def apSizeBound(tNum: Int, tDen: Int)(cand: DataFrame): DataFrame =
     cand.filter(lit(tDen) * least(col("_ap_n"), col("_ap_nb")) >=
       lit(tNum) * greatest(col("_ap_n"), col("_ap_nb")))
+
+  /** The PPJoin POSITIONAL bound over a candidate frame carrying both
+    * ranks (_ap_p/_ap_pb) and sizes: J ≥ t forces overlap
+    * o ≥ ⌈tNum(n_a+n_b)/(tNum+tDen)⌉, and on the FIRST shared element
+    * (positions p_a, p_b in the global order) o ≤ 1 + min(n_a − p_a,
+    * n_b − p_b). That first-shared-element row is always present in the
+    * candidate join, so filtering rows whose bound cannot reach the
+    * requirement keeps completeness while cutting the pre-distinct
+    * volume (Xiao et al. WWW 2008; measured 1.5M → 667k candidates on
+    * the sf0.1 bigram corpus when this landed). */
+  private def apPositionalBound(tNum: Int, tDen: Int)(cand: DataFrame): DataFrame =
+    cand.filter(expr("1L + least(_ap_n - _ap_p, _ap_nb - _ap_pb)") >=
+      expr(s"((${tNum}L * (_ap_n + _ap_nb) + ${tNum + tDen - 1}L)" +
+        s" div ${tNum + tDen}L)"))
 
   /** Sorted distinct element arrays per id: (_ap_id, toks). */
   private def apSets(tk: DataFrame): DataFrame =
@@ -1679,15 +1602,17 @@ object Dedup {
     // batch × batch, id-ordered inside the batch
     val candNN = bpref
       .join(bpref.select(col("a_id").as("b_id"), col("tok"),
-        col("_ap_n").as("_ap_nb")), "tok")
+        col("_ap_n").as("_ap_nb"), col("_ap_p").as("_ap_pb")), "tok")
       .filter(col("a_id") < col("b_id"))
       .transform(apSizeBound(tNum, tDen))
+      .transform(apPositionalBound(tNum, tDen))
       .select(col("a_id"), col("b_id"))
     // batch × base, normalized to a_id < b_id across the id union
     val candNO = bpref
       .join(index.prefix.select(col("a_id").as("_ap_oid"), col("tok"),
-        col("_ap_n").as("_ap_nb")), "tok")
+        col("_ap_n").as("_ap_nb"), col("_ap_p").as("_ap_pb")), "tok")
       .transform(apSizeBound(tNum, tDen))
+      .transform(apPositionalBound(tNum, tDen))
       .select(least(col("a_id"), col("_ap_oid")).as("a_id"),
         greatest(col("a_id"), col("_ap_oid")).as("b_id"))
     val cand = candNN.unionByName(candNO).distinct()

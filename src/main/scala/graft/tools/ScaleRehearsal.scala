@@ -96,10 +96,10 @@ object ScaleRehearsal {
       ("x86b_allpairs_incremental", "salt"),
       ("x43d_bm25_compacted", "raw"),
       ("x59_pagerank", "graph"),
-      // the exact prefix-filter join: the cipher keeps every copy's
-      // bigram vocabulary disjoint, so prefix buckets grow linearly
-      // (the natural regime for a growing multilingual corpus)
-      ("x103_ppjoin", "salt"))
+      // the exact prefix-filter join (x86 family): the cipher keeps
+      // every copy's shingle vocabulary disjoint, so prefix buckets
+      // grow linearly — the natural regime for a growing corpus
+      ("x86_allpairs_join", "salt"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

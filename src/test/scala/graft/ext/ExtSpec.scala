@@ -2227,120 +2227,6 @@ class ExtSpec extends SparkSpec {
         "embedding", 2)
     }
   }
-  test("ppjoinCandidates: complete vs brute force at the threshold, rare-token prefixes, guards") {
-    import spark.implicits._
-    // J(1,3) = J(2,3) = 4/5 = 0.8 >= 0.7 (must surface);
-    // J(1,2) = 4/6 ~ 0.67 < 0.7 (must be filtered by the exact verify,
-    // whether or not the prefix filter emitted it as a candidate)
-    val fix: Seq[(Long, Seq[String])] = Seq(
-      (1L, Seq("z1", "a", "b", "c", "d")),
-      (2L, Seq("z2", "a", "b", "c", "d")),
-      (3L, Seq("a", "b", "c", "d")),
-      (4L, Seq("q1", "q2")))
-    val sets = fix.toDF("doc_id", "toks")
-    val cand = Dedup.ppjoinCandidates(sets, "doc_id", "toks", 7L, 10L)
-      .as[(Long, Long)].collect().toSet
-    // brute-force ground truth at the threshold
-    val m = fix.toMap.view.mapValues(_.toSet).toMap
-    val want = (for {
-      a <- m.keys; b <- m.keys if a < b
-      o = (m(a) intersect m(b)).size
-      u = (m(a) union m(b)).size
-      if o * 10 >= u * 7
-    } yield (a, b)).toSet
-    assert(want == Set((1L, 3L), (2L, 3L)), want.toString)
-    // COMPLETENESS: every true pair is a candidate (the PPJoin
-    // guarantee LSH lacks); precision comes from the verify stage
-    assert(want.subsetOf(cand), s"cand=$cand misses $want")
-    // the end-to-end exact join equals brute force
-    val got = Dedup.containmentVerify(
-        Dedup.ppjoinCandidates(sets, "doc_id", "toks", 7L, 10L),
-        sets, "doc_id")
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
-      .filter(col("n_common") * 10 >= col("n_union") * 7)
-      .select(col("a_id"), col("b_id"))
-      .as[(Long, Long)].collect().toSet
-    assert(got == want, s"got=$got want=$want")
-    // rare-first ordering: the shared common tokens a..d are the most
-    // frequent, so doc 1's single-token prefix budget (5 - 4 + 1 = 2)
-    // spends on z1 and the rarest shared token — NOT on 'a'..'c'
-    // (df 3). Disjoint doc 4 pairs with nothing.
-    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L), cand.toString)
-    intercept[IllegalArgumentException] {
-      Dedup.ppjoinCandidates(sets, "doc_id", "toks", 11L, 10L)
-    }
-    intercept[IllegalArgumentException] {
-      Dedup.ppjoinCandidates(sets, "doc_id", "toks", 0L, 10L)
-    }
-    // INCREMENTAL form: batch {3, 5} (5 carries tokens UNSEEN by the
-    // base — frozen order ranks them df 0) against staged base {1, 2,
-    // 4}; result = the brute-force pairs with >= 1 batch side. The
-    // base-only pair (1,2) must NOT appear even though its Jaccard
-    // (4/6) would fail the filter anyway at 0.7 — add a base-only TRUE
-    // pair to pin the restriction: docs 6, 7 duplicate each other.
-    val fix2 = fix ++ Seq(
-      (5L, Seq("w1", "w2", "a", "b", "c", "d")),
-      (6L, Seq("m1", "m2", "m3")), (7L, Seq("m1", "m2", "m3")))
-    val sets2 = fix2.toDF("doc_id", "toks")
-    val base2 = sets2.filter(col("doc_id").isin(1L, 2L, 6L, 7L))
-    val batch2 = sets2.filter(col("doc_id").isin(3L, 4L, 5L))
-    val stagedDf = Dedup.ppjoinDfTable(base2, "doc_id", "toks")
-    val basePre = Dedup.ppjoinPrefixes(base2, "doc_id", "toks", 7L, 10L,
-      None)
-    val batchPre = Dedup.ppjoinPrefixes(batch2, "doc_id", "toks", 7L, 10L,
-      Some(stagedDf))
-    val candInc = Dedup.ppjoinCandidatesFrom(batchPre, basePre, 7L, 10L)
-      .unionByName(Dedup.ppjoinCandidatesFrom(batchPre, batchPre, 7L, 10L))
-      .distinct()
-    val gotInc = Dedup.containmentVerify(candInc, sets2, "doc_id")
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
-      .filter(col("n_common") * 10 >= col("n_union") * 7)
-      .select(col("a_id"), col("b_id"))
-      .as[(Long, Long)].collect().toSet
-    val m2 = fix2.toMap.view.mapValues(_.toSet).toMap
-    val batchIds = Set(3L, 4L, 5L)
-    val wantInc = (for {
-      a <- m2.keys; b <- m2.keys
-      if a < b && (batchIds(a) || batchIds(b))
-      o = (m2(a) intersect m2(b)).size
-      u = (m2(a) union m2(b)).size
-      if o * 10 >= u * 7
-    } yield (a, b)).toSet
-    assert(wantInc.nonEmpty && gotInc == wantInc,
-      s"got=$gotInc want=$wantInc")
-    // the base-only duplicate pair is excluded by construction
-    assert(!gotInc.contains((6L, 7L)), gotInc.toString)
-  }
-  test("centroidDriftCos: orthogonal 0, parallel exact 1.0, one-sided NULL, shard-sum identity") {
-    import spark.implicits._
-    val a = Seq((1, Seq(1f, 0f)), (1, Seq(1f, 0f)), (2, Seq(1f, 0f)),
-      (3, Seq(1f, 1f))).toDF("label", "embedding")
-    val b = Seq((1, Seq(0f, 1f)), (2, Seq(2f, 0f)))
-      .toDF("label", "embedding")
-    val got = Similarity.centroidDriftCos(a, b, Seq("label"), "embedding")
-      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
-    // label 1: centroids (1,0) vs (0,1) -> cos 0 exactly;
-    // label 2: (1,0) vs (2,0) -> parallel, cos exactly 1.0 (powers of
-    // two quantize exactly); label 3: b side empty -> NULL
-    assert(got == Seq(
-      (1, 2L, 1L, Some(0.0)),
-      (2, 1L, 1L, Some(1.0)),
-      (3, 1L, 0L, None)), got.toString)
-    // per-dimension Q30 sums are mergeable: sharded a == one-shot a
-    val a1 = a.filter($"label" =!= 1)
-    val a2 = a.filter($"label" === 1)
-    val viaUnion = Similarity.centroidDriftCos(a1.unionByName(a2), b,
-        Seq("label"), "embedding")
-      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
-    assert(viaUnion == got, s"union=$viaUnion one=$got")
-    intercept[IllegalArgumentException] {
-      Similarity.centroidDriftCos(a, b, Nil, "embedding")
-    }
-    intercept[IllegalArgumentException] {
-      Similarity.centroidDriftCos(a.withColumnRenamed("label", "n_a"), b,
-        Seq("n_a"), "embedding")
-    }
-  }
   test("kCenterAssign: nearest-center census, tie to lower rank, guards") {
     import spark.implicits._
     // the kCenterGreedy fixture's selection (0, 11, 5 on the line):
