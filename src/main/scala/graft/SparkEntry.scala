@@ -915,6 +915,39 @@ object SparkEntry {
       graft.ext.Similarity.kCenterGreedy(
         t(s, dir, "embeddings"), "vec_id", "embedding", 5)
     }),
+    "x104b_embedding_drift_incremental" -> ((s, dir) => {
+      // the vector-drift monitor under ingest: release B's per-dim Q30
+      // sums stage ONCE; a new batch folds in by re-sum (sums are
+      // sums — merge ≡ one-shot bit-for-bit) and the cosine
+      // re-evaluates from the merged table — answers x104's oracle
+      // VERBATIM without rescanning the base (the x97b convention for
+      // the third modality).
+      import graft.ext.{Dedup, Similarity}
+      val e = t(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val base = e.filter(pmod(col("vec_id"), lit(4L)) === 1)
+      val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3)
+      val staged = s.read.parquet(Dedup.stageSignatures(
+        Similarity.centroidSums(base, Seq("label"), "embedding")))
+      Similarity.centroidDriftFromSums(
+        Similarity.centroidSums(a, Seq("label"), "embedding"),
+        Similarity.mergeCentroidSums(Seq(staged,
+          Similarity.centroidSums(batch, Seq("label"), "embedding")),
+          Seq("label")),
+        Seq("label"))
+    }),
+    "x104_embedding_drift" -> ((s, dir) => {
+      // the drift family's THIRD modality (tokens x97, numeric x97e-h,
+      // vectors here): per label, the cosine between the two releases'
+      // centroids — computed on exact Q30 per-dimension sums (cos of
+      // sums ≡ cos of means, so nothing divides on the vector side),
+      // one decimal→double cast + IEEE sqrt at the very end (the x7
+      // convention).
+      val e = t(s, dir, "embeddings")
+      graft.ext.Similarity.centroidDriftCos(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        Seq("label"), "embedding")
+    }),
     "x102b_kcenter_assign" -> ((s, dir) => {
       // the k-center APPLY (select→deploy, the x92c/x96b symmetry):
       // every embedding assigned to its nearest selected center in the
