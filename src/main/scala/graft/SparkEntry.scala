@@ -119,12 +119,29 @@ object SparkEntry {
       Aggs.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))),
     "a2_distinct_count" -> ((s, dir) =>
       Aggs.distinctCounts(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))),
-    // HLL sketch variant — rows-only (sketch estimates are engine-specific);
-    // the 100 TB path when exact distinct is too expensive
-    "a2b_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))),
+    // approximate-distinct by the engine's OWN deterministic HLL (p=8,
+    // the x80 machinery) instead of Spark's approx_count_distinct, whose
+    // sketch internals are engine-private and left this row rows-only:
+    // one unpivoting scan of lineitem feeds (colname, value) registers
+    // (map-side max-combine), the integer estimate replays exactly in
+    // the oracle, and the exact distinct count rides as the small-SF
+    // audit column — the 100 TB path when exact distinct is too
+    // expensive, now hash-checked end to end.
+    "a2b_approx_distinct" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem").select(explode(array(
+          struct(lit("l_partkey").as("colname"),
+            col("l_partkey").cast("string").as("v")),
+          struct(lit("l_suppkey").as("colname"),
+            col("l_suppkey").cast("string").as("v")))).as("kv"))
+        .select(col("kv.colname").as("colname"), col("kv.v").as("v"))
+      val est = graft.ext.Sketch.hllEstimate(
+        graft.ext.Sketch.hllRegisters(vals, Seq("colname"), "v", 8),
+        Seq("colname"), 8)
+      val exact = vals.groupBy(col("colname"))
+        .agg(countDistinct(col("v")).as("exact"))
+      est.join(exact, Seq("colname"))
+        .select(col("colname"), col("est"), col("exact"))
+    }),
     "a4_breakdown" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))),
@@ -749,14 +766,47 @@ object SparkEntry {
         .select(col("a_id").cast("long").as("a_id"),
           col("b_id").cast("long").as("b_id"))
     }),
-    // native codegen minhash (graft.functions.MinHashSignature): no oracle
-    // (engine-specific hash values) => driver rows-only check
-    "x2b_minhash_fast" -> ((s, dir) =>
-      Dedup.minhashSignatureFast(t(s, dir, "documents"), "text", 4)),
-    "x3b_lsh_pairs_fast" -> ((s, dir) =>
-      Dedup.lshCandidatePairs(
-        Dedup.minhashSignatureFast(t(s, dir, "documents"), "text", 4), "doc_id", 4, 2)
-        .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))),
+    // native codegen minhash (graft.functions.MinHashSignature, the
+    // engine-internal 64-bit hash family) as a COMPLETE pre-filter for
+    // exact duplicates: identical text ⟹ identical signature, so
+    // grouping the cheap 4-long signatures finds every candidate bucket
+    // and ONLY collided buckets pay the full-content hash — at 100 TB
+    // the verify pass re-reads a few percent of the corpus instead of
+    // md5-ing all of it. False signature collisions fall out of the md5
+    // regroup, so the answer is exact and the oracle replays it from
+    // md5 alone without ever seeing an engine hash value (this row was
+    // rows-only while it returned the raw signatures).
+    "x2b_minhash_fast" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val sig = Dedup.minhashSignatureFast(d, "text", 4)
+      val sigKeys = Seq("h1", "h2", "h3", "h4")
+      val collided = sig.groupBy(sigKeys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n")
+      val dupIds = sig.join(collided, sigKeys, "left_semi").select(col("doc_id"))
+      d.join(dupIds, "doc_id")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+    }),
+    // fast-signature LSH banding as a complete candidate source for
+    // byte-identical PAIRS (identical text shares every band), verified
+    // by content-hash equality — the banded candidate machinery under
+    // the engine hash family, answered by an oracle that never sees a
+    // hash value (was rows-only as raw candidate pairs).
+    "x3b_lsh_pairs_fast" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatureFast(d, "text", 4), "doc_id", 4, 2)
+        .select(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id"))
+      val h = d.select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text")).as("_ch"))
+      cands
+        .join(h.toDF("a_id", "_ha"), "a_id")
+        .join(h.toDF("b_id", "_hb"), "b_id")
+        .filter(col("_ha") === col("_hb"))
+        .select(col("a_id"), col("b_id"))
+    }),
     "x4b_jaccard_lsh" -> ((s, dir) => {
       // SCALE PATH: exact Jaccard verification of x3's LSH candidates —
       // candidates are (a_id, b_id) only; token sets join back by id, so
@@ -1638,15 +1688,37 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).cast("long").as("n_tok")),
         Seq("lang"), "doc_id", "n_tok", 500L)),
     "x14_media_features" -> ((s, dir) => {
-      // multimodal plumbing through the driver gate: docs as opaque binary
-      // media -> batch feature extraction (stub codec) -> vector stats.
-      // rows-only (stub features are engine-internal).
-      val media = graft.ext.Multimodal.asMedia(
-        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("b")),
-        "doc_id", "b", "text/plain")
-      graft.ext.Multimodal.extractFeatures(media, dim = 16).toDF()
-        .select(col("mediaId").as("media_id"),
-          round(Similarity.dot(col("feature"), col("feature")), 6).as("self_sim"))
+      // the multimodal surface UNIFIED: one media frame carrying BOTH
+      // modalities, content-sniffed per blob and dispatched to the REAL
+      // decoder for its kind (raster pixel scan / 16-bit PCM scan —
+      // the decoders x14c/x14f proved one kind at a time), one common
+      // feature schema out. Even ids carry seeded 16-bit-free P5
+      // rasters (every 10th truncated → image quarantine), odd ids
+      // seeded PCM WAVs (doc_id%10==5 cut one byte short → audio
+      // quarantine); the oracle replays both arms from the generator
+      // formulas. Formerly the stub-embed rows-only row.
+      import graft.ext.Multimodal
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val img = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("_w", (col("doc_id") % 31 + 1).cast("int"))
+        .withColumn("_h", (col("doc_id") % 17 + 1).cast("int"))
+        .withColumn("_n", (col("_w") * col("_h")).cast("long"))
+        .withColumn("_len", when(col("doc_id") % 10 === 0, col("_n") - 1)
+          .otherwise(col("_n")))
+        .withColumn("b", Multimodal.pnmPatternBlob(col("_w"), col("_h"),
+          col("doc_id"), col("_len")))
+      val aud = d.filter(col("doc_id") % 2 === 1)
+        .withColumn("_ns", (col("doc_id") % 50 + 10).cast("long"))
+        .withColumn("_eb", when(col("doc_id") % 10 === 5,
+          col("_ns") * 2 - 1).otherwise(col("_ns") * 2))
+        .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+          col("doc_id"), col("_ns"), col("_eb")))
+      Multimodal.mediaStats(
+          Multimodal.asMedia(img, "doc_id", "b", "image/x-pnm")
+            .unionByName(Multimodal.asMedia(aud, "doc_id", "b", "audio/wav")))
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("kind"), col("n"),
+          col("total"), col("lo"), col("hi"), col("ok"))
     }),
     "x14b_media_headers" -> ((s, dir) => {
       // the DETERMINISTIC half of the multimodal surface, oracle-checked:
@@ -4215,7 +4287,13 @@ object SparkEntry {
     * rational-α HUGEINT floor division, and the small-range linear-
     * counting arm over the 8-step Q8 log chain (the tokenizer-oracle
     * arithmetic) with ln 2 at Q20 726817. */
-  private val x80OracleSql: String = {
+  /** The HLL estimate replay parameterized over its SOURCE: `srcCtes`
+    * must define a CTE `tks(lang, tok)` (any extra leading CTEs are
+    * fine); `keyOut` names the group-key column in the final SELECT.
+    * Single-sources the register/estimate arithmetic between x80
+    * (per-language distinct tokens) and a2b (per-column distinct
+    * lineitem keys) so the two oracles can only drift together. */
+  private def hllOracleSql(srcCtes: String, keyOut: String): String = {
     val hex15 = (1 to 15).map(i =>
       s"(CAST(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1 " +
         s"AS BIGINT) * ${BigInt(16).pow(15 - i)})")
@@ -4228,10 +4306,7 @@ object SparkEntry {
            FROM v_l${i - 1})"""
     }.mkString(",\n         ")
     val estNum = BigInt(7213000) * (BigInt(1) << 77)
-    s"""WITH tk AS (SELECT lang, unnest(string_split_regex(
-             regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS tok
-           FROM documents WHERE text IS NOT NULL),
-         tks AS (SELECT lang, tok FROM tk WHERE tok <> ''),
+    s"""WITH $srcCtes,
          hh AS (SELECT lang, $hex15 AS h
                 FROM (SELECT DISTINCT lang, tok FROM tks)),
          rb AS (SELECT lang, h // 4503599627370496 AS bucket,
@@ -4262,10 +4337,23 @@ object SparkEntry {
                  FROM v_l8),
          ex AS (SELECT lang, COUNT(DISTINCT tok) AS exact
                 FROM tks GROUP BY 1)
-         SELECT est.lang, CAST(est.est AS BIGINT) AS est,
+         SELECT est.lang AS $keyOut, CAST(est.est AS BIGINT) AS est,
                 CAST(ex.exact AS BIGINT) AS exact
          FROM est JOIN ex USING (lang)"""
   }
+
+  private val x80OracleSql: String = hllOracleSql(
+    """tk AS (SELECT lang, unnest(string_split_regex(
+             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         tks AS (SELECT lang, tok FROM tk WHERE tok <> '')""", "lang")
+
+  private val a2bOracleSql: String = hllOracleSql(
+    """tks AS (SELECT 'l_partkey' AS lang, CAST(l_partkey AS VARCHAR) AS tok
+               FROM lineitem
+               UNION ALL
+               SELECT 'l_suppkey' AS lang, CAST(l_suppkey AS VARCHAR) AS tok
+               FROM lineitem)""", "colname")
 
   /** The x82 KMV-overlap oracle (x82b answers it verbatim): the 3-word
     * shingle stream with the truncated-short-doc rule (concat_ws skips
@@ -6252,6 +6340,20 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            AND ((a.h1 = b.h1 AND a.h2 = b.h2) OR (a.h3 = b.h3 AND a.h4 = b.h4))""",
+    // x2b: signature-gated exact dedup — the answer is exactly the
+    // multi-member content groups; the signature pre-filter is invisible
+    "x2b_minhash_fast" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                COUNT(*) AS n_dups
+         FROM documents WHERE text IS NOT NULL
+         GROUP BY 1 HAVING COUNT(*) > 1""",
+    // x3b: LSH-fed exact-dup pairs — complete because identical text
+    // shares every band; the oracle needs only content equality
+    "x3b_lsh_pairs_fast" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM documents a JOIN documents b
+           ON a.text IS NOT NULL AND b.text IS NOT NULL
+          AND md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""",
     "x28_dedup_apply" ->
       """WITH RECURSIVE sig AS (
            SELECT doc_id, MIN(substr(m,1,8)) AS h1, MIN(substr(m,9,8)) AS h2,
@@ -7800,6 +7902,7 @@ object SparkEntry {
          FROM est JOIN ex USING (tok) CROSS JOIN thr
          WHERE est.est >= thr.t""",
     "x80_hll_distinct" -> x80OracleSql,
+    "a2b_approx_distinct" -> a2bOracleSql,
     "x82_kmv_overlap" -> x82OracleSql,
     "x92_quantile_sketch" -> x92OracleSql,
     "x92c_sketch_clip" -> x92cOracleSql,
@@ -8703,6 +8806,44 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE mx END AS BIGINT) AS max_px,
                 doc_id % 10 <> 0 AS ok
          FROM st""",
+    // x14: the unified mixed-modality frame — image arm is x14c's
+    // formula replay (even ids, %10==0 truncated), audio arm x14f's
+    // sample formula on odd ids (%10==5 truncated), one schema
+    "x14_media_features" ->
+      """WITH img AS (SELECT doc_id, (doc_id % 31 + 1) * (doc_id % 17 + 1) AS n
+                      FROM documents WHERE doc_id % 2 = 0),
+         ipx AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+                 FROM img),
+         ist AS (SELECT doc_id, n, SUM((doc_id + i) % 256) AS s,
+                        MIN((doc_id + i) % 256) AS mn,
+                        MAX((doc_id + i) % 256) AS mx
+                 FROM ipx GROUP BY 1, 2),
+         irows AS (SELECT doc_id AS media_id, 'image' AS kind,
+             CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n END AS BIGINT) AS n,
+             CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE s END AS BIGINT) AS total,
+             CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE mn END AS BIGINT) AS lo,
+             CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE mx END AS BIGINT) AS hi,
+             doc_id % 10 <> 0 AS ok
+           FROM ist),
+         au AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+                WHERE doc_id % 2 = 1),
+         asmp AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+                  FROM au),
+         av AS (SELECT doc_id, n,
+                  CASE WHEN (doc_id + i) % 65536 < 32768
+                       THEN (doc_id + i) % 65536
+                       ELSE (doc_id + i) % 65536 - 65536 END AS sv
+                FROM asmp),
+         ast AS (SELECT doc_id, n, SUM(sv) AS s, MIN(sv) AS mn, MAX(sv) AS mx
+                 FROM av GROUP BY 1, 2),
+         arows AS (SELECT doc_id AS media_id, 'audio' AS kind,
+             CAST(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE n END AS BIGINT) AS n,
+             CAST(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE s END AS BIGINT) AS total,
+             CAST(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE mn END AS BIGINT) AS lo,
+             CAST(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE mx END AS BIGINT) AS hi,
+             doc_id % 10 <> 5 AS ok
+           FROM ast)
+         SELECT * FROM irows UNION ALL SELECT * FROM arows""",
     // x72: chunks rebuilt (x67's windows), the passage inverted index
     // and scalars over CHUNKS, the shared scoring CTE, then both
     // windows — best chunk per (query, doc), doc ranking top-3

@@ -1180,13 +1180,30 @@ object Learn {
           lit(s"kendallTauAQ20: score-cell census exceeds maxCells="
             + s"$maxCells — bucket the scores coarser; cells = "),
           col("_kt_cells").cast("string")))))
+    // PRE-censused gate (the x41 occ-cap discipline): the pair sweep is
+    // |cells|² work, so the raise must fire BEFORE that join runs, not
+    // on its output. Joining cells against a per-key gate whose raise
+    // rides a FILTER predicate means every input row to the quadratic
+    // join has already passed (or thrown) the census check — an
+    // over-budget key never feeds the sweep. The gate side is one row
+    // per key (broadcast-sized).
+    val gate = cells.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_kt_gc"))
+      .select((keyCols.map(col) :+
+        when(col("_kt_gc") <= maxCells, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"kendallTauAQ20: score-cell census exceeds maxCells="
+              + s"$maxCells — bucket the scores coarser; cells = "),
+            col("_kt_gc").cast("string")))).as("_kt_gate")): _*)
+    val gated = cells.join(gate, keyCols)
+      .filter(col("_kt_gate")).drop("_kt_gate")
     // strict-upper pair sweep on the censused cell frame: each pair of
     // cells with x2 > x1 contributes o1·o2 concordant (y2 > y1) or
     // discordant (y2 < y1) pairs; y2 = y1 is a tie and contributes none
-    val c2 = cells.select((keyCols.map(col) :+
+    val c2 = gated.select((keyCols.map(col) :+
       col("_kt_x").as("_kt_x2") :+ col("_kt_y").as("_kt_y2") :+
       col("_kt_o").as("_kt_o2")): _*)
-    val pairs = cells.join(c2, keyCols)
+    val pairs = gated.join(c2, keyCols)
       .filter(col("_kt_x2") > col("_kt_x"))
       .groupBy(keyCols.map(col): _*)
       .agg(

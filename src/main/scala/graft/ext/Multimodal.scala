@@ -105,6 +105,28 @@ object Multimodal {
     * the format, which is the point of using PNM as the catalog's image
     * container. 16-bit-maxval files and malformed/truncated bytes
     * quarantine as ok=false (quarantine semantics, F9). */
+  /** One unsigned-byte raster scan: (n, sum, min, max) of the decoded
+    * pixels, or None if the bytes are not a complete 8-bit PNM. Shared
+    * by [[imageRasterStats]] and the [[mediaStats]] dispatcher. */
+  private def pixelScan(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    Option(bytes).flatMap(HeaderCodecs.parsePpmRaster).collect {
+      case (w, h, c, off, 1) =>
+        val n = w.toLong * h * c
+        var i = off
+        val end = off + n.toInt
+        var s = 0L
+        var mn = 255L
+        var mx = 0L
+        while (i < end) {
+          val v = (bytes(i) & 0xFF).toLong
+          s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        (n, s, mn, mx)
+    }
+
   def imageRasterStats(media: DataFrame,
                        batchSize: Int = 64): Dataset[RasterStats] = {
     implicit val enc: Encoder[RasterStats] = Encoders.product[RasterStats]
@@ -113,24 +135,9 @@ object Multimodal {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          val parsed = Option(bytes).flatMap(HeaderCodecs.parsePpmRaster)
-          parsed match {
-            case Some((w, h, c, off, 1)) =>
-              val n = w.toLong * h * c
-              var i = off
-              val end = off + n.toInt
-              var s = 0L
-              var mn = 255L
-              var mx = 0L
-              while (i < end) {
-                val v = (bytes(i) & 0xFF).toLong
-                s += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                i += 1
-              }
-              RasterStats(id, n, s, mn, mx, ok = true)
-            case _ => RasterStats(id, 0L, 0L, 0L, 0L, ok = false)
+          pixelScan(bytes) match {
+            case Some((n, s, mn, mx)) => RasterStats(id, n, s, mn, mx, ok = true)
+            case None                 => RasterStats(id, 0L, 0L, 0L, 0L, ok = false)
           }
         }
       }
@@ -300,6 +307,29 @@ object Multimodal {
     * (quarantine semantics, F9); a legal empty data chunk reads 0
     * samples with the min/max identity sentinels (32767/−32768)
     * replayed by the oracle. */
+  /** One signed-16-bit LE sample scan: (n, sum, min, max) of the data
+    * chunk, or None unless the bytes are a complete 16-bit PCM WAV.
+    * Shared by [[audioPcmStats]] and the [[mediaStats]] dispatcher. */
+  private def pcmScan(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    Option(bytes).flatMap(HeaderCodecs.parseWavData).collect {
+      case (_, _, 16, off, len) if len % 2 == 0 =>
+        var i = off
+        val end = off + len
+        var n = 0L
+        var s = 0L
+        var mn = 32767L
+        var mx = -32768L
+        while (i < end) {
+          val v = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toLong
+          s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          n += 1
+          i += 2
+        }
+        (n, s, mn, mx)
+    }
+
   def audioPcmStats(media: DataFrame, batchSize: Int = 64): Dataset[PcmStats] = {
     implicit val enc: Encoder[PcmStats] = Encoders.product[PcmStats]
     media.select("media_id", "content").mapPartitions { rows: Iterator[Row] =>
@@ -307,25 +337,51 @@ object Multimodal {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          Option(bytes).flatMap(HeaderCodecs.parseWavData) match {
-            case Some((_, _, 16, off, len)) if len % 2 == 0 =>
-              var i = off
-              val end = off + len
-              var n = 0L
-              var s = 0L
-              var mn = 32767L
-              var mx = -32768L
-              while (i < end) {
-                val v = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toLong
-                s += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                n += 1
-                i += 2
-              }
-              PcmStats(id, n, s, mn, mx, ok = true)
-            case _ => PcmStats(id, 0L, 0L, 0L, 0L, ok = false)
+          pcmScan(bytes) match {
+            case Some((n, s, mn, mx)) => PcmStats(id, n, s, mn, mx, ok = true)
+            case None                 => PcmStats(id, 0L, 0L, 0L, 0L, ok = false)
           }
+        }
+      }
+    }
+  }
+
+  final case class MediaStats(mediaId: Long, kind: String, n: Long,
+                              total: Long, lo: Long, hi: Long, ok: Boolean)
+
+  /** MIXED-modality feature extraction behind ONE schema: the media
+    * frame is sniffed per blob by its magic bytes and dispatched to the
+    * REAL decoder for its kind — PNM rasters to the unsigned pixel scan
+    * ([[imageRasterStats]]'s), RIFF/WAVE payloads to the signed 16-bit
+    * PCM scan ([[audioPcmStats]]'s) — yielding the common
+    * (kind, n, total, lo, hi) moment row a curation pass consumes
+    * without caring which modality produced it. A recognized container
+    * with a truncated/unsupported payload quarantines under its
+    * SNIFFED kind (the header is what identified it); unrecognized or
+    * null bytes quarantine as kind "unknown". Batch-wise mapPartitions,
+    * the prescribed multimodal shape — one pass, no shuffle. */
+  def mediaStats(media: DataFrame, batchSize: Int = 64): Dataset[MediaStats] = {
+    implicit val enc: Encoder[MediaStats] = Encoders.product[MediaStats]
+    media.select("media_id", "content").mapPartitions { rows: Iterator[Row] =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (bytes == null || bytes.length < 4)
+            MediaStats(id, "unknown", 0L, 0L, 0L, 0L, ok = false)
+          else if (HeaderCodecs.isPnm(bytes))
+            pixelScan(bytes) match {
+              case Some((n, s, mn, mx)) =>
+                MediaStats(id, "image", n, s, mn, mx, ok = true)
+              case None => MediaStats(id, "image", 0L, 0L, 0L, 0L, ok = false)
+            }
+          else if (HeaderCodecs.isRiffWave(bytes))
+            pcmScan(bytes) match {
+              case Some((n, s, mn, mx)) =>
+                MediaStats(id, "audio", n, s, mn, mx, ok = true)
+              case None => MediaStats(id, "audio", 0L, 0L, 0L, 0L, ok = false)
+            }
+          else MediaStats(id, "unknown", 0L, 0L, 0L, 0L, ok = false)
         }
       }
     }
@@ -453,21 +509,24 @@ object HeaderCodecs {
     * missing fmt chunk all fail (→ quarantine). */
   def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (!isRiffWave(b)) return None
-    var pos = 12
+    // Long cursor: a hostile chunk declaring a size near 2^32 must fall
+    // out of the loop (→ None/quarantine), never wrap an Int cursor
+    // negative and throw out of new String.
+    var pos = 12L
     while (pos + 8 <= b.length) {
-      val id = new String(b, pos, 4, "US-ASCII")
-      val size = le32(b, pos + 4)
-      if (size < 0 || size > Int.MaxValue - 9) return None
+      val p = pos.toInt // loop bound proves pos+8 <= b.length, so it fits
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = le32(b, p + 4) // unsigned 32-bit, always in [0, 2^32)
       if (id == "fmt ") {
         if (size < 16 || pos + 8 + 16 > b.length) return None
-        val channels = le16(b, pos + 10)
-        val rate = le32(b, pos + 12)
-        val bits = le16(b, pos + 22)
+        val channels = le16(b, p + 10)
+        val rate = le32(b, p + 12)
+        val bits = le16(b, p + 22)
         return if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
           Some((rate.toInt, channels, bits))
         else None
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are 16-bit aligned
+      pos += 8L + size + (size & 1L) // chunks are 16-bit aligned
     }
     None
   }
@@ -481,26 +540,27 @@ object HeaderCodecs {
     * skipped, data-before-fmt is legal RIFF). */
   def parseWavData(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (!isRiffWave(b)) return None
-    var pos = 12
+    // Long cursor for the same hostile-size reason as parseWavHeader.
+    var pos = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None
     while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = new String(b, pos, 4, "US-ASCII")
-      val size = le32(b, pos + 4)
-      if (size < 0 || size > Int.MaxValue - 9) return None
+      val p = pos.toInt
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = le32(b, p + 4) // unsigned 32-bit, always in [0, 2^32)
       if (id == "fmt ") {
         if (size < 16 || pos + 8 + 16 > b.length) return None
-        val channels = le16(b, pos + 10)
-        val rate = le32(b, pos + 12)
-        val bits = le16(b, pos + 22)
+        val channels = le16(b, p + 10)
+        val rate = le32(b, p + 12)
+        val bits = le16(b, p + 22)
         if (!(channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0))
           return None
         fmt = Some((rate.toInt, channels, bits))
       } else if (id == "data") {
-        if (pos + 8 + size.toInt > b.length) return None // truncated
-        data = Some((pos + 8, size.toInt))
+        if (pos + 8 + size > b.length) return None // truncated
+        data = Some((p + 8, size.toInt))
       }
-      pos += 8 + size.toInt + (size.toInt & 1)
+      pos += 8L + size + (size & 1L)
     }
     for ((r, c, bt) <- fmt; (off, len) <- data) yield (r, c, bt, off, len)
   }

@@ -460,7 +460,10 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1: $k")
     Seq("qid", "doc_id", "rank").foreach(c => require(run.columns.contains(c),
       s"run must carry (qid, doc_id, rank) — missing $c"))
-    val rel = qrels.select(col("qid"), col("doc_id"))
+    // binary relevance is a SET — dedup so a duplicate (qid, doc_id)
+    // qrel row can't fan out the join or inflate n_rel (same contract
+    // as evalNdcg)
+    val rel = qrels.select(col("qid"), col("doc_id")).distinct()
       .withColumn("_ev_rel", lit(1L))
     val per = run.select(col("qid"), col("doc_id"), col("rank"))
       .filter(col("rank") <= k)
@@ -468,7 +471,7 @@ object Retrieval {
       .groupBy(col("qid"))
       .agg(coalesce(sum(col("_ev_rel")), lit(0L)).as("hits"),
         min(when(col("_ev_rel") === 1L, col("rank"))).as("_ev_fr"))
-    val nrel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
     per.join(nrel, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         col("hits"),
@@ -515,7 +518,11 @@ object Retrieval {
       s"run must carry (qid, doc_id, rank) — missing $c"))
     val disc = typedlit(discQ20)
     val cum = typedlit(discQ20.scanLeft(0L)(_ + _).tail)
-    val rel = qrels.select(col("qid"), col("doc_id"))
+    // dedup the qrels: a duplicate (qid, doc_id) row would fan out the
+    // left join (double-counting that rank's discount in dcg_q20) AND
+    // inflate n_rel/idcg — binary relevance is a SET, so distinct is
+    // the semantics, not a defensive copy
+    val rel = qrels.select(col("qid"), col("doc_id")).distinct()
       .withColumn("_ev_rel", lit(1L))
     val per = run.select(col("qid"), col("doc_id"), col("rank"))
       .filter(col("rank") <= k)
@@ -523,7 +530,7 @@ object Retrieval {
       .groupBy(col("qid"))
       .agg(coalesce(sum(when(col("_ev_rel") === 1L,
         element_at(disc, col("rank").cast("int")))), lit(0L)).as("dcg_q20"))
-    val nrel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
     per.join(nrel, Seq("qid"), "left")
       .select(col("qid"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         col("dcg_q20"))

@@ -202,11 +202,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("native minhash fast path stays inside whole-stage codegen") {
-    val p = plan(q("x2b_minhash_fast"))
+    // the FUNCTION's plan contract (the x2b catalog row now composes it
+    // into the signature-gated dedup, which legitimately shuffles)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ext.Dedup.minhashSignatureFast(d, "text", 4))
     // '*' prefix + codegen id == node is inside a WholeStageCodegen stage
     assert(p.contains("* Project") && p.contains("codegen id"), p)
     // projection-only: no exchange at all
     assert(!p.contains("Exchange"), s"signature pass must not shuffle: $p")
+  }
+
+  test("x2b signature-gated dedup: cheap semi-join gate before the md5 regroup") {
+    val p = tree(q("x2b_minhash_fast"))
+    // the collided-bucket gate must plan as a semi join (ids only flow
+    // back; the text column is re-read only for gated docs)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("semi/anti joins plan as broadcast variants on small build sides") {

@@ -710,6 +710,33 @@ class LearnSpec extends SparkSpec {
         Seq("tau_q20"), "x", "y")
     }
   }
+  test("kendallTauAQ20 censuses BEFORE the quadratic sweep: both pair-join inputs carry the raise gate") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, RaiseError}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val asc = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L))
+      .toDF("g", "x", "y")
+    val plan = Learn.kendallTauAQ20(asc, Seq("g"), "x", "y")
+      .queryExecution.optimizedPlan
+    // the quadratic cell self-join is the one whose condition compares
+    // _kt_x2 against _kt_x (the strict-upper sweep)
+    val quad = plan.collect {
+      case j: Join if j.condition.exists(_.exists {
+        case a: AttributeReference => a.name == "_kt_x2"
+        case _ => false
+      }) => j
+    }
+    assert(quad.nonEmpty, plan.toString)
+    // EVERY input side of that join must sit above a raise_error census
+    // gate, so an over-budget key throws while PRODUCING the join's
+    // inputs — never after paying the |cells|² sweep
+    quad.foreach { j =>
+      j.children.foreach { side =>
+        assert(side.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[RaiseError]))),
+          s"pair-join input lacks the census gate:\n$side")
+      }
+    }
+  }
   test("chiSquareAssocQ20: hand-computed 2x2, zero cells carry expectation, single-label dof 0, null exclusion") {
     // key k: cells (X,L)=4 (X,S)=1 (Y,L)=1 (Y,S)=4; N=10, all marginals
     // 5. True chi2 = 4*(1.5^2/2.5) = 3.6. Engine floors: every cell

@@ -309,6 +309,68 @@ class MultimodalSpec extends SparkSpec {
     assert(HeaderCodecs.parseWavHeader(noFmt).isEmpty)
   }
 
+  test("hostile near-2^31 chunk size quarantines instead of crashing the walker") {
+    // a crafted chunk declaring size 0x7FFFFFF0 passes any <= Int.MaxValue
+    // bound but overflows an Int cursor (12 + 8 + size wraps negative),
+    // which used to throw out of new String instead of returning None —
+    // one hostile blob failing the whole job. The Long-cursor walker must
+    // fall out of the loop and quarantine.
+    def le32(n: Long): Array[Byte] =
+      Array(n & 0xFF, (n >> 8) & 0xFF, (n >> 16) & 0xFF, (n >> 24) & 0xFF)
+        .map(_.toByte)
+    val evil = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(0x7FFFFFF0L) ++
+      Array.fill[Byte](16)(0)
+    assert(HeaderCodecs.parseWavHeader(evil).isEmpty)
+    assert(HeaderCodecs.parseWavData(evil).isEmpty)
+    // and a full-2^32-range size (unsigned) likewise
+    val evil2 = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(0xFFFFFFF0L) ++
+      Array.fill[Byte](16)(0)
+    assert(HeaderCodecs.parseWavHeader(evil2).isEmpty)
+    assert(HeaderCodecs.parseWavData(evil2).isEmpty)
+    // through the batch decoder: ok=false row, no task failure
+    val df = Seq((1L, evil)).toDF("id", "b")
+    assert(!Multimodal.decodeAudio(
+      Multimodal.asMedia(df, "id", "b", "wav")).head().ok)
+  }
+
+  test("mediaStats sniffs kind per blob and dispatches to the real decoders") {
+    val img = Seq((10L, 3, 2)).toDF("id", "w", "h")
+      .withColumn("b", Multimodal.pnmPatternBlob(col("w"), col("h"),
+        lit(5L), lit(6L))).select(col("id"), col("b"))
+    val imgCut = Seq((11L, 3, 2)).toDF("id", "w", "h")
+      .withColumn("b", Multimodal.pnmPatternBlob(col("w"), col("h"),
+        lit(5L), lit(5L))).select(col("id"), col("b"))
+    val wav = Seq((12L, 4L)).toDF("id", "n")
+      .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+        lit(32766L), col("n"), col("n") * 2)).select(col("id"), col("b"))
+    val wavCut = Seq((13L, 4L)).toDF("id", "n")
+      .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+        lit(7L), col("n"), col("n") * 2 - 1)).select(col("id"), col("b"))
+    val junk = Seq((14L, Array[Byte](1, 2, 3, 4, 5)),
+      (15L, null.asInstanceOf[Array[Byte]])).toDF("id", "b")
+    val all = img.union(imgCut).union(wav).union(wavCut).union(junk)
+    val got = Multimodal.mediaStats(Multimodal.asMedia(all, "id", "b", "mixed"))
+      .collect().map(m => m.mediaId -> m).toMap
+    // seed-5 6-px raster: 5,6,7,8,9,10 → sum 45
+    assert(got(10L) == Multimodal.MediaStats(10L, "image", 6L, 45L, 5L, 10L,
+      ok = true), got(10L).toString)
+    // seed-32766 4 samples cross the sign boundary: sum −2, full range
+    assert(got(12L) == Multimodal.MediaStats(12L, "audio", 4L, -2L, -32768L,
+      32767L, ok = true), got(12L).toString)
+    // truncated payloads quarantine under their SNIFFED kind
+    assert(got(11L) == Multimodal.MediaStats(11L, "image", 0L, 0L, 0L, 0L,
+      ok = false))
+    assert(got(13L) == Multimodal.MediaStats(13L, "audio", 0L, 0L, 0L, 0L,
+      ok = false))
+    // unrecognized / null bytes are kind-unknown quarantine
+    assert(got(14L).kind == "unknown" && !got(14L).ok)
+    assert(got(15L).kind == "unknown" && !got(15L).ok)
+  }
+
   test("pnmBlob/wavBlob corruption knobs quarantine (truncated raster, bad magic)") {
     val df = Seq((1L, 5, 4)).toDF("id", "w", "h")
       .withColumn("png", Multimodal.pnmBlob(col("w"), col("h"),

@@ -269,4 +269,26 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.evalNdcg(run.drop("rank"), qrels, 3, disc))
     intercept[IllegalArgumentException](Retrieval.ndcgDiscountsQ20(0))
   }
+
+  test("duplicate qrel rows don't fan out the join or inflate n_rel (evalRun + evalNdcg)") {
+    // binary relevance is a SET: a doubled (qid, doc_id) row must change
+    // NOTHING — without the internal dedup it double-counted the hit's
+    // discount in dcg and inflated n_rel/idcg
+    val disc = Retrieval.ndcgDiscountsQ20(3)
+    val qrels = Seq((1L, 10L), (1L, 12L), (3L, 30L)).toDF("qid", "doc_id")
+    val doubled = qrels.union(qrels)
+    val run = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (3L, 30L, 1L)).toDF("qid", "doc_id", "rank")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("qid").collect().map(_.toSeq.toList).toSeq
+    assert(rows(Retrieval.evalNdcg(run, doubled, 3, disc)) ==
+      rows(Retrieval.evalNdcg(run, qrels, 3, disc)))
+    assert(rows(Retrieval.evalRun(run, doubled, 3)) ==
+      rows(Retrieval.evalRun(run, qrels, 3)))
+    // and the distinct baseline itself is the hand-computed answer
+    val q1 = Retrieval.evalNdcg(run, doubled, 3, disc)
+      .filter(col("qid") === 1L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(q1._2 == 2L && q1._3 == disc(0) + disc(2), q1.toString)
+  }
 }
