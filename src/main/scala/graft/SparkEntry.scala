@@ -965,6 +965,13 @@ object SparkEntry {
       graft.ext.Similarity.kCenterGreedy(
         t(s, dir, "embeddings"), "vec_id", "embedding", 5)
     }),
+    "x102c_kcenter_join" -> ((s, dir) =>
+      // PRODUCTION-WIDTH form of x102: the chosen centers live as a
+      // parquet stage met by broadcast join (plan size independent of
+      // k — the x35c/x74c convention; the literal path caps at k=64),
+      // bit-parity rounds, so x102's oracle is answered VERBATIM.
+      graft.ext.Similarity.kCenterJoin(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
     "x104b_embedding_drift_incremental" -> ((s, dir) => {
       // the vector-drift monitor under ingest: release B's per-dim Q30
       // sums stage ONCE; a new batch folds in by re-sum (sums are
@@ -3425,6 +3432,32 @@ object SparkEntry {
       graft.ext.TextStats.cliffsDeltaQ20(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
         Seq("lang"), "n_chars", 64L)
+    }),
+    "x101b_kendall_incremental" -> ((s, dir) => {
+      // scorer rank-agreement under ingest: the base split's score
+      // cells stage ONCE; a new batch's cells fold in by re-sum (cell
+      // counts are sums: merge ≡ one-shot bit-for-bit) and tau-a
+      // re-evaluates from the merged table — answers x101's oracle
+      // VERBATIM without rescanning the base (the x98b convention).
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"),
+          size(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .cast("long").as("_tc"),
+          col("n_chars"))
+        .select(col("doc_id"), col("lang"), expr("_tc div 8").as("xb"),
+          expr("n_chars div 64").as("yb"))
+      val staged = s.read.parquet(graft.ext.Dedup.stageSignatures(
+        graft.ext.Learn.kendallCells(
+          d.filter(pmod(col("doc_id"), lit(4L)) =!= 0),
+          Seq("lang"), "xb", "yb")))
+      val batch = graft.ext.Learn.kendallCells(
+        d.filter(pmod(col("doc_id"), lit(4L)) === 0),
+        Seq("lang"), "xb", "yb")
+      graft.ext.Learn.kendallTauAFromCells(
+        graft.ext.Learn.mergeKendallCells(Seq(staged, batch), Seq("lang")),
+        Seq("lang"))
     }),
     "x101_kendall_tau" -> ((s, dir) => {
       // SCORER rank agreement: Kendall's tau-a between the bucketed
@@ -7987,8 +8020,10 @@ object SparkEntry {
     "x97h_wasserstein" -> x97hOracleSql,
     // x101: Kendall's tau-a — bucketed score cells, strict-upper sweep
     "x101_kendall_tau" -> x101OracleSql,
+    "x101b_kendall_incremental" -> x101OracleSql,
     // x102: greedy k-center, four unrolled farthest-point rounds
     "x102_kcenter" -> x102OracleSql,
+    "x102c_kcenter_join" -> x102OracleSql,
     // x102b: the coverage assignment off the same selection rounds
     "x102b_kcenter_assign" -> x102bOracleSql,
     // x104: centroid drift replayed — the meanPoolQ30 quantization per

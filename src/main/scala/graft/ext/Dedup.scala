@@ -1422,7 +1422,7 @@ object Dedup {
   }
 
   /** (id as a_id, tok) element stream behind the all-pairs family. */
-  private def apTokens(df: DataFrame, idCol: String, setCol: String): DataFrame =
+  private[ext] def apTokens(df: DataFrame, idCol: String, setCol: String): DataFrame =
     df.select(col(idCol).as("a_id"),
       explode(array_distinct(col(setCol))).as("tok"))
 
@@ -1431,7 +1431,7 @@ object Dedup {
     * count 0 (rarest), which is how a frozen base-corpus order stays a
     * valid total order for never-seen batch elements. Returns
     * (a_id, tok, _ap_n). */
-  private def apPrefix(tk: DataFrame, cnt: DataFrame,
+  private[ext] def apPrefix(tk: DataFrame, cnt: DataFrame,
                        tNum: Int, tDen: Int): DataFrame = {
     val sz = tk.groupBy(col("a_id")).agg(count(lit(1)).as("_ap_n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1448,7 +1448,7 @@ object Dedup {
 
   /** The Jaccard size bound over a candidate frame carrying (_ap_n,
     * _ap_nb): J ≤ min/max, so tDen·min ≥ tNum·max or the pair prunes. */
-  private def apSizeBound(tNum: Int, tDen: Int)(cand: DataFrame): DataFrame =
+  private[ext] def apSizeBound(tNum: Int, tDen: Int)(cand: DataFrame): DataFrame =
     cand.filter(lit(tDen) * least(col("_ap_n"), col("_ap_nb")) >=
       lit(tNum) * greatest(col("_ap_n"), col("_ap_nb")))
 
@@ -1461,7 +1461,7 @@ object Dedup {
     * requirement keeps completeness while cutting the pre-distinct
     * volume (Xiao et al. WWW 2008; measured 1.5M → 667k candidates on
     * the sf0.1 bigram corpus when this landed). */
-  private def apPositionalBound(tNum: Int, tDen: Int)(cand: DataFrame): DataFrame =
+  private[ext] def apPositionalBound(tNum: Int, tDen: Int)(cand: DataFrame): DataFrame =
     cand.filter(expr("1L + least(_ap_n - _ap_p, _ap_nb - _ap_pb)") >=
       expr(s"((${tNum}L * (_ap_n + _ap_nb) + ${tNum + tDen - 1}L)" +
         s" div ${tNum + tDen}L)"))

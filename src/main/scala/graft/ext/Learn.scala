@@ -1153,24 +1153,50 @@ object Learn {
     * NULL scores excluded. Returns (keys..., n, n_conc, n_disc,
     * tau_q20 [nullable]). */
   def kendallTauAQ20(df: DataFrame, keyCols: Seq[String], xCol: String,
-                     yCol: String, maxCells: Long = 4096L): DataFrame = {
-    require(keyCols.nonEmpty, "kendallTauAQ20 needs >= 1 group key")
-    require(maxCells >= 1 && maxCells <= (1L << 16),
-      s"maxCells must be in [1, 2^16]: $maxCells")
+                     yCol: String, maxCells: Long = 4096L): DataFrame =
+    kendallTauAFromCells(kendallCells(df, keyCols, xCol, yCol), keyCols,
+      maxCells)
+
+  /** The (keys, _kt_x, _kt_y, _kt_o) score-cell table [[kendallTauAQ20]]
+    * reduces the corpus to — exposed because cell counts are SUMS:
+    * per-batch tables re-sum ([[mergeKendallCells]]) into the one-shot
+    * table bit-for-bit, the x98b/confusionCells staged-ingest
+    * convention. The integer-score contract raises in-plan here. */
+  def kendallCells(df: DataFrame, keyCols: Seq[String], xCol: String,
+                   yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "kendallCells needs >= 1 group key")
     val reserved = Seq("_kt_x", "_kt_y", "_kt_o", "_kt_x2", "_kt_y2",
       "_kt_o2", "_kt_cells", "_kt_cd", "n", "n_conc", "n_disc", "tau_q20")
     reserved.foreach(c => require(!keyCols.contains(c),
-      s"kendallTauAQ20 reserves column $c — rename the key column"))
+      s"kendallCells reserves column $c — rename the key column"))
     def ic(cn: String) = when(col(cn).cast("long") === col(cn),
         col(cn).cast("long"))
       .otherwise(raise_error(concat(
         lit(s"kendallTauAQ20 needs integer scores; $cn = "),
         col(cn).cast("string"))))
-    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select((keyCols.map(col) :+ ic(xCol).as("_kt_x") :+
         ic(yCol).as("_kt_y")): _*)
       .groupBy((keyCols :+ "_kt_x" :+ "_kt_y").map(col): _*)
       .agg(count(lit(1)).as("_kt_o"))
+  }
+
+  /** Merge [[kendallCells]] tables by cell re-sum — merged ≡ one-shot. */
+  def mergeKendallCells(tables: Seq[DataFrame],
+                        keyCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeKendallCells needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "_kt_x" :+ "_kt_y").map(col): _*)
+      .agg(sum(col("_kt_o")).as("_kt_o"))
+  }
+
+  /** τ_a from a [[kendallCells]] table (see [[kendallTauAQ20]] for the
+    * statistic, its census bound, and the raise contracts). */
+  def kendallTauAFromCells(cells: DataFrame, keyCols: Seq[String],
+                           maxCells: Long = 4096L): DataFrame = {
+    require(keyCols.nonEmpty, "kendallTauAFromCells needs >= 1 group key")
+    require(maxCells >= 1 && maxCells <= (1L << 16),
+      s"maxCells must be in [1, 2^16]: $maxCells")
     // the raise rides the KEPT column n — a standalone check column
     // would be pruned away by Catalyst and never evaluate
     val census = cells.groupBy(keyCols.map(col): _*)

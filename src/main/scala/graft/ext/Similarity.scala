@@ -1602,4 +1602,62 @@ object Similarity {
       .select(col("pick_rank"), col("center_id"), col("n_members"),
         col("max_dist_q30"))
   }
+
+  /** DATA-DRIVEN greedy k-center — [[kCenterGreedy]] with the chosen
+    * centers held as a parquet STAGE instead of plan literals (the
+    * kMeansParallelSeedJoin / ivfAssignJoin move): the literal form
+    * folds every chosen vector into a least() chain, which caps k at
+    * 64 before the expression tree defeats codegen; here each round
+    * BroadcastHashJoins the corpus against the staged
+    * (pick_rank, cand_id, cvec) table via [[kppFanout]], so PLAN SIZE
+    * IS INDEPENDENT OF k and production coreset sizes (k in the
+    * thousands) cost only their k corpus scans.
+    *
+    * Bit-parity contract: seed at min(id), per-round argmax of the
+    * exact Q30 min-distance with ties id-ascending — the literal
+    * path's rounds verbatim (ExtSpec pins k=16 parity), so x102's
+    * oracle replays this form unchanged. Per round ONE bounded driver
+    * collect of (id, d²) — two longs; center VECTORS never leave the
+    * cluster (the new center's vector moves base→stage by an id-keyed
+    * filter write). Exchange shape per round: broadcast fan-out →
+    * primitive (id, long) min HashAggregate (the map-side partial
+    * collapses the ×centers fan-out before the exchange) →
+    * TakeOrdered(1). Returns (pick_rank, idCol, mindist_q30); fewer
+    * than k distinct points returns what exists (the greedy rule). */
+  def kCenterJoin(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 16), s"k must be in [2, 65536]: $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    require(!base.isEmpty, "kCenterJoin needs a non-empty frame")
+    val seed = base.orderBy(col("id")).limit(1)
+      .select(lit(1L).as("pick_rank"), col("id").as("cand_id"),
+        col("v").as("cvec"), lit(null).cast("long").as("mindist_q30"))
+    var stagePath = Dedup.stageSignatures(seed)
+    var rank = 1L
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      val cents = spark.read.parquet(stagePath)
+      val cands = cents.select(col("cand_id"), col("cvec"))
+      val remaining = base.join(
+        cands.select(col("cand_id").as("id")), Seq("id"), "left_anti")
+      // two longs reach the driver — the kMeansTrain bounded-state rule
+      val hd = kppMinDist(remaining, cands)
+        .orderBy(col("_kp_d2").desc, col("id")).limit(1)
+        .collect().headOption
+      hd match {
+        case Some(r) =>
+          rank += 1
+          val newRow = base.filter(col("id") === r.getLong(0))
+            .select(lit(rank).as("pick_rank"), col("id").as("cand_id"),
+              col("v").as("cvec"), lit(r.getLong(1)).as("mindist_q30"))
+          stagePath = Dedup.stageSignatures(cents.unionByName(newRow))
+        case None => exhausted = true // fewer than k distinct points
+      }
+    }
+    spark.read.parquet(stagePath)
+      .select(col("pick_rank"), col("cand_id").as(idCol),
+        col("mindist_q30"))
+  }
 }

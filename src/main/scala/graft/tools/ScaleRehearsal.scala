@@ -4,40 +4,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal main (diagnostic, not part of the engine surface):
-  * measures the sf0.1 → 10× runtime scaling of the heavy query
+  * measures the sf0.1 → N× runtime scaling of the heavy query
   * families the 100 TB posture leans on (connected components,
-  * incremental all-pairs, compacted BM25, PageRank), so the posture
-  * rests on an empirical curve, not just plan shape.
+  * incremental + one-shot all-pairs, compacted BM25, PageRank, IVF
+  * layout compaction), so the posture rests on an empirical curve,
+  * not just plan shape. Factor defaults to 10; pass 100 for the
+  * work-term regime (the 10× exponents of the all-pairs/BM25 families
+  * were still overhead-bound).
   *
-  * The 10× corpora are built from sf0.1 by unioning id-shifted copies:
-  * - documents for the DEDUP families get a per-copy SUBSTITUTION
-  *   CIPHER (`translate` over letters+digits, rotation = copy index;
-  *   copy 0 is the identity): character-level shingle structure is
-  *   preserved EXACTLY within a copy (the cipher is bijective per
-  *   char), while cross-copy 5-char shingles are disjoint (any shared
-  *   shingle would need 5 consecutive un-ciphered chars) — so
-  *   cluster/pair structure replicates 10× with no artificial
-  *   cross-copy mega-clusters, the natural linear-growth regime.
-  *   (The first cut of this tool SUFFIXED every token with `_c<i>`,
-  *   which injected the same 5-char salt shingles into every doc and
-  *   welded the whole corpus into one LSH blob — 7.6M pairs at 1×
-  *   vs the real corpus's ~179k. Don't salt inside the shingle
-  *   alphabet.);
+  * The N× corpora are built from sf0.1 by unioning id-shifted copies:
+  * - documents for the DEDUP families get a per-copy AFFINE
+  *   SUBSTITUTION CIPHER over letters+digits (copy 0 is the identity;
+  *   for copies < 26 the map degenerates to the old rotation):
+  *   character-level shingle structure is preserved EXACTLY within a
+  *   copy (the cipher is bijective per char), while cross-copy 5-char
+  *   shingles are disjoint — so cluster/pair structure replicates N×
+  *   with no artificial cross-copy mega-clusters, the natural
+  *   linear-growth regime. The AFFINE form (x → a·x + b mod 26, a a
+  *   unit) matters at factor > 26: plain rotation has period 26, so
+  *   copies i and i+26 would share the whole lowercase cipher and
+  *   digit-free docs would become cross-copy EXACT duplicates, welding
+  *   letter-shingle structure across copies. Distinct affine maps agree
+  *   on at most a couple of characters, so a shared 5-char shingle
+  *   across copies needs 5 consecutive agreement points — effectively
+  *   never. (The first cut of this tool SUFFIXED every token with
+  *   `_c<i>`, which injected the same 5-char salt shingles into every
+  *   doc and welded the corpus into one LSH blob; don't salt inside
+  *   the shingle alphabet.)
   * - documents for BM25 stay RAW (shifted ids only): posting lists
-  *   grow 10× and the fixed query terms keep matching — the
+  *   grow N× and the fixed query terms keep matching — the
   *   heavy-hitter growth a bigger corpus really has;
-  * - orders/lineitem for PageRank shift all keys per copy → 10
-  *   disjoint copies of the graph (linear edge growth, same diameter).
+  * - orders/lineitem for PageRank shift all keys per copy → N
+  *   disjoint copies of the graph (linear edge growth, same diameter);
+  * - embeddings for the IVF family shift vec_id per copy (vectors
+  *   repeat — cells grow N× linearly, centroids/queries stay copy-0's).
   * Copy offsets are multiples of 15 so the queries' doc_id % 3 / % 5
   * batch splits keep their proportions.
   *
   * Each family runs twice at factor 1 (second reading kept — JIT-warm)
-  * and once at factor 10; the printed exponent is
-  * log(t10/t1) / log(10) (1.0 = perfectly linear). */
+  * and once at factor N; the printed exponent is
+  * log(tN/t1) / log(N) (1.0 = perfectly linear). Peak JVM heap is
+  * sampled after each run (the memory envelope). */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_rehearsal"
+    // optional 3rd arg: comma list of family-name prefixes (resume a
+    // partially-completed rehearsal without re-running finished rows)
+    val only = if (args.length > 2 && args(2).nonEmpty && args(2) != "all")
+      Some(args(2).split(",").toSeq) else None
+    val factor = if (args.length > 3) args(3).toInt else 10
+    require(factor >= 2 && factor <= 312,
+      s"factor must be in [2, 312] (affine cipher count): $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,15 +68,31 @@ object ScaleRehearsal {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digits = "0123456789"
-    def rotStr(s: String, i: Int): String = s.drop(i % s.length) + s.take(i % s.length)
-    def salted(d: DataFrame, i: Int): DataFrame = d.select(
-      (col("doc_id") + i * off).as("doc_id"),
-      translate(col("text"), lower + upper + digits,
-        rotStr(lower, i) + rotStr(upper, i) + rotStr(digits, i)).as("text"))
+    // affine permutation of an alphabet: position p → a·p + b mod n.
+    // a must be a unit mod n; (aIdx, b) are chosen so copy i < 26 is
+    // the old rotation (a = 1, b = i) and all copies 0..311 get
+    // pairwise-distinct lowercase maps.
+    val units26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val units10 = Seq(1, 3, 7, 9)
+    def affine(alpha: String, a: Int, b: Int): String = {
+      val n = alpha.length
+      (0 until n).map(p => alpha((a * p + b) % n)).mkString
+    }
+    def salted(d: DataFrame, i: Int): DataFrame = {
+      val aL = units26((i / 26) % units26.size)
+      val bL = i % 26
+      val aD = units10((i / 10) % units10.size)
+      val bD = i % 10
+      d.select(
+        (col("doc_id") + i * off).as("doc_id"),
+        translate(col("text"), lower + upper + digits,
+          affine(lower, aL, bL) + affine(upper, aL, bL) +
+            affine(digits, aD, bD)).as("text"))
+    }
     def shifted(d: DataFrame, i: Int): DataFrame = d.select(
       (col("doc_id") + i * off).as("doc_id"), col("text"))
 
-    def prep(path: String, df: DataFrame): Unit = {
+    def prep(path: String, df: => DataFrame): Unit = {
       val p = new java.io.File(path)
       if (!p.exists()) df.write.mode("overwrite").parquet(path)
     }
@@ -67,11 +101,11 @@ object ScaleRehearsal {
     // factor-1 dirs reuse sf0.1 via a rewritten two-column table so both
     // factors read identically-shaped inputs (no schema-width bias)
     prep(s"$work/x1_salt/documents.parquet", salted(docs, 0))
-    prep(s"$work/x10_salt/documents.parquet",
-      (0 until 10).map(salted(docs, _)).reduce(_ unionByName _))
+    prep(s"$work/x${factor}_salt/documents.parquet",
+      (0 until factor).map(salted(docs, _)).reduce(_ unionByName _))
     prep(s"$work/x1_raw/documents.parquet", shifted(docs, 0))
-    prep(s"$work/x10_raw/documents.parquet",
-      (0 until 10).map(shifted(docs, _)).reduce(_ unionByName _))
+    prep(s"$work/x${factor}_raw/documents.parquet",
+      (0 until factor).map(shifted(docs, _)).reduce(_ unionByName _))
     val orders = spark.read.parquet(s"$base/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = spark.read.parquet(s"$base/lineitem.parquet")
@@ -83,14 +117,18 @@ object ScaleRehearsal {
         (col("l_suppkey") + i * off).as("l_suppkey"), col("l_quantity")))
     prep(s"$work/x1_graph/orders.parquet", g(0)(orders, li)._1)
     prep(s"$work/x1_graph/lineitem.parquet", g(0)(orders, li)._2)
-    prep(s"$work/x10_graph/orders.parquet",
-      (0 until 10).map(i => g(i)(orders, li)._1).reduce(_ unionByName _))
-    prep(s"$work/x10_graph/lineitem.parquet",
-      (0 until 10).map(i => g(i)(orders, li)._2).reduce(_ unionByName _))
+    prep(s"$work/x${factor}_graph/orders.parquet",
+      (0 until factor).map(i => g(i)(orders, li)._1).reduce(_ unionByName _))
+    prep(s"$work/x${factor}_graph/lineitem.parquet",
+      (0 until factor).map(i => g(i)(orders, li)._2).reduce(_ unionByName _))
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    def embShift(i: Int): DataFrame = emb.select(
+      (col("vec_id") + i * off).as("vec_id"), col("embedding"), col("label"))
+    prep(s"$work/x1_emb/embeddings.parquet", embShift(0))
+    prep(s"$work/x${factor}_emb/embeddings.parquet",
+      (0 until factor).map(embShift).reduce(_ unionByName _))
 
-    // optional 3rd arg: comma list of family-name prefixes (resume a
-    // partially-completed rehearsal without re-running finished rows)
-    val only = if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val families = Seq(
       ("x17_dup_clusters", "salt"),
       ("x86b_allpairs_incremental", "salt"),
@@ -99,28 +137,36 @@ object ScaleRehearsal {
       // the exact prefix-filter join (x86 family): the cipher keeps
       // every copy's shingle vocabulary disjoint, so prefix buckets
       // grow linearly — the natural regime for a growing corpus
-      ("x86_allpairs_join", "salt"))
+      ("x86_allpairs_join", "salt"),
+      // IVF layout maintenance: write + 2 appends + compaction + probe
+      ("s10b_ivf_compact", "emb"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    def run(name: String, dir: String): Double = {
+    def heapMb(): Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) >> 20
+    }
+    def run(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      val hm = heapMb()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       graft.ext.Dedup.drainStageDirs()
       System.gc()
-      println(f"[rehearsal] $name $dir rows=$n ${dt}%.2fs")
-      dt
+      println(f"[rehearsal] $name $dir rows=$n ${dt}%.2fs heap=${hm}MB")
+      (dt, hm)
     }
     val rows = families.map { case (name, kind) =>
       run(name, s"$work/x1_$kind") // JIT warmup, discarded
-      val t1 = run(name, s"$work/x1_$kind")
-      val t10 = run(name, s"$work/x10_$kind")
-      val exp = math.log(t10 / t1) / math.log(10.0)
-      println(f"[rehearsal] SUMMARY $name t1=$t1%.2f t10=$t10%.2f exponent=$exp%.2f")
-      f""""$name":{"t1_sec":$t1%.2f,"t10_sec":$t10%.2f,"exponent":$exp%.2f}"""
+      val (t1, _) = run(name, s"$work/x1_$kind")
+      val (tN, hm) = run(name, s"$work/x${factor}_$kind")
+      val exp = math.log(tN / t1) / math.log(factor.toDouble)
+      println(f"[rehearsal] SUMMARY $name t1=$t1%.2f t$factor=$tN%.2f " +
+        f"exponent=$exp%.2f heapN=${hm}MB")
+      f""""$name":{"t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$exp%.2f,"heap_mb":$hm}"""
     }
-    println(s"""{"metric":"scale_rehearsal","families":${rows.mkString("{", ",", "}")},"base":"$base"}""")
+    println(s"""{"metric":"scale_rehearsal","factor":$factor,"families":${rows.mkString("{", ",", "}")},"base":"$base"}""")
     spark.stop()
   }
 }

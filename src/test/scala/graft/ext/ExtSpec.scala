@@ -532,6 +532,68 @@ class ExtSpec extends SparkSpec {
     assert(renamed.map(p => (p._1, p._2)) == Set((2L, 6L)))
   }
 
+  test("PPJoin positional bound: TIGHT boundary fixture — pruned pairs provably unreachable, counted") {
+    // Adversarial construction at t = 1/2: prefix-SHARING docs with
+    // disjoint tails whose first shared element sits exactly at the
+    // prefix edge. For n_a = n_b = 6 the overlap requirement is
+    // o >= ceil(1·12/3) = 4 and the bound on a share at positions
+    // (p_a, p_b) is 1 + min(6−p_a, 6−p_b): position 3 gives EXACTLY 4
+    // (must survive), position 4 gives 3 (must prune). Frequency
+    // shaping: u/v/w/z/m singletons rank first, the shared pivots
+    // (s, r: count 2) next, boosted tails (fa/fb: count 4, ga..gf:
+    // count 3) last — so the pivots land at the exact prefix slots.
+    val sets = Seq(
+      (1L, Seq("ua", "ub", "uc", "s", "fa", "fb")),  // A: s @ prefix pos 4
+      (2L, Seq("va", "vb", "vc", "s", "fa", "fb")),  // B: s @ prefix pos 4
+      (3L, Seq("wa", "wb", "r", "ga", "gb", "gc")),  // D: r @ pos 3, ga @ 4
+      (4L, Seq("za", "zb", "r", "gd", "ge", "gf")),  // E: r @ pos 3, gd @ 4
+      (5L, Seq("ha", "hb", "hc", "hd")),             // P: J(P,Q) = 4/5
+      (6L, Seq("ha", "hb", "hc", "hd", "he")),       // Q
+      (7L, Seq("fa", "fb", "ma", "mb", "mc", "md")), // boosts fa/fb to 4
+      (8L, Seq("fa", "fb", "me", "mf", "mg", "mh")),
+      (9L, Seq("ga", "gb", "gc", "gd", "ge", "gf")), // boosts g's to 3
+      (10L, Seq("ga", "gb", "gc", "gd", "ge", "gf")) // exact dup of 9
+    ).toDF("id", "s")
+    val m = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L).zip(
+      sets.orderBy("id").as[(Long, Seq[String])].collect()
+        .map(_._2.toSet)).toMap
+    def jacc(a: Long, b: Long): Double =
+      m(a).intersect(m(b)).size.toDouble / m(a).union(m(b)).size
+    // rebuild the internal chain to COUNT candidates across the bound
+    val tk = Dedup.apTokens(sets, "id", "s")
+    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
+    val pref = Dedup.apPrefix(tk, cnt, 1, 2)
+    val raw = pref
+      .join(pref.select(col("a_id").as("b_id"), col("tok"),
+        col("_ap_n").as("_ap_nb"), col("_ap_p").as("_ap_pb")), "tok")
+      .filter(col("a_id") < col("b_id"))
+      .transform(Dedup.apSizeBound(1, 2))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .distinct().as[(Long, Long)].collect().toSet
+    val before = pairs(raw)
+    val after = pairs(raw.transform(Dedup.apPositionalBound(1, 2)))
+    // the counted cut: 8 candidate pairs enter, exactly 3 survive
+    assert(before == Set((1L, 2L), (3L, 4L), (3L, 9L), (3L, 10L),
+      (4L, 9L), (4L, 10L), (5L, 6L), (9L, 10L)), before.toString)
+    assert(after == Set((3L, 4L), (5L, 6L), (9L, 10L)), after.toString)
+    // every pruned pair is PROVABLY unreachable: its true Jaccard is
+    // below threshold, so pruning can never cost an answer
+    (before -- after).foreach { case (a, b) =>
+      assert(jacc(a, b) < 0.5, s"($a,$b) J=${jacc(a, b)}")
+    }
+    // the boundary survivor (3,4) sits at exact bound equality and is
+    // then (correctly) rejected by the verify, not by the filter
+    assert(jacc(3L, 4L) < 0.5)
+    // end-to-end: output == brute force (completeness under the filter)
+    val out = Dedup.allPairsJoin(sets, "id", "s", 1, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out.map(p => (p._1, p._2)) ==
+      (for { a <- m.keys; b <- m.keys if a < b && jacc(a, b) >= 0.5 }
+        yield (a, b)).toSet, out.toString)
+    assert(out.map(p => (p._1, p._2)) == Set((5L, 6L), (9L, 10L)))
+  }
+
   test("allPairsJoinIncremental: exactly the batch-touching slice; frozen order handles unseen elements") {
     val sets = Seq(
       (1L, Seq("a", "b", "c", "d")),
@@ -2224,6 +2286,41 @@ class ExtSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Similarity.kCenterGreedy(pts.filter($"vec_id" < 0), "vec_id",
+        "embedding", 2)
+    }
+  }
+  test("kCenterJoin: bit-parity with kCenterGreedy; plan size independent of k") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // the greedy fixture replays verbatim (picks, ties, radius curve)
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(10f, 0f)),
+      (4L, Seq(11f, 0f)), (5L, Seq(5f, 0f))).toDF("vec_id", "embedding")
+    assert(rows(Similarity.kCenterJoin(pts, "vec_id", "embedding", 3))
+      == rows(Similarity.kCenterGreedy(pts, "vec_id", "embedding", 3)))
+    // k=16 parity on the parquet embeddings — past the catalog's k=5,
+    // deep enough that any draw/tie/radius drift would surface
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    assert(rows(Similarity.kCenterJoin(emb, "vec_id", "embedding", 16))
+      == rows(Similarity.kCenterGreedy(emb, "vec_id", "embedding", 16)))
+    // exhaustion rule: fewer distinct points than k returns what exists
+    val short = Seq((1L, Seq(0f)), (2L, Seq(0f))).toDF("vec_id", "embedding")
+    val s2 = rows(Similarity.kCenterJoin(short, "vec_id", "embedding", 5))
+    assert(s2.size == 2 && s2(1)._3.contains(0L), s2.toString)
+    // plan independence of k: the result is a stage read — no center
+    // vector rides the plan as a literal (the literal path's least()
+    // chain would put every vector in the expression tree)
+    val p = Similarity.kCenterJoin(pts, "vec_id", "embedding", 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("least("), p)
+    // and the join form accepts k past the literal path's 64 cap
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterJoin(pts, "vec_id", "embedding", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterJoin(pts.filter($"vec_id" < 0), "vec_id",
         "embedding", 2)
     }
   }

@@ -555,6 +555,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(w1Stream == w1One, s"stream=$w1Stream one=$w1One")
   }
 
+  test("streaming kendall-cell maintenance: per-batch cells merge ≡ one-shot tau (x101b on a stream)") {
+    // scorer-agreement under ingest: each micro-batch reduces to its own
+    // score cells; cells are SUMS, so the merged table — whatever the
+    // micro-batch boundaries — must replay the one-shot tau bit-for-bit
+    import org.apache.spark.sql.DataFrame
+    val docs = (1L to 48L).map(i => (i, s"g${i % 3}", i % 7, (i * i) % 11))
+      .toDF("doc_id", "g", "x", "y")
+    val src = Files.createTempDirectory("ktsrc").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    def rows(df: DataFrame) = df
+      .as[(String, Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val one = rows(graft.ext.Learn.kendallTauAQ20(docs, Seq("g"), "x", "y"))
+    val cellB =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long, Long)]]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cellB += graft.ext.Learn.kendallCells(batch, Seq("g"), "x", "y")
+          .as[(String, Long, Long, Long)].collect().toSeq
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(cellB.size >= 2, s"want >= 2 micro-batches, got ${cellB.size}")
+    val merged = graft.ext.Learn.mergeKendallCells(
+      cellB.toSeq.map(b => b.toDF("g", "_kt_x", "_kt_y", "_kt_o")), Seq("g"))
+    val streamed = rows(graft.ext.Learn.kendallTauAFromCells(merged, Seq("g")))
+    assert(streamed == one, s"stream=$streamed one=$one")
+  }
+
   test("streamed calibrator deploy: per-micro-batch calibrateScores == one-shot batch deploy") {
     // the x96b histogram calibrator as a STREAM consumer: the (bin,
     // conf) table trains once on a fixed calibration frame, and each
