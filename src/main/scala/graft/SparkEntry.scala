@@ -3350,6 +3350,40 @@ object SparkEntry {
       graft.ext.Curation.kAnonymityAudit(d, Seq("lang"),
         Seq("source", "len_bucket"), 5L)
     }),
+    "x100b_l_diversity" -> ((s, dir) => {
+      // the attribute-disclosure gate k-anonymity misses: per language,
+      // does every (source, length-bucket) QI group carry >= 3 distinct
+      // token-count buckets (the ordinal "sensitive" surrogate the
+      // corpus has)? Same report shape as x100, one audit column over.
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 256").as("len_bucket"),
+          size(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .cast("long").as("_sv"))
+        .withColumn("sv", expr("_sv div 8")).drop("_sv")
+      graft.ext.Curation.lDiversityAudit(d, Seq("lang"),
+        Seq("source", "len_bucket"), "sv", 3L)
+    }),
+    "x100c_t_closeness" -> ((s, dir) => {
+      // the distribution-disclosure gate l-diversity misses: per
+      // language, the ordered-EMD (the t-closeness paper's distance for
+      // ordinal attributes) between each QI group's token-count-bucket
+      // distribution and the whole language's — exact rational CDF gaps
+      // summed in decimal, ONE Q20 floor per group, alert at t = 0.25.
+      // The dense (group × domain) frame is census-gated in-plan.
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          graft.ext.TextStats.wsTrim(col("text")) =!= "")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 256").as("len_bucket"),
+          size(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+            .cast("long").as("_sv"))
+        .withColumn("sv", expr("_sv div 8")).drop("_sv")
+      graft.ext.Curation.tClosenessAudit(d, Seq("lang"),
+        Seq("source", "len_bucket"), "sv")
+    }),
     "x99c_chi2_incremental" -> ((s, dir) => {
       // the association monitor under ingest: contingency cells are
       // sums, so the base split's cells stage ONCE and a new batch
@@ -8005,6 +8039,77 @@ object SparkEntry {
                 CAST((1048576 * SUM(CASE WHEN c < 5 THEN c ELSE 0 END))
                      // SUM(c) AS BIGINT) AS risk_q20
          FROM g GROUP BY 1""",
+    // x100b: distinct-sensitive census per QI group, l = 3
+    "x100b_l_diversity" ->
+      """WITH lab AS (
+           SELECT lang, source, n_chars // 256 AS lb,
+                  len(string_split_regex(regexp_replace(text,
+                    '^\s+|\s+$', '', 'g'), '\s+')) // 8 AS sv
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         g AS (SELECT lang, source, lb, COUNT(*) AS c,
+                      COUNT(DISTINCT sv) AS d
+               FROM lab GROUP BY 1, 2, 3)
+         SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS n_groups,
+                CAST(MIN(d) AS BIGINT) AS min_sv_distinct,
+                CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS groups_below_l,
+                CAST(SUM(CASE WHEN d < 3 THEN c ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk,
+                CAST((1048576 * SUM(CASE WHEN d < 3 THEN c ELSE 0 END))
+                     // SUM(c) AS BIGINT) AS risk_q20
+         FROM g GROUP BY 1""",
+    // x100c: ordered-EMD per QI group vs the key's distribution —
+    // dense CDF windows, exact HUGEINT cross-multiplied gaps, one Q20
+    // floor per group (non-negative, so // = floor)
+    "x100c_t_closeness" ->
+      """WITH lab AS (
+           SELECT lang, source, n_chars // 256 AS lb,
+                  len(string_split_regex(regexp_replace(text,
+                    '^\s+|\s+$', '', 'g'), '\s+')) // 8 AS sv
+           FROM documents
+           WHERE text IS NOT NULL
+             AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+         cells AS (SELECT lang, source, lb, sv, COUNT(*) AS c
+                   FROM lab GROUP BY 1, 2, 3, 4),
+         gdist AS (SELECT lang, sv, SUM(c) AS g FROM cells GROUP BY 1, 2),
+         gtot AS (SELECT lang, SUM(g) AS n, COUNT(*) AS m
+                  FROM gdist GROUP BY 1),
+         grps AS (SELECT lang, source, lb, SUM(c) AS ng
+                  FROM cells GROUP BY 1, 2, 3),
+         dense AS (SELECT gr.lang, gr.source, gr.lb, gr.ng, gl.sv, gl.g,
+                     COALESCE(ce.c, 0) AS c, gt.n, gt.m
+                   FROM grps gr
+                   JOIN gdist gl ON gl.lang = gr.lang
+                   LEFT JOIN cells ce ON ce.lang = gr.lang
+                     AND ce.source = gr.source AND ce.lb = gr.lb
+                     AND ce.sv = gl.sv
+                   JOIN gtot gt ON gt.lang = gr.lang),
+         cum AS (SELECT lang, source, lb, ng, n, m,
+                   SUM(c) OVER (PARTITION BY lang, source, lb
+                                ORDER BY sv) AS cp,
+                   SUM(g) OVER (PARTITION BY lang, source, lb
+                                ORDER BY sv) AS cq
+                 FROM dense),
+         pg AS (SELECT lang, source, lb, ng, n, m,
+                  SUM(ABS(CAST(cp AS HUGEINT) * n
+                          - CAST(cq AS HUGEINT) * ng)) AS s
+                FROM cum GROUP BY 1, 2, 3, 4, 5, 6),
+         tt AS (SELECT lang, n, m,
+                  CASE WHEN m <= 1 THEN 0
+                       ELSE CAST((1048576::HUGEINT * s)
+                            // (CAST(ng AS HUGEINT) * n * (m - 1))
+                            AS BIGINT) END AS t
+                FROM pg)
+         SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+                CAST(MAX(m) AS BIGINT) AS m,
+                CAST(COUNT(*) AS BIGINT) AS n_groups,
+                CAST(MAX(t) AS BIGINT) AS max_t_q20,
+                CAST(SUM(CASE WHEN t > 262144 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS groups_above_t
+         FROM tt GROUP BY 1""",
     // x99: Pearson chi-square association, identical two-stage floors;
     // x99c answers the SAME oracle verbatim — contingency cells are
     // sums, staged-base + batch re-sum IS the one-shot cell table

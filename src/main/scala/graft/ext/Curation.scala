@@ -1100,4 +1100,145 @@ object Curation {
       .withColumn("risk_q20",
         expr("(1048576L * rows_at_risk) div n"))
   }
+
+  /** L-DIVERSITY AUDIT — the attribute-disclosure gate k-anonymity
+    * misses (Machanavajjhala et al., TKDD 2007): a QI group whose rows
+    * all share one SENSITIVE value leaks that value even at group size
+    * ≥ k, so the release gate also requires every group to carry at
+    * least l DISTINCT sensitive values. Per group key: the group
+    * census, the least-diverse group, how many groups sit under l, and
+    * the row-level exposure (rows in under-diverse groups) with its
+    * exact Q20 fraction — [[kAnonymityAudit]]'s report shape, one
+    * audit column over. NULL is a legal QI value; a NULL sensitive
+    * value counts as a value (it is what the release reveals).
+    *
+    * 100 TB shape: ONE (keys, QI..., sv)-keyed aggregation reduces the
+    * corpus to sensitive cells, a second reduces cells to QI groups, a
+    * third to the audit — three narrowing map-side-combining
+    * aggregations, nothing collects. Returns (keys..., n, n_groups,
+    * min_sv_distinct, groups_below_l, rows_at_risk, risk_q20). */
+  def lDiversityAudit(df: DataFrame, keyCols: Seq[String],
+                      qiCols: Seq[String], svCol: String,
+                      l: Long): DataFrame = {
+    require(keyCols.nonEmpty, "lDiversityAudit needs >= 1 group key")
+    require(qiCols.nonEmpty, "lDiversityAudit needs >= 1 QI column")
+    require(l >= 2, s"l must be >= 2 (l = 1 never flags): $l")
+    val reserved = Seq("_ld_c", "_ld_n", "_ld_d", "n", "n_groups",
+      "min_sv_distinct", "groups_below_l", "rows_at_risk", "risk_q20")
+    (keyCols ++ qiCols :+ svCol).foreach(c => require(!reserved.contains(c),
+      s"lDiversityAudit reserves column $c — rename it"))
+    val cells = df.groupBy(((keyCols ++ qiCols).map(col) :+ col(svCol)): _*)
+      .agg(count(lit(1)).as("_ld_c"))
+    val groups = cells.groupBy((keyCols ++ qiCols).map(col): _*)
+      .agg(sum(col("_ld_c")).as("_ld_n"), count(lit(1)).as("_ld_d"))
+    groups.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_ld_n")).as("n"),
+        count(lit(1)).as("n_groups"),
+        min(col("_ld_d")).as("min_sv_distinct"),
+        sum(when(col("_ld_d") < l, 1L).otherwise(0L)).as("groups_below_l"),
+        sum(when(col("_ld_d") < l, col("_ld_n")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("risk_q20", expr("(1048576L * rows_at_risk) div n"))
+  }
+
+  /** T-CLOSENESS AUDIT — the distribution-disclosure gate l-diversity
+    * misses (Li, Li & Venkatasubramanian, ICDE 2007): a group can be
+    * l-diverse yet SKEWED (99% of its rows share one sensitive value
+    * while the corpus is balanced), so the gate bounds the distance
+    * between each QI group's sensitive-value distribution and the
+    * whole key's, for ORDERED (integer) sensitive attributes by the
+    * ordered-earth-mover distance of the paper:
+    * D(P, Q) = (1/(m−1))·Σᵢ |CDF_P(vᵢ) − CDF_Q(vᵢ)| over the key's m
+    * ordered sensitive values. Exact rationals end to end: the CDF gap
+    * at vᵢ is |cumₚ·n − cum_q·n_g| / (n_g·n), summed as decimal(38,0),
+    * ONE non-negative Q20 floor division per group at the very end —
+    * oracle-replayable. m = 1 (a single sensitive value corpus-wide)
+    * reads t = 0 for every group.
+    *
+    * 100 TB shape: one (keys, QI, sv) cell aggregation; the per-group
+    * CDF runs on a DENSE (group × domain) frame — groups·m rows per
+    * key — so the census is load-bearing: a raising FILTER gates the
+    * group frame BEFORE the dense join (the kendall pre-censused
+    * discipline; default 2²⁰ dense rows per key), and the CDF window
+    * partitions by (keys, QI) — bounded by m, never global. Returns
+    * (keys..., n, m, n_groups, max_t_q20, groups_above_t) with the
+    * alert line at `tQ20` (default ⌊0.25·2²⁰⌋). */
+  def tClosenessAudit(df: DataFrame, keyCols: Seq[String],
+                      qiCols: Seq[String], svCol: String,
+                      tQ20: Long = 262144L,
+                      maxDense: Long = 1L << 20): DataFrame = {
+    require(keyCols.nonEmpty, "tClosenessAudit needs >= 1 group key")
+    require(qiCols.nonEmpty, "tClosenessAudit needs >= 1 QI column")
+    require(tQ20 >= 0, s"tQ20 must be >= 0: $tQ20")
+    require(maxDense >= 1 && maxDense <= (1L << 28),
+      s"maxDense must be in [1, 2^28]: $maxDense")
+    val reserved = Seq("_tc_sv", "_tc_c", "_tc_g", "_tc_n", "_tc_m",
+      "_tc_ng", "_tc_gc", "_tc_gate", "_tc_cp", "_tc_cq", "_tc_s",
+      "_tc_t", "n", "m", "n_groups", "max_t_q20", "groups_above_t")
+    (keyCols ++ qiCols).foreach(c => require(!reserved.contains(c),
+      s"tClosenessAudit reserves column $c — rename it"))
+    // integer ordered sensitive attribute (the kendall score contract)
+    val sv = when(col(svCol).isNotNull && col(svCol).cast("long") === col(svCol),
+        col(svCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"tClosenessAudit needs non-null integer sensitive values; " +
+          s"$svCol = "), col(svCol).cast("string"))))
+    // the dense frame is keyed by QI EQUALITY joins, where SQL NULL
+    // never matches itself — a silent wrong-cell bug — so null QI
+    // values raise loudly: normalize them to a sentinel first
+    val qiSafe = qiCols.map(q => when(col(q).isNotNull, col(q))
+      .otherwise(raise_error(lit(
+        s"tClosenessAudit: QI column $q is NULL — coalesce to a sentinel "
+          + "before auditing (equality joins cannot key on NULL)")))
+      .as(q))
+    val cells = df
+      .select((keyCols.map(col) ++ qiSafe :+ sv.as("_tc_sv")): _*)
+      .groupBy(((keyCols ++ qiCols).map(col) :+ col("_tc_sv")): _*)
+      .agg(count(lit(1)).as("_tc_c"))
+    val glob = cells.groupBy((keyCols.map(col) :+ col("_tc_sv")): _*)
+      .agg(sum(col("_tc_c")).as("_tc_g"))
+    val gtot = glob.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_tc_g")).as("_tc_n"), count(lit(1)).as("_tc_m"))
+    val grps = cells.groupBy((keyCols ++ qiCols).map(col): _*)
+      .agg(sum(col("_tc_c")).as("_tc_ng"))
+    // pre-censused gate: the dense frame is groups × m rows per key —
+    // raise while PRODUCING the dense join's inputs, never after it
+    val gate = grps.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_tc_gc")).join(gtot, keyCols)
+      .select((keyCols.map(col) :+
+        when(col("_tc_gc") * col("_tc_m") <= maxDense, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"tClosenessAudit: dense frame exceeds maxDense=$maxDense"
+              + " — bucket the sensitive attribute coarser; rows = "),
+            (col("_tc_gc") * col("_tc_m")).cast("string"))))
+          .as("_tc_gate")): _*)
+    val gated = grps.join(gate, keyCols).filter(col("_tc_gate"))
+      .drop("_tc_gate")
+    // dense (group × domain) frame; absent cells read count 0
+    val dense = gated.join(glob, keyCols)
+      .join(cells, keyCols ++ qiCols :+ "_tc_sv", "left")
+      .withColumn("_tc_c", coalesce(col("_tc_c"), lit(0L)))
+      .join(gtot.select((keyCols.map(col) :+ col("_tc_n") :+
+        col("_tc_m")): _*), keyCols)
+    val w = Window.partitionBy((keyCols ++ qiCols).map(col): _*)
+      .orderBy(col("_tc_sv"))
+    val perGroup = dense
+      .withColumn("_tc_cp", sum(col("_tc_c")).over(w))
+      .withColumn("_tc_cq", sum(col("_tc_g")).over(w))
+      .groupBy(((keyCols ++ qiCols).map(col) :+ col("_tc_ng") :+
+        col("_tc_n") :+ col("_tc_m")): _*)
+      .agg(sum(abs(col("_tc_cp").cast("decimal(38,0)") * col("_tc_n") -
+        col("_tc_cq").cast("decimal(38,0)") * col("_tc_ng"))).as("_tc_s"))
+      .withColumn("_tc_t", when(col("_tc_m") <= 1, lit(0L))
+        // non-negative operands: trunc = floor in both engines
+        .otherwise(expr("""cast((cast(1048576 as decimal(38,0)) * _tc_s)
+             div (cast(_tc_ng as decimal(38,0)) * _tc_n * (_tc_m - 1))
+           as bigint)""")))
+    perGroup.groupBy(keyCols.map(col): _*)
+      .agg(max(col("_tc_n")).as("n"), max(col("_tc_m")).as("m"),
+        count(lit(1)).as("n_groups"),
+        max(col("_tc_t")).as("max_t_q20"),
+        sum(when(col("_tc_t") > tQ20, 1L).otherwise(0L))
+          .as("groups_above_t"))
+  }
 }

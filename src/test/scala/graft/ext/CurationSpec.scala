@@ -698,4 +698,74 @@ class CurationSpec extends SparkSpec {
         Seq("g"), Seq("risk_q20", "q2"), 3L)
     }
   }
+
+  test("lDiversityAudit: distinct-sensitive census, exact-l boundary, guards") {
+    // g1: sv {1} → d=1 (at risk, 3 rows); g2: sv {1,2,3} → d=3 (ok, 4
+    // rows); g3: sv {5,6} → d=2 (at risk, 2 rows). n=9, min d = 1,
+    // 2 groups below, 5 rows at risk, risk = ⌊5·2²⁰/9⌋ = 582542.
+    val df = Seq(
+      ("k", "g1", 1L), ("k", "g1", 1L), ("k", "g1", 1L),
+      ("k", "g2", 1L), ("k", "g2", 2L), ("k", "g2", 3L), ("k", "g2", 3L),
+      ("k", "g3", 5L), ("k", "g3", 6L)).toDF("g", "qi", "sv")
+    val got = Curation.lDiversityAudit(df, Seq("g"), Seq("qi"), "sv", 3L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("k", 9L, 3L, 1L, 2L, 5L, 582542L)), got.toString)
+    // exact-l boundary: d = l is NOT below
+    val b = Curation.lDiversityAudit(df, Seq("g"), Seq("qi"), "sv", 2L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(b._5 == 1L && b._6 == 3L, b.toString) // only g1 flags at l=2
+    // a NULL sensitive value counts as a value
+    val withNull = Seq(("k", "q", Some(1L)), ("k", "q", None))
+      .toDF("g", "qi", "sv")
+    val n2 = Curation.lDiversityAudit(withNull, Seq("g"), Seq("qi"), "sv", 2L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(n2._4 == 2L && n2._5 == 0L, n2.toString)
+    intercept[IllegalArgumentException] {
+      Curation.lDiversityAudit(df, Seq("g"), Seq("qi"), "sv", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.lDiversityAudit(df.withColumnRenamed("qi", "n_groups"),
+        Seq("g"), Seq("n_groups"), "sv", 3L)
+    }
+  }
+
+  test("tClosenessAudit: hand-computed ordered-EMD, balanced group reads 0, m=1 arm, gates") {
+    // key k, sv domain {0,1}, groups A=[0,0] B=[1,1] C=[0,1]:
+    // global 0→3, 1→3, n=6, m=2. A: CDF gap at 0 is |2·6−3·2| = 6,
+    // at 1 is 0 → S=6 → t = ⌊2²⁰·6/(2·6·1)⌋ = 524288 (= the paper's
+    // 0.5). B symmetric. C balanced → 0. Alert at default t=0.25 →
+    // 2 groups above; A exercises the ABSENT-cell arm (no sv=1 cell).
+    val df = Seq(
+      ("k", "A", 0L), ("k", "A", 0L),
+      ("k", "B", 1L), ("k", "B", 1L),
+      ("k", "C", 0L), ("k", "C", 1L)).toDF("g", "qi", "sv")
+    val got = Curation.tClosenessAudit(df, Seq("g"), Seq("qi"), "sv")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("k", 6L, 2L, 3L, 524288L, 2L)), got.toString)
+    // m = 1: a single corpus-wide sensitive value reads t = 0 everywhere
+    val m1 = Seq(("k", "A", 7L), ("k", "B", 7L)).toDF("g", "qi", "sv")
+    val g1 = Curation.tClosenessAudit(m1, Seq("g"), Seq("qi"), "sv")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(g1 == (("k", 2L, 1L, 2L, 0L, 0L)), g1.toString)
+    // the dense census gates BEFORE the join: groups·m = 6 > maxDense
+    intercept[Exception] {
+      Curation.tClosenessAudit(df, Seq("g"), Seq("qi"), "sv",
+        maxDense = 4L).collect()
+    }
+    // fractional sensitive values raise per row
+    intercept[Exception] {
+      Curation.tClosenessAudit(Seq(("k", "A", 1.5)).toDF("g", "qi", "sv"),
+        Seq("g"), Seq("qi"), "sv").collect()
+    }
+    // NULL QI raises loudly (equality joins cannot key on NULL)
+    intercept[Exception] {
+      Curation.tClosenessAudit(
+        Seq(("k", Option.empty[String], 1L)).toDF("g", "qi", "sv"),
+        Seq("g"), Seq("qi"), "sv").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Curation.tClosenessAudit(df.withColumnRenamed("qi", "max_t_q20"),
+        Seq("g"), Seq("max_t_q20"), "sv")
+    }
+  }
 }
