@@ -3350,6 +3350,25 @@ object SparkEntry {
       graft.ext.Curation.kAnonymityAudit(d, Seq("lang"),
         Seq("source", "len_bucket"), 5L)
     }),
+    "x100d_kanon_incremental" -> ((s, dir) => {
+      // the release gate under ingest: the base split's QI-group counts
+      // stage ONCE; a new batch's counts fold in by re-sum (counts are
+      // sums over ROW shards — merge ≡ one-shot bit-for-bit) and the
+      // audit re-evaluates from the merged table — answers x100's
+      // oracle VERBATIM without rescanning the base (x98b convention).
+      val d = t(s, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars div 256"))
+      val staged = s.read.parquet(graft.ext.Dedup.stageSignatures(
+        graft.ext.Curation.qiGroupCounts(
+          d.filter(pmod(col("doc_id"), lit(4L)) =!= 0),
+          Seq("lang"), Seq("source", "len_bucket"))))
+      val batch = graft.ext.Curation.qiGroupCounts(
+        d.filter(pmod(col("doc_id"), lit(4L)) === 0),
+        Seq("lang"), Seq("source", "len_bucket"))
+      graft.ext.Curation.kAnonymityFromCounts(
+        graft.ext.Curation.mergeQiGroupCounts(Seq(staged, batch),
+          Seq("lang"), Seq("source", "len_bucket")), Seq("lang"), 5L)
+    }),
     "x100b_l_diversity" -> ((s, dir) => {
       // the attribute-disclosure gate k-anonymity misses: per language,
       // does every (source, length-bucket) QI group carry >= 3 distinct
@@ -4077,6 +4096,7 @@ object SparkEntry {
       ("x51b_card_incremental" -> oracleSqlBase("x51_dataset_card")) +
       ("x79b_cms_incremental" -> oracleSqlBase("x79_cms_heavy_hitters")) +
       ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct")) +
+      ("x100d_kanon_incremental" -> oracleSqlBase("x100_k_anonymity")) +
       ("x82b_kmv_incremental" -> oracleSqlBase("x82_kmv_overlap")) +
       ("x92b_quantile_ingest" -> oracleSqlBase("x92_quantile_sketch")) +
       ("x93b_join_size_incremental" -> oracleSqlBase("x93_cms_join_size"))

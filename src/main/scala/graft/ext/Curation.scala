@@ -1087,8 +1087,38 @@ object Curation {
       "groups_below_k", "rows_at_risk", "risk_q20")
     (keyCols ++ qiCols).foreach(c => require(!reserved.contains(c),
       s"kAnonymityAudit reserves column $c — rename it"))
+    kAnonymityFromCounts(qiGroupCounts(df, keyCols, qiCols), keyCols, k)
+  }
+
+  /** The (keys, QI..., _kan_c) group-count table [[kAnonymityAudit]]
+    * reduces the corpus to — exposed because counts are SUMS: per-batch
+    * tables re-sum ([[mergeQiGroupCounts]]) into the one-shot table
+    * bit-for-bit, the x98b staged-ingest convention. */
+  def qiGroupCounts(df: DataFrame, keyCols: Seq[String],
+                    qiCols: Seq[String]): DataFrame =
     df.groupBy((keyCols ++ qiCols).map(col): _*)
       .agg(count(lit(1)).as("_kan_c"))
+
+  /** Merge [[kAnonymityAudit]] QI-group count tables by re-sum —
+    * merged ≡ one-shot, PROVIDED the inputs shard by ROWS (each row of
+    * the audited frame counted in exactly one table); partial counts
+    * of the same shard must never mix twice. */
+  def mergeQiGroupCounts(tables: Seq[DataFrame],
+                         keyCols: Seq[String],
+                         qiCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeQiGroupCounts needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy((keyCols ++ qiCols).map(col): _*)
+      .agg(sum(col("_kan_c")).as("_kan_c"))
+  }
+
+  /** The audit half of [[kAnonymityAudit]] over a (keys, QI..., _kan_c)
+    * group-count table (see there for the statistic and contracts). */
+  def kAnonymityFromCounts(counts: DataFrame, keyCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(keyCols.nonEmpty, "kAnonymityFromCounts needs >= 1 group key")
+    require(k >= 2, s"k must be >= 2 (k = 1 never flags): $k")
+    counts
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("_kan_c")).as("n"),
         count(lit(1)).as("n_groups"),

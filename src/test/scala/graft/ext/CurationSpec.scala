@@ -699,6 +699,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("qiGroupCounts merge ≡ one-shot audit (row shards, any split)") {
+    // counts are sums over ROW shards: three arbitrary disjoint splits
+    // re-summed must replay the one-shot audit bit-for-bit
+    val df = (1L to 40L).map(i => (i, s"g${i % 2}", s"q${i % 5}"))
+      .toDF("id", "g", "qi")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val one = rows(Curation.kAnonymityAudit(df, Seq("g"), Seq("qi"), 5L))
+    val shards = Seq(0L, 1L, 2L).map(r =>
+      Curation.qiGroupCounts(df.filter(pmod(col("id"), lit(3L)) === r),
+        Seq("g"), Seq("qi")))
+    val merged = rows(Curation.kAnonymityFromCounts(
+      Curation.mergeQiGroupCounts(shards, Seq("g"), Seq("qi")),
+      Seq("g"), 5L))
+    assert(merged == one, s"merged=$merged one=$one")
+  }
+
   test("lDiversityAudit: distinct-sensitive census, exact-l boundary, guards") {
     // g1: sv {1} → d=1 (at risk, 3 rows); g2: sv {1,2,3} → d=3 (ok, 4
     // rows); g3: sv {5,6} → d=2 (at risk, 2 rows). n=9, min d = 1,
