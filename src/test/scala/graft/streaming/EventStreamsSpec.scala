@@ -585,6 +585,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == one, s"stream=$streamed one=$one")
   }
 
+  test("streaming release-gate maintenance: per-batch QI counts merge ≡ one-shot k-anonymity (x100d on a stream)") {
+    // the release gate under ingest: each micro-batch reduces to its
+    // own QI-group counts; counts are sums over row shards, so the
+    // merged table must replay the one-shot audit bit-for-bit
+    import org.apache.spark.sql.DataFrame
+    val docs = (1L to 40L).map(i => (i, s"g${i % 2}", s"q${i % 5}"))
+      .toDF("id", "g", "qi")
+    val src = Files.createTempDirectory("kanonsrc").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    def rows(df: DataFrame) =
+      df.as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val one = rows(graft.ext.Curation.kAnonymityAudit(
+      docs, Seq("g"), Seq("qi"), 5L))
+    val cntB =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String, Long)]]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cntB += graft.ext.Curation.qiGroupCounts(batch, Seq("g"), Seq("qi"))
+          .as[(String, String, Long)].collect().toSeq
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(cntB.size >= 2, s"want >= 2 micro-batches, got ${cntB.size}")
+    val merged = graft.ext.Curation.mergeQiGroupCounts(
+      cntB.toSeq.map(b => b.toDF("g", "qi", "_kan_c")), Seq("g"), Seq("qi"))
+    val streamed = rows(graft.ext.Curation.kAnonymityFromCounts(
+      merged, Seq("g"), 5L))
+    assert(streamed == one, s"stream=$streamed one=$one")
+  }
+
   test("streamed calibrator deploy: per-micro-batch calibrateScores == one-shot batch deploy") {
     // the x96b histogram calibrator as a STREAM consumer: the (bin,
     // conf) table trains once on a fixed calibration frame, and each
