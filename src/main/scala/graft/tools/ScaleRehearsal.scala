@@ -91,6 +91,14 @@ object ScaleRehearsal {
     }
     def shifted(d: DataFrame, i: Int): DataFrame = d.select(
       (col("doc_id") + i * off).as("doc_id"), col("text"))
+    // full-schema variant of salted(): the capstone pipeline (x37)
+    // reads lang/source/n_chars too — cipher the text, pass the rest
+    def saltedFull(d: DataFrame, i: Int): DataFrame = {
+      val s2 = salted(d.select(col("doc_id"), col("text")), i)
+      d.select((col("doc_id") + i * off).as("doc_id"),
+          col("lang"), col("source"), col("n_chars"))
+        .join(s2, "doc_id")
+    }
 
     def prep(path: String, df: => DataFrame): Unit = {
       val p = new java.io.File(path)
@@ -121,6 +129,10 @@ object ScaleRehearsal {
       (0 until factor).map(i => g(i)(orders, li)._1).reduce(_ unionByName _))
     prep(s"$work/x${factor}_graph/lineitem.parquet",
       (0 until factor).map(i => g(i)(orders, li)._2).reduce(_ unionByName _))
+    val docsFull = spark.read.parquet(s"$base/documents.parquet")
+    prep(s"$work/x1_sfull/documents.parquet", saltedFull(docsFull, 0))
+    prep(s"$work/x${factor}_sfull/documents.parquet",
+      (0 until factor).map(saltedFull(docsFull, _)).reduce(_ unionByName _))
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label"))
     def embShift(i: Int): DataFrame = emb.select(
@@ -139,7 +151,12 @@ object ScaleRehearsal {
       // grow linearly — the natural regime for a growing corpus
       ("x86_allpairs_join", "salt"),
       // IVF layout maintenance: write + 2 appends + compaction + probe
-      ("s10b_ivf_compact", "emb"))
+      ("s10b_ivf_compact", "emb"),
+      // the CAPSTONE composition (curate → LSH CC dedup → decontam →
+      // mixture → packing): the mixture stage caps the tail at fixed
+      // per-source counts, so the exponent reads the heavy FRONT
+      // (curation, staged LSH, CC, 5-gram decontamination) at N×
+      ("x37_pretrain_build", "sfull"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def heapMb(): Long = {
       val rt = Runtime.getRuntime
