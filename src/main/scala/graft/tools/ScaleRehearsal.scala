@@ -156,7 +156,15 @@ object ScaleRehearsal {
       // mixture → packing): the mixture stage caps the tail at fixed
       // per-source counts, so the exponent reads the heavy FRONT
       // (curation, staged LSH, CC, 5-gram decontamination) at N×
-      ("x37_pretrain_build", "sfull"))
+      ("x37_pretrain_build", "sfull"),
+      // ExactSubstr span stats: one digest-keyed window exchange — the
+      // cipher keeps cross-copy 5-token spans disjoint (token text is
+      // ciphered), so span structure replicates linearly
+      ("x41_repeated_spans", "salt"),
+      // SemDeDup: data-driven assignment + within-cell pairs + CC;
+      // vectors repeat across copies, so every semantic-dup cell grows
+      // N× — the giant-cell regime the within-cell pair join must survive
+      ("x30_semdedup", "emb"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def heapMb(): Long = {
       val rt = Runtime.getRuntime
