@@ -3725,6 +3725,23 @@ object SparkEntry {
         .select(col("qid"), col("doc_id"), col("chunk_id"),
           col("score_q20"), col("rnk"))
     }),
+    "x105_passage_eval" -> ((s, dir) => {
+      // RETRIEVAL CAPSTONE (the x37 convention for the RAG side): the
+      // offline passage-retrieval QA lifecycle as ONE lazy plan —
+      // chunk (x67) → passage BM25 index + scoring (x43/x72) →
+      // best-passage-per-doc ranking (x72's two windows) → graded
+      // NDCG@3 against doc-level containment qrels (x89b's metric).
+      // Each stage is oracle-proven by its own row; THIS row
+      // hash-checks the COMPOSITION — chunk boundaries through passage
+      // scores through doc dedup into the graded metric — end to end.
+      val run = queries("x72_passage_retrieval")(s, dir)
+        .select(col("qid"), col("doc_id"), col("rnk").as("rank"))
+      val d = t(s, dir, "documents")
+      graft.ext.Retrieval.evalNdcg(run,
+        graft.ext.Retrieval.containmentQrels(d, "text", "doc_id",
+          hybridQueries),
+        3, graft.ext.Retrieval.ndcgDiscountsQ20(3))
+    }),
     "x71_bootstrap_ci" -> ((s, dir) =>
       // deterministic Poisson bootstrap on the mean tokens-per-doc: 8
       // resamples as extra COLUMNS of one aggregation (no second pass,
@@ -4097,6 +4114,8 @@ object SparkEntry {
       ("x79b_cms_incremental" -> oracleSqlBase("x79_cms_heavy_hitters")) +
       ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct")) +
       ("x100d_kanon_incremental" -> oracleSqlBase("x100_k_anonymity")) +
+      ("x105_passage_eval" ->
+        x105OracleSql(oracleSqlBase("x72_passage_retrieval"))) +
       ("x82b_kmv_incremental" -> oracleSqlBase("x82_kmv_overlap")) +
       ("x92b_quantile_ingest" -> oracleSqlBase("x92_quantile_sketch")) +
       ("x93b_join_size_incremental" -> oracleSqlBase("x93_cms_join_size"))
@@ -5332,6 +5351,58 @@ object SparkEntry {
                   ELSE CAST(0 AS BIGINT) END AS ndcg_q20
          FROM per LEFT JOIN nr ON nr.qid = per.qid
          LEFT JOIN disc di ON di.r = LEAST(COALESCE(nr.n_rel, 0), 5)"""
+  }
+
+  /** The x105 capstone oracle: x72's full passage-ranking replay as a
+    * nested CTE (the x86b wrapping convention), then x89b's graded-
+    * metric tail at k = 3 over doc-level containment qrels — the
+    * composition is what this row hash-checks. */
+  private def x105OracleSql(x72Sql: String): String = {
+    val d = graft.ext.Retrieval.ndcgDiscountsQ20(3)
+    val cum = d.scanLeft(0L)(_ + _).tail
+    val vals = (1 to 3).map(r => s"($r, ${d(r - 1)}, ${cum(r - 1)})")
+      .mkString(", ")
+    s"""WITH res AS ($x72Sql),
+         runq AS (SELECT qid, doc_id, rnk AS rank FROM res),
+         q2 AS (SELECT * FROM (VALUES (1, 'customer filter join'),
+                                      (2, 'window merge sort'),
+                                      (3, 'vector stream batch'))
+                v(qid, qtext)),
+         qt2 AS (SELECT DISTINCT qid, tok FROM (
+                   SELECT qid, unnest(string_split_regex(
+                     regexp_replace(qtext, '^\\s+|\\s+$$', '', 'g'),
+                     '\\s+')) AS tok
+                   FROM q2) WHERE tok <> ''),
+         dtk AS (SELECT DISTINCT doc_id, tok FROM (
+                   SELECT doc_id, unnest(string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$$', '', 'g'),
+                     '\\s+')) AS tok
+                   FROM documents WHERE text IS NOT NULL)
+                 WHERE tok <> ''),
+         qn2 AS (SELECT qid, COUNT(*) AS nq FROM qt2 GROUP BY 1),
+         qr AS (SELECT qt2.qid, dtk.doc_id
+                FROM qt2 JOIN dtk USING (tok)
+                JOIN qn2 ON qn2.qid = qt2.qid
+                GROUP BY qt2.qid, dtk.doc_id, qn2.nq
+                HAVING COUNT(*) = qn2.nq),
+         nr AS (SELECT qid, COUNT(*) AS n_rel FROM qr GROUP BY 1),
+         disc AS (SELECT * FROM (VALUES $vals) v(r, d, cum)),
+         per AS (SELECT r.qid,
+                   COALESCE(SUM(CASE WHEN qr.doc_id IS NOT NULL
+                                THEN disc.d END), 0) AS dcg
+                 FROM runq r
+                 JOIN disc ON disc.r = r.rank
+                 LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+                 GROUP BY 1)
+         SELECT CAST(per.qid AS BIGINT) AS qid,
+                CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+                CAST(per.dcg AS BIGINT) AS dcg_q20,
+                CAST(COALESCE(di.cum, 0) AS BIGINT) AS idcg_q20,
+                CASE WHEN COALESCE(di.cum, 0) > 0
+                  THEN CAST((1048576 * per.dcg) // di.cum AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS ndcg_q20
+         FROM per LEFT JOIN nr ON nr.qid = per.qid
+         LEFT JOIN disc di ON di.r = LEAST(COALESCE(nr.n_rel, 0), 3)"""
   }
 
   private val x95OracleSql: String = {

@@ -202,6 +202,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mediaStats replays the generator formulas for random pattern blobs") {
+    // random (w, h, seed) rasters and (n, seed) PCM chunks through the
+    // REAL decoders must equal the closed-form moments computed here
+    // independently; random truncations must quarantine under the
+    // sniffed kind
+    import graft.ext.Multimodal
+    val imgGen = Gen.zip(Gen.chooseNum(1, 24), Gen.chooseNum(1, 12),
+      Gen.chooseNum(0L, 1L << 40), Gen.oneOf(true, false))
+    val audGen = Gen.zip(Gen.chooseNum(0L, 80L), Gen.chooseNum(0L, 1L << 40),
+      Gen.oneOf(true, false))
+    val imgs = Gen.listOfN(25, imgGen).sample.get.zipWithIndex
+      .map { case ((w, h, s0, cut), i) => (i.toLong * 2, w, h, s0, cut) }
+    val auds = Gen.listOfN(25, audGen).sample.get.zipWithIndex
+      .map { case ((n, s0, cut), i) => (i.toLong * 2 + 1, n, s0, cut) }
+    val imgDf = imgs.toDF("id", "w", "h", "seed", "cut")
+      .withColumn("_n", (col("w") * col("h")).cast("long"))
+      .withColumn("b", Multimodal.pnmPatternBlob(col("w"), col("h"),
+        col("seed"), when(col("cut"), col("_n") - 1).otherwise(col("_n"))))
+      .select(col("id"), col("b"))
+    val audDf = auds.toDF("id", "n", "seed", "cut")
+      .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
+        col("seed"), col("n"),
+        when(col("cut") && col("n") > 0, col("n") * 2 - 1)
+          .otherwise(col("n") * 2)))
+      .select(col("id"), col("b"))
+    val got = Multimodal.mediaStats(
+        Multimodal.asMedia(imgDf.union(audDf), "id", "b", "mixed"))
+      .collect().map(m => m.mediaId -> m).toMap
+    imgs.foreach { case (id, w, h, s0, cut) =>
+      val m = got(id)
+      if (cut && w * h > 0) assert(m == Multimodal.MediaStats(
+        id, "image", 0L, 0L, 0L, 0L, ok = false), m.toString)
+      else {
+        val px = (0 until w * h).map(i => (s0 + i) % 256)
+        assert(m == Multimodal.MediaStats(id, "image", px.size.toLong,
+          px.sum, px.min, px.max, ok = true), s"($w,$h,$s0): $m")
+      }
+    }
+    auds.foreach { case (id, n, s0, cut) =>
+      val m = got(id)
+      if (cut && n > 0) assert(m == Multimodal.MediaStats(
+        id, "audio", 0L, 0L, 0L, 0L, ok = false), m.toString)
+      else {
+        val sm = (0L until n).map { i =>
+          val u = (s0 + i) % 65536
+          if (u < 32768) u else u - 65536
+        }
+        val (mn, mx) = if (n == 0) (32767L, -32768L) else (sm.min, sm.max)
+        assert(m == Multimodal.MediaStats(id, "audio", n, sm.sum, mn, mx,
+          ok = true), s"($n,$s0): $m")
+      }
+    }
+  }
+
   test("zOrderValue interleaves losslessly: deinterleaving recovers both keys") {
     // the locality claims only mean anything if the Morton code preserves
     // ALL information of both 21-bit keys — prove invertibility on random
