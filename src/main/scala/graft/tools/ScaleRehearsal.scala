@@ -164,7 +164,11 @@ object ScaleRehearsal {
       // SemDeDup: data-driven assignment + within-cell pairs + CC;
       // vectors repeat across copies, so every semantic-dup cell grows
       // N× — the giant-cell regime the within-cell pair join must survive
-      ("x30_semdedup", "emb"))
+      ("x30_semdedup", "emb"),
+      // the retrieval capstone: passage chunking + BM25 + the
+      // qid-partitioned ranking windows + graded eval — the window is
+      // the scale question (few queries ⇒ wide partitions)
+      ("x105_passage_eval", "raw"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def heapMb(): Long = {
       val rt = Runtime.getRuntime
