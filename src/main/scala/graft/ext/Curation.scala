@@ -1236,7 +1236,10 @@ object Curation {
     val gate = grps.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_tc_gc")).join(gtot, keyCols)
       .select((keyCols.map(col) :+
-        when(col("_tc_gc") * col("_tc_m") <= maxDense, lit(true))
+        // decimal product: a long gc·m could overflow negative in
+        // exactly the huge-frame regime this gate exists to catch
+        when(col("_tc_gc").cast("decimal(38,0)") * col("_tc_m")
+            <= lit(maxDense).cast("decimal(38,0)"), lit(true))
           .otherwise(raise_error(concat(
             lit(s"tClosenessAudit: dense frame exceeds maxDense=$maxDense"
               + " — bucket the sensitive attribute coarser; rows = "),

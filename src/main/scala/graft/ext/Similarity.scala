@@ -1623,7 +1623,12 @@ object Similarity {
     * primitive (id, long) min HashAggregate (the map-side partial
     * collapses the ×centers fan-out before the exchange) →
     * TakeOrdered(1). Returns (pick_rank, idCol, mindist_q30); fewer
-    * than k distinct points returns what exists (the greedy rule). */
+    * than k distinct points returns what exists (the greedy rule).
+    *
+    * Preconditions: `idCol` unique and non-null (the stage append and
+    * the chosen-id anti-join key on it — the kMeansParallelSeedJoin
+    * contract; a duplicated id would write both rows as the same
+    * pick). */
   def kCenterJoin(df: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {
     require(k >= 2 && k <= (1 << 16), s"k must be in [2, 65536]: $k")

@@ -43,8 +43,9 @@ import org.apache.spark.sql.functions._
   *
   * Each family runs twice at factor 1 (second reading kept — JIT-warm)
   * and once at factor N; the printed exponent is
-  * log(tN/t1) / log(N) (1.0 = perfectly linear). Peak JVM heap is
-  * sampled after each run (the memory envelope). */
+  * log(tN/t1) / log(N) (1.0 = perfectly linear). Heap is reported as
+  * the true per-run HIGH-WATER mark (memory-pool peaks, reset before
+  * each run — the memory envelope). */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -78,27 +79,40 @@ object ScaleRehearsal {
       val n = alpha.length
       (0 until n).map(p => alpha((a * p + b) % n)).mkString
     }
-    def salted(d: DataFrame, i: Int): DataFrame = {
+    // per-copy ciphered text as ONE projection column. Digit maps:
+    // affine mod 10 yields only 4·10 = 40 distinct bijections, so a
+    // plain digit affine would repeat with period 40 and weld
+    // letter-free content across copies i and i+40 (the same failure
+    // the letter affine prevents at period 26); composing a per-block
+    // two-digit swap (block = i/40) makes all copies < 120 provably
+    // distinct on digits too. Copies < 10 keep the original rotation
+    // (a=1, b=i, block 0), so cached factor-10 corpora stay valid.
+    def cipherText(i: Int): org.apache.spark.sql.Column = {
       val aL = units26((i / 26) % units26.size)
       val bL = i % 26
       val aD = units10((i / 10) % units10.size)
       val bD = i % 10
-      d.select(
-        (col("doc_id") + i * off).as("doc_id"),
-        translate(col("text"), lower + upper + digits,
-          affine(lower, aL, bL) + affine(upper, aL, bL) +
-            affine(digits, aD, bD)).as("text"))
+      val dig0 = affine(digits, aD, bD)
+      val dig = (i / 40) match {
+        case 0 => dig0
+        case s => // swap positions 0 and s: distinct map per block
+          val arr = dig0.toCharArray
+          val t0 = arr(0); arr(0) = arr(s); arr(s) = t0
+          new String(arr)
+      }
+      translate(col("text"), lower + upper + digits,
+        affine(lower, aL, bL) + affine(upper, aL, bL) + dig)
     }
+    def salted(d: DataFrame, i: Int): DataFrame = d.select(
+      (col("doc_id") + i * off).as("doc_id"), cipherText(i).as("text"))
     def shifted(d: DataFrame, i: Int): DataFrame = d.select(
       (col("doc_id") + i * off).as("doc_id"), col("text"))
     // full-schema variant of salted(): the capstone pipeline (x37)
-    // reads lang/source/n_chars too — cipher the text, pass the rest
-    def saltedFull(d: DataFrame, i: Int): DataFrame = {
-      val s2 = salted(d.select(col("doc_id"), col("text")), i)
-      d.select((col("doc_id") + i * off).as("doc_id"),
-          col("lang"), col("source"), col("n_chars"))
-        .join(s2, "doc_id")
-    }
+    // reads lang/source/n_chars too — same single projection, no join
+    def saltedFull(d: DataFrame, i: Int): DataFrame = d.select(
+      (col("doc_id") + i * off).as("doc_id"),
+      col("lang"), col("source"), col("n_chars"),
+      cipherText(i).as("text"))
 
     def prep(path: String, df: => DataFrame): Unit = {
       val p = new java.io.File(path)
@@ -170,11 +184,18 @@ object ScaleRehearsal {
       // the scale question (few queries ⇒ wide partitions)
       ("x105_passage_eval", "raw"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    def heapMb(): Long = {
-      val rt = Runtime.getRuntime
-      (rt.totalMemory() - rt.freeMemory()) >> 20
-    }
+    // true high-water mark: sum of heap POOL PEAKS since the last
+    // reset (an instantaneous totalMemory-freeMemory sample would miss
+    // a mid-query peak that GC already collected)
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def heapMb(): Long =
+      heapPools.map(_.getPeakUsage.getUsed).sum >> 20
     def run(name: String, dir: String): (Double, Long) = {
+      resetPeaks()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
