@@ -63,53 +63,76 @@ object Bench {
     def peakHeapMb(): Long =
       heapPools.map(p => try p.getPeakUsage.getUsed
         catch { case _: Throwable => 0L }).sum / (1024 * 1024)
+    // noise-robust mode (r15 verdict #1): same-jar single readings flap
+    // 3-4× run-to-run (x17: 20.1 s driver vs 5.2 s judge on identical
+    // code — GC-pressured windows, page-cache state, JIT warmth).
+    // SPARK_GRAFT_REPS=N runs every query N times and REPORTS THE MIN
+    // (the standard noise-robust statistic: environmental interference
+    // only ever ADDS time, so min-of-N estimates the query's true cost);
+    // every rep's duration + gc/heap/io deltas land in bench_full.json
+    // so a rep-to-rep spread is itself an artifact, not a lost signal.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
-      val gc0 = gcMillis(); val io0 = ioWriteBytes(); resetHeapPeaks()
-      val t0 = System.nanoTime()
-      // a throwing query must SURFACE in the artifact, not record a tiny
-      // duration that reads as success
-      val err = try { fn(spark, sfDir).count(); null } catch {
-        case e: Throwable =>
-          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
+      val repRows = (1 to reps).map { _ =>
+        val gc0 = gcMillis(); val io0 = ioWriteBytes(); resetHeapPeaks()
+        val t0 = System.nanoTime()
+        // a throwing query must SURFACE in the artifact, not record a
+        // tiny duration that reads as success
+        val err = try { fn(spark, sfDir).count(); null } catch {
+          case e: Throwable =>
+            e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val gcMs = gcMillis() - gc0
+        val peakMb = peakHeapMb()
+        val ioMb = { val w = ioWriteBytes(); if (w < 0 || io0 < 0) -1L
+          else (w - io0) / (1024 * 1024) }
+        // persistent RDDs outliving their query (operators with managed
+        // caches, e.g. dupClusters' final round) are invisible to
+        // clearCache — count them into the artifact, then drop them so no
+        // query pays for a predecessor's leftovers
+        val nRdds = spark.sparkContext.getPersistentRDDs.size
+        spark.catalog.clearCache() // queries are independent; drop leftovers
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // staged temp-parquet dirs live until JVM exit otherwise; a
+        // 229-query session accumulates dozens (disk + page-cache pressure
+        // — the r11 bench-tail amplification: s10b 28.6s in-catalog vs
+        // ~12s isolated). Queries are independent — delete them NOW.
+        graft.ext.Dedup.drainStageDirs()
+        // force a driver GC BETWEEN queries/reps (outside the timed
+        // region): ContextCleaner only reclaims broadcasts/shuffle files
+        // after a driver GC notices the references are dead — the 15s
+        // periodic GC lands mid-NEXT-query, charging query N+1 for query
+        // N's cleanup (the in-catalog-vs-isolated amplification class).
+        // Deterministic cleanup point beats a timer.
+        System.gc()
+        (dt, err, nRdds, gcMs, peakMb, ioMb)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val gcMs = gcMillis() - gc0
-      val peakMb = peakHeapMb()
-      val ioMb = { val w = ioWriteBytes(); if (w < 0 || io0 < 0) -1L
-        else (w - io0) / (1024 * 1024) }
-      // persistent RDDs outliving their query (operators with managed
-      // caches, e.g. dupClusters' final round) are invisible to
-      // clearCache — count them into the artifact, then drop them so no
-      // query pays for a predecessor's leftovers
-      val nRdds = spark.sparkContext.getPersistentRDDs.size
-      spark.catalog.clearCache() // queries are independent; drop leftovers
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      // staged temp-parquet dirs live until JVM exit otherwise; a
-      // 229-query session accumulates dozens (disk + page-cache pressure
-      // — the r11 bench-tail amplification: s10b 28.6s in-catalog vs
-      // ~12s isolated). Queries are independent — delete them NOW.
-      graft.ext.Dedup.drainStageDirs()
-      // force a driver GC BETWEEN queries (outside the timed region):
-      // ContextCleaner only reclaims this query's broadcasts/shuffle
-      // files after a driver GC notices the references are dead — the
-      // 15s periodic GC lands mid-NEXT-query, charging query N+1 for
-      // query N's cleanup (the in-catalog-vs-isolated amplification
-      // class). Deterministic cleanup point beats a timer.
-      System.gc()
-      (name, dt, err, nRdds, gcMs, peakMb, ioMb, idx)
+      // reported reading = the min-duration rep (an error in ANY rep
+      // surfaces — a flaky failure must not hide behind a clean rep)
+      val best = repRows.minBy(_._1)
+      val err = repRows.flatMap(r => Option(r._2)).headOption.orNull
+      (name, best._1, err, best._3, best._4, best._5, best._6, idx, repRows)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val errs = results.collect { case (k, _, e, _, _, _, _, _) if e != null =>
+    val errs = results.collect { case (k, _, e, _, _, _, _, _, _) if e != null =>
       s"\"" + k + "\":" + jstr(e)
     }.mkString("{", ",", "}")
-    val rdds = results.map { case (k, _, _, n, _, _, _, _) => s"\"" + k + "\":" + n }
+    val rdds = results.map { case (k, _, _, n, _, _, _, _, _) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val metrics = results.map { case (k, _, _, _, gc, mb, io, i) =>
+    val metrics = results.map { case (k, _, _, _, gc, mb, io, i, _) =>
       s"\"" + k + "\":{\"idx\":" + i + ",\"gc_ms\":" + gc +
         ",\"peak_heap_mb\":" + mb + ",\"io_write_mb\":" + io + "}"
+    }.mkString("{", ",", "}")
+    // per-rep readings (duration + env deltas) — the artifact a spread
+    // adjudication reads; one entry per rep in catalog order
+    val repsJson = results.map { case (k, _, _, _, _, _, _, _, rr) =>
+      s"\"" + k + "\":[" + rr.map { case (dt, _, _, gc, mb, io) =>
+        f"""{"sec":$dt%.3f,"gc_ms":$gc,"peak_heap_mb":$mb,"io_write_mb":$io}"""
+      }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver captures a bounded TAIL of stdout (~4 KB observed): the
@@ -118,12 +141,12 @@ object Bench {
     // lossless artifact on DISK, and keep the stdout line SMALL: 2-dp
     // durations, no per-query rdd/error dicts, printed LAST so its start
     // sits inside the capture window.
-    val qsFull = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qsFull = results.map { r => s"\"" + r._1 + "\":" + r._2 }
       .mkString("{", ",", "}")
     val artifactWritten = try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"persistent_rdds":$rdds,"metrics":$metrics,"warmup_sec":$warmup,"sf":"$sfDir"}""" + "\n")
+        (s"""{"metric":"total","value":$total,"unit":"sec","n_reps":$reps,"queries":$qsFull,"errors":$errs,"persistent_rdds":$rdds,"metrics":$metrics,"reps":$repsJson,"warmup_sec":$warmup,"sf":"$sfDir"}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       true
     } catch {
@@ -133,19 +156,19 @@ object Bench {
           e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))}}""")
         false
     }
-    val slowest = results.toSeq.sortBy { case (_, v, _, _, _, _, _, _) => -v }
+    val slowest = results.toSeq.sortBy(-_._2)
       .take(10)
-      .map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { r => "\"" + r._1 + "\":" + f"${r._2}%.2f" }
       .mkString("{", ",", "}")
     val nErrors = results.count(_._3 != null)
     // errors in the summary line are CAPPED (first 3, 80-char messages) so
     // a broken build can't regrow the r7 overgrown-line failure; the full
     // detail is in bench_full.json
-    val errsCapped = results.collect { case (k, _, e, _, _, _, _, _) if e != null => (k, e) }
+    val errsCapped = results.collect { case r if r._3 != null => (r._1, r._3) }
       .take(3).map { case (k, e) => s"\"" + k + "\":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"slowest":$slowest,"errors":$errsCapped}""")
-    val qs = results.map { case (k, v, _, _, _, _, _, _) => f"""\"$k\":$v%.2f""" }
+    println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_queries":${results.size},"n_reps":$reps,"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"slowest":$slowest,"errors":$errsCapped}""")
+    val qs = results.map { r => f"""\"${r._1}\":${r._2}%.2f""" }
       .mkString("{", ",", "}")
     val headline =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir"}"""
@@ -157,9 +180,9 @@ object Bench {
     // shipped "parsed": null for exactly this reason.
     if (headline.length <= 3800 || !artifactWritten) println(headline)
     else {
-      val top50 = results.toSeq.sortBy { case (_, v, _, _, _, _, _, _) => -v }
+      val top50 = results.toSeq.sortBy(-_._2)
         .take(50)
-        .map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+        .map { r => "\"" + r._1 + "\":" + f"${r._2}%.2f" }
         .mkString("{", ",", "}")
       println(
         f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top50,"n_queries":${results.size},"n_errors":$nErrors,"warmup_sec":$warmup%.2f,"sf":"$sfDir","note":"queries = slowest 50 of ${results.size}; full set in bench_full.json (stdout budget)"}""")

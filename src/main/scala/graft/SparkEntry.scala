@@ -26,6 +26,21 @@ object SparkEntry {
     * both engines, no session-timezone dependence. */
   private def eventTs: Column = col("ts")
 
+  /** Shared audited frame of the privacy-release triple's diversity side
+    * (x100b/c one-shots and their x100e/f ingest twins): per document,
+    * the (lang) key, (source, n_chars-bucket) quasi-identifiers, and the
+    * token-count bucket as the ordinal sensitive surrogate. ONE
+    * definition so the twins and one-shots can only drift together. */
+  private def x100bFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        graft.ext.TextStats.wsTrim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 256").as("len_bucket"),
+        size(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
+          .cast("long").as("_sv"))
+      .withColumn("sv", expr("_sv div 8")).drop("_sv")
+
   /** Exact micros-since-epoch for a TIMESTAMP_NTZ column, computed in the
     * naive (wall-clock) domain so it matches DuckDB's epoch_us(ts) on the
     * same naive value regardless of either engine's session timezone —
@@ -3374,15 +3389,7 @@ object SparkEntry {
       // does every (source, length-bucket) QI group carry >= 3 distinct
       // token-count buckets (the ordinal "sensitive" surrogate the
       // corpus has)? Same report shape as x100, one audit column over.
-      val d = t(s, dir, "documents")
-        .filter(col("text").isNotNull &&
-          graft.ext.TextStats.wsTrim(col("text")) =!= "")
-        .select(col("lang"), col("source"),
-          expr("n_chars div 256").as("len_bucket"),
-          size(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
-            .cast("long").as("_sv"))
-        .withColumn("sv", expr("_sv div 8")).drop("_sv")
-      graft.ext.Curation.lDiversityAudit(d, Seq("lang"),
+      graft.ext.Curation.lDiversityAudit(x100bFrame(s, dir), Seq("lang"),
         Seq("source", "len_bucket"), "sv", 3L)
     }),
     "x100c_t_closeness" -> ((s, dir) => {
@@ -3392,16 +3399,41 @@ object SparkEntry {
       // distribution and the whole language's — exact rational CDF gaps
       // summed in decimal, ONE Q20 floor per group, alert at t = 0.25.
       // The dense (group × domain) frame is census-gated in-plan.
-      val d = t(s, dir, "documents")
-        .filter(col("text").isNotNull &&
-          graft.ext.TextStats.wsTrim(col("text")) =!= "")
-        .select(col("lang"), col("source"),
-          expr("n_chars div 256").as("len_bucket"),
-          size(split(graft.ext.TextStats.wsTrim(col("text")), "\\s+"))
-            .cast("long").as("_sv"))
-        .withColumn("sv", expr("_sv div 8")).drop("_sv")
-      graft.ext.Curation.tClosenessAudit(d, Seq("lang"),
+      graft.ext.Curation.tClosenessAudit(x100bFrame(s, dir), Seq("lang"),
         Seq("source", "len_bucket"), "sv")
+    }),
+    "x100e_ldiv_incremental" -> ((s, dir) => {
+      // l-diversity under ingest: sensitive cells are counts over row
+      // shards, so the base split's cell table stages ONCE and a batch
+      // folds in by re-sum — the distinct-sensitive census per group is
+      // the merged table's cell count, so merge ≡ one-shot bit-for-bit
+      // and this answers x100b's oracle VERBATIM (x100d convention).
+      val d = x100bFrame(s, dir)
+      val keys = Seq("lang"); val qis = Seq("source", "len_bucket")
+      val staged = s.read.parquet(graft.ext.Dedup.stageSignatures(
+        graft.ext.Curation.lDiversityCells(
+          d.filter(pmod(col("doc_id"), lit(4L)) =!= 0), keys, qis, "sv")))
+      val batch = graft.ext.Curation.lDiversityCells(
+        d.filter(pmod(col("doc_id"), lit(4L)) === 0), keys, qis, "sv")
+      graft.ext.Curation.lDiversityFromCells(
+        graft.ext.Curation.mergeLDiversityCells(Seq(staged, batch),
+          keys, qis, "sv"), keys, qis, 3L)
+    }),
+    "x100f_tclose_incremental" -> ((s, dir) => {
+      // t-closeness under ingest: same cell re-sum — the key's global
+      // distribution and every group's CDF re-derive from merged cells,
+      // so the ordered-EMD audit replays x100c's oracle VERBATIM without
+      // rescanning the base split.
+      val d = x100bFrame(s, dir)
+      val keys = Seq("lang"); val qis = Seq("source", "len_bucket")
+      val staged = s.read.parquet(graft.ext.Dedup.stageSignatures(
+        graft.ext.Curation.tClosenessCells(
+          d.filter(pmod(col("doc_id"), lit(4L)) =!= 0), keys, qis, "sv")))
+      val batch = graft.ext.Curation.tClosenessCells(
+        d.filter(pmod(col("doc_id"), lit(4L)) === 0), keys, qis, "sv")
+      graft.ext.Curation.tClosenessFromCells(
+        graft.ext.Curation.mergeTClosenessCells(Seq(staged, batch),
+          keys, qis), keys, qis)
     }),
     "x99c_chi2_incremental" -> ((s, dir) => {
       // the association monitor under ingest: contingency cells are
@@ -3709,7 +3741,7 @@ object SparkEntry {
         .select(graft.ext.Retrieval.packedId(col("doc_id"), col("chunk_id"),
             100000L).as("pid"),
           col("chunk_text"))
-      graft.ext.Retrieval.bm25TopKJoin(chunks, "chunk_text", "pid",
+      val perDoc = graft.ext.Retrieval.bm25TopKJoin(chunks, "chunk_text", "pid",
           hybridQueries.toDF("qid", "qtext"), "qid", "qtext", 1 << 30)
         .select(col("qid"), col("doc_id").as("pid"), col("score_q20"))
         .withColumn("doc_id", expr("pid div 100000"))
@@ -3717,11 +3749,18 @@ object SparkEntry {
         .withColumn("_cr", row_number().over(
           Window.partitionBy(col("qid"), col("doc_id"))
             .orderBy(col("score_q20").desc, col("pid"))))
-        .filter(col("_cr") === 1)
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("score_q20").desc, col("doc_id"))).cast("long"))
-        .filter(col("rnk") <= 3)
+        .filter(col("_cr") === 1).drop("_cr")
+      // web-scale ranking form (r15 verdict #5): the doc-ranking window
+      // partitions by qid ALONE, so its input per query is every doc the
+      // postings touched — unbounded at corpus scale. The salted two-
+      // phase top-k bounds it: phase 1 keeps ≤3 per (qid, salt bucket),
+      // so the qid-global window ranks ≤ 3·buckets survivor rows per
+      // query; the order is total (score desc, doc_id), so the result is
+      // row-identical to the plain window and x72's oracle replays it
+      // verbatim (PlanSpec pins the bounded shape).
+      graft.ops.Scale.saltedTopK(perDoc, "qid",
+          Seq(col("score_q20").desc, col("doc_id")), 3, 16)
+        .withColumn("rnk", col("rnk").cast("long"))
         .select(col("qid"), col("doc_id"), col("chunk_id"),
           col("score_q20"), col("rnk"))
     }),
@@ -4114,6 +4153,8 @@ object SparkEntry {
       ("x79b_cms_incremental" -> oracleSqlBase("x79_cms_heavy_hitters")) +
       ("x80b_hll_incremental" -> oracleSqlBase("x80_hll_distinct")) +
       ("x100d_kanon_incremental" -> oracleSqlBase("x100_k_anonymity")) +
+      ("x100e_ldiv_incremental" -> oracleSqlBase("x100b_l_diversity")) +
+      ("x100f_tclose_incremental" -> oracleSqlBase("x100c_t_closeness")) +
       ("x105_passage_eval" ->
         x105OracleSql(oracleSqlBase("x72_passage_retrieval"))) +
       ("x82b_kmv_incremental" -> oracleSqlBase("x82_kmv_overlap")) +

@@ -1157,8 +1157,41 @@ object Curation {
       "min_sv_distinct", "groups_below_l", "rows_at_risk", "risk_q20")
     (keyCols ++ qiCols :+ svCol).foreach(c => require(!reserved.contains(c),
       s"lDiversityAudit reserves column $c — rename it"))
-    val cells = df.groupBy(((keyCols ++ qiCols).map(col) :+ col(svCol)): _*)
+    lDiversityFromCells(lDiversityCells(df, keyCols, qiCols, svCol),
+      keyCols, qiCols, l)
+  }
+
+  /** The (keys, QI..., sv, _ld_c) sensitive-cell table [[lDiversityAudit]]
+    * reduces the corpus to — exposed because cell counts are SUMS over
+    * row shards: per-batch tables re-sum ([[mergeLDiversityCells]]) into
+    * the one-shot table bit-for-bit (the distinct-sensitive census per
+    * group is the merged table's cell COUNT — the set union of sensitive
+    * values is exactly the union of cell keys), the x98b/x100d staged-
+    * ingest convention. */
+  def lDiversityCells(df: DataFrame, keyCols: Seq[String],
+                      qiCols: Seq[String], svCol: String): DataFrame =
+    df.groupBy(((keyCols ++ qiCols).map(col) :+ col(svCol)): _*)
       .agg(count(lit(1)).as("_ld_c"))
+
+  /** Merge [[lDiversityCells]] tables by re-sum — merged ≡ one-shot,
+    * PROVIDED the inputs shard by ROWS (each audited row counted in
+    * exactly one table). */
+  def mergeLDiversityCells(tables: Seq[DataFrame], keyCols: Seq[String],
+                           qiCols: Seq[String], svCol: String): DataFrame = {
+    require(tables.nonEmpty, "mergeLDiversityCells needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy(((keyCols ++ qiCols).map(col) :+ col(svCol)): _*)
+      .agg(sum(col("_ld_c")).as("_ld_c"))
+  }
+
+  /** The audit half of [[lDiversityAudit]] over a (keys, QI..., sv,
+    * _ld_c) cell table (see there for the statistic and contracts); the
+    * sensitive column itself never appears here — the distinct census
+    * is the per-group cell count. */
+  def lDiversityFromCells(cells: DataFrame, keyCols: Seq[String],
+                          qiCols: Seq[String], l: Long): DataFrame = {
+    require(keyCols.nonEmpty, "lDiversityFromCells needs >= 1 group key")
+    require(l >= 2, s"l must be >= 2 (l = 1 never flags): $l")
     val groups = cells.groupBy((keyCols ++ qiCols).map(col): _*)
       .agg(sum(col("_ld_c")).as("_ld_n"), count(lit(1)).as("_ld_d"))
     groups.groupBy(keyCols.map(col): _*)
@@ -1207,6 +1240,22 @@ object Curation {
       "_tc_t", "n", "m", "n_groups", "max_t_q20", "groups_above_t")
     (keyCols ++ qiCols).foreach(c => require(!reserved.contains(c),
       s"tClosenessAudit reserves column $c — rename it"))
+    tClosenessFromCells(tClosenessCells(df, keyCols, qiCols, svCol),
+      keyCols, qiCols, tQ20, maxDense)
+  }
+
+  /** The (keys, QI..., _tc_sv, _tc_c) sensitive-cell table
+    * [[tClosenessAudit]] reduces the corpus to — exposed because cell
+    * counts are SUMS over row shards: per-batch tables re-sum
+    * ([[mergeTClosenessCells]]) into the one-shot table bit-for-bit (the
+    * key's global distribution and each group's are both re-aggregated
+    * from cells downstream), the x98b/x100d staged-ingest convention.
+    * Carries the audit's raise contracts: non-integer/NULL sensitive
+    * values and NULL QI values raise HERE, at ingest time. */
+  def tClosenessCells(df: DataFrame, keyCols: Seq[String],
+                      qiCols: Seq[String], svCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "tClosenessCells needs >= 1 group key")
+    require(qiCols.nonEmpty, "tClosenessCells needs >= 1 QI column")
     // integer ordered sensitive attribute (the kendall score contract)
     val sv = when(col(svCol).isNotNull && col(svCol).cast("long") === col(svCol),
         col(svCol).cast("long"))
@@ -1221,10 +1270,34 @@ object Curation {
         s"tClosenessAudit: QI column $q is NULL — coalesce to a sentinel "
           + "before auditing (equality joins cannot key on NULL)")))
       .as(q))
-    val cells = df
-      .select((keyCols.map(col) ++ qiSafe :+ sv.as("_tc_sv")): _*)
+    df.select((keyCols.map(col) ++ qiSafe :+ sv.as("_tc_sv")): _*)
       .groupBy(((keyCols ++ qiCols).map(col) :+ col("_tc_sv")): _*)
       .agg(count(lit(1)).as("_tc_c"))
+  }
+
+  /** Merge [[tClosenessCells]] tables by re-sum — merged ≡ one-shot,
+    * PROVIDED the inputs shard by ROWS (each audited row counted in
+    * exactly one table). */
+  def mergeTClosenessCells(tables: Seq[DataFrame], keyCols: Seq[String],
+                           qiCols: Seq[String]): DataFrame = {
+    require(tables.nonEmpty, "mergeTClosenessCells needs at least one table")
+    tables.reduce(_ unionByName _)
+      .groupBy(((keyCols ++ qiCols).map(col) :+ col("_tc_sv")): _*)
+      .agg(sum(col("_tc_c")).as("_tc_c"))
+  }
+
+  /** The audit half of [[tClosenessAudit]] over a (keys, QI..., _tc_sv,
+    * _tc_c) cell table (see there for the statistic, the pre-censused
+    * dense-frame gate, and the exact-rational EMD). */
+  def tClosenessFromCells(cells: DataFrame, keyCols: Seq[String],
+                          qiCols: Seq[String],
+                          tQ20: Long = 262144L,
+                          maxDense: Long = 1L << 20): DataFrame = {
+    require(keyCols.nonEmpty, "tClosenessFromCells needs >= 1 group key")
+    require(qiCols.nonEmpty, "tClosenessFromCells needs >= 1 QI column")
+    require(tQ20 >= 0, s"tQ20 must be >= 0: $tQ20")
+    require(maxDense >= 1 && maxDense <= (1L << 28),
+      s"maxDense must be in [1, 2^28]: $maxDense")
     val glob = cells.groupBy((keyCols.map(col) :+ col("_tc_sv")): _*)
       .agg(sum(col("_tc_c")).as("_tc_g"))
     val gtot = glob.groupBy(keyCols.map(col): _*)

@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  private val edgeTableId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Stage the edge table for a staged-round rank loop — MATERIALIZED
+    * (a lazy lineage would re-run the caller's whole edge build every
+    * round — measured 3× on x59c's join-built graph) and BUCKETED on
+    * `_pr_src`, the key every round's contribution join probes: the
+    * bucketed scan reports HashPartitioning(_pr_src, buckets), so each
+    * iteration's rank×edge join plans with NO edge-side Exchange — only
+    * the |V|-row rank table shuffles into the frozen edge layout (the
+    * s6 write-once-join-many machinery; r15 verdict #2 — PageRank's
+    * per-round edge re-shuffle was the 100× rehearsal's worst exponent).
+    * Buckets = the session's shuffle parallelism. Returns the staged
+    * frame plus a drop handle the loop invokes AFTER its final rank
+    * stage materializes (the managed table is round-lifetime state, not
+    * output lineage; an exception mid-loop leaks the table until the
+    * next same-name writeBucketed reclaims it — the staged-dir
+    * JVM-exit contract does not cover catalog tables). */
+  private[ext] def stageEdgesBucketed(e0: DataFrame): (DataFrame, () => Unit) = {
+    val spark = e0.sparkSession
+    val tbl = s"graft_pr_edges_${edgeTableId.incrementAndGet()}"
+    val buckets =
+      math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    graft.ops.Scale.writeBucketed(e0, tbl, "_pr_src", buckets)
+    (spark.table(tbl), () => { spark.sql(s"DROP TABLE IF EXISTS `$tbl`"); () })
+  }
+
   /** PageRank power iteration in EXACT Q18 integer fixed point.
     *
     * Rank mass lives in units of 10⁻¹⁸ (longs): r₀(v) = S div N with
@@ -69,10 +95,9 @@ object Graphs {
     // measured 3× (43 s → 14 s cold) on x59c's join-built graph at sf0.1.
     val e0 = edges.select(col(srcCol).cast("long").as("_pr_src"),
       col(dstCol).cast("long").as("_pr_dst"))
-    val e =
-      if (stagePerIteration)
-        edges.sparkSession.read.parquet(Dedup.stageSignatures(e0))
-      else e0
+    val (e, dropEdges) =
+      if (stagePerIteration) stageEdgesBucketed(e0)
+      else (e0, () => ())
     val nodes = e.select(col("_pr_src").as("node"))
       .union(e.select(col("_pr_dst").as("node"))).distinct()
     val od = e.groupBy(col("_pr_src").as("node"))
@@ -87,7 +112,11 @@ object Graphs {
 
     val ranks0 = base.select(col("node"), col("_pr_od"),
       expr(s"cast($baseQ as bigint)").as("rank_q"))
-    prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
+    val out = prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
+    // staged rounds: the final rank table is already materialized, so the
+    // round-lifetime edge table can drop NOW (lazy mode: no-op)
+    dropEdges()
+    out
   }
 
   /** Shared power-iteration tail of [[pageRank]] and [[pageRankWarm]]:
@@ -96,6 +125,18 @@ object Graphs {
     * from `ranks0` (node, _pr_od, rank_q). ONE implementation — the
     * round algebra cannot drift between the cold and warm paths (the
     * spec pins warm-with-uniform-prior ≡ cold bit-for-bit). */
+  /** One round's contribution aggregation — the rank×edge join the
+    * bucketed edge stage keeps exchange-free on the edge side
+    * (GraphsSpec pins the no-edge-Exchange shape on a staged bucketed
+    * table). Shared by [[pageRank]]/[[pageRankWarm]] (via prRounds) and
+    * [[trustRank]] — identical unweighted round algebra. */
+  private[ext] def prContrib(e: DataFrame, ranks: DataFrame): DataFrame = e
+    .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
+      col("_pr_src") === col("node"))
+    .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
+    .groupBy(col("_pr_dst"))
+    .agg(sum(col("_pr_c")).as("_pr_s"))
+
   private def prRounds(e: DataFrame, base: DataFrame, n: Long,
                        baseQ: String, d: Int, iters: Int,
                        stagePerIteration: Boolean,
@@ -104,12 +145,7 @@ object Graphs {
     for (_ <- 1 to iters) {
       val dang = ranks.filter(col("_pr_od").isNull)
         .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-      val contrib = e
-        .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
-          col("_pr_src") === col("node"))
-        .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
-        .groupBy(col("_pr_dst"))
-        .agg(sum(col("_pr_c")).as("_pr_s"))
+      val contrib = prContrib(e, ranks)
       ranks = base
         .join(contrib, col("node") === col("_pr_dst"), "left")
         .crossJoin(broadcast(dang))
@@ -165,10 +201,9 @@ object Graphs {
     // round re-executes the caller's edge-build lineage several times
     val e0 = edges.select(col(srcCol).cast("long").as("_pr_src"),
       col(dstCol).cast("long").as("_pr_dst"))
-    val e =
-      if (stagePerIteration)
-        edges.sparkSession.read.parquet(Dedup.stageSignatures(e0))
-      else e0
+    val (e, dropEdges) =
+      if (stagePerIteration) stageEdgesBucketed(e0)
+      else (e0, () => ())
     val nodes = e.select(col("_pr_src").as("node"))
       .union(e.select(col("_pr_dst").as("node"))).distinct()
     val od = e.groupBy(col("_pr_src").as("node"))
@@ -189,7 +224,9 @@ object Graphs {
         coalesce(col("_pr_warm"), expr(s"cast($baseQ as bigint)")).as("rank_q"))
     if (stagePerIteration)
       ranks0 = ranks0.sparkSession.read.parquet(Dedup.stageSignatures(ranks0))
-    prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
+    val out = prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
+    dropEdges() // see pageRank: round-lifetime state, not output lineage
+    out
   }
 
   /** [[pageRank]] over a WEIGHTED edge list — the compact form of
@@ -223,10 +260,9 @@ object Graphs {
     val e0 = edges.select(col(srcCol).cast("long").as("_pr_src"),
       col(dstCol).cast("long").as("_pr_dst"),
       col(weightCol).cast("long").as("_pr_w"))
-    val e =
-      if (stagePerIteration)
-        edges.sparkSession.read.parquet(Dedup.stageSignatures(e0))
-      else e0
+    val (e, dropEdges) =
+      if (stagePerIteration) stageEdgesBucketed(e0)
+      else (e0, () => ())
     val nodes = e.select(col("_pr_src").as("node"))
       .union(e.select(col("_pr_dst").as("node"))).distinct()
     val od = e.groupBy(col("_pr_src").as("node"))
@@ -260,6 +296,7 @@ object Graphs {
       if (stagePerIteration)
         ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
     }
+    dropEdges() // see pageRank: round-lifetime state, not output lineage
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
 
@@ -301,10 +338,9 @@ object Graphs {
     // round re-executes the caller's edge-build lineage several times
     val e0 = edges.select(col(srcCol).cast("long").as("_pr_src"),
       col(dstCol).cast("long").as("_pr_dst"))
-    val e =
-      if (stagePerIteration)
-        edges.sparkSession.read.parquet(Dedup.stageSignatures(e0))
-      else e0
+    val (e, dropEdges) =
+      if (stagePerIteration) stageEdgesBucketed(e0)
+      else (e0, () => ())
     val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
     val nodes = e.select(col("_pr_src").as("node"))
@@ -327,12 +363,7 @@ object Graphs {
     for (_ <- 1 to iters) {
       val dang = ranks.filter(col("_pr_od").isNull)
         .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-      val contrib = e
-        .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
-          col("_pr_src") === col("node"))
-        .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
-        .groupBy(col("_pr_dst"))
-        .agg(sum(col("_pr_c")).as("_pr_s"))
+      val contrib = prContrib(e, ranks)
       ranks = base
         .join(contrib, col("node") === col("_pr_dst"), "left")
         .crossJoin(broadcast(dang))
@@ -346,6 +377,7 @@ object Graphs {
       if (stagePerIteration)
         ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
     }
+    dropEdges() // see pageRank: round-lifetime state, not output lineage
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
 

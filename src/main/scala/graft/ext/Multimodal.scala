@@ -367,7 +367,11 @@ object Multimodal {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          if (bytes == null || bytes.length < 4)
+          // length guard only to the shortest sniffable magic (2 bytes:
+          // "P5"/"P6"): a 2-3 byte PNM-magic blob must quarantine under
+          // kind "image" exactly as imageRasterStats classifies it —
+          // isRiffWave self-guards at its own 12-byte header
+          if (bytes == null || bytes.length < 2)
             MediaStats(id, "unknown", 0L, 0L, 0L, 0L, ok = false)
           else if (HeaderCodecs.isPnm(bytes))
             pixelScan(bytes) match {

@@ -84,8 +84,11 @@ object ScaleRehearsal {
     // plain digit affine would repeat with period 40 and weld
     // letter-free content across copies i and i+40 (the same failure
     // the letter affine prevents at period 26); composing a per-block
-    // two-digit swap (block = i/40) makes all copies < 120 provably
-    // distinct on digits too. Copies < 10 keep the original rotation
+    // two-digit swap (block = i/40) makes all copies < 320 provably
+    // distinct on digits too — 4 affine units × 10 shifts × 8 swap
+    // blocks, and swap(0, s) on a bijection's distinct chars differs
+    // across blocks at position s — which covers the 312 factor cap.
+    // Copies < 10 keep the original rotation
     // (a=1, b=i, block 0), so cached factor-10 corpora stay valid.
     def cipherText(i: Int): org.apache.spark.sql.Column = {
       val aL = units26((i / 26) % units26.size)

@@ -1409,6 +1409,39 @@ class PlanSpec extends SparkSpec {
         s"x63 must not shuffle document text: $l"))
   }
 
+  test("x72 doc ranking: the qid-global window input is salt-bounded (two-phase top-k)") {
+    // web-scale ranking form (r15 verdict #5): partitioning the doc
+    // ranking by qid alone feeds every posting-touched doc of a query
+    // into ONE window partition. The salted two-phase cut bounds it:
+    // phase 1 keeps ≤ k rows per (qid, salt), so the qid-only window
+    // ranks ≤ k·buckets survivors. Pin the shape: exactly one qid-only
+    // window, and a (qid, _salt)-partitioned window BELOW it in the
+    // same plan (the survivor feed).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = q("x72_passage_retrieval").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    // the doc-ranking window is the one producing `rnk` (bm25TopKJoin
+    // carries its own internal qid window — not the target)
+    val docRank = root.collect {
+      case w: WindowExec if w.windowExpression.exists(_.name == "rnk") => w
+    }
+    assert(docRank.size == 1, s"want exactly one rnk window:\n$root")
+    assert(docRank.head.partitionSpec.size == 1 &&
+      docRank.head.partitionSpec.head.toString.contains("qid"),
+      docRank.head.partitionSpec.toString)
+    val saltedBelow = docRank.head.collect {
+      case w: WindowExec
+        if (w ne docRank.head) &&
+          w.partitionSpec.exists(_.toString.contains("_salt"))
+      => w
+    }
+    assert(saltedBelow.nonEmpty,
+      "qid-global doc-rank window must consume the (qid, _salt) phase-1 survivors")
+  }
+
   test("x4b/x13b/x7b: no join key has block-quadratic fan-out") {
     // The scale-safe pair pipelines must join on high-cardinality keys
     // (band_key / packed signature / ids) — never on low-cardinality block

@@ -717,6 +717,52 @@ class CurationSpec extends SparkSpec {
     assert(merged == one, s"merged=$merged one=$one")
   }
 
+  test("lDiversityCells merge ≡ one-shot audit (row shards, any split)") {
+    // sensitive cells are counts over ROW shards and the distinct
+    // census is the merged table's cell count — three arbitrary
+    // disjoint splits re-summed must replay the one-shot audit
+    val df = (1L to 40L).map(i => (i, s"g${i % 2}", s"q${i % 5}", i % 7))
+      .toDF("id", "g", "qi", "sv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val one = rows(Curation.lDiversityAudit(df, Seq("g"), Seq("qi"), "sv", 3L))
+    val shards = Seq(0L, 1L, 2L).map(r =>
+      Curation.lDiversityCells(df.filter(pmod(col("id"), lit(3L)) === r),
+        Seq("g"), Seq("qi"), "sv"))
+    val merged = rows(Curation.lDiversityFromCells(
+      Curation.mergeLDiversityCells(shards, Seq("g"), Seq("qi"), "sv"),
+      Seq("g"), Seq("qi"), 3L))
+    assert(merged == one, s"merged=$merged one=$one")
+  }
+
+  test("tClosenessCells merge ≡ one-shot audit (row shards, any split)") {
+    // the key's global distribution AND each group's CDF re-derive from
+    // cells, so re-summed shards must replay the ordered-EMD audit
+    // bit-for-bit — including the census gate and the Q20 floor
+    val df = (1L to 40L).map(i => (i, s"g${i % 2}", s"q${i % 5}", i % 7))
+      .toDF("id", "g", "qi", "sv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val one = rows(Curation.tClosenessAudit(df, Seq("g"), Seq("qi"), "sv"))
+    val shards = Seq(0L, 1L, 2L).map(r =>
+      Curation.tClosenessCells(df.filter(pmod(col("id"), lit(3L)) === r),
+        Seq("g"), Seq("qi"), "sv"))
+    val merged = rows(Curation.tClosenessFromCells(
+      Curation.mergeTClosenessCells(shards, Seq("g"), Seq("qi")),
+      Seq("g"), Seq("qi")))
+    assert(merged == one, s"merged=$merged one=$one")
+    // the ingest-time raise contracts live in the CELL builder: a NULL
+    // QI or a fractional sensitive value must fail the batch, not the
+    // merged audit three stages later
+    val bad = Seq(("k", null.asInstanceOf[String], 1L)).toDF("g", "qi", "sv")
+    val e = intercept[Exception] {
+      Curation.tClosenessCells(bad, Seq("g"), Seq("qi"), "sv").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("NULL"), e.getMessage)
+  }
+
   test("lDiversityAudit: distinct-sensitive census, exact-l boundary, guards") {
     // g1: sv {1} → d=1 (at risk, 3 rows); g2: sv {1,2,3} → d=3 (ok, 4
     // rows); g3: sv {5,6} → d=2 (at risk, 2 rows). n=9, min d = 1,

@@ -382,4 +382,49 @@ class GraphsSpec extends SparkSpec {
         .withColumn("src", lit(1L)).withColumn("dst", lit(2L)),
         "src", "dst", 1))
   }
+
+  test("staged rounds: bucketed edge table keeps the contribution join edge-Exchange-free") {
+    // r15 verdict #2: pre-bucketing the staged edge table on _pr_src
+    // must remove the edge-side Exchange from every iteration's
+    // rank×edge join — pin the physical shape on the exact building
+    // blocks pageRank uses (stageEdgesBucketed + prContrib), with
+    // broadcast disabled so the shuffle-join path is what's planned.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("_pr_src", "_pr_dst")
+    val (e, drop) = Graphs.stageEdgesBucketed(e0)
+    try {
+      val ranks = Seq((1L, Option(2L), 100L), (2L, Option(1L), 100L),
+        (3L, Option(1L), 100L)).toDF("node", "_pr_od", "rank_q")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val contrib = Graphs.prContrib(e, ranks)
+        val root = contrib.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+        val bucketedScans = root.collectLeaves().collect {
+          case f: FileSourceScanExec if f.bucketedScan => f
+        }
+        assert(bucketedScans.nonEmpty,
+          s"edge side must plan as a bucketed scan:\n$root")
+        val offenders = root.collect {
+          case ex: ShuffleExchangeExec if ex.collectLeaves().exists {
+            case f: FileSourceScanExec => f.bucketedScan
+            case _ => false
+          } => ex
+        }
+        assert(offenders.isEmpty,
+          s"no Exchange may sit above the bucketed edge scan:\n$root")
+        // and the round algebra is unchanged: 1←3's rank? verify sums —
+        // node 2 gets 100 div 2 = 50 from node 1; node 3 gets 50 (from 1)
+        // + 100 (from 2); node 1 gets 100 (from 3)
+        val got = contrib.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == Map(2L -> 50L, 3L -> 150L, 1L -> 100L), got.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally drop()
+  }
 }

@@ -351,7 +351,12 @@ class MultimodalSpec extends SparkSpec {
       .withColumn("b", Multimodal.wavPatternBlob(lit(8000), lit(1),
         lit(7L), col("n"), col("n") * 2 - 1)).select(col("id"), col("b"))
     val junk = Seq((14L, Array[Byte](1, 2, 3, 4, 5)),
-      (15L, null.asInstanceOf[Array[Byte]])).toDF("id", "b")
+      (15L, null.asInstanceOf[Array[Byte]]),
+      // a 2-byte PNM magic is a SNIFFABLE container: it must quarantine
+      // under kind "image" (the imageRasterStats classification), not
+      // fall to "unknown" on a length guard the sniff never sees
+      (16L, "P5".getBytes("US-ASCII")),
+      (17L, Array[Byte]('P'.toByte))).toDF("id", "b")
     val all = img.union(imgCut).union(wav).union(wavCut).union(junk)
     val got = Multimodal.mediaStats(Multimodal.asMedia(all, "id", "b", "mixed"))
       .collect().map(m => m.mediaId -> m).toMap
@@ -369,6 +374,11 @@ class MultimodalSpec extends SparkSpec {
     // unrecognized / null bytes are kind-unknown quarantine
     assert(got(14L).kind == "unknown" && !got(14L).ok)
     assert(got(15L).kind == "unknown" && !got(15L).ok)
+    // bare "P5" magic: recognized container, truncated payload — image
+    assert(got(16L) == Multimodal.MediaStats(16L, "image", 0L, 0L, 0L, 0L,
+      ok = false))
+    // a single byte sniffs as nothing
+    assert(got(17L).kind == "unknown" && !got(17L).ok)
   }
 
   test("pnmBlob/wavBlob corruption knobs quarantine (truncated raster, bad magic)") {

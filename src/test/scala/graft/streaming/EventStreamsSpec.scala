@@ -618,6 +618,77 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == one, s"stream=$streamed one=$one")
   }
 
+  test("streaming l-diversity: per-batch sensitive cells merge ≡ one-shot audit (x100e on a stream)") {
+    // the diversity gate under ingest: each micro-batch reduces to its
+    // own (g, qi, sv) cells; the distinct-sensitive census is the
+    // merged table's cell count, so the merged audit must replay the
+    // one-shot bit-for-bit
+    import org.apache.spark.sql.DataFrame
+    val docs = (1L to 40L).map(i => (i, s"g${i % 2}", s"q${i % 5}", i % 7))
+      .toDF("id", "g", "qi", "sv")
+    val src = Files.createTempDirectory("ldivsrc").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    def rows(df: DataFrame) =
+      df.as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val one = rows(graft.ext.Curation.lDiversityAudit(
+      docs, Seq("g"), Seq("qi"), "sv", 3L))
+    val cellB = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, String, Long, Long)]]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cellB += graft.ext.Curation.lDiversityCells(batch,
+            Seq("g"), Seq("qi"), "sv")
+          .as[(String, String, Long, Long)].collect().toSeq
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(cellB.size >= 2, s"want >= 2 micro-batches, got ${cellB.size}")
+    val merged = graft.ext.Curation.mergeLDiversityCells(
+      cellB.toSeq.map(b => b.toDF("g", "qi", "sv", "_ld_c")),
+      Seq("g"), Seq("qi"), "sv")
+    val streamed = rows(graft.ext.Curation.lDiversityFromCells(
+      merged, Seq("g"), Seq("qi"), 3L))
+    assert(streamed == one, s"stream=$streamed one=$one")
+  }
+
+  test("streaming t-closeness: per-batch sensitive cells merge ≡ one-shot audit (x100f on a stream)") {
+    // the distribution gate under ingest: the key's global distribution
+    // and every group's CDF re-derive from merged cells, so the
+    // streamed audit replays the one-shot ordered-EMD bit-for-bit
+    import org.apache.spark.sql.DataFrame
+    val docs = (1L to 40L).map(i => (i, s"g${i % 2}", s"q${i % 5}", i % 7))
+      .toDF("id", "g", "qi", "sv")
+    val src = Files.createTempDirectory("tclosesrc").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    def rows(df: DataFrame) =
+      df.as[(String, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val one = rows(graft.ext.Curation.tClosenessAudit(
+      docs, Seq("g"), Seq("qi"), "sv"))
+    val cellB = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, String, Long, Long)]]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cellB += graft.ext.Curation.tClosenessCells(batch,
+            Seq("g"), Seq("qi"), "sv")
+          .as[(String, String, Long, Long)].collect().toSeq
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(cellB.size >= 2, s"want >= 2 micro-batches, got ${cellB.size}")
+    val merged = graft.ext.Curation.mergeTClosenessCells(
+      cellB.toSeq.map(b => b.toDF("g", "qi", "_tc_sv", "_tc_c")),
+      Seq("g"), Seq("qi"))
+    val streamed = rows(graft.ext.Curation.tClosenessFromCells(
+      merged, Seq("g"), Seq("qi")))
+    assert(streamed == one, s"stream=$streamed one=$one")
+  }
+
   test("streamed calibrator deploy: per-micro-batch calibrateScores == one-shot batch deploy") {
     // the x96b histogram calibrator as a STREAM consumer: the (bin,
     // conf) table trains once on a fixed calibration frame, and each
