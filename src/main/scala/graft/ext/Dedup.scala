@@ -1401,16 +1401,18 @@ object Dedup {
     * Returns (a_id, b_id, n_a, n_b, n_inter) for every qualifying pair,
     * a_id < b_id. */
   def allPairsJoin(df: DataFrame, idCol: String, setCol: String,
-                   tNum: Int, tDen: Int): DataFrame = {
+                   tNum: Int, tDen: Int,
+                   maxTokenOcc: Long = 1L << 20): DataFrame = {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
       s"threshold is a fraction in (0, 1]: $tNum/$tDen")
+    require(maxTokenOcc >= 1, s"maxTokenOcc must be >= 1: $maxTokenOcc")
     // no reserved-name contract: both inputs are projected to internal
     // names before any output column exists.
     // elements are OPAQUE strings (tokens, shingles, hashes — the caller
     // picks the granularity); duplicates inside a set are collapsed
     val tk = apTokens(df, idCol, setCol)
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
-    val pref = apPrefix(tk, cnt, tNum, tDen)
+    val pref = apOccGate(apPrefix(tk, cnt, tNum, tDen), maxTokenOcc)
     val cand = pref
       .join(pref.select(col("a_id").as("b_id"), col("tok"),
         col("_ap_n").as("_ap_nb"), col("_ap_p").as("_ap_pb")), "tok")
@@ -1419,6 +1421,43 @@ object Dedup {
       .transform(apPositionalBound(tNum, tDen))
       .select(col("a_id"), col("b_id")).distinct()
     apVerify(cand, apSets(tk), tNum, tDen)
+  }
+
+  /** HEAVY-TOKEN occ-cap for the all-pairs prefix join (the x41/x101
+    * pre-censused discipline; r15 verdict #3): a token appearing in the
+    * PREFIX of p documents builds a p²-row candidate bucket in the
+    * prefix self-join — the one quadratic the positional/size bounds
+    * cannot cut a priori, and the family's 100× memory envelope grows
+    * with the square of the hottest prefix token's document frequency.
+    * So the prefix frame is gated BEFORE the bucket join builds: a
+    * per-token census whose raise rides the gate join's FILTER
+    * predicate, exactly the kendall/t-closeness shape — an over-budget
+    * token never feeds the self-join; it fails the job loudly with the
+    * remediation (longer shingles raise selectivity, or raise the cap
+    * after sizing executors for occ² candidate rows of that token).
+    * Rarest-first prefix ordering makes real corpora sit far under any
+    * sane cap (sf0.1 bigram corpus: hottest prefix token ≈ 10² docs);
+    * the census costs one count on the same tok key the self-join
+    * shuffles anyway. `maxTokenOcc >= Long.MaxValue/2` skips the gate
+    * entirely (documented escape hatch for trusted layouts). */
+  private[ext] def apOccGate(pref: DataFrame, maxTokenOcc: Long,
+                             occExtra: Option[DataFrame] = None): DataFrame = {
+    if (maxTokenOcc >= Long.MaxValue / 2) return pref
+    val occSrc = occExtra match {
+      case Some(extra) =>
+        pref.select(col("tok")).unionByName(extra.select(col("tok")))
+      case None => pref.select(col("tok"))
+    }
+    val gate = occSrc.groupBy(col("tok")).agg(count(lit(1)).as("_ap_occ"))
+      .select(col("tok"),
+        when(col("_ap_occ") <= maxTokenOcc, lit(true))
+          .otherwise(raise_error(concat(
+            lit("allPairsJoin: a prefix token appears in more than "
+              + s"maxTokenOcc=$maxTokenOcc documents — its candidate "
+              + "bucket is occ² rows; use longer/rarer shingles or raise "
+              + "the cap; occ = "),
+            col("_ap_occ").cast("string")))).as("_ap_gate"))
+    pref.join(gate, Seq("tok")).filter(col("_ap_gate")).drop("_ap_gate")
   }
 
   /** (id as a_id, tok) element stream behind the all-pairs family. */
@@ -1585,9 +1624,11 @@ object Dedup {
     * n_inter). */
   def allPairsJoinIncremental(batch: DataFrame, index: AllPairsIndex,
                               idCol: String, setCol: String,
-                              tNum: Int, tDen: Int): DataFrame = {
+                              tNum: Int, tDen: Int,
+                              maxTokenOcc: Long = 1L << 20): DataFrame = {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
       s"threshold is a fraction in (0, 1]: $tNum/$tDen")
+    require(maxTokenOcc >= 1, s"maxTokenOcc must be >= 1: $maxTokenOcc")
     val tk = apTokens(batch, idCol, setCol)
     // LOUD disjointness contract: a batch id already present in the base
     // would double its set rows in the verify join and emit phantom
@@ -1598,7 +1639,14 @@ object Dedup {
     require(clash == 0L,
       "allPairsJoinIncremental requires batch ids disjoint from the " +
         "base index — re-submit changed docs via a fresh index instead")
-    val bpref = apPrefix(tk, index.counts, tNum, tDen)
+    // occ-cap census over batch ∪ base prefixes (the x62b hot-band
+    // stage-∪-batch convention): candidates only form through batch
+    // prefix rows, so gating bpref alone closes BOTH the batch×batch
+    // and batch×base buckets; the base side is a narrow staged scan
+    val bpref = apOccGate(
+      apPrefix(tk, index.counts, tNum, tDen),
+      maxTokenOcc,
+      occExtra = Some(index.prefix))
     // batch × batch, id-ordered inside the batch
     val candNN = bpref
       .join(bpref.select(col("a_id").as("b_id"), col("tok"),

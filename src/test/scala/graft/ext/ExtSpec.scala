@@ -649,6 +649,72 @@ class ExtSpec extends SparkSpec {
     assert(run2.exists(p => p._1 == 6L && p._2 == 7L), run2.toString)
   }
 
+  test("allPairsJoin occ-cap: pathological prefix token raises BEFORE the bucket join; sane cap answers unchanged") {
+    // 12 docs share hot token "z" plus a unique filler; at t = 1/2 and
+    // |set| = 2 the prefix keeps 2 − ceil(2/2) + 1 = 2 tokens — EVERY
+    // token, so "z" sits in 12 prefixes and its bucket would be 12²
+    // candidate rows. Docs 13/14 are the genuine duplicate pair the
+    // gated run must still answer.
+    val docs = ((1L to 12L).map(i => (i, Seq("z", s"u$i"))) ++
+      Seq((13L, Seq("aa", "bb")), (14L, Seq("bb", "aa"))))
+      .toDF("id", "toks")
+    // cap below the hot token's occ: the job fails loudly, naming the knob
+    val e = intercept[Exception] {
+      Dedup.allPairsJoin(docs, "id", "toks", 1, 2, maxTokenOcc = 8L).count()
+    }
+    assert(String.valueOf(e.getMessage).contains("maxTokenOcc")
+      || Option(e.getCause).exists(c =>
+           String.valueOf(c.getMessage).contains("maxTokenOcc")),
+      e.toString)
+    // cap at/above the occ: bit-identical to the ungated join
+    def pairs(cap: Long) =
+      Dedup.allPairsJoin(docs, "id", "toks", 1, 2, maxTokenOcc = cap)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val gated = pairs(12L)
+    assert(gated == pairs(Long.MaxValue), gated.toString)
+    assert(gated.map(p => (p._1, p._2)) == Set((13L, 14L)), gated.toString)
+    // the raise sits BEFORE the candidate self-join (the kendall
+    // pre-censused discipline): every input side of the tok-keyed
+    // prefix self-join must carry the raise gate in-plan
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, RaiseError}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = Dedup.allPairsJoin(docs, "id", "toks", 1, 2)
+      .queryExecution.optimizedPlan
+    // the candidate self-join is the one whose build side carries the
+    // renamed (_ap_pb, b_id) prefix columns — the gate join (on tok,
+    // against the census) and the verify joins (on ids) don't
+    val bucketJoins = plan.collect {
+      case j: Join
+        if j.right.output.exists(_.name == "_ap_pb") ||
+          j.left.output.exists(_.name == "_ap_pb")
+      => j
+    }
+    assert(bucketJoins.nonEmpty, plan.toString)
+    bucketJoins.foreach { j =>
+      j.children.foreach { side =>
+        assert(side.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[RaiseError]))),
+          s"prefix self-join input lacks the occ census gate:\n$side")
+      }
+    }
+    // incremental path: the batch ∪ base census closes the cross bucket
+    val base = docs.filter($"id" <= 7)
+    val batch = docs.filter($"id" >= 8)
+    val idx = Dedup.allPairsIndex(base, "id", "toks", 1, 2)
+    val e2 = intercept[Exception] {
+      Dedup.allPairsJoinIncremental(batch, idx, "id", "toks", 1, 2,
+        maxTokenOcc = 8L).count()
+    }
+    assert(String.valueOf(e2.getMessage).contains("maxTokenOcc")
+      || Option(e2.getCause).exists(c =>
+           String.valueOf(c.getMessage).contains("maxTokenOcc")),
+      e2.toString)
+    val inc = Dedup.allPairsJoinIncremental(batch, idx, "id", "toks", 1, 2,
+        maxTokenOcc = 16L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(inc.map(p => (p._1, p._2)) == Set((13L, 14L)), inc.toString)
+  }
+
   test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"),             // the classic: dist 3
