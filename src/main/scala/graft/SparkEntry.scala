@@ -987,6 +987,17 @@ object SparkEntry {
       // bit-parity rounds, so x102's oracle is answered VERBATIM.
       graft.ext.Similarity.kCenterJoin(
         t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
+    "x102d_kcenter_batch" -> ((s, dir) =>
+      // PRODUCTION-DEPTH form of x102: kCenterJoin pays one driver
+      // round PER CENTER; the batch picker collects the top-`batch`
+      // candidates once per GLOBAL round and picks locally while the
+      // pick provably dominates every point outside the batch (exact
+      // greedy, the k-means‖ oversample precedent), collapsing k
+      // sequential rounds to O(k/batch-yield). Bit-parity picks, so
+      // x102's oracle is answered VERBATIM (batch=3 < k-1 forces the
+      // threshold logic through several global rounds even at k=5).
+      graft.ext.Similarity.kCenterBatch(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 5, 3)),
     "x104b_embedding_drift_incremental" -> ((s, dir) => {
       // the vector-drift monitor under ingest: release B's per-dim Q30
       // sums stage ONCE; a new batch folds in by re-sum (sums are
@@ -8261,6 +8272,7 @@ object SparkEntry {
     // x102: greedy k-center, four unrolled farthest-point rounds
     "x102_kcenter" -> x102OracleSql,
     "x102c_kcenter_join" -> x102OracleSql,
+    "x102d_kcenter_batch" -> x102OracleSql,
     // x102b: the coverage assignment off the same selection rounds
     "x102b_kcenter_assign" -> x102bOracleSql,
     // x104: centroid drift replayed — the meanPoolQ30 quantization per

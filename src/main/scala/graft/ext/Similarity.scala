@@ -1665,4 +1665,141 @@ object Similarity {
       .select(col("pick_rank"), col("cand_id").as(idCol),
         col("mindist_q30"))
   }
+
+  /** BATCH-PICKING greedy k-center — [[kCenterJoin]] with k-means‖-style
+    * oversampling (the x35b precedent; r15 verdict #4): [[kCenterJoin]]
+    * pays one driver round — one Spark job plus one staged dir — PER
+    * CENTER, so production coreset sizes (k in the thousands) are
+    * throughput-bound on the k sequential rounds. Here each GLOBAL round
+    * collects the top-`batch` candidates by current min-distance (with
+    * their vectors — bounded driver state, batch·dim floats, the
+    * kCenterGreedy contract) and then picks greedily LOCALLY, re-minning
+    * the batch against each accepted center in a bit-exact driver
+    * replica of [[quantizedDistQ30]], for as long as the pick provably
+    * dominates every point outside the batch.
+    *
+    * EXACT-parity argument (this is greedy k-center, not an
+    * approximation): let T be the smallest ORIGINAL min-distance in the
+    * collected batch. Every point outside the batch has min-distance
+    * ≤ T, and adding centers only shrinks min-distances, so while the
+    * best in-batch candidate's UPDATED distance d* exceeds T strictly,
+    * it dominates every outside point and is the true global argmax
+    * (in-batch ties resolve id-ascending, exactly the one-shot rule);
+    * the FIRST pick of a round is the global argmax outright (the
+    * (d² desc, id asc) TakeOrdered already applied the global
+    * tie-break). When d* ≤ T the round ends and min-distances recompute
+    * globally. Each round accepts ≥ 1 center, so rounds ≤ k−1 always,
+    * and a batch that covers the remaining corpus finishes entirely
+    * locally — clustered corpora take O(k/batch-yield) rounds
+    * (ExtSpec counts them). Bit-parity with [[kCenterGreedy]] /
+    * [[kCenterJoin]] is spec-pinned at k=16; x102's oracle replays this
+    * form verbatim.
+    *
+    * Preconditions: `idCol` unique and non-null; vectors of uniform
+    * dimension (the [[quantizedDistQ30]] zip contract). Returns
+    * (pick_rank, idCol, mindist_q30). */
+  def kCenterBatch(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, batch: Int = 256): DataFrame =
+    kCenterBatchRounds(df, idCol, vecCol, k, batch)._1
+
+  /** [[kCenterBatch]] returning (selection, global rounds paid) — the
+    * round count is the operator's cost model; specs pin it. */
+  def kCenterBatchRounds(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, batch: Int): (DataFrame, Int) = {
+    require(k >= 2 && k <= (1 << 16), s"k must be in [2, 65536]: $k")
+    require(batch >= 1 && batch <= 4096,
+      s"batch must be in [1, 4096] (driver holds batch vectors): $batch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val seedRow = base.orderBy(col("id")).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kCenterBatch needs a non-empty frame"))
+    var stagePath = Dedup.stageSignatures(
+      Seq((1L, seedRow.getLong(0), seedRow.getSeq[Float](1).toArray.toSeq,
+        Option.empty[Long]))
+        .toDF("pick_rank", "cand_id", "cvec", "mindist_q30"))
+    var rank = 1L
+    var rounds = 0
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      rounds += 1
+      val cents = spark.read.parquet(stagePath)
+      val cands = cents.select(col("cand_id"), col("cvec"))
+      val remaining = base.join(
+        cands.select(col("cand_id").as("id")), Seq("id"), "left_anti")
+      // top-batch by (min-dist desc, id asc), vectors met by an id join
+      // AFTER the cut (the join-back shape: the fan-out aggregation
+      // stays (id, long)-narrow; only `batch` rows carry vectors)
+      val top = kppMinDist(remaining, cands)
+        .orderBy(col("_kp_d2").desc, col("id")).limit(batch)
+        .join(base, Seq("id"))
+        .select(col("id"), col("_kp_d2"), col("v"))
+        .collect()
+      if (top.isEmpty) exhausted = true // fewer than k distinct points
+      else {
+        // < batch rows collected ⇒ the batch IS the remaining corpus:
+        // no outside point exists and the round finishes greedy locally
+        val isAll = top.length < batch
+        val tMin = top.iterator.map(_.getLong(1)).min
+        val ids = top.map(_.getLong(0))
+        val vecs = top.map(_.getSeq[Float](2).toArray)
+        val dist = top.map(_.getLong(1))
+        val live = Array.fill(top.length)(true)
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Float], Long)]
+        var first = true
+        var continue = true
+        while (continue && rank < k) {
+          var bi = -1
+          var i = 0
+          while (i < ids.length) {
+            if (live(i) && (bi < 0 || dist(i) > dist(bi) ||
+                (dist(i) == dist(bi) && ids(i) < ids(bi)))) bi = i
+            i += 1
+          }
+          if (bi < 0) continue = false // batch exhausted
+          else if (first || isAll || dist(bi) > tMin) {
+            rank += 1
+            accepted += ((rank, ids(bi), vecs(bi).toSeq, dist(bi)))
+            live(bi) = false
+            var j = 0
+            while (j < ids.length) {
+              if (live(j)) {
+                val nd = distQ30Local(vecs(j), vecs(bi))
+                if (nd < dist(j)) dist(j) = nd
+              }
+              j += 1
+            }
+            first = false
+          } else continue = false // an outside point may now dominate
+        }
+        stagePath = Dedup.stageSignatures(cents.unionByName(
+          accepted.toSeq.map { case (r, i, v, dd) => (r, i, v, Option(dd)) }
+            .toDF("pick_rank", "cand_id", "cvec", "mindist_q30")))
+      }
+    }
+    (spark.read.parquet(stagePath)
+      .select(col("pick_rank"), col("cand_id").as(idCol),
+        col("mindist_q30")), rounds)
+  }
+
+  /** Driver-side replica of [[quantizedDistQ30]] — the SAME IEEE steps
+    * per component (exact float→double widening, one subtract, one
+    * multiply, an exact ×2³⁰, Math.floor, long truncation, long sum),
+    * so local batch re-minning is bit-identical to the cluster
+    * expression. */
+  private def distQ30Local(a: Array[Float], b: Array[Float]): Long = {
+    require(a.length == b.length,
+      s"vector dims differ: ${a.length} vs ${b.length}")
+    var s = 0L
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += math.floor(d * d * (1L << 30).toDouble).toLong
+      i += 1
+    }
+    s
+  }
 }

@@ -2390,6 +2390,47 @@ class ExtSpec extends SparkSpec {
         "embedding", 2)
     }
   }
+
+  test("kCenterBatch: bit-parity with kCenterGreedy at k=16; rounds collapse below k-1") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // hand fixture replays verbatim, whether the batch covers the frame
+    // (pure local greedy) or is smaller than it (threshold rounds)
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(10f, 0f)),
+      (4L, Seq(11f, 0f)), (5L, Seq(5f, 0f))).toDF("vec_id", "embedding")
+    val one = rows(Similarity.kCenterGreedy(pts, "vec_id", "embedding", 3))
+    assert(rows(Similarity.kCenterBatch(pts, "vec_id", "embedding", 3, 64))
+      == one)
+    assert(rows(Similarity.kCenterBatch(pts, "vec_id", "embedding", 3, 2))
+      == one)
+    // k=16 parity on the parquet embeddings at a batch forcing the
+    // threshold logic (batch << remaining) — any drift in the local
+    // distQ30 replica, the tie-break, or the T-boundary would surface
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val oneEmb = rows(Similarity.kCenterGreedy(emb, "vec_id", "embedding", 16))
+    val (sel, rounds) =
+      Similarity.kCenterBatchRounds(emb, "vec_id", "embedding", 16, 32)
+    assert(rows(sel) == oneEmb)
+    // the whole point of the variant: k−1 = 15 sequential rounds in
+    // kCenterJoin collapse — the batch must amortize several picks per
+    // global round on a real corpus
+    assert(rounds < 15, s"rounds = $rounds (kCenterJoin pays 15)")
+    // exhaustion rule carries over
+    val short = Seq((1L, Seq(0f)), (2L, Seq(0f))).toDF("vec_id", "embedding")
+    val s2 = rows(Similarity.kCenterBatch(short, "vec_id", "embedding", 5, 8))
+    assert(s2.size == 2 && s2(1)._3.contains(0L), s2.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterBatch(pts, "vec_id", "embedding", 3, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterBatch(pts.filter($"vec_id" < 0), "vec_id",
+        "embedding", 2, 8)
+    }
+  }
+
   test("kCenterAssign: nearest-center census, tie to lower rank, guards") {
     import spark.implicits._
     // the kCenterGreedy fixture's selection (0, 11, 5 on the line):
