@@ -1412,7 +1412,16 @@ object Dedup {
     // picks the granularity); duplicates inside a set are collapsed
     val tk = apTokens(df, idCol, setCol)
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
-    val pref = apOccGate(apPrefix(tk, cnt, tNum, tDen), maxTokenOcc)
+    // the prefix frame feeds THREE consumers (census gate + both sides
+    // of the self-join): stage it once (narrow 4-column parquet, the
+    // allPairsIndex discipline) or each consumer re-pays the explode +
+    // frequency join + per-doc window over the full corpus — measured
+    // 2× on the 100× rehearsal when the census first landed unstaged
+    val pref0 = apPrefix(tk, cnt, tNum, tDen)
+    val prefS =
+      if (maxTokenOcc >= Long.MaxValue / 2) pref0
+      else df.sparkSession.read.parquet(stageSignatures(pref0))
+    val pref = apOccGate(prefS, maxTokenOcc)
     val cand = pref
       .join(pref.select(col("a_id").as("b_id"), col("tok"),
         col("_ap_n").as("_ap_nb"), col("_ap_p").as("_ap_pb")), "tok")
@@ -1642,11 +1651,14 @@ object Dedup {
     // occ-cap census over batch ∪ base prefixes (the x62b hot-band
     // stage-∪-batch convention): candidates only form through batch
     // prefix rows, so gating bpref alone closes BOTH the batch×batch
-    // and batch×base buckets; the base side is a narrow staged scan
-    val bpref = apOccGate(
-      apPrefix(tk, index.counts, tNum, tDen),
-      maxTokenOcc,
-      occExtra = Some(index.prefix))
+    // and batch×base buckets; the base side is a narrow staged scan.
+    // The batch prefix stages first — it feeds the census and three
+    // join sides (see allPairsJoin's staging note)
+    val bpref0 = apPrefix(tk, index.counts, tNum, tDen)
+    val bprefS =
+      if (maxTokenOcc >= Long.MaxValue / 2) bpref0
+      else batch.sparkSession.read.parquet(stageSignatures(bpref0))
+    val bpref = apOccGate(bprefS, maxTokenOcc, occExtra = Some(index.prefix))
     // batch × batch, id-ordered inside the batch
     val candNN = bpref
       .join(bpref.select(col("a_id").as("b_id"), col("tok"),

@@ -104,7 +104,13 @@ object Graphs {
       .agg(count(lit(1)).as("_pr_od"))
     // (node, outdeg-or-null): the per-round skeleton every rank table
     // rides on; null outdeg marks a dangling node
-    val base = nodes.join(od, Seq("node"), "left")
+    val base0 = nodes.join(od, Seq("node"), "left")
+    // staged rounds re-join the skeleton every iteration: materialize it
+    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+    // and the out-degree aggregation over the FULL edge list — at 100×
+    // that recomputation, not the rank algebra, dominated the round cost
+    val base = if (stagePerIteration)
+      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
     val n = base.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val baseQ = (BigInt(10).pow(18) / n).toString
@@ -208,7 +214,13 @@ object Graphs {
       .union(e.select(col("_pr_dst").as("node"))).distinct()
     val od = e.groupBy(col("_pr_src").as("node"))
       .agg(count(lit(1)).as("_pr_od"))
-    val base = nodes.join(od, Seq("node"), "left")
+    val base0 = nodes.join(od, Seq("node"), "left")
+    // staged rounds re-join the skeleton every iteration: materialize it
+    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+    // and the out-degree aggregation over the FULL edge list — at 100×
+    // that recomputation, not the rank algebra, dominated the round cost
+    val base = if (stagePerIteration)
+      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
     val n = base.count()
     require(n > 0, "pageRankWarm needs a non-empty graph")
     val baseQ = (BigInt(10).pow(18) / n).toString
@@ -267,7 +279,13 @@ object Graphs {
       .union(e.select(col("_pr_dst").as("node"))).distinct()
     val od = e.groupBy(col("_pr_src").as("node"))
       .agg(sum(col("_pr_w")).as("_pr_od"))
-    val base = nodes.join(od, Seq("node"), "left")
+    val base0 = nodes.join(od, Seq("node"), "left")
+    // staged rounds re-join the skeleton every iteration: materialize it
+    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+    // and the out-degree aggregation over the FULL edge list — at 100×
+    // that recomputation, not the rank algebra, dominated the round cost
+    val base = if (stagePerIteration)
+      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
     val n = base.count()
     require(n > 0, "pageRankWeighted needs a non-empty graph")
     val baseQ = (BigInt(10).pow(18) / n).toString
@@ -348,11 +366,14 @@ object Graphs {
       .union(seedNodes).distinct()
     val od = e.groupBy(col("_pr_src").as("node"))
       .agg(count(lit(1)).as("_pr_od"))
-    val base = nodes.join(od, Seq("node"), "left")
+    val base0 = nodes.join(od, Seq("node"), "left")
       .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
         Seq("node"), "left")
       .select(col("node"), col("_pr_od"),
         coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
+    // see pageRank: staged rounds materialize the skeleton once
+    val base = if (stagePerIteration)
+      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
     val nSeeds = seedNodes.count()
     require(nSeeds > 0, "trustRank needs a non-empty seed set")
     val baseQ = (BigInt(10).pow(18) / nSeeds).toString

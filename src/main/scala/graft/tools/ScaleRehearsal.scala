@@ -185,7 +185,14 @@ object ScaleRehearsal {
       // the retrieval capstone: passage chunking + BM25 + the
       // qid-partitioned ranking windows + graded eval — the window is
       // the scale question (few queries ⇒ wide partitions)
-      ("x105_passage_eval", "raw"))
+      ("x105_passage_eval", "raw"),
+      // tokenizer trainers (r15 verdict #6): every merge round scans
+      // the corpus, so the loops' exponents were the last unmeasured
+      // heavy driver loop. RAW growth is the trainers' real regime —
+      // same language stats at N× count mass, identical merge
+      // trajectory, the per-round census aggregations carrying N× rows
+      ("x68_char_bpe", "raw"),
+      ("x76_wordpiece_train", "raw"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // true high-water mark: sum of heap POOL PEAKS since the last
     // reset (an instantaneous totalMemory-freeMemory sample would miss
