@@ -128,7 +128,14 @@ object Scale {
       }
       rm(loc)
     }
-    df.write.mode("overwrite")
+    // ONE file per bucket: the writer emits a file per (task, bucket)
+    // pair, and a bucketed scan only reports its sortBy order when every
+    // bucket holds a single file — multiple files would interleave. With
+    // the order visible, a SortMergeJoin on the bucket key skips BOTH the
+    // exchange AND the sort on this side (the per-iteration edge-sort tax
+    // the graph rankers were still paying). repartition(buckets, key)
+    // routes each bucket's rows to exactly one task.
+    df.repartition(buckets, col(key)).write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
   }

@@ -419,6 +419,18 @@ class GraphsSpec extends SparkSpec {
         }
         assert(offenders.isEmpty,
           s"no Exchange may sit above the bucketed edge scan:\n$root")
+        // one file per bucket (writeBucketed repartitions by the key), so
+        // the scan reports its sortBy order and the merge join skips the
+        // edge-side SORT too — the per-iteration 75M-row sort tax
+        val sortOffenders = root.collect {
+          case so: org.apache.spark.sql.execution.SortExec
+            if so.collectLeaves().exists {
+              case f: FileSourceScanExec => f.bucketedScan
+              case _ => false
+            } => so
+        }
+        assert(sortOffenders.isEmpty,
+          s"no Sort may sit above the bucketed edge scan:\n$root")
         // and the round algebra is unchanged: 1←3's rank? verify sums —
         // node 2 gets 100 div 2 = 50 from node 1; node 3 gets 50 (from 1)
         // + 100 (from 2); node 1 gets 100 (from 3)
