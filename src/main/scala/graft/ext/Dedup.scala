@@ -1412,11 +1412,13 @@ object Dedup {
     // picks the granularity); duplicates inside a set are collapsed
     val tk = apTokens(df, idCol, setCol)
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
-    // the prefix frame feeds THREE consumers (census gate + both sides
+    // the gated prefix frame feeds THREE consumers (census + both sides
     // of the self-join): stage it once (narrow 4-column parquet, the
     // allPairsIndex discipline) or each consumer re-pays the explode +
-    // frequency join + per-doc window over the full corpus — measured
-    // 2× on the 100× rehearsal when the census first landed unstaged
+    // frequency join + per-doc window over the full corpus. Measured at
+    // the 100× rehearsal: unstaged census-join +58%, window-riding
+    // census +33%, staged census-join +28% over the ungated r15 form —
+    // the stage is the cheapest way to buy the guardrail.
     val pref0 = apPrefix(tk, cnt, tNum, tDen)
     val prefS =
       if (maxTokenOcc >= Long.MaxValue / 2) pref0
@@ -1452,20 +1454,28 @@ object Dedup {
   private[ext] def apOccGate(pref: DataFrame, maxTokenOcc: Long,
                              occExtra: Option[DataFrame] = None): DataFrame = {
     if (maxTokenOcc >= Long.MaxValue / 2) return pref
+    def raiseOver(occ: Column): Column =
+      when(occ <= maxTokenOcc, lit(true))
+        .otherwise(raise_error(concat(
+          lit("allPairsJoin: a prefix token appears in more than "
+            + s"maxTokenOcc=$maxTokenOcc documents — its candidate "
+            + "bucket is occ² rows; use longer/rarer shingles or raise "
+            + "the cap; occ = "),
+          occ.cast("string"))))
+    // census-join form over the (staged) prefix frame; the incremental
+    // path adds the BASE prefix occurrences to the census (batch ∪ base,
+    // the x62b hot-band convention). A window-riding census (count over
+    // partitionBy(tok)) was tried and measured SLOWER at 100× (+33% vs
+    // this form's +28% over ungated): the window buffers every token
+    // group and its exchange did not amortize the self-join's.
     val occSrc = occExtra match {
       case Some(extra) =>
         pref.select(col("tok")).unionByName(extra.select(col("tok")))
       case None => pref.select(col("tok"))
     }
-    val gate = occSrc.groupBy(col("tok")).agg(count(lit(1)).as("_ap_occ"))
-      .select(col("tok"),
-        when(col("_ap_occ") <= maxTokenOcc, lit(true))
-          .otherwise(raise_error(concat(
-            lit("allPairsJoin: a prefix token appears in more than "
-              + s"maxTokenOcc=$maxTokenOcc documents — its candidate "
-              + "bucket is occ² rows; use longer/rarer shingles or raise "
-              + "the cap; occ = "),
-            col("_ap_occ").cast("string")))).as("_ap_gate"))
+    val gate = occSrc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("_ap_occ"))
+      .select(col("tok"), raiseOver(col("_ap_occ")).as("_ap_gate"))
     pref.join(gate, Seq("tok")).filter(col("_ap_gate")).drop("_ap_gate")
   }
 
