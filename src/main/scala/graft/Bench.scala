@@ -108,9 +108,13 @@ object Bench {
         System.gc()
         (dt, err, nRdds, gcMs, peakMb, ioMb)
       }
-      // reported reading = the min-duration rep (an error in ANY rep
-      // surfaces — a flaky failure must not hide behind a clean rep)
-      val best = repRows.minBy(_._1)
+      // reported reading = the min-duration CLEAN rep: a failed rep
+      // aborts early, so its tiny duration would understate the query
+      // (the min-statistic premise — interference only ADDS time — is
+      // inverted for errors). An error in ANY rep still surfaces; only
+      // when every rep failed does a failed rep carry the duration.
+      val clean = repRows.filter(_._2 == null)
+      val best = (if (clean.nonEmpty) clean else repRows).minBy(_._1)
       val err = repRows.flatMap(r => Option(r._2)).headOption.orNull
       (name, best._1, err, best._3, best._4, best._5, best._6, idx, repRows)
     }

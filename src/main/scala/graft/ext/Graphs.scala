@@ -98,31 +98,34 @@ object Graphs {
     val (e, dropEdges) =
       if (stagePerIteration) stageEdgesBucketed(e0)
       else (e0, () => ())
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node"))).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg(count(lit(1)).as("_pr_od"))
-    // (node, outdeg-or-null): the per-round skeleton every rank table
-    // rides on; null outdeg marks a dangling node
-    val base0 = nodes.join(od, Seq("node"), "left")
-    // staged rounds re-join the skeleton every iteration: materialize it
-    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
-    // and the out-degree aggregation over the FULL edge list — at 100×
-    // that recomputation, not the rank algebra, dominated the round cost
-    val base = if (stagePerIteration)
-      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-    val n = base.count()
-    require(n > 0, "pageRank needs a non-empty graph")
-    val baseQ = (BigInt(10).pow(18) / n).toString
-    val d = dampingPerMille
+    // staged rounds: every action below (skeleton stage, |V| count, the
+    // rounds themselves) runs while the round-lifetime edge table lives;
+    // the final rank table is materialized before the loop returns, so
+    // the table drops in finally — success AND failure paths (a leaked
+    // managed table has no JVM-exit cleanup contract, unlike stage dirs)
+    try {
+      val nodes = e.select(col("_pr_src").as("node"))
+        .union(e.select(col("_pr_dst").as("node"))).distinct()
+      val od = e.groupBy(col("_pr_src").as("node"))
+        .agg(count(lit(1)).as("_pr_od"))
+      // (node, outdeg-or-null): the per-round skeleton every rank table
+      // rides on; null outdeg marks a dangling node
+      val base0 = nodes.join(od, Seq("node"), "left")
+      // staged rounds re-join the skeleton every iteration: materialize it
+      // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+      // and the out-degree aggregation over the FULL edge list — at 100×
+      // that recomputation, not the rank algebra, dominated the round cost
+      val base = if (stagePerIteration)
+        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+      val n = base.count()
+      require(n > 0, "pageRank needs a non-empty graph")
+      val baseQ = (BigInt(10).pow(18) / n).toString
+      val d = dampingPerMille
 
-    val ranks0 = base.select(col("node"), col("_pr_od"),
-      expr(s"cast($baseQ as bigint)").as("rank_q"))
-    val out = prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
-    // staged rounds: the final rank table is already materialized, so the
-    // round-lifetime edge table can drop NOW (lazy mode: no-op)
-    dropEdges()
-    out
+      val ranks0 = base.select(col("node"), col("_pr_od"),
+        expr(s"cast($baseQ as bigint)").as("rank_q"))
+      prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
+    } finally dropEdges()
   }
 
   /** Shared power-iteration tail of [[pageRank]] and [[pageRankWarm]]:
@@ -210,35 +213,35 @@ object Graphs {
     val (e, dropEdges) =
       if (stagePerIteration) stageEdgesBucketed(e0)
       else (e0, () => ())
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node"))).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg(count(lit(1)).as("_pr_od"))
-    val base0 = nodes.join(od, Seq("node"), "left")
-    // staged rounds re-join the skeleton every iteration: materialize it
-    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
-    // and the out-degree aggregation over the FULL edge list — at 100×
-    // that recomputation, not the rank algebra, dominated the round cost
-    val base = if (stagePerIteration)
-      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-    val n = base.count()
-    require(n > 0, "pageRankWarm needs a non-empty graph")
-    val baseQ = (BigInt(10).pow(18) / n).toString
-    val d = dampingPerMille
+    try {
+      val nodes = e.select(col("_pr_src").as("node"))
+        .union(e.select(col("_pr_dst").as("node"))).distinct()
+      val od = e.groupBy(col("_pr_src").as("node"))
+        .agg(count(lit(1)).as("_pr_od"))
+      val base0 = nodes.join(od, Seq("node"), "left")
+      // staged rounds re-join the skeleton every iteration: materialize it
+      // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+      // and the out-degree aggregation over the FULL edge list — at 100×
+      // that recomputation, not the rank algebra, dominated the round cost
+      val base = if (stagePerIteration)
+        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+      val n = base.count()
+      require(n > 0, "pageRankWarm needs a non-empty graph")
+      val baseQ = (BigInt(10).pow(18) / n).toString
+      val d = dampingPerMille
 
-    // r0 = prior rank where the node carried one, uniform S div N where
-    // it is new; departed prior nodes fall out via the skeleton join —
-    // then the SHARED round loop runs unchanged (prRounds)
-    var ranks0 = base
-      .join(priorRanks.select(col("node"), col("rank_q18").as("_pr_warm")),
-        Seq("node"), "left")
-      .select(col("node"), col("_pr_od"),
-        coalesce(col("_pr_warm"), expr(s"cast($baseQ as bigint)")).as("rank_q"))
-    if (stagePerIteration)
-      ranks0 = ranks0.sparkSession.read.parquet(Dedup.stageSignatures(ranks0))
-    val out = prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
-    dropEdges() // see pageRank: round-lifetime state, not output lineage
-    out
+      // r0 = prior rank where the node carried one, uniform S div N where
+      // it is new; departed prior nodes fall out via the skeleton join —
+      // then the SHARED round loop runs unchanged (prRounds)
+      var ranks0 = base
+        .join(priorRanks.select(col("node"), col("rank_q18").as("_pr_warm")),
+          Seq("node"), "left")
+        .select(col("node"), col("_pr_od"),
+          coalesce(col("_pr_warm"), expr(s"cast($baseQ as bigint)")).as("rank_q"))
+      if (stagePerIteration)
+        ranks0 = ranks0.sparkSession.read.parquet(Dedup.stageSignatures(ranks0))
+      prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
+    } finally dropEdges()
   }
 
   /** [[pageRank]] over a WEIGHTED edge list — the compact form of
@@ -275,47 +278,48 @@ object Graphs {
     val (e, dropEdges) =
       if (stagePerIteration) stageEdgesBucketed(e0)
       else (e0, () => ())
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node"))).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg(sum(col("_pr_w")).as("_pr_od"))
-    val base0 = nodes.join(od, Seq("node"), "left")
-    // staged rounds re-join the skeleton every iteration: materialize it
-    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
-    // and the out-degree aggregation over the FULL edge list — at 100×
-    // that recomputation, not the rank algebra, dominated the round cost
-    val base = if (stagePerIteration)
-      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-    val n = base.count()
-    require(n > 0, "pageRankWeighted needs a non-empty graph")
-    val baseQ = (BigInt(10).pow(18) / n).toString
-    val d = dampingPerMille
+    try {
+      val nodes = e.select(col("_pr_src").as("node"))
+        .union(e.select(col("_pr_dst").as("node"))).distinct()
+      val od = e.groupBy(col("_pr_src").as("node"))
+        .agg(sum(col("_pr_w")).as("_pr_od"))
+      val base0 = nodes.join(od, Seq("node"), "left")
+      // staged rounds re-join the skeleton every iteration: materialize it
+      // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+      // and the out-degree aggregation over the FULL edge list — at 100×
+      // that recomputation, not the rank algebra, dominated the round cost
+      val base = if (stagePerIteration)
+        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+      val n = base.count()
+      require(n > 0, "pageRankWeighted needs a non-empty graph")
+      val baseQ = (BigInt(10).pow(18) / n).toString
+      val d = dampingPerMille
 
-    var ranks = base.select(col("node"), col("_pr_od"),
-      expr(s"cast($baseQ as bigint)").as("rank_q"))
-    for (_ <- 1 to iters) {
-      val dang = ranks.filter(col("_pr_od").isNull)
-        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-      val contrib = e
-        .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
-          col("_pr_src") === col("node"))
-        .select(col("_pr_dst"),
-          expr("_pr_w * (rank_q div _pr_od)").as("_pr_c"))
-        .groupBy(col("_pr_dst"))
-        .agg(sum(col("_pr_c")).as("_pr_s"))
-      ranks = base
-        .join(contrib, col("node") === col("_pr_dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), col("_pr_od"), expr(
-          s"""cast((cast(${1000 - d} as decimal(38,0)) * $baseQ
-              + cast($d as decimal(38,0))
-                * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
-              as bigint)""").as("rank_q"))
-      if (stagePerIteration)
-        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
-    }
-    dropEdges() // see pageRank: round-lifetime state, not output lineage
-    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+      var ranks = base.select(col("node"), col("_pr_od"),
+        expr(s"cast($baseQ as bigint)").as("rank_q"))
+      for (_ <- 1 to iters) {
+        val dang = ranks.filter(col("_pr_od").isNull)
+          .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
+        val contrib = e
+          .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
+            col("_pr_src") === col("node"))
+          .select(col("_pr_dst"),
+            expr("_pr_w * (rank_q div _pr_od)").as("_pr_c"))
+          .groupBy(col("_pr_dst"))
+          .agg(sum(col("_pr_c")).as("_pr_s"))
+        ranks = base
+          .join(contrib, col("node") === col("_pr_dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"), col("_pr_od"), expr(
+            s"""cast((cast(${1000 - d} as decimal(38,0)) * $baseQ
+                + cast($d as decimal(38,0))
+                  * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
+                as bigint)""").as("rank_q"))
+        if (stagePerIteration)
+          ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+      }
+      ranks.select(col("node"), col("rank_q").as("rank_q18"))
+    } finally dropEdges()
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank with
@@ -359,47 +363,48 @@ object Graphs {
     val (e, dropEdges) =
       if (stagePerIteration) stageEdgesBucketed(e0)
       else (e0, () => ())
-    val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct()
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node")))
-      .union(seedNodes).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg(count(lit(1)).as("_pr_od"))
-    val base0 = nodes.join(od, Seq("node"), "left")
-      .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
-        Seq("node"), "left")
-      .select(col("node"), col("_pr_od"),
-        coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
-    // see pageRank: staged rounds materialize the skeleton once
-    val base = if (stagePerIteration)
-      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-    val nSeeds = seedNodes.count()
-    require(nSeeds > 0, "trustRank needs a non-empty seed set")
-    val baseQ = (BigInt(10).pow(18) / nSeeds).toString
-    val d = dampingPerMille
+    try {
+      val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct()
+      val nodes = e.select(col("_pr_src").as("node"))
+        .union(e.select(col("_pr_dst").as("node")))
+        .union(seedNodes).distinct()
+      val od = e.groupBy(col("_pr_src").as("node"))
+        .agg(count(lit(1)).as("_pr_od"))
+      val base0 = nodes.join(od, Seq("node"), "left")
+        .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
+          Seq("node"), "left")
+        .select(col("node"), col("_pr_od"),
+          coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
+      // see pageRank: staged rounds materialize the skeleton once
+      val base = if (stagePerIteration)
+        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+      val nSeeds = seedNodes.count()
+      require(nSeeds > 0, "trustRank needs a non-empty seed set")
+      val baseQ = (BigInt(10).pow(18) / nSeeds).toString
+      val d = dampingPerMille
 
-    var ranks = base.select(col("node"), col("_pr_od"), col("_pr_seed"),
-      expr(s"cast(if(_pr_seed, $baseQ, 0) as bigint)").as("rank_q"))
-    for (_ <- 1 to iters) {
-      val dang = ranks.filter(col("_pr_od").isNull)
-        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-      val contrib = prContrib(e, ranks)
-      ranks = base
-        .join(contrib, col("node") === col("_pr_dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), col("_pr_od"), col("_pr_seed"), expr(
-          s"""cast((cast(${1000 - d} as decimal(38,0))
-                * if(_pr_seed, $baseQ, 0)
-              + cast($d as decimal(38,0))
-                * (coalesce(_pr_s, 0L)
-                   + if(_pr_seed, _pr_dm div $nSeeds, 0L))) div 1000
-              as bigint)""").as("rank_q"))
-      if (stagePerIteration)
-        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
-    }
-    dropEdges() // see pageRank: round-lifetime state, not output lineage
-    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+      var ranks = base.select(col("node"), col("_pr_od"), col("_pr_seed"),
+        expr(s"cast(if(_pr_seed, $baseQ, 0) as bigint)").as("rank_q"))
+      for (_ <- 1 to iters) {
+        val dang = ranks.filter(col("_pr_od").isNull)
+          .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
+        val contrib = prContrib(e, ranks)
+        ranks = base
+          .join(contrib, col("node") === col("_pr_dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"), col("_pr_od"), col("_pr_seed"), expr(
+            s"""cast((cast(${1000 - d} as decimal(38,0))
+                  * if(_pr_seed, $baseQ, 0)
+                + cast($d as decimal(38,0))
+                  * (coalesce(_pr_s, 0L)
+                     + if(_pr_seed, _pr_dm div $nSeeds, 0L))) div 1000
+                as bigint)""").as("rank_q"))
+        if (stagePerIteration)
+          ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+      }
+      ranks.select(col("node"), col("rank_q").as("rank_q18"))
+    } finally dropEdges()
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in

@@ -1628,7 +1628,16 @@ object Similarity {
     * Preconditions: `idCol` unique and non-null (the stage append and
     * the chosen-id anti-join key on it — the kMeansParallelSeedJoin
     * contract; a duplicated id would write both rows as the same
-    * pick). */
+    * pick).
+    *
+    * Relation to [[kCenterBatch]]: batch=1 produces the identical
+    * selection, so this loop is deliberately NOT delegated — its value
+    * is the movement contract the batch picker trades away: here
+    * center VECTORS never leave the cluster (two longs per round reach
+    * the driver; the new center's vector moves base→stage by an
+    * id-keyed filter write), the right form when dim is huge or the
+    * driver is thin. Any change to the round algebra must land in both
+    * (the shared spec pins bit-parity of all three forms). */
   def kCenterJoin(df: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {
     require(k >= 2 && k <= (1 << 16), s"k must be in [2, 65536]: $k")

@@ -383,6 +383,24 @@ class GraphsSpec extends SparkSpec {
         "src", "dst", 1))
   }
 
+  test("staged rounds drop their edge table on FAILURE paths too (no catalog leak)") {
+    // the round-lifetime managed table has no JVM-exit cleanup contract
+    // (unlike stage dirs), so every exception path must drop it — the
+    // cheapest repeatable failure is the empty-graph require, which
+    // fires AFTER stageEdgesBucketed has already written the table
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(empty, "src", "dst", 2, stagePerIteration = true)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankWeighted(empty.withColumn("w", lit(1L)),
+        "src", "dst", "w", 2, stagePerIteration = true)
+    }
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_pr_edges"))
+    assert(leaked.isEmpty, s"leaked round-lifetime tables: ${leaked.toSeq}")
+  }
+
   test("staged rounds: bucketed edge table keeps the contribution join edge-Exchange-free") {
     // r15 verdict #2: pre-bucketing the staged edge table on _pr_src
     // must remove the edge-side Exchange from every iteration's
