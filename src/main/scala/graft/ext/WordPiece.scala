@@ -111,8 +111,17 @@ object WordPiece {
                      stagePerIteration: Boolean = false): Seq[WpMerge] = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = df.sparkSession
-    var cur = Unigram.wordCounts(df, textCol, maxWordLen)
-      .select(wordUnits(col("word")).as("_wp_t"), col("wcnt"))
+    // stage the distinct-word unit table ONCE: every round consumes it
+    // through two branches (unit census + pair census) and the likelihood
+    // argmax, so a lazy lineage re-runs the full-corpus word aggregation
+    // ~2× per round — the corpus is read exactly once now and rounds
+    // scan only the (distinct words × counts) table (vocabulary-sized).
+    // Measured at the 100× rehearsal: exponent 0.72 → (re-measured after
+    // this change — see PERF round 16). stageSignatures = unique temp
+    // dir, JVM-exit cleanup, the engine's standard staging contract.
+    var cur = spark.read.parquet(Dedup.stageSignatures(
+      Unigram.wordCounts(df, textCol, maxWordLen)
+        .select(wordUnits(col("word")).as("_wp_t"), col("wcnt"))))
     val merges = Seq.newBuilder[WpMerge]
     var rank = 1
     var exhausted = false
