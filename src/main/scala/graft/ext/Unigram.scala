@@ -224,7 +224,12 @@ object Unigram {
     require(vocabSize >= 1, "vocabSize must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = wordCounts(df, textCol, maxWordLen)
+    // stage the word table once (the unigramTrainJoin/wordPieceTrain
+    // discipline): the seed collects, every EM round's E-step, and the
+    // final count pass all consume it — lazily each would re-run the
+    // full-corpus word aggregation (emRounds+3 corpus scans)
+    val words = spark.read.parquet(
+      Dedup.stageSignatures(wordCounts(df, textCol, maxWordLen)))
     val subs = substringCounts(words, maxPieceLen)
 
     def ceilingChecked(m: Map[String, Long], stage: String): Map[String, Long] = {
