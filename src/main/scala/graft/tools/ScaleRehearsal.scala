@@ -117,9 +117,23 @@ object ScaleRehearsal {
       col("lang"), col("source"), col("n_chars"),
       cipherText(i).as("text"))
 
+    // ATOMIC corpus prep: a killed run leaves a half-written dir (often
+    // just _temporary) that a bare exists() check would trust forever —
+    // this round's first rehearsal crashed on exactly that
+    // (UNABLE_TO_INFER_SCHEMA on a partial x100_raw). Write to a .tmp
+    // sibling and rename into place, so `path` exists only complete.
     def prep(path: String, df: => DataFrame): Unit = {
       val p = new java.io.File(path)
-      if (!p.exists()) df.write.mode("overwrite").parquet(path)
+      if (!p.exists()) {
+        val tmp = new java.io.File(path + ".tmp")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        if (tmp.exists()) rm(tmp)
+        df.write.mode("overwrite").parquet(tmp.getPath)
+        require(tmp.renameTo(p), s"rename ${tmp.getPath} -> $path failed")
+      }
     }
     val docs = spark.read.parquet(s"$base/documents.parquet")
       .select(col("doc_id"), col("text"))
