@@ -32,12 +32,20 @@ object Graphs {
     * output lineage; an exception mid-loop leaks the table until the
     * next same-name writeBucketed reclaims it — the staged-dir
     * JVM-exit contract does not cover catalog tables). */
-  private[ext] def stageEdgesBucketed(e0: DataFrame): (DataFrame, () => Unit) = {
+  private[ext] def stageEdgesBucketed(e0: DataFrame): (DataFrame, () => Unit) =
+    stageEdgesBucketedOn(e0, "_pr_src")
+
+  /** [[stageEdgesBucketed]] on an explicit key — HITS stages the edge
+    * table TWICE (by `_ht_src` for the authority half-step, by
+    * `_ht_dst` for the hub half-step), so both directions' per-round
+    * joins are exchange- and sort-free. */
+  private[ext] def stageEdgesBucketedOn(e0: DataFrame,
+                                        key: String): (DataFrame, () => Unit) = {
     val spark = e0.sparkSession
     val tbl = s"graft_pr_edges_${edgeTableId.incrementAndGet()}"
     val buckets =
       math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    graft.ops.Scale.writeBucketed(e0, tbl, "_pr_src", buckets)
+    graft.ops.Scale.writeBucketed(e0, tbl, key, buckets)
     (spark.table(tbl), () => { spark.sql(s"DROP TABLE IF EXISTS `$tbl`"); () })
   }
 
@@ -452,49 +460,73 @@ object Graphs {
       s"hits reserves column names ${clashes.mkString(", ")}")
     val s9 = 1000000000L
     // see pageRank: staged rounds stage the edge table too, or every
-    // round re-executes the caller's edge-build lineage several times
+    // round re-executes the caller's edge-build lineage several times.
+    // HITS joins the edge list on BOTH ends (src for the authority
+    // half-step, dst for the hub half-step), so it stages TWO bucketed
+    // copies — each half-step's join then plans with no edge-side
+    // Exchange or Sort (the pageRank r16 treatment; the dst copy builds
+    // FROM the staged src copy so the caller's edge lineage runs once).
+    // The node skeleton stages once for the same reason as pageRank's:
+    // every half-step's left join re-paid the union-distinct over the
+    // full edge list (measured: the dominant cost at 100×).
     val e0 = edges.select(col(srcCol).cast("long").as("_ht_src"),
       col(dstCol).cast("long").as("_ht_dst"))
-    val e =
-      if (stagePerIteration)
-        edges.sparkSession.read.parquet(Dedup.stageSignatures(e0))
-      else e0
-    val nodes = e.select(col("_ht_src").as("node"))
-      .union(e.select(col("_ht_dst").as("node"))).distinct()
-    require(e.limit(1).count() > 0, "hits needs a non-empty edge list")
+    val (eBySrc, dropSrc) =
+      if (stagePerIteration) stageEdgesBucketedOn(e0, "_ht_src")
+      else (e0, () => ())
+    try {
+      val (eByDst, dropDst) =
+        if (stagePerIteration) stageEdgesBucketedOn(eBySrc, "_ht_dst")
+        else (e0, () => ())
+      try {
+        val nodes0 = eBySrc.select(col("_ht_src").as("node"))
+          .union(eBySrc.select(col("_ht_dst").as("node"))).distinct()
+        val nodes =
+          if (stagePerIteration)
+            eBySrc.sparkSession.read.parquet(Dedup.stageSignatures(nodes0))
+          else nodes0
+        require(eBySrc.limit(1).count() > 0, "hits needs a non-empty edge list")
 
-    // one half-step: scores flow across the edges from `fromEnd` to the
-    // other end, sum there, and max-normalize back to Q9 — the SAME code
-    // runs the authority update (from src) and the hub update (from dst)
-    def halfStep(scores: DataFrame, scoreCol: String,
-                 fromEnd: String, toEnd: String, outCol: String): DataFrame = {
-      val raw = e
-        .join(scores.select(col("node"), col(scoreCol)),
-          col(fromEnd) === col("node"))
-        .groupBy(col(toEnd))
-        .agg(sum(col(scoreCol)).as("_ht_s"))
-      val tab = nodes.join(raw, col("node") === col(toEnd), "left")
-        .select(col("node"), coalesce(col("_ht_s"), lit(0L)).as("_ht_raw"))
-      val mx = tab.agg(max(col("_ht_raw")).as("_ht_m"))
-      tab.crossJoin(broadcast(mx))
-        .select(col("node"), expr(
-          s"cast((cast(_ht_raw as decimal(38,0)) * $s9) div _ht_m" +
-            " as bigint)").as(outCol))
-    }
+        // one half-step: scores flow across the edges from `fromEnd` to the
+        // other end, sum there, and max-normalize back to Q9 — the SAME code
+        // runs the authority update (from src) and the hub update (from dst)
+        def halfStep(scores: DataFrame, scoreCol: String,
+                     fromEnd: String, toEnd: String, outCol: String): DataFrame = {
+          val e = if (fromEnd == "_ht_src") eBySrc else eByDst
+          val raw = e
+            .join(scores.select(col("node"), col(scoreCol)),
+              col(fromEnd) === col("node"))
+            .groupBy(col(toEnd))
+            .agg(sum(col(scoreCol)).as("_ht_s"))
+          val tab = nodes.join(raw, col("node") === col(toEnd), "left")
+            .select(col("node"), coalesce(col("_ht_s"), lit(0L)).as("_ht_raw"))
+          val mx = tab.agg(max(col("_ht_raw")).as("_ht_m"))
+          tab.crossJoin(broadcast(mx))
+            .select(col("node"), expr(
+              s"cast((cast(_ht_raw as decimal(38,0)) * $s9) div _ht_m" +
+                " as bigint)").as(outCol))
+        }
 
-    var hub = nodes.withColumn("hub_q9", lit(s9))
-    var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      auth = halfStep(hub, "hub_q9", "_ht_src", "_ht_dst", "auth_q9")
-      hub = halfStep(auth, "auth_q9", "_ht_dst", "_ht_src", "hub_q9")
-      if (stagePerIteration)
-        hub = hub.sparkSession.read.parquet(Dedup.stageSignatures(hub))
-    }
-    // hub and auth both descend from `nodes` — rename one join key so the
-    // self-join resolves unambiguously regardless of staging
-    hub.join(auth.withColumnRenamed("node", "_ht_n2"),
-        col("node") === col("_ht_n2"))
-      .select(col("node"), col("hub_q9"), col("auth_q9"))
+        var hub = nodes.withColumn("hub_q9", lit(s9))
+        var auth: DataFrame = null
+        for (_ <- 1 to iters) {
+          auth = halfStep(hub, "hub_q9", "_ht_src", "_ht_dst", "auth_q9")
+          hub = halfStep(auth, "auth_q9", "_ht_dst", "_ht_src", "hub_q9")
+          if (stagePerIteration) {
+            // stage BOTH frames: the final select consumes auth too, and
+            // a lazy auth would re-run its half-step (incl. the edge
+            // join) after the tables drop in finally
+            auth = auth.sparkSession.read.parquet(Dedup.stageSignatures(auth))
+            hub = hub.sparkSession.read.parquet(Dedup.stageSignatures(hub))
+          }
+        }
+        // hub and auth both descend from `nodes` — rename one join key so
+        // the self-join resolves unambiguously regardless of staging
+        hub.join(auth.withColumnRenamed("node", "_ht_n2"),
+            col("node") === col("_ht_n2"))
+          .select(col("node"), col("hub_q9"), col("auth_q9"))
+      } finally dropDst()
+    } finally dropSrc()
   }
 
   /** K-CORE DECOMPOSITION (the k-core): iterative peeling — repeatedly

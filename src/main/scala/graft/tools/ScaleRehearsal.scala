@@ -206,7 +206,14 @@ object ScaleRehearsal {
       // same language stats at N× count mass, identical merge
       // trajectory, the per-round census aggregations carrying N× rows
       ("x68_char_bpe", "raw"),
-      ("x76_wordpiece_train", "raw"))
+      ("x76_wordpiece_train", "raw"),
+      // the remaining iterative / join-heavy graph families: HITS
+      // re-keys both edge ends per half-step, k-core peels in cascade
+      // rounds, triangles is the one genuinely super-linear-looking
+      // join (its bound is Σ deg² — disjoint copies keep it linear)
+      ("x83_hits", "graph"),
+      ("x90_kcore", "graph"),
+      ("x87_triangles", "graph"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // true high-water mark: sum of heap POOL PEAKS since the last
     // reset (an instantaneous totalMemory-freeMemory sample would miss
