@@ -213,7 +213,13 @@ object ScaleRehearsal {
       // join (its bound is Σ deg² — disjoint copies keep it linear)
       ("x83_hits", "graph"),
       ("x90_kcore", "graph"),
-      ("x87_triangles", "graph"))
+      ("x87_triangles", "graph"),
+      // last unmeasured driver loops: Lloyd rounds scan the corpus per
+      // iteration (vectors repeat across copies — every cell grows N×);
+      // decontamination is the 3-gram join against a benchmark slice
+      // (cipher keeps cross-copy grams disjoint — linear growth regime)
+      ("x35_kmeans_train", "emb"),
+      ("x23_decontamination", "salt"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // true high-water mark: sum of heap POOL PEAKS since the last
     // reset (an instantaneous totalMemory-freeMemory sample would miss
