@@ -71,7 +71,14 @@ object Bench {
     // only ever ADDS time, so min-of-N estimates the query's true cost);
     // every rep's duration + gc/heap/io deltas land in bench_full.json
     // so a rep-to-rep spread is itself an artifact, not a lost signal.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
+    // a typo'd SPARK_GRAFT_REPS must degrade to single-rep, not abort the
+    // whole session before any artifact is written
+    val reps = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_REPS", "1").trim.toInt).getOrElse {
+        System.err.println("[bench] SPARK_GRAFT_REPS is not an integer — " +
+          "running single-rep")
+        1
+      })
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
       val repRows = (1 to reps).map { _ =>
         val gc0 = gcMillis(); val io0 = ioWriteBytes(); resetHeapPeaks()

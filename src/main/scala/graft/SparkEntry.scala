@@ -2870,11 +2870,20 @@ object SparkEntry {
         .join(t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
           col("o_orderkey") === col("l_orderkey"))
-      val prior = graft.ext.Graphs.pageRank(
-        graph(pairs.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst", 3,
-        stagePerIteration = true)
-      graft.ext.Graphs.pageRankWarm(graph(pairs), "src", "dst", 2, prior,
-        stagePerIteration = true)
+      // the resident graph buckets ONCE (stageEdgeTable); the crawl's
+      // delta APPENDS into the same bucketed table (delta-sized write),
+      // so the warm restart never re-buckets resident edges — r16's form
+      // paid TWO full bucketed builds per crawl (its slowest min-of-2
+      // row). Final rank tables are staged parquet, so dropping the edge
+      // table in finally is safe.
+      val st = graft.ext.Graphs.stageEdgeTable(
+        graph(pairs.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst")
+      try {
+        val prior = graft.ext.Graphs.pageRankStaged(st, 3)
+        st.append(graph(pairs.filter(col("o_orderkey") % 5 === 0)),
+          "src", "dst")
+        graft.ext.Graphs.pageRankWarmStaged(st, 2, prior)
+      } finally st.drop()
     }),
     "x60_margin_mine" -> ((s, dir) => {
       // margin-based pair mining (the LASER/CCMatrix bitext criterion):

@@ -1468,14 +1468,26 @@ object Dedup {
     // partitionBy(tok)) was tried and measured SLOWER at 100× (+33% vs
     // this form's +28% over ungated): the window buffers every token
     // group and its exchange did not amortize the self-join's.
+    // the raise must fire only for tokens the GATED prefix actually
+    // contributes: in the incremental path the census also counts the
+    // BASE prefix (occExtra), and a base-only token over the cap — an
+    // index built under a looser or disabled cap — builds no new
+    // candidate bucket here, so raising on it would misattribute the
+    // failure to an innocent batch. The _ap_occ_b flag marks
+    // batch-prefix presence; base-only rows read `true` lazily (CaseWhen
+    // short-circuits, so raiseOver never evaluates for them) and then
+    // drop in the inner gate join anyway.
     val occSrc = occExtra match {
       case Some(extra) =>
-        pref.select(col("tok")).unionByName(extra.select(col("tok")))
-      case None => pref.select(col("tok"))
+        pref.select(col("tok"), lit(1).as("_ap_occ_b"))
+          .unionByName(extra.select(col("tok"), lit(0).as("_ap_occ_b")))
+      case None => pref.select(col("tok"), lit(1).as("_ap_occ_b"))
     }
     val gate = occSrc.groupBy(col("tok"))
-      .agg(count(lit(1)).as("_ap_occ"))
-      .select(col("tok"), raiseOver(col("_ap_occ")).as("_ap_gate"))
+      .agg(count(lit(1)).as("_ap_occ"), max(col("_ap_occ_b")).as("_ap_b"))
+      .select(col("tok"),
+        when(col("_ap_b") === 0, lit(true))
+          .otherwise(raiseOver(col("_ap_occ"))).as("_ap_gate"))
     pref.join(gate, Seq("tok")).filter(col("_ap_gate")).drop("_ap_gate")
   }
 

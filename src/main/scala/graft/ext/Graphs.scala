@@ -17,6 +17,58 @@ object Graphs {
 
   private val edgeTableId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // Staged edge tables are named graft_pr_edges_<pid>_<hex>_<n>: the
+  // per-JVM counter alone is NOT globally unique — two concurrent
+  // drivers sharing one warehouse dir (or a crashed run's leftover
+  // racing a live successor) would collide on graft_pr_edges_1 and
+  // writeBucketed's DROP+delete would destroy the other run's live
+  // edge table mid-iteration. The pid makes names unique across live
+  // processes AND lets the sweep below prove an owner dead; the random
+  // hex covers pid reuse across reboots.
+  private val sessionToken: String = {
+    val pid = ProcessHandle.current().pid()
+    val hex = java.util.UUID.randomUUID().toString.take(8)
+    s"${pid}_$hex"
+  }
+
+  private val ownerPid = raw"graft_pr_edges_(\d+)_.*".r
+
+  /** One-time (per JVM) reclaim of staged edge tables leaked by CRASHED
+    * runs — the drop handle runs in `finally`, but kill -9 between
+    * writeBucketed and the drop leaves the managed table + warehouse
+    * directory behind, and UUID-unique names mean no later run ever
+    * reclaims them by name collision. Mirrors drainStageDirs' hygiene
+    * contract for stage dirs: delete only what is provably garbage — a
+    * dir whose embedded owner pid no longer exists (/proc/<pid> gone).
+    * A LIVE concurrent driver's tables keep their pid alive and are
+    * never touched. Legacy counter-only names (graft_pr_edges_<n>) are
+    * not matched: ownership is unprovable, and current code never
+    * creates them again. */
+  private lazy val sweepDeadOwnerTables: Unit = {
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val root =
+        if (warehouse.startsWith("file:"))
+          new java.io.File(new java.net.URI(warehouse))
+        else new java.io.File(warehouse)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(root.listFiles()).foreach(_.foreach { d =>
+        d.getName match {
+          case ownerPid(pid)
+              if !java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"/proc/$pid")) =>
+            spark.sql(s"DROP TABLE IF EXISTS `${d.getName}`")
+            rm(d)
+          case _ => ()
+        }
+      })
+    } catch { case _: Throwable => () } // hygiene must never fail a run
+  }
+
   /** Stage the edge table for a staged-round rank loop — MATERIALIZED
     * (a lazy lineage would re-run the caller's whole edge build every
     * round — measured 3× on x59c's join-built graph) and BUCKETED on
@@ -41,13 +93,64 @@ object Graphs {
     * joins are exchange- and sort-free. */
   private[ext] def stageEdgesBucketedOn(e0: DataFrame,
                                         key: String): (DataFrame, () => Unit) = {
+    val st = stageProjectedEdges(e0, key)
+    (st.edges, () => st.drop())
+  }
+
+  private def stageProjectedEdges(e0: DataFrame, key: String): EdgeStage = {
     val spark = e0.sparkSession
-    val tbl = s"graft_pr_edges_${edgeTableId.incrementAndGet()}"
+    sweepDeadOwnerTables
+    val tbl = s"graft_pr_edges_${sessionToken}_${edgeTableId.incrementAndGet()}"
     val buckets =
       math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     graft.ops.Scale.writeBucketed(e0, tbl, key, buckets)
-    (spark.table(tbl), () => { spark.sql(s"DROP TABLE IF EXISTS `$tbl`"); () })
+    new EdgeStage(tbl, key, buckets, spark)
   }
+
+  /** A staged, bucketed, APPENDABLE edge table — the cross-call form of
+    * [[stageEdgesBucketed]] for the per-crawl cadence: stage the
+    * resident graph ONCE, [[EdgeStage.append]] each crawl's delta (a
+    * delta-sized write — one new file per touched bucket, the
+    * allPairsIndexAppend discipline), and run [[pageRankStaged]] /
+    * [[pageRankWarmStaged]] against the combined table without ever
+    * re-bucketing resident edges. After an append a bucket holds more
+    * than one file, so the scan stops advertising its sortBy order;
+    * the staged rankers therefore hash the rank side instead of merge-
+    * joining (see [[prContrib]]) — the edge side still never exchanges
+    * or sorts. Lifecycle is CALLER-owned: `drop()` in a finally. */
+  final class EdgeStage private[ext] (
+      private[ext] val table: String,
+      private[ext] val key: String,
+      private[ext] val buckets: Int,
+      @transient private val spark: org.apache.spark.sql.SparkSession) {
+    /** The combined (resident + appended) staged edge frame,
+      * (_pr_src, _pr_dst), served from the bucketed table. */
+    def edges: DataFrame = spark.table(table)
+
+    /** APPEND a delta's edges under the same (srcCol, dstCol) projection
+      * contract as [[pageRank]]. Cost is delta-sized: one repartition of
+      * the delta by the bucket key, one sorted file per touched bucket;
+      * the resident files are never rewritten. */
+    def append(delta: DataFrame, srcCol: String, dstCol: String): Unit = {
+      val d = delta.select(col(srcCol).cast("long").as("_pr_src"),
+        col(dstCol).cast("long").as("_pr_dst"))
+      require(key == "_pr_src", s"EdgeStage.append expects a _pr_src-keyed " +
+        s"stage (got $key)")
+      d.repartition(buckets, col(key)).write.mode("append")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+    }
+
+    def drop(): Unit = { spark.sql(s"DROP TABLE IF EXISTS `$table`"); () }
+  }
+
+  /** Stage a graph's edges as an appendable bucketed table (see
+    * [[EdgeStage]]); the caller owns the handle and must `drop()` it. */
+  def stageEdgeTable(edges: DataFrame, srcCol: String,
+                     dstCol: String): EdgeStage =
+    stageProjectedEdges(
+      edges.select(col(srcCol).cast("long").as("_pr_src"),
+        col(dstCol).cast("long").as("_pr_dst")), "_pr_src")
 
   /** PageRank power iteration in EXACT Q18 integer fixed point.
     *
@@ -111,29 +214,48 @@ object Graphs {
     // the final rank table is materialized before the loop returns, so
     // the table drops in finally — success AND failure paths (a leaked
     // managed table has no JVM-exit cleanup contract, unlike stage dirs)
-    try {
-      val nodes = e.select(col("_pr_src").as("node"))
-        .union(e.select(col("_pr_dst").as("node"))).distinct()
-      val od = e.groupBy(col("_pr_src").as("node"))
-        .agg(count(lit(1)).as("_pr_od"))
-      // (node, outdeg-or-null): the per-round skeleton every rank table
-      // rides on; null outdeg marks a dangling node
-      val base0 = nodes.join(od, Seq("node"), "left")
-      // staged rounds re-join the skeleton every iteration: materialize it
-      // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
-      // and the out-degree aggregation over the FULL edge list — at 100×
-      // that recomputation, not the rank algebra, dominated the round cost
-      val base = if (stagePerIteration)
-        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-      val n = base.count()
-      require(n > 0, "pageRank needs a non-empty graph")
-      val baseQ = (BigInt(10).pow(18) / n).toString
-      val d = dampingPerMille
+    try prRun(e, iters, dampingPerMille, stagePerIteration, prior = None)
+    finally dropEdges()
+  }
 
-      val ranks0 = base.select(col("node"), col("_pr_od"),
+  /** Shared head of the unweighted rankers: skeleton (node, outdeg) build
+    * + |V| count + r₀ seed (uniform, or prior-warmed), then [[prRounds]].
+    * ONE implementation — cold, warm, and staged-table entry points all
+    * run the same algebra (the specs pin their pairwise bit-parity). */
+  private def prRun(e: DataFrame, iters: Int, d: Int, staged: Boolean,
+                    prior: Option[DataFrame],
+                    shjRanks: Boolean = false): DataFrame = {
+    val nodes = e.select(col("_pr_src").as("node"))
+      .union(e.select(col("_pr_dst").as("node"))).distinct()
+    val od = e.groupBy(col("_pr_src").as("node"))
+      .agg(count(lit(1)).as("_pr_od"))
+    // (node, outdeg-or-null): the per-round skeleton every rank table
+    // rides on; null outdeg marks a dangling node
+    val base0 = nodes.join(od, Seq("node"), "left")
+    // staged rounds re-join the skeleton every iteration: materialize it
+    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+    // and the out-degree aggregation over the FULL edge list — at 100×
+    // that recomputation, not the rank algebra, dominated the round cost
+    val base = if (staged)
+      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+    val n = base.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val baseQ = (BigInt(10).pow(18) / n).toString
+    // r0 = prior rank where the node carried one, uniform S div N where
+    // it is new; departed prior nodes fall out via the skeleton join
+    var ranks0 = prior match {
+      case None => base.select(col("node"), col("_pr_od"),
         expr(s"cast($baseQ as bigint)").as("rank_q"))
-      prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
-    } finally dropEdges()
+      case Some(p) => base
+        .join(p.select(col("node"), col("rank_q18").as("_pr_warm")),
+          Seq("node"), "left")
+        .select(col("node"), col("_pr_od"),
+          coalesce(col("_pr_warm"), expr(s"cast($baseQ as bigint)"))
+            .as("rank_q"))
+    }
+    if (staged && prior.isDefined)
+      ranks0 = ranks0.sparkSession.read.parquet(Dedup.stageSignatures(ranks0))
+    prRounds(e, base, n, baseQ, d, iters, staged, ranks0, shjRanks)
   }
 
   /** Shared power-iteration tail of [[pageRank]] and [[pageRankWarm]]:
@@ -147,22 +269,32 @@ object Graphs {
     * (GraphsSpec pins the no-edge-Exchange shape on a staged bucketed
     * table). Shared by [[pageRank]]/[[pageRankWarm]] (via prRounds) and
     * [[trustRank]] — identical unweighted round algebra. */
-  private[ext] def prContrib(e: DataFrame, ranks: DataFrame): DataFrame = e
-    .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
-      col("_pr_src") === col("node"))
-    .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
-    .groupBy(col("_pr_dst"))
-    .agg(sum(col("_pr_c")).as("_pr_s"))
+  private[ext] def prContrib(e: DataFrame, ranks: DataFrame,
+                             shjRanks: Boolean = false): DataFrame = {
+    val r0 = ranks.select(col("node"), col("_pr_od"), col("rank_q"))
+    // shjRanks: plan the rank×edge join as a SHUFFLED-HASH join with the
+    // |V|-row rank table as build side — the APPENDED-edge-stage form: a
+    // bucket holding >1 file (resident + delta) no longer advertises its
+    // sortBy order, so a merge join would re-sort the whole edge side
+    // every round; hashing the small side keeps the edge side free of
+    // BOTH Exchange and Sort (GraphsSpec pins the shape).
+    val r = if (shjRanks) r0.hint("shuffle_hash") else r0
+    e.join(r, col("_pr_src") === col("node"))
+      .select(col("_pr_dst"), expr("rank_q div _pr_od").as("_pr_c"))
+      .groupBy(col("_pr_dst"))
+      .agg(sum(col("_pr_c")).as("_pr_s"))
+  }
 
   private def prRounds(e: DataFrame, base: DataFrame, n: Long,
                        baseQ: String, d: Int, iters: Int,
                        stagePerIteration: Boolean,
-                       ranks0: DataFrame): DataFrame = {
+                       ranks0: DataFrame,
+                       shjRanks: Boolean = false): DataFrame = {
     var ranks = ranks0
     for (_ <- 1 to iters) {
       val dang = ranks.filter(col("_pr_od").isNull)
         .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-      val contrib = prContrib(e, ranks)
+      val contrib = prContrib(e, ranks, shjRanks)
       ranks = base
         .join(contrib, col("node") === col("_pr_dst"), "left")
         .crossJoin(broadcast(dang))
@@ -221,35 +353,43 @@ object Graphs {
     val (e, dropEdges) =
       if (stagePerIteration) stageEdgesBucketed(e0)
       else (e0, () => ())
-    try {
-      val nodes = e.select(col("_pr_src").as("node"))
-        .union(e.select(col("_pr_dst").as("node"))).distinct()
-      val od = e.groupBy(col("_pr_src").as("node"))
-        .agg(count(lit(1)).as("_pr_od"))
-      val base0 = nodes.join(od, Seq("node"), "left")
-      // staged rounds re-join the skeleton every iteration: materialize it
-      // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
-      // and the out-degree aggregation over the FULL edge list — at 100×
-      // that recomputation, not the rank algebra, dominated the round cost
-      val base = if (stagePerIteration)
-        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-      val n = base.count()
-      require(n > 0, "pageRankWarm needs a non-empty graph")
-      val baseQ = (BigInt(10).pow(18) / n).toString
-      val d = dampingPerMille
+    try prRun(e, iters, dampingPerMille, stagePerIteration,
+      prior = Some(priorRanks))
+    finally dropEdges()
+  }
 
-      // r0 = prior rank where the node carried one, uniform S div N where
-      // it is new; departed prior nodes fall out via the skeleton join —
-      // then the SHARED round loop runs unchanged (prRounds)
-      var ranks0 = base
-        .join(priorRanks.select(col("node"), col("rank_q18").as("_pr_warm")),
-          Seq("node"), "left")
-        .select(col("node"), col("_pr_od"),
-          coalesce(col("_pr_warm"), expr(s"cast($baseQ as bigint)")).as("rank_q"))
-      if (stagePerIteration)
-        ranks0 = ranks0.sparkSession.read.parquet(Dedup.stageSignatures(ranks0))
-      prRounds(e, base, n, baseQ, d, iters, stagePerIteration, ranks0)
-    } finally dropEdges()
+  /** Cold rank rounds over a caller-owned [[EdgeStage]] — the staged
+    * form of [[pageRank]](stagePerIteration = true) minus the internal
+    * edge-table build/drop: the crawl loop stages the resident graph
+    * once ([[stageEdgeTable]]), ranks, appends each delta, re-ranks —
+    * never re-bucketing resident edges (r16 verdict #2: pageRankWarm's
+    * internal stage re-bucketed the ENTIRE resident+append graph every
+    * crawl, making the per-crawl cost corpus-sized instead of
+    * delta-sized). Bit-identical to [[pageRank]] on the same edges
+    * (spec-pinned); the rank×edge join hashes the |V|-row rank side
+    * (see [[prContrib]]) so appended multi-file buckets stay free of
+    * edge-side Exchange AND Sort. */
+  def pageRankStaged(stage: EdgeStage, iters: Int,
+                     dampingPerMille: Int = 850): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    prRun(stage.edges, iters, dampingPerMille, staged = true,
+      prior = None, shjRanks = true)
+  }
+
+  /** Warm rank rounds over a caller-owned [[EdgeStage]] — the staged
+    * form of [[pageRankWarm]]; see [[pageRankStaged]]. */
+  def pageRankWarmStaged(stage: EdgeStage, iters: Int,
+                         priorRanks: DataFrame,
+                         dampingPerMille: Int = 850): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    require(priorRanks.columns.toSet == Set("node", "rank_q18"),
+      "priorRanks must be exactly (node, rank_q18) — pageRank's output shape")
+    prRun(stage.edges, iters, dampingPerMille, staged = true,
+      prior = Some(priorRanks), shjRanks = true)
   }
 
   /** [[pageRank]] over a WEIGHTED edge list — the compact form of

@@ -93,12 +93,25 @@ object Scale {
     * the key. Equivalent to the plain one-window top-k whenever `order`
     * is a TOTAL order (include a tiebreak column). Unlike the running
     * sum, rows need no ordering relation to their salt bucket, so any
-    * deterministic row-spread works. */
+    * deterministic row-spread works.
+    *
+    * The salt derives from ROW CONTENT (xxhash64 of the order columns),
+    * never from task identity: spark_partition_id / monotonically_
+    * increasing_id change when a shuffle-fetch-failure retry recomputes a
+    * map partition, which would re-salt some rows mid-query and lose or
+    * duplicate phase-1 boundary rows. Content-hashing keeps every
+    * recomputation bit-identical; the ≤ k·saltBuckets survivor bound and
+    * the equivalence proof are unchanged (ties hashing to one bucket only
+    * make phase 1 keep fewer rows — phase 2 sees every qualifying row
+    * whenever `order` is total). */
   def saltedTopK(df: DataFrame, key: String, order: Seq[Column], k: Int,
                  saltBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // order entries are usually sort wrappers (col.desc) — hash the
+    // underlying value column, not the (unevaluable) sort direction
+    val saltCols = order.map(org.apache.spark.sql.graftbridge.Bridge.sortChild)
     val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(xxhash64(saltCols: _*), lit(saltBuckets.toLong)))
     val w1 = Window.partitionBy(col(key), col("_salt")).orderBy(order: _*)
     val w2 = Window.partitionBy(col(key)).orderBy(order: _*)
     salted

@@ -90,7 +90,7 @@ object ScaleRehearsal {
     // across blocks at position s — which covers the 312 factor cap.
     // Copies < 10 keep the original rotation
     // (a=1, b=i, block 0), so cached factor-10 corpora stay valid.
-    def cipherText(i: Int): org.apache.spark.sql.Column = {
+    def cipherMap(i: Int): (String, String) = {
       val aL = units26((i / 26) % units26.size)
       val bL = i % 26
       val aD = units10((i / 10) % units10.size)
@@ -103,13 +103,57 @@ object ScaleRehearsal {
           val t0 = arr(0); arr(0) = arr(s); arr(s) = t0
           new String(arr)
       }
-      translate(col("text"), lower + upper + digits,
+      (lower + upper + digits,
         affine(lower, aL, bL) + affine(upper, aL, bL) + dig)
     }
+    def cipherText(i: Int): org.apache.spark.sql.Column = {
+      val (from, to) = cipherMap(i)
+      translate(col("text"), from, to)
+    }
+    // SHARED-VOCABULARY (Zipf-head) mode (r16 verdict #1): the cipher
+    // corpora model only the DISJOINT-vocabulary pole — per-copy token
+    // spaces never overlap, so distinct-token tables grow linearly with
+    // the corpus (the friendliest case for re-scanned wide censuses, the
+    // harshest for narrow staged ones, per the r16 AllPairsIndex A/B).
+    // Natural 100 TB text is the other pole: any two shards share a
+    // saturating Zipf HEAD (stopwords, domain terms) while the tail
+    // grows Heaps-style. zipf mode keeps a pinned 12-token head —
+    // including every bench query term, so heavy-hitter postings grow
+    // with the corpus — IDENTICAL across copies, and char-ciphers only
+    // the TAIL tokens, word-by-word. Both maps are bijective per copy,
+    // so within-copy set/shingle structure (and therefore dup-pair
+    // structure and query outputs) replicates exactly N× — the
+    // measurement changes regime, never workload. Caveat (documented in
+    // PERF.md): per-copy tails stay pairwise disjoint, so tail TYPE
+    // growth is linear, not Heaps' n^~0.5 — sharing tail ciphers across
+    // copies would weld cross-copy near-exact duplicates into mega
+    // clusters and change the workload itself.
+    val headToks = Seq("customer", "filter", "join", "window", "merge",
+      "sort", "vector", "stream", "batch", "the", "a", "spark")
+    def zipfText(i: Int): org.apache.spark.sql.Column =
+      if (i == 0) col("text")
+      else {
+        val (from, to) = cipherMap(i)
+        val head = array(headToks.map(lit): _*)
+        array_join(transform(split(col("text"), " "),
+          t => when(array_contains(head, t), t)
+            .otherwise(translate(t, from, to))), " ")
+      }
     def salted(d: DataFrame, i: Int): DataFrame = d.select(
       (col("doc_id") + i * off).as("doc_id"), cipherText(i).as("text"))
     def shifted(d: DataFrame, i: Int): DataFrame = d.select(
       (col("doc_id") + i * off).as("doc_id"), col("text"))
+    def zipfed(d: DataFrame, i: Int): DataFrame = d.select(
+      (col("doc_id") + i * off).as("doc_id"), zipfText(i).as("text"))
+    // x64 reads (doc_id, text, source) and lifts chunk collisions to a
+    // HOST graph: hosts must shift per copy (hid + i*20 — sf0.1 has 20
+    // hosts) or every copy's collisions collapse onto the same 20 nodes
+    // and the graph would not grow with the corpus
+    def saltedHost(d: DataFrame, i: Int): DataFrame = d.select(
+      (col("doc_id") + i * off).as("doc_id"), cipherText(i).as("text"),
+      concat(lit("src"),
+        (expr("cast(substring(source, 4) as long)") + i * 20L)
+          .cast("string")).as("source"))
     // full-schema variant of salted(): the capstone pipeline (x37)
     // reads lang/source/n_chars too — same single projection, no join
     def saltedFull(d: DataFrame, i: Int): DataFrame = d.select(
@@ -171,6 +215,14 @@ object ScaleRehearsal {
     prep(s"$work/x1_emb/embeddings.parquet", embShift(0))
     prep(s"$work/x${factor}_emb/embeddings.parquet",
       (0 until factor).map(embShift).reduce(_ unionByName _))
+    prep(s"$work/x1_zipf/documents.parquet", zipfed(docs, 0))
+    prep(s"$work/x${factor}_zipf/documents.parquet",
+      (0 until factor).map(zipfed(docs, _)).reduce(_ unionByName _))
+    val docsHost = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    prep(s"$work/x1_shost/documents.parquet", saltedHost(docsHost, 0))
+    prep(s"$work/x${factor}_shost/documents.parquet",
+      (0 until factor).map(saltedHost(docsHost, _)).reduce(_ unionByName _))
 
     val families = Seq(
       ("x17_dup_clusters", "salt"),
@@ -219,7 +271,28 @@ object ScaleRehearsal {
       // decontamination is the 3-gram join against a benchmark slice
       // (cipher keeps cross-copy grams disjoint — linear growth regime)
       ("x35_kmeans_train", "emb"),
-      ("x23_decontamination", "salt"))
+      ("x23_decontamination", "salt"),
+      // the heaviest still-unmeasured compositions (r16 verdict #3/#4):
+      // chunk-level dedup one-shot + incremental, the copygraph capstone
+      // (chunk collisions → host copy graph → PageRank → cut → rollup),
+      // and the production keeper policy (CC closure + score join +
+      // keeper window) that only rode x17's plain measurement
+      ("x62_chunk_neardup", "salt"),
+      ("x62b_chunk_incremental", "salt"),
+      ("x64_copygraph_curation", "shost"),
+      ("x17b_quality_keeper", "salt"),
+      // shared-vocabulary (Zipf-head) re-measurements (r16 verdict #1):
+      // the dedup/retrieval families whose plan trades were adjudicated
+      // on the disjoint-vocab cipher corpus, re-read on the regime
+      // natural text actually presents. A label suffix "@zipf" keeps
+      // both corpus readings in the same artifact.
+      ("x86_allpairs_join@zipf", "zipf"),
+      ("x86b_allpairs_incremental@zipf", "zipf"),
+      ("x43d_bm25_compacted@zipf", "zipf"),
+      ("x23_decontamination@zipf", "zipf"),
+      ("x17_dup_clusters@zipf", "zipf"),
+      ("x26_incremental_dedup@zipf", "zipf"),
+      ("x62_chunk_neardup@zipf", "zipf"))
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // true high-water mark: sum of heap POOL PEAKS since the last
     // reset (an instantaneous totalMemory-freeMemory sample would miss
@@ -231,10 +304,19 @@ object ScaleRehearsal {
     def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
     def heapMb(): Long =
       heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+    // same-denominator heap reporting (r16 verdict: peak-pool high-water
+    // scales with GC laziness, so heap columns only compare across rounds
+    // under the SAME -Xmx) — record the actual ceiling in the artifact;
+    // the standing convention is SPARK_DRIVER_MEM=64g for 100x runs
+    val xmxMb = Runtime.getRuntime.maxMemory() >> 20
+    println(s"[rehearsal] driver_xmx_mb=$xmxMb " +
+      s"(SPARK_DRIVER_MEM=${sys.env.getOrElse("SPARK_DRIVER_MEM", "<unset: 16g default>")})")
     def run(name: String, dir: String): (Double, Long) = {
       resetPeaks()
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      // labels may carry an "@corpus" suffix — the query name precedes it
+      val n = graft.SparkEntry.queries(name.takeWhile(_ != '@'))(spark, dir)
+        .count()
       val dt = (System.nanoTime() - t0) / 1e9
       val hm = heapMb()
       spark.catalog.clearCache()
@@ -251,9 +333,9 @@ object ScaleRehearsal {
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
       println(f"[rehearsal] SUMMARY $name t1=$t1%.2f t$factor=$tN%.2f " +
         f"exponent=$exp%.2f heapN=${hm}MB")
-      f""""$name":{"t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$exp%.2f,"heap_mb":$hm}"""
+      f""""$name":{"t1_sec":$t1%.2f,"tN_sec":$tN%.2f,"exponent":$exp%.2f,"heap_mb":$hm,"xmx_mb":$xmxMb}"""
     }
-    println(s"""{"metric":"scale_rehearsal","factor":$factor,"families":${rows.mkString("{", ",", "}")},"base":"$base"}""")
+    println(s"""{"metric":"scale_rehearsal","factor":$factor,"xmx_mb":$xmxMb,"families":${rows.mkString("{", ",", "}")},"base":"$base"}""")
     spark.stop()
   }
 }

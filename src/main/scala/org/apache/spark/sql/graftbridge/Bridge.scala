@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The VALUE column under a sort wrapper: `col.desc` wraps the column
+    * node in an sql-internal SortOrder, which is Unevaluable if it leaks
+    * into a value expression (e.g. hashing a caller's order columns to
+    * derive a deterministic salt). Plain value columns pass through. */
+  def sortChild(c: Column): Column = c.node match {
+    case org.apache.spark.sql.internal.SortOrder(child, _, _, _) => Column(child)
+    case _ => c
+  }
 }

@@ -715,6 +715,30 @@ class ExtSpec extends SparkSpec {
     assert(inc.map(p => (p._1, p._2)) == Set((13L, 14L)), inc.toString)
   }
 
+  test("allPairsJoin occ-cap incremental: a BASE-ONLY over-cap token never raises (no misattributed batch failure)") {
+    // base holds hot token "z" in 12 prefixes (over the cap 8) — an index
+    // built under a looser cap; the batch never touches "z", so it builds
+    // no z-bucket and the gate must not blame it. A batch that DOES carry
+    // "z" still raises (the real occ² bucket would form).
+    val base = (1L to 12L).map(i => (i, Seq("z", s"u$i"))).toDF("id", "toks")
+    val idx = Dedup.allPairsIndex(base, "id", "toks", 1, 2)
+    val cleanBatch = Seq((13L, Seq("aa", "bb")), (14L, Seq("bb", "aa")))
+      .toDF("id", "toks")
+    val got = Dedup.allPairsJoinIncremental(cleanBatch, idx, "id", "toks",
+        1, 2, maxTokenOcc = 8L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((13L, 14L)), got.toString)
+    val hotBatch = Seq((15L, Seq("z", "cc"))).toDF("id", "toks")
+    val e = intercept[Exception] {
+      Dedup.allPairsJoinIncremental(hotBatch, idx, "id", "toks", 1, 2,
+        maxTokenOcc = 8L).count()
+    }
+    assert(String.valueOf(e.getMessage).contains("maxTokenOcc")
+      || Option(e.getCause).exists(c =>
+           String.valueOf(c.getMessage).contains("maxTokenOcc")),
+      e.toString)
+  }
+
   test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"),             // the classic: dist 3

@@ -457,4 +457,73 @@ class GraphsSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally drop()
   }
+
+  test("EdgeStage: append + warm rounds ≡ one-shot warm on the full graph, bit for bit") {
+    // the per-crawl cadence (r16 verdict #2): resident graph buckets
+    // once, the delta APPENDS, warm rounds run over the combined table —
+    // results must match pageRankWarm fed the full edge union, and the
+    // staged cold form must match plain pageRank
+    val resident = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L))
+    val delta = Seq((5L, 1L), (1L, 5L), (5L, 4L))
+    val full = resident ++ delta
+    val st = Graphs.stageEdgeTable(resident.toDF("src", "dst"), "src", "dst")
+    try {
+      val prior = Graphs.pageRankStaged(st, 3)
+      // staged cold ≡ plain cold on the resident graph
+      assert(prior.as[(Long, Long)].collect().toMap == run(resident, 3))
+      st.append(delta.toDF("src", "dst"), "src", "dst")
+      val got = Graphs.pageRankWarmStaged(st, 2, prior)
+        .as[(Long, Long)].collect().toMap
+      val want = runWarm(full, run(resident, 3), 2)
+      assert(got == want)
+    } finally st.drop()
+  }
+
+  test("EdgeStage: appended (multi-file-bucket) table keeps the round join edge-Exchange- and Sort-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val st = Graphs.stageEdgeTable(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
+    try {
+      st.append(Seq((3L, 1L), (1L, 3L)).toDF("src", "dst"), "src", "dst")
+      val ranks = Seq((1L, Option(2L), 100L), (2L, Option(1L), 100L),
+        (3L, Option(1L), 100L)).toDF("node", "_pr_od", "rank_q")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // the staged rankers' join form: rank side hashed (prContrib
+        // shjRanks) — an appended bucket holds >1 file, so a merge join
+        // would re-sort the edge side every round
+        val contrib = Graphs.prContrib(
+          spark.table(st.table), ranks, shjRanks = true)
+        val root = contrib.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+        val bucketedScans = root.collectLeaves().collect {
+          case f: FileSourceScanExec if f.bucketedScan => f
+        }
+        assert(bucketedScans.nonEmpty,
+          s"edge side must plan as a bucketed scan:\n$root")
+        val offenders = root.collect {
+          case ex: ShuffleExchangeExec if ex.collectLeaves().exists {
+            case f: FileSourceScanExec => f.bucketedScan
+            case _ => false
+          } => ex
+          case so: org.apache.spark.sql.execution.SortExec
+            if so.collectLeaves().exists {
+              case f: FileSourceScanExec => f.bucketedScan
+              case _ => false
+            } => so
+        }
+        assert(offenders.isEmpty,
+          s"no Exchange/Sort may sit above the appended bucketed edge scan:\n$root")
+        // algebra over the combined (resident + appended) edges:
+        // 1→2, 2→3, 3→1, 1→3 with ranks 100 and od 2/1/1
+        val got = contrib.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == Map(2L -> 50L, 3L -> 150L, 1L -> 100L), got.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally st.drop()
+  }
 }
