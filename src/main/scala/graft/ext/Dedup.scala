@@ -6,10 +6,24 @@ import org.apache.spark.sql.functions._
 /** Staged all-pairs prefix index ([[Dedup.allPairsIndex]]): the base
   * corpus's prefixes (a_id, tok, _ap_n), element sets (_ap_id, toks),
   * and FROZEN element-frequency order (tok, _ap_c) — each a parquet
-  * stage, so incremental batches never rescan the base. */
+  * stage, so incremental batches never rescan the base.
+  *
+  * `occ` (optional, `censusInIndex = true`, the DEFAULT): a staged
+  * NARROW per-token census of the base prefixes (tok, _ap_occ),
+  * letting each ingest batch's occ-cap gate read token-sized counts
+  * instead of re-scanning the prefix stage. Which form is cheaper
+  * depends on the vocabulary regime, measured both ways at 100×
+  * (PERF.md r17): on the shared-vocabulary zipf corpus — the regime
+  * natural text presents (any two shards share a Zipf head) — the
+  * census form wins 64.1 vs 81.1 s; on the disjoint-vocab cipher
+  * corpus it loses 162.0 vs 149.8 s (census rows grow with the
+  * prefixes themselves). The default matches the natural-text regime;
+  * pass `censusInIndex = false` for provably disjoint-vocabulary
+  * shards. */
 case class AllPairsIndex(prefix: org.apache.spark.sql.DataFrame,
                          sets: org.apache.spark.sql.DataFrame,
-                         counts: org.apache.spark.sql.DataFrame)
+                         counts: org.apache.spark.sql.DataFrame,
+                         occ: Option[org.apache.spark.sql.DataFrame] = None)
 
 /** Large-scale document deduplication operators.
   *
@@ -1491,6 +1505,33 @@ object Dedup {
     pref.join(gate, Seq("tok")).filter(col("_ap_gate")).drop("_ap_gate")
   }
 
+  /** [[apOccGate]] fed a PRE-COUNTED base census (tok, _ap_occ) instead
+    * of the base prefix rows — the `censusInIndex` ingest form: the
+    * batch census joins token-sized counts, never re-scanning the staged
+    * base prefixes. Gate semantics are identical: total occ = batch +
+    * base occurrences; only batch-present tokens are gated (base-only
+    * tokens never enter the batch census), so the misattribution
+    * contract holds by construction. */
+  private[ext] def apOccGateCounted(pref: DataFrame, maxTokenOcc: Long,
+                                    baseOcc: DataFrame): DataFrame = {
+    if (maxTokenOcc >= Long.MaxValue / 2) return pref
+    def raiseOver(occ: Column): Column =
+      when(occ <= maxTokenOcc, lit(true))
+        .otherwise(raise_error(concat(
+          lit("allPairsJoin: a prefix token appears in more than "
+            + s"maxTokenOcc=$maxTokenOcc documents — its candidate "
+            + "bucket is occ² rows; use longer/rarer shingles or raise "
+            + "the cap; occ = "),
+          occ.cast("string"))))
+    val gate = pref.groupBy(col("tok")).agg(count(lit(1)).as("_ap_bc"))
+      .join(baseOcc.select(col("tok"), col("_ap_occ").as("_ap_oc")),
+        Seq("tok"), "left")
+      .select(col("tok"),
+        raiseOver(col("_ap_bc") + coalesce(col("_ap_oc"), lit(0L)))
+          .as("_ap_gate"))
+    pref.join(gate, Seq("tok")).filter(col("_ap_gate")).drop("_ap_gate")
+  }
+
   /** (id as a_id, tok) element stream behind the all-pairs family. */
   private[ext] def apTokens(df: DataFrame, idCol: String, setCol: String): DataFrame =
     df.select(col(idCol).as("a_id"),
@@ -1566,7 +1607,8 @@ object Dedup {
     * JVM-exit cleanup, the stageSignatures contract), so later batches
     * never rescan the base corpus. */
   def allPairsIndex(base: DataFrame, idCol: String, setCol: String,
-                    tNum: Int, tDen: Int): AllPairsIndex = {
+                    tNum: Int, tDen: Int,
+                    censusInIndex: Boolean = true): AllPairsIndex = {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
       s"threshold is a fraction in (0, 1]: $tNum/$tDen")
     val spark = base.sparkSession
@@ -1584,10 +1626,17 @@ object Dedup {
     // compaction-pool discipline, r12 ADVICE)
     val (prefixPath, setsPath) = stagePairConcurrently(
       apPrefix(tk, cntS, tNum, tDen), apSets(tk))
+    // narrow census: one agg over the ALREADY-STAGED prefixes + a
+    // token-sized stage write, paid once at indexing time
+    val occ = if (censusInIndex)
+      Some(spark.read.parquet(stageSignatures(
+        spark.read.parquet(prefixPath).groupBy(col("tok"))
+          .agg(count(lit(1)).as("_ap_occ")))))
+    else None
     AllPairsIndex(
       spark.read.parquet(prefixPath),
       spark.read.parquet(setsPath),
-      cntS)
+      cntS, occ)
   }
 
   /** Stage two independent tables on two driver threads (Spark schedules
@@ -1629,10 +1678,20 @@ object Dedup {
     // allPairsIndex)
     val (prefixPath, setsPath) = stagePairConcurrently(
       apPrefix(tk, index.counts, tNum, tDen), apSets(tk))
+    // census form: merge the batch's token counts into the staged narrow
+    // census (token-sized stage write — delta-vocabulary cost, not
+    // corpus cost)
+    val occ = index.occ.map { o =>
+      spark.read.parquet(stageSignatures(
+        o.select(col("tok"), col("_ap_occ"))
+          .unionByName(spark.read.parquet(prefixPath).groupBy(col("tok"))
+            .agg(count(lit(1)).as("_ap_occ")))
+          .groupBy(col("tok")).agg(sum(col("_ap_occ")).as("_ap_occ"))))
+    }
     AllPairsIndex(
       index.prefix.unionByName(spark.read.parquet(prefixPath)),
       index.sets.unionByName(spark.read.parquet(setsPath)),
-      index.counts)
+      index.counts, occ)
   }
 
   /** INCREMENTAL [[allPairsJoin]]: every pair at Jaccard ≥ tNum/tDen
@@ -1680,7 +1739,10 @@ object Dedup {
     val bprefS =
       if (maxTokenOcc >= Long.MaxValue / 2) bpref0
       else batch.sparkSession.read.parquet(stageSignatures(bpref0))
-    val bpref = apOccGate(bprefS, maxTokenOcc, occExtra = Some(index.prefix))
+    val bpref = index.occ match {
+      case Some(o) => apOccGateCounted(bprefS, maxTokenOcc, o)
+      case None => apOccGate(bprefS, maxTokenOcc, occExtra = Some(index.prefix))
+    }
     // batch × batch, id-ordered inside the batch
     val candNN = bpref
       .join(bpref.select(col("a_id").as("b_id"), col("tok"),

@@ -281,6 +281,10 @@ object ScaleRehearsal {
       ("x62b_chunk_incremental", "salt"),
       ("x64_copygraph_curation", "shost"),
       ("x17b_quality_keeper", "salt"),
+      // warm-restart cadence (r16 verdict #2): resident graph staged
+      // once, delta APPENDED, warm rounds over the combined table —
+      // the per-crawl cost must now be delta-sized, not corpus-sized
+      ("x59d_pagerank_incremental", "graph"),
       // shared-vocabulary (Zipf-head) re-measurements (r16 verdict #1):
       // the dedup/retrieval families whose plan trades were adjudicated
       // on the disjoint-vocab cipher corpus, re-read on the regime

@@ -739,6 +739,53 @@ class ExtSpec extends SparkSpec {
       e.toString)
   }
 
+  test("allPairsIndex censusInIndex: narrow-census ingest ≡ prefix-scan ingest (pairs, gate, append)") {
+    // same docs as the ingest-lifecycle test: base 60%, two batches; the
+    // narrow-census index must answer identically through index, join,
+    // append, join — and its gate must raise/not-raise exactly like the
+    // prefix-scan census
+    val docs = ((1L to 12L).map(i => (i, Seq("z", s"u$i"))) ++
+      Seq((13L, Seq("aa", "bb")), (14L, Seq("bb", "aa")),
+        (15L, Seq("aa", "cc")), (16L, Seq("cc", "aa"))))
+      .toDF("id", "toks")
+    val base = docs.filter($"id" <= 10)
+    val b1 = docs.filter($"id" > 10 && $"id" <= 13)
+    val b2 = docs.filter($"id" > 13)
+    def flow(census: Boolean): Set[(Long, Long, Long, Long, Long)] = {
+      val idx0 = Dedup.allPairsIndex(base, "id", "toks", 1, 2,
+        censusInIndex = census)
+      assert(idx0.occ.isDefined == census)
+      val p1 = Dedup.allPairsJoinIncremental(b1, idx0, "id", "toks", 1, 2)
+      val idx1 = Dedup.allPairsIndexAppend(idx0, b1, "id", "toks", 1, 2)
+      assert(idx1.occ.isDefined == census)
+      val p2 = Dedup.allPairsJoinIncremental(b2, idx1, "id", "toks", 1, 2)
+      (p1.unionByName(p2)).as[(Long, Long, Long, Long, Long)]
+        .collect().toSet
+    }
+    assert(flow(census = true) == flow(census = false))
+    // gate parity: a hot batch raises through the counted gate too
+    // (base here includes doc 13 (aa, bb) so the clean batch below has a
+    // genuine base partner)
+    val idxC = Dedup.allPairsIndex(docs.filter($"id" <= 13), "id", "toks",
+      1, 2, censusInIndex = true)
+    val e = intercept[Exception] {
+      Dedup.allPairsJoinIncremental(
+        Seq((20L, Seq("z", "dd"))).toDF("id", "toks"), idxC, "id", "toks",
+        1, 2, maxTokenOcc = 8L).count()
+    }
+    assert(String.valueOf(e.getMessage).contains("maxTokenOcc")
+      || Option(e.getCause).exists(c =>
+           String.valueOf(c.getMessage).contains("maxTokenOcc")),
+      e.toString)
+    // and a base-only hot token still never raises (counted gate only
+    // ever sees batch tokens)
+    val clean = Dedup.allPairsJoinIncremental(
+      Seq((21L, Seq("aa", "bb"))).toDF("id", "toks"), idxC, "id", "toks",
+      1, 2, maxTokenOcc = 8L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(clean.nonEmpty)
+  }
+
   test("editVerify: classic distances, truncation, empty/null texts, candidate-driven") {
     val docs = Seq(
       (1L, "kitten"), (2L, "sitting"),             // the classic: dist 3
