@@ -602,70 +602,73 @@ object Graphs {
     // see pageRank: staged rounds stage the edge table too, or every
     // round re-executes the caller's edge-build lineage several times.
     // HITS joins the edge list on BOTH ends (src for the authority
-    // half-step, dst for the hub half-step), so it stages TWO bucketed
-    // copies — each half-step's join then plans with no edge-side
-    // Exchange or Sort (the pageRank r16 treatment; the dst copy builds
-    // FROM the staged src copy so the caller's edge lineage runs once).
-    // The node skeleton stages once for the same reason as pageRank's:
-    // every half-step's left join re-paid the union-distinct over the
-    // full edge list (measured: the dominant cost at 100×).
+    // half-step, dst for the hub half-step). Staged layout (r17 A/B,
+    // tools/HitsAb, measured both ways at 100×): ONE src-bucketed copy;
+    // the authority half-step rides the bucket (no edge-side Exchange
+    // or Sort), and the hub half-step joins the SAME copy on _ht_dst
+    // with the |V|-row score table as the shuffled-hash BUILD side —
+    // the edge side re-keys by dst in memory each round, which at 2
+    // rounds costs far less than the r16 dual-copy form's second
+    // bucketed build (89.7 s vs 153.0 s at 100×; 7.1 vs 9.7 s at
+    // sf0.1). A deep-iteration HITS (≥ ~5 rounds) would amortize a
+    // second dst-bucketed copy; at this operator's crawl-analysis round
+    // counts the single copy wins both scales. The node skeleton stages
+    // once for the same reason as pageRank's: every half-step's left
+    // join re-paid the union-distinct over the full edge list
+    // (measured: the dominant cost at 100× pre-r16).
     val e0 = edges.select(col(srcCol).cast("long").as("_ht_src"),
       col(dstCol).cast("long").as("_ht_dst"))
     val (eBySrc, dropSrc) =
       if (stagePerIteration) stageEdgesBucketedOn(e0, "_ht_src")
       else (e0, () => ())
     try {
-      val (eByDst, dropDst) =
-        if (stagePerIteration) stageEdgesBucketedOn(eBySrc, "_ht_dst")
-        else (e0, () => ())
-      try {
-        val nodes0 = eBySrc.select(col("_ht_src").as("node"))
-          .union(eBySrc.select(col("_ht_dst").as("node"))).distinct()
-        val nodes =
-          if (stagePerIteration)
-            eBySrc.sparkSession.read.parquet(Dedup.stageSignatures(nodes0))
-          else nodes0
-        require(eBySrc.limit(1).count() > 0, "hits needs a non-empty edge list")
+      val nodes0 = eBySrc.select(col("_ht_src").as("node"))
+        .union(eBySrc.select(col("_ht_dst").as("node"))).distinct()
+      val nodes =
+        if (stagePerIteration)
+          eBySrc.sparkSession.read.parquet(Dedup.stageSignatures(nodes0))
+        else nodes0
+      require(eBySrc.limit(1).count() > 0, "hits needs a non-empty edge list")
 
-        // one half-step: scores flow across the edges from `fromEnd` to the
-        // other end, sum there, and max-normalize back to Q9 — the SAME code
-        // runs the authority update (from src) and the hub update (from dst)
-        def halfStep(scores: DataFrame, scoreCol: String,
-                     fromEnd: String, toEnd: String, outCol: String): DataFrame = {
-          val e = if (fromEnd == "_ht_src") eBySrc else eByDst
-          val raw = e
-            .join(scores.select(col("node"), col(scoreCol)),
-              col(fromEnd) === col("node"))
-            .groupBy(col(toEnd))
-            .agg(sum(col(scoreCol)).as("_ht_s"))
-          val tab = nodes.join(raw, col("node") === col(toEnd), "left")
-            .select(col("node"), coalesce(col("_ht_s"), lit(0L)).as("_ht_raw"))
-          val mx = tab.agg(max(col("_ht_raw")).as("_ht_m"))
-          tab.crossJoin(broadcast(mx))
-            .select(col("node"), expr(
-              s"cast((cast(_ht_raw as decimal(38,0)) * $s9) div _ht_m" +
-                " as bigint)").as(outCol))
-        }
+      // one half-step: scores flow across the edges from `fromEnd` to the
+      // other end, sum there, and max-normalize back to Q9 — the SAME code
+      // runs the authority update (from src) and the hub update (from dst)
+      def halfStep(scores: DataFrame, scoreCol: String,
+                   fromEnd: String, toEnd: String, outCol: String): DataFrame = {
+        val sc0 = scores.select(col("node"), col(scoreCol))
+        // staged rounds: hash the |V|-row score side (see layout note)
+        val sc = if (stagePerIteration) sc0.hint("shuffle_hash") else sc0
+        val raw = eBySrc
+          .join(sc, col(fromEnd) === col("node"))
+          .groupBy(col(toEnd))
+          .agg(sum(col(scoreCol)).as("_ht_s"))
+        val tab = nodes.join(raw, col("node") === col(toEnd), "left")
+          .select(col("node"), coalesce(col("_ht_s"), lit(0L)).as("_ht_raw"))
+        val mx = tab.agg(max(col("_ht_raw")).as("_ht_m"))
+        tab.crossJoin(broadcast(mx))
+          .select(col("node"), expr(
+            s"cast((cast(_ht_raw as decimal(38,0)) * $s9) div _ht_m" +
+              " as bigint)").as(outCol))
+      }
 
-        var hub = nodes.withColumn("hub_q9", lit(s9))
-        var auth: DataFrame = null
-        for (_ <- 1 to iters) {
-          auth = halfStep(hub, "hub_q9", "_ht_src", "_ht_dst", "auth_q9")
-          hub = halfStep(auth, "auth_q9", "_ht_dst", "_ht_src", "hub_q9")
-          if (stagePerIteration) {
-            // stage BOTH frames: the final select consumes auth too, and
-            // a lazy auth would re-run its half-step (incl. the edge
-            // join) after the tables drop in finally
-            auth = auth.sparkSession.read.parquet(Dedup.stageSignatures(auth))
-            hub = hub.sparkSession.read.parquet(Dedup.stageSignatures(hub))
-          }
+      var hub = nodes.withColumn("hub_q9", lit(s9))
+      var auth: DataFrame = null
+      for (_ <- 1 to iters) {
+        auth = halfStep(hub, "hub_q9", "_ht_src", "_ht_dst", "auth_q9")
+        hub = halfStep(auth, "auth_q9", "_ht_dst", "_ht_src", "hub_q9")
+        if (stagePerIteration) {
+          // stage BOTH frames: the final select consumes auth too, and
+          // a lazy auth would re-run its half-step (incl. the edge
+          // join) after the tables drop in finally
+          auth = auth.sparkSession.read.parquet(Dedup.stageSignatures(auth))
+          hub = hub.sparkSession.read.parquet(Dedup.stageSignatures(hub))
         }
-        // hub and auth both descend from `nodes` — rename one join key so
-        // the self-join resolves unambiguously regardless of staging
-        hub.join(auth.withColumnRenamed("node", "_ht_n2"),
-            col("node") === col("_ht_n2"))
-          .select(col("node"), col("hub_q9"), col("auth_q9"))
-      } finally dropDst()
+      }
+      // hub and auth both descend from `nodes` — rename one join key so
+      // the self-join resolves unambiguously regardless of staging
+      hub.join(auth.withColumnRenamed("node", "_ht_n2"),
+          col("node") === col("_ht_n2"))
+        .select(col("node"), col("hub_q9"), col("auth_q9"))
     } finally dropSrc()
   }
 
