@@ -2605,6 +2605,23 @@ object SparkEntry {
         b2, idx1, "doc_id", "gs", 6, 10)
       p1.unionByName(p2)
     }),
+    "x86d_allpairs_scan" -> ((s, dir) => {
+      // the PREFIX-SCAN gate form of x86b (censusInIndex = false): the
+      // ingest gate censuses batch ∪ staged-base-prefix rows instead of
+      // joining the narrow staged census — the measured winner on
+      // provably DISJOINT-vocabulary shards (PERF.md r17 A/B; the
+      // census form is the shared-vocab default). Same oracle as x86b:
+      // the two gate forms must be result-invisible.
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ext.Dedup.wordNgrams(col("text"), 3).as("gs"))
+      val idx = graft.ext.Dedup.allPairsIndex(
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "gs", 6, 10,
+        censusInIndex = false)
+      graft.ext.Dedup.allPairsJoinIncremental(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0), idx, "doc_id", "gs",
+        6, 10)
+    }),
     "x87_triangles" -> ((s, dir) => {
       // community structure of the supplier co-purchase graph: per-node
       // triangle counts + exact-Q20 local clustering coefficient by
@@ -2883,6 +2900,73 @@ object SparkEntry {
         st.append(graph(pairs.filter(col("o_orderkey") % 5 === 0)),
           "src", "dst")
         graft.ext.Graphs.pageRankWarmStaged(st, 2, prior)
+      } finally st.drop()
+    }),
+    "x59e_pagerank_multicrawl" -> ((s, dir) => {
+      // the MULTI-crawl lifecycle (the x86c convention for the graph
+      // side): the resident graph (o_orderkey % 5 ≥ 2) stages + ranks
+      // cold; crawl₁ (% 5 = 0) APPENDS and 2 warm rounds run seeded
+      // from the cold release; crawl₂ (% 5 = 1) appends onto the SAME
+      // staged table and 2 more warm rounds seed from crawl₁'s release
+      // — each crawl's cost is delta-sized, the resident edges bucket
+      // exactly once across the whole history. The oracle unrolls all
+      // 3+2+2 rounds over the three growing edge sets bit-for-bit.
+      def graph(p: org.apache.spark.sql.DataFrame) = {
+        val fwd = p.select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        val rev = p.filter(col("l_quantity") > 25)
+          .select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("o_custkey") * 2).as("dst"))
+        fwd.union(rev)
+      }
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val st = graft.ext.Graphs.stageEdgeTable(
+        graph(pairs.filter(col("o_orderkey") % 5 >= 2)), "src", "dst")
+      try {
+        val r0 = graft.ext.Graphs.pageRankStaged(st, 3)
+        st.append(graph(pairs.filter(col("o_orderkey") % 5 === 0)),
+          "src", "dst")
+        val r1 = graft.ext.Graphs.pageRankWarmStaged(st, 2, r0)
+        st.append(graph(pairs.filter(col("o_orderkey") % 5 === 1)),
+          "src", "dst")
+        graft.ext.Graphs.pageRankWarmStaged(st, 2, r1)
+      } finally st.drop()
+    }),
+    "x59f_weighted_crawl" -> ((s, dir) => {
+      // the weighted crawl cadence — x59d's lifecycle in the 100 TB
+      // edge layout (x59c's aggregated (src, dst, w) form): the resident
+      // weighted graph stages ONCE, the crawl's delta aggregates only
+      // ITSELF and appends (a (src, dst) pair present in both crawls
+      // holds two weighted rows — additive multiset algebra makes that
+      // identical to one merged row), and 2 warm rounds seed from the
+      // cold release. Answers x59d's oracle VERBATIM: weighted rounds
+      // are bit-identical to the expanded multiset.
+      def graph(p: org.apache.spark.sql.DataFrame) = {
+        val fwd = p.select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        val rev = p.filter(col("l_quantity") > 25)
+          .select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("o_custkey") * 2).as("dst"))
+        fwd.union(rev).groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+      }
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val st = graft.ext.Graphs.stageEdgeTableWeighted(
+        graph(pairs.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst", "w")
+      try {
+        val prior = graft.ext.Graphs.pageRankWeightedStaged(st, 3)
+        st.appendWeighted(
+          graph(pairs.filter(col("o_orderkey") % 5 === 0)),
+          "src", "dst", "w")
+        graft.ext.Graphs.pageRankWeightedWarmStaged(st, 2, prior)
       } finally st.drop()
     }),
     "x60_margin_mine" -> ((s, dir) => {
@@ -4159,6 +4243,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("x59c_pagerank_weighted" -> oracleSqlBase("x59_pagerank")) +
+      // weighted rounds ≡ expanded multiset, so the weighted crawl
+      // cadence answers the unweighted incremental oracle verbatim
+      ("x59f_weighted_crawl" -> oracleSqlBase("x59d_pagerank_incremental")) +
       ("s9_ivf_pruned_topk" -> oracleSqlBase("x6b_ann_ivf")) +
       ("s10_ivf_append" -> oracleSqlBase("x6b_ann_ivf")) +
       ("s10b_ivf_compact" -> oracleSqlBase("x6b_ann_ivf")) +
@@ -8393,6 +8480,11 @@ object SparkEntry {
       s"""WITH res AS ($x86OracleSql)
          SELECT * FROM res
          WHERE a_id % 5 <= 1 OR b_id % 5 <= 1""",
+    // x86d: the prefix-scan gate form answers x86b's oracle verbatim —
+    // gate layout must be result-invisible
+    "x86d_allpairs_scan" ->
+      s"""WITH res AS ($x86OracleSql)
+         SELECT * FROM res WHERE a_id % 5 = 0 OR b_id % 5 = 0""",
     "x87_triangles" -> x87OracleSql,
     "x88_pmi_collocations" -> x88OracleSql,
     "x90_kcore" -> x90OracleSql,
@@ -8666,6 +8758,59 @@ object SparkEntry {
           ${round("w0", "w1", "edges", "base", "nn", "bq")},
           ${round("w1", "w2", "edges", "base", "nn", "bq")}
           SELECT node, rq AS rank_q18 FROM w2"""
+    },
+    // x59e: the x59d rounds over THREE growing edge sets — 3 cold on the
+    // resident graph (% 5 ≥ 2), 2 warm on resident+crawl₁ (% 5 ≠ 1)
+    // seeded from the cold release, 2 warm on the full set seeded from
+    // crawl₁'s release
+    "x59e_pagerank_multicrawl" -> {
+      def round(prev: String, cur: String, edges: String, base: String,
+                nn: String, bq: String) =
+        s"""$cur AS (SELECT b.node, b.od,
+              CAST(((150::HUGEINT * bq.bq)
+                    + 850::HUGEINT * (COALESCE(c.s, 0) + dg.dm // nn.n))
+                   // 1000 AS BIGINT) AS rq
+            FROM $base b
+            LEFT JOIN (SELECT e.dst, SUM(r.rq // r.od) AS s
+                       FROM $edges e JOIN $prev r ON r.node = e.src
+                       GROUP BY e.dst) c ON c.dst = b.node
+            CROSS JOIN (SELECT COALESCE(SUM(rq), 0) AS dm
+                        FROM $prev WHERE od IS NULL) dg
+            CROSS JOIN $nn nn CROSS JOIN $bq bq)"""
+      def graphCtes(p: String, pred: String) =
+        s"""${p}edges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM pr WHERE $pred
+                     UNION ALL
+                     SELECT l_suppkey * 2 + 1, o_custkey * 2 FROM pr
+                     WHERE ($pred) AND l_quantity > 25),
+          ${p}nodes AS (SELECT src AS node FROM ${p}edges
+                        UNION SELECT dst FROM ${p}edges),
+          ${p}od AS (SELECT src AS node, COUNT(*) AS od FROM ${p}edges
+                     GROUP BY src),
+          ${p}base AS (SELECT n.node, o.od FROM ${p}nodes n
+                       LEFT JOIN ${p}od o ON o.node = n.node),
+          ${p}nn AS (SELECT COUNT(*) AS n FROM ${p}base),
+          ${p}bq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // n AS bq
+                     FROM ${p}nn)"""
+      s"""WITH pr AS (SELECT o_orderkey, o_custkey, l_suppkey, l_quantity
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          ${graphCtes("o", "o_orderkey % 5 >= 2")},
+          ${graphCtes("m", "o_orderkey % 5 <> 1")},
+          ${graphCtes("f", "TRUE")},
+          or0 AS (SELECT b.node, b.od, CAST(obq.bq AS BIGINT) AS rq
+                  FROM obase b CROSS JOIN obq),
+          ${round("or0", "or1", "oedges", "obase", "onn", "obq")},
+          ${round("or1", "or2", "oedges", "obase", "onn", "obq")},
+          ${round("or2", "or3", "oedges", "obase", "onn", "obq")},
+          m0 AS (SELECT b.node, b.od, CAST(COALESCE(p.rq, mbq.bq) AS BIGINT) AS rq
+                 FROM mbase b LEFT JOIN or3 p ON p.node = b.node CROSS JOIN mbq),
+          ${round("m0", "m1", "medges", "mbase", "mnn", "mbq")},
+          ${round("m1", "m2", "medges", "mbase", "mnn", "mbq")},
+          f0 AS (SELECT b.node, b.od, CAST(COALESCE(p.rq, fbq.bq) AS BIGINT) AS rq
+                 FROM fbase b LEFT JOIN m2 p ON p.node = b.node CROSS JOIN fbq),
+          ${round("f0", "f1", "fedges", "fbase", "fnn", "fbq")},
+          ${round("f1", "f2", "fedges", "fbase", "fnn", "fbq")}
+          SELECT node, rq AS rank_q18 FROM f2"""
     },
     // x59b: the seeded (TrustRank) rounds — teleport and dangling mass go
     // to the seed distribution only; otherwise the x59 replay verbatim

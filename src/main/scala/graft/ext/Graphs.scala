@@ -122,23 +122,40 @@ object Graphs {
       private[ext] val table: String,
       private[ext] val key: String,
       private[ext] val buckets: Int,
-      @transient private val spark: org.apache.spark.sql.SparkSession) {
+      @transient private val spark: org.apache.spark.sql.SparkSession,
+      private[ext] val weighted: Boolean = false) {
     /** The combined (resident + appended) staged edge frame,
-      * (_pr_src, _pr_dst), served from the bucketed table. */
+      * (_pr_src, _pr_dst[, _pr_w]), served from the bucketed table. */
     def edges: DataFrame = spark.table(table)
+
+    private def appendRows(d: DataFrame): Unit = {
+      require(key == "_pr_src", s"EdgeStage.append expects a _pr_src-keyed " +
+        s"stage (got $key)")
+      d.repartition(buckets, col(key)).write.mode("append")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+    }
 
     /** APPEND a delta's edges under the same (srcCol, dstCol) projection
       * contract as [[pageRank]]. Cost is delta-sized: one repartition of
       * the delta by the bucket key, one sorted file per touched bucket;
       * the resident files are never rewritten. */
     def append(delta: DataFrame, srcCol: String, dstCol: String): Unit = {
-      val d = delta.select(col(srcCol).cast("long").as("_pr_src"),
-        col(dstCol).cast("long").as("_pr_dst"))
-      require(key == "_pr_src", s"EdgeStage.append expects a _pr_src-keyed " +
-        s"stage (got $key)")
-      d.repartition(buckets, col(key)).write.mode("append")
-        .bucketBy(buckets, key).sortBy(key)
-        .format("parquet").saveAsTable(table)
+      require(!weighted, "weighted EdgeStage: use appendWeighted")
+      appendRows(delta.select(col(srcCol).cast("long").as("_pr_src"),
+        col(dstCol).cast("long").as("_pr_dst")))
+    }
+
+    /** [[append]] for a weighted stage. A (src, dst) pair present in
+      * both resident and delta simply holds two weighted rows — the
+      * additive multiset algebra ([[pageRankWeightedWarm]]) makes that
+      * identical to one merged row, so appends never need a rewrite. */
+    def appendWeighted(delta: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String): Unit = {
+      require(weighted, "unweighted EdgeStage: use append")
+      appendRows(delta.select(col(srcCol).cast("long").as("_pr_src"),
+        col(dstCol).cast("long").as("_pr_dst"),
+        col(weightCol).cast("long").as("_pr_w")))
     }
 
     def drop(): Unit = { spark.sql(s"DROP TABLE IF EXISTS `$table`"); () }
@@ -151,6 +168,17 @@ object Graphs {
     stageProjectedEdges(
       edges.select(col(srcCol).cast("long").as("_pr_src"),
         col(dstCol).cast("long").as("_pr_dst")), "_pr_src")
+
+  /** [[stageEdgeTable]] for a weighted (src, dst, w) edge list. */
+  def stageEdgeTableWeighted(edges: DataFrame, srcCol: String,
+                             dstCol: String, weightCol: String): EdgeStage = {
+    val st = stageProjectedEdges(
+      edges.select(col(srcCol).cast("long").as("_pr_src"),
+        col(dstCol).cast("long").as("_pr_dst"),
+        col(weightCol).cast("long").as("_pr_w")), "_pr_src")
+    new EdgeStage(st.table, st.key, st.buckets, edges.sparkSession,
+      weighted = true)
+  }
 
   /** PageRank power iteration in EXACT Q18 integer fixed point.
     *
@@ -426,48 +454,133 @@ object Graphs {
     val (e, dropEdges) =
       if (stagePerIteration) stageEdgesBucketed(e0)
       else (e0, () => ())
-    try {
-      val nodes = e.select(col("_pr_src").as("node"))
-        .union(e.select(col("_pr_dst").as("node"))).distinct()
-      val od = e.groupBy(col("_pr_src").as("node"))
-        .agg(sum(col("_pr_w")).as("_pr_od"))
-      val base0 = nodes.join(od, Seq("node"), "left")
-      // staged rounds re-join the skeleton every iteration: materialize it
-      // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
-      // and the out-degree aggregation over the FULL edge list — at 100×
-      // that recomputation, not the rank algebra, dominated the round cost
-      val base = if (stagePerIteration)
-        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-      val n = base.count()
-      require(n > 0, "pageRankWeighted needs a non-empty graph")
-      val baseQ = (BigInt(10).pow(18) / n).toString
-      val d = dampingPerMille
+    try prRunWeighted(e, iters, dampingPerMille, stagePerIteration,
+      prior = None)
+    finally dropEdges()
+  }
 
-      var ranks = base.select(col("node"), col("_pr_od"),
+  /** Weighted twin of [[prRun]]: Σw out-degrees, w-scaled contributions,
+    * same r₀ seeding and round algebra — cold, warm, and staged-table
+    * entry points share it (bit-parity with the expanded multiset is
+    * spec-pinned, so the x59 oracle family verifies every form). */
+  private def prRunWeighted(e: DataFrame, iters: Int, d: Int,
+                            staged: Boolean, prior: Option[DataFrame],
+                            shjRanks: Boolean = false): DataFrame = {
+    val nodes = e.select(col("_pr_src").as("node"))
+      .union(e.select(col("_pr_dst").as("node"))).distinct()
+    val od = e.groupBy(col("_pr_src").as("node"))
+      .agg(sum(col("_pr_w")).as("_pr_od"))
+    val base0 = nodes.join(od, Seq("node"), "left")
+    // staged rounds re-join the skeleton every iteration: materialize it
+    // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
+    // and the out-degree aggregation over the FULL edge list — at 100×
+    // that recomputation, not the rank algebra, dominated the round cost
+    val base = if (staged)
+      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+    val n = base.count()
+    require(n > 0, "pageRankWeighted needs a non-empty graph")
+    val baseQ = (BigInt(10).pow(18) / n).toString
+    var ranks = prior match {
+      case None => base.select(col("node"), col("_pr_od"),
         expr(s"cast($baseQ as bigint)").as("rank_q"))
-      for (_ <- 1 to iters) {
-        val dang = ranks.filter(col("_pr_od").isNull)
-          .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-        val contrib = e
-          .join(ranks.select(col("node"), col("_pr_od"), col("rank_q")),
-            col("_pr_src") === col("node"))
-          .select(col("_pr_dst"),
-            expr("_pr_w * (rank_q div _pr_od)").as("_pr_c"))
-          .groupBy(col("_pr_dst"))
-          .agg(sum(col("_pr_c")).as("_pr_s"))
-        ranks = base
-          .join(contrib, col("node") === col("_pr_dst"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("node"), col("_pr_od"), expr(
-            s"""cast((cast(${1000 - d} as decimal(38,0)) * $baseQ
-                + cast($d as decimal(38,0))
-                  * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
-                as bigint)""").as("rank_q"))
-        if (stagePerIteration)
-          ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
-      }
-      ranks.select(col("node"), col("rank_q").as("rank_q18"))
-    } finally dropEdges()
+      case Some(p) => base
+        .join(p.select(col("node"), col("rank_q18").as("_pr_warm")),
+          Seq("node"), "left")
+        .select(col("node"), col("_pr_od"),
+          coalesce(col("_pr_warm"), expr(s"cast($baseQ as bigint)"))
+            .as("rank_q"))
+    }
+    if (staged && prior.isDefined)
+      ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+    for (_ <- 1 to iters) {
+      val dang = ranks.filter(col("_pr_od").isNull)
+        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
+      val r0 = ranks.select(col("node"), col("_pr_od"), col("rank_q"))
+      // see prContrib: appended stages hash the |V|-row rank side
+      val r = if (shjRanks) r0.hint("shuffle_hash") else r0
+      val contrib = e
+        .join(r, col("_pr_src") === col("node"))
+        .select(col("_pr_dst"),
+          expr("_pr_w * (rank_q div _pr_od)").as("_pr_c"))
+        .groupBy(col("_pr_dst"))
+        .agg(sum(col("_pr_c")).as("_pr_s"))
+      ranks = base
+        .join(contrib, col("node") === col("_pr_dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("_pr_od"), expr(
+          s"""cast((cast(${1000 - d} as decimal(38,0)) * $baseQ
+              + cast($d as decimal(38,0))
+                * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
+              as bigint)""").as("rank_q"))
+      if (staged)
+        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+    }
+    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+  }
+
+  /** INCREMENTAL [[pageRankWeighted]] — warm-start from a prior rank
+    * table on a grown weighted edge list; semantics exactly
+    * [[pageRankWarm]]'s (prior where carried, uniform where new,
+    * departed nodes drop), algebra exactly [[pageRankWeighted]]'s.
+    * Duplicate (src, dst) rows across crawls are WELL-DEFINED: weights
+    * are additive in both the Σw out-degree and the contribution sum,
+    * so appended weighted rows equal one merged row — the multiset
+    * algebra the x59 oracle family replays. */
+  def pageRankWeightedWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, iters: Int,
+                           priorRanks: DataFrame,
+                           dampingPerMille: Int = 850,
+                           stagePerIteration: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    require(priorRanks.columns.toSet == Set("node", "rank_q18"),
+      "priorRanks must be exactly (node, rank_q18) — pageRank's output shape")
+    val internal = Set("node", "rank_q", "rank_q18", "_pr_src", "_pr_dst",
+      "_pr_w", "_pr_od", "_pr_c", "_pr_s", "_pr_dm", "_pr_warm")
+    val clashes = edges.columns.filter(c =>
+      internal(c) && c != srcCol && c != dstCol && c != weightCol)
+    require(clashes.isEmpty,
+      s"pageRankWeightedWarm reserves column names ${clashes.mkString(", ")}")
+    val e0 = edges.select(col(srcCol).cast("long").as("_pr_src"),
+      col(dstCol).cast("long").as("_pr_dst"),
+      col(weightCol).cast("long").as("_pr_w"))
+    val (e, dropEdges) =
+      if (stagePerIteration) stageEdgesBucketed(e0)
+      else (e0, () => ())
+    try prRunWeighted(e, iters, dampingPerMille, stagePerIteration,
+      prior = Some(priorRanks))
+    finally dropEdges()
+  }
+
+  /** Cold weighted rank rounds over a caller-owned weighted
+    * [[EdgeStage]] (see [[pageRankStaged]] — same crawl-cadence
+    * contract, weighted algebra). */
+  def pageRankWeightedStaged(stage: EdgeStage, iters: Int,
+                             dampingPerMille: Int = 850): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    require(stage.weighted, "pageRankWeightedStaged needs a weighted " +
+      "EdgeStage (stageEdgeTableWeighted)")
+    prRunWeighted(stage.edges, iters, dampingPerMille, staged = true,
+      prior = None, shjRanks = true)
+  }
+
+  /** Warm weighted rank rounds over a caller-owned weighted
+    * [[EdgeStage]]; see [[pageRankWeightedStaged]]. */
+  def pageRankWeightedWarmStaged(stage: EdgeStage, iters: Int,
+                                 priorRanks: DataFrame,
+                                 dampingPerMille: Int = 850): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    require(priorRanks.columns.toSet == Set("node", "rank_q18"),
+      "priorRanks must be exactly (node, rank_q18) — pageRank's output shape")
+    require(stage.weighted, "pageRankWeightedWarmStaged needs a weighted " +
+      "EdgeStage (stageEdgeTableWeighted)")
+    prRunWeighted(stage.edges, iters, dampingPerMille, staged = true,
+      prior = Some(priorRanks), shjRanks = true)
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank with

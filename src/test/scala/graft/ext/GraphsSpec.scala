@@ -479,6 +479,38 @@ class GraphsSpec extends SparkSpec {
     } finally st.drop()
   }
 
+  test("pageRankWeightedWarm ≡ unweighted warm on the expanded multiset; weighted EdgeStage append parity") {
+    // a parallel edge in the resident crawl AND a (src, dst) pair
+    // repeated across crawls: the appended stage holds two weighted rows
+    // for (1, 2) — the additive multiset algebra must make that
+    // identical to the merged-weight and fully-expanded forms
+    val resident = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L))
+    val delta = Seq((5L, 1L), (1L, 5L), (1L, 2L), (5L, 4L))
+    val full = resident ++ delta
+    def w(es: Seq[(Long, Long)]) = es.groupBy(identity).toSeq
+      .map { case ((s, d), g) => (s, d, g.size.toLong) }
+      .toDF("src", "dst", "w")
+    val prior = run(resident, 3)
+    val want = runWarm(full, prior, 2)
+    val gotLazy = Graphs.pageRankWeightedWarm(w(full), "src", "dst", "w", 2,
+        prior.toSeq.toDF("node", "rank_q18"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotLazy == want)
+    val st = Graphs.stageEdgeTableWeighted(w(resident), "src", "dst", "w")
+    try {
+      val r0 = Graphs.pageRankWeightedStaged(st, 3)
+      assert(r0.as[(Long, Long)].collect().toMap == prior)
+      st.appendWeighted(w(delta), "src", "dst", "w")
+      val got = Graphs.pageRankWeightedWarmStaged(st, 2, r0)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+      // guard: weighted/unweighted append cross-calls refuse loudly
+      intercept[IllegalArgumentException] {
+        st.append(Seq((9L, 9L)).toDF("src", "dst"), "src", "dst")
+      }
+    } finally st.drop()
+  }
+
   test("EdgeStage: appended (multi-file-bucket) table keeps the round join edge-Exchange- and Sort-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
