@@ -2936,6 +2936,39 @@ object SparkEntry {
         graft.ext.Graphs.pageRankWarmStaged(st, 2, r1)
       } finally st.drop()
     }),
+    "x59g_trustrank_crawl" -> ((s, dir) => {
+      // the seeded-ranker crawl cadence: x59b's TrustRank re-released
+      // per crawl over the x59d edge splits — the resident graph stages
+      // once, the crawl delta APPENDS, and 2 warm seeded rounds run
+      // from the prior release (seeds — the vetted host list — persist
+      // across crawls; a node the crawl adds starts at its cold init:
+      // seed base or zero). The oracle unrolls 3 cold + 2 warm seeded
+      // rounds over both edge sets bit-for-bit.
+      def graph(p: org.apache.spark.sql.DataFrame) = {
+        val fwd = p.select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        val rev = p.filter(col("l_quantity") > 25)
+          .select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("o_custkey") * 2).as("dst"))
+        fwd.union(rev)
+      }
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 4 === 0)
+        .select((col("s_suppkey") * 2 + 1).as("seed"))
+      val st = graft.ext.Graphs.stageEdgeTable(
+        graph(pairs.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst")
+      try {
+        val prior = graft.ext.Graphs.trustRankStaged(st, seeds, "seed", 3)
+        st.append(graph(pairs.filter(col("o_orderkey") % 5 === 0)),
+          "src", "dst")
+        graft.ext.Graphs.trustRankWarmStaged(st, seeds, "seed", 2, prior)
+      } finally st.drop()
+    }),
     "x59f_weighted_crawl" -> ((s, dir) => {
       // the weighted crawl cadence — x59d's lifecycle in the 100 TB
       // edge layout (x59c's aggregated (src, dst, w) form): the resident
@@ -8811,6 +8844,62 @@ object SparkEntry {
           ${round("f0", "f1", "fedges", "fbase", "fnn", "fbq")},
           ${round("f1", "f2", "fedges", "fbase", "fnn", "fbq")}
           SELECT node, rq AS rank_q18 FROM f2"""
+    },
+    // x59g: the x59b seeded rounds TWICE — 3 cold over the resident
+    // (% 5 ≠ 0) edges, 2 warm over the full set seeded from the cold
+    // release (carried nodes keep their rank; new nodes start at seed
+    // base or zero; the seed set and therefore ns/bq never change)
+    "x59g_trustrank_crawl" -> {
+      def round(prev: String, cur: String, edges: String, base: String) =
+        s"""$cur AS (SELECT b.node, b.od, b.seed,
+              CAST(((150::HUGEINT * (CASE WHEN b.seed THEN bq.bq ELSE 0 END))
+                    + 850::HUGEINT * (COALESCE(c.s, 0)
+                        + CASE WHEN b.seed THEN dg.dm // ns.ns ELSE 0 END))
+                   // 1000 AS BIGINT) AS rq
+            FROM $base b
+            LEFT JOIN (SELECT e.dst, SUM(r.rq // r.od) AS s
+                       FROM $edges e JOIN $prev r ON r.node = e.src
+                       GROUP BY e.dst) c ON c.dst = b.node
+            CROSS JOIN (SELECT COALESCE(SUM(rq), 0) AS dm
+                        FROM $prev WHERE od IS NULL) dg
+            CROSS JOIN ns CROSS JOIN bq)"""
+      def graphCtes(p: String, pred: String) =
+        s"""${p}edges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM pr WHERE $pred
+                     UNION ALL
+                     SELECT l_suppkey * 2 + 1, o_custkey * 2 FROM pr
+                     WHERE ($pred) AND l_quantity > 25),
+          ${p}nodes AS (SELECT src AS node FROM ${p}edges
+                        UNION SELECT dst FROM ${p}edges
+                        UNION SELECT node FROM seeds),
+          ${p}od AS (SELECT src AS node, COUNT(*) AS od FROM ${p}edges
+                     GROUP BY src),
+          ${p}base AS (SELECT n.node, o.od, (sd.node IS NOT NULL) AS seed
+                       FROM ${p}nodes n
+                       LEFT JOIN ${p}od o ON o.node = n.node
+                       LEFT JOIN seeds sd ON sd.node = n.node)"""
+      s"""WITH pr AS (SELECT o_orderkey, o_custkey, l_suppkey, l_quantity
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+                    WHERE s_suppkey % 4 = 0),
+          ns AS (SELECT COUNT(*) AS ns FROM seeds),
+          bq AS (SELECT CAST(1000000000000000000 AS HUGEINT) // ns AS bq
+                 FROM ns),
+          ${graphCtes("o", "o_orderkey % 5 <> 0")},
+          ${graphCtes("f", "TRUE")},
+          or0 AS (SELECT b.node, b.od, b.seed,
+                    CAST(CASE WHEN b.seed THEN bq.bq ELSE 0 END AS BIGINT) AS rq
+                  FROM obase b CROSS JOIN bq),
+          ${round("or0", "or1", "oedges", "obase")},
+          ${round("or1", "or2", "oedges", "obase")},
+          ${round("or2", "or3", "oedges", "obase")},
+          w0 AS (SELECT b.node, b.od, b.seed,
+                   CAST(COALESCE(p.rq,
+                     CASE WHEN b.seed THEN bq.bq ELSE 0 END) AS BIGINT) AS rq
+                 FROM fbase b LEFT JOIN or3 p ON p.node = b.node CROSS JOIN bq),
+          ${round("w0", "w1", "fedges", "fbase")},
+          ${round("w1", "w2", "fedges", "fbase")}
+          SELECT node, rq AS rank_q18 FROM w2"""
     },
     // x59b: the seeded (TrustRank) rounds — teleport and dangling mass go
     // to the seed distribution only; otherwise the x59 replay verbatim

@@ -624,48 +624,129 @@ object Graphs {
     val (e, dropEdges) =
       if (stagePerIteration) stageEdgesBucketed(e0)
       else (e0, () => ())
-    try {
-      val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
-        .distinct()
-      val nodes = e.select(col("_pr_src").as("node"))
-        .union(e.select(col("_pr_dst").as("node")))
-        .union(seedNodes).distinct()
-      val od = e.groupBy(col("_pr_src").as("node"))
-        .agg(count(lit(1)).as("_pr_od"))
-      val base0 = nodes.join(od, Seq("node"), "left")
-        .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
-          Seq("node"), "left")
-        .select(col("node"), col("_pr_od"),
-          coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
-      // see pageRank: staged rounds materialize the skeleton once
-      val base = if (stagePerIteration)
-        e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
-      val nSeeds = seedNodes.count()
-      require(nSeeds > 0, "trustRank needs a non-empty seed set")
-      val baseQ = (BigInt(10).pow(18) / nSeeds).toString
-      val d = dampingPerMille
+    try prRunTrust(e, seeds, seedCol, iters, dampingPerMille,
+      stagePerIteration, prior = None)
+    finally dropEdges()
+  }
 
-      var ranks = base.select(col("node"), col("_pr_od"), col("_pr_seed"),
+  /** Shared head + round loop of [[trustRank]] and its warm/staged
+    * forms: seed-flagged skeleton, |seeds| count, r₀ (cold seed init or
+    * prior-warmed), then the seeded rounds. A warm r₀ seeds a CARRIED
+    * node from the prior and a NEW node from its cold init (baseQ for
+    * seeds, 0 otherwise); damping < 1 contracts to the same fixed point
+    * either way, so warm converges to the cold ranking from closer. */
+  private def prRunTrust(e: DataFrame, seeds: DataFrame, seedCol: String,
+                         iters: Int, d: Int, staged: Boolean,
+                         prior: Option[DataFrame],
+                         shjRanks: Boolean = false): DataFrame = {
+    val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+    val nodes = e.select(col("_pr_src").as("node"))
+      .union(e.select(col("_pr_dst").as("node")))
+      .union(seedNodes).distinct()
+    val od = e.groupBy(col("_pr_src").as("node"))
+      .agg(count(lit(1)).as("_pr_od"))
+    val base0 = nodes.join(od, Seq("node"), "left")
+      .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
+        Seq("node"), "left")
+      .select(col("node"), col("_pr_od"),
+        coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
+    // see pageRank: staged rounds materialize the skeleton once
+    val base = if (staged)
+      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "trustRank needs a non-empty seed set")
+    val baseQ = (BigInt(10).pow(18) / nSeeds).toString
+
+    var ranks = prior match {
+      case None => base.select(col("node"), col("_pr_od"), col("_pr_seed"),
         expr(s"cast(if(_pr_seed, $baseQ, 0) as bigint)").as("rank_q"))
-      for (_ <- 1 to iters) {
-        val dang = ranks.filter(col("_pr_od").isNull)
-          .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
-        val contrib = prContrib(e, ranks)
-        ranks = base
-          .join(contrib, col("node") === col("_pr_dst"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("node"), col("_pr_od"), col("_pr_seed"), expr(
-            s"""cast((cast(${1000 - d} as decimal(38,0))
-                  * if(_pr_seed, $baseQ, 0)
-                + cast($d as decimal(38,0))
-                  * (coalesce(_pr_s, 0L)
-                     + if(_pr_seed, _pr_dm div $nSeeds, 0L))) div 1000
-                as bigint)""").as("rank_q"))
-        if (stagePerIteration)
-          ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
-      }
-      ranks.select(col("node"), col("rank_q").as("rank_q18"))
-    } finally dropEdges()
+      case Some(p) => base
+        .join(p.select(col("node"), col("rank_q18").as("_pr_warm")),
+          Seq("node"), "left")
+        .select(col("node"), col("_pr_od"), col("_pr_seed"),
+          coalesce(col("_pr_warm"),
+            expr(s"cast(if(_pr_seed, $baseQ, 0) as bigint)")).as("rank_q"))
+    }
+    if (staged && prior.isDefined)
+      ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+    for (_ <- 1 to iters) {
+      val dang = ranks.filter(col("_pr_od").isNull)
+        .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
+      val contrib = prContrib(e, ranks, shjRanks)
+      ranks = base
+        .join(contrib, col("node") === col("_pr_dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("_pr_od"), col("_pr_seed"), expr(
+          s"""cast((cast(${1000 - d} as decimal(38,0))
+                * if(_pr_seed, $baseQ, 0)
+              + cast($d as decimal(38,0))
+                * (coalesce(_pr_s, 0L)
+                   + if(_pr_seed, _pr_dm div $nSeeds, 0L))) div 1000
+              as bigint)""").as("rank_q"))
+      if (staged)
+        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+    }
+    ranks.select(col("node"), col("rank_q").as("rank_q18"))
+  }
+
+  /** INCREMENTAL [[trustRank]] — warm-start the seeded rounds from a
+    * prior release when the edge list grows (the crawl cadence; seeds
+    * are the vetted host list and typically persist across crawls).
+    * Carried nodes seed from the prior, new nodes from their cold init
+    * (seed base or zero); departed nodes drop via the skeleton. */
+  def trustRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                    seeds: DataFrame, seedCol: String, iters: Int,
+                    priorRanks: DataFrame,
+                    dampingPerMille: Int = 850,
+                    stagePerIteration: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    require(priorRanks.columns.toSet == Set("node", "rank_q18"),
+      "priorRanks must be exactly (node, rank_q18) — trustRank's output shape")
+    val internal = Set("node", "rank_q", "rank_q18", "_pr_src", "_pr_dst",
+      "_pr_od", "_pr_c", "_pr_s", "_pr_dm", "_pr_seed", "_pr_warm")
+    val clashes = edges.columns.filter(c =>
+      internal(c) && c != srcCol && c != dstCol)
+    require(clashes.isEmpty,
+      s"trustRankWarm reserves column names ${clashes.mkString(", ")}")
+    val e0 = edges.select(col(srcCol).cast("long").as("_pr_src"),
+      col(dstCol).cast("long").as("_pr_dst"))
+    val (e, dropEdges) =
+      if (stagePerIteration) stageEdgesBucketed(e0)
+      else (e0, () => ())
+    try prRunTrust(e, seeds, seedCol, iters, dampingPerMille,
+      stagePerIteration, prior = Some(priorRanks))
+    finally dropEdges()
+  }
+
+  /** Cold seeded rounds over a caller-owned [[EdgeStage]]; see
+    * [[pageRankStaged]] — same crawl-cadence contract. */
+  def trustRankStaged(stage: EdgeStage, seeds: DataFrame, seedCol: String,
+                      iters: Int, dampingPerMille: Int = 850): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    require(!stage.weighted, "trustRankStaged needs an unweighted EdgeStage")
+    prRunTrust(stage.edges, seeds, seedCol, iters, dampingPerMille,
+      staged = true, prior = None, shjRanks = true)
+  }
+
+  /** Warm seeded rounds over a caller-owned [[EdgeStage]]; see
+    * [[trustRankWarm]]. */
+  def trustRankWarmStaged(stage: EdgeStage, seeds: DataFrame,
+                          seedCol: String, iters: Int,
+                          priorRanks: DataFrame,
+                          dampingPerMille: Int = 850): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      "damping is per-mille: 0..1000")
+    require(priorRanks.columns.toSet == Set("node", "rank_q18"),
+      "priorRanks must be exactly (node, rank_q18) — trustRank's output shape")
+    require(!stage.weighted, "trustRankWarmStaged needs an unweighted EdgeStage")
+    prRunTrust(stage.edges, seeds, seedCol, iters, dampingPerMille,
+      staged = true, prior = Some(priorRanks), shjRanks = true)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in

@@ -193,6 +193,64 @@ class GraphsSpec extends SparkSpec {
         Seq.empty[Long].toDF("seed"), "seed", 1))
   }
 
+  /** Warm replay of the seeded rounds: r₀ = prior where carried, cold
+    * init (seed base or 0) where new, then the trustRank update. */
+  private def replayTrustWarm(edges: Seq[(Long, Long)], seedIds: Seq[Long],
+                              prior: Map[Long, BigInt],
+                              iters: Int, d: Int = 850): Map[Long, BigInt] = {
+    val seeds = seedIds.distinct.toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct
+    val od = edges.groupBy(_._1).view.mapValues(es => BigInt(es.size)).toMap
+    val base = BigInt(10).pow(18) / seeds.size
+    def tele(v: Long): BigInt = if (seeds(v)) base else BigInt(0)
+    var r = nodes.map(v => v -> prior.getOrElse(v, tele(v))).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(od.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      r = nodes.map(v => v -> (
+        (BigInt(1000 - d) * tele(v) +
+          BigInt(d) * (contrib.getOrElse(v, BigInt(0)) +
+            (if (seeds(v)) dm / seeds.size else BigInt(0)))) / 1000)).toMap
+    }
+    r
+  }
+
+  test("trustRankWarm matches the warm replay; EdgeStage append parity; uniform-with-cold equivalence") {
+    val resident = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L))
+    val delta = Seq((5L, 1L), (1L, 5L), (5L, 4L))
+    val full = resident ++ delta
+    val seeds = Seq(1L, 2L)
+    val prior = runTrust(resident, seeds, 3)
+    val want = replayTrustWarm(full, seeds,
+      prior.map { case (k, v) => k -> BigInt(v) }, 2)
+      .map { case (k, v) => k -> v.toLong }
+    // lazy warm on the full union
+    val gotLazy = Graphs.trustRankWarm(full.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("seed"), "seed", 2, prior.toSeq.toDF("node", "rank_q18"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotLazy == want)
+    // staged: stage resident + trustRankStaged ≡ cold; append + warm ≡ lazy
+    val st = Graphs.stageEdgeTable(resident.toDF("src", "dst"), "src", "dst")
+    try {
+      val r0 = Graphs.trustRankStaged(st, seeds.toDF("seed"), "seed", 3)
+      assert(r0.as[(Long, Long)].collect().toMap == prior)
+      st.append(delta.toDF("src", "dst"), "src", "dst")
+      val got = Graphs.trustRankWarmStaged(st, seeds.toDF("seed"), "seed",
+          2, r0).as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally st.drop()
+    // a cold-init prior (seed base / zero) warm-runs bit-identical to cold
+    val n = (full.map(_._1) ++ full.map(_._2) ++ seeds).distinct
+    val baseQ = (BigInt(10).pow(18) / seeds.distinct.size).toLong
+    val coldInit = n.map(v => v -> (if (seeds.contains(v)) baseQ else 0L)).toMap
+    val warmFromCold = Graphs.trustRankWarm(full.toDF("src", "dst"), "src",
+        "dst", seeds.toDF("seed"), "seed", 3,
+        coldInit.toSeq.toDF("node", "rank_q18"))
+      .as[(Long, Long)].collect().toMap
+    assert(warmFromCold == runTrust(full, seeds, 3))
+  }
+
   test("pageRankWeighted ≡ pageRank on the expanded parallel-edge multiset, bit for bit") {
     // the compact (src, dst, w) form must reproduce the multiset form
     // exactly — w·(r div Σw) is precisely the sum of w floor-divided
