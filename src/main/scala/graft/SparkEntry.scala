@@ -1010,8 +1010,8 @@ object SparkEntry {
       val a = e.filter(col("vec_id") % 2 === 0)
       val base = e.filter(pmod(col("vec_id"), lit(4L)) === 1)
       val batch = e.filter(pmod(col("vec_id"), lit(4L)) === 3)
-      val staged = s.read.parquet(Dedup.stageSignatures(
-        Similarity.centroidSums(base, Seq("label"), "embedding")))
+      val staged = Dedup.stageAndRead(
+        Similarity.centroidSums(base, Seq("label"), "embedding"))
       Similarity.centroidDriftFromSums(
         Similarity.centroidSums(a, Seq("label"), "embedding"),
         Similarity.mergeCentroidSums(Seq(staged,
@@ -3078,8 +3078,7 @@ object SparkEntry {
       // stage the ONE-directional host pairs, then symmetrize off the
       // staged parquet — a union over the raw frame would re-execute the
       // whole chunk-LSH lineage once per direction
-      val sp = d.sparkSession.read.parquet(Dedup.stageSignatures(
-        e0.select(col("a_h"), col("b_h"))))
+      val sp = Dedup.stageAndRead(e0.select(col("a_h"), col("b_h")))
       val edges = sp.select(col("a_h").as("src"), col("b_h").as("dst"))
         .union(sp.select(col("b_h").as("src"), col("a_h").as("dst")))
       // lazy rounds here: with the copy graph staged flat, the 2^3 rank
@@ -3974,9 +3973,18 @@ object SparkEntry {
       // x38b's verbatim — composition, not reimplementation. The '.'
       // char-split is per CODE POINT in both engines, so non-BMP text
       // charifies whole (TextStats.charify; PropertySpec pins it).
-      val d = t(s, dir, "documents")
-      val charified = d.select(
-        graft.ext.TextStats.charify(col("text")).as("ctext"))
+      // stage the charified corpus ONCE: charify explodes every code
+      // point into a spaced token (the expensive projection here), and
+      // the lazy trainer re-derives its input per round — round r was
+      // re-running charify + (r−1) merge replaces over the raw text
+      // (measured: rounds 2-3 cost 2.2/2.0 s vs round 1's 1.35 s at
+      // sf0.1). With the charified text staged, every round reads the
+      // narrow parquet and pays only its own merge chain. Same move as
+      // the r16 WordPiece/Unigram staged-word-table fix; merges are
+      // bit-identical (the staged frame IS the round-0 corpus).
+      val charified = graft.ext.Dedup.stageAndRead(
+        t(s, dir, "documents").select(
+          graft.ext.TextStats.charify(col("text")).as("ctext")))
       val merges = graft.ext.TextStats.bpeTrain(charified, "ctext", 3)
       s.createDataFrame(merges)
         .select(col("merge_rank").cast("long").as("merge_rank"),

@@ -319,6 +319,20 @@ object Dedup {
     dir.toString
   }
 
+  /** [[stageSignatures]] + read-back in one step, supplying the KNOWN
+    * schema to the reader: `spark.read.parquet(stage)` re-infers the
+    * schema it wrote a millisecond earlier — a footer-read job per stage
+    * call, pure overhead the engine pays dozens of times per catalog run
+    * (every staged round/census/skeleton). The schema is exact by
+    * construction (we wrote this exact frame), so the read is
+    * bit-identical; only the inference job disappears. */
+  def stageAndRead(df: DataFrame): DataFrame =
+    // asNullable: parquet round-trips every field as nullable, so the
+    // supplied schema must match what inference would have produced
+    df.sparkSession.read
+      .schema(org.apache.spark.sql.graftbridge.Bridge.asNullable(df.schema))
+      .parquet(stageSignatures(df))
+
   /** Incremental batch dedup — the production flow for a GROWING corpus:
     * signatures of everything already ingested live in a parquet stage
     * (one narrow (id, k hashes) table, written once per batch, e.g. via
@@ -685,8 +699,20 @@ object Dedup {
       val s = lbl.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
     }
+    // identity-init FUSED with the first propagation step: step(identity)
+    // algebraically reduces to min(self ∪ neighbors) per node, because the
+    // dst-label join against identity labels is an identity lookup — so
+    // the classic "labels = id, then step" start pays one edge join + one
+    // union purely to rediscover min(id, min(dst)). ONE src-keyed
+    // aggregation replaces the nodes-distinct shuffle AND round 1's first
+    // join+union+groupBy (2 exchanges + a join removed from every call);
+    // labels after this init are bit-identical to one step from identity,
+    // so the converged clustering is unchanged (ExtSpec fixtures pin it).
+    // min(dst) is never null here (edges carries both directions of
+    // non-null pair ids), so least() is a plain two-term min.
     var (labels, labelsRdd) = materialize(
-      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+      edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("_nmin"))
+        .select(col("id"), least(col("id"), col("_nmin")).as("label")))
     var prevSum = labelSum(labels)
     var iter = 0
     var changed = true
@@ -1436,7 +1462,7 @@ object Dedup {
     val pref0 = apPrefix(tk, cnt, tNum, tDen)
     val prefS =
       if (maxTokenOcc >= Long.MaxValue / 2) pref0
-      else df.sparkSession.read.parquet(stageSignatures(pref0))
+      else stageAndRead(pref0)
     val pref = apOccGate(prefS, maxTokenOcc)
     val cand = pref
       .join(pref.select(col("a_id").as("b_id"), col("tok"),
@@ -1616,37 +1642,35 @@ object Dedup {
     // derive from it, and without the stage each would re-run the
     // caller's set projection (often a shingle explode) over the whole
     // base corpus — one text pass instead of three
-    val tk = spark.read.parquet(stageSignatures(apTokens(base, idCol, setCol)))
+    val tk = stageAndRead(apTokens(base, idCol, setCol))
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("_ap_c"))
-    val cntS = spark.read.parquet(stageSignatures(cnt))
+    val cntS = stageAndRead(cnt)
     // prefix and sets both derive from the ALREADY-STAGED tk + counts —
     // stage them CONCURRENTLY (two driver threads, two Spark jobs)
     // instead of two sequential write+read commit round-trips; both
     // futures settle before any failure rethrows (the Scale.scala
     // compaction-pool discipline, r12 ADVICE)
-    val (prefixPath, setsPath) = stagePairConcurrently(
+    val (prefix, sets) = stagePairConcurrently(
       apPrefix(tk, cntS, tNum, tDen), apSets(tk))
     // narrow census: one agg over the ALREADY-STAGED prefixes + a
     // token-sized stage write, paid once at indexing time
     val occ = if (censusInIndex)
-      Some(spark.read.parquet(stageSignatures(
-        spark.read.parquet(prefixPath).groupBy(col("tok"))
-          .agg(count(lit(1)).as("_ap_occ")))))
+      Some(stageAndRead(
+        prefix.groupBy(col("tok")).agg(count(lit(1)).as("_ap_occ"))))
     else None
-    AllPairsIndex(
-      spark.read.parquet(prefixPath),
-      spark.read.parquet(setsPath),
-      cntS, occ)
+    AllPairsIndex(prefix, sets, cntS, occ)
   }
 
   /** Stage two independent tables on two driver threads (Spark schedules
     * the jobs concurrently); both settle before the first failure
     * rethrows, so no staging thread outlives the call. */
-  private def stagePairConcurrently(a: DataFrame, b: DataFrame): (String, String) = {
+  private def stagePairConcurrently(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = Seq(Future(stageSignatures(a)), Future(stageSignatures(b)))
+    // stageAndRead inside the future: the read-back frame carries the
+    // writer's known schema, so no footer-inference job ever runs
+    val fs = Seq(Future(stageAndRead(a)), Future(stageAndRead(b)))
     val settled = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     settled.collectFirst { case scala.util.Failure(e) => throw e }
     (settled(0).get, settled(1).get)
@@ -1676,21 +1700,21 @@ object Dedup {
     // so appending batch t costs O(|batch t|) whatever the index holds
     // the two independent batch tables stage concurrently (see
     // allPairsIndex)
-    val (prefixPath, setsPath) = stagePairConcurrently(
+    val (bPrefix, bSets) = stagePairConcurrently(
       apPrefix(tk, index.counts, tNum, tDen), apSets(tk))
     // census form: merge the batch's token counts into the staged narrow
     // census (token-sized stage write — delta-vocabulary cost, not
     // corpus cost)
     val occ = index.occ.map { o =>
-      spark.read.parquet(stageSignatures(
+      stageAndRead(
         o.select(col("tok"), col("_ap_occ"))
-          .unionByName(spark.read.parquet(prefixPath).groupBy(col("tok"))
+          .unionByName(bPrefix.groupBy(col("tok"))
             .agg(count(lit(1)).as("_ap_occ")))
-          .groupBy(col("tok")).agg(sum(col("_ap_occ")).as("_ap_occ"))))
+          .groupBy(col("tok")).agg(sum(col("_ap_occ")).as("_ap_occ")))
     }
     AllPairsIndex(
-      index.prefix.unionByName(spark.read.parquet(prefixPath)),
-      index.sets.unionByName(spark.read.parquet(setsPath)),
+      index.prefix.unionByName(bPrefix),
+      index.sets.unionByName(bSets),
       index.counts, occ)
   }
 
@@ -1738,7 +1762,7 @@ object Dedup {
     val bpref0 = apPrefix(tk, index.counts, tNum, tDen)
     val bprefS =
       if (maxTokenOcc >= Long.MaxValue / 2) bpref0
-      else batch.sparkSession.read.parquet(stageSignatures(bpref0))
+      else stageAndRead(bpref0)
     val bpref = index.occ match {
       case Some(o) => apOccGateCounted(bprefS, maxTokenOcc, o)
       case None => apOccGate(bprefS, maxTokenOcc, occExtra = Some(index.prefix))

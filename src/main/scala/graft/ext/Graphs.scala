@@ -97,14 +97,30 @@ object Graphs {
     (st.edges, () => st.drop())
   }
 
-  private def stageProjectedEdges(e0: DataFrame, key: String): EdgeStage = {
+  private def stageProjectedEdges(e0: DataFrame, key: String,
+                                  weighted: Boolean = false): EdgeStage = {
     val spark = e0.sparkSession
     sweepDeadOwnerTables
     val tbl = s"graft_pr_edges_${sessionToken}_${edgeTableId.incrementAndGet()}"
     val buckets =
       math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     graft.ops.Scale.writeBucketed(e0, tbl, key, buckets)
-    new EdgeStage(tbl, key, buckets, spark)
+    new EdgeStage(tbl, key, buckets, spark, weighted)
+  }
+
+  /** The (node, _pr_od) rank skeleton of an edge frame: every node that
+    * appears on either end, with its out-degree (edge count, or Σ_pr_w
+    * when weighted) — null marking a dangling node. This is the table
+    * every ranker round re-joins; [[EdgeStage]] maintains it
+    * INCREMENTALLY across appends (additive algebra: node sets union,
+    * out-degrees add), so a warm re-rank never re-derives it from the
+    * full O(E) edge list. */
+  private def skeletonOf(e: DataFrame, weighted: Boolean): DataFrame = {
+    val nodes = e.select(col("_pr_src").as("node"))
+      .union(e.select(col("_pr_dst").as("node"))).distinct()
+    val od = e.groupBy(col("_pr_src").as("node"))
+      .agg((if (weighted) sum(col("_pr_w")) else count(lit(1))).as("_pr_od"))
+    nodes.join(od, Seq("node"), "left")
   }
 
   /** A staged, bucketed, APPENDABLE edge table — the cross-call form of
@@ -128,12 +144,58 @@ object Graphs {
       * (_pr_src, _pr_dst[, _pr_w]), served from the bucketed table. */
     def edges: DataFrame = spark.table(table)
 
+    // the staged (node, _pr_od) skeleton, maintained incrementally:
+    // built from the FULL edge table once at stage time (O(E) — the
+    // same pass every rank call used to pay), then each append MERGES
+    // the delta's skeleton in at O(|V| + |delta|). Rankers over this
+    // stage read it instead of re-deriving nodes ∪ out-degrees from the
+    // whole edge list per call — the piece of r16 verdict #2 the
+    // bucketed append alone did not cover (the warm re-rank still paid
+    // one full-corpus nodes-distinct + degree agg per crawl).
+    private var skel: Option[DataFrame] = None
+    private[ext] def initSkeleton(): Unit =
+      skel = Some(Dedup.stageAndRead(skeletonOf(edges, weighted)))
+    /** The staged skeleton frame (node, _pr_od); present on stages built
+      * via [[stageEdgeTable]]/[[stageEdgeTableWeighted]]. */
+    private[ext] def skeleton: DataFrame = skel.getOrElse(
+      throw new IllegalStateException("EdgeStage skeleton not initialized"))
+
+    // data files currently under the managed table's directory (the
+    // single-writer contract every append-only stage here carries makes
+    // a before/after diff of this listing exactly the appended delta)
+    private def dataFiles(): Set[String] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.graftbridge.Bridge.tableLocation(spark, table))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).iterator
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSet
+    }
+
     private def appendRows(d: DataFrame): Unit = {
       require(key == "_pr_src", s"EdgeStage.append expects a _pr_src-keyed " +
         s"stage (got $key)")
+      val before = if (skel.isDefined) dataFiles() else Set.empty[String]
       d.repartition(buckets, col(key)).write.mode("append")
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(table)
+      // merge the delta's skeleton: node sets union, out-degrees add
+      // (sum ignores nulls, all-null stays null — dangling stays
+      // dangling), so the merged table is bit-identical to a full
+      // rebuild over resident + delta (GraphsSpec pins it). The delta
+      // rows are read BACK from the files this append just wrote — a
+      // delta-sized flat scan — never by re-executing the caller's
+      // delta lineage (typically a corpus-scale join) a second time.
+      skel.foreach { s =>
+        val newFiles = (dataFiles() -- before).toSeq
+        val delta = spark.read.schema(
+            org.apache.spark.sql.graftbridge.Bridge.asNullable(edges.schema))
+          .parquet(newFiles: _*)
+        skel = Some(Dedup.stageAndRead(
+          s.unionByName(skeletonOf(delta, weighted))
+            .groupBy(col("node")).agg(sum(col("_pr_od")).as("_pr_od"))))
+      }
     }
 
     /** APPEND a delta's edges under the same (srcCol, dstCol) projection
@@ -164,10 +226,13 @@ object Graphs {
   /** Stage a graph's edges as an appendable bucketed table (see
     * [[EdgeStage]]); the caller owns the handle and must `drop()` it. */
   def stageEdgeTable(edges: DataFrame, srcCol: String,
-                     dstCol: String): EdgeStage =
-    stageProjectedEdges(
+                     dstCol: String): EdgeStage = {
+    val st = stageProjectedEdges(
       edges.select(col(srcCol).cast("long").as("_pr_src"),
         col(dstCol).cast("long").as("_pr_dst")), "_pr_src")
+    st.initSkeleton()
+    st
+  }
 
   /** [[stageEdgeTable]] for a weighted (src, dst, w) edge list. */
   def stageEdgeTableWeighted(edges: DataFrame, srcCol: String,
@@ -175,9 +240,10 @@ object Graphs {
     val st = stageProjectedEdges(
       edges.select(col(srcCol).cast("long").as("_pr_src"),
         col(dstCol).cast("long").as("_pr_dst"),
-        col(weightCol).cast("long").as("_pr_w")), "_pr_src")
-    new EdgeStage(st.table, st.key, st.buckets, edges.sparkSession,
+        col(weightCol).cast("long").as("_pr_w")), "_pr_src",
       weighted = true)
+    st.initSkeleton()
+    st
   }
 
   /** PageRank power iteration in EXACT Q18 integer fixed point.
@@ -252,20 +318,20 @@ object Graphs {
     * run the same algebra (the specs pin their pairwise bit-parity). */
   private def prRun(e: DataFrame, iters: Int, d: Int, staged: Boolean,
                     prior: Option[DataFrame],
-                    shjRanks: Boolean = false): DataFrame = {
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node"))).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg(count(lit(1)).as("_pr_od"))
-    // (node, outdeg-or-null): the per-round skeleton every rank table
-    // rides on; null outdeg marks a dangling node
-    val base0 = nodes.join(od, Seq("node"), "left")
+                    shjRanks: Boolean = false,
+                    baseSkeleton: Option[DataFrame] = None): DataFrame = {
     // staged rounds re-join the skeleton every iteration: materialize it
     // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
     // and the out-degree aggregation over the FULL edge list — at 100×
-    // that recomputation, not the rank algebra, dominated the round cost
-    val base = if (staged)
-      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+    // that recomputation, not the rank algebra, dominated the round cost.
+    // An EdgeStage caller passes its INCREMENTALLY-maintained skeleton
+    // (already staged) instead — no O(E) pass at all on warm re-ranks.
+    val base = baseSkeleton.getOrElse {
+      // (node, outdeg-or-null): the per-round skeleton every rank table
+      // rides on; null outdeg marks a dangling node
+      val base0 = skeletonOf(e, weighted = false)
+      if (staged) Dedup.stageAndRead(base0) else base0
+    }
     val n = base.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val baseQ = (BigInt(10).pow(18) / n).toString
@@ -282,7 +348,7 @@ object Graphs {
             .as("rank_q"))
     }
     if (staged && prior.isDefined)
-      ranks0 = ranks0.sparkSession.read.parquet(Dedup.stageSignatures(ranks0))
+      ranks0 = Dedup.stageAndRead(ranks0)
     prRounds(e, base, n, baseQ, d, iters, staged, ranks0, shjRanks)
   }
 
@@ -332,7 +398,7 @@ object Graphs {
                 * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
               as bigint)""").as("rank_q"))
       if (stagePerIteration)
-        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+        ranks = Dedup.stageAndRead(ranks)
     }
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
@@ -403,7 +469,7 @@ object Graphs {
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       "damping is per-mille: 0..1000")
     prRun(stage.edges, iters, dampingPerMille, staged = true,
-      prior = None, shjRanks = true)
+      prior = None, shjRanks = true, baseSkeleton = Some(stage.skeleton))
   }
 
   /** Warm rank rounds over a caller-owned [[EdgeStage]] — the staged
@@ -417,7 +483,8 @@ object Graphs {
     require(priorRanks.columns.toSet == Set("node", "rank_q18"),
       "priorRanks must be exactly (node, rank_q18) — pageRank's output shape")
     prRun(stage.edges, iters, dampingPerMille, staged = true,
-      prior = Some(priorRanks), shjRanks = true)
+      prior = Some(priorRanks), shjRanks = true,
+      baseSkeleton = Some(stage.skeleton))
   }
 
   /** [[pageRank]] over a WEIGHTED edge list — the compact form of
@@ -465,18 +532,17 @@ object Graphs {
     * spec-pinned, so the x59 oracle family verifies every form). */
   private def prRunWeighted(e: DataFrame, iters: Int, d: Int,
                             staged: Boolean, prior: Option[DataFrame],
-                            shjRanks: Boolean = false): DataFrame = {
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node"))).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg(sum(col("_pr_w")).as("_pr_od"))
-    val base0 = nodes.join(od, Seq("node"), "left")
+                            shjRanks: Boolean = false,
+                            baseSkeleton: Option[DataFrame] = None): DataFrame = {
     // staged rounds re-join the skeleton every iteration: materialize it
     // ONCE (|V|-row narrow) or each round re-pays the nodes union-distinct
-    // and the out-degree aggregation over the FULL edge list — at 100×
-    // that recomputation, not the rank algebra, dominated the round cost
-    val base = if (staged)
-      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+    // and the Σw aggregation over the FULL edge list — at 100× that
+    // recomputation, not the rank algebra, dominated the round cost. An
+    // EdgeStage caller passes its incrementally-maintained skeleton.
+    val base = baseSkeleton.getOrElse {
+      val base0 = skeletonOf(e, weighted = true)
+      if (staged) Dedup.stageAndRead(base0) else base0
+    }
     val n = base.count()
     require(n > 0, "pageRankWeighted needs a non-empty graph")
     val baseQ = (BigInt(10).pow(18) / n).toString
@@ -491,7 +557,7 @@ object Graphs {
             .as("rank_q"))
     }
     if (staged && prior.isDefined)
-      ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+      ranks = Dedup.stageAndRead(ranks)
     for (_ <- 1 to iters) {
       val dang = ranks.filter(col("_pr_od").isNull)
         .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
@@ -513,7 +579,7 @@ object Graphs {
                 * (coalesce(_pr_s, 0L) + _pr_dm div $n)) div 1000
               as bigint)""").as("rank_q"))
       if (staged)
-        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+        ranks = Dedup.stageAndRead(ranks)
     }
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
@@ -564,7 +630,7 @@ object Graphs {
     require(stage.weighted, "pageRankWeightedStaged needs a weighted " +
       "EdgeStage (stageEdgeTableWeighted)")
     prRunWeighted(stage.edges, iters, dampingPerMille, staged = true,
-      prior = None, shjRanks = true)
+      prior = None, shjRanks = true, baseSkeleton = Some(stage.skeleton))
   }
 
   /** Warm weighted rank rounds over a caller-owned weighted
@@ -580,7 +646,8 @@ object Graphs {
     require(stage.weighted, "pageRankWeightedWarmStaged needs a weighted " +
       "EdgeStage (stageEdgeTableWeighted)")
     prRunWeighted(stage.edges, iters, dampingPerMille, staged = true,
-      prior = Some(priorRanks), shjRanks = true)
+      prior = Some(priorRanks), shjRanks = true,
+      baseSkeleton = Some(stage.skeleton))
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank with
@@ -638,22 +705,37 @@ object Graphs {
   private def prRunTrust(e: DataFrame, seeds: DataFrame, seedCol: String,
                          iters: Int, d: Int, staged: Boolean,
                          prior: Option[DataFrame],
-                         shjRanks: Boolean = false): DataFrame = {
+                         shjRanks: Boolean = false,
+                         baseSkeleton: Option[DataFrame] = None): DataFrame = {
     val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node")))
-      .union(seedNodes).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg(count(lit(1)).as("_pr_od"))
-    val base0 = nodes.join(od, Seq("node"), "left")
-      .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
-        Seq("node"), "left")
-      .select(col("node"), col("_pr_od"),
-        coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
-    // see pageRank: staged rounds materialize the skeleton once
-    val base = if (staged)
-      e.sparkSession.read.parquet(Dedup.stageSignatures(base0)) else base0
+    // see pageRank: staged rounds materialize the skeleton once. An
+    // EdgeStage caller passes its incrementally-maintained (node, od)
+    // skeleton; seeds absent from the graph still enter the node set
+    // (they absorb teleport mass) via a |V|-scale merge — never an O(E)
+    // re-derivation.
+    val base = baseSkeleton match {
+      case Some(sk) => Dedup.stageAndRead(
+        sk.unionByName(seedNodes
+            .select(col("node"), lit(null).cast("long").as("_pr_od")))
+          .groupBy(col("node")).agg(sum(col("_pr_od")).as("_pr_od"))
+          .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
+            Seq("node"), "left")
+          .select(col("node"), col("_pr_od"),
+            coalesce(col("_pr_seed"), lit(false)).as("_pr_seed")))
+      case None =>
+        val nodes = e.select(col("_pr_src").as("node"))
+          .union(e.select(col("_pr_dst").as("node")))
+          .union(seedNodes).distinct()
+        val od = e.groupBy(col("_pr_src").as("node"))
+          .agg(count(lit(1)).as("_pr_od"))
+        val base0 = nodes.join(od, Seq("node"), "left")
+          .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
+            Seq("node"), "left")
+          .select(col("node"), col("_pr_od"),
+            coalesce(col("_pr_seed"), lit(false)).as("_pr_seed"))
+        if (staged) Dedup.stageAndRead(base0) else base0
+    }
     val nSeeds = seedNodes.count()
     require(nSeeds > 0, "trustRank needs a non-empty seed set")
     val baseQ = (BigInt(10).pow(18) / nSeeds).toString
@@ -669,7 +751,7 @@ object Graphs {
             expr(s"cast(if(_pr_seed, $baseQ, 0) as bigint)")).as("rank_q"))
     }
     if (staged && prior.isDefined)
-      ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+      ranks = Dedup.stageAndRead(ranks)
     for (_ <- 1 to iters) {
       val dang = ranks.filter(col("_pr_od").isNull)
         .agg(coalesce(sum(col("rank_q")), lit(0L)).as("_pr_dm"))
@@ -685,7 +767,7 @@ object Graphs {
                    + if(_pr_seed, _pr_dm div $nSeeds, 0L))) div 1000
               as bigint)""").as("rank_q"))
       if (staged)
-        ranks = ranks.sparkSession.read.parquet(Dedup.stageSignatures(ranks))
+        ranks = Dedup.stageAndRead(ranks)
     }
     ranks.select(col("node"), col("rank_q").as("rank_q18"))
   }
@@ -730,7 +812,8 @@ object Graphs {
       "damping is per-mille: 0..1000")
     require(!stage.weighted, "trustRankStaged needs an unweighted EdgeStage")
     prRunTrust(stage.edges, seeds, seedCol, iters, dampingPerMille,
-      staged = true, prior = None, shjRanks = true)
+      staged = true, prior = None, shjRanks = true,
+      baseSkeleton = Some(stage.skeleton))
   }
 
   /** Warm seeded rounds over a caller-owned [[EdgeStage]]; see
@@ -746,7 +829,8 @@ object Graphs {
       "priorRanks must be exactly (node, rank_q18) — trustRank's output shape")
     require(!stage.weighted, "trustRankWarmStaged needs an unweighted EdgeStage")
     prRunTrust(stage.edges, seeds, seedCol, iters, dampingPerMille,
-      staged = true, prior = Some(priorRanks), shjRanks = true)
+      staged = true, prior = Some(priorRanks), shjRanks = true,
+      baseSkeleton = Some(stage.skeleton))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
@@ -820,7 +904,7 @@ object Graphs {
         .union(eBySrc.select(col("_ht_dst").as("node"))).distinct()
       val nodes =
         if (stagePerIteration)
-          eBySrc.sparkSession.read.parquet(Dedup.stageSignatures(nodes0))
+          Dedup.stageAndRead(nodes0)
         else nodes0
       require(eBySrc.limit(1).count() > 0, "hits needs a non-empty edge list")
 
@@ -854,8 +938,8 @@ object Graphs {
           // stage BOTH frames: the final select consumes auth too, and
           // a lazy auth would re-run its half-step (incl. the edge
           // join) after the tables drop in finally
-          auth = auth.sparkSession.read.parquet(Dedup.stageSignatures(auth))
-          hub = hub.sparkSession.read.parquet(Dedup.stageSignatures(hub))
+          auth = Dedup.stageAndRead(auth)
+          hub = Dedup.stageAndRead(hub)
         }
       }
       // hub and auth both descend from `nodes` — rename one join key so
@@ -899,23 +983,29 @@ object Graphs {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_kc_v"))
       .filter(col("_kc_u") =!= col("_kc_v"))
       .distinct()
-    val ee = spark.read.parquet(Dedup.stageSignatures(
+    val ee = Dedup.stageAndRead(
       und.select(col("_kc_u").as("_kc_a"), col("_kc_v").as("_kc_b"))
         .unionAll(und.select(col("_kc_v").as("_kc_a"),
-          col("_kc_u").as("_kc_b")))))
+          col("_kc_u").as("_kc_b"))))
     var alive = ee.select(col("_kc_a").as("node")).distinct()
     var n = alive.count()
     var result: DataFrame = null
     var r = 0
     while (result == null && r < maxRounds) {
       r += 1
+      // ONE alive-join per round, not two: restricting the a-side to
+      // alive nodes is redundant — peeling is monotone (alive sets only
+      // shrink), so a node removed in an earlier round has degree < k
+      // over ANY later alive set and the `deg >= k` filter drops it
+      // anyway. Each round therefore joins the staged edge table once
+      // (b-side alive semi-filter) instead of twice — half the per-round
+      // join work at every scale, identical survivor set per round.
       val deg = ee
-        .join(alive.select(col("node").as("_kc_a")), "_kc_a")
         .join(alive.select(col("node").as("_kc_b")), "_kc_b")
         .groupBy(col("_kc_a").as("node"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-      val next = spark.read.parquet(Dedup.stageSignatures(deg))
+      val next = Dedup.stageAndRead(deg)
       val m = next.count()
       if (m == n) result = next.select(col("node"), col("deg"))
       else { n = m; alive = next.select(col("node")) }

@@ -97,7 +97,7 @@ object Learn {
     val feat0 = hashedTokenFeatures(df, textCol, idCol, labelCol, nBuckets)
     val feat =
       if (stageFeatures)
-        df.sparkSession.read.parquet(Dedup.stageSignatures(feat0))
+        Dedup.stageAndRead(feat0)
       else feat0
     // label contract ±1 exactly (see centroidThresholdTrain): one cheap
     // bounded job against the feature table before the epochs start
@@ -1333,7 +1333,7 @@ object Learn {
     // x35 stagePerIteration contract: temp dir, JVM-exit cleanup)
     val weights =
       if (stageWeights)
-        df.sparkSession.read.parquet(Dedup.stageSignatures(weights0))
+        Dedup.stageAndRead(weights0)
       else weights0
     // training scores via the SAME broadcast-join scorer deployment
     // uses; the sweep is the shared census-bounded step

@@ -780,7 +780,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("_p"), col("_c")))),
           x => x.getField("_c")).as("cvec"))
       if (stagePerIteration)
-        cents = cents.sparkSession.read.parquet(Dedup.stageSignatures(cents))
+        cents = Dedup.stageAndRead(cents)
     }
     cents
   }

@@ -460,7 +460,7 @@ object TextStats {
         merges += BpeMerge(rank, a, b, n)
         cur = cur.select(bpeApplyMerge(col("_bpe_t"), a, b, sep).as("_bpe_t"))
         if (stagePerIteration)
-          cur = spark.read.parquet(Dedup.stageSignatures(cur))
+          cur = Dedup.stageAndRead(cur)
         rank += 1
       }
     }

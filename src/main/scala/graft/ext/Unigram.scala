@@ -496,7 +496,7 @@ object Unigram {
     val seedTop = subs.orderBy(col("cnt").desc, col("piece")).limit(nSeed)
     val v0 = chars.unionByName(seedTop).groupBy(col("piece"))
       .agg(max(col("cnt")).as("cnt")) // distinct (chars ∩ seedTop agree on cnt)
-    var vocab = spark.read.parquet(Dedup.stageSignatures(scoresOfDf(v0)))
+    var vocab = Dedup.stageAndRead(scoresOfDf(v0))
     for (_ <- 1 until emRounds) {
       val cnts = emPieceCountsJoin(words, vocab, maxPieceLen)
       val floored = chars.select(col("piece"))

@@ -119,9 +119,9 @@ object WordPiece {
     // Measured at the 100× rehearsal: exponent 0.72 → (re-measured after
     // this change — see PERF round 16). stageSignatures = unique temp
     // dir, JVM-exit cleanup, the engine's standard staging contract.
-    var cur = spark.read.parquet(Dedup.stageSignatures(
+    var cur = Dedup.stageAndRead(
       Unigram.wordCounts(df, textCol, maxWordLen)
-        .select(wordUnits(col("word")).as("_wp_t"), col("wcnt"))))
+        .select(wordUnits(col("word")).as("_wp_t"), col("wcnt")))
     val merges = Seq.newBuilder[WpMerge]
     var rank = 1
     var exhausted = false
@@ -142,7 +142,7 @@ object WordPiece {
         cur = cur.select(applyMerge(col("_wp_t"), a, b, m).as("_wp_t"),
           col("wcnt"))
         if (stagePerIteration)
-          cur = spark.read.parquet(Dedup.stageSignatures(cur))
+          cur = Dedup.stageAndRead(cur)
         rank += 1
       }
     }

@@ -569,6 +569,37 @@ class GraphsSpec extends SparkSpec {
     } finally st.drop()
   }
 
+  test("EdgeStage skeleton: incremental merge ≡ full rebuild across appends (dangling, weighted, trust seeds)") {
+    // the incrementally-maintained (node, od) skeleton must stay
+    // bit-identical to a from-scratch derivation after ANY append chain:
+    // repeated src across crawls (od adds), brand-new nodes, and nodes
+    // that stay dangling (null od) in every delta
+    val resident = Seq((1L, 2L), (2L, 3L), (3L, 4L)) // 4 dangling
+    val d1 = Seq((1L, 2L), (5L, 1L), (6L, 4L))       // 1 gains od, 5/6 new
+    val d2 = Seq((4L, 7L))                           // 4 stops dangling
+    val st = Graphs.stageEdgeTable(resident.toDF("src", "dst"), "src", "dst")
+    try {
+      st.append(d1.toDF("src", "dst"), "src", "dst")
+      st.append(d2.toDF("src", "dst"), "src", "dst")
+      val full = resident ++ d1 ++ d2
+      val wantOd = full.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = (full.map(_._1) ++ full.map(_._2)).distinct
+      val want = nodes.map(n => n -> wantOd.get(n)).toMap
+      val got = st.skeleton.collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == want)
+      // seeded rounds over the merged skeleton: a seed OUTSIDE the graph
+      // must still absorb teleport mass (rows for node 99 exist)
+      val seeds = Seq(2L, 99L).toDF("seed")
+      val tr = Graphs.trustRankStaged(st, seeds, "seed", 2)
+        .as[(Long, Long)].collect().toMap
+      val trWant = Graphs.trustRank(full.toDF("src", "dst"), "src", "dst",
+        seeds, "seed", 2).as[(Long, Long)].collect().toMap
+      assert(tr == trWant && tr.contains(99L))
+    } finally st.drop()
+  }
+
   test("EdgeStage: appended (multi-file-bucket) table keeps the round join edge-Exchange- and Sort-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
