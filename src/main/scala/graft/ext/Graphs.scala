@@ -155,10 +155,9 @@ object Graphs {
     private var skel: Option[DataFrame] = None
     private[ext] def initSkeleton(): Unit =
       skel = Some(Dedup.stageAndRead(skeletonOf(edges, weighted)))
-    /** The staged skeleton frame (node, _pr_od); present on stages built
-      * via [[stageEdgeTable]]/[[stageEdgeTableWeighted]]. */
-    private[ext] def skeleton: DataFrame = skel.getOrElse(
-      throw new IllegalStateException("EdgeStage skeleton not initialized"))
+    /** The staged skeleton frame (node, _pr_od) when maintained; rankers
+      * fall back to deriving it from the edge table when absent. */
+    private[ext] def skeletonOpt: Option[DataFrame] = skel
 
     // data files currently under the managed table's directory (the
     // single-writer contract every append-only stage here carries makes
@@ -230,7 +229,8 @@ object Graphs {
     val st = stageProjectedEdges(
       edges.select(col(srcCol).cast("long").as("_pr_src"),
         col(dstCol).cast("long").as("_pr_dst")), "_pr_src")
-    st.initSkeleton()
+    if (!sys.env.get("SPARK_GRAFT_EDGESTAGE_SKEL").contains("off"))
+      st.initSkeleton()
     st
   }
 
@@ -242,7 +242,8 @@ object Graphs {
         col(dstCol).cast("long").as("_pr_dst"),
         col(weightCol).cast("long").as("_pr_w")), "_pr_src",
       weighted = true)
-    st.initSkeleton()
+    if (!sys.env.get("SPARK_GRAFT_EDGESTAGE_SKEL").contains("off"))
+      st.initSkeleton()
     st
   }
 
@@ -469,7 +470,7 @@ object Graphs {
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       "damping is per-mille: 0..1000")
     prRun(stage.edges, iters, dampingPerMille, staged = true,
-      prior = None, shjRanks = true, baseSkeleton = Some(stage.skeleton))
+      prior = None, shjRanks = true, baseSkeleton = stage.skeletonOpt)
   }
 
   /** Warm rank rounds over a caller-owned [[EdgeStage]] — the staged
@@ -484,7 +485,7 @@ object Graphs {
       "priorRanks must be exactly (node, rank_q18) — pageRank's output shape")
     prRun(stage.edges, iters, dampingPerMille, staged = true,
       prior = Some(priorRanks), shjRanks = true,
-      baseSkeleton = Some(stage.skeleton))
+      baseSkeleton = stage.skeletonOpt)
   }
 
   /** [[pageRank]] over a WEIGHTED edge list — the compact form of
@@ -630,7 +631,7 @@ object Graphs {
     require(stage.weighted, "pageRankWeightedStaged needs a weighted " +
       "EdgeStage (stageEdgeTableWeighted)")
     prRunWeighted(stage.edges, iters, dampingPerMille, staged = true,
-      prior = None, shjRanks = true, baseSkeleton = Some(stage.skeleton))
+      prior = None, shjRanks = true, baseSkeleton = stage.skeletonOpt)
   }
 
   /** Warm weighted rank rounds over a caller-owned weighted
@@ -647,7 +648,7 @@ object Graphs {
       "EdgeStage (stageEdgeTableWeighted)")
     prRunWeighted(stage.edges, iters, dampingPerMille, staged = true,
       prior = Some(priorRanks), shjRanks = true,
-      baseSkeleton = Some(stage.skeleton))
+      baseSkeleton = stage.skeletonOpt)
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004) — PageRank with
@@ -813,7 +814,7 @@ object Graphs {
     require(!stage.weighted, "trustRankStaged needs an unweighted EdgeStage")
     prRunTrust(stage.edges, seeds, seedCol, iters, dampingPerMille,
       staged = true, prior = None, shjRanks = true,
-      baseSkeleton = Some(stage.skeleton))
+      baseSkeleton = stage.skeletonOpt)
   }
 
   /** Warm seeded rounds over a caller-owned [[EdgeStage]]; see
@@ -830,7 +831,7 @@ object Graphs {
     require(!stage.weighted, "trustRankWarmStaged needs an unweighted EdgeStage")
     prRunTrust(stage.edges, seeds, seedCol, iters, dampingPerMille,
       staged = true, prior = Some(priorRanks), shjRanks = true,
-      baseSkeleton = Some(stage.skeleton))
+      baseSkeleton = stage.skeletonOpt)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in

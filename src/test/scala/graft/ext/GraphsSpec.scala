@@ -585,7 +585,7 @@ class GraphsSpec extends SparkSpec {
       val wantOd = full.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       val nodes = (full.map(_._1) ++ full.map(_._2)).distinct
       val want = nodes.map(n => n -> wantOd.get(n)).toMap
-      val got = st.skeleton.collect()
+      val got = st.skeletonOpt.get.collect()
         .map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
       assert(got == want)
