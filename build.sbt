@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/perf driver parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as the summary JSON. sbt's default forked-run
+// output strategy re-logs the child's stdout with an "[info] " prefix and
+// appends its own "[success] Total time …" banner — both break a strict
+// last-line parse (every prior round's BENCH_r*.json shows parsed=null,
+// and PERF_r17 could not compare a single query). Pass the child's stdout
+// through VERBATIM and suppress the success banner: the summary JSON is
+// then genuinely the final stdout line. Failures still surface via the
+// exit code (and sbt's [error] banner is not suppressed).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1364,11 +1364,20 @@ object SparkEntry {
           graft.ext.Curation.Rules(minTokens = 20,
             allowedLangs = Seq("de", "en", "es", "zh")))
         .filter(col("status") === "ok").select("doc_id")
-      val curated = d.join(ok, "doc_id")
+      // STAGE the two survivor sets each consumed by 2+ downstream heads
+      // (guide §1.2 don't recompute / §6): lazily, `curated` (curation
+      // pass + join) re-executed once inside the staged LSH and once per
+      // `train` branch, and `train` (the dedup-apply join) re-executed
+      // for both the contamination probe and the clean anti-join — the
+      // corpus-scale curation regexes ran 3× per run. Each stages ONCE
+      // to a temp parquet (same rows, same columns — the oracle hash
+      // pins identity) and every head reads the flat stage.
+      val curated = Dedup.stageAndRead(d.join(ok, "doc_id"))
       val clusters = Dedup.dupClusters(Dedup.lshCandidateStarPairsStaged(
         Dedup.minhashSignature(curated, "text", 4), "doc_id", 4, 2))
-      val train = Dedup.applyDedup(curated, clusters, "doc_id")
-        .filter(col("doc_id") >= 10) // ids < 10 are the benchmark split
+      val train = Dedup.stageAndRead(
+        Dedup.applyDedup(curated, clusters, "doc_id")
+          .filter(col("doc_id") >= 10)) // ids < 10 are the benchmark split
       val contaminated = Dedup.contaminatedDocs(train,
         d.filter(col("doc_id") < 10), "text", "doc_id", 5).select("doc_id")
       val clean = train.join(contaminated, Seq("doc_id"), "left_anti")

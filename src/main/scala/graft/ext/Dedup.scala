@@ -647,7 +647,8 @@ object Dedup {
     * count — and with it materialization + job-submission overhead, the
     * dominant cost on low-diameter graphs — drops by the fusion factor.
     * `maxIter` counts rounds, so the propagation budget is
-    * maxIter × stepsPerRound hops. */
+    * maxIter × stepsPerRound + 1 hops (the fused identity-init
+    * contributes one extra hop before the loop). */
   /** Rounds the last [[dupClusters]] call ran (diagnostic only). */
   @volatile private[graft] var lastDupClusterRounds: Int = 0
 

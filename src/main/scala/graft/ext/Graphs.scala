@@ -108,20 +108,51 @@ object Graphs {
     new EdgeStage(tbl, key, buckets, spark, weighted)
   }
 
+  /** Per-endpoint (node, _pr_od-contribution) rows of an edge frame —
+    * the PRE-AGGREGATION form of [[skeletonOf]]: each src endpoint
+    * contributes its edge's out-degree mass (1, or _pr_w when weighted),
+    * each dst endpoint contributes null (present, no out-mass). One
+    * `sum` groupBy over these rows IS the skeleton, because `sum`
+    * ignores nulls and an all-null group (dst-only = dangling) sums to
+    * null. Exposed separately so [[EdgeStage.appendRows]] can merge a
+    * delta into an existing skeleton with the SAME single aggregation
+    * (old skel rows are just pre-summed contributions — addition is
+    * associative). */
+  private def skeletonRows(e: DataFrame, weighted: Boolean): DataFrame =
+    e.select(col("_pr_src").as("node"),
+        (if (weighted) col("_pr_w") else lit(1L)).as("_pr_od"))
+      .unionAll(e.select(col("_pr_dst").as("node"),
+        lit(null).cast("long").as("_pr_od")))
+
   /** The (node, _pr_od) rank skeleton of an edge frame: every node that
     * appears on either end, with its out-degree (edge count, or Σ_pr_w
     * when weighted) — null marking a dangling node. This is the table
     * every ranker round re-joins; [[EdgeStage]] maintains it
     * INCREMENTALLY across appends (additive algebra: node sets union,
     * out-degrees add), so a warm re-rank never re-derives it from the
-    * full O(E) edge list. */
-  private def skeletonOf(e: DataFrame, weighted: Boolean): DataFrame = {
-    val nodes = e.select(col("_pr_src").as("node"))
-      .union(e.select(col("_pr_dst").as("node"))).distinct()
-    val od = e.groupBy(col("_pr_src").as("node"))
-      .agg((if (weighted) sum(col("_pr_w")) else count(lit(1))).as("_pr_od"))
-    nodes.join(od, Seq("node"), "left")
-  }
+    * full O(E) edge list.
+    *
+    * ONE exchange, not three: the naive form (nodes union-distinct ⟕
+    * out-degree agg) pays a 2|E|-row distinct, an |E|-row agg, and a
+    * join; the [[skeletonRows]] sum-with-null algebra computes the
+    * identical table with a single map-side-combining aggregation over
+    * the same 2|E| rows (guide §2.4 — remove shuffles outright; sum of
+    * all-null is null, so dangling stays dangling; sum(1L) per src row
+    * is exactly count). */
+  private def skeletonOf(e: DataFrame, weighted: Boolean): DataFrame =
+    skeletonRows(e, weighted)
+      .groupBy(col("node")).agg(sum(col("_pr_od")).as("_pr_od"))
+
+  /** Diagnostic accessor for the plan-evidence tooling
+    * ([[graft.tools.SkeletonPlan]]): the skeleton frame of a (src, dst)
+    * edge list, exactly as every ranker round (and every EdgeStage
+    * init/append merge) builds it. NOT engine surface — the final
+    * staged-query explain cannot show this intra-operator plan (the r17
+    * verdict's evidence gap), so the tool dumps it directly. */
+  private[graft] def skeletonDiag(edges: DataFrame, srcCol: String,
+                                  dstCol: String): DataFrame =
+    skeletonOf(edges.select(col(srcCol).cast("long").as("_pr_src"),
+      col(dstCol).cast("long").as("_pr_dst")), weighted = false)
 
   /** A staged, bucketed, APPENDABLE edge table — the cross-call form of
     * [[stageEdgesBucketed]] for the per-crawl cadence: stage the
@@ -161,15 +192,23 @@ object Graphs {
 
     // data files currently under the managed table's directory (the
     // single-writer contract every append-only stage here carries makes
-    // a before/after diff of this listing exactly the appended delta)
+    // a before/after diff of this listing exactly the appended delta).
+    // RECURSIVE: a future partitioned/subdirectory layout must not make
+    // the diff silently miss delta files and corrupt the skeleton — the
+    // walk finds them wherever the writer puts them.
     private def dataFiles(): Set[String] = {
       val loc = new org.apache.hadoop.fs.Path(
         org.apache.spark.sql.graftbridge.Bridge.tableLocation(spark, table))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(loc).iterator
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-          && !st.getPath.getName.startsWith("."))
-        .map(_.getPath.toString).toSet
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(loc, /* recursive = */ true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          out += st.getPath.toString
+      }
+      out.result()
     }
 
     private def appendRows(d: DataFrame): Unit = {
@@ -186,14 +225,25 @@ object Graphs {
       // rows are read BACK from the files this append just wrote — a
       // delta-sized flat scan — never by re-executing the caller's
       // delta lineage (typically a corpus-scale join) a second time.
+      // ONE aggregation, not a skeleton-build feeding a second one: the
+      // old skeleton's rows are pre-summed [[skeletonRows]]
+      // contributions, so old rows ∪ delta endpoint rows → one `sum`
+      // groupBy IS the merged skeleton (addition is associative, sum
+      // still ignores nulls). A failed merge must not leave a STALE
+      // skeleton over the larger edge table — reset to None (rankers
+      // fall back to the full O(E) derivation) before rethrowing.
       skel.foreach { s =>
         val newFiles = (dataFiles() -- before).toSeq
-        val delta = spark.read.schema(
-            org.apache.spark.sql.graftbridge.Bridge.asNullable(edges.schema))
-          .parquet(newFiles: _*)
-        skel = Some(Dedup.stageAndRead(
-          s.unionByName(skeletonOf(delta, weighted))
-            .groupBy(col("node")).agg(sum(col("_pr_od")).as("_pr_od"))))
+        // an empty delta wrote no files: the skeleton is already exact
+        if (newFiles.nonEmpty) {
+          skel = None
+          val delta = spark.read.schema(
+              org.apache.spark.sql.graftbridge.Bridge.asNullable(edges.schema))
+            .parquet(newFiles: _*)
+          skel = Some(Dedup.stageAndRead(
+            s.unionByName(skeletonRows(delta, weighted))
+              .groupBy(col("node")).agg(sum(col("_pr_od")).as("_pr_od"))))
+        }
       }
     }
 
@@ -469,6 +519,12 @@ object Graphs {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       "damping is per-mille: 0..1000")
+    // a weighted stage's skeleton carries Σw out-degrees; the unweighted
+    // round algebra would divide rank by them as edge counts — mixed
+    // semantics that silently produce wrong ranks (trustRankStaged and
+    // pageRankWeightedStaged carry the mirror guard)
+    require(!stage.weighted,
+      "weighted EdgeStage: use pageRankWeightedStaged")
     prRun(stage.edges, iters, dampingPerMille, staged = true,
       prior = None, shjRanks = true, baseSkeleton = stage.skeletonOpt)
   }
@@ -483,6 +539,8 @@ object Graphs {
       "damping is per-mille: 0..1000")
     require(priorRanks.columns.toSet == Set("node", "rank_q18"),
       "priorRanks must be exactly (node, rank_q18) — pageRank's output shape")
+    require(!stage.weighted,
+      "weighted EdgeStage: use pageRankWeightedWarmStaged")
     prRun(stage.edges, iters, dampingPerMille, staged = true,
       prior = Some(priorRanks), shjRanks = true,
       baseSkeleton = stage.skeletonOpt)
@@ -725,12 +783,15 @@ object Graphs {
           .select(col("node"), col("_pr_od"),
             coalesce(col("_pr_seed"), lit(false)).as("_pr_seed")))
       case None =>
-        val nodes = e.select(col("_pr_src").as("node"))
-          .union(e.select(col("_pr_dst").as("node")))
-          .union(seedNodes).distinct()
-        val od = e.groupBy(col("_pr_src").as("node"))
-          .agg(count(lit(1)).as("_pr_od"))
-        val base0 = nodes.join(od, Seq("node"), "left")
+        // same single-aggregation skeleton algebra as [[skeletonOf]]
+        // (one exchange, not distinct+agg+join): seed nodes enter as
+        // null-od rows — a seed absent from the graph sums to null
+        // (dangling, absorbs teleport mass), a seed that is a source
+        // gets its out-degree from its src rows
+        val base0 = skeletonRows(e, weighted = false)
+          .unionByName(seedNodes
+            .select(col("node"), lit(null).cast("long").as("_pr_od")))
+          .groupBy(col("node")).agg(sum(col("_pr_od")).as("_pr_od"))
           .join(broadcast(seedNodes.withColumn("_pr_seed", lit(true))),
             Seq("node"), "left")
           .select(col("node"), col("_pr_od"),

@@ -441,10 +441,33 @@ object Scale {
       fs.listStatus(p).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val prefix = s"$partCol="
-    val hot = fs.listStatus(root)
+    // per-partition data-file listing, ONCE and in PARALLEL: the walk is
+    // O(partitions) driver-side metadata work (the r17 verdict's s10b
+    // driver-gap item) — serial on an object store it costs
+    // partitions × round-trip latency; a bounded pool makes it
+    // max(latency) per batch of 16. The census below REUSES this listing
+    // instead of re-listing every hot directory a second time (sound:
+    // compaction is single-writer — serialized against appends — so the
+    // listing is a consistent snapshot).
+    val partDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(s => s.getPath.getName.stripPrefix(prefix) ->
-        dataFiles(s.getPath).length)
+    val perDir: Map[String, Array[org.apache.hadoop.fs.FileStatus]] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, partDirs.length)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = partDirs.toSeq.map { s => scala.concurrent.Future {
+          s.getPath.getName.stripPrefix(prefix) -> dataFiles(s.getPath)
+        }.transform(scala.util.Success(_)) }
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+        settled.collect { case scala.util.Success(v) => v }.toMap
+      } finally pool.shutdown()
+    }
+    val hot = perDir.view.mapValues(_.length)
       .filter(_._2 > maxFilesPerPart).toMap
     if (hot.isEmpty) return Seq.empty
     val staging = new org.apache.hadoop.fs.Path(root, ".compact")
@@ -478,9 +501,9 @@ object Scale {
     // groupBy(partCol).count() this replaces was a full second pass over
     // the very data the compaction is about to rewrite.
     val sconf = new org.apache.spark.SerializableWritable(conf)
+    // file set from the parallel listing above — no second O(hot) walk
     val keyedFiles = hotKeys.flatMap { k =>
-      dataFiles(new org.apache.hadoop.fs.Path(root, s"$prefix$k"))
-        .map(s => k -> fs.makeQualified(s.getPath).toUri.toString)
+      perDir(k).map(s => k -> fs.makeQualified(s.getPath).toUri.toString)
     }
     val rows: Map[String, Long] = spark.sparkContext
       .parallelize(keyedFiles, math.max(1, math.min(keyedFiles.size, 64)))

@@ -37,8 +37,16 @@ object JobProfile {
           rows.add((je.jobId, (System.nanoTime() - t0) / 1e9, site))
         }
     })
+    // job START times too, so DRIVER-SIDE GAPS (listing, commit renames,
+    // planning — time when no job runs) are visible per job boundary:
+    // gap(i) = start(i) − end(i−1). total − job-sum ≈ Σ gaps.
+    val startNs = TrieMap.empty[Int, Long]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        startNs.put(js.jobId, System.nanoTime())
+    })
     (1 to reps).foreach { rep =>
-      rows.clear()
+      rows.clear(); startNs.clear()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -47,8 +55,13 @@ object JobProfile {
       val js = rows.asScala.toSeq.sortBy(_._1)
       println(f"== rep $rep: $name rows=$n total=$dt%.2f s, ${js.size} jobs, " +
         f"job-sum=${js.map(_._2).sum}%.2f s")
+      var prevEnd = t0
       js.foreach { case (id, sec, site) =>
-        println(f"  job $id%3d  $sec%6.2f s  $site")
+        val st = startNs.getOrElse(id, prevEnd)
+        val gap = math.max(0.0, (st - prevEnd) / 1e9)
+        prevEnd = math.max(prevEnd, st + (sec * 1e9).toLong)
+        val gapStr = if (gap >= 0.05) f"  gap=$gap%5.2f s" else ""
+        println(f"  job $id%3d  $sec%6.2f s$gapStr  $site")
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -204,6 +204,17 @@ object ScaleRehearsal {
       (0 until factor).map(i => g(i)(orders, li)._1).reduce(_ unionByName _))
     prep(s"$work/x${factor}_graph/lineitem.parquet",
       (0 until factor).map(i => g(i)(orders, li)._2).reduce(_ unionByName _))
+    // x59g's TrustRank seeds come from supplier (s_suppkey % 4 = 0):
+    // shift s_suppkey by the same per-copy offset as l_suppkey so each
+    // copy's vetted-host list matches its own graph copy (off is a
+    // multiple of 4, so the % 4 seed split keeps its proportion)
+    val supp = spark.read.parquet(s"$base/supplier.parquet")
+      .select(col("s_suppkey"))
+    def suppShift(i: Int): DataFrame =
+      supp.select((col("s_suppkey") + i * off).as("s_suppkey"))
+    prep(s"$work/x1_graph/supplier.parquet", suppShift(0))
+    prep(s"$work/x${factor}_graph/supplier.parquet",
+      (0 until factor).map(suppShift).reduce(_ unionByName _))
     val docsFull = spark.read.parquet(s"$base/documents.parquet")
     prep(s"$work/x1_sfull/documents.parquet", saltedFull(docsFull, 0))
     prep(s"$work/x${factor}_sfull/documents.parquet",
@@ -285,6 +296,12 @@ object ScaleRehearsal {
       // once, delta APPENDED, warm rounds over the combined table —
       // the per-crawl cost must now be delta-sized, not corpus-sized
       ("x59d_pagerank_incremental", "graph"),
+      // the weighted and seeded crawl cadences (r17 verdict #6): only
+      // x59d's lifecycle carried a 100× exponent; the weighted form's
+      // per-crawl delta aggregation and the trust form's seed-merged
+      // skeleton have different merge costs
+      ("x59f_weighted_crawl", "graph"),
+      ("x59g_trustrank_crawl", "graph"),
       // shared-vocabulary (Zipf-head) re-measurements (r16 verdict #1):
       // the dedup/retrieval families whose plan trades were adjudicated
       // on the disjoint-vocab cipher corpus, re-read on the regime

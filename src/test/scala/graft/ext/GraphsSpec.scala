@@ -600,6 +600,24 @@ class GraphsSpec extends SparkSpec {
     } finally st.drop()
   }
 
+  test("EdgeStage skeleton: an EMPTY delta append is a no-op merge (skeleton stays exact)") {
+    // the fused merge skips entirely when the append wrote no files —
+    // the skeleton must remain the exact pre-append table and rankers
+    // must still agree with the lazy form
+    val resident = Seq((1L, 2L), (2L, 3L))
+    val st = Graphs.stageEdgeTable(resident.toDF("src", "dst"), "src", "dst")
+    try {
+      val before = st.skeletonOpt.get.collect().map(_.toSeq).toSet
+      st.append(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+      val after = st.skeletonOpt.get.collect().map(_.toSeq).toSet
+      assert(after == before)
+      val got = Graphs.pageRankStaged(st, 2).as[(Long, Long)].collect().toMap
+      val want = Graphs.pageRank(resident.toDF("src", "dst"), "src", "dst", 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally st.drop()
+  }
+
   test("EdgeStage: appended (multi-file-bucket) table keeps the round join edge-Exchange- and Sort-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
