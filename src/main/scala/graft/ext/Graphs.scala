@@ -1045,37 +1045,60 @@ object Graphs {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_kc_v"))
       .filter(col("_kc_u") =!= col("_kc_v"))
       .distinct()
-    val ee = Dedup.stageAndRead(
-      und.select(col("_kc_u").as("_kc_a"), col("_kc_v").as("_kc_b"))
-        .unionAll(und.select(col("_kc_v").as("_kc_a"),
-          col("_kc_u").as("_kc_b"))))
-    var alive = ee.select(col("_kc_a").as("node")).distinct()
-    var n = alive.count()
-    var result: DataFrame = null
-    var r = 0
-    while (result == null && r < maxRounds) {
-      r += 1
-      // ONE alive-join per round, not two: restricting the a-side to
-      // alive nodes is redundant — peeling is monotone (alive sets only
-      // shrink), so a node removed in an earlier round has degree < k
-      // over ANY later alive set and the `deg >= k` filter drops it
-      // anyway. Each round therefore joins the staged edge table once
-      // (b-side alive semi-filter) instead of twice — half the per-round
-      // join work at every scale, identical survivor set per round.
-      val deg = ee
-        .join(alive.select(col("node").as("_kc_b")), "_kc_b")
-        .groupBy(col("_kc_a").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-      val next = Dedup.stageAndRead(deg)
-      val m = next.count()
-      if (m == n) result = next.select(col("node"), col("deg"))
-      else { n = m; alive = next.select(col("node")) }
-    }
-    if (result == null) throw new IllegalStateException(
-      s"kCore did not reach a fixpoint in $maxRounds rounds — raise " +
-        "maxRounds (and the oracle unroll) for this graph")
-    result
+    // Adjacency stage form, MEASURED both ways at both scales (r18,
+    // PERF.md): the pageRank/HITS bucketed-stage discipline (one sorted
+    // file per bucket, each round's alive join edge-Exchange-free) was
+    // tried here and LOSES on this operator's regime — interleaved A/B:
+    // sf0.1 10.6 vs 5.4 s, 100× min-of-2 14.7 vs 11.9 s / 11.8 vs
+    // 9.0 GB heap — because the co-purchase adjacency is SPARSE: the
+    // alive side broadcasts even at 100×, so no round pays an edge
+    // exchange the bucketing could remove, and the sorted bucketed
+    // write plus 32-task bucket scans per round are pure overhead
+    // (guide §1.1: the "ideal" plan lost to the measurement; §2.4's
+    // shuffle removal has nothing to remove here). FLAT stage is the
+    // measured default; SPARK_GRAFT_KCORE_BUCKET=on opts into the
+    // bucketed form for graphs dense enough that the alive set cannot
+    // broadcast and rounds are many.
+    val adjacency = und
+      .select(col("_kc_u").as("_kc_a"), col("_kc_v").as("_kc_b"))
+      .unionAll(und.select(col("_kc_v").as("_kc_a"),
+        col("_kc_u").as("_kc_b")))
+    val (ee, dropEe) =
+      if (sys.env.get("SPARK_GRAFT_KCORE_BUCKET").contains("on"))
+        stageEdgesBucketedOn(adjacency, "_kc_b")
+      else (Dedup.stageAndRead(adjacency), () => ())
+    try {
+      var alive = ee.select(col("_kc_a").as("node")).distinct()
+      var n = alive.count()
+      var result: DataFrame = null
+      var r = 0
+      while (result == null && r < maxRounds) {
+        r += 1
+        // ONE alive-join per round, not two: restricting the a-side to
+        // alive nodes is redundant — peeling is monotone (alive sets only
+        // shrink), so a node removed in an earlier round has degree < k
+        // over ANY later alive set and the `deg >= k` filter drops it
+        // anyway. Each round therefore joins the staged edge table once
+        // (b-side alive semi-filter) instead of twice — half the per-round
+        // join work at every scale, identical survivor set per round.
+        val deg = ee
+          .join(alive.select(col("node").as("_kc_b")), "_kc_b")
+          .groupBy(col("_kc_a").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+        val next = Dedup.stageAndRead(deg)
+        val m = next.count()
+        if (m == n) result = next.select(col("node"), col("deg"))
+        else { n = m; alive = next.select(col("node")) }
+      }
+      if (result == null) throw new IllegalStateException(
+        s"kCore did not reach a fixpoint in $maxRounds rounds — raise " +
+          "maxRounds (and the oracle unroll) for this graph")
+      // the result frame reads from per-round stage dirs, not the edge
+      // table — materialized by the count above, so dropping ee in
+      // finally is safe for every consumer of the returned frame
+      result
+    } finally dropEe()
   }
 
   /** TRIANGLE COUNTING + local clustering coefficient by DEGREE-ORDERED
